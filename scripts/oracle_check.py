@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Dev-only harness mirroring the driver's DuckDB-oracle correctness check.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+Loads each <verifyOutDir>/<name> parquet (Spark result), runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the corpus tables, sorts
+columns by name and rows by all columns, and compares cell values exactly.
+Exact comparison is deliberate: the driver hashes values, so any bit
+difference is a failure there too.
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    declared = sorted(d for d in os.listdir(outdir)
+                      if os.path.isdir(os.path.join(outdir, d)))
+    for name in declared:
+        files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark output files")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{os.path.join(outdir, name)}/*.parquet')").fetchdf()
+        if name not in oracle:
+            status = "ROWS-ONLY" if len(got) > 0 else "ROWS-ONLY-EMPTY!"
+            print(f"{status} {name}: {len(got)} rows")
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            try:
+                mism = (gv != ev) & ~(gv.isna() & ev.isna())
+            except Exception:
+                mism = gv.astype(str) != ev.astype(str)
+            if mism.any():
+                i = mism.idxmax()
+                bad.append(f"{c}[{i}]: {gv[i]!r} vs {ev[i]!r} ({int(mism.sum())} cells)")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad[:3]))
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(g)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(declared) - n_pass - n_fail} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver test corpus (TESTDATA.md): TPC-H-ish star schema
+  * plus `events`, `documents`, `embeddings`.
+  *
+  * All loads are plain parquet scans — filters/projections push down.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized to a proper TimestampType column.
+    *
+    * The corpus writes TIMESTAMP(NANOS) which Spark reads as a nanosecond
+    * epoch long (spark.sql.legacy.parquet.nanosAsLong). We convert to
+    * microsecond timestamps (Spark's native precision) and keep the exact
+    * nanosecond epoch in `ts_ns` for oracle-exact arithmetic: integer
+    * truncation is deterministic and matches DuckDB's epoch_ms/epoch_ns.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, dir, "events")
+    // NOTE: nanosecond epochs exceed 2^53 — double division corrupts the
+    // low digits, so all conversions use integral `div`.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts_ms", expr("ts div 1000000"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+          .withColumn("ts_ms", unix_millis(col("ts")))
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+}

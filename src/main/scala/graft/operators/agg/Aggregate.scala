@@ -1,0 +1,92 @@
+package graft.operators.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The `aggregate` node's function registry (SURVEY §2.4; ref:
+  * esp_aggregate.erl:14-33 whitelist, esp_stats framework aliases
+  * faxe_dfs.erl:568-589).
+  *
+  * All functions are Catalyst built-ins or compositions — they get partial
+  * (map-side) aggregation and whole-stage codegen for free, which is the
+  * property that matters at 100 TB: a shuffle moves one pre-aggregated row
+  * per (partition, group), never raw rows.
+  *
+  * `count_change` is the one cross-row function: it is formulated as a
+  * lag-comparison pre-pass + sum (see [[countChangePrep]]), exactly the
+  * decomposition that keeps it partial-aggregatable after the pre-pass.
+  */
+object AggFunctions {
+  val names: Seq[String] = Seq(
+    "count", "sum", "min", "max", "avg", "mean", "range", "geometric_mean",
+    "median", "variance", "stddev", "count_distinct", "skew", "kurtosis",
+    "first", "last", "percentile", "count_change")
+
+  /** Build the aggregation column for `func` over `field`.
+    * `ts` orders first/last (ref: stats/c_agg.erl:19-26 keeps timestamps).
+    */
+  def column(func: String, field: Column, ts: Column = col("ts")): Column =
+    func match {
+      case "count"          => count(field)
+      case "sum"            => sum(field)
+      case "min"            => min(field)
+      case "max"            => max(field)
+      case "avg" | "mean"   => avg(field)
+      case "range"          => max(field) - min(field)
+      case "geometric_mean" => exp(avg(log(field)))
+      case "median"         => median(field)
+      case "variance"       => var_samp(field)
+      case "stddev"         => stddev_samp(field)
+      case "count_distinct" => count_distinct(field)
+      case "skew"           => skewness(field)
+      case "kurtosis"       => kurtosis(field)
+      case "first"          => min_by(field, ts)
+      case "last"           => max_by(field, ts)
+      case other => throw new IllegalArgumentException(s"unknown agg function: $other")
+    }
+
+  /** Exact percentile at `p` in [0,1] (ref: esp_percentile.erl:26-80 — exact,
+    * interpolating; matches SQL percentile_cont). Exact by default for oracle
+    * parity; use [[approxPercentile]] at extreme scale.
+    */
+  def percentile(field: Column, p: Double): Column =
+    call_function("percentile", field, lit(p))
+
+  def approxPercentile(field: Column, p: Double): Column =
+    percentile_approx(field, lit(p), lit(10000))
+
+  /** Pre-pass for `count_change` (ref: esp_aggregate.erl:193-206): marks rows
+    * whose value differs from the previous row (ordered by `order` within
+    * `keys`); then `sum` of the marker inside any window/group gives the
+    * change count, including across-window continuity (keep_tail semantics,
+    * esp_aggregate.erl:41,106).
+    */
+  def countChangePrep(
+      df: DataFrame,
+      field: Column,
+      order: Seq[Column],
+      keys: Seq[Column],
+      as: String): DataFrame = {
+    val w =
+      if (keys.isEmpty) Window.orderBy(order: _*)
+      else Window.partitionBy(keys: _*).orderBy(order: _*)
+    val prev = lag(field, 1).over(w)
+    df.withColumn(
+      as,
+      when(prev.isNotNull && prev =!= field, lit(1L)).otherwise(lit(0L)))
+  }
+}
+
+/** The `aggregate` operator: parallel `fields`/`functions`/`as` lists over a
+  * grouped frame (ref: esp_aggregate.erl options :46-58).
+  */
+object Aggregate {
+  final case class Spec(field: String, func: String, as: String)
+
+  def apply(df: DataFrame, keys: Seq[Column], specs: Seq[Spec], ts: String = "ts"): DataFrame = {
+    val aggs = specs.map(s => AggFunctions.column(s.func, col(s.field), col(ts)).as(s.as))
+    if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

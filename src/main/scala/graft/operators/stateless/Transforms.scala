@@ -1,0 +1,101 @@
+package graft.operators.stateless
+
+import graft.core.Paths
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stateless per-row operators (SURVEY §2.1).
+  *
+  * Every operator is a pure `DataFrame => DataFrame` transform built from
+  * Catalyst expressions — filters and projections stay pushdown-able and
+  * inside whole-stage codegen; nothing here shuffles.
+  */
+object Transforms {
+
+  /** `where` — predicate filter (ref: esp_where.erl:22-47). */
+  def where(df: DataFrame, predicate: Column): DataFrame = df.filter(predicate)
+
+  /** `eval` — N expressions evaluated sequentially, each sees the previous
+    * results (ref: esp_eval.erl:24-62). `withColumn`-chain preserves the
+    * sequential visibility; Catalyst collapses the chain into one Project.
+    */
+  def eval(df: DataFrame, exprs: Seq[(String, DataFrame => Column)]): DataFrame =
+    exprs.foldLeft(df) { case (d, (as, mk)) => Paths.set(d, as, mk(d)) }
+
+  /** `set` — unconditional field write, deep paths ok (ref: esp_set.erl:28-60). */
+  def setFields(df: DataFrame, fields: Seq[(String, Column)]): DataFrame =
+    fields.foldLeft(df) { case (d, (p, v)) => Paths.set(d, p, v) }
+
+  /** `default` — write only where absent or null (ref: esp_default.erl:26-70). */
+  def default(df: DataFrame, path: String, value: Column): DataFrame =
+    if (!Paths.has(df, path)) Paths.set(df, path, value)
+    else Paths.set(df, path, coalesce(Paths.ref(path), value))
+
+  /** `delete` — drop fields, optionally gated by a predicate: when the gate
+    * holds the field is nulled, otherwise kept (ref: esp_delete.erl:26-63).
+    */
+  def delete(df: DataFrame, paths: Seq[String]): DataFrame =
+    paths.foldLeft(df)(Paths.delete)
+
+  def deleteWhen(df: DataFrame, path: String, gate: Column): DataFrame =
+    Paths.set(df, path, when(gate, lit(null)).otherwise(Paths.ref(path)))
+
+  /** `keep` — projection with optional rename (ref: esp_keep.erl:22-47). */
+  def keep(df: DataFrame, fields: Seq[(String, Option[String])]): DataFrame =
+    df.select(fields.map { case (p, as) =>
+      Paths.ref(p).as(as.getOrElse(Paths.parse(p).last.name))
+    }: _*)
+
+  /** `rename` — rename fields in place (ref: esp_rename.erl:27-60). */
+  def rename(df: DataFrame, renames: Seq[(String, String)]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** `case` — first-true branch list with default (ref: esp_case.erl:28-66). */
+  def caseWhen(
+      df: DataFrame,
+      as: String,
+      branches: Seq[(Column, Column)],
+      otherwise: Column): DataFrame = {
+    val c = branches.tail
+      .foldLeft(when(branches.head._1, branches.head._2)) {
+        case (acc, (p, v)) => acc.when(p, v)
+      }
+      .otherwise(otherwise)
+    Paths.set(df, as, c)
+  }
+
+  /** `if` — ternary into `as` (ref: esp_if.erl:25-58). */
+  def ifThen(df: DataFrame, as: String, test: Column, thenV: Column, elseV: Column): DataFrame =
+    Paths.set(df, as, when(test, thenV).otherwise(elseV))
+
+  /** `sample` rate mode — pass every Nth row in `order` within `partition`
+    * (ref: esp_sample.erl:27-67). Distributed: ranking is computed per key
+    * partition; a global Nth (no partition) is only for small streams.
+    */
+  def sampleEveryN(df: DataFrame, n: Int, order: Seq[Column], partition: Seq[Column] = Nil): DataFrame = {
+    val w =
+      if (partition.isEmpty) Window.orderBy(order: _*)
+      else Window.partitionBy(partition: _*).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") % n === 1)
+      .drop("_rn")
+  }
+
+  /** `sample` duration mode — first row per time bucket. */
+  def sampleFirstPer(df: DataFrame, ts: Column, bucketMs: Long, order: Seq[Column]): DataFrame = {
+    val bucket = (unix_millis(ts) / bucketMs).cast("long")
+    val w = Window.partitionBy(bucket).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** `shift` — shift timestamps by a signed duration (ref: esp_shift.erl:22-39). */
+  def shift(df: DataFrame, tsCol: String, byMs: Long): DataFrame =
+    df.withColumn(tsCol, timestamp_millis(unix_millis(col(tsCol)) + byMs))
+
+  /** `jsonsize` — byte size of a JSON payload (ref: esp_jsonsize.erl:22-37). */
+  def jsonSize(df: DataFrame, payload: Column, as: String): DataFrame =
+    df.withColumn(as, octet_length(payload).cast("long"))
+}
