@@ -1,0 +1,140 @@
+package graft.operators.state
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** State-tracking / edge-detection operators (SURVEY §2.6).
+  *
+  * Batch forms are lag/run-length window functions ordered by event time
+  * within the stream key — one shuffle on the key, then a single sorted
+  * pass per partition (faxe's per-edge FIFO order becomes per-key ts
+  * order, SURVEY §7.4). Streaming forms live in graft.streaming.
+  */
+object StateOps {
+
+  private def spec(keys: Seq[Column], order: Seq[Column]): WindowSpec =
+    if (keys.isEmpty) Window.orderBy(order: _*)
+    else Window.partitionBy(keys: _*).orderBy(order: _*)
+
+  /** `change_detect` — pass rows whose monitored fields differ from the
+    * previous row (ref: esp_change_detect.erl:41-196). First row passes.
+    */
+  def changeDetect(df: DataFrame, fields: Seq[Column], keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = spec(keys, order)
+    val changed = fields
+      .map(f => lag(f, 1).over(w).isNull || lag(f, 1).over(w) =!= f)
+      .reduce(_ || _)
+    df.withColumn("_chg", changed).filter(col("_chg")).drop("_chg")
+  }
+
+  /** `value_diff` — difference to previous value; modes abs / c-p / p-c
+    * (ref: esp_value_diff.erl:18-20,43-55).
+    */
+  def valueDiff(df: DataFrame, field: Column, mode: String, as: String,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val prev = lag(field, 1).over(spec(keys, order))
+    val d = mode match {
+      case "c-p" => field - prev
+      case "p-c" => prev - field
+      case "abs" => abs(field - prev)
+      case m     => throw new IllegalArgumentException(s"value_diff mode: $m")
+    }
+    df.withColumn(as, d)
+  }
+
+  /** `time_diff` — ms between consecutive rows (ref: esp_time_diff.erl:31-59). */
+  def timeDiff(df: DataFrame, tsMs: Column, as: String,
+      keys: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn(as, tsMs - lag(tsMs, 1).over(spec(keys, order)))
+
+  /** Run id — increments whenever the boolean `state` flips; the shared
+    * core of the run-length family (ref: lib/state_change.erl new/process).
+    */
+  def runId(df: DataFrame, state: Column, as: String,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = spec(keys, order)
+    val flip = when(
+      lag(state, 1).over(w).isNull || lag(state, 1).over(w) =!= state, 1L)
+      .otherwise(0L)
+    // two stacked window passes over the same (keys, order) spec — Catalyst
+    // plans them in one Window operator chain with a single sort
+    df.withColumn("_flip", flip)
+      .withColumn(as, sum(col("_flip")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("_flip")
+  }
+
+  /** `state_count` — consecutive-true count while in state, -1 otherwise
+    * (ref: esp_state_count.erl:33-55).
+    */
+  def stateCount(df: DataFrame, state: Column, as: String,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val withRun = runId(df, state, "_run", keys, order)
+    val w = spec(keys :+ col("_run"), order)
+    withRun
+      .withColumn(as, when(state, row_number().over(w).cast("long")).otherwise(-1L))
+      .drop("_run")
+  }
+
+  /** `state_duration` — ms the state has held, -1 when out of state
+    * (ref: esp_state_duration.erl:39-66).
+    */
+  def stateDuration(df: DataFrame, state: Column, tsMs: Column, as: String,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val withRun = runId(df, state, "_run", keys, order)
+    val w = spec(keys :+ col("_run"), order)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withRun
+      .withColumn(as, when(state, tsMs - min(tsMs).over(w)).otherwise(-1L))
+      .drop("_run")
+  }
+
+  /** `state_change` — emit on enter/leave edges with a transition tag
+    * (ref: esp_state_change.erl:45-96).
+    */
+  def stateChange(df: DataFrame, state: Column, as: String,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = spec(keys, order)
+    val prev = lag(state, 1).over(w)
+    val tag = when(state && (prev.isNull || !prev), lit("enter"))
+      .when(!state && prev, lit("leave"))
+    df.withColumn(as, tag).filter(col(as).isNotNull)
+  }
+
+  /** `state_sequence` over a discriminant column: the sequence matches when
+    * the last `seq.size` values of `disc` (in order) equal `seq` and each
+    * consecutive gap is within `timeoutsMs`. Emits the completing rows.
+    */
+  def stateSequenceOver(df: DataFrame, disc: Column, seq: Seq[String],
+      timeoutsMs: Seq[Long], tsMs: Column,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    require(seq.size >= 2 && timeoutsMs.size == seq.size - 1)
+    val w = spec(keys, order)
+    val n = seq.size
+    val valueConds = (0 until n).map { k =>
+      val expect = seq(n - 1 - k)
+      (if (k == 0) disc else lag(disc, k).over(w)) === lit(expect)
+    }
+    val gapConds = (1 until n).map { k =>
+      val newer = if (k == 1) tsMs else lag(tsMs, k - 1).over(w)
+      val older = lag(tsMs, k).over(w)
+      newer - older <= lit(timeoutsMs(n - 1 - k))
+    }
+    val all = (valueConds ++ gapConds).reduce(_ && _)
+    df.withColumn("_seq_ok", all).filter(col("_seq_ok")).drop("_seq_ok")
+  }
+
+  /** `deadman` batch analog — detect silences longer than `thresholdMs`
+    * (ref: esp_deadman.erl:43-75); emits one row per gap with the previous
+    * timestamp and gap length. The true heartbeat-emitting form is the
+    * streaming operator in graft.streaming.
+    */
+  def deadmanGaps(df: DataFrame, tsMs: Column, thresholdMs: Long,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = spec(keys, order)
+    df.withColumn("_prev_ms", lag(tsMs, 1).over(w))
+      .withColumn("gap_ms", tsMs - col("_prev_ms"))
+      .filter(col("gap_ms") > thresholdMs)
+      .withColumnRenamed("_prev_ms", "prev_ms")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators.window
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window => W}
+import org.apache.spark.sql.functions._
+
+/** Window operators (SURVEY §2.5) — the point→batch converters.
+  *
+  * Event-time windows map to Spark's native `window()`/`session_window()`
+  * grouping (pre-shuffle partial aggregation, AQE-sized shuffles). The
+  * count window has no relational builtin: its batch form is row_number
+  * bucketing; the streaming form lives in graft.streaming.
+  */
+object Windows {
+
+  /** `win_time` with every == period — tumbling event-time window
+    * (ref: esp_win_time.erl:28-96). Emits window_start_ms/window_end_ms.
+    */
+  def tumblingAgg(
+      df: DataFrame,
+      ts: Column,
+      duration: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, duration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start_ms", unix_millis(col("window.start")))
+      .withColumn("window_end_ms", unix_millis(col("window.end")))
+      .drop("window")
+
+  /** `win_time` sliding — period length, every emit interval
+    * (ref: esp_win_time.erl:28-96, period/every options).
+    */
+  def slidingAgg(
+      df: DataFrame,
+      ts: Column,
+      period: String,
+      every: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(ts, period, every) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start_ms", unix_millis(col("window.start")))
+      .withColumn("window_end_ms", unix_millis(col("window.end")))
+      .drop("window")
+
+  /** `fill_period` option — suppress the partial head windows emitted before
+    * one full period of data exists (ref: esp_win_time.erl:88-96 check_emit).
+    * Batch analog: keep only windows starting at/after the first timestamp;
+    * the bound is a one-row aggregate joined by broadcast.
+    */
+  def fillPeriod(windowed: DataFrame, source: DataFrame, ts: Column): DataFrame = {
+    val bounds = source.agg(min(unix_millis(ts)).as("_min_ms"))
+    windowed
+      .join(broadcast(bounds))
+      .filter(col("window_start_ms") >= col("_min_ms"))
+      .drop("_min_ms")
+  }
+
+  /** `win_session` — session window by inactivity gap
+    * (ref: esp_win_session.erl:30-57). Native `session_window` (Spark 3.2+):
+    * start = first event ts, end = last event ts + gap.
+    */
+  def sessionAgg(
+      df: DataFrame,
+      ts: Column,
+      gap: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.groupBy(session_window(ts, gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start_ms", unix_millis(col("session_window.start")))
+      .withColumn("session_end_ms", unix_millis(col("session_window.end")))
+      .drop("session_window")
+
+  /** `win_event` / `batch` count window, batch analog
+    * (ref: esp_win_event.erl:29-82): every `every` rows emit the last
+    * `period` rows. The tumbling case (period == every) is row bucketing.
+    */
+  def countTumblingAgg(
+      df: DataFrame,
+      n: Int,
+      order: Seq[Column],
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    val w =
+      if (keys.isEmpty) W.orderBy(order: _*)
+      else W.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("win_id", ((row_number().over(w) - 1) / n).cast("long"))
+      .groupBy(keys :+ col("win_id"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
