@@ -18,6 +18,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df):
     df = df[sorted(df.columns)]
+    # list/array cells are unhashable for pandas sorting — stringify them
+    for c in df.columns:
+        if df[c].map(lambda v: hasattr(v, "__len__")
+                     and not isinstance(v, (str, bytes))).any():
+            df[c] = df[c].map(lambda v: repr(list(v))
+                              if hasattr(v, "__len__")
+                              and not isinstance(v, (str, bytes)) else repr(v))
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 

@@ -10,7 +10,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def allPacks: Seq[QueryPack] = Seq(
     graft.packs.TransformPack,
-    graft.packs.AggPack
+    graft.packs.AggPack,
+    graft.packs.WindowPack,
+    graft.packs.StatePack,
+    graft.packs.RestructurePack,
+    graft.packs.JoinPack
   )
 
   private lazy val all: Map[String, QueryDef] = QueryPack.combine(allPacks)

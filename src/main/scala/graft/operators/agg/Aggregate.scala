@@ -68,9 +68,9 @@ object AggFunctions {
       order: Seq[Column],
       keys: Seq[Column],
       as: String): DataFrame = {
-    val w =
-      if (keys.isEmpty) Window.orderBy(order: _*)
-      else Window.partitionBy(keys: _*).orderBy(order: _*)
+    require(keys.nonEmpty,
+      "count_change requires stream keys (a keyless lag is a global sort)")
+    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     val prev = lag(field, 1).over(w)
     df.withColumn(
       as,

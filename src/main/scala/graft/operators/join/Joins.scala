@@ -8,14 +8,63 @@ import org.apache.spark.sql.functions._
   * (as-of / nearest-ts) merges, not equi-joins.
   *
   * Scale design:
-  *  - [[asOfLatest]] uses the union + running-last formulation: ONE shuffle
-  *    on the stream key, one sorted pass — no range-join row explosion, no
-  *    per-key state blowup. This is the 100 TB-safe as-of join.
+  *  - [[asOfLatest]] / [[asOfNearest]] use the union + running-last
+  *    formulation: ONE shuffle on the stream key, one sorted pass — no
+  *    range-join row explosion, no per-key state blowup. This is the
+  *    100 TB-safe as-of join.
   *  - [[toleranceJoin]] buckets time by the tolerance and joins on
   *    (key, bucket±1): candidate pairs are bounded by bucket population,
   *    never the cross product.
   */
 object Joins {
+
+  /** Union-align scaffolding shared by the as-of joins: left rows keep their
+    * payload; right rows contribute a struct `_r` = (_rts, valueCols…).
+    * Output columns: keys, _ts, _side (right=0 < left=1 so equal-ts right
+    * rows sort first and are backward-joinable, matching DuckDB ASOF `>=`),
+    * _r, then the non-key left payload.
+    */
+  private def aligned(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsMs: String,
+      rightTsMs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val lCols = left.columns.toSeq
+    val rStruct = struct(col(rightTsMs).as("_rts") +: valueCols.map(col): _*)
+    val rType = right.select(rStruct).schema.head.dataType
+
+    val lSide = left
+      .withColumn("_ts", col(leftTsMs))
+      .withColumn("_side", lit(1))
+      .withColumn("_r", lit(null).cast(rType))
+    val rSide = right
+      .select(keyCols :+ col(rightTsMs).as("_ts") :+ rStruct.as("_r"): _*)
+      .withColumn("_side", lit(0))
+    val lAligned = lSide.select(
+      (keys.map(col) :+ col("_ts") :+ col("_side") :+ col("_r")) ++
+        lCols.filterNot(keys.contains).map(col): _*)
+    val rAligned = lCols.filterNot(keys.contains).foldLeft(rSide) { (d, c) =>
+      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lAligned.columns.map(col): _*)
+    lAligned.unionByName(rAligned)
+  }
+
+  /** Project the matched right-side struct out to prefixed columns; the
+    * matched right timestamp lands in `prefix + rightTsMs`.
+    */
+  private def emit(
+      joined: DataFrame,
+      matchCol: Column,
+      valueCols: Seq[String],
+      prefix: String,
+      rightTsMs: String): DataFrame =
+    valueCols.foldLeft(
+      joined.withColumn(s"$prefix$rightTsMs", matchCol.getField("_rts"))
+    )((d, c) => d.withColumn(s"$prefix$c", matchCol.getField(c)))
+      .drop("_ts", "_side", "_r", "_back", "_fwd", "_match")
 
   /** As-of enrich: each left row gains the latest right row whose ts ≤ left
     * ts (within `toleranceMs` if given), per `keys` (refs: esp_join.erl:93,
@@ -34,49 +83,69 @@ object Joins {
       valueCols: Seq[String],
       prefix: String,
       toleranceMs: Option[Long] = None): DataFrame = {
-    val keyCols = keys.map(col)
-    val lCols = left.columns.toSeq
-    val rStruct = struct(col(rightTsMs).as("_rts") +: valueCols.map(col): _*)
-
-    val lSide = left
-      .withColumn("_ts", col(leftTsMs))
-      .withColumn("_side", lit(1))
-      .withColumn("_r", lit(null).cast(right.select(rStruct).schema.head.dataType))
-    val rSide = right
-      .select(keyCols :+ col(rightTsMs).as("_ts") :+ rStruct.as("_r"): _*)
-      .withColumn("_side", lit(0))
-    val aligned = lSide.select(
-      (keys.map(col) :+ col("_ts") :+ col("_side") :+ col("_r")) ++
-        lCols.filterNot(keys.contains).map(col): _*)
-    val rAligned = lCols.filterNot(keys.contains).foldLeft(rSide) { (d, c) =>
-      d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(aligned.columns.map(col): _*)
-
-    // right rows sort before left rows at equal ts (side 0 < 1): ties are
-    // joinable, matching DuckDB ASOF's inclusive `>=`.
-    val w = Window.partitionBy(keyCols: _*)
+    val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val joined = aligned.unionByName(rAligned)
-      .withColumn("_last_r", last(col("_r"), ignoreNulls = true).over(w))
+    val joined = aligned(left, right, keys, leftTsMs, rightTsMs, valueCols)
+      .withColumn("_back", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-
     val withinTol = toleranceMs match {
       case Some(tol) =>
-        when(col("_last_r").isNotNull &&
-          col("_ts") - col("_last_r.._rts") <= tol, col("_last_r"))
-      case None => col("_last_r")
+        when(col("_back").isNotNull &&
+          col("_ts") - col("_back").getField("_rts") <= tol, col("_back"))
+      case None => col("_back")
     }
-    val out = joined.withColumn("_match", withinTol)
-    valueCols.foldLeft(
-      out.withColumn(s"${prefix}ts_ms", col("_match").getField("_rts"))
-    )((d, c) => d.withColumn(s"$prefix$c", col("_match").getField(c)))
-      .drop("_ts", "_side", "_r", "_last_r", "_match")
+    emit(joined.withColumn("_match", withinTol), col("_match"), valueCols,
+      prefix, rightTsMs)
+  }
+
+  /** Bidirectional nearest-ts enrich (ref: esp_join.erl:197-206 — the join
+    * picks the buffered row with minimal |Δts|; ties break to the earlier
+    * row). Same single-shuffle union formulation: a backward running-last
+    * and a forward running-first over one sort, then pick the nearer side.
+    */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsMs: String,
+      rightTsMs: String,
+      valueCols: Seq[String],
+      prefix: String,
+      toleranceMs: Option[Long] = None): DataFrame = {
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+    val wBack = base.rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val joined = aligned(left, right, keys, leftTsMs, rightTsMs, valueCols)
+      .withColumn("_back", last(col("_r"), ignoreNulls = true).over(wBack))
+      // equal-ts right rows sort before the left row, so the forward frame
+      // holds strictly-later rights only — the Δ=0 case lives in _back and
+      // wins every tie, giving the earlier-on-tie rule.
+      .withColumn("_fwd", first(col("_r"), ignoreNulls = true).over(wFwd))
+      .filter(col("_side") === 1)
+    val dBack = col("_ts") - col("_back").getField("_rts")
+    val dFwd = col("_fwd").getField("_rts") - col("_ts")
+    val nearer = when(col("_back").isNull, col("_fwd"))
+      .when(col("_fwd").isNull, col("_back"))
+      .when(dFwd < dBack, col("_fwd"))
+      .otherwise(col("_back"))
+    val withinTol = toleranceMs match {
+      case Some(tol) =>
+        when(nearer.isNotNull &&
+          abs(col("_ts") - nearer.getField("_rts")) <= tol, nearer)
+      case None => nearer
+    }
+    emit(joined.withColumn("_match", withinTol), col("_match"), valueCols,
+      prefix, rightTsMs)
   }
 
   /** `join` with tolerance — all pairs within |lts - rts| ≤ toleranceMs on
     * the same key (ref: esp_join.erl:50-248, join2 multiplicity
-    * esp_join2.erl:108-180). Time-bucketed to keep candidates local.
+    * esp_join2.erl:108-180). Time-bucketed to keep candidates local: a row
+    * only meets rows in its own and adjacent buckets, so the join condition
+    * is a pure equi-join on (keys…, bucket) — shuffle-partitionable, no
+    * range-join explosion.
     */
   def toleranceJoin(
       left: DataFrame,
@@ -86,18 +155,22 @@ object Joins {
       rightTsMs: String,
       toleranceMs: Long,
       rightPrefix: String): DataFrame = {
+    // rename ALL right columns (keys included) so every join-condition side
+    // is unambiguous; drop the duplicate keys after the join.
     val rRenamed = right.columns.foldLeft(right) { (d, c) =>
-      if (keys.contains(c)) d else d.withColumnRenamed(c, s"$rightPrefix$c")
+      d.withColumnRenamed(c, s"$rightPrefix$c")
     }
-    val lB = left.withColumn("_lb", expr(s"$leftTsMs div ${toleranceMs}"))
-    val rB = rRenamed.withColumn("_rb", expr(s"$rightPrefix$rightTsMs div ${toleranceMs}"))
-    val lExp = lB.withColumn("_jb", explode(array(col("_lb") - 1, col("_lb"), col("_lb") + 1)))
-    lExp
-      .join(rB, keys.map(col) :+ (col("_jb") === col("_rb")) reduce (_.asInstanceOf[Column] && _) match {
-        case c: Column => c
-      }, "inner")
+    val lB = left.withColumn("_lb", expr(s"$leftTsMs div $toleranceMs"))
+    val rB = rRenamed.withColumn("_rb",
+      expr(s"$rightPrefix$rightTsMs div $toleranceMs"))
+    val lExp = lB.withColumn("_jb",
+      explode(array(col("_lb") - 1, col("_lb"), col("_lb") + 1)))
+    val cond = (keys.map(k => col(k) === col(s"$rightPrefix$k")) :+
+      (col("_jb") === col("_rb"))).reduce(_ && _)
+    lExp.join(rB, cond, "inner")
       .filter(abs(col(leftTsMs) - col(s"$rightPrefix$rightTsMs")) <= toleranceMs)
       .drop("_lb", "_rb", "_jb")
+      .drop(keys.map(k => s"$rightPrefix$k"): _*)
   }
 
   /** `collect` latest-per-key materialized view, batch analog

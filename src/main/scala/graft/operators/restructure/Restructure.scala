@@ -62,8 +62,9 @@ object Restructure {
     df.select(paths.map { case (c, default, as) => coalesce(c, default).as(as) }: _*)
 
   /** `batch` (count mode) — assign a 0-based batch id every `n` rows in
-    * `order` within `keys` (ref: esp_batch.erl:30-119). The streaming
-    * flush-timeout form lives in graft.streaming.
+    * `order` within `keys` (ref: esp_batch.erl:30-119; streaming
+    * flush-timeout form: graft.streaming.CountBatch). The keyless form uses
+    * the two-pass partition-offset numbering — no global single-task sort.
     */
   def batchify(
       df: DataFrame,
@@ -71,10 +72,14 @@ object Restructure {
       order: Seq[Column],
       keys: Seq[Column],
       as: String = "batch_id"): DataFrame = {
-    val w =
-      if (keys.isEmpty) Window.orderBy(order: _*)
-      else Window.partitionBy(keys: _*).orderBy(order: _*)
-    df.withColumn(as, ((row_number().over(w) - 1) / n).cast("long"))
+    val numbered =
+      if (keys.isEmpty)
+        graft.operators.stateless.GlobalOrder.rowNumber(df, order, "_rn")
+      else {
+        val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+        df.withColumn("_rn", row_number().over(w))
+      }
+    numbered.withColumn(as, ((col("_rn") - 1) / n).cast("long")).drop("_rn")
   }
 
   /** `unbatch` — inverse of a collected batch: explode an array-of-structs

@@ -70,16 +70,18 @@ object Transforms {
     Paths.set(df, as, when(test, thenV).otherwise(elseV))
 
   /** `sample` rate mode — pass every Nth row in `order` within `partition`
-    * (ref: esp_sample.erl:27-67). Distributed: ranking is computed per key
-    * partition; a global Nth (no partition) is only for small streams.
+    * (ref: esp_sample.erl:27-67). Keyed form ranks inside each key
+    * partition; the global form uses the two-pass partition-offset scheme
+    * ([[GlobalOrder.rowNumber]]) so no single task sees all rows.
     */
   def sampleEveryN(df: DataFrame, n: Int, order: Seq[Column], partition: Seq[Column] = Nil): DataFrame = {
-    val w =
-      if (partition.isEmpty) Window.orderBy(order: _*)
-      else Window.partitionBy(partition: _*).orderBy(order: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") % n === 1)
-      .drop("_rn")
+    val numbered =
+      if (partition.isEmpty) GlobalOrder.rowNumber(df, order, "_rn")
+      else {
+        val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+        df.withColumn("_rn", row_number().over(w))
+      }
+    numbered.filter(col("_rn") % n === 1).drop("_rn")
   }
 
   /** `sample` duration mode — first row per time bucket. */

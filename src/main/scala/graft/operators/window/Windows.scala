@@ -83,10 +83,14 @@ object Windows {
       order: Seq[Column],
       keys: Seq[Column],
       aggs: Seq[Column]): DataFrame = {
-    val w =
-      if (keys.isEmpty) W.orderBy(order: _*)
-      else W.partitionBy(keys: _*).orderBy(order: _*)
-    df.withColumn("win_id", ((row_number().over(w) - 1) / n).cast("long"))
+    val numbered =
+      if (keys.isEmpty)
+        graft.operators.stateless.GlobalOrder.rowNumber(df, order, "_rn")
+      else {
+        val w = W.partitionBy(keys: _*).orderBy(order: _*)
+        df.withColumn("_rn", row_number().over(w))
+      }
+    numbered.withColumn("win_id", ((col("_rn") - 1) / n).cast("long"))
       .groupBy(keys :+ col("win_id"): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -87,7 +87,9 @@ object AggPack extends QueryPack {
         prepped.groupBy(col("user_id"))
           .agg(sum(col("chg")).as("n_changes"), count(lit(1)).as("n"))
       },
-      Some("""SELECT user_id, sum(chg) AS n_changes, count(*) AS n FROM (
+      // CAST: DuckDB widens sum(INTEGER) to HUGEINT; Spark emits BIGINT —
+      // values are identical, the driver hash needs matching int64.
+      Some("""SELECT user_id, CAST(sum(chg) AS BIGINT) AS n_changes, count(*) AS n FROM (
              |  SELECT user_id,
              |    CASE WHEN lag(event_type) OVER
              |      (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL
@@ -179,6 +181,19 @@ object AggPack extends QueryPack {
              |  SELECT *, row_number() OVER
              |    (PARTITION BY user_id ORDER BY value ASC, event_id) AS rnk
              |  FROM events) WHERE rnk <= 3""".stripMargin)),
+
+    // distinct: the distinct value *list* (ref: stats/esp_distinct.erl:14,
+    // collect_set) — sorted + joined to a canonical string so the oracle
+    // compare stays scalar (array cells are hasher-hostile).
+    "agg_distinct" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+            .as("types")),
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+             |FROM events GROUP BY user_id""".stripMargin)),
 
     // dist_count: per-distinct-value occurrence counts
     // (ref: stats/esp_stats_dist_count.erl).
