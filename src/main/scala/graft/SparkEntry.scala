@@ -14,7 +14,8 @@ object SparkEntry {
     graft.packs.WindowPack,
     graft.packs.StatePack,
     graft.packs.RestructurePack,
-    graft.packs.JoinPack
+    graft.packs.JoinPack,
+    graft.packs.LlmPack
   )
 
   private lazy val all: Map[String, QueryDef] = QueryPack.combine(allPacks)

@@ -1,0 +1,49 @@
+package graft.operators.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads with typed metadata,
+  * stub decode / feature extraction, and frame sampling.
+  *
+  * The container ships no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (md5-derived pseudo-features); the
+  * Spark-side plumbing — binary columns, metadata structs, frame-range
+  * generation, batch-friendly row-level expressions — is real and tested.
+  * A production deployment swaps [[featureStub]] for a codec UDF or
+  * mapInArrow/mapPartitions decoder with the same column contract.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + typed metadata struct. Here the blob is the
+    * utf-8 text bytes (the corpus's stand-in for image/audio content).
+    */
+  def withBlob(df: DataFrame, content: Column, as: String = "blob"): DataFrame =
+    df.withColumn(as, content.cast("binary"))
+      .withColumn(s"${as}_meta", struct(
+        octet_length(col(as)).as("n_bytes"),
+        lit("text/plain").as("mime")))
+
+  /** STUB feature extraction: `dims` pseudo-features in [0,1] derived from
+    * md5 of the payload — deterministic, codegen'd, shaped like a decoder
+    * output. Replace with a real decoder at deployment.
+    */
+  def featureStub(blob: Column, dims: Int = 4): Seq[Column] =
+    (0 until dims).map { i =>
+      (conv(substring(md5(blob), i * 4 + 1, 4), 16, 10).cast("long") / 65535.0)
+        .as(s"f$i")
+    }
+
+  /** Frame sampling: every `every`-th frame of `frameSize` bytes, with the
+    * frame payload and its digest. Generator expression — rows fan out per
+    * input partition, no shuffle.
+    */
+  def frameSample(df: DataFrame, blob: String, frameSize: Int, every: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0L),
+          expr(s"CAST((octet_length($blob) - 1) div $frameSize AS BIGINT)"),
+          lit(every.toLong))))
+      .withColumn("frame",
+        expr(s"substring($blob, frame_idx * $frameSize + 1, $frameSize)"))
+      .withColumn("frame_md5", md5(col("frame")))
+}

@@ -1,0 +1,107 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (content-hash), MinHash+LSH banded near-dup, and SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - signatures are per-row expressions — no explode, no shuffle;
+  *  - candidate generation is a self-equi-join on (band, band_hash)
+  *    buckets — pairs are bounded by bucket population, NEVER all-pairs;
+  *  - exact Jaccard verification runs only on the candidate pairs.
+  *
+  * All hashing derives from md5 (TextOps.hash60) so the DuckDB oracle can
+  * replay the identical pipeline bit-for-bit.
+  */
+object Dedup {
+
+  /** Mod-prime for the minhash permutation family: products stay < 2^62. */
+  val P = 2147483647L // 2^31 - 1
+  /** Fixed permutation coefficients h_i(x) = (A(i)·x + B(i)) mod P. */
+  val A: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31)
+  val B: Seq[Long] = Seq(3, 5, 101, 107, 109, 113, 127, 131)
+
+  /** Exact dedup: group by content hash, keep the min-id representative
+    * (hash-groupBy — one shuffle on the 32-hex digest).
+    */
+  def exactDupGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text).as("content_hash"))
+      .agg(min(id).as("rep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k = A.size row-level min-hashes over the distinct
+    * word-3-gram shingles. Adds sig0..sig{k-1}.
+    */
+  def minhashSignature(df: DataFrame, text: Column, k: Int = 8): DataFrame = {
+    require(k <= A.size)
+    val hs = transform(TextOps.shingles(text, 3),
+      s => pmod(TextOps.hash60(s), lit(P)))
+    val withHs = df.withColumn("_hs", hs)
+    (0 until k).foldLeft(withHs) { (d, i) =>
+      d.withColumn(s"sig$i",
+        array_min(transform(col("_hs"),
+          h => (lit(A(i)) * h + lit(B(i))) % lit(P))))
+    }.drop("_hs")
+  }
+
+  /** LSH banding: rows (id, band, band_hash), one row per band. With
+    * bands=4, rowsPerBand=2 a pair at Jaccard j collides with
+    * prob 1-(1-j²)⁴ (≈0.68 at j=0.5).
+    */
+  def lshBands(sigDf: DataFrame, id: Column, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = (0 until bands).map { b =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", sigCols: _*)).as("bh"))
+    }
+    sigDf.select(id.as("doc_id"), explode(array(bandHashes: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+  }
+
+  /** Near-dup pairs: LSH candidates (bucket self-join, a < b) verified
+    * with exact Jaccard over distinct shingle sets; keeps pairs with
+    * jaccard >= threshold. Returns (a, b, jac).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      threshold: Double,
+      bands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhashSignature(df, text, bands * rowsPerBand)
+    val bandRows = lshBands(sigs, id, bands, rowsPerBand)
+    val l = bandRows.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = bandRows.select(col("band").as("band_r"), col("bh").as("bh_r"),
+      col("doc_id").as("b"))
+    val cand = l.join(r,
+        col("band") === col("band_r") && col("bh") === col("bh_r") &&
+          col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sh = df.select(id.as("doc_id"),
+      TextOps.shingles(text, 3).as("sh"))
+    val withSets = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter * lit(1.0) /
+      (size(col("sh_a")) + size(col("sh_b")) - inter)
+    withSets.withColumn("jac", round(jac, 6))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** 32-bit SimHash over distinct tokens: bit b set iff the sum of ±1
+    * contributions from token-hash bit b is positive. Row-level expression.
+    */
+  def simhash32(text: Column): Column = {
+    val th = transform(array_distinct(TextOps.tokens(text)),
+      t => pmod(TextOps.hash60(t), lit(1L << 32)))
+    val bitCols = (0 until 32).map { b =>
+      val contrib = aggregate(th, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
+      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * tokenization, shingling, quality scoring, language-ID heuristic, and
+  * document fingerprinting.
+  *
+  * Everything is a pure Catalyst expression — per-row, codegen'd, zero
+  * shuffle — so a 100 TB corpus pays only a scan. The shared 60-bit hash
+  * is built on md5, which every engine computes identically (the DuckDB
+  * oracle replays the exact same arithmetic).
+  */
+object TextOps {
+
+  /** 60-bit deterministic string hash: first 15 hex chars of md5. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokenization (the corpus is space-joined words). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct word n-gram shingles, space-joined. Guarded: Spark's
+    * sequence(1, 0) counts *down*, so short docs get an explicit empty.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Non-whitespace character count (total token characters). */
+  def charCount(text: Column): Column =
+    length(regexp_replace(text, "\\s+", ""))
+
+  /** Ratio of tokens found in `words`, rounded to 6 decimals. */
+  def wordRatio(text: Column, words: Seq[String]): Column = {
+    val t = tokens(text)
+    round(
+      size(filter(t, tok => tok.isin(words.map(lit(_)): _*))) * lit(1.0) /
+        size(t), 6)
+  }
+
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
+
+  /** Composite quality score in [0,1]: length saturation + stopword
+    * presence + shortness penalty. A deterministic heuristic, not a model.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokens(text)
+    val lenScore = least(size(t) * lit(1.0) / 100.0, lit(1.0))
+    val stopScore = least(
+      size(filter(t, tok => tok.isin(StopwordsEn.map(lit(_)): _*))) *
+        lit(1.0) / greatest(size(t), lit(1)) * 10.0, lit(1.0))
+    val shortPenalty = when(size(t) < 5, lit(0.5)).otherwise(lit(1.0))
+    round((lenScore * 0.6 + stopScore * 0.4) * shortPenalty, 6)
+  }
+
+  /** Language stopword tables for the n-gram/stopword language-ID
+    * heuristic. Scores are exact set-membership counts so the oracle can
+    * replay them.
+    */
+  val LangStops: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "est"),
+    "es" -> Seq("el", "los", "las", "y", "una", "es"),
+    "en" -> StopwordsEn)
+
+  def langScore(text: Column, lang: String): Column = {
+    val words = LangStops.toMap.apply(lang)
+    size(filter(tokens(text), tok => tok.isin(words.map(lit(_)): _*)))
+  }
+
+  /** Deterministic language-ID: CJK characters → zh, else the stopword
+    * table with the highest hit count (priority order de, fr, es, en on
+    * ties; en is the fallback).
+    */
+  def langId(text: Column): Column = {
+    val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    val de = langScore(text, "de"); val fr = langScore(text, "fr")
+    val es = langScore(text, "es"); val en = langScore(text, "en")
+    when(zh, "zh")
+      .when(de >= fr && de >= es && de >= en && de > 0, "de")
+      .when(fr >= es && fr >= en && fr > 0, "fr")
+      .when(es >= en && es > 0, "es")
+      .otherwise("en")
+  }
+
+  /** Document fingerprint: minimum 60-bit hash over the distinct word
+    * 3-gram shingles — a single-value minhash, the rolling-hash
+    * fingerprint analog. Equal fingerprints ⇒ shared rarest shingle.
+    */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => hash60(s)))
+}

@@ -1,0 +1,96 @@
+package graft.operators.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Determinism: dot products fold left-to-right with a DOUBLE accumulator
+  * over FLOAT products — the exact sequence DuckDB's list_reduce replays,
+  * so brute-force cosine top-k is oracle-matchable bit-for-bit.
+  *
+  * Scale path: [[lshBucket]] sign-bit bucketing (random-hyperplane LSH with
+  * md5-derived deterministic planes) turns the quadratic scan into a
+  * bucket-local join — the IVF/LSH ANN variant.
+  */
+object VectorOps {
+
+  /** Sequential-fold dot product: Σ a[i]*b[i], double accumulator. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against the
+    * corpus, rank per query. The per-query ranking partitions on q_id —
+    * parallel across queries, no global sort.
+    */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (plane j, dim i)
+    * derived from md5("plane_j_i") mapped into [-1, 1). Computed driver-side
+    * once, shipped as literals.
+    */
+  def planes(nPlanes: Int, dim: Int): Seq[Array[Float]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      Array.tabulate(dim) { i =>
+        val h = mdig.digest(s"plane_${j}_$i".getBytes("UTF-8"))
+          .take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+        ((java.lang.Long.remainderUnsigned(h, 2001L) - 1000L) / 1000.0).toFloat
+      }
+    }
+  }
+
+  /** Sign-bit LSH bucket id: bit j = (v · plane_j) > 0. */
+  def lshBucket(vec: Column, planes: Seq[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(vec, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: candidates share the query's LSH bucket (equi-join on
+    * bucket — shuffle-partitionable), then exact cosine rank inside the
+    * bucket. Approximate: recall < 1 by construction; the scale path for
+    * corpora where bruteTopK's quadratic scan is unaffordable.
+    */
+  def annTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_bkt", lshBucket(col(vecCol), ps))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("_bkt", lshBucket(col("q_vec"), ps))
+    val scored = c.join(q, "_bkt")
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), round(col("sim"), 6).as("sim"))
+  }
+}

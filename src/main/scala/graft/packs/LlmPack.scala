@@ -1,0 +1,231 @@
+package graft.packs
+
+import graft.{QueryDef, QueryPack}
+import graft.core.Tables
+import graft.operators.multimodal.Multimodal
+import graft.operators.text.{Dedup, TextOps}
+import graft.operators.vector.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Driver-verifiable queries for the LLM training-data pipeline mandate:
+  * text analysis, exact + near dedup (MinHash/LSH, SimHash), similarity
+  * search over embeddings, and multimodal column plumbing.
+  *
+  * Every hash derives from md5, so the DuckDB oracle replays the exact
+  * pipeline (same shingles, same signatures, same bands, same pairs) —
+  * the correctness check covers the whole algorithm, not a proxy.
+  */
+object LlmPack extends QueryPack {
+
+  // ---- shared DuckDB SQL fragments --------------------------------------
+  private val toks = """string_split_regex(trim(text), '\s+')"""
+  private val sh =
+    s"""list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |               for i in range(1, len(w) - 1)])""".stripMargin
+  private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
+
+  private def stopFilter(words: Seq[String]) =
+    s"len(list_filter($toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+
+  // dot(a,b) as a left-to-right fold with DOUBLE accumulator — matches
+  // Spark's aggregate(zip_with(...)) evaluation order exactly.
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |    x -> struct_extract(x, 1) * struct_extract(x, 2))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  private val cjk = "[^一-鿿]"
+
+  def entries: Map[String, QueryDef] = Map(
+    // ---- text analysis --------------------------------------------------
+    "text_stats" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val t = col("text")
+        d.select(
+          col("doc_id"),
+          TextOps.tokenCount(t).as("n_tokens"),
+          TextOps.charCount(t).as("n_alpha"),
+          round(TextOps.charCount(t) * lit(1.0) / TextOps.tokenCount(t), 6)
+            .as("avg_tok_len"),
+          TextOps.wordRatio(t, TextOps.StopwordsEn).as("stop_ratio"),
+          TextOps.qualityScore(t).as("quality"))
+      },
+      Some(s"""SELECT doc_id,
+              |  CAST(len($toks) AS INTEGER) AS n_tokens,
+              |  CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS INTEGER) AS n_alpha,
+              |  round(len(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len($toks), 6) AS avg_tok_len,
+              |  round(${stopFilter(TextOps.StopwordsEn)} * 1.0 / len($toks), 6) AS stop_ratio,
+              |  round((least(len($toks) * 1.0 / 100.0, 1.0) * 0.6 +
+              |         least(${stopFilter(TextOps.StopwordsEn)} * 1.0 / greatest(len($toks), 1) * 10.0, 1.0) * 0.4) *
+              |        (CASE WHEN len($toks) < 5 THEN 0.5 ELSE 1.0 END), 6) AS quality
+              |FROM documents""".stripMargin)),
+
+    "text_langid" -> QueryDef(
+      (s, dir) => {
+        val t = col("text")
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.langScore(t, "de").as("s_de"),
+          TextOps.langScore(t, "fr").as("s_fr"),
+          TextOps.langScore(t, "es").as("s_es"),
+          TextOps.langScore(t, "en").as("s_en"),
+          TextOps.langId(t).as("lang_pred"))
+      },
+      Some {
+        val sc = TextOps.LangStops.toMap
+        def f(l: String) = s"CAST(${stopFilter(sc(l))} AS INTEGER)"
+        s"""SELECT doc_id,
+           |  ${f("de")} AS s_de, ${f("fr")} AS s_fr,
+           |  ${f("es")} AS s_es, ${f("en")} AS s_en,
+           |  CASE WHEN len(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+           |       WHEN ${f("de")} >= ${f("fr")} AND ${f("de")} >= ${f("es")}
+           |            AND ${f("de")} >= ${f("en")} AND ${f("de")} > 0 THEN 'de'
+           |       WHEN ${f("fr")} >= ${f("es")} AND ${f("fr")} >= ${f("en")}
+           |            AND ${f("fr")} > 0 THEN 'fr'
+           |       WHEN ${f("es")} >= ${f("en")} AND ${f("es")} > 0 THEN 'es'
+           |       ELSE 'en' END AS lang_pred
+           |FROM documents""".stripMargin
+      }),
+
+    "text_fingerprint" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp")),
+      Some(s"""SELECT doc_id,
+              |  list_min(list_transform($sh, s -> ${h60("s")})) AS fp
+              |FROM (SELECT doc_id, $toks AS w FROM documents)""".stripMargin)),
+
+    // ---- deduplication --------------------------------------------------
+    "dedup_exact" -> QueryDef(
+      (s, dir) =>
+        Dedup.exactDupGroups(Tables.documents(s, dir), col("text"), col("doc_id")),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS rep_id,
+             |  count(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    "dedup_minhash_sig" -> QueryDef(
+      (s, dir) =>
+        Dedup.minhashSignature(Tables.documents(s, dir), col("text"), 8)
+          .select(col("doc_id") +: (0 until 8).map(i => col(s"sig$i")): _*),
+      Some {
+        val sigs = (0 until 8).map(i =>
+          s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
+          .mkString(",\n  ")
+        s"""SELECT doc_id, $sigs
+           |FROM (SELECT doc_id,
+           |        list_transform($sh, s -> ${h60("s")} % ${Dedup.P}) AS hs
+           |      FROM (SELECT doc_id, $toks AS w FROM documents))""".stripMargin
+      }),
+
+    "dedup_near_pairs" -> QueryDef(
+      (s, dir) =>
+        Dedup.nearDupPairs(Tables.documents(s, dir), col("text"), col("doc_id"), 0.3),
+      Some {
+        val sigExprs = (0 until 8).map(i =>
+          s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH shs AS (SELECT doc_id, $sh AS sh
+           |             FROM (SELECT doc_id, $toks AS w FROM documents)),
+           |hs AS (SELECT doc_id, sh,
+           |         list_transform(sh, s -> ${h60("s")} % ${Dedup.P}) AS hs
+           |       FROM shs),
+           |sig AS (SELECT doc_id, $sigExprs FROM hs),
+           |bands AS ($bandRows),
+           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+           |         FROM bands l JOIN bands r
+           |           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+           |jac AS (SELECT a, b,
+           |          round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+           |            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jac
+           |        FROM cand JOIN shs x ON cand.a = x.doc_id
+           |                  JOIN shs y ON cand.b = y.doc_id)
+           |SELECT a, b, jac FROM jac WHERE jac >= 0.3""".stripMargin
+      }),
+
+    "dedup_simhash" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"), Dedup.simhash32(col("text")).as("sh32")),
+      Some {
+        val terms = (0 until 32).map(b =>
+          s"""(CASE WHEN list_sum(list_transform(th,
+             |   h -> ((h >> $b) & 1) * 2 - 1)) > 0
+             | THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+          .mkString(" +\n  ")
+        s"""SELECT doc_id, $terms AS sh32
+           |FROM (SELECT doc_id,
+           |        list_transform(list_distinct($toks),
+           |          t -> ${h60("t")} % 4294967296) AS th
+           |      FROM documents)""".stripMargin
+      }),
+
+    // ---- similarity search ---------------------------------------------
+    "emb_cosine_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.bruteTopK(
+          emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 3)
+      },
+      Some {
+        val dotQC = dotSql("embedding", "qe")
+        val nC = dotSql("embedding", "embedding")
+        val nQ = dotSql("qe", "qe")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |s AS (SELECT q_id, vec_id,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM embeddings, q WHERE vec_id <> q_id)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, round(sim, 6) AS sim
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+           |      FROM s)
+           |WHERE rnk <= 3""".stripMargin
+      }),
+
+    // ANN scale path: LSH sign-bit buckets — approximate by construction,
+    // so rows-only (the brute-force query above carries the exact oracle).
+    "emb_ann_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.annTopK(
+          emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          3, nPlanes = 4)
+      },
+      None),
+
+    // ---- multimodal plumbing -------------------------------------------
+    "mm_features" -> QueryDef(
+      (s, dir) => {
+        val d = Multimodal.withBlob(Tables.documents(s, dir), col("text"))
+        d.select(
+          col("doc_id") +: col("blob_meta.n_bytes").as("n_bytes") +:
+            Multimodal.featureStub(col("blob"), 4): _*)
+      },
+      Some {
+        val fs = (0 until 4).map(i =>
+          s"('0x' || substr(md5(text), ${i * 4 + 1}, 4))::BIGINT / 65535.0 AS f$i")
+          .mkString(", ")
+        s"""SELECT doc_id,
+           |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, $fs
+           |FROM documents""".stripMargin
+      }),
+
+    "mm_frames" -> QueryDef(
+      (s, dir) => {
+        val d = Multimodal.withBlob(Tables.documents(s, dir), col("text"))
+        Multimodal.frameSample(d, "blob", 256, 2)
+          .select(col("doc_id"), col("frame_idx"), col("frame_md5"))
+      },
+      // ASCII corpus: text substrings are byte substrings, so md5 agrees.
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+             |  md5(substring(text, CAST(i * 256 + 1 AS INTEGER), 256)) AS frame_md5
+             |FROM documents,
+             |  UNNEST(generate_series(0, (octet_length(encode(text)) - 1) // 256, 2)) t(i)""".stripMargin))
+  )
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.core.{Sessions, Tables}
+import graft.operators.text.{Dedup, TextOps}
+import graft.operators.vector.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "llm-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("shingles: distinct 3-grams, empty below n tokens") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x x x x x").toDF("text")
+    val out = df.select(TextOps.shingles(col("text"), 3).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+    assert(out(2) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("minhash signature is permutation-bounded and deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val sig = Dedup.minhashSignature(docs, col("text"), 8)
+    val r1 = sig.select("doc_id", "sig0", "sig7").orderBy("doc_id").head()
+    val r2 = sig.select("doc_id", "sig0", "sig7").orderBy("doc_id").head()
+    assert(r1 == r2)
+    val bad = sig.filter(
+      (0 until 8).map(i => col(s"sig$i") < 0 || col(s"sig$i") >= Dedup.P)
+        .reduce(_ || _)).count()
+    assert(bad == 0)
+  }
+
+  test("near-dup pairs all meet the jaccard threshold") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.nearDupPairs(docs, col("text"), col("doc_id"), 0.3)
+    assert(pairs.filter(col("jac") < 0.3 || col("a") >= col("b")).count() == 0)
+  }
+
+  test("simhash of identical texts is identical") {
+    import spark.implicits._
+    val df = Seq(("x", "spark window agg join"), ("y", "spark window agg join"))
+      .toDF("id", "text")
+    val sh = df.select(Dedup.simhash32(col("text")).as("s")).collect()
+    assert(sh(0).getLong(0) == sh(1).getLong(0))
+    assert(sh(0).getLong(0) >= 0 && sh(0).getLong(0) < (1L << 32))
+  }
+
+  test("ann topk recall overlaps brute-force topk") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val brute = VectorOps.bruteTopK(emb, q, "vec_id", "embedding", 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = VectorOps.annTopK(emb, q, "vec_id", "embedding", 3, nPlanes = 2)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2 planes → 4 buckets → ~25% of corpus per bucket; expect real overlap
+    assert(ann.nonEmpty)
+    assert((ann intersect brute).nonEmpty)
+  }
+
+  test("frame sampling covers the payload with the right stride") {
+    val d = graft.operators.multimodal.Multimodal.withBlob(
+      Tables.documents(spark, sf), col("text"))
+    val frames = graft.operators.multimodal.Multimodal
+      .frameSample(d, "blob", 100, 2)
+    val r = frames.groupBy(col("doc_id"))
+      .agg(max(col("frame_idx")).as("mx"), count(lit(1)).as("n"),
+        first(col("blob_meta.n_bytes")).as("nb"))
+      .withColumn("expected_mx",
+        (floor((col("nb") - 1) / 100) / 2).cast("long") * 2)
+      .filter(col("mx") =!= col("expected_mx"))
+    assert(r.count() == 0)
+  }
+}
