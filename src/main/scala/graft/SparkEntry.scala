@@ -15,7 +15,8 @@ object SparkEntry {
     graft.packs.StatePack,
     graft.packs.RestructurePack,
     graft.packs.JoinPack,
-    graft.packs.LlmPack
+    graft.packs.LlmPack,
+    graft.packs.LambdaPack
   )
 
   private lazy val all: Map[String, QueryDef] = QueryPack.combine(allPacks)
