@@ -16,7 +16,8 @@ object SparkEntry {
     graft.packs.RestructurePack,
     graft.packs.JoinPack,
     graft.packs.LlmPack,
-    graft.packs.LambdaPack
+    graft.packs.LambdaPack,
+    graft.packs.DfsPack
   )
 
   private lazy val all: Map[String, QueryDef] = QueryPack.combine(allPacks)

@@ -1,0 +1,58 @@
+package graft.dfs
+
+import Ir._
+import Planner._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The DFS front-end entry point: script string → validated IR →
+  * DataFrames (one per terminal chain), mirroring the reference lifecycle
+  * faxe:eval_dfs → faxe_dfs:data → graph start (faxe.erl:396-419,
+  * faxe_dfs.erl:42-47) with Spark plans instead of actor graphs.
+  */
+object DfsEngine {
+
+  /** Parse + static validation (node names, options, edge typing). */
+  def compile(src: String): Script = {
+    val script = Parser.parse(src)
+    Planner.validate(script)
+    script
+  }
+
+  /** Plan every chain. Named chains (`def x = |…`) are planned once and
+    * reused by reference — fan-out shares the DataFrame (Catalyst reuses
+    * the subplan). Returns the terminal DataFrame of each anonymous chain
+    * as chain_1, chain_2, … plus named chains under their own names.
+    */
+  def run(src: String, spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val script = compile(src)
+    val memo = collection.mutable.Map.empty[String, Ctx]
+
+    lazy val env: Env = Env(spark, dir, script.defs, frameOf)
+
+    def planChain(chain: Chain): Ctx = {
+      val start: Option[Ctx] = chain.sourceRef.map(frameOf)
+      chain.nodes.foldLeft(start) { (ctxOpt, n) =>
+        val nd = nodes(n.name)
+        Some(nd.plan(ctxOpt, n, env))
+      }.getOrElse(throw DfsError("empty chain"))
+    }
+
+    def frameOf(name: String): Ctx =
+      memo.getOrElseUpdate(name,
+        planChain(script.namedChains.getOrElse(name,
+          throw DfsError(s"undefined stream reference '$name'"))))
+
+    val named = script.namedChains.keys.map(n => n -> frameOf(name = n).df)
+    val anon = script.chains.zipWithIndex.map { case (c, i) =>
+      s"chain_${i + 1}" -> planChain(c).df
+    }
+    (named ++ anon).toMap
+  }
+
+  /** Single-result convenience: the last anonymous chain's DataFrame. */
+  def runSingle(src: String, spark: SparkSession, dir: String): DataFrame = {
+    val script = compile(src)
+    val all = run(src, spark, dir)
+    all(s"chain_${script.chains.size}")
+  }
+}

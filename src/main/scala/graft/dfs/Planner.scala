@@ -1,0 +1,413 @@
+package graft.dfs
+
+import graft.core.{Paths, Tables}
+import graft.functions.Lambdas
+import graft.operators.agg.Aggregate
+import graft.operators.join.Joins
+import graft.operators.state.StateOps
+import graft.operators.stateless.Transforms
+import graft.operators.window.Windows
+import Ir._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DFS DAG → DataFrame planner (SURVEY §3 lifecycle mapping): linear
+  * chains fold into one Catalyst plan; fan-out reuses the named chain's
+  * DataFrame; windows/group_by thread a grouping context into the next
+  * aggregation node instead of cloning subgraphs (faxe's group_by runtime
+  * cloning, esp_group_by.erl:105-111, becomes a shuffle key).
+  *
+  * Edge typing mirrors faxe_dfs.erl:165-183: every node declares wants /
+  * emits (point | batch | both) and connections type-check at compile
+  * time with the reference's error message shape.
+  */
+object Planner {
+
+  /** Plan-time context flowing down a chain. */
+  final case class Win(kind: String, periodMs: Long, everyMs: Long,
+      fillPeriod: Boolean)
+  final case class Ctx(df: DataFrame, keys: Seq[String], win: Option[Win],
+      io: IoType, ts: String, tsMs: String)
+
+  final case class Env(spark: SparkSession, dir: String,
+      defs: Map[String, Value], frames: String => Ctx)
+
+  final case class NodeDef(
+      wants: Option[IoType], // None = source
+      emits: IoType,
+      opts: Set[String],
+      plan: (Option[Ctx], NodeSpec, Env) => Ctx)
+
+  // ---- value / lambda translation ---------------------------------------
+
+  private def interp(s: String, defs: Map[String, Value]): String =
+    "\\{\\{(\\w+)\\}\\}".r.replaceAllIn(s, m => valueString(defs.getOrElse(
+      m.group(1), throw DfsError(s"undefined template var '${m.group(1)}'"))))
+
+  private def valueString(v: Value): String = v match {
+    case VStr(s) => s
+    case VNum(d, true) => d.toLong.toString
+    case VNum(d, false) => d.toString
+    case VBool(b) => b.toString
+    case VDur(_, raw) => raw
+    case other => throw DfsError(s"cannot interpolate $other")
+  }
+
+  private def resolve(v: Value, defs: Map[String, Value]): Value = v match {
+    case VRef(name) => defs.getOrElse(name,
+      throw DfsError(s"undefined reference '$name'"))
+    case VStr(s) => VStr(interp(s, defs))
+    case other => other
+  }
+
+  def lambdaColumn(e: LExpr, defs: Map[String, Value]): Column = e match {
+    case LField(p) => Paths.ref(p)
+    case LStr(s) => lit(interp(s, defs))
+    case LNum(v, true) => lit(v.toLong)
+    case LNum(v, false) => lit(v)
+    case LBool(b) => lit(b)
+    case LNot(x) => !lambdaColumn(x, defs)
+    case LBin(op, l, r) =>
+      val (a, b) = (lambdaColumn(l, defs), lambdaColumn(r, defs))
+      op match {
+        case "AND" => a && b
+        case "OR" => a || b
+        case ">" => a > b
+        case "<" => a < b
+        case ">=" => a >= b
+        case "<=" => a <= b
+        case "==" => a === b
+        case "!=" => a =!= b
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case o => throw DfsError(s"unknown operator '$o'")
+      }
+    case LCall("__ref__", Seq(LStr(name))) =>
+      defs.get(name) match {
+        case Some(VNum(v, true)) => lit(v.toLong)
+        case Some(VNum(v, false)) => lit(v)
+        case Some(VStr(s)) => lit(s)
+        case Some(VBool(b)) => lit(b)
+        case Some(VDur(ms, _)) => lit(ms)
+        case _ => throw DfsError(s"undefined reference '$name' in lambda")
+      }
+    // literal-argument special forms
+    case LCall("round_float", Seq(x, LNum(d, _))) =>
+      Lambdas.roundFloat(lambdaColumn(x, defs), d.toInt)
+    case LCall("str_replace", Seq(s, LStr(from), LStr(to))) =>
+      Lambdas.strReplace(lambdaColumn(s, defs), interp(from, defs), interp(to, defs))
+    case LCall("str_slice", Seq(s, LNum(st, _), LNum(len, _))) =>
+      Lambdas.strSlice(lambdaColumn(s, defs), st.toInt, len.toInt)
+    case LCall("time_align", Seq(ms, LNum(d, _))) =>
+      Lambdas.timeAlign(lambdaColumn(ms, defs), d.toLong)
+    case LCall("member", x +: rest) if rest.nonEmpty =>
+      Lambdas.member(lambdaColumn(x, defs), rest.map(lambdaColumn(_, defs)))
+    case LCall(name, args) =>
+      Lambdas.registry.get(name) match {
+        case Some(b) => b(args.map(lambdaColumn(_, defs)))
+        case None => throw DfsError(
+          s"unknown lambda function '$name'.${suggest(name, Lambdas.registry.keys)}")
+      }
+  }
+
+  // ---- option helpers ----------------------------------------------------
+
+  private def optVals(n: NodeSpec, name: String, env: Env): Seq[Value] =
+    n.options.getOrElse(name, Seq.empty).map(resolve(_, env.defs))
+
+  private def optStr(n: NodeSpec, name: String, env: Env): Option[String] =
+    optVals(n, name, env).headOption.map {
+      case VStr(s) => s
+      case v => valueString(v)
+    }
+
+  private def optStrs(n: NodeSpec, name: String, env: Env): Seq[String] =
+    optVals(n, name, env).map {
+      case VStr(s) => s
+      case v => valueString(v)
+    }
+
+  private def optDurMs(n: NodeSpec, name: String, env: Env): Option[Long] =
+    optVals(n, name, env).headOption.map {
+      case VDur(ms, _) => ms
+      case VNum(v, _) => v.toLong
+      case v => throw DfsError(s"option '$name': expected duration, got $v")
+    }
+
+  private def optNum(n: NodeSpec, name: String, env: Env): Option[Double] =
+    optVals(n, name, env).headOption.map {
+      case VNum(v, _) => v
+      case v => throw DfsError(s"option '$name': expected number, got $v")
+    }
+
+  private def optLambdas(n: NodeSpec, name: String, env: Env): Seq[LExpr] =
+    optVals(n, name, env).collect { case VLambda(e) => e }
+
+  private def argLambdas(n: NodeSpec, env: Env): Seq[LExpr] =
+    n.args.collect { case VLambda(e) => e }
+
+  private def argStrs(n: NodeSpec, env: Env): Seq[String] =
+    n.args.map(resolve(_, env.defs)).collect { case VStr(s) => s }
+
+  private def keyCols(ctx: Ctx): Seq[Column] = ctx.keys.map(col)
+  private def orderCols(ctx: Ctx): Seq[Column] = Seq(col(ctx.tsMs))
+
+  private def requireCtx(c: Option[Ctx], node: String): Ctx =
+    c.getOrElse(throw DfsError(s"node '$node' needs an upstream input"))
+
+  // ---- node registry -----------------------------------------------------
+
+  private def pt(opts: Set[String])(
+      f: (Ctx, NodeSpec, Env) => DataFrame): NodeDef =
+    NodeDef(Some(Point), Point, opts, (c, n, e) => {
+      val ctx = requireCtx(c, n.name)
+      ctx.copy(df = f(ctx, n, e))
+    })
+
+  val nodes: Map[String, NodeDef] = Map(
+    // ---- sources (Spark-native scan nodes) ----
+    "parquet_read" -> NodeDef(None, Point, Set("table", "dir"),
+      (_, n, env) => {
+        val table = optStr(n, "table", env)
+          .orElse(argStrs(n, env).headOption)
+          .getOrElse(throw DfsError("parquet_read needs .table(...)"))
+        val dir = optStr(n, "dir", env).getOrElse(env.dir)
+        val df =
+          if (table == "events") Tables.events(env.spark, dir)
+          else Tables.load(env.spark, dir, table)
+        val (ts, tsMs) =
+          if (table == "events") ("ts", "ts_ms") else ("", "")
+        Ctx(df, Nil, None, Point, ts, tsMs)
+      }),
+
+    // ---- stateless transforms (§2.1) ----
+    "where" -> pt(Set("emit_empty")) { (ctx, n, env) =>
+      val pred = argLambdas(n, env).headOption
+        .getOrElse(throw DfsError("where needs a lambda"))
+      Transforms.where(ctx.df, lambdaColumn(pred, env.defs))
+    },
+    "eval" -> pt(Set("as", "tags")) { (ctx, n, env) =>
+      val lambdas = argLambdas(n, env)
+      val as = optStrs(n, "as", env)
+      if (as.size != lambdas.size)
+        throw DfsError("eval: .as(...) arity must match lambda count")
+      // sequential semantics: each lambda sees previous results
+      as.zip(lambdas).foldLeft(ctx.df) { case (d, (name, l)) =>
+        Paths.set(d, name, lambdaColumn(l, env.defs))
+      }
+    },
+    "default" -> pt(Set("field", "value", "fields", "values")) { (ctx, n, env) =>
+      val f = optStr(n, "field", env).getOrElse(throw DfsError("default: .field"))
+      val v = optVals(n, "value", env).headOption
+        .getOrElse(throw DfsError("default: .value"))
+      Transforms.default(ctx.df, f, lambdaColumn(valueToLit(v), env.defs))
+    },
+    "set" -> pt(Set("field", "value", "fields", "values")) { (ctx, n, env) =>
+      val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)
+      val vs = optVals(n, "value", env) ++ optVals(n, "values", env)
+      if (fs.size != vs.size) throw DfsError("set: fields/values arity")
+      Transforms.setFields(ctx.df,
+        fs.zip(vs.map(v => lambdaColumn(valueToLit(v), env.defs))))
+    },
+    "delete" -> pt(Set("fields", "tags")) { (ctx, n, env) =>
+      Transforms.delete(ctx.df, optStrs(n, "fields", env))
+    },
+    "keep" -> pt(Set("fields", "as")) { (ctx, n, env) =>
+      val fs = argStrs(n, env) ++ optStrs(n, "fields", env)
+      val as = optStrs(n, "as", env)
+      val pairs =
+        if (as.isEmpty) fs.map(_ -> (None: Option[String]))
+        else fs.zip(as.map(Option(_)))
+      Transforms.keep(ctx.df, pairs)
+    },
+    "rename" -> pt(Set("fields", "as")) { (ctx, n, env) =>
+      Transforms.rename(ctx.df,
+        optStrs(n, "fields", env).zip(optStrs(n, "as", env)))
+    },
+    "sample" -> pt(Set("every", "rate", "keys")) { (ctx, n, env) =>
+      optNum(n, "rate", env) match {
+        case Some(nth) =>
+          Transforms.sampleEveryN(ctx.df, nth.toInt, orderCols(ctx), keyCols(ctx))
+        case None =>
+          val dur = optDurMs(n, "every", env)
+            .getOrElse(throw DfsError("sample: .rate(n) or .every(duration)"))
+          Transforms.sampleFirstPer(ctx.df, col(ctx.ts), dur, orderCols(ctx))
+      }
+    },
+    "shift" -> pt(Set("by")) { (ctx, n, env) =>
+      val by = optDurMs(n, "by", env).getOrElse(throw DfsError("shift: .by"))
+      Transforms.shift(ctx.df, ctx.ts, by)
+    },
+    "jsonsize" -> pt(Set("field", "as")) { (ctx, n, env) =>
+      val f = optStr(n, "field", env).getOrElse(throw DfsError("jsonsize: .field"))
+      Transforms.jsonSize(ctx.df, col(f),
+        optStr(n, "as", env).getOrElse("jsonsize"))
+    },
+    "debug" -> NodeDef(Some(Both), Both, Set("level"),
+      (c, n, _) => requireCtx(c, n.name)),
+    "log" -> NodeDef(Some(Both), Both, Set("file", "level"),
+      (c, n, _) => requireCtx(c, n.name)),
+
+    // ---- grouping / windows (§2.5) ----
+    "group_by" -> NodeDef(Some(Point), Point, Set("fields", "lambda"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        ctx.copy(keys = ctx.keys ++ (argStrs(n, env) ++ optStrs(n, "fields", env)))
+      }),
+    "win_time" -> NodeDef(Some(Point), Batch,
+      Set("period", "every", "fill_period", "align"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val period = optDurMs(n, "period", env)
+          .getOrElse(throw DfsError("win_time: .period"))
+        val every = optDurMs(n, "every", env).getOrElse(period)
+        val fill = n.options.contains("fill_period")
+        ctx.copy(win = Some(Win("time", period, every, fill)), io = Batch)
+      }),
+    "win_session" -> NodeDef(Some(Point), Batch,
+      Set("session_timeout"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val gap = optDurMs(n, "session_timeout", env)
+          .getOrElse(throw DfsError("win_session: .session_timeout"))
+        ctx.copy(win = Some(Win("session", gap, gap, fillPeriod = false)),
+          io = Batch)
+      }),
+
+    // ---- aggregations (§2.4, batch → point) ----
+    "aggregate" -> NodeDef(Some(Batch), Point,
+      Set("fields", "functions", "as", "keep", "keep_tail"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val fields = optStrs(n, "fields", env)
+        val funcs = optStrs(n, "functions", env)
+        val as = optStrs(n, "as", env)
+        if (fields.size != funcs.size || fields.size != as.size)
+          throw DfsError("aggregate: fields/functions/as must be same length")
+        val specs = fields.lazyZip(funcs).lazyZip(as).map(Aggregate.Spec(_, _, _))
+        ctx.copy(df = aggregateWithWindow(ctx, specs), win = None, io = Point)
+      }),
+    "percentile" -> NodeDef(Some(Batch), Point, Set("fields", "as", "at"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val field = optStrs(n, "fields", env).headOption
+          .getOrElse(throw DfsError("percentile: .fields"))
+        val at = optNum(n, "at", env).getOrElse(50.0) / 100.0
+        val as = optStrs(n, "as", env).headOption.getOrElse("percentile")
+        val agg = graft.operators.agg.AggFunctions
+          .percentile(col(field), at).as(as)
+        ctx.copy(df = groupedAgg(ctx, Seq(agg)), win = None, io = Point)
+      }),
+
+    // ---- state ops (§2.6) ----
+    "change_detect" -> pt(Set("fields", "reset_timeout")) { (ctx, n, env) =>
+      StateOps.changeDetect(ctx.df,
+        optStrs(n, "fields", env).map(col), keyCols(ctx), orderCols(ctx))
+    },
+    "value_diff" -> pt(Set("field", "as", "mode")) { (ctx, n, env) =>
+      StateOps.valueDiff(ctx.df,
+        col(optStr(n, "field", env).getOrElse(throw DfsError("value_diff: .field"))),
+        optStr(n, "mode", env).getOrElse("c-p"),
+        optStr(n, "as", env).getOrElse("value_diff"),
+        keyCols(ctx), orderCols(ctx))
+    },
+    "time_diff" -> pt(Set("as", "unit")) { (ctx, n, env) =>
+      StateOps.timeDiff(ctx.df, col(ctx.tsMs),
+        optStr(n, "as", env).getOrElse("time_diff"),
+        keyCols(ctx), orderCols(ctx))
+    },
+
+    // ---- stream combination (§2.3) ----
+    "union" -> NodeDef(Some(Point), Point, Set.empty,
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val others = n.args.collect { case VRef(r) => env.frames(r).df }
+        ctx.copy(df = others.foldLeft(ctx.df)(_.unionByName(_)))
+      }),
+    "combine" -> NodeDef(Some(Point), Point,
+      Set("keys", "fields", "prefix", "tolerance"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val rightRef = n.args.collectFirst { case VRef(r) => r }
+          .getOrElse(throw DfsError("combine needs a stream reference"))
+        val right = env.frames(rightRef)
+        val keys = optStrs(n, "keys", env)
+        val fields = optStrs(n, "fields", env)
+        val prefix = optStr(n, "prefix", env).getOrElse("r_")
+        val tol = optDurMs(n, "tolerance", env)
+        ctx.copy(df = Joins.asOfLatest(ctx.df, right.df, keys,
+          ctx.tsMs, right.tsMs, fields, prefix, tol))
+      })
+  )
+
+  private def valueToLit(v: Value): LExpr = v match {
+    case VStr(s) => LStr(s)
+    case VNum(d, i) => LNum(d, i)
+    case VBool(b) => LBool(b)
+    case VDur(ms, _) => LNum(ms.toDouble, isInt = true)
+    case VLambda(e) => e
+    case other => throw DfsError(s"unexpected value $other")
+  }
+
+  private def groupedAgg(ctx: Ctx, aggs: Seq[Column]): DataFrame =
+    ctx.win match {
+      case Some(Win("time", p, e, fill)) =>
+        val windowed =
+          if (p == e)
+            Windows.tumblingAgg(ctx.df, col(ctx.ts), s"$p milliseconds",
+              keyCols(ctx), aggs)
+          else
+            Windows.slidingAgg(ctx.df, col(ctx.ts), s"$p milliseconds",
+              s"$e milliseconds", keyCols(ctx), aggs)
+        if (fill) Windows.fillPeriod(windowed, ctx.df, col(ctx.ts)) else windowed
+      case Some(Win("session", gap, _, _)) =>
+        Windows.sessionAgg(ctx.df, col(ctx.ts), s"$gap milliseconds",
+          keyCols(ctx), aggs)
+      case _ if ctx.keys.nonEmpty =>
+        ctx.df.groupBy(keyCols(ctx): _*).agg(aggs.head, aggs.tail: _*)
+      case _ => ctx.df.agg(aggs.head, aggs.tail: _*)
+    }
+
+  private def aggregateWithWindow(ctx: Ctx, specs: Seq[Aggregate.Spec]): DataFrame = {
+    val aggs = specs.map(s =>
+      graft.operators.agg.AggFunctions
+        .column(s.func, col(s.field), col(ctx.tsMs)).as(s.as))
+    groupedAgg(ctx, aggs)
+  }
+
+  // ---- compile-time validation -------------------------------------------
+
+  /** Validate node names, option names (with Levenshtein hints) and edge
+    * wants/emits typing — errors mirror faxe_dfs.erl:165-183, 356-367.
+    */
+  def validate(script: Script): Unit = {
+    val allChains = script.namedChains.values ++ script.chains
+    allChains.foreach { chain =>
+      var current: IoType = Point
+      var prevName = chain.sourceRef.map(r => s"'$r'").getOrElse("source")
+      chain.nodes.zipWithIndex.foreach { case (n, idx) =>
+        val nd = nodes.getOrElse(n.name, throw DfsError(
+          s"unknown node '${n.name}'.${suggest(n.name, nodes.keys)}"))
+        n.options.keys.foreach { o =>
+          if (!nd.opts.contains(o)) throw DfsError(
+            s"Unknown option '$o' for node '${n.name}'.${suggest(o, nd.opts)}")
+        }
+        nd.wants match {
+          case None =>
+            if (idx > 0 || chain.sourceRef.isDefined)
+              throw DfsError(s"source node '${n.name}' must start a chain")
+          case Some(w) =>
+            if (idx == 0 && chain.sourceRef.isEmpty)
+              throw DfsError(s"chain starts with non-source '${n.name}'")
+            if (w != Both && current != Both && w != current)
+              throw DfsError(s"Cannot connect $prevName (emits: " +
+                s"${current.label}) to '${n.name}' (wants: ${w.label})")
+        }
+        if (nd.emits != Both) current = nd.emits
+        prevName = s"'${n.name}'"
+      }
+    }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.packs
+
+import graft.{QueryDef, QueryPack}
+import graft.dfs.DfsEngine
+
+/** Driver-verifiable queries built FROM DFS SCRIPTS — the front-end runs
+  * inside the correctness gate: script → parse → validate → plan →
+  * DataFrame, hash-matched against DuckDB.
+  */
+object DfsPack extends QueryPack {
+
+  def entries: Map[String, QueryDef] = Map(
+    // SURVEY §7.2 minimum slice: scan → filter → keyed window → aggregate.
+    "dfs_pipeline" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|where(lambda: "value" > 45)
+          #|group_by('user_id')
+          #|win_time(.period(1d))
+          #|aggregate(.fields('value','value','value').functions('count','min','max').as('n','vmin','vmax'))
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT user_id,
+             |  (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
+             |  (epoch_ms(ts) // 86400000) * 86400000 + 86400000 AS window_end_ms,
+             |  count(value) AS n, min(value) AS vmin, max(value) AS vmax
+             |FROM events WHERE value > 45
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // stateless lambda pipeline through the front-end: eval chain with
+    // sequential visibility + scalar library calls.
+    "dfs_eval" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """def cutoff = 20
+          #|parquet_read(.table('events'))
+          #|where(lambda: "value" >= cutoff)
+          #|eval(lambda: int("value" * 10), lambda: str_concat("event_type", '_', string("user_id")))
+          #  .as('v10', 'tag')
+          #|keep('event_id', 'v10', 'tag')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT event_id, CAST(trunc(value * 10) AS BIGINT) AS v10,
+             |  event_type || '_' || CAST(user_id AS VARCHAR) AS tag
+             |FROM events WHERE value >= 20""".stripMargin))
+  )
+}

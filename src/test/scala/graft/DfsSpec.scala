@@ -1,0 +1,123 @@
+package graft
+
+import graft.core.{Sessions, Tables}
+import graft.dfs.{DfsEngine, Ir, Parser}
+import graft.operators.window.Windows
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DFS front-end tests — compile expectations mirror the reference's
+  * test/dfs_to_graph.erl (node/option extraction, unknown-option errors,
+  * edge typing), end-to-end runs mirror SURVEY §7.2's minimum slice.
+  */
+class DfsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "dfs-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("parse: nodes, options, defs, named chains") {
+    val script = Parser.parse(
+      """def threshold = 45
+        |def data =
+        ||parquet_read(.table('events'))
+        ||where(lambda: "value" > threshold)
+        |
+        |data
+        ||group_by('user_id')
+        ||win_time(.period(1d).every(1d))
+        ||aggregate(.fields('value').functions('sum').as('sum_value'))
+        |""".stripMargin)
+    assert(script.defs("threshold") == Ir.VNum(45, isInt = true))
+    val named = script.namedChains("data")
+    assert(named.nodes.map(_.name) == Seq("parquet_read", "where"))
+    val main = script.chains.head
+    assert(main.sourceRef.contains("data"))
+    assert(main.nodes.map(_.name) == Seq("group_by", "win_time", "aggregate"))
+    val win = main.nodes(1)
+    assert(win.options("period") == Seq(Ir.VDur(86400000L, "1d")))
+    val agg = main.nodes(2)
+    assert(agg.options("functions") == Seq(Ir.VStr("sum")))
+  }
+
+  test("compile error: unknown option carries a suggestion") {
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.compile(
+        "|parquet_read(.table('events'))\n|where(lambda: \"value\" > 1)\n  .emit_emty(true)")
+    }
+    assert(e.msg.contains("Unknown option 'emit_emty' for node 'where'"))
+    assert(e.msg.contains("Did you mean 'emit_empty'?"))
+  }
+
+  test("compile error: edge type mismatch (point into batch-wanting node)") {
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.compile(
+        """||parquet_read(.table('events'))
+           ||aggregate(.fields('value').functions('sum').as('s'))""".stripMargin)
+    }
+    assert(e.msg.contains("(emits: point)") && e.msg.contains("(wants: batch)"))
+  }
+
+  test("compile error: unknown node carries a suggestion") {
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.compile("|parquet_read(.table('events'))\n|wher(lambda: 1 > 0)")
+    }
+    assert(e.msg.contains("unknown node 'wher'") && e.msg.contains("'where'"))
+  }
+
+  test("§7.2 slice: DFS pipeline matches the directly-built query") {
+    val viaDfs = DfsEngine.runSingle(
+      """||parquet_read(.table('events'))
+         ||where(lambda: "value" > 45)
+         ||group_by('user_id')
+         ||win_time(.period(1d))
+         ||aggregate(.fields('value').functions('sum').as('sum_value'))
+         |""".stripMargin, spark, sf)
+    val direct = Windows.tumblingAgg(
+      Tables.events(spark, sf).filter(col("value") > 45),
+      col("ts"), "86400000 milliseconds", Seq(col("user_id")),
+      Seq(sum(col("value")).as("sum_value")))
+    assert(viaDfs.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(viaDfs).count() == 0)
+    assert(viaDfs.count() > 0)
+  }
+
+  test("lambda functions + template vars inside expressions") {
+    val df = DfsEngine.runSingle(
+      """def cutoff = 50
+        ||parquet_read(.table('events'))
+        ||where(lambda: "value" >= cutoff AND member("event_type", 'click', 'view'))
+        ||eval(lambda: int("value" * 10), lambda: str_concat("event_type", '_x'))
+        |  .as('v10', 'tag')
+        |""".stripMargin, spark, sf)
+    val r = df.select(min(col("v10")), max(col("tag"))).head()
+    assert(r.getLong(0) >= 500L)
+    assert(r.getString(1).endsWith("_x"))
+  }
+
+  test("fan-out: named chain feeds union and combine") {
+    val frames = DfsEngine.run(
+      """def clicks =
+        ||parquet_read(.table('events'))
+        ||where(lambda: "event_type" == 'click')
+        |
+        |def views =
+        ||parquet_read(.table('events'))
+        ||where(lambda: "event_type" == 'view')
+        |
+        |clicks
+        ||union(views)
+        |
+        |clicks
+        ||combine(views)
+        |  .keys('user_id')
+        |  .fields('value')
+        |  .prefix('v_')
+        |""".stripMargin, spark, sf)
+    val ev = Tables.events(spark, sf)
+    val nClicks = ev.filter(col("event_type") === "click").count()
+    val nViews = ev.filter(col("event_type") === "view").count()
+    assert(frames("chain_1").count() == nClicks + nViews)
+    val combined = frames("chain_2")
+    assert(combined.count() == nClicks)
+    assert(combined.columns.contains("v_value"))
+  }
+}
