@@ -63,7 +63,7 @@ object Restructure {
 
   /** `batch` (count mode) — assign a 0-based batch id every `n` rows in
     * `order` within `keys` (ref: esp_batch.erl:30-119; streaming
-    * flush-timeout form: graft.streaming.CountBatch). The keyless form uses
+    * flush-timeout form: graft.streaming.Streaming.countBatch). The keyless form uses
     * the two-pass partition-offset numbering — no global single-task sort.
     */
   def batchify(

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * Batch forms are lag/run-length window functions ordered by event time
   * within the stream key — one shuffle on the key, then a single sorted
   * pass per partition (faxe's per-edge FIFO order becomes per-key ts
-  * order, SURVEY §7.4). Streaming forms live in graft.streaming.
+  * order, SURVEY §7.4). Streaming forms: graft.streaming.Streaming.
   */
 object StateOps {
 
@@ -132,7 +132,7 @@ object StateOps {
   /** `deadman` batch analog — detect silences longer than `thresholdMs`
     * (ref: esp_deadman.erl:43-75); emits one row per gap with the previous
     * timestamp and gap length. The true heartbeat-emitting form is the
-    * streaming operator in graft.streaming.
+    * streaming operator graft.streaming.Streaming.deadman.
     */
   def deadmanGaps(df: DataFrame, tsMs: Column, thresholdMs: Long,
       keys: Seq[Column], order: Seq[Column]): DataFrame = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * Event-time windows map to Spark's native `window()`/`session_window()`
   * grouping (pre-shuffle partial aggregation, AQE-sized shuffles). The
   * count window has no relational builtin: its batch form is row_number
-  * bucketing; the streaming form lives in graft.streaming.
+  * bucketing; the streaming form is graft.streaming.Streaming.countWindow.
   */
 object Windows {
 

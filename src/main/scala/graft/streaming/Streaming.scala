@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import scala.collection.mutable.ArrayBuffer
+import scala.reflect.ClassTag
+
+/** Structured-Streaming forms of the stateful operators that have no
+  * relational batch analog (SURVEY §2.5/§2.6): keyed state via
+  * `flatMapGroupsWithState`, which Spark backs with the state store
+  * (RocksDB at scale) — the engine's answer to faxe's per-node actor
+  * state, partitioned by the stream key instead of subgraph cloning.
+  *
+  * All operators also run on batch Datasets (Spark executes FMGWS as a
+  * grouped map there), so semantics are testable without a stream.
+  */
+object Streaming {
+
+  /** `batch` node: emit a batch every `size` points per key; an optional
+    * processing-time flush timeout emits a partial batch after silence
+    * (ref: esp_batch.erl:30-119 — size trigger, timeout started on first
+    * buffered point, flush on timer).
+    */
+  def countBatch[K, V](
+      ds: Dataset[V],
+      keyFn: V => K,
+      size: Int,
+      timeoutMs: Long = 0L)(
+      implicit ek: Encoder[K], es: Encoder[Seq[V]],
+      eo: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] = {
+    val conf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[Seq[V], (K, Seq[V])](OutputMode.Append(), conf) {
+        (key: K, it: Iterator[V], state: GroupState[Seq[V]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(Seq.empty)
+            state.remove()
+            if (buf.nonEmpty) Iterator.single((key, buf)) else Iterator.empty
+          } else {
+            var buf = state.getOption.getOrElse(Seq.empty)
+            val out = ArrayBuffer.empty[(K, Seq[V])]
+            it.foreach { v =>
+              buf = buf :+ v
+              if (buf.size >= size) { out += ((key, buf)); buf = Seq.empty }
+            }
+            if (buf.nonEmpty) {
+              state.update(buf)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
+  /** `win_event` tumbling count window: alias of countBatch (period ==
+    * every; ref: esp_win_event.erl:29-82).
+    */
+  def countWindow[K, V](ds: Dataset[V], keyFn: V => K, n: Int)(
+      implicit ek: Encoder[K], es: Encoder[Seq[V]],
+      eo: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    countBatch(ds, keyFn, n)
+
+  /** `change_detect`, streaming form: emit only rows whose monitored value
+    * differs from the key's stored last value (ref:
+    * esp_change_detect.erl:41-196). First row per key passes.
+    */
+  def changeDetect[K, V, F](
+      ds: Dataset[V],
+      keyFn: V => K,
+      monitored: V => F)(
+      implicit ek: Encoder[K], ev: Encoder[V],
+      ef: Encoder[F]): Dataset[V] =
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[F, V](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[V], state: GroupState[F]) =>
+          val out = ArrayBuffer.empty[V]
+          var last = state.getOption
+          it.foreach { v =>
+            val f = monitored(v)
+            if (!last.contains(f)) { out += v; last = Some(f) }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+
+  /** `deadman`, streaming form: forward traffic; after `thresholdMs` of
+    * silence per key emit a synthetic heartbeat row built by `heartbeat`
+    * and re-arm (ref: esp_deadman.erl:43-75). Processing-time semantics by
+    * nature — excluded from oracle checks, covered by unit tests.
+    */
+  def deadman[K, V](
+      ds: Dataset[V],
+      keyFn: V => K,
+      thresholdMs: Long,
+      heartbeat: K => V)(
+      implicit ek: Encoder[K], ev: Encoder[V]): Dataset[V] = {
+    implicit val longEnc: Encoder[java.lang.Long] = Encoders.LONG
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[java.lang.Long, V](OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: K, it: Iterator[V], state: GroupState[java.lang.Long]) =>
+          if (state.hasTimedOut) {
+            state.setTimeoutDuration(thresholdMs) // re-arm
+            Iterator.single(heartbeat(key))
+          } else {
+            val rows = it.toSeq
+            state.update(System.currentTimeMillis())
+            state.setTimeoutDuration(thresholdMs)
+            rows.iterator
+          }
+      }
+  }
+
+  /** `collect`, streaming form: keyed upsert cache — `add` admits rows,
+    * `remove` evicts the key (ref: esp_collect.erl:63-637). Emits the
+    * current latest row per key on change.
+    */
+  def collectLatest[K, V](
+      ds: Dataset[V],
+      keyFn: V => K,
+      add: V => Boolean,
+      remove: V => Boolean)(
+      implicit ek: Encoder[K], ev: Encoder[V]): Dataset[V] =
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[V, V](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[V], state: GroupState[V]) =>
+          val out = ArrayBuffer.empty[V]
+          it.foreach { v =>
+            if (remove(v)) { if (state.exists) state.remove() }
+            else if (add(v)) { state.update(v); out += v }
+          }
+          out.iterator
+      }
+}
