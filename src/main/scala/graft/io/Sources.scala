@@ -1,0 +1,66 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources beyond the parquet corpus (SURVEY §2.7).
+  *
+  * File-shaped sources are native Spark readers (blobstream's CSV /
+  * JSON-lines streaming, esp_blobstream.erl:68 — `readStream` on a
+  * directory is the cloud-path analog). Test/emitter sources mirror
+  * esp_value_emitter.erl:26-66 and esp_json_emitter.erl:37-66 on the rate
+  * source. Edge-protocol sources (MQTT/AMQP/Modbus/S7…) are deployment
+  * I/O: they plug in as DataSource V2 connectors, not engine operators.
+  */
+object Sources {
+
+  // ---- batch ----
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+      schema: Option[String] = None): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  def jsonLines(spark: SparkSession, path: String,
+      schema: Option[String] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  /** json_emitter batch analog: literal JSON documents → rows. */
+  def jsonEmitter(spark: SparkSession, docs: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.json(docs.toDS())
+  }
+
+  // ---- streaming ----
+  /** blobstream analog: stream files appearing under a directory. */
+  def csvStream(spark: SparkSession, path: String, schemaDdl: String,
+      header: Boolean = true): DataFrame =
+    spark.readStream.option("header", header.toString)
+      .schema(schemaDdl).csv(path)
+
+  def jsonLinesStream(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.readStream.schema(schemaDdl).json(path)
+
+  /** value_emitter analog: `rate` source emitting (ts, value) rows with a
+    * deterministic-ish synthetic value column.
+    */
+  def valueEmitter(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .withColumn("value", pmod(col("value") * 2654435761L, lit(1000L)))
+
+  /** json_emitter streaming analog: rate-clocked rotation through literal
+    * JSON docs, parsed by the declared schema.
+    */
+  def jsonEmitterStream(spark: SparkSession, docs: Seq[String],
+      schemaDdl: String, rowsPerSecond: Int = 1): DataFrame = {
+    val arr = array(docs.map(lit(_)): _*)
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .withColumn("_doc", element_at(arr, (pmod(col("value"), lit(docs.size)) + 1).cast("int")))
+      .withColumn("_parsed", from_json(col("_doc"), schemaDdl, Map.empty[String, String]))
+      .select(col("timestamp"), col("_parsed.*"))
+  }
+}

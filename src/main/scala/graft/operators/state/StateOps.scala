@@ -129,6 +129,24 @@ object StateOps {
     df.withColumn("_seq_ok", all).filter(col("_seq_ok")).drop("_seq_ok")
   }
 
+  /** `state_change_bulk` — edge detection over many monitored booleans at
+    * once (ref: esp_state_change_bulk.erl:53-99): adds one edge-tag column
+    * per entry (`enter`/`leave`/null); rows where no field changed are
+    * dropped.
+    */
+  def stateChangeBulk(df: DataFrame, states: Seq[(String, Column)],
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = spec(keys, order)
+    val tagged = states.foldLeft(df) { case (d, (name, state)) =>
+      val prev = lag(state, 1).over(w)
+      d.withColumn(s"${name}_edge",
+        when(state && (prev.isNull || !prev), lit("enter"))
+          .when(!state && prev, lit("leave")))
+    }
+    tagged.filter(states.map { case (n, _) => col(s"${n}_edge").isNotNull }
+      .reduce(_ || _))
+  }
+
   /** `deadman` batch analog — detect silences longer than `thresholdMs`
     * (ref: esp_deadman.erl:43-75); emits one row per gap with the previous
     * timestamp and gap length. The true heartbeat-emitting form is the

@@ -151,6 +151,35 @@ object StatePack extends QueryPack {
               |WHERE event_type = 'purchase' AND p1 = 'click' AND p2 = 'view'
               |  AND g1 <= 604800000 AND g2 <= 604800000""".stripMargin)),
 
+    // state_change_bulk: edges of two monitored states at once
+    // (ref: esp_state_change_bulk.erl:53-99).
+    "state_change_bulk" -> QueryDef(
+      (s, dir) =>
+        StateOps.stateChangeBulk(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("value"),
+              col("event_type"), col("ts_ns")),
+          Seq("hi" -> (col("value") > 50), "clk" -> (col("event_type") === "click")),
+          keys, order)
+          .drop("ts_ns"),
+      Some(s"""SELECT event_id, user_id, value, event_type, hi_edge, clk_edge
+              |FROM (
+              |  SELECT event_id, user_id, value, event_type,
+              |    CASE WHEN (value > 50) AND (lag(value > 50) OVER ($oraW)
+              |           IS NULL OR NOT lag(value > 50) OVER ($oraW))
+              |         THEN 'enter'
+              |         WHEN NOT (value > 50) AND lag(value > 50) OVER ($oraW)
+              |         THEN 'leave' END AS hi_edge,
+              |    CASE WHEN (event_type = 'click') AND
+              |           (lag(event_type = 'click') OVER ($oraW) IS NULL
+              |            OR NOT lag(event_type = 'click') OVER ($oraW))
+              |         THEN 'enter'
+              |         WHEN NOT (event_type = 'click') AND
+              |           lag(event_type = 'click') OVER ($oraW)
+              |         THEN 'leave' END AS clk_edge
+              |  FROM events)
+              |WHERE hi_edge IS NOT NULL OR clk_edge IS NOT NULL""".stripMargin)),
+
     // deadman (batch analog): silences > 2 days per user
     // (ref: esp_deadman.erl:43-75).
     "state_deadman_gaps" -> QueryDef(

@@ -2,7 +2,7 @@ package graft.packs
 
 import graft.{QueryDef, QueryPack}
 import graft.core.Tables
-import graft.operators.stateless.Transforms
+import graft.operators.stateless.{ParserOps, Transforms}
 import org.apache.spark.sql.functions._
 
 /** Driver-verifiable queries for SURVEY §2.1 stateless operators.
@@ -129,6 +129,31 @@ object TransformPack extends QueryPack {
         Transforms.jsonSize(
           Tables.events(s, dir).select("event_id", "props"), col("props"), "jsize"),
       Some("SELECT event_id, props, strlen(props) AS jsize FROM events")),
+
+    // parser: declared-schema JSON payload parse (ref: esp_parser.erl:29-93).
+    "parser_json" -> QueryDef(
+      (s, dir) =>
+        ParserOps.parseJsonFlat(
+          Tables.events(s, dir).select("event_id", "props"),
+          col("props"), "k INT"),
+      Some("""SELECT event_id, props,
+             |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events""".stripMargin)),
+
+    // parser `changed` mode: digest dedup vs the previous payload
+    // (ref: esp_parser.erl:70-84 crc32 change-dedup).
+    "parser_changed" -> QueryDef(
+      (s, dir) =>
+        ParserOps.changedOnly(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"),
+            col("props"), col("ts_ns")),
+          col("props"), Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+          .drop("ts_ns"),
+      Some("""SELECT event_id, user_id, props FROM events
+             |QUALIFY lag(props) OVER
+             |    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) IS NULL
+             |  OR lag(props) OVER
+             |    (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) <> props""".stripMargin)),
 
     "union_merge" -> QueryDef(
       (s, dir) => {

@@ -115,6 +115,65 @@ object Streaming {
       }
   }
 
+  /** `triggered_timeout`: a row matching `arm` starts a timer; a `disarm`
+    * row cancels it; if the timer fires first, emit `alarm(key)` (ref:
+    * esp_triggered_timeout.erl:46-82). Traffic passes through.
+    */
+  def triggeredTimeout[K, V](
+      ds: Dataset[V],
+      keyFn: V => K,
+      arm: V => Boolean,
+      disarm: V => Boolean,
+      timeoutMs: Long,
+      alarm: K => V)(
+      implicit ek: Encoder[K], ev: Encoder[V]): Dataset[V] = {
+    implicit val boolEnc: Encoder[java.lang.Boolean] = Encoders.BOOLEAN
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[java.lang.Boolean, V](OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        (key: K, it: Iterator[V], state: GroupState[java.lang.Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single(alarm(key))
+          } else {
+            val rows = it.toSeq
+            rows.foreach { v =>
+              if (disarm(v)) { if (state.exists) state.remove() }
+              else if (arm(v)) {
+                state.update(true)
+                state.setTimeoutDuration(timeoutMs)
+              }
+            }
+            rows.iterator
+          }
+      }
+  }
+
+  /** `time_elapsed`: wall-clock ms between consecutive arrivals per key
+    * (ref: esp_time_elapsed.erl:31-44) — processing-time by definition
+    * (SURVEY §7.4 documents the non-determinism); -1 on the first row.
+    */
+  def timeElapsed[K, V, U](
+      ds: Dataset[V],
+      keyFn: V => K,
+      out: (V, Long) => U)(
+      implicit ek: Encoder[K], eu: Encoder[U]): Dataset[U] = {
+    implicit val longEnc: Encoder[java.lang.Long] = Encoders.LONG
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[java.lang.Long, U](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[V], state: GroupState[java.lang.Long]) =>
+          val outRows = ArrayBuffer.empty[U]
+          it.foreach { v =>
+            val nowMs = System.currentTimeMillis()
+            val elapsed = state.getOption.map(nowMs - _.longValue).getOrElse(-1L)
+            outRows += out(v, elapsed)
+            state.update(nowMs)
+          }
+          outRows.iterator
+      }
+  }
+
   /** `collect`, streaming form: keyed upsert cache — `add` admits rows,
     * `remove` evicts the key (ref: esp_collect.erl:63-637). Emits the
     * current latest row per key on change.

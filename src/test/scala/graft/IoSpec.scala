@@ -1,0 +1,62 @@
+package graft
+
+import graft.core.{Sessions, Tables}
+import graft.io.{Sinks, Sources}
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IoSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "io-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("csv sink/source round trip") {
+    val path = "/tmp/graft-test-csv"
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value").limit(100)
+    Sinks.csv(src, path)
+    val back = Sources.csv(spark, path)
+    assert(back.count() == 100)
+    assert(back.columns.toSet == src.columns.toSet)
+  }
+
+  test("json-lines sink/source round trip preserves values") {
+    val path = "/tmp/graft-test-jsonl"
+    val src = Tables.events(spark, sf)
+      .select("event_id", "event_type", "value").limit(50)
+    Sinks.jsonLines(src, path)
+    val back = Sources.jsonLines(spark, path,
+      Some("event_id BIGINT, event_type STRING, value DOUBLE"))
+    assert(back.count() == 50)
+    assert(back.exceptAll(src).count() == 0)
+  }
+
+  test("jsonEmitter parses literal docs") {
+    val df = Sources.jsonEmitter(spark, Seq(
+      """{"a": 1, "b": "x"}""", """{"a": 2, "b": "y"}"""))
+    assert(df.count() == 2)
+    assert(df.agg(sum(col("a"))).head().getLong(0) == 3L)
+  }
+
+  test("triggeredTimeout passes traffic and manages state in batch mode") {
+    import spark.implicits._
+    val ds = Seq(
+      Ev(1, 1, 1.0, "arm"), Ev(1, 2, 2.0, "disarm"), Ev(2, 1, 1.0, "arm"))
+      .toDS()
+    val out = Streaming.triggeredTimeout[Long, Ev](ds, _.user_id,
+      arm = _.event_type == "arm", disarm = _.event_type == "disarm",
+      timeoutMs = 60000L, alarm = k => Ev(k, -1, 0.0, "alarm")).collect()
+    assert(out.count(_.event_type != "alarm") == 3)
+  }
+
+  test("timeElapsed emits -1 first then non-negative deltas") {
+    import spark.implicits._
+    val ds = Seq(Ev(1, 1, 1.0, "a"), Ev(1, 2, 2.0, "b"), Ev(2, 1, 3.0, "c")).toDS()
+    val out = Streaming.timeElapsed[Long, Ev, (Long, Long, Long)](
+      ds, _.user_id, (v, e) => (v.user_id, v.seq, e)).collect()
+    val byKey = out.groupBy(_._1)
+    assert(byKey(1L).count(_._3 == -1L) == 1)
+    assert(byKey(1L).count(_._3 >= 0L) == 1)
+    assert(byKey(2L).head._3 == -1L)
+  }
+}
