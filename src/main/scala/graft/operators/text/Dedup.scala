@@ -33,11 +33,29 @@ object Dedup {
   /** MinHash signature: k = A.size row-level min-hashes over the distinct
     * word-3-gram shingles. Adds sig0..sig{k-1}.
     */
+  /** MinHash signature over rolling shingle hashes: one md5 per TOKEN
+    * (not per 3-word shingle string), then arithmetic-only rolling
+    * combines and permutation min-folds — the hashing cost that dominates
+    * a 100 TB dedup drops to one digest per word. Each array is
+    * materialized in its own projection (interpreted HOFs re-evaluate
+    * inline subtrees).
+    */
+  def withShingleHashes(df: DataFrame, text: Column, as: String): DataFrame =
+    df.withColumn("_tokh", TextOps.tokenHashes(text, P))
+      .withColumn(as, TextOps.shingleHashes(col("_tokh"), P))
+      .drop("_tokh")
+
+  /** Rolling-hash document fingerprint (min shingle hash; the minhash-1
+    * analog of TextOps.fingerprint at token-hashing cost).
+    */
+  def withFingerprint(df: DataFrame, text: Column, as: String): DataFrame =
+    withShingleHashes(df, text, "_hs")
+      .withColumn(as, TextOps.fingerprintFromHashes(col("_hs")))
+      .drop("_hs")
+
   def minhashSignature(df: DataFrame, text: Column, k: Int = 8): DataFrame = {
     require(k <= A.size)
-    val hs = transform(TextOps.shingles(text, 3),
-      s => pmod(TextOps.hash60(s), lit(P)))
-    val withHs = df.withColumn("_hs", hs)
+    val withHs = withShingleHashes(df, text, "_hs")
     (0 until k).foldLeft(withHs) { (d, i) =>
       d.withColumn(s"sig$i",
         array_min(transform(col("_hs"),
@@ -59,8 +77,10 @@ object Dedup {
   }
 
   /** Near-dup pairs: LSH candidates (bucket self-join, a < b) verified
-    * with exact Jaccard over distinct shingle sets; keeps pairs with
-    * jaccard >= threshold. Returns (a, b, jac).
+    * with exact Jaccard over distinct shingle-HASH sets (same rolling
+    * hashes as the signatures — deterministic in both engines, and set
+    * ops on longs beat 3-word strings); keeps pairs with jaccard >=
+    * threshold. Returns (a, b, jac).
     */
   def nearDupPairs(
       df: DataFrame,
@@ -78,8 +98,8 @@ object Dedup {
         col("band") === col("band_r") && col("bh") === col("bh_r") &&
           col("a") < col("b"))
       .select("a", "b").distinct()
-    val sh = df.select(id.as("doc_id"),
-      TextOps.shingles(text, 3).as("sh"))
+    val sh = withShingleHashes(df, text, "_hs")
+      .select(id.as("doc_id"), array_distinct(col("_hs")).as("sh"))
     val withSets = cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
@@ -91,17 +111,32 @@ object Dedup {
       .select(col("a"), col("b"), col("jac"))
   }
 
-  /** 32-bit SimHash over distinct tokens: bit b set iff the sum of ±1
-    * contributions from token-hash bit b is positive. Row-level expression.
+  /** 32-bit SimHash bit assembly over a precomputed token-hash array
+    * column: bit b set iff the sum of ±1 contributions from token-hash
+    * bit b is positive.
     */
-  def simhash32(text: Column): Column = {
-    val th = transform(array_distinct(TextOps.tokens(text)),
-      t => pmod(TextOps.hash60(t), lit(1L << 32)))
-    val bitCols = (0 until 32).map { b =>
+  def simhash32Bits(th: Column): Column =
+    (0 until 32).map { b =>
       val contrib = aggregate(th, lit(0L),
         (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
       when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+    }.reduce(_ + _)
+
+  /** Token-hash array for SimHash (distinct tokens, lower 32 hash bits). */
+  def simhashTokenHashes(text: Column): Column =
+    transform(array_distinct(TextOps.tokens(text)),
+      t => pmod(TextOps.hash60(t), lit(1L << 32)))
+
+  /** 32-bit SimHash as a DataFrame step: the token-hash array is
+    * materialized in its own projection first — higher-order functions are
+    * interpreted (no codegen CSE), so inlining it into all 32 bit
+    * aggregates would recompute every md5 32×.
+    */
+  def withSimhash32(df: DataFrame, text: Column, as: String): DataFrame =
+    df.withColumn("_th", simhashTokenHashes(text))
+      .withColumn(as, simhash32Bits(col("_th")))
+      .drop("_th")
+
+  /** Row-level convenience form (prefer [[withSimhash32]] in pipelines). */
+  def simhash32(text: Column): Column = simhash32Bits(simhashTokenHashes(text))
 }

@@ -23,16 +23,17 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Distinct word n-gram shingles, space-joined. Guarded: Spark's
-    * sequence(1, 0) counts *down*, so short docs get an explicit empty.
+  /** Word n-gram shingles, space-joined. Guarded: Spark's sequence(1, 0)
+    * counts *down*, so short docs get an explicit empty. `distinct` costs
+    * O(n²) string compares — request it only where set semantics matter
+    * (Jaccard intersections); min-hash folds are duplicate-insensitive.
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int, distinct: Boolean = true): Column = {
     val t = tokens(text)
-    when(size(t) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n))))))
+    val raw = transform(
+      sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+    when(size(t) >= n, if (distinct) array_distinct(raw) else raw)
       .otherwise(array().cast("array<string>"))
   }
 
@@ -97,6 +98,30 @@ object TextOps {
     * 3-gram shingles — a single-value minhash, the rolling-hash
     * fingerprint analog. Equal fingerprints ⇒ shared rarest shingle.
     */
+  /** Per-token 60-bit hashes mod `p` — the base of the rolling shingle
+    * hash: one md5 per token, everything downstream is arithmetic.
+    */
+  def tokenHashes(text: Column, p: Long): Column =
+    transform(tokens(text), t => pmod(hash60(t), lit(p)))
+
+  /** Rolling 3-gram shingle hashes from a MATERIALIZED token-hash array
+    * column (`th` must be a bound column, not an inline expression —
+    * higher-order lambdas re-evaluate inline arguments per element):
+    * h = ((th[i]·31 + th[i+1]) mod p · 31 + th[i+2]) mod p.
+    */
+  def shingleHashes(th: Column, p: Long): Column =
+    when(size(th) >= 3,
+      transform(
+        sequence(lit(1), size(th) - 2),
+        i => pmod(pmod(element_at(th, i) * 31 + element_at(th, i + 1), lit(p))
+          * 31 + element_at(th, i + 2), lit(p))))
+      .otherwise(array().cast("array<long>"))
+
   def fingerprint(text: Column, n: Int = 3): Column =
-    array_min(transform(shingles(text, n), s => hash60(s)))
+    array_min(transform(shingles(text, n, distinct = false), s => hash60(s)))
+
+  /** Fingerprint over the rolling shingle hashes (one md5 per token) —
+    * the scale form; `Dedup.withFingerprint` hoists the arrays.
+    */
+  def fingerprintFromHashes(hs: Column): Column = array_min(hs)
 }

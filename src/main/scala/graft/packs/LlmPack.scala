@@ -24,6 +24,13 @@ object LlmPack extends QueryPack {
        |               for i in range(1, len(w) - 1)])""".stripMargin
   private def h60(x: String) = s"('0x' || substr(md5($x), 1, 15))::BIGINT"
 
+  // rolling shingle-hash fragments (match TextOps.tokenHashes/shingleHashes)
+  private def tokHs =
+    s"list_transform($toks, t -> ${h60("t")} % ${Dedup.P})"
+  private def rollHs =
+    s"""[((th[i] * 31 + th[i+1]) % ${Dedup.P} * 31 + th[i+2]) % ${Dedup.P}
+       | for i in range(1, len(th) - 1)]""".stripMargin
+
   private def stopFilter(words: Seq[String]) =
     s"len(list_filter($toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
@@ -91,12 +98,10 @@ object LlmPack extends QueryPack {
 
     "text_fingerprint" -> QueryDef(
       (s, dir) =>
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          TextOps.fingerprint(col("text")).as("fp")),
-      Some(s"""SELECT doc_id,
-              |  list_min(list_transform($sh, s -> ${h60("s")})) AS fp
-              |FROM (SELECT doc_id, $toks AS w FROM documents)""".stripMargin)),
+        Dedup.withFingerprint(Tables.documents(s, dir), col("text"), "fp")
+          .select(col("doc_id"), col("fp")),
+      Some(s"""SELECT doc_id, list_min($rollHs) AS fp
+              |FROM (SELECT doc_id, $tokHs AS th FROM documents)""".stripMargin)),
 
     // ---- deduplication --------------------------------------------------
     "dedup_exact" -> QueryDef(
@@ -115,9 +120,8 @@ object LlmPack extends QueryPack {
           s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
           .mkString(",\n  ")
         s"""SELECT doc_id, $sigs
-           |FROM (SELECT doc_id,
-           |        list_transform($sh, s -> ${h60("s")} % ${Dedup.P}) AS hs
-           |      FROM (SELECT doc_id, $toks AS w FROM documents))""".stripMargin
+           |FROM (SELECT doc_id, $rollHs AS hs
+           |      FROM (SELECT doc_id, $tokHs AS th FROM documents))""".stripMargin
       }),
 
     "dedup_near_pairs" -> QueryDef(
@@ -130,11 +134,9 @@ object LlmPack extends QueryPack {
         val bandRows = (0 until 4).map(b =>
           s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
           .mkString("\nUNION ALL\n")
-        s"""WITH shs AS (SELECT doc_id, $sh AS sh
-           |             FROM (SELECT doc_id, $toks AS w FROM documents)),
-           |hs AS (SELECT doc_id, sh,
-           |         list_transform(sh, s -> ${h60("s")} % ${Dedup.P}) AS hs
-           |       FROM shs),
+        s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
+           |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
+           |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hs),
            |sig AS (SELECT doc_id, $sigExprs FROM hs),
            |bands AS ($bandRows),
            |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -150,8 +152,8 @@ object LlmPack extends QueryPack {
 
     "dedup_simhash" -> QueryDef(
       (s, dir) =>
-        Tables.documents(s, dir).select(
-          col("doc_id"), Dedup.simhash32(col("text")).as("sh32")),
+        Dedup.withSimhash32(Tables.documents(s, dir), col("text"), "sh32")
+          .select(col("doc_id"), col("sh32")),
       Some {
         val terms = (0 until 32).map(b =>
           s"""(CASE WHEN list_sum(list_transform(th,
