@@ -275,6 +275,30 @@ object Planner {
         ctx.copy(win = Some(Win("session", gap, gap, fillPeriod = false)),
           io = Batch)
       }),
+    "win_event" -> NodeDef(Some(Point), Batch, Set("period", "every"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        if (ctx.keys.isEmpty)
+          throw DfsError("win_event needs group_by keys upstream")
+        val period = optNum(n, "period", env)
+          .getOrElse(throw DfsError("win_event: .period")).toLong
+        val every = optNum(n, "every", env).map(_.toLong).getOrElse(period)
+        ctx.copy(win = Some(Win("count", period, every, fillPeriod = false)),
+          io = Batch)
+      }),
+    "batch" -> NodeDef(Some(Point), Batch, Set("size", "timeout"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        if (ctx.keys.isEmpty)
+          throw DfsError("batch needs group_by keys upstream " +
+            "(streaming keyless form: graft.streaming.Streaming.countBatch)")
+        val size = optNum(n, "size", env)
+          .getOrElse(throw DfsError("batch: .size")).toLong
+        ctx.copy(win = Some(Win("count", size, size, fillPeriod = false)),
+          io = Batch)
+      }),
+    "group_union" -> NodeDef(Some(Both), Both, Set.empty,
+      (c, n, _) => requireCtx(c, n.name).copy(keys = Nil)),
 
     // ---- aggregations (§2.4, batch → point) ----
     "aggregate" -> NodeDef(Some(Batch), Point,
@@ -301,7 +325,84 @@ object Planner {
         ctx.copy(df = groupedAgg(ctx, Seq(agg)), win = None, io = Point)
       }),
 
+    // ---- branches (§2.1 case / if) ----
+    "case" -> pt(Set("values", "as", "default")) { (ctx, n, env) =>
+      val tests = argLambdas(n, env).map(lambdaColumn(_, env.defs))
+      val values = optVals(n, "values", env)
+        .map(v => lambdaColumn(valueToLit(v), env.defs))
+      if (tests.size != values.size)
+        throw DfsError("case: lambda count must match .values arity")
+      val default = optVals(n, "default", env).headOption
+        .map(v => lambdaColumn(valueToLit(v), env.defs))
+        .getOrElse(lit(null))
+      val as = optStr(n, "as", env).getOrElse(throw DfsError("case: .as"))
+      Transforms.caseWhen(ctx.df, as, tests.zip(values), default)
+    },
+    "if" -> pt(Set("then", "else", "as")) { (ctx, n, env) =>
+      val test = argLambdas(n, env).headOption
+        .getOrElse(throw DfsError("if needs a lambda"))
+      def valOf(o: String) = optVals(n, o, env).headOption
+        .map(v => lambdaColumn(valueToLit(v), env.defs))
+        .getOrElse(throw DfsError(s"if: .$o"))
+      Transforms.ifThen(ctx.df,
+        optStr(n, "as", env).getOrElse(throw DfsError("if: .as")),
+        lambdaColumn(test, env.defs), valOf("then"), valOf("else"))
+    },
+
     // ---- state ops (§2.6) ----
+    "state_count" -> pt(Set("as")) { (ctx, n, env) =>
+      val state = argLambdas(n, env).headOption
+        .getOrElse(throw DfsError("state_count needs a lambda"))
+      StateOps.stateCount(ctx.df, lambdaColumn(state, env.defs),
+        optStr(n, "as", env).getOrElse("state_count"),
+        keyCols(ctx), orderCols(ctx))
+    },
+    "state_duration" -> pt(Set("as", "unit")) { (ctx, n, env) =>
+      val state = argLambdas(n, env).headOption
+        .getOrElse(throw DfsError("state_duration needs a lambda"))
+      StateOps.stateDuration(ctx.df, lambdaColumn(state, env.defs),
+        col(ctx.tsMs), optStr(n, "as", env).getOrElse("state_duration"),
+        keyCols(ctx), orderCols(ctx))
+    },
+    "state_change" -> pt(Set("as")) { (ctx, n, env) =>
+      val state = argLambdas(n, env).headOption
+        .getOrElse(throw DfsError("state_change needs a lambda"))
+      StateOps.stateChange(ctx.df, lambdaColumn(state, env.defs),
+        optStr(n, "as", env).getOrElse("state_change"),
+        keyCols(ctx), orderCols(ctx))
+    },
+    "deadman" -> pt(Set("threshold", "interval")) { (ctx, n, env) =>
+      val thr = optDurMs(n, "threshold", env)
+        .orElse(optDurMs(n, "interval", env))
+        .getOrElse(throw DfsError("deadman: .threshold"))
+      StateOps.deadmanGaps(ctx.df, col(ctx.tsMs), thr,
+        keyCols(ctx), orderCols(ctx))
+    },
+    "collect" -> pt(Set("key_fields", "add", "remove", "update")) { (ctx, n, env) =>
+      val keys = optStrs(n, "key_fields", env)
+      if (keys.isEmpty) throw DfsError("collect: .key_fields")
+      graft.operators.join.Joins.collectLatest(ctx.df, keys.map(col),
+        orderCols(ctx))
+    },
+    "top" -> pt(Set("field", "n")) { (ctx, n, env) =>
+      topBottom(ctx, n, env, desc = true)
+    },
+    "bottom" -> pt(Set("field", "n")) { (ctx, n, env) =>
+      topBottom(ctx, n, env, desc = false)
+    },
+    "jsn_select" -> pt(Set("table", "keys", "fields")) { (ctx, n, env) =>
+      val table = optStr(n, "table", env)
+        .getOrElse(throw DfsError("jsn_select: .table"))
+      val ks = optStrs(n, "keys", env)
+      if (ks.size != 2) throw DfsError("jsn_select: .keys(streamKey, lookupKey)")
+      val lookup = Tables.load(env.spark, env.dir, table)
+      val proj = optStrs(n, "fields", env) match {
+        case Nil => lookup
+        case fs => lookup.select((ks(1) +: fs).distinct.map(col): _*)
+      }
+      graft.operators.join.Mem.lookup(ctx.df, proj,
+        col(ks.head) === col(ks(1)))
+    },
     "change_detect" -> pt(Set("fields", "reset_timeout")) { (ctx, n, env) =>
       StateOps.changeDetect(ctx.df,
         optStrs(n, "fields", env).map(col), keyCols(ctx), orderCols(ctx))
@@ -351,8 +452,32 @@ object Planner {
     case other => throw DfsError(s"unexpected value $other")
   }
 
+  /** top/bottom-N rows per key by a field (refs: stats/esp_top.erl:16-24,
+    * esp_bottom.erl:16-28) — per-key row_number rank, no global sort.
+    */
+  private def topBottom(ctx: Ctx, n: NodeSpec, env: Env, desc: Boolean): DataFrame = {
+    val field = optStr(n, "field", env)
+      .getOrElse(throw DfsError(s"${n.name}: .field"))
+    if (ctx.keys.isEmpty)
+      throw DfsError(s"${n.name} needs group_by keys upstream " +
+        "(a keyless rank is a global sort)")
+    val k = optNum(n, "n", env).getOrElse(1.0).toInt
+    val ord = if (desc) col(field).desc else col(field).asc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols(ctx): _*).orderBy(ord +: orderCols(ctx): _*)
+    ctx.df.withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= k).drop("_rnk")
+  }
+
   private def groupedAgg(ctx: Ctx, aggs: Seq[Column]): DataFrame =
     ctx.win match {
+      case Some(Win("count", p, e, _)) =>
+        if (p == e)
+          Windows.countTumblingAgg(ctx.df, p.toInt, orderCols(ctx),
+            keyCols(ctx), aggs)
+        else
+          Windows.countSlidingAgg(ctx.df, p.toInt, e.toInt, orderCols(ctx),
+            keyCols(ctx), aggs)
       case Some(Win("time", p, e, fill)) =>
         val windowed =
           if (p == e)

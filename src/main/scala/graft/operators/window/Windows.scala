@@ -77,6 +77,33 @@ object Windows {
     * (ref: esp_win_event.erl:29-82): every `every` rows emit the last
     * `period` rows. The tumbling case (period == every) is row bucketing.
     */
+  /** `win_event` sliding count window (period > every): every `every`-th
+    * row per key emits an aggregate over the last `period` rows
+    * (ref: esp_win_event.erl:56-82 maybe_emit/maybe_evict). Each row
+    * belongs to at most ceil(period/every) emission windows — the row is
+    * exploded to exactly those window ids, then it is a plain keyed
+    * aggregation (no self-join, no per-key state).
+    */
+  def countSlidingAgg(
+      df: DataFrame,
+      period: Int,
+      every: Int,
+      order: Seq[Column],
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "countSlidingAgg requires stream keys")
+    val w = W.partitionBy(keys: _*).orderBy(order: _*)
+    val numbered = df.withColumn("_rn", row_number().over(w))
+    // emission k covers rows (k*every - period, k*every]; row rn belongs to
+    // ks in [ceil(rn/every), floor((rn - 1 + period)/every)]
+    val kFirst = ceil(col("_rn") / every).cast("long")
+    val kLast = floor((col("_rn") - 1 + period) / every).cast("long")
+    numbered
+      .withColumn("win_id", explode(sequence(kFirst, kLast)))
+      .groupBy(keys :+ col("win_id"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def countTumblingAgg(
       df: DataFrame,
       n: Int,

@@ -26,6 +26,35 @@ object DfsPack extends QueryPack {
              |FROM events WHERE value > 45
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // count window + state op through the front-end: group_by → win_event
+    // tumbling 10 rows → aggregate.
+    "dfs_count_window" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|win_event(.period(10))
+          #|aggregate(.fields('value','value').functions('count','max').as('n','vmax'))
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_id,
+             |  count(value) AS n, max(value) AS vmax
+             |FROM (SELECT user_id, value, row_number() OVER
+             |        (PARTITION BY user_id ORDER BY epoch_ms(ts)) AS rn
+             |      FROM events)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // top-N per key through the front-end (stats/esp_top.erl).
+    "dfs_top" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|top(.field('value').n(2))
+          #|keep('event_id', 'user_id', 'value')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT event_id, user_id, value FROM (
+             |  SELECT event_id, user_id, value, row_number() OVER
+             |    (PARTITION BY user_id ORDER BY value DESC, epoch_ms(ts)) AS rnk
+             |  FROM events) WHERE rnk <= 2""".stripMargin)),
+
     // stateless lambda pipeline through the front-end: eval chain with
     // sequential visibility + scalar library calls.
     "dfs_eval" -> QueryDef(

@@ -107,6 +107,26 @@ object WindowPack extends QueryPack {
              |      FROM events)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // win_event sliding count window: period 10 rows, emit every 5 rows
+    // (ref: esp_win_event.erl:56-82). Partial head windows emit too
+    // (fill_period off), matching the row-range [k*5-10, k*5).
+    "win_count_sliding" -> QueryDef(
+      (s, dir) =>
+        Windows.countSlidingAgg(
+          Tables.events(s, dir), 10, 5,
+          Seq(col("ts_ns"), col("event_id")), Seq(col("user_id")),
+          Seq(count(lit(1)).as("n"), min(col("ts_ms")).as("first_ms"), vsumM)),
+      Some("""SELECT user_id, k AS win_id, count(*) AS n, min(ms) AS first_ms,
+             |  CAST(sum(vm) AS BIGINT) AS vsum_m
+             |FROM (SELECT user_id, epoch_ms(ts) AS ms,
+             |        CAST(floor(value*1000) AS BIGINT) AS vm,
+             |        row_number() OVER
+             |          (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+             |      FROM events),
+             |  UNNEST(generate_series(CAST(ceil(rn / 5.0) AS BIGINT),
+             |    (rn - 1 + 10) // 5)) t(k)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // sample duration mode: first row per day (ref: esp_sample.erl:27-67) —
     // partitioned by the time bucket, never a global sort.
     "sample_first_per" -> QueryDef(
