@@ -496,10 +496,22 @@ object Planner {
     }
 
   private def aggregateWithWindow(ctx: Ctx, specs: Seq[Aggregate.Spec]): DataFrame = {
-    val aggs = specs.map(s =>
-      graft.operators.agg.AggFunctions
-        .column(s.func, col(s.field), col(ctx.tsMs)).as(s.as))
-    groupedAgg(ctx, aggs)
+    // count_change needs a lag pre-pass over the un-windowed stream
+    // (esp_aggregate keep_tail continuity, SURVEY §7.4): mark changes
+    // first, then any window/group sums the marker column.
+    val ccSpecs = specs.filter(_.func == "count_change")
+    val prepped = ccSpecs.zipWithIndex.foldLeft(ctx) { case (c, (s, i)) =>
+      c.copy(df = graft.operators.agg.AggFunctions.countChangePrep(
+        c.df, col(s.field), orderCols(c), keyCols(c), s"_cc$i"))
+    }
+    val aggs = specs.map { s =>
+      if (s.func == "count_change")
+        sum(col(s"_cc${ccSpecs.indexOf(s)}")).as(s.as)
+      else
+        graft.operators.agg.AggFunctions
+          .column(s.func, col(s.field), col(ctx.tsMs)).as(s.as)
+    }
+    groupedAgg(prepped, aggs)
   }
 
   // ---- compile-time validation -------------------------------------------

@@ -173,6 +173,22 @@ object Joins {
       .drop(keys.map(k => s"$rightPrefix$k"): _*)
   }
 
+  /** faxe `merge` output mode for joined columns (ref: esp_join.erl
+    * merge/2:232-236 — numbers add, strings concatenate, maps merge).
+    * Type dispatch happens at plan time from the column's dataType.
+    */
+  def mergeValues(df: DataFrame, a: String, b: String, as: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val merged = df.schema(a).dataType match {
+      case _: NumericType => col(a) + col(b)
+      case _: StringType => concat(col(a), col(b))
+      case _: MapType => map_concat(col(a), col(b))
+      case other => throw new IllegalArgumentException(
+        s"cannot merge columns of type $other")
+    }
+    df.withColumn(as, coalesce(merged, col(a), col(b)))
+  }
+
   /** `collect` latest-per-key materialized view, batch analog
     * (ref: esp_collect.erl:63-637 keyed upsert cache).
     */

@@ -77,6 +77,25 @@ object Windows {
     * (ref: esp_win_event.erl:29-82): every `every` rows emit the last
     * `period` rows. The tumbling case (period == every) is row bucketing.
     */
+  /** `win_clock` — processing-time sliding window (ref:
+    * esp_win_clock.erl:33-136). Engine policy is event-time first
+    * (SURVEY §7.4): wall-clock windows are non-deterministic by nature,
+    * so this stamps an ingest-time column at scan and windows on it;
+    * `align` is inherent (window origin is the epoch). Excluded from
+    * oracle checks by design.
+    */
+  def clockAgg(
+      df: DataFrame,
+      duration: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withColumn("_ingest_ts", current_timestamp())
+      .groupBy(window(col("_ingest_ts"), duration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start_ms", unix_millis(col("window.start")))
+      .withColumn("window_end_ms", unix_millis(col("window.end")))
+      .drop("window")
+
   /** `win_event` sliding count window (period > every): every `every`-th
     * row per key emits an aggregate over the last `period` rows
     * (ref: esp_win_event.erl:56-82 maybe_emit/maybe_evict). Each row

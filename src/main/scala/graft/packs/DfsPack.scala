@@ -42,6 +42,30 @@ object DfsPack extends QueryPack {
              |      FROM events)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // count_change through the front-end: lag pre-pass over the
+    // un-windowed stream, then the weekly window sums the markers
+    // (keep_tail continuity, esp_aggregate.erl:41,106).
+    "dfs_count_change" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|win_time(.period(7d))
+          #|aggregate(.fields('event_type','event_type').functions('count_change','count').as('n_changes','n'))
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT user_id,
+             |  (epoch_ms(ts) // 604800000) * 604800000 AS window_start_ms,
+             |  (epoch_ms(ts) // 604800000) * 604800000 + 604800000 AS window_end_ms,
+             |  CAST(sum(chg) AS BIGINT) AS n_changes, count(event_type) AS n
+             |FROM (
+             |  SELECT user_id, ts, event_type,
+             |    CASE WHEN lag(event_type) OVER
+             |        (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NOT NULL
+             |      AND lag(event_type) OVER
+             |        (PARTITION BY user_id ORDER BY epoch_ms(ts)) <> event_type
+             |    THEN 1 ELSE 0 END AS chg
+             |  FROM events)
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // top-N per key through the front-end (stats/esp_top.erl).
     "dfs_top" -> QueryDef(
       (s, dir) => DfsEngine.runSingle(

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import scala.collection.mutable.ArrayBuffer
@@ -16,6 +17,35 @@ import scala.reflect.ClassTag
   * grouped map there), so semantics are testable without a stream.
   */
 object Streaming {
+
+  /** `win_time` streaming form: watermarked event-time window aggregation
+    * (ref: esp_win_time.erl:28-96; SURVEY §2.5 — faxe has unbounded
+    * lateness, Spark's knob is the watermark delay; window contents match
+    * for data within the delay).
+    */
+  def windowedAgg(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      period: String,
+      every: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), period, every) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** `win_session` streaming form: watermarked session window. */
+  def sessionAgg(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      gap: String,
+      keys: Seq[Column],
+      aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
 
   /** `batch` node: emit a batch every `size` points per key; an optional
     * processing-time flush timeout emits a partial batch after silence
