@@ -182,6 +182,28 @@ object Planner {
         Ctx(df, Nil, None, Point, ts, tsMs)
       }),
 
+    // json_emitter test source: literal JSON docs → rows (ref:
+    // esp_json_emitter.erl:37-66; .every/.jitter are stream pacing —
+    // meaningless in batch, accepted and ignored).
+    "json_emitter" -> NodeDef(None, Point,
+      Set("every", "jitter", "select", "json", "as"),
+      (_, n, env) => {
+        val docs = argStrs(n, env) ++ optStrs(n, "json", env)
+        if (docs.isEmpty) throw DfsError("json_emitter needs JSON documents")
+        Ctx(graft.io.Sources.jsonEmitter(env.spark, docs), Nil, None,
+          Point, "", "")
+      }),
+
+    // value_emitter test source: n deterministic synthetic points (ref:
+    // esp_value_emitter.erl:26-66; random values become a hash sequence).
+    "value_emitter" -> NodeDef(None, Point, Set("every", "count", "type"),
+      (_, n, env) => {
+        val count = optNum(n, "count", env).map(_.toLong).getOrElse(100L)
+        val df = env.spark.range(count).toDF("id")
+          .withColumn("val", pmod(col("id") * 2654435761L, lit(1000L)))
+        Ctx(df, Nil, None, Point, "", "")
+      }),
+
     // ---- stateless transforms (§2.1) ----
     "where" -> pt(Set("emit_empty")) { (ctx, n, env) =>
       val pred = argLambdas(n, env).headOption
@@ -381,8 +403,25 @@ object Planner {
     "collect" -> pt(Set("key_fields", "add", "remove", "update")) { (ctx, n, env) =>
       val keys = optStrs(n, "key_fields", env)
       if (keys.isEmpty) throw DfsError("collect: .key_fields")
-      graft.operators.join.Joins.collectLatest(ctx.df, keys.map(col),
-        orderCols(ctx))
+      (optLambdas(n, "add", env).headOption,
+        optLambdas(n, "remove", env).headOption) match {
+        case (Some(a), Some(r)) =>
+          graft.operators.join.Joins.collectUpsert(ctx.df, keys, ctx.tsMs,
+            lambdaColumn(a, env.defs), lambdaColumn(r, env.defs))
+        case _ =>
+          graft.operators.join.Joins.collectLatest(ctx.df, keys.map(col),
+            orderCols(ctx))
+      }
+    },
+    "state_sequence" -> pt(Set("timeouts", "strict")) { (ctx, n, env) =>
+      val preds = argLambdas(n, env).map(lambdaColumn(_, env.defs))
+      val tos = optVals(n, "timeouts", env).map {
+        case VDur(ms, _) => ms
+        case VNum(v, _) => v.toLong
+        case v => throw DfsError(s"state_sequence: bad timeout $v")
+      }
+      StateOps.stateSequence(ctx.df, preds, tos, col(ctx.tsMs),
+        keyCols(ctx), orderCols(ctx))
     },
     "top" -> pt(Set("field", "n")) { (ctx, n, env) =>
       topBottom(ctx, n, env, desc = true)

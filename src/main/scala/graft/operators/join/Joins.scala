@@ -197,6 +197,27 @@ object Joins {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** `collect` with add/remove semantics, batch analog (ref:
+    * esp_collect.erl:63-637 keyed upsert cache): a key's entry is its
+    * latest add-row AFTER the key's latest remove-row — rows are admitted
+    * by `add`, the key is evicted by `remove`, re-adds after eviction
+    * resurrect it. Two keyed aggregations, no per-row state.
+    */
+  def collectUpsert(
+      df: DataFrame,
+      keys: Seq[String],
+      orderMs: String,
+      add: Column,
+      remove: Column): DataFrame = {
+    val rm = df.filter(remove).groupBy(keys.map(col): _*)
+      .agg(max(col(orderMs)).as("_rm_ms"))
+    val live = df.filter(add)
+      .join(rm, keys, "left")
+      .filter(col("_rm_ms").isNull || col(orderMs) > col("_rm_ms"))
+      .drop("_rm_ms")
+    collectLatest(live, keys.map(col), Seq(col(orderMs)))
+  }
+
   /** `collect_fields` — latest value of `value` per (key, field discriminant)
     * pivoted to one row per key (ref: esp_collect_fields.erl:33-102).
     */

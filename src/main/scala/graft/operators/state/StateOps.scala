@@ -106,6 +106,36 @@ object StateOps {
     df.withColumn(as, tag).filter(col(as).isNotNull)
   }
 
+  /** `state_sequence` with general per-step predicates (ref:
+    * esp_state_sequence.erl:47-105 lambda list, strict mode — strict
+    * means the matching rows must be consecutive, which is exactly the
+    * lag-chain formulation): each predicate is evaluated per row first,
+    * then the chain checks row k-back against predicate n-1-k plus the
+    * step timeouts. Emits the rows completing the sequence.
+    */
+  def stateSequence(df: DataFrame, preds: Seq[Column],
+      timeoutsMs: Seq[Long], tsMs: Column,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    require(preds.size >= 2 && timeoutsMs.size == preds.size - 1)
+    val w = spec(keys, order)
+    val n = preds.size
+    val withB = preds.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
+      d.withColumn(s"_b$i", p)
+    }
+    val valueConds = (0 until n).map { k =>
+      val b = col(s"_b${n - 1 - k}")
+      if (k == 0) b else lag(b, k).over(w)
+    }
+    val gapConds = (1 until n).map { k =>
+      val newer = if (k == 1) tsMs else lag(tsMs, k - 1).over(w)
+      val older = lag(tsMs, k).over(w)
+      newer - older <= lit(timeoutsMs(n - 1 - k))
+    }
+    withB.withColumn("_seq_ok", (valueConds ++ gapConds).reduce(_ && _))
+      .filter(col("_seq_ok"))
+      .drop("_seq_ok" +: (0 until n).map(i => s"_b$i"): _*)
+  }
+
   /** `state_sequence` over a discriminant column: the sequence matches when
     * the last `seq.size` values of `disc` (in order) equal `seq` and each
     * consecutive gap is within `timeoutsMs`. Emits the completing rows.

@@ -109,6 +109,28 @@ object JoinPack extends QueryPack {
              |QUALIFY row_number() OVER
              |  (PARTITION BY user_id ORDER BY ts DESC) = 1""".stripMargin)),
 
+    // collect with add/remove upsert semantics: a key's entry is its
+    // latest qualifying add after its latest remove
+    // (ref: esp_collect.erl add/remove lambdas).
+    "join_collect_upsert" -> QueryDef(
+      (s, dir) =>
+        Joins.collectUpsert(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("ts_ms"),
+              col("value"), col("event_type")),
+          Seq("user_id"), "ts_ms",
+          add = col("value") > 20, remove = col("event_type") === "error")
+          .select("event_id", "user_id", "ts_ms", "value"),
+      Some("""WITH rm AS (SELECT user_id, max(epoch_ms(ts)) AS rms
+             |            FROM events WHERE event_type = 'error' GROUP BY 1),
+             |a AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+             |      FROM events WHERE value > 20)
+             |SELECT event_id, user_id, ts_ms, value
+             |FROM a LEFT JOIN rm USING (user_id)
+             |WHERE rms IS NULL OR ts_ms > rms
+             |QUALIFY row_number() OVER
+             |  (PARTITION BY user_id ORDER BY ts_ms DESC) = 1""".stripMargin)),
+
     // collect_fields: latest value per (user, event_type) pivoted to one
     // row per user (ref: esp_collect_fields.erl:33-102).
     "join_collect_fields" -> QueryDef(

@@ -180,6 +180,25 @@ object StatePack extends QueryPack {
               |  FROM events)
               |WHERE hi_edge IS NOT NULL OR clk_edge IS NOT NULL""".stripMargin)),
 
+    // state_sequence with general per-step predicates: a low reading
+    // (< 30) followed immediately by a high one (> 70) within 7 days
+    // (ref: esp_state_sequence.erl:47-105 lambda list, strict mode).
+    "state_sequence_pred" -> QueryDef(
+      (s, dir) =>
+        StateOps.stateSequence(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("value"),
+              col("ts_ms"), col("ts_ns")),
+          Seq(col("value") < 30, col("value") > 70),
+          Seq(604800000L), col("ts_ms"), keys, order)
+          .drop("ts_ns"),
+      Some(s"""SELECT event_id, user_id, value, ts_ms FROM (
+              |  SELECT event_id, user_id, value, epoch_ms(ts) AS ts_ms,
+              |    lag(value) OVER ($oraW) AS pv,
+              |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER ($oraW) AS gap
+              |  FROM events)
+              |WHERE value > 70 AND pv < 30 AND gap <= 604800000""".stripMargin)),
+
     // deadman (batch analog): silences > 2 days per user
     // (ref: esp_deadman.erl:43-75).
     "state_deadman_gaps" -> QueryDef(

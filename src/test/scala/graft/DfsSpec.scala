@@ -93,6 +93,26 @@ class DfsSpec extends AnyFunSuite {
     assert(r.getString(1).endsWith("_x"))
   }
 
+  test("json_emitter source with <<<...>>> docs (reference script style)") {
+    val df = DfsEngine.runSingle(
+      """||json_emitter(
+        |   <<<{"code": {"id": 224, "name": "224"}, "mode": 1}>>>,
+        |   <<<{"code": {"id": 334, "name": "334"}, "mode": 2}>>>,
+        |   <<<{"code": {"id": 114, "name": "114"}, "mode": 0}>>>
+        | )
+        ||where(lambda: "mode" > 0)
+        ||eval(lambda: "code.id" * 10).as('cid10')
+        |""".stripMargin, spark, sf)
+    val r = df.orderBy("cid10").collect()
+    assert(r.map(_.getAs[Long]("cid10")).toSeq == Seq(2240L, 3340L))
+  }
+
+  test("value_emitter emits deterministic synthetic points") {
+    val df = DfsEngine.runSingle(
+      "|value_emitter(.count(10))\n|where(lambda: \"val\" >= 0)", spark, sf)
+    assert(df.count() == 10)
+  }
+
   test("fan-out: named chain feeds union and combine") {
     val frames = DfsEngine.run(
       """def clicks =
