@@ -182,6 +182,33 @@ object Planner {
         Ctx(df, Nil, None, Point, ts, tsMs)
       }),
 
+    // streaming scan: same table, Structured Streaming file source; the
+    // rest of the chain plans identically onto the streaming DataFrame
+    // (windows pick up the watermark, see groupedAgg).
+    "parquet_stream" -> NodeDef(None, Point,
+      Set("table", "dir", "watermark"),
+      (_, n, env) => {
+        val table = optStr(n, "table", env)
+          .orElse(argStrs(n, env).headOption)
+          .getOrElse(throw DfsError("parquet_stream needs .table(...)"))
+        val dir = optStr(n, "dir", env).getOrElse(env.dir)
+        val schema = Tables.load(env.spark, dir, table).schema
+        // file-stream sources want a directory: stream the corpus dir with
+        // a glob pinned to this table's file
+        val raw = env.spark.readStream.schema(schema)
+          .option("pathGlobFilter", s"$table.parquet")
+          .parquet(dir)
+        val df =
+          if (table == "events")
+            raw.withColumn("ts_ns", col("ts"))
+              .withColumn("ts_ms", expr("ts div 1000000"))
+              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          else raw
+        val (ts, tsMs) =
+          if (table == "events") ("ts", "ts_ms") else ("", "")
+        Ctx(df, Nil, None, Point, ts, tsMs)
+      }),
+
     // json_emitter test source: literal JSON docs → rows (ref:
     // esp_json_emitter.erl:37-66; .every/.jitter are stream pacing —
     // meaningless in batch, accepted and ignored).
@@ -508,7 +535,19 @@ object Planner {
       .filter(col("_rnk") <= k).drop("_rnk")
   }
 
-  private def groupedAgg(ctx: Ctx, aggs: Seq[Column]): DataFrame =
+  private def groupedAgg(ctx: Ctx, aggs: Seq[Column]): DataFrame = {
+    // streaming window aggregation needs the event-time watermark before
+    // the groupBy; 0-delay = faxe's accept-any-ts with immediate eviction
+    val df0 = ctx.win match {
+      case Some(w) if ctx.df.isStreaming && (w.kind == "time" || w.kind == "session") =>
+        ctx.df.withWatermark(ctx.ts, "0 milliseconds")
+      case _ => ctx.df
+    }
+    val ctx2 = ctx.copy(df = df0)
+    groupedAggOn(ctx2, aggs)
+  }
+
+  private def groupedAggOn(ctx: Ctx, aggs: Seq[Column]): DataFrame =
     ctx.win match {
       case Some(Win("count", p, e, _)) =>
         if (p == e)

@@ -113,6 +113,30 @@ class DfsSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("parquet_stream: the same DFS chain plans onto Structured Streaming " +
+      "and matches the batch result") {
+    val script =
+      """||parquet_SOURCE(.table('events'))
+         ||where(lambda: "value" > 45)
+         ||group_by('user_id')
+         ||win_time(.period(1d))
+         ||aggregate(.fields('value','value').functions('count','max').as('n','vmax'))
+         |""".stripMargin
+    val streamDf = DfsEngine.runSingle(
+      script.replace("parquet_SOURCE", "parquet_stream"), spark, sf)
+    assert(streamDf.isStreaming)
+    val q = streamDf.writeStream.format("memory").queryName("dfs_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dfs_stream")
+    val batch = DfsEngine.runSingle(
+      script.replace("parquet_SOURCE", "parquet_read"), spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("fan-out: named chain feeds union and combine") {
     val frames = DfsEngine.run(
       """def clicks =
