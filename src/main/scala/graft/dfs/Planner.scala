@@ -166,7 +166,26 @@ object Planner {
       ctx.copy(df = f(ctx, n, e))
     })
 
-  val nodes: Map[String, NodeDef] = Map(
+  /** Custom-operator extension point (the faxe `@python` component analog,
+    * faxe_dfs.erl:12-16,186-193 — here a registered Scala NodeDef instead
+    * of a worker-process class). Registered nodes validate and plan like
+    * built-ins; built-in names cannot be shadowed.
+    */
+  def registerNode(name: String, nd: NodeDef): Unit = {
+    if (builtinNodes.contains(name))
+      throw DfsError(s"cannot shadow built-in node '$name'")
+    customNodes.put(name, nd)
+  }
+
+  private val customNodes =
+    new java.util.concurrent.ConcurrentHashMap[String, NodeDef]()
+
+  def nodes: Map[String, NodeDef] = {
+    import scala.jdk.CollectionConverters._
+    builtinNodes ++ customNodes.asScala
+  }
+
+  private val builtinNodes: Map[String, NodeDef] = Map(
     // ---- sources (Spark-native scan nodes) ----
     "parquet_read" -> NodeDef(None, Point, Set("table", "dir"),
       (_, n, env) => {

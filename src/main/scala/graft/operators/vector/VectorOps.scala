@@ -34,11 +34,16 @@ object VectorOps {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    // norms are precomputed per side — a corpus vector's norm must not be
+    // re-derived once per query (Q× waste at scale); sim per pair is then
+    // one dot product + one divide
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val scored = corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(q))
+      .withColumn("_qn", norm(col("q_vec")))
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_cn", norm(col(vecCol)))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
-      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("sim", dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -85,9 +90,10 @@ object VectorOps {
       .withColumn("_bkt", lshBucket(col(vecCol), ps))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("_bkt", lshBucket(col("q_vec"), ps))
-    val scored = c.join(q, "_bkt")
+    val scored = c.withColumn("_cn", norm(col(vecCol)))
+      .join(q.withColumn("_qn", norm(col("q_vec"))), "_bkt")
       .filter(col(idCol) =!= col("q_id"))
-      .withColumn("sim", cosine(col(vecCol), col("q_vec")))
+      .withColumn("sim", dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

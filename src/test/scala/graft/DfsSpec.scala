@@ -137,6 +137,47 @@ class DfsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("custom node registration (the @python extension analog)") {
+    import graft.dfs.Planner
+    Planner.registerNode("double_value", Planner.NodeDef(
+      Some(Ir.Point), Ir.Point, Set("field"),
+      (c, n, env) => {
+        val ctx = c.getOrElse(throw Ir.DfsError("needs input"))
+        ctx.copy(df = ctx.df.withColumn("doubled", col("value") * 2))
+      }))
+    val df = DfsEngine.runSingle(
+      """||parquet_read(.table('events'))
+         ||double_value()
+         ||keep('event_id', 'doubled')
+         |""".stripMargin, spark, sf)
+    assert(df.columns.toSeq == Seq("event_id", "doubled"))
+    assert(df.count() > 0)
+    val e = intercept[Ir.DfsError] {
+      Planner.registerNode("where", Planner.NodeDef(Some(Ir.Point), Ir.Point,
+        Set.empty, (c, _, _) => c.get))
+    }
+    assert(e.msg.contains("cannot shadow"))
+  }
+
+  test("metrics listener samples streaming progress") {
+    val m = graft.streaming.Metrics.attach(spark)
+    val streamDf = DfsEngine.runSingle(
+      """||parquet_stream(.table('events'))
+         ||where(lambda: "value" > 45)
+         |""".stripMargin, spark, sf)
+    val q = streamDf.writeStream.format("memory").queryName("metrics_t")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.streams.removeListener(m)
+    // listener delivery is async — wait briefly for the progress events
+    val deadline = System.currentTimeMillis() + 10000
+    while (m.samples.isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(m.samples.nonEmpty)
+    assert(m.samples.map(_.numInputRows).sum > 0)
+  }
+
   test("fan-out: named chain feeds union and combine") {
     val frames = DfsEngine.run(
       """def clicks =
