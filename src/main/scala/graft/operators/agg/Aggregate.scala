@@ -56,6 +56,33 @@ object AggFunctions {
   def approxPercentile(field: Column, p: Double): Column =
     percentile_approx(field, lit(p), lit(10000))
 
+  /** `elapsed` stats node — the list of deltas between consecutive
+    * timestamps in the batch (ref: stats/esp_elapsed.erl:14), emitted as
+    * a comma-joined string (canonical scalar form for the oracle hash).
+    */
+  def elapsedList(tsMs: Column): Column = {
+    val l = array_sort(collect_list(tsMs))
+    when(size(l) >= 2,
+      array_join(transform(sequence(lit(2), size(l)),
+        i => (element_at(l, i) - element_at(l, i - 1)).cast("string")), ","))
+      .otherwise(lit(""))
+  }
+
+  /** `difference` stats node — pairwise consecutive differences of the
+    * ts-ordered values (ref: stats/esp_stats_difference.erl:14-27),
+    * scaled to milli-units so the joined string is engine-stable.
+    */
+  def differenceList(value: Column, tsMs: Column): Column = {
+    val l = transform(
+      array_sort(collect_list(struct(tsMs.as("_t"), value.as("_v")))),
+      s => s.getField("_v"))
+    when(size(l) >= 2,
+      array_join(transform(sequence(lit(2), size(l)),
+        i => floor((element_at(l, i) - element_at(l, i - 1)) * 1000)
+          .cast("long").cast("string")), ","))
+      .otherwise(lit(""))
+  }
+
   /** Pre-pass for `count_change` (ref: esp_aggregate.erl:193-206): marks rows
     * whose value differs from the previous row (ordered by `order` within
     * `keys`); then `sum` of the marker inside any window/group gives the

@@ -136,6 +136,34 @@ object StateOps {
       .drop("_seq_ok" +: (0 until n).map(i => s"_b$i"): _*)
   }
 
+  /** `state_sequence`, non-strict mode (ref: esp_state_sequence.erl
+    * strict=false — other points may occur between the steps): greedy
+    * chain of prefix-max carries. Step 0 rows stamp their ts; step k is
+    * valid when it lies within `timeoutsMs(k-1)` of the latest valid
+    * step-(k-1) row strictly before it; rows completing the last step
+    * are emitted. One sort per key — every carry is a window max over
+    * the same (keys, order) spec.
+    */
+  def stateSequenceAny(df: DataFrame, preds: Seq[Column],
+      timeoutsMs: Seq[Long], tsMs: Column,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    require(preds.size >= 2 && timeoutsMs.size == preds.size - 1)
+    val prefix = spec(keys, order).rowsBetween(Window.unboundedPreceding, -1)
+    val n = preds.size
+    val seeded = df.withColumn("_v0", when(preds.head, tsMs))
+    val chained = (1 until n - 1).foldLeft(seeded) { (d, k) =>
+      d.withColumn(s"_m${k - 1}", max(col(s"_v${k - 1}")).over(prefix))
+        .withColumn(s"_v$k",
+          when(preds(k) && tsMs - col(s"_m${k - 1}") <= timeoutsMs(k - 1), tsMs))
+    }
+    val last = chained
+      .withColumn(s"_m${n - 2}", max(col(s"_v${n - 2}")).over(prefix))
+      .filter(preds(n - 1) &&
+        tsMs - col(s"_m${n - 2}") <= timeoutsMs(n - 2))
+    last.drop((0 until n - 1).map(i => s"_v$i") ++
+      (0 until n - 1).map(i => s"_m$i"): _*)
+  }
+
   /** `state_sequence` over a discriminant column: the sequence matches when
     * the last `seq.size` values of `disc` (in order) equal `seq` and each
     * consecutive gap is within `timeoutsMs`. Emits the completing rows.

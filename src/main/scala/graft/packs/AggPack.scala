@@ -195,6 +195,29 @@ object AggPack extends QueryPack {
              |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
              |FROM events GROUP BY user_id""".stripMargin)),
 
+    // elapsed / difference stats nodes: per-batch delta lists (refs:
+    // stats/esp_elapsed.erl:14, esp_stats_difference.erl:14-27) as
+    // canonical comma-joined strings.
+    "agg_elapsed_difference" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(
+            AggFunctions.elapsedList(col("ts_ms")).as("elapsed"),
+            AggFunctions.differenceList(col("value"), col("ts_ms")).as("diffs")),
+      Some("""SELECT user_id,
+             |  CASE WHEN len(tl) >= 2 THEN array_to_string(
+             |    [(tl[i] - tl[i-1])::VARCHAR for i in range(2, len(tl)+1)], ',')
+             |  ELSE '' END AS elapsed,
+             |  CASE WHEN len(vl) >= 2 THEN array_to_string(
+             |    [CAST(floor((vl[i] - vl[i-1]) * 1000) AS BIGINT)::VARCHAR
+             |     for i in range(2, len(vl)+1)], ',')
+             |  ELSE '' END AS diffs
+             |FROM (SELECT user_id,
+             |        list_sort(list(epoch_ms(ts))) AS tl,
+             |        list(value ORDER BY ts) AS vl
+             |      FROM events GROUP BY user_id)""".stripMargin)),
+
     // dist_count: per-distinct-value occurrence counts
     // (ref: stats/esp_stats_dist_count.erl).
     "agg_dist_count" -> QueryDef(

@@ -199,6 +199,37 @@ object StatePack extends QueryPack {
               |  FROM events)
               |WHERE value > 70 AND pv < 30 AND gap <= 604800000""".stripMargin)),
 
+    // state_sequence non-strict: view …then… click …then… purchase with
+    // other events allowed in between, each step within 7 days of the
+    // latest valid previous step (ref: esp_state_sequence.erl strict=false).
+    "state_sequence_any" -> QueryDef(
+      (s, dir) =>
+        StateOps.stateSequenceAny(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts_ms"), col("ts_ns")),
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"),
+          Seq(604800000L, 604800000L), col("ts_ms"), keys, order)
+          .drop("ts_ns"),
+      Some(s"""WITH x AS (
+              |  SELECT event_id, user_id, event_type, ts, epoch_ms(ts) AS ts_ms,
+              |    CASE WHEN event_type = 'view' THEN epoch_ms(ts) END AS v0
+              |  FROM events
+              |), y AS (
+              |  SELECT *, max(v0) OVER
+              |    ($oraW ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m0
+              |  FROM x
+              |), z AS (
+              |  SELECT *, CASE WHEN event_type = 'click'
+              |    AND ts_ms - m0 <= 604800000 THEN ts_ms END AS v1 FROM y
+              |), w2 AS (
+              |  SELECT *, max(v1) OVER
+              |    ($oraW ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+              |  FROM z)
+              |SELECT event_id, user_id, event_type, ts_ms FROM w2
+              |WHERE event_type = 'purchase' AND ts_ms - m1 <= 604800000""".stripMargin)),
+
     // deadman (batch analog): silences > 2 days per user
     // (ref: esp_deadman.erl:43-75).
     "state_deadman_gaps" -> QueryDef(

@@ -1,0 +1,45 @@
+package graft
+
+import graft.core.Sessions
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural lint over EVERY registered query's physical plan — the
+  * scale anti-patterns the engine bans must stay banned:
+  *  - no WindowExec without partition columns (single-task global sort);
+  *  - no CartesianProductExec (the only sanctioned cross join is the
+  *    broadcast top-k, which compiles to BroadcastNestedLoopJoin).
+  */
+class PlanLintSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "plan-lint")
+  val sf = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p.children ++ p.subqueries).flatMap {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case c => flatten(c)
+    }
+
+  test("no query plan contains a global (unpartitioned) window") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      flatten(plan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => name
+      }
+    }.toSet
+    assert(offenders.isEmpty,
+      s"global-sort windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("no query plan contains a cartesian product") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      flatten(plan).collect { case _: CartesianProductExec => name }
+    }.toSet
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+}
