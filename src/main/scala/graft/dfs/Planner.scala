@@ -322,7 +322,17 @@ object Planner {
     "group_by" -> NodeDef(Some(Point), Point, Set("fields", "lambda"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
-        ctx.copy(keys = ctx.keys ++ (argStrs(n, env) ++ optStrs(n, "fields", env)))
+        // lambda-computed keys (esp_group_by.erl lambda option) become a
+        // materialized key column so downstream state/windows shuffle on it
+        val (df2, lambdaKeys) = argLambdas(n, env) ++
+            optLambdas(n, "lambda", env) match {
+          case Nil => (ctx.df, Nil)
+          case ls => (ls.zipWithIndex.foldLeft(ctx.df) { case (d, (l, i)) =>
+            d.withColumn(s"_gkey$i", lambdaColumn(l, env.defs))
+          }, ls.indices.map(i => s"_gkey$i"))
+        }
+        ctx.copy(df = df2, keys = ctx.keys ++
+          (argStrs(n, env) ++ optStrs(n, "fields", env)) ++ lambdaKeys)
       }),
     "win_time" -> NodeDef(Some(Point), Batch,
       Set("period", "every", "fill_period", "align"),

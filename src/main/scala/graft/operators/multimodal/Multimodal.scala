@@ -34,6 +34,42 @@ object Multimodal {
         .as(s"f$i")
     }
 
+  /** Real decoder extension point: a per-partition decode with a
+    * pluggable `Array[Byte] => Seq[Double]` function — the shape a codec
+    * UDF takes at deployment (decoder instantiated once per partition,
+    * exactly where a native decoder's init cost belongs). The default
+    * stub mirrors [[featureStub]]'s md5 features.
+    */
+  def decodePartitions(
+      df: DataFrame,
+      blobCol: String,
+      dims: Int = 4)(
+      decoder: Array[Byte] => Seq[Double] = Multimodal.stubDecoder(dims)): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "features", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val idx = df.schema.fieldIndex(blobCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // per-partition decoder instance (codecs are not serializable)
+      val d = decoder
+      rows.map { r =>
+        val blob = r.getAs[Array[Byte]](idx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ d(blob))
+      }
+    }(enc)
+  }
+
+  /** Deterministic stand-in decoder: md5-derived pseudo-features. */
+  def stubDecoder(dims: Int): Array[Byte] => Seq[Double] = { blob =>
+    val h = java.security.MessageDigest.getInstance("MD5").digest(blob)
+    (0 until dims).map { i =>
+      val v = ((h(2 * i) & 0xff) << 8) | (h(2 * i + 1) & 0xff)
+      v / 65535.0
+    }
+  }
+
   /** Frame sampling: every `every`-th frame of `frameSize` bytes, with the
     * frame payload and its digest. Generator expression — rows fan out per
     * input partition, no shuffle.

@@ -89,7 +89,15 @@ object Dedup {
       threshold: Double,
       bands: Int = 4,
       rowsPerBand: Int = 2): DataFrame = {
-    val sigs = minhashSignature(df, text, bands * rowsPerBand)
+    // materialize per-doc hashes once: bands + both sides of the verify
+    // join would otherwise re-tokenize and re-md5 the corpus three times
+    val base = withShingleHashes(df, text, "_hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = (0 until bands * rowsPerBand).foldLeft(base) { (d, i) =>
+      d.withColumn(s"sig$i",
+        array_min(transform(col("_hs"),
+          h => (lit(A(i)) * h + lit(B(i))) % lit(P))))
+    }
     val bandRows = lshBands(sigs, id, bands, rowsPerBand)
     val l = bandRows.select(col("band"), col("bh"), col("doc_id").as("a"))
     val r = bandRows.select(col("band").as("band_r"), col("bh").as("bh_r"),
@@ -98,8 +106,7 @@ object Dedup {
         col("band") === col("band_r") && col("bh") === col("bh_r") &&
           col("a") < col("b"))
       .select("a", "b").distinct()
-    val sh = withShingleHashes(df, text, "_hs")
-      .select(id.as("doc_id"), array_distinct(col("_hs")).as("sh"))
+    val sh = base.select(id.as("doc_id"), array_distinct(col("_hs")).as("sh"))
     val withSets = cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")

@@ -137,6 +137,17 @@ class DfsSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() == 0)
   }
 
+  test("group_by with a lambda-computed key") {
+    val df = DfsEngine.runSingle(
+      """||parquet_read(.table('events'))
+         ||group_by(lambda: "user_id" - mod("user_id", 10))
+         ||win_event(.period(50))
+         ||aggregate(.fields('value').functions('count').as('n'))
+         |""".stripMargin, spark, sf)
+    assert(df.columns.contains("_gkey0"))
+    assert(df.count() > 0)
+  }
+
   test("custom node registration (the @python extension analog)") {
     import graft.dfs.Planner
     Planner.registerNode("double_value", Planner.NodeDef(

@@ -59,6 +59,21 @@ class LlmSpec extends AnyFunSuite {
     assert((ann intersect brute).nonEmpty)
   }
 
+  test("decodePartitions runs a pluggable per-partition decoder") {
+    val d = graft.operators.multimodal.Multimodal.withBlob(
+      Tables.documents(spark, sf), col("text"))
+    val out = graft.operators.multimodal.Multimodal
+      .decodePartitions(d, "blob", dims = 3)()
+    val r = out.select(col("doc_id"), col("features")).head()
+    assert(r.getSeq[Double](1).size == 3)
+    assert(r.getSeq[Double](1).forall(v => v >= 0.0 && v <= 1.0))
+    // custom decoder plugs in
+    val custom = graft.operators.multimodal.Multimodal
+      .decodePartitions(d, "blob")(b => Seq(b.length.toDouble))
+    assert(custom.select(col("features")).head().getSeq[Double](0).head ==
+      custom.select(col("blob_meta.n_bytes")).head().getInt(0).toDouble)
+  }
+
   test("frame sampling covers the payload with the right stride") {
     val d = graft.operators.multimodal.Multimodal.withBlob(
       Tables.documents(spark, sf), col("text"))
