@@ -96,6 +96,20 @@ object LlmPack extends QueryPack {
            |FROM documents""".stripMargin
       }),
 
+    // token counting: whitespace tokens + the BPE-ish word/punct regex
+    // split (brief: training-data token accounting).
+    "text_tokens" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws"),
+          regexp_count(col("text"), lit("\\w+|[^\\w\\s]")).cast("int")
+            .as("n_bpeish")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len($toks) AS INTEGER) AS n_ws,
+              |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_bpeish
+              |FROM documents""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) =>
         Dedup.withFingerprint(Tables.documents(s, dir), col("text"), "fp")
@@ -188,6 +202,27 @@ object LlmPack extends QueryPack {
            |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
            |      FROM s)
            |WHERE rnk <= 3""".stripMargin
+      }),
+
+    // vector norms + l2-normalized head components (embedding hygiene
+    // pass every similarity pipeline needs).
+    "emb_norms" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .withColumn("_n", VectorOps.norm(col("embedding")))
+        e.select(
+          col("vec_id"), size(col("embedding")).as("dim"),
+          round(col("_n"), 6).as("norm"),
+          round(element_at(col("embedding"), 1) / col("_n"), 6).as("u0"),
+          round(element_at(col("embedding"), 2) / col("_n"), 6).as("u1"))
+      },
+      Some {
+        val n = dotSql("embedding", "embedding")
+        s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+           |  round(sqrt($n), 6) AS norm,
+           |  round(embedding[1] / sqrt($n), 6) AS u0,
+           |  round(embedding[2] / sqrt($n), 6) AS u1
+           |FROM embeddings""".stripMargin
       }),
 
     // ANN scale path: LSH sign-bit buckets — approximate by construction,
