@@ -42,8 +42,6 @@ object LlmPack extends QueryPack {
        |    x -> struct_extract(x, 1) * struct_extract(x, 2))),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  private val cjk = "[^一-鿿]"
-
   def entries: Map[String, QueryDef] = Map(
     // ---- text analysis --------------------------------------------------
     "text_stats" -> QueryDef(

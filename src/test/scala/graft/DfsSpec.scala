@@ -56,6 +56,37 @@ class DfsSpec extends AnyFunSuite {
     assert(e.msg.contains("(emits: point)") && e.msg.contains("(wants: batch)"))
   }
 
+  test("compile error: batch into point-wanting node") {
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.compile(
+        """||parquet_read(.table('events'))
+           ||win_time(.period(1d))
+           ||where(lambda: "value" > 1)""".stripMargin)
+    }
+    assert(e.msg.contains("(emits: batch)") && e.msg.contains("(wants: point)"))
+  }
+
+  test("streaming session window through DFS matches batch") {
+    val script =
+      """||parquet_SOURCE(.table('events'))
+         ||group_by('user_id')
+         ||win_session(.session_timeout(6h))
+         ||aggregate(.fields('value').functions('count').as('n'))
+         |""".stripMargin
+    val streamDf = DfsEngine.runSingle(
+      script.replace("parquet_SOURCE", "parquet_stream"), spark, sf)
+    val q = streamDf.writeStream.format("memory").queryName("dfs_sess")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dfs_sess")
+    val batch = DfsEngine.runSingle(
+      script.replace("parquet_SOURCE", "parquet_read"), spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+  }
+
   test("compile error: unknown node carries a suggestion") {
     val e = intercept[Ir.DfsError] {
       DfsEngine.compile("|parquet_read(.table('events'))\n|wher(lambda: 1 > 0)")
