@@ -47,9 +47,20 @@ object Transforms {
       Paths.ref(p).as(as.getOrElse(Paths.parse(p).last.name))
     }: _*)
 
-  /** `rename` — rename fields in place (ref: esp_rename.erl:27-60). */
+  /** `rename` — rename fields in place, deep paths included (ref:
+    * esp_rename.erl:27-60): a dotted source path moves the nested field
+    * (set at the new path + delete the old); top-level names rename in
+    * place. Missing sources are a no-op (faxe behavior). Lambda-computed
+    * (per-row) names have no relational analog — those map to a map
+    * column instead (SURVEY §2.1 note).
+    */
   def rename(df: DataFrame, renames: Seq[(String, String)]): DataFrame =
-    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (!Paths.has(d, from)) d
+      else if (Paths.parse(from).size > 1 || Paths.parse(to).size > 1)
+        Paths.delete(Paths.set(d, to, Paths.ref(from)), from)
+      else d.withColumnRenamed(from, to)
+    }
 
   /** `case` — first-true branch list with default (ref: esp_case.erl:28-66). */
   def caseWhen(

@@ -24,6 +24,19 @@ class MiscOpsSpec extends AnyFunSuite {
       .head().getDouble(2) == 1.0)
   }
 
+  test("rename handles deep paths and missing sources") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+      .withColumn("nest", struct(lit(5L).as("v")))
+    val out = graft.operators.stateless.Transforms.rename(df, Seq(
+      "a" -> "a2",            // top-level
+      "nest.v" -> "nest.w",   // deep move
+      "missing" -> "m"))      // no-op
+    assert(out.columns.contains("a2") && !out.columns.contains("missing"))
+    assert(out.select(col("nest.w")).head().getLong(0) == 5L)
+    assert(!graft.core.Paths.has(out, "nest.v"))
+  }
+
   test("win_clock groups by ingest time (processing-time policy)") {
     val out = Windows.clockAgg(
       Tables.events(spark, sf), "1 hour", Seq(col("event_type")),
