@@ -41,15 +41,26 @@ object Paths {
   private def withIdx(c: Column, idx: Option[Int]): Column =
     idx.map(i => functions.element_at(c, i)).getOrElse(c)
 
-  /** Deep set — creates or overwrites the field at `path`. */
+  /** Deep set — creates or overwrites the field at `path`; an absent root
+    * struct is created (flowdata set_field creates intermediate maps,
+    * flowdata_tests.erl:73-80).
+    */
   def set(df: DataFrame, path: String, value: Column): DataFrame = {
     val segs = parse(path)
     require(segs.forall(_.idx.isEmpty), s"cannot write to array element: $path")
     if (segs.size == 1) df.withColumn(segs.head.name, value)
     else {
       val root = segs.head.name
-      val rest = segs.tail.map(_.name).mkString(".")
-      df.withColumn(root, functions.col(root).withField(rest, value))
+      val rest = segs.tail.map(_.name)
+      if (df.columns.contains(root))
+        df.withColumn(root,
+          functions.col(root).withField(rest.mkString("."), value))
+      else {
+        // build the nested struct bottom-up from the new value
+        val nested = rest.foldRight(value)((name, inner) =>
+          functions.struct(inner.as(name)))
+        df.withColumn(root, nested)
+      }
     }
   }
 

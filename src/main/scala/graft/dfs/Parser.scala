@@ -79,10 +79,7 @@ object Parser {
         while (!peek().contains(RParen)) {
           if (peek().contains(Dot)) option()
           else {
-            as += (peek() match {
-              case Some(LambdaKw) => next(); VLambda(orExpr())
-              case _ => literal()
-            })
+            as += arg()
             if (peek().contains(Comma)) next()
           }
         }
@@ -97,13 +94,20 @@ object Parser {
       Chain(sourceRef, ns)
     }
 
+    /** One argument: `lambda:`-prefixed expression, a bare function call
+      * (reference scripts write `random_latin_string(12)` without the
+      * prefix), or a literal.
+      */
+    private def arg(): Value = peek() match {
+      case Some(LambdaKw) => next(); VLambda(orExpr())
+      case Some(Ident(_)) if peek(1).contains(LParen) => VLambda(orExpr())
+      case _ => literal()
+    }
+
     private def args(): Seq[Value] = {
       val out = Seq.newBuilder[Value]
       while (!peek().contains(RParen)) {
-        out += (peek() match {
-          case Some(LambdaKw) => next(); VLambda(orExpr())
-          case _ => literal()
-        })
+        out += arg()
         if (peek().contains(Comma)) next()
         else if (!peek().contains(RParen))
           throw DfsError(s"expected ',' or ')', found ${peek().getOrElse("EOF")}")

@@ -102,6 +102,10 @@ object Planner {
       Lambdas.strSlice(lambdaColumn(s, defs), st.toInt, len.toInt)
     case LCall("time_align", Seq(ms, LNum(d, _))) =>
       Lambdas.timeAlign(lambdaColumn(ms, defs), d.toLong)
+    case LCall("random_latin_string", Seq(LNum(n, _))) =>
+      Lambdas.randomLatinString(n.toInt)
+    case LCall("random", Seq(LNum(n, _))) =>
+      Lambdas.randomInt(n.toInt)
     case LCall("member", x +: rest) if rest.nonEmpty =>
       Lambdas.member(lambdaColumn(x, defs), rest.map(lambdaColumn(_, defs)))
     case LCall(name, args) =>
@@ -313,6 +317,60 @@ object Planner {
       Transforms.jsonSize(ctx.df, col(f),
         optStr(n, "as", env).getOrElse("jsonsize"))
     },
+    // ---- restructuring (§2.2) ----
+    // array_explode mirrors the reference script shape
+    // (dfs/array_explode.dfs): .fields(paths) zipped to .as(out paths);
+    // listed-but-absent fields are tolerated (dropped).
+    "array_explode" -> pt(Set("fields", "as", "keep")) { (ctx, n, env) =>
+      val fields = optStrs(n, "fields", env)
+      val as = optStrs(n, "as", env)
+      if (as.nonEmpty && as.size != fields.size)
+        throw DfsError("array_explode: .as arity must match .fields")
+      val outs = if (as.isEmpty) fields else as
+      val pairs = fields.zip(outs)
+        .filter { case (f, _) => graft.core.Paths.has(ctx.df, f) }
+      if (pairs.isEmpty) throw DfsError("array_explode: no fields present")
+      val tmpNames = pairs.indices.map(i => s"_arr$i")
+      val staged = pairs.zipWithIndex.foldLeft(ctx.df) {
+        case (d, ((f, _), i)) =>
+          graft.operators.stateless.Transforms
+            .delete(d.withColumn(s"_arr$i", graft.core.Paths.ref(f)), Seq(f))
+      }
+      val keep = staged.columns.filterNot(tmpNames.contains).toSeq
+      val exploded = graft.operators.restructure.Restructure
+        .arrayExplode(staged, tmpNames, keep)
+      pairs.zipWithIndex.foldLeft(exploded) { case (d, ((_, out), i)) =>
+        graft.core.Paths.set(d, out, col(s"_arr$i")).drop(s"_arr$i")
+      }
+    },
+    "fields_to_array" -> pt(Set("fields", "as")) { (ctx, n, env) =>
+      graft.operators.restructure.Restructure.fieldsToArray(
+        ctx.df, optStrs(n, "fields", env),
+        optStr(n, "as", env).getOrElse("collected"))
+    },
+    "path_split" -> pt(Set("field")) { (ctx, n, env) =>
+      val f = optStr(n, "field", env).getOrElse(throw DfsError("path_split: .field"))
+      graft.operators.restructure.Restructure.pathSplit(
+        ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
+    },
+    "extract_path" -> pt(Set("paths", "as", "default")) { (ctx, n, env) =>
+      val paths = optStrs(n, "paths", env)
+      val as = optStrs(n, "as", env)
+      if (paths.size != as.size)
+        throw DfsError("extract_path: .paths/.as arity mismatch")
+      val default = optVals(n, "default", env).headOption
+        .map(v => lambdaColumn(valueToLit(v), env.defs)).getOrElse(lit(null))
+      graft.operators.restructure.Restructure.extractPath(ctx.df,
+        paths.zip(as).map { case (p, a) =>
+          (graft.core.Paths.ref(p), default, a)
+        })
+    },
+    "unbatch" -> pt(Set("field")) { (ctx, n, env) =>
+      val f = optStr(n, "field", env).getOrElse(throw DfsError("unbatch: .field"))
+      graft.operators.restructure.Restructure.unbatch(
+        ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
+    },
+
     "debug" -> NodeDef(Some(Both), Both, Set("level"),
       (c, n, _) => requireCtx(c, n.name)),
     "log" -> NodeDef(Some(Both), Both, Set("file", "level"),

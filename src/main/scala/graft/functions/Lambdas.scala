@@ -83,6 +83,12 @@ object Lambdas {
   def now(): Column = unix_millis(current_timestamp())
   def randomInt(n: Int): Column = (rand() * n).cast("long") + 1
   def randomReal(): Column = rand()
+  /** random_latin_string(n): n random lowercase letters per row. */
+  def randomLatinString(n: Int): Column =
+    array_join(
+      transform(sequence(lit(1), lit(n)),
+        _ => element_at(split(lit("abcdefghijklmnopqrstuvwxyz"), ""),
+          (rand() * 26).cast("int") + 1)), "")
 
   /** Registry for the DFS front-end: name -> arity-checked builder.
     * Literal-argument forms (replace/slice/align) take their literals from
@@ -118,6 +124,7 @@ object Lambdas {
     "ceil" -> { a => ceilOf(a.head) },
     "mod" -> { a => modOf(a(0), a(1)) },
     "ln" -> { a => lnOf(a.head) },
-    "now" -> { _ => now() }
+    "now" -> { _ => now() },
+    "random" -> { _ => randomReal() }
   )
 }

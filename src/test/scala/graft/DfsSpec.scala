@@ -124,6 +124,28 @@ class DfsSpec extends AnyFunSuite {
     assert(r.getString(1).endsWith("_x"))
   }
 
+  test("array_explode script mirroring the reference dfs/array_explode.dfs") {
+    val df = DfsEngine.runSingle(
+      """||json_emitter(
+        |    '{"ap": [1,2,3,4,5,6,7,8,9], "torque": [6,7,8,9,1,2,3,4,5], "zip": [4,5,6,7,8,9,1,2,3]}'
+        |    )
+        ||debug('info')
+        ||eval(lambda: random_latin_string(12)).as('data.id')
+        ||array_explode()
+        |  .fields('ap', 'zip', 'zap', 'storque')
+        |  .as('data.ex_drive', 'data.ex_zip', 'data.ex_zap', 'data.ex_torque')
+        ||debug()
+        |""".stripMargin, spark, sf)
+    // 9 array elements -> 9 rows; absent 'zap'/'storque' tolerated
+    assert(df.count() == 9)
+    assert(df.columns.contains("idx"))
+    val r = df.orderBy(col("idx"))
+      .select(col("data.ex_drive"), col("data.ex_zip"), col("data.id")).collect()
+    assert(r.map(_.getLong(0)).toSeq == (1L to 9L))
+    assert(r.map(_.getLong(1)).toSeq == Seq(4L, 5L, 6L, 7L, 8L, 9L, 1L, 2L, 3L))
+    assert(r.forall(_.getString(2).length == 12))
+  }
+
   test("json_emitter source with <<<...>>> docs (reference script style)") {
     val df = DfsEngine.runSingle(
       """||json_emitter(
