@@ -48,7 +48,7 @@ object Joins {
         lCols.filterNot(keys.contains).map(col): _*)
     val rAligned = lCols.filterNot(keys.contains).foldLeft(rSide) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(lAligned.columns.map(col): _*)
+    }.select(lAligned.columns.toIndexedSeq.map(col): _*)
     lAligned.unionByName(rAligned)
   }
 

@@ -68,7 +68,7 @@ object VectorOps {
   /** Sign-bit LSH bucket id: bit j = (v · plane_j) > 0. */
   def lshBucket(vec: Column, planes: Seq[Array[Float]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val planeCol = array(p.map(lit(_)): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit(_)): _*)
       when(dot(vec, planeCol) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
