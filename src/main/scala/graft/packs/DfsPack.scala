@@ -79,6 +79,32 @@ object DfsPack extends QueryPack {
              |    (PARTITION BY user_id ORDER BY value DESC, epoch_ms(ts)) AS rnk
              |  FROM events) WHERE rnk <= 2""".stripMargin)),
 
+    // case node through the front-end (first-true branch list).
+    "dfs_case" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|case(lambda: "value" < 25, lambda: "value" < 50, lambda: "value" < 75)
+          #  .values('q1', 'q2', 'q3')
+          #  .default('q4')
+          #  .as('quartile')
+          #|keep('event_id', 'quartile')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT event_id,
+             |  CASE WHEN value < 25 THEN 'q1' WHEN value < 50 THEN 'q2'
+             |       WHEN value < 75 THEN 'q3' ELSE 'q4' END AS quartile
+             |FROM events""".stripMargin)),
+
+    // jsn_select broadcast lookup through the front-end.
+    "dfs_lookup" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|eval(lambda: mod("user_id", 25)).as('nk')
+          #|jsn_select(.table('nation').keys('nk', 'n_nationkey').fields('n_name'))
+          #|keep('event_id', 'n_name')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT e.event_id, n.n_name
+             |FROM events e LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey""".stripMargin)),
+
     // stateless lambda pipeline through the front-end: eval chain with
     // sequential visibility + scalar library calls.
     "dfs_eval" -> QueryDef(
