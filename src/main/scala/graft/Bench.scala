@@ -45,13 +45,30 @@ object Bench {
       n -> (if (r1(n) < 0 || t2 < 0) math.max(r1(n), t2) else math.min(r1(n), t2))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
+    def jsonOf(rs: Seq[(String, Double)], total: Double): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), json)
-    println(json)
+    }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // Full per-query map to the file; stdout gets a headline subset only —
+    // the driver captures a bounded tail of the sbt log, and an
+    // all-queries line (~2.5 KB) gets its head truncated past parseability
+    // (BENCH_r02 "parsed": null). Keep the printed line well under 2 KB.
+    val headline = Seq(
+      "q1_agg", "agg_percentile", "agg_elapsed_difference", "join_asof",
+      "join_tolerance", "win_time_tumbling", "win_session",
+      "state_change_detect", "state_sequence", "sample_nth",
+      "dedup_near_pairs", "dedup_simhash", "emb_cosine_topk", "emb_ann_topk",
+      "text_langid", "dfs_pipeline")
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), jsonOf(results, total))
+    // Write straight to fd 1: sbt's non-forked `run` wraps System.out in
+    // its logger and prefixes every line with "[info] ", which breaks a
+    // line-wise JSON parse of the output. FileDescriptor.out bypasses the
+    // wrapper — the line lands on stdout bare.
+    val raw = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+    raw.println(jsonOf(results.filter(r => headline.contains(r._1)), total))
     spark.stop()
   }
 }

@@ -53,35 +53,50 @@ object AggFunctions {
   def percentile(field: Column, p: Double): Column =
     call_function("percentile", field, lit(p))
 
+  /** Multi-quantile form: ONE sort of the group serves every requested
+    * percentile (Spark's `percentile(col, array(...))`), vs one full
+    * group-sort per call of the scalar form — the difference between one
+    * and N shuffles'-worth of sort work per group at scale. Returns an
+    * array; extract with `element_at` in a post-projection.
+    */
+  def percentiles(field: Column, ps: Seq[Double]): Column =
+    call_function("percentile", field, array(ps.map(lit(_)): _*))
+
   def approxPercentile(field: Column, p: Double): Column =
     percentile_approx(field, lit(p), lit(10000))
 
-  /** `elapsed` stats node — the list of deltas between consecutive
-    * timestamps in the batch (ref: stats/esp_elapsed.erl:14), emitted as
-    * a comma-joined string (canonical scalar form for the oracle hash).
+  /** One ts-ordered `(ts, value)` struct list per group — the shared input
+    * of the `elapsed` and `difference` stats nodes, collected ONCE (the
+    * r2 bench's slowest query was two independent collect_list+sort passes
+    * over the same group). Per-group list memory is inherent to the
+    * stats-node batch semantics; paying it twice was not.
     */
-  def elapsedList(tsMs: Column): Column = {
-    val l = array_sort(collect_list(tsMs))
+  def sortedTsValues(value: Column, tsMs: Column): Column =
+    array_sort(collect_list(struct(tsMs.as("_t"), value.as("_v"))))
+
+  /** `elapsed` stats node — deltas between consecutive timestamps of the
+    * sorted list from [[sortedTsValues]] (ref: stats/esp_elapsed.erl:14),
+    * emitted as a comma-joined string (canonical scalar form for the
+    * oracle hash). `l` must be a materialized column, not an inline agg —
+    * Spark HOFs are interpreted without CSE.
+    */
+  def elapsedFrom(l: Column): Column =
     when(size(l) >= 2,
       array_join(transform(sequence(lit(2), size(l)),
-        i => (element_at(l, i) - element_at(l, i - 1)).cast("string")), ","))
+        i => (element_at(l, i).getField("_t") - element_at(l, i - 1).getField("_t"))
+          .cast("string")), ","))
       .otherwise(lit(""))
-  }
 
   /** `difference` stats node — pairwise consecutive differences of the
     * ts-ordered values (ref: stats/esp_stats_difference.erl:14-27),
     * scaled to milli-units so the joined string is engine-stable.
     */
-  def differenceList(value: Column, tsMs: Column): Column = {
-    val l = transform(
-      array_sort(collect_list(struct(tsMs.as("_t"), value.as("_v")))),
-      s => s.getField("_v"))
+  def differenceFrom(l: Column): Column =
     when(size(l) >= 2,
       array_join(transform(sequence(lit(2), size(l)),
-        i => floor((element_at(l, i) - element_at(l, i - 1)) * 1000)
+        i => floor((element_at(l, i).getField("_v") - element_at(l, i - 1).getField("_v")) * 1000)
           .cast("long").cast("string")), ","))
       .otherwise(lit(""))
-  }
 
   /** Pre-pass for `count_change` (ref: esp_aggregate.erl:193-206): marks rows
     * whose value differs from the previous row (ordered by `order` within

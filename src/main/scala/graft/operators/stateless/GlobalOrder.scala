@@ -51,9 +51,14 @@ object GlobalOrder {
       acc += row.getLong(1)
       entry
     }.toMap
-    val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
+    // One map literal + element_at — O(1) hash probe per row, vs an O(P)
+    // when-chain evaluated per row (200 branches at default partitions).
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.toSeq.sortBy(_._1)
+          .flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*),
+        col("_pid"))
     sorted
       .withColumn(as, offExpr + col("_loc") + 1)
       .drop("_mid", "_pid", "_loc")

@@ -98,18 +98,21 @@ object AggPack extends QueryPack {
              |    THEN 1 ELSE 0 END AS chg
              |  FROM events) GROUP BY user_id""".stripMargin)),
 
-    // Exact percentile node (ref: esp_percentile.erl:26-80).
+    // Exact percentile node (ref: esp_percentile.erl:26-80). Array form:
+    // one group-sort computes both quantiles on both engines.
     "agg_percentile" -> QueryDef(
       (s, dir) =>
         Tables.lineitem(s, dir)
           .groupBy(col("l_linestatus"))
-          .agg(
-            AggFunctions.percentile(col("l_extendedprice"), 0.25).as("p25"),
-            AggFunctions.percentile(col("l_extendedprice"), 0.9).as("p90")),
-      Some("""SELECT l_linestatus,
-             |  quantile_cont(l_extendedprice, 0.25) AS p25,
-             |  quantile_cont(l_extendedprice, 0.9) AS p90
-             |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+          .agg(AggFunctions.percentiles(col("l_extendedprice"), Seq(0.25, 0.9))
+            .as("_ps"))
+          .select(col("l_linestatus"),
+            element_at(col("_ps"), 1).as("p25"),
+            element_at(col("_ps"), 2).as("p90")),
+      Some("""SELECT l_linestatus, ps[1] AS p25, ps[2] AS p90
+             |FROM (SELECT l_linestatus,
+             |        quantile_cont(l_extendedprice, [0.25, 0.9]) AS ps
+             |      FROM lineitem GROUP BY l_linestatus)""".stripMargin)),
 
     // first/last by timestamp (ref: stats/esp_first.erl, c_agg.erl:19-26).
     "agg_first_last" -> QueryDef(
@@ -202,9 +205,10 @@ object AggPack extends QueryPack {
       (s, dir) =>
         Tables.events(s, dir)
           .groupBy(col("user_id"))
-          .agg(
-            AggFunctions.elapsedList(col("ts_ms")).as("elapsed"),
-            AggFunctions.differenceList(col("value"), col("ts_ms")).as("diffs")),
+          .agg(AggFunctions.sortedTsValues(col("value"), col("ts_ms")).as("_l"))
+          .select(col("user_id"),
+            AggFunctions.elapsedFrom(col("_l")).as("elapsed"),
+            AggFunctions.differenceFrom(col("_l")).as("diffs")),
       Some("""SELECT user_id,
              |  CASE WHEN len(tl) >= 2 THEN array_to_string(
              |    [(tl[i] - tl[i-1])::VARCHAR for i in range(2, len(tl)+1)], ',')

@@ -223,8 +223,11 @@ object LlmPack extends QueryPack {
            |FROM embeddings""".stripMargin
       }),
 
-    // ANN scale path: LSH sign-bit buckets — approximate by construction,
-    // so rows-only (the brute-force query above carries the exact oracle).
+    // ANN scale path: LSH sign-bit buckets. Approximate vs brute force,
+    // but fully deterministic: the hyperplanes are md5-derived literals
+    // (VectorOps.planes), so the oracle replays the exact bucket
+    // assignment + bucket-join + rank — the whole algorithm is verified,
+    // not just row counts.
     "emb_ann_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -232,7 +235,32 @@ object LlmPack extends QueryPack {
           emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
           3, nPlanes = 4)
       },
-      None),
+      Some {
+        val ps = VectorOps.planes(4, 64)
+        def planeLit(p: Array[Float]) =
+          p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+        // bit j = (v · plane_j) > 0, summed — same order-free integer sum
+        // as VectorOps.lshBucket's reduce(_ + _).
+        def bkt(vec: String) = ps.zipWithIndex.map { case (p, j) =>
+          s"""(CASE WHEN ${dotSql(vec, planeLit(p))} > 0
+             | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+        }.mkString(" +\n  ")
+        val dotQC = dotSql("embedding", "qe")
+        val nC = dotSql("embedding", "embedding")
+        val nQ = dotSql("qe", "qe")
+        s"""WITH c AS (SELECT vec_id, embedding, ${bkt("embedding")} AS bkt
+           |           FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS qe, ${bkt("embedding")} AS bkt
+           |      FROM embeddings WHERE vec_id % 100 = 0),
+           |s AS (SELECT q_id, vec_id,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.q_id)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, round(sim, 6) AS sim
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+           |      FROM s)
+           |WHERE rnk <= 3""".stripMargin
+      }),
 
     // ---- multimodal plumbing -------------------------------------------
     "mm_features" -> QueryDef(

@@ -25,17 +25,27 @@ object RestructurePack extends QueryPack {
              |  UNNEST(generate_series(1, len(embedding))) AS t(i)""".stripMargin)),
 
     // fields_to_array: listed fields → array of {name,value} structs
-    // (ref: esp_fields_to_array.erl:33-70). Rows-only check: the nested
-    // array-of-structs column has no hash-stable oracle representation;
-    // the exploded form below carries the strong oracle for the same op.
+    // (ref: esp_fields_to_array.erl:33-70). The compared column is the
+    // array canonicalized to one scalar string (name:scaled-int joined) —
+    // array cells crash the driver's pandas sort, and floor(x*10000) is the
+    // engine-stable double rendering (both engines run identical IEEE ops;
+    // raw double→string differs on sci-notation thresholds).
     "restr_fields_to_array" -> QueryDef(
       (s, dir) =>
         Restructure.fieldsToArray(
           Tables.lineitem(s, dir)
             .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"),
           Seq("l_quantity", "l_discount", "l_tax"), "kv")
-          .select("l_orderkey", "l_linenumber", "kv"),
-      None),
+          .select(col("l_orderkey"), col("l_linenumber"),
+            array_join(transform(col("kv"), x =>
+              concat(x.getField("name"), lit(":"),
+                floor(x.getField("value") * 10000).cast("long").cast("string"))),
+              ",").as("kv")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  'l_quantity:' || CAST(floor(l_quantity * 10000) AS BIGINT) ||
+             |  ',l_discount:' || CAST(floor(l_discount * 10000) AS BIGINT) ||
+             |  ',l_tax:' || CAST(floor(l_tax * 10000) AS BIGINT) AS kv
+             |FROM lineitem""".stripMargin)),
 
     // relational form: one row per field.
     "restr_fields_to_rows" -> QueryDef(
