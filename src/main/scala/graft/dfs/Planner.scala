@@ -25,7 +25,7 @@ object Planner {
 
   /** Plan-time context flowing down a chain. */
   final case class Win(kind: String, periodMs: Long, everyMs: Long,
-      fillPeriod: Boolean)
+      fillPeriod: Boolean, alignMs: Option[Long] = None)
   final case class Ctx(df: DataFrame, keys: Seq[String], win: Option[Win],
       io: IoType, ts: String, tsMs: String)
 
@@ -108,6 +108,24 @@ object Planner {
       Lambdas.randomInt(n.toInt)
     case LCall("member", x +: rest) if rest.nonEmpty =>
       Lambdas.member(lambdaColumn(x, defs), rest.map(lambdaColumn(_, defs)))
+    // engine-conf / flow-memory access, resolved at PLAN time into
+    // literals (graft.core.{EngineConf, MemStore}; refs: dfs/test/env.dfs,
+    // esp_mem.erl:1-13 lambda-visible ETS values).
+    case LCall("env", Seq(LStr(name))) =>
+      graft.core.EngineConf.envColumn(interp(name, defs), lit(null))
+    case LCall("env", Seq(LStr(name), d)) =>
+      graft.core.EngineConf.envColumn(interp(name, defs), lambdaColumn(d, defs))
+    case LCall("env", Seq(nameExpr, d)) =>
+      graft.core.EngineConf.envColumnDynamic(
+        lambdaColumn(nameExpr, defs), lambdaColumn(d, defs))
+    case LCall("mem", Seq(LStr(key))) =>
+      graft.core.MemStore.memColumn(interp(key, defs))
+    case LCall("mem", Seq(LStr(key), d)) =>
+      graft.core.MemStore.memColumn(interp(key, defs), lambdaColumn(d, defs))
+    case LCall("ls_mem", Seq(LStr(key))) =>
+      graft.core.MemStore.lsMemColumn(interp(key, defs))
+    case LCall("ls_mem_member", Seq(x, LStr(key))) =>
+      graft.core.MemStore.lsMemMember(lambdaColumn(x, defs), interp(key, defs))
     case LCall(name, args) =>
       Lambdas.registry.get(name) match {
         case Some(b) => b(args.map(lambdaColumn(_, defs)))
@@ -593,8 +611,229 @@ object Planner {
         val tol = optDurMs(n, "tolerance", env)
         ctx.copy(df = Joins.asOfLatest(ctx.df, right.df, keys,
           ctx.tsMs, right.tsMs, fields, prefix, tol))
+      }),
+
+    // `join` — conflate rows from two streams whose timestamps align within
+    // .tolerance on the stream key (ref: esp_join.erl:50-248; the actor's
+    // nearest-ts buffer, :93,199-206, becomes the single-shuffle
+    // asOfNearest). Modes: prefix join (default; right fields land under
+    // .prefix, :182-196), .merge_field (numbers add / strings concat /
+    // maps merge, :166-179,232-241), .full/.fill (complete rows only vs
+    // fill partials, :61-70,146-155). .missing_timeout is wall-clock
+    // stream pacing — accepted and ignored in batch.
+    "join" -> NodeDef(Some(Point), Point,
+      Set("joined", "prefix", "merge_field", "missing_timeout", "tolerance",
+        "fill", "full"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val rightRef = (n.args.collect { case VRef(r) => r } ++
+          optStrs(n, "joined", env)).headOption
+          .getOrElse(throw DfsError("join needs a stream reference: |join(other)"))
+        val right = env.frames(rightRef)
+        if (ctx.keys.isEmpty)
+          throw DfsError("join needs group_by keys upstream " +
+            "(a keyless join is a single global timeline)")
+        val tol = optDurMs(n, "tolerance", env).getOrElse(2000L) // ref default 2s
+        // full=true (default): complete rows only (inner) — esp_join.erl:62,
+        // 70; full=false or a .fill(value) → emit partials (outer).
+        val full = optVals(n, "full", env).headOption match {
+          case Some(VBool(b)) => b
+          case _ => !n.options.contains("fill")
+        }
+        optStr(n, "merge_field", env) match {
+          case Some(mf) =>
+            val joined = Joins.asOfNearest(ctx.df, right.df, ctx.keys,
+              ctx.tsMs, right.tsMs, Seq(mf), "_m_", Some(tol))
+            val matched = col(s"_m_${right.tsMs}")
+            val base = if (full) joined.filter(matched.isNotNull) else joined
+            ctx.copy(df = Joins.mergeValues(base, mf, s"_m_$mf", mf)
+              .drop(s"_m_$mf", s"_m_${right.tsMs}"))
+          case None =>
+            val prefix = optStrs(n, "prefix", env).lastOption.getOrElse("r_")
+            val vcols = right.df.columns.toSeq
+              .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs)
+            val joined = Joins.asOfNearest(ctx.df, right.df, ctx.keys,
+              ctx.tsMs, right.tsMs, vcols, prefix, Some(tol))
+            ctx.copy(df =
+              if (full) joined.filter(col(s"$prefix${right.tsMs}").isNotNull)
+              else joined)
+        }
+      }),
+
+    // collect_fields — latest value of each listed field combined into one
+    // row per stream key (ref: esp_collect_fields.erl:33-102; batch analog
+    // = the actor cache's final state).
+    "collect_fields" -> NodeDef(Some(Point), Point,
+      Set("fields", "default", "emit_unchanged", "keep", "keep_as"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val fields = optStrs(n, "fields", env)
+        if (fields.isEmpty) throw DfsError("collect_fields: .fields")
+        val default = optVals(n, "default", env).headOption
+          .map(v => lambdaColumn(valueToLit(v), env.defs))
+        val aggs = fields.map { f =>
+          val fc = Paths.ref(f)
+          // latest NON-NULL value: null rows get a null ordering key, which
+          // max_by ignores — matches the actor skipping absent fields.
+          val latest = max_by(fc, when(fc.isNotNull, col(ctx.tsMs)))
+          default.fold(latest)(d => coalesce(latest, d)).as(f)
+        }
+        val out =
+          if (ctx.keys.nonEmpty)
+            ctx.df.groupBy(keyCols(ctx): _*).agg(aggs.head, aggs.tail: _*)
+          else ctx.df.agg(aggs.head, aggs.tail: _*)
+        ctx.copy(df = out, win = None)
+      }),
+
+    // collect_unique — latest row per (stream key, discriminant field);
+    // .max_age evicts buffer entries older than the newest entry minus the
+    // age (ref: esp_collect_unique.erl:51-122). The age filter runs on the
+    // deduplicated (small) buffer state, not the raw stream.
+    "collect_unique" -> NodeDef(Some(Point), Point,
+      Set("field", "min_vals", "keep", "keep_as", "as", "max_age"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val f = optStr(n, "field", env)
+          .getOrElse(throw DfsError("collect_unique: .field"))
+        val deduped = Joins.collectUnique(ctx.df,
+          keyCols(ctx) :+ Paths.ref(f), orderCols(ctx))
+        val out = optDurMs(n, "max_age", env) match {
+          case Some(age) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCols(ctx): _*)
+            deduped.withColumn("_newest", max(col(ctx.tsMs)).over(w))
+              .filter(col(ctx.tsMs) >= col("_newest") - age)
+              .drop("_newest")
+          case None => deduped
+        }
+        ctx.copy(df = out)
+      }),
+
+    // mem — flow-wide value memory: gathers a SMALL scalar/list from the
+    // stream (and/or .default pre-population) into MemStore, readable from
+    // any later-planned lambda via mem()/ls_mem() (ref: esp_mem.erl:1-13,
+    // 30-53). The single-row aggregate is materialized driver-side at plan
+    // time — the literal analog of the reference's ETS table, same cost
+    // class as a broadcast dim; the stream itself passes through unchanged.
+    "mem" -> NodeDef(Some(Both), Both,
+      Set("field", "type", "key", "default", "default_json"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val typ = optStr(n, "type", env).getOrElse("single")
+        val field = optStr(n, "field", env)
+        val key = optStr(n, "key", env).orElse(field).getOrElse("StreamLookup")
+        val defaults = optVals(n, "default", env).map(valueAny)
+        if (defaults.nonEmpty) {
+          if (typ == "single") graft.core.MemStore.put(key, defaults.head)
+          else graft.core.MemStore.putList(key, defaults)
+        }
+        field.foreach { fName =>
+          val fc = Paths.ref(fName)
+          val ord =
+            if (ctx.tsMs.nonEmpty) col(ctx.tsMs)
+            else fc // no event time: value order (deterministic)
+          typ match {
+            case "single" =>
+              graft.core.MemStore.put(key,
+                ctx.df.agg(max_by(fc, ord)).head.get(0))
+            case "list" =>
+              val rows = ctx.df
+                .agg(sort_array(collect_list(struct(ord.as("_o"), fc.as("_v")))))
+                .head.getSeq[org.apache.spark.sql.Row](0)
+              graft.core.MemStore.putList(key, rows.map(_.get(1)))
+            case "set" =>
+              graft.core.MemStore.putList(key,
+                ctx.df.agg(sort_array(collect_set(fc))).head.getSeq[Any](0))
+            case t => throw DfsError(s"mem: unknown type '$t'")
+          }
+        }
+        ctx
+      }),
+
+    // parser — payload string → declared fields; Spark-native format is
+    // JSON with a .schema(ddl) (ref: esp_parser.erl:29-93; SURVEY §7.4
+    // parser outputs need declared schemas). .changed drops rows whose
+    // payload digest equals the previous row's (the crc32 dedup, :63-77).
+    "parser" -> pt(Set("field", "as", "parser", "schema", "changed")) {
+      (ctx, n, env) =>
+        val f = optStr(n, "field", env).getOrElse(throw DfsError("parser: .field"))
+        val parserName = optStr(n, "parser", env).getOrElse("json")
+        if (!parserName.contains("json"))
+          throw DfsError(s"parser '$parserName' not available — the " +
+            "Spark-native payload format is JSON with a declared .schema(ddl)")
+        val ddl = optStr(n, "schema", env)
+          .getOrElse(throw DfsError("parser: .schema(ddl)"))
+        val pre =
+          if (!n.options.contains("changed")) ctx.df
+          else {
+            if (ctx.keys.isEmpty)
+              throw DfsError("parser .changed needs group_by keys upstream")
+            graft.operators.stateless.ParserOps.changedOnly(
+              ctx.df, Paths.ref(f), keyCols(ctx), orderCols(ctx))
+          }
+        graft.operators.stateless.ParserOps.parseJson(pre, Paths.ref(f), ddl,
+          optStr(n, "as", env).getOrElse("data"))
+    },
+
+    // state_change_bulk — enter/leave edges for several monitored states at
+    // once (ref: esp_state_change_bulk semantics via lib/state_change.erl).
+    "state_change_bulk" -> pt(Set("as")) { (ctx, n, env) =>
+      val lambdas = argLambdas(n, env).map(lambdaColumn(_, env.defs))
+      val names = optStrs(n, "as", env)
+      if (names.size != lambdas.size || lambdas.isEmpty)
+        throw DfsError("state_change_bulk: .as arity must match lambda count")
+      StateOps.stateChangeBulk(ctx.df, names.zip(lambdas),
+        keyCols(ctx), orderCols(ctx))
+    },
+
+    // triggered_timeout — emit trigger rows not followed by a cancel within
+    // .timeout (ref: esp_triggered_timeout.erl:46-56). Batch analog is a
+    // forward-looking window min; the wall-clock timer FSM lives in
+    // graft.streaming.Streaming.triggeredTimeout.
+    "triggered_timeout" -> pt(
+      Set("timeout", "timeout_trigger", "cancel_trigger")) { (ctx, n, env) =>
+      val to = optDurMs(n, "timeout", env)
+        .getOrElse(throw DfsError("triggered_timeout: .timeout"))
+      val trig = (argLambdas(n, env) ++ optLambdas(n, "timeout_trigger", env))
+        .headOption.map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("triggered_timeout: .timeout_trigger(lambda)"))
+      val cancel = optLambdas(n, "cancel_trigger", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("triggered_timeout: .cancel_trigger(lambda)"))
+      StateOps.triggeredTimeout(ctx.df, trig, cancel, to, col(ctx.tsMs),
+        keyCols(ctx), orderCols(ctx))
+    },
+
+    // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
+    // .align() floors the emitted window timestamp to the unit boundary
+    // (:121-127). Non-deterministic by nature — excluded from oracles.
+    "win_clock" -> NodeDef(Some(Point), Batch, Set("every", "align"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val every = optDurMs(n, "every", env)
+          .getOrElse(throw DfsError("win_clock: .every"))
+        val align = optVals(n, "align", env).headOption match {
+          case Some(VDur(ms, _)) => Some(ms)
+          case Some(VNum(v, _)) => Some(v.toLong)
+          case Some(VBool(true)) => Some(every)
+          case Some(VBool(false)) => None
+          case None => if (n.options.contains("align")) Some(every) else None
+          case Some(v) => throw DfsError(s"win_clock: bad .align value $v")
+        }
+        ctx.copy(win = Some(Win("clock", every, every, fillPeriod = false,
+          align)), io = Batch)
       })
   )
+
+  /** Value → plain Scala value, for MemStore population. */
+  private def valueAny(v: Value): Any = v match {
+    case VStr(s) => s
+    case VNum(d, true) => d.toLong
+    case VNum(d, false) => d
+    case VBool(b) => b
+    case VDur(ms, _) => ms
+    case other => throw DfsError(s"mem: cannot store $other")
+  }
 
   private def valueToLit(v: Value): LExpr = v match {
     case VStr(s) => LStr(s)
@@ -636,14 +875,16 @@ object Planner {
 
   private def groupedAggOn(ctx: Ctx, aggs: Seq[Column]): DataFrame =
     ctx.win match {
-      case Some(Win("count", p, e, _)) =>
+      case Some(Win("count", p, e, _, _)) =>
         if (p == e)
           Windows.countTumblingAgg(ctx.df, p.toInt, orderCols(ctx),
             keyCols(ctx), aggs)
         else
           Windows.countSlidingAgg(ctx.df, p.toInt, e.toInt, orderCols(ctx),
             keyCols(ctx), aggs)
-      case Some(Win("time", p, e, fill)) =>
+      case Some(Win("clock", p, _, _, align)) =>
+        Windows.clockAgg(ctx.df, s"$p milliseconds", keyCols(ctx), aggs, align)
+      case Some(Win("time", p, e, fill, _)) =>
         val windowed =
           if (p == e)
             Windows.tumblingAgg(ctx.df, col(ctx.ts), s"$p milliseconds",
@@ -652,7 +893,7 @@ object Planner {
             Windows.slidingAgg(ctx.df, col(ctx.ts), s"$p milliseconds",
               s"$e milliseconds", keyCols(ctx), aggs)
         if (fill) Windows.fillPeriod(windowed, ctx.df, col(ctx.ts)) else windowed
-      case Some(Win("session", gap, _, _)) =>
+      case Some(Win("session", gap, _, _, _)) =>
         Windows.sessionAgg(ctx.df, col(ctx.ts), s"$gap milliseconds",
           keyCols(ctx), aggs)
       case _ if ctx.keys.nonEmpty =>

@@ -123,6 +123,13 @@ object Lambdas {
     "floor" -> { a => floorOf(a.head) },
     "ceil" -> { a => ceilOf(a.head) },
     "mod" -> { a => modOf(a(0), a(1)) },
+    // map_get(Key, Map[, Default]) — faxe arg order
+    // (faxe_lambdalib_tests.erl:29-31); a miss yields the default, or NULL
+    // (the columnar analog of faxe's <<"undefined">>).
+    "map_get" -> { a =>
+      if (a.length >= 3) mapGet(a(1), a(0), a(2))
+      else element_at(a(1), a(0))
+    },
     "ln" -> { a => lnOf(a.head) },
     "now" -> { _ => now() },
     "random" -> { _ => randomReal() }

@@ -205,6 +205,23 @@ object StateOps {
       .reduce(_ || _))
   }
 
+  /** `triggered_timeout` batch analog (ref: esp_triggered_timeout.erl:46-56
+    * timeout/timeout_trigger/cancel_trigger): emit every trigger row that is
+    * NOT followed by a cancel row within `timeoutMs` on the same key. The
+    * actor's per-key timer FSM becomes one forward-looking window min —
+    * single keyed shuffle, single sorted pass. The true wall-clock timer
+    * form is graft.streaming.Streaming.triggeredTimeout.
+    */
+  def triggeredTimeout(df: DataFrame, trigger: Column, cancel: Column,
+      timeoutMs: Long, tsMs: Column,
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = spec(keys, order).rowsBetween(1, Window.unboundedFollowing)
+    df.withColumn("_next_cancel", min(when(cancel, tsMs)).over(w))
+      .filter(trigger &&
+        (col("_next_cancel").isNull || col("_next_cancel") - tsMs > timeoutMs))
+      .drop("_next_cancel")
+  }
+
   /** `deadman` batch analog — detect silences longer than `thresholdMs`
     * (ref: esp_deadman.erl:43-75); emits one row per gap with the previous
     * timestamp and gap length. The true heartbeat-emitting form is the

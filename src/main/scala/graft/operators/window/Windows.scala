@@ -88,13 +88,23 @@ object Windows {
       df: DataFrame,
       duration: String,
       keys: Seq[Column],
-      aggs: Seq[Column]): DataFrame =
-    df.withColumn("_ingest_ts", current_timestamp())
+      aggs: Seq[Column],
+      alignMs: Option[Long] = None): DataFrame = {
+    val base = df.withColumn("_ingest_ts", current_timestamp())
       .groupBy(window(col("_ingest_ts"), duration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start_ms", unix_millis(col("window.start")))
       .withColumn("window_end_ms", unix_millis(col("window.end")))
       .drop("window")
+    // `align` (esp_win_clock.erl:121-127 faxe_time:align): the emitted
+    // window timestamp is floored to the align unit boundary — pure
+    // integer arithmetic on the already-computed start.
+    alignMs match {
+      case Some(a) => base.withColumn("window_start_ms",
+        col("window_start_ms") - pmod(col("window_start_ms"), lit(a)))
+      case None => base
+    }
+  }
 
   /** `win_event` sliding count window (period > every): every `every`-th
     * row per key emits an aggregate over the last `period` rows

@@ -105,6 +105,214 @@ object DfsPack extends QueryPack {
       Some("""SELECT e.event_id, n.n_name
              |FROM events e LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey""".stripMargin)),
 
+    // DFS `join` node, prefix mode (ref: esp_join.erl:50-248): two
+    // parquet-backed chains conflated on nearest-ts within .tolerance,
+    // complete rows only (full=true default).
+    "dfs_join" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """def views =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'view')
+          #|keep('user_id', 'ts_ms', 'value', 'event_id')
+          #
+          #def clicks =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'click')
+          #|keep('user_id', 'ts_ms', 'value', 'event_id')
+          #
+          #clicks
+          #|group_by('user_id')
+          #|join(views).prefix('r_').tolerance(1h)
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value, event_id
+             |           FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value, event_id
+             |           FROM events WHERE event_type = 'view'),
+             |b AS (SELECT l.event_id AS lid, r.ts_ms AS bts, r.value AS bval,
+             |        r.event_id AS bid
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms),
+             |f AS (SELECT l.event_id AS lid, r.ts_ms AS fts, r.value AS fval,
+             |        r.event_id AS fid
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms < r.ts_ms),
+             |n AS (SELECT l.user_id, l.ts_ms, l.value, l.event_id,
+             |  CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fts
+             |       ELSE bts END AS r_ts_ms,
+             |  CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fval
+             |       ELSE bval END AS r_value,
+             |  CASE WHEN bts IS NULL THEN fid WHEN fts IS NULL THEN bid
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fid
+             |       ELSE bid END AS r_event_id
+             |FROM l JOIN b ON l.event_id = b.lid
+             |       JOIN f ON l.event_id = f.lid)
+             |SELECT * FROM n
+             |WHERE r_ts_ms IS NOT NULL
+             |  AND abs(ts_ms - r_ts_ms) <= 3600000""".stripMargin)),
+
+    // DFS `join` .merge_field mode (esp_join.erl:166-179,232-241): matched
+    // rows merge the field — numbers add.
+    "dfs_join_merge" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """def views =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'view')
+          #|keep('user_id', 'ts_ms', 'value')
+          #
+          #def clicks =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'click')
+          #|keep('user_id', 'ts_ms', 'value', 'event_id')
+          #
+          #clicks
+          #|group_by('user_id')
+          #|join(views).merge_field('value').tolerance(30m)
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value, event_id
+             |           FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value
+             |           FROM events WHERE event_type = 'view'),
+             |b AS (SELECT l.event_id AS lid, r.ts_ms AS bts, r.value AS bval
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms),
+             |f AS (SELECT l.event_id AS lid, r.ts_ms AS fts, r.value AS fval
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms < r.ts_ms),
+             |n AS (SELECT l.user_id, l.ts_ms, l.event_id, l.value AS lval,
+             |  CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fts
+             |       ELSE bts END AS mts,
+             |  CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fval
+             |       ELSE bval END AS mval
+             |FROM l JOIN b ON l.event_id = b.lid
+             |       JOIN f ON l.event_id = f.lid)
+             |SELECT user_id, ts_ms, event_id, lval + mval AS value
+             |FROM n
+             |WHERE mts IS NOT NULL AND abs(ts_ms - mts) <= 1800000""".stripMargin)),
+
+    // DFS `join` with .full(false) (esp_join.erl:61-70 fill): partial rows
+    // pass with nulls — the outer form.
+    "dfs_join_outer" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """def views =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'view')
+          #|keep('user_id', 'ts_ms', 'value', 'event_id')
+          #
+          #def clicks =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'click')
+          #|keep('user_id', 'ts_ms', 'value', 'event_id')
+          #
+          #clicks
+          #|group_by('user_id')
+          #|join(views).prefix('r_').tolerance(10m).full(false)
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value, event_id
+             |           FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value, event_id
+             |           FROM events WHERE event_type = 'view'),
+             |b AS (SELECT l.event_id AS lid, r.ts_ms AS bts, r.value AS bval,
+             |        r.event_id AS bid
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms),
+             |f AS (SELECT l.event_id AS lid, r.ts_ms AS fts, r.value AS fval,
+             |        r.event_id AS fid
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms < r.ts_ms),
+             |n AS (SELECT l.user_id, l.ts_ms, l.value, l.event_id,
+             |  CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fts
+             |       ELSE bts END AS nts,
+             |  CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fval
+             |       ELSE bval END AS nval,
+             |  CASE WHEN bts IS NULL THEN fid WHEN fts IS NULL THEN bid
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fid
+             |       ELSE bid END AS nid
+             |FROM l JOIN b ON l.event_id = b.lid
+             |       JOIN f ON l.event_id = f.lid)
+             |SELECT user_id, ts_ms, value, event_id,
+             |  CASE WHEN abs(ts_ms - nts) <= 600000 THEN nts END AS r_ts_ms,
+             |  CASE WHEN abs(ts_ms - nts) <= 600000 THEN nval END AS r_value,
+             |  CASE WHEN abs(ts_ms - nts) <= 600000 THEN nid END AS r_event_id
+             |FROM n""".stripMargin)),
+
+    // collect_fields through the front-end: latest value of each listed
+    // field per stream key (esp_collect_fields.erl:33-102).
+    "dfs_collect_fields" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|collect_fields(.fields('value', 'event_type'))
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT user_id, arg_max(value, ts) AS value,
+             |  arg_max(event_type, ts) AS event_type
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // collect_unique through the front-end: latest row per (key, field
+    // discriminant) (esp_collect_unique.erl:51-122).
+    "dfs_collect_unique" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|collect_unique(.field('event_type'))
+          #|keep('user_id', 'event_type', 'ts_ms', 'value', 'event_id')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value, event_id
+             |FROM events
+             |QUALIFY row_number() OVER
+             |  (PARTITION BY user_id, event_type ORDER BY ts DESC) = 1""".stripMargin)),
+
+    // triggered_timeout through the front-end: click not followed by a
+    // purchase within 2h on the same user (esp_triggered_timeout.erl:46-56).
+    "dfs_triggered_timeout" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|triggered_timeout(lambda: "event_type" == 'click')
+          #  .cancel_trigger(lambda: "event_type" == 'purchase')
+          #  .timeout(2h)
+          #|keep('user_id', 'event_id', 'ts_ms')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT user_id, event_id, ts_ms FROM (
+             |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END)
+             |      OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+             |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+             |  FROM events)
+             |WHERE event_type = 'click'
+             |  AND (nc IS NULL OR nc - ts_ms > 7200000)""".stripMargin)),
+
+    // mem + env lambdas through the front-end: a mem node gathers a SET
+    // from one chain; ls_mem_member()/env() filter another
+    // (esp_mem.erl:1-13; dfs/test/env.dfs).
+    "dfs_mem_env" -> QueryDef(
+      (s, dir) => {
+        graft.core.MemStore.clear()
+        graft.core.EngineConf.set("GRAFT_TEST_CUTOFF", "40")
+        DfsEngine.runSingle(
+          """def hot =
+            #|parquet_read(.table('events'))
+            #|where(lambda: "value" > 99)
+            #|mem(.field('user_id').type('set').key('hot_users'))
+            #
+            #def base =
+            #|parquet_read(.table('events'))
+            #
+            #base
+            #|where(lambda: ls_mem_member("user_id", 'hot_users') AND "value" > float(env('GRAFT_TEST_CUTOFF', '0')))
+            #|keep('event_id', 'user_id', 'event_type', 'value')
+            #""".stripMargin('#'), s, dir)
+      },
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE user_id IN
+             |    (SELECT DISTINCT user_id FROM events WHERE value > 99)
+             |  AND value > 40""".stripMargin)),
+
     // stateless lambda pipeline through the front-end: eval chain with
     // sequential visibility + scalar library calls.
     "dfs_eval" -> QueryDef(
