@@ -82,30 +82,58 @@ object Dedup {
     * ops on longs beat 3-word strings); keeps pairs with jaccard >=
     * threshold. Returns (a, b, jac).
     */
+  /** Default per-bucket truncation for [[nearDupPairs]]: a degenerate
+    * bucket (thousands of byte-identical docs sharing a band hash) would
+    * otherwise go quadratic INSIDE the join — the named 100 TB killer.
+    * Docs ranked past the cap in a bucket are dropped from that bucket's
+    * candidates (deterministic: rank is by doc id); byte-identical swarms
+    * belong to exactDupGroups first, and [[nearDupClusterPairs]] is the
+    * linear-cost form that keeps every doc.
+    */
+  val DefaultMaxBucketSize = 4096
+
   def nearDupPairs(
       df: DataFrame,
       text: Column,
       id: Column,
       threshold: Double,
       bands: Int = 4,
-      rowsPerBand: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // materialize per-doc hashes once: bands + both sides of the verify
     // join would otherwise re-tokenize and re-md5 the corpus three times
     val base = withShingleHashes(df, text, "_hs")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = (0 until bands * rowsPerBand).foldLeft(base) { (d, i) =>
-      d.withColumn(s"sig$i",
-        array_min(transform(col("_hs"),
-          h => (lit(A(i)) * h + lit(B(i))) % lit(P))))
-    }
-    val bandRows = lshBands(sigs, id, bands, rowsPerBand)
-    val l = bandRows.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val r = bandRows.select(col("band").as("band_r"), col("bh").as("bh_r"),
+    val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
+      rowsPerBand)
+    // cap BEFORE the self-join: the explosion happens while the join
+    // enumerates matches, so post-join filtering would be too late
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val capped = bandRows.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxBucketSize).drop("_r")
+    val l = capped.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = capped.select(col("band").as("band_r"), col("bh").as("bh_r"),
       col("doc_id").as("b"))
     val cand = l.join(r,
         col("band") === col("band_r") && col("bh") === col("bh_r") &&
           col("a") < col("b"))
       .select("a", "b").distinct()
+    verifyJaccard(cand, base, id, threshold)
+  }
+
+  private def bandSigs(base: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    (0 until bands * rowsPerBand).foldLeft(base) { (d, i) =>
+      d.withColumn(s"sig$i",
+        array_min(transform(col("_hs"),
+          h => (lit(A(i)) * h + lit(B(i))) % lit(P))))
+    }
+
+  /** Exact-Jaccard verification of candidate (a, b) pairs against the
+    * persisted shingle-hash base; keeps pairs >= threshold.
+    */
+  private def verifyJaccard(cand: DataFrame, base: DataFrame, id: Column,
+      threshold: Double): DataFrame = {
     val sh = base.select(id.as("doc_id"), array_distinct(col("_hs")).as("sh"))
     val withSets = cand
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
@@ -116,6 +144,34 @@ object Dedup {
     withSets.withColumn("jac", round(jac, 6))
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), col("jac"))
+  }
+
+  /** Linear-cost near-dup linking: inside each LSH bucket every doc pairs
+    * with the bucket REPRESENTATIVE (min doc id) instead of every other
+    * doc — O(n) candidates per bucket instead of O(n²), no truncation, no
+    * recall cliff on degenerate buckets. A near-dup cluster comes out as a
+    * star centred on its representative; transitive closure (union-find
+    * over these edges) reconstructs full clusters. This is the form to
+    * run at 100 TB.
+    */
+  def nearDupClusterPairs(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      threshold: Double,
+      bands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame = {
+    val base = withShingleHashes(df, text, "_hs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
+      rowsPerBand)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh"))
+    val cand = bandRows.withColumn("_rep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("_rep"))
+      .select(col("_rep").as("a"), col("doc_id").as("b"))
+      .distinct()
+    verifyJaccard(cand, base, id, threshold)
   }
 
   /** 32-bit SimHash bit assembly over a precomputed token-hash array

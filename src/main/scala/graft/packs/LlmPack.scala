@@ -162,6 +162,37 @@ object LlmPack extends QueryPack {
            |SELECT a, b, jac FROM jac WHERE jac >= 0.3""".stripMargin
       }),
 
+    // linear-cost near-dup linking: each doc pairs with its bucket's
+    // representative (min doc_id) — O(n) candidates per bucket, the shape
+    // that survives degenerate buckets at 100 TB. Full SQL replay.
+    "dedup_near_clusters" -> QueryDef(
+      (s, dir) =>
+        Dedup.nearDupClusterPairs(Tables.documents(s, dir), col("text"),
+          col("doc_id"), 0.3),
+      Some {
+        val sigExprs = (0 until 8).map(i =>
+          s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
+          .mkString(", ")
+        val bandRows = (0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
+          .mkString("\nUNION ALL\n")
+        s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
+           |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
+           |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hs),
+           |sig AS (SELECT doc_id, $sigExprs FROM hs),
+           |bands AS ($bandRows),
+           |cand AS (SELECT DISTINCT rep AS a, doc_id AS b FROM
+           |           (SELECT doc_id, min(doc_id) OVER
+           |              (PARTITION BY band, bh) AS rep FROM bands)
+           |         WHERE doc_id <> rep),
+           |jac AS (SELECT a, b,
+           |          round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+           |            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jac
+           |        FROM cand JOIN shs x ON cand.a = x.doc_id
+           |                  JOIN shs y ON cand.b = y.doc_id)
+           |SELECT a, b, jac FROM jac WHERE jac >= 0.3""".stripMargin
+      }),
+
     "dedup_simhash" -> QueryDef(
       (s, dir) =>
         Dedup.withSimhash32(Tables.documents(s, dir), col("text"), "sh32")
@@ -255,6 +286,54 @@ object LlmPack extends QueryPack {
            |s AS (SELECT q_id, vec_id,
            |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
            |      FROM c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.q_id)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, round(sim, 6) AS sim
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+           |      FROM s)
+           |WHERE rnk <= 3""".stripMargin
+      }),
+
+    // multi-probe ANN (probes=2): each query also probes the bucket with
+    // its least-confident sign bit flipped — the recall knob for the scale
+    // path. The oracle replays probe selection: per-plane projections,
+    // argmin |projection| (ties to the lower plane index, matching
+    // sort_array struct ordering), XOR flip, OR-join on both buckets.
+    "emb_ann_multiprobe" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.annTopK(
+          emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          3, nPlanes = 4, probes = 2)
+      },
+      Some {
+        val ps = VectorOps.planes(4, 64)
+        def planeLit(p: Array[Float]) =
+          p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+        def bkt(vec: String) = ps.zipWithIndex.map { case (p, j) =>
+          s"""(CASE WHEN ${dotSql(vec, planeLit(p))} > 0
+             | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+        }.mkString(" +\n  ")
+        val dots = ps.zipWithIndex.map { case (p, j) =>
+          s"abs(${dotSql("qe", planeLit(p))}) AS ad$j"
+        }.mkString(",\n        ")
+        val dotQC = dotSql("embedding", "qe")
+        val nC = dotSql("embedding", "embedding")
+        val nQ = dotSql("qe", "qe")
+        s"""WITH c AS (SELECT vec_id, embedding, ${bkt("embedding")} AS bkt
+           |           FROM embeddings),
+           |q0 AS (SELECT vec_id AS q_id, embedding AS qe, ${bkt("embedding")} AS bkt,
+           |        $dots
+           |      FROM embeddings WHERE vec_id % 100 = 0),
+           |q AS (SELECT q_id, qe, bkt,
+           |        xor(bkt, CAST(1 AS BIGINT) << (
+           |          CASE WHEN ad0 <= ad1 AND ad0 <= ad2 AND ad0 <= ad3 THEN 0
+           |               WHEN ad1 <= ad2 AND ad1 <= ad3 THEN 1
+           |               WHEN ad2 <= ad3 THEN 2 ELSE 3 END)) AS bkt_alt
+           |      FROM q0),
+           |s AS (SELECT q_id, vec_id,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM c JOIN q ON (c.bkt = q.bkt OR c.bkt = q.bkt_alt)
+           |                      AND c.vec_id <> q.q_id)
            |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, round(sim, 6) AS sim
            |FROM (SELECT *, row_number() OVER
            |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk

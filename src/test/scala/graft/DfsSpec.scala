@@ -242,6 +242,73 @@ class DfsSpec extends AnyFunSuite {
     assert(m.samples.map(_.numInputRows).sum > 0)
   }
 
+  test("win_clock through the front-end: .align floors window starts") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|group_by('user_id')
+        #|win_clock(.every(45s).align(1m))
+        #|aggregate(.fields('value').functions('count').as('n'))
+        #""".stripMargin('#'), spark, sf)
+    assert(out.filter(pmod(col("window_start_ms"), lit(60000L)) =!= 0)
+      .count() == 0)
+    assert(out.count() > 0)
+  }
+
+  test("parser through the front-end: declared schema + .changed dedup") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|eval(lambda: str_concat('{"v":', string("user_id"), '}')).as('j')
+        #|parser(.field('j').schema('v BIGINT').as('p'))
+        #|where(lambda: "p.v" == "user_id")
+        #""".stripMargin('#'), spark, sf)
+    assert(out.count() == Tables.events(spark, sf).count())
+    // .changed drops consecutive same-payload rows per key
+    val changed = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|eval(lambda: str_concat('{"v":', string(mod("user_id", 2)), '}')).as('j')
+        #|group_by('user_id')
+        #|parser(.field('j').schema('v BIGINT').as('p').changed())
+        #""".stripMargin('#'), spark, sf)
+    // constant payload per user → exactly one row per user survives
+    assert(changed.count() ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+  }
+
+  test("state_change_bulk through the front-end: edge columns per state") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|group_by('user_id')
+        #|state_change_bulk(lambda: "value" > 50, lambda: "value" > 90)
+        #  .as('hi', 'vh')
+        #""".stripMargin('#'), spark, sf)
+    assert(out.columns.contains("hi_edge") && out.columns.contains("vh_edge"))
+    assert(out.count() > 0)
+    assert(out.filter(col("hi_edge").isNull && col("vh_edge").isNull)
+      .count() == 0)
+  }
+
+  test("join node: validation errors") {
+    // missing stream reference
+    val e1 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|group_by('user_id')
+        #|join(.tolerance(1h))
+        #""".stripMargin('#'), spark, sf))
+    assert(e1.msg.contains("stream reference"))
+    // keyless join rejected
+    val e2 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """def other =
+        #|parquet_read(.table('events'))
+        #
+        #def base =
+        #|parquet_read(.table('events'))
+        #
+        #base
+        #|join(other).tolerance(1h)
+        #""".stripMargin('#'), spark, sf))
+    assert(e2.msg.contains("group_by"))
+  }
+
   test("fan-out: named chain feeds union and combine") {
     val frames = DfsEngine.run(
       """def clicks =

@@ -59,6 +59,48 @@ class LlmSpec extends AnyFunSuite {
     assert((ann intersect brute).nonEmpty)
   }
 
+  test("degenerate LSH bucket: cap bounds candidates; cluster pairs stay linear") {
+    import spark.implicits._
+    // 1000 byte-identical docs — every band hashes to ONE bucket, the
+    // uncapped self-join would enumerate 1000·999/2 pairs per band.
+    val docs = (1L to 1000L)
+      .map(i => (i, "the same exact document text repeated for dedup testing"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, col("text"), col("doc_id"), 0.3,
+      maxBucketSize = 50)
+    // identical docs: jaccard 1.0, every capped pair survives; all bands
+    // produce the same 50-doc prefix, distinct collapses them
+    assert(pairs.count() == 50L * 49 / 2)
+    val stars = Dedup.nearDupClusterPairs(docs, col("text"), col("doc_id"), 0.3)
+    assert(stars.count() == 999) // every doc linked to the representative
+    assert(stars.filter(col("a") =!= 1L).count() == 0) // rep = min doc_id
+  }
+
+  test("bruteTopK fails fast on an oversized query side") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.bruteTopK(emb, emb, "vec_id", "embedding", 3, maxQueryRows = 10)
+    }
+    assert(e.getMessage.contains("too large to broadcast"))
+  }
+
+  test("multi-probe ann never degrades the k-th best similarity") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    def run(p: Int) = VectorOps
+      .annTopK(emb, q, "vec_id", "embedding", 3, nPlanes = 4, probes = p)
+      .select(col("q_id"), col("rnk"), col("sim"))
+    val p1 = run(1).withColumnRenamed("sim", "sim1")
+    val p3 = run(3).withColumnRenamed("sim", "sim3")
+    // candidates(probes=1) ⊆ candidates(probes=3), so at every rank the
+    // achieved similarity is monotonically non-decreasing
+    val worse = p1.join(p3, Seq("q_id", "rnk"))
+      .filter(col("sim3") < col("sim1")).count()
+    assert(worse == 0)
+    // and the extra probes actually reach new buckets somewhere
+    assert(run(3).count() >= run(1).count())
+  }
+
   test("decodePartitions runs a pluggable per-partition decoder") {
     val d = graft.operators.multimodal.Multimodal.withBlob(
       Tables.documents(spark, sf), col("text"))
