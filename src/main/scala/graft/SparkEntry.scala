@@ -17,7 +17,8 @@ object SparkEntry {
     graft.packs.JoinPack,
     graft.packs.LlmPack,
     graft.packs.LambdaPack,
-    graft.packs.DfsPack
+    graft.packs.DfsPack,
+    graft.packs.SourcePack
   )
 
   private lazy val all: Map[String, QueryDef] = QueryPack.combine(allPacks)

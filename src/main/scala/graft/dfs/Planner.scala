@@ -804,6 +804,34 @@ object Planner {
         keyCols(ctx), orderCols(ctx))
     },
 
+    // ---- broker nodes over the loopback connector (§2.7) ----
+    // mqtt_subscribe / amqp_consume — topic/queue scan of the loopback
+    // bus (refs: esp_mqtt_subscribe.erl:47-70, esp_amqp_consume.erl:
+    // 68-103); .stream(true) plans onto the MicroBatchStream (committed-
+    // offset resume ≈ ack). A broker deployment swaps LoopbackBus for the
+    // real client — the DSv2 surface is identical (README boundary).
+    "mqtt_subscribe" -> NodeDef(None, Point,
+      Set("topic", "group", "qos", "stream", "host", "port", "retained"),
+      (_, n, env) => brokerSubscribe(n, env, "topic"),
+    ),
+    "amqp_consume" -> NodeDef(None, Point,
+      Set("queue", "group", "exchange", "stream", "host", "port",
+        "routing_key", "prefetch"),
+      (_, n, env) => brokerSubscribe(n, env, "queue"),
+    ),
+    // mqtt_publish / amqp_publish — terminal publish of the stream into
+    // the bus (refs: esp_mqtt_publish.erl:46-78 incl. topic_lambda →
+    // .topic_field routing column; esp_amqp_publish.erl). Sink nodes ARE
+    // actions: the publish runs when the node plans.
+    "mqtt_publish" -> NodeDef(Some(Both), Both,
+      Set("topic", "topic_field", "qos", "retained", "host", "port"),
+      (c, n, env) => brokerPublish(requireCtx(c, n.name), n, env, "topic"),
+    ),
+    "amqp_publish" -> NodeDef(Some(Both), Both,
+      Set("exchange", "topic_field", "routing_key", "host", "port"),
+      (c, n, env) => brokerPublish(requireCtx(c, n.name), n, env, "exchange"),
+    ),
+
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.
@@ -824,6 +852,33 @@ object Planner {
           align)), io = Batch)
       })
   )
+
+  private def brokerSubscribe(n: NodeSpec, env: Env, topicOpt: String): Ctx = {
+    val topic = optStr(n, topicOpt, env)
+      .orElse(argStrs(n, env).headOption)
+      .getOrElse(throw DfsError(s"${n.name}: .$topicOpt"))
+    val group = optStr(n, "group", env).getOrElse("default")
+    val df =
+      if (optStr(n, "stream", env).contains("true"))
+        graft.sources.Loopback.subscribeStream(env.spark, topic, group)
+      else graft.sources.Loopback.subscribe(env.spark, topic)
+    Ctx(df, Nil, None, Point, "", "ts_ms")
+  }
+
+  private def brokerPublish(ctx: Ctx, n: NodeSpec, env: Env,
+      topicOpt: String): Ctx = {
+    val topic = optStr(n, topicOpt, env).getOrElse("")
+    val routed = optStr(n, "topic_field", env) match {
+      case Some(f) =>
+        ctx.df.withColumn("topic", Paths.ref(f).cast("string"))
+      case None =>
+        if (topic.isEmpty)
+          throw DfsError(s"${n.name}: .$topicOpt or .topic_field")
+        ctx.df
+    }
+    graft.sources.Loopback.publish(routed, topic)
+    ctx
+  }
 
   /** Value → plain Scala value, for MemStore population. */
   private def valueAny(v: Value): Any = v match {

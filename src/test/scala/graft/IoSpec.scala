@@ -10,6 +10,42 @@ class IoSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "io-test")
   val sf = "/root/testdata/sf0.001"
 
+  test("incremental poll planner: advancing windows, offset wait, stop, pacing") {
+    import graft.io.PollSource
+    import graft.io.PollSource.PollWindow
+    // start 1000, period 100, offset 20: first mark 1100, due at now>=1120
+    val p = new PollSource.IncrementalPoll(startMs = 1000L, periodMs = 100L,
+      offsetMs = 20L, minIntervalMs = 5L, stopMs = Some(1400L))
+    assert(p.next(nowMs = 1119L).isEmpty)            // ahead of time — wait
+    assert(p.next(nowMs = 1120L).contains(PollWindow(1000L, 1100L)))
+    // catch-up burst: due marks 1200, 1300, 1400 all fire; 1500 > stop
+    assert(p.catchUp(nowMs = 5000L) ==
+      Seq(PollWindow(1100L, 1200L), PollWindow(1200L, 1300L),
+        PollWindow(1300L, 1400L)))
+    assert(p.stopped && p.next(5000L).isEmpty)
+    // pacing hint: behind schedule → min_interval floor; ahead → gap
+    val q = new PollSource.IncrementalPoll(1000L, 100L, 20L, 5L)
+    assert(q.nextDueInMs(nowMs = 9999L) == 5L)
+    assert(q.nextDueInMs(nowMs = 1100L) == 20L)
+    // bounded burst
+    val r = new PollSource.IncrementalPoll(0L, 10L, 0L, 0L)
+    assert(r.catchUp(nowMs = 1000L, max = 3).size == 3)
+  }
+
+  test("poll windows partition the corpus: union of N polls == one scan") {
+    import graft.io.PollSource
+    val ev = Tables.events(spark, sf).select("event_id", "ts_ms")
+    val b = ev.agg(min("ts_ms"), max("ts_ms")).head
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val period = math.max(1L, (mx - mn) / 5)
+    val poller = new PollSource.IncrementalPoll(mn, period, 0L, 0L,
+      stopMs = Some(mx + period))
+    val out = PollSource.pollAll(poller, mx + period,
+      w => PollSource.poll(ev, col("ts_ms"), w)).get
+    assert(out.count() == ev.count())                 // covering
+    assert(out.select("event_id").distinct().count() == ev.count()) // disjoint
+  }
+
   test("csv sink/source round trip") {
     val path = "/tmp/graft-test-csv"
     val src = Tables.events(spark, sf)
