@@ -42,20 +42,25 @@ object TextOps {
     length(regexp_replace(text, "\\s+", ""))
 
   /** Ratio of tokens found in `words`, rounded to 6 decimals. */
-  def wordRatio(text: Column, words: Seq[String]): Column = {
-    val t = tokens(text)
+  def wordRatio(text: Column, words: Seq[String]): Column =
+    wordRatioFromTokens(tokens(text), words)
+
+  /** Precomputed-token form (see [[langScoreFromTokens]] on HOF CSE). */
+  def wordRatioFromTokens(toks: Column, words: Seq[String]): Column =
     round(
-      size(filter(t, tok => tok.isin(words.map(lit(_)): _*))) * lit(1.0) /
-        size(t), 6)
-  }
+      size(filter(toks, tok => tok.isin(words.map(lit(_)): _*))) * lit(1.0) /
+        size(toks), 6)
 
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
 
   /** Composite quality score in [0,1]: length saturation + stopword
     * presence + shortness penalty. A deterministic heuristic, not a model.
     */
-  def qualityScore(text: Column): Column = {
-    val t = tokens(text)
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokens(text))
+
+  /** Precomputed-token form (see [[langScoreFromTokens]] on HOF CSE). */
+  def qualityScoreFromTokens(t: Column): Column = {
     val lenScore = least(size(t) * lit(1.0) / 100.0, lit(1.0))
     val stopScore = least(
       size(filter(t, tok => tok.isin(StopwordsEn.map(lit(_)): _*))) *
@@ -74,9 +79,30 @@ object TextOps {
     "es" -> Seq("el", "los", "las", "y", "una", "es"),
     "en" -> StopwordsEn)
 
-  def langScore(text: Column, lang: String): Column = {
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromTokens(tokens(text), lang)
+
+  /** Precomputed-token form: Spark HOFs are interpreted with no codegen
+    * CSE, so a query scoring several languages must tokenize ONCE into a
+    * materialized column and feed it here — langId over 4 languages drops
+    * from ~12 tokenizations per row to 1.
+    */
+  def langScoreFromTokens(toks: Column, lang: String): Column = {
     val words = LangStops.toMap.apply(lang)
-    size(filter(tokens(text), tok => tok.isin(words.map(lit(_)): _*)))
+    size(filter(toks, tok => tok.isin(words.map(lit(_)): _*)))
+  }
+
+  /** langId over precomputed per-language scores (same tie-break order as
+    * [[langId]]: zh by CJK presence, then de, fr, es, en fallback).
+    */
+  def langIdFromScores(text: Column, de: Column, fr: Column, es: Column,
+      en: Column): Column = {
+    val zh = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    when(zh, "zh")
+      .when(de >= fr && de >= es && de >= en && de > 0, "de")
+      .when(fr >= es && fr >= en && fr > 0, "fr")
+      .when(es >= en && es > 0, "es")
+      .otherwise("en")
   }
 
   /** Deterministic language-ID: CJK characters → zh, else the stopword

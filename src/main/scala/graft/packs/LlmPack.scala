@@ -47,15 +47,18 @@ object LlmPack extends QueryPack {
     "text_stats" -> QueryDef(
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val t = col("text")
-        d.select(
-          col("doc_id"),
-          TextOps.tokenCount(t).as("n_tokens"),
-          TextOps.charCount(t).as("n_alpha"),
-          round(TextOps.charCount(t) * lit(1.0) / TextOps.tokenCount(t), 6)
-            .as("avg_tok_len"),
-          TextOps.wordRatio(t, TextOps.StopwordsEn).as("stop_ratio"),
-          TextOps.qualityScore(t).as("quality"))
+        // tokenize ONCE into a materialized column: HOFs are interpreted
+        // (no codegen CSE), so the five metrics must share one array
+        d.withColumn("_toks", TextOps.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            size(col("_toks")).as("n_tokens"),
+            TextOps.charCount(col("text")).as("n_alpha"),
+            round(TextOps.charCount(col("text")) * lit(1.0) /
+              size(col("_toks")), 6).as("avg_tok_len"),
+            TextOps.wordRatioFromTokens(col("_toks"), TextOps.StopwordsEn)
+              .as("stop_ratio"),
+            TextOps.qualityScoreFromTokens(col("_toks")).as("quality"))
       },
       Some(s"""SELECT doc_id,
               |  CAST(len($toks) AS INTEGER) AS n_tokens,
@@ -69,14 +72,18 @@ object LlmPack extends QueryPack {
 
     "text_langid" -> QueryDef(
       (s, dir) => {
-        val t = col("text")
-        Tables.documents(s, dir).select(
-          col("doc_id"),
-          TextOps.langScore(t, "de").as("s_de"),
-          TextOps.langScore(t, "fr").as("s_fr"),
-          TextOps.langScore(t, "es").as("s_es"),
-          TextOps.langScore(t, "en").as("s_en"),
-          TextOps.langId(t).as("lang_pred"))
+        // one tokenization + one filter per language (scores are reused by
+        // the langId CASE) instead of ~12 interpreted re-tokenizations
+        Tables.documents(s, dir)
+          .withColumn("_toks", TextOps.tokens(col("text")))
+          .withColumn("s_de", TextOps.langScoreFromTokens(col("_toks"), "de"))
+          .withColumn("s_fr", TextOps.langScoreFromTokens(col("_toks"), "fr"))
+          .withColumn("s_es", TextOps.langScoreFromTokens(col("_toks"), "es"))
+          .withColumn("s_en", TextOps.langScoreFromTokens(col("_toks"), "en"))
+          .select(
+            col("doc_id"), col("s_de"), col("s_fr"), col("s_es"), col("s_en"),
+            TextOps.langIdFromScores(col("text"), col("s_de"), col("s_fr"),
+              col("s_es"), col("s_en")).as("lang_pred"))
       },
       Some {
         val sc = TextOps.LangStops.toMap
