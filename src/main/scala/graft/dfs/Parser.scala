@@ -31,7 +31,10 @@ object Parser {
 
     def script(): Script = {
       var defs = Map.empty[String, Value]
-      var named = Map.empty[String, Chain]
+      // declaration order matters: unreferenced named chains (e.g. a `mem`
+      // side-effect chain) plan in script order, and a plain Map loses
+      // insertion order past 4 entries
+      var named = scala.collection.immutable.ListMap.empty[String, Chain]
       val chains = Seq.newBuilder[Chain]
       while (peek().isDefined) {
         peek() match {

@@ -313,8 +313,24 @@ object Planner {
       Transforms.keep(ctx.df, pairs)
     },
     "rename" -> pt(Set("fields", "as")) { (ctx, n, env) =>
-      Transforms.rename(ctx.df,
-        optStrs(n, "fields", env).zip(optStrs(n, "as", env)))
+      val fields = optStrs(n, "fields", env)
+      val asVals = optVals(n, "as", env)
+      if (fields.size != asVals.size)
+        throw DfsError("rename: .fields/.as arity mismatch")
+      val pairs = fields.zip(asVals).map {
+        case (f, VStr(s)) => f -> s
+        case (f, VLambda(e)) =>
+          // rename-by-lambda (esp_rename.erl:72-80): the lambda sees the
+          // old name as `__fieldname`. Column names are schema-level, so
+          // the lambda must be row-independent and evaluates ONCE at plan
+          // time (a data-field reference is rejected, not silently
+          // constant-folded).
+          val nameExpr = substFieldName(e, f)
+          val nameCol = lambdaColumn(nameExpr, env.defs).cast("string")
+          f -> env.spark.range(1).select(nameCol).head.getString(0)
+        case (_, v) => throw DfsError(s"rename: bad .as value $v")
+      }
+      Transforms.rename(ctx.df, pairs)
     },
     "sample" -> pt(Set("every", "rate", "keys")) { (ctx, n, env) =>
       optNum(n, "rate", env) match {
@@ -878,6 +894,22 @@ object Planner {
     }
     graft.sources.Loopback.publish(routed, topic)
     ctx
+  }
+
+  /** Substitute `__fieldname` in a rename lambda; any other field
+    * reference makes the name row-dependent — impossible in a relational
+    * schema — and is rejected with the reason.
+    */
+  private def substFieldName(e: LExpr, name: String): LExpr = e match {
+    case LField("__fieldname") => LStr(name)
+    case LField(other) => throw DfsError(
+      "rename: lambda-computed names must be row-independent — field " +
+        s"""reference "$other" is not allowed (only "__fieldname")""")
+    case LBin(op, l, r) =>
+      LBin(op, substFieldName(l, name), substFieldName(r, name))
+    case LNot(x) => LNot(substFieldName(x, name))
+    case LCall(fn, args) => LCall(fn, args.map(substFieldName(_, name)))
+    case other => other
   }
 
   /** Value → plain Scala value, for MemStore population. */

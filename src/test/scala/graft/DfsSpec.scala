@@ -287,6 +287,22 @@ class DfsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("rename-by-lambda: __fieldname computes names at plan time") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|rename(.fields('value', 'user_id')
+        #        .as(lambda: str_concat("__fieldname", '_x'), 'uid'))
+        #""".stripMargin('#'), spark, sf)
+    assert(out.columns.contains("value_x") && out.columns.contains("uid"))
+    assert(!out.columns.contains("value") && !out.columns.contains("user_id"))
+    // row-dependent names are impossible in a schema — rejected
+    val e = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|rename(.fields('value').as(lambda: str_concat("event_type", '_v')))
+        #""".stripMargin('#'), spark, sf))
+    assert(e.msg.contains("row-independent"))
+  }
+
   test("join node: validation errors") {
     // missing stream reference
     val e1 = intercept[Ir.DfsError](DfsEngine.runSingle(

@@ -42,4 +42,20 @@ class PlanLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("broadcast nested-loop joins only where sanctioned (guarded top-k)") {
+    // bruteTopK's crossJoin(broadcast(q)) is the ONE sanctioned
+    // all-pairs — it fails fast past MaxBroadcastQueries. Anywhere else a
+    // BNLJ means an equi-join lost its keys.
+    val sanctioned = Set("emb_cosine_topk")
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      flatten(plan).collect {
+        case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          if !sanctioned(name) => name
+      }
+    }.toSet
+    assert(offenders.isEmpty,
+      s"unsanctioned broadcast nested-loop joins in: ${offenders.mkString(", ")}")
+  }
 }
