@@ -23,6 +23,9 @@ object Sessions {
       // which Spark has no native type for; read them as nanosecond longs and
       // convert explicitly (see Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table warehouse (Tables.writeBucketed co-located joins);
+      // keep it out of the repo working dir
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

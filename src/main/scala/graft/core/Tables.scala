@@ -50,4 +50,18 @@ object Tables {
     load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "embeddings")
+
+  /** Persist `df` as a bucketed, per-bucket-sorted table. Two tables
+    * bucketed on the same keys with the same bucket count join WITHOUT
+    * any Exchange — the co-located join that turns a repeated 100 TB
+    * shuffle into a one-time layout cost. Size `buckets` so one bucket
+    * of the big fact fits an executor core (e.g. 4096 at 100 TB ≈ 25 GB
+    * raw / ~5 GB compressed per bucket).
+    */
+  def writeBucketed(df: DataFrame, name: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite").format("parquet").saveAsTable(name)
 }

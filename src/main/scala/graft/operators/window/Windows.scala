@@ -46,16 +46,23 @@ object Windows {
 
   /** `fill_period` option — suppress the partial head windows emitted before
     * one full period of data exists (ref: esp_win_time.erl:88-96 check_emit).
-    * Batch analog: keep only windows starting at/after the first timestamp;
-    * the bound is a one-row aggregate joined by broadcast.
+    * Batch analog: keep only windows starting at/after the first timestamp.
+    * The bound is a one-row setup aggregate resolved at plan time — a
+    * literal filter beats the broadcast nested-loop join a 1-row
+    * conditionless join compiles to. Streaming keeps the lazy join form.
     */
-  def fillPeriod(windowed: DataFrame, source: DataFrame, ts: Column): DataFrame = {
-    val bounds = source.agg(min(unix_millis(ts)).as("_min_ms"))
-    windowed
-      .join(broadcast(bounds))
-      .filter(col("window_start_ms") >= col("_min_ms"))
-      .drop("_min_ms")
-  }
+  def fillPeriod(windowed: DataFrame, source: DataFrame, ts: Column): DataFrame =
+    if (source.isStreaming) {
+      val bounds = source.agg(min(unix_millis(ts)).as("_min_ms"))
+      windowed
+        .join(broadcast(bounds))
+        .filter(col("window_start_ms") >= col("_min_ms"))
+        .drop("_min_ms")
+    } else {
+      val row = source.agg(min(unix_millis(ts))).head
+      if (row.isNullAt(0)) windowed // empty source → no windows anyway
+      else windowed.filter(col("window_start_ms") >= row.getLong(0))
+    }
 
   /** `win_session` — session window by inactivity gap
     * (ref: esp_win_session.erl:30-57). Native `session_window` (Spark 3.2+):

@@ -88,6 +88,21 @@ class LoopbackSpec extends AnyFunSuite {
     assert(back.count() == expected)
   }
 
+  test("DFS .stream(true) plans the chain onto the MicroBatchStream") {
+    LoopbackBus.clear()
+    (1 to 3).foreach(i => LoopbackBus.publish("sd", s"k$i", s"""{"v":$i}"""))
+    val df = DfsEngine.runSingle(
+      """|mqtt_subscribe(.topic('sd').stream(true))
+        #|parser(.field('payload').schema('v BIGINT').as('p'))
+        #|where(lambda: "p.v" >= 2)
+        #""".stripMargin('#'), spark, sf)
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("lb_dfs_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT count(*) FROM lb_dfs_stream").head.getLong(0) == 2)
+  }
+
   test("amqp aliases bind to the same bus") {
     LoopbackBus.clear()
     DfsEngine.runSingle(

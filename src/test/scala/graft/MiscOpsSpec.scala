@@ -10,6 +10,44 @@ class MiscOpsSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "misc-test")
   val sf = "/root/testdata/sf0.001"
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    // the in-memory catalog forgets tables across JVMs but warehouse
+    // files persist — clear both
+    Seq("bkt_events", "bkt_users").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      new scala.reflect.io.Directory(
+        new java.io.File(s"/tmp/graft-warehouse/$t")).deleteRecursively()
+    }
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    Tables.writeBucketed(ev, "bkt_events", Seq("user_id"), 4)
+    Tables.writeBucketed(
+      ev.groupBy("user_id").agg(org.apache.spark.sql.functions.avg("value")
+        .as("avg_value")),
+      "bkt_users", Seq("user_id"), 4)
+    // disable broadcast so the assertion proves CO-LOCATION, not just a
+    // small build side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_events")
+        .join(spark.table("bkt_users"), "user_id")
+      val plan = flatten(joined.queryExecution.executedPlan)
+      val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"expected a shuffle-free co-located join, found: $shuffles")
+      assert(plan.exists(_.nodeName.contains("Join")),
+        s"no join node in: ${plan.map(_.nodeName).mkString(", ")}")
+      assert(joined.count() == ev.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mergeValues: numbers add, strings concat, nulls coalesce") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, "a", "b"), (3.0, 4.0, "c", "d"))

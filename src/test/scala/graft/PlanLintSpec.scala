@@ -17,11 +17,12 @@ class PlanLintSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "plan-lint")
   val sf = "/root/testdata/sf0.001"
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] =
-    p +: (p.children ++ p.subqueries).flatMap {
-      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-      case c => flatten(c)
-    }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    // an AQE node is a barrier: it has NO children — descend explicitly
+    // through its current physical plan or the whole walk is vacuous
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(flatten)
+  }
 
   test("no query plan contains a global (unpartitioned) window") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
