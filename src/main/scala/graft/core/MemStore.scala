@@ -36,9 +36,32 @@ object MemStore {
   def getList(key: String): Option[Seq[Any]] = Option(lists.get(key))
   def clear(): Unit = { values.clear(); lists.clear() }
 
+  /** Parse a JSON map/list default into the store (esp_mem.erl:40-53
+    * prepare_default with default_json) — leaves stored as strings.
+    */
+  def putJson(key: String, json: String): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(json)
+    if (node.isObject) {
+      val it = node.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+      put(key, b.result())
+    } else if (node.isArray) {
+      val b = Seq.newBuilder[Any]
+      node.forEach(e => b += e.asText)
+      putList(key, b.result())
+    } else put(key, node.asText)
+  }
+
   private def toLit(v: Any): Column = v match {
     case null => lit(null)
     case c: Column => c
+    case m: Map[_, _] =>
+      // string-leaf map memory → a map literal (map_get in lambdas)
+      val entries = m.toSeq.sortBy(_._1.toString)
+      map(entries.flatMap { case (k, v2) =>
+        Seq(lit(k.toString), lit(v2.toString)) }: _*)
     case other => lit(other)
   }
 
@@ -49,11 +72,14 @@ object MemStore {
   def memColumn(key: String, default: Column = lit(null)): Column =
     get(key).map(toLit).getOrElse(default)
 
-  /** `ls_mem('key')` — the stored list as an array literal. */
+  /** `ls_mem('key')` — the stored list as an array literal; a map memory
+    * yields its map literal (reference scripts pass map memories to
+    * map_get, picking_tracking.dfs:43).
+    */
   def lsMemColumn(key: String): Column =
     getList(key) match {
       case Some(vs) if vs.nonEmpty => array(vs.map(toLit): _*)
-      case _ => lit(null)
+      case _ => get(key).map(toLit).getOrElse(lit(null))
     }
 
   /** `ls_mem_member(x, 'key')` — membership against the stored list;

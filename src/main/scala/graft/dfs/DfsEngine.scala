@@ -24,7 +24,8 @@ object DfsEngine {
     * as chain_1, chain_2, … plus named chains under their own names.
     */
   def run(src: String, spark: SparkSession, dir: String): Map[String, DataFrame] = {
-    val script = compile(src)
+    val script0 = compile(src)
+    val script = script0.copy(defs = foldDefs(script0.defs, spark))
     val memo = collection.mutable.Map.empty[String, Ctx]
 
     lazy val env: Env = Env(spark, dir, script.defs, frameOf)
@@ -33,7 +34,9 @@ object DfsEngine {
       val start: Option[Ctx] = chain.sourceRef.map(frameOf)
       chain.nodes.foldLeft(start) { (ctxOpt, n) =>
         val nd = nodes(n.name)
-        Some(nd.plan(ctxOpt, n, env))
+        // a source mid-chain ignores upstream (timer-driven emitters
+        // drop received items in the reference)
+        Some(nd.plan(if (nd.wants.isEmpty) None else ctxOpt, n, env))
       }.getOrElse(throw DfsError("empty chain"))
     }
 
@@ -48,6 +51,36 @@ object DfsEngine {
     }
     (named ++ anon).toMap
   }
+
+  /** Constant-fold `e:` expression defs to literal values before
+    * planning (dfs/test/env.dfs — faxe resolves these at deploy time).
+    * Catalyst does the evaluation: the expression runs over one literal
+    * row, so env()/string/bool logic all work; an expression that
+    * references a data field cannot be a constant and throws here.
+    */
+  private def foldDefs(defs: Map[String, Ir.Value],
+      spark: SparkSession): Map[String, Ir.Value] =
+    defs.map {
+      case (name, Ir.VLambda(e)) =>
+        val v =
+          try spark.range(1).select(Planner.lambdaColumn(e, defs).as("v"))
+            .head.get(0)
+          catch {
+            case ex: Exception => throw Ir.DfsError(
+              s"def '$name': expression is not a constant (${ex.getMessage})")
+          }
+        name -> (v match {
+          case null => Ir.VStr("")
+          case s: String => Ir.VStr(s)
+          case b: Boolean => Ir.VBool(b)
+          case i: Int => Ir.VNum(i.toDouble, isInt = true)
+          case l: Long => Ir.VNum(l.toDouble, isInt = true)
+          case d: Double => Ir.VNum(d, isInt = false)
+          case f: Float => Ir.VNum(f.toDouble, isInt = false)
+          case other => Ir.VStr(other.toString)
+        })
+      case kv => kv
+    }
 
   /** Single-result convenience: the last anonymous chain's DataFrame. */
   def runSingle(src: String, spark: SparkSession, dir: String): DataFrame = {

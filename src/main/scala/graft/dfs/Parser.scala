@@ -43,6 +43,18 @@ object Parser {
             val name = ident()
             expect(Eq)
             if (peek().contains(Pipe)) named += name -> chain(None)
+            else if (peek().exists(_.isInstanceOf[Ident]) &&
+                peek(1).contains(Pipe)) {
+              // `def x = other |node…` — a named chain sourced from a ref
+              val ref = ident()
+              named += name -> chain(Some(ref))
+            }
+            else if (peek().contains(LambdaKw)) {
+              // `def x = e: <expr>` (or lambda:) — an expression def,
+              // constant-folded by the engine before planning
+              next()
+              defs += name -> VLambda(orExpr())
+            }
             else defs += name -> literal()
           case Some(Ident(ref)) if peek(1).contains(Pipe) =>
             next()

@@ -36,7 +36,10 @@ object Planner {
       wants: Option[IoType], // None = source
       emits: IoType,
       opts: Set[String],
-      plan: (Option[Ctx], NodeSpec, Env) => Ctx)
+      plan: (Option[Ctx], NodeSpec, Env) => Ctx,
+      // true = may also START a chain with no upstream (a side-effect
+      // node like mem pre-populating flow memory, picking_tracking.dfs:6)
+      optionalInput: Boolean = false)
 
   // ---- value / lambda translation ---------------------------------------
 
@@ -91,6 +94,7 @@ object Planner {
         case Some(VStr(s)) => lit(s)
         case Some(VBool(b)) => lit(b)
         case Some(VDur(ms, _)) => lit(ms)
+        case Some(VLambda(inner)) => lambdaColumn(inner, defs)
         case _ => throw DfsError(s"undefined reference '$name' in lambda")
       }
     // literal-argument special forms
@@ -98,6 +102,9 @@ object Planner {
       Lambdas.roundFloat(lambdaColumn(x, defs), d.toInt)
     case LCall("str_replace", Seq(s, LStr(from), LStr(to))) =>
       Lambdas.strReplace(lambdaColumn(s, defs), interp(from, defs), interp(to, defs))
+    case LCall("str_replace", Seq(s, LStr(from), to)) =>
+      Lambdas.strReplaceDyn(lambdaColumn(s, defs), interp(from, defs),
+        lambdaColumn(to, defs))
     case LCall("str_slice", Seq(s, LNum(st, _), LNum(len, _))) =>
       Lambdas.strSlice(lambdaColumn(s, defs), st.toInt, len.toInt)
     case LCall("time_align", Seq(ms, LNum(d, _))) =>
@@ -188,6 +195,17 @@ object Planner {
       ctx.copy(df = f(ctx, n, e))
     })
 
+  /** Default node typing: components that do not declare wants/emits get
+    * `both` in the reference (df_component defaults — e.g. where, eval,
+    * keep accept points or batches and pass the item kind through).
+    */
+  private def bt(opts: Set[String])(
+      f: (Ctx, NodeSpec, Env) => DataFrame): NodeDef =
+    NodeDef(Some(Both), Both, opts, (c, n, e) => {
+      val ctx = requireCtx(c, n.name)
+      ctx.copy(df = f(ctx, n, e))
+    })
+
   /** Custom-operator extension point (the faxe `@python` component analog,
     * faxe_dfs.erl:12-16,186-193 — here a registered Scala NodeDef instead
     * of a worker-process class). Registered nodes validate and plan like
@@ -253,32 +271,47 @@ object Planner {
     // json_emitter test source: literal JSON docs → rows (ref:
     // esp_json_emitter.erl:37-66; .every/.jitter are stream pacing —
     // meaningless in batch, accepted and ignored).
-    "json_emitter" -> NodeDef(None, Point,
-      Set("every", "jitter", "select", "json", "as"),
+    "json_emitter" -> NodeDef(None, Both,
+      Set("every", "jitter", "select", "json", "as", "align"),
       (_, n, env) => {
         val docs = argStrs(n, env) ++ optStrs(n, "json", env)
         if (docs.isEmpty) throw DfsError("json_emitter needs JSON documents")
-        Ctx(graft.io.Sources.jsonEmitter(env.spark, docs), Nil, None,
-          Point, "", "")
+        // .every/.jitter/.align/.select are stream pacing — ignored in
+        // batch; `_seq` pins arrival order as the emitter's event time
+        val df = graft.io.Sources.jsonEmitterOrdered(env.spark, docs,
+          optStr(n, "as", env))
+        Ctx(df, Nil, None, Point, "", "_seq")
       }),
 
     // value_emitter test source: n deterministic synthetic points (ref:
     // esp_value_emitter.erl:26-66; random values become a hash sequence).
-    "value_emitter" -> NodeDef(None, Point, Set("every", "count", "type"),
+    "value_emitter" -> NodeDef(None, Both,
+      Set("every", "count", "type", "mode", "jitter", "fields",
+        "field_values"),
       (_, n, env) => {
         val count = optNum(n, "count", env).map(_.toLong).getOrElse(100L)
+        val value = optStr(n, "mode", env) match {
+          case Some("monotonic_int") => col("id")
+          case _ => pmod(col("id") * 2654435761L, lit(1000L))
+        }
+        // deterministic synthetic event time: emission i happens at
+        // BASE + i * every (the batch analog of the emitter's pacing)
+        val everyMs = optDurMs(n, "every", env).getOrElse(1000L)
+        val base = 1577836800000L // 2020-01-01T00:00:00Z
         val df = env.spark.range(count).toDF("id")
-          .withColumn("val", pmod(col("id") * 2654435761L, lit(1000L)))
-        Ctx(df, Nil, None, Point, "", "")
+          .withColumn("val", value)
+          .withColumn("ts_ms", lit(base) + col("id") * everyMs)
+          .withColumn("ts", timestamp_millis(col("ts_ms")))
+        Ctx(df, Nil, None, Point, "ts", "ts_ms")
       }),
 
     // ---- stateless transforms (§2.1) ----
-    "where" -> pt(Set("emit_empty")) { (ctx, n, env) =>
+    "where" -> bt(Set("emit_empty")) { (ctx, n, env) =>
       val pred = argLambdas(n, env).headOption
         .getOrElse(throw DfsError("where needs a lambda"))
       Transforms.where(ctx.df, lambdaColumn(pred, env.defs))
     },
-    "eval" -> pt(Set("as", "tags")) { (ctx, n, env) =>
+    "eval" -> bt(Set("as", "tags")) { (ctx, n, env) =>
       val lambdas = argLambdas(n, env)
       val as = optStrs(n, "as", env)
       if (as.size != lambdas.size)
@@ -288,23 +321,29 @@ object Planner {
         Paths.set(d, name, lambdaColumn(l, env.defs))
       }
     },
-    "default" -> pt(Set("field", "value", "fields", "values")) { (ctx, n, env) =>
-      val f = optStr(n, "field", env).getOrElse(throw DfsError("default: .field"))
-      val v = optVals(n, "value", env).headOption
-        .getOrElse(throw DfsError("default: .value"))
-      Transforms.default(ctx.df, f, lambdaColumn(valueToLit(v), env.defs))
+    "default" -> bt(
+      Set("field", "value", "fields", "values", "field_values")) { (ctx, n, env) =>
+      val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)
+      val vs = optVals(n, "value", env) ++ optVals(n, "values", env) ++
+        optVals(n, "field_values", env)
+      if (fs.isEmpty) throw DfsError("default: .field(s)")
+      if (fs.size != vs.size) throw DfsError("default: fields/values arity")
+      fs.zip(vs).foldLeft(ctx.df) { case (d, (f, v)) =>
+        Transforms.default(d, f, lambdaColumn(valueToLit(v), env.defs))
+      }
     },
-    "set" -> pt(Set("field", "value", "fields", "values")) { (ctx, n, env) =>
+    "set" -> bt(Set("field", "value", "fields", "values")) { (ctx, n, env) =>
       val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)
       val vs = optVals(n, "value", env) ++ optVals(n, "values", env)
       if (fs.size != vs.size) throw DfsError("set: fields/values arity")
       Transforms.setFields(ctx.df,
         fs.zip(vs.map(v => lambdaColumn(valueToLit(v), env.defs))))
     },
-    "delete" -> pt(Set("fields", "tags")) { (ctx, n, env) =>
-      Transforms.delete(ctx.df, optStrs(n, "fields", env))
+    "delete" -> bt(Set("fields", "tags")) { (ctx, n, env) =>
+      Transforms.delete(ctx.df,
+        argStrs(n, env) ++ optStrs(n, "fields", env))
     },
-    "keep" -> pt(Set("fields", "as")) { (ctx, n, env) =>
+    "keep" -> bt(Set("fields", "as")) { (ctx, n, env) =>
       val fs = argStrs(n, env) ++ optStrs(n, "fields", env)
       val as = optStrs(n, "as", env)
       val pairs =
@@ -312,9 +351,9 @@ object Planner {
         else fs.zip(as.map(Option(_)))
       Transforms.keep(ctx.df, pairs)
     },
-    "rename" -> pt(Set("fields", "as")) { (ctx, n, env) =>
+    "rename" -> bt(Set("fields", "as", "as_fields")) { (ctx, n, env) =>
       val fields = optStrs(n, "fields", env)
-      val asVals = optVals(n, "as", env)
+      val asVals = optVals(n, "as", env) ++ optVals(n, "as_fields", env)
       if (fields.size != asVals.size)
         throw DfsError("rename: .fields/.as arity mismatch")
       val pairs = fields.zip(asVals).map {
@@ -332,7 +371,7 @@ object Planner {
       }
       Transforms.rename(ctx.df, pairs)
     },
-    "sample" -> pt(Set("every", "rate", "keys")) { (ctx, n, env) =>
+    "sample" -> bt(Set("every", "rate", "keys")) { (ctx, n, env) =>
       optNum(n, "rate", env) match {
         case Some(nth) =>
           Transforms.sampleEveryN(ctx.df, nth.toInt, orderCols(ctx), keyCols(ctx))
@@ -342,11 +381,11 @@ object Planner {
           Transforms.sampleFirstPer(ctx.df, col(ctx.ts), dur, orderCols(ctx))
       }
     },
-    "shift" -> pt(Set("by")) { (ctx, n, env) =>
+    "shift" -> bt(Set("by")) { (ctx, n, env) =>
       val by = optDurMs(n, "by", env).getOrElse(throw DfsError("shift: .by"))
       Transforms.shift(ctx.df, ctx.ts, by)
     },
-    "jsonsize" -> pt(Set("field", "as")) { (ctx, n, env) =>
+    "jsonsize" -> bt(Set("field", "as")) { (ctx, n, env) =>
       val f = optStr(n, "field", env).getOrElse(throw DfsError("jsonsize: .field"))
       Transforms.jsonSize(ctx.df, col(f),
         optStr(n, "as", env).getOrElse("jsonsize"))
@@ -382,12 +421,12 @@ object Planner {
         ctx.df, optStrs(n, "fields", env),
         optStr(n, "as", env).getOrElse("collected"))
     },
-    "path_split" -> pt(Set("field")) { (ctx, n, env) =>
+    "path_split" -> bt(Set("field")) { (ctx, n, env) =>
       val f = optStr(n, "field", env).getOrElse(throw DfsError("path_split: .field"))
       graft.operators.restructure.Restructure.pathSplit(
         ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
     },
-    "extract_path" -> pt(Set("paths", "as", "default")) { (ctx, n, env) =>
+    "extract_path" -> bt(Set("paths", "as", "default")) { (ctx, n, env) =>
       val paths = optStrs(n, "paths", env)
       val as = optStrs(n, "as", env)
       if (paths.size != as.size)
@@ -399,7 +438,7 @@ object Planner {
           (graft.core.Paths.ref(p), default, a)
         })
     },
-    "unbatch" -> pt(Set("field")) { (ctx, n, env) =>
+    "unbatch" -> bt(Set("field")) { (ctx, n, env) =>
       val f = optStr(n, "field", env).getOrElse(throw DfsError("unbatch: .field"))
       graft.operators.restructure.Restructure.unbatch(
         ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
@@ -423,8 +462,17 @@ object Planner {
             d.withColumn(s"_gkey$i", lambdaColumn(l, env.defs))
           }, ls.indices.map(i => s"_gkey$i"))
         }
-        ctx.copy(df = df2, keys = ctx.keys ++
-          (argStrs(n, env) ++ optStrs(n, "fields", env)) ++ lambdaKeys)
+        // deep-path keys ('data.code') materialize to flat columns too:
+        // aggregation output attributes keep only the LAST path segment,
+        // so downstream nodes could not re-reference the struct path
+        val named = argStrs(n, env) ++ optStrs(n, "fields", env)
+        val (df3, fieldKeys) = named.foldLeft((df2, Seq.empty[String])) {
+          case ((d, ks), f) if f.contains(".") =>
+            val k = "_gkey_" + f.replace('.', '_')
+            (d.withColumn(k, Paths.ref(f)), ks :+ k)
+          case ((d, ks), f) => (d, ks :+ f)
+        }
+        ctx.copy(df = df3, keys = ctx.keys ++ fieldKeys ++ lambdaKeys)
       }),
     "win_time" -> NodeDef(Some(Point), Batch,
       Set("period", "every", "fill_period", "align"),
@@ -456,13 +504,15 @@ object Planner {
         ctx.copy(win = Some(Win("count", period, every, fillPeriod = false)),
           io = Batch)
       }),
-    "batch" -> NodeDef(Some(Point), Batch, Set("size", "timeout"),
+    "batch" -> NodeDef(Some(Both), Batch, Set("size", "timeout"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         if (ctx.keys.isEmpty)
           throw DfsError("batch needs group_by keys upstream " +
             "(streaming keyless form: graft.streaming.Streaming.countBatch)")
         val size = optNum(n, "size", env)
+          .orElse(n.args.map(resolve(_, env.defs))
+            .collectFirst { case VNum(v, _) => v })
           .getOrElse(throw DfsError("batch: .size")).toLong
         ctx.copy(win = Some(Win("count", size, size, fillPeriod = false)),
           io = Batch)
@@ -480,8 +530,19 @@ object Planner {
         val as = optStrs(n, "as", env)
         if (fields.size != funcs.size || fields.size != as.size)
           throw DfsError("aggregate: fields/functions/as must be same length")
-        val specs = fields.lazyZip(funcs).lazyZip(as).map(Aggregate.Spec(_, _, _))
-        ctx.copy(df = aggregateWithWindow(ctx, specs), win = None, io = Point)
+        // dotted output aliases nest into structs (faxe field paths):
+        // aggregate under flat temp names, then Paths.set each into place
+        val flat = as.zipWithIndex.map { case (a, i) =>
+          if (a.contains(".")) s"_agg$i" else a
+        }
+        val specs = fields.lazyZip(funcs).lazyZip(flat).map(Aggregate.Spec(_, _, _))
+        val agg0 = aggregateWithWindow(ctx, specs)
+        val restructured = as.zip(flat).filter { case (a, f) => a != f }
+          .foldLeft(agg0) { case (d, (a, f)) =>
+            Paths.set(d, a, col(s"`$f`")).drop(f)
+          }
+        ctx.copy(df = restructured, win = None, io = Point,
+          ts = "", tsMs = aggEventTime(ctx))
       }),
     "percentile" -> NodeDef(Some(Batch), Point, Set("fields", "as", "at"),
       (c, n, env) => {
@@ -492,11 +553,12 @@ object Planner {
         val as = optStrs(n, "as", env).headOption.getOrElse("percentile")
         val agg = graft.operators.agg.AggFunctions
           .percentile(col(field), at).as(as)
-        ctx.copy(df = groupedAgg(ctx, Seq(agg)), win = None, io = Point)
+        ctx.copy(df = groupedAgg(ctx, Seq(agg)), win = None, io = Point,
+          ts = "", tsMs = aggEventTime(ctx))
       }),
 
     // ---- branches (§2.1 case / if) ----
-    "case" -> pt(Set("values", "as", "default")) { (ctx, n, env) =>
+    "case" -> bt(Set("values", "as", "default")) { (ctx, n, env) =>
       val tests = argLambdas(n, env).map(lambdaColumn(_, env.defs))
       val values = optVals(n, "values", env)
         .map(v => lambdaColumn(valueToLit(v), env.defs))
@@ -508,15 +570,16 @@ object Planner {
       val as = optStr(n, "as", env).getOrElse(throw DfsError("case: .as"))
       Transforms.caseWhen(ctx.df, as, tests.zip(values), default)
     },
-    "if" -> pt(Set("then", "else", "as")) { (ctx, n, env) =>
+    "if" -> bt(Set("then", "else", "as")) { (ctx, n, env) =>
       val test = argLambdas(n, env).headOption
         .getOrElse(throw DfsError("if needs a lambda"))
       def valOf(o: String) = optVals(n, o, env).headOption
         .map(v => lambdaColumn(valueToLit(v), env.defs))
-        .getOrElse(throw DfsError(s"if: .$o"))
       Transforms.ifThen(ctx.df,
         optStr(n, "as", env).getOrElse(throw DfsError("if: .as")),
-        lambdaColumn(test, env.defs), valOf("then"), valOf("else"))
+        lambdaColumn(test, env.defs),
+        valOf("then").getOrElse(throw DfsError("if: .then")),
+        valOf("else").getOrElse(lit(null))) // no .else → NULL (if.dfs)
     },
 
     // ---- state ops (§2.6) ----
@@ -541,14 +604,18 @@ object Planner {
         optStr(n, "as", env).getOrElse("state_change"),
         keyCols(ctx), orderCols(ctx))
     },
-    "deadman" -> pt(Set("threshold", "interval")) { (ctx, n, env) =>
+    "deadman" -> bt(Set("threshold", "interval")) { (ctx, n, env) =>
       val thr = optDurMs(n, "threshold", env)
         .orElse(optDurMs(n, "interval", env))
         .getOrElse(throw DfsError("deadman: .threshold"))
       StateOps.deadmanGaps(ctx.df, col(ctx.tsMs), thr,
         keyCols(ctx), orderCols(ctx))
     },
-    "collect" -> pt(Set("key_fields", "add", "remove", "update")) { (ctx, n, env) =>
+    // .keep/.emit_every/.type/.as accepted: emit pacing and buffer typing
+    // are stream concerns — the batch analog always materializes the
+    // final buffer state with all columns
+    "collect" -> bt(Set("key_fields", "add", "remove", "update", "keep",
+      "keep_as", "emit_every", "type", "as")) { (ctx, n, env) =>
       val keys = optStrs(n, "key_fields", env)
       if (keys.isEmpty) throw DfsError("collect: .key_fields")
       (optLambdas(n, "add", env).headOption,
@@ -571,13 +638,13 @@ object Planner {
       StateOps.stateSequence(ctx.df, preds, tos, col(ctx.tsMs),
         keyCols(ctx), orderCols(ctx))
     },
-    "top" -> pt(Set("field", "n")) { (ctx, n, env) =>
+    "top" -> bt(Set("field", "n")) { (ctx, n, env) =>
       topBottom(ctx, n, env, desc = true)
     },
-    "bottom" -> pt(Set("field", "n")) { (ctx, n, env) =>
+    "bottom" -> bt(Set("field", "n")) { (ctx, n, env) =>
       topBottom(ctx, n, env, desc = false)
     },
-    "jsn_select" -> pt(Set("table", "keys", "fields")) { (ctx, n, env) =>
+    "jsn_select" -> bt(Set("table", "keys", "fields")) { (ctx, n, env) =>
       val table = optStr(n, "table", env)
         .getOrElse(throw DfsError("jsn_select: .table"))
       val ks = optStrs(n, "keys", env)
@@ -590,18 +657,27 @@ object Planner {
       graft.operators.join.Mem.lookup(ctx.df, proj,
         col(ks.head) === col(ks(1)))
     },
-    "change_detect" -> pt(Set("fields", "reset_timeout")) { (ctx, n, env) =>
+    "change_detect" -> bt(Set("fields", "reset_timeout")) { (ctx, n, env) =>
       StateOps.changeDetect(ctx.df,
         optStrs(n, "fields", env).map(col), keyCols(ctx), orderCols(ctx))
     },
-    "value_diff" -> pt(Set("field", "as", "mode")) { (ctx, n, env) =>
-      StateOps.valueDiff(ctx.df,
-        col(optStr(n, "field", env).getOrElse(throw DfsError("value_diff: .field"))),
-        optStr(n, "mode", env).getOrElse("c-p"),
-        optStr(n, "as", env).getOrElse("value_diff"),
-        keyCols(ctx), orderCols(ctx))
+    "value_diff" -> pt(Set("field", "fields", "as", "mode", "default")) { (ctx, n, env) =>
+      val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)
+      if (fs.isEmpty) throw DfsError("value_diff: .field(s)")
+      val as = optStrs(n, "as", env) match {
+        case a if a.size == fs.size => a
+        case Nil if fs.size == 1 => Seq("value_diff")
+        case _ => throw DfsError("value_diff: .as arity must match .fields")
+      }
+      val mode = optStr(n, "mode", env).getOrElse("c-p")
+      fs.zip(as).foldLeft(ctx.df) { case (d, (f, a)) =>
+        Paths.set(
+          StateOps.valueDiff(d, Paths.ref(f), mode, "_vd", keyCols(ctx),
+            orderCols(ctx)),
+          a, col("_vd")).drop("_vd")
+      }
     },
-    "time_diff" -> pt(Set("as", "unit")) { (ctx, n, env) =>
+    "time_diff" -> bt(Set("as", "unit")) { (ctx, n, env) =>
       StateOps.timeDiff(ctx.df, col(ctx.tsMs),
         optStr(n, "as", env).getOrElse("time_diff"),
         keyCols(ctx), orderCols(ctx))
@@ -734,15 +810,24 @@ object Planner {
     "mem" -> NodeDef(Some(Both), Both,
       Set("field", "type", "key", "default", "default_json"),
       (c, n, env) => {
-        val ctx = requireCtx(c, n.name)
         val typ = optStr(n, "type", env).getOrElse("single")
         val field = optStr(n, "field", env)
         val key = optStr(n, "key", env).orElse(field).getOrElse("StreamLookup")
         val defaults = optVals(n, "default", env).map(valueAny)
         if (defaults.nonEmpty) {
-          if (typ == "single") graft.core.MemStore.put(key, defaults.head)
+          if (n.options.contains("default_json"))
+            // .default_json: the default string parses as a JSON map/list
+            // (esp_mem.erl:40-53 prepare_default)
+            graft.core.MemStore.putJson(key, defaults.head.toString)
+          else if (typ == "single") graft.core.MemStore.put(key, defaults.head)
           else graft.core.MemStore.putList(key, defaults)
         }
+        // standalone form: a chain-starting mem only pre-populates
+        // (picking_tracking.dfs:6) — there is no stream to gather from
+        val ctx = c.getOrElse(
+          Ctx(env.spark.emptyDataFrame, Nil, None, Point, "", ""))
+        if (c.isEmpty && field.isDefined)
+          throw DfsError("mem: .field needs an upstream stream to gather from")
         field.foreach { fName =>
           val fc = Paths.ref(fName)
           val ord =
@@ -764,7 +849,8 @@ object Planner {
           }
         }
         ctx
-      }),
+      },
+      optionalInput = true),
 
     // parser — payload string → declared fields; Spark-native format is
     // JSON with a .schema(ddl) (ref: esp_parser.erl:29-93; SURVEY §7.4
@@ -848,10 +934,32 @@ object Planner {
       (c, n, env) => brokerPublish(requireCtx(c, n.name), n, env, "exchange"),
     ),
 
+    // count_change node (ref: esp_count_change.erl:25-55): per-window
+    // count of value changes — sugar over the count_change aggregate
+    // function. .keep_last(false) (reset continuity at batch boundaries)
+    // is accepted; the batch analog keeps keyed continuity, the
+    // reference's default.
+    "count_change" -> NodeDef(Some(Batch), Point,
+      Set("field", "as", "keep_last"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val f = optStr(n, "field", env)
+          .getOrElse(throw DfsError("count_change: .field"))
+        val as = optStr(n, "as", env).getOrElse("count_change")
+        val flat = if (as.contains(".")) "_cc_out" else as
+        val agg0 = aggregateWithWindow(ctx,
+          Seq(Aggregate.Spec(f, "count_change", flat)))
+        val out = if (flat == as) agg0
+          else Paths.set(agg0, as, col(flat)).drop(flat)
+        ctx.copy(df = out, win = None, io = Point,
+          ts = "", tsMs = aggEventTime(ctx))
+      }),
+
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.
-    "win_clock" -> NodeDef(Some(Point), Batch, Set("every", "align"),
+    "win_clock" -> NodeDef(Some(Point), Batch,
+      Set("every", "align", "fill_period"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val every = optDurMs(n, "every", env)
@@ -948,6 +1056,17 @@ object Planner {
       .filter(col("_rnk") <= k).drop("_rnk")
   }
 
+  /** Event time of a windowed aggregate's output: the window start
+    * (the reference stamps emitted points with the window ts). Keyed
+    * non-windowed aggregates have no row time left.
+    */
+  private def aggEventTime(ctx: Ctx): String = ctx.win match {
+    case Some(Win("time", _, _, _, _)) | Some(Win("clock", _, _, _, _)) =>
+      "window_start_ms"
+    case Some(Win("session", _, _, _, _)) => "session_start_ms"
+    case _ => ""
+  }
+
   private def groupedAgg(ctx: Ctx, aggs: Seq[Column]): DataFrame = {
     // streaming window aggregation needs the event-time watermark before
     // the groupBy; 0-delay = faxe's accept-any-ts with immediate eviction
@@ -1013,9 +1132,16 @@ object Planner {
     * wants/emits typing — errors mirror faxe_dfs.erl:165-183, 356-367.
     */
   def validate(script: Script): Unit = {
+    // the type-check compares ADJACENT DECLARED wants/emits, with `both`
+    // compatible either way — exactly faxe_dfs.erl:165-183
+    // (check_item_types on the declared pair, not a propagated type)
+    def chainEmits(c: Chain): IoType =
+      c.nodes.lastOption.flatMap(n => nodes.get(n.name))
+        .map(_.emits).getOrElse(Point)
     val allChains = script.namedChains.values ++ script.chains
     allChains.foreach { chain =>
-      var current: IoType = Point
+      var current: IoType = chain.sourceRef
+        .flatMap(script.namedChains.get).map(chainEmits).getOrElse(Point)
       var prevName = chain.sourceRef.map(r => s"'$r'").getOrElse("source")
       chain.nodes.zipWithIndex.foreach { case (n, idx) =>
         val nd = nodes.getOrElse(n.name, throw DfsError(
@@ -1024,18 +1150,21 @@ object Planner {
           if (!nd.opts.contains(o)) throw DfsError(
             s"Unknown option '$o' for node '${n.name}'.${suggest(o, nd.opts)}")
         }
+        val atStart = idx == 0 && chain.sourceRef.isEmpty
         nd.wants match {
           case None =>
-            if (idx > 0 || chain.sourceRef.isDefined)
-              throw DfsError(s"source node '${n.name}' must start a chain")
+            // a source mid-chain ignores its upstream and restarts the
+            // segment — faxe wires the edge but timer-driven emitters
+            // drop received items (picking_tracking.dfs mem→json_emitter)
+            ()
           case Some(w) =>
-            if (idx == 0 && chain.sourceRef.isEmpty)
+            if (atStart && !nd.optionalInput)
               throw DfsError(s"chain starts with non-source '${n.name}'")
-            if (w != Both && current != Both && w != current)
+            if (!atStart && w != Both && current != Both && w != current)
               throw DfsError(s"Cannot connect $prevName (emits: " +
                 s"${current.label}) to '${n.name}' (wants: ${w.label})")
         }
-        if (nd.emits != Both) current = nd.emits
+        current = nd.emits
         prevName = s"'${n.name}'"
       }
     }

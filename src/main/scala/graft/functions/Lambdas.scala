@@ -41,6 +41,12 @@ object Lambdas {
   def strConcat(xs: Column*): Column = concat(xs: _*)
   def strReplace(s: Column, from: String, to: String): Column =
     regexp_replace(s, java.util.regex.Pattern.quote(from), to)
+  /** Dynamic-replacement form (`str_replace(s, 'lit', expr)` —
+    * dfs/test/group_by.dfs:29). Caveat: `$` in the computed replacement
+    * is regexp-group syntax, as in the underlying regexp_replace.
+    */
+  def strReplaceDyn(s: Column, from: String, to: Column): Column =
+    regexp_replace(s, lit(java.util.regex.Pattern.quote(from)), to)
   def strEndsWith(s: Column, suffix: Column): Column = s.endsWith(suffix)
   def strStartsWith(s: Column, prefix: Column): Column = s.startsWith(prefix)
   /** 1-based slice, matching Erlang string:slice+1 conventions. */

@@ -33,6 +33,27 @@ object Sources {
     spark.read.json(docs.toDS())
   }
 
+  /** json_emitter with pinned arrival order: `_seq` is the emission index
+    * (the batch analog of the emitter's event time — state/order-sensitive
+    * operators downstream order by it). `as` nests the parsed payload
+    * under an alias, mirroring the reference's `.as('data')`.
+    */
+  def jsonEmitterOrdered(spark: SparkSession, docs: Seq[String],
+      as: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.json(docs.toDS()).schema
+    val base = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("_seq", "_doc")
+      .withColumn("_p", from_json(col("_doc"), schema, Map.empty[String, String]))
+    as match {
+      case Some(a) =>
+        graft.core.Paths.set(base, a, col("_p")).drop("_doc", "_p")
+      case None =>
+        base.select(col("_seq") +:
+          schema.fieldNames.toIndexedSeq.map(f => col("_p").getField(f).as(f)): _*)
+    }
+  }
+
   // ---- streaming ----
   /** blobstream analog: stream files appearing under a directory. */
   def csvStream(spark: SparkSession, path: String, schemaDdl: String,

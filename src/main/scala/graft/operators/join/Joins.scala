@@ -174,19 +174,42 @@ object Joins {
   }
 
   /** faxe `merge` output mode for joined columns (ref: esp_join.erl
-    * merge/2:232-236 — numbers add, strings concatenate, maps merge).
-    * Type dispatch happens at plan time from the column's dataType.
+    * merge/2:232-241 — numbers add, strings concatenate, maps deep-merge
+    * with later-value-wins leaves :244-248). Type dispatch happens at
+    * plan time from the column's dataType; the reference's nested-map
+    * deep merge becomes a recursive field-wise struct merge.
     */
   def mergeValues(df: DataFrame, a: String, b: String, as: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val merged = df.schema(a).dataType match {
-      case _: NumericType => col(a) + col(b)
-      case _: StringType => concat(col(a), col(b))
-      case _: MapType => map_concat(col(a), col(b))
-      case other => throw new IllegalArgumentException(
-        s"cannot merge columns of type $other")
+    def deep(ac: Column, bc: Column, at: StructType, bt: StructType): Column = {
+      val bOnly = bt.fields.filterNot(f => at.fieldNames.contains(f.name))
+      struct((at.fields.toIndexedSeq.map { f =>
+        (bt.fields.find(_.name == f.name) match {
+          case Some(bf) => (f.dataType, bf.dataType) match {
+            case (an: StructType, bn: StructType) =>
+              deep(ac.getField(f.name), bc.getField(f.name), an, bn)
+            // merge_fun leaves: the later (right) value wins when present
+            case _ => coalesce(bc.getField(f.name), ac.getField(f.name))
+          }
+          case None => ac.getField(f.name)
+        }).as(f.name)
+      } ++ bOnly.toIndexedSeq.map(f => bc.getField(f.name).as(f.name))): _*)
     }
-    df.withColumn(as, coalesce(merged, col(a), col(b)))
+    (df.schema(a).dataType, df.schema(b).dataType) match {
+      case (at: StructType, bt: StructType) =>
+        // union-typed output: leaf-wise null handling is already inside
+        // deep(), and the merged struct's type differs from both inputs
+        df.withColumn(as, deep(col(a), col(b), at, bt))
+      case (t, _) =>
+        val merged = t match {
+          case _: NumericType => col(a) + col(b)
+          case _: StringType => concat(col(a), col(b))
+          case _: MapType => map_concat(col(a), col(b))
+          case other => throw new IllegalArgumentException(
+            s"cannot merge columns of type $other")
+        }
+        df.withColumn(as, coalesce(merged, col(a), col(b)))
+    }
   }
 
   /** `collect` latest-per-key materialized view, batch analog

@@ -36,7 +36,9 @@ object Transforms {
     * holds the field is nulled, otherwise kept (ref: esp_delete.erl:26-63).
     */
   def delete(df: DataFrame, paths: Seq[String]): DataFrame =
-    paths.foldLeft(df)(Paths.delete)
+    // deleting an absent path is a no-op (faxe flowdata semantics;
+    // dfs/test/delete.dfs deletes paths its docs don't carry)
+    paths.filter(Paths.has(df, _)).foldLeft(df)(Paths.delete)
 
   def deleteWhen(df: DataFrame, path: String, gate: Column): DataFrame =
     Paths.set(df, path, when(gate, lit(null)).otherwise(Paths.ref(path)))

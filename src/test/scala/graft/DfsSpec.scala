@@ -57,11 +57,13 @@ class DfsSpec extends AnyFunSuite {
   }
 
   test("compile error: batch into point-wanting node") {
+    // where/eval/keep are both-typed (reference default) — a STATE op is
+    // genuinely point-wanting
     val e = intercept[Ir.DfsError] {
       DfsEngine.compile(
         """||parquet_read(.table('events'))
            ||win_time(.period(1d))
-           ||where(lambda: "value" > 1)""".stripMargin)
+           ||state_count(lambda: "value" > 1)""".stripMargin)
     }
     assert(e.msg.contains("(emits: batch)") && e.msg.contains("(wants: point)"))
   }
@@ -285,6 +287,61 @@ class DfsSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.filter(col("hi_edge").isNull && col("vh_edge").isNull)
       .count() == 0)
+  }
+
+  test("reference dfs/test scripts compile VERBATIM") {
+    // read from the reference tree at test time (no copied content in the
+    // repo); every script that uses only shipped nodes must parse +
+    // validate unmodified
+    val scripts = Seq("collect", "count_change", "delete", "env", "group_by",
+      "group_by2", "if", "mqtt_topic_field_test", "picking_tracking",
+      "rebatch_test", "rename", "time_align", "value_emitter", "win_session")
+    val dir = new java.io.File("/root/reference/dfs/test")
+    assume(dir.isDirectory, "reference tree not present")
+    val failures = scripts.flatMap { name =>
+      val f = new java.io.File(dir, s"$name.dfs")
+      if (!f.isFile) Some(s"$name: missing")
+      else {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try { DfsEngine.compile(src.mkString); None }
+        catch { case e: Exception => Some(s"$name: ${e.getMessage}") }
+        finally src.close()
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("runnable reference scripts execute end-to-end") {
+    graft.core.MemStore.clear()
+    def run(name: String) = {
+      val src = scala.io.Source.fromFile(
+        s"/root/reference/dfs/test/$name.dfs", "UTF-8")
+      try DfsEngine.run(src.mkString, spark, sf) finally src.close()
+    }
+    // delete.dfs: flat docs, deep-path deletes are no-ops
+    assert(run("delete")("chain_1").count() == 3)
+    // if.dfs: no-else branch → NULL; nested .as path
+    val iff = run("if")("chain_1")
+    assert(iff.select(col("data.note")).collect()
+      .map(_.getString(0)).count(_ != null) == 1)
+    // time_align.dfs: synthetic emitter event time + time lambdas
+    val ta = run("time_align")("chain_1")
+    val r = ta.select(col("datetime_aligned")).head.getString(0)
+    assert(r.endsWith(":00.000Z")) // aligned to the minute
+    // rename.dfs: deep-path move via .as_fields
+    val rn = run("rename")("chain_1")
+    assert(graft.core.Paths.has(rn, "prata.data.field1"))
+    // win_session.dfs: emitter event time drives the session window
+    val ws = run("win_session")("chain_1")
+    assert(ws.count() > 0)
+    // group_by.dfs: the full fan-out — group_by on a deep path, clock
+    // windows, two aggregates joined with .merge_field struct deep-merge,
+    // group_union
+    val gb = run("group_by")
+    val out = gb(s"chain_1")
+    assert(out.count() > 0)
+    assert(graft.core.Paths.has(out, "data.code_sum"))
+    assert(graft.core.Paths.has(out, "data.mode_change"))
   }
 
   test("rename-by-lambda: __fieldname computes names at plan time") {

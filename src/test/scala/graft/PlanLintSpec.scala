@@ -44,6 +44,22 @@ class PlanLintSpec extends AnyFunSuite {
       s"cartesian products in: ${offenders.mkString(", ")}")
   }
 
+  test("as-of join family keeps its single-shuffle formulation") {
+    // the README's headline scale claim, pinned mechanically: the
+    // union + running-last as-of join is ONE hash-partition exchange on
+    // the stream key (≤2 tolerated for incidental source-side shuffles)
+    val family = Seq("join_asof", "join_asof_tol", "join_nearest",
+      "dfs_join", "dfs_join_outer", "dfs_join_merge")
+    val counts = family.map { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan
+      name -> flatten(plan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    }
+    val over = counts.filter(_._2 > 2)
+    assert(over.isEmpty, s"as-of joins grew extra shuffles: $over")
+  }
+
   test("broadcast nested-loop joins only where sanctioned (guarded top-k)") {
     // bruteTopK's crossJoin(broadcast(q)) is the ONE sanctioned
     // all-pairs — it fails fast past MaxBroadcastQueries. Anywhere else a
