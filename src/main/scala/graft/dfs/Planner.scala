@@ -125,6 +125,11 @@ object Planner {
     case LCall("env", Seq(nameExpr, d)) =>
       graft.core.EngineConf.envColumnDynamic(
         lambdaColumn(nameExpr, defs), lambdaColumn(d, defs))
+    // map_get over a JSON-object string (a def holding a JSON map —
+    // dfs/test/mqtt_topic_field_test.dfs:1,17): the literal parses to a
+    // map literal at plan time
+    case LCall("map_get", Seq(k, m)) if jsonMapLiteral(m, defs).isDefined =>
+      element_at(jsonMapLiteral(m, defs).get, lambdaColumn(k, defs))
     case LCall("mem", Seq(LStr(key))) =>
       graft.core.MemStore.memColumn(interp(key, defs))
     case LCall("mem", Seq(LStr(key), d)) =>
@@ -139,6 +144,33 @@ object Planner {
         case None => throw DfsError(
           s"unknown lambda function '$name'.${suggest(name, Lambdas.registry.keys)}")
       }
+  }
+
+  /** A lambda argument that is (a ref to) a JSON-object string becomes a
+    * string→string map literal; None if it isn't one.
+    */
+  private def jsonMapLiteral(e: LExpr, defs: Map[String, Value]): Option[Column] = {
+    val str = e match {
+      case LStr(s) => Some(interp(s, defs))
+      case LCall("__ref__", Seq(LStr(name))) => defs.get(name) collect {
+        case VStr(s) => interp(s, defs)
+      }
+      case _ => None
+    }
+    str.filter(_.trim.startsWith("{")).flatMap { j =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.readTree(j)
+        if (!node.isObject) None
+        else {
+          val b = Seq.newBuilder[Column]
+          node.fields().forEachRemaining(en => {
+            b += lit(en.getKey); b += lit(en.getValue.asText)
+          })
+          Some(map(b.result(): _*))
+        }
+      } catch { case _: Exception => None }
+    }
   }
 
   // ---- option helpers ----------------------------------------------------

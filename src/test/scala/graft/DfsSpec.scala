@@ -342,6 +342,16 @@ class DfsSpec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(graft.core.Paths.has(out, "data.code_sum"))
     assert(graft.core.Paths.has(out, "data.mode_change"))
+    // group_by2.dfs: same fan-out minus the join, fill_period clock window
+    assert(run("group_by2")("chain_1").count() > 0)
+    // mqtt_topic_field_test.dfs: map_get over a JSON-string def routes the
+    // publish topic per row; no=4 misses the map → default branch
+    graft.sources.LoopbackBus.clear()
+    run("mqtt_topic_field_test")
+    assert(graft.sources.LoopbackBus
+      .latest("p/data/some/test/number1") == 0L)
+    assert(graft.sources.LoopbackBus
+      .latest("p/data/some/test/default") == 0L)
   }
 
   test("rename-by-lambda: __fieldname computes names at plan time") {
