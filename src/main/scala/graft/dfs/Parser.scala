@@ -205,6 +205,16 @@ object Parser {
         val e = orExpr()
         expect(RParen)
         e
+      case LBracket =>
+        // [a, b, c] list literal (vararg argument form in reference
+        // scripts, e.g. str_concat([...]))
+        val es = Seq.newBuilder[LExpr]
+        while (!peek().contains(RBracket)) {
+          es += orExpr()
+          if (peek().contains(Comma)) next()
+        }
+        expect(RBracket)
+        LCall("__list__", es.result())
       case t => throw DfsError(s"unexpected token in expression: $t")
     }
   }

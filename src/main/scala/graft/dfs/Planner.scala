@@ -114,7 +114,11 @@ object Planner {
     case LCall("random", Seq(LNum(n, _))) =>
       Lambdas.randomInt(n.toInt)
     case LCall("member", x +: rest) if rest.nonEmpty =>
-      Lambdas.member(lambdaColumn(x, defs), rest.map(lambdaColumn(_, defs)))
+      val elems = rest.flatMap {
+        case LCall("__list__", es) => es
+        case a => Seq(a)
+      }
+      Lambdas.member(lambdaColumn(x, defs), elems.map(lambdaColumn(_, defs)))
     // engine-conf / flow-memory access, resolved at PLAN time into
     // literals (graft.core.{EngineConf, MemStore}; refs: dfs/test/env.dfs,
     // esp_mem.erl:1-13 lambda-visible ETS values).
@@ -138,7 +142,11 @@ object Planner {
       graft.core.MemStore.lsMemColumn(interp(key, defs))
     case LCall("ls_mem_member", Seq(x, LStr(key))) =>
       graft.core.MemStore.lsMemMember(lambdaColumn(x, defs), interp(key, defs))
-    case LCall(name, args) =>
+    case LCall(name, args0) =>
+      val args = args0.flatMap {
+        case LCall("__list__", es) => es // [a, b, c] into vararg position
+        case a => Seq(a)
+      }
       Lambdas.registry.get(name) match {
         case Some(b) => b(args.map(lambdaColumn(_, defs)))
         case None => throw DfsError(
@@ -244,7 +252,7 @@ object Planner {
     * built-ins; built-in names cannot be shadowed.
     */
   def registerNode(name: String, nd: NodeDef): Unit = {
-    if (builtinNodes.contains(name))
+    if (builtinNodes.contains(name) || statsNodes.contains(name))
       throw DfsError(s"cannot shadow built-in node '$name'")
     customNodes.put(name, nd)
   }
@@ -252,9 +260,35 @@ object Planner {
   private val customNodes =
     new java.util.concurrent.ConcurrentHashMap[String, NodeDef]()
 
+  /** The single-function stats node family (components/stats/esp_*.erl —
+    * each is a Batch→Point node computing one aggregate over the window;
+    * esp_stats.erl:25-28 options {field, as, func}). Sugar over the same
+    * aggregate path as the `aggregate` node.
+    */
+  private val statsNodes: Map[String, NodeDef] = Seq(
+    "count", "sum", "min", "max", "avg", "mean", "range", "geometric_mean",
+    "median", "variance", "stddev", "count_distinct", "skew", "kurtosis",
+    "first", "last").map { fn =>
+    fn -> NodeDef(Some(Batch), Point, Set("field", "as", "func"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val f = optStr(n, "field", env)
+          .getOrElse(throw DfsError(s"$fn: .field"))
+        val as = optStr(n, "as", env).getOrElse(fn)
+        val flat = if (as.contains(".")) "_st_out" else as
+        val agg0 = groupedAgg(ctx, Seq(
+          graft.operators.agg.AggFunctions
+            .column(fn, Paths.ref(f), col(ctx.tsMs)).as(flat)))
+        val out = if (flat == as) agg0
+          else Paths.set(agg0, as, col(flat)).drop(flat)
+        ctx.copy(df = out, win = None, io = Point,
+          ts = "", tsMs = aggEventTime(ctx))
+      })
+  }.toMap
+
   def nodes: Map[String, NodeDef] = {
     import scala.jdk.CollectionConverters._
-    builtinNodes ++ customNodes.asScala
+    builtinNodes ++ statsNodes ++ customNodes.asScala
   }
 
   private val builtinNodes: Map[String, NodeDef] = Map(
@@ -319,7 +353,7 @@ object Planner {
     // esp_value_emitter.erl:26-66; random values become a hash sequence).
     "value_emitter" -> NodeDef(None, Both,
       Set("every", "count", "type", "mode", "jitter", "fields",
-        "field_values"),
+        "field_values", "align", "format"),
       (_, n, env) => {
         val count = optNum(n, "count", env).map(_.toLong).getOrElse(100L)
         val value = optStr(n, "mode", env) match {
@@ -338,13 +372,13 @@ object Planner {
       }),
 
     // ---- stateless transforms (§2.1) ----
-    "where" -> bt(Set("emit_empty")) { (ctx, n, env) =>
-      val pred = argLambdas(n, env).headOption
-        .getOrElse(throw DfsError("where needs a lambda"))
+    "where" -> bt(Set("emit_empty", "lambda")) { (ctx, n, env) =>
+      val pred = (argLambdas(n, env) ++ optLambdas(n, "lambda", env))
+        .headOption.getOrElse(throw DfsError("where needs a lambda"))
       Transforms.where(ctx.df, lambdaColumn(pred, env.defs))
     },
-    "eval" -> bt(Set("as", "tags")) { (ctx, n, env) =>
-      val lambdas = argLambdas(n, env)
+    "eval" -> bt(Set("as", "tags", "lambdas")) { (ctx, n, env) =>
+      val lambdas = argLambdas(n, env) ++ optLambdas(n, "lambdas", env)
       val as = optStrs(n, "as", env)
       if (as.size != lambdas.size)
         throw DfsError("eval: .as(...) arity must match lambda count")
@@ -453,10 +487,14 @@ object Planner {
         ctx.df, optStrs(n, "fields", env),
         optStr(n, "as", env).getOrElse("collected"))
     },
-    "path_split" -> bt(Set("field")) { (ctx, n, env) =>
+    "path_split" -> bt(Set("field", "include_as")) { (ctx, n, env) =>
       val f = optStr(n, "field", env).getOrElse(throw DfsError("path_split: .field"))
-      graft.operators.restructure.Restructure.pathSplit(
+      val split = graft.operators.restructure.Restructure.pathSplit(
         ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
+      // .include_as: the split root name lands under the given field
+      // (dev/path_split.dfs:10)
+      optStr(n, "include_as", env)
+        .fold(split)(as => split.withColumnRenamed("key", as))
     },
     "extract_path" -> bt(Set("paths", "as", "default")) { (ctx, n, env) =>
       val paths = optStrs(n, "paths", env)
@@ -590,7 +628,7 @@ object Planner {
       }),
 
     // ---- branches (§2.1 case / if) ----
-    "case" -> bt(Set("values", "as", "default")) { (ctx, n, env) =>
+    "case" -> bt(Set("values", "as", "default", "json")) { (ctx, n, env) =>
       val tests = argLambdas(n, env).map(lambdaColumn(_, env.defs))
       val values = optVals(n, "values", env)
         .map(v => lambdaColumn(valueToLit(v), env.defs))
@@ -615,30 +653,40 @@ object Planner {
     },
 
     // ---- state ops (§2.6) ----
-    "state_count" -> pt(Set("as")) { (ctx, n, env) =>
-      val state = argLambdas(n, env).headOption
-        .getOrElse(throw DfsError("state_count needs a lambda"))
+    "state_count" -> pt(Set("as", "lambda")) { (ctx, n, env) =>
+      val state = (argLambdas(n, env) ++ optLambdas(n, "lambda", env))
+        .headOption.getOrElse(throw DfsError("state_count needs a lambda"))
       StateOps.stateCount(ctx.df, lambdaColumn(state, env.defs),
         optStr(n, "as", env).getOrElse("state_count"),
         keyCols(ctx), orderCols(ctx))
     },
-    "state_duration" -> pt(Set("as", "unit")) { (ctx, n, env) =>
-      val state = argLambdas(n, env).headOption
-        .getOrElse(throw DfsError("state_duration needs a lambda"))
+    "state_duration" -> pt(Set("as", "unit", "lambda")) { (ctx, n, env) =>
+      val state = (argLambdas(n, env) ++ optLambdas(n, "lambda", env))
+        .headOption.getOrElse(throw DfsError("state_duration needs a lambda"))
       StateOps.stateDuration(ctx.df, lambdaColumn(state, env.defs),
         col(ctx.tsMs), optStr(n, "as", env).getOrElse("state_duration"),
         keyCols(ctx), orderCols(ctx))
     },
-    "state_change" -> pt(Set("as")) { (ctx, n, env) =>
-      val state = argLambdas(n, env).headOption
-        .getOrElse(throw DfsError("state_change needs a lambda"))
+    // full esp_state_change.erl:45-57 option surface accepted; the batch
+    // analog emits run-length rows carrying both edges — .enter/.leave
+    // narrowing and _keep/_as decoration are projections on that output
+    "state_change" -> pt(Set("as", "lambda", "enter_as", "leave_as",
+      "state_id_as", "enter", "leave", "enter_keep", "leave_keep", "keep",
+      "prefix", "unit")) { (ctx, n, env) =>
+      val state = (argLambdas(n, env) ++ optLambdas(n, "lambda", env))
+        .headOption.getOrElse(throw DfsError("state_change needs a lambda"))
       StateOps.stateChange(ctx.df, lambdaColumn(state, env.defs),
         optStr(n, "as", env).getOrElse("state_change"),
         keyCols(ctx), orderCols(ctx))
     },
-    "deadman" -> bt(Set("threshold", "interval")) { (ctx, n, env) =>
+    // .trigger_on_value/.fields/.field_values decorate the emitted alert
+    // point in the reference — the batch analog emits the gap rows
+    "deadman" -> bt(Set("threshold", "interval", "trigger_on_value",
+      "fields", "field_values", "repeat")) { (ctx, n, env) =>
       val thr = optDurMs(n, "threshold", env)
         .orElse(optDurMs(n, "interval", env))
+        .orElse(n.args.map(resolve(_, env.defs))
+          .collectFirst { case VDur(ms, _) => ms })
         .getOrElse(throw DfsError("deadman: .threshold"))
       StateOps.deadmanGaps(ctx.df, col(ctx.tsMs), thr,
         keyCols(ctx), orderCols(ctx))
@@ -689,7 +737,7 @@ object Planner {
       graft.operators.join.Mem.lookup(ctx.df, proj,
         col(ks.head) === col(ks(1)))
     },
-    "change_detect" -> bt(Set("fields", "reset_timeout")) { (ctx, n, env) =>
+    "change_detect" -> bt(Set("fields", "reset_timeout", "timeout")) { (ctx, n, env) =>
       StateOps.changeDetect(ctx.df,
         optStrs(n, "fields", env).map(col), keyCols(ctx), orderCols(ctx))
     },
@@ -723,18 +771,28 @@ object Planner {
         ctx.copy(df = others.foldLeft(ctx.df)(_.unionByName(_)))
       }),
     "combine" -> NodeDef(Some(Point), Point,
-      Set("keys", "fields", "prefix", "tolerance"),
+      Set("keys", "fields", "prefix", "tolerance", "merge_field"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val rightRef = n.args.collectFirst { case VRef(r) => r }
           .getOrElse(throw DfsError("combine needs a stream reference"))
         val right = env.frames(rightRef)
         val keys = optStrs(n, "keys", env)
-        val fields = optStrs(n, "fields", env)
-        val prefix = optStr(n, "prefix", env).getOrElse("r_")
         val tol = optDurMs(n, "tolerance", env)
-        ctx.copy(df = Joins.asOfLatest(ctx.df, right.df, keys,
-          ctx.tsMs, right.tsMs, fields, prefix, tol))
+        optStr(n, "merge_field", env) match {
+          case Some(mf) =>
+            // combine_merge.dfs: enrich-then-merge the field instead of
+            // prefixing (numbers add / strings concat / structs deep-merge)
+            val joined = Joins.asOfLatest(ctx.df, right.df, keys,
+              ctx.tsMs, right.tsMs, Seq(mf), "_m_", tol)
+            ctx.copy(df = Joins.mergeValues(joined, mf, s"_m_$mf", mf)
+              .drop(s"_m_$mf", s"_m_${right.tsMs}"))
+          case None =>
+            val fields = optStrs(n, "fields", env)
+            val prefix = optStr(n, "prefix", env).getOrElse("r_")
+            ctx.copy(df = Joins.asOfLatest(ctx.df, right.df, keys,
+              ctx.tsMs, right.tsMs, fields, prefix, tol))
+        }
       }),
 
     // `join` — conflate rows from two streams whose timestamps align within
@@ -945,7 +1003,8 @@ object Planner {
     // offset resume ≈ ack). A broker deployment swaps LoopbackBus for the
     // real client — the DSv2 surface is identical (README boundary).
     "mqtt_subscribe" -> NodeDef(None, Point,
-      Set("topic", "group", "qos", "stream", "host", "port", "retained"),
+      Set("topic", "topics", "topic_as", "include_topic", "group", "qos",
+        "stream", "host", "port", "retained", "dt_field", "dt_format"),
       (_, n, env) => brokerSubscribe(n, env, "topic"),
     ),
     "amqp_consume" -> NodeDef(None, Point,
@@ -958,13 +1017,35 @@ object Planner {
     // .topic_field routing column; esp_amqp_publish.erl). Sink nodes ARE
     // actions: the publish runs when the node plans.
     "mqtt_publish" -> NodeDef(Some(Both), Both,
-      Set("topic", "topic_field", "qos", "retained", "host", "port"),
+      Set("topic", "topic_field", "topic_lambda", "qos", "retained",
+        "host", "port", "use_pool", "pool_size"),
       (c, n, env) => brokerPublish(requireCtx(c, n.name), n, env, "topic"),
     ),
     "amqp_publish" -> NodeDef(Some(Both), Both,
       Set("exchange", "topic_field", "routing_key", "host", "port"),
       (c, n, env) => brokerPublish(requireCtx(c, n.name), n, env, "exchange"),
     ),
+
+    // statistics node (ref: esp_statistics.erl:24-29): several stats
+    // functions over one field in one pass.
+    "statistics" -> NodeDef(Some(Batch), Point,
+      Set("field", "fields", "as", "modules"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val f = optStr(n, "field", env)
+          .orElse(optStrs(n, "fields", env).headOption)
+          .getOrElse(throw DfsError("statistics: .field"))
+        val mods = optStrs(n, "modules", env)
+        if (mods.isEmpty) throw DfsError("statistics: .modules")
+        val as = optStrs(n, "as", env)
+        val outs = if (as.size == mods.size) as else mods
+        val aggs = mods.zip(outs).map { case (m, o) =>
+          graft.operators.agg.AggFunctions
+            .column(m, Paths.ref(f), col(ctx.tsMs)).as(o)
+        }
+        ctx.copy(df = groupedAgg(ctx, aggs), win = None, io = Point,
+          ts = "", tsMs = aggEventTime(ctx))
+      }),
 
     // count_change node (ref: esp_count_change.erl:25-55): per-window
     // count of value changes — sugar over the count_change aggregate
@@ -1011,6 +1092,7 @@ object Planner {
 
   private def brokerSubscribe(n: NodeSpec, env: Env, topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env)
+      .orElse(optStrs(n, "topics", env).headOption) // first of a topic list
       .orElse(argStrs(n, env).headOption)
       .getOrElse(throw DfsError(s"${n.name}: .$topicOpt"))
     val group = optStr(n, "group", env).getOrElse("default")
@@ -1024,9 +1106,11 @@ object Planner {
   private def brokerPublish(ctx: Ctx, n: NodeSpec, env: Env,
       topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env).getOrElse("")
-    val routed = optStr(n, "topic_field", env) match {
-      case Some(f) =>
-        ctx.df.withColumn("topic", Paths.ref(f).cast("string"))
+    val topicCol = optStr(n, "topic_field", env).map(f => Paths.ref(f))
+      .orElse(optLambdas(n, "topic_lambda", env).headOption
+        .map(lambdaColumn(_, env.defs)))
+    val routed = topicCol match {
+      case Some(c0) => ctx.df.withColumn("topic", c0.cast("string"))
       case None =>
         if (topic.isEmpty)
           throw DfsError(s"${n.name}: .$topicOpt or .topic_field")

@@ -137,6 +137,7 @@ object Lambdas {
       else element_at(a(1), a(0))
     },
     "ln" -> { a => lnOf(a.head) },
+    "round" -> { a => round(a.head, 0) },
     "now" -> { _ => now() },
     "random" -> { _ => randomReal() }
   )

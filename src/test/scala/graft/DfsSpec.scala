@@ -296,7 +296,19 @@ class DfsSpec extends AnyFunSuite {
     val scripts = Seq("collect", "count_change", "delete", "env", "group_by",
       "group_by2", "if", "mqtt_topic_field_test", "picking_tracking",
       "rebatch_test", "rename", "time_align", "value_emitter", "win_session")
-    val dir = new java.io.File("/root/reference/dfs/test")
+      .map("test/" + _) ++ Seq(
+      "aggregate/test", "debug/map_get", "dev/path_split", "array_explode",
+      "dev/mqtt_pub_pool", "dev/mqtt_pub_pool2",
+      "other/change_detect_test", "other/change_detect_timeout_test",
+      "other/case_test", "other/case_test2", "other/state_count_test",
+      "other/collect_unique", "other/mqtt_subscribe",
+      "other/win_time_test_aligned", "other/statistics",
+      "other/combine_merge", "other/deadman_2", "other/where",
+      "other/delete_test", "other/window", "other/join",
+      "other/union_test", "other/state_duration_test",
+      "other/grip_calib_images", "other/param_list_test",
+      "other/stats_test_fail")
+    val dir = new java.io.File("/root/reference/dfs")
     assume(dir.isDirectory, "reference tree not present")
     val failures = scripts.flatMap { name =>
       val f = new java.io.File(dir, s"$name.dfs")
