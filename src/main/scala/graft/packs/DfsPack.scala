@@ -313,6 +313,37 @@ object DfsPack extends QueryPack {
              |    (SELECT DISTINCT user_id FROM events WHERE value > 99)
              |  AND value > 40""".stripMargin)),
 
+    // single-function stats node through the front-end (components/stats):
+    // median per user per weekly window.
+    "dfs_median_node" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|win_time(.period(7d))
+          #|median(.field('value').as('med'))
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT user_id,
+             |  (epoch_ms(ts) // 604800000) * 604800000 AS window_start_ms,
+             |  (epoch_ms(ts) // 604800000) * 604800000 + 604800000 AS window_end_ms,
+             |  median(value) AS med
+             |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
+    // statistics bundle node through the front-end
+    // (esp_statistics.erl:24-29).
+    "dfs_statistics_node" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('event_type')
+          #|win_time(.period(30d))
+          #|statistics(.field('value').modules('avg', 'min', 'max', 'count'))
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT event_type,
+             |  (epoch_ms(ts) // 2592000000) * 2592000000 AS window_start_ms,
+             |  (epoch_ms(ts) // 2592000000) * 2592000000 + 2592000000 AS window_end_ms,
+             |  avg(value) AS avg, min(value) AS min, max(value) AS max,
+             |  count(value) AS count
+             |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
     // stateless lambda pipeline through the front-end: eval chain with
     // sequential visibility + scalar library calls.
     "dfs_eval" -> QueryDef(
