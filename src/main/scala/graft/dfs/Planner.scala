@@ -482,7 +482,9 @@ object Planner {
         graft.core.Paths.set(d, out, col(s"_arr$i")).drop(s"_arr$i")
       }
     },
-    "fields_to_array" -> pt(Set("fields", "as")) { (ctx, n, env) =>
+    "fields_to_array" -> pt(
+      Set("fields", "as", "keep", "value_name", "key_name", "ts_as",
+        "sort", "include_missing")) { (ctx, n, env) =>
       graft.operators.restructure.Restructure.fieldsToArray(
         ctx.df, optStrs(n, "fields", env),
         optStr(n, "as", env).getOrElse("collected"))
@@ -514,7 +516,7 @@ object Planner {
         ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
     },
 
-    "debug" -> NodeDef(Some(Both), Both, Set("level"),
+    "debug" -> NodeDef(Some(Both), Both, Set("level", "message"),
       (c, n, _) => requireCtx(c, n.name)),
     "log" -> NodeDef(Some(Both), Both, Set("file", "level"),
       (c, n, _) => requireCtx(c, n.name)),
@@ -1068,6 +1070,40 @@ object Planner {
           ts = "", tsMs = aggEventTime(ctx))
       }),
 
+    // ---- HTTP nodes over the loopback endpoint model (§2.7) ----
+    // An endpoint (port, path) is a topic on the bus: http_listen
+    // subscribes to what is POSTed there, http_post publishes each row,
+    // http_get polls the endpoint's current feed (refs:
+    // esp_http_listen.erl, esp_http_post.erl:34-52, esp_http_get.erl;
+    // auth/TLS/headers are transport-binding options, accepted and
+    // deployment-side like the broker nodes).
+    "http_listen" -> NodeDef(None, Both,
+      Set("path", "port", "host", "payload_type", "as", "user", "pass",
+        "tls", "stream", "content_type"),
+      (_, n, env) => {
+        val df =
+          if (optStr(n, "stream", env).contains("true"))
+            graft.sources.Loopback.subscribeStream(env.spark, httpTopic(n, env))
+          else graft.sources.Loopback.subscribe(env.spark, httpTopic(n, env))
+        Ctx(df, Nil, None, Point, "", "ts_ms")
+      }),
+    "http_get" -> NodeDef(None, Both,
+      Set("path", "port", "host", "every", "align", "as", "user", "pass",
+        "tls", "payload_type", "topic", "stream"),
+      (_, n, env) => {
+        val df = graft.sources.Loopback.subscribe(env.spark, httpTopic(n, env))
+        Ctx(df, Nil, None, Point, "", "ts_ms")
+      }),
+    "http_post" -> NodeDef(Some(Both), Both,
+      Set("path", "port", "host", "method", "tls", "header_names",
+        "header_values", "user", "pass", "retries", "content_type",
+        "payload_field", "field", "every", "ts_as"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        graft.sources.Loopback.publish(ctx.df, httpTopic(n, env))
+        ctx
+      }),
+
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.
@@ -1089,6 +1125,15 @@ object Planner {
           align)), io = Batch)
       })
   )
+
+  /** An HTTP endpoint's bus topic: (port, path) — host is irrelevant in
+    * the loopback (the listen side binds locally).
+    */
+  private def httpTopic(n: NodeSpec, env: Env): String = {
+    val port = optNum(n, "port", env).map(_.toLong).getOrElse(80L)
+    val path = optStr(n, "path", env).getOrElse("/")
+    s"http:$port:$path"
+  }
 
   private def brokerSubscribe(n: NodeSpec, env: Env, topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env)

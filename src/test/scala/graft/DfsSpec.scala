@@ -307,7 +307,9 @@ class DfsSpec extends AnyFunSuite {
       "other/delete_test", "other/window", "other/join",
       "other/union_test", "other/state_duration_test",
       "other/grip_calib_images", "other/param_list_test",
-      "other/stats_test_fail")
+      "other/stats_test_fail", "test/faxe_http", "test/http_listen",
+      "test/http_post", "test/http_get", "other/https_get_test",
+      "other/http")
     val dir = new java.io.File("/root/reference/dfs")
     assume(dir.isDirectory, "reference tree not present")
     val failures = scripts.flatMap { name =>

@@ -103,6 +103,23 @@ class LoopbackSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM lb_dfs_stream").head.getLong(0) == 2)
   }
 
+  test("http_post to http_listen round trip on the endpoint topic") {
+    LoopbackBus.clear()
+    DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|where(lambda: "value" > 99)
+        #|keep('event_id', 'value')
+        #|http_post(.host('localhost').port(8899).path('/ingest'))
+        #""".stripMargin('#'), spark, sf)
+    val expected =
+      Tables.events(spark, sf).filter(col("value") > 99).count()
+    val back = DfsEngine.runSingle(
+      """|http_listen(.port(8899).path('/ingest').payload_type('json'))
+        #|parser(.field('payload').schema('event_id STRING, value DOUBLE').as('p'))
+        #""".stripMargin('#'), spark, sf)
+    assert(back.count() == expected)
+  }
+
   test("amqp aliases bind to the same bus") {
     LoopbackBus.clear()
     DfsEngine.runSingle(
