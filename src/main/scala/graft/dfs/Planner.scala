@@ -269,7 +269,11 @@ object Planner {
     "count", "sum", "min", "max", "avg", "mean", "range", "geometric_mean",
     "median", "variance", "stddev", "count_distinct", "skew", "kurtosis",
     "first", "last").map { fn =>
-    fn -> NodeDef(Some(Batch), Point, Set("field", "as", "func"),
+    // validation typing is both/both: the stats components don't export
+    // wants/emits themselves (the batch/point pair lives in the esp_stats
+    // behaviour module), so the reference's checker sees the default —
+    // tcp_window.dfs chains them point-to-point
+    fn -> NodeDef(Some(Both), Both, Set("field", "as", "func", "perc"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val f = optStr(n, "field", env)
@@ -288,7 +292,12 @@ object Planner {
 
   def nodes: Map[String, NodeDef] = {
     import scala.jdk.CollectionConverters._
-    builtinNodes ++ statsNodes ++ customNodes.asScala
+    // the reference's _q components are queue-backed implementations of
+    // the same window semantics (esp_win_time_q / esp_win_event_q)
+    val aliases = Map(
+      "win_time_q" -> builtinNodes("win_time"),
+      "win_event_q" -> builtinNodes("win_event"))
+    builtinNodes ++ statsNodes ++ aliases ++ customNodes.asScala
   }
 
   private val builtinNodes: Map[String, NodeDef] = Map(
@@ -1104,6 +1113,17 @@ object Planner {
         ctx
       }),
 
+    // ---- socket nodes over the loopback endpoint model (§2.7) ----
+    // line-framed TCP / UDP feeds: the (ip, port) endpoint is a bus
+    // topic; framing/codec options are transport-binding, accepted like
+    // the broker nodes' (refs: esp_tcp_recv_line.erl, esp_udp_recv.erl,
+    // esp_tcp_send.erl, esp_udp_send.erl).
+    "tcp_recv_line" -> socketSource("tcp"),
+    "tcp_recv" -> socketSource("tcp"),
+    "udp_recv" -> socketSource("udp"),
+    "tcp_send" -> socketSink("tcp"),
+    "udp_send" -> socketSink("udp"),
+
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.
@@ -1134,6 +1154,37 @@ object Planner {
     val path = optStr(n, "path", env).getOrElse("/")
     s"http:$port:$path"
   }
+
+  private def socketTopic(proto: String, n: NodeSpec, env: Env): String = {
+    val ip = optStr(n, "ip", env).orElse(optStr(n, "host", env))
+      .getOrElse("0.0.0.0")
+    val port = optNum(n, "port", env).map(_.toLong)
+      .getOrElse(throw DfsError(s"${n.name}: .port"))
+    s"$proto:$ip:$port"
+  }
+
+  private def socketSource(proto: String): NodeDef =
+    NodeDef(None, Both,
+      Set("ip", "host", "port", "min_length", "extract", "parser", "as",
+        "stream", "packet", "timeout", "changed", "every"),
+      (_, n, env) => {
+        val df =
+          if (optStr(n, "stream", env).contains("true"))
+            graft.sources.Loopback.subscribeStream(env.spark,
+              socketTopic(proto, n, env))
+          else graft.sources.Loopback.subscribe(env.spark,
+            socketTopic(proto, n, env))
+        Ctx(df, Nil, None, Point, "", "ts_ms")
+      })
+
+  private def socketSink(proto: String): NodeDef =
+    NodeDef(Some(Both), Both,
+      Set("ip", "host", "port", "every", "packet", "timeout", "field"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        graft.sources.Loopback.publish(ctx.df, socketTopic(proto, n, env))
+        ctx
+      })
 
   private def brokerSubscribe(n: NodeSpec, env: Env, topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env)

@@ -309,7 +309,8 @@ class DfsSpec extends AnyFunSuite {
       "other/grip_calib_images", "other/param_list_test",
       "other/stats_test_fail", "test/faxe_http", "test/http_listen",
       "test/http_post", "test/http_get", "other/https_get_test",
-      "other/http")
+      "other/http", "other/test_lm_conveyor_tracking", "other/tcp_window",
+      "other/tcp_conveyor_track", "other/jpath")
     val dir = new java.io.File("/root/reference/dfs")
     assume(dir.isDirectory, "reference tree not present")
     val failures = scripts.flatMap { name =>
