@@ -313,6 +313,21 @@ object DfsPack extends QueryPack {
              |    (SELECT DISTINCT user_id FROM events WHERE value > 99)
              |  AND value > 40""".stripMargin)),
 
+    // value_diff with plural .fields through the front-end (the
+    // group_by.dfs option shape): per-user deltas of two fields at once.
+    "dfs_value_diff" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|value_diff(.fields('value', 'ts_ms').as('dv', 'dt').mode('c-p'))
+          #|keep('event_id', 'user_id', 'dv', 'dt')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT event_id, user_id,
+             |  value - lag(value) OVER w AS dv,
+             |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS dt
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))""".stripMargin)),
+
     // single-function stats node through the front-end (components/stats):
     // median per user per weekly window.
     "dfs_median_node" -> QueryDef(
