@@ -74,7 +74,9 @@ object DfsEngine {
           case s: String => Ir.VStr(s)
           case b: Boolean => Ir.VBool(b)
           case i: Int => Ir.VNum(i.toDouble, isInt = true)
-          case l: Long => Ir.VNum(l.toDouble, isInt = true)
+          // Longs keep 64-bit exactness (ns epochs, wide ids would be
+          // corrupted by a Double round-trip above 2^53)
+          case l: Long => Ir.VLong(l)
           case d: Double => Ir.VNum(d, isInt = false)
           case f: Float => Ir.VNum(f.toDouble, isInt = false)
           case other => Ir.VStr(other.toString)

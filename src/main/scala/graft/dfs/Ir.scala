@@ -10,6 +10,10 @@ object Ir {
   final case class LField(path: String) extends LExpr
   final case class LStr(s: String) extends LExpr
   final case class LNum(v: Double, isInt: Boolean) extends LExpr
+  /** Exact 64-bit literal — folded defs beyond Double's 2^53 integral
+    * range (ns epochs, wide ids) must not round-trip through Double.
+    */
+  final case class LLong(v: Long) extends LExpr
   final case class LBool(v: Boolean) extends LExpr
   final case class LCall(name: String, args: Seq[LExpr]) extends LExpr
   final case class LBin(op: String, l: LExpr, r: LExpr) extends LExpr
@@ -19,6 +23,8 @@ object Ir {
   sealed trait Value
   final case class VStr(s: String) extends Value
   final case class VNum(v: Double, isInt: Boolean) extends Value
+  /** Exact 64-bit constant (see [[LLong]]) — produced by def folding. */
+  final case class VLong(v: Long) extends Value
   final case class VBool(v: Boolean) extends Value
   final case class VDur(ms: Long, raw: String) extends Value
   final case class VLambda(e: LExpr) extends Value

@@ -51,6 +51,7 @@ object Planner {
     case VStr(s) => s
     case VNum(d, true) => d.toLong.toString
     case VNum(d, false) => d.toString
+    case VLong(l) => l.toString
     case VBool(b) => b.toString
     case VDur(_, raw) => raw
     case other => throw DfsError(s"cannot interpolate $other")
@@ -68,6 +69,7 @@ object Planner {
     case LStr(s) => lit(interp(s, defs))
     case LNum(v, true) => lit(v.toLong)
     case LNum(v, false) => lit(v)
+    case LLong(l) => lit(l)
     case LBool(b) => lit(b)
     case LNot(x) => !lambdaColumn(x, defs)
     case LBin(op, l, r) =>
@@ -91,6 +93,7 @@ object Planner {
       defs.get(name) match {
         case Some(VNum(v, true)) => lit(v.toLong)
         case Some(VNum(v, false)) => lit(v)
+        case Some(VLong(l)) => lit(l)
         case Some(VStr(s)) => lit(s)
         case Some(VBool(b)) => lit(b)
         case Some(VDur(ms, _)) => lit(ms)
@@ -202,12 +205,14 @@ object Planner {
     optVals(n, name, env).headOption.map {
       case VDur(ms, _) => ms
       case VNum(v, _) => v.toLong
+      case VLong(l) => l
       case v => throw DfsError(s"option '$name': expected duration, got $v")
     }
 
   private def optNum(n: NodeSpec, name: String, env: Env): Option[Double] =
     optVals(n, name, env).headOption.map {
       case VNum(v, _) => v
+      case VLong(l) => l.toDouble
       case v => throw DfsError(s"option '$name': expected number, got $v")
     }
 
@@ -593,7 +598,7 @@ object Planner {
             "(streaming keyless form: graft.streaming.Streaming.countBatch)")
         val size = optNum(n, "size", env)
           .orElse(n.args.map(resolve(_, env.defs))
-            .collectFirst { case VNum(v, _) => v })
+            .collectFirst { case VNum(v, _) => v; case VLong(l) => l.toDouble })
           .getOrElse(throw DfsError("batch: .size")).toLong
         ctx.copy(win = Some(Win("count", size, size, fillPeriod = false)),
           io = Batch)
@@ -724,6 +729,7 @@ object Planner {
       val tos = optVals(n, "timeouts", env).map {
         case VDur(ms, _) => ms
         case VNum(v, _) => v.toLong
+        case VLong(l) => l
         case v => throw DfsError(s"state_sequence: bad timeout $v")
       }
       StateOps.stateSequence(ctx.df, preds, tos, col(ctx.tsMs),
@@ -1136,6 +1142,7 @@ object Planner {
         val align = optVals(n, "align", env).headOption match {
           case Some(VDur(ms, _)) => Some(ms)
           case Some(VNum(v, _)) => Some(v.toLong)
+          case Some(VLong(l)) => Some(l)
           case Some(VBool(true)) => Some(every)
           case Some(VBool(false)) => None
           case None => if (n.options.contains("align")) Some(every) else None
@@ -1206,7 +1213,16 @@ object Planner {
       .orElse(optLambdas(n, "topic_lambda", env).headOption
         .map(lambdaColumn(_, env.defs)))
     val routed = topicCol match {
-      case Some(c0) => ctx.df.withColumn("topic", c0.cast("string"))
+      case Some(c0) =>
+        // Materialize the payload from the data point's own columns BEFORE
+        // adding the synthetic routing column, so the topic never leaks
+        // into the published JSON (esp_mqtt_publish.erl publishes the
+        // point only; the topic is envelope metadata).
+        val base =
+          if (ctx.df.columns.contains("payload")) ctx.df
+          else ctx.df.withColumn("payload",
+            to_json(struct(ctx.df.columns.toIndexedSeq.map(col): _*)))
+        base.withColumn("topic", c0.cast("string"))
       case None =>
         if (topic.isEmpty)
           throw DfsError(s"${n.name}: .$topicOpt or .topic_field")
@@ -1237,6 +1253,7 @@ object Planner {
     case VStr(s) => s
     case VNum(d, true) => d.toLong
     case VNum(d, false) => d
+    case VLong(l) => l
     case VBool(b) => b
     case VDur(ms, _) => ms
     case other => throw DfsError(s"mem: cannot store $other")
@@ -1245,6 +1262,7 @@ object Planner {
   private def valueToLit(v: Value): LExpr = v match {
     case VStr(s) => LStr(s)
     case VNum(d, i) => LNum(d, i)
+    case VLong(l) => LLong(l)
     case VBool(b) => LBool(b)
     case VDur(ms, _) => LNum(ms.toDouble, isInt = true)
     case VLambda(e) => e

@@ -47,22 +47,20 @@ object Windows {
   /** `fill_period` option — suppress the partial head windows emitted before
     * one full period of data exists (ref: esp_win_time.erl:88-96 check_emit).
     * Batch analog: keep only windows starting at/after the first timestamp.
-    * The bound is a one-row setup aggregate resolved at plan time — a
-    * literal filter beats the broadcast nested-loop join a 1-row
-    * conditionless join compiles to. Streaming keeps the lazy join form.
+    * The bound stays LAZY: a 1-row min-aggregate broadcast-joined onto the
+    * windowed frame (conditionless 1-row BNLJ ≈ a scalar subquery), so no
+    * Spark job runs at query-construction time and the min computes inside
+    * the same job — at 100 TB an eager `.head` here would be a full extra
+    * source scan per planned query. An empty source yields a null bound,
+    * which filters nothing out of the (equally empty) windowed frame.
     */
-  def fillPeriod(windowed: DataFrame, source: DataFrame, ts: Column): DataFrame =
-    if (source.isStreaming) {
-      val bounds = source.agg(min(unix_millis(ts)).as("_min_ms"))
-      windowed
-        .join(broadcast(bounds))
-        .filter(col("window_start_ms") >= col("_min_ms"))
-        .drop("_min_ms")
-    } else {
-      val row = source.agg(min(unix_millis(ts))).head
-      if (row.isNullAt(0)) windowed // empty source → no windows anyway
-      else windowed.filter(col("window_start_ms") >= row.getLong(0))
-    }
+  def fillPeriod(windowed: DataFrame, source: DataFrame, ts: Column): DataFrame = {
+    val bounds = source.agg(min(unix_millis(ts)).as("_min_ms"))
+    windowed
+      .join(broadcast(bounds))
+      .filter(col("window_start_ms") >= col("_min_ms"))
+      .drop("_min_ms")
+  }
 
   /** `win_session` — session window by inactivity gap
     * (ref: esp_win_session.erl:30-57). Native `session_window` (Spark 3.2+):
@@ -104,11 +102,16 @@ object Windows {
       .withColumn("window_end_ms", unix_millis(col("window.end")))
       .drop("window")
     // `align` (esp_win_clock.erl:121-127 faxe_time:align): the emitted
-    // window timestamp is floored to the align unit boundary — pure
-    // integer arithmetic on the already-computed start.
+    // window is shifted down to the align unit boundary — pure integer
+    // arithmetic on the already-computed start. BOTH bounds shift by the
+    // same delta so end - start stays == every and the pair describes one
+    // consistent interval.
     alignMs match {
-      case Some(a) => base.withColumn("window_start_ms",
-        col("window_start_ms") - pmod(col("window_start_ms"), lit(a)))
+      case Some(a) =>
+        val delta = pmod(col("window_start_ms"), lit(a))
+        base
+          .withColumn("window_end_ms", col("window_end_ms") - delta)
+          .withColumn("window_start_ms", col("window_start_ms") - delta)
       case None => base
     }
   }

@@ -110,11 +110,13 @@ final class LoopbackTable(topic: String, group: String)
   }
 }
 
-/** One offset range (fromExclusive, untilInclusive] of one topic. A
-  * non-empty `group` auto-acks the slice once it is fully delivered
-  * (QoS-0 / amqp ack-after-deliver, esp_amqp_consume.erl:68-103);
-  * end-to-end exactly-once comes from Spark's checkpoint replay, as
-  * with any at-least-once broker.
+/** One offset range (fromExclusive, untilInclusive] of one topic. The
+  * consumer-group ack happens only at the driver-side
+  * MicroBatchStream.commit(end) — after the engine has durably
+  * processed the batch (amqp ack-after-process,
+  * esp_amqp_consume.erl:68-103). Executors never ack: a partially
+  * consumed or failed task leaves the committed mark untouched, so an
+  * unprocessed range is re-delivered on restart.
   */
 final case class LoopbackPartition(topic: String, group: String,
     from: Long, until: Long) extends InputPartition
@@ -176,20 +178,18 @@ object LoopbackReaderFactory extends PartitionReaderFactory {
     val msgs = LoopbackBus.read(part.topic, part.from, part.until).iterator
     new PartitionReader[InternalRow] {
       private var cur: LoopbackBus.Msg = _
-      private var delivered = -1L
       override def next(): Boolean =
-        if (msgs.hasNext) { cur = msgs.next(); delivered = cur.offset; true }
+        if (msgs.hasNext) { cur = msgs.next(); true }
         else false
       override def get(): InternalRow = InternalRow(
         cur.offset, cur.tsMs, UTF8String.fromString(part.topic),
         if (cur.key == null) null else UTF8String.fromString(cur.key),
         if (cur.payload == null) null else UTF8String.fromString(cur.payload))
-      // auto-ack on delivery (QoS 0): the fully-read slice is committed
-      // for the consumer group; Spark's own commit(end) below re-asserts
-      // it when the engine acks the batch.
-      override def close(): Unit =
-        if (part.group.nonEmpty && delivered >= 0)
-          LoopbackBus.commit(part.topic, part.group, delivered)
+      // No executor-side ack: close() also runs on task failure or a
+      // partially-consumed scan (limit/early abort), where committing
+      // would skip unprocessed messages on restart. The group ack is
+      // MicroBatchStream.commit(end) alone.
+      override def close(): Unit = ()
     }
   }
 }
