@@ -11,9 +11,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DfsEngine {
 
-  /** Parse + static validation (node names, options, edge typing). */
+  /** Parse + macro expansion + static validation (node names, options,
+    * edge typing). Macro invocations (`||name(...)`) are resolved against
+    * [[Macros]]' registry and spliced before validation, so an expanded
+    * script validates exactly like hand-written DFS.
+    */
   def compile(src: String): Script = {
-    val script = Parser.parse(src)
+    val script = Macros.expand(Parser.parse(src))
     Planner.validate(script)
     script
   }
@@ -46,8 +50,11 @@ object DfsEngine {
           throw DfsError(s"undefined stream reference '$name'"))))
 
     val named = script.namedChains.keys.map(n => n -> frameOf(name = n).df)
-    val anon = script.chains.zipWithIndex.map { case (c, i) =>
-      s"chain_${i + 1}" -> planChain(c).df
+    // detached segments (no source — macro body form) compile but have
+    // nothing to fire them: skipped, keeping the chain_N numbering of the
+    // chains that do run
+    val anon = script.chains.zipWithIndex.collect {
+      case (c, i) if !Planner.detached(c) => s"chain_${i + 1}" -> planChain(c).df
     }
     (named ++ anon).toMap
   }
@@ -84,10 +91,14 @@ object DfsEngine {
       case kv => kv
     }
 
-  /** Single-result convenience: the last anonymous chain's DataFrame. */
+  /** Single-result convenience: the last runnable anonymous chain's
+    * DataFrame (detached segments don't run, see [[run]]).
+    */
   def runSingle(src: String, spark: SparkSession, dir: String): DataFrame = {
     val script = compile(src)
     val all = run(src, spark, dir)
-    all(s"chain_${script.chains.size}")
+    (script.chains.size to 1 by -1).iterator
+      .map(i => all.get(s"chain_$i")).collectFirst { case Some(df) => df }
+      .getOrElse(throw Ir.DfsError("no runnable chain in script"))
   }
 }

@@ -30,12 +30,17 @@ object Ir {
   final case class VLambda(e: LExpr) extends Value
   final case class VRef(name: String) extends Value
 
-  /** One `|node(args).opt(vals)…` element. */
+  /** One `|node(args).opt(vals)…` element. A `||name(...)` element is a
+    * macro invocation (faxe_dfs.erl:49-57): `name` resolves to another
+    * stored script whose body chain is spliced in at this position, with
+    * the invocation's options overriding the macro's `def`s.
+    */
   final case class NodeSpec(
       name: String,
       args: Seq[Value],
       options: Map[String, Seq[Value]],
-      id: Int)
+      id: Int,
+      isMacro: Boolean = false)
 
   /** A chain: optional named source ref + nodes in pipe order. */
   final case class Chain(sourceRef: Option[String], nodes: Seq[NodeSpec])

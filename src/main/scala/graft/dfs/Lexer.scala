@@ -11,6 +11,10 @@ object Lexer {
 
   sealed trait Tok
   case object Pipe extends Tok
+  /** `||` — macro invocation prefix (faxe_dfs.erl:49-57 macro_fun;
+    * dfs/other/macro1.dfs `||ctc_module_condition()`).
+    */
+  case object DPipe extends Tok
   case object Dot extends Tok
   case object LParen extends Tok
   case object RParen extends Tok
@@ -44,6 +48,7 @@ object Lexer {
       val c = src(i)
       if (c == '%') { while (i < n && src(i) != '\n') i += 1 }
       else if (c.isWhitespace) i += 1
+      else if (c == '|' && peek(1) == '|') { out += DPipe; i += 2 }
       else if (c == '|') { out += Pipe; i += 1 }
       else if (c == '.' && !peek(1).isDigit) { out += Dot; i += 1 }
       else if (c == '(') { out += LParen; i += 1 }

@@ -42,9 +42,10 @@ object Parser {
             next()
             val name = ident()
             expect(Eq)
-            if (peek().contains(Pipe)) named += name -> chain(None)
+            if (peek().contains(Pipe) || peek().contains(DPipe))
+              named += name -> chain(None)
             else if (peek().exists(_.isInstanceOf[Ident]) &&
-                peek(1).contains(Pipe)) {
+                (peek(1).contains(Pipe) || peek(1).contains(DPipe))) {
               // `def x = other |node…` — a named chain sourced from a ref
               val ref = ident()
               named += name -> chain(Some(ref))
@@ -56,10 +57,11 @@ object Parser {
               defs += name -> VLambda(orExpr())
             }
             else defs += name -> literal()
-          case Some(Ident(ref)) if peek(1).contains(Pipe) =>
+          case Some(Ident(ref))
+              if peek(1).contains(Pipe) || peek(1).contains(DPipe) =>
             next()
             chains += chain(Some(ref))
-          case Some(Pipe) =>
+          case Some(Pipe) | Some(DPipe) =>
             chains += chain(None)
           case other =>
             throw DfsError(s"unexpected token $other at statement level")
@@ -75,8 +77,8 @@ object Parser {
 
     private def chain(sourceRef: Option[String]): Chain = {
       val nodes = Seq.newBuilder[NodeSpec]
-      while (peek().contains(Pipe)) {
-        next()
+      while (peek().contains(Pipe) || peek().contains(DPipe)) {
+        val isMacro = next() == DPipe
         val name = ident()
         expect(LParen)
         // node parens hold positional args and/or inline `.option(...)`s
@@ -102,7 +104,8 @@ object Parser {
         // trailing `.option(...)`s after the closing paren
         while (peek().contains(Dot) && peek(1).exists(_.isInstanceOf[Ident]) &&
             peek(2).contains(LParen)) option()
-        nodes += NodeSpec(name, as.result(), opts, { nextId += 1; nextId })
+        nodes += NodeSpec(name, as.result(), opts, { nextId += 1; nextId },
+          isMacro)
       }
       val ns = nodes.result()
       if (ns.isEmpty) throw DfsError("empty chain")

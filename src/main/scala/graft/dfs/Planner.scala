@@ -1130,6 +1130,42 @@ object Planner {
     "tcp_send" -> socketSink("tcp"),
     "udp_send" -> socketSink("udp"),
 
+    // tcp_serve — a local TCP server pushing each item to connected
+    // clients (ref: esp_tcp_serve.erl options port/packet/format/field):
+    // a sink on the (local, port) endpoint topic.
+    "tcp_serve" -> NodeDef(Some(Both), Both,
+      Set("port", "packet", "format", "field"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        graft.sources.Loopback.publish(ctx.df, socketTopic("tcp", n, env))
+        ctx
+      }),
+    // tcppoll — periodic poll of a remote TCP endpoint (ref:
+    // esp_tcppoll.erl options ip/port/every/count/prefix): a source on
+    // the endpoint topic; .every/.count are stream pacing.
+    "tcppoll" -> NodeDef(None, Both,
+      Set("ip", "port", "every", "count", "prefix"),
+      (_, n, env) => {
+        val df = graft.sources.Loopback.subscribe(env.spark,
+          socketTopic("tcp", n, env))
+        Ctx(df, Nil, None, Point, "", "ts_ms")
+      }),
+    // s7read — Siemens S7 PLC polling source (ref: esp_s7read.erl:63-82
+    // options). The PLC client itself is deployment-side (connector
+    // boundary, README); engine-side it is an endpoint source on the
+    // (ip, port) topic whose address/alias options are accepted and
+    // carried — dfs/other/macro1.dfs starts its chain with it.
+    "s7read" -> NodeDef(None, Point,
+      Set("ip", "port", "every", "align", "slot", "rack", "vars",
+        "vars_prefix", "as", "as_prefix", "diff", "merge_field",
+        "byte_offset", "use_pool", "standalone", "optimized", "native"),
+      (_, n, env) => {
+        val ip = optStr(n, "ip", env).getOrElse("0.0.0.0")
+        val port = optNum(n, "port", env).map(_.toLong).getOrElse(102L)
+        val df = graft.sources.Loopback.subscribe(env.spark, s"s7:$ip:$port")
+        Ctx(df, Nil, None, Point, "", "ts_ms")
+      }),
+
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.
@@ -1361,6 +1397,16 @@ object Planner {
   /** Validate node names, option names (with Levenshtein hints) and edge
     * wants/emits typing — errors mirror faxe_dfs.erl:165-183, 356-367.
     */
+  /** A detached segment: no source ref and a first node that needs
+    * input. Legal in the reference's graph model (no inbound edge → the
+    * node never fires) and the natural shape of a macro body script;
+    * compiles, but is skipped by DfsEngine.run.
+    */
+  def detached(c: Chain): Boolean =
+    c.sourceRef.isEmpty && c.nodes.headOption.exists { n =>
+      nodes.get(n.name).exists(nd => nd.wants.nonEmpty && !nd.optionalInput)
+    }
+
   def validate(script: Script): Unit = {
     // the type-check compares ADJACENT DECLARED wants/emits, with `both`
     // compatible either way — exactly faxe_dfs.erl:165-183
@@ -1388,8 +1434,12 @@ object Planner {
             // drop received items (picking_tracking.dfs mem→json_emitter)
             ()
           case Some(w) =>
-            if (atStart && !nd.optionalInput)
-              throw DfsError(s"chain starts with non-source '${n.name}'")
+            // a chain STARTING with a non-source node is a detached
+            // segment: in the reference's graph model a node with no
+            // inbound edge is legal (it just never fires) — and macro
+            // body scripts are written exactly this way
+            // (dfs/other/macro1.dfs top chain). It compiles but is
+            // skipped at run time (DfsEngine.run).
             if (!atStart && w != Both && current != Both && w != current)
               throw DfsError(s"Cannot connect $prevName (emits: " +
                 s"${current.label}) to '${n.name}' (wants: ${w.label})")

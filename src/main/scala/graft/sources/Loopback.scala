@@ -78,9 +78,41 @@ object Loopback {
 
   /** Stream-read a topic (micro-batch offsets over the bus log). */
   def subscribeStream(spark: SparkSession, topic: String,
-      group: String = "default"): DataFrame =
+      group: String = "default"): DataFrame = {
+    ensureAckListener(spark)
     spark.readStream.format(FormatName)
       .option("topic", topic).option("group", group).load()
+  }
+
+  /** Consumer-group ack point. Spark's driver-side
+    * MicroBatchStream.commit(end) lags one batch and is never invoked for
+    * the final batch of a Trigger.AvailableNow run (cleanup only happens
+    * when a NEXT batch is constructed), so a drain-style query would never
+    * ack at all. QueryProgressEvent fires exactly once per SUCCESSFUL
+    * batch with the source's endOffset — ack-after-process with no event
+    * on failure, the amqp semantics (esp_amqp_consume.erl:68-103). The
+    * group-tagged offset json carries (topic, group) so the listener can
+    * route the commit; commit() stays as a second idempotent ack point
+    * (LoopbackBus.commit is max-monotonic).
+    */
+  private val ackInstalled = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def ensureAckListener(spark: SparkSession): Unit =
+    if (ackInstalled.add(spark))
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit =
+            e.progress.sources.foreach { s =>
+              LoopbackOffset.parseTagged(s.endOffset).foreach {
+                case (topic, group, off) =>
+                  if (off >= 0) LoopbackBus.commit(topic, group, off)
+              }
+            }
+        })
 }
 
 final class LoopbackTable(topic: String, group: String)
@@ -121,8 +153,28 @@ final class LoopbackTable(topic: String, group: String)
 final case class LoopbackPartition(topic: String, group: String,
     from: Long, until: Long) extends InputPartition
 
-final case class LoopbackOffset(off: Long) extends Offset {
-  override def json(): String = off.toString
+final case class LoopbackOffset(off: Long, topic: String = "",
+    group: String = "") extends Offset {
+  // the group-tagged form lets the session ack listener route commits
+  // from QueryProgressEvent endOffsets (see Loopback.ensureAckListener)
+  override def json(): String =
+    if (group.isEmpty) off.toString
+    else s"""{"topic":"$topic","group":"$group","off":$off}"""
+}
+
+object LoopbackOffset {
+  private val Tagged =
+    """\{"topic":"(.*)","group":"(.*)","off":(-?\d+)\}""".r
+
+  def fromJson(s: String, topic: String, group: String): LoopbackOffset =
+    s.trim match {
+      case Tagged(t, g, o) => LoopbackOffset(o.toLong, t, g)
+      case plain => LoopbackOffset(plain.toLong, topic, group)
+    }
+
+  /** (topic, group, off) when `s` is a group-tagged offset json. */
+  def parseTagged(s: String): Option[(String, String, Long)] =
+    Option(s).map(_.trim).collect { case Tagged(t, g, o) => (t, g, o.toLong) }
 }
 
 final class LoopbackScan(topic: String, group: String) extends Scan {
@@ -147,16 +199,17 @@ final class LoopbackScan(topic: String, group: String) extends Scan {
       override def prepareForTriggerAvailableNow(): Unit =
         availableNowTarget = Some(LoopbackBus.latest(topic))
       override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+      private def tag(off: Long) = LoopbackOffset(off, topic, group)
       override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-        LoopbackOffset(availableNowTarget.getOrElse(LoopbackBus.latest(topic)))
+        tag(availableNowTarget.getOrElse(LoopbackBus.latest(topic)))
       override def reportLatestOffset(): Offset =
-        LoopbackOffset(LoopbackBus.latest(topic))
+        tag(LoopbackBus.latest(topic))
       override def initialOffset(): Offset =
-        LoopbackOffset(LoopbackBus.committed(topic, group))
+        tag(LoopbackBus.committed(topic, group))
       override def latestOffset(): Offset =
-        LoopbackOffset(LoopbackBus.latest(topic))
+        tag(LoopbackBus.latest(topic))
       override def deserializeOffset(json: String): Offset =
-        LoopbackOffset(json.toLong)
+        LoopbackOffset.fromJson(json, topic, group)
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
         Array(LoopbackPartition(topic, group,
           start.asInstanceOf[LoopbackOffset].off,

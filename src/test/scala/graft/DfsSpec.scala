@@ -434,4 +434,90 @@ class DfsSpec extends AnyFunSuite {
     assert(combined.count() == nClicks)
     assert(combined.columns.contains("v_value"))
   }
+
+  // ---- macros (faxe_dfs.erl:49-57 macro_fun) ---------------------------
+
+  test("macro1.dfs: reference macro script compiles VERBATIM") {
+    val f = new java.io.File("/root/reference/dfs/other/macro1.dfs")
+    assume(f.isFile, "reference tree not present")
+    val src = {
+      val s = scala.io.Source.fromFile(f, "UTF-8")
+      try s.mkString finally s.close()
+    }
+    // the file documents the stored macro task's own DFS above the
+    // `%% use` marker — register that fragment under the flow id named in
+    // its header comment, exactly faxe's get_task lookup
+    graft.dfs.Macros.register("ctc_module_condition", src.split("%% use")(0))
+    try {
+      val script = DfsEngine.compile(src)
+      // one chain: the documented macro-body case node, then the use
+      // site — s7read with ||ctc_module_condition() spliced after it
+      val use = script.chains.last
+      assert(use.nodes.map(_.name) == Seq("case", "s7read", "case"))
+      val spliced = use.nodes.last
+      assert(spliced.options.contains("values") &&
+        spliced.options.contains("default"))
+      // .val(2) overrode the macro's `def val = 1` inside the lambdas
+      def hasLit(e: Ir.LExpr, v: Double): Boolean = e match {
+        case Ir.LNum(x, _) => x == v
+        case Ir.LBin(_, l, r) => hasLit(l, v) || hasLit(r, v)
+        case Ir.LNot(x) => hasLit(x, v)
+        case Ir.LCall(_, as) => as.exists(hasLit(_, v))
+        case _ => false
+      }
+      val lambdas = spliced.args.collect { case Ir.VLambda(e) => e }
+      assert(lambdas.nonEmpty && lambdas.forall(hasLit(_, 2)))
+      assert(!lambdas.exists(hasLit(_, 1)))
+    } finally graft.dfs.Macros.clear()
+  }
+
+  test("macro-expanded chain runs end-to-end with def overrides") {
+    graft.dfs.Macros.register("flag_over",
+      """#def thresh = 100
+         #|eval(lambda: "val" > thresh)
+         #  .as('over')
+         #""".stripMargin('#'))
+    try {
+      val out = DfsEngine.runSingle(
+        """#|value_emitter(.count(50))
+           #||flag_over()
+           #  .thresh(500)
+           #|where(lambda: "over" == true)
+           #""".stripMargin('#'), spark, sf)
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getAs[Long]("val") > 500))
+    } finally graft.dfs.Macros.clear()
+  }
+
+  test("macro errors: unknown macro / unknown def override") {
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.compile("|value_emitter(.count(1))\n||nope()")
+    }
+    assert(e.msg == "macro 'nope' could not be found")
+    graft.dfs.Macros.register("m1", "|eval(lambda: 1)\n  .as('x')")
+    try {
+      val e2 = intercept[Ir.DfsError] {
+        DfsEngine.compile("|value_emitter(.count(1))\n||m1()\n  .bogus(3)")
+      }
+      assert(e2.msg.contains("macro 'm1' has no def 'bogus'"))
+    } finally graft.dfs.Macros.clear()
+  }
+
+  test("detached segment (macro body form) compiles but does not run") {
+    // a `def` statement separates the two anonymous chains
+    val frames = DfsEngine.run(
+      """#|eval(lambda: 1)
+         #  .as('x')
+         #
+         #def n = 1
+         #|value_emitter(.count(3))
+         #""".stripMargin('#'), spark, sf)
+    assert(frames.keySet == Set("chain_2"))
+    assert(frames("chain_2").count() == 3)
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.runSingle("|eval(lambda: 1)\n  .as('x')", spark, sf)
+    }
+    assert(e.msg.contains("no runnable chain"))
+  }
 }

@@ -52,13 +52,21 @@ class LoopbackSpec extends AnyFunSuite {
       q.awaitTermination(60000)
       spark.sql(s"SELECT count(*) FROM $queryName").head.getLong(0)
     }
+    // the ack listener fires on QueryProgressEvent, which is async to
+    // awaitTermination — poll briefly for the committed mark
+    def awaitCommitted(expect: Long): Long = {
+      val deadline = System.currentTimeMillis + 10000
+      while (LoopbackBus.committed("s1", "g1") != expect &&
+          System.currentTimeMillis < deadline) Thread.sleep(50)
+      LoopbackBus.committed("s1", "g1")
+    }
     assert(drain("lb_first") == 3)
-    // committed mark recorded for the group (ack semantics)
-    assert(LoopbackBus.committed("s1", "g1") == 2L)
+    // committed mark recorded for the group (ack-after-process)
+    assert(awaitCommitted(2L) == 2L)
     // two more arrive; the same group resumes AFTER the committed offset
     (4 to 5).foreach(i => LoopbackBus.publish("s1", s"k$i", s"v$i"))
     assert(drain("lb_second") == 2)
-    assert(LoopbackBus.committed("s1", "g1") == 4L)
+    assert(awaitCommitted(4L) == 4L)
     // a fresh group re-reads from the start (nothing acked yet)
     val all = Loopback.subscribeStream(spark, "s1", group = "g2")
       .writeStream.format("memory").queryName("lb_all")

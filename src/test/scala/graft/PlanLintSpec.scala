@@ -61,10 +61,12 @@ class PlanLintSpec extends AnyFunSuite {
   }
 
   test("broadcast nested-loop joins only where sanctioned (guarded top-k)") {
-    // bruteTopK's crossJoin(broadcast(q)) is the ONE sanctioned
-    // all-pairs — it fails fast past MaxBroadcastQueries. Anywhere else a
-    // BNLJ means an equi-join lost its keys.
-    val sanctioned = Set("emb_cosine_topk")
+    // Two sanctioned shapes: bruteTopK's crossJoin(broadcast(q)) —
+    // all-pairs by spec, fails fast past MaxBroadcastQueries — and
+    // fillPeriod's conditionless join against a broadcast 1-ROW
+    // min-aggregate (the lazy scalar-subquery form; Windows.fillPeriod).
+    // Anywhere else a BNLJ means an equi-join lost its keys.
+    val sanctioned = Set("emb_cosine_topk", "win_time_fill_period")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
@@ -74,5 +76,32 @@ class PlanLintSpec extends AnyFunSuite {
     }.toSet
     assert(offenders.isEmpty,
       s"unsanctioned broadcast nested-loop joins in: ${offenders.mkString(", ")}")
+  }
+
+  test("fill_period query CONSTRUCTION triggers no Spark job") {
+    // Windows.fillPeriod must stay lazy: an eager bound (.head at plan
+    // time) would be a full extra source scan per planned query at
+    // 100 TB. Constructing the DataFrame may analyze but must not run.
+    // spark.read.parquet legitimately runs a tiny footer-read job for
+    // schema inference at construction; what must NOT appear is an
+    // action-driven job (the old `.head` bound = a full source scan)
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // the schema-inference job may come from a worker thread with no
+        // local properties — identify it by its stage callsite instead
+        val stages = js.stageInfos.map(_.name)
+        if (!stages.forall(_.startsWith("parquet at")))
+          actions.add(stages.mkString(";"))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("win_time_fill_period")(spark, sf) // construct only
+      Thread.sleep(1000) // listener bus is async
+      assert(actions.isEmpty,
+        s"query construction launched action job(s): $actions")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
