@@ -348,6 +348,29 @@ object Planner {
         Ctx(df, Nil, None, Point, ts, tsMs)
       }),
 
+    // crate_query — periodic SQL with the time-bucket GROUP-BY rewrite
+    // (ref: esp_crate_query.erl:144-171 build_query; options :44-62).
+    // Engine binding runs the rewritten query per poll window over the
+    // corpus table named in FROM; host/port/user/... are the
+    // deployment-side connection options, accepted and unused here.
+    "crate_query" -> NodeDef(None, Batch,
+      Set("host", "port", "tls", "user", "pass", "database", "query",
+        "time_field", "every", "period", "align", "group_by_time",
+        "group_by", "limit", "result_type"),
+      (_, n, env) => {
+        val q = optStr(n, "query", env)
+          .getOrElse(throw DfsError("crate_query: .query"))
+        val tf = optStr(n, "time_field", env).getOrElse("ts")
+        val gbt = optDurMs(n, "group_by_time", env).getOrElse(120000L)
+        val gbs = optStrs(n, "group_by", env)
+        val period = optDurMs(n, "period", env).getOrElse(3600000L)
+        val df = graft.io.CrateQuery.runPolls(env.spark, env.dir, q, gbt,
+          tf, gbs, period)
+        // the bucket key (`<tf>_gb`, SECONDS) is the result's time axis;
+        // no ms-precision event-time column survives the rewrite
+        Ctx(df, Nil, None, Batch, "", "")
+      }),
+
     // json_emitter test source: literal JSON docs → rows (ref:
     // esp_json_emitter.erl:37-66; .every/.jitter are stream pacing —
     // meaningless in batch, accepted and ignored).

@@ -1,0 +1,116 @@
+package graft.io
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `crate_query` periodic-SQL node's time-bucket rewrite (ref:
+  * esp_crate_query.erl:144-171 `build_query`, eunit-pinned at :216-225):
+  * the user's SELECT is rewritten to prepend an epoch-bucket key, append
+  * a poll-window range predicate, and GROUP BY the bucket (+ any
+  * `.group_by` fields), ORDER BY bucket DESC.
+  *
+  * Two dialects:
+  *  - [[buildQuery]] — the reference's exact output string (CrateDB /
+  *    PostgreSQL dialect, `$1`/`$2` bind params). Pure string logic; this
+  *    is what a real JDBC deployment binding would prepare.
+  *  - [[sparkQuery]] — the same shape in Spark SQL over the corpus
+  *    tables, with two deliberate changes: integral `div` arithmetic on
+  *    ms epochs (no double round-trip) and HALF-OPEN windows. The
+  *    reference issues `>= $1 AND <= $2` for consecutive marks
+  *    [mark-period, mark], so a row exactly at a mark is read by two
+  *    successive polls; the poll planner's `[from, to)` windows partition
+  *    the timeline instead, which is what makes N polls + bucket-agg
+  *    reproduce one global bucket query exactly.
+  */
+object CrateQuery {
+
+  /** Reference-exact bucket expression (esp_crate_query.erl:157-163):
+    * the bucket unit is whole SECONDS of the group_by_time duration.
+    */
+  def timeGroup(groupByTimeMs: Long, timeField: String): String = {
+    val dur = math.round(groupByTimeMs / 1000.0)
+    s"floor(EXTRACT(epoch FROM $timeField)/$dur)*$dur AS ${timeField}_gb"
+  }
+
+  private def rangeJoin(rest: String): String =
+    if (rest.contains("WHERE")) " AND " else " WHERE "
+
+  /** Reference-exact rewrite (esp_crate_query.erl:144-155; eunit
+    * build_simple_query_test pins the full output).
+    */
+  def buildQuery(query: String, groupByTimeMs: Long, timeField: String,
+      groupBys: Seq[String]): String = {
+    val rest = query.drop(6) // the leading "SELECT"
+    val groupClause = groupBys.map(g => s", $g").mkString
+    s"SELECT ${timeGroup(groupByTimeMs, timeField)}, ${rest.trim}" +
+      s"${rangeJoin(rest)}$timeField >= $$1 AND $timeField <= $$2" +
+      s" GROUP BY ${timeField}_gb$groupClause ORDER BY ${timeField}_gb DESC"
+  }
+
+  /** Spark-dialect rewrite for one poll window (see class doc for the
+    * two deliberate divergences).
+    */
+  def sparkQuery(query: String, groupByTimeMs: Long, timeField: String,
+      groupBys: Seq[String], w: PollSource.PollWindow): String = {
+    val sec = math.max(1L, math.round(groupByTimeMs / 1000.0))
+    val rest = query.drop(6).trim
+    val groupClause = groupBys.map(g => s", $g").mkString
+    s"SELECT (unix_millis($timeField) div 1000 div $sec) * $sec" +
+      s" AS ${timeField}_gb, $rest" +
+      s"${rangeJoin(rest)}unix_millis($timeField) >= ${w.fromMs}" +
+      s" AND unix_millis($timeField) < ${w.toMs}" +
+      s" GROUP BY ${timeField}_gb$groupClause ORDER BY ${timeField}_gb DESC"
+  }
+
+  private val FromTable = "(?i)\\bfrom\\s+([A-Za-z_]\\w*)".r
+
+  /** Run the node in batch form: derive the poll timeline from the data
+    * bounds (the reference's setup_query behavior), then issue one
+    * rewritten query per poll window and union the batches.
+    *
+    * The mark timeline is aligned DOWN to a bucket boundary and the
+    * period rounded UP to a whole number of buckets, so no bucket ever
+    * straddles two polls — the condition under which N polls + bucket-agg
+    * ≡ one global bucket query (the `align` option's spirit,
+    * esp_crate_query.erl init_timer).
+    */
+  def runPolls(spark: SparkSession, dir: String, query: String,
+      groupByTimeMs: Long, timeField: String, groupBys: Seq[String],
+      periodMs: Long): DataFrame = {
+    val table = FromTable.findFirstMatchIn(query).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"crate_query: no FROM table in '$query'"))
+    val df =
+      if (table == "events") Tables.events(spark, dir)
+      else Tables.load(spark, dir, table)
+    df.createOrReplaceTempView(table)
+
+    val bucketMs = math.max(1000L, math.round(groupByTimeMs / 1000.0) * 1000L)
+    val bounds = df.agg(min(unix_millis(col(timeField))),
+      max(unix_millis(col(timeField)))).head
+    if (bounds.isNullAt(0)) return spark.sql(sparkQuery(query, groupByTimeMs,
+      timeField, groupBys, PollSource.PollWindow(0L, 0L)))
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val start = mn - java.lang.Math.floorMod(mn, bucketMs)
+    val reqPeriod = math.max(bucketMs,
+      ((periodMs + bucketMs - 1) / bucketMs) * bucketMs)
+    // Bound the union fan-in: this batch binding folds every poll into
+    // ONE plan, and a long corpus with a short period (30 days / 30 min
+    // = 1440 windows) explodes plan width — analysis cost alone
+    // dominates. A deployment runs each poll as its own micro-query on a
+    // timer, so the period only shapes batch boundaries here; widen it
+    // (to a bucket multiple) until ≤16 windows cover the span.
+    val maxWindows = 16L
+    val minPeriod0 = (mx - start) / maxWindows + 1
+    val minPeriod = ((minPeriod0 + bucketMs - 1) / bucketMs) * bucketMs
+    val period = math.max(reqPeriod, minPeriod)
+    val poller = new PollSource.IncrementalPoll(startMs = start,
+      periodMs = period, offsetMs = 0L, minIntervalMs = 0L,
+      stopMs = Some(mx + period))
+    val frames = poller.catchUp(nowMs = mx + 2 * period).map(w =>
+      spark.sql(sparkQuery(query, groupByTimeMs, timeField, groupBys, w)))
+    frames.reduceOption(_ union _).getOrElse(
+      throw new IllegalStateException("crate_query: no poll windows"))
+  }
+}

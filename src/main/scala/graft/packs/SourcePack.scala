@@ -33,6 +33,24 @@ object SourcePack extends QueryPack {
           .getOrElse(throw new IllegalStateException("no poll windows"))
       },
       Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // crate_query's time-bucket rewrite, end-to-end through the DFS node
+    // (esp_crate_query.erl:144-171 build_query; eunit :216-225): N poll
+    // windows, each rewritten to a bucket GROUP BY, must reproduce ONE
+    // global time-bucket query exactly — proving the bucket-aligned mark
+    // timeline never splits a bucket across polls.
+    "poll_bucketed" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """#|crate_query(
+           #  .query('SELECT event_type, count(*) AS n, max(value) AS vmax FROM events')
+           #  .group_by_time(2m)
+           #  .period(30m)
+           #  .group_by('event_type'))
+           #""".stripMargin('#'), s, dir),
+      Some("""SELECT event_type,
+             |  (epoch_ms(ts) // 1000 // 120) * 120 AS ts_gb,
+             |  count(*) AS n, max(value) AS vmax
+             |FROM events GROUP BY 1, 2""".stripMargin))
   )
 }

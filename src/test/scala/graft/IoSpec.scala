@@ -46,6 +46,39 @@ class IoSpec extends AnyFunSuite {
     assert(out.select("event_id").distinct().count() == ev.count()) // disjoint
   }
 
+  test("crate_query rewrite matches the reference eunit expectations") {
+    import graft.io.CrateQuery
+    // esp_crate_query.erl:217-219 time_group_test
+    assert(CrateQuery.timeGroup(420000L, "ts") ==
+      "floor(EXTRACT(epoch FROM ts)/420)*420 AS ts_gb")
+    // esp_crate_query.erl:221-225 build_simple_query_test
+    assert(CrateQuery.buildQuery(
+      "SELECT COUNT(*) FROM table WHERE tag1 = 'test'", 300000L, "time",
+      Seq("a", "b")) ==
+      "SELECT floor(EXTRACT(epoch FROM time)/300)*300 AS time_gb, " +
+        "COUNT(*) FROM table WHERE tag1 = 'test' AND time >= $1 AND " +
+        "time <= $2 GROUP BY time_gb, a, b ORDER BY time_gb DESC")
+    // no-WHERE query grows a WHERE clause
+    assert(CrateQuery.buildQuery("SELECT COUNT(*) FROM t", 60000L, "ts", Nil)
+      .contains(" WHERE ts >= $1 AND ts <= $2 GROUP BY ts_gb ORDER BY"))
+  }
+
+  test("crate_query polls reproduce one global bucket query") {
+    import graft.io.CrateQuery
+    val out = CrateQuery.runPolls(spark, sf,
+      "SELECT event_type, count(*) AS n FROM events",
+      groupByTimeMs = 120000L, timeField = "ts",
+      groupBys = Seq("event_type"), periodMs = 1800000L)
+    val expect = Tables.events(spark, sf)
+      .groupBy((col("ts_ms") / 1000L).cast("long")
+          .divide(120L).cast("long").multiply(120L).as("ts_gb"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(out.count() == expect.count())
+    assert(out.exceptAll(expect.select("ts_gb", "event_type", "n"))
+      .count() == 0)
+  }
+
   test("csv sink/source round trip") {
     val path = "/tmp/graft-test-csv"
     val src = Tables.events(spark, sf)
