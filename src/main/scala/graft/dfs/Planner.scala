@@ -216,6 +216,12 @@ object Planner {
       case v => throw DfsError(s"option '$name': expected number, got $v")
     }
 
+  /** is_set-style flag: present (bare `.name()` or `.name(true)`) unless
+    * explicitly `.name(false)`.
+    */
+  private def optFlag(n: NodeSpec, name: String, env: Env): Boolean =
+    n.options.contains(name) && !optStr(n, name, env).contains("false")
+
   private def optLambdas(n: NodeSpec, name: String, env: Env): Seq[LExpr] =
     optVals(n, name, env).collect { case VLambda(e) => e }
 
@@ -278,7 +284,7 @@ object Planner {
     // wants/emits themselves (the batch/point pair lives in the esp_stats
     // behaviour module), so the reference's checker sees the default —
     // tcp_window.dfs chains them point-to-point
-    fn -> NodeDef(Some(Both), Both, Set("field", "as", "func", "perc"),
+    fn -> NodeDef(Some(Both), Both, Set("field", "as", "func", "perc", "approx"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val f = optStr(n, "field", env)
@@ -287,7 +293,8 @@ object Planner {
         val flat = if (as.contains(".")) "_st_out" else as
         val agg0 = groupedAgg(ctx, Seq(
           graft.operators.agg.AggFunctions
-            .column(fn, Paths.ref(f), col(ctx.tsMs)).as(flat)))
+            .column(fn, Paths.ref(f), col(ctx.tsMs),
+              optFlag(n, "approx", env)).as(flat)))
         val out = if (flat == as) agg0
           else Paths.set(agg0, as, col(flat)).drop(flat)
         ctx.copy(df = out, win = None, io = Point,
@@ -631,7 +638,7 @@ object Planner {
 
     // ---- aggregations (§2.4, batch → point) ----
     "aggregate" -> NodeDef(Some(Batch), Point,
-      Set("fields", "functions", "as", "keep", "keep_tail"),
+      Set("fields", "functions", "as", "keep", "keep_tail", "approx"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val fields = optStrs(n, "fields", env)
@@ -645,7 +652,7 @@ object Planner {
           if (a.contains(".")) s"_agg$i" else a
         }
         val specs = fields.lazyZip(funcs).lazyZip(flat).map(Aggregate.Spec(_, _, _))
-        val agg0 = aggregateWithWindow(ctx, specs)
+        val agg0 = aggregateWithWindow(ctx, specs, optFlag(n, "approx", env))
         val restructured = as.zip(flat).filter { case (a, f) => a != f }
           .foldLeft(agg0) { case (d, (a, f)) =>
             Paths.set(d, a, col(s"`$f`")).drop(f)
@@ -653,15 +660,20 @@ object Planner {
         ctx.copy(df = restructured, win = None, io = Point,
           ts = "", tsMs = aggEventTime(ctx))
       }),
-    "percentile" -> NodeDef(Some(Batch), Point, Set("fields", "as", "at"),
+    "percentile" -> NodeDef(Some(Batch), Point,
+      Set("fields", "as", "at", "approx"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val field = optStrs(n, "fields", env).headOption
           .getOrElse(throw DfsError("percentile: .fields"))
         val at = optNum(n, "at", env).getOrElse(50.0) / 100.0
         val as = optStrs(n, "as", env).headOption.getOrElse("percentile")
-        val agg = graft.operators.agg.AggFunctions
-          .percentile(col(field), at).as(as)
+        // .approx(true): the t-digest sketch — fixed-size per-group state
+        // instead of a full group sort (the 100 TB default, SCALE.md)
+        val agg = (if (optFlag(n, "approx", env))
+            graft.operators.agg.AggFunctions.approxPercentile(col(field), at)
+          else graft.operators.agg.AggFunctions.percentile(col(field), at))
+          .as(as)
         ctx.copy(df = groupedAgg(ctx, Seq(agg)), win = None, io = Point,
           ts = "", tsMs = aggEventTime(ctx))
       }),
@@ -1153,6 +1165,33 @@ object Planner {
     "tcp_send" -> socketSink("tcp"),
     "udp_send" -> socketSink("udp"),
 
+    // influx_out — InfluxDB HTTP write sink (ref: esp_influx_out.erl:
+    // 40-50 options, :203-209 line-protocol encode). The HTTP client is
+    // deployment-side; engine-side each row is encoded to the line
+    // protocol (lib/influx_line.erl parity, io/InfluxLine.scala) and
+    // published to the endpoint topic, so the exact wire payload is
+    // testable.
+    "influx_out" -> NodeDef(Some(Both), Both,
+      Set("host", "port", "tls", "user", "pass", "database", "measurement",
+        "retpol"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val meas = optStr(n, "measurement", env)
+          .getOrElse(throw DfsError("influx_out: .measurement"))
+        val host = optStr(n, "host", env).getOrElse("localhost")
+        val port = optNum(n, "port", env).map(_.toLong).getOrElse(8086L)
+        val db = optStr(n, "database", env).getOrElse("faxe")
+        val tsOpt = Some(ctx.tsMs).filter(t =>
+          t.nonEmpty && ctx.df.columns.contains(t))
+        val fields = ctx.df.columns.toSeq
+          .filterNot(cn => cn == ctx.ts || tsOpt.contains(cn))
+        val line = graft.io.InfluxLine.encode(ctx.df, lit(meas), fields,
+          ts = tsOpt.map(col))
+        graft.sources.Loopback.publish(
+          ctx.df.select(line.as("payload")), s"influx:$host:$port:$db")
+        ctx
+      }),
+
     // tcp_serve — a local TCP server pushing each item to connected
     // clients (ref: esp_tcp_serve.erl options port/packet/format/field):
     // a sink on the (local, port) endpoint topic.
@@ -1396,7 +1435,8 @@ object Planner {
       case _ => ctx.df.agg(aggs.head, aggs.tail: _*)
     }
 
-  private def aggregateWithWindow(ctx: Ctx, specs: Seq[Aggregate.Spec]): DataFrame = {
+  private def aggregateWithWindow(ctx: Ctx, specs: Seq[Aggregate.Spec],
+      approx: Boolean = false): DataFrame = {
     // count_change needs a lag pre-pass over the un-windowed stream
     // (esp_aggregate keep_tail continuity, SURVEY §7.4): mark changes
     // first, then any window/group sums the marker column.
@@ -1410,7 +1450,7 @@ object Planner {
         sum(col(s"_cc${ccSpecs.indexOf(s)}")).as(s.as)
       else
         graft.operators.agg.AggFunctions
-          .column(s.func, col(s.field), col(ctx.tsMs)).as(s.as)
+          .column(s.func, col(s.field), col(ctx.tsMs), approx).as(s.as)
     }
     groupedAgg(prepped, aggs)
   }

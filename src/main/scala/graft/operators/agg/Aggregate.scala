@@ -25,9 +25,17 @@ object AggFunctions {
 
   /** Build the aggregation column for `func` over `field`.
     * `ts` orders first/last (ref: stats/c_agg.erl:19-26 keeps timestamps).
+    * `approx = true` swaps the two sort/set-heavy functions for their
+    * sketch forms (t-digest percentile_approx, HyperLogLog++
+    * approx_count_distinct) — the 100 TB knob (docs/SCALE.md): exact
+    * median/count_distinct hold full per-group state; the sketches are
+    * fixed-size and partial-aggregatable.
     */
-  def column(func: String, field: Column, ts: Column = col("ts")): Column =
+  def column(func: String, field: Column, ts: Column = col("ts"),
+      approx: Boolean = false): Column =
     func match {
+      case "median" if approx         => percentile_approx(field, lit(0.5), lit(10000))
+      case "count_distinct" if approx => approx_count_distinct(field)
       case "count"          => count(field)
       case "sum"            => sum(field)
       case "min"            => min(field)

@@ -435,6 +435,42 @@ class DfsSpec extends AnyFunSuite {
     assert(combined.columns.contains("v_value"))
   }
 
+  test(".approx(true): percentile/aggregate switch to sketch forms") {
+    def p50(approxOpt: String): Map[String, Double] =
+      DfsEngine.runSingle(
+        s"""#|parquet_read(.table('events'))
+            #|group_by('event_type')
+            #|batch(1000000)
+            #|percentile(.fields('value').at(50).as('p50')$approxOpt)
+            #""".stripMargin('#'), spark, sf)
+        .select("event_type", "p50").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = p50("")
+    val approx = p50(".approx(true)")
+    assert(exact.keySet == approx.keySet)
+    // sf0.001 has 1000 rows — the t-digest at accuracy 10000 is exact-ish
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - approx(k)) <= math.abs(v) * 0.05 + 1.0, k)
+    }
+    val agg = DfsEngine.runSingle(
+      """#|parquet_read(.table('events'))
+         #|group_by('event_type')
+         #|batch(1000000)
+         #|aggregate(
+         #  .fields('value', 'user_id')
+         #  .functions('median', 'count_distinct')
+         #  .as('med', 'users')
+         #  .approx(true))
+         #""".stripMargin('#'), spark, sf)
+      .select("event_type", "med", "users").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(agg.nonEmpty)
+    agg.foreach { case (k, med, users) =>
+      assert(math.abs(med - exact(k)) <= math.abs(exact(k)) * 0.05 + 1.0, k)
+      assert(users > 0, k)
+    }
+  }
+
   // ---- macros (faxe_dfs.erl:49-57 macro_fun) ---------------------------
 
   test("macro1.dfs: reference macro script compiles VERBATIM") {

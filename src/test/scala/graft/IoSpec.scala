@@ -79,6 +79,54 @@ class IoSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("influx line protocol matches the reference encoding") {
+    import graft.io.InfluxLine
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("x", LongType), StructField("y", DoubleType),
+      StructField("s", StringType), StructField("b", BooleanType),
+      StructField("host", StringType), StructField("region", StringType),
+      StructField("ts", LongType)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, 2.5, "str", true, "h1", "eu", 1234567890123L),
+        Row(7L, 2.0, null, false, "h2", null, 1234567890124L)),
+      schema)
+    val lines = df.select(InfluxLine.encode(df, lit("m"),
+        Seq("x", "y", "s", "b"), Seq("host", "region"),
+        Some(col("ts"))).as("l"))
+      .collect().map(_.getString(0))
+    // {Key, Fields, Tags, Ts} form (influx_line.erl:91-101): tags joined
+    // to the key, fields space-separated, bare ints, compact floats,
+    // t/f booleans, trailing newline; null field/tag dropped
+    assert(lines(0) == "m,host=h1,region=eu x=1,y=2.5,s=str,b=t 1234567890123\n")
+    assert(lines(1) == "m,host=h2 x=7,y=2.0,b=f 1234567890124\n")
+    // encode_integer option suffixes ints with 'i' (influx_line.erl:229-238)
+    val enc = df.limit(1).select(InfluxLine.encode(df, lit("m"), Seq("x"),
+      encodeInteger = true).as("l")).head.getString(0)
+    assert(enc == "m x=1i\n")
+  }
+
+  test("influx_out node publishes line-protocol payloads") {
+    import graft.sources.{Loopback, LoopbackBus}
+    LoopbackBus.clear()
+    graft.dfs.DfsEngine.runSingle(
+      """#|parquet_read(.table('events'))
+         #|where(lambda: "value" > 99)
+         #|keep('event_type', 'value', 'ts_ms')
+         #|influx_out(
+         #  .host('db1')
+         #  .database('metrics')
+         #  .measurement('hot'))
+         #""".stripMargin('#'), spark, sf)
+    val got = Loopback.subscribe(spark, "influx:db1:8086:metrics")
+      .select("payload").collect().map(_.getString(0))
+    assert(got.nonEmpty)
+    assert(got.forall(_.matches(
+      "hot event_type=\\w+,value=\\d+\\.\\d+ \\d{13}\\n")))
+  }
+
   test("csv sink/source round trip") {
     val path = "/tmp/graft-test-csv"
     val src = Tables.events(spark, sf)
