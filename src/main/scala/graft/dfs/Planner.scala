@@ -1165,6 +1165,77 @@ object Planner {
     "tcp_send" -> socketSink("tcp"),
     "udp_send" -> socketSink("udp"),
 
+    // postgre_statement — SQL statement source over JDBC (ref:
+    // esp_postgre_statement.erl:42-55). The statement executes REMOTELY
+    // as a derived table (io/Jdbc.scala); .host may carry a full jdbc:
+    // URL for embedded deployments. statement_field (per-point SQL from
+    // data) is trigger-driven runtime behavior — deployment-side.
+    "postgre_statement" -> NodeDef(None, Batch,
+      Set("host", "port", "tls", "user", "pass", "statement",
+        "statement_field", "retries", "start_on_trigger", "every",
+        "result_type", "database"),
+      (_, n, env) => {
+        val sql = optStr(n, "statement", env)
+          .getOrElse(throw DfsError("postgre_statement: .statement " +
+            "(.statement_field is trigger-driven — deployment-side)"))
+        val u = graft.io.Jdbc.url(
+          optStr(n, "host", env).getOrElse("localhost"),
+          optNum(n, "port", env).map(_.toLong).getOrElse(5432L),
+          optStr(n, "database", env).getOrElse(""))
+        Ctx(graft.io.Jdbc.statement(env.spark, u, sql),
+          Nil, None, Batch, "", "")
+      }),
+    // postgre_out — field-mapped JDBC insert sink (ref:
+    // esp_postgre_out.erl:34-47; db_fields/faxe_fields same_length map).
+    "postgre_out" -> NodeDef(Some(Both), Both,
+      Set("host", "port", "user", "pass", "database", "table",
+        "db_fields", "faxe_fields"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val table = optStr(n, "table", env)
+          .getOrElse(throw DfsError("postgre_out: .table"))
+        val dbf = optStrs(n, "db_fields", env)
+        val fxf = optStrs(n, "faxe_fields", env)
+        if (dbf.size != fxf.size)
+          throw DfsError("postgre_out: db_fields/faxe_fields same length")
+        val u = graft.io.Jdbc.url(
+          optStr(n, "host", env).getOrElse("localhost"),
+          optNum(n, "port", env).map(_.toLong).getOrElse(5432L),
+          optStr(n, "database", env).getOrElse(""))
+        graft.io.Jdbc.write(ctx.df, u, table, fxf.zip(dbf))
+        ctx
+      }),
+
+    // mqtt_amqp_bridge — consumes MQTT topic(s), republishes each
+    // payload verbatim to an AMQP exchange with routing key =
+    // topic_to_key(mqtt topic) ('/' → '.', esp_mqtt_amqp_bridge.erl:
+    // 302-303; one publisher per topic keeps per-topic order :7-8).
+    // Loopback binding: exchange address = "<exchange>:<routing_key>";
+    // repartition-by-topic + offset sort makes per-topic order hold at
+    // any input partitioning, the relational analog of the per-topic
+    // publisher queue.
+    "mqtt_amqp_bridge" -> NodeDef(None, Both,
+      Set("host", "port", "user", "pass", "qos", "topic", "topics", "ssl",
+        "amqp_host", "amqp_port", "amqp_user", "amqp_pass", "amqp_vhost",
+        "amqp_exchange", "amqp_ssl", "persistent", "reset_timeout",
+        "max_publishers", "safe"),
+      (_, n, env) => {
+        val topics = optStrs(n, "topics", env) ++ optStrs(n, "topic", env)
+        if (topics.isEmpty)
+          throw DfsError("mqtt_amqp_bridge: .topic or .topics")
+        val exchange = optStr(n, "amqp_exchange", env).getOrElse("x")
+        val frames = topics.map { t =>
+          val rk = t.replace("/", ".")
+          graft.sources.Loopback.subscribe(env.spark, t)
+            .withColumn("topic", lit(s"$exchange:$rk"))
+        }
+        val bridged = frames.reduce(_ unionByName _)
+          .repartition(col("topic"))
+          .sortWithinPartitions(col("topic"), col("offset"))
+        graft.sources.Loopback.publish(bridged, "")
+        Ctx(bridged, Nil, None, Point, "", "ts_ms")
+      }),
+
     // influx_out — InfluxDB HTTP write sink (ref: esp_influx_out.erl:
     // 40-50 options, :203-209 line-protocol encode). The HTTP client is
     // deployment-side; engine-side each row is encoded to the line

@@ -204,6 +204,49 @@ object Streaming {
       }
   }
 
+  /** `state_sequence` streaming form, strict mode (ref:
+    * esp_state_sequence.erl strict=true — the sequence steps must be
+    * CONSECUTIVE rows of the key): keyed ring buffer of the last n-1
+    * rows' predicate flags + timestamps; a row completing the chain
+    * within the per-step timeouts is emitted. Rows are consumed in
+    * arrival order per key — the reference's actor processes in arrival
+    * order too; the batch twin (StateOps.stateSequence) sorts by the
+    * order columns instead.
+    */
+  def stateSequence[K, V](
+      ds: Dataset[V],
+      keyFn: V => K,
+      preds: Seq[V => Boolean],
+      timeoutsMs: Seq[Long],
+      tsFn: V => Long)(
+      implicit ek: Encoder[K], ev: Encoder[V],
+      es: Encoder[Seq[(Long, Seq[Boolean])]]): Dataset[V] = {
+    require(preds.size >= 2 && timeoutsMs.size == preds.size - 1)
+    val n = preds.size
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Boolean])], V](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[V], state: GroupState[Seq[(Long, Seq[Boolean])]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty)
+          val out = ArrayBuffer.empty[V]
+          it.foreach { v =>
+            val flags = preds.map(_(v))
+            val ts = tsFn(v)
+            if (hist.size >= n - 1) {
+              val win = hist.takeRight(n - 1)
+              val tss = win.map(_._1) :+ ts
+              val ok = (0 until n - 1).forall(i => win(i)._2(i)) &&
+                flags(n - 1) &&
+                (1 until n).forall(j => tss(j) - tss(j - 1) <= timeoutsMs(j - 1))
+              if (ok) out += v
+            }
+            hist = (hist :+ (ts, flags)).takeRight(n - 1)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   /** `collect`, streaming form: keyed upsert cache — `add` admits rows,
     * `remove` evicts the key (ref: esp_collect.erl:63-637). Emits the
     * current latest row per key on change.

@@ -79,6 +79,58 @@ class IoSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("JDBC statement + incremental poll against embedded Derby") {
+    import graft.io.{Jdbc, PollSource}
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE readings") catch { case _: Exception => () }
+      st.execute(
+        "CREATE TABLE readings (id INT, ts_ms BIGINT, val DOUBLE)")
+      (1 to 20).foreach(i => st.execute(
+        s"INSERT INTO readings VALUES ($i, ${i * 1000L}, ${i * 1.5})"))
+      st.close()
+    } finally conn.close()
+
+    // one-shot statement: executed by the DB as a derived table
+    val one = Jdbc.statement(spark, url,
+      "SELECT id, val FROM readings WHERE val > 15")
+    assert(one.count() == 10 && one.columns.map(_.toLowerCase).toSet ==
+      Set("id", "val"))
+
+    // incremental polls partition the table exactly (N polls == 1 scan)
+    val poller = new PollSource.IncrementalPoll(startMs = 1000L,
+      periodMs = 7000L, offsetMs = 0L, minIntervalMs = 0L,
+      stopMs = Some(30000L))
+    val polled = poller.catchUp(nowMs = 60000L)
+      .map(w => Jdbc.poll(spark, url, "readings", "ts_ms", w))
+      .reduce(_ union _)
+    assert(polled.count() == 20) // covering: first window starts AT startMs
+    assert(polled.select("id").distinct().count() == 20)
+
+    // DFS front-end: postgre_statement source + postgre_out sink
+    val viaDfs = graft.dfs.DfsEngine.runSingle(
+      s"""#|postgre_statement(
+          #  .host('$url')
+          #  .statement('SELECT id, ts_ms, val FROM readings'))
+          #|where(lambda: "VAL" > 12)
+          #""".stripMargin('#'), spark, sf)
+    assert(viaDfs.count() == 12)
+    graft.dfs.DfsEngine.runSingle(
+      s"""#|postgre_statement(
+          #  .host('$url')
+          #  .statement('SELECT id, val FROM readings'))
+          #|postgre_out(
+          #  .host('$url')
+          #  .table('readings_out')
+          #  .db_fields('ID2')
+          #  .faxe_fields('ID'))
+          #""".stripMargin('#'), spark, sf)
+    val back = Jdbc.statement(spark, url, "SELECT id2 FROM readings_out")
+    assert(back.count() == 20)
+  }
+
   test("influx line protocol matches the reference encoding") {
     import graft.io.InfluxLine
     import org.apache.spark.sql.Row

@@ -139,4 +139,23 @@ class LoopbackSpec extends AnyFunSuite {
       "|amqp_consume(.queue('q1'))", spark, sf).count()
     assert(n == Tables.events(spark, sf).count())
   }
+
+  test("mqtt_amqp_bridge: dotted routing keys, per-topic order preserved") {
+    LoopbackBus.clear()
+    (1 to 50).foreach(i => LoopbackBus.publish("plant/a", s"k$i", s"a$i"))
+    (1 to 30).foreach(i => LoopbackBus.publish("plant/b", s"k$i", s"b$i"))
+    DfsEngine.runSingle(
+      """|mqtt_amqp_bridge(
+        #  .topics('plant/a', 'plant/b')
+        #  .amqp_exchange('bx'))
+        #""".stripMargin('#'), spark, sf)
+    // exchange address carries the '/'→'.' routing key
+    // (esp_mqtt_amqp_bridge.erl:302-303)
+    val a = Loopback.subscribe(spark, "bx:plant.a")
+      .orderBy("offset").select("payload").collect().map(_.getString(0))
+    assert(a.toSeq == (1 to 50).map(i => s"a$i"))
+    val b = Loopback.subscribe(spark, "bx:plant.b")
+      .orderBy("offset").select("payload").collect().map(_.getString(0))
+    assert(b.toSeq == (1 to 30).map(i => s"b$i"))
+  }
 }

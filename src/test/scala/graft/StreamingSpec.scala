@@ -73,6 +73,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(seqs == Set(1L, 2L, 4L))
   }
 
+  test("collect upsert: streaming emissions match the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // k1 survives, k2 evicted, k3 evicted then resurrected, k4 remove
+    // arriving before its add must not suppress it
+    val data = Seq(
+      Ev(1, 1, 1.0, "add"), Ev(1, 2, 2.0, "add"),
+      Ev(2, 1, 1.0, "add"), Ev(2, 2, 0.0, "remove"),
+      Ev(3, 1, 1.0, "add"), Ev(3, 2, 0.0, "remove"), Ev(3, 3, 3.0, "add"),
+      Ev(4, 1, 0.0, "remove"), Ev(4, 2, 4.0, "add"))
+    val batch = graft.operators.join.Joins.collectUpsert(
+      data.toDF(), Seq("user_id"), "seq",
+      add = col("event_type") === "add",
+      remove = col("event_type") === "remove")
+      .select("user_id", "seq").as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 2L), (3L, 3L), (4L, 2L)))
+    val emitted = runStream("cups")(in =>
+      Streaming.collectLatest[Long, Ev](in.toDS(), _.user_id,
+        add = _.event_type == "add", remove = _.event_type == "remove"))(data)
+      .as[Ev].collect()
+    // the batch result == the stream's LAST emission per surviving key
+    val lastPerKey = emitted.groupBy(_.user_id)
+      .map { case (k, vs) => (k, vs.map(_.seq).max) }.toSet
+    assert(lastPerKey.filter(kv => batch.exists(_._1 == kv._1)) == batch)
+    // evicted key 2 was emitted while live but is absent from the batch
+    assert(emitted.exists(_.user_id == 2L) && !batch.exists(_._1 == 2L))
+  }
+
+  test("state_sequence: streaming rows match the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ts = seq*1000; steps a→b→c with 1500 ms per-step timeouts
+    val data = Seq(
+      Ev(1, 1, 1.0, "a"), Ev(1, 2, 2.0, "b"), Ev(1, 3, 3.0, "c"), // hit
+      Ev(1, 4, 4.0, "a"), Ev(1, 6, 5.0, "c"),                     // broken
+      Ev(1, 7, 6.0, "a"), Ev(1, 10, 7.0, "b"), Ev(1, 11, 8.0, "c"), // gap
+      Ev(2, 1, 1.0, "a"), Ev(2, 2, 2.0, "b"), Ev(2, 3, 3.0, "c")) // hit
+    val df = data.toDF().withColumn("ts_ms", col("seq") * 1000L)
+    val batch = graft.operators.state.StateOps.stateSequence(df,
+      preds = Seq(col("event_type") === "a", col("event_type") === "b",
+        col("event_type") === "c"),
+      timeoutsMs = Seq(1500L, 1500L), tsMs = col("ts_ms"),
+      keys = Seq(col("user_id")), order = Seq(col("seq")))
+      .select("user_id", "seq").as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 3L), (2L, 3L)))
+    val streamed = runStream("sseq")(in =>
+      Streaming.stateSequence[Long, Ev](in.toDS(), _.user_id,
+        preds = Seq(_.event_type == "a", _.event_type == "b",
+          _.event_type == "c"),
+        timeoutsMs = Seq(1500L, 1500L), tsFn = _.seq * 1000L))(data)
+      .as[Ev].collect().map(e => (e.user_id, e.seq)).toSet
+    assert(streamed == batch)
+  }
+
   // deadman's heartbeat is processing-time-timer driven; in a memory-stream
   // test processAllAvailable never settles while timers re-arm, so the
   // pass-through contract is asserted in batch execution instead.
