@@ -44,8 +44,13 @@ object Planner {
   // ---- value / lambda translation ---------------------------------------
 
   private def interp(s: String, defs: Map[String, Value]): String =
-    "\\{\\{(\\w+)\\}\\}".r.replaceAllIn(s, m => valueString(defs.getOrElse(
-      m.group(1), throw DfsError(s"undefined template var '${m.group(1)}'"))))
+    // unknown {{placeholders}} stay verbatim: they are row-level
+    // string_template references (e.g. email .subject('{{data.err}}'),
+    // esp_email.erl string_template options), resolved per point by the
+    // node — only declared defs interpolate at plan time
+    "\\{\\{(\\w+)\\}\\}".r.replaceAllIn(s, m => defs.get(m.group(1))
+      .map(v => java.util.regex.Matcher.quoteReplacement(valueString(v)))
+      .getOrElse(java.util.regex.Matcher.quoteReplacement(m.matched)))
 
   private def valueString(v: Value): String = v match {
     case VStr(s) => s
@@ -1165,6 +1170,46 @@ object Planner {
     "tcp_send" -> socketSink("tcp"),
     "udp_send" -> socketSink("udp"),
 
+    // mongo_query — find-selector source (ref: esp_mongo_query.erl:
+    // 40-62). The selector translates to a pushdown-friendly Catalyst
+    // predicate (io/MongoFilter.scala); the engine binding scans the
+    // corpus table named by .collection, the mongo client itself is
+    // deployment-side.
+    "mongo_query" -> NodeDef(None, Batch,
+      Set("host", "port", "user", "pass", "database", "collection",
+        "query", "as", "time_field", "every", "align"),
+      (_, n, env) => {
+        val coll = optStr(n, "collection", env)
+          .getOrElse(throw DfsError("mongo_query: .collection"))
+        val sel = optStr(n, "query", env).getOrElse("{}")
+        val base =
+          if (coll == "events") Tables.events(env.spark, env.dir)
+          else Tables.load(env.spark, env.dir, coll)
+        val df = base.filter(graft.io.MongoFilter.column(sel))
+        val (ts, tsMs) = if (coll == "events") ("ts", "ts_ms") else ("", "")
+        Ctx(df, Nil, None, Point, ts, tsMs)
+      }),
+    // oracle_query — periodic SQL source over JDBC (ref:
+    // esp_oracle_query.erl:43-61); same remote-derived-table binding as
+    // postgre_statement, oracle-thin URL by default.
+    "oracle_query" -> NodeDef(None, Batch,
+      Set("host", "port", "user", "pass", "service_name", "query",
+        "result_type", "time_field", "every", "align", "limit"),
+      (_, n, env) => {
+        val sql = optStr(n, "query", env)
+          .getOrElse(throw DfsError("oracle_query: .query"))
+        val host = optStr(n, "host", env).getOrElse("localhost")
+        val u =
+          if (host.startsWith("jdbc:")) host
+          else {
+            val port = optNum(n, "port", env).map(_.toLong).getOrElse(1521L)
+            val svc = optStr(n, "service_name", env).getOrElse("ORCL")
+            s"jdbc:oracle:thin:@//$host:$port/$svc"
+          }
+        Ctx(graft.io.Jdbc.statement(env.spark, u, sql),
+          Nil, None, Batch, "", "")
+      }),
+
     // postgre_statement — SQL statement source over JDBC (ref:
     // esp_postgre_statement.erl:42-55). The statement executes REMOTELY
     // as a derived table (io/Jdbc.scala); .host may carry a full jdbc:
@@ -1205,6 +1250,60 @@ object Planner {
         graft.io.Jdbc.write(ctx.df, u, table, fxf.zip(dbf))
         ctx
       }),
+
+    // email — per-point notification sink (ref: esp_email.erl:36-50
+    // options, :115-137 templating/mime). Subject/body string-templates
+    // and the HTML-template wrap render as one projection
+    // (io/EmailFormat.scala); the SMTP hand-off is the endpoint topic.
+    "email" -> NodeDef(Some(Point), Both,
+      Set("from_address", "smtp_relay", "smtp_user", "smtp_pass",
+        "smtp_port", "smtp_tls", "template", "to", "subject", "body",
+        "body_field", "subject_field"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val to = optStrs(n, "to", env)
+        if (to.isEmpty) throw DfsError("email: .to")
+        val from = optStr(n, "from_address", env).getOrElse("faxe@localhost")
+        val relay = optStr(n, "smtp_relay", env).getOrElse("localhost")
+        val subject = optStr(n, "subject_field", env)
+          .map(f => coalesce(Paths.ref(f).cast("string"), lit("")))
+          .orElse(optStr(n, "subject", env).map(graft.io.EmailFormat.template))
+          .getOrElse(lit(""))
+        val content = optStr(n, "body_field", env)
+          .map(f => coalesce(Paths.ref(f).cast("string"), lit("")))
+          .orElse(optStr(n, "body", env).map(graft.io.EmailFormat.template))
+          .getOrElse(throw DfsError("email: .body or .body_field"))
+        val body = optStr(n, "template", env) match {
+          case Some(path) if new java.io.File(path).isFile =>
+            val src = scala.io.Source.fromFile(path, "UTF-8")
+            val tpl = try src.mkString finally src.close()
+            graft.io.EmailFormat.wrapTemplate(tpl, content)
+          // the template file is a deployment artifact; without one the
+          // rendered content IS the body
+          case _ => content
+        }
+        val payload = graft.io.EmailFormat.message(from, to, subject, body)
+        graft.sources.Loopback.publish(
+          ctx.df.select(payload.as("payload")), s"email:$relay")
+        ctx
+      }),
+
+    // crate_out / http_post_crate — CrateDB insert sinks (refs:
+    // esp_crate_out.erl:79-101, esp_http_post_crate.erl:45-56; both are
+    // field-mapped inserts with remaining_fields_as folding the leftover
+    // columns into one JSON object). Crate speaks the postgres wire
+    // protocol, so a jdbc: host binds through io/Jdbc (testable against
+    // embedded Derby); otherwise rows publish to the endpoint topic.
+    "crate_out" -> NodeDef(Some(Both), Both,
+      Set("host", "port", "tls", "table", "user", "pass", "database",
+        "db_fields", "faxe_fields", "remaining_fields_as", "max_retries",
+        "error_trace", "ignore_response_timeout", "use_flow_ack",
+        "pg_port", "pg_tls", "pg_user", "pg_pass"),
+      (c, n, env) => crateSink(c, n, env, viaJdbc = true)),
+    "http_post_crate" -> NodeDef(Some(Both), Both,
+      Set("host", "port", "tls", "table", "user", "pass", "database",
+        "db_fields", "faxe_fields", "remaining_fields_as"),
+      (c, n, env) => crateSink(c, n, env, viaJdbc = false)),
 
     // mqtt_amqp_bridge — consumes MQTT topic(s), republishes each
     // payload verbatim to an AMQP exchange with routing key =
@@ -1361,6 +1460,41 @@ object Planner {
         graft.sources.Loopback.publish(ctx.df, socketTopic(proto, n, env))
         ctx
       })
+
+  /** Field-mapped insert frame shared by the crate sinks: faxe_fields
+    * renamed to db_fields, leftover columns folded into one JSON object
+    * under remaining_fields_as (esp_http_post_crate.erl:58-66).
+    */
+  private def crateSink(c: Option[Ctx], n: NodeSpec, env: Env,
+      viaJdbc: Boolean): Ctx = {
+    val ctx = requireCtx(c, n.name)
+    val table = optStr(n, "table", env)
+      .getOrElse(throw DfsError(s"${n.name}: .table"))
+    val host = optStr(n, "host", env).getOrElse("localhost")
+    val port = optNum(n, "port", env).map(_.toLong).getOrElse(4200L)
+    val db = optStr(n, "database", env).getOrElse("doc")
+    val dbf = optStrs(n, "db_fields", env)
+    val fxf = optStrs(n, "faxe_fields", env)
+    if (dbf.size != fxf.size)
+      throw DfsError(s"${n.name}: db_fields/faxe_fields same length")
+    val remAs = optStr(n, "remaining_fields_as", env)
+    val mapped =
+      if (dbf.isEmpty && remAs.isEmpty) ctx.df
+      else {
+        val named = fxf.zip(dbf).map { case (f, d) => Paths.ref(f).as(d) }
+        val rem = remAs.map { as =>
+          val used = fxf.toSet
+          val left = ctx.df.columns.filterNot(used)
+          to_json(struct(left.toIndexedSeq.map(col): _*)).as(as)
+        }
+        ctx.df.select(named ++ rem: _*)
+      }
+    if (viaJdbc && host.startsWith("jdbc:"))
+      graft.io.Jdbc.write(mapped, host, table)
+    else
+      graft.sources.Loopback.publish(mapped, s"crate:$host:$port:$db.$table")
+    ctx
+  }
 
   private def brokerSubscribe(n: NodeSpec, env: Env, topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env)

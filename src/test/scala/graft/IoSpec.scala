@@ -131,6 +131,105 @@ class IoSpec extends AnyFunSuite {
     assert(back.count() == 20)
   }
 
+  test("mongo selector translates to relational predicates") {
+    import graft.io.MongoFilter
+    val ev = Tables.events(spark, sf)
+    def n(sel: String) = ev.filter(MongoFilter.column(sel)).count()
+    assert(n("{}") == ev.count())
+    assert(n("""{"event_type": "click"}""") ==
+      ev.filter(col("event_type") === "click").count())
+    assert(n("""{"value": {"$gt": 50, "$lte": 90}}""") ==
+      ev.filter(col("value") > 50 && col("value") <= 90).count())
+    assert(n("""{"event_type": {"$in": ["click", "view"]}}""") ==
+      ev.filter(col("event_type").isin("click", "view")).count())
+    assert(n("""{"$or": [{"event_type": "click"}, {"value": {"$lt": 5}}]}""") ==
+      ev.filter(col("event_type") === "click" || col("value") < 5).count())
+    assert(n("""{"event_type": {"$exists": true}}""") ==
+      ev.filter(col("event_type").isNotNull).count())
+    // the translated predicate reaches the parquet scan (PushedFilters)
+    val plan = ev.filter(MongoFilter.column("""{"value": {"$gt": 50}}"""))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(value), GreaterThan(value,50"))
+    // DFS node end-to-end
+    val out = graft.dfs.DfsEngine.runSingle(
+      """#|mongo_query(
+         #  .collection('events')
+         #  .query('{"value": {"$gt": 90}, "event_type": "click"}'))
+         #""".stripMargin('#'), spark, sf)
+    assert(out.count() ==
+      ev.filter(col("value") > 90 && col("event_type") === "click").count())
+  }
+
+  test("email templating renders per row; node publishes messages") {
+    import graft.io.EmailFormat
+    import graft.sources.{Loopback, LoopbackBus}
+    // string_template eval: {{path}} placeholders, null → empty
+    val df = Tables.events(spark, sf).limit(3)
+    val subj = df.select(EmailFormat.template(
+      "Alarm {{event_type}} at {{ts_ms}}").as("s")).collect()
+    assert(subj.forall(_.getString(0).matches("Alarm \\w+ at \\d{13}")))
+    // ##PREHEADER##/##CONTENT## markers all become the content
+    // (esp_email.erl:115-117)
+    val wrapped = df.limit(1).select(EmailFormat.wrapTemplate(
+      "<p>##PREHEADER##</p><div>##CONTENT##</div>",
+      org.apache.spark.sql.functions.lit("X")).as("w")).head.getString(0)
+    assert(wrapped == "<p>X</p><div>X</div>")
+
+    LoopbackBus.clear()
+    graft.dfs.DfsEngine.runSingle(
+      """#|parquet_read(.table('events'))
+         #|where(lambda: "value" > 99)
+         #|email(
+         #  .to('ops@example.com', 'oncall@example.com')
+         #  .from_address('faxe@plant1')
+         #  .smtp_relay('mail1')
+         #  .subject('alert {{event_type}}')
+         #  .body('value was {{value}}'))
+         #""".stripMargin('#'), spark, sf)
+    val msgs = Loopback.subscribe(spark, "email:mail1")
+      .select("payload").collect().map(_.getString(0))
+    assert(msgs.nonEmpty)
+    assert(msgs.forall(m =>
+      m.startsWith("Subject: alert ") &&
+        m.contains("From: faxe@plant1\r\nTo: ops@example.com,oncall@example.com") &&
+        m.contains("\r\n\r\nvalue was ")))
+  }
+
+  test("crate sinks: jdbc-bound insert and bulk endpoint publish") {
+    import graft.sources.{Loopback, LoopbackBus}
+    val url = "jdbc:derby:memory:cratedb;create=true"
+    graft.dfs.DfsEngine.runSingle(
+      s"""#|parquet_read(.table('events'))
+          #|keep('event_id', 'value', 'event_type')
+          #|crate_out(
+          #  .host('$url')
+          #  .table('crate_rows')
+          #  .db_fields('eid', 'v')
+          #  .faxe_fields('event_id', 'value')
+          #  .remaining_fields_as('rest'))
+          #""".stripMargin('#'), spark, sf)
+    // Spark's JDBC write quotes identifiers, so the created columns are
+    // case-sensitive in Derby — read them back unnamed
+    val back = graft.io.Jdbc.statement(spark, url,
+      "SELECT * FROM crate_rows")
+    assert(back.count() == Tables.events(spark, sf).count())
+    assert(back.columns.toSeq == Seq("eid", "v", "rest"))
+    assert(back.head.getString(2).contains("\"event_type\""))
+
+    LoopbackBus.clear()
+    graft.dfs.DfsEngine.runSingle(
+      """#|parquet_read(.table('events'))
+         #|keep('event_id', 'value')
+         #|http_post_crate(
+         #  .host('c1')
+         #  .table('doc_rows')
+         #  .db_fields('eid', 'v')
+         #  .faxe_fields('event_id', 'value'))
+         #""".stripMargin('#'), spark, sf)
+    val posted = Loopback.subscribe(spark, "crate:c1:4200:doc.doc_rows")
+    assert(posted.count() == Tables.events(spark, sf).count())
+  }
+
   test("influx line protocol matches the reference encoding") {
     import graft.io.InfluxLine
     import org.apache.spark.sql.Row
