@@ -43,14 +43,27 @@ object Planner {
 
   // ---- value / lambda translation ---------------------------------------
 
-  private def interp(s: String, defs: Map[String, Value]): String =
+  private def interp(s: String, defs: Map[String, Value]): String = {
     // unknown {{placeholders}} stay verbatim: they are row-level
     // string_template references (e.g. email .subject('{{data.err}}'),
     // esp_email.erl string_template options), resolved per point by the
-    // node — only declared defs interpolate at plan time
-    "\\{\\{(\\w+)\\}\\}".r.replaceAllIn(s, m => defs.get(m.group(1))
-      .map(v => java.util.regex.Matcher.quoteReplacement(valueString(v)))
-      .getOrElse(java.util.regex.Matcher.quoteReplacement(m.matched)))
+    // node — only declared defs interpolate at plan time. Substitution
+    // runs to a (bounded) fixpoint: a def's string may itself reference
+    // defs (s7_read_test1.dfs `def db = 'DB{{db_number}}.DB'`).
+    var out = s
+    var i = 0
+    var changed = true
+    while (changed && i < 8) {
+      val next = "\\{\\{(\\w+)\\}\\}".r.replaceAllIn(out, m =>
+        defs.get(m.group(1))
+          .map(v => java.util.regex.Matcher.quoteReplacement(valueString(v)))
+          .getOrElse(java.util.regex.Matcher.quoteReplacement(m.matched)))
+      changed = next != out
+      out = next
+      i += 1
+    }
+    out
+  }
 
   private def valueString(v: Value): String = v match {
     case VStr(s) => s
@@ -63,8 +76,10 @@ object Planner {
   }
 
   private def resolve(v: Value, defs: Map[String, Value]): Value = v match {
-    case VRef(name) => defs.getOrElse(name,
-      throw DfsError(s"undefined reference '$name'"))
+    // a bare word with no def behind it is an enum atom
+    // (.type(point), .parser(parser_lrep_v1) — the reference's option
+    // atoms), not an error: it resolves to its own name
+    case VRef(name) => defs.getOrElse(name, VStr(name))
     case VStr(s) => VStr(interp(s, defs))
     case other => other
   }
@@ -313,7 +328,12 @@ object Planner {
     // the same window semantics (esp_win_time_q / esp_win_event_q)
     val aliases = Map(
       "win_time_q" -> builtinNodes("win_time"),
-      "win_event_q" -> builtinNodes("win_event"))
+      "win_event_q" -> builtinNodes("win_event"),
+      // modbus_multi is the multi-connection modbus variant
+      // (modbus_multi_test.dfs); postgresql_query shares crate_query's
+      // periodic time-bucket shape over the postgres wire (pg_query.dfs)
+      "modbus_multi" -> builtinNodes("modbus"),
+      "postgresql_query" -> builtinNodes("crate_query"))
     builtinNodes ++ statsNodes ++ aliases ++ customNodes.asScala
   }
 
@@ -436,20 +456,27 @@ object Planner {
         Paths.set(d, name, lambdaColumn(l, env.defs))
       }
     },
+    // .tags/.tag_values set faxe point TAGS — plain columns in the
+    // relational model (esp_set.erl/esp_default.erl tag options)
     "default" -> bt(
-      Set("field", "value", "fields", "values", "field_values")) { (ctx, n, env) =>
-      val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)
+      Set("field", "value", "fields", "values", "field_values",
+        "tags", "tag_values")) { (ctx, n, env) =>
+      val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env) ++
+        optStrs(n, "tags", env)
       val vs = optVals(n, "value", env) ++ optVals(n, "values", env) ++
-        optVals(n, "field_values", env)
+        optVals(n, "field_values", env) ++ optVals(n, "tag_values", env)
       if (fs.isEmpty) throw DfsError("default: .field(s)")
       if (fs.size != vs.size) throw DfsError("default: fields/values arity")
       fs.zip(vs).foldLeft(ctx.df) { case (d, (f, v)) =>
         Transforms.default(d, f, lambdaColumn(valueToLit(v), env.defs))
       }
     },
-    "set" -> bt(Set("field", "value", "fields", "values")) { (ctx, n, env) =>
-      val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)
-      val vs = optVals(n, "value", env) ++ optVals(n, "values", env)
+    "set" -> bt(Set("field", "value", "fields", "values", "field_values",
+      "tags", "tag_values")) { (ctx, n, env) =>
+      val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env) ++
+        optStrs(n, "tags", env)
+      val vs = optVals(n, "value", env) ++ optVals(n, "values", env) ++
+        optVals(n, "field_values", env) ++ optVals(n, "tag_values", env)
       if (fs.size != vs.size) throw DfsError("set: fields/values arity")
       Transforms.setFields(ctx.df,
         fs.zip(vs.map(v => lambdaColumn(valueToLit(v), env.defs))))
@@ -1382,6 +1409,17 @@ object Planner {
           socketTopic("tcp", n, env))
         Ctx(df, Nil, None, Point, "", "ts_ms")
       }),
+    // modbus_read / modbus — Modbus-TCP register polling sources (refs:
+    // esp_modbus_read.erl:81-102, esp_modbus.erl:74-96; same_length
+    // function/from/count/as lists). Like s7read: the protocol client is
+    // deployment-side, engine-side each is an endpoint source on the
+    // (ip, port) topic with the register-map options accepted.
+    "modbus_read" -> modbusSource(Set("ip", "port", "every", "align",
+      "device", "function", "from", "count", "as", "output", "signed",
+      "round", "timeout")),
+    "modbus" -> modbusSource(Set("ip", "port", "every", "align", "device",
+      "function", "from", "count", "as", "output", "signed",
+      "max_connections", "round", "timeout")),
     // s7read — Siemens S7 PLC polling source (ref: esp_s7read.erl:63-82
     // options). The PLC client itself is deployment-side (connector
     // boundary, README); engine-side it is an endpoint source on the
@@ -1437,6 +1475,23 @@ object Planner {
       .getOrElse(throw DfsError(s"${n.name}: .port"))
     s"$proto:$ip:$port"
   }
+
+  private def modbusSource(opts: Set[String]): NodeDef =
+    NodeDef(None, Point, opts,
+      (_, n, env) => {
+        val ip = optStr(n, "ip", env).getOrElse("0.0.0.0")
+        val port = optNum(n, "port", env).map(_.toLong).getOrElse(502L)
+        val fs = optVals(n, "function", env)
+        val froms = optVals(n, "from", env)
+        val counts = optVals(n, "count", env)
+        val as = optVals(n, "as", env)
+        if (Seq(froms, counts, as).exists(l =>
+            l.nonEmpty && l.size != fs.size))
+          throw DfsError(s"${n.name}: function/from/count/as same length")
+        val df = graft.sources.Loopback.subscribe(env.spark,
+          s"modbus:$ip:$port")
+        Ctx(df, Nil, None, Point, "", "ts_ms")
+      })
 
   private def socketSource(proto: String): NodeDef =
     NodeDef(None, Both,

@@ -25,7 +25,11 @@ object EmailFormat {
     var last = 0
     Placeholder.findAllMatchIn(tpl).foreach { m =>
       if (m.start > last) parts += lit(tpl.substring(last, m.start))
-      parts += coalesce(Paths.ref(m.group(1)).cast("string"), lit(""))
+      // the reference also writes quoted refs: {{"body_string"}}
+      // (email_param.dfs) — strip the quotes
+      val path = m.group(1).stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'")
+      parts += coalesce(Paths.ref(path).cast("string"), lit(""))
       last = m.end
     }
     if (last < tpl.length) parts += lit(tpl.substring(last))

@@ -310,7 +310,14 @@ class DfsSpec extends AnyFunSuite {
       "other/stats_test_fail", "test/faxe_http", "test/http_listen",
       "test/http_post", "test/http_get", "other/https_get_test",
       "other/http", "other/test_lm_conveyor_tracking", "other/tcp_window",
-      "other/tcp_conveyor_track", "other/jpath")
+      "other/tcp_conveyor_track", "other/jpath",
+      // round 6: DB/protocol connector scripts
+      "test/mongo", "other/influx_test", "other/pg_query",
+      "other/email_param", "other/modbus_multi_test",
+      "other/modbus_mqtt_pub", "other/s7_test", "other/oracle_query_test",
+      "other/s7_read_test1", "other/s7_read_test2",
+      "other/helix_convtrack_crate", "other/live_data_test",
+      "other/tcp_line")
     val dir = new java.io.File("/root/reference/dfs")
     assume(dir.isDirectory, "reference tree not present")
     val failures = scripts.flatMap { name =>
