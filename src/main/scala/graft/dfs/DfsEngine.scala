@@ -32,12 +32,13 @@ object DfsEngine {
     val script = script0.copy(defs = foldDefs(script0.defs, spark))
     val memo = collection.mutable.Map.empty[String, Ctx]
 
-    lazy val env: Env = Env(spark, dir, script.defs, frameOf)
+    lazy val env: Env = Env(spark, dir, script.defs, frameOf,
+      script.namedChains.contains)
 
     def planChain(chain: Chain): Ctx = {
       val start: Option[Ctx] = chain.sourceRef.map(frameOf)
       chain.nodes.foldLeft(start) { (ctxOpt, n) =>
-        val nd = nodes(n.name)
+        val nd = Planner.lookup(n.name)
         // a source mid-chain ignores upstream (timer-driven emitters
         // drop received items in the reference)
         Some(nd.plan(if (nd.wants.isEmpty) None else ctxOpt, n, env))

@@ -35,7 +35,8 @@ object Lexer {
     "d" -> 86400000L, "w" -> 604800000L)
 
   def durationMs(raw: String): Option[Long] = {
-    val m = "^(\\d+)(ms|s|m|h|d|w)$".r.findFirstMatchIn(raw)
+    // negative durations are legal (shift(-3m), esp_shift.erl default -30s)
+    val m = "^(-?\\d+)(ms|s|m|h|d|w)$".r.findFirstMatchIn(raw)
     m.map(g => g.group(1).toLong * durUnits(g.group(2)))
   }
 
@@ -93,8 +94,10 @@ object Lexer {
             case None => throw DfsError(s"bad duration '$numStr$suffix'")
           }
         } else out += Num(numStr.toDouble, isInt)
-      } else if (c.isLetter || c == '_') {
+      } else if (c.isLetter || c == '_' || c == '@') {
+        // '@name' is a user-component node (faxe_dfs.erl:14 USER_NODE_PREFIX)
         val start = i
+        if (c == '@') i += 1
         while (peek().isLetterOrDigit || peek() == '_') i += 1
         val word = src.substring(start, i)
         // `lambda:` introduces a lambda; `e:` an eagerly-evaluated

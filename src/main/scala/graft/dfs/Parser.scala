@@ -38,7 +38,9 @@ object Parser {
       val chains = Seq.newBuilder[Chain]
       while (peek().isDefined) {
         peek() match {
-          case Some(Ident("def")) =>
+          // `var` is def's mutable-template twin in the reference scripts
+          // (other/win_time_test.dfs:1) — same statement shape here
+          case Some(Ident("def")) | Some(Ident("var")) =>
             next()
             val name = ident()
             expect(Eq)
@@ -57,6 +59,10 @@ object Parser {
               defs += name -> VLambda(orExpr())
             }
             else defs += name -> literal()
+          case Some(Ident(a)) if a.startsWith("@") && peek(1).contains(LParen) =>
+            // a user-component node continues (or starts) a chain with no
+            // leading pipe (python1.dfs `@callback()`)
+            chains += chain(None)
           case Some(Ident(ref))
               if peek(1).contains(Pipe) || peek(1).contains(DPipe) =>
             next()
@@ -77,8 +83,16 @@ object Parser {
 
     private def chain(sourceRef: Option[String]): Chain = {
       val nodes = Seq.newBuilder[NodeSpec]
-      while (peek().contains(Pipe) || peek().contains(DPipe)) {
-        val isMacro = next() == DPipe
+      def atUserNode: Boolean = peek().exists {
+        case Ident(s) => s.startsWith("@") && peek(1).contains(LParen)
+        case _ => false
+      }
+      while (peek().contains(Pipe) || peek().contains(DPipe) || atUserNode) {
+        val isMacro = peek() match {
+          case Some(DPipe) => next(); true
+          case Some(Pipe) => next(); false
+          case _ => false // bare @user_node() — no pipe to consume
+        }
         val name = ident()
         expect(LParen)
         // node parens hold positional args and/or inline `.option(...)`s

@@ -30,7 +30,8 @@ object Planner {
       io: IoType, ts: String, tsMs: String)
 
   final case class Env(spark: SparkSession, dir: String,
-      defs: Map[String, Value], frames: String => Ctx)
+      defs: Map[String, Value], frames: String => Ctx,
+      hasFrame: String => Boolean = _ => false)
 
   final case class NodeDef(
       wants: Option[IoType], // None = source
@@ -337,6 +338,20 @@ object Planner {
     builtinNodes ++ statsNodes ++ aliases ++ customNodes.asScala
   }
 
+  /** Node lookup with the user-component fallback: a '@name' node
+    * (faxe_dfs.erl:14 USER_NODE_PREFIX — the python component form)
+    * parses and validates like any node, with option checking deferred
+    * exactly as faxe defers it to the component class; it PLANS only
+    * when registered via [[registerNode]].
+    */
+  def lookup(name: String): NodeDef =
+    nodes.getOrElse(name,
+      if (name.startsWith("@"))
+        NodeDef(Some(Both), Both, Set.empty,
+          (_, n, _) => throw DfsError(s"user component '${n.name}' is " +
+            "not registered (Planner.registerNode)"))
+      else throw DfsError(s"unknown node '$name'.${suggest(name, nodes.keys)}"))
+
   private val builtinNodes: Map[String, NodeDef] = Map(
     // ---- sources (Spark-native scan nodes) ----
     "parquet_read" -> NodeDef(None, Point, Set("table", "dir"),
@@ -481,9 +496,19 @@ object Planner {
       Transforms.setFields(ctx.df,
         fs.zip(vs.map(v => lambdaColumn(valueToLit(v), env.defs))))
     },
-    "delete" -> bt(Set("fields", "tags")) { (ctx, n, env) =>
-      Transforms.delete(ctx.df,
-        argStrs(n, env) ++ optStrs(n, "fields", env))
+    // .where gates the delete per row (esp_delete.erl conditional
+    // delete); tags are columns relationally
+    "delete" -> bt(Set("fields", "tags", "where", "when_value")) {
+      (ctx, n, env) =>
+        val paths = argStrs(n, env) ++ optStrs(n, "fields", env) ++
+          optStrs(n, "tags", env)
+        optLambdas(n, "where", env).headOption match {
+          case Some(gate) =>
+            val g = lambdaColumn(gate, env.defs)
+            paths.filter(graft.core.Paths.has(ctx.df, _))
+              .foldLeft(ctx.df)((d, p) => Transforms.deleteWhen(d, p, g))
+          case None => Transforms.delete(ctx.df, paths)
+        }
     },
     "keep" -> bt(Set("fields", "as")) { (ctx, n, env) =>
       val fs = argStrs(n, env) ++ optStrs(n, "fields", env)
@@ -493,9 +518,13 @@ object Planner {
         else fs.zip(as.map(Option(_)))
       Transforms.keep(ctx.df, pairs)
     },
-    "rename" -> bt(Set("fields", "as", "as_fields")) { (ctx, n, env) =>
-      val fields = optStrs(n, "fields", env)
-      val asVals = optVals(n, "as", env) ++ optVals(n, "as_fields", env)
+    "rename" -> bt(Set("fields", "as", "as_fields", "tags", "as_tags")) {
+      (ctx, n, env) =>
+      // tag renames are column renames relationally (rename.dfs
+      // .tags/.as_tags)
+      val fields = optStrs(n, "fields", env) ++ optStrs(n, "tags", env)
+      val asVals = optVals(n, "as", env) ++ optVals(n, "as_fields", env) ++
+        optVals(n, "as_tags", env)
       if (fields.size != asVals.size)
         throw DfsError("rename: .fields/.as arity mismatch")
       val pairs = fields.zip(asVals).map {
@@ -523,8 +552,15 @@ object Planner {
           Transforms.sampleFirstPer(ctx.df, col(ctx.ts), dur, orderCols(ctx))
       }
     },
-    "shift" -> bt(Set("by")) { (ctx, n, env) =>
-      val by = optDurMs(n, "by", env).getOrElse(throw DfsError("shift: .by"))
+    // .offset is the reference's option name (esp_shift.erl:14, default
+    // -30s, negative = into the past); .by kept as an alias, positional
+    // `shift(-3m)` too (shift2.dfs)
+    "shift" -> bt(Set("by", "offset")) { (ctx, n, env) =>
+      val by = optDurMs(n, "offset", env)
+        .orElse(optDurMs(n, "by", env))
+        .orElse(n.args.map(resolve(_, env.defs))
+          .collectFirst { case VDur(ms, _) => ms })
+        .getOrElse(throw DfsError("shift: .offset"))
       Transforms.shift(ctx.df, ctx.ts, by)
     },
     "jsonsize" -> bt(Set("field", "as")) { (ctx, n, env) =>
@@ -641,7 +677,10 @@ object Planner {
         ctx.copy(win = Some(Win("session", gap, gap, fillPeriod = false)),
           io = Batch)
       }),
-    "win_event" -> NodeDef(Some(Point), Batch, Set("period", "every"),
+    // fill_period on a count window is vacuous in batch (the first
+    // window is full by construction) — accepted for _q script parity
+    "win_event" -> NodeDef(Some(Point), Batch,
+      Set("period", "every", "fill_period"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         if (ctx.keys.isEmpty)
@@ -764,13 +803,19 @@ object Planner {
     },
     // .trigger_on_value/.fields/.field_values decorate the emitted alert
     // point in the reference — the batch analog emits the gap rows
+    // silent_time/repeat_*/no_forward are heartbeat pacing knobs
+    // (esp_deadman.erl options) — timer-driven, accepted; the batch
+    // analog stays gap detection on the event-time axis
     "deadman" -> bt(Set("threshold", "interval", "trigger_on_value",
-      "fields", "field_values", "repeat")) { (ctx, n, env) =>
-      val thr = optDurMs(n, "threshold", env)
+      "fields", "field_values", "repeat", "timeout", "silent_time",
+      "repeat_last", "repeat_with_new_ts", "repeat_interval",
+      "no_forward")) { (ctx, n, env) =>
+      val thr = optDurMs(n, "timeout", env)
+        .orElse(optDurMs(n, "threshold", env))
         .orElse(optDurMs(n, "interval", env))
         .orElse(n.args.map(resolve(_, env.defs))
           .collectFirst { case VDur(ms, _) => ms })
-        .getOrElse(throw DfsError("deadman: .threshold"))
+        .getOrElse(throw DfsError("deadman: .timeout"))
       StateOps.deadmanGaps(ctx.df, col(ctx.tsMs), thr,
         keyCols(ctx), orderCols(ctx))
     },
@@ -791,15 +836,31 @@ object Planner {
             orderCols(ctx))
       }
     },
-    "state_sequence" -> pt(Set("timeouts", "strict")) { (ctx, n, env) =>
-      val preds = argLambdas(n, env).map(lambdaColumn(_, env.defs))
-      val tos = optVals(n, "timeouts", env).map {
-        case VDur(ms, _) => ms
-        case VNum(v, _) => v.toLong
-        case VLong(l) => l
-        case v => throw DfsError(s"state_sequence: bad timeout $v")
-      }
-      StateOps.stateSequence(ctx.df, preds, tos, col(ctx.tsMs),
+    // reference option names: .states (lambda list), .within (per-step
+    // duration list), .strict, .output (esp_state_sequence.erl options);
+    // positional lambdas + .timeouts kept as aliases. Stream-ref args
+    // (cond_test1.dfs `state_sequence(in2, in3)`) are additional INPUT
+    // streams — faxe wires them as extra in-edges; relationally they
+    // union into the sequenced frame.
+    "state_sequence" -> pt(Set("timeouts", "strict", "states", "within",
+      "output")) { (ctx, n, env) =>
+      val extraIn = n.args.collect { case VRef(r) => r }
+        .filter(env.hasFrame)
+      val input = extraIn.foldLeft(ctx.df)((d, r) =>
+        d.unionByName(env.frames(r).df, allowMissingColumns = true))
+      val preds = (argLambdas(n, env) ++ optLambdas(n, "states", env))
+        .map(lambdaColumn(_, env.defs))
+      val tos0 = (optVals(n, "timeouts", env) ++ optVals(n, "within", env))
+        .map {
+          case VDur(ms, _) => ms
+          case VNum(v, _) => v.toLong
+          case VLong(l) => l
+          case v => throw DfsError(s"state_sequence: bad timeout $v")
+        }
+      // no .within → unconstrained gaps (half a year per step)
+      val tos = if (tos0.nonEmpty) tos0
+        else Seq.fill(math.max(0, preds.size - 1))(15778800000L)
+      StateOps.stateSequence(input, preds, tos, col(ctx.tsMs),
         keyCols(ctx), orderCols(ctx))
     },
     "top" -> bt(Set("field", "n")) { (ctx, n, env) =>
@@ -855,7 +916,8 @@ object Planner {
         ctx.copy(df = others.foldLeft(ctx.df)(_.unionByName(_)))
       }),
     "combine" -> NodeDef(Some(Point), Point,
-      Set("keys", "fields", "prefix", "tolerance", "merge_field"),
+      Set("keys", "fields", "prefix", "prefix_delimiter", "aliases",
+        "tags", "nofill", "tolerance", "merge_field"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val rightRef = n.args.collectFirst { case VRef(r) => r }
@@ -872,10 +934,19 @@ object Planner {
             ctx.copy(df = Joins.mergeValues(joined, mf, s"_m_$mf", mf)
               .drop(s"_m_$mf", s"_m_${right.tsMs}"))
           case None =>
-            val fields = optStrs(n, "fields", env)
-            val prefix = optStr(n, "prefix", env).getOrElse("r_")
-            ctx.copy(df = Joins.asOfLatest(ctx.df, right.df, keys,
-              ctx.tsMs, right.tsMs, fields, prefix, tol))
+            val fields = optStrs(n, "fields", env) ++ optStrs(n, "tags", env)
+            // prefix + delimiter compose the taken-field name
+            // (esp_combine.erl PREFIX_DEL); .aliases name outputs exactly
+            val prefix = optStr(n, "prefix", env)
+              .map(_ + optStr(n, "prefix_delimiter", env).getOrElse(""))
+              .getOrElse("r_")
+            val joined = Joins.asOfLatest(ctx.df, right.df, keys,
+              ctx.tsMs, right.tsMs, fields, prefix, tol)
+            val aliases = optStrs(n, "aliases", env)
+            val named = aliases.zip(fields).foldLeft(joined) {
+              case (d, (a, f)) => d.withColumnRenamed(s"$prefix$f", a)
+            }
+            ctx.copy(df = named)
         }
       }),
 
@@ -924,6 +995,44 @@ object Planner {
               if (full) joined.filter(col(s"$prefix${right.tsMs}").isNotNull)
               else joined)
         }
+      }),
+
+    // join2 — the multi-stream join variant (other/join2.dfs): N joined
+    // streams, a per-stream .prefix list (position 0 prefixes the LEFT
+    // stream's value columns), shared .tolerance; folds the same
+    // single-shuffle as-of nearest join per stream.
+    "join2" -> NodeDef(Some(Point), Point,
+      Set("joined", "prefix", "merge_field", "missing_timeout", "tolerance",
+        "fill", "full"),
+      (c, n, env) => {
+        val ctx = requireCtx(c, n.name)
+        val refs = n.args.collect { case VRef(r) => r } ++
+          optStrs(n, "joined", env)
+        if (refs.isEmpty)
+          throw DfsError("join2 needs stream references: |join2(s1, s2)")
+        if (ctx.keys.isEmpty)
+          throw DfsError("join2 needs group_by keys upstream")
+        val tol = optDurMs(n, "tolerance", env).getOrElse(2000L)
+        val prefixes = optStrs(n, "prefix", env)
+        val left0 =
+          prefixes.headOption.filter(_ => prefixes.size > refs.size) match {
+            case Some(lp) =>
+              ctx.df.columns.toSeq
+                .filterNot(c0 => ctx.keys.contains(c0) || c0 == ctx.tsMs)
+                .foldLeft(ctx.df)((d, c0) => d.withColumnRenamed(c0, lp + c0))
+            case None => ctx.df
+          }
+        val rightPrefixes =
+          if (prefixes.size > refs.size) prefixes.drop(1) else prefixes
+        val joined = refs.zipWithIndex.foldLeft(left0) { case (d, (r, i)) =>
+          val right = env.frames(r)
+          val prefix = rightPrefixes.lift(i).getOrElse(s"r${i + 1}_")
+          val vcols = right.df.columns.toSeq
+            .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs)
+          Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs, right.tsMs,
+            vcols, prefix, Some(tol))
+        }
+        ctx.copy(df = joined)
       }),
 
     // collect_fields — latest value of each listed field combined into one
@@ -1053,13 +1162,35 @@ object Planner {
 
     // state_change_bulk — enter/leave edges for several monitored states at
     // once (ref: esp_state_change_bulk semantics via lib/state_change.erl).
-    "state_change_bulk" -> pt(Set("as")) { (ctx, n, env) =>
-      val lambdas = argLambdas(n, env).map(lambdaColumn(_, env.defs))
-      val names = optStrs(n, "as", env)
-      if (names.size != lambdas.size || lambdas.isEmpty)
-        throw DfsError("state_change_bulk: .as arity must match lambda count")
-      StateOps.stateChangeBulk(ctx.df, names.zip(lambdas),
-        keyCols(ctx), orderCols(ctx))
+    // Two forms: positional lambdas + .as (explicit states), or the
+    // reference's bulk form (esp_state_change_bulk.erl options) — every
+    // subfield of .field compared against .state_value, minus
+    // .exclude_fields; enter/leave edge naming knobs accepted.
+    "state_change_bulk" -> pt(Set("as", "field", "state_value",
+      "lambda_pattern", "exclude_fields", "enter_as", "leave_as",
+      "state_id_as", "enter", "leave", "enter_keep", "leave_keep",
+      "prefix", "unit")) { (ctx, n, env) =>
+      val states: Seq[(String, Column)] = optStr(n, "field", env) match {
+        case Some(path) =>
+          val excl = optStrs(n, "exclude_fields", env).toSet
+          val sv = optVals(n, "state_value", env).headOption
+            .map(v => lambdaColumn(valueToLit(v), env.defs))
+            .getOrElse(throw DfsError(
+              "state_change_bulk: .state_value (with .field)"))
+          val subs = ctx.df.select(Paths.ref(path + ".*")).columns.toSeq
+            .filterNot(s0 => excl.contains(s"$path.$s0"))
+          if (subs.isEmpty)
+            throw DfsError(s"state_change_bulk: no subfields under '$path'")
+          subs.map(s0 => s0 -> (Paths.ref(s"$path.$s0") === sv))
+        case None =>
+          val lambdas = argLambdas(n, env).map(lambdaColumn(_, env.defs))
+          val names = optStrs(n, "as", env)
+          if (names.size != lambdas.size || lambdas.isEmpty)
+            throw DfsError(
+              "state_change_bulk: .as arity must match lambda count")
+          names.zip(lambdas)
+      }
+      StateOps.stateChangeBulk(ctx.df, states, keyCols(ctx), orderCols(ctx))
     },
 
     // triggered_timeout — emit trigger rows not followed by a cancel within
@@ -1088,7 +1219,8 @@ object Planner {
     // real client — the DSv2 surface is identical (README boundary).
     "mqtt_subscribe" -> NodeDef(None, Point,
       Set("topic", "topics", "topic_as", "include_topic", "group", "qos",
-        "stream", "host", "port", "retained", "dt_field", "dt_format"),
+        "stream", "host", "port", "retained", "dt_field", "dt_format",
+        "user", "pass", "client_id", "ssl", "as"),
       (_, n, env) => brokerSubscribe(n, env, "topic"),
     ),
     "amqp_consume" -> NodeDef(None, Point,
@@ -1440,11 +1572,14 @@ object Planner {
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.
     "win_clock" -> NodeDef(Some(Point), Batch,
-      Set("every", "align", "fill_period"),
+      Set("every", "period", "align", "fill_period"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val every = optDurMs(n, "every", env)
           .getOrElse(throw DfsError("win_clock: .every"))
+        // .period > .every = sliding clock window (esp_win_clock.erl
+        // options: period is the window length, every the emit interval)
+        val period = optDurMs(n, "period", env).getOrElse(every)
         val align = optVals(n, "align", env).headOption match {
           case Some(VDur(ms, _)) => Some(ms)
           case Some(VNum(v, _)) => Some(v.toLong)
@@ -1454,8 +1589,9 @@ object Planner {
           case None => if (n.options.contains("align")) Some(every) else None
           case Some(v) => throw DfsError(s"win_clock: bad .align value $v")
         }
-        ctx.copy(win = Some(Win("clock", every, every, fillPeriod = false,
-          align)), io = Batch)
+        ctx.copy(win = Some(Win("clock", period, every,
+          fillPeriod = n.options.contains("fill_period"), align)),
+          io = Batch)
       })
   )
 
@@ -1676,8 +1812,9 @@ object Planner {
         else
           Windows.countSlidingAgg(ctx.df, p.toInt, e.toInt, orderCols(ctx),
             keyCols(ctx), aggs)
-      case Some(Win("clock", p, _, _, align)) =>
-        Windows.clockAgg(ctx.df, s"$p milliseconds", keyCols(ctx), aggs, align)
+      case Some(Win("clock", p, e, _, align)) =>
+        Windows.clockAgg(ctx.df, s"$p milliseconds", keyCols(ctx), aggs,
+          align, Some(s"$e milliseconds"))
       case Some(Win("time", p, e, fill, _)) =>
         val windowed =
           if (p == e)
@@ -1743,10 +1880,11 @@ object Planner {
         .flatMap(script.namedChains.get).map(chainEmits).getOrElse(Point)
       var prevName = chain.sourceRef.map(r => s"'$r'").getOrElse("source")
       chain.nodes.zipWithIndex.foreach { case (n, idx) =>
-        val nd = nodes.getOrElse(n.name, throw DfsError(
-          s"unknown node '${n.name}'.${suggest(n.name, nodes.keys)}"))
-        n.options.keys.foreach { o =>
-          if (!nd.opts.contains(o)) throw DfsError(
+        val nd = lookup(n.name)
+        // user components own their option schema (the class checks it);
+        // '_name' is the universal node display-name option (python2.dfs)
+        if (!n.name.startsWith("@")) n.options.keys.foreach { o =>
+          if (o != "_name" && !nd.opts.contains(o)) throw DfsError(
             s"Unknown option '$o' for node '${n.name}'.${suggest(o, nd.opts)}")
         }
         val atStart = idx == 0 && chain.sourceRef.isEmpty

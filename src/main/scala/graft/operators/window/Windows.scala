@@ -94,9 +94,14 @@ object Windows {
       duration: String,
       keys: Seq[Column],
       aggs: Seq[Column],
-      alignMs: Option[Long] = None): DataFrame = {
+      alignMs: Option[Long] = None,
+      slide: Option[String] = None): DataFrame = {
+    // period > every = sliding clock window (esp_win_clock.erl options)
+    val win = slide.filter(_ != duration)
+      .map(s => window(col("_ingest_ts"), duration, s))
+      .getOrElse(window(col("_ingest_ts"), duration))
     val base = df.withColumn("_ingest_ts", current_timestamp())
-      .groupBy(window(col("_ingest_ts"), duration) +: keys: _*)
+      .groupBy(win +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("window_start_ms", unix_millis(col("window.start")))
       .withColumn("window_end_ms", unix_millis(col("window.end")))

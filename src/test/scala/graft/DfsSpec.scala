@@ -289,48 +289,37 @@ class DfsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
-  test("reference dfs/test scripts compile VERBATIM") {
-    // read from the reference tree at test time (no copied content in the
-    // repo); every script that uses only shipped nodes must parse +
-    // validate unmodified
-    val scripts = Seq("collect", "count_change", "delete", "env", "group_by",
-      "group_by2", "if", "mqtt_topic_field_test", "picking_tracking",
-      "rebatch_test", "rename", "time_align", "value_emitter", "win_session")
-      .map("test/" + _) ++ Seq(
-      "aggregate/test", "debug/map_get", "dev/path_split", "array_explode",
-      "dev/mqtt_pub_pool", "dev/mqtt_pub_pool2",
-      "other/change_detect_test", "other/change_detect_timeout_test",
-      "other/case_test", "other/case_test2", "other/state_count_test",
-      "other/collect_unique", "other/mqtt_subscribe",
-      "other/win_time_test_aligned", "other/statistics",
-      "other/combine_merge", "other/deadman_2", "other/where",
-      "other/delete_test", "other/window", "other/join",
-      "other/union_test", "other/state_duration_test",
-      "other/grip_calib_images", "other/param_list_test",
-      "other/stats_test_fail", "test/faxe_http", "test/http_listen",
-      "test/http_post", "test/http_get", "other/https_get_test",
-      "other/http", "other/test_lm_conveyor_tracking", "other/tcp_window",
-      "other/tcp_conveyor_track", "other/jpath",
-      // round 6: DB/protocol connector scripts
-      "test/mongo", "other/influx_test", "other/pg_query",
-      "other/email_param", "other/modbus_multi_test",
-      "other/modbus_mqtt_pub", "other/s7_test", "other/oracle_query_test",
-      "other/s7_read_test1", "other/s7_read_test2",
-      "other/helix_convtrack_crate", "other/live_data_test",
-      "other/tcp_line")
+  test("EVERY reference dfs script compiles VERBATIM (4 expected rejects)") {
+    // sweep the whole reference tree at test time (no copied content in
+    // the repo). The only scripts allowed to fail are: the two deliberate
+    // error-message fixtures, the macro-use script (compiles once its
+    // macro is registered — see the macro1 test), and lambda_list_test,
+    // which uses `.keep()` on eval — not in esp_eval.erl's options, so
+    // the reference's own checker rejects it too.
+    val expectedRejects = Set("other/did_you_mean.dfs",
+      "other/node_not_found_err.dfs", "other/macro1.dfs",
+      "other/lambda_list_test.dfs")
     val dir = new java.io.File("/root/reference/dfs")
     assume(dir.isDirectory, "reference tree not present")
-    val failures = scripts.flatMap { name =>
-      val f = new java.io.File(dir, s"$name.dfs")
-      if (!f.isFile) Some(s"$name: missing")
-      else {
-        val src = scala.io.Source.fromFile(f, "UTF-8")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".dfs")) Seq(f) else Nil
+    val all = walk(dir).sortBy(_.getPath)
+    assert(all.size >= 114, s"reference tree shrank? ${all.size} scripts")
+    val failures = all.flatMap { f =>
+      val name = f.getPath.stripPrefix(dir.getPath + "/")
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val r =
         try { DfsEngine.compile(src.mkString); None }
-        catch { case e: Exception => Some(s"$name: ${e.getMessage}") }
+        catch { case e: Exception => Some(name -> e.getMessage) }
         finally src.close()
-      }
+      r
     }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    val unexpected = failures.filterNot { case (n, _) => expectedRejects(n) }
+    assert(unexpected.isEmpty,
+      unexpected.map { case (n, m) => s"$n: $m" }.mkString("\n"))
+    // the rejects still reject (they pin the reference's error behavior)
+    assert(failures.map(_._1).toSet == expectedRejects)
   }
 
   test("runnable reference scripts execute end-to-end") {
