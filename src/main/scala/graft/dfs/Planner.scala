@@ -1177,7 +1177,22 @@ object Planner {
             .map(v => lambdaColumn(valueToLit(v), env.defs))
             .getOrElse(throw DfsError(
               "state_change_bulk: .state_value (with .field)"))
-          val subs = ctx.df.select(Paths.ref(path + ".*")).columns.toSeq
+          // only scalar subfields are state candidates (a nested struct
+          // can't equal a state value — the reference scans leaf values)
+          val stype = ctx.df.select(Paths.ref(path).as("_s"))
+            .schema.head.dataType match {
+              case st: org.apache.spark.sql.types.StructType => st
+              case other => throw DfsError(
+                s"state_change_bulk: '$path' is $other, not a struct")
+            }
+          val subs = stype.fields.toSeq.collect {
+              case f if !f.dataType.isInstanceOf[
+                    org.apache.spark.sql.types.StructType] &&
+                  !f.dataType.isInstanceOf[
+                    org.apache.spark.sql.types.ArrayType] &&
+                  !f.dataType.isInstanceOf[
+                    org.apache.spark.sql.types.MapType] => f.name
+            }
             .filterNot(s0 => excl.contains(s"$path.$s0"))
           if (subs.isEmpty)
             throw DfsError(s"state_change_bulk: no subfields under '$path'")

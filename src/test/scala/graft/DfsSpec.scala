@@ -322,6 +322,44 @@ class DfsSpec extends AnyFunSuite {
     assert(failures.map(_._1).toSet == expectedRejects)
   }
 
+  test("round-6 reference scripts execute end-to-end") {
+    def run(name: String) = {
+      val src = scala.io.Source.fromFile(
+        s"/root/reference/dfs/$name.dfs", "UTF-8")
+      try DfsEngine.run(src.mkString, spark, sf) finally src.close()
+    }
+    // conditional_delete.dfs: .where-gated delete nulls the path only on
+    // matching rows (topics in2/in3), leaves it on in1 rows
+    val cd = run("other/conditional_delete")("chain_1")
+    val byTopic = cd.select(col("data.topic"), col("data.condition.state"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(byTopic.count { case (t, s) => t != "in1" && s == null } == 3)
+    assert(byTopic.count { case (t, s) => t == "in1" && s != null } == 6)
+    // the bulk .field/.state_value form (state_change_bulk_test.dfs's
+    // shape, rooted explicitly): scalar subfields scanned, .exclude_fields
+    // honored, nested structs skipped
+    val scb = DfsEngine.runSingle(
+      """#|json_emitter(
+         #  '{"err1": 0, "err2": 0, "nr": 233, "sub": {"v": 1}}',
+         #  '{"err1": 1, "err2": 0, "nr": 233, "sub": {"v": 1}}',
+         #  '{"err1": 1, "err2": 1, "nr": 233, "sub": {"v": 1}}',
+         #  '{"err1": 0, "err2": 1, "nr": 233, "sub": {"v": 1}}')
+         #  .as('data.obj')
+         #|group_by('data.obj.nr')
+         #|state_change_bulk(
+         #  .field('data.obj')
+         #  .state_value(1)
+         #  .exclude_fields('data.obj.nr'))
+         #""".stripMargin('#'), spark, sf)
+    val edgeCols = scb.columns.filter(_.endsWith("_edge")).toSet
+    assert(edgeCols == Set("err1_edge", "err2_edge"))
+    // rows 2-4 carry edges (err1 enter, err2 enter, err1 leave); the
+    // all-false first row emits nothing
+    assert(scb.count() == 3)
+    // shift2.dfs: negative duration shifts event time into the past
+    assert(run("other/shift2")("vals").count() > 0)
+  }
+
   test("runnable reference scripts execute end-to-end") {
     graft.core.MemStore.clear()
     def run(name: String) = {
