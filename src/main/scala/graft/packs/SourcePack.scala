@@ -51,6 +51,21 @@ object SourcePack extends QueryPack {
       Some("""SELECT event_type,
              |  (epoch_ms(ts) // 1000 // 120) * 120 AS ts_gb,
              |  count(*) AS n, max(value) AS vmax
-             |FROM events GROUP BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // mongo_query's find-selector semantics (esp_mongo_query.erl:40-62):
+    // the JSON selector translates to a relational predicate
+    // (io/MongoFilter.scala) that must match ANSI SQL exactly —
+    // operators, range bounds, IN lists and implicit AND all hash-pinned.
+    "mongo_find" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """#|mongo_query(
+           #  .collection('events')
+           #  .query('{"event_type": {"$in": ["click", "view"]}, "value": {"$gt": 50, "$lte": 95}}'))
+           #|keep('event_id', 'user_id', 'event_type', 'value')
+           #""".stripMargin('#'), s, dir),
+      Some("""SELECT event_id, user_id, event_type, value FROM events
+             |WHERE event_type IN ('click', 'view')
+             |  AND value > 50 AND value <= 95""".stripMargin))
   )
 }
