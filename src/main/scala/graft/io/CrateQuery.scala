@@ -49,17 +49,30 @@ object CrateQuery {
   }
 
   /** Spark-dialect rewrite for one poll window (see class doc for the
-    * two deliberate divergences).
+    * two deliberate divergences). When the table carries a raw
+    * `<timeField>_ns` epoch column, the range predicate lands on IT —
+    * `unix_millis(tf)` is a derived expression the parquet reader cannot
+    * push (only IsNotNull survives), so every poll would full-scan at
+    * 100 TB; the ns predicate is exactly equivalent
+    * (`ms ∈ [a,b) ⟺ ns ∈ [a·10⁶, b·10⁶)`, integer truncation) and
+    * reaches PushedFilters for row-group skipping.
     */
   def sparkQuery(query: String, groupByTimeMs: Long, timeField: String,
-      groupBys: Seq[String], w: PollSource.PollWindow): String = {
+      groupBys: Seq[String], w: PollSource.PollWindow,
+      nsField: Option[String] = None): String = {
     val sec = math.max(1L, math.round(groupByTimeMs / 1000.0))
     val rest = query.drop(6).trim
     val groupClause = groupBys.map(g => s", $g").mkString
+    val range = nsField match {
+      case Some(ns) =>
+        s"$ns >= ${w.fromMs * 1000000L} AND $ns < ${w.toMs * 1000000L}"
+      case None =>
+        s"unix_millis($timeField) >= ${w.fromMs}" +
+          s" AND unix_millis($timeField) < ${w.toMs}"
+    }
     s"SELECT (unix_millis($timeField) div 1000 div $sec) * $sec" +
       s" AS ${timeField}_gb, $rest" +
-      s"${rangeJoin(rest)}unix_millis($timeField) >= ${w.fromMs}" +
-      s" AND unix_millis($timeField) < ${w.toMs}" +
+      s"${rangeJoin(rest)}$range" +
       s" GROUP BY ${timeField}_gb$groupClause ORDER BY ${timeField}_gb DESC"
   }
 
@@ -86,11 +99,12 @@ object CrateQuery {
       else Tables.load(spark, dir, table)
     df.createOrReplaceTempView(table)
 
+    val nsField = Some(s"${timeField}_ns").filter(df.columns.contains)
     val bucketMs = math.max(1000L, math.round(groupByTimeMs / 1000.0) * 1000L)
     val bounds = df.agg(min(unix_millis(col(timeField))),
       max(unix_millis(col(timeField)))).head
     if (bounds.isNullAt(0)) return spark.sql(sparkQuery(query, groupByTimeMs,
-      timeField, groupBys, PollSource.PollWindow(0L, 0L)))
+      timeField, groupBys, PollSource.PollWindow(0L, 0L), nsField))
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val start = mn - java.lang.Math.floorMod(mn, bucketMs)
     val reqPeriod = math.max(bucketMs,
@@ -109,7 +123,8 @@ object CrateQuery {
       periodMs = period, offsetMs = 0L, minIntervalMs = 0L,
       stopMs = Some(mx + period))
     val frames = poller.catchUp(nowMs = mx + 2 * period).map(w =>
-      spark.sql(sparkQuery(query, groupByTimeMs, timeField, groupBys, w)))
+      spark.sql(sparkQuery(query, groupByTimeMs, timeField, groupBys, w,
+        nsField)))
     frames.reduceOption(_ union _).getOrElse(
       throw new IllegalStateException("crate_query: no poll windows"))
   }

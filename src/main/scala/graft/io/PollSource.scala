@@ -98,6 +98,22 @@ object PollSource {
   def poll(df: DataFrame, tsMs: Column, w: PollWindow): DataFrame =
     df.filter(tsMs >= w.fromMs && tsMs < w.toMs)
 
+  /** Window predicate that actually reaches the parquet reader: a filter
+    * on a DERIVED ms column (`ts div 1000000`) pushes only IsNotNull —
+    * every poll would full-scan at 100 TB. The raw ns epoch column is a
+    * direct scan attribute, and `ms ∈ [a,b) ⟺ ns ∈ [a·10⁶, b·10⁶)`
+    * exactly (integer div truncation), so preferring it is a pure
+    * pushdown win with identical rows.
+    */
+  def windowPredicate(df: DataFrame, tsMsName: String,
+      w: PollWindow): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    val ns = tsMsName.stripSuffix("_ms") + "_ns"
+    if (df.columns.contains(ns))
+      col(ns) >= w.fromMs * 1000000L && col(ns) < w.toMs * 1000000L
+    else col(tsMsName) >= w.fromMs && col(tsMsName) < w.toMs
+  }
+
   /** Run `poller` to exhaustion against a DataFrame-producing fetch and
     * union the polls — N successive polls over a partitioned timeline.
     */

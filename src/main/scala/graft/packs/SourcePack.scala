@@ -20,8 +20,12 @@ object SourcePack extends QueryPack {
     // (esp_crate_query_cont.erl start/setup_start).
     "poll_incremental" -> QueryDef(
       (s, dir) => {
+        // ts_ns rides along so each poll's range predicate lands on the
+        // RAW parquet column (row-group skipping; PollSource
+        // .windowPredicate) — dropped after the filter
         val ev = Tables.events(s, dir)
-          .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+          .select(col("event_id"), col("user_id"), col("ts_ms"),
+            col("value"), col("ts_ns"))
         val bounds = ev.agg(min("ts_ms"), max("ts_ms")).head
         val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
         val period = math.max(1L, (mx - mn) / 8)
@@ -29,7 +33,8 @@ object SourcePack extends QueryPack {
           startMs = mn, periodMs = period, offsetMs = 0L,
           minIntervalMs = 0L, stopMs = Some(mx + period))
         PollSource.pollAll(poller, nowMs = mx + period,
-          w => PollSource.poll(ev, col("ts_ms"), w))
+          w => ev.filter(PollSource.windowPredicate(ev, "ts_ms", w))
+            .drop("ts_ns"))
           .getOrElse(throw new IllegalStateException("no poll windows"))
       },
       Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value

@@ -78,6 +78,19 @@ class PlanLintSpec extends AnyFunSuite {
       s"unsanctioned broadcast nested-loop joins in: ${offenders.mkString(", ")}")
   }
 
+  test("poll windows push their range into the parquet scan") {
+    // a derived-ms filter pushes only IsNotNull — every poll would
+    // full-scan at 100 TB. The poll paths must filter the RAW ns column.
+    Seq("poll_incremental", "poll_bucketed").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(ts,"),
+        s"$name: no pushed lower bound on the raw ts column")
+      assert(plan.contains("LessThan(ts,"),
+        s"$name: no pushed upper bound on the raw ts column")
+    }
+  }
+
   test("fill_period query CONSTRUCTION triggers no Spark job") {
     // Windows.fillPeriod must stay lazy: an eager bound (.head at plan
     // time) would be a full extra source scan per planned query at
