@@ -10,6 +10,28 @@ import graft.dfs.DfsEngine
 object DfsPack extends QueryPack {
 
   def entries: Map[String, QueryDef] = Map(
+    // macro expansion under the correctness gate (faxe_dfs.erl:49-57):
+    // the macro's body chain splices at the ||call site with the .thresh
+    // override substituted — the expanded plan must hash-match plain SQL.
+    "dfs_macro" -> QueryDef(
+      (s, dir) => {
+        graft.dfs.Macros.register("hot_filter",
+          """#def thresh = 90
+             #|where(lambda: "value" > thresh)
+             #|eval(lambda: "value" - thresh)
+             #  .as('over_by')
+             #""".stripMargin('#'))
+        try DfsEngine.runSingle(
+          """#|parquet_read(.table('events'))
+             #||hot_filter()
+             #  .thresh(95)
+             #|keep('event_id', 'value', 'over_by')
+             #""".stripMargin('#'), s, dir)
+        finally graft.dfs.Macros.clear()
+      },
+      Some("""SELECT event_id, value, value - 95 AS over_by
+             |FROM events WHERE value > 95""".stripMargin)),
+
     // SURVEY §7.2 minimum slice: scan → filter → keyed window → aggregate.
     "dfs_pipeline" -> QueryDef(
       (s, dir) => DfsEngine.runSingle(
