@@ -84,4 +84,19 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(out.agg(sum(col("n"))).head().getLong(0) ==
       Tables.events(spark, sf).count())
   }
+
+  test("win_clock sliding form: period > every emits overlapping windows") {
+    // esp_win_clock.erl: .period is the window length, .every the emit
+    // interval. All rows ingest at (nearly) one instant, so each lands in
+    // exactly period/every = 3 sliding windows; window length stays
+    // period in every emitted window.
+    val out = Windows.clockAgg(
+      Tables.events(spark, sf).limit(50), "15 seconds",
+      Seq(col("event_type")), Seq(count(lit(1)).as("n")),
+      slide = Some("5 seconds"))
+    val perWin = out.groupBy("window_start_ms", "window_end_ms")
+      .agg(sum("n")).collect()
+    assert(perWin.length >= 3)
+    assert(perWin.forall(r => r.getLong(1) - r.getLong(0) == 15000L))
+  }
 }
