@@ -114,8 +114,10 @@ object CrateQuery {
     // = 1440 windows) explodes plan width — analysis cost alone
     // dominates. A deployment runs each poll as its own micro-query on a
     // timer, so the period only shapes batch boundaries here; widen it
-    // (to a bucket multiple) until ≤16 windows cover the span.
-    val maxWindows = 16L
+    // (to a bucket multiple) until ≤8 windows cover the span (the
+    // N-polls ≡ one-query proof is N-independent; at small SF the plan
+    // count, not the data, is the cost).
+    val maxWindows = 8L
     val minPeriod0 = (mx - start) / maxWindows + 1
     val minPeriod = ((minPeriod0 + bucketMs - 1) / bucketMs) * bucketMs
     val period = math.max(reqPeriod, minPeriod)
