@@ -160,4 +160,131 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col(idCol), round(col("sim"), 6).as("sim"))
   }
+
+  // ---- IVF (inverted-file) ANN -------------------------------------------
+
+  /** Squared L2 distance to a centroid literal (sequential fold, double
+    * accumulator — same determinism contract as [[dot]]).
+    */
+  private def sqDist(vec: Column, cent: Array[Float]): Column =
+    aggregate(
+      zip_with(vec, array(cent.toIndexedSeq.map(lit(_)): _*),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Distances to every cell centroid, as ONE materialized array column
+    * (HOFs are interpreted and not CSE'd — consumers must read
+    * `element_at` off this array, never re-derive the fold).
+    */
+  private def cellDists(vec: Column, cents: Seq[Array[Float]]): Column =
+    array(cents.map(sqDist(vec, _)): _*)
+
+  /** The `nProbe` nearest cell ids, nearest first. Ties break to the lower
+    * cell id (struct sort is lexicographic on (dist, cell)), so the probe
+    * list for nProbe = p is always a PREFIX of the list for p + 1 —
+    * candidate sets nest, making recall monotone in nProbe.
+    */
+  private def probeCells(dists: Column, nCells: Int, nProbe: Int): Column = {
+    val byDist = sort_array(array((0 until nCells).map(i =>
+      struct(element_at(dists, i + 1).as("d"), lit(i).as("c"))): _*))
+    transform(slice(byDist, 1, math.min(nProbe, nCells)), s => s.getField("c"))
+  }
+
+  /** K-means coarse quantizer, trained driver-side over a bounded sample:
+    * the `maxTrainRows` first rows in md5(id) order (a deterministic
+    * pseudo-random shuffle; TakeOrdered — no full sort at scale), seeded
+    * from the sample head, refined with `iters` Lloyd steps in plain Scala.
+    *
+    * Driver-side training is the standard coarse-quantizer shape (the
+    * quantizer needs a representative sample, not the corpus — at 100 TB
+    * you train on ~100k rows and ASSIGN distributedly): 100k × 64 floats
+    * ≈ 25 MB, one Spark job, and — unlike a distributed Lloyd step whose
+    * partial-sum order floats with partitioning — the fold order here is
+    * total, so centroids (hence cells, hence results) are bit-reproducible.
+    */
+  def ivfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int = 2,
+      maxTrainRows: Int = 100000): Array[Array[Float]] = {
+    val sample = corpus
+      .select(md5(col(idCol).cast("string")).as("_h"), col(vecCol).as("_v"))
+      .orderBy("_h")
+      .limit(maxTrainRows)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.length >= nCells,
+      s"ivfCentroids: ${sample.length} training rows < $nCells cells")
+    val dim = sample.head.length
+    var cents = sample.take(nCells).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nCells) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = (v(i) - cents(c)(i)).toDouble; d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** IVF-Flat ANN top-k: the quantizer partitions the corpus into `nCells`
+    * inverted lists (each corpus row lands in EXACTLY one cell — cells are
+    * a partition, not overlapping buckets); a query probes its `nProbe`
+    * nearest cells and ranks exact cosine inside them. The cell equi-join
+    * is shuffle-partitionable; cost grows linearly in nProbe, never
+    * quadratically.
+    *
+    * `nProbe == nCells` probes every cell, so each (query, corpus) pair is
+    * scored exactly once and the result is IDENTICAL to [[bruteTopK]] —
+    * the `emb_ivf_topk` oracle pins that equivalence. nProbe < nCells is
+    * the linear-cost recall knob (candidate sets nest as nProbe grows, so
+    * recall is monotone — see [[probeCells]]).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      maxTrainRows: Int = 100000): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nCells, iters, maxTrainRows)
+    val centSeq = cents.toIndexedSeq
+    val c = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_dists", cellDists(col(vecCol), centSeq))
+      .withColumn("_cell",
+        (array_position(col("_dists"), array_min(col("_dists"))) - 1).cast("int"))
+      .drop("_dists")
+      .withColumn("_cn", norm(col(vecCol)))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("_dists", cellDists(col("q_vec"), centSeq))
+      .withColumn("_cell", explode(probeCells(col("_dists"), nCells, nProbe)))
+      .drop("_dists")
+      .withColumn("_qn", norm(col("q_vec")))
+    val scored = c.join(q, "_cell")
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("sim", dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol), round(col("sim"), 6).as("sim"))
+  }
 }

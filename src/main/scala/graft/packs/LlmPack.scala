@@ -348,6 +348,37 @@ object LlmPack extends QueryPack {
            |WHERE rnk <= 3""".stripMargin
       }),
 
+    // IVF-Flat ANN: k-means coarse quantizer → inverted cell lists →
+    // probe-nearest-cells candidate join. Registered at FULL probe
+    // (nProbe == nCells), where cells partition the corpus and every
+    // (query, corpus) pair is scored exactly once — provably identical to
+    // brute force, so the exact SQL oracle pins the whole IVF pipeline
+    // (training, assignment, probe ordering, in-cell ranking). nProbe <
+    // nCells is the documented linear-cost recall knob (LlmSpec covers
+    // the partial-probe path: recall monotone, full-probe ≡ brute).
+    "emb_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.ivfTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          3, nCells = 8, nProbe = 8)
+      },
+      Some {
+        val dotQC = dotSql("embedding", "qe")
+        val nC = dotSql("embedding", "embedding")
+        val nQ = dotSql("qe", "qe")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+           |           FROM embeddings WHERE vec_id % 50 = 0),
+           |s AS (SELECT q_id, vec_id,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM embeddings, q WHERE vec_id <> q_id)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, round(sim, 6) AS sim
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+           |      FROM s)
+           |WHERE rnk <= 3""".stripMargin
+      }),
+
     // ---- multimodal plumbing -------------------------------------------
     "mm_features" -> QueryDef(
       (s, dir) => {

@@ -101,6 +101,35 @@ class LlmSpec extends AnyFunSuite {
     assert(run(3).count() >= run(1).count())
   }
 
+  test("ivfTopK: full probe equals brute force exactly; recall monotone in nProbe") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rnk", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = collectSet(VectorOps.bruteTopK(emb, q, "vec_id", "embedding", 5))
+    // nProbe == nCells: cells partition the corpus, every pair scored once
+    val full = collectSet(VectorOps.ivfTopK(
+      emb, q, "vec_id", "embedding", 5, nCells = 4, nProbe = 4))
+    assert(full == brute)
+    // partial probe: candidate sets nest (probe lists are prefixes), so
+    // true-top-k hits can only grow with nProbe
+    def hits(p: Int) = (collectSet(VectorOps.ivfTopK(
+      emb, q, "vec_id", "embedding", 5, nCells = 4, nProbe = p))
+      intersect brute).size
+    val h1 = hits(1); val h2 = hits(2)
+    assert(h1 > 0)
+    assert(h2 >= h1)
+  }
+
+  test("ivfCentroids is deterministic and respects the training cap") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 4, maxTrainRows = 40)
+    val b = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 4, maxTrainRows = 40)
+    assert(a.length == 4 && a.head.length == 64)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("decodePartitions runs a pluggable per-partition decoder") {
     val d = graft.operators.multimodal.Multimodal.withBlob(
       Tables.documents(spark, sf), col("text"))
