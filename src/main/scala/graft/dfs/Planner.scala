@@ -1807,15 +1807,26 @@ object Planner {
   }
 
   private def groupedAgg(ctx: Ctx, aggs: Seq[Column]): DataFrame = {
+    // a time/session window downstream of an aggregate has an event-time
+    // MS column (window_start_ms) but no named timestamp column — every
+    // emission is a point with an event time in the reference
+    // (esp_aggregate emits at window close), so synthesize the timestamp
+    // from the ms column instead of failing resolution
+    val needsTs = ctx.win.exists(w => w.kind == "time" || w.kind == "session")
+    val ctx1 =
+      if (!needsTs || ctx.ts.nonEmpty) ctx
+      else if (ctx.tsMs.nonEmpty)
+        ctx.copy(df = ctx.df.withColumn("_ts", timestamp_millis(col(ctx.tsMs))),
+          ts = "_ts")
+      else throw DfsError("time window needs an event-time column upstream")
     // streaming window aggregation needs the event-time watermark before
     // the groupBy; 0-delay = faxe's accept-any-ts with immediate eviction
-    val df0 = ctx.win match {
-      case Some(w) if ctx.df.isStreaming && (w.kind == "time" || w.kind == "session") =>
-        ctx.df.withWatermark(ctx.ts, "0 milliseconds")
-      case _ => ctx.df
+    val df0 = ctx1.win match {
+      case Some(w) if ctx1.df.isStreaming && (w.kind == "time" || w.kind == "session") =>
+        ctx1.df.withWatermark(ctx1.ts, "0 milliseconds")
+      case _ => ctx1.df
     }
-    val ctx2 = ctx.copy(df = df0)
-    groupedAggOn(ctx2, aggs)
+    groupedAggOn(ctx1.copy(df = df0), aggs)
   }
 
   private def groupedAggOn(ctx: Ctx, aggs: Seq[Column]): DataFrame =

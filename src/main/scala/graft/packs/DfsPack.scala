@@ -394,6 +394,97 @@ object DfsPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some("""SELECT event_id, CAST(trunc(value * 10) AS BIGINT) AS v10,
              |  event_type || '_' || CAST(user_id AS VARCHAR) AS tag
-             |FROM events WHERE value >= 20""".stripMargin))
+             |FROM events WHERE value >= 20""".stripMargin)),
+
+    // value_emitter under the oracle (esp_value_emitter.erl:26-66): the
+    // deterministic synthetic source — monotonic value sequence, paced
+    // event time BASE + i*every — hash-pinned against a constant relation.
+    "dfs_emitter" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|value_emitter(.count(20).every(1s).mode(monotonic_int))
+          #|eval(lambda: "val" * 2 + 1).as('doubled')
+          #|where(lambda: "doubled" > 9)
+          #|keep('id', 'val', 'doubled', 'ts_ms')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT id, id AS val, id * 2 + 1 AS doubled,
+             |  1577836800000 + id * 1000 AS ts_ms
+             |FROM range(20) t(id) WHERE id * 2 + 1 > 9""".stripMargin)),
+
+    // json_emitter under the oracle (esp_json_emitter.erl:37-66): literal
+    // docs → ordered rows (_seq pins arrival order), downstream lambda
+    // math on the parsed payload.
+    "dfs_emitter_json" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """#|json_emitter('{"k": "a", "v": 1}', '{"k": "b", "v": 2}', '{"k": "a", "v": 5}')
+           #|eval(lambda: "v" * 10).as('v10')
+           #""".stripMargin('#'), s, dir),
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), 'a', CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
+             |  (CAST(1 AS BIGINT), 'b', CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
+             |  (CAST(2 AS BIGINT), 'a', CAST(5 AS BIGINT), CAST(50 AS BIGINT)))
+             |AS t(_seq, k, v, v10)""".stripMargin)),
+
+    // debug + log are pass-through taps (esp_debug.erl; df_component
+    // item-forwarding default): the chain's data must be bit-identical
+    // with the taps spliced in.
+    "dfs_debug" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('nation'))
+          #|debug(.level('info'))
+          #|where(lambda: "n_regionkey" < 2)
+          #|log(.level('warn'))
+          #|keep('n_nationkey', 'n_name', 'n_regionkey')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT n_nationkey, n_name, n_regionkey
+             |FROM nation WHERE n_regionkey < 2""".stripMargin)),
+
+    // group_union (esp_group_union.erl): merges the keyed branches back
+    // into ONE stream — proven observably, not just structurally: the
+    // second window aggregates ACROSS users (a single global weekly
+    // rollup), which only happens if group_union really dropped the keys.
+    "dfs_group_union" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|win_time(.period(1d))
+          #|aggregate(.fields('value').functions('max').as('vmax'))
+          #|group_union()
+          #|win_time(.period(7d))
+          #|aggregate(.fields('vmax','vmax').functions('count','max').as('n_days','vmax_wk'))
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH g AS (
+             |  SELECT user_id,
+             |    (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
+             |    max(value) AS vmax
+             |  FROM events GROUP BY 1, 2)
+             |SELECT (window_start_ms // 604800000) * 604800000 AS window_start_ms,
+             |  (window_start_ms // 604800000) * 604800000 + 604800000 AS window_end_ms,
+             |  count(vmax) AS n_days, max(vmax) AS vmax_wk
+             |FROM g GROUP BY 1, 2""".stripMargin)),
+
+    // custom-node registration (the @python component analog,
+    // faxe_dfs.erl:12-16): a user-registered Scala NodeDef plans like a
+    // built-in and its output is hash-pinned like any other operator.
+    "dfs_custom_node" -> QueryDef(
+      (s, dir) => {
+        import graft.dfs.{Ir, Planner}
+        Planner.registerNode("val_band", Planner.NodeDef(
+          Some(Ir.Point), Ir.Point, Set("width"),
+          (c, n, env) => {
+            val ctx = c.getOrElse(throw Ir.DfsError("val_band needs input"))
+            ctx.copy(df = ctx.df.withColumn("band",
+              org.apache.spark.sql.functions.floor(
+                org.apache.spark.sql.functions.col("value") / 10) * 10))
+          }))
+        DfsEngine.runSingle(
+          """|parquet_read(.table('events'))
+            #|val_band()
+            #|where(lambda: "band" >= 80)
+            #|keep('event_id', 'value', 'band')
+            #""".stripMargin('#'), s, dir)
+      },
+      Some("""SELECT event_id, value,
+             |  CAST(floor(value / 10) * 10 AS BIGINT) AS band
+             |FROM events WHERE floor(value / 10) * 10 >= 80""".stripMargin))
   )
 }
