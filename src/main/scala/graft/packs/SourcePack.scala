@@ -71,6 +71,31 @@ object SourcePack extends QueryPack {
            #""".stripMargin('#'), s, dir),
       Some("""SELECT event_id, user_id, event_type, value FROM events
              |WHERE event_type IN ('click', 'view')
-             |  AND value > 50 AND value <= 95""".stripMargin))
+             |  AND value > 50 AND value <= 95""".stripMargin)),
+
+    // file sinks + blobstream sources under the oracle: nation rides
+    // through BOTH the csv and jsonl sink→source round-trips (quoting,
+    // header, schema re-application all exercised), the two legs are
+    // re-joined, and the result must still hash-match the parquet truth —
+    // any encode/decode corruption on either leg breaks the pin.
+    "blob_roundtrip" -> QueryDef(
+      (s, dir) => {
+        val ddl = "n_nationkey INT, n_name STRING, n_regionkey INT"
+        val tmp = java.nio.file.Files.createTempDirectory("graft_blob").toString
+        val nation = Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        graft.io.Sinks.csv(nation, s"$tmp/csv")
+        graft.io.Sinks.jsonLines(nation, s"$tmp/jsonl")
+        val csvBack = graft.io.Sources.csv(s, s"$tmp/csv", schema = Some(ddl))
+        val jsonBack = graft.io.Sources.jsonLines(s, s"$tmp/jsonl",
+          schema = Some(ddl))
+        csvBack.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .join(jsonBack.select(col("n_nationkey"),
+            length(col("n_name")).cast("long").as("name_len")),
+            "n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey,
+             |  length(n_name) AS name_len
+             |FROM nation""".stripMargin))
   )
 }

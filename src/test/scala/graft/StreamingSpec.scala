@@ -127,6 +127,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("win_time tumbling: streaming emissions match the batch aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = for { u <- 1L to 2L; i <- 0L until 12L }
+      yield Ev(u, i, i * 1.0 + u, "a")
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_millis(col("seq") * 1000L))
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.window.Windows.tumblingAgg(
+        df, col("ts"), "5 seconds", Seq(col("user_id")),
+        Seq(count(col("value")).as("n"), max(col("value")).as("vmax")))
+    val batch = windowed(withTs(data.toDF()))
+      .select("user_id", "window_start_ms", "n", "vmax")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // append mode only emits windows the watermark has passed: a far-future
+    // sentinel closes every real window; its own (still-open) window is the
+    // one row the stream may not emit
+    val sentinel = Ev(1L, 1000000L, 0.0, "wm")
+    val streamed = runStream("wtt")(in =>
+      windowed(withTs(in.toDF()).withWatermark("ts", "0 seconds"))
+        .select("user_id", "window_start_ms", "n", "vmax"))(
+      data :+ sentinel)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   // deadman's heartbeat is processing-time-timer driven; in a memory-stream
   // test processAllAvailable never settles while timers re-arm, so the
   // pass-through contract is asserted in batch execution instead.
