@@ -158,6 +158,22 @@ object JoinPack extends QueryPack {
           .select(col("event_id"), col("user_id"), col("n_name")),
       Some("""SELECT e.event_id, e.user_id, n.n_name
              |FROM events e LEFT JOIN nation n
-             |  ON e.user_id % 25 = n.n_nationkey""".stripMargin))
+             |  ON e.user_id % 25 = n.n_nationkey""".stripMargin)),
+
+    // salted shuffle join (SCALE.md skew playbook): the skewed side
+    // spreads each key over 8 row-derived sub-keys, the dim side is
+    // replicated per salt, and the (key, salt) join must reproduce the
+    // plain join ROW-FOR-ROW — the hash pin proves salting is purely a
+    // partitioning transform, never a semantic one.
+    "join_salted" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+        graft.operators.join.Skew.saltedJoin(li, ord, Seq("l_orderkey"), 8)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_custkey
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin))
   )
 }

@@ -48,6 +48,34 @@ class MiscOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("saltedJoin: row-identical to the plain join; salt reaches the join keys") {
+    import graft.operators.join.Skew
+    import spark.implicits._
+    // one hot key carrying 95% of the left side, plus a long tail
+    val skewed = (1 to 2000).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong + 1, i.toLong))
+    val left = skewed.toDF("k", "payload")
+    val dim = (1L to 50L).map(i => (i, i * 10)).toDF("k", "v")
+    val plain = left.join(dim, "k").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = Skew.saltedJoin(left, dim, Seq("k"), 8)
+      assert(salted.as[(Long, Long, Long)].collect().sorted.toSeq == plain)
+      // the physical join keys must include the salt — that's what spreads
+      // the hot key over 8 reducers instead of one
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"), s"salt column absent from plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // replicated-dim-unsafe join types are rejected, left joins pass
+    assert(Skew.saltedJoin(left, dim, Seq("k"), 4, "left").count() == 2100)
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(left, dim, Seq("k"), 4, "full_outer")
+    }
+    assert(e.getMessage.contains("salt-safe"))
+  }
+
   test("mergeValues: numbers add, strings concat, nulls coalesce") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, "a", "b"), (3.0, 4.0, "c", "d"))
