@@ -153,6 +153,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("win_session: streaming session merges match the batch aggregate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // per-user bursts with >2s silences between them: u1 sessions
+    // {0,1,2}, {6,7}, {12}; u2 sessions {0}, {5,6}
+    val seqs = Map(1L -> Seq(0L, 1L, 2L, 6L, 7L, 12L),
+      2L -> Seq(0L, 5L, 6L))
+    val data = for { (u, ss) <- seqs.toSeq; i <- ss }
+      yield Ev(u, i, i.toDouble, "a")
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_millis(col("seq") * 1000L))
+    def windowed(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.window.Windows.sessionAgg(
+        df, col("ts"), "2 seconds", Seq(col("user_id")),
+        Seq(count(col("value")).as("n"), max(col("value")).as("vmax")))
+    val batch = windowed(withTs(data.toDF()))
+      .select("user_id", "session_start_ms", "session_end_ms", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch.size == 5) // the fixture really exercises merging
+    val sentinel = Ev(1L, 1000000L, 0.0, "wm")
+    val streamed = runStream("wse")(in =>
+      windowed(withTs(in.toDF()).withWatermark("ts", "0 seconds"))
+        .select("user_id", "session_start_ms", "session_end_ms", "n"))(
+      data :+ sentinel)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
   // deadman's heartbeat is processing-time-timer driven; in a memory-stream
   // test processAllAvailable never settles while timers re-arm, so the
   // pass-through contract is asserted in batch execution instead.
