@@ -79,7 +79,11 @@ object MemStore {
   def lsMemColumn(key: String): Column =
     getList(key) match {
       case Some(vs) if vs.nonEmpty => array(vs.map(toLit): _*)
-      case _ => get(key).map(toLit).getOrElse(lit(null))
+      // an unpopulated list memory is EMPTY, not null — membership tests
+      // (array_contains) need a typed array, and the reference's ets
+      // lookup returns [] (mem_test.dfs before the mem node fires)
+      case _ => get(key).map(toLit)
+        .getOrElse(array().cast("array<string>"))
     }
 
   /** `ls_mem_member(x, 'key')` — membership against the stored list;
@@ -110,8 +114,14 @@ object EngineConf {
   def clear(): Unit = conf.clear()
 
   /** Literal-name form: `env('NAME', default)`. */
+  /** Env vars are STRINGS (the reference's env() returns the OS value or
+    * the default verbatim; Erlang's dynamic compare makes `false == 'on'`
+    * just false) — the whole column is string-typed so a non-string
+    * default never turns a comparison into a Spark cast error
+    * (dfs/test/env.dfs `env('FAXE_…', false) == 'on'`).
+    */
   def envColumn(name: String, default: Column): Column =
-    get(name).map(lit(_): Column).getOrElse(default)
+    get(name).map(lit(_): Column).getOrElse(default).cast("string")
 
   /** Dynamic form: `env("field", default)` — the variable NAME comes from
     * a column (dfs/test/env.dfs:11 `env("fetch", 'na')`). Only

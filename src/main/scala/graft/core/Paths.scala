@@ -20,10 +20,13 @@ object Paths {
   final case class Seg(name: String, idx: Option[Int])
 
   def parse(path: String): Seq[Seg] = {
-    val norm =
-      if (path.contains('*') && !path.contains('.')) path.replace('*', '.')
-      else path
-    norm.split('.').toSeq.map { s =>
+    // `*` escapes a literal dot INSIDE one key (esp_fields_to_array.erl:60
+    // outputs the name with * back-replaced by dots; dfs/test/http_post.dfs
+    // 'SHx*OpHrRet' addresses the flat JSON key "SHx.OpHrRet") — it is NOT
+    // an alternate separator: segments split on '.' first, then '*' inside
+    // a segment becomes a literal '.' in that segment's name.
+    path.split('.').toSeq.map { s0 =>
+      val s = s0.replace('*', '.')
       val i = s.indexOf('[')
       if (i >= 0 && s.endsWith("]"))
         Seg(s.substring(0, i), Some(s.substring(i + 1, s.length - 1).toInt))
@@ -31,10 +34,38 @@ object Paths {
     }
   }
 
+  // ---- lenient resolution (DFS front-end only) --------------------------
+  // The reference's lambdas return `undefined` for a field the point does
+  // not carry (flowdata field lookup — data-dependent, never a compile
+  // error), so verbatim scripts routinely reference paths absent from a
+  // given stream. Inside a lenient scope, roots recorded as missing
+  // resolve to NULL literals instead of failing analysis; the DFS planner
+  // (DfsEngine.planChain) records them by catching UNRESOLVED_COLUMN and
+  // replanning. Non-DFS operator API use stays strict (no scope → no-op).
+  private val lenientMissing = new ThreadLocal[java.util.HashSet[String]]
+
+  def lenientScope[T](body: => T): T = {
+    val prev = lenientMissing.get
+    lenientMissing.set(new java.util.HashSet[String])
+    try body finally lenientMissing.set(prev)
+  }
+
+  /** Record `root` as known-missing. False when not in a lenient scope or
+    * already recorded (→ the caller must rethrow, no progress possible).
+    */
+  def addLenientMissing(root: String): Boolean =
+    Option(lenientMissing.get).exists(_.add(root))
+
+  private def knownMissing(root: String): Boolean =
+    Option(lenientMissing.get).exists(_.contains(root))
+
   /** Column reference for a dot-path (1-based array indexing). */
   def ref(path: String): Column = {
     val segs = parse(path)
-    val head = withIdx(functions.col(segs.head.name), segs.head.idx)
+    if (knownMissing(segs.head.name)) return functions.lit(null)
+    // backtick-quote the root: a *-escaped name carries literal dots that
+    // col() would otherwise re-split into nesting
+    val head = withIdx(functions.col(s"`${segs.head.name}`"), segs.head.idx)
     segs.tail.foldLeft(head)((c, s) => withIdx(c.getField(s.name), s.idx))
   }
 

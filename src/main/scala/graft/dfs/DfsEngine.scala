@@ -41,8 +41,41 @@ object DfsEngine {
         val nd = Planner.lookup(n.name)
         // a source mid-chain ignores upstream (timer-driven emitters
         // drop received items in the reference)
-        Some(nd.plan(if (nd.wants.isEmpty) None else ctxOpt, n, env))
+        Some(planNode(nd, if (nd.wants.isEmpty) None else ctxOpt, n, env))
       }.getOrElse(throw DfsError("empty chain"))
+    }
+
+    // Lenient field resolution (reference parity): a lambda path the
+    // stream does not carry is `undefined` in faxe, never an error. On an
+    // unresolved-column failure, record the missing root (→ NULL literal,
+    // Paths.lenientScope) and replan the node. Bounded: each retry must
+    // add a NEW missing root or the error rethrows.
+    def planNode(nd: Planner.NodeDef, c: Option[Ctx], n: NodeSpec,
+        env: Env): Ctx = {
+      while (true) {
+        try return nd.plan(c, n, env)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition).exists(_.startsWith("UNRESOLVED_COLUMN")) =>
+            val obj = Option(e.getMessageParameters.get("objectName")).getOrElse("")
+            val root = obj.stripPrefix("`").takeWhile(_ != '`')
+            if (root.isEmpty || !graft.core.Paths.addLenientMissing(root))
+              throw e
+          // a deep path whose root is a scalar ("val.val" where val is a
+          // BIGINT) is equally `undefined` in the reference — null the
+          // root's refs and replan (jpath.dfs, stats_test.dfs)
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition)
+                .exists(_.startsWith("INVALID_EXTRACT_BASE_FIELD_TYPE")) =>
+            val base = Option(e.getMessageParameters.get("base")).getOrElse("")
+            val root = base.stripPrefix("\"").takeWhile(_ != '"')
+            if (root.isEmpty || !root.forall(ch => ch.isLetterOrDigit ||
+                ch == '_' || ch == '.') ||
+                !graft.core.Paths.addLenientMissing(root))
+              throw e
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     def frameOf(name: String): Ctx =
@@ -50,29 +83,57 @@ object DfsEngine {
         planChain(script.namedChains.getOrElse(name,
           throw DfsError(s"undefined stream reference '$name'"))))
 
-    val named = script.namedChains.keys.map(n => n -> frameOf(name = n).df)
-    // detached segments (no source — macro body form) compile but have
-    // nothing to fire them: skipped, keeping the chain_N numbering of the
-    // chains that do run
-    val anon = script.chains.zipWithIndex.collect {
-      case (c, i) if !Planner.detached(c) => s"chain_${i + 1}" -> planChain(c).df
+    graft.core.Paths.lenientScope {
+      // a DETACHED named chain (starts with an input-needing node, no
+      // source — cond_test1.dfs trailing `def` fragments) has nothing to
+      // fire it: planned only if another chain references it as a frame,
+      // never eagerly
+      val named = script.namedChains.collect {
+        case (nm, ch) if !Planner.detached(ch) => nm -> frameOf(nm).df
+      }
+      // detached segments (no source — macro body form) compile but have
+      // nothing to fire them: skipped, keeping the chain_N numbering of the
+      // chains that do run
+      val anon = script.chains.zipWithIndex.collect {
+        case (c, i) if !Planner.detached(c) => s"chain_${i + 1}" -> planChain(c).df
+      }
+      (named ++ anon).toMap
     }
-    (named ++ anon).toMap
   }
 
   /** Constant-fold `e:` expression defs to literal values before
     * planning (dfs/test/env.dfs — faxe resolves these at deploy time).
     * Catalyst does the evaluation: the expression runs over one literal
-    * row, so env()/string/bool logic all work; an expression that
-    * references a data field cannot be a constant and throws here.
+    * row, so env()/string/bool logic all work. Deploy-time evaluation has
+    * NO data point in the reference, so a field reference inside an `e:`
+    * def is `undefined` — replicated by folding inside a lenient scope
+    * where unresolved roots become nulls (template_test.dfs
+    * `def rewrite_fun = e: …"data.x"…`).
     */
   private def foldDefs(defs: Map[String, Ir.Value],
       spark: SparkSession): Map[String, Ir.Value] =
     defs.map {
       case (name, Ir.VLambda(e)) =>
+        def eval(): Any = spark.range(1)
+          .select(Planner.lambdaColumn(e, defs).as("v")).head.get(0)
         val v =
-          try spark.range(1).select(Planner.lambdaColumn(e, defs).as("v"))
-            .head.get(0)
+          try graft.core.Paths.lenientScope {
+            var out: Option[Any] = None
+            while (out.isEmpty) {
+              try out = Some(eval())
+              catch {
+                case ex: org.apache.spark.sql.AnalysisException
+                    if Option(ex.getCondition)
+                      .exists(_.startsWith("UNRESOLVED_COLUMN")) =>
+                  val obj = Option(ex.getMessageParameters.get("objectName"))
+                    .getOrElse("")
+                  val root = obj.stripPrefix("`").takeWhile(_ != '`')
+                  if (root.isEmpty ||
+                      !graft.core.Paths.addLenientMissing(root)) throw ex
+              }
+            }
+            out.get
+          }
           catch {
             case ex: Exception => throw Ir.DfsError(
               s"def '$name': expression is not a constant (${ex.getMessage})")

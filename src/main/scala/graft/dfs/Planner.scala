@@ -137,6 +137,15 @@ object Planner {
       Lambdas.randomLatinString(n.toInt)
     case LCall("random", Seq(LNum(n, _))) =>
       Lambdas.randomInt(n.toInt)
+    // random_real(N): uniform float in [0, N) (faxe_lambda_lib random_real)
+    case LCall("random_real", Seq(LNum(n, _))) =>
+      rand() * lit(n)
+    case LCall("random_real", Nil) =>
+      rand()
+    // membership against a stored list column (mem_test.dfs
+    // member("f", ls_mem_list(key))) — array containment, not isin
+    case LCall("member", Seq(x, l @ LCall("ls_mem" | "ls_mem_list", _))) =>
+      array_contains(lambdaColumn(l, defs), lambdaColumn(x, defs))
     case LCall("member", x +: rest) if rest.nonEmpty =>
       val elems = rest.flatMap {
         case LCall("__list__", es) => es
@@ -158,12 +167,16 @@ object Planner {
     // map literal at plan time
     case LCall("map_get", Seq(k, m)) if jsonMapLiteral(m, defs).isDefined =>
       element_at(jsonMapLiteral(m, defs).get, lambdaColumn(k, defs))
+    case LCall("map_get", Seq(k, m, d)) if jsonMapLiteral(m, defs).isDefined =>
+      coalesce(
+        element_at(jsonMapLiteral(m, defs).get, lambdaColumn(k, defs)),
+        lambdaColumn(d, defs))
     case LCall("mem", Seq(LStr(key))) =>
       graft.core.MemStore.memColumn(interp(key, defs))
     case LCall("mem", Seq(LStr(key), d)) =>
       graft.core.MemStore.memColumn(interp(key, defs), lambdaColumn(d, defs))
-    case LCall("ls_mem", Seq(LStr(key))) =>
-      graft.core.MemStore.lsMemColumn(interp(key, defs))
+    case LCall("ls_mem" | "ls_mem_list", Seq(e)) if constStr(e, defs).isDefined =>
+      graft.core.MemStore.lsMemColumn(constStr(e, defs).get)
     case LCall("ls_mem_member", Seq(x, LStr(key))) =>
       graft.core.MemStore.lsMemMember(lambdaColumn(x, defs), interp(key, defs))
     case LCall(name, args0) =>
@@ -181,6 +194,18 @@ object Planner {
   /** A lambda argument that is (a ref to) a JSON-object string becomes a
     * string→string map literal; None if it isn't one.
     */
+  /** A lambda argument that is a compile-time string: a literal or a
+    * string def reference (mem_test.dfs `ls_mem_list(mem_key)`).
+    */
+  private def constStr(e: LExpr, defs: Map[String, Value]): Option[String] =
+    e match {
+      case LStr(v) => Some(interp(v, defs))
+      case LCall("__ref__", Seq(LStr(name))) => defs.get(name).collect {
+        case VStr(v) => interp(v, defs)
+      }
+      case _ => None
+    }
+
   private def jsonMapLiteral(e: LExpr, defs: Map[String, Value]): Option[Column] = {
     val str = e match {
       case LStr(s) => Some(interp(s, defs))
@@ -426,10 +451,12 @@ object Planner {
       (_, n, env) => {
         val docs = argStrs(n, env) ++ optStrs(n, "json", env)
         if (docs.isEmpty) throw DfsError("json_emitter needs JSON documents")
-        // .every/.jitter/.align/.select are stream pacing — ignored in
-        // batch; `_seq` pins arrival order as the emitter's event time
+        // .jitter/.align/.select are stream pacing — ignored in batch;
+        // `_seq` pins arrival order as the emitter's event time, and `ts`
+        // carries the paced epoch-ms the reference's point would have
         val df = graft.io.Sources.jsonEmitterOrdered(env.spark, docs,
-          optStr(n, "as", env))
+          optStr(n, "as", env),
+          everyMs = optDurMs(n, "every", env).getOrElse(1000L))
         Ctx(df, Nil, None, Point, "", "_seq")
       }),
 
@@ -448,11 +475,15 @@ object Planner {
         // BASE + i * every (the batch analog of the emitter's pacing)
         val everyMs = optDurMs(n, "every", env).getOrElse(1000L)
         val base = 1577836800000L // 2020-01-01T00:00:00Z
+        // `ts` is the reference's data_point.ts — an epoch-ms INTEGER
+        // (lambdas compute "ts" - 60000*5, deadman_test.dfs; to_iso8601
+        // accepts ms) — not a SQL timestamp; windows synthesize their
+        // timestamp column from ts_ms (groupedAgg)
         val df = env.spark.range(count).toDF("id")
           .withColumn("val", value)
-          .withColumn("ts_ms", lit(base) + col("id") * everyMs)
-          .withColumn("ts", timestamp_millis(col("ts_ms")))
-        Ctx(df, Nil, None, Point, "ts", "ts_ms")
+          .withColumn("ts", lit(base) + col("id") * everyMs)
+          .withColumn("ts_ms", col("ts"))
+        Ctx(df, Nil, None, Point, "", "ts")
       }),
 
     // ---- stateless transforms (§2.1) ----
@@ -543,13 +574,28 @@ object Planner {
       Transforms.rename(ctx.df, pairs)
     },
     "sample" -> bt(Set("every", "rate", "keys")) { (ctx, n, env) =>
-      optNum(n, "rate", env) match {
+      // the reference takes ONE `rate` option, int OR duration
+      // (esp_sample.erl:27-34); `sample(500ms)` positional included
+      val posArg = n.args.map(resolve(_, env.defs)).collectFirst {
+        case VNum(v, _) => Left(v.toInt)
+        case VDur(ms, _) => Right(ms)
+      }
+      val rateVal = optVals(n, "rate", env).headOption
+      val nthOpt = rateVal.collect {
+        case VNum(v, _) => v.toInt
+        case VLong(l) => l.toInt
+      }.orElse(posArg.collect { case Left(i) => i })
+      nthOpt match {
         case Some(nth) =>
-          Transforms.sampleEveryN(ctx.df, nth.toInt, orderCols(ctx), keyCols(ctx))
+          Transforms.sampleEveryN(ctx.df, nth, orderCols(ctx), keyCols(ctx))
         case None =>
-          val dur = optDurMs(n, "every", env)
+          val dur = rateVal.collect { case VDur(ms, _) => ms }
+            .orElse(optDurMs(n, "every", env))
+            .orElse(posArg.collect { case Right(ms) => ms })
             .getOrElse(throw DfsError("sample: .rate(n) or .every(duration)"))
-          Transforms.sampleFirstPer(ctx.df, col(ctx.ts), dur, orderCols(ctx))
+          val tsc = if (ctx.ts.nonEmpty) col(ctx.ts)
+            else timestamp_millis(col(ctx.tsMs))
+          Transforms.sampleFirstPer(ctx.df, tsc, dur, orderCols(ctx))
       }
     },
     // .offset is the reference's option name (esp_shift.erl:14, default
@@ -561,7 +607,12 @@ object Planner {
         .orElse(n.args.map(resolve(_, env.defs))
           .collectFirst { case VDur(ms, _) => ms })
         .getOrElse(throw DfsError("shift: .offset"))
-      Transforms.shift(ctx.df, ctx.ts, by)
+      val d1 = if (ctx.ts.nonEmpty) Transforms.shift(ctx.df, ctx.ts, by)
+        else ctx.df
+      if (ctx.tsMs.nonEmpty && ctx.tsMs != ctx.ts &&
+          d1.columns.contains(ctx.tsMs))
+        d1.withColumn(ctx.tsMs, col(ctx.tsMs) + by)
+      else d1
     },
     "jsonsize" -> bt(Set("field", "as")) { (ctx, n, env) =>
       val f = optStr(n, "field", env).getOrElse(throw DfsError("jsonsize: .field"))
@@ -601,14 +652,35 @@ object Planner {
         ctx.df, optStrs(n, "fields", env),
         optStr(n, "as", env).getOrElse("collected"))
     },
-    "path_split" -> bt(Set("field", "include_as")) { (ctx, n, env) =>
-      val f = optStr(n, "field", env).getOrElse(throw DfsError("path_split: .field"))
-      val split = graft.operators.restructure.Restructure.pathSplit(
-        ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
-      // .include_as: the split root name lands under the given field
-      // (dev/path_split.dfs:10)
-      optStr(n, "include_as", env)
-        .fold(split)(as => split.withColumnRenamed("key", as))
+    "path_split" -> bt(Set("field", "include_as", "include_name")) { (ctx, n, env) =>
+      optStr(n, "field", env) match {
+        case Some(f) =>
+          // engine extension: split ONE map column into (key, value) rows
+          val split = graft.operators.restructure.Restructure.pathSplit(
+            ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
+          // .include_as: the split root name lands under the given field
+          // (dev/path_split.dfs:10)
+          optStr(n, "include_as", env)
+            .fold(split)(as => split.withColumnRenamed("key", as))
+        case None =>
+          // reference form (esp_path_split.erl:39-53): one point per
+          // STRUCT-typed root field, the struct's fields becoming the new
+          // point; scalar roots are dropped; .include_as names the field
+          // carrying the old root name (default 'name', :24)
+          val as = optStr(n, "include_as", env).getOrElse("name")
+          val withName = optFlag(n, "include_name", env) ||
+            !n.options.contains("include_name") // default true
+          val structs = ctx.df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.StructType] => f.name
+          }
+          if (structs.isEmpty)
+            throw DfsError("path_split: no struct-valued root fields to split")
+          structs.map { r =>
+            val base = ctx.df.select(col(s"`$r`.*"))
+            if (withName) base.withColumn(as, lit(r)) else base
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }
     },
     "extract_path" -> bt(Set("paths", "as", "default")) { (ctx, n, env) =>
       val paths = optStrs(n, "paths", env)
@@ -662,9 +734,13 @@ object Planner {
       Set("period", "every", "fill_period", "align"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
-        val period = optDurMs(n, "period", env)
-          .getOrElse(throw DfsError("win_time: .period"))
-        val every = optDurMs(n, "every", env).getOrElse(period)
+        // each option defaults to the other (esp_win_time.erl:40 — period
+        // undefined → every; every has no own default beyond period)
+        val periodOpt = optDurMs(n, "period", env)
+        val everyOpt = optDurMs(n, "every", env)
+        val period = periodOpt.orElse(everyOpt)
+          .getOrElse(throw DfsError("win_time: .period or .every"))
+        val every = everyOpt.getOrElse(period)
         val fill = n.options.contains("fill_period")
         ctx.copy(win = Some(Win("time", period, every, fill)), io = Batch)
       }),
@@ -683,20 +759,25 @@ object Planner {
       Set("period", "every", "fill_period"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
-        if (ctx.keys.isEmpty)
-          throw DfsError("win_event needs group_by keys upstream")
-        val period = optNum(n, "period", env)
-          .getOrElse(throw DfsError("win_event: .period")).toLong
-        val every = optNum(n, "every", env).map(_.toLong).getOrElse(period)
+        def cnt(name: String): Option[Long] =
+          optVals(n, name, env).headOption.map {
+            case VNum(v, _) => v.toLong
+            case VLong(l) => l
+            // duration literal coerces to its ms count — some reference
+            // scripts write win_event().period(5s) (tcp_conveyor_track.dfs)
+            case VDur(ms, _) => ms
+            case v => throw DfsError(s"option '$name': expected count, got $v")
+          }
+        // every defaults to 4, period defaults to every
+        // (esp_win_event.erl:29 options, :35 init)
+        val every = cnt("every").getOrElse(4L)
+        val period = cnt("period").getOrElse(every)
         ctx.copy(win = Some(Win("count", period, every, fillPeriod = false)),
           io = Batch)
       }),
     "batch" -> NodeDef(Some(Both), Batch, Set("size", "timeout"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
-        if (ctx.keys.isEmpty)
-          throw DfsError("batch needs group_by keys upstream " +
-            "(streaming keyless form: graft.streaming.Streaming.countBatch)")
         val size = optNum(n, "size", env)
           .orElse(n.args.map(resolve(_, env.defs))
             .collectFirst { case VNum(v, _) => v; case VLong(l) => l.toDouble })
@@ -883,8 +964,14 @@ object Planner {
         col(ks.head) === col(ks(1)))
     },
     "change_detect" -> bt(Set("fields", "reset_timeout", "timeout")) { (ctx, n, env) =>
-      StateOps.changeDetect(ctx.df,
-        optStrs(n, "fields", env).map(col), keyCols(ctx), orderCols(ctx))
+      // no .fields = compare the whole point (esp_change_detect.erl:42
+      // fields default undefined): every column except the event-time pair
+      val fs = optStrs(n, "fields", env) match {
+        case Nil => ctx.df.columns.toSeq
+          .filterNot(c0 => c0 == ctx.ts || c0 == ctx.tsMs).map(col)
+        case some => some.map(Paths.ref)
+      }
+      StateOps.changeDetect(ctx.df, fs, keyCols(ctx), orderCols(ctx))
     },
     "value_diff" -> pt(Set("field", "fields", "as", "mode", "default")) { (ctx, n, env) =>
       val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)
@@ -925,14 +1012,29 @@ object Planner {
         val right = env.frames(rightRef)
         val keys = optStrs(n, "keys", env)
         val tol = optDurMs(n, "tolerance", env)
+        def resolvable(df: org.apache.spark.sql.DataFrame, p: String) =
+          try { df.select(Paths.ref(p)); true }
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
         optStr(n, "merge_field", env) match {
           case Some(mf) =>
             // combine_merge.dfs: enrich-then-merge the field instead of
-            // prefixing (numbers add / strings concat / structs deep-merge)
-            val joined = Joins.asOfLatest(ctx.df, right.df, keys,
-              ctx.tsMs, right.tsMs, Seq(mf), "_m_", tol)
-            ctx.copy(df = Joins.mergeValues(joined, mf, s"_m_$mf", mf)
-              .drop(s"_m_$mf", s"_m_${right.tsMs}"))
+            // prefixing (numbers add / strings concat / structs deep-merge).
+            // A side that does not carry the field is `undefined` in the
+            // reference — the merge degenerates to the other side's value
+            // (or a pass-through when neither side has it).
+            (resolvable(ctx.df, mf), resolvable(right.df, mf)) match {
+              case (true, true) =>
+                val joined = Joins.asOfLatest(ctx.df, right.df, keys,
+                  ctx.tsMs, right.tsMs, Seq(mf), "_m_", tol)
+                ctx.copy(df = Joins.mergeValues(joined, mf, s"_m_$mf", mf)
+                  .drop(s"_m_$mf", s"_m_${right.tsMs}"))
+              case (_, false) => ctx // nothing to merge in
+              case (false, true) =>
+                val joined = Joins.asOfLatest(ctx.df, right.df, keys,
+                  ctx.tsMs, right.tsMs, Seq(mf), "_m_", tol)
+                ctx.copy(df = Paths.set(joined, mf, col(s"`_m_$mf`"))
+                  .drop(s"_m_$mf", s"_m_${right.tsMs}"))
+            }
           case None =>
             val fields = optStrs(n, "fields", env) ++ optStrs(n, "tags", env)
             // prefix + delimiter compose the taken-field name
@@ -967,9 +1069,6 @@ object Planner {
           optStrs(n, "joined", env)).headOption
           .getOrElse(throw DfsError("join needs a stream reference: |join(other)"))
         val right = env.frames(rightRef)
-        if (ctx.keys.isEmpty)
-          throw DfsError("join needs group_by keys upstream " +
-            "(a keyless join is a single global timeline)")
         val tol = optDurMs(n, "tolerance", env).getOrElse(2000L) // ref default 2s
         // full=true (default): complete rows only (inner) — esp_join.erl:62,
         // 70; full=false or a .fill(value) → emit partials (outer).
@@ -1010,8 +1109,6 @@ object Planner {
           optStrs(n, "joined", env)
         if (refs.isEmpty)
           throw DfsError("join2 needs stream references: |join2(s1, s2)")
-        if (ctx.keys.isEmpty)
-          throw DfsError("join2 needs group_by keys upstream")
         val tol = optDurMs(n, "tolerance", env).getOrElse(2000L)
         val prefixes = optStrs(n, "prefix", env)
         val left0 =
@@ -1069,6 +1166,8 @@ object Planner {
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val f = optStr(n, "field", env)
+          .orElse(n.args.map(resolve(_, env.defs))
+            .collectFirst { case VStr(v) => v })
           .getOrElse(throw DfsError("collect_unique: .field"))
         val deduped = Joins.collectUnique(ctx.df,
           keyCols(ctx) :+ Paths.ref(f), orderCols(ctx))
@@ -1216,14 +1315,43 @@ object Planner {
       Set("timeout", "timeout_trigger", "cancel_trigger")) { (ctx, n, env) =>
       val to = optDurMs(n, "timeout", env)
         .getOrElse(throw DfsError("triggered_timeout: .timeout"))
-      val trig = (argLambdas(n, env) ++ optLambdas(n, "timeout_trigger", env))
+      // stream-ref args (timeout_test1.dfs `triggered_timeout(in2)`) are
+      // extra input streams, port-tagged so portless semantics survive
+      // the relational merge
+      val extraIn = n.args.collect { case VRef(r) => r }.filter(env.hasFrame)
+      val tagged = extraIn.nonEmpty
+      val base0 =
+        if (!tagged) ctx.df
+        else extraIn.foldLeft(ctx.df.withColumn("_port", lit(1))) {
+          (d, r) => d.unionByName(
+            env.frames(r).df.withColumn("_port", lit(2)),
+            allowMissingColumns = true)
+        }
+      val trigOpt = (argLambdas(n, env) ++
+        optLambdas(n, "timeout_trigger", env))
         .headOption.map(lambdaColumn(_, env.defs))
-        .getOrElse(throw DfsError("triggered_timeout: .timeout_trigger(lambda)"))
-      val cancel = optLambdas(n, "cancel_trigger", env).headOption
+      val cancelOpt = optLambdas(n, "cancel_trigger", env).headOption
         .map(lambdaColumn(_, env.defs))
-        .getOrElse(throw DfsError("triggered_timeout: .cancel_trigger(lambda)"))
-      StateOps.triggeredTimeout(ctx.df, trig, cancel, to, col(ctx.tsMs),
-        keyCols(ctx), orderCols(ctx))
+      // reference port/lambda matrix (esp_triggered_timeout.erl:82-101):
+      // with a trigger lambda, ANY row it rejects cancels the pending
+      // timer (the batch analog keeps an explicit .cancel_trigger as the
+      // cancel set when given — the oracle-pinned form); without a
+      // trigger, port-1 rows arm the timer and other-port rows (plus
+      // cancel_trigger hits) cancel it
+      val trig = trigOpt.getOrElse {
+        if (!tagged) throw DfsError(
+          "triggered_timeout: .timeout_trigger(lambda) or a second input")
+        col("_port") === 1
+      }
+      val cancel = (trigOpt, cancelOpt) match {
+        case (Some(_), Some(cl)) => cl
+        case (Some(t), None) => !t
+        case (None, Some(cl)) => cl || col("_port") =!= 1
+        case (None, None) => col("_port") =!= 1
+      }
+      val out = StateOps.triggeredTimeout(base0, trig, cancel, to,
+        col(ctx.tsMs), keyCols(ctx), orderCols(ctx))
+      if (tagged) out.drop("_port") else out
     },
 
     // ---- broker nodes over the loopback connector (§2.7) ----

@@ -115,6 +115,12 @@ object Lambdas {
     "str_starts_with" -> { a => strStartsWith(a(0), a(1)) },
     "str_reverse" -> { a => strReverse(a.head) },
     "str_length" -> { a => strLength(a.head) },
+    // str_slice(s, start[, len]) — Erlang string:slice, 0-based start,
+    // to-end when len is omitted (dev/path_split.dfs)
+    "str_slice" -> { a =>
+      if (a.size >= 3) a(0).substr(a(1).cast("int") + 1, a(2).cast("int"))
+      else a(0).substr(a(1).cast("int") + 1, length(a(0)))
+    },
     "str_downcase" -> { a => strDowncase(a.head) },
     "str_upcase" -> { a => strUpcase(a.head) },
     "str_trim" -> { a => strTrim(a.head) },

@@ -39,17 +39,24 @@ object Sources {
     * under an alias, mirroring the reference's `.as('data')`.
     */
   def jsonEmitterOrdered(spark: SparkSession, docs: Seq[String],
-      as: Option[String] = None): DataFrame = {
+      as: Option[String] = None, everyMs: Long = 1000L): DataFrame = {
     import spark.implicits._
     val schema = spark.read.json(docs.toDS()).schema
+    // `ts` mirrors the reference data_point.ts (epoch ms, paced by
+    // .every): lambdas read it as an integer ("ts" arithmetic); _seq stays
+    // the arrival-order key
+    val tsBase = 1577836800000L // 2020-01-01T00:00:00Z
     val base = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
       .toDF("_seq", "_doc")
+      .withColumn("ts", lit(tsBase) + col("_seq") * everyMs)
       .withColumn("_p", from_json(col("_doc"), schema, Map.empty[String, String]))
     as match {
       case Some(a) =>
         graft.core.Paths.set(base, a, col("_p")).drop("_doc", "_p")
       case None =>
-        base.select(col("_seq") +:
+        // a payload field literally named "ts" wins over the synthetic one
+        val tsCols = if (schema.fieldNames.contains("ts")) Nil else Seq(col("ts"))
+        base.select((col("_seq") +: tsCols) ++
           schema.fieldNames.toIndexedSeq.map(f => col("_p").getField(f).as(f)): _*)
     }
   }

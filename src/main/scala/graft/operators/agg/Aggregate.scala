@@ -118,9 +118,11 @@ object AggFunctions {
       order: Seq[Column],
       keys: Seq[Column],
       as: String): DataFrame = {
-    require(keys.nonEmpty,
-      "count_change requires stream keys (a keyless lag is a global sort)")
-    val w = Window.partitionBy(keys: _*).orderBy(order: _*)
+    // keyless = the reference's single-stream form (single ordered task —
+    // what the single-node reference pays); group_by is the scale switch
+    val w =
+      if (keys.isEmpty) Window.orderBy(order: _*)
+      else Window.partitionBy(keys: _*).orderBy(order: _*)
     val prev = lag(field, 1).over(w)
     df.withColumn(
       as,

@@ -33,7 +33,11 @@ object Joins {
       valueCols: Seq[String]): DataFrame = {
     val keyCols = keys.map(col)
     val lCols = left.columns.toSeq
-    val rStruct = struct(col(rightTsMs).as("_rts") +: valueCols.map(col): _*)
+    // value fields resolve through Paths.ref: deep paths work, and under
+    // the DFS lenient scope a field the right stream does not carry
+    // becomes NULL (faxe undefined-field semantics) instead of failing
+    val rStruct = struct(col(rightTsMs).as("_rts") +:
+      valueCols.map(c => graft.core.Paths.ref(c).as(c)): _*)
     val rType = right.select(rStruct).schema.head.dataType
 
     val lSide = left

@@ -41,7 +41,11 @@ object Restructure {
   def fieldsToArray(df: DataFrame, fields: Seq[String], as: String): DataFrame =
     df.withColumn(
       as,
-      array(fields.map(f => struct(lit(f).as("name"), col(f).as("value"))): _*))
+      // names carry *-escapes back-replaced to dots, values resolve as
+      // paths (esp_fields_to_array.erl:60; dfs/test/http_post.dfs flat
+      // 'SHx*OpHrRet' keys)
+      array(fields.map(f => struct(lit(f.replace('*', '.')).as("name"),
+        graft.core.Paths.ref(f).as("value"))): _*))
 
   /** Relational (exploded) form of fields_to_array: one row per field. */
   def fieldsToRows(df: DataFrame, fields: Seq[String], keep: Seq[String]): DataFrame =

@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object StateOps {
 
-  private def spec(keys: Seq[Column], order: Seq[Column]): WindowSpec = {
-    // Stream keys are mandatory (faxe's group_by key): a keyless lag chain
-    // would be a global single-task sort — dead at scale. Keyless streams
-    // must pass an explicit constant key and accept the cost.
-    require(keys.nonEmpty,
-      "StateOps require stream keys (a keyless ordered scan is a global sort)")
-    Window.partitionBy(keys: _*).orderBy(order: _*)
-  }
+  private def spec(keys: Seq[Column], order: Seq[Column]): WindowSpec =
+    // Keyless = the reference's single-stream semantics (one node instance
+    // owns one totally-ordered stream): plans a single ordered task — the
+    // same serial cost the single-node reference pays, correct for
+    // verbatim-script parity. At scale a keyless lag chain is a global
+    // sort: `group_by` is the 100 TB switch (SCALE.md), and every
+    // registered oracle query stays keyed (PlanLintSpec rejects
+    // unpartitioned WindowExec there).
+    if (keys.isEmpty) Window.orderBy(order: _*)
+    else Window.partitionBy(keys: _*).orderBy(order: _*)
 
   /** `change_detect` — pass rows whose monitored fields differ from the
     * previous row (ref: esp_change_detect.erl:41-196). First row passes.

@@ -135,9 +135,14 @@ object Windows {
       order: Seq[Column],
       keys: Seq[Column],
       aggs: Seq[Column]): DataFrame = {
-    require(keys.nonEmpty, "countSlidingAgg requires stream keys")
-    val w = W.partitionBy(keys: _*).orderBy(order: _*)
-    val numbered = df.withColumn("_rn", row_number().over(w))
+    // keyless: the scalable two-pass global numbering (same as tumbling)
+    val numbered =
+      if (keys.isEmpty)
+        graft.operators.stateless.GlobalOrder.rowNumber(df, order, "_rn")
+      else {
+        val w = W.partitionBy(keys: _*).orderBy(order: _*)
+        df.withColumn("_rn", row_number().over(w))
+      }
     // emission k covers rows (k*every - period, k*every]; row rn belongs to
     // ks in [ceil(rn/every), floor((rn - 1 + period)/every)]
     val kFirst = ceil(col("_rn") / every).cast("long")

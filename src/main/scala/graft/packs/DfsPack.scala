@@ -54,7 +54,7 @@ object DfsPack extends QueryPack {
       (s, dir) => DfsEngine.runSingle(
         """|parquet_read(.table('events'))
           #|group_by('user_id')
-          #|win_event(.period(10))
+          #|win_event(.period(10).every(10))
           #|aggregate(.fields('value','value').functions('count','max').as('n','vmax'))
           #""".stripMargin('#'), s, dir),
       Some("""SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_id,
@@ -418,7 +418,7 @@ object DfsPack extends QueryPack {
         """#|json_emitter('{"k": "a", "v": 1}', '{"k": "b", "v": 2}', '{"k": "a", "v": 5}')
            #|eval(lambda: "v" * 10).as('v10')
            #""".stripMargin('#'), s, dir),
-      Some("""SELECT * FROM (VALUES
+      Some("""SELECT *, 1577836800000 + _seq * 1000 AS ts FROM (VALUES
              |  (CAST(0 AS BIGINT), 'a', CAST(1 AS BIGINT), CAST(10 AS BIGINT)),
              |  (CAST(1 AS BIGINT), 'b', CAST(2 AS BIGINT), CAST(20 AS BIGINT)),
              |  (CAST(2 AS BIGINT), 'a', CAST(5 AS BIGINT), CAST(50 AS BIGINT)))

@@ -427,8 +427,9 @@ class DfsSpec extends AnyFunSuite {
         #|join(.tolerance(1h))
         #""".stripMargin('#'), spark, sf))
     assert(e1.msg.contains("stream reference"))
-    // keyless join rejected
-    val e2 = intercept[Ir.DfsError](DfsEngine.runSingle(
+    // keyless join = the reference's single global timeline (one node
+    // instance owns one stream): runs, enriching on time alone
+    val keyless = DfsEngine.runSingle(
       """def other =
         #|parquet_read(.table('events'))
         #
@@ -437,8 +438,8 @@ class DfsSpec extends AnyFunSuite {
         #
         #base
         #|join(other).tolerance(1h)
-        #""".stripMargin('#'), spark, sf))
-    assert(e2.msg.contains("group_by"))
+        #""".stripMargin('#'), spark, sf)
+    assert(keyless.count() > 0)
   }
 
   test("fan-out: named chain feeds union and combine") {

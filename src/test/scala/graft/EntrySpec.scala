@@ -35,8 +35,11 @@ class EntrySpec extends AnyFunSuite {
     assert(set.select(Paths.ref("nest.inner.w")).head().getInt(0) == 7)
     val del = Paths.delete(set, "nest.inner.v")
     assert(!Paths.has(del, "nest.inner.v") && Paths.has(del, "nest.inner.w"))
-    // '*' separator variant (array_explode.dfs:6)
-    assert(df.select(Paths.ref("nest*inner*v")).head().getLong(0) == 5L)
+    // '*' escapes a literal dot inside ONE key (esp_fields_to_array.erl:60
+    // back-replaces * with dots; http_post.dfs 'SHx*OpHrRet' addresses the
+    // flat JSON key "SHx.OpHrRet") — NOT an alternate separator
+    val flat = df.withColumn("nest.inner.v", lit(7L))
+    assert(flat.select(Paths.ref("nest*inner*v")).head().getLong(0) == 7L)
   }
 
   test("events table normalizes ns timestamps") {
