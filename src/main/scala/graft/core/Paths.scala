@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions
   * (`/root/reference/apps/faxe/test/flowdata_tests.erl:26-88`):
   *   - dot-separated segments: `a.b.c`
   *   - `[n]` array indexing, 1-based (jsn semantics): `this[2].is.my.paths[2].id`
-  *   - `*` accepted as an alternate separator (`dfs/array_explode.dfs:6`)
+  *   - `*` escapes a literal dot inside one key (`esp_fields_to_array.erl:60`;
+  *     `dfs/test/http_post.dfs` flat `SHx.OpHrRet` keys)
   *
   * Reads compile to `getField`/`element_at` chains; deep writes use
   * `Column.withField` / `dropFields` (no UDFs, fully codegen-able).
@@ -78,34 +79,94 @@ object Paths {
     */
   def set(df: DataFrame, path: String, value: Column): DataFrame = {
     val segs = parse(path)
-    require(segs.forall(_.idx.isEmpty), s"cannot write to array element: $path")
+    require(segs.head.idx.isEmpty, s"cannot write to an array-element root: $path")
     if (segs.size == 1) df.withColumn(segs.head.name, value)
     else {
       val root = segs.head.name
-      val rest = segs.tail.map(_.name)
-      if (df.columns.contains(root))
-        df.withColumn(root,
-          functions.col(root).withField(rest.mkString("."), value))
-      else {
-        // build the nested struct bottom-up from the new value
-        val nested = rest.foldRight(value)((name, inner) =>
-          functions.struct(inner.as(name)))
-        df.withColumn(root, nested)
-      }
+      if (df.columns.contains(root)) {
+        if (segs.tail.forall(_.idx.isEmpty))
+          df.withColumn(root, functions.col(s"`$root`")
+            .withField(segs.tail.map(_.name).mkString("."), value))
+        else
+          // an [n] segment mid-path writes INSIDE an array element
+          // (json_test.dfs 'data.mt[1].ccRdy'): rebuild the array with
+          // `transform`, rewriting only the addressed element — columnar,
+          // no UDF, the rest of the array unchanged
+          df.withColumn(root,
+            updated(functions.col(s"`$root`"), segs.tail, value))
+      } else
+        // build the nested value bottom-up; an indexed segment becomes an
+        // n-slot array with the value in slot n (jsn list creation)
+        df.withColumn(root, fresh(segs.tail, value))
     }
   }
+
+  private def fresh(segs: Seq[Seg], value: Column): Column =
+    segs.foldRight(value) { (seg, inner) =>
+      val v = seg.idx match {
+        case Some(i) => functions.array(
+          (Seq.fill(i - 1)(functions.lit(null)) :+ inner): _*)
+        case None => inner
+      }
+      functions.struct(v.as(seg.name))
+    }
+
+  private def updated(parent: Column, segs: Seq[Seg], value: Column): Column =
+    segs match {
+      case Seq() => value
+      case Seg(name, None) +: rest =>
+        if (rest.isEmpty) parent.withField(s"`$name`", value)
+        else parent.withField(s"`$name`",
+          updated(parent.getField(name), rest, value))
+      case Seg(name, Some(i)) +: rest =>
+        // every element takes the new FIELD (schemas must agree across
+        // the array) but only element i carries the value — null ≈ the
+        // reference's absent key on the untouched elements
+        parent.withField(s"`$name`",
+          functions.transform(parent.getField(name), (x, j) =>
+            if (rest.isEmpty)
+              functions.when(j === i - 1, value).otherwise(x)
+            else updated(x, rest, functions.when(j === i - 1, value))))
+    }
 
   /** Deep delete of the field at `path`. */
   def delete(df: DataFrame, path: String): DataFrame = {
     val segs = parse(path)
     require(segs.forall(_.idx.isEmpty), s"cannot delete array element: $path")
-    if (segs.size == 1) df.drop(segs.head.name)
-    else {
-      val root = segs.head.name
-      val rest = segs.tail.map(_.name).mkString(".")
-      df.withColumn(root, functions.col(root).dropFields(rest))
+    deleteSegs(df, segs)
+  }
+
+  private def deleteSegs(df: DataFrame, segs: Seq[Seg]): DataFrame = {
+    if (segs.size == 1) return df.drop(segs.head.name)
+    // deleting a struct's LAST field would leave an empty struct — not
+    // representable in Spark's type system — so the parent goes with it
+    // (the reference keeps an empty map; the nearest relational analog,
+    // jpath.dfs `delete .fields('var.val2')` where val2 is var's only key)
+    typeAt(df.schema, segs.init) match {
+      case Some(st: org.apache.spark.sql.types.StructType)
+          if st.fields.length == 1 && st.fields.head.name == segs.last.name =>
+        deleteSegs(df, segs.init)
+      case _ =>
+        val root = segs.head.name
+        val rest = segs.tail.map(s => s"`${s.name}`").mkString(".")
+        df.withColumn(root, functions.col(s"`$root`").dropFields(rest))
     }
   }
+
+  private def typeAt(schema: org.apache.spark.sql.types.StructType,
+      segs: Seq[Seg]): Option[org.apache.spark.sql.types.DataType] =
+    segs.foldLeft(
+      Option(schema: org.apache.spark.sql.types.DataType)) { (t, seg) =>
+      t.flatMap {
+        case st: org.apache.spark.sql.types.StructType =>
+          st.fields.find(_.name == seg.name).map(_.dataType).map {
+            case at: org.apache.spark.sql.types.ArrayType
+                if seg.idx.isDefined => at.elementType
+            case dt => dt
+          }
+        case _ => None
+      }
+    }
 
   /** Whether the path resolves against the DataFrame's schema. */
   def has(df: DataFrame, path: String): Boolean =

@@ -57,9 +57,16 @@ object DfsEngine {
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if Option(e.getCondition).exists(_.startsWith("UNRESOLVED_COLUMN")) =>
-            val obj = Option(e.getMessageParameters.get("objectName")).getOrElse("")
-            val root = obj.stripPrefix("`").takeWhile(_ != '`')
-            if (root.isEmpty || !graft.core.Paths.addLenientMissing(root))
+            // objectName may render a dotted literal key as multiple
+            // quoted parts (`SHx`.`OpDstRet` for the flat key
+            // "SHx.OpDstRet") — try the full joined name first, the first
+            // segment second
+            val full = Option(e.getMessageParameters.get("objectName"))
+              .getOrElse("").replace("`", "")
+            val root = full.takeWhile(_ != '.')
+            if (full.isEmpty ||
+                (!graft.core.Paths.addLenientMissing(full) &&
+                  (root == full || !graft.core.Paths.addLenientMissing(root))))
               throw e
           // a deep path whose root is a scalar ("val.val" where val is a
           // BIGINT) is equally `undefined` in the reference — null the
@@ -113,7 +120,7 @@ object DfsEngine {
   private def foldDefs(defs: Map[String, Ir.Value],
       spark: SparkSession): Map[String, Ir.Value] =
     defs.map {
-      case (name, Ir.VLambda(e)) =>
+      case (name, Ir.VEager(e)) =>
         def eval(): Any = spark.range(1)
           .select(Planner.lambdaColumn(e, defs).as("v")).head.get(0)
         val v =

@@ -28,6 +28,8 @@ object Ir {
   final case class VBool(v: Boolean) extends Value
   final case class VDur(ms: Long, raw: String) extends Value
   final case class VLambda(e: LExpr) extends Value
+  /** `e:` def — evaluated eagerly at plan time (deploy-time constant). */
+  final case class VEager(e: LExpr) extends Value
   final case class VRef(name: String) extends Value
 
   /** One `|node(args).opt(vals)…` element. A `||name(...)` element is a

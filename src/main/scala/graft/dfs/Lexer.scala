@@ -29,6 +29,7 @@ object Lexer {
   final case class Dur(ms: Long, raw: String) extends Tok
   final case class Op(s: String) extends Tok
   case object LambdaKw extends Tok
+  case object EagerKw extends Tok
 
   private val durUnits = Map(
     "ms" -> 1L, "s" -> 1000L, "m" -> 60000L, "h" -> 3600000L,
@@ -103,8 +104,11 @@ object Lexer {
         // `lambda:` introduces a lambda; `e:` an eagerly-evaluated
         // expression def (dfs/test/env.dfs:1) — same expression grammar,
         // the def is constant-folded at plan time
-        if ((word == "lambda" || word == "e") && peek() == ':') {
+        if (word == "lambda" && peek() == ':') {
           out += LambdaKw; i += 1
+        }
+        else if (word == "e" && peek() == ':') {
+          out += EagerKw; i += 1
         }
         else if (word == "AND" || word == "OR") out += Op(word)
         else out += Ident(word)

@@ -53,10 +53,17 @@ object Parser {
               named += name -> chain(Some(ref))
             }
             else if (peek().contains(LambdaKw)) {
-              // `def x = e: <expr>` (or lambda:) — an expression def,
-              // constant-folded by the engine before planning
+              // `def x = lambda: <expr>` — a lambda VALUE: substitutes
+              // into node options as a lambda (template_test.dfs
+              // eval(rewrite_fun)), never folded
               next()
               defs += name -> VLambda(orExpr())
+            }
+            else if (peek().contains(EagerKw)) {
+              // `def x = e: <expr>` — an expression def, constant-folded
+              // by the engine before planning (dfs/test/env.dfs)
+              next()
+              defs += name -> VEager(orExpr())
             }
             else defs += name -> literal()
           case Some(Ident(a)) if a.startsWith("@") && peek(1).contains(LParen) =>
@@ -131,7 +138,7 @@ object Parser {
       * prefix), or a literal.
       */
     private def arg(): Value = peek() match {
-      case Some(LambdaKw) => next(); VLambda(orExpr())
+      case Some(LambdaKw) | Some(EagerKw) => next(); VLambda(orExpr())
       case Some(Ident(_)) if peek(1).contains(LParen) => VLambda(orExpr())
       case _ => literal()
     }

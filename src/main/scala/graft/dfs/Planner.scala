@@ -145,7 +145,9 @@ object Planner {
     // membership against a stored list column (mem_test.dfs
     // member("f", ls_mem_list(key))) — array containment, not isin
     case LCall("member", Seq(x, l @ LCall("ls_mem" | "ls_mem_list", _))) =>
-      array_contains(lambdaColumn(l, defs), lambdaColumn(x, defs))
+      array_contains(
+        transform(lambdaColumn(l, defs), e => e.cast("string")),
+        lambdaColumn(x, defs).cast("string"))
     case LCall("member", x +: rest) if rest.nonEmpty =>
       val elems = rest.flatMap {
         case LCall("__list__", es) => es
@@ -268,11 +270,14 @@ object Planner {
   private def optFlag(n: NodeSpec, name: String, env: Env): Boolean =
     n.options.contains(name) && !optStr(n, name, env).contains("false")
 
+  // def-held lambdas resolve through the ref (template_test.dfs
+  // `def rewrite_fun = lambda: …` then `eval(rewrite_fun)`)
   private def optLambdas(n: NodeSpec, name: String, env: Env): Seq[LExpr] =
-    optVals(n, name, env).collect { case VLambda(e) => e }
+    optVals(n, name, env).map(resolve(_, env.defs))
+      .collect { case VLambda(e) => e }
 
   private def argLambdas(n: NodeSpec, env: Env): Seq[LExpr] =
-    n.args.collect { case VLambda(e) => e }
+    n.args.map(resolve(_, env.defs)).collect { case VLambda(e) => e }
 
   private def argStrs(n: NodeSpec, env: Env): Seq[String] =
     n.args.map(resolve(_, env.defs)).collect { case VStr(s) => s }
@@ -913,8 +918,8 @@ object Planner {
           graft.operators.join.Joins.collectUpsert(ctx.df, keys, ctx.tsMs,
             lambdaColumn(a, env.defs), lambdaColumn(r, env.defs))
         case _ =>
-          graft.operators.join.Joins.collectLatest(ctx.df, keys.map(col),
-            orderCols(ctx))
+          graft.operators.join.Joins.collectLatest(ctx.df,
+            keys.map(Paths.ref), orderCols(ctx))
       }
     },
     // reference option names: .states (lambda list), .within (per-step
@@ -1281,6 +1286,10 @@ object Planner {
           val stype = ctx.df.select(Paths.ref(path).as("_s"))
             .schema.head.dataType match {
               case st: org.apache.spark.sql.types.StructType => st
+              // a lenient-nulled path (the stream doesn't carry it): zero
+              // fields to scan, zero emissions — like the reference
+              case _: org.apache.spark.sql.types.NullType =>
+                org.apache.spark.sql.types.StructType(Nil)
               case other => throw DfsError(
                 s"state_change_bulk: '$path' is $other, not a struct")
             }
@@ -1293,7 +1302,7 @@ object Planner {
                     org.apache.spark.sql.types.MapType] => f.name
             }
             .filterNot(s0 => excl.contains(s"$path.$s0"))
-          if (subs.isEmpty)
+          if (subs.isEmpty && stype.fields.nonEmpty)
             throw DfsError(s"state_change_bulk: no subfields under '$path'")
           subs.map(s0 => s0 -> (Paths.ref(s"$path.$s0") === sv))
         case None =>
@@ -1304,7 +1313,8 @@ object Planner {
               "state_change_bulk: .as arity must match lambda count")
           names.zip(lambdas)
       }
-      StateOps.stateChangeBulk(ctx.df, states, keyCols(ctx), orderCols(ctx))
+      if (states.isEmpty) ctx.df.filter(lit(false))
+      else StateOps.stateChangeBulk(ctx.df, states, keyCols(ctx), orderCols(ctx))
     },
 
     // triggered_timeout — emit trigger rows not followed by a cancel within
@@ -1760,12 +1770,17 @@ object Planner {
       (_, n, env) => {
         val ip = optStr(n, "ip", env).getOrElse("0.0.0.0")
         val port = optNum(n, "port", env).map(_.toLong).getOrElse(502L)
-        val fs = optVals(n, "function", env)
+        // function may be positional (win_time_test.dfs `modbus('hregs')`);
+        // the same-length rule applies only across the lists actually
+        // given — an omitted count/from defaults per-read, like the
+        // reference's same_length skipping undefined options
+        val fs = optVals(n, "function", env) ++
+          n.args.map(resolve(_, env.defs)).collect { case VStr(v) => VStr(v) }
         val froms = optVals(n, "from", env)
         val counts = optVals(n, "count", env)
         val as = optVals(n, "as", env)
-        if (Seq(froms, counts, as).exists(l =>
-            l.nonEmpty && l.size != fs.size))
+        val given = Seq(fs, froms, counts, as).filter(_.nonEmpty)
+        if (given.map(_.size).distinct.size > 1)
           throw DfsError(s"${n.name}: function/from/count/as same length")
         val df = graft.sources.Loopback.subscribe(env.spark,
           s"modbus:$ip:$port")
@@ -1858,7 +1873,8 @@ object Planner {
         val base =
           if (ctx.df.columns.contains("payload")) ctx.df
           else ctx.df.withColumn("payload",
-            to_json(struct(ctx.df.columns.toIndexedSeq.map(col): _*)))
+            to_json(struct(ctx.df.columns.toIndexedSeq
+              .map(c0 => col(s"`$c0`")): _*)))
         base.withColumn("topic", c0.cast("string"))
       case None =>
         if (topic.isEmpty)
@@ -1994,14 +2010,14 @@ object Planner {
     val ccSpecs = specs.filter(_.func == "count_change")
     val prepped = ccSpecs.zipWithIndex.foldLeft(ctx) { case (c, (s, i)) =>
       c.copy(df = graft.operators.agg.AggFunctions.countChangePrep(
-        c.df, col(s.field), orderCols(c), keyCols(c), s"_cc$i"))
+        c.df, Paths.ref(s.field), orderCols(c), keyCols(c), s"_cc$i"))
     }
     val aggs = specs.map { s =>
       if (s.func == "count_change")
         sum(col(s"_cc${ccSpecs.indexOf(s)}")).as(s.as)
       else
         graft.operators.agg.AggFunctions
-          .column(s.func, col(s.field), col(ctx.tsMs), approx).as(s.as)
+          .column(s.func, Paths.ref(s.field), col(ctx.tsMs), approx).as(s.as)
     }
     groupedAgg(prepped, aggs)
   }

@@ -52,7 +52,7 @@ object Joins {
         lCols.filterNot(keys.contains).map(col): _*)
     val rAligned = lCols.filterNot(keys.contains).foldLeft(rSide) { (d, c) =>
       d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select(lAligned.columns.toIndexedSeq.map(col): _*)
+    }.select(lAligned.columns.toIndexedSeq.map(c => col(s"`$c`")): _*)
     lAligned.unionByName(rAligned)
   }
 
@@ -236,13 +236,20 @@ object Joins {
       orderMs: String,
       add: Column,
       remove: Column): DataFrame = {
-    val rm = df.filter(remove).groupBy(keys.map(col): _*)
+    // keys may be deep paths (collect.dfs 'data.code.id'): materialize
+    // them as flat join columns, restore the original shape at the end
+    val ck = keys.indices.map(i => s"_ck$i")
+    val keyed = keys.zip(ck).foldLeft(df) { case (d, (k, c)) =>
+      d.withColumn(c, graft.core.Paths.ref(k))
+    }
+    val rm = keyed.filter(remove).groupBy(ck.map(col): _*)
       .agg(max(col(orderMs)).as("_rm_ms"))
-    val live = df.filter(add)
-      .join(rm, keys, "left")
+    val live = keyed.filter(add)
+      .join(rm, ck, "left")
       .filter(col("_rm_ms").isNull || col(orderMs) > col("_rm_ms"))
       .drop("_rm_ms")
-    collectLatest(live, keys.map(col), Seq(col(orderMs)))
+    collectLatest(live, ck.map(col), Seq(col(orderMs)))
+      .drop(ck: _*)
   }
 
   /** `collect_fields` — latest value of `value` per (key, field discriminant)

@@ -43,7 +43,8 @@ object Skew {
       s"saltedJoin: '$joinType' would duplicate unmatched replicated dim " +
         "rows — only inner/left/left_semi are salt-safe")
     val s = skewed.withColumn("_salt",
-      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)),
+      pmod(xxhash64(struct(skewed.columns.toIndexedSeq
+        .map(c => col(s"`$c`")): _*)),
         lit(salts)).cast("int"))
     val d = dim.withColumn("_salt",
       explode(array((0 until salts).map(lit(_)): _*)))

@@ -64,7 +64,7 @@ object Loopback {
       else lit(null).cast("string")
     val payloadCol = if (cols.contains("payload"))
       col("payload").cast("string")
-    else to_json(struct(df.columns.toIndexedSeq.map(col): _*))
+    else to_json(struct(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*))
     val tsCol = if (cols.contains("ts_ms")) col("ts_ms").cast("long")
       else lit(0L)
     df.select(lit(0L).as("offset"), tsCol.as("ts_ms"),

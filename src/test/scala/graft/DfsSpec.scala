@@ -322,6 +322,44 @@ class DfsSpec extends AnyFunSuite {
     assert(failures.map(_._1).toSet == expectedRejects)
   }
 
+  test("EVERY reference dfs script PLANS end-to-end (12 env-dependent rejects)") {
+    // run-level parity: beyond compiling, each script must survive
+    // DfsEngine.run (full planning — lenient field resolution, option
+    // defaults, source wiring). The only allowed failures are
+    // environment-dependent: scripts needing an unregistered user
+    // component class (the reference equally needs the python class), a
+    // foreign DB table absent from the corpus, or a JDBC driver not in
+    // the sandbox.
+    val envDependent = Set(
+      "dev/python2.dfs", "dev/python_double.dfs", "dev/python_time.dfs",
+      "other/python1.dfs", "other/python2.dfs", "other/python3.dfs",
+      "other/python4.dfs", "other/shift.dfs", "other/lambda_test.dfs",
+      "other/oracle_query_test.dfs", "other/pg_query.dfs", "test/mongo.dfs")
+    val dir = new java.io.File("/root/reference/dfs")
+    assume(dir.isDirectory, "reference tree not present")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".dfs")) Seq(f) else Nil
+    val failures = walk(dir).sortBy(_.getPath).flatMap { f =>
+      val name = f.getPath.stripPrefix(dir.getPath + "/")
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val body = try src.mkString finally src.close()
+      val compiles = try { DfsEngine.compile(body); true }
+        catch { case _: Exception => false }
+      if (!compiles) None // compile coverage is the verbatim test's job
+      else
+        try { DfsEngine.run(body, spark, sf); None }
+        catch { case e: Throwable =>
+          Some(name -> s"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").take(120)}")
+        }
+    }
+    val unexpected = failures.filterNot { case (n, _) => envDependent(n) }
+    assert(unexpected.isEmpty,
+      unexpected.map { case (n, m) => s"$n: $m" }.mkString("\n"))
+    assert(failures.map(_._1).toSet == envDependent)
+  }
+
   test("round-6 reference scripts execute end-to-end") {
     def run(name: String) = {
       val src = scala.io.Source.fromFile(
