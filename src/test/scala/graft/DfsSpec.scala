@@ -396,6 +396,20 @@ class DfsSpec extends AnyFunSuite {
     assert(scb.count() == 3)
     // shift2.dfs: negative duration shifts event time into the past
     assert(run("other/shift2")("vals").count() > 0)
+    // faxe_http.dfs: a brokered script executes once its endpoint topic
+    // has traffic — seed the listen endpoint (port 8899, /faxe_stats),
+    // the http_listen chain receives exactly the seeded messages
+    graft.sources.LoopbackBus.publish(
+      "http:8899:/faxe_stats", null, """{"mem": 12, "procs": 3}""")
+    graft.sources.LoopbackBus.publish(
+      "http:8899:/faxe_stats", null, """{"mem": 14, "procs": 4}""")
+    val fh = run("test/faxe_http")
+    assert(fh("chain_1").count() == 2)
+    // tcp_robot_plc.dfs: same for the socket endpoint (1122)
+    graft.sources.LoopbackBus.publish(
+      "tcp:127.0.0.1:1122", null, "robot frame payload")
+    val tr = run("other/tcp_robot_plc")
+    assert(tr.values.map(_.count()).sum > 0)
   }
 
   test("runnable reference scripts execute end-to-end") {
