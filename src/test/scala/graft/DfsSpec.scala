@@ -360,6 +360,39 @@ class DfsSpec extends AnyFunSuite {
     assert(failures.map(_._1).toSet == envDependent)
   }
 
+  test("DFS streaming window aggregation matches the batch plan") {
+    // the SAME script body planned onto a file stream (parquet_stream)
+    // and onto a batch scan (parquet_read) must agree — streaming emits
+    // every window the final watermark passed, i.e. all but the
+    // still-open tail window per key
+    def body(src: String) =
+      s"""#|$src(.table('events'))
+         #|where(lambda: "value" > 45)
+         #|group_by('user_id')
+         #|win_time(.period(1d))
+         #|aggregate(.fields('value','value').functions('count','max').as('n','vmax'))
+         #""".stripMargin('#')
+    val sdf = DfsEngine.runSingle(body("parquet_stream"), spark, sf)
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("dfs_stream_win")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dfs_stream_win")
+      .select("user_id", "window_start_ms", "n", "vmax")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val batch = DfsEngine.runSingle(body("parquet_read"), spark, sf)
+    val maxTs = graft.core.Tables.events(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("ts_ms")).head.getLong(0)
+    val expected = batch.filter(col("window_end_ms") <= maxTs)
+      .select("user_id", "window_start_ms", "n", "vmax")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("round-6 reference scripts execute end-to-end") {
     def run(name: String) = {
       val src = scala.io.Source.fromFile(
