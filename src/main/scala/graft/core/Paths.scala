@@ -57,6 +57,14 @@ object Paths {
   def addLenientMissing(root: String): Boolean =
     Option(lenientMissing.get).exists(_.add(root))
 
+  /** Un-record a root after the failing plan step succeeded — a name one
+    * node's stream lacks may exist perfectly well in a later node or a
+    * sibling chain (the planned frame keeps its baked-in NULLs; only the
+    * RESOLUTION default reverts to strict).
+    */
+  def removeLenientMissing(root: String): Unit =
+    Option(lenientMissing.get).foreach(_.remove(root))
+
   private def knownMissing(root: String): Boolean =
     Option(lenientMissing.get).exists(_.contains(root))
 
@@ -93,7 +101,8 @@ object Paths {
           // `transform`, rewriting only the addressed element — columnar,
           // no UDF, the rest of the array unchanged
           df.withColumn(root,
-            updated(functions.col(s"`$root`"), segs.tail, value))
+            updated(functions.col(s"`$root`"), df.schema(root).dataType,
+              segs.tail, value, None))
       } else
         // build the nested value bottom-up; an indexed segment becomes an
         // n-slot array with the value in slot n (jsn list creation)
@@ -111,22 +120,51 @@ object Paths {
       functions.struct(v.as(seg.name))
     }
 
-  private def updated(parent: Column, segs: Seq[Seg], value: Column): Column =
+  private def fieldTypeOf(t: org.apache.spark.sql.types.DataType,
+      name: String): Option[org.apache.spark.sql.types.DataType] = t match {
+    case st: org.apache.spark.sql.types.StructType =>
+      st.fields.find(_.name == name).map(_.dataType)
+    case _ => None
+  }
+
+  /** Deep write with array-index support. `guard` carries the accumulated
+    * element-index conditions: inside a `transform` every element must
+    * take the same SCHEMA (the new field appears everywhere), but only
+    * the addressed element takes the VALUE — elements that already carry
+    * the field KEEP their existing value (schema threads through `pt` to
+    * know which), and elements that never had it get NULL ≈ the
+    * reference's absent key.
+    */
+  private def updated(parent: Column,
+      pt: org.apache.spark.sql.types.DataType, segs: Seq[Seg],
+      value: Column, guard: Option[Column]): Column =
     segs match {
       case Seq() => value
+      case Seq(Seg(name, None)) =>
+        val v = guard match {
+          case Some(g) if fieldTypeOf(pt, name).isDefined =>
+            functions.when(g, value).otherwise(parent.getField(name))
+          case Some(g) => functions.when(g, value)
+          case None => value
+        }
+        parent.withField(s"`$name`", v)
       case Seg(name, None) +: rest =>
-        if (rest.isEmpty) parent.withField(s"`$name`", value)
-        else parent.withField(s"`$name`",
-          updated(parent.getField(name), rest, value))
-      case Seg(name, Some(i)) +: rest =>
-        // every element takes the new FIELD (schemas must agree across
-        // the array) but only element i carries the value — null ≈ the
-        // reference's absent key on the untouched elements
         parent.withField(s"`$name`",
-          functions.transform(parent.getField(name), (x, j) =>
-            if (rest.isEmpty)
-              functions.when(j === i - 1, value).otherwise(x)
-            else updated(x, rest, functions.when(j === i - 1, value))))
+          updated(parent.getField(name),
+            fieldTypeOf(pt, name)
+              .getOrElse(org.apache.spark.sql.types.NullType),
+            rest, value, guard))
+      case Seg(name, Some(i)) +: rest =>
+        val elemT = fieldTypeOf(pt, name) match {
+          case Some(at: org.apache.spark.sql.types.ArrayType) => at.elementType
+          case _ => org.apache.spark.sql.types.NullType
+        }
+        parent.withField(s"`$name`",
+          functions.transform(parent.getField(name), (x, j) => {
+            val g = guard.map(_ && (j === i - 1)).getOrElse(j === i - 1)
+            if (rest.isEmpty) functions.when(g, value).otherwise(x)
+            else updated(x, elemT, rest, value, Some(g))
+          }))
     }
 
   /** Deep delete of the field at `path`. */

@@ -27,8 +27,16 @@ object DfsEngine {
     * the subplan). Returns the terminal DataFrame of each anonymous chain
     * as chain_1, chain_2, … plus named chains under their own names.
     */
-  def run(src: String, spark: SparkSession, dir: String): Map[String, DataFrame] = {
-    val script0 = compile(src)
+  def run(src: String, spark: SparkSession, dir: String): Map[String, DataFrame] =
+    run(compile(src), spark, dir)
+
+  /** Plan a pre-compiled script (one compile serves both the caller's
+    * chain inspection and the run — runSingle would otherwise compile
+    * twice, and a Macros registry change between the two compiles could
+    * desync chain numbering from the planned chains).
+    */
+  def run(script0: Script, spark: SparkSession,
+      dir: String): Map[String, DataFrame] = {
     val script = script0.copy(defs = foldDefs(script0.defs, spark))
     val memo = collection.mutable.Map.empty[String, Ctx]
 
@@ -52,6 +60,22 @@ object DfsEngine {
     // add a NEW missing root or the error rethrows.
     def planNode(nd: Planner.NodeDef, c: Option[Ctx], n: NodeSpec,
         env: Env): Ctx = {
+      // roots recorded missing are scoped to THIS node's retries: once it
+      // plans (nulls baked into its frame), the names revert to strict
+      // resolution — a field one stream lacks may exist in a later node
+      // or sibling chain and must not silently null there
+      val added = scala.collection.mutable.Set.empty[String]
+      def record(root: String): Boolean = {
+        val fresh = graft.core.Paths.addLenientMissing(root)
+        if (fresh) added += root
+        fresh
+      }
+      try planNodeLoop(nd, c, n, env, record)
+      finally added.foreach(graft.core.Paths.removeLenientMissing)
+    }
+
+    def planNodeLoop(nd: Planner.NodeDef, c: Option[Ctx], n: NodeSpec,
+        env: Env, record: String => Boolean): Ctx = {
       while (true) {
         try return nd.plan(c, n, env)
         catch {
@@ -65,8 +89,7 @@ object DfsEngine {
               .getOrElse("").replace("`", "")
             val root = full.takeWhile(_ != '.')
             if (full.isEmpty ||
-                (!graft.core.Paths.addLenientMissing(full) &&
-                  (root == full || !graft.core.Paths.addLenientMissing(root))))
+                (!record(full) && (root == full || !record(root))))
               throw e
           // a deep path whose root is a scalar ("val.val" where val is a
           // BIGINT) is equally `undefined` in the reference — null the
@@ -78,7 +101,7 @@ object DfsEngine {
             val root = base.stripPrefix("\"").takeWhile(_ != '"')
             if (root.isEmpty || !root.forall(ch => ch.isLetterOrDigit ||
                 ch == '_' || ch == '.') ||
-                !graft.core.Paths.addLenientMissing(root))
+                !record(root))
               throw e
         }
       }
@@ -165,7 +188,7 @@ object DfsEngine {
     */
   def runSingle(src: String, spark: SparkSession, dir: String): DataFrame = {
     val script = compile(src)
-    val all = run(src, spark, dir)
+    val all = run(script, spark, dir)
     (script.chains.size to 1 by -1).iterator
       .map(i => all.get(s"chain_$i")).collectFirst { case Some(df) => df }
       .getOrElse(throw Ir.DfsError("no runnable chain in script"))

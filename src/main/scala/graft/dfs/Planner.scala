@@ -1487,7 +1487,10 @@ object Planner {
     // predicate (io/MongoFilter.scala); the engine binding scans the
     // corpus table named by .collection, the mongo client itself is
     // deployment-side.
-    "mongo_query" -> NodeDef(None, Batch,
+    // emits Both: .result_type point|batch in the reference — the
+    // planned Ctx is point-shaped (ts set for events), so downstream
+    // windows and batch consumers both connect
+    "mongo_query" -> NodeDef(None, Both,
       Set("host", "port", "user", "pass", "database", "collection",
         "query", "as", "time_field", "every", "align"),
       (_, n, env) => {

@@ -34,6 +34,10 @@ object CrateQuery {
   }
 
   private def rangeJoin(rest: String): String =
+    // deliberately CASE-SENSITIVE: the reference's own detection is
+    // binary:match(Query, <<"WHERE">>) (esp_crate_query.erl:188-193,
+    // eunit-pinned) — a lowercase `where` double-appends there too;
+    // bug-for-bug parity keeps the rewrite string-identical
     if (rest.contains("WHERE")) " AND " else " WHERE "
 
   /** Reference-exact rewrite (esp_crate_query.erl:144-155; eunit
@@ -78,6 +82,21 @@ object CrateQuery {
 
   private val FromTable = "(?i)\\bfrom\\s+([A-Za-z_]\\w*)".r
 
+  /** The FROM-clause table: first `from <ident>` at paren depth 0 —
+    * a `from` inside parentheses (EXTRACT(epoch FROM ts), subqueries in
+    * expressions) is not the source table.
+    */
+  private def fromTable(query: String): Option[String] = {
+    var depth = 0
+    FromTable.findAllMatchIn(query).collectFirst {
+      case m if {
+        depth = query.take(m.start).count(_ == '(') -
+          query.take(m.start).count(_ == ')')
+        depth == 0
+      } => m.group(1)
+    }
+  }
+
   /** Run the node in batch form: derive the poll timeline from the data
     * bounds (the reference's setup_query behavior), then issue one
     * rewritten query per poll window and union the batches.
@@ -91,7 +110,7 @@ object CrateQuery {
   def runPolls(spark: SparkSession, dir: String, query: String,
       groupByTimeMs: Long, timeField: String, groupBys: Seq[String],
       periodMs: Long): DataFrame = {
-    val table = FromTable.findFirstMatchIn(query).map(_.group(1))
+    val table = fromTable(query)
       .getOrElse(throw new IllegalArgumentException(
         s"crate_query: no FROM table in '$query'"))
     val df =

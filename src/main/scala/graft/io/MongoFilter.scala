@@ -43,24 +43,32 @@ object MongoFilter {
     if (v.isObject && v.fieldNames().asScala.exists(_.startsWith("$")))
       v.properties().asScala.toSeq.map { e =>
         (e.getKey, e.getValue) match {
-          case ("$eq", x) => ref === litOf(x)
+          // null-safe =: {"f": null} matches null-or-absent in Mongo
+          case ("$eq", x) => ref <=> litOf(x)
           case ("$ne", x) => !(ref <=> litOf(x)) // mongo $ne matches null
           case ("$gt", x) => ref > litOf(x)
           case ("$gte", x) => ref >= litOf(x)
           case ("$lt", x) => ref < litOf(x)
           case ("$lte", x) => ref <= litOf(x)
           case ("$in", x) =>
-            ref.isin(x.elements().asScala.toSeq.map(rawOf): _*)
+            val vs = x.elements().asScala.toSeq.map(rawOf)
+            val base = ref.isin(vs.filter(_ != null): _*)
+            // a null element makes $in match null/absent fields too
+            if (vs.contains(null)) base || ref.isNull else base
           case ("$nin", x) =>
-            !ref.isin(x.elements().asScala.toSeq.map(rawOf): _*) ||
-              ref.isNull
+            val vs = x.elements().asScala.toSeq.map(rawOf)
+            val base = !ref.isin(vs.filter(_ != null): _*)
+            // $nin with a null element excludes null/absent fields;
+            // without one, null/absent fields DO match (not in the list)
+            if (vs.contains(null)) base && ref.isNotNull
+            else base || ref.isNull
           case ("$exists", x) =>
             if (x.asBoolean()) ref.isNotNull else ref.isNull
           case (op, _) =>
             throw new IllegalArgumentException(s"unsupported operator $op")
         }
       }.reduce(_ && _)
-    else ref === litOf(v)
+    else ref <=> litOf(v) // null-safe: {"f": null} = null-or-absent
   }
 
   private def rawOf(n: JsonNode): Any =

@@ -229,7 +229,12 @@ object Streaming {
         (_: K, it: Iterator[V], state: GroupState[Seq[(Long, Seq[Boolean])]]) =>
           var hist = state.getOption.getOrElse(Seq.empty)
           val out = ArrayBuffer.empty[V]
-          it.foreach { v =>
+          // the group iterator carries NO intra-batch order guarantee
+          // after the groupByKey shuffle (a multi-partition source can
+          // interleave a key's rows arbitrarily): order by event time
+          // before feeding the sequence FSM. Cross-batch late data is the
+          // watermark's business, as in any streaming state op.
+          it.toSeq.sortBy(tsFn).foreach { v =>
             val flags = preds.map(_(v))
             val ts = tsFn(v)
             if (hist.size >= n - 1) {

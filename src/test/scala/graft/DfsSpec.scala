@@ -360,6 +360,26 @@ class DfsSpec extends AnyFunSuite {
     assert(failures.map(_._1).toSet == envDependent)
   }
 
+  test("lenient missing-field roots do not leak across chains") {
+    // chain a references "value" on a stream that lacks it (→ NULL there);
+    // chain b's source genuinely HAS "value" — its filter must see the
+    // real data, not a leaked NULL literal
+    val frames = DfsEngine.run(
+      """def a =
+        #|json_emitter('{"x": 1}')
+        #|eval(lambda: "value" * 2).as('v2')
+        #
+        #def b =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "value" > 99)
+        #""".stripMargin('#'), spark, sf)
+    assert(frames("a").count() == 1)
+    val expected = graft.core.Tables.events(spark, sf)
+      .filter(col("value") > 99).count()
+    assert(expected > 0)
+    assert(frames("b").count() == expected)
+  }
+
   test("DFS streaming window aggregation matches the batch plan") {
     // the SAME script body planned onto a file stream (parquet_stream)
     // and onto a batch scan (parquet_read) must agree — streaming emits

@@ -40,6 +40,14 @@ class EntrySpec extends AnyFunSuite {
     // flat JSON key "SHx.OpHrRet") — NOT an alternate separator
     val flat = df.withColumn("nest.inner.v", lit(7L))
     assert(flat.select(Paths.ref("nest*inner*v")).head().getLong(0) == 7L)
+    // array-element write: ONLY the addressed element takes the value;
+    // siblings KEEP their existing field (not nulled by the rewrite)
+    val arr = df.withColumn("data", struct(array(
+      struct(lit(5L).as("ccRdy")), struct(lit(7L).as("ccRdy"))).as("mt")))
+    val w = Paths.set(arr, "data.mt[1].ccRdy", lit(9L))
+    val r = w.select(
+      Paths.ref("data.mt[1].ccRdy"), Paths.ref("data.mt[2].ccRdy")).head()
+    assert(r.getLong(0) == 9L && r.getLong(1) == 7L)
   }
 
   test("events table normalizes ns timestamps") {
