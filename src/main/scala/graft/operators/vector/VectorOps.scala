@@ -161,6 +161,112 @@ object VectorOps {
       .select(col("q_id"), col("rnk"), col(idCol), round(col("sim"), 6).as("sim"))
   }
 
+  // ---- embedding-cosine near-duplicates ----------------------------------
+
+  /** Banded sign-bit LSH near-duplicate pairs over an embedding column —
+    * the embedding-space analog of
+    * [[graft.operators.text.Dedup.nearDupPairs]]: random-hyperplane
+    * (SimHash-style) banding instead of MinHash banding, exact cosine
+    * instead of exact Jaccard as the verify metric.
+    *
+    * Each row gets `bands` bucket ids of `rowsPerBand` sign bits over the
+    * deterministic [[planes]] (plane j is the same array for every caller,
+    * so band b of a (bands = 2) run is IDENTICAL to band b of a
+    * (bands = 4) run — candidate sets nest and recall is monotone in
+    * `bands`). A pair sharing ANY band bucket becomes a candidate; exact
+    * cosine >= threshold verifies, so precision is exact and only recall
+    * is approximate: recall = 1 - (1 - p^r)^b with p = 1 - acos(sim)/pi
+    * (~0.95 at sim 0.9 under the 4x4 default). Cost grows linearly in
+    * `bands` — each band is one more shuffle-partitionable bucket
+    * equi-join, never all-pairs.
+    *
+    * Same 100 TB discipline as the text form: per-(band, bucket) cap
+    * applied BEFORE the self-join (rank by id, deterministic), vectors +
+    * norms materialized once and reused by banding and both verify sides.
+    */
+  def cosineDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      dim: Int = 64,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val ps = planes(bands * rowsPerBand, dim)
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", norm(col("_v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one materialized projection array feeds every band's bucket id
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until rowsPerBand).map { j =>
+          when(element_at(col("_dots"), b * rowsPerBand + j + 1) > 0,
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("bh"))
+    }: _*)
+    val bandRows = base.withColumn("_dots", planeDots(col("_v"), ps))
+      .select(col("_id"), explode(bandStructs).as("_bb"))
+      .select(col("_id"), col("_bb.band").as("band"), col("_bb.bh").as("bh"))
+    // cap BEFORE the self-join — the quadratic blowup happens while the
+    // join enumerates matches, so post-join filtering would be too late
+    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("_id"))
+    val capped = bandRows.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxBucketSize).drop("_r")
+    val l = capped.select(col("band"), col("bh"), col("_id").as("a"))
+    val r = capped.select(col("band").as("band_r"), col("bh").as("bh_r"),
+      col("_id").as("b"))
+    val cand = l.join(r,
+        col("band") === col("band_r") && col("bh") === col("bh_r") &&
+          col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifyCosine(cand, base, threshold)
+  }
+
+  /** Exact all-pairs cosine near-duplicates — [[cosineDupPairs]]'s exact
+    * twin, same contract as [[bruteTopK]]: quadratic BY SPEC, so the
+    * smaller broadcastable side is guarded eagerly. The LSH-banded form is
+    * the scale path; this is the oracle-exact answer for bounded corpora.
+    */
+  def cosineDupPairsExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxRows: Long = MaxBroadcastQueries): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"cosineDupPairsExact corpus has $n rows (max $maxRows): all-pairs " +
+        "is quadratic — use cosineDupPairs (LSH-banded), or raise maxRows")
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", norm(col("_v")))
+    val l = base.select(col("_id").as("a"), col("_v").as("_va"),
+      col("_n").as("_na"))
+    val r = base.select(col("_id").as("b"), col("_v").as("_vb"),
+      col("_n").as("_nb"))
+    l.join(broadcast(r), col("a") < col("b"))
+      .withColumn("sim",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
+  /** Exact-cosine verification of candidate (a, b) pairs against the
+    * materialized (vector, norm) base; keeps pairs >= threshold.
+    */
+  private def verifyCosine(cand: DataFrame, base: DataFrame,
+      threshold: Double): DataFrame = {
+    val va = base.select(col("_id").as("a"), col("_v").as("_va"),
+      col("_n").as("_na"))
+    val vb = base.select(col("_id").as("b"), col("_v").as("_vb"),
+      col("_n").as("_nb"))
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("sim",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"), col("sim"))
+  }
+
   // ---- IVF (inverted-file) ANN -------------------------------------------
 
   /** Squared L2 distance to a centroid literal (sequential fold, double

@@ -217,6 +217,61 @@ object LlmPack extends QueryPack {
            |      FROM documents)""".stripMargin
       }),
 
+    // embedding-cosine near-dup, LSH-banded (the 100 TB form): banded
+    // sign-bit buckets → candidate pairs → exact cosine verify. The
+    // oracle replays the exact pipeline — same md5-derived planes, same
+    // band buckets, same candidate join, same fold-order cosine — so the
+    // hash pins the whole algorithm, recall included.
+    "dedup_cosine_pairs" -> QueryDef(
+      (s, dir) =>
+        VectorOps.cosineDupPairs(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.4, bands = 4, rowsPerBand = 4),
+      Some {
+        val bands = 4; val rpb = 4
+        val ps = VectorOps.planes(bands * rpb, 64)
+        def planeLit(p: Array[Float]) =
+          p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+        def bh(b: Int) = (0 until rpb).map { j =>
+          s"""(CASE WHEN ${dotSql("embedding", planeLit(ps(b * rpb + j)))} > 0
+             | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+        }.mkString(" +\n  ")
+        val bandSel = (0 until bands).map(b =>
+          s"SELECT vec_id, $b AS band, ${bh(b)} AS bh FROM embeddings")
+          .mkString("\nUNION ALL\n")
+        val dotAB = dotSql("va.embedding", "vb.embedding")
+        val nA = dotSql("va.embedding", "va.embedding")
+        val nB = dotSql("vb.embedding", "vb.embedding")
+        s"""WITH bnd AS ($bandSel),
+           |cand AS (SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+           |         FROM bnd la JOIN bnd lb
+           |           ON la.band = lb.band AND la.bh = lb.bh
+           |              AND la.vec_id < lb.vec_id),
+           |sims AS (SELECT a, b,
+           |           round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
+           |         FROM cand
+           |         JOIN embeddings va ON va.vec_id = a
+           |         JOIN embeddings vb ON vb.vec_id = b)
+           |SELECT a, b, sim FROM sims WHERE sim >= 0.4""".stripMargin
+      }),
+
+    // exact all-pairs twin (broadcast-guarded, quadratic by spec) — pins
+    // the true answer the banded form's recall is measured against
+    "dedup_cosine_exact" -> QueryDef(
+      (s, dir) =>
+        VectorOps.cosineDupPairsExact(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.4),
+      Some {
+        val dotAB = dotSql("va.embedding", "vb.embedding")
+        val nA = dotSql("va.embedding", "va.embedding")
+        val nB = dotSql("vb.embedding", "vb.embedding")
+        s"""SELECT a, b, sim
+           |FROM (SELECT va.vec_id AS a, vb.vec_id AS b,
+           |        round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
+           |      FROM embeddings va JOIN embeddings vb
+           |        ON va.vec_id < vb.vec_id)
+           |WHERE sim >= 0.4""".stripMargin
+      }),
+
     // ---- similarity search ---------------------------------------------
     "emb_cosine_topk" -> QueryDef(
       (s, dir) => {

@@ -59,6 +59,33 @@ class LlmSpec extends AnyFunSuite {
     assert((ann intersect brute).nonEmpty)
   }
 
+  test("cosine near-dup: banded pairs are a subset of exact; recall monotone in bands") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(
+      VectorOps.cosineDupPairsExact(emb, "vec_id", "embedding", 0.35))
+    val b2 = pairSet(
+      VectorOps.cosineDupPairs(emb, "vec_id", "embedding", 0.35, bands = 2))
+    val b4 = pairSet(
+      VectorOps.cosineDupPairs(emb, "vec_id", "embedding", 0.35, bands = 4))
+    assert(exact.nonEmpty)
+    // precision is exact: the verify step recomputes true cosine
+    assert(b2.subsetOf(exact) && b4.subsetOf(exact))
+    // plane j is shared across runs, so candidate sets nest with bands
+    assert(b2.subsetOf(b4))
+    assert(b4.nonEmpty)
+  }
+
+  test("cosineDupPairsExact fails fast on an oversized corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.cosineDupPairsExact(emb, "vec_id", "embedding", 0.4,
+        maxRows = 1)
+    }
+    assert(e.getMessage.contains("quadratic"))
+  }
+
   test("degenerate LSH bucket: cap bounds candidates; cluster pairs stay linear") {
     import spark.implicits._
     // 1000 byte-identical docs — every band hashes to ONE bucket, the
