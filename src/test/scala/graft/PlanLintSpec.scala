@@ -61,12 +61,14 @@ class PlanLintSpec extends AnyFunSuite {
   }
 
   test("broadcast nested-loop joins only where sanctioned (guarded top-k)") {
-    // Two sanctioned shapes: bruteTopK's crossJoin(broadcast(q)) —
-    // all-pairs by spec, fails fast past MaxBroadcastQueries — and
-    // fillPeriod's conditionless join against a broadcast 1-ROW
-    // min-aggregate (the lazy scalar-subquery form; Windows.fillPeriod).
-    // Anywhere else a BNLJ means an equi-join lost its keys.
-    val sanctioned = Set("emb_cosine_topk", "win_time_fill_period")
+    // Sanctioned shapes: bruteTopK's crossJoin(broadcast(q)) and
+    // cosineDupPairsExact's a < b self-join — all-pairs by spec, both
+    // fail fast past MaxBroadcastQueries — and fillPeriod's
+    // conditionless join against a broadcast 1-ROW min-aggregate (the
+    // lazy scalar-subquery form; Windows.fillPeriod). Anywhere else a
+    // BNLJ means an equi-join lost its keys.
+    val sanctioned = Set("emb_cosine_topk", "dedup_cosine_exact",
+      "win_time_fill_period")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
