@@ -1,0 +1,20 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column <-> Expression bridge for graft's native Catalyst expressions.
+  *
+  * Spark 4 made the converters `private[sql]` (`ExpressionUtils` in
+  * `org.apache.spark.sql.classic`), so a library shipping its own codegen
+  * expressions needs this one-file shim inside the sql package tree — the
+  * standard extension pattern for libraries that must run on a STOCK
+  * SparkSession (no SparkSessionExtensions registration required, which
+  * matters because the driver probes `SparkEntry.queries` with a bare
+  * session the library does not construct).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -59,6 +59,45 @@ class LlmSpec extends AnyFunSuite {
     assert((ann intersect brute).nonEmpty)
   }
 
+  test("codegen FloatDot/FloatSqDist are bit-identical to the HOF fold") {
+    // the DuckDB oracle replays the HOF fold order (float multiply,
+    // double accumulate, left-to-right); the codegen expression must
+    // produce the same BITS, not just close doubles — compare raw
+    // Double.doubleToRawLongBits over the whole embeddings fixture
+    val emb = Tables.embeddings(spark, sf)
+    val self = emb.select(col("vec_id"), col("embedding").as("a"))
+      .withColumn("b", reverse(col("a")))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofSq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val mism = self.select(
+      graft.functions.VectorExpressions.floatDot(col("a"), col("b")).as("cg"),
+      hofDot(col("a"), col("b")).as("hof"),
+      graft.functions.VectorExpressions.floatSqDist(col("a"), col("b")).as("cgs"),
+      hofSq(col("a"), col("b")).as("hofs"))
+      .collect()
+      .count { r =>
+        java.lang.Double.doubleToRawLongBits(r.getDouble(0)) !=
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ||
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)) !=
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3))
+      }
+    assert(mism == 0)
+    // null propagation matches, and empty arrays fold to exactly 0.0
+    import spark.implicits._
+    val edge = Seq(
+      (Some(Array(1.0f, 2.0f)), None),
+      (None, Some(Array(1.0f))),
+      (Some(Array.empty[Float]), Some(Array.empty[Float]))
+    ).toDF("a", "b")
+    val rows = edge.select(
+      graft.functions.VectorExpressions.floatDot(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
   test("cosine near-dup: banded pairs are a subset of exact; recall monotone in bands") {
     val emb = Tables.embeddings(spark, sf)
     def pairSet(df: org.apache.spark.sql.DataFrame) =
