@@ -98,6 +98,26 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(2).getDouble(0) == 0.0)
   }
 
+  test("float_dot/float_sq_dist reach SQL text via extension registration") {
+    // the extensions class drives injectFunction without throwing (the
+    // spark.sql.extensions config path), and the live-session register
+    // makes the functions resolvable from SQL on the running session
+    new graft.functions.GraftExtensions()(
+      new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT float_dot(a, b) AS d, float_sq_dist(a, b) AS s
+        |FROM VALUES (array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)),
+        |             array(CAST(4.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS t(a, b)
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 1.5 * 4.0 + -2.0 * 0.5)
+    assert(r.getDouble(1) == 2.5 * 2.5 + 2.5 * 2.5)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT float_dot(array(CAST(1.0 AS FLOAT)))").head()
+    }
+    assert(bad.getMessage.contains("2 arguments"))
+  }
+
   test("cosine near-dup: banded pairs are a subset of exact; recall monotone in bands") {
     val emb = Tables.embeddings(spark, sf)
     def pairSet(df: org.apache.spark.sql.DataFrame) =
