@@ -145,6 +145,26 @@ object Lambdas {
     "ln" -> { a => lnOf(a.head) },
     "round" -> { a => round(a.head, 0) },
     "now" -> { _ => now() },
-    "random" -> { _ => randomReal() }
+    "random" -> { _ => randomReal() },
+    // vector lambdas (graft LLM-pipeline extension, not in the reference
+    // lambdalib): codegen'd folds over Array[Float] embedding columns —
+    // the same FloatDot/FloatSqDist path the similarity operators use
+    "vec_dot" -> { a =>
+      VectorExpressions.floatDot(asFloatArray(a(0)), asFloatArray(a(1))) },
+    "vec_sq_dist" -> { a =>
+      VectorExpressions.floatSqDist(asFloatArray(a(0)), asFloatArray(a(1))) },
+    "vec_norm" -> { a =>
+      sqrt(VectorExpressions.floatDot(asFloatArray(a.head), asFloatArray(a.head))) },
+    "vec_cosine" -> { a =>
+      val (x, y) = (asFloatArray(a(0)), asFloatArray(a(1)))
+      VectorExpressions.floatDot(x, y) /
+        (sqrt(VectorExpressions.floatDot(x, x)) *
+          sqrt(VectorExpressions.floatDot(y, y)))
+    }
   )
+
+  /** DFS literals arrive as int/double arrays; embeddings are FLOAT
+    * arrays. Coerce so both meet FloatDot's input type.
+    */
+  private def asFloatArray(c: Column): Column = c.cast("array<float>")
 }

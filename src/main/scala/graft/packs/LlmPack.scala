@@ -435,6 +435,21 @@ object LlmPack extends QueryPack {
       }),
 
     // ---- multimodal plumbing -------------------------------------------
+    // vector lambdas through the DFS front-end: vec_norm/vec_dot compile
+    // to the same codegen'd FloatDot fold the similarity operators use,
+    // so the oracle pins the whole front-end->expression path
+    "dfs_vec_lambda" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|eval(lambda: vec_norm("embedding"), lambda: vec_dot("embedding", "embedding")).as('nrm', 'dd')
+          #|keep('vec_id', 'nrm', 'dd')
+          #""".stripMargin('#'), s, dir),
+      Some {
+        val dd = dotSql("embedding", "embedding")
+        s"""SELECT vec_id, sqrt($dd) AS nrm, $dd AS dd
+           |FROM embeddings""".stripMargin
+      }),
+
     "mm_features" -> QueryDef(
       (s, dir) => {
         val d = Multimodal.withBlob(Tables.documents(s, dir), col("text"))

@@ -14,6 +14,21 @@ class DfsSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "dfs-test")
   val sf = "/root/testdata/sf0.001"
 
+  test("vector lambdas: vec_cosine/vec_sq_dist resolve through the front-end") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('embeddings'))
+        #|eval(lambda: vec_cosine("embedding", "embedding"), lambda: vec_sq_dist("embedding", "embedding"))
+        #  .as('self_cos', 'self_d2')
+        #|keep('vec_id', 'self_cos', 'self_d2')
+        #""".stripMargin('#'), spark, sf)
+    // cosine with self is 1.0 up to the sqrt(d)*sqrt(d) rounding (a few
+    // ulps), self-distance exactly 0.0 (the fold subtracts equal floats)
+    assert(out.filter(
+        abs(col("self_cos") - 1.0) > 1e-12 || col("self_d2") =!= 0.0)
+      .count() == 0)
+    assert(out.count() > 0)
+  }
+
   test("parse: nodes, options, defs, named chains") {
     val script = Parser.parse(
       """def threshold = 45
