@@ -98,6 +98,30 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(2).getDouble(0) == 0.0)
   }
 
+  test("FloatDot interpreted eval matches codegen bit-for-bit") {
+    // constant folding / codegen fallback route through nullSafeEval —
+    // force the interpreted path and compare raw bits against the
+    // codegen run on the same fixture
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("a"))
+      .withColumn("b", reverse(col("a")))
+    def dots() = emb.select(col("vec_id"),
+        graft.functions.VectorExpressions.floatDot(col("a"), col("b")).as("d"))
+      .collect()
+      .map(r => r.getLong(0) -> java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      .toMap
+    val codegen = dots()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = dots()
+      assert(interpreted == codegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("float_dot/float_sq_dist reach SQL text via extension registration") {
     // the extensions class drives injectFunction without throwing (the
     // spark.sql.extensions config path), and the live-session register
