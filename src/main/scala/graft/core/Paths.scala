@@ -57,6 +57,20 @@ object Paths {
   def addLenientMissing(root: String): Boolean =
     Option(lenientMissing.get).exists(_.add(root))
 
+  /** Finer-grained lenient markers (NUL-prefixed so they can never
+    * collide with a real column name):
+    *
+    *  - [[deepMarker]]: the root EXISTS but is a scalar — only refs that
+    *    extract INTO it (`"val.deep"`) are undefined; a bare `"val"` must
+    *    keep resolving to the real column (recording the bare root here
+    *    would silently null valid scalar refs in the same node).
+    *  - [[leafMarker]]: a struct exists but lacks the named subfield —
+    *    Spark's FIELD_NOT_FOUND reports only the missing field name, so
+    *    the marker nulls deep refs whose extraction path uses that name.
+    */
+  def deepMarker(root: String): String = "\u0000deep:" + root
+  def leafMarker(field: String): String = "\u0000leaf:" + field
+
   /** Un-record a root after the failing plan step succeeded — a name one
     * node's stream lacks may exist perfectly well in a later node or a
     * sibling chain (the planned frame keeps its baked-in NULLs; only the
@@ -72,6 +86,10 @@ object Paths {
   def ref(path: String): Column = {
     val segs = parse(path)
     if (knownMissing(segs.head.name)) return functions.lit(null)
+    if (segs.tail.nonEmpty &&
+        (knownMissing(deepMarker(segs.head.name)) ||
+          segs.tail.exists(s => knownMissing(leafMarker(s.name)))))
+      return functions.lit(null)
     // backtick-quote the root: a *-escaped name carries literal dots that
     // col() would otherwise re-split into nesting
     val head = withIdx(functions.col(s"`${segs.head.name}`"), segs.head.idx)

@@ -39,6 +39,7 @@ object DfsEngine {
       dir: String): Map[String, DataFrame] = {
     val script = script0.copy(defs = foldDefs(script0.defs, spark))
     val memo = collection.mutable.Map.empty[String, Ctx]
+    val planning = collection.mutable.Set.empty[String]
 
     lazy val env: Env = Env(spark, dir, script.defs, frameOf,
       script.namedChains.contains)
@@ -93,7 +94,10 @@ object DfsEngine {
               throw e
           // a deep path whose root is a scalar ("val.val" where val is a
           // BIGINT) is equally `undefined` in the reference — null the
-          // root's refs and replan (jpath.dfs, stats_test.dfs)
+          // root's DEEP refs and replan (jpath.dfs, stats_test.dfs). The
+          // deep marker leaves bare refs of the same root resolving to
+          // the real column: `eval(lambda: "val" * 2, lambda: "val.deep")`
+          // must keep val*2 intact while val.deep goes NULL
           case e: org.apache.spark.sql.AnalysisException
               if Option(e.getCondition)
                 .exists(_.startsWith("INVALID_EXTRACT_BASE_FIELD_TYPE")) =>
@@ -101,7 +105,17 @@ object DfsEngine {
             val root = base.stripPrefix("\"").takeWhile(_ != '"')
             if (root.isEmpty || !root.forall(ch => ch.isLetterOrDigit ||
                 ch == '_' || ch == '.') ||
-                !record(root))
+                !record(graft.core.Paths.deepMarker(root)))
+              throw e
+          // a struct that exists but lacks the referenced SUBfield
+          // (FIELD_NOT_FOUND names only the missing leaf) is the same
+          // undefined lookup — null deep refs using that leaf name
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getCondition)
+                .exists(_.startsWith("FIELD_NOT_FOUND")) =>
+            val leaf = Option(e.getMessageParameters.get("fieldName"))
+              .getOrElse("").replace("`", "")
+            if (leaf.isEmpty || !record(graft.core.Paths.leafMarker(leaf)))
               throw e
         }
       }
@@ -109,9 +123,15 @@ object DfsEngine {
     }
 
     def frameOf(name: String): Ctx =
-      memo.getOrElseUpdate(name,
-        planChain(script.namedChains.getOrElse(name,
-          throw DfsError(s"undefined stream reference '$name'"))))
+      memo.getOrElseUpdate(name, {
+        // a chain that (transitively) references itself would recurse
+        // forever — surface the cycle as a script error instead
+        if (!planning.add(name))
+          throw DfsError(s"circular stream reference '$name'")
+        try planChain(script.namedChains.getOrElse(name,
+          throw DfsError(s"undefined stream reference '$name'")))
+        finally planning.remove(name)
+      })
 
     graft.core.Paths.lenientScope {
       // a DETACHED named chain (starts with an input-needing node, no

@@ -237,6 +237,17 @@ object Planner {
   private def optVals(n: NodeSpec, name: String, env: Env): Seq[Value] =
     n.options.getOrElse(name, Seq.empty).map(resolve(_, env.defs))
 
+  /** An `any`-typed option value as a comparable literal column. */
+  private def valueLit(v: Value): Column = v match {
+    case VNum(d, true) => lit(d.toLong)
+    case VNum(d, false) => lit(d)
+    case VLong(l) => lit(l)
+    case VStr(s) => lit(s)
+    case VBool(b) => lit(b)
+    case VDur(ms, _) => lit(ms)
+    case other => throw DfsError(s"not a literal value: $other")
+  }
+
   private def optStr(n: NodeSpec, name: String, env: Env): Option[String] =
     optVals(n, name, env).headOption.map {
       case VStr(s) => s
@@ -543,7 +554,18 @@ object Planner {
             val g = lambdaColumn(gate, env.defs)
             paths.filter(graft.core.Paths.has(ctx.df, _))
               .foldLeft(ctx.df)((d, p) => Transforms.deleteWhen(d, p, g))
-          case None => Transforms.delete(ctx.df, paths)
+          case None =>
+            // when_value: per-field conditional delete — field F clears
+            // only on rows where F equals the value; other fields and
+            // other rows keep theirs (esp_delete.erl:72-80 eval_when).
+            // `where` and `when_value` are one_of in the reference.
+            optVals(n, "when_value", env).headOption match {
+              case Some(wv) =>
+                paths.filter(graft.core.Paths.has(ctx.df, _))
+                  .foldLeft(ctx.df)((d, p) => Transforms.deleteWhen(
+                    d, p, graft.core.Paths.ref(p) === valueLit(wv)))
+              case None => Transforms.delete(ctx.df, paths)
+            }
         }
     },
     "keep" -> bt(Set("fields", "as")) { (ctx, n, env) =>
@@ -611,7 +633,9 @@ object Planner {
         .orElse(optDurMs(n, "by", env))
         .orElse(n.args.map(resolve(_, env.defs))
           .collectFirst { case VDur(ms, _) => ms })
-        .getOrElse(throw DfsError("shift: .offset"))
+        // a bare |shift() is legal: .offset defaults to -30s
+        // (esp_shift.erl:22 options())
+        .getOrElse(-30000L)
       val d1 = if (ctx.ts.nonEmpty) Transforms.shift(ctx.df, ctx.ts, by)
         else ctx.df
       if (ctx.tsMs.nonEmpty && ctx.tsMs != ctx.ts &&
@@ -1042,18 +1066,34 @@ object Planner {
             }
           case None =>
             val fields = optStrs(n, "fields", env) ++ optStrs(n, "tags", env)
-            // prefix + delimiter compose the taken-field name
-            // (esp_combine.erl PREFIX_DEL); .aliases name outputs exactly
-            val prefix = optStr(n, "prefix", env)
-              .map(_ + optStr(n, "prefix_delimiter", env).getOrElse(""))
-              .getOrElse("r_")
-            val joined = Joins.asOfLatest(ctx.df, right.df, keys,
-              ctx.tsMs, right.tsMs, fields, prefix, tol)
+            // taken-field naming (esp_combine.erl:76-88): with .prefix the
+            // name is prefix <> delimiter <> field (delimiter defaults to
+            // "_", PREFIX_DEL); with .aliases the alias names it exactly;
+            // with NEITHER the field keeps its OWN name — written into the
+            // point, overwriting a same-named left field
             val aliases = optStrs(n, "aliases", env)
-            val named = aliases.zip(fields).foldLeft(joined) {
-              case (d, (a, f)) => d.withColumnRenamed(s"$prefix$f", a)
+            val prefixOpt = optStr(n, "prefix", env)
+              .map(_ + optStr(n, "prefix_delimiter", env).getOrElse("_"))
+            prefixOpt match {
+              case Some(prefix) =>
+                ctx.copy(df = Joins.asOfLatest(ctx.df, right.df, keys,
+                  ctx.tsMs, right.tsMs, fields, prefix, tol)
+                  .drop(s"$prefix${right.tsMs}"))
+              case None =>
+                // land under a temp prefix, then set into the final name
+                // (own name or alias) so same-named left fields overwrite
+                val joined = Joins.asOfLatest(ctx.df, right.df, keys,
+                  ctx.tsMs, right.tsMs, fields, "_cmb_", tol)
+                val names =
+                  if (aliases.nonEmpty) aliases.padTo(fields.size, "").zip(fields)
+                    .map { case (a, f) => if (a.nonEmpty) a else f }
+                  else fields
+                val renamed = names.zip(fields).foldLeft(joined) {
+                  case (d, (out, f)) =>
+                    Paths.set(d, out, col(s"`_cmb_$f`")).drop(s"_cmb_$f")
+                }
+                ctx.copy(df = renamed.drop(s"_cmb_${right.tsMs}"))
             }
-            ctx.copy(df = named)
         }
       }),
 
@@ -1119,8 +1159,12 @@ object Planner {
         val left0 =
           prefixes.headOption.filter(_ => prefixes.size > refs.size) match {
             case Some(lp) =>
+              // ts/tsMs are point METADATA, not value fields (the
+              // reference prefixes fields only) — renaming them would
+              // orphan ctx.ts for every downstream time-based node
               ctx.df.columns.toSeq
-                .filterNot(c0 => ctx.keys.contains(c0) || c0 == ctx.tsMs)
+                .filterNot(c0 => ctx.keys.contains(c0) || c0 == ctx.tsMs ||
+                  c0 == ctx.ts)
                 .foldLeft(ctx.df)((d, c0) => d.withColumnRenamed(c0, lp + c0))
             case None => ctx.df
           }

@@ -25,10 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def twoArg(name: String, build: (Expression, Expression) => Expression)
+  private def twoArg(name: String, clazz: Class[_],
+      build: (Expression, Expression) => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
-      new ExpressionInfo(classOf[FloatDot].getCanonicalName, null, name),
+      new ExpressionInfo(clazz.getCanonicalName, null, name),
       { args =>
         if (args.size != 2)
           throw new IllegalArgumentException(
@@ -38,8 +39,8 @@ object GraftExtensions {
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
-    twoArg("float_dot", FloatDot(_, _)),
-    twoArg("float_sq_dist", FloatSqDist(_, _)))
+    twoArg("float_dot", classOf[FloatDot], FloatDot(_, _)),
+    twoArg("float_sq_dist", classOf[FloatSqDist], FloatSqDist(_, _)))
 
   /** Inject into a live session (idempotent — re-registration replaces). */
   def register(spark: SparkSession): Unit =

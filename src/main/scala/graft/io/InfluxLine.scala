@@ -59,7 +59,10 @@ object InfluxLine {
         when(col(t).isNotNull,
           concat(lit("," + t + "="), col(t).cast("string"))),
         lit(""))): _*)
-    val tsPart = ts.map(c => concat(lit(" "), c.cast("long").cast("string")))
+    // a NULL timestamp value must degrade to the reference's
+    // no-timestamp line form, not null out the whole concat
+    val tsPart = ts.map(c => coalesce(
+        concat(lit(" "), c.cast("long").cast("string")), lit("")))
       .getOrElse(lit(""))
     concat(measurement, tagsPart, lit(" "), fieldsPart, tsPart, lit("\n"))
   }

@@ -95,8 +95,12 @@ object Loopback {
     * route the commit; commit() stays as a second idempotent ack point
     * (LoopbackBus.commit is max-monotonic).
     */
-  private val ackInstalled = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  // weak keys: the listener lives in the session's own bus, so a stopped
+  // session (and its listener) must stay GC-able — a strong static set
+  // here would pin every session the process ever created
+  private val ackInstalled = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private def ensureAckListener(spark: SparkSession): Unit =
     if (ackInstalled.add(spark))

@@ -587,7 +587,124 @@ class DfsSpec extends AnyFunSuite {
     assert(frames("chain_1").count() == nClicks + nViews)
     val combined = frames("chain_2")
     assert(combined.count() == nClicks)
-    assert(combined.columns.contains("v_value"))
+    // prefix 'v_' composes with the DEFAULT '_' delimiter
+    // (esp_combine.erl:60 PREFIX_DEL, :85 <<Prefix/binary, PFL/binary>>)
+    assert(combined.columns.contains("v__value"))
+    assert(!combined.columns.contains("v_value"))
+  }
+
+  test("combine without prefix writes fields under their OWN names") {
+    // esp_combine.erl:83 — Prefix undefined → NP = zip(Fields, Fields):
+    // the taken field overwrites a same-named field in the point
+    val out = DfsEngine.runSingle(
+      """def views =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view')
+        #
+        #def clicks =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #
+        #clicks
+        #|combine(views)
+        #  .keys('user_id')
+        #  .fields('value')
+        #""".stripMargin('#'), spark, sf)
+    assert(out.columns.count(_ == "value") == 1)
+    assert(!out.columns.exists(c => c.startsWith("r_") || c.startsWith("_cmb_")))
+    // values really come from the views side: each click row carries the
+    // latest view value at-or-before its ts (NULL before the first view)
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+    assert(out.count() == clicks.count())
+    assert(out.select("value").except(
+      ev.filter(col("event_type") === "view").select("value")).count() <= 1)
+  }
+
+  test("bare |shift() uses the reference's -30s default offset") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|shift()
+        #""".stripMargin('#'), spark, sf)
+    val src = Tables.events(spark, sf)
+    val d = out.agg(max(col("ts_ms"))).head().getLong(0)
+    val s = src.agg(max(col("ts_ms"))).head().getLong(0)
+    assert(s - d == 30000L)
+  }
+
+  test("delete .when_value clears a field only on matching rows") {
+    // esp_delete.erl:72-80 eval_when: field F deletes per-point where
+    // field(P, F) == WhenVal; other rows keep their value
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|eval(lambda: int(mod("user_id", 2))).as('flag')
+        #|delete(.fields('flag').when_value(0))
+        #""".stripMargin('#'), spark, sf)
+    assert(out.filter(col("flag") === 0).count() == 0)
+    val expectOnes = Tables.events(spark, sf)
+      .filter(col("user_id") % 2 === 1).count()
+    assert(out.filter(col("flag") === 1).count() == expectOnes)
+  }
+
+  test("lenient deep ref off a scalar root does not null the bare ref") {
+    // "value" is DOUBLE: "value.deep" is undefined (NULL) in the
+    // reference, but "value" itself must keep resolving to the real
+    // column in the SAME node
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|eval(lambda: "value" * 2, lambda: "value.deep").as('v2', 'vd')
+        #""".stripMargin('#'), spark, sf)
+    assert(out.filter(col("vd").isNotNull).count() == 0)
+    val src = Tables.events(spark, sf)
+    assert(out.filter(col("v2").isNull).count() ==
+      src.filter(col("value").isNull).count())
+    assert(out.agg(sum(col("v2"))).head().getDouble(0) ==
+      src.agg(sum(col("value") * 2)).head().getDouble(0))
+  }
+
+  test("lenient: missing SUBfield of an existing struct is undefined, not an error") {
+    // parser builds struct 'p' with field v; p.missing must resolve to
+    // NULL (faxe undefined), while p.v stays real
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|eval(lambda: str_concat('{"v":', string(int("value")), '}')).as('j')
+        #|parser(.field('j').schema('v BIGINT').as('p'))
+        #|eval(lambda: "p.v", lambda: "p.missing").as('pv', 'pm')
+        #""".stripMargin('#'), spark, sf)
+    assert(out.filter(col("pm").isNotNull).count() == 0)
+    assert(out.filter(col("pv").isNull).count() == 0)
+  }
+
+  test("join2 left prefix leaves ts intact for downstream time nodes") {
+    val out = DfsEngine.runSingle(
+      """def s1 =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view')
+        #
+        #def base =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #|group_by('user_id')
+        #
+        #base
+        #|join2(s1)
+        #  .prefix('l_', 'a_')
+        #  .tolerance(1h)
+        #|win_time(.period(1d))
+        #|aggregate(.fields('l_value').functions('count').as('n'))
+        #""".stripMargin('#'), spark, sf)
+    assert(out.count() > 0)
+  }
+
+  test("a self-referential stream is a clean error, not a stack overflow") {
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.run(
+        """def s1 =
+          #|parquet_read(.table('events'))
+          #|join2(s1)
+          #""".stripMargin('#'), spark, sf)
+    }
+    assert(e.getMessage.contains("circular"))
   }
 
   test(".approx(true): percentile/aggregate switch to sketch forms") {

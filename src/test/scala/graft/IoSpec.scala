@@ -257,6 +257,13 @@ class IoSpec extends AnyFunSuite {
     val enc = df.limit(1).select(InfluxLine.encode(df, lit("m"), Seq("x"),
       encodeInteger = true).as("l")).head.getString(0)
     assert(enc == "m x=1i\n")
+    // a NULL ts degrades to the reference's no-timestamp line form — it
+    // must not null the whole concat and lose the row
+    val dfN = spark.createDataFrame(
+      java.util.List.of(Row(3L, 1.0, "s", true, "h3", "us", null)), schema)
+    val lineN = dfN.select(InfluxLine.encode(dfN, lit("m"), Seq("x"),
+      Seq("host"), Some(col("ts"))).as("l")).head.getString(0)
+    assert(lineN == "m,host=h3 x=3\n")
   }
 
   test("influx_out node publishes line-protocol payloads") {
