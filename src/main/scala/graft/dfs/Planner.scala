@@ -1005,12 +1005,15 @@ object Planner {
     "value_diff" -> pt(Set("field", "fields", "as", "mode", "default")) { (ctx, n, env) =>
       val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)
       if (fs.isEmpty) throw DfsError("value_diff: .field(s)")
+      // .as undefined → the diff OVERWRITES each field under its own name
+      // (esp_value_diff.erl:45 As1 = Fields); mode defaults to 'abs'
+      // (esp_value_diff.erl:35 MODE_ABS)
       val as = optStrs(n, "as", env) match {
         case a if a.size == fs.size => a
-        case Nil if fs.size == 1 => Seq("value_diff")
+        case Nil => fs
         case _ => throw DfsError("value_diff: .as arity must match .fields")
       }
-      val mode = optStr(n, "mode", env).getOrElse("c-p")
+      val mode = optStr(n, "mode", env).getOrElse("abs")
       fs.zip(as).foldLeft(ctx.df) { case (d, (f, a)) =>
         Paths.set(
           StateOps.valueDiff(d, Paths.ref(f), mode, "_vd", keyCols(ctx),
@@ -1018,10 +1021,16 @@ object Planner {
           a, col("_vd")).drop("_vd")
       }
     },
-    "time_diff" -> bt(Set("as", "unit")) { (ctx, n, env) =>
-      StateOps.timeDiff(ctx.df, col(ctx.tsMs),
-        optStr(n, "as", env).getOrElse("time_diff"),
-        keyCols(ctx), orderCols(ctx))
+    "time_diff" -> bt(Set("as", "unit", "default")) { (ctx, n, env) =>
+      // as defaults to 'timediff', the FIRST point carries .default
+      // (0 unless given) instead of an absent value
+      // (esp_time_diff.erl:31-43)
+      val as = optStr(n, "as", env).getOrElse("timediff")
+      val dflt = optVals(n, "default", env).headOption
+        .map(valueLit).getOrElse(lit(0L))
+      StateOps.timeDiff(ctx.df, col(ctx.tsMs), as,
+          keyCols(ctx), orderCols(ctx))
+        .withColumn(as, coalesce(col(s"`$as`"), dflt))
     },
 
     // ---- stream combination (§2.3) ----
@@ -1130,14 +1139,43 @@ object Planner {
             ctx.copy(df = Joins.mergeValues(base, mf, s"_m_$mf", mf)
               .drop(s"_m_$mf", s"_m_${right.tsMs}"))
           case None =>
-            val prefix = optStrs(n, "prefix", env).lastOption.getOrElse("r_")
+            // per-port prefixes (esp_join.erl:52 — default ["",""]; port
+            // order: own input first, then joined): 2+ entries prefix the
+            // LEFT value fields too; the empty default lands right fields
+            // under their OWN names, overwriting same-named left fields
+            // (esp_join.erl:183-196 join/3 set_fields fold)
+            val prefixes = optStrs(n, "prefix", env)
+            val leftDf = prefixes.headOption
+              .filter(lp => prefixes.size > 1 && lp.nonEmpty) match {
+              case Some(lp) =>
+                ctx.df.columns.toSeq
+                  .filterNot(c0 => ctx.keys.contains(c0) ||
+                    c0 == ctx.tsMs || c0 == ctx.ts)
+                  .foldLeft(ctx.df)((d, c0) => d.withColumnRenamed(c0, lp + c0))
+              case None => ctx.df
+            }
+            val prefix = (if (prefixes.size > 1) prefixes.drop(1)
+              else prefixes).headOption.getOrElse("")
             val vcols = right.df.columns.toSeq
               .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs)
-            val joined = Joins.asOfNearest(ctx.df, right.df, ctx.keys,
-              ctx.tsMs, right.tsMs, vcols, prefix, Some(tol))
-            ctx.copy(df =
-              if (full) joined.filter(col(s"$prefix${right.tsMs}").isNotNull)
-              else joined)
+            if (prefix.nonEmpty) {
+              val joined = Joins.asOfNearest(leftDf, right.df, ctx.keys,
+                ctx.tsMs, right.tsMs, vcols, prefix, Some(tol))
+              ctx.copy(df =
+                if (full) joined.filter(col(s"$prefix${right.tsMs}").isNotNull)
+                else joined)
+            } else {
+              // own-name landing: join under a temp prefix, then set each
+              // field into its real name so left duplicates overwrite
+              val joined = Joins.asOfNearest(leftDf, right.df, ctx.keys,
+                ctx.tsMs, right.tsMs, vcols, "_j_", Some(tol))
+              val base =
+                if (full) joined.filter(col(s"_j_${right.tsMs}").isNotNull)
+                else joined
+              val renamed = vcols.foldLeft(base)((d, f) =>
+                Paths.set(d, f, col(s"`_j_$f`")).drop(s"_j_$f"))
+              ctx.copy(df = renamed.drop(s"_j_${right.tsMs}"))
+            }
         }
       }),
 

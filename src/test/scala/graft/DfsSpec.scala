@@ -696,6 +696,51 @@ class DfsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("join default prefix is empty: right fields land under their own names") {
+    // esp_join.erl:52 — prefix defaults to ["",""]; the joined port's
+    // fields overwrite same-named left fields (join/3 set_fields fold)
+    val out = DfsEngine.runSingle(
+      """def views =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view')
+        #
+        #def clicks =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #|group_by('user_id')
+        #
+        #clicks
+        #|join(views).tolerance(1h)
+        #""".stripMargin('#'), spark, sf)
+    assert(out.columns.count(_ == "value") == 1)
+    assert(!out.columns.exists(c => c.startsWith("r_") || c.startsWith("_j_")))
+    assert(out.count() > 0)
+  }
+
+  test("value_diff defaults: mode abs, diff overwrites the field in place") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|group_by('user_id')
+        #|value_diff(.fields('value'))
+        #""".stripMargin('#'), spark, sf)
+    assert(out.columns.count(_ == "value") == 1)
+    assert(!out.columns.contains("value_diff"))
+    // abs mode: every non-null diff is >= 0 (esp_value_diff.erl MODE_ABS)
+    assert(out.filter(col("value") < 0).count() == 0)
+  }
+
+  test("time_diff defaults: as 'timediff', first point carries default 0") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|group_by('user_id')
+        #|time_diff()
+        #""".stripMargin('#'), spark, sf)
+    assert(out.columns.contains("timediff"))
+    assert(out.filter(col("timediff").isNull).count() == 0)
+    val nKeys = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.filter(col("timediff") === 0).count() >= nKeys)
+  }
+
   test("a self-referential stream is a clean error, not a stack overflow") {
     val e = intercept[Ir.DfsError] {
       DfsEngine.run(
