@@ -71,6 +71,62 @@ object Paths {
   def deepMarker(root: String): String = "\u0000deep:" + root
   def leafMarker(field: String): String = "\u0000leaf:" + field
 
+  /** When recorded, [[ref]] judges deep paths against the node's input
+    * schema ([[withLenientSchema]]) — per-path precision the coarse
+    * markers cannot give (`"a.x"` invalid, `"b.x"` valid, same leaf
+    * name). Activated on RETRY only: a node whose frame redefines a root
+    * (eval writing a struct over a scalar) resolves strictly first, so
+    * the walk never pre-empts a path the extended frame would accept.
+    */
+  val SchemaWalkMarker: String = "\u0000schema-walk"
+
+  private val lenientSchema =
+    new ThreadLocal[Option[org.apache.spark.sql.types.StructType]] {
+      override def initialValue(): Option[org.apache.spark.sql.types.StructType] = None
+    }
+
+  def withLenientSchema[T](
+      schema: Option[org.apache.spark.sql.types.StructType])(body: => T): T = {
+    val prev = lenientSchema.get
+    lenientSchema.set(schema)
+    try body finally lenientSchema.set(prev)
+  }
+
+  /** True when the schema PROVES the path cannot resolve: a struct along
+    * the walk lacks the segment, or a scalar is extracted into. Maps and
+    * arrays are never "proven" (map lookups are runtime-null, getField
+    * maps over array elements), and an unknown root is left to the
+    * UNRESOLVED_COLUMN path.
+    */
+  private def provenUndefined(st: org.apache.spark.sql.types.StructType,
+      segs: Seq[Seg]): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def step(t: DataType, idx: Option[Int]): Option[DataType] = idx match {
+      case None => Some(t)
+      case Some(_) => t match {
+        case a: ArrayType => Some(a.elementType)
+        case _ => None // element_at on map/other: not proven either way
+      }
+    }
+    def walk(t: DataType, rest: Seq[Seg]): Boolean = rest match {
+      case Seq() => false
+      case s +: more => t match {
+        case stt: StructType => stt.fields.find(_.name == s.name) match {
+          case None => true
+          case Some(f) => step(f.dataType, s.idx).exists(walk(_, more))
+        }
+        case _: MapType => false
+        case _: ArrayType => false
+        case _ => true // scalar base with segments remaining
+      }
+    }
+    st.fields.find(_.name == segs.head.name) match {
+      case None => false
+      case Some(f) => step(f.dataType, segs.head.idx)
+        .exists(walk(_, segs.tail))
+    }
+  }
+
   /** Un-record a root after the failing plan step succeeded — a name one
     * node's stream lacks may exist perfectly well in a later node or a
     * sibling chain (the planned frame keeps its baked-in NULLs; only the
@@ -86,10 +142,14 @@ object Paths {
   def ref(path: String): Column = {
     val segs = parse(path)
     if (knownMissing(segs.head.name)) return functions.lit(null)
-    if (segs.tail.nonEmpty &&
-        (knownMissing(deepMarker(segs.head.name)) ||
-          segs.tail.exists(s => knownMissing(leafMarker(s.name)))))
-      return functions.lit(null)
+    if (segs.tail.nonEmpty) {
+      if (knownMissing(deepMarker(segs.head.name)) ||
+          segs.tail.exists(s => knownMissing(leafMarker(s.name))))
+        return functions.lit(null)
+      if (knownMissing(SchemaWalkMarker) &&
+          lenientSchema.get.exists(provenUndefined(_, segs)))
+        return functions.lit(null)
+    }
     // backtick-quote the root: a *-escaped name carries literal dots that
     // col() would otherwise re-split into nesting
     val head = withIdx(functions.col(s"`${segs.head.name}`"), segs.head.idx)

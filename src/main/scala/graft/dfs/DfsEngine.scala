@@ -71,7 +71,12 @@ object DfsEngine {
         if (fresh) added += root
         fresh
       }
-      try planNodeLoop(nd, c, n, env, record)
+      // the node's input schema backs the retry-time schema walk (null
+      // exactly the deep paths the schema PROVES undefined — see
+      // Paths.SchemaWalkMarker for why it only activates on retry)
+      try graft.core.Paths.withLenientSchema(c.map(_.df.schema)) {
+        planNodeLoop(nd, c, n, env, record)
+      }
       finally added.foreach(graft.core.Paths.removeLenientMissing)
     }
 
@@ -101,21 +106,27 @@ object DfsEngine {
           case e: org.apache.spark.sql.AnalysisException
               if Option(e.getCondition)
                 .exists(_.startsWith("INVALID_EXTRACT_BASE_FIELD_TYPE")) =>
+            // first retry: the per-path schema walk (precise). Fallback
+            // when the walk can't prove anything: the coarse deep marker
             val base = Option(e.getMessageParameters.get("base")).getOrElse("")
             val root = base.stripPrefix("\"").takeWhile(_ != '"')
-            if (root.isEmpty || !root.forall(ch => ch.isLetterOrDigit ||
-                ch == '_' || ch == '.') ||
-                !record(graft.core.Paths.deepMarker(root)))
+            if (!record(graft.core.Paths.SchemaWalkMarker) &&
+                (root.isEmpty || !root.forall(ch => ch.isLetterOrDigit ||
+                  ch == '_' || ch == '.') ||
+                  !record(graft.core.Paths.deepMarker(root))))
               throw e
           // a struct that exists but lacks the referenced SUBfield
           // (FIELD_NOT_FOUND names only the missing leaf) is the same
-          // undefined lookup — null deep refs using that leaf name
+          // undefined lookup: schema walk first, leaf-name marker as the
+          // last resort (it cannot tell roots apart)
           case e: org.apache.spark.sql.AnalysisException
               if Option(e.getCondition)
                 .exists(_.startsWith("FIELD_NOT_FOUND")) =>
             val leaf = Option(e.getMessageParameters.get("fieldName"))
               .getOrElse("").replace("`", "")
-            if (leaf.isEmpty || !record(graft.core.Paths.leafMarker(leaf)))
+            if (!record(graft.core.Paths.SchemaWalkMarker) &&
+                (leaf.isEmpty ||
+                  !record(graft.core.Paths.leafMarker(leaf))))
               throw e
         }
       }

@@ -237,16 +237,12 @@ object Planner {
   private def optVals(n: NodeSpec, name: String, env: Env): Seq[Value] =
     n.options.getOrElse(name, Seq.empty).map(resolve(_, env.defs))
 
-  /** An `any`-typed option value as a comparable literal column. */
-  private def valueLit(v: Value): Column = v match {
-    case VNum(d, true) => lit(d.toLong)
-    case VNum(d, false) => lit(d)
-    case VLong(l) => lit(l)
-    case VStr(s) => lit(s)
-    case VBool(b) => lit(b)
-    case VDur(ms, _) => lit(ms)
-    case other => throw DfsError(s"not a literal value: $other")
-  }
+  /** An `any`-typed option value as a comparable literal column — one
+    * conversion path with the set/default nodes (valueToLit + the lambda
+    * compiler), so literal semantics cannot diverge between them.
+    */
+  private def valueLit(v: Value): Column =
+    lambdaColumn(valueToLit(v), Map.empty)
 
   private def optStr(n: NodeSpec, name: String, env: Env): Option[String] =
     optVals(n, name, env).headOption.map {
@@ -1014,11 +1010,15 @@ object Planner {
         case _ => throw DfsError("value_diff: .as arity must match .fields")
       }
       val mode = optStr(n, "mode", env).getOrElse("abs")
+      // the first point per key has no previous value: it carries
+      // .default when given, else its CURRENT field value — never NULL
+      // (esp_value_diff.erl:73-74,85-86 default/2)
+      val dflt = optVals(n, "default", env).headOption.map(valueLit)
       fs.zip(as).foldLeft(ctx.df) { case (d, (f, a)) =>
-        Paths.set(
-          StateOps.valueDiff(d, Paths.ref(f), mode, "_vd", keyCols(ctx),
-            orderCols(ctx)),
-          a, col("_vd")).drop("_vd")
+        val diffed = StateOps.valueDiff(d, Paths.ref(f), mode, "_vd",
+          keyCols(ctx), orderCols(ctx))
+        Paths.set(diffed, a,
+          coalesce(col("_vd"), dflt.getOrElse(Paths.ref(f)))).drop("_vd")
       }
     },
     "time_diff" -> bt(Set("as", "unit", "default")) { (ctx, n, env) =>
@@ -1166,14 +1166,22 @@ object Planner {
                 else joined)
             } else {
               // own-name landing: join under a temp prefix, then set each
-              // field into its real name so left duplicates overwrite
+              // field into its real name so left duplicates overwrite.
+              // ts/tsMs are point metadata, not fields (same rule as the
+              // join2 left prefix): the left stream keeps its own clock —
+              // landing the right's ts would rewrite (or NULL, under
+              // full=false) every downstream window's event time
+              val ownCols = vcols.filterNot(c0 => c0 == right.ts)
               val joined = Joins.asOfNearest(leftDf, right.df, ctx.keys,
-                ctx.tsMs, right.tsMs, vcols, "_j_", Some(tol))
+                ctx.tsMs, right.tsMs, ownCols, "_j_", Some(tol))
               val base =
                 if (full) joined.filter(col(s"_j_${right.tsMs}").isNotNull)
                 else joined
-              val renamed = vcols.foldLeft(base)((d, f) =>
-                Paths.set(d, f, col(s"`_j_$f`")).drop(s"_j_$f"))
+              // '*'-escape literal dots: a flat right column "a.b" must
+              // write the flat left column, not create a nested struct
+              val renamed = ownCols.foldLeft(base)((d, f) =>
+                Paths.set(d, f.replace(".", "*"), col(s"`_j_$f`"))
+                  .drop(s"_j_$f"))
               ctx.copy(df = renamed.drop(s"_j_${right.tsMs}"))
             }
         }

@@ -345,8 +345,8 @@ object DfsPack extends QueryPack {
           #|keep('event_id', 'user_id', 'dv', 'dt')
           #""".stripMargin('#'), s, dir),
       Some("""SELECT event_id, user_id,
-             |  value - lag(value) OVER w AS dv,
-             |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS dt
+             |  coalesce(value - lag(value) OVER w, value) AS dv,
+             |  coalesce(epoch_ms(ts) - lag(epoch_ms(ts)) OVER w, epoch_ms(ts)) AS dt
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts))""".stripMargin)),
 

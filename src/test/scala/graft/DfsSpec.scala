@@ -675,6 +675,22 @@ class DfsSpec extends AnyFunSuite {
     assert(out.filter(col("pv").isNull).count() == 0)
   }
 
+  test("lenient subfield precision: a.x undefined while b.x stays real") {
+    // two structs share the leaf name x: a lacks it (undefined → NULL),
+    // b carries real values — the schema walk must judge per path, not
+    // null every ref ending in x
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|eval(lambda: '{"y": 1}', lambda: str_concat('{"x":', string(int("value")), '}')).as('ja', 'jb')
+        #|parser(.field('ja').schema('y BIGINT').as('a'))
+        #|parser(.field('jb').schema('x BIGINT').as('b'))
+        #|eval(lambda: "a.x", lambda: "b.x").as('ax', 'bx')
+        #""".stripMargin('#'), spark, sf)
+    assert(out.filter(col("ax").isNotNull).count() == 0)
+    assert(out.filter(col("bx").isNotNull).count() ==
+      Tables.events(spark, sf).filter(col("value").isNotNull).count())
+  }
+
   test("join2 left prefix leaves ts intact for downstream time nodes") {
     val out = DfsEngine.runSingle(
       """def s1 =
@@ -725,8 +741,13 @@ class DfsSpec extends AnyFunSuite {
         #""".stripMargin('#'), spark, sf)
     assert(out.columns.count(_ == "value") == 1)
     assert(!out.columns.contains("value_diff"))
-    // abs mode: every non-null diff is >= 0 (esp_value_diff.erl MODE_ABS)
+    // abs mode: every diff is >= 0 (esp_value_diff.erl MODE_ABS)
     assert(out.filter(col("value") < 0).count() == 0)
+    // first point per key keeps its current value (default/2 with
+    // .default undefined) — no NULLs are introduced by the diff
+    val srcNulls = Tables.events(spark, sf)
+      .filter(col("value").isNull).count()
+    assert(out.filter(col("value").isNull).count() == srcNulls)
   }
 
   test("time_diff defaults: as 'timediff', first point carries default 0") {
