@@ -71,14 +71,17 @@ object Paths {
   def deepMarker(root: String): String = "\u0000deep:" + root
   def leafMarker(field: String): String = "\u0000leaf:" + field
 
-  /** When recorded, [[ref]] judges deep paths against the node's input
-    * schema ([[withLenientSchema]]) — per-path precision the coarse
-    * markers cannot give (`"a.x"` invalid, `"b.x"` valid, same leaf
-    * name). Activated on RETRY only: a node whose frame redefines a root
-    * (eval writing a struct over a scalar) resolves strictly first, so
-    * the walk never pre-empts a path the extended frame would accept.
+  /** When a walk marker for leaf `x` is recorded, [[ref]] nulls exactly
+    * the deep paths whose extraction OF `x` the node-input schema proves
+    * impossible (the parent struct lacks it) — per-path precision the
+    * coarse leaf marker cannot give (`"a.x"` invalid, `"b.x"` valid).
+    * Scoped to the failing leaf so paths over OTHER fields are never
+    * judged: a ref like `"a.y"` that only resolves against the node's
+    * mid-plan extended frame (a root the same node redefined) is left
+    * strictly alone. Activated on RETRY only.
     */
-  val SchemaWalkMarker: String = "\u0000schema-walk"
+  def walkMarker(leaf: String): String = "\u0000walk:" + leaf
+  private val WalkPrefix = "\u0000walk:"
 
   private val lenientSchema =
     new ThreadLocal[Option[org.apache.spark.sql.types.StructType]] {
@@ -92,40 +95,45 @@ object Paths {
     try body finally lenientSchema.set(prev)
   }
 
-  /** True when the schema PROVES the path cannot resolve: a struct along
-    * the walk lacks the segment, or a scalar is extracted into. Maps and
-    * arrays are never "proven" (map lookups are runtime-null, getField
-    * maps over array elements), and an unknown root is left to the
-    * UNRESOLVED_COLUMN path.
+  /** True when the schema PROVES the path cannot extract `leaf`: the
+    * walk reaches a segment named `leaf` (case-insensitively, matching
+    * Spark's default resolution) whose parent struct lacks it. Any other
+    * outcome — unknown root, map/array navigation, a scalar base (the
+    * INVALID_EXTRACT handler's territory), `leaf` present — is not
+    * proven and the path resolves strictly.
     */
-  private def provenUndefined(st: org.apache.spark.sql.types.StructType,
-      segs: Seq[Seg]): Boolean = {
+  private def provenLacking(st: org.apache.spark.sql.types.StructType,
+      segs: Seq[Seg], leaf: String): Boolean = {
     import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def field(stt: StructType, name: String) =
+      stt.fields.find(_.name.equalsIgnoreCase(name))
     def step(t: DataType, idx: Option[Int]): Option[DataType] = idx match {
       case None => Some(t)
       case Some(_) => t match {
         case a: ArrayType => Some(a.elementType)
-        case _ => None // element_at on map/other: not proven either way
+        case _ => None
       }
     }
     def walk(t: DataType, rest: Seq[Seg]): Boolean = rest match {
       case Seq() => false
       case s +: more => t match {
-        case stt: StructType => stt.fields.find(_.name == s.name) match {
-          case None => true
-          case Some(f) => step(f.dataType, s.idx).exists(walk(_, more))
-        }
-        case _: MapType => false
-        case _: ArrayType => false
-        case _ => true // scalar base with segments remaining
+        case stt: StructType =>
+          if (s.name.equalsIgnoreCase(leaf) && field(stt, s.name).isEmpty)
+            true
+          else field(stt, s.name) match {
+            case None => false // different missing leaf: not this marker's call
+            case Some(f) => step(f.dataType, s.idx).exists(walk(_, more))
+          }
+        case _ => false
       }
     }
-    st.fields.find(_.name == segs.head.name) match {
+    field(st, segs.head.name) match {
       case None => false
       case Some(f) => step(f.dataType, segs.head.idx)
         .exists(walk(_, segs.tail))
     }
   }
+
 
   /** Un-record a root after the failing plan step succeeded — a name one
     * node's stream lacks may exist perfectly well in a later node or a
@@ -146,8 +154,12 @@ object Paths {
       if (knownMissing(deepMarker(segs.head.name)) ||
           segs.tail.exists(s => knownMissing(leafMarker(s.name))))
         return functions.lit(null)
-      if (knownMissing(SchemaWalkMarker) &&
-          lenientSchema.get.exists(provenUndefined(_, segs)))
+      val walkLeaves = Option(lenientMissing.get).map(m =>
+        m.toArray(Array.empty[String]).toSeq
+          .filter(_.startsWith(WalkPrefix)).map(_.stripPrefix(WalkPrefix)))
+        .getOrElse(Seq.empty)
+      if (walkLeaves.nonEmpty && lenientSchema.get.exists(st =>
+          walkLeaves.exists(provenLacking(st, segs, _))))
         return functions.lit(null)
     }
     // backtick-quote the root: a *-escaped name carries literal dots that

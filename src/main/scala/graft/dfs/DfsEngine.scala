@@ -73,7 +73,7 @@ object DfsEngine {
       }
       // the node's input schema backs the retry-time schema walk (null
       // exactly the deep paths the schema PROVES undefined — see
-      // Paths.SchemaWalkMarker for why it only activates on retry)
+      // Paths.walkMarker for why it only activates on retry)
       try graft.core.Paths.withLenientSchema(c.map(_.df.schema)) {
         planNodeLoop(nd, c, n, env, record)
       }
@@ -106,26 +106,26 @@ object DfsEngine {
           case e: org.apache.spark.sql.AnalysisException
               if Option(e.getCondition)
                 .exists(_.startsWith("INVALID_EXTRACT_BASE_FIELD_TYPE")) =>
-            // first retry: the per-path schema walk (precise). Fallback
-            // when the walk can't prove anything: the coarse deep marker
+            // the error names the scalar ROOT, so the deep marker is
+            // already per-root precise: only extractions INTO it null
             val base = Option(e.getMessageParameters.get("base")).getOrElse("")
             val root = base.stripPrefix("\"").takeWhile(_ != '"')
-            if (!record(graft.core.Paths.SchemaWalkMarker) &&
-                (root.isEmpty || !root.forall(ch => ch.isLetterOrDigit ||
-                  ch == '_' || ch == '.') ||
-                  !record(graft.core.Paths.deepMarker(root))))
+            if (root.isEmpty || !root.forall(ch => ch.isLetterOrDigit ||
+                ch == '_' || ch == '.') ||
+                !record(graft.core.Paths.deepMarker(root)))
               throw e
           // a struct that exists but lacks the referenced SUBfield
-          // (FIELD_NOT_FOUND names only the missing leaf) is the same
-          // undefined lookup: schema walk first, leaf-name marker as the
-          // last resort (it cannot tell roots apart)
+          // (FIELD_NOT_FOUND names only the missing leaf): the
+          // leaf-scoped schema walk nulls exactly the paths whose
+          // parent struct provably lacks that leaf; the coarse leaf
+          // marker is the last resort when the walk can't prove any
           case e: org.apache.spark.sql.AnalysisException
               if Option(e.getCondition)
                 .exists(_.startsWith("FIELD_NOT_FOUND")) =>
             val leaf = Option(e.getMessageParameters.get("fieldName"))
               .getOrElse("").replace("`", "")
-            if (!record(graft.core.Paths.SchemaWalkMarker) &&
-                (leaf.isEmpty ||
+            if (leaf.isEmpty ||
+                (!record(graft.core.Paths.walkMarker(leaf)) &&
                   !record(graft.core.Paths.leafMarker(leaf))))
               throw e
         }

@@ -239,10 +239,11 @@ object Planner {
 
   /** An `any`-typed option value as a comparable literal column — one
     * conversion path with the set/default nodes (valueToLit + the lambda
-    * compiler), so literal semantics cannot diverge between them.
+    * compiler, with the script's defs in scope), so literal semantics
+    * cannot diverge between them.
     */
-  private def valueLit(v: Value): Column =
-    lambdaColumn(valueToLit(v), Map.empty)
+  private def valueLit(v: Value, env: Env): Column =
+    lambdaColumn(valueToLit(v), env.defs)
 
   private def optStr(n: NodeSpec, name: String, env: Env): Option[String] =
     optVals(n, name, env).headOption.map {
@@ -559,7 +560,7 @@ object Planner {
               case Some(wv) =>
                 paths.filter(graft.core.Paths.has(ctx.df, _))
                   .foldLeft(ctx.df)((d, p) => Transforms.deleteWhen(
-                    d, p, graft.core.Paths.ref(p) === valueLit(wv)))
+                    d, p, graft.core.Paths.ref(p) === valueLit(wv, env)))
               case None => Transforms.delete(ctx.df, paths)
             }
         }
@@ -1013,12 +1014,17 @@ object Planner {
       // the first point per key has no previous value: it carries
       // .default when given, else its CURRENT field value — never NULL
       // (esp_value_diff.erl:73-74,85-86 default/2)
-      val dflt = optVals(n, "default", env).headOption.map(valueLit)
+      val dflt = optVals(n, "default", env).headOption.map(valueLit(_, env))
       fs.zip(as).foldLeft(ctx.df) { case (d, (f, a)) =>
         val diffed = StateOps.valueDiff(d, Paths.ref(f), mode, "_vd",
           keyCols(ctx), orderCols(ctx))
+        // a NULL current value has no diff field at all in the reference
+        // ({K, undefined} is skipped, esp_value_diff.erl:65-66) — it must
+        // stay NULL, never be fabricated into .default
+        val firstOrDiff = coalesce(col("_vd"), dflt.getOrElse(Paths.ref(f)))
         Paths.set(diffed, a,
-          coalesce(col("_vd"), dflt.getOrElse(Paths.ref(f)))).drop("_vd")
+          when(Paths.ref(f).isNull, lit(null)).otherwise(firstOrDiff))
+          .drop("_vd")
       }
     },
     "time_diff" -> bt(Set("as", "unit", "default")) { (ctx, n, env) =>
@@ -1027,7 +1033,7 @@ object Planner {
       // (esp_time_diff.erl:31-43)
       val as = optStr(n, "as", env).getOrElse("timediff")
       val dflt = optVals(n, "default", env).headOption
-        .map(valueLit).getOrElse(lit(0L))
+        .map(valueLit(_, env)).getOrElse(lit(0L))
       StateOps.timeDiff(ctx.df, col(ctx.tsMs), as,
           keyCols(ctx), orderCols(ctx))
         .withColumn(as, coalesce(col(s"`$as`"), dflt))
@@ -1158,31 +1164,65 @@ object Planner {
               else prefixes).headOption.getOrElse("")
             val vcols = right.df.columns.toSeq
               .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs)
+            // .fill(value): outer join with the value standing in for the
+            // ABSENT right point's fields (esp_join.erl:7-10); none/null
+            // leave NULLs, any other literal fills. The reference's maps
+            // are schemaless; on typed columns the fill applies only
+            // where the type can hold it (numeric fill → numeric
+            // columns, string → string, bool → bool), the rest stay NULL
+            val fillVal: Option[Value] =
+              optVals(n, "fill", env).headOption.filter {
+                case VStr("none") | VStr("null") => false
+                case _ => true
+              }
+            def fillFor(dt: org.apache.spark.sql.types.DataType)
+                : Option[Column] = fillVal.flatMap { v =>
+              val ok = (v, dt) match {
+                case (VNum(_, _) | VLong(_) | VDur(_, _),
+                  _: org.apache.spark.sql.types.NumericType) => true
+                case (VStr(_), org.apache.spark.sql.types.StringType) => true
+                case (VBool(_), org.apache.spark.sql.types.BooleanType) => true
+                case _ => false
+              }
+              if (ok) Some(valueLit(v, env).cast(dt)) else None
+            }
             if (prefix.nonEmpty) {
               val joined = Joins.asOfNearest(leftDf, right.df, ctx.keys,
                 ctx.tsMs, right.tsMs, vcols, prefix, Some(tol))
-              ctx.copy(df =
-                if (full) joined.filter(col(s"$prefix${right.tsMs}").isNotNull)
-                else joined)
+              val matched = col(s"$prefix${right.tsMs}").isNotNull
+              val filled = vcols.foldLeft(joined) { (d, f) =>
+                fillFor(d.schema(s"$prefix$f").dataType) match {
+                  case Some(fl) => d.withColumn(s"$prefix$f",
+                    when(matched, col(s"`$prefix$f`")).otherwise(fl))
+                  case None => d
+                }
+              }
+              ctx.copy(df = if (full) filled.filter(matched) else filled)
             } else {
-              // own-name landing: join under a temp prefix, then set each
-              // field into its real name so left duplicates overwrite.
-              // ts/tsMs are point metadata, not fields (same rule as the
-              // join2 left prefix): the left stream keeps its own clock —
-              // landing the right's ts would rewrite (or NULL, under
-              // full=false) every downstream window's event time
+              // own-name landing: join under a temp prefix, then land
+              // each field on its real name so left duplicates overwrite
+              // — but ONLY on matched rows: an unmatched row is the
+              // reference's partial row, which keeps the left point's
+              // own fields (esp_join.erl join/3 folds present ports
+              // only). ts/tsMs are point metadata, not fields (same
+              // rule as the join2 left prefix): the left stream keeps
+              // its own clock. withColumn lands the EXACT right column
+              // name (flat dotted/starred names need no escaping).
               val ownCols = vcols.filterNot(c0 => c0 == right.ts)
               val joined = Joins.asOfNearest(leftDf, right.df, ctx.keys,
                 ctx.tsMs, right.tsMs, ownCols, "_j_", Some(tol))
-              val base =
-                if (full) joined.filter(col(s"_j_${right.tsMs}").isNotNull)
-                else joined
-              // '*'-escape literal dots: a flat right column "a.b" must
-              // write the flat left column, not create a nested struct
-              val renamed = ownCols.foldLeft(base)((d, f) =>
-                Paths.set(d, f.replace(".", "*"), col(s"`_j_$f`"))
-                  .drop(s"_j_$f"))
-              ctx.copy(df = renamed.drop(s"_j_${right.tsMs}"))
+              val matched = col(s"_j_${right.tsMs}").isNotNull
+              val base = if (full) joined.filter(matched) else joined
+              val landed = ownCols.foldLeft(base) { (d, f) =>
+                val rightType = d.schema(s"_j_$f").dataType
+                val absent: Column =
+                  if (d.columns.contains(f)) col(s"`$f`")
+                  else fillFor(rightType).getOrElse(lit(null))
+                d.withColumn(f, when(matched, col(s"`_j_$f`"))
+                    .otherwise(absent))
+                  .drop(s"_j_$f")
+              }
+              ctx.copy(df = landed.drop(s"_j_${right.tsMs}"))
             }
         }
       }),

@@ -733,6 +733,53 @@ class DfsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("join partial rows keep the left point's own fields (full=false)") {
+    // near-zero tolerance → mostly unmatched rows; the colliding field
+    // 'value' must keep the LEFT value there (the reference's partial
+    // row folds present ports only), never an overwritten NULL
+    val out = DfsEngine.runSingle(
+      """def views =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view')
+        #
+        #def clicks =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #|group_by('user_id')
+        #
+        #clicks
+        #|join(views).tolerance(1ms).full(false)
+        #""".stripMargin('#'), spark, sf)
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+    assert(out.count() == clicks.count())
+    assert(out.filter(col("value").isNull).count() ==
+      clicks.filter(col("value").isNull).count())
+  }
+
+  test("join .fill value stands in for the absent right point's fields") {
+    val out = DfsEngine.runSingle(
+      """def views =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view')
+        #
+        #def clicks =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #|group_by('user_id')
+        #
+        #clicks
+        #|join(views).prefix('v_').tolerance(1ms).fill(-1)
+        #""".stripMargin('#'), spark, sf)
+    // fill implies outer: every click row survives, unmatched rows carry
+    // the fill value instead of NULL in the prefixed right fields
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+    assert(out.count() == clicks.count())
+    assert(out.filter(col("v_value").isNull).count() == 0)
+    assert(out.filter(col("v_value") === -1).count() > 0)
+  }
+
   test("value_diff defaults: mode abs, diff overwrites the field in place") {
     val out = DfsEngine.runSingle(
       """|parquet_read(.table('events'))
