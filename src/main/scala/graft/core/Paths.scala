@@ -78,10 +78,17 @@ object Paths {
     * Scoped to the failing leaf so paths over OTHER fields are never
     * judged: a ref like `"a.y"` that only resolves against the node's
     * mid-plan extended frame (a root the same node redefined) is left
-    * strictly alone. Activated on RETRY only.
+    * strictly alone. Known limit: a root redefined mid-node to ADD the
+    * failing leaf itself is still judged by the input schema (the
+    * evolving frame is not visible here). Activated on RETRY only.
     */
   def walkMarker(leaf: String): String = "\u0000walk:" + leaf
   private val WalkPrefix = "\u0000walk:"
+
+  /** Cheap presence flag recorded alongside any walk marker, so the
+    * common no-marker case costs one contains() instead of a set scan.
+    */
+  val WalkFlag: String = "\u0000walk#"
 
   private val lenientSchema =
     new ThreadLocal[Option[org.apache.spark.sql.types.StructType]] {
@@ -151,16 +158,23 @@ object Paths {
     val segs = parse(path)
     if (knownMissing(segs.head.name)) return functions.lit(null)
     if (segs.tail.nonEmpty) {
-      if (knownMissing(deepMarker(segs.head.name)) ||
+      // deep markers apply to every PROPER prefix of the path: a scalar
+      // base may sit below the root ("a.b.c" failing with base "a.b"),
+      // and any extraction past it is equally undefined
+      val prefixes = (1 until segs.length)
+        .map(i => segs.take(i).map(_.name).mkString("."))
+      if (prefixes.exists(pfx => knownMissing(deepMarker(pfx))) ||
           segs.tail.exists(s => knownMissing(leafMarker(s.name))))
         return functions.lit(null)
-      val walkLeaves = Option(lenientMissing.get).map(m =>
-        m.toArray(Array.empty[String]).toSeq
-          .filter(_.startsWith(WalkPrefix)).map(_.stripPrefix(WalkPrefix)))
-        .getOrElse(Seq.empty)
-      if (walkLeaves.nonEmpty && lenientSchema.get.exists(st =>
-          walkLeaves.exists(provenLacking(st, segs, _))))
-        return functions.lit(null)
+      if (knownMissing(WalkFlag)) {
+        val walkLeaves = Option(lenientMissing.get).map(m =>
+          m.toArray(Array.empty[String]).toSeq
+            .filter(_.startsWith(WalkPrefix)).map(_.stripPrefix(WalkPrefix)))
+          .getOrElse(Seq.empty)
+        if (walkLeaves.nonEmpty && lenientSchema.get.exists(st =>
+            walkLeaves.exists(provenLacking(st, segs, _))))
+          return functions.lit(null)
+      }
     }
     // backtick-quote the root: a *-escaped name carries literal dots that
     // col() would otherwise re-split into nesting

@@ -124,6 +124,7 @@ object DfsEngine {
                 .exists(_.startsWith("FIELD_NOT_FOUND")) =>
             val leaf = Option(e.getMessageParameters.get("fieldName"))
               .getOrElse("").replace("`", "")
+            record(graft.core.Paths.WalkFlag) // cheap gate for ref()
             if (leaf.isEmpty ||
                 (!record(graft.core.Paths.walkMarker(leaf)) &&
                   !record(graft.core.Paths.leafMarker(leaf))))

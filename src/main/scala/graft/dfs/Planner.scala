@@ -1131,10 +1131,16 @@ object Planner {
         val right = env.frames(rightRef)
         val tol = optDurMs(n, "tolerance", env).getOrElse(2000L) // ref default 2s
         // full=true (default): complete rows only (inner) — esp_join.erl:62,
-        // 70; full=false or a .fill(value) → emit partials (outer).
+        // 70. An ACTIVE .fill flips to partials (outer); fill('none') and
+        // fill(false) are fill-disabled and keep the inner join
+        // (esp_join.erl:70,221-223 FullFill = not fill(Fill)).
+        val fillActive = optVals(n, "fill", env).headOption.exists {
+          case VStr("none") | VBool(false) => false
+          case _ => true
+        }
         val full = optVals(n, "full", env).headOption match {
           case Some(VBool(b)) => b
-          case _ => !n.options.contains("fill")
+          case _ => !fillActive
         }
         optStr(n, "merge_field", env) match {
           case Some(mf) =>
@@ -1172,7 +1178,7 @@ object Planner {
             // columns, string → string, bool → bool), the rest stay NULL
             val fillVal: Option[Value] =
               optVals(n, "fill", env).headOption.filter {
-                case VStr("none") | VStr("null") => false
+                case VStr("none") | VStr("null") | VBool(false) => false
                 case _ => true
               }
             def fillFor(dt: org.apache.spark.sql.types.DataType)
@@ -1214,13 +1220,22 @@ object Planner {
               val matched = col(s"_j_${right.tsMs}").isNotNull
               val base = if (full) joined.filter(matched) else joined
               val landed = ownCols.foldLeft(base) { (d, f) =>
+                val rCol = col(s"`_j_$f`")
                 val rightType = d.schema(s"_j_$f").dataType
-                val absent: Column =
-                  if (d.columns.contains(f)) col(s"`$f`")
-                  else fillFor(rightType).getOrElse(lit(null))
-                d.withColumn(f, when(matched, col(s"`_j_$f`"))
-                    .otherwise(absent))
-                  .drop(s"_j_$f")
+                val newCol: Column =
+                  if (full) rCol // every surviving row matched: plain
+                  // overwrite, no when/otherwise type unification
+                  else if (d.columns.contains(f) &&
+                      d.schema(f).dataType == rightType)
+                    when(matched, rCol).otherwise(col(s"`$f`"))
+                  else if (d.columns.contains(f))
+                    // colliding but differently-typed: partial rows get
+                    // NULL — when/otherwise over unrelated types would
+                    // fail (or silently coerce) at plan time
+                    when(matched, rCol)
+                  else when(matched, rCol)
+                    .otherwise(fillFor(rightType).getOrElse(lit(null)))
+                d.withColumn(f, newCol).drop(s"_j_$f")
               }
               ctx.copy(df = landed.drop(s"_j_${right.tsMs}"))
             }

@@ -733,6 +733,42 @@ class DfsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("lenient: extraction past a NESTED scalar is undefined, base stays real") {
+    // p.v is BIGINT inside struct p: "p.v.deep" is undefined (the deep
+    // marker must match the dotted prefix p.v, not just the root), while
+    // "p.v" itself keeps resolving in the same node
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('events'))
+        #|eval(lambda: str_concat('{"v":', string(int("value")), '}')).as('j')
+        #|parser(.field('j').schema('v BIGINT').as('p'))
+        #|eval(lambda: "p.v", lambda: "p.v.deep").as('pv', 'pvd')
+        #""".stripMargin('#'), spark, sf)
+    assert(out.filter(col("pvd").isNotNull).count() == 0)
+    assert(out.filter(col("pv").isNull).count() == 0)
+  }
+
+  test("join .fill('none') keeps the inner join (fill-disabled)") {
+    // esp_join.erl: FullFill = not fill(Fill), fill(none) -> false — the
+    // mere presence of .fill must not flip to partial rows
+    val out = DfsEngine.runSingle(
+      """def views =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view')
+        #
+        #def clicks =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #|group_by('user_id')
+        #
+        #clicks
+        #|join(views).prefix('v_').tolerance(1ms).fill('none')
+        #""".stripMargin('#'), spark, sf)
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(out.count() < clicks) // partial rows dropped (inner)
+    assert(out.filter(col("v_value").isNull).count() == 0)
+  }
+
   test("join partial rows keep the left point's own fields (full=false)") {
     // near-zero tolerance → mostly unmatched rows; the colliding field
     // 'value' must keep the LEFT value there (the reference's partial
