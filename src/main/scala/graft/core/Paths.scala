@@ -68,8 +68,13 @@ object Paths {
     *    Spark's FIELD_NOT_FOUND reports only the missing field name, so
     *    the marker nulls deep refs whose extraction path uses that name.
     */
-  def deepMarker(root: String): String = "\u0000deep:" + root
-  def leafMarker(field: String): String = "\u0000leaf:" + field
+  // lower-cased: the record side carries Spark's schema-cased rendering
+  // while lookups carry the script's spelling, and resolution is
+  // case-insensitive — the marker must match either way
+  def deepMarker(root: String): String =
+    "\u0000deep:" + root.toLowerCase(java.util.Locale.ROOT)
+  def leafMarker(field: String): String =
+    "\u0000leaf:" + field.toLowerCase(java.util.Locale.ROOT)
 
   /** When a walk marker for leaf `x` is recorded, [[ref]] nulls exactly
     * the deep paths whose extraction OF `x` the node-input schema proves
@@ -156,17 +161,22 @@ object Paths {
   /** Column reference for a dot-path (1-based array indexing). */
   def ref(path: String): Column = {
     val segs = parse(path)
-    if (knownMissing(segs.head.name)) return functions.lit(null)
+    val lm = lenientMissing.get
+    if (lm == null || lm.isEmpty) return strictRef(segs)
+    if (lm.contains(segs.head.name)) return functions.lit(null)
     if (segs.tail.nonEmpty) {
       // deep markers apply to every PROPER prefix of the path: a scalar
       // base may sit below the root ("a.b.c" failing with base "a.b"),
-      // and any extraction past it is equally undefined
+      // and any extraction past it is equally undefined. (The error's
+      // base renders '*'-escaped flat keys with plain dots, so a flat
+      // "a.b" column and a nested a.b path share one marker string —
+      // inherent to the error's rendering, pathological in practice.)
       val prefixes = (1 until segs.length)
         .map(i => segs.take(i).map(_.name).mkString("."))
-      if (prefixes.exists(pfx => knownMissing(deepMarker(pfx))) ||
-          segs.tail.exists(s => knownMissing(leafMarker(s.name))))
+      if (prefixes.exists(pfx => lm.contains(deepMarker(pfx))) ||
+          segs.tail.exists(s => lm.contains(leafMarker(s.name))))
         return functions.lit(null)
-      if (knownMissing(WalkFlag)) {
+      if (lm.contains(WalkFlag)) {
         val walkLeaves = Option(lenientMissing.get).map(m =>
           m.toArray(Array.empty[String]).toSeq
             .filter(_.startsWith(WalkPrefix)).map(_.stripPrefix(WalkPrefix)))
@@ -176,8 +186,12 @@ object Paths {
           return functions.lit(null)
       }
     }
-    // backtick-quote the root: a *-escaped name carries literal dots that
-    // col() would otherwise re-split into nesting
+    strictRef(segs)
+  }
+
+  // backtick-quote the root: a *-escaped name carries literal dots that
+  // col() would otherwise re-split into nesting
+  private def strictRef(segs: Seq[Seg]): Column = {
     val head = withIdx(functions.col(s"`${segs.head.name}`"), segs.head.idx)
     segs.tail.foldLeft(head)((c, s) => withIdx(c.getField(s.name), s.idx))
   }

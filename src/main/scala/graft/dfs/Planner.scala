@@ -1130,16 +1130,19 @@ object Planner {
           .getOrElse(throw DfsError("join needs a stream reference: |join(other)"))
         val right = env.frames(rightRef)
         val tol = optDurMs(n, "tolerance", env).getOrElse(2000L) // ref default 2s
-        // full=true (default): complete rows only (inner) — esp_join.erl:62,
-        // 70. An ACTIVE .fill flips to partials (outer); fill('none') and
-        // fill(false) are fill-disabled and keep the inner join
-        // (esp_join.erl:70,221-223 FullFill = not fill(Fill)).
-        val fillActive = optVals(n, "fill", env).headOption.exists {
-          case VStr("none") | VBool(false) => false
-          case _ => true
+        // full semantics (esp_join.erl:70 FullFill = case Full of
+        // false -> false; true -> not fill(Fill)): .full(false) is
+        // always partial; otherwise an ACTIVE .fill forces partials
+        // even under explicit .full(true). fill('none')/fill(false)
+        // are fill-disabled; fill('null') is active but fills nothing.
+        val fillOpt = optVals(n, "fill", env).headOption
+        def fillDisabled(v: Value): Boolean = v match {
+          case VStr("none") | VBool(false) => true
+          case _ => false
         }
+        val fillActive = fillOpt.exists(v => !fillDisabled(v))
         val full = optVals(n, "full", env).headOption match {
-          case Some(VBool(b)) => b
+          case Some(VBool(false)) => false
           case _ => !fillActive
         }
         optStr(n, "merge_field", env) match {
@@ -1177,10 +1180,7 @@ object Planner {
             // where the type can hold it (numeric fill → numeric
             // columns, string → string, bool → bool), the rest stay NULL
             val fillVal: Option[Value] =
-              optVals(n, "fill", env).headOption.filter {
-                case VStr("none") | VStr("null") | VBool(false) => false
-                case _ => true
-              }
+              fillOpt.filter(v => !fillDisabled(v) && v != VStr("null"))
             def fillFor(dt: org.apache.spark.sql.types.DataType)
                 : Option[Column] = fillVal.flatMap { v =>
               val ok = (v, dt) match {
@@ -1222,14 +1222,21 @@ object Planner {
               val landed = ownCols.foldLeft(base) { (d, f) =>
                 val rCol = col(s"`_j_$f`")
                 val rightType = d.schema(s"_j_$f").dataType
+                def unifiable(lt: org.apache.spark.sql.types.DataType) =
+                  org.apache.spark.sql.graftbridge.ColumnBridge
+                    .sameType(lt, rightType) ||
+                    (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+                      rightType.isInstanceOf[org.apache.spark.sql.types.NumericType])
                 val newCol: Column =
                   if (full) rCol // every surviving row matched: plain
                   // overwrite, no when/otherwise type unification
                   else if (d.columns.contains(f) &&
-                      d.schema(f).dataType == rightType)
+                      unifiable(d.schema(f).dataType))
+                    // same type (modulo nullability/case) or both
+                    // numeric — Spark's CaseWhen coercion is sound there
                     when(matched, rCol).otherwise(col(s"`$f`"))
                   else if (d.columns.contains(f))
-                    // colliding but differently-typed: partial rows get
+                    // colliding, non-unifiable types: partial rows get
                     // NULL — when/otherwise over unrelated types would
                     // fail (or silently coerce) at plan time
                     when(matched, rCol)

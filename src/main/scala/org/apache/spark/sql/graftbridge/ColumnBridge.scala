@@ -18,6 +18,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataType.sameType (case/nullability-insensitive equality) is also
+    * `private[sql]`.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean = a.sameType(b)
+
   /** Register a function description into an already-running session's
     * FunctionRegistry (the registry lives behind `private[sql]`
     * sessionState). Complements the `spark.sql.extensions` config path,
