@@ -1278,15 +1278,63 @@ object Planner {
           }
         val rightPrefixes =
           if (prefixes.size > refs.size) prefixes.drop(1) else prefixes
-        val joined = refs.zipWithIndex.foldLeft(left0) { case (d, (r, i)) =>
-          val right = env.frames(r)
-          val prefix = rightPrefixes.lift(i).getOrElse(s"r${i + 1}_")
+        // prefixes default EMPTY per port (esp_join2.erl options) — an
+        // empty prefix lands the right's fields under their own names;
+        // full=true (default) emits only rows where EVERY joined stream
+        // matched (esp_join2.erl:61,136-138 is_full_row)
+        val full = optVals(n, "full", env).headOption match {
+          case Some(VBool(b)) => b
+          case _ => !n.options.contains("fill")
+        }
+        val rights = refs.zipWithIndex.map { case (r, i) =>
+          (env.frames(r), rightPrefixes.lift(i).getOrElse(""), s"_j${i}_")
+        }
+        val joined = rights.foldLeft(left0) { case (d, (right, prefix, tmp)) =>
           val vcols = right.df.columns.toSeq
             .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs)
-          Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs, right.tsMs,
-            vcols, prefix, Some(tol))
+          if (prefix.nonEmpty)
+            Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs, right.tsMs,
+              vcols, prefix, Some(tol))
+          else
+            Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs, right.tsMs,
+              vcols.filterNot(_ == right.ts), tmp, Some(tol))
         }
-        ctx.copy(df = joined)
+        def matchCol(right: Ctx, prefix: String, tmp: String) =
+          col(s"${if (prefix.nonEmpty) prefix else tmp}${right.tsMs}")
+            .isNotNull
+        val base =
+          if (full)
+            joined.filter(rights.map((matchCol _).tupled).reduce(_ && _))
+          else joined
+        // land the own-name (empty-prefix) streams; fold order = port
+        // order, so a later stream's same-named field wins (the
+        // reference's set_fields fold)
+        val landed = rights.foldLeft(base) {
+          case (d, (right, prefix, tmp)) if prefix.isEmpty =>
+            val ownCols = right.df.columns.toSeq
+              .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs ||
+                c0 == right.ts)
+            val m = matchCol(right, prefix, tmp)
+            ownCols.foldLeft(d) { (d2, f) =>
+              val rCol = col(s"`$tmp$f`")
+              val rightType = d2.schema(s"$tmp$f").dataType
+              def unifiable(lt: org.apache.spark.sql.types.DataType) =
+                org.apache.spark.sql.graftbridge.ColumnBridge
+                  .sameType(lt, rightType) ||
+                  (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+                    rightType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+              val newCol =
+                if (full) rCol
+                else if (d2.columns.contains(f) &&
+                    unifiable(d2.schema(f).dataType))
+                  when(m, rCol).otherwise(col(s"`$f`"))
+                else if (d2.columns.contains(f)) when(m, rCol)
+                else when(m, rCol).otherwise(lit(null))
+              d2.withColumn(f, newCol).drop(s"$tmp$f")
+            }.drop(s"$tmp${right.tsMs}")
+          case (d, _) => d
+        }
+        ctx.copy(df = landed)
       }),
 
     // collect_fields — latest value of each listed field combined into one

@@ -845,6 +845,28 @@ class DfsSpec extends AnyFunSuite {
     assert(out.filter(col("timediff") === 0).count() >= nKeys)
   }
 
+  test("join2 defaults: empty prefixes land own names; full rows only") {
+    // esp_join2.erl options: prefix defaults ["",""], full defaults true
+    val out = DfsEngine.runSingle(
+      """def views =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view')
+        #
+        #def clicks =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #|group_by('user_id')
+        #
+        #clicks
+        #|join2(views).tolerance(1h)
+        #""".stripMargin('#'), spark, sf)
+    assert(out.columns.count(_ == "value") == 1)
+    assert(!out.columns.exists(c => c.startsWith("r1_") || c.startsWith("_j")))
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(out.count() > 0 && out.count() <= clicks)
+  }
+
   test("a self-referential stream is a clean error, not a stack overflow") {
     val e = intercept[Ir.DfsError] {
       DfsEngine.run(
