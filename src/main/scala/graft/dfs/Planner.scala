@@ -245,6 +245,76 @@ object Planner {
   private def valueLit(v: Value, env: Env): Column =
     lambdaColumn(valueToLit(v), env.defs)
 
+  // ---- shared join/join2 fill + landing machinery ------------------------
+  // esp_join.erl:7-10, esp_join2.erl header: fill none/false = disabled
+  // (inner join); 'null' = outer with NULLs; any other literal = outer
+  // with the value standing in for the absent point's fields.
+  private def fillDisabledValue(v: Value): Boolean = v match {
+    case VStr("none") | VBool(false) => true
+    case _ => false
+  }
+
+  /** (fillActive, full, fillVal) — the FullFill truth table
+    * (`FullFill = case Full of false -> false; true -> not fill(Fill)`):
+    * .full(false) is always partial; otherwise an ACTIVE fill forces
+    * partial emission even under explicit .full(true).
+    */
+  private def fillAndFull(n: NodeSpec, env: Env)
+      : (Boolean, Boolean, Option[Value]) = {
+    val fillOpt = optVals(n, "fill", env).headOption
+    val fillActive = fillOpt.exists(v => !fillDisabledValue(v))
+    val full = optVals(n, "full", env).headOption match {
+      case Some(VBool(false)) => false
+      case _ => !fillActive
+    }
+    (fillActive, full, fillOpt.filter(v =>
+      !fillDisabledValue(v) && v != VStr("null")))
+  }
+
+  /** The fill literal for one column, applied only where the type can
+    * hold it (the reference's maps are schemaless; typed columns take a
+    * numeric fill on numeric columns, string on string, bool on bool).
+    */
+  private def fillFor(fillVal: Option[Value], env: Env,
+      dt: org.apache.spark.sql.types.DataType): Option[Column] =
+    fillVal.flatMap { v =>
+      val ok = (v, dt) match {
+        case (VNum(_, _) | VLong(_) | VDur(_, _),
+          _: org.apache.spark.sql.types.NumericType) => true
+        case (VStr(_), org.apache.spark.sql.types.StringType) => true
+        case (VBool(_), org.apache.spark.sql.types.BooleanType) => true
+        case _ => false
+      }
+      if (ok) Some(valueLit(v, env).cast(dt)) else None
+    }
+
+  /** Own-name landing shared by join and join2: each right field lands
+    * on its exact column name (later streams overwrite — the reference's
+    * set_fields fold). Under full=true every surviving row matched, so
+    * the landing is a plain overwrite; under partial emission, colliding
+    * columns keep the left value where CaseWhen coercion is sound (same
+    * type or both numeric) and non-colliding ones take the fill value.
+    */
+  private def landOwnCols(d0: DataFrame, ownCols: Seq[String], tmp: String,
+      matched: Column, full: Boolean, fillVal: Option[Value],
+      env: Env): DataFrame =
+    ownCols.foldLeft(d0) { (d, f) =>
+      val rCol = col(s"`$tmp$f`")
+      val rightType = d.schema(s"$tmp$f").dataType
+      def unifiable(lt: org.apache.spark.sql.types.DataType) =
+        org.apache.spark.sql.graftbridge.ColumnBridge.sameType(lt, rightType) ||
+          (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+            rightType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      val newCol: Column =
+        if (full) rCol
+        else if (d.columns.contains(f) && unifiable(d.schema(f).dataType))
+          when(matched, rCol).otherwise(col(s"`$f`"))
+        else if (d.columns.contains(f)) when(matched, rCol)
+        else when(matched, rCol)
+          .otherwise(fillFor(fillVal, env, rightType).getOrElse(lit(null)))
+      d.withColumn(f, newCol).drop(s"$tmp$f")
+    }
+
   private def optStr(n: NodeSpec, name: String, env: Env): Option[String] =
     optVals(n, name, env).headOption.map {
       case VStr(s) => s
@@ -1130,21 +1200,7 @@ object Planner {
           .getOrElse(throw DfsError("join needs a stream reference: |join(other)"))
         val right = env.frames(rightRef)
         val tol = optDurMs(n, "tolerance", env).getOrElse(2000L) // ref default 2s
-        // full semantics (esp_join.erl:70 FullFill = case Full of
-        // false -> false; true -> not fill(Fill)): .full(false) is
-        // always partial; otherwise an ACTIVE .fill forces partials
-        // even under explicit .full(true). fill('none')/fill(false)
-        // are fill-disabled; fill('null') is active but fills nothing.
-        val fillOpt = optVals(n, "fill", env).headOption
-        def fillDisabled(v: Value): Boolean = v match {
-          case VStr("none") | VBool(false) => true
-          case _ => false
-        }
-        val fillActive = fillOpt.exists(v => !fillDisabled(v))
-        val full = optVals(n, "full", env).headOption match {
-          case Some(VBool(false)) => false
-          case _ => !fillActive
-        }
+        val (_, full, fillVal) = fillAndFull(n, env)
         optStr(n, "merge_field", env) match {
           case Some(mf) =>
             val joined = Joins.asOfNearest(ctx.df, right.df, ctx.keys,
@@ -1173,31 +1229,12 @@ object Planner {
               else prefixes).headOption.getOrElse("")
             val vcols = right.df.columns.toSeq
               .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs)
-            // .fill(value): outer join with the value standing in for the
-            // ABSENT right point's fields (esp_join.erl:7-10); none/null
-            // leave NULLs, any other literal fills. The reference's maps
-            // are schemaless; on typed columns the fill applies only
-            // where the type can hold it (numeric fill → numeric
-            // columns, string → string, bool → bool), the rest stay NULL
-            val fillVal: Option[Value] =
-              fillOpt.filter(v => !fillDisabled(v) && v != VStr("null"))
-            def fillFor(dt: org.apache.spark.sql.types.DataType)
-                : Option[Column] = fillVal.flatMap { v =>
-              val ok = (v, dt) match {
-                case (VNum(_, _) | VLong(_) | VDur(_, _),
-                  _: org.apache.spark.sql.types.NumericType) => true
-                case (VStr(_), org.apache.spark.sql.types.StringType) => true
-                case (VBool(_), org.apache.spark.sql.types.BooleanType) => true
-                case _ => false
-              }
-              if (ok) Some(valueLit(v, env).cast(dt)) else None
-            }
             if (prefix.nonEmpty) {
               val joined = Joins.asOfNearest(leftDf, right.df, ctx.keys,
                 ctx.tsMs, right.tsMs, vcols, prefix, Some(tol))
               val matched = col(s"$prefix${right.tsMs}").isNotNull
               val filled = vcols.foldLeft(joined) { (d, f) =>
-                fillFor(d.schema(s"$prefix$f").dataType) match {
+                fillFor(fillVal, env, d.schema(s"$prefix$f").dataType) match {
                   case Some(fl) => d.withColumn(s"$prefix$f",
                     when(matched, col(s"`$prefix$f`")).otherwise(fl))
                   case None => d
@@ -1205,45 +1242,19 @@ object Planner {
               }
               ctx.copy(df = if (full) filled.filter(matched) else filled)
             } else {
-              // own-name landing: join under a temp prefix, then land
-              // each field on its real name so left duplicates overwrite
-              // — but ONLY on matched rows: an unmatched row is the
-              // reference's partial row, which keeps the left point's
-              // own fields (esp_join.erl join/3 folds present ports
-              // only). ts/tsMs are point metadata, not fields (same
-              // rule as the join2 left prefix): the left stream keeps
-              // its own clock. withColumn lands the EXACT right column
-              // name (flat dotted/starred names need no escaping).
-              val ownCols = vcols.filterNot(c0 => c0 == right.ts)
+              // own-name landing ([[landOwnCols]]): ts/tsMs are point
+              // metadata, not fields (same rule as the join2 left
+              // prefix) — the left stream keeps its own clock, and a
+              // right DATA field named like the left's time columns
+              // must not rewrite them either
+              val ownCols = vcols.filterNot(c0 => c0 == right.ts ||
+                c0 == ctx.ts || c0 == ctx.tsMs)
               val joined = Joins.asOfNearest(leftDf, right.df, ctx.keys,
                 ctx.tsMs, right.tsMs, ownCols, "_j_", Some(tol))
               val matched = col(s"_j_${right.tsMs}").isNotNull
               val base = if (full) joined.filter(matched) else joined
-              val landed = ownCols.foldLeft(base) { (d, f) =>
-                val rCol = col(s"`_j_$f`")
-                val rightType = d.schema(s"_j_$f").dataType
-                def unifiable(lt: org.apache.spark.sql.types.DataType) =
-                  org.apache.spark.sql.graftbridge.ColumnBridge
-                    .sameType(lt, rightType) ||
-                    (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-                      rightType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-                val newCol: Column =
-                  if (full) rCol // every surviving row matched: plain
-                  // overwrite, no when/otherwise type unification
-                  else if (d.columns.contains(f) &&
-                      unifiable(d.schema(f).dataType))
-                    // same type (modulo nullability/case) or both
-                    // numeric — Spark's CaseWhen coercion is sound there
-                    when(matched, rCol).otherwise(col(s"`$f`"))
-                  else if (d.columns.contains(f))
-                    // colliding, non-unifiable types: partial rows get
-                    // NULL — when/otherwise over unrelated types would
-                    // fail (or silently coerce) at plan time
-                    when(matched, rCol)
-                  else when(matched, rCol)
-                    .otherwise(fillFor(rightType).getOrElse(lit(null)))
-                d.withColumn(f, newCol).drop(s"_j_$f")
-              }
+              val landed =
+                landOwnCols(base, ownCols, "_j_", matched, full, fillVal, env)
               ctx.copy(df = landed.drop(s"_j_${right.tsMs}"))
             }
         }
@@ -1280,61 +1291,65 @@ object Planner {
           if (prefixes.size > refs.size) prefixes.drop(1) else prefixes
         // prefixes default EMPTY per port (esp_join2.erl options) — an
         // empty prefix lands the right's fields under their own names;
+        // full/fill follow the shared FullFill truth table, and
         // full=true (default) emits only rows where EVERY joined stream
         // matched (esp_join2.erl:61,136-138 is_full_row)
-        val full = optVals(n, "full", env).headOption match {
-          case Some(VBool(b)) => b
-          case _ => !n.options.contains("fill")
-        }
+        val (_, full, fillVal) = fillAndFull(n, env)
         val rights = refs.zipWithIndex.map { case (r, i) =>
           (env.frames(r), rightPrefixes.lift(i).getOrElse(""), s"_j${i}_")
         }
-        val joined = rights.foldLeft(left0) { case (d, (right, prefix, tmp)) =>
-          val vcols = right.df.columns.toSeq
-            .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs)
-          if (prefix.nonEmpty)
-            Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs, right.tsMs,
-              vcols, prefix, Some(tol))
-          else
-            Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs, right.tsMs,
-              vcols.filterNot(_ == right.ts), tmp, Some(tol))
+        optStr(n, "merge_field", env) match {
+          case Some(mf) =>
+            // merge mode (esp_join2 conflate/merge): the merge field of
+            // every matched stream folds into the left's value, port
+            // order (numbers add / strings concat / maps merge)
+            val merged = rights.foldLeft(ctx.df) { case (d, (right, _, tmp)) =>
+              val j = Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs,
+                right.tsMs, Seq(mf), tmp, Some(tol))
+              val matched = col(s"$tmp${right.tsMs}").isNotNull
+              val base = if (full) j.filter(matched) else j
+              Joins.mergeValues(base, mf, s"$tmp$mf", mf)
+                .drop(s"$tmp$mf", s"$tmp${right.tsMs}")
+            }
+            ctx.copy(df = merged)
+          case None =>
+            val joined = rights.foldLeft(left0) { case (d, (right, prefix, tmp)) =>
+              val vcols = right.df.columns.toSeq
+                .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs)
+              if (prefix.nonEmpty)
+                Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs, right.tsMs,
+                  vcols, prefix, Some(tol))
+              else
+                Joins.asOfNearest(d, right.df, ctx.keys, ctx.tsMs, right.tsMs,
+                  vcols.filterNot(c0 => c0 == right.ts || c0 == ctx.ts ||
+                    c0 == ctx.tsMs), tmp, Some(tol))
+            }
+            def matchCol(right: Ctx, prefix: String, tmp: String) =
+              col(s"${if (prefix.nonEmpty) prefix else tmp}${right.tsMs}")
+                .isNotNull
+            val base =
+              if (full)
+                joined.filter(rights.map((matchCol _).tupled).reduce(_ && _))
+              else joined
+            // land the own-name (empty-prefix) streams via the shared
+            // helper; fold order = port order, so a later stream's
+            // same-named field wins (the reference's set_fields fold).
+            // The LEFT's clock columns (ctx.ts/ctx.tsMs) are excluded
+            // from landing along with the right's — a right data field
+            // named like the left's time column must not rewrite it.
+            val landed = rights.foldLeft(base) {
+              case (d, (right, prefix, tmp)) if prefix.isEmpty =>
+                val ownCols = right.df.columns.toSeq
+                  .filterNot(c0 => ctx.keys.contains(c0) ||
+                    c0 == right.tsMs || c0 == right.ts ||
+                    c0 == ctx.ts || c0 == ctx.tsMs)
+                landOwnCols(d, ownCols, tmp, matchCol(right, prefix, tmp),
+                    full, fillVal, env)
+                  .drop(s"$tmp${right.tsMs}")
+              case (d, _) => d
+            }
+            ctx.copy(df = landed)
         }
-        def matchCol(right: Ctx, prefix: String, tmp: String) =
-          col(s"${if (prefix.nonEmpty) prefix else tmp}${right.tsMs}")
-            .isNotNull
-        val base =
-          if (full)
-            joined.filter(rights.map((matchCol _).tupled).reduce(_ && _))
-          else joined
-        // land the own-name (empty-prefix) streams; fold order = port
-        // order, so a later stream's same-named field wins (the
-        // reference's set_fields fold)
-        val landed = rights.foldLeft(base) {
-          case (d, (right, prefix, tmp)) if prefix.isEmpty =>
-            val ownCols = right.df.columns.toSeq
-              .filterNot(c0 => ctx.keys.contains(c0) || c0 == right.tsMs ||
-                c0 == right.ts)
-            val m = matchCol(right, prefix, tmp)
-            ownCols.foldLeft(d) { (d2, f) =>
-              val rCol = col(s"`$tmp$f`")
-              val rightType = d2.schema(s"$tmp$f").dataType
-              def unifiable(lt: org.apache.spark.sql.types.DataType) =
-                org.apache.spark.sql.graftbridge.ColumnBridge
-                  .sameType(lt, rightType) ||
-                  (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
-                    rightType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-              val newCol =
-                if (full) rCol
-                else if (d2.columns.contains(f) &&
-                    unifiable(d2.schema(f).dataType))
-                  when(m, rCol).otherwise(col(s"`$f`"))
-                else if (d2.columns.contains(f)) when(m, rCol)
-                else when(m, rCol).otherwise(lit(null))
-              d2.withColumn(f, newCol).drop(s"$tmp$f")
-            }.drop(s"$tmp${right.tsMs}")
-          case (d, _) => d
-        }
-        ctx.copy(df = landed)
       }),
 
     // collect_fields — latest value of each listed field combined into one
