@@ -309,7 +309,13 @@ object Planner {
         if (full) rCol
         else if (d.columns.contains(f) && unifiable(d.schema(f).dataType))
           when(matched, rCol).otherwise(col(s"`$f`"))
-        else if (d.columns.contains(f)) when(matched, rCol)
+        else if (d.columns.contains(f))
+          // non-unifiable type collision: the reference keeps the left
+          // value when the joined port is absent (esp_join.erl:182-196 —
+          // set_fields only folds over PRESENT ports), so render both
+          // sides to string rather than nulling the unmatched left
+          when(matched, rCol.cast("string"))
+            .otherwise(col(s"`$f`").cast("string"))
         else when(matched, rCol)
           .otherwise(fillFor(fillVal, env, rightType).getOrElse(lit(null)))
       d.withColumn(f, newCol).drop(s"$tmp$f")
@@ -1126,6 +1132,18 @@ object Planner {
         val right = env.frames(rightRef)
         val keys = optStrs(n, "keys", env)
         val tol = optDurMs(n, "tolerance", env)
+        // cold-buffer rule (esp_combine.erl:94-95): a trigger point that
+        // arrives before any port-2 value is DROPPED ("No output is
+        // given, if there has never arrived a value on port 2") — with
+        // `.nofill` it passes through UNCHANGED instead (combine/merge
+        // with `undefined` return the point as-is). In batch, "cold" =
+        // no right row at-or-before the trigger ts (within .tolerance —
+        // a graft extension; the reference always takes the latest
+        // buffered row). Landed fields therefore gate on match-ness:
+        // a colliding left field is never overwritten with NULL.
+        val noFill = optFlag(n, "nofill", env)
+        def coldDrop(joined: DataFrame, rts: String): DataFrame =
+          if (noFill) joined else joined.filter(col(s"`$rts`").isNotNull)
         def resolvable(df: org.apache.spark.sql.DataFrame, p: String) =
           try { df.select(Paths.ref(p)); true }
           catch { case _: org.apache.spark.sql.AnalysisException => false }
@@ -1137,17 +1155,22 @@ object Planner {
             // reference — the merge degenerates to the other side's value
             // (or a pass-through when neither side has it).
             (resolvable(ctx.df, mf), resolvable(right.df, mf)) match {
-              case (true, true) =>
+              case (_, false) if noFill => ctx // nothing to merge in
+              case (_, false) =>
+                // still subject to the cold-buffer rule: join on the ts
+                // alone to find which trigger rows had a warm buffer
                 val joined = Joins.asOfLatest(ctx.df, right.df, keys,
-                  ctx.tsMs, right.tsMs, Seq(mf), "_m_", tol)
-                ctx.copy(df = Joins.mergeValues(joined, mf, s"_m_$mf", mf)
-                  .drop(s"_m_$mf", s"_m_${right.tsMs}"))
-              case (_, false) => ctx // nothing to merge in
-              case (false, true) =>
-                val joined = Joins.asOfLatest(ctx.df, right.df, keys,
-                  ctx.tsMs, right.tsMs, Seq(mf), "_m_", tol)
-                ctx.copy(df = Paths.set(joined, mf, col(s"`_m_$mf`"))
-                  .drop(s"_m_$mf", s"_m_${right.tsMs}"))
+                  ctx.tsMs, right.tsMs, Seq.empty, "_m_", tol)
+                ctx.copy(df = coldDrop(joined, s"_m_${right.tsMs}")
+                  .drop(s"_m_${right.tsMs}"))
+              case (leftHas, true) =>
+                val joined = coldDrop(Joins.asOfLatest(ctx.df, right.df,
+                  keys, ctx.tsMs, right.tsMs, Seq(mf), "_m_", tol),
+                  s"_m_${right.tsMs}")
+                val merged =
+                  if (leftHas) Joins.mergeValues(joined, mf, s"_m_$mf", mf)
+                  else Paths.set(joined, mf, col(s"`_m_$mf`"))
+                ctx.copy(df = merged.drop(s"_m_$mf", s"_m_${right.tsMs}"))
             }
           case None =>
             val fields = optStrs(n, "fields", env) ++ optStrs(n, "tags", env)
@@ -1161,21 +1184,43 @@ object Planner {
               .map(_ + optStr(n, "prefix_delimiter", env).getOrElse("_"))
             prefixOpt match {
               case Some(prefix) =>
-                ctx.copy(df = Joins.asOfLatest(ctx.df, right.df, keys,
-                  ctx.tsMs, right.tsMs, fields, prefix, tol)
+                ctx.copy(df = coldDrop(Joins.asOfLatest(ctx.df, right.df,
+                  keys, ctx.tsMs, right.tsMs, fields, prefix, tol),
+                  s"$prefix${right.tsMs}")
                   .drop(s"$prefix${right.tsMs}"))
               case None =>
                 // land under a temp prefix, then set into the final name
                 // (own name or alias) so same-named left fields overwrite
-                val joined = Joins.asOfLatest(ctx.df, right.df, keys,
-                  ctx.tsMs, right.tsMs, fields, "_cmb_", tol)
+                val joined = coldDrop(Joins.asOfLatest(ctx.df, right.df,
+                  keys, ctx.tsMs, right.tsMs, fields, "_cmb_", tol),
+                  s"_cmb_${right.tsMs}")
+                val matched = col(s"`_cmb_${right.tsMs}`").isNotNull
                 val names =
                   if (aliases.nonEmpty) aliases.padTo(fields.size, "").zip(fields)
                     .map { case (a, f) => if (a.nonEmpty) a else f }
                   else fields
                 val renamed = names.zip(fields).foldLeft(joined) {
                   case (d, (out, f)) =>
-                    Paths.set(d, out, col(s"`_cmb_$f`")).drop(s"_cmb_$f")
+                    val rCol = col(s"`_cmb_$f`")
+                    // under .nofill unmatched rows survive — gate the
+                    // landing so a colliding left field keeps its value
+                    // (pass-through semantics), same scheme as
+                    // [[landOwnCols]]
+                    val v =
+                      if (noFill && resolvable(ctx.df, out)) {
+                        val lt = d.select(Paths.ref(out)).schema.head.dataType
+                        val rt = d.schema(s"_cmb_$f").dataType
+                        val unifiable =
+                          org.apache.spark.sql.graftbridge.ColumnBridge
+                            .sameType(lt, rt) ||
+                            (lt.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+                              rt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+                        if (unifiable) when(matched, rCol)
+                          .otherwise(Paths.ref(out))
+                        else when(matched, rCol.cast("string"))
+                          .otherwise(Paths.ref(out).cast("string"))
+                      } else rCol
+                    Paths.set(d, out, v).drop(s"_cmb_$f")
                 }
                 ctx.copy(df = renamed.drop(s"_cmb_${right.tsMs}"))
             }
@@ -1263,10 +1308,13 @@ object Planner {
     // join2 — the multi-stream join variant (other/join2.dfs): N joined
     // streams, a per-stream .prefix list (position 0 prefixes the LEFT
     // stream's value columns), shared .tolerance; folds the same
-    // single-shuffle as-of nearest join per stream.
+    // single-shuffle as-of nearest join per stream. NOTE: unlike join,
+    // there is no .fill here — esp_join2.erl:61 `{full, boolean, true}
+    // %% replaces 'fill'` dropped it, so passing .fill is an option
+    // error exactly as in the reference.
     "join2" -> NodeDef(Some(Point), Point,
       Set("joined", "prefix", "merge_field", "missing_timeout", "tolerance",
-        "fill", "full"),
+        "full"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val refs = n.args.collect { case VRef(r) => r } ++

@@ -24,12 +24,15 @@ object GlobalOrder {
 
   /** Add a 1-based global row number `as` ordered by `order`.
     *
-    * The sorted frame is persisted (memory-and-disk) before the counts
-    * pass: `repartitionByRange` samples its bounds with an RDD-id-derived
-    * seed, so two separate executions would see different partitionings and
-    * the offsets would not line up with the data pass. The cache pins one
-    * set of bounds for both passes — the honest cost of a global ordering;
-    * keyed operators never pay it.
+    * The sorted frame is pinned with an eager local checkpoint before the
+    * counts pass: `repartitionByRange` samples its bounds with an
+    * RDD-id-derived seed, so two separate executions would see different
+    * partitionings and the offsets would not line up with the data pass.
+    * The checkpoint pins one set of bounds for both passes — the honest
+    * cost of a global ordering; keyed operators never pay it. Unlike a
+    * Dataset persist (which pins its plan in the CacheManager for the
+    * application lifetime), checkpoint blocks are RDD-level storage the
+    * ContextCleaner frees on GC.
     */
   def rowNumber(df: DataFrame, order: Seq[Column], as: String): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
@@ -39,10 +42,10 @@ object GlobalOrder {
       .withColumn("_mid", monotonically_increasing_id())
       .withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
       .withColumn("_loc", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
     // Per-partition counts are metadata-sized (numShufflePartitions rows):
     // collecting them to build offsets is the zipWithIndex pattern, not a
-    // data-path collect. This job also materializes the cache.
+    // data-path collect.
     val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .orderBy(col("_pid")).collect()
     var acc = 0L

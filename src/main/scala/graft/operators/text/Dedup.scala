@@ -101,25 +101,26 @@ object Dedup {
       rowsPerBand: Int = 2,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // materialize per-doc hashes once: bands + both sides of the verify
-    // join would otherwise re-tokenize and re-md5 the corpus three times
-    val base = withShingleHashes(df, text, "_hs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
-      rowsPerBand)
-    // cap BEFORE the self-join: the explosion happens while the join
-    // enumerates matches, so post-join filtering would be too late
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
-    val capped = bandRows.withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= maxBucketSize).drop("_r")
-    val l = capped.select(col("band"), col("bh"), col("doc_id").as("a"))
-    val r = capped.select(col("band").as("band_r"), col("bh").as("bh_r"),
-      col("doc_id").as("b"))
-    val cand = l.join(r,
-        col("band") === col("band_r") && col("bh") === col("bh_r") &&
-          col("a") < col("b"))
-      .select("a", "b").distinct()
-    verifyJaccard(cand, base, id, threshold)
+    // join would otherwise re-tokenize and re-md5 the corpus three times.
+    // Scoped ([[graft.core.CacheScope]]) — released before returning.
+    graft.core.CacheScope.withPersisted(withShingleHashes(df, text, "_hs")) { base =>
+      val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
+        rowsPerBand)
+      // cap BEFORE the self-join: the explosion happens while the join
+      // enumerates matches, so post-join filtering would be too late
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+      val capped = bandRows.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxBucketSize).drop("_r")
+      val l = capped.select(col("band"), col("bh"), col("doc_id").as("a"))
+      val r = capped.select(col("band").as("band_r"), col("bh").as("bh_r"),
+        col("doc_id").as("b"))
+      val cand = l.join(r,
+          col("band") === col("band_r") && col("bh") === col("bh_r") &&
+            col("a") < col("b"))
+        .select("a", "b").distinct()
+      verifyJaccard(cand, base, id, threshold)
+    }
   }
 
   private def bandSigs(base: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
@@ -161,17 +162,17 @@ object Dedup {
       threshold: Double,
       bands: Int = 4,
       rowsPerBand: Int = 2): DataFrame = {
-    val base = withShingleHashes(df, text, "_hs")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
-      rowsPerBand)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bh"))
-    val cand = bandRows.withColumn("_rep", min(col("doc_id")).over(w))
-      .filter(col("doc_id") =!= col("_rep"))
-      .select(col("_rep").as("a"), col("doc_id").as("b"))
-      .distinct()
-    verifyJaccard(cand, base, id, threshold)
+    graft.core.CacheScope.withPersisted(withShingleHashes(df, text, "_hs")) { base =>
+      val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
+        rowsPerBand)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bh"))
+      val cand = bandRows.withColumn("_rep", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("_rep"))
+        .select(col("_rep").as("a"), col("doc_id").as("b"))
+        .distinct()
+      verifyJaccard(cand, base, id, threshold)
+    }
   }
 
   /** 32-bit SimHash bit assembly over a precomputed token-hash array

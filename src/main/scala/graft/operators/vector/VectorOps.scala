@@ -202,33 +202,36 @@ object VectorOps {
       dim: Int = 64,
       maxBucketSize: Int = 4096): DataFrame = {
     val ps = planes(bands * rowsPerBand, dim)
-    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val base0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_n", norm(col("_v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one materialized projection array feeds every band's bucket id
-    val bandStructs = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        (0 until rowsPerBand).map { j =>
-          when(element_at(col("_dots"), b * rowsPerBand + j + 1) > 0,
-            lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("bh"))
-    }: _*)
-    val bandRows = base.withColumn("_dots", planeDots(col("_v"), ps))
-      .select(col("_id"), explode(bandStructs).as("_bb"))
-      .select(col("_id"), col("_bb.band").as("band"), col("_bb.bh").as("bh"))
-    // cap BEFORE the self-join — the quadratic blowup happens while the
-    // join enumerates matches, so post-join filtering would be too late
-    val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("_id"))
-    val capped = bandRows.withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= maxBucketSize).drop("_r")
-    val l = capped.select(col("band"), col("bh"), col("_id").as("a"))
-    val r = capped.select(col("band").as("band_r"), col("bh").as("bh_r"),
-      col("_id").as("b"))
-    val cand = l.join(r,
-        col("band") === col("band_r") && col("bh") === col("bh_r") &&
-          col("a") < col("b"))
-      .select("a", "b").distinct()
-    verifyCosine(cand, base, threshold)
+    // base persisted only for the duration of the call ([[CacheScope]]):
+    // the pair output is orders of magnitude smaller than the corpus
+    graft.core.CacheScope.withPersisted(base0) { base =>
+      // one materialized projection array feeds every band's bucket id
+      val bandStructs = array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until rowsPerBand).map { j =>
+            when(element_at(col("_dots"), b * rowsPerBand + j + 1) > 0,
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _).as("bh"))
+      }: _*)
+      val bandRows = base.withColumn("_dots", planeDots(col("_v"), ps))
+        .select(col("_id"), explode(bandStructs).as("_bb"))
+        .select(col("_id"), col("_bb.band").as("band"), col("_bb.bh").as("bh"))
+      // cap BEFORE the self-join — the quadratic blowup happens while the
+      // join enumerates matches, so post-join filtering would be too late
+      val w = Window.partitionBy(col("band"), col("bh")).orderBy(col("_id"))
+      val capped = bandRows.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxBucketSize).drop("_r")
+      val l = capped.select(col("band"), col("bh"), col("_id").as("a"))
+      val r = capped.select(col("band").as("band_r"), col("bh").as("bh_r"),
+        col("_id").as("b"))
+      val cand = l.join(r,
+          col("band") === col("band_r") && col("bh") === col("bh_r") &&
+            col("a") < col("b"))
+        .select("a", "b").distinct()
+      verifyCosine(cand, base, threshold)
+    }
   }
 
   /** Exact all-pairs cosine near-duplicates — [[cosineDupPairs]]'s exact

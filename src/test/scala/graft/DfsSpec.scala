@@ -586,7 +586,14 @@ class DfsSpec extends AnyFunSuite {
     val nViews = ev.filter(col("event_type") === "view").count()
     assert(frames("chain_1").count() == nClicks + nViews)
     val combined = frames("chain_2")
-    assert(combined.count() == nClicks)
+    // cold-buffer rule: clicks BEFORE the user's first view are dropped
+    // (esp_combine.erl:94-95 — no output until port 2 has a value)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("_fv"))
+    val expected = ev.filter(col("event_type") === "click")
+      .join(firstView, Seq("user_id"), "left")
+      .filter(col("_fv").isNotNull && col("_fv") <= col("ts_ms")).count()
+    assert(combined.count() == expected)
     // prefix 'v_' composes with the DEFAULT '_' delimiter
     // (esp_combine.erl:60 PREFIX_DEL, :85 <<Prefix/binary, PFL/binary>>)
     assert(combined.columns.contains("v__value"))
@@ -613,12 +620,17 @@ class DfsSpec extends AnyFunSuite {
     assert(out.columns.count(_ == "value") == 1)
     assert(!out.columns.exists(c => c.startsWith("r_") || c.startsWith("_cmb_")))
     // values really come from the views side: each click row carries the
-    // latest view value at-or-before its ts (NULL before the first view)
+    // latest view value at-or-before its ts; clicks before the user's
+    // first view are DROPPED (esp_combine.erl:94-95 cold-buffer rule)
     val ev = Tables.events(spark, sf)
     val clicks = ev.filter(col("event_type") === "click")
-    assert(out.count() == clicks.count())
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("_fv"))
+    val expected = clicks.join(firstView, Seq("user_id"), "left")
+      .filter(col("_fv").isNotNull && col("_fv") <= col("ts_ms")).count()
+    assert(out.count() == expected)
     assert(out.select("value").except(
-      ev.filter(col("event_type") === "view").select("value")).count() <= 1)
+      ev.filter(col("event_type") === "view").select("value")).count() == 0)
   }
 
   test("bare |shift() uses the reference's -30s default offset") {
@@ -791,6 +803,97 @@ class DfsSpec extends AnyFunSuite {
     assert(out.count() == clicks.count())
     assert(out.filter(col("value").isNull).count() ==
       clicks.filter(col("value").isNull).count())
+  }
+
+  test("join full=false type collision keeps the left value (string-rendered)") {
+    // left 'tag' is STRING, right 'tag' is BIGINT — non-unifiable in a
+    // typed column; the reference folds PRESENT ports only
+    // (esp_join.erl:182-196), so an unmatched row must keep the left
+    // value, never an overwritten NULL. Both sides render to string.
+    // views restricted to user_id < 8: users 8-14 are unmatched at ANY
+    // tolerance, users 0-7 match within 30d — both edges exercised
+    val out = DfsEngine.runSingle(
+      """def views =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view' AND "user_id" < 8)
+        #|eval(lambda: 1).as('tag')
+        #
+        #def clicks =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #|eval(lambda: 'L').as('tag')
+        #|group_by('user_id')
+        #
+        #clicks
+        #|join(views).tolerance(30d).full(false)
+        #""".stripMargin('#'), spark, sf)
+    val clicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(out.count() == clicks)
+    assert(out.schema("tag").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.filter(col("tag").isNull).count() == 0)
+    assert(out.filter(col("tag") === "L").count() > 0) // unmatched keep left
+    assert(out.filter(col("tag") === "1").count() > 0) // matched take right
+  }
+
+  test("combine cold buffer drops the trigger point unless .nofill") {
+    // esp_combine.erl:94-95: trigger before any port-2 value → no
+    // output; with .nofill the point passes through UNCHANGED — a
+    // colliding left field keeps its value (combine(P, undefined) = P)
+    val script =
+      """def views =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'view')
+        #|eval(lambda: 1).as('mark')
+        #
+        #def clicks =
+        #|parquet_read(.table('events'))
+        #|where(lambda: "event_type" == 'click')
+        #|eval(lambda: 'left').as('mark')
+        #
+        #clicks
+        #|combine(views)
+        #  .keys('user_id')
+        #  .fields('mark')NOFILL
+        #""".stripMargin('#')
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_ms").as("_fv"))
+    val warm = clicks.join(firstView, Seq("user_id"), "left")
+      .filter(col("_fv").isNotNull && col("_fv") <= col("ts_ms")).count()
+    assert(warm > 0 && warm < clicks.count()) // fixture exercises both edges
+
+    val dropped = DfsEngine.runSingle(
+      script.replace("NOFILL", ""), spark, sf)
+    assert(dropped.count() == warm)
+
+    val passed = DfsEngine.runSingle(
+      script.replace("NOFILL", "\n  .nofill()"), spark, sf)
+    assert(passed.count() == clicks.count())
+    assert(passed.filter(col("mark").isNull).count() == 0)
+    // cold rows keep the left 'mark' untouched
+    assert(passed.filter(col("mark") === "left").count() ==
+      clicks.count() - warm)
+  }
+
+  test("join2 rejects .fill — esp_join2 replaced it with .full") {
+    // esp_join2.erl:61 `{full, boolean, true} %% replaces 'fill'`:
+    // passing .fill is an option error in the reference, so it is here
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.runSingle(
+        """def s1 =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'view')
+          #
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'click')
+          #|group_by('user_id')
+          #|join2(s1).fill('none')
+          #""".stripMargin('#'), spark, sf)
+    }
+    assert(e.getMessage.contains("Unknown option 'fill'"))
   }
 
   test("join .fill value stands in for the absent right point's fields") {

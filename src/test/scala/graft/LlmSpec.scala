@@ -38,6 +38,22 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs.filter(col("jac") < 0.3 || col("a") >= col("b")).count() == 0)
   }
 
+  test("LSH operators leave the session CacheManager empty") {
+    // CacheScope contract: the persisted base is released before the
+    // operator returns — a long-lived session must not accumulate one
+    // pinned cache entry per invocation
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val results = Seq(
+      Dedup.nearDupPairs(docs, col("text"), col("doc_id"), 0.3),
+      Dedup.nearDupClusterPairs(docs, col("text"), col("doc_id"), 0.3),
+      VectorOps.cosineDupPairs(emb, "vec_id", "embedding", 0.35, bands = 2))
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // the returned frames stay fully usable after the base was released
+    results.foreach(r => assert(r.count() >= 0))
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("simhash of identical texts is identical") {
     import spark.implicits._
     val df = Seq(("x", "spark window agg join"), ("y", "spark window agg join"))
@@ -111,14 +127,22 @@ class LlmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
       .toMap
     val codegen = dots()
+    // capture-and-restore: hard-coding the restore values would clobber a
+    // shared session configured differently (e.g. codegen disabled)
+    val savedWhole = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val savedFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    def restore(key: String, v: Option[String]): Unit = v match {
+      case Some(s) => spark.conf.set(key, s)
+      case None => spark.conf.unset(key)
+    }
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     try {
       val interpreted = dots()
       assert(interpreted == codegen)
     } finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      restore("spark.sql.codegen.wholeStage", savedWhole)
+      restore("spark.sql.codegen.factoryMode", savedFactory)
     }
   }
 
