@@ -263,6 +263,65 @@ object DfsPack extends QueryPack {
              |  CASE WHEN abs(ts_ms - nts) <= 600000 THEN nid END AS r_event_id
              |FROM n""".stripMargin)),
 
+    // The join landing truth table in one script: partial emission (fill
+    // implies full=false), an own-name TYPE COLLISION ('tag' is string on
+    // the left, bigint on the right — unmatched rows keep the left value,
+    // both sides string-rendered; esp_join.erl:182-196 folds present
+    // ports only), and the .fill value standing in on the non-colliding
+    // numeric column ('extra'). Views restricted to user_id < 8 so both
+    // matched and unmatched rows exist at every scale factor.
+    "dfs_join_fill_collide" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """def views =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'view' AND "user_id" < 8)
+          #|eval(lambda: 1, lambda: "value" * 2).as('tag', 'extra')
+          #|keep('user_id', 'ts_ms', 'tag', 'extra')
+          #
+          #def clicks =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'click')
+          #|eval(lambda: 'L').as('tag')
+          #|keep('user_id', 'ts_ms', 'tag', 'event_id')
+          #
+          #clicks
+          #|group_by('user_id')
+          #|join(views).tolerance(30m).fill(-1)
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, 'L' AS tag,
+             |             event_id
+             |           FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+             |             CAST(1 AS BIGINT) AS tag, value * 2 AS extra
+             |           FROM events
+             |           WHERE event_type = 'view' AND user_id < 8),
+             |b AS (SELECT l.event_id AS lid, r.ts_ms AS bts, r.tag AS btag,
+             |        r.extra AS bextra
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms),
+             |f AS (SELECT l.event_id AS lid, r.ts_ms AS fts, r.tag AS ftag,
+             |        r.extra AS fextra
+             |      FROM l ASOF LEFT JOIN r
+             |        ON l.user_id = r.user_id AND l.ts_ms < r.ts_ms),
+             |n AS (SELECT l.user_id, l.ts_ms, l.tag AS ltag, l.event_id,
+             |  CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fts
+             |       ELSE bts END AS nts,
+             |  CASE WHEN bts IS NULL THEN ftag WHEN fts IS NULL THEN btag
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN ftag
+             |       ELSE btag END AS ntag,
+             |  CASE WHEN bts IS NULL THEN fextra WHEN fts IS NULL THEN bextra
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fextra
+             |       ELSE bextra END AS nextra
+             |FROM l JOIN b ON l.event_id = b.lid
+             |       JOIN f ON l.event_id = f.lid)
+             |SELECT user_id, ts_ms, event_id,
+             |  CASE WHEN nts IS NOT NULL AND abs(ts_ms - nts) <= 1800000
+             |       THEN CAST(ntag AS VARCHAR) ELSE ltag END AS tag,
+             |  CASE WHEN nts IS NOT NULL AND abs(ts_ms - nts) <= 1800000
+             |       THEN nextra ELSE CAST(-1 AS DOUBLE) END AS extra
+             |FROM n""".stripMargin)),
+
     // collect_fields through the front-end: latest value of each listed
     // field per stream key (esp_collect_fields.erl:33-102).
     "dfs_collect_fields" -> QueryDef(
