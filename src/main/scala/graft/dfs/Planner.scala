@@ -1710,20 +1710,12 @@ object Planner {
     "http_listen" -> NodeDef(None, Both,
       Set("path", "port", "host", "payload_type", "as", "user", "pass",
         "tls", "stream", "content_type"),
-      (_, n, env) => {
-        val df =
-          if (optStr(n, "stream", env).contains("true"))
-            graft.sources.Loopback.subscribeStream(env.spark, httpTopic(n, env))
-          else graft.sources.Loopback.subscribe(env.spark, httpTopic(n, env))
-        Ctx(df, Nil, None, Point, "", "ts_ms")
-      }),
+      (_, n, env) => subscribeLanded(env, httpTopic(n, env),
+        optStr(n, "stream", env).contains("true"))),
     "http_get" -> NodeDef(None, Both,
       Set("path", "port", "host", "every", "align", "as", "user", "pass",
         "tls", "payload_type", "topic", "stream"),
-      (_, n, env) => {
-        val df = graft.sources.Loopback.subscribe(env.spark, httpTopic(n, env))
-        Ctx(df, Nil, None, Point, "", "ts_ms")
-      }),
+      (_, n, env) => subscribeLanded(env, httpTopic(n, env), stream = false)),
     "http_post" -> NodeDef(Some(Both), Both,
       Set("path", "port", "host", "method", "tls", "header_names",
         "header_values", "user", "pass", "retries", "content_type",
@@ -1955,11 +1947,8 @@ object Planner {
     // the endpoint topic; .every/.count are stream pacing.
     "tcppoll" -> NodeDef(None, Both,
       Set("ip", "port", "every", "count", "prefix"),
-      (_, n, env) => {
-        val df = graft.sources.Loopback.subscribe(env.spark,
-          socketTopic("tcp", n, env))
-        Ctx(df, Nil, None, Point, "", "ts_ms")
-      }),
+      (_, n, env) =>
+        subscribeLanded(env, socketTopic("tcp", n, env), stream = false)),
     // modbus_read / modbus — Modbus-TCP register polling sources (refs:
     // esp_modbus_read.erl:81-102, esp_modbus.erl:74-96; same_length
     // function/from/count/as lists). Like s7read: the protocol client is
@@ -1983,8 +1972,7 @@ object Planner {
       (_, n, env) => {
         val ip = optStr(n, "ip", env).getOrElse("0.0.0.0")
         val port = optNum(n, "port", env).map(_.toLong).getOrElse(102L)
-        val df = graft.sources.Loopback.subscribe(env.spark, s"s7:$ip:$port")
-        Ctx(df, Nil, None, Point, "", "ts_ms")
+        subscribeLanded(env, s"s7:$ip:$port", stream = false)
       }),
 
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
@@ -2048,24 +2036,15 @@ object Planner {
         val given = Seq(fs, froms, counts, as).filter(_.nonEmpty)
         if (given.map(_.size).distinct.size > 1)
           throw DfsError(s"${n.name}: function/from/count/as same length")
-        val df = graft.sources.Loopback.subscribe(env.spark,
-          s"modbus:$ip:$port")
-        Ctx(df, Nil, None, Point, "", "ts_ms")
+        subscribeLanded(env, s"modbus:$ip:$port", stream = false)
       })
 
   private def socketSource(proto: String): NodeDef =
     NodeDef(None, Both,
       Set("ip", "host", "port", "min_length", "extract", "parser", "as",
         "stream", "packet", "timeout", "changed", "every"),
-      (_, n, env) => {
-        val df =
-          if (optStr(n, "stream", env).contains("true"))
-            graft.sources.Loopback.subscribeStream(env.spark,
-              socketTopic(proto, n, env))
-          else graft.sources.Loopback.subscribe(env.spark,
-            socketTopic(proto, n, env))
-        Ctx(df, Nil, None, Point, "", "ts_ms")
-      })
+      (_, n, env) => subscribeLanded(env, socketTopic(proto, n, env),
+        optStr(n, "stream", env).contains("true")))
 
   private def socketSink(proto: String): NodeDef =
     NodeDef(Some(Both), Both,
@@ -2111,17 +2090,53 @@ object Planner {
     ctx
   }
 
+  /** Endpoint subscribe with the reference's payload landing: broker and
+    * http payloads are JSON documents whose decoded fields become the
+    * point's fields (esp_mqtt_subscribe.erl:155-170 — payload decode,
+    * then set_root with the undefined `as` default keeps them at the
+    * root). The loopback envelope (offset/ts_ms/topic/key/payload) stays;
+    * payload fields land alongside it, envelope names winning a collision
+    * (the reference sets `topic` AFTER the payload fields, topic_as
+    * default 'topic'). The payload schema is inferred from the topic's
+    * current log at plan time — a dev-transport convenience; a real
+    * broker binding carries a declared schema (README connector
+    * boundary). Non-JSON payloads (line-framed sockets) land nothing.
+    */
+  private def subscribeLanded(env: Env, topic: String,
+      stream: Boolean, group: String = "default"): Ctx = {
+    val df =
+      if (stream) graft.sources.Loopback.subscribeStream(env.spark, topic, group)
+      else graft.sources.Loopback.subscribe(env.spark, topic)
+    val payloads = graft.sources.LoopbackBus
+      .read(topic, -1L, graft.sources.LoopbackBus.latest(topic))
+      .flatMap(m => Option(m.payload))
+    val landed =
+      if (payloads.isEmpty) df
+      else {
+        import env.spark.implicits._
+        val schema = env.spark.read.json(payloads.toDS()).schema
+        val fs = schema.fields.toSeq.filterNot(f =>
+          f.name == "_corrupt_record" || df.columns.contains(f.name))
+        if (fs.isEmpty) df
+        else {
+          val clean = org.apache.spark.sql.types.StructType(fs.toArray)
+          val withP = df.withColumn("_pl",
+            from_json(col("payload"), clean, Map.empty[String, String]))
+          fs.foldLeft(withP)((d, f) =>
+            d.withColumn(f.name, col("_pl").getField(f.name))).drop("_pl")
+        }
+      }
+    Ctx(landed, Nil, None, Point, "", "ts_ms")
+  }
+
   private def brokerSubscribe(n: NodeSpec, env: Env, topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env)
       .orElse(optStrs(n, "topics", env).headOption) // first of a topic list
       .orElse(argStrs(n, env).headOption)
       .getOrElse(throw DfsError(s"${n.name}: .$topicOpt"))
     val group = optStr(n, "group", env).getOrElse("default")
-    val df =
-      if (optStr(n, "stream", env).contains("true"))
-        graft.sources.Loopback.subscribeStream(env.spark, topic, group)
-      else graft.sources.Loopback.subscribe(env.spark, topic)
-    Ctx(df, Nil, None, Point, "", "ts_ms")
+    subscribeLanded(env, topic,
+      optStr(n, "stream", env).contains("true"), group)
   }
 
   private def brokerPublish(ctx: Ctx, n: NodeSpec, env: Env,

@@ -73,12 +73,15 @@ object Loopback {
   }
 
   /** Batch-read a topic's current log. */
-  def subscribe(spark: SparkSession, topic: String): DataFrame =
+  def subscribe(spark: SparkSession, topic: String): DataFrame = {
+    LoopbackBus.noteSubscribe(topic)
     spark.read.format(FormatName).option("topic", topic).load()
+  }
 
   /** Stream-read a topic (micro-batch offsets over the bus log). */
   def subscribeStream(spark: SparkSession, topic: String,
       group: String = "default"): DataFrame = {
+    LoopbackBus.noteSubscribe(topic)
     ensureAckListener(spark)
     spark.readStream.format(FormatName)
       .option("topic", topic).option("group", group).load()

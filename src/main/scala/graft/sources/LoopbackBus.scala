@@ -65,4 +65,23 @@ object LoopbackBus {
     commits.getOrDefault((topic, group), -1L)
 
   def clear(): Unit = { topics.clear(); commits.clear() }
+
+  // ---- subscription recorder --------------------------------------------
+  // Loopback.subscribe/subscribeStream note their topic here, so sweep
+  // tooling (RunSweep, the DfsSpec coverage floor) can SEED the endpoints
+  // a script listens on without re-deriving them — topic construction
+  // lives in the planner (def-resolved options) and is not repeatable
+  // from the outside.
+  private val subs = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  def noteSubscribe(topic: String): Unit = { subs.add(topic); () }
+
+  /** Topics subscribed since the last [[resetSubscribed]]. */
+  def subscribed(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    subs.asScala.toSet
+  }
+
+  def resetSubscribed(): Unit = subs.clear()
 }

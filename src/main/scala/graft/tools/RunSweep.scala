@@ -2,12 +2,85 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only inventory: attempt DfsEngine.run on EVERY reference script that
+/** Dev inventory: attempt DfsEngine.run on EVERY reference script that
   * compiles, classify the outcome (ran with rows / ran empty / threw), and
-  * print a per-script report. Guides the run-level coverage sweep — not a
-  * test (some scripts legitimately need brokered input or env state).
+  * report per script. Guides the run-level coverage sweep — brokered
+  * scripts (mqtt/amqp/http/tcp/udp/s7/modbus endpoints) are legitimately
+  * empty until their endpoint topics carry traffic (the reference reads
+  * live brokers), so a script whose first run yields no rows is retried
+  * once after SEEDING every topic it subscribed to (the planner notes them
+  * on LoopbackBus during planning) with a few deterministic JSON messages.
   */
 object RunSweep {
+
+  final case class Result(ok: Int, empty: Int, failed: Int,
+    lines: Seq[String])
+
+  /** Deterministic seed payloads: enough structure for parsers and
+    * field-landing downstream nodes to chew on; timestamps are fixed so
+    * repeated sweeps agree.
+    */
+  private def seed(topics: Set[String]): Unit =
+    topics.foreach { t =>
+      (1 to 3).foreach { i =>
+        graft.sources.LoopbackBus.publish(t, null,
+          s"""{"val": $i, "val2": ${i * 2}, "data": {"value": $i, "code": ${100 + i}}}""",
+          1577836800000L + i * 1000L)
+      }
+    }
+
+  def sweep(spark: SparkSession, sf: String,
+      refDir: String = "/root/reference/dfs"): Result = {
+    val dir = new java.io.File(refDir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".dfs")) Seq(f) else Nil
+    var ok, empty, failed = 0
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    walk(dir).sortBy(_.getPath).foreach { f =>
+      val name = f.getPath.stripPrefix(dir.getPath + "/")
+      val srcIn = scala.io.Source.fromFile(f, "UTF-8")
+      val src = try srcIn.mkString finally srcIn.close()
+      val compiled =
+        try { graft.dfs.DfsEngine.compile(src); true }
+        catch { case _: Exception => false }
+      if (compiled) {
+        def attempt(): (Map[String, Long], Option[Throwable]) =
+          try {
+            val frames = graft.dfs.DfsEngine.run(src, spark, sf)
+            (frames.view.mapValues(df =>
+              try df.count() catch { case _: Exception => -1L }).toMap, None)
+          } catch { case e: Throwable => (Map.empty[String, Long], Some(e)) }
+        graft.sources.LoopbackBus.resetSubscribed()
+        var (counts, err) = attempt()
+        val topics = graft.sources.LoopbackBus.subscribed()
+        val needSeed = topics.nonEmpty && (err.isDefined ||
+          counts.valuesIterator.forall(_ <= 0))
+        if (needSeed) {
+          seed(topics)
+          val again = attempt()
+          counts = again._1
+          err = again._2
+        }
+        (counts, err) match {
+          case (_, Some(e)) =>
+            lines += s"FAIL $name ${e.getClass.getSimpleName}: " +
+              s"${Option(e.getMessage).getOrElse("").take(140)}"
+            failed += 1
+          case (c, None) if c.isEmpty =>
+            lines += s"NOCHAIN $name"; empty += 1
+          case (c, None) if c.valuesIterator.exists(_ < 0) =>
+            lines += s"COUNTERR $name $c"; failed += 1
+          case (c, None) if c.valuesIterator.forall(_ == 0) =>
+            lines += s"EMPTY $name"; empty += 1
+          case (c, None) =>
+            lines += s"OK $name ${c.values.sum} rows"; ok += 1
+        }
+      }
+    }
+    Result(ok, empty, failed, lines.toSeq)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -17,39 +90,9 @@ object RunSweep {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    val dir = new java.io.File("/root/reference/dfs")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".dfs")) Seq(f) else Nil
-    var ok, empty, failed = 0
-    walk(dir).sortBy(_.getPath).foreach { f =>
-      val name = f.getPath.stripPrefix(dir.getPath + "/")
-      val srcIn = scala.io.Source.fromFile(f, "UTF-8")
-      val src = try srcIn.mkString finally srcIn.close()
-      val compiled =
-        try { graft.dfs.DfsEngine.compile(src); true }
-        catch { case _: Exception => false }
-      if (compiled) {
-        try {
-          val frames = graft.dfs.DfsEngine.run(src, spark, sf)
-          val counts = frames.view.mapValues(df =>
-            try df.count() catch { case e: Exception => -1L }).toMap
-          if (counts.isEmpty) { println(s"NOCHAIN $name"); empty += 1 }
-          else if (counts.valuesIterator.exists(_ < 0)) {
-            println(s"COUNTERR $name ${counts}"); failed += 1
-          } else if (counts.valuesIterator.forall(_ == 0)) {
-            println(s"EMPTY $name"); empty += 1
-          } else { println(s"OK $name ${counts.values.sum} rows"); ok += 1 }
-        } catch {
-          case e: Throwable =>
-            println(s"FAIL $name ${e.getClass.getSimpleName}: " +
-              s"${Option(e.getMessage).getOrElse("").take(140)}")
-            failed += 1
-        }
-      }
-    }
-    println(s"== ok=$ok empty=$empty failed=$failed ==")
+    val r = sweep(spark, "/root/testdata/sf0.001")
+    r.lines.foreach(println)
+    println(s"== ok=${r.ok} empty=${r.empty} failed=${r.failed} ==")
     spark.stop()
   }
 }

@@ -1102,4 +1102,19 @@ class DfsSpec extends AnyFunSuite {
     }
     assert(e.msg.contains("no runnable chain"))
   }
+
+  test("run-level coverage floor: 95+ reference scripts run with rows") {
+    // the full seeded sweep (graft.tools.RunSweep): brokered scripts get
+    // deterministic traffic on every topic they subscribe to. Declared
+    // LAST in the suite — seeding mutates the shared LoopbackBus, and the
+    // exact-count brokered assertions above must see only their own
+    // messages. Floor, not exact: earlier tests may pre-seed topics.
+    val r = graft.tools.RunSweep.sweep(spark, sf)
+    assert(r.ok >= 95,
+      s"run-level parity regressed: ok=${r.ok} (floor 95)\n" +
+        r.lines.filterNot(_.startsWith("OK")).mkString("\n"))
+    // the FAIL set is pinned too: only environment rejects (user
+    // components, foreign DB tables, missing JDBC driver)
+    assert(r.failed <= 12, r.lines.filter(_.startsWith("FAIL")).mkString("\n"))
+  }
 }
