@@ -1,0 +1,116 @@
+package graft.dfs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import Ir.DfsError
+
+/** In-process task registry — the engine-side analog of the reference's
+  * task lifecycle (faxe.erl:212-231 `register_task`/`check_task` over
+  * faxe_db storage; rest_routes.config:58-60 is the `/v1/task`
+  * register/start/stop/delete shell over the same calls). The HTTP
+  * transport is deployment glue; the API surface IS this registry:
+  *
+  *  - [[register]] — compile-checks the script first (check_task →
+  *    eval_dfs) and rejects duplicate names (`{error, task_exists}`).
+  *  - [[start]] — plans the task's DFS into live frames (the batch
+  *    analog of spawning the task graph under graph_sup).
+  *  - [[stop]] / [[delete]] — stop release the planned frames; delete
+  *    refuses while running (faxe's delete vs delete/force split:
+  *    [[deleteForce]] stops first).
+  *  - [[list]] — every task with its running flag
+  *    (faxe.erl `add_running_flag`).
+  *
+  * Registered tasks are also the MACRO SOURCE: `||name()` in another
+  * script expands to the stored task's DFS text, exactly the reference's
+  * macro resolution (faxe_dfs.erl:49-57 `macro_fun` → faxe:get_task) —
+  * the registry installs itself as [[Macros]]' resolver.
+  */
+object TaskRegistry {
+
+  final case class Task(name: String, dfs: String, registeredAtMs: Long)
+  final case class TaskInfo(name: String, dfs: String, registeredAtMs: Long,
+    isRunning: Boolean)
+
+  private val tasks =
+    new java.util.concurrent.ConcurrentHashMap[String, Task]()
+  private val running =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, DataFrame]]()
+
+  /** Stored tasks resolve as macros (faxe_dfs.erl:49-57). Installed on
+    * every register so a test-side `Macros.clear()` cannot orphan it.
+    */
+  private def installResolver(): Unit =
+    Macros.setResolver(name => Option(tasks.get(name)).map(_.dfs))
+
+  /** Register a named task. The script must compile (check_task's
+    * eval_dfs gate) and the name must be free (`{error, task_exists}`).
+    */
+  def register(name: String, dfs: String,
+      nowMs: Long = System.currentTimeMillis()): Task = {
+    DfsEngine.compile(dfs) // reject broken scripts before storing
+    val t = Task(name, dfs, nowMs)
+    if (tasks.putIfAbsent(name, t) != null)
+      throw DfsError(s"task '$name' exists")
+    installResolver()
+    t
+  }
+
+  /** Register-or-replace (the `/v1/task` upsert op). A running task keeps
+    * its current frames until restarted.
+    */
+  def upsert(name: String, dfs: String,
+      nowMs: Long = System.currentTimeMillis()): Task = {
+    DfsEngine.compile(dfs)
+    val t = Task(name, dfs, nowMs)
+    tasks.put(name, t)
+    installResolver()
+    t
+  }
+
+  def get(name: String): Option[Task] = Option(tasks.get(name))
+
+  /** Plan the task's DFS and hold its frames as the running instance. */
+  def start(name: String, spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    val t = get(name).getOrElse(throw DfsError(s"task '$name' not found"))
+    if (running.containsKey(name))
+      throw DfsError(s"task '$name' is already started")
+    val frames = DfsEngine.run(t.dfs, spark, dir)
+    running.put(name, frames)
+    frames
+  }
+
+  /** Frames of a running task, empty when stopped. */
+  def frames(name: String): Option[Map[String, DataFrame]] =
+    Option(running.get(name))
+
+  def isRunning(name: String): Boolean = running.containsKey(name)
+
+  def stop(name: String): Unit =
+    if (running.remove(name) == null)
+      throw DfsError(s"task '$name' is not running")
+
+  def stopAll(): Unit = running.clear()
+
+  /** Remove a stopped task; refuses while running (use [[deleteForce]]). */
+  def delete(name: String): Unit = {
+    if (running.containsKey(name))
+      throw DfsError(s"task '$name' is running — stop it first (or delete/force)")
+    if (tasks.remove(name) == null)
+      throw DfsError(s"task '$name' not found")
+  }
+
+  def deleteForce(name: String): Unit = {
+    running.remove(name)
+    if (tasks.remove(name) == null)
+      throw DfsError(s"task '$name' not found")
+  }
+
+  /** Every registered task with its running flag (add_running_flag). */
+  def list(): Seq[TaskInfo] = {
+    import scala.jdk.CollectionConverters._
+    tasks.values.asScala.toSeq.sortBy(_.name)
+      .map(t => TaskInfo(t.name, t.dfs, t.registeredAtMs,
+        running.containsKey(t.name)))
+  }
+
+  def clear(): Unit = { tasks.clear(); running.clear() }
+}

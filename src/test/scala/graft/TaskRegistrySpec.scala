@@ -1,0 +1,93 @@
+package graft
+
+import graft.dfs.{DfsEngine, Ir, Macros, TaskRegistry}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Task lifecycle shell (faxe.erl:212-231 register/check_task,
+  * rest_routes.config /v1/task ops): register → start → list → stop →
+  * delete, plus the stored-task macro source (faxe_dfs.erl:49-57).
+  */
+class TaskRegistrySpec extends AnyFunSuite {
+  lazy val spark = graft.core.Sessions.local(4, "task-registry-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("register/start/list/stop/delete lifecycle") {
+    TaskRegistry.clear()
+    try {
+      val t = TaskRegistry.register("clicks_per_user",
+        """|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'click')
+          #|group_by('user_id')
+          #|win_time(.period(1d))
+          #|aggregate(.fields('value').functions('count').as('n'))
+          #""".stripMargin('#'), nowMs = 1700000000000L)
+      assert(t.name == "clicks_per_user")
+
+      // task_exists on duplicate register (faxe.erl check_task)
+      val dup = intercept[Ir.DfsError] {
+        TaskRegistry.register("clicks_per_user", "|value_emitter(.count(1))")
+      }
+      assert(dup.msg.contains("exists"))
+
+      // a broken script never lands in the registry (eval_dfs gate)
+      intercept[Ir.DfsError] {
+        TaskRegistry.register("broken", "|no_such_node()")
+      }
+      assert(TaskRegistry.get("broken").isEmpty)
+
+      assert(TaskRegistry.list().map(i => (i.name, i.isRunning)) ==
+        Seq(("clicks_per_user", false)))
+
+      val frames = TaskRegistry.start("clicks_per_user", spark, sf)
+      assert(frames.values.map(_.count()).sum > 0)
+      assert(TaskRegistry.isRunning("clicks_per_user"))
+      assert(TaskRegistry.list().head.isRunning)
+      intercept[Ir.DfsError] {
+        TaskRegistry.start("clicks_per_user", spark, sf) // already started
+      }
+
+      // delete refuses while running; stop releases; delete removes
+      intercept[Ir.DfsError](TaskRegistry.delete("clicks_per_user"))
+      TaskRegistry.stop("clicks_per_user")
+      assert(!TaskRegistry.isRunning("clicks_per_user"))
+      intercept[Ir.DfsError](TaskRegistry.stop("clicks_per_user"))
+      TaskRegistry.delete("clicks_per_user")
+      assert(TaskRegistry.list().isEmpty)
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
+  test("a stored task is a macro source for other scripts") {
+    // the reference's macro resolution fetches another task's DFS by name
+    // (faxe_dfs.erl:49-57 macro_fun -> faxe:get_task); registering the
+    // fragment as a task makes ||high_value() expand inline
+    TaskRegistry.clear()
+    try {
+      TaskRegistry.register("high_value",
+        """def cutoff = 40
+          #|where(lambda: "value" > cutoff)
+          #|eval(lambda: "value" * 2)
+          #  .as('boosted')
+          #""".stripMargin('#'))
+      val out = DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #||high_value()
+          #  .cutoff(90)
+          #""".stripMargin('#'), spark, sf)
+      val expected = graft.core.Tables.events(spark, sf)
+        .filter(col("value") > 90).count()
+      assert(out.count() == expected && expected > 0)
+      assert(out.filter(col("boosted") =!= col("value") * 2).count() == 0)
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
+  test("upsert replaces a task's dfs in place") {
+    TaskRegistry.clear()
+    try {
+      TaskRegistry.register("t1", "|value_emitter(.count(3))")
+      TaskRegistry.upsert("t1", "|value_emitter(.count(5))")
+      val frames = TaskRegistry.start("t1", spark, sf)
+      assert(frames.values.head.count() == 5)
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+}
