@@ -273,4 +273,33 @@ object Streaming {
           }
           out.iterator
       }
+
+  /** `combine`, streaming form: enrich-latest over one union-tagged
+    * stream — side rows (port 2) update the key's buffered row, TRIGGER
+    * rows (port 1) emit paired with the current buffer, and a trigger
+    * arriving before any side row is DROPPED (the cold-buffer rule,
+    * esp_combine.erl:94-95; `.nofill` pass-through is the caller's
+    * concern). Rows within a micro-batch process in event-time order,
+    * side before trigger on ties — the batch asOfLatest's (_ts, _side)
+    * sort, so streaming emissions match the batch operator whenever
+    * arrival respects the watermark.
+    */
+  def enrichLatest[K, V](
+      ds: Dataset[V],
+      keyFn: V => K,
+      isTrigger: V => Boolean,
+      tsFn: V => Long)(
+      implicit ek: Encoder[K], ev: Encoder[V],
+      eo: Encoder[(V, V)]): Dataset[(V, V)] =
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[V, (V, V)](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[V], state: GroupState[V]) =>
+          val out = ArrayBuffer.empty[(V, V)]
+          it.toIndexedSeq.sortBy(v => (tsFn(v), isTrigger(v))).foreach { v =>
+            if (!isTrigger(v)) state.update(v)
+            else state.getOption.foreach(s => out += ((v, s)))
+          }
+          out.iterator
+      }
 }

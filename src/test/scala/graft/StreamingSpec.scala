@@ -101,6 +101,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.exists(_.user_id == 2L) && !batch.exists(_._1 == 2L))
   }
 
+  test("combine: streaming enrich-latest matches the batch as-of operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'v' rows fill the side buffer, 'c' rows trigger; ts = seq*1000.
+    // Key 1 exercises cold-drop, buffer advance, and a shared buffer row;
+    // key 2 the equal-ts tie (side lands first); key 3 stays cold.
+    val data = Seq(
+      Ev(1, 1, 10.0, "c"),
+      Ev(1, 2, 1.0, "v"),
+      Ev(1, 3, 30.0, "c"),
+      Ev(1, 5, 2.0, "v"),
+      Ev(1, 6, 60.0, "c"), Ev(1, 7, 70.0, "c"),
+      Ev(2, 1, 9.0, "v"), Ev(2, 1, 11.0, "c"),
+      Ev(3, 4, 40.0, "c"))
+    val df = data.toDF().withColumn("ts_ms", col("seq") * 1000L)
+    val left = df.filter(col("event_type") === "c")
+    val right = df.filter(col("event_type") === "v")
+      .select(col("user_id"), col("ts_ms"), col("value").as("side_value"))
+    val batch = graft.operators.join.Joins.asOfLatest(left, right,
+        Seq("user_id"), "ts_ms", "ts_ms", Seq("side_value"), "r_")
+      .filter(col("r_ts_ms").isNotNull) // the combine cold-buffer rule
+      .select("user_id", "seq", "r_side_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch == Set((1L, 3L, 1.0), (1L, 6L, 2.0), (1L, 7L, 2.0),
+      (2L, 1L, 9.0)))
+    val streamed = runStream("cmb")(in =>
+      Streaming.enrichLatest[Long, Ev](in.toDS(), _.user_id,
+          isTrigger = _.event_type == "c", tsFn = _.seq * 1000L)
+        .map { case (t, s) => (t.user_id, t.seq, s.value) })(data)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("state_sequence: streaming rows match the batch operator") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
