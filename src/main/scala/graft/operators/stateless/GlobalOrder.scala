@@ -24,46 +24,24 @@ object GlobalOrder {
 
   /** Add a 1-based global row number `as` ordered by `order`.
     *
-    * The sorted frame is pinned with an eager local checkpoint before the
-    * counts pass: `repartitionByRange` samples its bounds with an
-    * RDD-id-derived seed, so two separate executions would see different
-    * partitionings and the offsets would not line up with the data pass.
-    * The checkpoint pins one set of bounds for both passes — the honest
-    * cost of a global ordering; keyed operators never pay it. Unlike a
-    * Dataset persist (which pins its plan in the CacheManager for the
-    * application lifetime), checkpoint blocks are RDD-level storage the
-    * ContextCleaner frees on GC.
+    * Range-partition + per-partition sort, then RDD `zipWithIndex` on the
+    * SAME RDD instance ([[org.apache.spark.sql.graftbridge.ColumnBridge
+    * .zipWithGlobalIndex]]): zipWithIndex's partition-count job and the
+    * data pass share one materialized shuffle, so both see the same
+    * sampled range bounds. A two-branch relational formulation is NOT
+    * safe here — `repartitionByRange` samples bounds with an
+    * RDD-id-derived seed per instantiation, and plan-level exchange reuse
+    * across branches is best-effort (AQE may re-plan a branch), which
+    * round 8 observed as a silently mis-numbered row. The RDD form pins
+    * the partitioning by construction; nothing is persisted and shuffle
+    * files are GC-cleaned.
     */
   def rowNumber(df: DataFrame, order: Seq[Column], as: String): DataFrame = {
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
       .repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", shiftrightunsigned(col("_mid"), 33))
-      .withColumn("_loc", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-      .localCheckpoint(eager = true)
-    // Per-partition counts are metadata-sized (numShufflePartitions rows):
-    // collecting them to build offsets is the zipWithIndex pattern, not a
-    // data-path collect.
-    val counts = sorted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-      .orderBy(col("_pid")).collect()
-    var acc = 0L
-    val offsets = counts.map { row =>
-      val entry = (row.getLong(0), acc)
-      acc += row.getLong(1)
-      entry
-    }.toMap
-    // One map literal + element_at — O(1) hash probe per row, vs an O(P)
-    // when-chain evaluated per row (200 branches at default partitions).
-    val offExpr =
-      if (offsets.isEmpty) lit(0L)
-      else element_at(
-        map(offsets.toSeq.sortBy(_._1)
-          .flatMap { case (pid, off) => Seq(lit(pid), lit(off)) }: _*),
-        col("_pid"))
-    sorted
-      .withColumn(as, offExpr + col("_loc") + 1)
-      .drop("_mid", "_pid", "_loc")
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .zipWithGlobalIndex(sorted, as)
   }
 }

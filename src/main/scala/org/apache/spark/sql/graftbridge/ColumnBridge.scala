@@ -36,4 +36,36 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  /** RDD.zipWithIndex over the frame's InternalRows, appending the
+    * (1-based) index as a LongType column `as` — the canonical Spark
+    * global-numbering scheme. A SINGLE RDD instance backs both
+    * zipWithIndex's partition-count job and the data pass, so the
+    * upstream shuffle (and its sampled range bounds, when the input is
+    * range-partitioned) is materialized once and reused; no persist or
+    * checkpoint needed, shuffle files are GC-cleaned. InternalRow-level
+    * (`toRdd` + `internalCreateDataFrame` are `private[sql]`): no
+    * Row encode/decode round trip on the data path. Rows are copied out
+    * of the reused Unsafe buffers once — the price of leaving codegen
+    * for one boundary.
+    */
+  def zipWithGlobalIndex(df: org.apache.spark.sql.DataFrame,
+      as: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    val schema = StructType(
+      df.schema.fields :+ StructField(as, LongType, nullable = false))
+    val rdd = ds.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { case (row, i) =>
+        extra.update(0, i + 1L)
+        joined(row, extra).copy()
+      }
+    }
+    spark.internalCreateDataFrame(rdd, schema)
+  }
 }

@@ -10,6 +10,23 @@ class MiscOpsSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "misc-test")
   val sf = "/root/testdata/sf0.001"
 
+  test("GlobalOrder.rowNumber: exactly 1..N, branch-consistent offsets") {
+    // the counts branch and the data branch must see the SAME sampled
+    // range bounds (exchange reuse) — a mismatch would misnumber rows
+    // nondeterministically, so the check is exact equality with the
+    // single-plan ground truth, repeated to catch sampling flake
+    val ev = Tables.events(spark, sf)
+    val expected = ev.orderBy(col("ts_ms"), col("event_id"))
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    (1 to 3).foreach { _ =>
+      val rn = graft.operators.stateless.GlobalOrder.rowNumber(
+        ev, Seq(col("ts_ms"), col("event_id")), "rn")
+      val got = rn.orderBy("rn").select("event_id", "rn").collect()
+      assert(got.map(_.getLong(0)).toSeq == expected)
+      assert(got.map(_.getLong(1)).toSeq == (1L to expected.size).toSeq)
+    }
+  }
+
   test("bucketed tables join with zero exchanges (co-located join)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
