@@ -211,8 +211,13 @@ object Paths {
       val root = segs.head.name
       if (df.columns.contains(root)) {
         if (segs.tail.forall(_.idx.isEmpty))
-          df.withColumn(root, functions.col(s"`$root`")
-            .withField(segs.tail.map(_.name).mkString("."), value))
+          // schema-aware walk, NOT withField("a.b", v): Spark's dotted
+          // withField requires every intermediate to exist, while the
+          // reference's jsn:set creates missing intermediate maps
+          // (flowdata_tests.erl:73-80) — and replaces a scalar
+          // intermediate with a fresh map
+          df.withColumn(root, deepSet(functions.col(s"`$root`"),
+            df.schema(root).dataType, segs.tail, value))
         else
           // an [n] segment mid-path writes INSIDE an array element
           // (json_test.dfs 'data.mt[1].ccRdy'): rebuild the array with
@@ -237,6 +242,25 @@ object Paths {
       }
       functions.struct(v.as(seg.name))
     }
+
+  /** Index-free deep set that creates missing intermediate structs and
+    * replaces non-struct intermediates with fresh ones (jsn:set).
+    */
+  private def deepSet(parent: Column,
+      pt: org.apache.spark.sql.types.DataType, segs: Seq[Seg],
+      value: Column): Column = pt match {
+    case _: org.apache.spark.sql.types.StructType => segs match {
+      case Seq(Seg(name, _)) => parent.withField(s"`$name`", value)
+      case Seg(name, _) +: rest =>
+        fieldTypeOf(pt, name) match {
+          case Some(ft) => parent.withField(s"`$name`",
+            deepSet(parent.getField(name), ft, rest, value))
+          case None => parent.withField(s"`$name`", fresh(rest, value))
+        }
+    }
+    // a scalar on the path: the whole subtree becomes a fresh struct
+    case _ => fresh(segs, value)
+  }
 
   private def fieldTypeOf(t: org.apache.spark.sql.types.DataType,
       name: String): Option[org.apache.spark.sql.types.DataType] = t match {

@@ -17,6 +17,7 @@ object DfsEngine {
     * script validates exactly like hand-written DFS.
     */
   def compile(src: String): Script = {
+    UserComponents.registerAll() // reference-shipped examples, idempotent
     val script = Macros.expand(Parser.parse(src))
     Planner.validate(script)
     script

@@ -406,6 +406,21 @@ object Planner {
   private val customNodes =
     new java.util.concurrent.ConcurrentHashMap[String, NodeDef]()
 
+  /** Public option accessors for registered custom components — the same
+    * def-resolving readers the built-ins use ([[UserComponents]], user
+    * registerNode call sites).
+    */
+  def optionStr(n: NodeSpec, name: String, env: Env): Option[String] =
+    optStr(n, name, env)
+  def optionStrs(n: NodeSpec, name: String, env: Env): Seq[String] =
+    optStrs(n, name, env)
+  def optionNums(n: NodeSpec, name: String, env: Env): Seq[Double] =
+    optVals(n, name, env).map {
+      case VNum(v, _) => v
+      case VLong(l) => l.toDouble
+      case v => throw DfsError(s"option '$name': expected number, got $v")
+    }
+
   /** The single-function stats node family (components/stats/esp_*.erl —
     * each is a Batch→Point node computing one aggregate over the window;
     * esp_stats.erl:25-28 options {field, as, func}). Sugar over the same

@@ -337,18 +337,17 @@ class DfsSpec extends AnyFunSuite {
     assert(failures.map(_._1).toSet == expectedRejects)
   }
 
-  test("EVERY reference dfs script PLANS end-to-end (12 env-dependent rejects)") {
+  test("EVERY reference dfs script PLANS end-to-end (6 env-dependent rejects)") {
     // run-level parity: beyond compiling, each script must survive
     // DfsEngine.run (full planning — lenient field resolution, option
     // defaults, source wiring). The only allowed failures are
-    // environment-dependent: scripts needing an unregistered user
-    // component class (the reference equally needs the python class), a
+    // environment-dependent: scripts needing a user component class the
+    // reference repo does not ship either (@mirror, @batch_start — the
+    // SHIPPED python examples are registered by UserComponents), a
     // foreign DB table absent from the corpus, or a JDBC driver not in
     // the sandbox.
     val envDependent = Set(
-      "dev/python2.dfs", "dev/python_double.dfs", "dev/python_time.dfs",
-      "other/python1.dfs", "other/python2.dfs", "other/python3.dfs",
-      "other/python4.dfs", "other/shift.dfs", "other/lambda_test.dfs",
+      "dev/python2.dfs", "other/shift.dfs", "other/lambda_test.dfs",
       "other/oracle_query_test.dfs", "other/pg_query.dfs", "test/mongo.dfs")
     val dir = new java.io.File("/root/reference/dfs")
     assume(dir.isDirectory, "reference tree not present")
@@ -1103,18 +1102,19 @@ class DfsSpec extends AnyFunSuite {
     assert(e.msg.contains("no runnable chain"))
   }
 
-  test("run-level coverage floor: 95+ reference scripts run with rows") {
+  test("run-level coverage floor: 101+ reference scripts run with rows") {
     // the full seeded sweep (graft.tools.RunSweep): brokered scripts get
     // deterministic traffic on every topic they subscribe to. Declared
     // LAST in the suite — seeding mutates the shared LoopbackBus, and the
     // exact-count brokered assertions above must see only their own
     // messages. Floor, not exact: earlier tests may pre-seed topics.
     val r = graft.tools.RunSweep.sweep(spark, sf)
-    assert(r.ok >= 95,
-      s"run-level parity regressed: ok=${r.ok} (floor 95)\n" +
+    assert(r.ok >= 101,
+      s"run-level parity regressed: ok=${r.ok} (floor 101)\n" +
         r.lines.filterNot(_.startsWith("OK")).mkString("\n"))
-    // the FAIL set is pinned too: only environment rejects (user
-    // components, foreign DB tables, missing JDBC driver)
-    assert(r.failed <= 12, r.lines.filter(_.startsWith("FAIL")).mkString("\n"))
+    // the FAIL set is pinned too: only environment rejects (user classes
+    // the reference repo does not ship either — @mirror/@batch_start —
+    // plus foreign DB tables and a JDBC driver not in the sandbox)
+    assert(r.failed <= 6, r.lines.filter(_.startsWith("FAIL")).mkString("\n"))
   }
 }

@@ -10,6 +10,22 @@ class MiscOpsSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "misc-test")
   val sf = "/root/testdata/sf0.001"
 
+  test("Paths.set creates missing intermediate structs (jsn:set semantics)") {
+    import spark.implicits._
+    import graft.core.Paths
+    val df = Seq((1L, 2L)).toDF("a", "b")
+      .select(struct(col("a").as("field1"), col("b").as("field2")).as("data"))
+    // python_double.dfs: data exists, data.double does not — the write
+    // must create the intermediate struct, keeping the siblings
+    val out = Paths.set(df, "data.double.field1", Paths.ref("data.field1") * 2)
+    assert(out.select(Paths.ref("data.double.field1")).head.getLong(0) == 2L)
+    assert(out.select(Paths.ref("data.field1")).head.getLong(0) == 1L)
+    assert(out.select(Paths.ref("data.field2")).head.getLong(0) == 2L)
+    // a SCALAR intermediate is replaced by a fresh struct (jsn:set)
+    val out2 = Paths.set(df, "data.field1.x", lit(9L))
+    assert(out2.select(Paths.ref("data.field1.x")).head.getLong(0) == 9L)
+  }
+
   test("GlobalOrder.rowNumber: exactly 1..N, branch-consistent offsets") {
     // the counts branch and the data branch must see the SAME sampled
     // range bounds (exchange reuse) — a mismatch would misnumber rows
