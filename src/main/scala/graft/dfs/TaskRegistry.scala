@@ -112,5 +112,52 @@ object TaskRegistry {
         running.containsKey(t.name)))
   }
 
-  def clear(): Unit = { tasks.clear(); running.clear() }
+  // ---- temporary flows (SURVEY §3.2; faxe.erl:441-470 start_temp) ------
+  // A temp flow is compile+start in one call with a TTL: the reference
+  // arms a teardown timer and `ping` re-arms it (df_graph.erl:248-251,
+  // 279-284). Batch analog: an expiry mark swept lazily on access — no
+  // timer thread; an expired temp's frames are released on the next
+  // registry touch.
+
+  private val tempExpiry =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)] // (ttl, deadline)
+  private val tempSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def sweepTemps(nowMs: Long): Unit = {
+    val it = tempExpiry.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._2 <= nowMs) { running.remove(e.getKey); it.remove() }
+    }
+  }
+
+  /** Compile + start an UNREGISTERED flow with a TTL; returns its
+    * generated name and frames. Expires `ttlMs` after the last ping.
+    */
+  def startTemp(dfs: String, spark: SparkSession, dir: String, ttlMs: Long,
+      nowMs: Long = System.currentTimeMillis()): (String, Map[String, DataFrame]) = {
+    sweepTemps(nowMs)
+    val frames = DfsEngine.run(dfs, spark, dir)
+    val name = s"temp_${tempSeq.incrementAndGet()}"
+    running.put(name, frames)
+    tempExpiry.put(name, (ttlMs, nowMs + ttlMs))
+    (name, frames)
+  }
+
+  /** Keep-alive: re-arm a temp flow's TTL (faxe.erl task ping). */
+  def ping(name: String, nowMs: Long = System.currentTimeMillis()): Unit = {
+    sweepTemps(nowMs)
+    val cur = tempExpiry.get(name)
+    if (cur == null) throw DfsError(s"temp task '$name' is not running")
+    tempExpiry.put(name, (cur._1, nowMs + cur._1))
+  }
+
+  /** Running temp flows after a lazy expiry sweep. */
+  def listTemps(nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    sweepTemps(nowMs)
+    import scala.jdk.CollectionConverters._
+    tempExpiry.keySet().asScala.toSeq.sorted
+  }
+
+  def clear(): Unit = { tasks.clear(); running.clear(); tempExpiry.clear() }
 }

@@ -73,4 +73,22 @@ class PathsPropSpec extends AnyFunSuite {
       row.getLong(0) == v && row.getLong(1) == 8L
     }, n = 10)
   }
+
+  test("set through an existing struct creates missing intermediates") {
+    // jsn:set (flowdata_tests.erl:73-80): any missing level below an
+    // existing root is created, siblings at every level untouched
+    import spark.implicits._
+    checkProp(Prop.forAll(seg, seg, deepPath, Gen.choose(-1000L, 1000L)) {
+      (root, sib, rest, v) =>
+        rest.isEmpty || rest.contains(sib) || root == sib || {
+          val df = Seq(7L).toDF("x")
+            .select(struct(col("x").as(sib)).as(root))
+          val path = (root +: rest).mkString(".")
+          val row = Paths.set(df, path, lit(v))
+            .select(Paths.ref(path).as("got"),
+              Paths.ref(s"$root.$sib").as("sib")).head()
+          row.getLong(0) == v && row.getLong(1) == 7L
+        }
+    }, n = 25)
+  }
 }

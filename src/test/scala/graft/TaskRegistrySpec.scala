@@ -81,6 +81,26 @@ class TaskRegistrySpec extends AnyFunSuite {
     } finally { TaskRegistry.clear(); Macros.clear() }
   }
 
+  test("temp flows: TTL expiry swept lazily, ping re-arms") {
+    // SURVEY §3.2 / faxe.erl:441-470: start_temp + TTL teardown + ping
+    TaskRegistry.clear()
+    try {
+      val t0 = 1700000000000L
+      val (name, frames) = TaskRegistry.startTemp(
+        "|value_emitter(.count(4))", spark, sf, ttlMs = 10000L, nowMs = t0)
+      assert(frames.values.head.count() == 4)
+      assert(TaskRegistry.isRunning(name))
+      assert(TaskRegistry.listTemps(t0 + 1000) == Seq(name))
+      // ping at t0+8s pushes the deadline to t0+18s
+      TaskRegistry.ping(name, t0 + 8000)
+      assert(TaskRegistry.listTemps(t0 + 15000) == Seq(name))
+      // past the re-armed deadline the flow is swept and released
+      assert(TaskRegistry.listTemps(t0 + 18001).isEmpty)
+      assert(!TaskRegistry.isRunning(name))
+      intercept[Ir.DfsError](TaskRegistry.ping(name, t0 + 19000))
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
   test("upsert replaces a task's dfs in place") {
     TaskRegistry.clear()
     try {
