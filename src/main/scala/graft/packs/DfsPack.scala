@@ -322,6 +322,116 @@ object DfsPack extends QueryPack {
              |       THEN nextra ELSE CAST(-1 AS DOUBLE) END AS extra
              |FROM n""".stripMargin)),
 
+    // DFS `combine` through the front-end: as-of-latest enrich with the
+    // reference's cold-buffer rule — a click before the user's first view
+    // emits NOTHING (esp_combine.erl:94-95 "No output is given, if there
+    // has never arrived a value on port 2"); .prefix composes with the
+    // default '_' delimiter (esp_combine.erl:60 PREFIX_DEL).
+    "dfs_combine_cold" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """def views =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'view')
+          #|keep('user_id', 'ts_ms', 'value')
+          #
+          #def clicks =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'click')
+          #|keep('user_id', 'ts_ms', 'value', 'event_id')
+          #
+          #clicks
+          #|combine(views)
+          #  .keys('user_id')
+          #  .fields('value')
+          #  .prefix('v')
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+             |             event_id
+             |           FROM events WHERE event_type = 'click'),
+             |     r AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value
+             |           FROM events WHERE event_type = 'view')
+             |SELECT l.user_id, l.ts_ms, l.value, l.event_id,
+             |  r.value AS v_value
+             |FROM l ASOF JOIN r
+             |  ON l.user_id = r.user_id AND l.ts_ms >= r.ts_ms""".stripMargin)),
+
+    // DFS `join2` with two joined streams (esp_join2.erl): per-stream
+    // nearest-ts within the shared .tolerance, default empty prefixes
+    // land own names, and full=true (the default) keeps only rows where
+    // EVERY joined stream matched (:61,136-138 is_full_row).
+    "dfs_join2_full" -> QueryDef(
+      (s, dir) => DfsEngine.runSingle(
+        """def purchases =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'purchase')
+          #|eval(lambda: "value").as('pval')
+          #|keep('user_id', 'ts_ms', 'pval')
+          #
+          #def errors =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'error')
+          #|eval(lambda: "value").as('errval')
+          #|keep('user_id', 'ts_ms', 'errval')
+          #
+          #def clicks =
+          #|parquet_read(.table('events'))
+          #|where(lambda: "event_type" == 'click')
+          #|keep('user_id', 'ts_ms', 'value', 'event_id')
+          #
+          #clicks
+          #|group_by('user_id')
+          #|join2(purchases, errors)
+          #  .tolerance(4h)
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH l AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+             |             event_id
+             |           FROM events WHERE event_type = 'click'),
+             |     p AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+             |             value AS pval
+             |           FROM events WHERE event_type = 'purchase'),
+             |     e AS (SELECT user_id, epoch_ms(ts) AS ts_ms,
+             |             value AS errval
+             |           FROM events WHERE event_type = 'error'),
+             |pb AS (SELECT l.event_id AS lid, p.ts_ms AS bts, p.pval AS bval
+             |       FROM l ASOF LEFT JOIN p
+             |         ON l.user_id = p.user_id AND l.ts_ms >= p.ts_ms),
+             |pf AS (SELECT l.event_id AS lid, p.ts_ms AS fts, p.pval AS fval
+             |       FROM l ASOF LEFT JOIN p
+             |         ON l.user_id = p.user_id AND l.ts_ms < p.ts_ms),
+             |pn AS (SELECT l.event_id AS lid,
+             |  CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fts
+             |       ELSE bts END AS nts,
+             |  CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fval
+             |       ELSE bval END AS nval
+             |FROM l JOIN pb ON l.event_id = pb.lid
+             |       JOIN pf ON l.event_id = pf.lid),
+             |eb AS (SELECT l.event_id AS lid, e.ts_ms AS bts,
+             |         e.errval AS bval
+             |       FROM l ASOF LEFT JOIN e
+             |         ON l.user_id = e.user_id AND l.ts_ms >= e.ts_ms),
+             |ef AS (SELECT l.event_id AS lid, e.ts_ms AS fts,
+             |         e.errval AS fval
+             |       FROM l ASOF LEFT JOIN e
+             |         ON l.user_id = e.user_id AND l.ts_ms < e.ts_ms),
+             |en AS (SELECT l.event_id AS lid,
+             |  CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fts
+             |       ELSE bts END AS nts,
+             |  CASE WHEN bts IS NULL THEN fval WHEN fts IS NULL THEN bval
+             |       WHEN (fts - l.ts_ms) < (l.ts_ms - bts) THEN fval
+             |       ELSE bval END AS nval
+             |FROM l JOIN eb ON l.event_id = eb.lid
+             |       JOIN ef ON l.event_id = ef.lid)
+             |SELECT l.user_id, l.ts_ms, l.value, l.event_id,
+             |  pn.nval AS pval, en.nval AS errval
+             |FROM l JOIN pn ON l.event_id = pn.lid
+             |       JOIN en ON l.event_id = en.lid
+             |WHERE pn.nts IS NOT NULL AND abs(l.ts_ms - pn.nts) <= 14400000
+             |  AND en.nts IS NOT NULL
+             |  AND abs(l.ts_ms - en.nts) <= 14400000""".stripMargin)),
+
     // collect_fields through the front-end: latest value of each listed
     // field per stream key (esp_collect_fields.erl:33-102).
     "dfs_collect_fields" -> QueryDef(
