@@ -23,6 +23,31 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Concat-and-chunk sequence packing (LLM pretraining prep): documents
+    * lie head-to-tail per `shard` in `order` and are cut into fixed
+    * `binTokens`-token context windows. Adds `bin_id` (the window the
+    * doc's FIRST token lands in), `bin_offset` (its token offset inside
+    * that window) and `n_bins` (how many windows the doc spans — long
+    * docs straddle). Keyed window arithmetic only: ONE shuffle on the
+    * shard key, no global ordering, no state; at 100 TB the shard key
+    * (language, source bucket) bounds every sort run.
+    */
+  def packBins(df: org.apache.spark.sql.DataFrame, tokens: Column,
+      shard: Column, order: Seq[Column], binTokens: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cumEnd = sum(tokens).over(w)
+    val start = cumEnd - tokens
+    val binId = floor(start / lit(binTokens)).cast("long")
+    df.withColumn("bin_id", binId)
+      .withColumn("bin_offset", start % binTokens)
+      .withColumn("n_bins",
+        when(tokens <= 0, lit(0L)).otherwise(
+          floor((cumEnd - 1) / lit(binTokens)).cast("long") - binId + 1))
+  }
+
   /** Word n-gram shingles, space-joined. Guarded: Spark's sequence(1, 0)
     * counts *down*, so short docs get an explicit empty. `distinct` costs
     * O(n²) string compares — request it only where set semantics matter

@@ -115,6 +115,32 @@ object LlmPack extends QueryPack {
               |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS INTEGER) AS n_bpeish
               |FROM documents""".stripMargin)),
 
+    // concat-and-chunk sequence packing (brief: the operations a
+    // training-data pipeline needs — fixed context-window packing):
+    // per-language shard, docs lie head-to-tail in doc_id order and are
+    // cut into 512-token windows; each doc reports its window, offset
+    // and span. Keyed window arithmetic — replays exactly in SQL.
+    "text_pack_bins" -> QueryDef(
+      (s, dir) =>
+        TextOps.packBins(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tok")),
+          col("n_tok"), col("lang"), Seq(col("doc_id")), 512),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |  CAST(len($toks) AS INTEGER) AS n_tok FROM documents),
+              |c AS (SELECT doc_id, lang, n_tok,
+              |  CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+              |FROM t)
+              |SELECT doc_id, lang, n_tok,
+              |  (cum_end - n_tok) // 512 AS bin_id,
+              |  (cum_end - n_tok) % 512 AS bin_offset,
+              |  CASE WHEN n_tok <= 0 THEN CAST(0 AS BIGINT)
+              |       ELSE (cum_end - 1) // 512
+              |            - (cum_end - n_tok) // 512 + 1
+              |  END AS n_bins
+              |FROM c""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) =>
         Dedup.withFingerprint(Tables.documents(s, dir), col("text"), "fp")
