@@ -23,6 +23,19 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Deterministic hash-based row sampling: keep a row iff
+    * md5(id) mod 1e6 falls under `fraction`·1e6. The reproducible
+    * sampling primitive for training-data mixtures — no RNG, no seed
+    * state, the same row set on every run and every engine (the DuckDB
+    * oracle replays the identical md5 arithmetic). `fraction` is a
+    * per-row Column, so stratified mixes are just a CASE over the
+    * stratum column. Embarrassingly parallel: no shuffle at all.
+    */
+  def hashSample(df: org.apache.spark.sql.DataFrame, id: Column,
+      fraction: Column): org.apache.spark.sql.DataFrame =
+    df.filter(pmod(hash60(id.cast("string")), lit(1000000L)) <
+      (fraction * 1000000L).cast("long"))
+
   /** Concat-and-chunk sequence packing (LLM pretraining prep): documents
     * lie head-to-tail per `shard` in `order` and are cut into fixed
     * `binTokens`-token context windows. Adds `bin_id` (the window the

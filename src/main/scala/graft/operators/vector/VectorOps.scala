@@ -32,6 +32,21 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric int8 scalar quantization — the ANN memory-scale path
+    * (4 bytes/dim float → 1 byte/dim + one scale): per-vector
+    * scale = max|v|/127, q_i = floor(v_i/scale + 0.5) (explicit
+    * floor(x+0.5) so no engine-specific rounding mode leaks in;
+    * a zero vector quantizes to zeros). Pure per-row arithmetic in
+    * whole-stage codegen — no shuffle, embarrassingly parallel.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("q_scale",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))) / 127.0)
+      .withColumn("q_vec", transform(col(vecCol), x =>
+        when(col("q_scale") === 0.0, lit(0L))
+          .otherwise(floor(x.cast("double") / col("q_scale") + 0.5)
+            .cast("long"))))
+
   /** Brute-force cosine top-k: broadcast the (small) query set against the
     * corpus, rank per query. The per-query ranking partitions on q_id —
     * parallel across queries, no global sort.

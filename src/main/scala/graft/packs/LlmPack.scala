@@ -141,6 +141,20 @@ object LlmPack extends QueryPack {
               |  END AS n_bins
               |FROM c""".stripMargin)),
 
+    // deterministic stratified sampling (brief: training-data mixture
+    // construction): md5-hash gate per row, per-language fractions — no
+    // RNG, bit-reproducible across engines and runs.
+    "text_sample_strata" -> QueryDef(
+      (s, dir) =>
+        TextOps.hashSample(Tables.documents(s, dir),
+          col("doc_id"),
+          when(col("lang") === "en", lit(0.5)).otherwise(lit(0.9)))
+          .select(col("doc_id"), col("lang")),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 <
+              |  CAST((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.9 END)
+              |       * 1000000 AS BIGINT)""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) =>
         Dedup.withFingerprint(Tables.documents(s, dir), col("text"), "fp")
@@ -323,6 +337,26 @@ object LlmPack extends QueryPack {
 
     // vector norms + l2-normalized head components (embedding hygiene
     // pass every similarity pipeline needs).
+    // symmetric int8 quantization (brief: similarity search at scale —
+    // 4x memory cut for the ANN corpus): per-vector scale + integer
+    // codes, floor(x+0.5) arithmetic replayed exactly by the oracle.
+    "emb_quantize" -> QueryDef(
+      (s, dir) =>
+        VectorOps.quantizeInt8(Tables.embeddings(s, dir), "embedding")
+          .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+            col("q_vec")),
+      Some("""WITH q AS (SELECT vec_id,
+             |  list_max(list_transform(embedding,
+             |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qs,
+             |  embedding
+             |FROM embeddings)
+             |SELECT vec_id, round(qs, 6) AS q_scale,
+             |  list_transform(embedding, x ->
+             |    CASE WHEN qs = 0 THEN CAST(0 AS BIGINT)
+             |         ELSE CAST(floor(CAST(x AS DOUBLE) / qs + 0.5)
+             |                   AS BIGINT) END) AS q_vec
+             |FROM q""".stripMargin)),
+
     "emb_norms" -> QueryDef(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
