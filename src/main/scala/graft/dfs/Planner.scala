@@ -1990,6 +1990,51 @@ object Planner {
         subscribeLanded(env, s"s7:$ip:$port", stream = false)
       }),
 
+    // ---- graft EXTENSION nodes (no faxe counterpart) -------------------
+    // The LLM training-data operators exposed to the script language so a
+    // pipeline author can stay in DFS end-to-end. Documented as
+    // extensions in docs/OPERATORS.md — they cite no esp_* module.
+    "hash_sample" -> bt(Set("field", "fraction")) { (ctx, n, env) =>
+      val f = optStr(n, "field", env)
+        .getOrElse(throw DfsError("hash_sample: .field"))
+      val frac = optNum(n, "fraction", env)
+        .getOrElse(throw DfsError("hash_sample: .fraction"))
+      graft.operators.text.TextOps.hashSample(ctx.df, Paths.ref(f),
+        lit(frac))
+    },
+    "pack_bins" -> bt(
+      Set("tokens_field", "text_field", "shard", "order", "bin_tokens")) {
+      (ctx, n, env) =>
+        val tokens = optStr(n, "tokens_field", env).map(Paths.ref)
+          .orElse(optStr(n, "text_field", env).map(f =>
+            graft.operators.text.TextOps.tokenCount(Paths.ref(f))))
+          .getOrElse(throw DfsError("pack_bins: .tokens_field or .text_field"))
+        val shard = optStr(n, "shard", env).map(Paths.ref)
+          .getOrElse(lit(0))
+        val order = optStrs(n, "order", env).map(Paths.ref) match {
+          case Seq() if ctx.tsMs.nonEmpty => Seq(col(ctx.tsMs))
+          case Seq() => throw DfsError(
+            "pack_bins: .order (the stream has no time axis)")
+          case o => o
+        }
+        val bin = optNum(n, "bin_tokens", env).map(_.toInt).getOrElse(8192)
+        graft.operators.text.TextOps.packBins(ctx.df, tokens, shard, order,
+          bin)
+    },
+    "near_dedup" -> bt(Set("text_field", "id_field", "threshold", "bands",
+      "rows_per_band", "max_bucket")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("near_dedup: .id_field"))
+      graft.operators.text.Dedup.nearDupPairs(ctx.df, Paths.ref(text),
+        Paths.ref(id),
+        optNum(n, "threshold", env).getOrElse(0.8),
+        optNum(n, "bands", env).map(_.toInt).getOrElse(4),
+        optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2),
+        optNum(n, "max_bucket", env).map(_.toInt)
+          .getOrElse(graft.operators.text.Dedup.DefaultMaxBucketSize))
+    },
+
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.

@@ -42,6 +42,31 @@ object LlmPack extends QueryPack {
        |    x -> struct_extract(x, 1) * struct_extract(x, 2))),
        |  (acc, v) -> acc + v)""".stripMargin
 
+  // the full MinHash+LSH near-dup pipeline replay, shared by the Scala
+  // API query and its DFS-node twin
+  private def nearPairsSql(threshold: Double): String = {
+    val sigExprs = (0 until 8).map(i =>
+      s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
+      .mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
+       |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
+       |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hs),
+       |sig AS (SELECT doc_id, $sigExprs FROM hs),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       |jac AS (SELECT a, b,
+       |          round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jac
+       |        FROM cand JOIN shs x ON cand.a = x.doc_id
+       |                  JOIN shs y ON cand.b = y.doc_id)
+       |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
+  }
+
   def entries: Map[String, QueryDef] = Map(
     // ---- text analysis --------------------------------------------------
     "text_stats" -> QueryDef(
@@ -155,6 +180,51 @@ object LlmPack extends QueryPack {
               |  CAST((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.9 END)
               |       * 1000000 AS BIGINT)""".stripMargin)),
 
+    // ---- DFS twins of the extension nodes: the pipeline operators are
+    // first-class in the SCRIPT language too (Planner graft-extension
+    // section), hash-pinned through the front-end path.
+    "dfs_hash_sample" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|hash_sample(.field('doc_id').fraction(0.7))
+          #|keep('doc_id', 'lang')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""SELECT doc_id, lang FROM documents
+              |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000000
+              |  < CAST(0.7 * 1000000 AS BIGINT)""".stripMargin)),
+
+    "dfs_pack_bins" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|pack_bins(
+          #  .text_field('text')
+          #  .shard('lang')
+          #  .order('doc_id')
+          #  .bin_tokens(512))
+          #|keep('doc_id', 'lang', 'bin_id', 'bin_offset', 'n_bins')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |  CAST(len($toks) AS INTEGER) AS n_tok FROM documents),
+              |c AS (SELECT doc_id, lang, n_tok,
+              |  CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+              |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+              |FROM t)
+              |SELECT doc_id, lang,
+              |  (cum_end - n_tok) // 512 AS bin_id,
+              |  (cum_end - n_tok) % 512 AS bin_offset,
+              |  CASE WHEN n_tok <= 0 THEN CAST(0 AS BIGINT)
+              |       ELSE (cum_end - 1) // 512
+              |            - (cum_end - n_tok) // 512 + 1
+              |  END AS n_bins
+              |FROM c""".stripMargin)),
+
+    "dfs_near_dedup" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.id_field('doc_id').threshold(0.3))
+          #""".stripMargin('#'), s, dir),
+      Some(nearPairsSql(0.3))),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) =>
         Dedup.withFingerprint(Tables.documents(s, dir), col("text"), "fp")
@@ -186,28 +256,7 @@ object LlmPack extends QueryPack {
     "dedup_near_pairs" -> QueryDef(
       (s, dir) =>
         Dedup.nearDupPairs(Tables.documents(s, dir), col("text"), col("doc_id"), 0.3),
-      Some {
-        val sigExprs = (0 until 8).map(i =>
-          s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
-          .mkString(", ")
-        val bandRows = (0 until 4).map(b =>
-          s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
-          .mkString("\nUNION ALL\n")
-        s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
-           |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
-           |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hs),
-           |sig AS (SELECT doc_id, $sigExprs FROM hs),
-           |bands AS ($bandRows),
-           |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-           |         FROM bands l JOIN bands r
-           |           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
-           |jac AS (SELECT a, b,
-           |          round(len(list_intersect(x.sh, y.sh)) * 1.0 /
-           |            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jac
-           |        FROM cand JOIN shs x ON cand.a = x.doc_id
-           |                  JOIN shs y ON cand.b = y.doc_id)
-           |SELECT a, b, jac FROM jac WHERE jac >= 0.3""".stripMargin
-      }),
+      Some(nearPairsSql(0.3))),
 
     // linear-cost near-dup linking: each doc pairs with its bucket's
     // representative (min doc_id) — O(n) candidates per bucket, the shape
