@@ -481,6 +481,12 @@ object Planner {
             "not registered (Planner.registerNode)"))
       else throw DfsError(s"unknown node '$name'.${suggest(name, nodes.keys)}"))
 
+  /** Registered option surface per node — dev tooling (the option-parity
+    * audit against the reference's `options()` lists).
+    */
+  def registeredOptions: Map[String, Set[String]] =
+    nodes.map { case (k, v) => k -> v.opts }
+
   private val builtinNodes: Map[String, NodeDef] = Map(
     // ---- sources (Spark-native scan nodes) ----
     "parquet_read" -> NodeDef(None, Point, Set("table", "dir"),
@@ -551,7 +557,7 @@ object Planner {
     // esp_json_emitter.erl:37-66; .every/.jitter are stream pacing —
     // meaningless in batch, accepted and ignored).
     "json_emitter" -> NodeDef(None, Both,
-      Set("every", "jitter", "select", "json", "as", "align"),
+      Set("every", "jitter", "select", "json", "as", "align", "name"),
       (_, n, env) => {
         val docs = argStrs(n, env) ++ optStrs(n, "json", env)
         if (docs.isEmpty) throw DfsError("json_emitter needs JSON documents")
@@ -568,7 +574,7 @@ object Planner {
     // esp_value_emitter.erl:26-66; random values become a hash sequence).
     "value_emitter" -> NodeDef(None, Both,
       Set("every", "count", "type", "mode", "jitter", "fields",
-        "field_values", "align", "format"),
+        "field_values", "align", "format", "batch_size"),
       (_, n, env) => {
         val count = optNum(n, "count", env).map(_.toLong).getOrElse(100L)
         val value = optStr(n, "mode", env) match {
@@ -656,12 +662,18 @@ object Planner {
             }
         }
     },
-    "keep" -> bt(Set("fields", "as")) { (ctx, n, env) =>
-      val fs = argStrs(n, env) ++ optStrs(n, "fields", env)
+    "keep" -> bt(Set("fields", "tags", "as")) { (ctx, n, env) =>
+      // tags are ordinary columns relationally — .tags extends the kept
+      // list (esp_keep.erl:22 keeps fields and tags side by side)
+      val fs = argStrs(n, env) ++ optStrs(n, "fields", env) ++
+        optStrs(n, "tags", env)
       val as = optStrs(n, "as", env)
+      // .as renames positionally; entries past the rename list (e.g.
+      // appended tags) keep their own names
       val pairs =
         if (as.isEmpty) fs.map(_ -> (None: Option[String]))
-        else fs.zip(as.map(Option(_)))
+        else fs.zipAll(as.map(Option(_)), "", None)
+          .collect { case (f, a) if f.nonEmpty => f -> a }
       Transforms.keep(ctx.df, pairs)
     },
     "rename" -> bt(Set("fields", "as", "as_fields", "tags", "as_tags")) {
@@ -731,16 +743,31 @@ object Planner {
         d1.withColumn(ctx.tsMs, col(ctx.tsMs) + by)
       else d1
     },
-    "jsonsize" -> bt(Set("field", "as")) { (ctx, n, env) =>
-      val f = optStr(n, "field", env).getOrElse(throw DfsError("jsonsize: .field"))
-      Transforms.jsonSize(ctx.df, col(f),
-        optStr(n, "as", env).getOrElse("jsonsize"))
+    "jsonsize" -> bt(Set("field", "as", "inject")) { (ctx, n, env) =>
+      // reference semantics (esp_jsonsize.erl:22-34): the byte size of
+      // the WHOLE point's json, injected under .field (default
+      // 'jsonsize') only with .inject() — without the flag the reference
+      // only logs and the point passes unchanged. Graft extension: with
+      // BOTH .field and .as, .field names an input column to measure
+      // instead of the whole point (the pre-existing surface the
+      // jsonsize_bytes oracle uses through the Transforms API).
+      val fieldOpt = optStr(n, "field", env)
+      val asOpt = optStr(n, "as", env)
+      (fieldOpt, asOpt) match {
+        case (Some(f), Some(as)) => Transforms.jsonSize(ctx.df, col(f), as)
+        case _ if optFlag(n, "inject", env) =>
+          val out = fieldOpt.orElse(asOpt).getOrElse("jsonsize")
+          ctx.df.withColumn(out, octet_length(to_json(struct(
+            ctx.df.columns.toIndexedSeq.map(c0 => col(s"`$c0`")): _*))))
+        case _ => ctx.df // log-only in the reference: bit-transparent tap
+      }
     },
     // ---- restructuring (§2.2) ----
     // array_explode mirrors the reference script shape
     // (dfs/array_explode.dfs): .fields(paths) zipped to .as(out paths);
     // listed-but-absent fields are tolerated (dropped).
-    "array_explode" -> pt(Set("fields", "as", "keep")) { (ctx, n, env) =>
+    "array_explode" -> pt(Set("fields", "as", "keep", "time_offset")) {
+      (ctx, n, env) =>
       val fields = optStrs(n, "fields", env)
       val as = optStrs(n, "as", env)
       if (as.nonEmpty && as.size != fields.size)
@@ -756,8 +783,13 @@ object Planner {
             .delete(d.withColumn(s"_arr$i", graft.core.Paths.ref(f)), Seq(f))
       }
       val keep = staged.columns.filterNot(tmpNames.contains).toSeq
+      // element i's point is timestamped base + i·offset (esp_array_
+      // explode.erl:31 time_offset, default 1s, :49 TsStart pacing)
       val exploded = graft.operators.restructure.Restructure
-        .arrayExplode(staged, tmpNames, keep)
+        .arrayExplode(staged, tmpNames, keep,
+          tsMsCol = Some(ctx.tsMs).filter(t =>
+            t.nonEmpty && staged.columns.contains(t)),
+          tsOffsetMs = optDurMs(n, "time_offset", env).getOrElse(1000L))
       pairs.zipWithIndex.foldLeft(exploded) { case (d, ((_, out), i)) =>
         graft.core.Paths.set(d, out, col(s"_arr$i")).drop(s"_arr$i")
       }
@@ -799,8 +831,10 @@ object Planner {
           }.reduce(_.unionByName(_, allowMissingColumns = true))
       }
     },
-    "extract_path" -> bt(Set("paths", "as", "default")) { (ctx, n, env) =>
-      val paths = optStrs(n, "paths", env)
+    "extract_path" -> bt(Set("path", "paths", "as", "default")) {
+      (ctx, n, env) =>
+      // `.path` is the reference's singular form (esp_jsn_select family)
+      val paths = optStrs(n, "paths", env) ++ optStrs(n, "path", env)
       val as = optStrs(n, "as", env)
       if (paths.size != as.size)
         throw DfsError("extract_path: .paths/.as arity mismatch")
@@ -817,13 +851,15 @@ object Planner {
         ctx.df, col(f), ctx.df.columns.filterNot(_ == f).toSeq)
     },
 
-    "debug" -> NodeDef(Some(Both), Both, Set("level", "message"),
+    "debug" -> NodeDef(Some(Both), Both, Set("level", "message", "where"),
       (c, n, _) => requireCtx(c, n.name)),
-    "log" -> NodeDef(Some(Both), Both, Set("file", "level"),
+    "log" -> NodeDef(Some(Both), Both,
+      Set("file", "level", "field", "format"),
       (c, n, _) => requireCtx(c, n.name)),
 
     // ---- grouping / windows (§2.5) ----
-    "group_by" -> NodeDef(Some(Point), Point, Set("fields", "lambda"),
+    "group_by" -> NodeDef(Some(Point), Point,
+      Set("fields", "lambda", "debatch", "emit_empty", "reset_timeout"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         // lambda-computed keys (esp_group_by.erl lambda option) become a
@@ -892,7 +928,7 @@ object Planner {
         ctx.copy(win = Some(Win("count", period, every, fillPeriod = false)),
           io = Batch)
       }),
-    "batch" -> NodeDef(Some(Both), Batch, Set("size", "timeout"),
+    "batch" -> NodeDef(Some(Both), Batch, Set("size", "timeout", "name"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val size = optNum(n, "size", env)
@@ -929,8 +965,10 @@ object Planner {
         ctx.copy(df = restructured, win = None, io = Point,
           ts = "", tsMs = aggEventTime(ctx))
       }),
+    // .keep_last accepted like count_change's: batch keeps keyed
+    // continuity by design (the reference flag resets it per window)
     "percentile" -> NodeDef(Some(Batch), Point,
-      Set("fields", "as", "at", "approx"),
+      Set("fields", "as", "at", "approx", "keep_last"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         val field = optStrs(n, "fields", env).headOption
@@ -948,8 +986,12 @@ object Planner {
       }),
 
     // ---- branches (§2.1 case / if) ----
-    "case" -> bt(Set("values", "as", "default", "json")) { (ctx, n, env) =>
-      val tests = argLambdas(n, env).map(lambdaColumn(_, env.defs))
+    "case" -> bt(Set("lambdas", "values", "as", "default", "json")) {
+      (ctx, n, env) =>
+      // branch conditions are positional or `.lambdas(...)` (esp_case
+      // options lambda_list, esp_case.erl:29)
+      val tests = (argLambdas(n, env) ++ optLambdas(n, "lambdas", env))
+        .map(lambdaColumn(_, env.defs))
       val values = optVals(n, "values", env)
         .map(v => lambdaColumn(valueToLit(v), env.defs))
       if (tests.size != values.size)
@@ -960,8 +1002,10 @@ object Planner {
       val as = optStr(n, "as", env).getOrElse(throw DfsError("case: .as"))
       Transforms.caseWhen(ctx.df, as, tests.zip(values), default)
     },
-    "if" -> bt(Set("then", "else", "as")) { (ctx, n, env) =>
-      val test = argLambdas(n, env).headOption
+    "if" -> bt(Set("test", "then", "else", "as")) { (ctx, n, env) =>
+      // the condition is positional or `.test(lambda)` (esp_if.erl:26)
+      val test = (argLambdas(n, env) ++ optLambdas(n, "test", env))
+        .headOption
         .getOrElse(throw DfsError("if needs a lambda"))
       def valOf(o: String) = optVals(n, o, env).headOption
         .map(v => lambdaColumn(valueToLit(v), env.defs))
@@ -980,7 +1024,10 @@ object Planner {
         optStr(n, "as", env).getOrElse("state_count"),
         keyCols(ctx), orderCols(ctx))
     },
-    "state_duration" -> pt(Set("as", "unit", "lambda")) { (ctx, n, env) =>
+    // .emit_total accepted: the reference stores the flag but its
+    // process/3 never reads it (esp_state_duration.erl:34,49-61)
+    "state_duration" -> pt(Set("as", "unit", "lambda", "emit_total")) {
+      (ctx, n, env) =>
       val state = (argLambdas(n, env) ++ optLambdas(n, "lambda", env))
         .headOption.getOrElse(throw DfsError("state_duration needs a lambda"))
       StateOps.stateDuration(ctx.df, lambdaColumn(state, env.defs),
@@ -1021,7 +1068,10 @@ object Planner {
     // are stream concerns — the batch analog always materializes the
     // final buffer state with all columns
     "collect" -> bt(Set("key_fields", "add", "remove", "update", "keep",
-      "keep_as", "emit_every", "type", "as")) { (ctx, n, env) =>
+      "keep_as", "emit_every", "type", "as", "emit_unchanged",
+      "include_removed", "max_age", "max_ts_age", "merge", "tag_added",
+      "tag_removed", "tag_updated", "tag_value", "update_mode")) {
+      (ctx, n, env) =>
       val keys = optStrs(n, "key_fields", env)
       if (keys.isEmpty) throw DfsError("collect: .key_fields")
       (optLambdas(n, "add", env).headOption,
@@ -1067,15 +1117,31 @@ object Planner {
     "bottom" -> bt(Set("field", "n")) { (ctx, n, env) =>
       topBottom(ctx, n, env, desc = false)
     },
-    "jsn_select" -> bt(Set("table", "keys", "fields")) { (ctx, n, env) =>
+    "jsn_select" -> bt(Set("table", "keys", "fields", "as", "from",
+      "where")) { (ctx, n, env) =>
+      // reference surface (esp_jsn_select.erl:33-39): .from is a json
+      // document / mem literal and .where an erlang tuple_list — both
+      // are the in-actor document-select form; the engine binding selects
+      // from a corpus TABLE with an equi-key instead, which is the
+      // distributed (broadcast-join) shape. .fields/.as work identically.
+      if (n.options.contains("from") || n.options.contains("where"))
+        throw DfsError("jsn_select: .from/.where (in-actor document " +
+          "select) — use .table/.keys, the engine's broadcast-lookup form")
       val table = optStr(n, "table", env)
         .getOrElse(throw DfsError("jsn_select: .table"))
       val ks = optStrs(n, "keys", env)
       if (ks.size != 2) throw DfsError("jsn_select: .keys(streamKey, lookupKey)")
       val lookup = Tables.load(env.spark, env.dir, table)
-      val proj = optStrs(n, "fields", env) match {
+      val fs = optStrs(n, "fields", env)
+      val as = optStrs(n, "as", env)
+      if (as.nonEmpty && as.size != fs.size)
+        throw DfsError("jsn_select: .as arity must match .fields")
+      val proj = fs match {
         case Nil => lookup
-        case fs => lookup.select((ks(1) +: fs).distinct.map(col): _*)
+        case _ if as.isEmpty =>
+          lookup.select((ks(1) +: fs).distinct.map(col): _*)
+        case _ => lookup.select((col(ks(1)) +:
+          fs.zip(as).map { case (f, a) => col(f).as(a) }).toIndexedSeq: _*)
       }
       graft.operators.join.Mem.lookup(ctx.df, proj,
         col(ks.head) === col(ks(1)))
@@ -1600,7 +1666,9 @@ object Planner {
     // forward-looking window min; the wall-clock timer FSM lives in
     // graft.streaming.Streaming.triggeredTimeout.
     "triggered_timeout" -> pt(
-      Set("timeout", "timeout_trigger", "cancel_trigger")) { (ctx, n, env) =>
+      Set("timeout", "timeout_trigger", "cancel_trigger", "fields",
+        "field_values", "cancel_fields", "cancel_field_values")) {
+      (ctx, n, env) =>
       val to = optDurMs(n, "timeout", env)
         .getOrElse(throw DfsError("triggered_timeout: .timeout"))
       // stream-ref args (timeout_test1.dfs `triggered_timeout(in2)`) are
@@ -1615,11 +1683,26 @@ object Planner {
             env.frames(r).df.withColumn("_port", lit(2)),
             allowMissingColumns = true)
         }
+      // field-match predicates (esp_triggered_timeout.erl:48-52
+      // fields/field_values, same_length-checked): every listed field
+      // must equal its value — the lambda-free trigger/cancel form
+      def fieldMatch(fOpt: String, vOpt: String): Option[Column] = {
+        val fs = optStrs(n, fOpt, env)
+        val vs = optVals(n, vOpt, env)
+        if (fs.isEmpty) None
+        else if (fs.size != vs.size)
+          throw DfsError(s"triggered_timeout: .$fOpt/.$vOpt same length")
+        else Some(fs.zip(vs).map { case (f, v) =>
+          Paths.ref(f) === valueLit(v, env)
+        }.reduce(_ && _))
+      }
       val trigOpt = (argLambdas(n, env) ++
         optLambdas(n, "timeout_trigger", env))
         .headOption.map(lambdaColumn(_, env.defs))
+        .orElse(fieldMatch("fields", "field_values"))
       val cancelOpt = optLambdas(n, "cancel_trigger", env).headOption
         .map(lambdaColumn(_, env.defs))
+        .orElse(fieldMatch("cancel_fields", "cancel_field_values"))
       // reference port/lambda matrix (esp_triggered_timeout.erl:82-101):
       // with a trigger lambda, ANY row it rejects cancels the pending
       // timer (the batch analog keeps an explicit .cancel_trigger as the
@@ -1656,7 +1739,12 @@ object Planner {
     ),
     "amqp_consume" -> NodeDef(None, Point,
       Set("queue", "group", "exchange", "stream", "host", "port",
-        "routing_key", "prefetch"),
+        "routing_key", "prefetch", "ack_after", "ack_every", "as",
+        "bindings", "clean_field_names", "confirm", "consumer_tag",
+        "dedup_size", "dt_field", "dt_format", "exchange_prefix",
+        "include_topic", "pass", "queue_prefix", "qx_name",
+        "root_exchange", "safe", "ssl", "topic_as", "use_flow_ack",
+        "user", "vhost"),
       (_, n, env) => brokerSubscribe(n, env, "queue"),
     ),
     // mqtt_publish / amqp_publish — terminal publish of the stream into
@@ -1665,11 +1753,14 @@ object Planner {
     // actions: the publish runs when the node plans.
     "mqtt_publish" -> NodeDef(Some(Both), Both,
       Set("topic", "topic_field", "topic_lambda", "qos", "retained",
-        "host", "port", "use_pool", "pool_size"),
+        "host", "port", "use_pool", "pool_size", "client_id",
+        "max_mem_queue_size", "pass", "safe", "ssl", "user"),
       (c, n, env) => brokerPublish(requireCtx(c, n.name), n, env, "topic"),
     ),
     "amqp_publish" -> NodeDef(Some(Both), Both,
-      Set("exchange", "topic_field", "routing_key", "host", "port"),
+      Set("exchange", "topic_field", "routing_key", "host", "port",
+        "pass", "persistent", "qos", "routing_key_field",
+        "routing_key_lambda", "ssl", "user", "vhost"),
       (c, n, env) => brokerPublish(requireCtx(c, n.name), n, env, "exchange"),
     ),
 
@@ -1729,15 +1820,21 @@ object Planner {
         optStr(n, "stream", env).contains("true"))),
     "http_get" -> NodeDef(None, Both,
       Set("path", "port", "host", "every", "align", "as", "user", "pass",
-        "tls", "payload_type", "topic", "stream"),
+        "tls", "payload_type", "topic", "stream", "param_keys",
+        "param_values", "retries"),
       (_, n, env) => subscribeLanded(env, httpTopic(n, env), stream = false)),
     "http_post" -> NodeDef(Some(Both), Both,
       Set("path", "port", "host", "method", "tls", "header_names",
         "header_values", "user", "pass", "retries", "content_type",
-        "payload_field", "field", "every", "ts_as"),
+        "payload_field", "field", "every", "ts_as", "response_as",
+        "without"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
-        graft.sources.Loopback.publish(ctx.df, httpTopic(n, env))
+        // .without excludes fields from the POSTED payload only — the
+        // stream itself passes through complete (esp_http_post options)
+        val posted = optStrs(n, "without", env)
+          .foldLeft(ctx.df)((d, f) => d.drop(f))
+        graft.sources.Loopback.publish(posted, httpTopic(n, env))
         ctx
       }),
 
@@ -2102,13 +2199,16 @@ object Planner {
   private def socketSource(proto: String): NodeDef =
     NodeDef(None, Both,
       Set("ip", "host", "port", "min_length", "extract", "parser", "as",
-        "stream", "packet", "timeout", "changed", "every"),
+        "stream", "packet", "timeout", "changed", "every",
+        "line_delimiter"),
       (_, n, env) => subscribeLanded(env, socketTopic(proto, n, env),
         optStr(n, "stream", env).contains("true")))
 
   private def socketSink(proto: String): NodeDef =
     NodeDef(Some(Both), Both,
-      Set("ip", "host", "port", "every", "packet", "timeout", "field"),
+      Set("ip", "host", "port", "every", "packet", "timeout", "field",
+        "msg_json", "msg_text", "response_as", "response_json",
+        "response_timeout"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         graft.sources.Loopback.publish(ctx.df, socketTopic(proto, n, env))
@@ -2202,8 +2302,11 @@ object Planner {
   private def brokerPublish(ctx: Ctx, n: NodeSpec, env: Env,
       topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env).getOrElse("")
-    val topicCol = optStr(n, "topic_field", env).map(f => Paths.ref(f))
-      .orElse(optLambdas(n, "topic_lambda", env).headOption
+    val topicCol = optStr(n, "topic_field", env)
+      .orElse(optStr(n, "routing_key_field", env)) // amqp naming
+      .map(f => Paths.ref(f))
+      .orElse((optLambdas(n, "topic_lambda", env) ++
+        optLambdas(n, "routing_key_lambda", env)).headOption
         .map(lambdaColumn(_, env.defs)))
     val routed = topicCol match {
       case Some(c0) =>
