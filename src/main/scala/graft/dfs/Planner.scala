@@ -883,8 +883,11 @@ object Planner {
         }
         ctx.copy(df = df3, keys = ctx.keys ++ fieldKeys ++ lambdaKeys)
       }),
+    // NOTE: no .align here — esp_win_time.erl options are period/every/
+    // fill_period only (alignment is win_clock's); passing it is an
+    // option error exactly as in the reference
     "win_time" -> NodeDef(Some(Point), Batch,
-      Set("period", "every", "fill_period", "align"),
+      Set("period", "every", "fill_period"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
         // each option defaults to the other (esp_win_time.erl:40 — period
@@ -1051,13 +1054,11 @@ object Planner {
     // silent_time/repeat_*/no_forward are heartbeat pacing knobs
     // (esp_deadman.erl options) — timer-driven, accepted; the batch
     // analog stays gap detection on the event-time axis
-    "deadman" -> bt(Set("threshold", "interval", "trigger_on_value",
-      "fields", "field_values", "repeat", "timeout", "silent_time",
+    "deadman" -> bt(Set("trigger_on_value",
+      "fields", "field_values", "timeout", "silent_time",
       "repeat_last", "repeat_with_new_ts", "repeat_interval",
       "no_forward")) { (ctx, n, env) =>
       val thr = optDurMs(n, "timeout", env)
-        .orElse(optDurMs(n, "threshold", env))
-        .orElse(optDurMs(n, "interval", env))
         .orElse(n.args.map(resolve(_, env.defs))
           .collectFirst { case VDur(ms, _) => ms })
         .getOrElse(throw DfsError("deadman: .timeout"))
@@ -1184,7 +1185,7 @@ object Planner {
           .drop("_vd")
       }
     },
-    "time_diff" -> bt(Set("as", "unit", "default")) { (ctx, n, env) =>
+    "time_diff" -> bt(Set("as", "default")) { (ctx, n, env) =>
       // as defaults to 'timediff', the FIRST point carries .default
       // (0 unless given) instead of an absent value
       // (esp_time_diff.erl:31-43)

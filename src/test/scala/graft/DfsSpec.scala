@@ -877,6 +877,28 @@ class DfsSpec extends AnyFunSuite {
       clicks.count() - warm)
   }
 
+  test("reference-rejected options error here too (win_time/time_diff/deadman)") {
+    // the option surface must not be a superset on reference nodes: an
+    // option the reference's checker rejects is an error here as well
+    def bad(script: String, opt: String): Unit = {
+      val e = intercept[Ir.DfsError](DfsEngine.runSingle(script, spark, sf))
+      assert(e.getMessage.contains(s"Unknown option '$opt'"),
+        s"$opt: ${e.getMessage}")
+    }
+    bad("""|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|win_time(.period(1d).align())
+          #""".stripMargin('#'), "align")
+    bad("""|parquet_read(.table('events'))
+          #|time_diff(.unit(1s))
+          #""".stripMargin('#'), "unit")
+    bad("""|parquet_read(.table('events'))
+          #|group_by('user_id')
+          #|deadman(3s)
+          #  .threshold(1s)
+          #""".stripMargin('#'), "threshold")
+  }
+
   test("join2 rejects .fill — esp_join2 replaced it with .full") {
     // esp_join2.erl:61 `{full, boolean, true} %% replaces 'fill'`:
     // passing .fill is an option error in the reference, so it is here
