@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra flags for alternate-config sweeps, e.g. the codegen-disabled
+  // test run: SPARK_GRAFT_JAVA_OPTS="-Dspark.sql.codegen.wholeStage=false
+  // -Dspark.sql.codegen.factoryMode=NO_CODEGEN" sbt test
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))
