@@ -1124,6 +1124,32 @@ class DfsSpec extends AnyFunSuite {
     assert(e.msg.contains("no runnable chain"))
   }
 
+  test("DFS broker chain runs on the MicroBatchStream (.stream(true))") {
+    // the full §2.7 streaming seam in one test: script → mqtt_subscribe
+    // .stream(true) → DSv2 micro-batch offsets over the bus → payload
+    // landing → lambda filter on a landed field → AvailableNow drain
+    graft.sources.LoopbackBus.publish(
+      "dfs/stream/topic", null, """{"val": 1}""")
+    graft.sources.LoopbackBus.publish(
+      "dfs/stream/topic", null, """{"val": 2}""")
+    graft.sources.LoopbackBus.publish(
+      "dfs/stream/topic", null, """{"val": -1}""")
+    val sdf = DfsEngine.runSingle(
+      """|mqtt_subscribe(.topic('dfs/stream/topic').stream(true))
+        #|where(lambda: "val" > 0)
+        #""".stripMargin('#'), spark, sf)
+    assert(sdf.isStreaming)
+    val q = sdf.writeStream.format("memory").queryName("dfs_broker_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("dfs_broker_stream")
+    assert(rows.count() == 2)
+    assert(rows.select("val").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+  }
+
   test("run-level coverage floor: 101+ reference scripts run with rows") {
     // the full seeded sweep (graft.tools.RunSweep): brokered scripts get
     // deterministic traffic on every topic they subscribe to. Declared
