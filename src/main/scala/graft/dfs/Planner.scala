@@ -1075,7 +1075,7 @@ object Planner {
       (ctx, n, env) =>
       val keys = optStrs(n, "key_fields", env)
       if (keys.isEmpty) throw DfsError("collect: .key_fields")
-      (optLambdas(n, "add", env).headOption,
+      val buffer = (optLambdas(n, "add", env).headOption,
         optLambdas(n, "remove", env).headOption) match {
         case (Some(a), Some(r)) =>
           graft.operators.join.Joins.collectUpsert(ctx.df, keys, ctx.tsMs,
@@ -1083,6 +1083,20 @@ object Planner {
         case _ =>
           graft.operators.join.Joins.collectLatest(ctx.df,
             keys.map(Paths.ref), orderCols(ctx))
+      }
+      // .max_age evicts entries older than the NEWEST buffer entry minus
+      // the age (esp_collect's timer eviction anchored at the batch
+      // analog's end of time — same anchor as collect_unique). The bound
+      // is a lazy 1-row max-aggregate broadcast (the fillPeriod
+      // scalar-subquery form), never a driver action.
+      optDurMs(n, "max_age", env)
+        .orElse(optDurMs(n, "max_ts_age", env)) match {
+        case Some(age) =>
+          val bound = buffer.agg(max(col(ctx.tsMs)).as("_newest"))
+          buffer.join(broadcast(bound))
+            .filter(col(ctx.tsMs) >= col("_newest") - age)
+            .drop("_newest")
+        case None => buffer
       }
     },
     // reference option names: .states (lambda list), .within (per-step

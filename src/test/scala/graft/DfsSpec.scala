@@ -877,6 +877,29 @@ class DfsSpec extends AnyFunSuite {
       clicks.count() - warm)
   }
 
+  test("collect .max_age evicts entries older than the newest minus age") {
+    // esp_collect timer eviction, batch-anchored at the newest buffer
+    // entry (the collect_unique anchor): a key whose latest row is older
+    // than newest - age drops out of the collected state
+    val script =
+      """|parquet_read(.table('events'))
+        #|collect(.key_fields('user_id')AGE)
+        #""".stripMargin('#')
+    val all = DfsEngine.runSingle(script.replace("AGE", ""), spark, sf)
+    val aged = DfsEngine.runSingle(
+      script.replace("AGE", ".max_age(6h)"), spark, sf)
+    val ev = Tables.events(spark, sf)
+    val latest = ev.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("ts_ms").as("m"))
+    val newest = ev.agg(org.apache.spark.sql.functions.max("ts_ms"))
+      .head.getLong(0)
+    val expected = latest
+      .filter(col("m") >= newest - 6L * 3600000L).count()
+    assert(all.count() == latest.count())
+    assert(aged.count() == expected)
+    assert(expected > 0 && expected < latest.count()) // the filter bites
+  }
+
   test("reference-rejected options error here too (win_time/time_diff/deadman)") {
     // the option surface must not be a superset on reference nodes: an
     // option the reference's checker rejects is an error here as well
