@@ -16,15 +16,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df):
+def norm(df, name):
     df = df[sorted(df.columns)]
-    # list/array cells are unhashable for pandas sorting — stringify them
+    # The DRIVER's pandas harness sorts on every column and cannot sort
+    # list/array cells (TypeError: unhashable type). Silently stringifying
+    # here once let an array-returning query ship green locally and fail
+    # at the driver (emb_quantize, round 8) — so reject loudly instead:
+    # local green must imply driver green. Queries must serialize lists
+    # (concat_ws / array_to_string) before returning.
     for c in df.columns:
         if df[c].map(lambda v: hasattr(v, "__len__")
                      and not isinstance(v, (str, bytes))).any():
-            df[c] = df[c].map(lambda v: repr(list(v))
-                              if hasattr(v, "__len__")
-                              and not isinstance(v, (str, bytes)) else repr(v))
+            raise TypeError(
+                f"{name}: column '{c}' contains array/list cells — the "
+                "driver harness cannot sort these; serialize with "
+                "concat_ws (Spark) / array_to_string (DuckDB)")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -57,7 +63,12 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        g, e = norm(got), norm(exp)
+        try:
+            g, e = norm(got, name), norm(exp, name)
+        except TypeError as err:
+            print(f"FAIL {err}")
+            n_fail += 1
+            continue
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
             n_fail += 1

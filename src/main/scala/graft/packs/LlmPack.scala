@@ -389,21 +389,24 @@ object LlmPack extends QueryPack {
     // symmetric int8 quantization (brief: similarity search at scale —
     // 4x memory cut for the ANN corpus): per-vector scale + integer
     // codes, floor(x+0.5) arithmetic replayed exactly by the oracle.
+    // The code list is emitted comma-joined (the agg_elapsed_difference
+    // convention): the driver's pandas compare sorts on every column and
+    // cannot sort array cells, so no registered query may return ArrayType.
     "emb_quantize" -> QueryDef(
       (s, dir) =>
         VectorOps.quantizeInt8(Tables.embeddings(s, dir), "embedding")
           .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
-            col("q_vec")),
+            concat_ws(",", col("q_vec").cast("array<string>")).as("q_vec")),
       Some("""WITH q AS (SELECT vec_id,
              |  list_max(list_transform(embedding,
              |    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qs,
              |  embedding
              |FROM embeddings)
              |SELECT vec_id, round(qs, 6) AS q_scale,
-             |  list_transform(embedding, x ->
+             |  array_to_string(list_transform(embedding, x ->
              |    CASE WHEN qs = 0 THEN CAST(0 AS BIGINT)
              |         ELSE CAST(floor(CAST(x AS DOUBLE) / qs + 0.5)
-             |                   AS BIGINT) END) AS q_vec
+             |                   AS BIGINT) END), ',') AS q_vec
              |FROM q""".stripMargin)),
 
     "emb_norms" -> QueryDef(

@@ -2,6 +2,7 @@ package graft
 
 import graft.core.Sessions
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
 import org.apache.spark.sql.execution.window.WindowExec
@@ -79,6 +80,35 @@ class PlanLintSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unsanctioned broadcast nested-loop joins in: ${offenders.mkString(", ")}")
   }
+
+  test("no registered query returns an array/map-typed column") {
+    // The driver's pandas oracle harness sorts result frames on every
+    // column and cannot sort list cells (emb_quantize failed there in
+    // round 8 while the local harness silently stringified). Contract:
+    // every registered query serializes collections (concat_ws) before
+    // returning. Complex-type columns are fine INSIDE a plan — only the
+    // final schema is constrained.
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      complexCols(fn(spark, sf)).map(c => s"$name.$c")
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"array/map-typed result columns in: ${offenders.mkString(", ")}")
+  }
+
+  test("the complex-type lint itself rejects an array-returning frame") {
+    import spark.implicits._
+    val bad = Seq((1, Seq(1, 2))).toDF("id", "vals")
+    assert(complexCols(bad) == Seq("vals"))
+    val badMap = bad.select(col("id"),
+      org.apache.spark.sql.functions.map(lit("k"), col("id")).as("m"))
+    assert(complexCols(badMap) == Seq("m"))
+  }
+
+  private def complexCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+    }.toSeq
 
   test("poll windows push their range into the parquet scan") {
     // a derived-ms filter pushes only IsNotNull — every poll would
