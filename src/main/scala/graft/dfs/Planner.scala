@@ -1749,7 +1749,7 @@ object Planner {
     "mqtt_subscribe" -> NodeDef(None, Point,
       Set("topic", "topics", "topic_as", "include_topic", "group", "qos",
         "stream", "host", "port", "retained", "dt_field", "dt_format",
-        "user", "pass", "client_id", "ssl", "as"),
+        "user", "pass", "client_id", "ssl", "as", "payload_schema"),
       (_, n, env) => brokerSubscribe(n, env, "topic"),
     ),
     "amqp_consume" -> NodeDef(None, Point,
@@ -1759,7 +1759,7 @@ object Planner {
         "dedup_size", "dt_field", "dt_format", "exchange_prefix",
         "include_topic", "pass", "queue_prefix", "qx_name",
         "root_exchange", "safe", "ssl", "topic_as", "use_flow_ack",
-        "user", "vhost"),
+        "user", "vhost", "payload_schema"),
       (_, n, env) => brokerSubscribe(n, env, "queue"),
     ),
     // mqtt_publish / amqp_publish — terminal publish of the stream into
@@ -1830,9 +1830,10 @@ object Planner {
     // deployment-side like the broker nodes).
     "http_listen" -> NodeDef(None, Both,
       Set("path", "port", "host", "payload_type", "as", "user", "pass",
-        "tls", "stream", "content_type"),
+        "tls", "stream", "content_type", "payload_schema"),
       (_, n, env) => subscribeLanded(env, httpTopic(n, env),
-        optStr(n, "stream", env).contains("true"))),
+        optStr(n, "stream", env).contains("true"),
+        declared = declaredPayloadSchema(n, env))),
     "http_get" -> NodeDef(None, Both,
       Set("path", "port", "host", "every", "align", "as", "user", "pass",
         "tls", "payload_type", "topic", "stream", "param_keys",
@@ -2215,9 +2216,10 @@ object Planner {
     NodeDef(None, Both,
       Set("ip", "host", "port", "min_length", "extract", "parser", "as",
         "stream", "packet", "timeout", "changed", "every",
-        "line_delimiter"),
+        "line_delimiter", "payload_schema"),
       (_, n, env) => subscribeLanded(env, socketTopic(proto, n, env),
-        optStr(n, "stream", env).contains("true")))
+        optStr(n, "stream", env).contains("true"),
+        declared = declaredPayloadSchema(n, env)))
 
   private def socketSink(proto: String): NodeDef =
     NodeDef(Some(Both), Both,
@@ -2272,24 +2274,44 @@ object Planner {
     * root). The loopback envelope (offset/ts_ms/topic/key/payload) stays;
     * payload fields land alongside it, envelope names winning a collision
     * (the reference sets `topic` AFTER the payload fields, topic_as
-    * default 'topic'). The payload schema is inferred from the topic's
-    * current log at plan time — a dev-transport convenience; a real
-    * broker binding carries a declared schema (README connector
-    * boundary). Non-JSON payloads (line-framed sockets) land nothing.
+    * default 'topic'). The payload schema comes from `.payload_schema`
+    * (DDL, a graft extension — the contract a real broker binding would
+    * carry) or, dev-transport convenience, is inferred from the LAST
+    * [[SchemaSampleN]] messages of the topic's log at plan time. A
+    * STREAMING subscribe with neither fails loudly: planning it against
+    * an empty topic would freeze an envelope-only schema for the query's
+    * lifetime and silently null every landed-field lambda once traffic
+    * arrives (the reference decodes per message and cannot go blind this
+    * way, esp_mqtt_subscribe.erl:155-170). Non-JSON payloads
+    * (line-framed sockets) land nothing.
     */
+  private val SchemaSampleN = 100L
+
   private def subscribeLanded(env: Env, topic: String,
-      stream: Boolean, group: String = "default"): Ctx = {
+      stream: Boolean, group: String = "default",
+      declared: Option[org.apache.spark.sql.types.StructType] = None): Ctx = {
     val df =
       if (stream) graft.sources.Loopback.subscribeStream(env.spark, topic, group)
       else graft.sources.Loopback.subscribe(env.spark, topic)
-    val payloads = graft.sources.LoopbackBus
-      .read(topic, -1L, graft.sources.LoopbackBus.latest(topic))
-      .flatMap(m => Option(m.payload))
-    val landed =
-      if (payloads.isEmpty) df
-      else {
-        import env.spark.implicits._
-        val schema = env.spark.read.json(payloads.toDS()).schema
+    val schemaOpt: Option[org.apache.spark.sql.types.StructType] =
+      declared.orElse {
+        val hi = graft.sources.LoopbackBus.latest(topic)
+        val payloads = graft.sources.LoopbackBus
+          .read(topic, math.max(-1L, hi - SchemaSampleN), hi)
+          .flatMap(m => Option(m.payload))
+        if (payloads.nonEmpty) {
+          import env.spark.implicits._
+          Some(env.spark.read.json(payloads.toDS()).schema)
+        } else if (stream) throw DfsError(
+          s"subscribe '$topic': a streaming subscribe planned against an " +
+            "empty topic would never land payload fields (the schema is " +
+            "fixed at plan time) — declare .payload_schema('name type, " +
+            "...') or seed the topic first")
+        else None
+      }
+    val landed = schemaOpt match {
+      case None => df
+      case Some(schema) =>
         val fs = schema.fields.toSeq.filterNot(f =>
           f.name == "_corrupt_record" || df.columns.contains(f.name))
         if (fs.isEmpty) df
@@ -2300,9 +2322,21 @@ object Planner {
           fs.foldLeft(withP)((d, f) =>
             d.withColumn(f.name, col("_pl").getField(f.name))).drop("_pl")
         }
-      }
+    }
     Ctx(landed, Nil, None, Point, "", "ts_ms")
   }
+
+  /** `.payload_schema('val double, name string')` → StructType; DDL
+    * parse errors surface as DfsError with the node name attached.
+    */
+  private def declaredPayloadSchema(n: NodeSpec, env: Env)
+      : Option[org.apache.spark.sql.types.StructType] =
+    optStr(n, "payload_schema", env).map { ddl =>
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch { case e: Exception =>
+        throw DfsError(s"${n.name}: .payload_schema DDL: ${e.getMessage}")
+      }
+    }
 
   private def brokerSubscribe(n: NodeSpec, env: Env, topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env)
@@ -2311,7 +2345,8 @@ object Planner {
       .getOrElse(throw DfsError(s"${n.name}: .$topicOpt"))
     val group = optStr(n, "group", env).getOrElse("default")
     subscribeLanded(env, topic,
-      optStr(n, "stream", env).contains("true"), group)
+      optStr(n, "stream", env).contains("true"), group,
+      declaredPayloadSchema(n, env))
   }
 
   private def brokerPublish(ctx: Ctx, n: NodeSpec, env: Env,

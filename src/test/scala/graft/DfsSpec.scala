@@ -1173,6 +1173,49 @@ class DfsSpec extends AnyFunSuite {
       Set(1L, 2L))
   }
 
+  test("streaming subscribe on an empty topic fails loudly / accepts declared schema") {
+    // Planning .stream(true) against an empty topic would freeze an
+    // envelope-only schema and silently null landed-field lambdas for
+    // the query's lifetime — the planner must refuse instead, unless a
+    // .payload_schema contract is declared (graft extension).
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.runSingle(
+        "|mqtt_subscribe(.topic('dfs/empty/never-seeded').stream(true))",
+        spark, sf)
+    }
+    assert(e.msg.contains("payload_schema"))
+
+    // with a declared schema the plan lands fields BEFORE any traffic:
+    // publish after start, drain, and the lambda filter sees real values
+    val sdf = DfsEngine.runSingle(
+      """|mqtt_subscribe(.topic('dfs/declared/topic').stream(true)
+        #  .payload_schema('val bigint, name string'))
+        #|where(lambda: "val" > 0)
+        #""".stripMargin('#'), spark, sf)
+    assert(sdf.isStreaming)
+    graft.sources.LoopbackBus.publish(
+      "dfs/declared/topic", null, """{"val": 5, "name": "a"}""")
+    graft.sources.LoopbackBus.publish(
+      "dfs/declared/topic", null, """{"val": -5, "name": "b"}""")
+    val q = sdf.writeStream.format("memory").queryName("dfs_declared_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("dfs_declared_stream")
+    assert(rows.count() == 1)
+    assert(rows.select("name").head().getString(0) == "a")
+
+    // a malformed DDL surfaces as DfsError, not a Spark parse stack
+    val bad = intercept[Ir.DfsError] {
+      DfsEngine.runSingle(
+        """|mqtt_subscribe(.topic('dfs/declared/topic2').stream(true)
+          #  .payload_schema('this is not ddl ('))
+          #""".stripMargin('#'), spark, sf)
+    }
+    assert(bad.msg.contains("payload_schema DDL"))
+  }
+
   test("run-level coverage floor: 101+ reference scripts run with rows") {
     // the full seeded sweep (graft.tools.RunSweep): brokered scripts get
     // deterministic traffic on every topic they subscribe to. Declared
