@@ -665,15 +665,25 @@ object Planner {
     "keep" -> bt(Set("fields", "tags", "as")) { (ctx, n, env) =>
       // tags are ordinary columns relationally — .tags extends the kept
       // list (esp_keep.erl:22 keeps fields and tags side by side)
-      val fs = argStrs(n, env) ++ optStrs(n, "fields", env) ++
-        optStrs(n, "tags", env)
+      val fields = argStrs(n, env) ++ optStrs(n, "fields", env)
+      val tags = optStrs(n, "tags", env)
       val as = optStrs(n, "as", env)
-      // .as renames positionally; entries past the rename list (e.g.
-      // appended tags) keep their own names
+      // .as renames FIELDS positionally and strictly — the reference
+      // zips aliases against the field names (esp_keep.erl:43
+      // lists:zip(Aliases, FieldVals), which errors on arity mismatch)
+      // and tags ALWAYS keep their own names (line 44)
+      if (as.nonEmpty && as.size != fields.size)
+        throw DfsError(
+          s"keep: .as has ${as.size} aliases for ${fields.size} fields")
+      // relational-model note: the reference point carries ts outside its
+      // field map so keep preserves it implicitly (esp_keep.erl:45); in
+      // graft's mapping the time IS a column (ts_ms) and keep stays a
+      // pure projection — list ts_ms explicitly to retain it (the
+      // convention every DFS pack query already follows)
       val pairs =
-        if (as.isEmpty) fs.map(_ -> (None: Option[String]))
-        else fs.zipAll(as.map(Option(_)), "", None)
-          .collect { case (f, a) if f.nonEmpty => f -> a }
+        (if (as.isEmpty) fields.map(_ -> (None: Option[String]))
+         else fields.zip(as.map(Option(_)))) ++
+          tags.map(_ -> (None: Option[String]))
       Transforms.keep(ctx.df, pairs)
     },
     "rename" -> bt(Set("fields", "as", "as_fields", "tags", "as_tags")) {
@@ -753,8 +763,12 @@ object Planner {
       // jsonsize_bytes oracle uses through the Transforms API).
       val fieldOpt = optStr(n, "field", env)
       val asOpt = optStr(n, "as", env)
+      // .inject() always wins: the extension path only applies when the
+      // reference's whole-point semantics were NOT requested, so
+      // .inject().field('x') follows esp_jsonsize.erl exactly
       (fieldOpt, asOpt) match {
-        case (Some(f), Some(as)) => Transforms.jsonSize(ctx.df, col(f), as)
+        case (Some(f), Some(as)) if !optFlag(n, "inject", env) =>
+          Transforms.jsonSize(ctx.df, col(f), as)
         case _ if optFlag(n, "inject", env) =>
           val out = fieldOpt.orElse(asOpt).getOrElse("jsonsize")
           ctx.df.withColumn(out, octet_length(to_json(struct(

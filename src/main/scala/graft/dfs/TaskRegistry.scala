@@ -68,13 +68,19 @@ object TaskRegistry {
 
   def get(name: String): Option[Task] = Option(tasks.get(name))
 
-  /** Plan the task's DFS and hold its frames as the running instance. */
+  /** Plan the task's DFS and hold its frames as the running instance.
+    * Reservation is putIfAbsent, so of two concurrent starts exactly one
+    * wins and the other gets 'already started' — never a silent
+    * overwrite of the winner's frames. (The early containsKey check is
+    * just the cheap fast path for the common sequential double-start.)
+    */
   def start(name: String, spark: SparkSession, dir: String): Map[String, DataFrame] = {
     val t = get(name).getOrElse(throw DfsError(s"task '$name' not found"))
     if (running.containsKey(name))
       throw DfsError(s"task '$name' is already started")
     val frames = DfsEngine.run(t.dfs, spark, dir)
-    running.put(name, frames)
+    if (running.putIfAbsent(name, frames) != null)
+      throw DfsError(s"task '$name' is already started")
     frames
   }
 

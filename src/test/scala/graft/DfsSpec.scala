@@ -163,6 +163,36 @@ class DfsSpec extends AnyFunSuite {
     assert(r.forall(_.getString(2).length == 12))
   }
 
+  test("keep: .as zips fields strictly; tags keep their names") {
+    // esp_keep.erl:43-44 — lists:zip(Aliases, FieldVals) renames fields
+    // only (and errors on arity mismatch); tags always keep their names
+    val df = DfsEngine.runSingle(
+      """||json_emitter('{"a": 1, "b": 2, "t": "x"}')
+        ||keep(.fields('a', 'b').tags('t').as('a2', 'b2'))
+        |""".stripMargin, spark, sf)
+    assert(df.columns.toSet == Set("a2", "b2", "t"))
+    val arity = intercept[Ir.DfsError] {
+      DfsEngine.runSingle(
+        """||json_emitter('{"a": 1, "t": "x"}')
+          ||keep(.fields('a').tags('t').as('a2', 'oops'))
+          |""".stripMargin, spark, sf)
+    }
+    assert(arity.msg.contains("aliases"))
+  }
+
+  test("jsonsize: .inject() always wins over the measure-a-column extension") {
+    // esp_jsonsize.erl:22-34 — .inject().field('x') injects the WHOLE
+    // point's byte size under 'x'; the graft extension (measure column
+    // .field under .as) only applies when .inject is absent
+    val inj = DfsEngine.runSingle(
+      """||json_emitter('{"v": 1}')
+        ||jsonsize(.inject().field('sz').as('ignored'))
+        |""".stripMargin, spark, sf)
+    assert(inj.columns.contains("sz") && !inj.columns.contains("ignored"))
+    // whole-point json includes v and ts_ms — far more than 1 byte
+    assert(inj.select(col("sz")).head().getInt(0) > 10)
+  }
+
   test("json_emitter source with <<<...>>> docs (reference script style)") {
     val df = DfsEngine.runSingle(
       """||json_emitter(
