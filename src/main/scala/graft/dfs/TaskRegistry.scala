@@ -23,6 +23,15 @@ import Ir.DfsError
   * script expands to the stored task's DFS text, exactly the reference's
   * macro resolution (faxe_dfs.erl:49-57 `macro_fun` → faxe:get_task) —
   * the registry installs itself as [[Macros]]' resolver.
+  *
+  * SCOPE: the registry is deliberately PROCESS-global, like the
+  * reference's — faxe_db is node-wide Mnesia, not per-connection — so
+  * two SparkSessions in one JVM share one task namespace. The stored
+  * task is just DFS text (session-free); only [[start]] binds a session,
+  * and its frames belong to the session that planned them — a second
+  * session sees the task as running and must stop/restart to re-plan it
+  * under itself. Multi-tenant isolation, if ever needed, belongs in the
+  * HTTP layer above, same as the reference.
   */
 object TaskRegistry {
 

@@ -110,4 +110,28 @@ class TaskRegistrySpec extends AnyFunSuite {
       assert(frames.values.head.count() == 5)
     } finally { TaskRegistry.clear(); Macros.clear() }
   }
+
+  test("registry is process-global across SparkSessions (faxe_db is node-wide)") {
+    // Two sessions share ONE task namespace, like the reference's Mnesia
+    // store shared by every connection. Tasks are session-free DFS text;
+    // only start() binds a session, and the running flag is global: the
+    // second session must stop/restart to re-plan under itself.
+    TaskRegistry.clear()
+    try {
+      val other = spark.newSession()
+      TaskRegistry.register("shared", "|value_emitter(.count(3))")
+      assert(TaskRegistry.list().map(_.name) == Seq("shared"))
+
+      TaskRegistry.start("shared", spark, sf)
+      // visible as running from the other session's point of view too
+      assert(TaskRegistry.isRunning("shared"))
+      intercept[Ir.DfsError](TaskRegistry.start("shared", other, sf))
+
+      // stop, then the other session can claim it and plan its own frames
+      TaskRegistry.stop("shared")
+      val frames = TaskRegistry.start("shared", other, sf)
+      assert(frames.values.head.sparkSession eq other)
+      assert(frames.values.head.count() == 3)
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
 }
