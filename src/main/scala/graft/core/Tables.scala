@@ -16,6 +16,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Corpus table by name, unless a same-named table/view is already
+    * registered in the session catalog — the catalog-first hook that
+    * lets foreign-DB bindings (mongo collections, crate/pg tables) run
+    * against seeded views where the corpus has no parquet twin. Scoped
+    * to the DB query nodes; the core corpus loaders stay parquet-only.
+    */
+  def loadOrView(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (spark.catalog.tableExists(name)) spark.table(name)
+    else load(spark, dir, name)
+
   /** `events` with `ts` normalized to a proper TimestampType column.
     *
     * The corpus writes TIMESTAMP(NANOS) which Spark reads as a nanosecond

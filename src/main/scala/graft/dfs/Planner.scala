@@ -1896,10 +1896,26 @@ object Planner {
         val sel = optStr(n, "query", env).getOrElse("{}")
         val base =
           if (coll == "events") Tables.events(env.spark, env.dir)
-          else Tables.load(env.spark, env.dir, coll)
+          else Tables.loadOrView(env.spark, env.dir, coll)
         val df = base.filter(graft.io.MongoFilter.column(sel))
         val (ts, tsMs) = if (coll == "events") ("ts", "ts_ms") else ("", "")
-        Ctx(df, Nil, None, Point, ts, tsMs)
+        // .as nests the whole document under the alias path — the
+        // reference's set_root(P0, As) with ts staying point-level
+        // (esp_mongo_query.erl:159-166)
+        val aliased = optStr(n, "as", env) match {
+          case None => df
+          case Some(as) =>
+            val timeCols = Set(ts, tsMs, "ts_ns").filter(_.nonEmpty)
+            val docCols = df.columns.filterNot(timeCols).toIndexedSeq
+            val doc = struct(docCols.map(c0 =>
+              col(s"`$c0`").as(c0)): _*)
+            graft.core.Paths.set(
+              df.withColumn("_doc", doc)
+                .select(("_doc" +: timeCols.toSeq.filter(
+                  df.columns.contains)).map(col): _*),
+              as, col("_doc")).drop("_doc")
+        }
+        Ctx(aliased, Nil, None, Point, ts, tsMs)
       }),
     // oracle_query — periodic SQL source over JDBC (ref:
     // esp_oracle_query.erl:43-61); same remote-derived-table binding as
@@ -1911,13 +1927,18 @@ object Planner {
         val sql = optStr(n, "query", env)
           .getOrElse(throw DfsError("oracle_query: .query"))
         val host = optStr(n, "host", env).getOrElse("localhost")
+        // deployment binding for the URL: an explicit jdbc: host wins;
+        // otherwise the graft.jdbc.url property (the dev/test harness's
+        // in-process database, e.g. Derby) substitutes for the
+        // oracle-thin URL built from host parts — the engine never needs
+        // the Oracle driver to plan the node
         val u =
           if (host.startsWith("jdbc:")) host
-          else {
+          else sys.props.getOrElse("graft.jdbc.url", {
             val port = optNum(n, "port", env).map(_.toLong).getOrElse(1521L)
             val svc = optStr(n, "service_name", env).getOrElse("ORCL")
             s"jdbc:oracle:thin:@//$host:$port/$svc"
-          }
+          })
         Ctx(graft.io.Jdbc.statement(env.spark, u, sql),
           Nil, None, Batch, "", "")
       }),

@@ -82,20 +82,32 @@ object CrateQuery {
 
   private val FromTable = "(?i)\\bfrom\\s+([A-Za-z_]\\w*)".r
 
-  /** The FROM-clause table: first `from <ident>` at paren depth 0 —
-    * a `from` inside parentheses (EXTRACT(epoch FROM ts), subqueries in
-    * expressions) is not the source table.
-    */
-  private def fromTable(query: String): Option[String] = {
+  private def fromMatch(query: String): Option[scala.util.matching.Regex.Match] = {
     var depth = 0
     FromTable.findAllMatchIn(query).collectFirst {
       case m if {
         depth = query.take(m.start).count(_ == '(') -
           query.take(m.start).count(_ == ')')
         depth == 0
-      } => m.group(1)
+      } => m
     }
   }
+
+  /** The FROM-clause table: first `from <ident>` at paren depth 0 —
+    * a `from` inside parentheses (EXTRACT(epoch FROM ts), subqueries in
+    * expressions) is not the source table.
+    */
+  private def fromTable(query: String): Option[String] =
+    fromMatch(query).map(_.group(1))
+
+  /** Backtick the FROM table for the Spark dialect: foreign-DB scripts
+    * legally use identifiers Spark's parser reserves (pg_query.dfs's
+    * `FROM table`); backticks are a no-op for any other simple name.
+    */
+  private def quoteFrom(query: String): String =
+    fromMatch(query).map { m =>
+      query.take(m.start(1)) + s"`${m.group(1)}`" + query.drop(m.end(1))
+    }.getOrElse(query)
 
   /** Run the node in batch form: derive the poll timeline from the data
     * bounds (the reference's setup_query behavior), then issue one
@@ -107,22 +119,30 @@ object CrateQuery {
     * ≡ one global bucket query (the `align` option's spirit,
     * esp_crate_query.erl init_timer).
     */
-  def runPolls(spark: SparkSession, dir: String, query: String,
+  def runPolls(spark: SparkSession, dir: String, query0: String,
       groupByTimeMs: Long, timeField: String, groupBys: Seq[String],
       periodMs: Long): DataFrame = {
+    // heredoc queries arrive whitespace-framed; the rewrite drops the
+    // leading "SELECT" positionally, so trim first
+    val query = query0.trim
     val table = fromTable(query)
       .getOrElse(throw new IllegalArgumentException(
         s"crate_query: no FROM table in '$query'"))
+    val sq = quoteFrom(query) // Spark-dialect: reserved-word FROM tables
+    // catalog-first: a registered view of the same name binds the query
+    // (foreign-DB tables with no parquet twin); otherwise corpus parquet
     val df =
-      if (table == "events") Tables.events(spark, dir)
-      else Tables.load(spark, dir, table)
-    df.createOrReplaceTempView(table)
+      if (table == "events") { val d = Tables.events(spark, dir)
+        d.createOrReplaceTempView(table); d }
+      else if (spark.catalog.tableExists(table)) spark.table(table)
+      else { val d = Tables.load(spark, dir, table)
+        d.createOrReplaceTempView(table); d }
 
     val nsField = Some(s"${timeField}_ns").filter(df.columns.contains)
     val bucketMs = math.max(1000L, math.round(groupByTimeMs / 1000.0) * 1000L)
     val bounds = df.agg(min(unix_millis(col(timeField))),
       max(unix_millis(col(timeField)))).head
-    if (bounds.isNullAt(0)) return spark.sql(sparkQuery(query, groupByTimeMs,
+    if (bounds.isNullAt(0)) return spark.sql(sparkQuery(sq, groupByTimeMs,
       timeField, groupBys, PollSource.PollWindow(0L, 0L), nsField))
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val start = mn - java.lang.Math.floorMod(mn, bucketMs)
@@ -144,7 +164,7 @@ object CrateQuery {
       periodMs = period, offsetMs = 0L, minIntervalMs = 0L,
       stopMs = Some(mx + period))
     val frames = poller.catchUp(nowMs = mx + 2 * period).map(w =>
-      spark.sql(sparkQuery(query, groupByTimeMs, timeField, groupBys, w,
+      spark.sql(sparkQuery(sq, groupByTimeMs, timeField, groupBys, w,
         nsField)))
     frames.reduceOption(_ union _).getOrElse(
       throw new IllegalStateException("crate_query: no poll windows"))

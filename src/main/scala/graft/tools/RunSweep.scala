@@ -29,8 +29,55 @@ object RunSweep {
       }
     }
 
+  /** Foreign-database bindings for the scripts whose tables have no
+    * corpus parquet twin — the same seeded-endpoint philosophy as
+    * [[seed]], but for DB scripts:
+    *  - tr_keepalive (oracle_query_test.dfs) becomes a real table in
+    *    in-process Derby, wired through the `graft.jdbc.url` property so
+    *    oracle_query executes genuine JDBC SQL;
+    *  - `table` (pg_query.dfs) and `inventory` (test/mongo.dfs) become
+    *    session catalog views — crate/pg/mongo query nodes resolve
+    *    catalog-first (Tables.loadOrView).
+    */
+  private def seedDatabases(spark: SparkSession): Unit = {
+    val url = "jdbc:derby:memory:sweepdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // "connection" is a Derby reserved word — quote to keep the
+      // reference's column names verbatim (and lowercase)
+      try st.execute("CREATE TABLE tr_keepalive(" +
+        "\"connection\" VARCHAR(64), \"sent\" INT, \"received\" INT)")
+      catch { case _: java.sql.SQLException => /* exists from a prior run */ }
+      st.execute("DELETE FROM tr_keepalive")
+      (1 to 5).foreach(i => st.execute(
+        s"INSERT INTO tr_keepalive VALUES('conn$i', ${i * 10}, ${i * 9})"))
+      st.close()
+    } finally conn.close()
+    sys.props("graft.jdbc.url") = url
+
+    // pg_query.dfs: SELECT AVG(data_obj['x']['cur']) ... FROM table
+    // WHERE id < 33, bucketed on ts by the crate_query rewrite
+    spark.sql(
+      """SELECT id,
+        |  named_struct('x', named_struct('cur', CAST(id AS DOUBLE) / 7.0))
+        |    AS data_obj,
+        |  timestamp_millis(1577836800000 + id * 60000) AS ts
+        |FROM range(100)""".stripMargin)
+      .createOrReplaceTempView("table")
+    // test/mongo.dfs: find {"item": "canvas"} on inventory, sizes avg'd
+    spark.sql(
+      """SELECT element_at(array('canvas', 'journal', 'mat'),
+        |    CAST(id % 3 AS INT) + 1) AS item,
+        |  named_struct('h', CAST(10 + id AS DOUBLE),
+        |    'w', CAST(20 + id AS DOUBLE)) AS size
+        |FROM range(30)""".stripMargin)
+      .createOrReplaceTempView("inventory")
+  }
+
   def sweep(spark: SparkSession, sf: String,
       refDir: String = "/root/reference/dfs"): Result = {
+    seedDatabases(spark)
     val dir = new java.io.File(refDir)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
