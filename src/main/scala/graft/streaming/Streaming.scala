@@ -302,4 +302,43 @@ object Streaming {
           }
           out.iterator
       }
+
+  /** `pack_bins` streaming form: the per-shard concat-and-chunk cursor as
+    * keyed state. Each shard's state is ONE long — the cumulative token
+    * count — bounded regardless of stream length; rows are packed in
+    * `orderFn` order within each micro-batch, and with per-shard ordered
+    * arrival across batches the emissions match the batch
+    * `TextOps.packBins` exactly (same window arithmetic, the running sum
+    * carried by state instead of a sort). Out-of-order arrival ACROSS
+    * micro-batches packs in arrival order — the streaming analog of
+    * appending to a shard's tail; replaying from one source offset is
+    * deterministic either way.
+    */
+  def packBins[K, V](
+      ds: Dataset[V],
+      keyFn: V => K,
+      tokensFn: V => Long,
+      orderFn: V => Long,
+      binTokens: Int)(
+      implicit ek: Encoder[K],
+      eo: Encoder[(V, Long, Long, Long)]): Dataset[(V, Long, Long, Long)] = {
+    implicit val cursorEnc: Encoder[Long] = Encoders.scalaLong
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[Long, (V, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: K, it: Iterator[V], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toIndexedSeq.sortBy(orderFn).map { v =>
+            val n = tokensFn(v)
+            val start = cum
+            val binId = start / binTokens
+            val nBins =
+              if (n <= 0) 0L else (start + n - 1) / binTokens - binId + 1
+            cum += n
+            (v, binId, start % binTokens, nBins)
+          }
+          state.update(cum)
+          out.iterator
+      }
+  }
 }

@@ -224,4 +224,89 @@ class StreamingSpec extends AnyFunSuite {
       k => Ev(k, -1, 0.0, "heartbeat")).collect()
     assert(out.count(_.event_type != "heartbeat") == 2)
   }
+
+  test("hash_sample: per-row gate streams as-is, emissions match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // stateless Column filter — the streaming form IS the batch form
+    val data = (1L to 50L).map(i => Ev(i, i, i.toDouble, "d"))
+    val batch = graft.operators.text.TextOps.hashSample(
+      data.toDF(), col("seq"), lit(0.4))
+      .select("seq").as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < 50) // the gate actually gates
+    val streamed = runStream("hsamp")(in =>
+      graft.operators.text.TextOps.hashSample(
+        in.toDS().toDF(), col("seq"), lit(0.4)).as[Ev])(data)
+      .select("seq").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("pack_bins: streaming cursor state matches the batch window arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two shards (user_id), token counts in `value`, order by seq; bins
+    // of 8 tokens: doc 2 in shard 1 straddles windows (n_bins 2)
+    val data = Seq(
+      Ev(1, 1, 5.0, "d"), Ev(1, 2, 6.0, "d"), Ev(1, 3, 2.0, "d"),
+      Ev(1, 4, 17.0, "d"), // spans 3 windows
+      Ev(2, 1, 8.0, "d"), Ev(2, 2, 1.0, "d"))
+    val batch = graft.operators.text.TextOps.packBins(
+      data.toDF(), col("value").cast("long"), col("user_id"),
+      Seq(col("seq")), binTokens = 8)
+      .select("user_id", "seq", "bin_id", "bin_offset", "n_bins")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val streamed = runStream("pbins")(in =>
+      Streaming.packBins[Long, Ev](in.toDS(), _.user_id,
+        _.value.toLong, _.seq, binTokens = 8)
+        .map { case (v, binId, off, n) => (v.user_id, v.seq, binId, off, n) })(
+      data)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // split across TWO micro-batches (ordered per shard): state carries
+    // the cursor, emissions still match batch end-to-end
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in2 = MemoryStream[Ev]
+    val q = Streaming.packBins[Long, Ev](in2.toDS(), _.user_id,
+      _.value.toLong, _.seq, binTokens = 8)
+      .map { case (v, binId, off, n) => (v.user_id, v.seq, binId, off, n) }
+      .writeStream.format("memory").queryName("pbins2")
+      .outputMode("append").start()
+    in2.addData(data.take(3)); q.processAllAvailable()
+    in2.addData(data.drop(3)); q.processAllAvailable()
+    q.stop()
+    val twoBatches = spark.table("pbins2")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(twoBatches == batch)
+  }
+
+  test("near-dup pairs: micro-batch form via foreachBatch matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // LSH near-dup is corpus-relative, so the streaming form is scoped
+    // per micro-batch (foreachBatch) — pairs WITHIN a batch; corpus-wide
+    // dedup stays a batch job (docs/SCALE.md). One-batch drain == batch.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different text about spark structured streaming"))
+    val batch = graft.operators.text.Dedup.nearDupPairs(
+      docs.toDF("doc_id", "body"), col("body"), col("doc_id"),
+      threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 2L)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = in.toDS().toDF("doc_id", "body").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.operators.text.Dedup.nearDupPairs(mb, col("body"),
+            col("doc_id"), threshold = 0.5)
+          .select("a", "b").as[(Long, Long)].collect()
+        ()
+      }.start()
+    in.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batch)
+  }
 }
