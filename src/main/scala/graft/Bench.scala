@@ -35,7 +35,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // dev-only subset filter (same convention as Verify): shortens the
+    // local iteration loop and powers the bench-notes isolated runs;
+    // unset for driver runs, which always time everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
     queries.foreach { case (n, fn) => run(n, fn) } // warm-up
     // three timed passes, per-query minimum: driver-window contention has
     // three times produced multi-second phantom regressions on identical

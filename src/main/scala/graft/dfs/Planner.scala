@@ -1089,8 +1089,10 @@ object Planner {
       (ctx, n, env) =>
       val keys = optStrs(n, "key_fields", env)
       if (keys.isEmpty) throw DfsError("collect: .key_fields")
-      val buffer = (optLambdas(n, "add", env).headOption,
-        optLambdas(n, "remove", env).headOption) match {
+      val addRem = (optLambdas(n, "add", env).headOption,
+        optLambdas(n, "remove", env).headOption)
+      val isUpsert = addRem._1.isDefined && addRem._2.isDefined
+      val buffer = addRem match {
         case (Some(a), Some(r)) =>
           graft.operators.join.Joins.collectUpsert(ctx.df, keys, ctx.tsMs,
             lambdaColumn(a, env.defs), lambdaColumn(r, env.defs))
@@ -1102,11 +1104,18 @@ object Planner {
       // the age (esp_collect's timer eviction anchored at the batch
       // analog's end of time — same anchor as collect_unique). The bound
       // is a lazy 1-row max-aggregate broadcast (the fillPeriod
-      // scalar-subquery form), never a driver action.
+      // scalar-subquery form), never a driver action. For the keyed-
+      // latest buffer the bound aggregates the INPUT, not the buffer —
+      // the latest-per-key set contains the globally newest row, so the
+      // maxima agree and the input-side max is a pure scan-side partial
+      // aggregate instead of a second groupBy (measured 2x on the node,
+      // BENCH_NOTES_r9). The upsert form must anchor on the buffer: a
+      // trailing remove row is not a buffer entry.
       optDurMs(n, "max_age", env)
         .orElse(optDurMs(n, "max_ts_age", env)) match {
         case Some(age) =>
-          val bound = buffer.agg(max(col(ctx.tsMs)).as("_newest"))
+          val boundSrc = if (isUpsert) buffer else ctx.df
+          val bound = boundSrc.agg(max(col(ctx.tsMs)).as("_newest"))
           buffer.join(broadcast(bound))
             .filter(col(ctx.tsMs) >= col("_newest") - age)
             .drop("_newest")

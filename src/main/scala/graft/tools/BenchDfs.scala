@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: time an inline DFS script over SPARK_GRAFT_SF_DIR (warm-up
+  * + min-of-three, full materialization via noop — the Bench protocol for
+  * one ad-hoc pipeline). Powers BENCH_NOTES micro-experiments on node
+  * options with no registered-query twin, e.g. collect .max_age.
+  *
+  *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.BenchDfs <script>"
+  */
+object BenchDfs {
+  def main(args: Array[String]): Unit = {
+    val script = args.mkString(" ").replace(";", "\n")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      graft.dfs.DfsEngine.run(script, spark, sfDir).foreach { case (_, df) =>
+        df.write.format("noop").mode("overwrite").save()
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warm-up
+    val runs = (1 to 3).map(_ => once())
+    println(f"benchdfs min=${runs.min}%.3f s " +
+      f"(all: ${runs.map(r => f"$r%.2f").mkString(", ")}) script=$script")
+    spark.stop()
+  }
+}
