@@ -249,6 +249,40 @@ object VectorOps {
     }
   }
 
+  /** [[cosineDupPairs]] with the signature width SIZED FROM THE CORPUS:
+    * r = ceil(log2(n / targetBucketRows)), clamped to [4, 24]. The sf1
+    * scale run (BENCH_NOTES_r9 §3) measured the occupancy law directly —
+    * at fixed signature width candidate pairs grow ~n²/2^r per band, so
+    * a 10× corpus under the default 4-bit bands went 39.6× in
+    * wall-clock; re-bounding occupancy (8 bits) restored near-linear
+    * time. This wrapper spends ONE count job (the same sanctioned bound
+    * check [[bruteTopK]] uses) to apply docs/SCALE.md's rule
+    * automatically; buy recall back at the target similarity with
+    * `bands`, which stays linear in cost. The fixed-parameter form
+    * remains the oracle surface (the DuckDB twin replays exact planes).
+    */
+  def cosineDupPairsAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bands: Int = 4,
+      dim: Int = 64,
+      targetBucketRows: Int = 128,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val n = math.max(df.count(), 1L)
+    val r = autoBits(n, targetBucketRows)
+    cosineDupPairs(df, idCol, vecCol, threshold, bands, r, dim, maxBucketSize)
+  }
+
+  /** ceil(log2(n / targetBucketRows)) clamped to [4, 24] — exposed for
+    * the spec's sizing pins.
+    */
+  def autoBits(n: Long, targetBucketRows: Int): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(targetBucketRows, 1))
+    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
   /** Exact all-pairs cosine near-duplicates — [[cosineDupPairs]]'s exact
     * twin, same contract as [[bruteTopK]]: quadratic BY SPEC, so the
     * smaller broadcastable side is guarded eagerly. The LSH-banded form is

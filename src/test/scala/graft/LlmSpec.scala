@@ -184,6 +184,25 @@ class LlmSpec extends AnyFunSuite {
     assert(b4.nonEmpty)
   }
 
+  test("cosineDupPairsAuto sizes signature bits by the occupancy law") {
+    // the sf1 scale run (BENCH_NOTES_r9 §3) measured candidates growing
+    // ~n²/2^r at fixed width; autoBits applies docs/SCALE.md's rule
+    assert(VectorOps.autoBits(2000, 128) == 4)     // 16 buckets
+    assert(VectorOps.autoBits(20000, 128) == 8)    // 10x corpus -> +4 bits
+    assert(VectorOps.autoBits(1L << 40, 128) == 24) // clamped high
+    assert(VectorOps.autoBits(1, 128) == 4)         // clamped low
+    // the wrapper is exactly the fixed-parameter form at the chosen r
+    val emb = Tables.embeddings(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = emb.count()
+    val auto = pairSet(
+      VectorOps.cosineDupPairsAuto(emb, "vec_id", "embedding", 0.35))
+    val fixed = pairSet(VectorOps.cosineDupPairs(emb, "vec_id", "embedding",
+      0.35, rowsPerBand = VectorOps.autoBits(n, 128)))
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
   test("cosineDupPairsExact fails fast on an oversized corpus") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
