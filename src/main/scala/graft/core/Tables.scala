@@ -45,6 +45,16 @@ object Tables {
           .withColumn("ts_ns", col("ts"))
           .withColumn("ts_ms", expr("ts div 1000000"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ parquet (e.g. DuckDB's default TIMESTAMP): read as UTC
+        // wall-clock — graft sessions pin spark.sql.session.timeZone to
+        // UTC, so the cast is a pure re-tag, and unix_micros then
+        // resolves (it rejects NTZ input directly)
+        val t = col("ts").cast("timestamp")
+        raw
+          .withColumn("ts_ns", unix_micros(t) * 1000L)
+          .withColumn("ts_ms", unix_millis(t))
+          .withColumn("ts", t)
       case _ =>
         raw
           .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)

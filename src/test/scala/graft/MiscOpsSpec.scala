@@ -160,4 +160,36 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(perWin.length >= 3)
     assert(perWin.forall(r => r.getLong(1) - r.getLong(0) == 15000L))
   }
+
+  test("Tables.events accepts all three parquet timestamp provenances") {
+    import spark.implicits._
+    // the corpus ships TIMESTAMP(NANOS) (read as long), but a deployment
+    // corpus can carry adjusted-to-UTC micros or NTZ (DuckDB's default
+    // TIMESTAMP) — all three must normalize to the same ts/ts_ms/ts_ns
+    val base = Tables.events(spark, sf)
+      .select("event_id", "ts", "ts_ms", "ts_ns").orderBy("event_id")
+    val expected = base.limit(5).collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("evprov").toString
+    // micros, UTC-adjusted (Spark's native TimestampType)
+    base.limit(5).select(col("event_id"), col("ts"))
+      .write.mode("overwrite").parquet(s"$dir/utc/events.parquet")
+    // NTZ: same wall-clock instants, no zone tag
+    base.limit(5)
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    Seq("utc", "ntz").foreach { prov =>
+      val got = Tables.events(spark, s"$dir/$prov")
+        .select("event_id", "ts", "ts_ms", "ts_ns").orderBy("event_id")
+        .collect()
+      // ns precision below micros is lost on the timestamp provenances —
+      // compare at the micro grain the parquet actually carries
+      expected.zip(got).foreach { case (e, g) =>
+        assert(e.getLong(0) == g.getLong(0), prov)
+        assert(e.getTimestamp(1) == g.getTimestamp(1), prov)
+        assert(e.getLong(2) == g.getLong(2), s"$prov ts_ms")
+        assert(e.getLong(3) / 1000 == g.getLong(3) / 1000, s"$prov ts_ns")
+      }
+    }
+  }
 }
