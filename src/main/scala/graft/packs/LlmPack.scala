@@ -42,6 +42,38 @@ object LlmPack extends QueryPack {
        |    x -> struct_extract(x, 1) * struct_extract(x, 2))),
        |  (acc, v) -> acc + v)""".stripMargin
 
+  // the full sign-bit LSH cosine near-dup replay (same md5-derived
+  // planes, band buckets, candidate join, fold-order cosine — the hash
+  // pins the whole algorithm, recall included), shared by the fixed-
+  // parameter query and its corpus-sized auto twin
+  private lazy val cosinePairsOracle: String = {
+    val bands = 4; val rpb = 4
+    val ps = VectorOps.planes(bands * rpb, 64)
+    def planeLit(p: Array[Float]) =
+      p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+    def bh(b: Int) = (0 until rpb).map { j =>
+      s"""(CASE WHEN ${dotSql("embedding", planeLit(ps(b * rpb + j)))} > 0
+         | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" +\n  ")
+    val bandSel = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, ${bh(b)} AS bh FROM embeddings")
+      .mkString("\nUNION ALL\n")
+    val dotAB = dotSql("va.embedding", "vb.embedding")
+    val nA = dotSql("va.embedding", "va.embedding")
+    val nB = dotSql("vb.embedding", "vb.embedding")
+    s"""WITH bnd AS ($bandSel),
+       |cand AS (SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+       |         FROM bnd la JOIN bnd lb
+       |           ON la.band = lb.band AND la.bh = lb.bh
+       |              AND la.vec_id < lb.vec_id),
+       |sims AS (SELECT a, b,
+       |           round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
+       |         FROM cand
+       |         JOIN embeddings va ON va.vec_id = a
+       |         JOIN embeddings vb ON vb.vec_id = b)
+       |SELECT a, b, sim FROM sims WHERE sim >= 0.4""".stripMargin
+  }
+
   // the full MinHash+LSH near-dup pipeline replay, shared by the Scala
   // API query and its DFS-node twin
   private def nearPairsSql(threshold: Double): String = {
@@ -315,33 +347,17 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         VectorOps.cosineDupPairs(Tables.embeddings(s, dir), "vec_id",
           "embedding", threshold = 0.4, bands = 4, rowsPerBand = 4),
-      Some {
-        val bands = 4; val rpb = 4
-        val ps = VectorOps.planes(bands * rpb, 64)
-        def planeLit(p: Array[Float]) =
-          p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
-        def bh(b: Int) = (0 until rpb).map { j =>
-          s"""(CASE WHEN ${dotSql("embedding", planeLit(ps(b * rpb + j)))} > 0
-             | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
-        }.mkString(" +\n  ")
-        val bandSel = (0 until bands).map(b =>
-          s"SELECT vec_id, $b AS band, ${bh(b)} AS bh FROM embeddings")
-          .mkString("\nUNION ALL\n")
-        val dotAB = dotSql("va.embedding", "vb.embedding")
-        val nA = dotSql("va.embedding", "va.embedding")
-        val nB = dotSql("vb.embedding", "vb.embedding")
-        s"""WITH bnd AS ($bandSel),
-           |cand AS (SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
-           |         FROM bnd la JOIN bnd lb
-           |           ON la.band = lb.band AND la.bh = lb.bh
-           |              AND la.vec_id < lb.vec_id),
-           |sims AS (SELECT a, b,
-           |           round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
-           |         FROM cand
-           |         JOIN embeddings va ON va.vec_id = a
-           |         JOIN embeddings vb ON vb.vec_id = b)
-           |SELECT a, b, sim FROM sims WHERE sim >= 0.4""".stripMargin
-      }),
+      Some(cosinePairsOracle)),
+
+    // the corpus-sized wrapper (BENCH_NOTES_r9 §3 occupancy law): at the
+    // verify/bench corpus sizes autoBits resolves to the same 4-bit
+    // bands, so the SAME oracle replays the auto path hash-exact; the
+    // sizing law itself is unit-pinned in LlmSpec.
+    "dedup_cosine_auto" -> QueryDef(
+      (s, dir) =>
+        VectorOps.cosineDupPairsAuto(Tables.embeddings(s, dir), "vec_id",
+          "embedding", threshold = 0.4, bands = 4),
+      Some(cosinePairsOracle)),
 
     // exact all-pairs twin (broadcast-guarded, quadratic by spec) — pins
     // the true answer the banded form's recall is measured against
