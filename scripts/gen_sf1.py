@@ -16,8 +16,14 @@ query is LINEAR (except the documented quadratic-by-spec twin):
   orthogonal transform: all within-replica cosines preserved exactly,
   cross-replica cosines scrambled -> ANN/cosine-dup workload scales
   linearly in rows).
-- dims (region nation customer supplier part orders): copied verbatim,
-  TPC-H style (dims grow sublinearly; the probe sides are what scale).
+- dims (region nation customer supplier part orders): copied verbatim.
+  CAVEAT: shifted fact keys (l_orderkey, user_id) therefore dangle
+  against the unscaled dims for replicas 1..9 — fact-to-dim FK joins
+  only match replica 0 at sf1. None of the 17 measured headline
+  queries joins a fact to a dim (the joins in the set are
+  events-to-events as-of/tolerance), so the scaling table is
+  unaffected; do NOT reuse this corpus to scale-test lineitem-orders
+  style joins without also scaling the dims.
 """
 import os, shutil, sys
 import duckdb

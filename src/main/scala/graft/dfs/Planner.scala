@@ -1856,7 +1856,9 @@ object Planner {
         "tls", "stream", "content_type", "payload_schema"),
       (_, n, env) => subscribeLanded(env, httpTopic(n, env),
         optStr(n, "stream", env).contains("true"),
-        declared = declaredPayloadSchema(n, env))),
+        declared = declaredPayloadSchema(n, env),
+        // a declared non-JSON payload_type is a valid envelope-only plan
+        jsonPayload = optStr(n, "payload_type", env).forall(_ == "json"))),
     "http_get" -> NodeDef(None, Both,
       Set("path", "port", "host", "every", "align", "as", "user", "pass",
         "tls", "payload_type", "topic", "stream", "param_keys",
@@ -2263,7 +2265,8 @@ object Planner {
         "line_delimiter", "payload_schema"),
       (_, n, env) => subscribeLanded(env, socketTopic(proto, n, env),
         optStr(n, "stream", env).contains("true"),
-        declared = declaredPayloadSchema(n, env)))
+        declared = declaredPayloadSchema(n, env),
+        jsonPayload = false)) // line-framed: envelope-only is a valid plan
 
   private def socketSink(proto: String): NodeDef =
     NodeDef(Some(Both), Both,
@@ -2320,38 +2323,52 @@ object Planner {
     * (the reference sets `topic` AFTER the payload fields, topic_as
     * default 'topic'). The payload schema comes from `.payload_schema`
     * (DDL, a graft extension — the contract a real broker binding would
-    * carry) or, dev-transport convenience, is inferred from the LAST
-    * [[SchemaSampleN]] messages of the topic's log at plan time. A
-    * STREAMING subscribe with neither fails loudly: planning it against
-    * an empty topic would freeze an envelope-only schema for the query's
-    * lifetime and silently null every landed-field lambda once traffic
-    * arrives (the reference decodes per message and cannot go blind this
-    * way, esp_mqtt_subscribe.erl:155-170). Non-JSON payloads
-    * (line-framed sockets) land nothing.
+    * carry) or is inferred at plan time: a BATCH subscribe infers over
+    * its OWN full payload column (distributed `spark.read.json`, nothing
+    * collected to the driver); a STREAMING subscribe samples the LAST
+    * [[SchemaSampleN]] logged messages (a stream has no batch frame to
+    * infer from). A streaming subscribe with neither — on a node family
+    * whose payloads ARE JSON (`jsonPayload`: broker/http) — fails
+    * loudly: planning it against an empty topic would freeze an
+    * envelope-only schema for the query's lifetime and silently null
+    * every landed-field lambda once traffic arrives (the reference
+    * decodes per message and cannot go blind this way,
+    * esp_mqtt_subscribe.erl:155-170). Line-framed socket payloads are
+    * legitimately non-JSON — those plan envelope-only as before.
     */
   private val SchemaSampleN = 100L
 
   private def subscribeLanded(env: Env, topic: String,
       stream: Boolean, group: String = "default",
-      declared: Option[org.apache.spark.sql.types.StructType] = None): Ctx = {
+      declared: Option[org.apache.spark.sql.types.StructType] = None,
+      jsonPayload: Boolean = true): Ctx = {
     val df =
       if (stream) graft.sources.Loopback.subscribeStream(env.spark, topic, group)
       else graft.sources.Loopback.subscribe(env.spark, topic)
     val schemaOpt: Option[org.apache.spark.sql.types.StructType] =
       declared.orElse {
-        val hi = graft.sources.LoopbackBus.latest(topic)
-        val payloads = graft.sources.LoopbackBus
-          .read(topic, math.max(-1L, hi - SchemaSampleN), hi)
-          .flatMap(m => Option(m.payload))
-        if (payloads.nonEmpty) {
-          import env.spark.implicits._
-          Some(env.spark.read.json(payloads.toDS()).schema)
-        } else if (stream) throw DfsError(
-          s"subscribe '$topic': a streaming subscribe planned against an " +
-            "empty topic would never land payload fields (the schema is " +
-            "fixed at plan time) — declare .payload_schema('name type, " +
-            "...') or seed the topic first")
-        else None
+        import env.spark.implicits._
+        if (!stream) {
+          // batch: the frame IS the data — infer over every payload,
+          // executor-side
+          val inferred = env.spark.read
+            .json(df.select(col("payload")).as[String].filter(_ != null))
+            .schema
+          Some(inferred).filter(_.fields.nonEmpty)
+        } else {
+          val hi = graft.sources.LoopbackBus.latest(topic)
+          val payloads = graft.sources.LoopbackBus
+            .read(topic, math.max(-1L, hi - SchemaSampleN), hi)
+            .flatMap(m => Option(m.payload))
+          if (payloads.nonEmpty)
+            Some(env.spark.read.json(payloads.toDS()).schema)
+          else if (jsonPayload) throw DfsError(
+            s"subscribe '$topic': a streaming subscribe planned against " +
+              "an empty topic would never land payload fields (the " +
+              "schema is fixed at plan time) — declare .payload_schema(" +
+              "'name type, ...') or seed the topic first")
+          else None
+        }
       }
     val landed = schemaOpt match {
       case None => df

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-only: time cosineDupPairs at a given (bands, rowsPerBand) over a
   * corpus dir — the BENCH_NOTES knob experiment. LSH banding's candidate
@@ -15,16 +14,8 @@ object BenchCosineKnob {
     val bands = if (args.length > 0) args(0).toInt else 4
     val rpb = if (args.length > 1) args(1).toInt else 4
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.Sessions.local(cpus, "bench-cosine-knob")
     def once(): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = graft.operators.vector.VectorOps.cosineDupPairs(

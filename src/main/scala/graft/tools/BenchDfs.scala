@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev-only: time an inline DFS script over SPARK_GRAFT_SF_DIR (warm-up
   * + min-of-three, full materialization via noop — the Bench protocol for
@@ -13,16 +12,8 @@ object BenchDfs {
   def main(args: Array[String]): Unit = {
     val script = args.mkString(" ").replace(";", "\n")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.core.Sessions.local(cpus, "bench-dfs")
     def once(): Double = {
       val t0 = System.nanoTime()
       graft.dfs.DfsEngine.run(script, spark, sfDir).foreach { case (_, df) =>

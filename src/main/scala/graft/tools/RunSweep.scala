@@ -76,7 +76,7 @@ object RunSweep {
   }
 
   def sweep(spark: SparkSession, sf: String,
-      refDir: String = "/root/reference/dfs"): Result = {
+      refDir: String = "/root/reference/dfs"): Result = try {
     seedDatabases(spark)
     val dir = new java.io.File(refDir)
     def walk(f: java.io.File): Seq[java.io.File] =
@@ -126,6 +126,11 @@ object RunSweep {
       }
     }
     Result(ok, empty, failed, lines.toSeq)
+  } finally {
+    // the JDBC override is sweep-scoped: leaving it set would silently
+    // rebind every later-planned oracle_query in this JVM to the
+    // sweep's Derby instead of its declared host
+    sys.props.remove("graft.jdbc.url")
   }
 
   def main(args: Array[String]): Unit = {

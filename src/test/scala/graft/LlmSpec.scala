@@ -201,6 +201,17 @@ class LlmSpec extends AnyFunSuite {
     val fixed = pairSet(VectorOps.cosineDupPairs(emb, "vec_id", "embedding",
       0.35, rowsPerBand = VectorOps.autoBits(n, 128)))
     assert(auto == fixed && auto.nonEmpty)
+    // the dedup_cosine_auto ORACLE hard-codes 4-bit bands, valid only
+    // while autoBits(n)==4, i.e. every oracle corpus stays <= 2048
+    // embeddings — pin that precondition so a corpus growth fails HERE
+    // with a message, not as a silent driver hash mismatch
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1").foreach { dir =>
+      val cnt = Tables.embeddings(spark, dir).count()
+      assert(cnt <= 2048,
+        s"$dir has $cnt embeddings: autoBits != 4, regenerate " +
+          "dedup_cosine_auto's oracle (LlmPack.cosinePairsOracle)")
+    }
   }
 
   test("cosineDupPairsExact fails fast on an oversized corpus") {
