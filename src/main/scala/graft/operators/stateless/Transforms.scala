@@ -43,11 +43,32 @@ object Transforms {
   def deleteWhen(df: DataFrame, path: String, gate: Column): DataFrame =
     Paths.set(df, path, when(gate, lit(null)).otherwise(Paths.ref(path)))
 
-  /** `keep` — projection with optional rename (ref: esp_keep.erl:22-47). */
-  def keep(df: DataFrame, fields: Seq[(String, Option[String])]): DataFrame =
-    df.select(fields.map { case (p, as) =>
-      Paths.ref(p).as(as.getOrElse(Paths.parse(p).last.name))
-    }: _*)
+  /** `keep` — projection with optional rename (ref: esp_keep.erl:22-47,
+    * semantics pinned by its own eunit cases at :48-69):
+    *  - an ALIAS is itself a path — `first.val44` kept as `erster.val`
+    *    lands nested under a fresh `erster` struct;
+    *  - an un-aliased deep path keeps its nesting (`first.val44` →
+    *    `{first: {val44: …}}`), it does NOT flatten to the leaf;
+    *  - absent source paths are dropped together with their alias
+    *    (rewrite's `V /= undefined` filter), never kept as nulls.
+    */
+  def keep(df: DataFrame, fields: Seq[(String, Option[String])]): DataFrame = {
+    val present = fields.filter { case (p, _) => Paths.has(df, p) }
+    // out path = the alias (a path in its own right) or the FULL source
+    // path; stage values under temp columns first so output roots can
+    // collide with (pruned) source roots without capture
+    val staged = present.zipWithIndex.map { case ((src, as), i) =>
+      (s"_keep$i", Paths.ref(src), as.getOrElse(src))
+    }
+    val withTmp = staged.foldLeft(df) { case (d, (t, v, _)) =>
+      d.withColumn(t, v)
+    }
+    val cleared = withTmp.select(staged.map(s => col(s._1)): _*)
+    val rebuilt = staged.foldLeft(cleared) { case (d, (t, _, out)) =>
+      Paths.set(d, out, col(t))
+    }
+    rebuilt.drop(staged.map(_._1): _*)
+  }
 
   /** `rename` — rename fields in place, deep paths included (ref:
     * esp_rename.erl:27-60): a dotted source path moves the nested field

@@ -161,6 +161,36 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(perWin.forall(r => r.getLong(1) - r.getLong(0) == 15000L))
   }
 
+  test("keep matches esp_keep.erl's eunit rewrite cases") {
+    import spark.implicits._
+    import graft.operators.stateless.Transforms
+    // rewrite_point_test: flat field, alias
+    val flat = Seq((2134L, "get")).toDF("value", "val44")
+    val r1 = Transforms.keep(flat, Seq("val44" -> Some("val")))
+    assert(r1.columns.toSeq == Seq("val") && r1.head.getString(0) == "get")
+
+    val nested = Seq((2134L, "get")).toDF("value", "val44")
+      .select(struct(col("value"), col("val44")).as("first"))
+    // rewrite_points_path_test: deep source, flat alias
+    val r2 = Transforms.keep(nested, Seq("first.val44" -> Some("val")))
+    assert(r2.columns.toSeq == Seq("val") && r2.head.getString(0) == "get")
+    // rewrite_points_path_no_aliases_test: deep source keeps its nesting
+    val r3 = Transforms.keep(nested, Seq("first.val44" -> None))
+    assert(r3.columns.toSeq == Seq("first"))
+    assert(r3.select("first.val44").head.getString(0) == "get")
+    assert(r3.schema("first").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq == Seq("val44"))
+    // rewrite_points_path_alias_path_test: the ALIAS is a path too
+    val r4 = Transforms.keep(nested, Seq("first.val44" -> Some("erster.val")))
+    assert(r4.columns.toSeq == Seq("erster"))
+    assert(r4.select("erster.val").head.getString(0) == "get")
+    // rewrite_points_no_undefined_test: absent sources drop with alias
+    val r5 = Transforms.keep(nested, Seq(
+      "first.val44" -> Some("erster.val"), "someother.field" -> Some("some.field")))
+    assert(r5.columns.toSeq == Seq("erster"))
+    assert(r5.select("erster.val").head.getString(0) == "get")
+  }
+
   test("Tables.events accepts all three parquet timestamp provenances") {
     import spark.implicits._
     // the corpus ships TIMESTAMP(NANOS) (read as long), but a deployment
