@@ -54,21 +54,44 @@ object AggFunctions {
       case other => throw new IllegalArgumentException(s"unknown agg function: $other")
     }
 
-  /** Exact percentile at `p` in [0,1] (ref: esp_percentile.erl:26-80 — exact,
-    * interpolating; matches SQL percentile_cont). Exact by default for oracle
-    * parity; use [[approxPercentile]] at extreme scale.
+  /** Exact percentile at `p` in [0,1], REFERENCE-exact
+    * (esp_percentile.erl:62-72, pinned by its eunit basic_perc_test):
+    * rank R = p·n over the 1-based sorted group, linearly interpolating
+    * between positions trunc(R) and trunc(R)+1. This is NOT SQL
+    * percentile_cont, whose rank is p·(n−1) — at p=0.7 over
+    * [12.2,12.4,16.8,23,23.9,25.9] the reference yields 23.18 where
+    * percentile_cont yields 23.45. Divergence guard: for R < 1 the
+    * reference's lists:nth(0) crashes outright; a SQL aggregate cannot
+    * crash per-group, so we return the minimum (the p=0 rule). Exact by
+    * default for oracle parity; use [[approxPercentile]] at extreme
+    * scale.
     */
   def percentile(field: Column, p: Double): Column =
-    call_function("percentile", field, lit(p))
+    percentileFromSorted(sort_array(collect_list(field)), p)
 
-  /** Multi-quantile form: ONE sort of the group serves every requested
-    * percentile (Spark's `percentile(col, array(...))`), vs one full
-    * group-sort per call of the scalar form — the difference between one
-    * and N shuffles'-worth of sort work per group at scale. Returns an
-    * array; extract with `element_at` in a post-projection.
+  /** Multi-quantile form: ONE sorted-list aggregate serves every
+    * requested percentile (Catalyst dedups the identical collect_list
+    * aggregates), vs one full group-sort per scalar call — the
+    * difference between one and N shuffles'-worth of sort work per group
+    * at scale. Returns an array; extract with `element_at` in a
+    * post-projection.
     */
-  def percentiles(field: Column, ps: Seq[Double]): Column =
-    call_function("percentile", field, array(ps.map(lit(_)): _*))
+  def percentiles(field: Column, ps: Seq[Double]): Column = {
+    val s = sort_array(collect_list(field))
+    array(ps.map(percentileFromSorted(s, _)): _*)
+  }
+
+  private def percentileFromSorted(s: Column, p: Double): Column = {
+    val n = size(s)
+    val r = lit(p) * n
+    val f = floor(r).cast("int")
+    val interp = element_at(s, f) +
+      (element_at(s, least(f + 1, n)) - element_at(s, f)) * (r - f)
+    when(n === 0, lit(0.0))                        // empty → 0
+      .otherwise(when(lit(p) <= 0.0 || f < 1, element_at(s, 1)) // p=0 rule + nth(0) guard
+        .otherwise(when(lit(p) >= 1.0, element_at(s, n))        // p=1 → max
+          .otherwise(interp)))
+  }
 
   def approxPercentile(field: Column, p: Double): Column =
     percentile_approx(field, lit(p), lit(10000))

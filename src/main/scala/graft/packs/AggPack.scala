@@ -109,10 +109,25 @@ object AggPack extends QueryPack {
           .select(col("l_linestatus"),
             element_at(col("_ps"), 1).as("p25"),
             element_at(col("_ps"), 2).as("p90")),
-      Some("""SELECT l_linestatus, ps[1] AS p25, ps[2] AS p90
-             |FROM (SELECT l_linestatus,
-             |        quantile_cont(l_extendedprice, [0.25, 0.9]) AS ps
-             |      FROM lineitem GROUP BY l_linestatus)""".stripMargin)),
+      Some {
+        // the oracle replays esp_percentile.erl:62-72 verbatim (rank
+        // R = p·n, 1-based trunc/interpolate — NOT quantile_cont's
+        // p·(n−1)); same double op order as the Spark side. The p
+        // literal MUST be cast: DuckDB parses bare 0.9 as DECIMAL and
+        // decimal-exact rank arithmetic diverges from Spark's double in
+        // the last bit
+        def pct(p0: String) = { val p = s"CAST($p0 AS DOUBLE)"
+          s"""(CASE WHEN CAST(floor($p * n) AS INT) < 1 THEN s[1]
+             | ELSE s[CAST(floor($p * n) AS INT)]
+             |   + (s[LEAST(CAST(floor($p * n) AS INT) + 1, n)]
+             |      - s[CAST(floor($p * n) AS INT)])
+             |     * ($p * n - floor($p * n)) END)""".stripMargin }
+        s"""SELECT l_linestatus, ${pct("0.25")} AS p25, ${pct("0.9")} AS p90
+           |FROM (SELECT l_linestatus,
+           |        list_sort(list(l_extendedprice)) AS s,
+           |        CAST(count(*) AS INT) AS n
+           |      FROM lineitem GROUP BY l_linestatus)""".stripMargin
+      }),
 
     // first/last by timestamp (ref: stats/esp_first.erl, c_agg.erl:19-26).
     "agg_first_last" -> QueryDef(

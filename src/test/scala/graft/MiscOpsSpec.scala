@@ -161,6 +161,25 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(perWin.forall(r => r.getLong(1) - r.getLong(0) == 15000L))
   }
 
+  test("percentile matches esp_percentile.erl's eunit (rank p·n, not p·(n−1))") {
+    import spark.implicits._
+    import graft.operators.agg.AggFunctions
+    // basic_perc_test: percentile([12.4,16.8,23,23.9,25.9,12.2], 70) == 23.18
+    // (quantile_cont would give 23.45 — rank p·(n−1) — the wrong method)
+    val vals = Seq(12.4, 16.8, 23.0, 23.9, 25.9, 12.2).toDF("v")
+    val got = vals.agg(AggFunctions.percentile(col("v"), 0.70)).head.getDouble(0)
+    assert(math.abs(got - 23.18) < 1e-9, s"got $got")
+    // p=0 → min, p=1 → max (esp_percentile.erl:63-64)
+    assert(vals.agg(AggFunctions.percentile(col("v"), 0.0)).head.getDouble(0) == 12.2)
+    assert(vals.agg(AggFunctions.percentile(col("v"), 1.0)).head.getDouble(0) == 25.9)
+    // R < 1 (reference's lists:nth(0) crash): SQL form returns the min
+    assert(vals.agg(AggFunctions.percentile(col("v"), 0.05)).head.getDouble(0) == 12.2)
+    // multi-quantile form agrees with the scalar form
+    val multi = vals.agg(AggFunctions.percentiles(col("v"), Seq(0.70, 1.0)))
+      .head.getSeq[Double](0)
+    assert(math.abs(multi.head - 23.18) < 1e-9 && multi(1) == 25.9)
+  }
+
   test("keep matches esp_keep.erl's eunit rewrite cases") {
     import spark.implicits._
     import graft.operators.stateless.Transforms
