@@ -1186,13 +1186,19 @@ object Planner {
     },
     "change_detect" -> bt(Set("fields", "reset_timeout", "timeout")) { (ctx, n, env) =>
       // no .fields = compare the whole point (esp_change_detect.erl:42
-      // fields default undefined): every column except the event-time pair
-      val fs = optStrs(n, "fields", env) match {
-        case Nil => ctx.df.columns.toSeq
-          .filterNot(c0 => c0 == ctx.ts || c0 == ctx.tsMs).map(col)
-        case some => some.map(Paths.ref)
+      // fields default undefined — map equality, any change passes);
+      // with .fields the semantics flip to the monitored-veto form
+      // (check/4, eunit-pinned): EVERY defined monitored field must
+      // change or the point is suppressed
+      optStrs(n, "fields", env) match {
+        case Nil =>
+          val fs = ctx.df.columns.toSeq
+            .filterNot(c0 => c0 == ctx.ts || c0 == ctx.tsMs).map(col)
+          StateOps.changeDetect(ctx.df, fs, keyCols(ctx), orderCols(ctx))
+        case some =>
+          StateOps.changeDetectMonitored(ctx.df, some.map(Paths.ref),
+            keyCols(ctx), orderCols(ctx))
       }
-      StateOps.changeDetect(ctx.df, fs, keyCols(ctx), orderCols(ctx))
     },
     "value_diff" -> pt(Set("field", "fields", "as", "mode", "default")) { (ctx, n, env) =>
       val fs = optStrs(n, "field", env) ++ optStrs(n, "fields", env)

@@ -24,15 +24,35 @@ object StateOps {
     if (keys.isEmpty) Window.orderBy(order: _*)
     else Window.partitionBy(keys: _*).orderBy(order: _*)
 
-  /** `change_detect` — pass rows whose monitored fields differ from the
-    * previous row (ref: esp_change_detect.erl:41-196). First row passes.
+  /** `change_detect`, whole-point form — pass rows that differ from the
+    * previous row on ANY compared column (esp_change_detect.erl:95-99:
+    * fields undefined → the whole fields MAP is compared for equality;
+    * null-safe so a null-vs-value flip counts as a change, like a
+    * missing-vs-present map key). First row passes (:94 empty
+    * LastValues).
     */
   def changeDetect(df: DataFrame, fields: Seq[Column], keys: Seq[Column], order: Seq[Column]): DataFrame = {
     val w = spec(keys, order)
-    val changed = fields
-      .map(f => lag(f, 1).over(w).isNull || lag(f, 1).over(w) =!= f)
+    val firstRow = lag(lit(1), 1).over(w).isNull
+    val changed = fields.map(f => !(lag(f, 1).over(w) <=> f)).reduce(_ || _)
+    df.withColumn("_chg", firstRow || changed).filter(col("_chg")).drop("_chg")
+  }
+
+  /** `change_detect`, monitored-fields form (esp_change_detect.erl
+    * check/4, pinned by its eunit): a point is SUPPRESSED if any
+    * monitored field is defined on both sides and EQUAL — i.e. every
+    * defined monitored field must change for the point to pass; an
+    * undefined previous or current value never vetoes. First row passes
+    * (no previous values → no veto).
+    */
+  def changeDetectMonitored(df: DataFrame, fields: Seq[Column],
+      keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = spec(keys, order)
+    val veto = fields
+      .map(f => lag(f, 1).over(w).isNotNull && f.isNotNull &&
+        lag(f, 1).over(w) === f)
       .reduce(_ || _)
-    df.withColumn("_chg", changed).filter(col("_chg")).drop("_chg")
+    df.withColumn("_veto", veto).filter(!col("_veto")).drop("_veto")
   }
 
   /** `value_diff` — difference to previous value; modes abs / c-p / p-c

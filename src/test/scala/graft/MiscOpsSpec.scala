@@ -161,6 +161,33 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(perWin.forall(r => r.getLong(1) - r.getLong(0) == 15000L))
   }
 
+  test("change_detect matches esp_change_detect.erl's eunit semantics") {
+    import spark.implicits._
+    import graft.operators.state.StateOps
+    // monitored-fields form (check/4): EVERY defined monitored field
+    // must change; one equal field vetoes the point
+    // (process_point_monitor_one_lastequal_test)
+    val rows = Seq(
+      (1L, Some(1.0), Some(1.343)),  // first row: passes (no last values)
+      (2L, Some(2.0), Some(1.343)),  // val changed, val1 EQUAL -> veto
+      (3L, Some(3.0), Some(9.9)),    // both changed -> passes
+      (4L, None, Some(8.8)),         // val undefined -> no veto from it; val1 changed -> passes
+      (5L, Some(3.0), Some(8.8))     // LAST val undefined -> no veto; val1 equal -> veto
+    ).toDF("seq", "val", "val1")
+    val mon = StateOps.changeDetectMonitored(rows,
+      Seq(col("val"), col("val1")), Nil, Seq(col("seq")))
+      .select("seq").as[Long].collect().toSet
+    assert(mon == Set(1L, 3L, 4L))
+    // whole-point form: map equality — identical consecutive row is
+    // suppressed, ANY difference passes, first row passes
+    val whole = StateOps.changeDetect(
+      Seq((1L, 1.0, "a"), (2L, 1.0, "a"), (3L, 1.0, "b"), (4L, 1.0, "b"))
+        .toDF("seq", "v", "t").withColumn("one", lit(1)),
+      Seq(col("v"), col("t")), Nil, Seq(col("seq")))
+      .select("seq").as[Long].collect().toSet
+    assert(whole == Set(1L, 3L))
+  }
+
   test("percentile matches esp_percentile.erl's eunit (rank p·n, not p·(n−1))") {
     import spark.implicits._
     import graft.operators.agg.AggFunctions
