@@ -334,4 +334,73 @@ class IoSpec extends AnyFunSuite {
     assert(byKey(1L).count(_._3 >= 0L) == 1)
     assert(byKey(2L).head._3 == -1L)
   }
+
+  test("s7 request planning matches esp_s7read's eunit build_addresses_test") {
+    import graft.io.PlcPlan._
+    val addrs = Seq(
+      "DB11136.DBX88.0", "DB11136.DBX88.1", "DB11136.DBX88.2", "DB11136.DBX88.3",
+      "DB11136.DBX90.0", "DB11136.DBX90.1", "DB11136.DBX90.2", "DB11136.DBX90.3",
+      "DB11136.DBX90.4", "DB11136.DBX90.5", "DB11136.DBX90.6", "DB11136.DBX90.7",
+      "DB11136.DBX91.0", "DB11136.DBX91.1", "DB11136.DBX91.2", "DB11136.DBX91.3",
+      "DB11136.DBX91.7", "DB11136.DBX92.0", "DB11136.DBX92.1", "DB11136.DBX92.2",
+      "DB11136.DBX92.3", "DB11136.DBX92.4", "DB11136.DBX92.5", "DB11136.DBX92.6",
+      "DB11136.DBX92.7", "DB11136.DBX93.0", "DB11136.DBX93.1", "DB11136.DBX93.2",
+      "DB11136.DBX93.3", "DB11136.DBX93.4", "DB11136.DBX93.5", "DB11136.DBX93.6",
+      "DB11136.DBX93.7", "DB11136.DBX94.0", "DB11136.DBX94.1", "DB11136.DBW96",
+      "DB11136.DBW98", "DB11136.DBX100.0", "DB11136.DBX100.1", "DB11136.DBX100.2",
+      "DB11136.DBX100.4", "DB11136.DBX100.5", "DB11136.DBX100.6", "DB11136.DBX100.7",
+      "DB11136.DBX101.0", "DB11136.DBX101.1", "DB11136.DBX101.2", "DB11136.DBX101.3",
+      "DB11136.DBX101.4", "DB11136.DBX101.6", "DB11136.DBX101.7", "DB11136.DBX102.0",
+      "DB11136.DBX102.1",
+      "DB8034.DBS66.30")
+    val as = addrs.map(_.replace(".", "_"))
+    val parsed = addrs.map(a => parseS7(a).getOrElse(fail(s"parse $a")))
+    val (parts, aliases) = buildS7(parsed, as)
+    // the reference's exact expected partitions (eunit Res)
+    assert(parts == Seq(
+      S7Part("db", 11136, 88, 1, "byte"),
+      S7Part("db", 11136, 90, 5, "byte"),
+      S7Part("db", 11136, 100, 3, "byte"),
+      S7Part("db", 11136, 96, 2, "word"),
+      S7Part("db", 8034, 66, 30, "byte")))
+    // alias mapping: run-relative bit indices for bools (eunit AliasesList)
+    assert(aliases(0) == S7Aliases(as.take(4), Seq.fill(4)("bool_byte"),
+      Seq(0, 1, 2, 3)))
+    assert(aliases(1).bits == Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 15,
+      16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33))
+    assert(aliases(2).bits == Seq(0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14,
+      15, 16, 17))
+    assert(aliases(3) == S7Aliases(
+      Seq("DB11136_DBW96", "DB11136_DBW98"), Seq("word", "word"), Nil))
+    assert(aliases(4) == S7Aliases(
+      Seq("DB8034_DBS66_30"), Seq("string"), Nil))
+    // the comma form the reference scripts use parses too
+    assert(parseS7("DB4,DInt22").contains(S7Address(4, "d_int", 22, 1)))
+    assert(parseS7("DB4,R1").contains(S7Address(4, "float", 1, 1)))
+    assert(parseS7("not an address").isEmpty)
+  }
+
+  test("modbus coalescing matches esp_modbus_read's eunit build_find_contiguous_test") {
+    import graft.io.PlcPlan._
+    def req(alias: String, start: Int) =
+      ModbusReq(alias, "read_hregs", start, 2, "float32")
+    val reqs = Seq(
+      req("ActiveEnergyRcvd", 2701), req("ActiveEnergyDelvd", 2699),
+      req("ReactiveEnergyRcvd", 2709), req("ReactiveEnergyDelvd", 2707),
+      req("ApparentEnergyRcvd", 2717), req("ApparentEnergyDelvd", 2715),
+      req("MaximalCurrentValue", 3009))
+    val parts = findContiguousModbus(reqs)
+    assert(parts == Seq(
+      ModbusPart("MaximalCurrentValue", Seq("MaximalCurrentValue"),
+        "read_hregs", 3009, 2, 1, "float32"),
+      ModbusPart("ActiveEnergyDelvd",
+        Seq("ActiveEnergyDelvd", "ActiveEnergyRcvd"),
+        "read_hregs", 2699, 4, 2, "float32"),
+      ModbusPart("ReactiveEnergyDelvd",
+        Seq("ReactiveEnergyDelvd", "ReactiveEnergyRcvd"),
+        "read_hregs", 2707, 4, 2, "float32"),
+      ModbusPart("ApparentEnergyDelvd",
+        Seq("ApparentEnergyDelvd", "ApparentEnergyRcvd"),
+        "read_hregs", 2715, 4, 2, "float32")))
+  }
 }
