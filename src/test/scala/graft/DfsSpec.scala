@@ -163,6 +163,38 @@ class DfsSpec extends AnyFunSuite {
     assert(r.forall(_.getString(2).length == 12))
   }
 
+  test("value_diff matches esp_value_diff.erl's eunit semantics") {
+    // basic_test/default_test/as_test shapes: previous point carries
+    // current_max only; the next point's current_max diffs (abs 300.0)
+    // while energy_used has no previous value -> passes through
+    // unchanged without .default, takes .default when given; .as can be
+    // a deep path and then the ORIGINAL field survives beside the diff
+    def run(opts: String) = DfsEngine.runSingle(
+      s"""||json_emitter(
+         |   '{"current_max": 3753.34534, "t1": 12}',
+         |   '{"energy_used": 13.4563, "current_max": 3453.34534, "t1": 12}'
+         | )
+         ||value_diff(.fields('current_max', 'energy_used')$opts)
+         |""".stripMargin, spark, sf)
+      .orderBy(col("_seq")).collect()
+    val basic = run("")
+    def d(row: org.apache.spark.sql.Row, name: String) =
+      row.getDouble(row.fieldIndex(name))
+    assert(math.abs(d(basic(1), "current_max") - 300.0) < 1e-9)
+    assert(math.abs(d(basic(1), "energy_used") - 13.4563) < 1e-9) // unchanged
+    val dflt = run(".default(0)")
+    assert(math.abs(d(dflt(1), "current_max") - 300.0) < 1e-9)
+    assert(d(dflt(1), "energy_used") == 0.0) // first-seen -> default
+    val aliased = run(
+      ".as('data.current_max_diff', 'energy_used_diff').default(99)")
+    val r1 = aliased(1)
+    val dataStruct = r1.getStruct(r1.fieldIndex("data"))
+    assert(math.abs(dataStruct.getDouble(
+      dataStruct.fieldIndex("current_max_diff")) - 300.0) < 1e-9)
+    assert(math.abs(d(r1, "current_max") - 3453.34534) < 1e-9) // original kept
+    assert(d(r1, "energy_used_diff") == 99.0)
+  }
+
   test("keep: .as zips fields strictly; tags keep their names") {
     // esp_keep.erl:43-44 — lists:zip(Aliases, FieldVals) renames fields
     // only (and errors on arity mismatch); tags always keep their names
