@@ -988,17 +988,26 @@ object Planner {
       Set("fields", "as", "at", "approx", "keep_last"),
       (c, n, env) => {
         val ctx = requireCtx(c, n.name)
-        val field = optStrs(n, "fields", env).headOption
-          .getOrElse(throw DfsError("percentile: .fields"))
-        val at = optNum(n, "at", env).getOrElse(50.0) / 100.0
-        val as = optStrs(n, "as", env).headOption.getOrElse("percentile")
+        val fields = optStrs(n, "fields", env)
+        if (fields.isEmpty) throw DfsError("percentile: .fields")
+        // .at defaults to 75 and .as to the field names, per
+        // esp_percentile.erl:26-40 ({at, integer, 75}; As undefined →
+        // Fields; lists:zip3 errors on arity mismatch)
+        val as = optStrs(n, "as", env) match {
+          case Nil => fields
+          case a if a.size == fields.size => a
+          case _ => throw DfsError("percentile: .as arity must match .fields")
+        }
+        val at = optNum(n, "at", env).getOrElse(75.0) / 100.0
         // .approx(true): the t-digest sketch — fixed-size per-group state
         // instead of a full group sort (the 100 TB default, SCALE.md)
-        val agg = (if (optFlag(n, "approx", env))
-            graft.operators.agg.AggFunctions.approxPercentile(col(field), at)
-          else graft.operators.agg.AggFunctions.percentile(col(field), at))
-          .as(as)
-        ctx.copy(df = groupedAgg(ctx, Seq(agg)), win = None, io = Point,
+        val aggs = fields.zip(as).map { case (f, a) =>
+          (if (optFlag(n, "approx", env))
+            graft.operators.agg.AggFunctions.approxPercentile(Paths.ref(f), at)
+          else graft.operators.agg.AggFunctions.percentile(Paths.ref(f), at))
+            .as(a)
+        }
+        ctx.copy(df = groupedAgg(ctx, aggs), win = None, io = Point,
           ts = "", tsMs = aggEventTime(ctx))
       }),
 

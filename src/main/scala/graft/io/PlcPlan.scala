@@ -75,13 +75,15 @@ object PlcPlan {
           Some(S7Address(db.toInt, dt, start.toInt + byteOffset, 1))
         case (_, Some(_)) => None // only bits/strings take a suffix
       }
-    addr match {
+    try addr match {
       case S7Re(db, t, start, sub) =>
         build(db, dtypeOf(t.toUpperCase), start, Option(sub))
       case S7CommaRe(db, t, start, sub) =>
         commaDtypeOf.get(t.toLowerCase)
           .flatMap(dt => build(db, dt, start, Option(sub)))
       case _ => None
+    } catch { // numerically absurd db/start/bit: invalid, not a crash
+      case _: NumberFormatException => None
     }
   }
 
@@ -98,8 +100,12 @@ object PlcPlan {
     val withAs = addresses.zip(aliases)
     val (bools, nonBools) = withAs.partition(_._1.dtype == "bool")
 
-    // ---- bool bytes (esp_s7read.erl:390-423 find_bool_bytes)
-    val boolsSorted = bools.sortBy { case (a, _) => (a.dbNumber, a.start) }
+    // ---- bool bytes (esp_s7read.erl:390-423 find_bool_bytes); the sort
+    // key is the reference's db*10000 + start verbatim (:427-433) —
+    // including its collision quirk past bit-start 10000
+    val boolsSorted = bools.sortBy { case (a, _) =>
+      a.dbNumber.toLong * 10000L + a.start
+    }
     final case class BoolRun(db: Int, startByte: Int, lastByte: Int,
       amount: Int, aliases: Seq[(String, Int)])
     val boolRuns = boolsSorted.foldLeft(Vector.empty[BoolRun]) {
@@ -172,16 +178,23 @@ object PlcPlan {
     */
   def findContiguousModbus(reqs: Seq[ModbusReq]): Seq[ModbusPart] = {
     val sorted = reqs.sortBy(_.start)
-    val parts = sorted.foldLeft(Vector.empty[ModbusPart]) {
-      case (ps, r) =>
+    // the merge gate is the reference's verbatim (:279): PREVIOUS
+    // request's start + the INCOMING request's amount == incoming start
+    // (not part-start + accumulated amount — the two differ for
+    // non-uniform amounts, where the reference's arithmetic is the
+    // contract a client binding pairs with)
+    val (parts, _) = sorted.foldLeft(
+      (Vector.empty[ModbusPart], -1)) {
+      case ((ps, lastStart), r) =>
         ps.lastOption match {
           case Some(p) if p.function == r.function && p.opts == r.opts &&
-              p.start + p.amount == r.start =>
-            ps.init :+ p.copy(aliases = p.aliases :+ r.alias,
-              count = p.count + 1, amount = (p.count + 1) * r.amount)
+              lastStart + r.amount == r.start =>
+            (ps.init :+ p.copy(aliases = p.aliases :+ r.alias,
+              count = p.count + 1, amount = (p.count + 1) * r.amount),
+              r.start)
           case _ =>
-            ps :+ ModbusPart(r.alias, Seq(r.alias), r.function, r.start,
-              r.amount, 1, r.opts)
+            (ps :+ ModbusPart(r.alias, Seq(r.alias), r.function, r.start,
+              r.amount, 1, r.opts), r.start)
         }
     }
     if (parts.isEmpty) parts else parts.last +: parts.init

@@ -56,16 +56,16 @@ object Transforms {
     val present = fields.filter { case (p, _) => Paths.has(df, p) }
     // out path = the alias (a path in its own right) or the FULL source
     // path; stage values under temp columns first so output roots can
-    // collide with (pruned) source roots without capture
+    // collide with (pruned) source roots without capture. The NUL-prefix
+    // makes the temps collision-proof against user columns (the same
+    // reserved space Paths' markers use); every staged ref resolves
+    // against the ORIGINAL df, so one projection stages them all.
     val staged = present.zipWithIndex.map { case ((src, as), i) =>
-      (s"_keep$i", Paths.ref(src), as.getOrElse(src))
+      ("\u0000keep" + i, Paths.ref(src), as.getOrElse(src))
     }
-    val withTmp = staged.foldLeft(df) { case (d, (t, v, _)) =>
-      d.withColumn(t, v)
-    }
-    val cleared = withTmp.select(staged.map(s => col(s._1)): _*)
+    val cleared = df.select(staged.map { case (t, v, _) => v.as(t) }: _*)
     val rebuilt = staged.foldLeft(cleared) { case (d, (t, _, out)) =>
-      Paths.set(d, out, col(t))
+      Paths.set(d, out, col(s"`$t`"))
     }
     rebuilt.drop(staged.map(_._1): _*)
   }

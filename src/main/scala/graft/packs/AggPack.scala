@@ -122,10 +122,14 @@ object AggPack extends QueryPack {
              |   + (s[LEAST(CAST(floor($p * n) AS INT) + 1, n)]
              |      - s[CAST(floor($p * n) AS INT)])
              |     * ($p * n - floor($p * n)) END)""".stripMargin }
+        // count(col)/FILTER keep n and s null-free like Spark's
+        // collect_list — count(*) would count null rows and shift every
+        // rank on a nullable column
         s"""SELECT l_linestatus, ${pct("0.25")} AS p25, ${pct("0.9")} AS p90
            |FROM (SELECT l_linestatus,
-           |        list_sort(list(l_extendedprice)) AS s,
-           |        CAST(count(*) AS INT) AS n
+           |        list_sort(list(l_extendedprice)
+           |          FILTER (l_extendedprice IS NOT NULL)) AS s,
+           |        CAST(count(l_extendedprice) AS INT) AS n
            |      FROM lineitem GROUP BY l_linestatus)""".stripMargin
       }),
 

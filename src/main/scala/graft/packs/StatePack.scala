@@ -28,10 +28,15 @@ object StatePack extends QueryPack {
               col("ts_ms"), col("ts_ns")),
           Seq(col("event_type")), keys, order)
           .drop("ts_ns"),
+      // first-row marker + IS DISTINCT FROM mirror the engine's
+      // null-safe form exactly (a value→NULL flip is a change, NULL→NULL
+      // is not) — the plain lag IS NULL / <> pair diverges on nullable
+      // monitored fields
       Some(s"""SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
               |FROM events
-              |QUALIFY lag(event_type) OVER ($oraW) IS NULL
-              |   OR lag(event_type) OVER ($oraW) <> event_type""".stripMargin)),
+              |QUALIFY lag(1) OVER ($oraW) IS NULL
+              |   OR lag(event_type) OVER ($oraW)
+              |      IS DISTINCT FROM event_type""".stripMargin)),
 
     // value_diff, all three modes (ref: esp_value_diff.erl:18-20,43-55).
     "state_value_diff" -> QueryDef(

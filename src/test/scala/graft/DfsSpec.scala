@@ -163,6 +163,24 @@ class DfsSpec extends AnyFunSuite {
     assert(r.forall(_.getString(2).length == 12))
   }
 
+  test("percentile: .at defaults to 75, .as to the field names (esp_percentile options)") {
+    def run(opts: String) = DfsEngine.runSingle(
+      s"""||parquet_read(.table('events'))
+         ||group_by('user_id')
+         ||win_time(.period(30d))
+         ||percentile(.fields('value')$opts)
+         |""".stripMargin, spark, sf)
+    val dflt = run("")
+    assert(dflt.columns.contains("value")) // .as defaults to the field name
+    val explicit = run(".at(75).as('value')")
+    assert(dflt.select("user_id", "value").collect().toSet ==
+      explicit.select("user_id", "value").collect().toSet)
+    val p50 = run(".at(50).as('value')")
+    assert(dflt.select("user_id", "value").collect().toSet !=
+      p50.select("user_id", "value").collect().toSet) // 75 is NOT the median
+    intercept[Ir.DfsError] { run(".as('a', 'b')") } // arity mismatch
+  }
+
   test("value_diff matches esp_value_diff.erl's eunit semantics") {
     // basic_test/default_test/as_test shapes: previous point carries
     // current_max only; the next point's current_max diffs (abs 300.0)

@@ -402,5 +402,19 @@ class IoSpec extends AnyFunSuite {
       ModbusPart("ApparentEnergyDelvd",
         Seq("ApparentEnergyDelvd", "ApparentEnergyRcvd"),
         "read_hregs", 2715, 4, 2, "float32")))
+    // non-uniform amounts: the gate is the reference's verbatim
+    // lastStart + INCOMING amount == start (esp_modbus_read.erl:279) —
+    // (0,2)+(2,1) does NOT merge (0+1 != 2), (0,2)+(3,3) DOES (0+3 == 3)
+    val noMerge = findContiguousModbus(Seq(
+      ModbusReq("a", "read_hregs", 0, 2, ""),
+      ModbusReq("b", "read_hregs", 2, 1, "")))
+    assert(noMerge.map(_.aliases) == Seq(Seq("b"), Seq("a")))
+    val refMerge = findContiguousModbus(Seq(
+      ModbusReq("a", "read_hregs", 0, 2, ""),
+      ModbusReq("b", "read_hregs", 3, 3, "")))
+    assert(refMerge == Seq(ModbusPart("a", Seq("a", "b"),
+      "read_hregs", 0, 6, 2, "")))
+    // numerically absurd addresses are invalid, never a crash
+    assert(parseS7("DB99999999999999.DBX1.0").isEmpty)
   }
 }
