@@ -73,17 +73,34 @@ object Transforms {
   /** `rename` — rename fields in place, deep paths included (ref:
     * esp_rename.erl:27-60): a dotted source path moves the nested field
     * (set at the new path + delete the old); top-level names rename in
-    * place. Missing sources are a no-op (faxe behavior). Lambda-computed
-    * (per-row) names have no relational analog — those map to a map
-    * column instead (SURVEY §2.1 note).
+    * place. Missing sources are a no-op, and presence AND values are
+    * judged against the ORIGINAL point, not the partially-renamed one:
+    * flowdata_tests.erl rename_field_undefined_test pins that
+    * `val->value.into.deep, value->my_value` leaves no `my_value` even
+    * though the first rename creates a `value` root. Staging every
+    * source value in one projection (as `keep` does) gives that
+    * snapshot semantics. Lambda-computed (per-row) names have no
+    * relational analog — those map to a map column instead (SURVEY
+    * §2.1 note).
     */
-  def rename(df: DataFrame, renames: Seq[(String, String)]): DataFrame =
-    renames.foldLeft(df) { case (d, (from, to)) =>
-      if (!Paths.has(d, from)) d
-      else if (Paths.parse(from).size > 1 || Paths.parse(to).size > 1)
-        Paths.delete(Paths.set(d, to, Paths.ref(from)), from)
-      else d.withColumnRenamed(from, to)
+  def rename(df: DataFrame, renames: Seq[(String, String)]): DataFrame = {
+    val present = renames.filter { case (from, _) => Paths.has(df, from) }
+    if (present.isEmpty) df
+    else {
+      val staged = present.zipWithIndex.map { case ((from, to), i) =>
+        ("\u0000ren" + i, from, to)
+      }
+      val withTemps = df.select(
+        col("*") +: staged.map { case (t, from, _) => Paths.ref(from).as(t) }: _*)
+      val deleted = staged.foldLeft(withTemps) { case (d, (_, from, _)) =>
+        Paths.delete(d, from)
+      }
+      val rebuilt = staged.foldLeft(deleted) { case (d, (t, _, to)) =>
+        Paths.set(d, to, col(s"`$t`"))
+      }
+      rebuilt.drop(staged.map(_._1): _*)
     }
+  }
 
   /** `case` — first-true branch list with default (ref: esp_case.erl:28-66). */
   def caseWhen(

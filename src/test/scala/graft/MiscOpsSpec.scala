@@ -161,6 +161,30 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(perWin.forall(r => r.getLong(1) - r.getLong(0) == 15000L))
   }
 
+  test("rename/set match flowdata_tests.erl deep-path cases") {
+    import spark.implicits._
+    import graft.operators.stateless.Transforms
+    val p = Seq(("somestring", 44)).toDF("val", "var")
+    // rename_field_basic_test: flat source -> deep target nests; the old
+    // name is gone
+    val r1 = Transforms.rename(p, Seq("val" -> "value.into.deep"))
+    assert(!r1.columns.contains("val") && r1.columns.contains("var"))
+    assert(r1.select("value.into.deep").head.getString(0) == "somestring")
+    // rename_field_undefined_test: a missing source is skipped, the rest
+    // still applies
+    val r2 = Transforms.rename(p,
+      Seq("val" -> "value.into.deep", "value" -> "my_value"))
+    assert(!r2.columns.contains("my_value"))
+    assert(r2.select("value.into.deep").head.getString(0) == "somestring")
+    // rename_field_empty_path_test: no renames -> unchanged
+    assert(Transforms.rename(p, Nil).columns.toSeq == p.columns.toSeq)
+    // set_field_deep_test: deep set creates intermediate structs and
+    // keeps siblings
+    val s1 = graft.core.Paths.set(p, "value.into.deep", lit("new"))
+    assert(s1.select("value.into.deep").head.getString(0) == "new")
+    assert(s1.select("val").head.getString(0) == "somestring")
+  }
+
   test("change_detect matches esp_change_detect.erl's eunit semantics") {
     import spark.implicits._
     import graft.operators.state.StateOps
