@@ -226,4 +226,56 @@ object DfsEngine {
       .map(i => all.get(s"chain_$i")).collectFirst { case Some(df) => df }
       .getOrElse(throw Ir.DfsError("no runnable chain in script"))
   }
+
+  /** One node instance of the deploy graph: `instance` is the
+    * reference's `{type}{parse-index}` naming (`mqtt_subscribe1`,
+    * `debug2`, … — faxe_dfs.erl node naming as pinned by
+    * test/dfs_to_graph.erl), `args` the positional arguments, `options`
+    * the given `.option(...)`s — both with defs substituted.
+    */
+  final case class GraphNode(instance: String, node: String,
+      args: Seq[Ir.Value], options: Map[String, Seq[Ir.Value]])
+
+  /** The compiled deploy graph — the analog of `faxe_dfs:file/2`'s
+    * `{Nodes, Edges}` map that the reference's test/dfs_to_graph.erl
+    * eunit suite pins. Validation runs first (an unknown option raises
+    * [[Ir.DfsError]], matching the suite's `unknown_opt_test`), then
+    * `e:` defs are folded at plan time, so a def like
+    * `e: str_replace(topic, '/', '.')` lands in options as the literal
+    * string — exactly the bridge_expr_test expectation
+    * (routing_key => "some.crazy.topic.this.is").
+    */
+  final case class DeployGraph(nodes: Seq[GraphNode],
+      edges: Seq[(String, String)]) {
+    def node(instance: String): GraphNode =
+      nodes.find(_.instance == instance).getOrElse(
+        throw Ir.DfsError(s"no node instance '$instance' in graph"))
+  }
+
+  def graph(src: String, spark: SparkSession): DeployGraph = {
+    val script0 = compile(src)
+    val script = script0.copy(defs = foldDefs(script0.defs, spark))
+    def inst(n: NodeSpec): String = s"${n.name}${n.id}"
+    def gnode(n: NodeSpec): GraphNode =
+      GraphNode(inst(n), n.name,
+        n.args.map(Planner.resolve(_, script.defs)),
+        n.options.map { case (k, vs) =>
+          k -> vs.map(Planner.resolve(_, script.defs))
+        })
+    val allChains =
+      script.namedChains.toSeq.sortBy(_._2.nodes.head.id).map(_._2) ++
+        script.chains
+    val edges = Seq.newBuilder[(String, String)]
+    allChains.foreach { c =>
+      for (ref <- c.sourceRef; nc <- script.namedChains.get(ref);
+           from <- nc.nodes.lastOption; to <- c.nodes.headOption)
+        edges += inst(from) -> inst(to)
+      c.nodes.sliding(2).foreach {
+        case Seq(a, b) => edges += inst(a) -> inst(b)
+        case _ =>
+      }
+    }
+    DeployGraph(allChains.flatMap(_.nodes).sortBy(_.id).map(gnode),
+      edges.result())
+  }
 }

@@ -76,7 +76,7 @@ object Planner {
     case other => throw DfsError(s"cannot interpolate $other")
   }
 
-  private def resolve(v: Value, defs: Map[String, Value]): Value = v match {
+  private[dfs] def resolve(v: Value, defs: Map[String, Value]): Value = v match {
     // a bare word with no def behind it is an enum atom
     // (.type(point), .parser(parser_lrep_v1) — the reference's option
     // atoms), not an error: it resolves to its own name

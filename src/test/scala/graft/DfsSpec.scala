@@ -1296,6 +1296,87 @@ class DfsSpec extends AnyFunSuite {
     assert(bad.msg.contains("payload_schema DDL"))
   }
 
+  // ---- dfs_to_graph.erl parity: the reference's own compile-to-graph
+  // eunit suite over apps/faxe/test/dfs/*.dfs. graft's DfsEngine.graph
+  // is the faxe_dfs:file analog those tests pin.
+  def testDfs(name: String): String = {
+    val src = scala.io.Source.fromFile(
+      s"/root/reference/apps/faxe/test/dfs/$name", "UTF-8")
+    try src.mkString finally src.close()
+  }
+
+  test("dfs_to_graph unknown_opt_test: exact reject text") {
+    // dfs_to_graph.erl:18-21 — {error,"Unknown option 'ls_mem' for node
+    // 'debug'"} (ls_mem belongs to the deprecated debug surface; the
+    // reference's options() no longer carries it)
+    val e = intercept[Ir.DfsError] {
+      DfsEngine.compile(testDfs("unknown_options_test.dfs"))
+    }
+    assert(e.msg.startsWith("Unknown option 'ls_mem' for node 'debug'"))
+  }
+
+  test("dfs_to_graph bridge_test: topology, naming, resolved options") {
+    // dfs_to_graph.erl:46-110 bridge_test — one subscribe fans out
+    // through debug to three amqp_publish sinks; instance naming is
+    // {type}{parse-index}; def-referenced options land resolved
+    val g = DfsEngine.graph(testDfs("mqtt_amqp_bridge_test.dfs"), spark)
+    assert(g.edges.toSet == Set(
+      "mqtt_subscribe1" -> "debug2",
+      "debug2" -> "amqp_publish3",
+      "debug2" -> "amqp_publish4",
+      "debug2" -> "amqp_publish5"))
+    val sub = g.node("mqtt_subscribe1")
+    assert(sub.options("topic") == Seq(Ir.VStr("some/crazy/topic/this/is")))
+    assert(sub.options("host") == Seq(Ir.VStr("10.102.1.102")))
+    assert(sub.options("ssl") == Seq(Ir.VBool(false)))
+    val pubs = Seq("amqp_publish3", "amqp_publish4", "amqp_publish5")
+      .map(g.node)
+    pubs.foreach { p =>
+      assert(p.options("routing_key") ==
+        Seq(Ir.VStr("some.crazy.topic.this.is")))
+      assert(p.options("exchange") == Seq(Ir.VStr("x_root_fanout")))
+      assert(p.options("user") == Seq(Ir.VStr("rabbitmq-cluster-user")))
+    }
+    // dev/preprod/prod in script order: hosts differ, only prod has ssl
+    assert(pubs.map(_.options("host").head) == Seq(
+      Ir.VStr("some.amqp_host"), Ir.VStr("some.other_amqp_host"),
+      Ir.VStr("15.45.48.1")))
+    assert(pubs.map(_.options("ssl").head) == Seq(
+      Ir.VBool(false), Ir.VBool(false), Ir.VBool(true)))
+  }
+
+  test("dfs_to_graph bridge_expr_test: e: def folds to the literal") {
+    // dfs_to_graph.erl:113-177 — script_expr_test.dfs differs from the
+    // bridge script only in `def rk = e: str_replace(topic, '/', '.')`;
+    // the compiled graph must be indistinguishable: routing_key is the
+    // plan-time-folded literal
+    val g = DfsEngine.graph(testDfs("script_expr_test.dfs"), spark)
+    Seq("amqp_publish3", "amqp_publish4", "amqp_publish5").foreach { i =>
+      assert(g.node(i).options("routing_key") ==
+        Seq(Ir.VStr("some.crazy.topic.this.is")))
+    }
+    assert(g.edges.toSet == Set(
+      "mqtt_subscribe1" -> "debug2",
+      "debug2" -> "amqp_publish3",
+      "debug2" -> "amqp_publish4",
+      "debug2" -> "amqp_publish5"))
+  }
+
+  test("dfs_to_graph batch_test: positional args, durations, atom type") {
+    // dfs_to_graph.erl:24-41 (commented in the reference but its
+    // expectations still describe the script): value_emitter → batch →
+    // debug, batch size positional 5, timeout '5750ms', debug('warning')
+    val g = DfsEngine.graph(testDfs("batch_test.dfs"), spark)
+    assert(g.edges == Seq(
+      "value_emitter1" -> "batch2", "batch2" -> "debug3"))
+    val em = g.node("value_emitter1")
+    assert(em.options("every") == Seq(Ir.VDur(8000L, "8000ms")))
+    assert(em.options("jitter") == Seq(Ir.VDur(3700L, "3700ms")))
+    assert(em.options("type") == Seq(Ir.VStr("point")))
+    assert(g.node("batch2").args == Seq(Ir.VNum(5, isInt = true)))
+    assert(g.node("debug3").args == Seq(Ir.VStr("warning")))
+  }
+
   test("run-level coverage floor: 104+ reference scripts run with rows") {
     // the full seeded sweep (graft.tools.RunSweep): brokered scripts get
     // deterministic traffic on every topic they subscribe to. Declared
