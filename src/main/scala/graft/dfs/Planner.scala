@@ -2607,6 +2607,155 @@ object Planner {
       nodes.get(n.name).exists(nd => nd.wants.nonEmpty && !nd.optionalInput)
     }
 
+  // ---- compile-time option value checks ---------------------------------
+  //
+  // The reference components declare value-level validation beyond the
+  // option-name check via check_options/0: {one_of, Opt, Allowed},
+  // {one_of_params, [Opts]} and {func, Opt, Pred, Msg}. The dataflow
+  // library enforcing them is not vendored in the reference tree, so the
+  // semantics are pinned by test/df_graph_test.erl (the select-statement
+  // func check) and each component's checks list; errors surface at
+  // compile, like the unknown-option reject (test/dfs_to_graph.erl).
+  private sealed trait OptCheck
+  /** {one_of, opt, [...]} — every given value must be in the allowed set.
+    * `alsoArgs` covers positional binding (debug('warning') binds level).
+    */
+  private final case class OneOf(opt: String, allowed: Set[String],
+      alsoArgs: Boolean = false) extends OptCheck
+  /** {one_of_params, [...]} — exactly one must be given. A positional
+    * arg binds the node's primary param (group_by('key') is .fields).
+    */
+  private final case class OneOfParams(params: Seq[String]) extends OptCheck
+  /** {func, opt, pred, msg} — each given value must satisfy pred. */
+  private final case class FuncCheck(opt: String, msg: String,
+      pred: Value => Boolean) extends OptCheck
+
+  private def isSelect(v: Value): Boolean = v match {
+    case VStr(s) => graft.io.CrateQuery.checkSelectStatement(s)
+    case VLambda(_) | VEager(_) => true // per-point SQL resolves at run
+    case _ => false
+  }
+  private def isJson(v: Value): Boolean = v match {
+    case VStr(s) =>
+      try {
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .enable(com.fasterxml.jackson.databind.DeserializationFeature
+            .FAIL_ON_TRAILING_TOKENS)
+          .readTree(s) != null
+      } catch { case _: Exception => false }
+    case _ => false
+  }
+  private val durationRe = "\\d+(ms|s|m|h|d|w)".r
+  private def isRate(v: Value): Boolean = v match {
+    // esp_sample.erl:32-34 — integer or duration string
+    case VNum(_, isInt) => isInt
+    case VLong(_) | VDur(_, _) => true
+    case VStr(s) => durationRe.matches(s)
+    case _ => false
+  }
+
+  private val packetKinds = Set("1", "2", "4", "line")
+  private val modbusChecks = Seq(
+    // esp_modbus.erl:68-69,94-95
+    OneOf("function", Set("coils", "hregs", "iregs", "inputs", "memory")),
+    OneOf("output", Set("int16", "int32", "float32", "double", "coils",
+      "ascii", "binary")))
+  private val selectCheck = FuncCheck("query",
+    "seems not to be a valid sql select statement", isSelect)
+  private val crateChecks = Seq(
+    // esp_crate_query.erl:66-67
+    OneOf("result_type", Set("batch", "point")), selectCheck)
+
+  private val optionChecks: Map[String, Seq[OptCheck]] = Map(
+    "crate_query" -> crateChecks,
+    "postgresql_query" -> crateChecks,
+    "oracle_query" -> Seq(selectCheck), // esp_oracle_query.erl:59
+    // esp_debug.erl:33-35 (positional: batch_test.dfs debug('warning'))
+    "debug" -> Seq(OneOf("level", Set("debug", "info", "notice",
+      "warning", "error", "critical", "alert"), alsoArgs = true)),
+    // esp_json_emitter.erl:67-68
+    "json_emitter" -> Seq(OneOf("select", Set("rand", "seq", "batch")),
+      FuncCheck("json", "invalid json", isJson)),
+    // esp_mem.erl:41
+    "mem" -> Seq(OneOf("type", Set("single", "set", "list"))),
+    // esp_http_post.erl:52
+    "http_post" -> Seq(OneOf("method", Set("post", "put"))),
+    // esp_value_diff.erl:18-20,39
+    "value_diff" -> Seq(OneOf("mode", Set("abs", "c-p", "p-c"))),
+    // esp_collect.erl:87-92
+    "collect" -> Seq(
+      OneOf("update_mode", Set("merge", "merge_reverse", "replace")),
+      FuncCheck("update", "can only be a lambda expression, true or false",
+        { case VLambda(_) | VBool(_) => true; case _ => false })),
+    // esp_amqp_publish.erl:60-61
+    "amqp_publish" -> Seq(
+      OneOfParams(Seq("routing_key", "routing_key_lambda",
+        "routing_key_field")),
+      OneOf("qos", Set("0", "1", "2"))),
+    "amqp_consume" -> Seq(OneOfParams(Seq("routing_key", "bindings"))),
+    // esp_mqtt_publish.erl:67
+    "mqtt_publish" -> Seq(
+      OneOfParams(Seq("topic", "topic_lambda", "topic_field"))),
+    "mqtt_subscribe" -> Seq(OneOfParams(Seq("topic", "topics"))),
+    "mqtt_amqp_bridge" -> Seq(OneOfParams(Seq("topic", "topics"))),
+    "group_by" -> Seq(OneOfParams(Seq("fields", "lambda"))),
+    "email" -> Seq(OneOfParams(Seq("body", "body_field"))),
+    // esp_postgre_statement.erl:59-60
+    "postgre_statement" -> Seq(
+      OneOf("result_type", Set("batch", "point")),
+      OneOfParams(Seq("statement", "statement_field"))),
+    // esp_state_change_bulk.erl:72
+    "state_change_bulk" -> Seq(
+      OneOfParams(Seq("lambda_pattern", "state_value"))),
+    // esp_http_listen.erl:44-45
+    "http_listen" -> Seq(
+      OneOf("content_type", Set("text/plain",
+        "application/x-www-form-urlencoded", "application/json")),
+      OneOf("payload_type", Set("plain", "json"))),
+    // esp_tcp_recv.erl:70 / tcp_send:57 / tcp_serve:41
+    "tcp_recv" -> Seq(OneOf("packet", packetKinds)),
+    "tcp_send" -> Seq(OneOf("packet", packetKinds)),
+    "tcp_serve" -> Seq(OneOf("packet", packetKinds)),
+    "modbus" -> modbusChecks,
+    "modbus_read" -> modbusChecks,
+    "modbus_multi" -> modbusChecks,
+    // esp_aggregate.erl:14-32,57 (first/last are commented out there)
+    "aggregate" -> Seq(OneOf("functions", Set("variance", "sum", "min",
+      "max", "stddev", "avg", "count", "count_distinct", "count_change",
+      "mean", "geometric_mean", "median", "range", "skew"))),
+    // esp_sample.erl:30-34
+    "sample" -> Seq(FuncCheck("rate",
+      "must be of type 'integer' or 'duration'", isRate)))
+
+  private def runChecks(n: NodeSpec, defs: Map[String, Value]): Unit =
+    optionChecks.getOrElse(n.name, Nil).foreach {
+      case OneOf(opt, allowed, alsoArgs) =>
+        val vs = n.options.getOrElse(opt, Nil) ++
+          (if (alsoArgs && !n.options.contains(opt)) n.args else Nil)
+        vs.map(resolve(_, defs)).foreach {
+          case VLambda(_) | VEager(_) => () // resolves at plan time
+          case v =>
+            val s = valueString(v)
+            if (!allowed.contains(s)) throw DfsError(
+              s"node '${n.name}': value '$s' for option '$opt' must be " +
+                s"one of ${allowed.toSeq.sorted.mkString(", ")}")
+        }
+      case OneOfParams(params) =>
+        val given = params.count(n.options.contains)
+        val effective =
+          if (given == 0 && n.args.nonEmpty) 1 // positional primary
+          else given
+        if (effective != 1) throw DfsError(
+          s"node '${n.name}': exactly one of " +
+            s"${params.map("." + _).mkString(", ")} must be given")
+      case FuncCheck(opt, msg, pred) =>
+        n.options.getOrElse(opt, Nil).map(resolve(_, defs)).foreach {
+          case VEager(_) => () // folds at plan time
+          case v => if (!pred(v))
+            throw DfsError(s"node '${n.name}': option '$opt' $msg")
+        }
+    }
+
   def validate(script: Script): Unit = {
     // the type-check compares ADJACENT DECLARED wants/emits, with `both`
     // compatible either way — exactly faxe_dfs.erl:165-183
@@ -2623,9 +2772,12 @@ object Planner {
         val nd = lookup(n.name)
         // user components own their option schema (the class checks it);
         // '_name' is the universal node display-name option (python2.dfs)
-        if (!n.name.startsWith("@")) n.options.keys.foreach { o =>
-          if (o != "_name" && !nd.opts.contains(o)) throw DfsError(
-            s"Unknown option '$o' for node '${n.name}'.${suggest(o, nd.opts)}")
+        if (!n.name.startsWith("@")) {
+          n.options.keys.foreach { o =>
+            if (o != "_name" && !nd.opts.contains(o)) throw DfsError(
+              s"Unknown option '$o' for node '${n.name}'.${suggest(o, nd.opts)}")
+          }
+          runChecks(n, script.defs)
         }
         val atStart = idx == 0 && chain.sourceRef.isEmpty
         nd.wants match {

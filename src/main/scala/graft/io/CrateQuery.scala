@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object CrateQuery {
 
+  /** `faxe_util:check_select_statement/1` — the `.query` option
+    * validator of crate_query / oracle_query (esp_crate_query.erl:67,
+    * esp_oracle_query.erl:59). faxe_util itself is not vendored in the
+    * reference tree; the semantics are pinned by test/df_graph_test.erl:
+    * a statement with SELECT and a FROM passes (WITH-prefixed CTEs
+    * included, check_select_with_test), a projection with no FROM is
+    * rejected (check_select_with_no_from_test). Template placeholders
+    * ({{...}}, $__timefilter) are opaque text at this stage.
+    */
+  def checkSelectStatement(sql: String): Boolean = {
+    import java.util.regex.Pattern
+    val sel = Pattern.compile("(?is)\\bselect\\b(.*)", Pattern.DOTALL)
+      .matcher(sql)
+    sel.find() &&
+      Pattern.compile("(?i)\\bfrom\\b").matcher(sel.group(1)).find()
+  }
+
   /** Reference-exact bucket expression (esp_crate_query.erl:157-163):
     * the bucket unit is whole SECONDS of the group_by_time duration.
     */

@@ -384,16 +384,20 @@ class DfsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
-  test("EVERY reference dfs script compiles VERBATIM (4 expected rejects)") {
+  test("EVERY reference dfs script compiles VERBATIM (5 expected rejects)") {
     // sweep the whole reference tree at test time (no copied content in
     // the repo). The only scripts allowed to fail are: the two deliberate
     // error-message fixtures, the macro-use script (compiles once its
-    // macro is registered — see the macro1 test), and lambda_list_test,
+    // macro is registered — see the macro1 test), lambda_list_test,
     // which uses `.keep()` on eval — not in esp_eval.erl's options, so
-    // the reference's own checker rejects it too.
+    // the reference's own checker rejects it too — and rename.dfs, whose
+    // modbus `.output('real', '')` values are outside esp_modbus.erl's
+    // declared OUT_TYPES (:69, {one_of, output, ...} at :95): the
+    // reference's own check_options declaration rejects it (same class
+    // as lambda_list_test).
     val expectedRejects = Set("other/did_you_mean.dfs",
       "other/node_not_found_err.dfs", "other/macro1.dfs",
-      "other/lambda_list_test.dfs")
+      "other/lambda_list_test.dfs", "other/rename.dfs")
     val dir = new java.io.File("/root/reference/dfs")
     assume(dir.isDirectory, "reference tree not present")
     def walk(f: java.io.File): Seq[java.io.File] =
@@ -1377,15 +1381,78 @@ class DfsSpec extends AnyFunSuite {
     assert(g.node("debug3").args == Seq(Ir.VStr("warning")))
   }
 
-  test("run-level coverage floor: 104+ reference scripts run with rows") {
+  test("df_graph_test: check_select_statement pins") {
+    // test/df_graph_test.erl — the select validator behind crate_query /
+    // oracle_query's `.query` check (faxe_util is not vendored; these
+    // eunit cases are the spec). Templated CTE select → true; WITH
+    // shorthand with a FROM → true; projection with no FROM → false.
+    import graft.io.CrateQuery.checkSelectStatement
+    val cte =
+      """with "task" as (
+        |  SELECT ts as "tsTask", {{ws_task_dbcol}}['quantity'] as "quantity"
+        |  FROM {{dest_schema}}.{{table}}
+        |  where $__timefilter AND stream_id in ( {{ws_task_db_sid}} ))
+        |select "task"."tsTask" as "ts" FROM {{dest_schema}}.{{table}}, "task"""".stripMargin
+    assert(checkSelectStatement(cte))
+    assert(checkSelectStatement(
+      """with "task" select "task"."tsTask" as "ts" FROM {{s}}.{{t}}, "task""""))
+    assert(!checkSelectStatement(
+      """with "task" as select "task"."tsTask" as "ts", 'None' as "reason""""))
+  }
+
+  test("check_options: one_of / one_of_params / func reject bad values") {
+    // the reference's component-declared value checks, enforced at
+    // compile like the unknown-option reject (esp_crate_query.erl:66-67,
+    // esp_debug.erl:33, esp_amqp_publish.erl:60-61, esp_modbus.erl:94-95)
+    def rejects(src: String, needle: String): Unit = {
+      val e = intercept[Ir.DfsError](DfsEngine.compile(src))
+      assert(e.msg.contains(needle), s"got: ${e.msg}")
+    }
+    rejects(
+      "|crate_query(.query('DELETE FROM t').host('h'))",
+      "seems not to be a valid sql select statement")
+    rejects(
+      "|parquet_read(.table('events'))\n|debug(.level('loud'))",
+      "value 'loud' for option 'level'")
+    // positional binding: debug('warning') is level — batch_test.dfs
+    DfsEngine.compile("|parquet_read(.table('events'))\n|debug('warning')")
+    rejects(
+      "|parquet_read(.table('events'))\n|debug('loud')",
+      "value 'loud' for option 'level'")
+    rejects(
+      "|parquet_read(.table('events'))\n|amqp_publish(.exchange('x'))",
+      "exactly one of .routing_key")
+    rejects(
+      "|parquet_read(.table('events'))\n" +
+        "|amqp_publish(.exchange('x').routing_key('a').routing_key_field('b'))",
+      "exactly one of .routing_key")
+    rejects(
+      "|modbus(.ip('1.2.3.4').function('hregs').output('real'))",
+      "value 'real' for option 'output'")
+    rejects(
+      "|parquet_read(.table('events'))\n|sample(.rate('often'))",
+      "must be of type 'integer' or 'duration'")
+    rejects(
+      "|json_emitter(.json('{broken'))",
+      "invalid json")
+    // a def-referenced value resolves before the check
+    DfsEngine.compile(
+      "def lvl = 'warning'\n|parquet_read(.table('events'))\n|debug(.level(lvl))")
+  }
+
+  test("run-level coverage floor: 103+ reference scripts run with rows") {
     // the full seeded sweep (graft.tools.RunSweep): brokered scripts get
     // deterministic traffic on every topic they subscribe to. Declared
     // LAST in the suite — seeding mutates the shared LoopbackBus, and the
     // exact-count brokered assertions above must see only their own
     // messages. Floor, not exact: earlier tests may pre-seed topics.
+    // 103: rename.dfs left the compiling set when the reference's
+    // check_options value checks landed (its modbus .output('real','')
+    // is outside esp_modbus's declared OUT_TYPES — see the verbatim
+    // sweep's reject note)
     val r = graft.tools.RunSweep.sweep(spark, sf)
-    assert(r.ok >= 104,
-      s"run-level parity regressed: ok=${r.ok} (floor 104)\n" +
+    assert(r.ok >= 103,
+      s"run-level parity regressed: ok=${r.ok} (floor 103)\n" +
         r.lines.filterNot(_.startsWith("OK")).mkString("\n"))
     // the FAIL set is pinned too: the ONLY rejects left are the three
     // scripts using user classes the reference repo does not ship either

@@ -130,13 +130,16 @@ class LoopbackSpec extends AnyFunSuite {
 
   test("amqp aliases bind to the same bus") {
     LoopbackBus.clear()
+    // .routing_key is required by esp_amqp_publish/consume's
+    // one_of_params check (now compile-enforced); it is envelope
+    // metadata on the loopback bus
     DfsEngine.runSingle(
       """|parquet_read(.table('events'))
         #|keep('event_id')
-        #|amqp_publish(.exchange('q1'))
+        #|amqp_publish(.exchange('q1').routing_key('rk'))
         #""".stripMargin('#'), spark, sf)
     val n = DfsEngine.runSingle(
-      "|amqp_consume(.queue('q1'))", spark, sf).count()
+      "|amqp_consume(.queue('q1').routing_key('#'))", spark, sf).count()
     assert(n == Tables.events(spark, sf).count())
   }
 
