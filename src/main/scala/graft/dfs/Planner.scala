@@ -2629,6 +2629,13 @@ object Planner {
   /** {func, opt, pred, msg} — each given value must satisfy pred. */
   private final case class FuncCheck(opt: String, msg: String,
       pred: Value => Boolean) extends OptCheck
+  /** {same_length, [...]} — the listed options, where given, must have
+    * equal lengths (absent optional lists are skipped: modbus scripts
+    * omit .signed). `argsBind` names the option positional args fill
+    * (eval/case write their lambdas positionally).
+    */
+  private final case class SameLength(opts: Seq[String],
+      argsBind: Option[String] = None) extends OptCheck
 
   private def isSelect(v: Value): Boolean = v match {
     case VStr(s) => graft.io.CrateQuery.checkSelectStatement(s)
@@ -2725,7 +2732,46 @@ object Planner {
       "mean", "geometric_mean", "median", "range", "skew"))),
     // esp_sample.erl:30-34
     "sample" -> Seq(FuncCheck("rate",
-      "must be of type 'integer' or 'duration'", isRate)))
+      "must be of type 'integer' or 'duration'", isRate))) |+|
+    // {same_length, ...} declarations (esp_aggregate.erl:56,
+    // esp_array_explode.erl:38, esp_case.erl:38, esp_collect*.erl,
+    // esp_deadman.erl:57, esp_eval.erl:28, esp_extract_path.erl:28,
+    // esp_http_get.erl:57, esp_http_post.erl:51, esp_modbus*.erl,
+    // esp_postgre_out.erl:47, esp_rename.erl:34-35, esp_set.erl:37,
+    // esp_triggered_timeout.erl:58)
+    Map(
+      "aggregate" -> Seq(SameLength(Seq("fields", "as", "functions"))),
+      "array_explode" -> Seq(SameLength(Seq("fields", "as"))),
+      "case" -> Seq(SameLength(Seq("lambdas", "values"),
+        argsBind = Some("lambdas"))),
+      "collect" -> Seq(SameLength(Seq("keep", "keep_as"))),
+      "collect_fields" -> Seq(SameLength(Seq("keep", "keep_as"))),
+      "collect_unique" -> Seq(SameLength(Seq("keep", "keep_as"))),
+      "deadman" -> Seq(SameLength(Seq("fields", "field_values"))),
+      "eval" -> Seq(SameLength(Seq("lambdas", "as"),
+        argsBind = Some("lambdas"))),
+      "extract_path" -> Seq(SameLength(Seq("path", "as"))),
+      "http_get" -> Seq(SameLength(Seq("param_keys", "param_values"))),
+      "http_post" -> Seq(SameLength(Seq("header_names", "header_values"))),
+      "modbus" -> Seq(SameLength(Seq("function", "from", "count", "as",
+        "output", "signed"))),
+      "modbus_read" -> Seq(SameLength(Seq("function", "from", "count",
+        "as", "output", "signed"))),
+      "modbus_multi" -> Seq(SameLength(Seq("function", "from", "count",
+        "as", "output", "signed"))),
+      "postgre_out" -> Seq(SameLength(Seq("db_fields", "faxe_fields"))),
+      "rename" -> Seq(SameLength(Seq("fields", "as_fields")),
+        SameLength(Seq("tags", "as_tags"))),
+      "set" -> Seq(SameLength(Seq("fields", "field_values")),
+        SameLength(Seq("tags", "tag_values"))),
+      "triggered_timeout" -> Seq(SameLength(Seq("fields", "field_values"))))
+
+  /** Merge check maps, concatenating per-node check lists. */
+  implicit private class CheckMapOps(m: Map[String, Seq[OptCheck]]) {
+    def |+|(o: Map[String, Seq[OptCheck]]): Map[String, Seq[OptCheck]] =
+      (m.keySet ++ o.keySet).map(k =>
+        k -> (m.getOrElse(k, Nil) ++ o.getOrElse(k, Nil))).toMap
+  }
 
   private def runChecks(n: NodeSpec, defs: Map[String, Value]): Unit =
     optionChecks.getOrElse(n.name, Nil).foreach {
@@ -2754,6 +2800,18 @@ object Planner {
           case v => if (!pred(v))
             throw DfsError(s"node '${n.name}': option '$opt' $msg")
         }
+      case SameLength(opts, argsBind) =>
+        val lengths = opts.flatMap { o =>
+          val vs =
+            if (n.options.contains(o)) n.options(o)
+            else if (argsBind.contains(o)) n.args
+            else Nil
+          if (vs.isEmpty) None else Some(o -> vs.size)
+        }
+        if (lengths.map(_._2).distinct.size > 1) throw DfsError(
+          s"node '${n.name}': options " +
+            lengths.map { case (o, l) => s".$o($l)" }.mkString(", ") +
+            " must have the same length")
     }
 
   def validate(script: Script): Unit = {

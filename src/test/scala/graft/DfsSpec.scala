@@ -1438,6 +1438,21 @@ class DfsSpec extends AnyFunSuite {
     // a def-referenced value resolves before the check
     DfsEngine.compile(
       "def lvl = 'warning'\n|parquet_read(.table('events'))\n|debug(.level(lvl))")
+    // {same_length, ...}: mismatched zip lists reject at compile
+    // (esp_rename.erl:34, esp_eval.erl:28 with positional lambdas,
+    // esp_modbus.erl:93 skipping absent optional lists)
+    rejects(
+      "|parquet_read(.table('events'))\n" +
+        "|rename(.fields('a', 'b').as_fields('only'))",
+      "must have the same length")
+    rejects(
+      "|parquet_read(.table('events'))\n" +
+        "|eval(lambda: 1 + 1, lambda: 2 + 2).as('one')",
+      "must have the same length")
+    // absent .signed (optional) does not trip modbus's six-way check
+    DfsEngine.compile(
+      "|modbus(.ip('h').function('hregs').from(1).count(2).as('x')" +
+        ".output('int16'))")
   }
 
   test("run-level coverage floor: 103+ reference scripts run with rows") {
