@@ -309,11 +309,38 @@ object Paths {
           }))
     }
 
-  /** Deep delete of the field at `path`. */
+  /** Deep delete of the field at `path`. Array-indexed segments are
+    * supported (flowdata's 1-based `bar[1].first` addressing,
+    * flowdata_tests.erl rename_field_deep_array_index_test): a
+    * tail-position `bar[2]` removes the addressed ELEMENT (the list
+    * shrinks, as jsn does); an indexed segment mid-path NULLs the field
+    * in the addressed element only — inside a `transform` every element
+    * shares one schema, so per-element key REMOVAL is not
+    * representable; NULL ≈ the reference's absent key is this engine's
+    * documented convention (see [[set]]'s guard note).
+    */
   def delete(df: DataFrame, path: String): DataFrame = {
     val segs = parse(path)
-    require(segs.forall(_.idx.isEmpty), s"cannot delete array element: $path")
-    deleteSegs(df, segs)
+    if (segs.forall(_.idx.isEmpty)) deleteSegs(df, segs)
+    else {
+      require(segs.head.idx.isEmpty,
+        s"cannot delete an array-element root: $path")
+      val root = segs.head.name
+      if (!df.columns.contains(root)) df
+      else if (segs.last.idx.isDefined && segs.init.forall(_.idx.isEmpty)) {
+        // element removal: rebuild the parent array without slot i
+        val i = segs.last.idx.get
+        val arrSegs = segs.init :+ segs.last.copy(idx = None)
+        val removed =
+          functions.filter(strictRef(arrSegs), (_, j) => j =!= i - 1)
+        // re-escape literal dots (parse's `*` convention) for the
+        // index-free set round-trip
+        set(df, arrSegs.map(_.name.replace('.', '*')).mkString("."),
+          removed)
+      } else
+        df.withColumn(root, updated(functions.col(s"`$root`"),
+          df.schema(root).dataType, segs.tail, functions.lit(null), None))
+    }
   }
 
   private def deleteSegs(df: DataFrame, segs: Seq[Seg]): DataFrame = {

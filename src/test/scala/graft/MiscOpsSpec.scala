@@ -185,6 +185,44 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(s1.select("val").head.getString(0) == "somestring")
   }
 
+  test("array-indexed delete/rename: flowdata's [n] addressing, " +
+      "relational analog") {
+    import spark.implicits._
+    import graft.operators.stateless.Transforms
+    import graft.core.Paths
+    // rename_field_deep_array_index_test (flowdata_tests.erl:263-271):
+    // rename val.foo.bar[1].first -> .erster inside the addressed
+    // element. The reference's dynamic maps remove the old key from that
+    // one element; relationally all elements share a schema, so the old
+    // field stays as NULL in the addressed element (the engine's
+    // documented NULL ≈ absent-key convention) and the new field lands
+    // NULL everywhere else.
+    val df = spark.range(1).select(
+      struct(struct(array(
+        struct(lit(1).as("first")),
+        struct(lit(2).as("first")),
+        struct(lit(3).as("first"))).as("bar")).as("foo")).as("val"),
+      lit(44).as("var"))
+    val ren = Transforms.rename(df,
+      Seq("val.foo.bar[1].first" -> "val.foo.bar[1].erster"))
+    val bar = ren.select(col("val.foo.bar")).head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(bar.map(r => Option(r.get(r.fieldIndex("erster")))) ==
+      Seq(Some(1), None, None))
+    assert(bar.map(r => Option(r.get(r.fieldIndex("first")))) ==
+      Seq(None, Some(2), Some(3)))
+    assert(ren.select("var").head.getInt(0) == 44)
+    // tail-position [n] delete removes the ELEMENT (jsn list semantics)
+    val cut = Paths.delete(df, "val.foo.bar[2]")
+    assert(cut.select(col("val.foo.bar")).head
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getInt(0)) == Seq(1, 3))
+    // mid-path [n] delete NULLs the field in the addressed element only
+    val nulled = Paths.delete(df, "val.foo.bar[3].first")
+    assert(nulled.select(col("val.foo.bar")).head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => Option(r.get(0))) == Seq(Some(1), Some(2), None))
+  }
+
   test("change_detect matches esp_change_detect.erl's eunit semantics") {
     import spark.implicits._
     import graft.operators.state.StateOps
