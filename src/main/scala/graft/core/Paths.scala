@@ -301,13 +301,40 @@ object Paths {
           case Some(at: org.apache.spark.sql.types.ArrayType) => at.elementType
           case _ => org.apache.spark.sql.types.NullType
         }
+        // jsn list semantics: an index past the end EXTENDS the list
+        // with null slots up to i (jsn_tests.erl jsn_set_basic_test:
+        // set 'data.bar[2]' on a 1-element list appends) — the same
+        // shape fresh() creates for an absent root
+        val arr0 = parent.getField(name)
+        val pad = functions.array_repeat(
+          functions.lit(null).cast(elemT),
+          functions.greatest(functions.lit(0),
+            functions.lit(i) - functions.size(arr0)))
+        val arr = functions.when(functions.size(arr0) < i,
+          functions.concat(arr0, pad)).otherwise(arr0)
         parent.withField(s"`$name`",
-          functions.transform(parent.getField(name), (x, j) => {
+          functions.transform(arr, (x, j) => {
             val g = guard.map(_ && (j === i - 1)).getOrElse(j === i - 1)
             if (rest.isEmpty) functions.when(g, value).otherwise(x)
-            else updated(x, elemT, rest, value, Some(g))
+            else {
+              // a padded (or genuinely null) element must be seeded with
+              // a typed all-null struct before the write: withField on a
+              // NULL struct stays NULL, but jsn creates the map
+              val seeded = elemT match {
+                case st: org.apache.spark.sql.types.StructType =>
+                  functions.when(x.isNull && g, emptyStruct(st))
+                    .otherwise(x)
+                case _ => x
+              }
+              updated(seeded, elemT, rest, value, Some(g))
+            }
           }))
     }
+
+  private def emptyStruct(
+      st: org.apache.spark.sql.types.StructType): Column =
+    functions.struct(st.fields.toIndexedSeq.map(f =>
+      functions.lit(null).cast(f.dataType).as(f.name)): _*)
 
   /** Deep delete of the field at `path`. Array-indexed segments are
     * supported (flowdata's 1-based `bar[1].first` addressing,

@@ -2420,9 +2420,31 @@ object Planner {
       .orElse(argStrs(n, env).headOption)
       .getOrElse(throw DfsError(s"${n.name}: .$topicOpt"))
     val group = optStr(n, "group", env).getOrElse("default")
-    subscribeLanded(env, topic,
+    val ctx = subscribeLanded(env, topic,
       optStr(n, "stream", env).contains("true"), group,
       declaredPayloadSchema(n, env))
+    // the payload's own timestamp field becomes the point's event time
+    // (esp_mqtt_subscribe.erl:65-70 dt_field/dt_format defaults, decode
+    // at :155-170); rows without it keep the transport time. float_micro
+    // is seconds.microseconds, rounded to ms — lambda_tests.erl
+    // grip_rewrite pins "1574067119.037648" -> 1574067119038.
+    val dtField = optStr(n, "dt_field", env).getOrElse("ts")
+    val dtFormat = optStr(n, "dt_format", env).getOrElse("millisecond")
+    if (!ctx.df.columns.contains(dtField)) ctx
+    else {
+      val src = col(s"`$dtField`")
+      val parsed = dtFormat match {
+        case "millisecond" => src.cast("long")
+        case "second" => (src.cast("double") * 1000).cast("long")
+        case "float_micro" =>
+          round(src.cast("double") * 1000, 0).cast("long")
+        case "iso8601" => unix_millis(to_timestamp(src))
+        case other =>
+          throw DfsError(s"${n.name}: unsupported .dt_format '$other'")
+      }
+      ctx.copy(df = ctx.df.withColumn("ts_ms",
+        coalesce(parsed, col("ts_ms"))))
+    }
   }
 
   private def brokerPublish(ctx: Ctx, n: NodeSpec, env: Env,

@@ -1381,6 +1381,17 @@ class DfsSpec extends AnyFunSuite {
     assert(g.node("debug3").args == Seq(Ir.VStr("warning")))
   }
 
+  test("faxe_time_tests: duration_to_ms / is_duration_string pins") {
+    import graft.dfs.Lexer.durationMs
+    assert(durationMs("3h").contains(3L * 60 * 60 * 1000))
+    assert(durationMs("-3h").contains(-3L * 60 * 60 * 1000))
+    assert(durationMs("0m").contains(0L))
+    assert(durationMs("70000ms").contains(70000L))
+    assert(durationMs("25mm").isEmpty) // not_valid_duration_test
+    assert(durationMs("1255ms").isDefined) // valid_duration_test
+    assert(durationMs("1255ds").isEmpty) // not_valid_duration_2_test
+  }
+
   test("df_graph_test: check_select_statement pins") {
     // test/df_graph_test.erl — the select validator behind crate_query /
     // oracle_query's `.query` check (faxe_util is not vendored; these

@@ -143,6 +143,30 @@ class LoopbackSpec extends AnyFunSuite {
     assert(n == Tables.events(spark, sf).count())
   }
 
+  test("dt_field/dt_format: payload timestamp becomes event time") {
+    // esp_mqtt_subscribe.erl:65-70,155-170 — the subscribed payload's
+    // own timestamp field overrides the transport time; float_micro is
+    // seconds.microseconds rounded to ms (lambda_tests.erl grip_rewrite:
+    // "1574067119.037648" -> ts 1574067119038)
+    LoopbackBus.clear()
+    LoopbackBus.publish("dt/t1", null,
+      """{"UTC-Time": "1574067119.037648", "v": 1}""", 1L)
+    LoopbackBus.publish("dt/t1", null, """{"v": 2}""", 7L)
+    val out = DfsEngine.runSingle(
+      """|mqtt_subscribe(.topic('dt/t1')
+        #  .dt_field('UTC-Time').dt_format('float_micro'))
+        #""".stripMargin('#'), spark, sf)
+    val byV = out.select("v", "ts_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byV(1L) == 1574067119038L) // parsed payload time, rounded
+    assert(byV(2L) == 7L) // no payload field -> transport time kept
+    // default dt_field 'ts' in milliseconds
+    LoopbackBus.publish("dt/t2", null, """{"ts": 123456, "v": 9}""", 1L)
+    val out2 = DfsEngine.runSingle(
+      "|mqtt_subscribe(.topic('dt/t2'))", spark, sf)
+    assert(out2.select("ts_ms").head.getLong(0) == 123456L)
+  }
+
   test("mqtt_amqp_bridge: dotted routing keys, per-topic order preserved") {
     LoopbackBus.clear()
     (1 to 50).foreach(i => LoopbackBus.publish("plant/a", s"k$i", s"a$i"))

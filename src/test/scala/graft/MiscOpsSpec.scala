@@ -221,6 +221,21 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(nulled.select(col("val.foo.bar")).head
       .getSeq[org.apache.spark.sql.Row](0)
       .map(r => Option(r.get(0))) == Seq(Some(1), Some(2), None))
+    // jsn_set_basic_test (jsn_tests.erl): set data.bar[2] on a 1-element
+    // list EXTENDS the list — the new element lands in slot 2
+    val one = spark.range(1).select(
+      struct(array(struct(lit(1).as("first"))).as("bar")).as("data"))
+    val ext = Paths.set(one, "data.bar[2].first", lit(2))
+    assert(ext.select(col("data.bar")).head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => Option(r.get(0))) == Seq(Some(1), Some(2)))
+    // and far past the end: null slots pad up to the target (fresh()'s
+    // i-slot shape)
+    val far = Paths.set(one, "data.bar[4].first", lit(4))
+    assert(far.select(col("data.bar")).head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => Option(r).flatMap(x => Option(x.get(0)))) ==
+      Seq(Some(1), None, None, Some(4)))
   }
 
   test("change_detect matches esp_change_detect.erl's eunit semantics") {
