@@ -1869,11 +1869,13 @@ object Planner {
     "http_listen" -> NodeDef(None, Both,
       Set("path", "port", "host", "payload_type", "as", "user", "pass",
         "tls", "stream", "content_type", "payload_schema"),
-      (_, n, env) => subscribeLanded(env, httpTopic(n, env),
+      (_, n, env) => applyLandingOpts(subscribeLanded(env,
+        httpTopic(n, env),
         optStr(n, "stream", env).contains("true"),
         declared = declaredPayloadSchema(n, env),
         // a declared non-JSON payload_type is a valid envelope-only plan
-        jsonPayload = optStr(n, "payload_type", env).forall(_ == "json"))),
+        jsonPayload = optStr(n, "payload_type", env).forall(_ == "json")),
+        n, env)),
     "http_get" -> NodeDef(None, Both,
       Set("path", "port", "host", "every", "align", "as", "user", "pass",
         "tls", "payload_type", "topic", "stream", "param_keys",
@@ -2414,6 +2416,46 @@ object Planner {
       }
     }
 
+  private val EnvelopeCols =
+    Set("offset", "ts_ms", "topic", "key", "payload")
+
+  /** The landing options every decoding endpoint shares:
+    * `.clean_field_names(true)` replaces dots in landed payload keys
+    * with underscores (flowdata:clean_field_keys, clean_keys_test:
+    * 'df.' -> 'df_', 'this.is.a.key.with.points' ->
+    * 'this_is_a_key_with_points' — values untouched), then `.as(path)`
+    * nests the landed fields under the path (flowdata:set_root —
+    * set_root_not_present[_deep]_test). An `undefined` as is a no-op,
+    * and so is a path whose root the payload ALREADY carries
+    * (set_root_present[_deep]_test: re-rooting an already-rooted point
+    * must not double-nest). Envelope columns are transport metadata and
+    * never move.
+    */
+  private def applyLandingOpts(ctx: Ctx, n: NodeSpec, env: Env): Ctx = {
+    val landed0 = ctx.df.columns.toSeq.filterNot(EnvelopeCols)
+    if (landed0.isEmpty) return ctx
+    val clean = optFlag(n, "clean_field_names", env)
+    val df1 =
+      if (!clean) ctx.df
+      else landed0.foldLeft(ctx.df) { (d, c) =>
+        val nc = c.replace('.', '_')
+        if (nc == c) d else d.withColumnRenamed(c, nc)
+      }
+    val landed = if (clean) landed0.map(_.replace('.', '_')) else landed0
+    optStr(n, "as", env) match {
+      case Some(as)
+          if !landed.contains(Paths.parse(as).head.name) =>
+        // stage the struct before dropping its source columns (the
+        // reserved NUL prefix keeps it collision-proof, as in keep)
+        val tmp = "\u0000as"
+        val staged = df1.withColumn(tmp,
+          struct(landed.map(c => col(s"`$c`").as(c)): _*))
+        ctx.copy(df = Paths.set(staged.drop(landed: _*), as,
+          col(s"`$tmp`")).drop(tmp))
+      case _ => ctx.copy(df = df1)
+    }
+  }
+
   private def brokerSubscribe(n: NodeSpec, env: Env, topicOpt: String): Ctx = {
     val topic = optStr(n, topicOpt, env)
       .orElse(optStrs(n, "topics", env).headOption) // first of a topic list
@@ -2430,21 +2472,25 @@ object Planner {
     // grip_rewrite pins "1574067119.037648" -> 1574067119038.
     val dtField = optStr(n, "dt_field", env).getOrElse("ts")
     val dtFormat = optStr(n, "dt_format", env).getOrElse("millisecond")
-    if (!ctx.df.columns.contains(dtField)) ctx
-    else {
-      val src = col(s"`$dtField`")
-      val parsed = dtFormat match {
-        case "millisecond" => src.cast("long")
-        case "second" => (src.cast("double") * 1000).cast("long")
-        case "float_micro" =>
-          round(src.cast("double") * 1000, 0).cast("long")
-        case "iso8601" => unix_millis(to_timestamp(src))
-        case other =>
-          throw DfsError(s"${n.name}: unsupported .dt_format '$other'")
+    val timed =
+      if (!ctx.df.columns.contains(dtField)) ctx
+      else {
+        val src = col(s"`$dtField`")
+        val parsed = dtFormat match {
+          case "millisecond" => src.cast("long")
+          case "second" => (src.cast("double") * 1000).cast("long")
+          case "float_micro" =>
+            round(src.cast("double") * 1000, 0).cast("long")
+          case "iso8601" => unix_millis(to_timestamp(src))
+          case other =>
+            throw DfsError(s"${n.name}: unsupported .dt_format '$other'")
+        }
+        ctx.copy(df = ctx.df.withColumn("ts_ms",
+          coalesce(parsed, col("ts_ms"))))
       }
-      ctx.copy(df = ctx.df.withColumn("ts_ms",
-        coalesce(parsed, col("ts_ms"))))
-    }
+    // decode order matches the reference: ts from the payload's own
+    // field first, THEN clean_field_names / set_root re-shape the fields
+    applyLandingOpts(timed, n, env)
   }
 
   private def brokerPublish(ctx: Ctx, n: NodeSpec, env: Env,

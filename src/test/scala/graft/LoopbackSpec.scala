@@ -167,6 +167,46 @@ class LoopbackSpec extends AnyFunSuite {
     assert(out2.select("ts_ms").head.getLong(0) == 123456L)
   }
 
+  test("subscribe .as / .clean_field_names: set_root + clean_keys pins") {
+    // flowdata_tests.erl set_root_not_present[_deep]_test,
+    // set_root_present_test, clean_keys_test — flowdata.erl lives in the
+    // un-vendored faxe_common, so the eunit cases are the spec
+    LoopbackBus.clear()
+    LoopbackBus.publish("sr/t1", null, """{"field1": 33}""", 1L)
+    val nested = DfsEngine.runSingle(
+      "|mqtt_subscribe(.topic('sr/t1').as('new_root'))", spark, sf)
+    assert(nested.select("new_root.field1").head.getLong(0) == 33L)
+    assert(!nested.columns.contains("field1"))
+    val deep = DfsEngine.runSingle(
+      "|mqtt_subscribe(.topic('sr/t1').as('new_root.new_sub_root'))",
+      spark, sf)
+    assert(deep.select("new_root.new_sub_root.field1").head
+      .getLong(0) == 33L)
+    // set_root_present_test: the payload already carries the root —
+    // re-rooting must not double-nest
+    LoopbackBus.publish("sr/t2", null, """{"root": {"field1": 33}}""", 1L)
+    val already = DfsEngine.runSingle(
+      "|mqtt_subscribe(.topic('sr/t2').as('root'))", spark, sf)
+    assert(already.select("root.field1").head.getLong(0) == 33L)
+    assert(already.schema("root").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("field1"))
+    // clean_keys_test mapping: dots in KEYS become underscores; values
+    // keep their dots
+    LoopbackBus.publish("sr/t3", null,
+      """{"df.": "02.005", "double_val": 10.220761769454324,
+        | "this.is.a.key.with.points": "val.with.points"}""".stripMargin,
+      1L)
+    val cleaned = DfsEngine.runSingle(
+      "|amqp_consume(.queue('sr/t3').routing_key('#')" +
+        ".clean_field_names(true))", spark, sf)
+    assert(cleaned.columns.contains("df_"))
+    assert(cleaned.columns.contains("this_is_a_key_with_points"))
+    assert(cleaned.select("this_is_a_key_with_points").head
+      .getString(0) == "val.with.points")
+    assert(cleaned.select("df_").head.getString(0) == "02.005")
+  }
+
   test("mqtt_amqp_bridge: dotted routing keys, per-topic order preserved") {
     LoopbackBus.clear()
     (1 to 50).foreach(i => LoopbackBus.publish("plant/a", s"k$i", s"a$i"))
