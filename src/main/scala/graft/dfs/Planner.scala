@@ -2395,8 +2395,15 @@ object Planner {
         if (fs.isEmpty) df
         else {
           val clean = org.apache.spark.sql.types.StructType(fs.toArray)
-          val withP = df.withColumn("_pl",
-            from_json(col("payload"), clean, Map.empty[String, String]))
+          // a JSON-ARRAY payload is a BATCH of points (flowdata
+          // from_json_list_test): ArrayType parses both forms — a bare
+          // object lands as a 1-element array — and explode_outer emits
+          // one row per point while keeping unparsable payloads as
+          // envelope-only rows
+          val withP = df.withColumn("_pl", explode_outer(
+            from_json(col("payload"),
+              org.apache.spark.sql.types.ArrayType(clean),
+              Map.empty[String, String])))
           fs.foldLeft(withP)((d, f) =>
             d.withColumn(f.name, col("_pl").getField(f.name))).drop("_pl")
         }
@@ -2470,7 +2477,8 @@ object Planner {
     // at :155-170); rows without it keep the transport time. float_micro
     // is seconds.microseconds, rounded to ms — lambda_tests.erl
     // grip_rewrite pins "1574067119.037648" -> 1574067119038.
-    val dtField = optStr(n, "dt_field", env).getOrElse("ts")
+    val explicitDt = optStr(n, "dt_field", env)
+    val dtField = explicitDt.getOrElse("ts")
     val dtFormat = optStr(n, "dt_format", env).getOrElse("millisecond")
     val timed =
       if (!ctx.df.columns.contains(dtField)) ctx
@@ -2485,8 +2493,13 @@ object Planner {
           case other =>
             throw DfsError(s"${n.name}: unsupported .dt_format '$other'")
         }
-        ctx.copy(df = ctx.df.withColumn("ts_ms",
-          coalesce(parsed, col("ts_ms"))))
+        val over = ctx.df.withColumn("ts_ms",
+          coalesce(parsed, col("ts_ms")))
+        // the DEFAULT 'ts' key is CONSUMED — removed from the fields
+        // (from_json_basic_test) — while an explicit .dt_field stays a
+        // field (from_json_basic2_test keeps "UTC-Time")
+        ctx.copy(df =
+          if (explicitDt.isEmpty) over.drop(dtField) else over)
       }
     // decode order matches the reference: ts from the payload's own
     // field first, THEN clean_field_names / set_root re-shape the fields

@@ -160,11 +160,32 @@ class LoopbackSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byV(1L) == 1574067119038L) // parsed payload time, rounded
     assert(byV(2L) == 7L) // no payload field -> transport time kept
-    // default dt_field 'ts' in milliseconds
+    // default dt_field 'ts' in milliseconds — and the DEFAULT ts key is
+    // CONSUMED, removed from the fields (from_json_basic_test), while
+    // the explicit form above kept UTC-Time as a field
     LoopbackBus.publish("dt/t2", null, """{"ts": 123456, "v": 9}""", 1L)
     val out2 = DfsEngine.runSingle(
       "|mqtt_subscribe(.topic('dt/t2'))", spark, sf)
     assert(out2.select("ts_ms").head.getLong(0) == 123456L)
+    assert(!out2.columns.contains("ts"))
+    assert(out.columns.contains("UTC-Time"))
+  }
+
+  test("JSON-array payload lands as a batch of points (from_json_list)") {
+    // flowdata from_json_list_test: one message holding a JSON array
+    // decodes into multiple points; objects stay single; unparsable
+    // payloads keep their envelope row
+    LoopbackBus.clear()
+    LoopbackBus.publish("arr/t1", null,
+      """[{"v": 1}, {"v": 2}, {"v": 3}]""", 5L)
+    LoopbackBus.publish("arr/t1", null, """{"v": 9}""", 6L)
+    val out = DfsEngine.runSingle(
+      "|mqtt_subscribe(.topic('arr/t1'))", spark, sf)
+    assert(out.count() == 4)
+    assert(out.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 9L))
+    // all three array points share the message's transport time
+    assert(out.filter(col("ts_ms") === 5L).count() == 3)
   }
 
   test("subscribe .as / .clean_field_names: set_root + clean_keys pins") {
