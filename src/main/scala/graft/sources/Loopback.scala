@@ -64,7 +64,17 @@ object Loopback {
       else lit(null).cast("string")
     val payloadCol = if (cols.contains("payload"))
       col("payload").cast("string")
-    else to_json(struct(df.columns.toIndexedSeq.map(c => col(s"`$c`")): _*))
+    else
+      // wire-format parity: flowdata:to_json serializes the point as
+      // fields + a top-level "ts" in ms (flowdata_tests.erl
+      // json_basic_test) — the engine's ts_ms column takes that key
+      // (unless the frame carries its own distinct "ts" field), and the
+      // subscribe side consumes the default "ts" back into event time,
+      // so a bus round-trip preserves the point exactly
+      to_json(struct(df.columns.toIndexedSeq.map {
+        case "ts_ms" if !cols.contains("ts") => col("`ts_ms`").as("ts")
+        case c => col(s"`$c`")
+      }: _*))
     val tsCol = if (cols.contains("ts_ms")) col("ts_ms").cast("long")
       else lit(0L)
     df.select(lit(0L).as("offset"), tsCol.as("ts_ms"),

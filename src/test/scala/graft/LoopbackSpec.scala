@@ -171,6 +171,32 @@ class LoopbackSpec extends AnyFunSuite {
     assert(out.columns.contains("UTC-Time"))
   }
 
+  test("wire format: published JSON carries top-level ts; round-trip " +
+      "preserves the point") {
+    // flowdata_tests.erl json_basic_test — to_json(P) = fields + "ts"
+    LoopbackBus.clear()
+    import spark.implicits._
+    val p = Seq((1568029511598L, "01.002", 323424L))
+      .toDF("ts_ms", "df", "value1")
+    graft.sources.Loopback.publish(p, "wire/t1")
+    val raw = LoopbackBus.read("wire/t1", -1L,
+      LoopbackBus.latest("wire/t1"))
+    assert(raw.size == 1)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(raw.head.payload)
+    assert(node.get("ts").asLong() == 1568029511598L)
+    assert(node.get("df").asText() == "01.002")
+    assert(node.get("value1").asLong() == 323424L)
+    assert(!node.has("ts_ms"))
+    // the subscribe side consumes "ts" back into event time
+    val back = DfsEngine.runSingle(
+      "|mqtt_subscribe(.topic('wire/t1'))", spark, sf)
+    assert(back.select("ts_ms").head.getLong(0) == 1568029511598L)
+    assert(back.select("df", "value1").head.toSeq ==
+      Seq("01.002", 323424L))
+    assert(!back.columns.contains("ts"))
+  }
+
   test("JSON-array payload lands as a batch of points (from_json_list)") {
     // flowdata from_json_list_test: one message holding a JSON array
     // decodes into multiple points; objects stay single; unparsable
