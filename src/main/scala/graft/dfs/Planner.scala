@@ -2515,24 +2515,67 @@ object Planner {
       .orElse((optLambdas(n, "topic_lambda", env) ++
         optLambdas(n, "routing_key_lambda", env)).headOption
         .map(lambdaColumn(_, env.defs)))
-    val routed = topicCol match {
-      case Some(c0) =>
-        // Materialize the payload from the data point's own columns BEFORE
-        // adding the synthetic routing column, so the topic never leaks
-        // into the published JSON (esp_mqtt_publish.erl publishes the
-        // point only; the topic is envelope metadata).
-        val base =
-          if (ctx.df.columns.contains("payload")) ctx.df
-          else ctx.df.withColumn("payload",
-            to_json(struct(ctx.df.columns.toIndexedSeq
-              .map(c0 => col(s"`$c0`")): _*)))
-        base.withColumn("topic", c0.cast("string"))
-      case None =>
-        if (topic.isEmpty)
-          throw DfsError(s"${n.name}: .$topicOpt or .topic_field")
-        ctx.df
+    if (topicCol.isEmpty && topic.isEmpty)
+      throw DfsError(s"${n.name}: .$topicOpt or .topic_field")
+    val hasPayload = ctx.df.columns.contains("payload")
+    // a pending count-window (the `batch` node) materializes its
+    // boundary as batch_id for the wire grouping below
+    val src0 = ctx.win match {
+      case Some(Win("count", p, e, _, _))
+          if p == e && ctx.io == Batch && !hasPayload &&
+            !ctx.df.columns.contains("batch_id") && !ctx.df.isStreaming =>
+        graft.operators.restructure.Restructure.batchify(
+          ctx.df, p.toInt,
+          if (ctx.tsMs.nonEmpty && ctx.df.columns.contains(ctx.tsMs))
+            orderCols(ctx)
+          else Seq(lit(1L)), // no event time: arrival order
+          keyCols(ctx))
+      case _ => ctx.df
     }
-    graft.sources.Loopback.publish(routed, topic)
+    // the point's own columns only — the routing topic is envelope
+    // metadata (esp_mqtt_publish.erl publishes the point), batch_id is
+    // engine bookkeeping, and ts_ms serializes under the wire key "ts"
+    // (flowdata to_json — see Loopback.publish's wire note)
+    def pointJson(d: DataFrame): Column = to_json(struct(
+      d.columns.toIndexedSeq.filterNot(_ == "batch_id").map {
+        case "ts_ms" if !d.columns.contains("ts") =>
+          col("`ts_ms`").as("ts")
+        case c => col(s"`$c`")
+      }: _*))
+    val toSend =
+      if (ctx.io == Batch && src0.columns.contains("batch_id") &&
+          !hasPayload) {
+        // a BATCH stream publishes ONE message per batch: a JSON array
+        // of point objects, each with its own ts (flowdata
+        // batch_to_json_test), points in ts order; the message's
+        // transport time is the batch's newest point. The subscribe
+        // side's array landing explodes it back to points, so a bus
+        // round-trip preserves the rows.
+        val sk =
+          if (src0.columns.contains("ts_ms")) col("`ts_ms`")
+          else lit(0L)
+        src0
+          .withColumn("_pj", pointJson(src0))
+          .withColumn("_tp", topicCol.getOrElse(lit(topic)).cast("string"))
+          .groupBy(col("batch_id"), col("_tp"))
+          .agg(max(sk).as("ts_ms"),
+            array_join(transform(
+              array_sort(collect_list(
+                struct(sk.as("k"), col("_pj").as("v")))),
+              x => x.getField("v")), ",").as("_arr"))
+          .select(col("_tp").as("topic"), col("ts_ms"),
+            concat(lit("["), col("_arr"), lit("]")).as("payload"))
+      } else topicCol match {
+        case Some(c0) =>
+          // Materialize the payload BEFORE adding the synthetic routing
+          // column, so the topic never leaks into the published JSON.
+          val base =
+            if (hasPayload) ctx.df
+            else ctx.df.withColumn("payload", pointJson(ctx.df))
+          base.withColumn("topic", c0.cast("string"))
+        case None => ctx.df
+      }
+    graft.sources.Loopback.publish(toSend, topic)
     ctx
   }
 

@@ -197,6 +197,31 @@ class LoopbackSpec extends AnyFunSuite {
     assert(!back.columns.contains("ts"))
   }
 
+  test("batch publish: one JSON-array message per batch (batch_to_json)") {
+    // flowdata_tests.erl batch_to_json_test — a data_batch serializes
+    // as ONE message holding a JSON array of point objects, each with
+    // its own top-level ts; the array landing explodes it back
+    LoopbackBus.clear()
+    DfsEngine.runSingle(
+      """|parquet_read(.table('region'))
+        #|keep('r_regionkey')
+        #|batch(3)
+        #|mqtt_publish(.topic('bp/t1'))
+        #""".stripMargin('#'), spark, sf)
+    val raw = LoopbackBus.read("bp/t1", -1L, LoopbackBus.latest("bp/t1"))
+    assert(raw.size == 2) // 5 regions in batches of 3 -> 2 messages
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val sizes = raw.map(m => om.readTree(m.payload))
+      .map { t => assert(t.isArray); t.size }
+    assert(sizes.sorted == Seq(2, 3))
+    // round trip: the array landing restores one row per point
+    val back = DfsEngine.runSingle(
+      "|mqtt_subscribe(.topic('bp/t1'))", spark, sf)
+    assert(back.count() == 5)
+    assert(back.select("r_regionkey").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("JSON-array payload lands as a batch of points (from_json_list)") {
     // flowdata from_json_list_test: one message holding a JSON array
     // decodes into multiple points; objects stay single; unparsable
