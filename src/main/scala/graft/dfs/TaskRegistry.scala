@@ -99,6 +99,16 @@ object TaskRegistry {
 
   def isRunning(name: String): Boolean = running.containsKey(name)
 
+  /** The stored task's compiled deploy graph — the `/v1/task/graph/:id`
+    * payload (rest_task_handler.erl get_graph_to_json): node instances,
+    * wiring, and def-resolved options, via [[DfsEngine.graph]].
+    */
+  def graph(name: String, spark: SparkSession): DfsEngine.DeployGraph = {
+    val t = Option(tasks.get(name))
+      .getOrElse(throw DfsError(s"task '$name' not found"))
+    DfsEngine.graph(t.dfs, spark)
+  }
+
   def stop(name: String): Unit =
     if (running.remove(name) == null)
       throw DfsError(s"task '$name' is not running")

@@ -111,6 +111,21 @@ class TaskRegistrySpec extends AnyFunSuite {
     } finally { TaskRegistry.clear(); Macros.clear() }
   }
 
+  test("graph: a stored task exposes its compiled deploy graph") {
+    // the /v1/task/graph/:id payload (rest_task_handler.erl
+    // get_graph_to_json) — instances, wiring, def-resolved options
+    TaskRegistry.clear()
+    try {
+      TaskRegistry.register("g1",
+        "def n = 4\n|value_emitter(.count(n))\n|batch(2)")
+      val g = TaskRegistry.graph("g1", spark)
+      assert(g.edges == Seq("value_emitter1" -> "batch2"))
+      assert(g.node("value_emitter1").options("count") ==
+        Seq(Ir.VNum(4, isInt = true)))
+      intercept[Ir.DfsError](TaskRegistry.graph("nope", spark))
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
   test("registry is process-global across SparkSessions (faxe_db is node-wide)") {
     // Two sessions share ONE task namespace, like the reference's Mnesia
     // store shared by every connection. Tasks are session-free DFS text;
