@@ -1,6 +1,6 @@
 package graft.operators.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the large-scale training-data pipeline:
@@ -188,4 +188,37 @@ object TextOps {
     * the scale form; `Dedup.withFingerprint` hoists the arrays.
     */
   def fingerprintFromHashes(hs: Column): Column = array_min(hs)
+
+  /** Benchmark decontamination — the training-data hygiene pass that
+    * flags corpus documents sharing word n-grams with an evaluation
+    * benchmark. Per non-benchmark doc: its distinct n-gram count, how
+    * many of those appear anywhere in the benchmark side, and the
+    * overlap fraction.
+    *
+    * 100 TB shape: the benchmark side is SMALL by nature (eval suites
+    * are thousands of documents, not billions), so its distinct-gram set
+    * broadcasts and the corpus pays one scan + a map-side join — no
+    * corpus shuffle beyond the per-doc count aggregation, which runs on
+    * the already-exploded grams with map-side partial aggregation.
+    * Documents with no n-grams (shorter than n tokens) carry nothing to
+    * match on and are excluded, mirroring the oracle's unnest.
+    */
+  def decontaminate(docs: DataFrame, text: Column, id: Column,
+      isBenchmark: Column, n: Int = 3): DataFrame = {
+    val base = docs.select(id.as("doc_id"), isBenchmark.as("_bm"),
+      shingles(text, n).as("_sh"))
+    val bench = base.filter(col("_bm"))
+      .select(explode(col("_sh")).as("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    base.filter(!col("_bm")).filter(size(col("_sh")) > 0)
+      .select(col("doc_id"), size(col("_sh")).as("n_grams"),
+        explode(col("_sh")).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(coalesce(sum(col("_hit")), lit(0L)).cast("int").as("n_hit"))
+      .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+        col("n_hit"),
+        round(col("n_hit") * lit(1.0) / col("n_grams"), 6)
+          .as("contamination"))
+  }
 }

@@ -257,6 +257,29 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(nearPairsSql(0.3))),
 
+    // benchmark decontamination (brief: training-data hygiene) — flag
+    // corpus docs sharing word 3-grams with the "benchmark" subset
+    // (doc_id % 97 == 0 stands in for an eval suite). The benchmark
+    // gram set broadcasts — eval suites are small by nature — so the
+    // corpus pays one scan and no shuffle beyond the per-doc count.
+    "text_decontaminate" -> QueryDef(
+      (s, dir) =>
+        TextOps.decontaminate(Tables.documents(s, dir), col("text"),
+          col("doc_id"), col("doc_id") % 97 === 0),
+      Some(s"""WITH g AS (SELECT doc_id, doc_id % 97 = 0 AS bm,
+              |    $sh AS grams
+              |  FROM (SELECT doc_id, $toks AS w FROM documents)),
+              |bench AS (SELECT DISTINCT unnest(grams) AS gram
+              |          FROM g WHERE bm),
+              |ex AS (SELECT doc_id, len(grams) AS n_grams,
+              |         unnest(grams) AS gram
+              |       FROM g WHERE NOT bm AND len(grams) > 0)
+              |SELECT e.doc_id, CAST(e.n_grams AS INTEGER) AS n_grams,
+              |  CAST(count(b.gram) AS INTEGER) AS n_hit,
+              |  round(count(b.gram) * 1.0 / e.n_grams, 6) AS contamination
+              |FROM ex e LEFT JOIN bench b USING (gram)
+              |GROUP BY e.doc_id, e.n_grams""".stripMargin)),
+
     "text_fingerprint" -> QueryDef(
       (s, dir) =>
         Dedup.withFingerprint(Tables.documents(s, dir), col("text"), "fp")
