@@ -74,6 +74,8 @@ def ref_options(module: str):
 def main(opts_file: str) -> int:
     ours = {}
     for line in open(opts_file):
+        if line.startswith("CHECK "):
+            continue  # check-coverage lines belong to check_parity.py
         if ": " in line or line.strip().endswith(":"):
             name, _, rest = line.partition(":")
             ours[name.strip()] = set(rest.split())

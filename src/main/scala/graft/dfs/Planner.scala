@@ -487,6 +487,24 @@ object Planner {
   def registeredOptions: Map[String, Set[String]] =
     nodes.map { case (k, v) => k -> v.opts }
 
+  /** Compile-time check surface per node: the option names each check
+    * covers — dev tooling (scripts/check_parity.py diffs against the
+    * reference's `check_options()` lists so a reference-validated option
+    * cannot silently go uncovered here).
+    */
+  def registeredCheckedOptions: Map[String, Set[String]] =
+    optionChecks.map { case (k, cs) =>
+      k -> cs.flatMap {
+        case OneOf(o, _, _) => Seq(o)
+        case OneOfParams(ps) => ps
+        case FuncCheck(o, _, _) => Seq(o)
+        case SameLength(os, _) => os
+        case OnePlusOf(ps) => ps
+        case RequiresIf(o, _) => Seq(o)
+        case RequiresFlag(o, _) => Seq(o)
+      }.toSet
+    }
+
   private val builtinNodes: Map[String, NodeDef] = Map(
     // ---- sources (Spark-native scan nodes) ----
     "parquet_read" -> NodeDef(None, Point, Set("table", "dir"),
@@ -2760,6 +2778,21 @@ object Planner {
     */
   private final case class SameLength(opts: Seq[String],
       argsBind: Option[String] = None) extends OptCheck
+  /** {oneplus_of_params, [...]} — at least one must be given
+    * (esp_mem.erl:42 field/default).
+    */
+  private final case class OnePlusOf(params: Seq[String]) extends OptCheck
+  /** Cross-option: `opt` must be given when `ifOpt` is
+    * (esp_http_listen.erl:46-53 — .pass required once .user is given).
+    */
+  private final case class RequiresIf(opt: String, ifOpt: String)
+      extends OptCheck
+  /** Cross-option: giving `opt` requires the boolean `flag` option true
+    * (esp_postgre_statement.erl:62-67 — .statement_field only with
+    * .start_on_trigger).
+    */
+  private final case class RequiresFlag(opt: String, flag: String)
+      extends OptCheck
 
   private def isSelect(v: Value): Boolean = v match {
     case VStr(s) => graft.io.CrateQuery.checkSelectStatement(s)
@@ -2782,6 +2815,43 @@ object Planner {
     case VNum(_, isInt) => isInt
     case VLong(_) | VDur(_, _) => true
     case VStr(s) => durationRe.matches(s)
+    case _ => false
+  }
+  /** esp_crate_out.erl:105-113 — a string or a lambda. */
+  private def strOrLambda(v: Value): Boolean = v match {
+    case VStr(_) | VLambda(_) | VEager(_) => true
+    case _ => false
+  }
+  /** faxe_util:check_publisher_mqtt_topic — a publish topic is concrete:
+    * non-empty, no subscribe wildcards.
+    */
+  private def publishTopic(v: Value): Boolean = v match {
+    case VStr(s) =>
+      s.nonEmpty && !s.contains('+') && !s.contains('#')
+    case _ => false
+  }
+  /** faxe_util:check_mqtt_topic — a subscribe filter: non-empty levels
+    * aside from wildcards, '#' only as the final level, '+' only as a
+    * whole level (MQTT 3.1.1 §4.7, the rules the reference enforces).
+    */
+  private def subscribeTopic(v: Value): Boolean = v match {
+    case VStr(s) if s.nonEmpty =>
+      val levels = s.split("/", -1)
+      levels.zipWithIndex.forall { case (l, i) =>
+        if (l == "#") i == levels.length - 1
+        else !l.contains('#') && (l == "+" || !l.contains('+'))
+      }
+    case _ => false
+  }
+  /** email_address:is_valid (vendored lib/email_address.erl:34-38) —
+    * the local-part structure plus a dotted alpha TLD or IP domain;
+    * ported minus the frozen 2013 IANA TLD list (any ≥2-alpha TLD).
+    */
+  private val emailRe =
+    ("(?i)^[^\"@\\s]+@(?:(?:[a-z0-9][a-z0-9-]*\\.)+[a-z]{2,}" +
+      "|(?:\\d{1,3}\\.){3}\\d{1,3}|\\[(?:\\d{1,3}\\.){3}\\d{1,3}\\])$").r
+  private def validEmail(v: Value): Boolean = v match {
+    case VStr(s) => emailRe.matches(s)
     case _ => false
   }
 
@@ -2807,8 +2877,9 @@ object Planner {
     // esp_json_emitter.erl:67-68
     "json_emitter" -> Seq(OneOf("select", Set("rand", "seq", "batch")),
       FuncCheck("json", "invalid json", isJson)),
-    // esp_mem.erl:41
-    "mem" -> Seq(OneOf("type", Set("single", "set", "list"))),
+    // esp_mem.erl:41-42
+    "mem" -> Seq(OneOf("type", Set("single", "set", "list")),
+      OnePlusOf(Seq("field", "default"))),
     // esp_http_post.erl:52
     "http_post" -> Seq(OneOf("method", Set("post", "put"))),
     // esp_value_diff.erl:18-20,39
@@ -2824,25 +2895,49 @@ object Planner {
         "routing_key_field")),
       OneOf("qos", Set("0", "1", "2"))),
     "amqp_consume" -> Seq(OneOfParams(Seq("routing_key", "bindings"))),
-    // esp_mqtt_publish.erl:67
+    // esp_mqtt_publish.erl:67-72 (publish topics are concrete)
     "mqtt_publish" -> Seq(
-      OneOfParams(Seq("topic", "topic_lambda", "topic_field"))),
-    "mqtt_subscribe" -> Seq(OneOfParams(Seq("topic", "topics"))),
-    "mqtt_amqp_bridge" -> Seq(OneOfParams(Seq("topic", "topics"))),
+      OneOfParams(Seq("topic", "topic_lambda", "topic_field")),
+      FuncCheck("topic", "is not a valid publish topic", publishTopic)),
+    // esp_mqtt_subscribe.erl:65-72 (filters may carry wildcards)
+    "mqtt_subscribe" -> Seq(OneOfParams(Seq("topic", "topics")),
+      FuncCheck("topic", "is not a valid topic filter", subscribeTopic),
+      FuncCheck("topics", "at least one of the topics seems to be " +
+        "invalid", subscribeTopic)),
+    "mqtt_amqp_bridge" -> Seq(OneOfParams(Seq("topic", "topics")),
+      FuncCheck("topics", "at least one of the topics seems to be " +
+        "invalid", subscribeTopic)),
     "group_by" -> Seq(OneOfParams(Seq("fields", "lambda"))),
-    "email" -> Seq(OneOfParams(Seq("body", "body_field"))),
-    // esp_postgre_statement.erl:59-60
+    // esp_email.erl:54-55
+    "email" -> Seq(OneOfParams(Seq("body", "body_field")),
+      FuncCheck("to", "invalid email address(es) given", validEmail)),
+    // esp_postgre_statement.erl:59-67
     "postgre_statement" -> Seq(
       OneOf("result_type", Set("batch", "point")),
-      OneOfParams(Seq("statement", "statement_field"))),
-    // esp_state_change_bulk.erl:72
+      OneOfParams(Seq("statement", "statement_field")),
+      RequiresFlag("statement_field", "start_on_trigger")),
+    // esp_mongo_query.erl:57-64
+    "mongo_query" -> Seq(
+      FuncCheck("query", "seems not to be valid json", isJson)),
+    // esp_crate_out.erl:103-113
+    "crate_out" -> Seq(
+      FuncCheck("table", "must be either a string or a lambda function",
+        strOrLambda),
+      FuncCheck("db_fields",
+        "list may only contain strings and lambda functions",
+        strOrLambda)),
+    // esp_state_change_bulk.erl:70-72; esp_state_change.erl:59-61 —
+    // a state edge node must emit SOMETHING
     "state_change_bulk" -> Seq(
-      OneOfParams(Seq("lambda_pattern", "state_value"))),
-    // esp_http_listen.erl:44-45
+      OneOfParams(Seq("lambda_pattern", "state_value")),
+      OnePlusOf(Seq("enter", "leave"))),
+    "state_change" -> Seq(OnePlusOf(Seq("enter", "leave"))),
+    // esp_http_listen.erl:44-53
     "http_listen" -> Seq(
       OneOf("content_type", Set("text/plain",
         "application/x-www-form-urlencoded", "application/json")),
-      OneOf("payload_type", Set("plain", "json"))),
+      OneOf("payload_type", Set("plain", "json")),
+      RequiresIf("pass", "user")),
     // esp_tcp_recv.erl:70 / tcp_send:57 / tcp_serve:41
     "tcp_recv" -> Seq(OneOf("packet", packetKinds)),
     "tcp_send" -> Seq(OneOf("packet", packetKinds)),
@@ -2888,6 +2983,12 @@ object Planner {
         SameLength(Seq("tags", "as_tags"))),
       "set" -> Seq(SameLength(Seq("fields", "field_values")),
         SameLength(Seq("tags", "tag_values"))),
+      // esp_default.erl:35-46 (func-form length equality)
+      "default" -> Seq(SameLength(Seq("fields", "field_values")),
+        SameLength(Seq("tags", "tag_values"))),
+      // esp_s7read.erl:86-92 (alias/address count; address validity is
+      // plan-time via PlcPlan, prefix-translated)
+      "s7read" -> Seq(SameLength(Seq("vars", "as"))),
       "triggered_timeout" -> Seq(SameLength(Seq("fields", "field_values"))))
 
   /** Merge check maps, concatenating per-node check lists. */
@@ -2936,7 +3037,25 @@ object Planner {
           s"node '${n.name}': options " +
             lengths.map { case (o, l) => s".$o($l)" }.mkString(", ") +
             " must have the same length")
+      case OnePlusOf(params) =>
+        if (!params.exists(n.options.contains) && n.args.isEmpty)
+          throw DfsError(s"node '${n.name}': at least one of " +
+            s"${params.map("." + _).mkString(", ")} must be given")
+      case RequiresIf(opt, ifOpt) =>
+        if (n.options.contains(ifOpt) && !n.options.contains(opt))
+          throw DfsError(s"node '${n.name}': .$opt must be given, " +
+            s"if '$ifOpt' is given")
+      case RequiresFlag(opt, flag) =>
+        if (n.options.contains(opt) && !optFlagRaw(n, flag))
+          throw DfsError(s"node '${n.name}': .$opt requires " +
+            s".$flag(true)")
     }
+
+  /** Env-free is_set flag read for compile-time checks. */
+  private def optFlagRaw(n: NodeSpec, name: String): Boolean =
+    n.options.get(name).exists(vs =>
+      !vs.headOption.contains(VBool(false)) &&
+        !vs.headOption.contains(VStr("false")))
 
   def validate(script: Script): Unit = {
     // the type-check compares ADJACENT DECLARED wants/emits, with `both`

@@ -11,5 +11,10 @@ object OptAudit {
     graft.dfs.Planner.registeredOptions.toSeq.sortBy(_._1).foreach {
       case (name, opts) => println(s"$name: ${opts.toSeq.sorted.mkString(" ")}")
     }
+    // compile-time check coverage (scripts/check_parity.py)
+    graft.dfs.Planner.registeredCheckedOptions.toSeq.sortBy(_._1).foreach {
+      case (name, opts) =>
+        println(s"CHECK $name: ${opts.toSeq.sorted.mkString(" ")}")
+    }
   }
 }

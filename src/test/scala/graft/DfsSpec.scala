@@ -538,6 +538,7 @@ class DfsSpec extends AnyFunSuite {
          #|state_change_bulk(
          #  .field('data.obj')
          #  .state_value(1)
+         #  .enter().leave()
          #  .exclude_fields('data.obj.nr'))
          #""".stripMargin('#'), spark, sf)
     val edgeCols = scb.columns.filter(_.endsWith("_edge")).toSet
@@ -1464,6 +1465,36 @@ class DfsSpec extends AnyFunSuite {
     DfsEngine.compile(
       "|modbus(.ip('h').function('hregs').from(1).count(2).as('x')" +
         ".output('int16'))")
+    // cross-option kinds: oneplus_of_params (esp_state_change.erl:59),
+    // pass-required-with-user (esp_http_listen.erl:46), flag dependency
+    // (esp_postgre_statement.erl:62), publish-topic wildcards
+    // (faxe_util:check_publisher_mqtt_topic), email validity
+    // (lib/email_address.erl)
+    rejects(
+      "|parquet_read(.table('events'))\n" +
+        "|state_change(.lambda(lambda: \"value\" > 1))",
+      "at least one of .enter, .leave")
+    rejects(
+      "|http_listen(.port(1880).user('u'))",
+      ".pass must be given")
+    rejects(
+      "|parquet_read(.table('events'))\n" +
+        "|postgre_statement(.statement_field('q'))",
+      ".statement_field requires .start_on_trigger")
+    rejects(
+      "|parquet_read(.table('events'))\n" +
+        "|mqtt_publish(.topic('a/+/b'))",
+      "not a valid publish topic")
+    DfsEngine.compile("|mqtt_subscribe(.topic('a/+/b/#'))")
+    rejects("|mqtt_subscribe(.topic('a/#/b'))",
+      "not a valid topic filter")
+    rejects(
+      "|parquet_read(.table('events'))\n" +
+        "|email(.to('not-an-address').body('b'))",
+      "invalid email address")
+    DfsEngine.compile(
+      "|parquet_read(.table('events'))\n" +
+        "|email(.to('ops@example.com').body('b'))")
   }
 
   test("run-level coverage floor: 103+ reference scripts run with rows") {
