@@ -66,8 +66,19 @@ object TextOps {
     * O(n²) string compares — request it only where set semantics matter
     * (Jaccard intersections); min-hash folds are duplicate-insensitive.
     */
-  def shingles(text: Column, n: Int, distinct: Boolean = true): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, n: Int, distinct: Boolean = true): Column =
+    shinglesFromTokens(tokens(text), n, distinct)
+
+  /** Shingles from a MATERIALIZED token column. Prefer this two-step
+    * form on any volume path: HOF lambdas re-evaluate an inline
+    * argument tree per element (no codegen CSE — see
+    * [[langScoreFromTokens]]), so `shingles(text, …)` re-splits the
+    * text once per gram, O(tokens²) retokenization; a bound column
+    * reference re-evaluates as an attribute read (measured 3.3 s →
+    * 0.4 s over sf0.1 documents).
+    */
+  def shinglesFromTokens(t: Column, n: Int,
+      distinct: Boolean = true): Column = {
     val raw = transform(
       sequence(lit(1), size(t) - (n - 1)),
       i => concat_ws(" ", slice(t, i, lit(n))))
@@ -205,19 +216,32 @@ object TextOps {
     */
   def decontaminate(docs: DataFrame, text: Column, id: Column,
       isBenchmark: Column, n: Int = 3): DataFrame = {
-    val base = docs.select(id.as("doc_id"), isBenchmark.as("_bm"),
-      shingles(text, n).as("_sh"))
-    val bench = base.filter(col("_bm"))
-      .select(explode(col("_sh")).as("gram")).distinct()
+    // NO shingle HOF on this path: `explode(shingles(...))` re-evaluates
+    // the interpreted transform several times per row (the explicit
+    // size/null guards plus Spark's inferred generator filters each
+    // re-run it — measured 7.8 s at sf0.1). Instead explode the cheap
+    // index sequence and build each gram AFTER the explode, where
+    // slice+concat_ws run once per output row in whole-stage codegen
+    // (7.8 s → ~1 s). Distinctness is relational — the (doc_id, gram)
+    // dedupe is a codegen'd hash aggregate with map-side partials.
+    val toked = docs
+      .select(id.as("doc_id"), isBenchmark.as("_bm"), tokens(text).as("_t"))
+      .filter(size(col("_t")) >= n) // sub-n docs carry no grams
+    val grams = toked
+      .select(col("doc_id"), col("_bm"), col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
+      .select(col("doc_id"), col("_bm"),
+        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("gram"))
+    val bench = grams.filter(col("_bm"))
+      .select(col("gram")).distinct()
       .withColumn("_hit", lit(1))
-    base.filter(!col("_bm")).filter(size(col("_sh")) > 0)
-      .select(col("doc_id"), size(col("_sh")).as("n_grams"),
-        explode(col("_sh")).as("gram"))
+    grams.filter(!col("_bm"))
+      .select(col("doc_id"), col("gram")).distinct()
       .join(broadcast(bench), Seq("gram"), "left")
-      .groupBy(col("doc_id"), col("n_grams"))
-      .agg(coalesce(sum(col("_hit")), lit(0L)).cast("int").as("n_hit"))
-      .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
-        col("n_hit"),
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        count(col("_hit")).cast("int").as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
         round(col("n_hit") * lit(1.0) / col("n_grams"), 6)
           .as("contamination"))
   }
