@@ -121,12 +121,14 @@ object TaskRegistry {
       throw DfsError(s"task '$name' is running — stop it first (or delete/force)")
     if (tasks.remove(name) == null)
       throw DfsError(s"task '$name' not found")
+    taskTags.remove(name)
   }
 
   def deleteForce(name: String): Unit = {
     running.remove(name)
     if (tasks.remove(name) == null)
       throw DfsError(s"task '$name' not found")
+    taskTags.remove(name)
   }
 
   /** Every registered task with its running flag (add_running_flag). */
@@ -136,6 +138,119 @@ object TaskRegistry {
       .map(t => TaskInfo(t.name, t.dfs, t.registeredAtMs,
         running.containsKey(t.name)))
   }
+
+  // ---- task tags (faxe.erl:184-192 add/remove/set_tags,
+  // list_tasks_by_tags, get_all_tags; the /v1/task/tags REST ops) ------
+
+  private val taskTags =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private def requireTask(name: String): Unit =
+    if (!tasks.containsKey(name)) throw DfsError(s"task '$name' not found")
+
+  def addTags(name: String, tags: Seq[String]): Unit = {
+    requireTask(name)
+    taskTags.merge(name, tags.toSet, _ ++ _)
+  }
+
+  def removeTags(name: String, tags: Seq[String]): Unit = {
+    requireTask(name)
+    taskTags.computeIfPresent(name, (_, cur) => cur -- tags)
+  }
+
+  def setTags(name: String, tags: Seq[String]): Unit = {
+    requireTask(name)
+    taskTags.put(name, tags.toSet)
+  }
+
+  def tags(name: String): Set[String] =
+    taskTags.getOrDefault(name, Set.empty)
+
+  def allTags(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    taskTags.values.asScala.flatten.toSet
+  }
+
+  /** Tasks carrying ANY of the given tags, with running flags
+    * (faxe_db:get_tasks_by_tags over the task's tag list).
+    */
+  def listByTags(tags: Seq[String]): Seq[TaskInfo] = {
+    val want = tags.toSet
+    list().filter(t =>
+      taskTags.getOrDefault(t.name, Set.empty).exists(want))
+  }
+
+  // ---- templates (faxe.erl:246-292 register_template /
+  // task_from_template; rest_template_handler) -------------------------
+  // A template is a compile-checked DFS whose `def`s are its variables;
+  // instantiation bakes the caller's vars into the task's text
+  // (faxe_dfs:data(DFS, Vars)), so restarts and macro uses see the
+  // substituted script.
+
+  final case class Template(name: String, dfs: String,
+      registeredAtMs: Long)
+
+  private val templates =
+    new java.util.concurrent.ConcurrentHashMap[String, Template]()
+
+  def registerTemplate(name: String, dfs: String,
+      nowMs: Long = System.currentTimeMillis()): Template = {
+    DfsEngine.compile(dfs) // eval_dfs gate, as for tasks
+    val t = Template(name, dfs, nowMs)
+    if (templates.putIfAbsent(name, t) != null)
+      throw DfsError(s"template '$name' exists")
+    t
+  }
+
+  def listTemplates(): Seq[Template] = {
+    import scala.jdk.CollectionConverters._
+    templates.values.asScala.toSeq.sortBy(_.name)
+  }
+
+  def deleteTemplate(name: String): Unit =
+    if (templates.remove(name) == null)
+      throw DfsError(s"template '$name' not found")
+
+  /** Instantiate a task from a template. `vars` override the template's
+    * `def`s — values are DFS literal text (`"'topic/a'"`, `"42"`,
+    * `"3s"`) substituted into the def lines, then the result passes the
+    * normal register gate (compile + free-name). Order of faxe's
+    * checks kept: task-exists first, then template lookup
+    * (faxe.erl:283-292).
+    */
+  def taskFromTemplate(templateName: String, taskName: String,
+      vars: Map[String, String] = Map.empty,
+      nowMs: Long = System.currentTimeMillis()): Task = {
+    if (tasks.containsKey(taskName))
+      throw DfsError(s"task '$taskName' exists")
+    val tpl = Option(templates.get(templateName)).getOrElse(
+      throw DfsError(s"template '$templateName' not found"))
+    val defs = Parser.parse(tpl.dfs).defs
+    vars.keys.foreach { k =>
+      if (!defs.contains(k)) throw DfsError(
+        s"template '$templateName' has no def '$k'.${
+          Ir.suggest(k, defs.keys)}")
+    }
+    val baked = vars.foldLeft(tpl.dfs) { case (txt, (k, v)) =>
+      txt.replaceAll(
+        "(?m)^(\\s*def\\s+" + java.util.regex.Pattern.quote(k) +
+          "\\s*=).*$",
+        java.util.regex.Matcher.quoteReplacement(s"def $k = $v"))
+    }
+    register(taskName, baked, nowMs)
+  }
+
+  /** faxe.erl:74-82 start_many — N tasks `base1..baseN` from one
+    * template, started immediately.
+    */
+  def startMany(templateName: String, base: String, n: Int,
+      spark: SparkSession, dir: String): Seq[String] =
+    (1 to n).map { i =>
+      val name = s"$base$i"
+      taskFromTemplate(templateName, name)
+      start(name, spark, dir)
+      name
+    }
 
   // ---- temporary flows (SURVEY §3.2; faxe.erl:441-470 start_temp) ------
   // A temp flow is compile+start in one call with a TTL: the reference
@@ -184,5 +299,8 @@ object TaskRegistry {
     tempExpiry.keySet().asScala.toSeq.sorted
   }
 
-  def clear(): Unit = { tasks.clear(); running.clear(); tempExpiry.clear() }
+  def clear(): Unit = {
+    tasks.clear(); running.clear(); tempExpiry.clear()
+    taskTags.clear(); templates.clear()
+  }
 }

@@ -126,6 +126,62 @@ class TaskRegistrySpec extends AnyFunSuite {
     } finally { TaskRegistry.clear(); Macros.clear() }
   }
 
+  test("tags: add/remove/set, list-by-any-tag, all-tags, delete cleanup") {
+    // faxe.erl:184-192 + list_tasks_by_tags — the /v1/task/tags ops
+    TaskRegistry.clear()
+    try {
+      TaskRegistry.register("a", "|value_emitter(.count(1))")
+      TaskRegistry.register("b", "|value_emitter(.count(1))")
+      TaskRegistry.addTags("a", Seq("plant1", "energy"))
+      TaskRegistry.addTags("b", Seq("plant2"))
+      intercept[Ir.DfsError](TaskRegistry.addTags("nope", Seq("x")))
+      assert(TaskRegistry.listByTags(Seq("plant1", "plant2"))
+        .map(_.name) == Seq("a", "b"))
+      assert(TaskRegistry.listByTags(Seq("energy")).map(_.name) == Seq("a"))
+      assert(TaskRegistry.allTags() == Set("plant1", "plant2", "energy"))
+      TaskRegistry.removeTags("a", Seq("energy"))
+      assert(TaskRegistry.tags("a") == Set("plant1"))
+      TaskRegistry.setTags("b", Seq("fresh"))
+      assert(TaskRegistry.tags("b") == Set("fresh"))
+      TaskRegistry.delete("a")
+      assert(TaskRegistry.allTags() == Set("fresh")) // a's tags went too
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
+  test("templates: register, instantiate with baked vars, start_many") {
+    // faxe.erl:246-292 register_template / task_from_template +
+    // :74-82 start_many — vars override the template's defs, baked into
+    // the task's stored text
+    TaskRegistry.clear()
+    try {
+      TaskRegistry.registerTemplate("tpl",
+        "def n = 2\n|value_emitter(.count(n))")
+      intercept[Ir.DfsError](
+        TaskRegistry.registerTemplate("tpl", "|value_emitter(.count(1))"))
+      TaskRegistry.taskFromTemplate("tpl", "t1", Map("n" -> "5"))
+      assert(TaskRegistry.list().map(_.name) == Seq("t1"))
+      // the var is baked into the stored text, not just the plan
+      assert(TaskRegistry.list().head.dfs.contains("def n = 5"))
+      val frames = TaskRegistry.start("t1", spark, sf)
+      assert(frames.values.head.count() == 5)
+      // faxe's check order: task-exists beats template-not-found
+      intercept[Ir.DfsError](
+        TaskRegistry.taskFromTemplate("missing", "t1"))
+      intercept[Ir.DfsError](
+        TaskRegistry.taskFromTemplate("missing", "t2"))
+      // unknown var rejects with a suggestion
+      val e = intercept[Ir.DfsError](
+        TaskRegistry.taskFromTemplate("tpl", "t3", Map("m" -> "1")))
+      assert(e.msg.contains("has no def 'm'"))
+      // start_many: tpl base names 1..N, all running
+      val names = TaskRegistry.startMany("tpl", "many", 3, spark, sf)
+      assert(names == Seq("many1", "many2", "many3"))
+      assert(names.forall(TaskRegistry.isRunning))
+      TaskRegistry.deleteTemplate("tpl")
+      intercept[Ir.DfsError](TaskRegistry.deleteTemplate("tpl"))
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
   test("registry is process-global across SparkSessions (faxe_db is node-wide)") {
     // Two sessions share ONE task namespace, like the reference's Mnesia
     // store shared by every connection. Tasks are session-free DFS text;
