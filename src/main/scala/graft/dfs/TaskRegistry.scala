@@ -83,14 +83,39 @@ object TaskRegistry {
     * overwrite of the winner's frames. (The early containsKey check is
     * just the cheap fast path for the common sequential double-start.)
     */
-  def start(name: String, spark: SparkSession, dir: String): Map[String, DataFrame] = {
+  def start(name: String, spark: SparkSession, dir: String,
+      permanent: Boolean = false): Map[String, DataFrame] = {
     val t = get(name).getOrElse(throw DfsError(s"task '$name' not found"))
     if (running.containsKey(name))
       throw DfsError(s"task '$name' is already started")
     val frames = DfsEngine.run(t.dfs, spark, dir)
     if (running.putIfAbsent(name, frames) != null)
       throw DfsError(s"task '$name' is already started")
+    if (permanent) permanentTasks.add(name)
     frames
+  }
+
+  // ---- permanent tasks (faxe.erl:70-72 start_permanent_tasks; the
+  // `permanent` flag on start/stop, rest_task_handler is_permanent) ----
+
+  private val permanentTasks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def listPermanent(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    permanentTasks.asScala.toSeq.sorted
+  }
+
+  /** Boot-time restart of every permanent task not already running
+    * (faxe starts each stored permanent task under graph_sup on init).
+    */
+  def startPermanentTasks(spark: SparkSession,
+      dir: String): Seq[String] = {
+    val started = listPermanent()
+      .filterNot(running.containsKey(_))
+      .filter(tasks.containsKey(_))
+    started.foreach(n => start(n, spark, dir, permanent = true))
+    started
   }
 
   /** Frames of a running task, empty when stopped. */
@@ -109,9 +134,15 @@ object TaskRegistry {
     DfsEngine.graph(t.dfs, spark)
   }
 
-  def stop(name: String): Unit =
+  /** Stop a running task; `permanent = true` also clears the permanent
+    * flag (faxe stop_task/2 — otherwise the next
+    * [[startPermanentTasks]] would bring it straight back).
+    */
+  def stop(name: String, permanent: Boolean = false): Unit = {
     if (running.remove(name) == null)
       throw DfsError(s"task '$name' is not running")
+    if (permanent) permanentTasks.remove(name)
+  }
 
   def stopAll(): Unit = running.clear()
 
@@ -122,6 +153,7 @@ object TaskRegistry {
     if (tasks.remove(name) == null)
       throw DfsError(s"task '$name' not found")
     taskTags.remove(name)
+    permanentTasks.remove(name)
   }
 
   def deleteForce(name: String): Unit = {
@@ -129,6 +161,7 @@ object TaskRegistry {
     if (tasks.remove(name) == null)
       throw DfsError(s"task '$name' not found")
     taskTags.remove(name)
+    permanentTasks.remove(name)
   }
 
   /** Every registered task with its running flag (add_running_flag). */
@@ -240,6 +273,24 @@ object TaskRegistry {
     register(taskName, baked, nowMs)
   }
 
+  /** Update a task's DFS, restarting it when running (faxe.erl:324-377
+    * update_task/update_running): identical text (faxe's crc32 compare)
+    * is a no-op unless `force`; a running task re-plans under the given
+    * session after the store updates. Returns true when an update
+    * happened.
+    */
+  def updateTask(name: String, dfs: String, spark: SparkSession,
+      dir: String, force: Boolean = false): Boolean = {
+    val t = get(name).getOrElse(throw DfsError(s"task '$name' not found"))
+    if (!force && t.dfs == dfs) return false // {ok, no_update}
+    DfsEngine.compile(dfs) // eval_dfs gate before touching the store
+    tasks.put(name, t.copy(dfs = dfs))
+    if (running.containsKey(name)) {
+      running.put(name, DfsEngine.run(dfs, spark, dir))
+    }
+    true
+  }
+
   /** faxe.erl:74-82 start_many — N tasks `base1..baseN` from one
     * template, started immediately.
     */
@@ -301,6 +352,6 @@ object TaskRegistry {
 
   def clear(): Unit = {
     tasks.clear(); running.clear(); tempExpiry.clear()
-    taskTags.clear(); templates.clear()
+    taskTags.clear(); templates.clear(); permanentTasks.clear()
   }
 }

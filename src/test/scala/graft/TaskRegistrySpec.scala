@@ -182,6 +182,35 @@ class TaskRegistrySpec extends AnyFunSuite {
     } finally { TaskRegistry.clear(); Macros.clear() }
   }
 
+  test("permanent flag + update-and-restart semantics") {
+    // faxe.erl:70-72 start_permanent_tasks, stop_task/2's flag clear,
+    // update_task's crc no-op and running re-plan
+    TaskRegistry.clear()
+    try {
+      TaskRegistry.register("p1", "|value_emitter(.count(2))")
+      TaskRegistry.register("p2", "|value_emitter(.count(2))")
+      TaskRegistry.start("p1", spark, sf, permanent = true)
+      TaskRegistry.start("p2", spark, sf) // not permanent
+      assert(TaskRegistry.listPermanent() == Seq("p1"))
+      // boot restart: only the stopped permanent task comes back
+      TaskRegistry.stop("p1")
+      TaskRegistry.stop("p2")
+      assert(TaskRegistry.startPermanentTasks(spark, sf) == Seq("p1"))
+      assert(TaskRegistry.isRunning("p1") && !TaskRegistry.isRunning("p2"))
+      // stop with the permanent flag clears it for the next boot
+      TaskRegistry.stop("p1", permanent = true)
+      assert(TaskRegistry.startPermanentTasks(spark, sf).isEmpty)
+      // update: same text -> no-op; new text on a running task re-plans
+      TaskRegistry.start("p2", spark, sf)
+      assert(!TaskRegistry.updateTask("p2",
+        "|value_emitter(.count(2))", spark, sf))
+      assert(TaskRegistry.updateTask("p2",
+        "|value_emitter(.count(7))", spark, sf))
+      assert(TaskRegistry.frames("p2").get.values.head.count() == 7)
+      intercept[Ir.DfsError](TaskRegistry.updateTask("nope", "x", spark, sf))
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
   test("registry is process-global across SparkSessions (faxe_db is node-wide)") {
     // Two sessions share ONE task namespace, like the reference's Mnesia
     // store shared by every connection. Tasks are session-free DFS text;
