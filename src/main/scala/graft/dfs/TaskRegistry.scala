@@ -276,7 +276,8 @@ object TaskRegistry {
   /** Update a task's DFS, restarting it when running (faxe.erl:324-377
     * update_task/update_running): identical text (faxe's crc32 compare)
     * is a no-op unless `force`; a running task re-plans under the given
-    * session after the store updates. Returns true when an update
+    * session after the store updates. A group LEADER's update propagates
+    * to every member (faxe.erl:341-349). Returns true when an update
     * happened.
     */
   def updateTask(name: String, dfs: String, spark: SparkSession,
@@ -288,7 +289,97 @@ object TaskRegistry {
     if (running.containsKey(name)) {
       running.put(name, DfsEngine.run(dfs, spark, dir))
     }
+    if (groupOf.getOrDefault(name, "") == name) // leader → members
+      membersOf(name).filterNot(_ == name)
+        .foreach(m => updateTask(m, dfs, spark, dir, force))
     true
+  }
+
+  // ---- task groups (faxe.erl:515-589 start_concurrent/start_copy/
+  // set_group_size; copies are tasks named `leader--N`, the leader IS
+  // the group name). Process-level concurrency is faxe's scaling tool;
+  // here each member is its own planned flow — the engine's horizontal
+  // scale lives inside one plan (partitions/executors), so a group is a
+  // lifecycle shell: real consumer-group semantics apply when members
+  // subscribe with distinct `.group` offsets on the bus. --------------
+
+  private val groupOf =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def membersOf(group: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    groupOf.asScala.collect { case (m, g) if g == group => m }.toSeq
+      .sortBy(rankOf)
+  }
+
+  private def rankOf(member: String): Int =
+    member.lastIndexOf("--") match {
+      case -1 => 1 // the leader
+      case i => member.substring(i + 2).toIntOption.getOrElse(1)
+    }
+
+  /** Start `name` as a group leader with `concurrency` total members:
+    * copies `name--2`..`name--N` register with the leader's DFS and
+    * start under the same session (start_copy's naming).
+    */
+  def startGroup(name: String, concurrency: Int, spark: SparkSession,
+      dir: String, permanent: Boolean = false): Seq[String] = {
+    val t = get(name).getOrElse(throw DfsError(s"task '$name' not found"))
+    start(name, spark, dir, permanent)
+    groupOf.put(name, name)
+    val copies = (2 to concurrency).map { i =>
+      val copy = s"$name--$i"
+      if (!tasks.containsKey(copy)) register(copy, t.dfs)
+      groupOf.put(copy, name)
+      start(copy, spark, dir, permanent)
+      copy
+    }
+    name +: copies
+  }
+
+  def listByGroup(group: String): Seq[TaskInfo] = {
+    val ms = membersOf(group).toSet
+    list().filter(t => ms(t.name))
+  }
+
+  /** Resize a running group (faxe.erl:548-575): grows by starting new
+    * copies, shrinks by stopping+deleting the highest-ranked non-leader
+    * members. The leader must be running.
+    */
+  def setGroupSize(group: String, newSize: Int, spark: SparkSession,
+      dir: String): Seq[String] = {
+    val ms = membersOf(group)
+    if (ms.isEmpty) throw DfsError(s"group '$group' not found")
+    if (!running.containsKey(group))
+      throw DfsError(s"group '$group' leader is not running")
+    val runningMs = ms.filter(running.containsKey(_))
+    val delta = newSize - runningMs.size
+    if (delta >= 0) {
+      val t = tasks.get(group)
+      val maxRank = ms.map(rankOf).max
+      (1 to delta).map { k =>
+        val copy = s"$group--${maxRank + k}"
+        register(copy, t.dfs)
+        groupOf.put(copy, group)
+        start(copy, spark, dir)
+        copy
+      }
+    } else {
+      val victims = runningMs.filterNot(_ == group)
+        .sortBy(-rankOf(_)).take(-delta)
+      victims.foreach { v =>
+        running.remove(v); tasks.remove(v); groupOf.remove(v)
+        taskTags.remove(v); permanentTasks.remove(v)
+      }
+      victims
+    }
+  }
+
+  /** Stop every running member; registrations stay (faxe stop_group). */
+  def stopGroup(group: String): Seq[String] = {
+    val stopped = membersOf(group).filter(running.containsKey(_))
+    stopped.foreach(running.remove(_))
+    stopped
   }
 
   /** faxe.erl:74-82 start_many — N tasks `base1..baseN` from one
@@ -353,5 +444,6 @@ object TaskRegistry {
   def clear(): Unit = {
     tasks.clear(); running.clear(); tempExpiry.clear()
     taskTags.clear(); templates.clear(); permanentTasks.clear()
+    groupOf.clear()
   }
 }

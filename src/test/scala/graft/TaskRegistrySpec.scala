@@ -211,6 +211,35 @@ class TaskRegistrySpec extends AnyFunSuite {
     } finally { TaskRegistry.clear(); Macros.clear() }
   }
 
+  test("groups: leader + ranked copies, resize both ways, leader update " +
+      "propagates") {
+    // faxe.erl:515-589 start_concurrent/start_copy/set_group_size —
+    // copies are tasks named leader--N; shrink removes highest ranks
+    TaskRegistry.clear()
+    try {
+      TaskRegistry.register("g", "|value_emitter(.count(2))")
+      assert(TaskRegistry.startGroup("g", 3, spark, sf) ==
+        Seq("g", "g--2", "g--3"))
+      assert(TaskRegistry.listByGroup("g").map(_.name) ==
+        Seq("g", "g--2", "g--3"))
+      assert(TaskRegistry.listByGroup("g").forall(_.isRunning))
+      // grow: new ranks continue past the current max
+      assert(TaskRegistry.setGroupSize("g", 4, spark, sf) == Seq("g--4"))
+      // shrink: highest ranks go first, never the leader
+      assert(TaskRegistry.setGroupSize("g", 2, spark, sf) ==
+        Seq("g--4", "g--3"))
+      assert(TaskRegistry.listByGroup("g").map(_.name) == Seq("g", "g--2"))
+      // leader update re-plans every member
+      TaskRegistry.updateTask("g", "|value_emitter(.count(6))", spark, sf)
+      assert(TaskRegistry.frames("g--2").get.values.head.count() == 6)
+      // stop_group stops members but keeps registrations
+      assert(TaskRegistry.stopGroup("g") == Seq("g", "g--2"))
+      assert(TaskRegistry.listByGroup("g").map(_.name) == Seq("g", "g--2"))
+      assert(!TaskRegistry.isRunning("g--2"))
+      intercept[Ir.DfsError](TaskRegistry.setGroupSize("g", 3, spark, sf))
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
   test("registry is process-global across SparkSessions (faxe_db is node-wide)") {
     // Two sessions share ONE task namespace, like the reference's Mnesia
     // store shared by every connection. Tasks are session-free DFS text;
