@@ -382,6 +382,30 @@ object TaskRegistry {
     stopped
   }
 
+  // ---- bulk maintenance (faxe.erl:295-316 update_all/update_by_tags/
+  // update_by_template, reset_tasks/reset_templates) -------------------
+  // The bulk update re-submits each task's CURRENT text: a no-op per
+  // task unless `force` (faxe's update-with-crc32 shape — useful after
+  // an engine upgrade changes planning for unchanged scripts).
+
+  def updateAll(spark: SparkSession, dir: String,
+      force: Boolean = false): Seq[String] =
+    list().map(_.name)
+      .filter(n => updateTask(n, tasks.get(n).dfs, spark, dir, force))
+
+  def updateByTags(tags: Seq[String], spark: SparkSession, dir: String,
+      force: Boolean = false): Seq[String] =
+    listByTags(tags).map(_.name)
+      .filter(n => updateTask(n, tasks.get(n).dfs, spark, dir, force))
+
+  /** Delete every task (running ones stop); faxe reset_tasks. */
+  def resetTasks(): Unit = {
+    running.clear(); tasks.clear(); taskTags.clear()
+    permanentTasks.clear(); groupOf.clear(); tempExpiry.clear()
+  }
+
+  def resetTemplates(): Unit = templates.clear()
+
   /** faxe.erl:74-82 start_many — N tasks `base1..baseN` from one
     * template, started immediately.
     */

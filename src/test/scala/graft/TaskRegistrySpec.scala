@@ -240,6 +240,27 @@ class TaskRegistrySpec extends AnyFunSuite {
     } finally { TaskRegistry.clear(); Macros.clear() }
   }
 
+  test("bulk maintenance: updateAll force, updateByTags, resets") {
+    TaskRegistry.clear()
+    try {
+      TaskRegistry.register("a", "|value_emitter(.count(2))")
+      TaskRegistry.register("b", "|value_emitter(.count(3))")
+      TaskRegistry.addTags("b", Seq("hot"))
+      // unchanged text: no-ops without force, everything with it
+      assert(TaskRegistry.updateAll(spark, sf).isEmpty)
+      assert(TaskRegistry.updateAll(spark, sf, force = true) ==
+        Seq("a", "b"))
+      assert(TaskRegistry.updateByTags(Seq("hot"), spark, sf,
+        force = true) == Seq("b"))
+      TaskRegistry.registerTemplate("t", "|value_emitter(.count(1))")
+      TaskRegistry.resetTasks()
+      assert(TaskRegistry.list().isEmpty)
+      assert(TaskRegistry.listTemplates().map(_.name) == Seq("t"))
+      TaskRegistry.resetTemplates()
+      assert(TaskRegistry.listTemplates().isEmpty)
+    } finally { TaskRegistry.clear(); Macros.clear() }
+  }
+
   test("registry is process-global across SparkSessions (faxe_db is node-wide)") {
     // Two sessions share ONE task namespace, like the reference's Mnesia
     // store shared by every connection. Tasks are session-free DFS text;
