@@ -2228,6 +2228,21 @@ object Planner {
         optNum(n, "max_bucket", env).map(_.toInt)
           .getOrElse(graft.operators.text.Dedup.DefaultMaxBucketSize))
     },
+    // benchmark decontamination as a flow node (graft extension, the
+    // TextOps.decontaminate door): .benchmark is a lambda predicate
+    // marking the eval-suite rows INSIDE the stream
+    "decontaminate" -> bt(
+      Set("text_field", "id_field", "benchmark", "n")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("decontaminate: .id_field"))
+      val bm = optLambdas(n, "benchmark", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("decontaminate: .benchmark(lambda)"))
+      graft.operators.text.TextOps.decontaminate(ctx.df, Paths.ref(text),
+        Paths.ref(id), bm,
+        optNum(n, "n", env).map(_.toInt).getOrElse(3))
+    },
 
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary

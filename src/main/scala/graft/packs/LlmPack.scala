@@ -225,6 +225,27 @@ object LlmPack extends QueryPack {
               |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 1000000
               |  < CAST(0.7 * 1000000 AS BIGINT)""".stripMargin)),
 
+    "dfs_decontaminate" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|decontaminate(
+          #  .id_field('doc_id')
+          #  .benchmark(lambda: mod("doc_id", 97) == 0))
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH g AS (SELECT doc_id, doc_id % 97 = 0 AS bm,
+              |    $sh AS grams
+              |  FROM (SELECT doc_id, $toks AS w FROM documents)),
+              |bench AS (SELECT DISTINCT unnest(grams) AS gram
+              |          FROM g WHERE bm),
+              |ex AS (SELECT doc_id, len(grams) AS n_grams,
+              |         unnest(grams) AS gram
+              |       FROM g WHERE NOT bm AND len(grams) > 0)
+              |SELECT e.doc_id, CAST(e.n_grams AS INTEGER) AS n_grams,
+              |  CAST(count(b.gram) AS INTEGER) AS n_hit,
+              |  round(count(b.gram) * 1.0 / e.n_grams, 6) AS contamination
+              |FROM ex e LEFT JOIN bench b USING (gram)
+              |GROUP BY e.doc_id, e.n_grams""".stripMargin)),
+
     "dfs_pack_bins" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
         """|parquet_read(.table('documents'))

@@ -20,6 +20,29 @@ class LlmSpec extends AnyFunSuite {
     assert(out(2) == Seq("x x x")) // distinct collapses repeats
   }
 
+  test("decontaminate: hit counts exact, benchmark and sub-n docs " +
+      "excluded, repeats count once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps", true), // benchmark
+      (2L, "a quick brown fox runs", false),   // shares 'quick brown fox'
+      (3L, "totally different words here", false),
+      (4L, "too short", false),                // < 3 tokens: no grams
+      (5L, "quick brown fox quick brown fox x", false) // repeat gram
+    ).toDF("doc_id", "text", "bm")
+    val out = TextOps.decontaminate(df, col("text"), col("doc_id"),
+      col("bm")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(!out.contains(1L)) // benchmark side never scored
+    assert(!out.contains(4L)) // below n tokens: nothing to match on
+    assert(out(2L) == ((3, 1, 0.333333))) // 'quick brown fox' hits
+    assert(out(3L) == ((2, 0, 0.0)))
+    // doc 5: 5 raw grams but 4 DISTINCT ('quick brown fox' repeats);
+    // the repeated hit counts once — set semantics
+    assert(out(5L) == ((4, 1, 0.25)))
+  }
+
   test("minhash signature is permutation-bounded and deterministic") {
     val docs = Tables.documents(spark, sf)
     val sig = Dedup.minhashSignature(docs, col("text"), 8)
