@@ -36,6 +36,39 @@ object TextOps {
     df.filter(pmod(hash60(id.cast("string")), lit(1000000L)) <
       (fraction * 1000000L).cast("long"))
 
+  /** Mixture resampling: downsample each stratum so the SURVIVING mix
+    * approaches the caller's target shares (training-data mixture
+    * construction — "30% web, 30% code, 40% books" from whatever the
+    * crawl happened to contain). `weightOf` maps a stratum value to its
+    * relative target weight; the keep-rate for stratum s is
+    * min(1, (w_s/ΣW)·N/n_s), computed FROM the data (one tiny
+    * per-stratum count), then applied as the same md5 row gate as
+    * [[hashSample]] — deterministic, no RNG. 100 TB shape: the count is
+    * one map-side-combined aggregate (stratum cardinality is small by
+    * definition), rates broadcast back, and the gate itself is a pure
+    * scan. Strata above their target keep-rate 1 are NOT upsampled —
+    * matching the usual "epochs handled downstream" convention.
+    */
+  def sampleToMixture(df: org.apache.spark.sql.DataFrame, id: Column,
+      stratum: Column, weightOf: Column => Column)
+      : org.apache.spark.sql.DataFrame = {
+    val c = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n_s"))
+      .withColumn("_w", weightOf(col("_s")).cast("double"))
+    val t = c.agg(sum(col("_n_s")).as("_n_tot"), sum(col("_w")).as("_w_tot"))
+    val rates = c.crossJoin(broadcast(t))
+      .select(col("_s"),
+        least(lit(1.0),
+          col("_w") * lit(1.0) / col("_w_tot") * col("_n_tot") / col("_n_s"))
+          .as("_rate"))
+    df.join(broadcast(rates), stratum === col("_s"))
+      // double-vs-double gate on BOTH sides (no long cast): Spark casts
+      // truncate while DuckDB CAST rounds, so an integer boundary would
+      // diverge between engine and oracle
+      .filter(pmod(hash60(id.cast("string")), lit(1000000L)) <
+        col("_rate") * 1000000.0)
+      .drop("_s", "_rate")
+  }
+
   /** Concat-and-chunk sequence packing (LLM pretraining prep): documents
     * lie head-to-tail per `shard` in `order` and are cut into fixed
     * `binTokens`-token context windows. Adds `bin_id` (the window the
@@ -199,6 +232,78 @@ object TextOps {
     * the scale form; `Dedup.withFingerprint` hoists the arrays.
     */
   def fingerprintFromHashes(hs: Column): Column = array_min(hs)
+
+  /** Sorted-run duplicate statistics over a gram array — the per-row
+    * primitive behind Gopher-style repetition metrics. Sorts the array
+    * and folds run lengths in one pass: `dup` = total occurrences of
+    * grams that appear more than once, `top` = the highest occurrence
+    * count of any single gram. O(n log n) per row inside the engine's
+    * sort + one interpreted fold — NO unnest/groupBy/join-back, so a
+    * 100 TB corpus pays a scan and zero shuffle for its repetition
+    * scores (the relational formulation would shuffle every gram).
+    */
+  def runStats(grams: Column): Column = {
+    val g = array_sort(grams)
+    val z = lit(0L)
+    aggregate(g,
+      struct(lit("").as("prev"), z.as("run"), z.as("dup"), z.as("top")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          when(same, acc.getField("dup"))
+            .otherwise(acc.getField("dup") +
+              when(acc.getField("run") > 1, acc.getField("run"))
+                .otherwise(z)).as("dup"),
+          greatest(acc.getField("top"), run).as("top"))
+      },
+      acc => struct(
+        (acc.getField("dup") +
+          when(acc.getField("run") > 1, acc.getField("run")).otherwise(z))
+          .as("dup"),
+        acc.getField("top").as("top")))
+  }
+
+  /** Gopher-style document-quality gate (Rae et al. 2021 §A1.1 rules,
+    * deterministic subset): word count in [minTok, maxTok], mean word
+    * length in [3, 10], at least two stopword hits, and top-2-gram
+    * occupancy ≤ maxTop2. Returns (keep, reason) where `reason` names
+    * the FIRST failing rule in that fixed order, 'ok' when kept — so the
+    * gate doubles as a drop-reason histogram input. Pure per-row
+    * expressions over materialized token/gram columns: scan-only at any
+    * scale.
+    */
+  def gopherReason(nTok: Column, nAlpha: Column, stopHits: Column,
+      top2Frac: Column, minTok: Int = 50, maxTok: Int = 100000,
+      maxTop2: Double = 0.20): Column = {
+    val meanLen = nAlpha * lit(1.0) / nTok
+    when(nTok < minTok || nTok > maxTok, "word_count")
+      .when(meanLen < 3.0 || meanLen > 10.0, "word_length")
+      .when(stopHits < 2, "stopwords")
+      .when(top2Frac > maxTop2, "repetition")
+      .otherwise("ok")
+  }
+
+  // PII patterns — RE2/Java-compatible subset (no lookaround), so the
+  // DuckDB oracle replays them byte-identically.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: redact emails, short-form phone numbers and IPv4
+    * addresses with typed placeholder tokens. Replacement order is
+    * fixed (email → ip → phone) so the placeholders themselves can
+    * never be re-matched by a later pattern. regexp_replace is
+    * whole-stage-codegen'd — the scrub is scan-speed.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 
   /** Benchmark decontamination — the training-data hygiene pass that
     * flags corpus documents sharing word n-grams with an evaluation

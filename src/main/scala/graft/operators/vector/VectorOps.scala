@@ -102,6 +102,39 @@ object VectorOps {
     }
   }
 
+  /** Deterministic Achlioptas-style projection signs: component
+    * (out dim j, in dim i) ∈ {−1, +1} from the parity of
+    * md5("rproj_j_i")'s first byte. Driver-side once, shipped as
+    * literals — same scheme as [[planes]], so the DuckDB oracle replays
+    * the exact matrix.
+    */
+  def rprojSigns(k: Int, dim: Int): Seq[Array[Float]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    (0 until k).map { j =>
+      Array.tabulate(dim) { i =>
+        val b = mdig.digest(s"rproj_${j}_$i".getBytes("UTF-8"))(0)
+        if ((b & 1) == 0) 1.0f else -1.0f
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection: out_j = (v · s_j)/√k with
+    * the ±1 sign rows of [[rprojSigns]] (Achlioptas 2003 — ±1 entries
+    * preserve pairwise distances like Gaussians, and stay exactly
+    * representable as float literals). The dimensionality-reduction
+    * scale path for similarity search: 64→k dims cuts every downstream
+    * distance computation and index footprint by 64/k at a bounded
+    * distortion. Per-row codegen'd [[dot]] folds, zero shuffle.
+    */
+  def randomProject(df: DataFrame, vecCol: String, k: Int, dim: Int,
+      prefix: String = "p"): DataFrame = {
+    val inv = 1.0 / math.sqrt(k.toDouble)
+    rprojSigns(k, dim).zipWithIndex.foldLeft(df) { case (d, (s, j)) =>
+      d.withColumn(f"$prefix$j%02d",
+        dot(col(vecCol), array(s.toIndexedSeq.map(lit(_)): _*)) * inv)
+    }
+  }
+
   /** Sign-bit LSH bucket id: bit j = (v · plane_j) > 0. */
   def lshBucket(vec: Column, planes: Seq[Array[Float]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

@@ -212,6 +212,175 @@ object LlmPack extends QueryPack {
               |  CAST((CASE WHEN lang = 'en' THEN 0.5 ELSE 0.9 END)
               |       * 1000000 AS BIGINT)""".stripMargin)),
 
+    // Gopher-style repetition metrics (Rae et al. 2021): type-token
+    // ratio plus top/duplicate 2-gram occupancy. The Spark side is a
+    // per-row sorted-run fold (TextOps.runStats — scan-only, zero
+    // shuffle at any corpus size); the oracle computes the same counts
+    // relationally (unnest + group), pinning the fold's arithmetic.
+    "text_repetition" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("_t", TextOps.tokens(col("text")))
+          .withColumn("_g",
+            TextOps.shinglesFromTokens(col("_t"), 2, distinct = false))
+          .withColumn("_rs", TextOps.runStats(col("_g")))
+        d.select(
+          col("doc_id"),
+          size(col("_t")).as("n_tok"),
+          round(size(array_distinct(col("_t"))) * lit(1.0) /
+            size(col("_t")), 6).as("ttr"),
+          round(col("_rs").getField("top") * lit(1.0) /
+            size(col("_g")), 6).as("top2_frac"),
+          round(col("_rs").getField("dup") * lit(1.0) /
+            size(col("_g")), 6).as("dup2_frac"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+              |g AS (SELECT doc_id, len(w) AS n_tok,
+              |        len(list_distinct(w)) AS n_dist,
+              |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+              |          AS grams
+              |      FROM t),
+              |c AS (SELECT doc_id, gram, count(*) AS cnt
+              |      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+              |      GROUP BY 1, 2),
+              |a AS (SELECT doc_id, sum(cnt) AS total, max(cnt) AS top,
+              |        sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+              |      FROM c GROUP BY 1)
+              |SELECT g.doc_id, CAST(g.n_tok AS INTEGER) AS n_tok,
+              |  round(g.n_dist * 1.0 / g.n_tok, 6) AS ttr,
+              |  round(a.top * 1.0 / a.total, 6) AS top2_frac,
+              |  round(a.dup * 1.0 / a.total, 6) AS dup2_frac
+              |FROM g JOIN a USING (doc_id)""".stripMargin)),
+
+    // the Gopher document gate over those metrics: keep/drop plus the
+    // first failing rule — the standard pretraining quality filter,
+    // ready for a drop-reason histogram.
+    "text_gopher_filter" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("_t", TextOps.tokens(col("text")))
+          .withColumn("_g",
+            TextOps.shinglesFromTokens(col("_t"), 2, distinct = false))
+          .withColumn("_rs", TextOps.runStats(col("_g")))
+        d.select(col("doc_id"),
+            TextOps.gopherReason(
+              size(col("_t")), TextOps.charCount(col("text")),
+              TextOps.langScoreFromTokens(col("_t"), "en"),
+              col("_rs").getField("top") * lit(1.0) / size(col("_g")))
+              .as("reason"))
+          .withColumn("keep", col("reason") === "ok")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+              |g AS (SELECT doc_id,
+              |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+              |          AS grams
+              |      FROM t),
+              |c AS (SELECT doc_id, gram, count(*) AS cnt
+              |      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+              |      GROUP BY 1, 2),
+              |a AS (SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS top2
+              |      FROM c GROUP BY 1),
+              |m AS (SELECT d.doc_id, len($toks) AS n_tok,
+              |        len(regexp_replace(text, '\\s+', '', 'g')) AS n_alpha,
+              |        ${stopFilter(TextOps.StopwordsEn)} AS stop_hits,
+              |        a.top2
+              |      FROM documents d JOIN a ON d.doc_id = a.doc_id),
+              |r AS (SELECT doc_id,
+              |        CASE WHEN n_tok < 50 OR n_tok > 100000
+              |               THEN 'word_count'
+              |             WHEN n_alpha * 1.0 / n_tok < 3.0
+              |                  OR n_alpha * 1.0 / n_tok > 10.0
+              |               THEN 'word_length'
+              |             WHEN stop_hits < 2 THEN 'stopwords'
+              |             WHEN top2 > 0.20 THEN 'repetition'
+              |             ELSE 'ok' END AS reason
+              |      FROM m)
+              |SELECT doc_id, reason, reason = 'ok' AS keep
+              |FROM r""".stripMargin)),
+
+    // PII scrub: emails / short phone numbers / IPv4 redacted with typed
+    // placeholders. The corpus text carries no PII by construction, so
+    // the query synthesizes a deterministic contact suffix FROM corpus
+    // fields (varying by doc_id residue — some rows carry each kind,
+    // some none) and scrubs that: the regexes are exercised on real
+    // match/no-match variety and the oracle replays byte-identically.
+    "text_pii_scrub" -> QueryDef(
+      (s, dir) => {
+        val contact = concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" reach "), col("source"), lit("@example."),
+              col("lang"))).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0.1"))).otherwise(lit("")))
+        Tables.documents(s, dir)
+          .withColumn("_c", contact)
+          .select(col("doc_id"),
+            regexp_count(col("_c"), lit(TextOps.EmailRe)).cast("int")
+              .as("n_email"),
+            regexp_count(col("_c"), lit(TextOps.PhoneRe)).cast("int")
+              .as("n_phone"),
+            regexp_count(col("_c"), lit(TextOps.Ipv4Re)).cast("int")
+              .as("n_ip"),
+            TextOps.piiScrub(col("_c")).as("scrubbed"))
+      },
+      Some(s"""WITH c AS (SELECT doc_id,
+              |  text ||
+              |  CASE WHEN doc_id % 3 = 0
+              |       THEN ' reach ' || source || '@example.' || lang
+              |       ELSE '' END ||
+              |  CASE WHEN doc_id % 2 = 0
+              |       THEN ' call 555-' ||
+              |            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |       ELSE '' END ||
+              |  CASE WHEN doc_id % 5 = 0
+              |       THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+              |            || '.0.1'
+              |       ELSE '' END AS c
+              |FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(c, '${TextOps.EmailRe}'))
+              |       AS INTEGER) AS n_email,
+              |  CAST(len(regexp_extract_all(c, '${TextOps.PhoneRe}'))
+              |       AS INTEGER) AS n_phone,
+              |  CAST(len(regexp_extract_all(c, '${TextOps.Ipv4Re}'))
+              |       AS INTEGER) AS n_ip,
+              |  regexp_replace(regexp_replace(regexp_replace(c,
+              |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+              |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+              |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS scrubbed
+              |FROM c""".stripMargin)),
+
+    // mixture resampling: downsample each source toward target shares
+    // computed FROM the data (weights 1..4 by source index) — the
+    // training-mix construction primitive. Rates are a tiny broadcast;
+    // the row gate is the md5 hash sample. The oracle replays counts,
+    // rate arithmetic (same fold order) and gate exactly.
+    "text_sample_weighted" -> QueryDef(
+      (s, dir) =>
+        TextOps.sampleToMixture(Tables.documents(s, dir), col("doc_id"),
+          col("source"),
+          src => regexp_extract(src, "(\\d+)", 1).cast("int") % 4 + 1)
+          .select(col("doc_id"), col("source")),
+      Some(s"""WITH c AS (SELECT source, count(*) AS n_s,
+              |    CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER)
+              |         % 4 + 1 AS DOUBLE) AS w
+              |  FROM documents GROUP BY source),
+              |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
+              |        sum(w) AS w_tot FROM c),
+              |r AS (SELECT source,
+              |        least(1.0, w * 1.0 / w_tot * n_tot / n_s) AS rate
+              |      FROM c, t)
+              |SELECT d.doc_id, d.source
+              |FROM documents d JOIN r USING (source)
+              |WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000
+              |  < rate * 1000000.0""".stripMargin)),
+
     // ---- DFS twins of the extension nodes: the pipeline operators are
     // first-class in the SCRIPT language too (Planner graft-extension
     // section), hash-pinned through the front-end path.
@@ -485,6 +654,31 @@ object LlmPack extends QueryPack {
            |  round(sqrt($n), 6) AS norm,
            |  round(embedding[1] / sqrt($n), 6) AS u0,
            |  round(embedding[2] / sqrt($n), 6) AS u1
+           |FROM embeddings""".stripMargin
+      }),
+
+    // Johnson–Lindenstrauss random projection 64→16 dims (Achlioptas ±1
+    // signs, md5-derived literals): the dimensionality-reduction scale
+    // path for similarity search. The oracle replays the exact sign
+    // matrix and fold-order dot products — the projection is verified
+    // bit-for-bit, not statistically.
+    "emb_rproj" -> QueryDef(
+      (s, dir) => {
+        val p = VectorOps.randomProject(
+          Tables.embeddings(s, dir), "embedding", 16, 64)
+        p.select(col("vec_id") +:
+          (0 until 16).map(j =>
+            round(col(f"p$j%02d"), 6).as(f"p$j%02d")): _*)
+      },
+      Some {
+        def signLit(a: Array[Float]) =
+          a.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+        val cols = VectorOps.rprojSigns(16, 64).zipWithIndex.map {
+          case (sgn, j) =>
+            f"round(${dotSql("embedding", signLit(sgn))} * 0.25, 6) AS p$j%02d"
+        }.mkString(",\n  ")
+        s"""SELECT vec_id,
+           |  $cols
            |FROM embeddings""".stripMargin
       }),
 

@@ -332,6 +332,94 @@ class LlmSpec extends AnyFunSuite {
       custom.select(col("blob_meta.n_bytes")).head().getInt(0).toDouble)
   }
 
+  test("runStats: sorted-run fold equals the relational counts") {
+    import spark.implicits._
+    val df = Seq(
+      Seq("a", "b", "a", "c", "a", "b"), // a×3, b×2, c×1
+      Seq("x"),                          // single
+      Seq.empty[String]                  // no grams
+    ).toDF("g")
+    val out = df.select(TextOps.runStats(col("g")).as("rs"))
+      .select(col("rs.dup"), col("rs.top")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out(0) == ((5L, 3L))) // dup = 3+2 occurrences, top = 3
+    assert(out(1) == ((0L, 1L)))
+    assert(out(2) == ((0L, 0L)))
+  }
+
+  test("gopherReason fires rules in fixed order, first failure wins") {
+    import spark.implicits._
+    // (nTok, nAlpha, stopHits, top2Frac) → expected reason
+    val cases = Seq(
+      (10, 40, 5, 0.1, "word_count"),    // too short
+      (60, 60, 5, 0.1, "word_length"),   // mean len 1 < 3
+      (60, 240, 1, 0.1, "stopwords"),    // < 2 stop hits
+      (60, 240, 5, 0.5, "repetition"),   // top2 over the cap
+      (10, 10, 0, 0.9, "word_count"),    // all fail → first rule names it
+      (60, 240, 5, 0.1, "ok"))
+    val df = cases.toDF("n", "a", "s", "t", "want")
+    val bad = df.select(col("want"),
+        TextOps.gopherReason(col("n"), col("a"), col("s"), col("t"))
+          .as("got"))
+      .filter(col("want") =!= col("got"))
+    assert(bad.count() == 0)
+  }
+
+  test("piiScrub redacts all three kinds; clean text is untouched") {
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.smith@corp.example now",
+      "call 555-0134 or visit 10.1.2.3 today",
+      "nothing sensitive here").toDF("t")
+    val out = df.select(TextOps.piiScrub(col("t"))).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "call <PHONE> or visit <IP> today")
+    assert(out(2) == "nothing sensitive here")
+  }
+
+  test("sampleToMixture pulls the kept mix toward the target shares") {
+    val docs = Tables.documents(spark, sf)
+    val kept = TextOps.sampleToMixture(docs, col("doc_id"), col("source"),
+      src => regexp_extract(src, "(\\d+)", 1).cast("int") % 4 + 1)
+    // deterministic: same rows on a second run
+    assert(kept.select("doc_id").collect().toSet ==
+      TextOps.sampleToMixture(docs, col("doc_id"), col("source"),
+        src => regexp_extract(src, "(\\d+)", 1).cast("int") % 4 + 1)
+        .select("doc_id").collect().toSet)
+    // a weight-1 source must keep at most as LARGE a fraction as a
+    // weight-4 source (uniform input strata)
+    val frac = kept.groupBy("source").count()
+      .join(docs.groupBy("source").count()
+        .withColumnRenamed("count", "n0"), "source")
+      .withColumn("w",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
+      .withColumn("f", col("count") * lit(1.0) / col("n0"))
+      .groupBy("w").agg(avg("f").as("f")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(frac(1) < frac(4))
+  }
+
+  test("randomProject is deterministic and JL-preserves relative " +
+      "distances on average") {
+    val emb = Tables.embeddings(spark, sf)
+    val p = VectorOps.randomProject(emb, "embedding", 16, 64)
+    assert(p.columns.count(_.startsWith("p")) >= 16)
+    // deterministic matrix
+    assert(VectorOps.rprojSigns(16, 64).map(_.toSeq) ==
+      VectorOps.rprojSigns(16, 64).map(_.toSeq))
+    assert(VectorOps.rprojSigns(16, 64).forall(_.forall(v =>
+      v == 1.0f || v == -1.0f)))
+    // E[||proj||²] = ||v||² under JL: the ratio distribution should
+    // center near 1 (loose band — this is a sanity pin, not a proof)
+    val ratio = p
+      .withColumn("n2", VectorOps.dot(col("embedding"), col("embedding")))
+      .withColumn("p2",
+        (0 until 16).map(j => col(f"p$j%02d") * col(f"p$j%02d"))
+          .reduce(_ + _))
+      .agg(avg(col("p2") / col("n2"))).head().getDouble(0)
+    assert(ratio > 0.5 && ratio < 1.5, s"JL energy ratio $ratio")
+  }
+
   test("frame sampling covers the payload with the right stride") {
     val d = graft.operators.multimodal.Multimodal.withBlob(
       Tables.documents(spark, sf), col("text"))

@@ -66,10 +66,13 @@ class PlanLintSpec extends AnyFunSuite {
     // cosineDupPairsExact's a < b self-join — all-pairs by spec, both
     // fail fast past MaxBroadcastQueries — and fillPeriod's
     // conditionless join against a broadcast 1-ROW min-aggregate (the
-    // lazy scalar-subquery form; Windows.fillPeriod). Anywhere else a
-    // BNLJ means an equi-join lost its keys.
+    // lazy scalar-subquery form; Windows.fillPeriod). sampleToMixture
+    // broadcasts its 1-ROW totals aggregate the same way (N and ΣW
+    // against the per-stratum counts — both sides bounded by stratum
+    // cardinality). Anywhere else a BNLJ means an equi-join lost its
+    // keys.
     val sanctioned = Set("emb_cosine_topk", "dedup_cosine_exact",
-      "win_time_fill_period")
+      "win_time_fill_period", "text_sample_weighted")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
