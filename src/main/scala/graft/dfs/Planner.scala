@@ -2243,6 +2243,91 @@ object Planner {
         Paths.ref(id), bm,
         optNum(n, "n", env).map(_.toInt).getOrElse(3))
     },
+    // Gopher-style repetition metrics as a flow node (graft extension,
+    // the TextOps.runStats door): appends n_tok / ttr / top_frac /
+    // dup_frac for `.n`-gram repetition — per-row sorted-run fold, no
+    // shuffle, streams as-is.
+    "repetition" -> bt(Set("text_field", "n")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val ng = optNum(n, "n", env).map(_.toInt).getOrElse(2)
+      val T = graft.operators.text.TextOps
+      val d = ctx.df
+        .withColumn("_t", T.tokens(Paths.ref(text)))
+        .withColumn("_g", T.shinglesFromTokens(col("_t"), ng,
+          distinct = false))
+        .withColumn("_rs", T.runStats(col("_g")))
+      d.withColumn("n_tok", size(col("_t")))
+        .withColumn("ttr", round(size(array_distinct(col("_t"))) *
+          lit(1.0) / size(col("_t")), 6))
+        .withColumn("top_frac", round(col("_rs").getField("top") *
+          lit(1.0) / size(col("_g")), 6))
+        .withColumn("dup_frac", round(col("_rs").getField("dup") *
+          lit(1.0) / size(col("_g")), 6))
+        .drop("_t", "_g", "_rs")
+    },
+    // the Gopher document-quality gate: DROPS failing documents by
+    // default; `.annotate()` keeps every row and lands `reason`/`keep`
+    // instead (the drop-reason histogram form).
+    "gopher_filter" -> bt(Set("text_field", "min_tokens", "max_tokens",
+      "max_top2", "annotate")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val tcol = Paths.ref(text)
+      val T = graft.operators.text.TextOps
+      val d = ctx.df
+        .withColumn("_t", T.tokens(tcol))
+        .withColumn("_g", T.shinglesFromTokens(col("_t"), 2,
+          distinct = false))
+        .withColumn("_rs", T.runStats(col("_g")))
+        .withColumn("reason", T.gopherReason(
+          size(col("_t")), T.charCount(tcol),
+          T.langScoreFromTokens(col("_t"), "en"),
+          col("_rs").getField("top") * lit(1.0) / size(col("_g")),
+          optNum(n, "min_tokens", env).map(_.toInt).getOrElse(50),
+          optNum(n, "max_tokens", env).map(_.toInt).getOrElse(100000),
+          optNum(n, "max_top2", env).getOrElse(0.20)))
+        .drop("_t", "_g", "_rs")
+      if (optFlag(n, "annotate", env))
+        d.withColumn("keep", col("reason") === "ok")
+      else d.filter(col("reason") === "ok").drop("reason")
+    },
+    // PII scrub: redact emails / phone numbers / IPv4 in the listed
+    // string fields in place (default 'text'); `.counts()` lands
+    // <field>_n_email / _n_phone / _n_ip first.
+    "pii_scrub" -> bt(Set("fields", "counts")) { (ctx, n, env) =>
+      val T = graft.operators.text.TextOps
+      val fields = (argStrs(n, env) ++ optStrs(n, "fields", env)) match {
+        case Seq() => Seq("text")
+        case f => f
+      }
+      fields.foldLeft(ctx.df) { (d, f) =>
+        val c = Paths.ref(f)
+        val d2 =
+          if (optFlag(n, "counts", env))
+            d.withColumn(s"${f}_n_email",
+                regexp_count(c, lit(T.EmailRe)).cast("int"))
+              .withColumn(s"${f}_n_phone",
+                regexp_count(c, lit(T.PhoneRe)).cast("int"))
+              .withColumn(s"${f}_n_ip",
+                regexp_count(c, lit(T.Ipv4Re)).cast("int"))
+          else d
+        d2.withColumn(f, T.piiScrub(c))
+      }
+    },
+    // mixture resampling to target shares (TextOps.sampleToMixture):
+    // `.weight` is a per-row lambda giving the stratum's relative
+    // target weight (functionally dependent on `.stratum`).
+    "sample_mixture" -> bt(Set("id_field", "stratum", "weight")) {
+      (ctx, n, env) =>
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("sample_mixture: .id_field"))
+      val st = optStr(n, "stratum", env)
+        .getOrElse(throw DfsError("sample_mixture: .stratum"))
+      val w = optLambdas(n, "weight", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("sample_mixture: .weight(lambda)"))
+      graft.operators.text.TextOps.sampleToMixture(ctx.df, Paths.ref(id),
+        Paths.ref(st), w)
+    },
 
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary

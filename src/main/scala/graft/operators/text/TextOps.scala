@@ -39,21 +39,22 @@ object TextOps {
   /** Mixture resampling: downsample each stratum so the SURVIVING mix
     * approaches the caller's target shares (training-data mixture
     * construction — "30% web, 30% code, 40% books" from whatever the
-    * crawl happened to contain). `weightOf` maps a stratum value to its
-    * relative target weight; the keep-rate for stratum s is
-    * min(1, (w_s/ΣW)·N/n_s), computed FROM the data (one tiny
-    * per-stratum count), then applied as the same md5 row gate as
-    * [[hashSample]] — deterministic, no RNG. 100 TB shape: the count is
-    * one map-side-combined aggregate (stratum cardinality is small by
+    * crawl happened to contain). `weight` is a PER-ROW column giving the
+    * stratum's relative target weight (it must be functionally dependent
+    * on the stratum — max() is the per-stratum dedupe); the keep-rate
+    * for stratum s is min(1, (w_s/ΣW)·N/n_s), computed FROM the data
+    * (one tiny per-stratum count), then applied as the same md5 row gate
+    * as [[hashSample]] — deterministic, no RNG. 100 TB shape: the count
+    * is one map-side-combined aggregate (stratum cardinality is small by
     * definition), rates broadcast back, and the gate itself is a pure
     * scan. Strata above their target keep-rate 1 are NOT upsampled —
     * matching the usual "epochs handled downstream" convention.
     */
   def sampleToMixture(df: org.apache.spark.sql.DataFrame, id: Column,
-      stratum: Column, weightOf: Column => Column)
+      stratum: Column, weight: Column)
       : org.apache.spark.sql.DataFrame = {
-    val c = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n_s"))
-      .withColumn("_w", weightOf(col("_s")).cast("double"))
+    val c = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n_s"),
+      max(weight.cast("double")).as("_w"))
     val t = c.agg(sum(col("_n_s")).as("_n_tot"), sum(col("_w")).as("_w_tot"))
     val rates = c.crossJoin(broadcast(t))
       .select(col("_s"),

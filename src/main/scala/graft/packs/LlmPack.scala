@@ -365,7 +365,7 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         TextOps.sampleToMixture(Tables.documents(s, dir), col("doc_id"),
           col("source"),
-          src => regexp_extract(src, "(\\d+)", 1).cast("int") % 4 + 1)
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
           .select(col("doc_id"), col("source")),
       Some(s"""WITH c AS (SELECT source, count(*) AS n_s,
               |    CAST(CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER)
@@ -439,6 +439,111 @@ object LlmPack extends QueryPack {
               |            - (cum_end - n_tok) // 512 + 1
               |  END AS n_bins
               |FROM c""".stripMargin)),
+
+    "dfs_repetition" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|repetition(.text_field('text'))
+          #|keep('doc_id', 'n_tok', 'ttr', 'top_frac', 'dup_frac')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+              |g AS (SELECT doc_id, len(w) AS n_tok,
+              |        len(list_distinct(w)) AS n_dist,
+              |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+              |          AS grams
+              |      FROM t),
+              |c AS (SELECT doc_id, gram, count(*) AS cnt
+              |      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+              |      GROUP BY 1, 2),
+              |a AS (SELECT doc_id, sum(cnt) AS total, max(cnt) AS top,
+              |        sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+              |      FROM c GROUP BY 1)
+              |SELECT g.doc_id, CAST(g.n_tok AS INTEGER) AS n_tok,
+              |  round(g.n_dist * 1.0 / g.n_tok, 6) AS ttr,
+              |  round(a.top * 1.0 / a.total, 6) AS top_frac,
+              |  round(a.dup * 1.0 / a.total, 6) AS dup_frac
+              |FROM g JOIN a USING (doc_id)""".stripMargin)),
+
+    "dfs_gopher_filter" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|gopher_filter(.text_field('text').annotate())
+          #|keep('doc_id', 'reason', 'keep')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+              |g AS (SELECT doc_id,
+              |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+              |          AS grams
+              |      FROM t),
+              |c AS (SELECT doc_id, gram, count(*) AS cnt
+              |      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+              |      GROUP BY 1, 2),
+              |a AS (SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS top2
+              |      FROM c GROUP BY 1),
+              |m AS (SELECT d.doc_id, len($toks) AS n_tok,
+              |        len(regexp_replace(text, '\\s+', '', 'g')) AS n_alpha,
+              |        ${stopFilter(TextOps.StopwordsEn)} AS stop_hits,
+              |        a.top2
+              |      FROM documents d JOIN a ON d.doc_id = a.doc_id),
+              |r AS (SELECT doc_id,
+              |        CASE WHEN n_tok < 50 OR n_tok > 100000
+              |               THEN 'word_count'
+              |             WHEN n_alpha * 1.0 / n_tok < 3.0
+              |                  OR n_alpha * 1.0 / n_tok > 10.0
+              |               THEN 'word_length'
+              |             WHEN stop_hits < 2 THEN 'stopwords'
+              |             WHEN top2 > 0.20 THEN 'repetition'
+              |             ELSE 'ok' END AS reason
+              |      FROM m)
+              |SELECT doc_id, reason, reason = 'ok' AS keep
+              |FROM r""".stripMargin)),
+
+    "dfs_pii_scrub" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat("text", ' reach ', "source",
+          #                         '@example.', "lang")).as('c')
+          #|pii_scrub('c', .counts())
+          #|keep('doc_id', 'c_n_email', 'c_n_phone', 'c_n_ip', 'c')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH c AS (SELECT doc_id,
+              |  text || ' reach ' || source || '@example.' || lang AS c
+              |FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(regexp_extract_all(c, '${TextOps.EmailRe}'))
+              |       AS INTEGER) AS c_n_email,
+              |  CAST(len(regexp_extract_all(c, '${TextOps.PhoneRe}'))
+              |       AS INTEGER) AS c_n_phone,
+              |  CAST(len(regexp_extract_all(c, '${TextOps.Ipv4Re}'))
+              |       AS INTEGER) AS c_n_ip,
+              |  regexp_replace(regexp_replace(regexp_replace(c,
+              |    '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+              |    '${TextOps.Ipv4Re}', '<IP>', 'g'),
+              |    '${TextOps.PhoneRe}', '<PHONE>', 'g') AS c
+              |FROM c""".stripMargin)),
+
+    "dfs_sample_mixture" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|sample_mixture(
+          #  .id_field('doc_id')
+          #  .stratum('lang')
+          #  .weight(lambda: if("lang" == 'en', 4, 1)))
+          #|keep('doc_id', 'lang')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n_s,
+              |    max(CAST(CASE WHEN lang = 'en' THEN 4 ELSE 1 END
+              |             AS DOUBLE)) AS w
+              |  FROM documents GROUP BY lang),
+              |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
+              |        sum(w) AS w_tot FROM c),
+              |r AS (SELECT lang,
+              |        least(1.0, w * 1.0 / w_tot * n_tot / n_s) AS rate
+              |      FROM c, t)
+              |SELECT d.doc_id, d.lang
+              |FROM documents d JOIN r USING (lang)
+              |WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000
+              |  < rate * 1000000.0""".stripMargin)),
 
     "dfs_near_dedup" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(

@@ -379,12 +379,11 @@ class LlmSpec extends AnyFunSuite {
 
   test("sampleToMixture pulls the kept mix toward the target shares") {
     val docs = Tables.documents(spark, sf)
-    val kept = TextOps.sampleToMixture(docs, col("doc_id"), col("source"),
-      src => regexp_extract(src, "(\\d+)", 1).cast("int") % 4 + 1)
+    val w = regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1
+    val kept = TextOps.sampleToMixture(docs, col("doc_id"), col("source"), w)
     // deterministic: same rows on a second run
     assert(kept.select("doc_id").collect().toSet ==
-      TextOps.sampleToMixture(docs, col("doc_id"), col("source"),
-        src => regexp_extract(src, "(\\d+)", 1).cast("int") % 4 + 1)
+      TextOps.sampleToMixture(docs, col("doc_id"), col("source"), w)
         .select("doc_id").collect().toSet)
     // a weight-1 source must keep at most as LARGE a fraction as a
     // weight-4 source (uniform input strata)

@@ -72,7 +72,8 @@ class PlanLintSpec extends AnyFunSuite {
     // cardinality). Anywhere else a BNLJ means an equi-join lost its
     // keys.
     val sanctioned = Set("emb_cosine_topk", "dedup_cosine_exact",
-      "win_time_fill_period", "text_sample_weighted")
+      "win_time_fill_period", "text_sample_weighted",
+      "dfs_sample_mixture")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
