@@ -52,15 +52,35 @@ object TextOps {
     */
   def sampleToMixture(df: org.apache.spark.sql.DataFrame, id: Column,
       stratum: Column, weight: Column)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    applyMixtureGate(df, id, stratum, mixtureRates(df, stratum, weight))
+
+  /** The per-stratum keep rates of [[sampleToMixture]] as a tiny
+    * `(_s, _rate)` frame — stratum-cardinality rows. Separated so a
+    * STREAM can be gated against rates computed from a static corpus
+    * (the production shape: the reference mix is a batch fact, arriving
+    * documents are gated stream-side via the broadcast join).
+    */
+  def mixtureRates(df: org.apache.spark.sql.DataFrame,
+      stratum: Column, weight: Column): org.apache.spark.sql.DataFrame = {
     val c = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n_s"),
       max(weight.cast("double")).as("_w"))
     val t = c.agg(sum(col("_n_s")).as("_n_tot"), sum(col("_w")).as("_w_tot"))
-    val rates = c.crossJoin(broadcast(t))
+    c.crossJoin(broadcast(t))
       .select(col("_s"),
         least(lit(1.0),
           col("_w") * lit(1.0) / col("_w_tot") * col("_n_tot") / col("_n_s"))
           .as("_rate"))
+  }
+
+  /** Gate rows by the md5 sample against precomputed [[mixtureRates]].
+    * Works identically on a batch frame and a streaming one (the rates
+    * side is static — a broadcast stream-static join + stateless
+    * filter).
+    */
+  def applyMixtureGate(df: org.apache.spark.sql.DataFrame, id: Column,
+      stratum: Column, rates: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     df.join(broadcast(rates), stratum === col("_s"))
       // double-vs-double gate on BOTH sides (no long cast): Spark casts
       // truncate while DuckDB CAST rounds, so an integer boundary would
@@ -68,7 +88,6 @@ object TextOps {
       .filter(pmod(hash60(id.cast("string")), lit(1000000L)) <
         col("_rate") * 1000000.0)
       .drop("_s", "_rate")
-  }
 
   /** Concat-and-chunk sequence packing (LLM pretraining prep): documents
     * lie head-to-tail per `shard` in `order` and are cut into fixed

@@ -279,6 +279,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(twoBatches == batch)
   }
 
+  test("repetition/gopher/pii per-row ops stream as-is, match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    // event_type carries the text; repeated words exercise the run fold
+    val data = Seq(
+      Ev(1, 1, 0, "a b a b a b a b"),
+      Ev(1, 2, 0, "the a of and to is in x y z"),
+      Ev(1, 3, 0, "mail me bob@x.example or 10.0.0.1"))
+    def metrics(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("_t", T.tokens(col("event_type")))
+      .withColumn("_g", T.shinglesFromTokens(col("_t"), 2,
+        distinct = false))
+      .withColumn("_rs", T.runStats(col("_g")))
+      .select(col("seq"),
+        col("_rs").getField("top").as("top"),
+        col("_rs").getField("dup").as("dup"),
+        T.gopherReason(size(col("_t")), T.charCount(col("event_type")),
+          T.langScoreFromTokens(col("_t"), "en"),
+          col("_rs").getField("top") * lit(1.0) /
+            greatest(size(col("_g")), lit(1))).as("reason"),
+        T.piiScrub(col("event_type")).as("scrubbed"))
+    val batch = metrics(data.toDF()).collect().map(_.toSeq).toSet
+    val streamed = runStream("perrow")(in =>
+      metrics(in.toDS().toDF()).as[(Long, Long, Long, String, String)])(
+      data).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // the scrub actually fired
+    assert(batch.exists(_.last.toString.contains("<EMAIL>")))
+  }
+
+  test("mixture gate: stream gated by static rates matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val data = (1L to 60L).map(i =>
+      Ev(i % 3, i, i.toDouble, if (i % 3 == 0) "en" else "de"))
+    val static = data.toDF()
+    val w = when(col("event_type") === "en", lit(4)).otherwise(lit(1))
+    val batch = T.sampleToMixture(static, col("seq"), col("event_type"), w)
+      .select("seq").as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < 60)
+    // production shape: rates are a batch fact over the static corpus,
+    // the arriving stream pays only the broadcast join + row gate
+    val rates = T.mixtureRates(static, col("event_type"), w)
+    val streamed = runStream("mixgate")(in =>
+      T.applyMixtureGate(in.toDS().toDF(), col("seq"), col("event_type"),
+        rates).as[Ev])(data)
+      .select("seq").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("near-dup pairs: micro-batch form via foreachBatch matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
