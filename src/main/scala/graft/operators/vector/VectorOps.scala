@@ -407,23 +407,41 @@ object VectorOps {
       nCells: Int,
       iters: Int = 2,
       maxTrainRows: Int = 100000): Array[Array[Float]] = {
-    val sample = corpus
+    val sample = trainSample(corpus, idCol, vecCol, maxTrainRows)
+    require(sample.length >= nCells,
+      s"ivfCentroids: ${sample.length} training rows < $nCells cells")
+    lloyd(sample, nCells, iters)
+  }
+
+  /** The bounded deterministic training sample shared by every
+    * driver-side quantizer trainer: the `maxTrainRows` first rows in
+    * md5(id) order (a pseudo-random shuffle; TakeOrdered — no full sort
+    * at scale).
+    */
+  private def trainSample(corpus: DataFrame, idCol: String,
+      vecCol: String, maxTrainRows: Int): Array[Array[Float]] =
+    corpus
       .select(md5(col(idCol).cast("string")).as("_h"), col(vecCol).as("_v"))
       .orderBy("_h")
       .limit(maxTrainRows)
       .collect()
       .map(_.getSeq[Float](1).toArray)
-    require(sample.length >= nCells,
-      s"ivfCentroids: ${sample.length} training rows < $nCells cells")
+
+  /** Plain-Scala Lloyd refinement, seeded from the sample head. Total
+    * fold order ⇒ bit-reproducible centroids (unlike a distributed
+    * Lloyd step whose partial-sum order floats with partitioning).
+    */
+  private def lloyd(sample: Array[Array[Float]], k: Int,
+      iters: Int): Array[Array[Float]] = {
     val dim = sample.head.length
-    var cents = sample.take(nCells).map(_.clone())
+    var cents = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
-      val sums = Array.fill(nCells)(new Array[Double](dim))
-      val counts = new Array[Long](nCells)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < nCells) {
+        while (c < k) {
           var d = 0.0; var i = 0
           while (i < dim) { val t = (v(i) - cents(c)(i)).toDouble; d += t * t; i += 1 }
           if (d < bestD) { bestD = d; best = c }
@@ -433,12 +451,154 @@ object VectorOps {
         while (i < dim) { s(i) += v(i); i += 1 }
         counts(best) += 1
       }
-      cents = Array.tabulate(nCells) { c =>
+      cents = Array.tabulate(k) { c =>
         if (counts(c) == 0) cents(c) // empty cell keeps its centroid
         else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
       }
     }
     cents
+  }
+
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector is
+    * split into `m` contiguous subspaces of dim/m dims; each subspace
+    * gets its own `ksub`-centroid Lloyd codebook over the SAME bounded
+    * deterministic sample as [[ivfCentroids]]. Returns
+    * books(subspace)(centroid)(dim) — driver-side literals, never
+    * broadcast state.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iters: Int = 2,
+      maxTrainRows: Int = 100000): Array[Array[Array[Float]]] = {
+    val sample = trainSample(corpus, idCol, vecCol, maxTrainRows)
+    require(sample.length >= ksub,
+      s"pqCodebooks: ${sample.length} training rows < $ksub centroids")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      lloyd(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)), ksub, iters)
+    }
+  }
+
+  /** Deterministic md5-seeded PQ codebooks (the [[planes]] scheme,
+    * scaled into [-0.5, 0.5) — the corpus embedding range): centroid
+    * component (subspace j, centroid c, dim i) from md5("pqbook_j_c_i").
+    * Static — independent of the data — so the DuckDB oracle can embed
+    * the exact book and replay encode + ADC bit-for-bit. Production
+    * code wants [[pqCodebooks]] (trained beats seeded on distortion);
+    * the seeded form pins the machinery and serves as a cold-start
+    * book.
+    */
+  def pqSeedBooks(m: Int, ksub: Int,
+      dsub: Int): Array[Array[Array[Float]]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(m) { j =>
+      Array.tabulate(ksub) { c =>
+        Array.tabulate(dsub) { i =>
+          val h = mdig.digest(s"pqbook_${j}_${c}_$i".getBytes("UTF-8"))
+            .take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+          ((java.lang.Long.remainderUnsigned(h, 2001L) - 1000L) / 2000.0)
+            .toFloat
+        }
+      }
+    }
+  }
+
+  /** PQ encode: per subspace, the index of the nearest codebook
+    * centroid — the vector compresses to `m` small ints (+ nothing
+    * else), a 4·dim/m-fold memory cut (64 float dims → 8 bytes at
+    * m=8). Per-row codegen'd [[graft.functions.FloatSqDist]] folds over
+    * materialized per-subspace distance arrays; argmin is
+    * array_position(min) with ties to the LOWER centroid id — fully
+    * deterministic, zero shuffle.
+    */
+  def pqEncode(df: DataFrame, vecCol: String,
+      books: Array[Array[Array[Float]]], as: String = "pq_code")
+      : DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val withD = books.zipWithIndex.foldLeft(df) { case (d, (cents, j)) =>
+      d.withColumn(s"_pqd$j", array(cents.toIndexedSeq.map(cent =>
+        graft.functions.VectorExpressions.floatSqDist(
+          slice(col(vecCol), j * dsub + 1, dsub),
+          array(cent.toIndexedSeq.map(lit(_)): _*))): _*))
+    }
+    val coded = withD.withColumn(as, array((0 until m).map(j =>
+      (array_position(col(s"_pqd$j"), array_min(col(s"_pqd$j"))) - 1)
+        .cast("int")): _*))
+    (0 until m).foldLeft(coded)((d, j) => d.drop(s"_pqd$j"))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): the corpus is
+    * scanned as CODES ONLY (m small ints per row — the compressed
+    * index); each query precomputes its m×ksub table of exact
+    * subspace distances to every centroid, and a corpus row's
+    * approximate squared distance is m table lookups summed. The
+    * memory-scale ANN form: at 100 TB the code table is dim·4/m× smaller
+    * than the float corpus, the per-pair cost is m adds (no dot
+    * product), and the scan parallelizes like any column scan. Queries
+    * broadcast (guarded like [[bruteTopK]]); ranking ascends ADC
+    * distance with ties to the lower id.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      maxTrainRows: Int = 100000,
+      maxQueryRows: Long = MaxBroadcastQueries): DataFrame =
+    pqTopKWithBooks(corpus, queries, idCol, vecCol, k,
+      pqCodebooks(corpus, idCol, vecCol, m, ksub, iters, maxTrainRows),
+      maxQueryRows)
+
+  /** [[pqTopK]] with an explicit codebook (trained elsewhere, seeded
+    * via [[pqSeedBooks]], or loaded — the index artifact is the book +
+    * the encoded corpus).
+    */
+  def pqTopKWithBooks(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      books: Array[Array[Array[Float]]],
+      maxQueryRows: Long = MaxBroadcastQueries): DataFrame = {
+    val m = books.length
+    val qCount = queries.count()
+    require(qCount <= maxQueryRows,
+      s"pqTopK query side has $qCount rows (max $maxQueryRows): too " +
+        "large to broadcast — shard the query set, or raise maxQueryRows")
+    val dsub = books(0)(0).length
+    val c = pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
+      books, "_code").drop(vecCol) // codes only past this point
+    val q = books.zipWithIndex.foldLeft(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))) {
+      case (d, (cents, j)) =>
+        d.withColumn(s"_qt$j", array(cents.toIndexedSeq.map(cent =>
+          graft.functions.VectorExpressions.floatSqDist(
+            slice(col("q_vec"), j * dsub + 1, dsub),
+            array(cent.toIndexedSeq.map(lit(_)): _*))): _*))
+    }.drop("q_vec")
+    val adc = (0 until m).map(j =>
+      element_at(col(s"_qt$j"), element_at(col("_code"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("adc", adc)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol),
+        round(col("adc"), 6).as("adc"))
   }
 
   /** IVF-Flat ANN top-k: the quantizer partitions the corpus into `nCells`

@@ -42,6 +42,33 @@ object LlmPack extends QueryPack {
        |    x -> struct_extract(x, 1) * struct_extract(x, 2))),
        |  (acc, v) -> acc + v)""".stripMargin
 
+  // Σ(a_i−b_i)² with the FLOAT subtract/square and DOUBLE accumulate of
+  // graft.functions.FloatSqDist — DuckDB keeps FLOAT arithmetic in
+  // binary32 (pinned already by dotSql vs FloatDot), so the fold is
+  // bit-identical.
+  private def sqDistSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |    x -> CAST((struct_extract(x, 1) - struct_extract(x, 2))
+       |              * (struct_extract(x, 1) - struct_extract(x, 2))
+       |         AS DOUBLE))),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  // the shared corpus-side PQ replay for the emb_pq_* oracles: per
+  // subspace j, the list of exact subspace distances to every seeded
+  // centroid (d0..d7) — codes are argmin over it, and a query's ADC
+  // table IS its own row's list (queries ⊂ corpus)
+  private lazy val pqOracleDists: String = {
+    val books = VectorOps.pqSeedBooks(8, 8, 8)
+    def bookLit(a: Array[Float]) =
+      a.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+    (0 until 8).map { j =>
+      val sub = s"embedding[${j * 8 + 1}:${(j + 1) * 8}]"
+      books(j).map(c => sqDistSql(sub, bookLit(c)))
+        .mkString("[", ",\n   ", s"] AS d$j")
+    }.mkString(",\n  ")
+  }
+
   // the full sign-bit LSH cosine near-dup replay (same md5-derived
   // planes, band buckets, candidate join, fold-order cosine — the hash
   // pins the whole algorithm, recall included), shared by the fixed-
@@ -904,6 +931,57 @@ object LlmPack extends QueryPack {
            |      FROM s)
            |WHERE rnk <= 3""".stripMargin
       }),
+
+    // Product quantization (Jégou et al. 2011), md5-seeded codebook
+    // form: the corpus compresses to m=8 one-byte codes per vector (32×
+    // memory cut), queries rank by ADC table lookups. The oracle embeds
+    // the exact seeded book and replays encode (argmin over bit-exact
+    // FLOAT sq-dist folds) and the ADC sum — machinery verified
+    // end-to-end; the TRAINED book path (pqCodebooks) is unit-pinned
+    // (deterministic total-order Lloyd, same as IVF).
+    "emb_pq_codes" -> QueryDef(
+      (s, dir) =>
+        VectorOps.pqEncode(
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+          "embedding", VectorOps.pqSeedBooks(8, 8, 8))
+          .select(col("vec_id"),
+            concat_ws(",", col("pq_code").cast("array<string>"))
+              .as("pq_code")),
+      Some(s"""WITH d AS (SELECT vec_id,
+              |  $pqOracleDists
+              |FROM embeddings)
+              |SELECT vec_id, array_to_string([${(0 until 8).map(j =>
+                  s"list_position(d$j, list_min(d$j)) - 1").mkString(", ")}],
+              |  ',') AS pq_code
+              |FROM d""".stripMargin)),
+
+    "emb_pq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.pqTopKWithBooks(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          3, VectorOps.pqSeedBooks(8, 8, 8))
+      },
+      Some(s"""WITH d AS (SELECT vec_id,
+              |  $pqOracleDists
+              |FROM embeddings),
+              |c AS (SELECT vec_id, ${(0 until 8).map(j =>
+                  s"list_position(d$j, list_min(d$j)) - 1 AS code$j")
+                  .mkString(", ")}
+              |      FROM d),
+              |qd AS (SELECT vec_id AS q_id, ${(0 until 8).map(j =>
+                  s"d$j AS qt$j").mkString(", ")}
+              |       FROM d WHERE vec_id % 50 = 0),
+              |s AS (SELECT q_id, vec_id,
+              |        ${(0 until 8).map(j => s"qt$j[code$j + 1]")
+                  .mkString(" + ")} AS adc
+              |      FROM c, qd WHERE vec_id <> q_id)
+              |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id,
+              |  round(adc, 6) AS adc
+              |FROM (SELECT *, row_number() OVER
+              |        (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+              |      FROM s)
+              |WHERE rnk <= 3""".stripMargin)),
 
     // ---- multimodal plumbing -------------------------------------------
     // vector lambdas through the DFS front-end: vec_norm/vec_dot compile

@@ -419,6 +419,48 @@ class LlmSpec extends AnyFunSuite {
     assert(ratio > 0.5 && ratio < 1.5, s"JL energy ratio $ratio")
   }
 
+  test("pqCodebooks: deterministic shapes; pqEncode codes in range") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", 8, 4)
+    assert(books.length == 8 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == 8)))
+    // total-order Lloyd: bit-identical on retrain
+    val again = VectorOps.pqCodebooks(emb, "vec_id", "embedding", 8, 4)
+    assert(books.map(_.map(_.toSeq).toSeq).toSeq ==
+      again.map(_.map(_.toSeq).toSeq).toSeq)
+    val codes = VectorOps.pqEncode(emb, "embedding", books)
+      .select(col("pq_code")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.size == 8 && c.forall(x => x >= 0 && x < 4)))
+  }
+
+  test("pqTopK: trained-book ADC ranking overlaps brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 20 === 0)
+    val brute = VectorOps.bruteTopK(emb, q, "vec_id", "embedding", 5)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val pq = VectorOps.pqTopK(emb, q, "vec_id", "embedding", 5,
+        m = 8, ksub = 16, iters = 6)
+      .select(col("q_id"), col("vec_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    // ADC is approximate (especially at this tiny training size): ask
+    // only that the rankings are correlated, not equal — on average at
+    // least one of five brute neighbours appears in the PQ five
+    val overlaps = brute.keys.toSeq.map(k =>
+      (brute(k) & pq.getOrElse(k, Set.empty)).size)
+    assert(overlaps.sum.toDouble / overlaps.size >= 1.0,
+      s"mean ADC/brute overlap ${overlaps.sum.toDouble / overlaps.size}")
+  }
+
+  test("pqTopK fails fast on an oversized query side") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.pqTopKWithBooks(emb, emb, "vec_id", "embedding", 3,
+        VectorOps.pqSeedBooks(8, 8, 8), maxQueryRows = 3)
+    }
+    assert(e.getMessage.contains("too large to broadcast"))
+  }
+
   test("frame sampling covers the payload with the right stride") {
     val d = graft.operators.multimodal.Multimodal.withBlob(
       Tables.documents(spark, sf), col("text"))

@@ -73,7 +73,10 @@ class PlanLintSpec extends AnyFunSuite {
     // keys.
     val sanctioned = Set("emb_cosine_topk", "dedup_cosine_exact",
       "win_time_fill_period", "text_sample_weighted",
-      "dfs_sample_mixture")
+      "dfs_sample_mixture",
+      // pqTopK broadcasts its guarded query side like bruteTopK; the
+      // corpus side past the join is CODES ONLY (m ints/row)
+      "emb_pq_topk")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
