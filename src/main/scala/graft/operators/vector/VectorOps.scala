@@ -577,23 +577,119 @@ object VectorOps {
     require(qCount <= maxQueryRows,
       s"pqTopK query side has $qCount rows (max $maxQueryRows): too " +
         "large to broadcast — shard the query set, or raise maxQueryRows")
-    val dsub = books(0)(0).length
     val c = pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
       books, "_code").drop(vecCol) // codes only past this point
-    val q = books.zipWithIndex.foldLeft(
-      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))) {
-      case (d, (cents, j)) =>
-        d.withColumn(s"_qt$j", array(cents.toIndexedSeq.map(cent =>
-          graft.functions.VectorExpressions.floatSqDist(
-            slice(col("q_vec"), j * dsub + 1, dsub),
-            array(cent.toIndexedSeq.map(lit(_)): _*))): _*))
-    }.drop("q_vec")
-    val adc = (0 until m).map(j =>
-      element_at(col(s"_qt$j"), element_at(col("_code"), j + 1) + 1))
-      .reduce(_ + _)
+    val q = pqQueryTables(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+      "q_vec", books).drop("q_vec")
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
-      .withColumn("adc", adc)
+      .withColumn("adc", adcSum(m))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol),
+        round(col("adc"), 6).as("adc"))
+  }
+
+  /** Per-query ADC distance tables: `_qt{j}` holds the exact subspace-j
+    * squared distances from the query to every book-j centroid (ksub
+    * floats) — the m×ksub table that rides each broadcast query row.
+    */
+  private def pqQueryTables(df: DataFrame, vecCol: String,
+      books: Array[Array[Array[Float]]]): DataFrame = {
+    val dsub = books(0)(0).length
+    books.zipWithIndex.foldLeft(df) { case (d, (cents, j)) =>
+      d.withColumn(s"_qt$j", array(cents.toIndexedSeq.map(cent =>
+        graft.functions.VectorExpressions.floatSqDist(
+          slice(col(vecCol), j * dsub + 1, dsub),
+          array(cent.toIndexedSeq.map(lit(_)): _*))): _*))
+    }
+  }
+
+  /** Σ_j qt_j[code_j]: the ADC approximate squared distance — m table
+    * lookups and adds per (query, corpus-code) pair.
+    */
+  private def adcSum(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(col(s"_qt$j"), element_at(col("_code"), j + 1) + 1))
+      .reduce(_ + _)
+
+  /** IVF-PQ ANN top-k — the composed 10⁹+-row index: the IVF coarse
+    * quantizer bounds the SCAN (a query touches nProbe of nCells
+    * inverted lists), PQ codes bound the MEMORY (m small ints per
+    * corpus row), and ADC bounds the PER-PAIR cost (m lookups, no dot
+    * product). Non-residual form: codes quantize the raw vector with
+    * one global book, so at `nProbe == nCells` every (query, corpus)
+    * pair is scored exactly once with exactly [[pqTopKWithBooks]]'s ADC
+    * distance — the full-probe result is IDENTICAL to flat PQ, which is
+    * what the `emb_ivfpq_topk` oracle pins (the same equivalence trick
+    * as `emb_ivf_topk` vs brute force). nProbe < nCells is the linear
+    * recall/cost knob; candidate cells nest as nProbe grows, so recall
+    * is monotone.
+    *
+    * The cell equi-join shuffle-partitions on `_cell` — at cluster
+    * scale the encoded corpus can be written bucketed by cell and the
+    * probe join co-locates with zero corpus movement.
+    */
+  def ivfpqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      ksub: Int = 16,
+      iters: Int = 2,
+      maxTrainRows: Int = 100000,
+      maxQueryRows: Long = MaxBroadcastQueries): DataFrame =
+    ivfpqTopKWithIndex(corpus, queries, idCol, vecCol, k, nProbe,
+      ivfCentroids(corpus, idCol, vecCol, nCells, iters, maxTrainRows),
+      pqCodebooks(corpus, idCol, vecCol, m, ksub, iters, maxTrainRows),
+      maxQueryRows)
+
+  /** [[ivfpqTopK]] with explicit centroids + codebook — the index
+    * artifact is (centroids, book, encoded corpus); training and
+    * serving decouple.
+    */
+  def ivfpqTopKWithIndex(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int,
+      cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]],
+      maxQueryRows: Long = MaxBroadcastQueries): DataFrame = {
+    val m = books.length
+    val nCells = cents.length
+    val qCount = queries.count()
+    require(qCount <= maxQueryRows,
+      s"ivfpqTopK query side has $qCount rows (max $maxQueryRows): too " +
+        "large to broadcast — shard the query set, or raise maxQueryRows")
+    val centSeq = cents.toIndexedSeq
+    val c = pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
+      books, "_code")
+      .withColumn("_dists", cellDists(col(vecCol), centSeq))
+      .withColumn("_cell",
+        (array_position(col("_dists"), array_min(col("_dists"))) - 1)
+          .cast("int"))
+      .drop("_dists", vecCol) // (id, cell, codes) — the whole index row
+    val q = pqQueryTables(
+      queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+      "q_vec", books)
+      .withColumn("_dists", cellDists(col("q_vec"), centSeq))
+      .withColumn("_cell",
+        explode(probeCells(col("_dists"), nCells, nProbe)))
+      .drop("_dists", "q_vec")
+    // each corpus row lives in exactly one cell ⇒ a (query, corpus)
+    // pair joins at most once even across multiple probed cells
+    val scored = c.join(broadcast(q), "_cell")
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("adc", adcSum(m))
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col(idCol))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -69,6 +69,33 @@ object LlmPack extends QueryPack {
     }.mkString(",\n  ")
   }
 
+  // the full seeded-book PQ ADC top-k replay (encode = argmin over
+  // bit-exact FLOAT sq-dist folds; ADC = m table lookups summed),
+  // parameterized by the query-set modulus — shared by emb_pq_topk
+  // (flat scan) and emb_ivfpq_topk (full-probe IVF-PQ, which scores
+  // every pair exactly once with the same distance)
+  private def pqAdcTopkSql(qMod: Int): String =
+    s"""WITH d AS (SELECT vec_id,
+       |  $pqOracleDists
+       |FROM embeddings),
+       |c AS (SELECT vec_id, ${(0 until 8).map(j =>
+           s"list_position(d$j, list_min(d$j)) - 1 AS code$j")
+           .mkString(", ")}
+       |      FROM d),
+       |qd AS (SELECT vec_id AS q_id, ${(0 until 8).map(j =>
+           s"d$j AS qt$j").mkString(", ")}
+       |       FROM d WHERE vec_id % $qMod = 0),
+       |s AS (SELECT q_id, vec_id,
+       |        ${(0 until 8).map(j => s"qt$j[code$j + 1]")
+           .mkString(" + ")} AS adc
+       |      FROM c, qd WHERE vec_id <> q_id)
+       |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id,
+       |  round(adc, 6) AS adc
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
+       |      FROM s)
+       |WHERE rnk <= 3""".stripMargin
+
   // the full sign-bit LSH cosine near-dup replay (same md5-derived
   // planes, band buckets, candidate join, fold-order cosine — the hash
   // pins the whole algorithm, recall included), shared by the fixed-
@@ -962,26 +989,24 @@ object LlmPack extends QueryPack {
           emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
           3, VectorOps.pqSeedBooks(8, 8, 8))
       },
-      Some(s"""WITH d AS (SELECT vec_id,
-              |  $pqOracleDists
-              |FROM embeddings),
-              |c AS (SELECT vec_id, ${(0 until 8).map(j =>
-                  s"list_position(d$j, list_min(d$j)) - 1 AS code$j")
-                  .mkString(", ")}
-              |      FROM d),
-              |qd AS (SELECT vec_id AS q_id, ${(0 until 8).map(j =>
-                  s"d$j AS qt$j").mkString(", ")}
-              |       FROM d WHERE vec_id % 50 = 0),
-              |s AS (SELECT q_id, vec_id,
-              |        ${(0 until 8).map(j => s"qt$j[code$j + 1]")
-                  .mkString(" + ")} AS adc
-              |      FROM c, qd WHERE vec_id <> q_id)
-              |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id,
-              |  round(adc, 6) AS adc
-              |FROM (SELECT *, row_number() OVER
-              |        (PARTITION BY q_id ORDER BY adc, vec_id) AS rnk
-              |      FROM s)
-              |WHERE rnk <= 3""".stripMargin)),
+      Some(pqAdcTopkSql(50))),
+
+    // IVF-PQ, the composed index: IVF cells bound the scan, PQ codes
+    // the memory, ADC the pair cost. Non-residual ⇒ at FULL probe every
+    // pair scores exactly its flat-PQ ADC distance, so the oracle is
+    // the same seeded-book ADC replay (the emb_ivf_topk ≡ brute-force
+    // equivalence trick, one level up); nProbe < nCells is unit-pinned
+    // (recall monotone, full-probe ≡ flat equality in LlmSpec).
+    "emb_ivfpq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.ivfpqTopKWithIndex(
+          emb, emb.filter(col("vec_id") % 40 === 0), "vec_id", "embedding",
+          3, nProbe = 8,
+          VectorOps.ivfCentroids(emb, "vec_id", "embedding", 8),
+          VectorOps.pqSeedBooks(8, 8, 8))
+      },
+      Some(pqAdcTopkSql(40))),
 
     // ---- multimodal plumbing -------------------------------------------
     // vector lambdas through the DFS front-end: vec_norm/vec_dot compile

@@ -452,6 +452,31 @@ class LlmSpec extends AnyFunSuite {
       s"mean ADC/brute overlap ${overlaps.sum.toDouble / overlaps.size}")
   }
 
+  test("ivfpqTopK: full probe equals flat PQ exactly; recall monotone in nProbe") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val books = VectorOps.pqSeedBooks(8, 8, 8)
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", 4)
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rnk", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // non-residual codes: full probe scores every pair with its flat-PQ
+    // ADC distance — result sets are identical, ranks included
+    val flat = collectSet(VectorOps.pqTopKWithBooks(
+      emb, q, "vec_id", "embedding", 5, books))
+    val full = collectSet(VectorOps.ivfpqTopKWithIndex(
+      emb, q, "vec_id", "embedding", 5, nProbe = 4, cents, books))
+    assert(full == flat)
+    // partial probe: probed-cell lists are prefixes, candidates nest,
+    // so flat-top-k hits can only grow with nProbe
+    def hits(p: Int) = (collectSet(VectorOps.ivfpqTopKWithIndex(
+      emb, q, "vec_id", "embedding", 5, nProbe = p, cents, books))
+      intersect flat).size
+    val h1 = hits(1); val h2 = hits(2)
+    assert(h1 > 0)
+    assert(h2 >= h1)
+  }
+
   test("pqTopK fails fast on an oversized query side") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
