@@ -36,20 +36,42 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
+    normalizeEvents(load(spark, dir, "events"))
+  }
+
+  /** [[events]] plus `ts_raw` — the UNTRANSFORMED scan column, kept so a
+    * poll-window range predicate can land on a direct scan attribute
+    * (PushedFilters row-group skipping; see PollSource.windowPredicate).
+    * Separate entry point so every other query keeps its schema.
+    */
+  def eventsWithRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEvents(load(spark, dir, "events"), keepRaw = true)
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType + derived
+    * `ts_ns`/`ts_ms` epochs, whatever physical form the corpus parquet
+    * takes (works on batch AND streaming frames — column ops only):
+    *  - TIMESTAMP(NANOS) under nanosAsLong → nanosecond epoch long;
+    *  - TIMESTAMP/TIMESTAMP(MICROS) NTZ (DuckDB default; also what
+    *    Spark ≥4.1 yields for NANOS now that the legacy long read is
+    *    gone) → cast is a pure re-tag under the pinned UTC session tz;
+    *  - plain TIMESTAMP → derived epochs only.
+    */
+  def normalizeEvents(raw0: DataFrame, keepRaw: Boolean = false): DataFrame = {
+    val raw = if (keepRaw) raw0.withColumn("ts_raw", col("ts")) else raw0
     // NOTE: nanosecond epochs exceed 2^53 — double division corrupts the
     // low digits, so all conversions use integral `div`.
-    raw.schema("ts").dataType match {
+    raw0.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw
           .withColumn("ts_ns", col("ts"))
           .withColumn("ts_ms", expr("ts div 1000000"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        // NTZ parquet (e.g. DuckDB's default TIMESTAMP): read as UTC
-        // wall-clock — graft sessions pin spark.sql.session.timeZone to
-        // UTC, so the cast is a pure re-tag, and unix_micros then
-        // resolves (it rejects NTZ input directly)
+        // NTZ parquet: read as UTC wall-clock — graft sessions pin
+        // spark.sql.session.timeZone to UTC, so the cast is a pure
+        // re-tag, and unix_micros then resolves (it rejects NTZ input)
         val t = col("ts").cast("timestamp")
         raw
           .withColumn("ts_ns", unix_micros(t) * 1000L)

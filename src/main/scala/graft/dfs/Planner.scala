@@ -538,10 +538,7 @@ object Planner {
           .option("pathGlobFilter", s"$table.parquet")
           .parquet(dir)
         val df =
-          if (table == "events")
-            raw.withColumn("ts_ns", col("ts"))
-              .withColumn("ts_ms", expr("ts div 1000000"))
-              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          if (table == "events") Tables.normalizeEvents(raw)
           else raw
         val (ts, tsMs) =
           if (table == "events") ("ts", "ts_ms") else ("", "")

@@ -69,25 +69,45 @@ object CrateQuery {
       s" GROUP BY ${timeField}_gb$groupClause ORDER BY ${timeField}_gb DESC"
   }
 
+  /** ms epoch → a Spark `TIMESTAMP_NTZ '...'` literal (UTC wall-clock —
+    * the session tz is pinned UTC, so this is the exact re-tag of the
+    * bound; explicit ms pattern because LocalDateTime.toString drops
+    * trailing units and Spark's parser wants full fields).
+    */
+  private def ntzLit(ms: Long): String = {
+    val ldt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+    val s = ldt.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    s"TIMESTAMP_NTZ '$s'"
+  }
+
   /** Spark-dialect rewrite for one poll window (see class doc for the
-    * two deliberate divergences). When the table carries a raw
-    * `<timeField>_ns` epoch column, the range predicate lands on IT —
-    * `unix_millis(tf)` is a derived expression the parquet reader cannot
-    * push (only IsNotNull survives), so every poll would full-scan at
-    * 100 TB; the ns predicate is exactly equivalent
-    * (`ms ∈ [a,b) ⟺ ns ∈ [a·10⁶, b·10⁶)`, integer truncation) and
-    * reaches PushedFilters for row-group skipping.
+    * two deliberate divergences). The range predicate must land on a
+    * RAW scan column — `unix_millis(tf)` is a derived expression the
+    * parquet reader cannot push (only IsNotNull survives), so every
+    * poll would full-scan at 100 TB:
+    *  - `ntzRawField` (raw NTZ timestamp): NTZ-literal bounds, exact;
+    *  - `nsField` (raw epoch-ns long, legacy nanosAsLong read):
+    *    `ms ∈ [a,b) ⟺ ns ∈ [a·10⁶, b·10⁶)` exactly (integer
+    *    truncation);
+    *  - neither: derived unix_millis fallback (correct, unpushed).
     */
   def sparkQuery(query: String, groupByTimeMs: Long, timeField: String,
       groupBys: Seq[String], w: PollSource.PollWindow,
-      nsField: Option[String] = None): String = {
+      nsField: Option[String] = None,
+      ntzRawField: Option[String] = None): String = {
     val sec = math.max(1L, math.round(groupByTimeMs / 1000.0))
     val rest = query.drop(6).trim
     val groupClause = groupBys.map(g => s", $g").mkString
-    val range = nsField match {
-      case Some(ns) =>
+    val range = (ntzRawField, nsField) match {
+      // raw NTZ scan column: the bound lands as an NTZ literal — a
+      // direct attribute-vs-literal comparison the reader pushes down
+      case (Some(raw), _) =>
+        s"$raw >= ${ntzLit(w.fromMs)} AND $raw < ${ntzLit(w.toMs)}"
+      case (None, Some(ns)) =>
         s"$ns >= ${w.fromMs * 1000000L} AND $ns < ${w.toMs * 1000000L}"
-      case None =>
+      case (None, None) =>
         s"unix_millis($timeField) >= ${w.fromMs}" +
           s" AND unix_millis($timeField) < ${w.toMs}"
     }
@@ -149,18 +169,28 @@ object CrateQuery {
     // catalog-first: a registered view of the same name binds the query
     // (foreign-DB tables with no parquet twin); otherwise corpus parquet
     val df =
-      if (table == "events") { val d = Tables.events(spark, dir)
+      if (table == "events") { val d = Tables.eventsWithRaw(spark, dir)
         d.createOrReplaceTempView(table); d }
       else if (spark.catalog.tableExists(table)) spark.table(table)
       else { val d = Tables.load(spark, dir, table)
         d.createOrReplaceTempView(table); d }
 
-    val nsField = Some(s"${timeField}_ns").filter(df.columns.contains)
+    // raw NTZ column → NTZ-literal range (pushable); raw epoch-ns long →
+    // ns range (ts_ns IS the scan attribute under the legacy long read)
+    val ntzRawField = Some(s"${timeField}_raw").filter(n =>
+      df.columns.contains(n) &&
+        df.schema(n).dataType ==
+          org.apache.spark.sql.types.TimestampNTZType)
+    val nsField = Some(s"${timeField}_ns").filter(n =>
+      df.columns.contains(n) &&
+        df.schema(n).dataType == org.apache.spark.sql.types.LongType &&
+        ntzRawField.isEmpty)
     val bucketMs = math.max(1000L, math.round(groupByTimeMs / 1000.0) * 1000L)
     val bounds = df.agg(min(unix_millis(col(timeField))),
       max(unix_millis(col(timeField)))).head
     if (bounds.isNullAt(0)) return spark.sql(sparkQuery(sq, groupByTimeMs,
-      timeField, groupBys, PollSource.PollWindow(0L, 0L), nsField))
+      timeField, groupBys, PollSource.PollWindow(0L, 0L), nsField,
+      ntzRawField))
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val start = mn - java.lang.Math.floorMod(mn, bucketMs)
     val reqPeriod = math.max(bucketMs,
@@ -182,7 +212,7 @@ object CrateQuery {
       stopMs = Some(mx + period))
     val frames = poller.catchUp(nowMs = mx + 2 * period).map(w =>
       spark.sql(sparkQuery(sq, groupByTimeMs, timeField, groupBys, w,
-        nsField)))
+        nsField, ntzRawField)))
     frames.reduceOption(_ union _).getOrElse(
       throw new IllegalStateException("crate_query: no poll windows"))
   }

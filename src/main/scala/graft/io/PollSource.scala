@@ -99,17 +99,35 @@ object PollSource {
     df.filter(tsMs >= w.fromMs && tsMs < w.toMs)
 
   /** Window predicate that actually reaches the parquet reader: a filter
-    * on a DERIVED ms column (`ts div 1000000`) pushes only IsNotNull —
-    * every poll would full-scan at 100 TB. The raw ns epoch column is a
-    * direct scan attribute, and `ms ∈ [a,b) ⟺ ns ∈ [a·10⁶, b·10⁶)`
-    * exactly (integer div truncation), so preferring it is a pure
-    * pushdown win with identical rows.
+    * on a DERIVED column (`ts div 1000000`, `unix_micros(cast(ts))`)
+    * pushes only IsNotNull — every poll would full-scan at 100 TB. The
+    * RAW scan attribute (`<base>_raw` when the frame carries one —
+    * Tables.eventsWithRaw) takes the bound in its own type instead:
+    *  - NTZ timestamp: ms bound re-tagged to an NTZ literal (exact —
+    *    sub-ms values order strictly inside the half-open window);
+    *  - epoch-ns long: `ms ∈ [a,b) ⟺ ns ∈ [a·10⁶, b·10⁶)` exactly
+    *    (integer truncation).
+    * A raw-less frame with a raw `_ns` long column (legacy nanosAsLong
+    * read) gets the ns bound; otherwise the ms filter still gives
+    * correct rows, just without row-group skipping.
     */
   def windowPredicate(df: DataFrame, tsMsName: String,
       w: PollWindow): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.col
-    val ns = tsMsName.stripSuffix("_ms") + "_ns"
-    if (df.columns.contains(ns))
+    import org.apache.spark.sql.functions.{col, lit, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val base = tsMsName.stripSuffix("_ms")
+    val raw = base + "_raw"
+    val ns = base + "_ns"
+    def ntz(ms: Long) =
+      timestamp_micros(lit(ms * 1000L)).cast(TimestampNTZType)
+    if (df.columns.contains(raw)) df.schema(raw).dataType match {
+      case TimestampNTZType =>
+        col(raw) >= ntz(w.fromMs) && col(raw) < ntz(w.toMs)
+      case LongType =>
+        col(raw) >= w.fromMs * 1000000L && col(raw) < w.toMs * 1000000L
+      case _ => col(tsMsName) >= w.fromMs && col(tsMsName) < w.toMs
+    }
+    else if (df.columns.contains(ns))
       col(ns) >= w.fromMs * 1000000L && col(ns) < w.toMs * 1000000L
     else col(tsMsName) >= w.fromMs && col(tsMsName) < w.toMs
   }

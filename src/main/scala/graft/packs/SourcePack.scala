@@ -20,12 +20,12 @@ object SourcePack extends QueryPack {
     // (esp_crate_query_cont.erl start/setup_start).
     "poll_incremental" -> QueryDef(
       (s, dir) => {
-        // ts_ns rides along so each poll's range predicate lands on the
+        // ts_raw rides along so each poll's range predicate lands on the
         // RAW parquet column (row-group skipping; PollSource
         // .windowPredicate) — dropped after the filter
-        val ev = Tables.events(s, dir)
+        val ev = Tables.eventsWithRaw(s, dir)
           .select(col("event_id"), col("user_id"), col("ts_ms"),
-            col("value"), col("ts_ns"))
+            col("value"), col("ts_raw"))
         val bounds = ev.agg(min("ts_ms"), max("ts_ms")).head
         val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
         val period = math.max(1L, (mx - mn) / 8)
@@ -34,7 +34,7 @@ object SourcePack extends QueryPack {
           minIntervalMs = 0L, stopMs = Some(mx + period))
         PollSource.pollAll(poller, nowMs = mx + period,
           w => ev.filter(PollSource.windowPredicate(ev, "ts_ms", w))
-            .drop("ts_ns"))
+            .drop("ts_raw"))
           .getOrElse(throw new IllegalStateException("no poll windows"))
       },
       Some("""SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
