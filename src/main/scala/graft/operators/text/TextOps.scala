@@ -370,4 +370,116 @@ object TextOps {
         round(col("n_hit") * lit(1.0) / col("n_grams"), 6)
           .as("contamination"))
   }
+
+  /** Cross-document duplicated-gram statistics — the gram-granular form
+    * of exact-substring deduplication (a doc pair shares an exact run of
+    * ≥ n tokens iff it shares an n-token gram): per document, its
+    * distinct n-gram count, how many of those grams occur in at least
+    * `minDocs` documents, and the duplicated fraction. Downstream use is
+    * the standard pipeline gate "drop/trim docs whose dup_frac exceeds a
+    * bound".
+    *
+    * 100 TB shape: gram doc-frequency is a map-side-partial hash
+    * aggregate (the shuffle carries (gram, partial-count), not rows),
+    * and the flag comes back via an equi-join on gram — sort-merge with
+    * AQE skew-split on hot grams. Deliberately NOT a
+    * count-over-window-by-gram: a window materializes every occurrence
+    * of a hot gram in one task, which is exactly the skew that kills a
+    * 100 TB run. Same explode-the-index gram build as [[decontaminate]]
+    * (the HOF-under-generator lesson, BENCH_NOTES_r9 §4).
+    */
+  def dupGramStats(docs: DataFrame, text: Column, id: Column,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toked = docs
+      .select(id.as("doc_id"), tokens(text).as("_t"))
+      .filter(size(col("_t")) >= n)
+    val grams = toked
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("gram"))
+      .distinct()
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDocs)
+      .select(col("gram"), lit(1).as("_dup"))
+    grams.join(dup, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_grams"),
+        count(col("_dup")).cast("int").as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup") * lit(1.0) / col("n_grams"), 6).as("dup_frac"))
+  }
+
+  /** BM25 ranked retrieval over the corpus for a fixed term query
+    * (Robertson/Spärck Jones; k1/b defaults are the standard Okapi
+    * values). Returns the top-`k` documents by score with per-term
+    * frequencies.
+    *
+    * Determinism contract with the oracle: per-term contributions are
+    * summed in FIXED term order (an explicit `+` chain, not an
+    * unordered aggregate), `avgdl` is an exact long sum divided once,
+    * and the top-k cut orders by the ROUNDED score (so a sub-ULP `ln`
+    * difference between engines cannot flip the boundary).
+    *
+    * 100 TB shape: term frequencies are per-row expressions (one scan —
+    * the query is small, so no inverted index beats a scan-share on a
+    * corpus-resident pipeline); corpus stats (N, avgdl, per-term df) are
+    * ONE 1-row aggregate broadcast back (the fillPeriod lazy-scalar
+    * pattern), and the cut is TakeOrderedAndProject — per-partition
+    * top-k, k·partitions rows to the driver, never a global sort.
+    */
+  def bm25TopK(docs: DataFrame, text: Column, id: Column,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val toked = docs.select(id.as("doc_id"), tokens(text).as("_t"))
+      .withColumn("_dl", size(col("_t")))
+    val withTf = queryTerms.zipWithIndex.foldLeft(toked) {
+      case (d, (t, i)) =>
+        d.withColumn(s"_tf$i", size(filter(col("_t"), x => x === lit(t))))
+    }.drop("_t")
+    val aggs =
+      (sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl") +:
+        count(lit(1)).as("_n") +:
+        queryTerms.indices.map(i =>
+          count(when(col(s"_tf$i") > 0, 1)).as(s"_df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("_n") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .filter(col("score") > 0) // docs with no query term score exactly 0
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id") +: col("score") +:
+        queryTerms.indices.map(i => col(s"_tf$i").cast("int").as(s"tf$i")): _*)
+  }
+
+  /** BPE merge-candidate mining — iteration 1 of byte-pair-encoding
+    * tokenizer training: adjacent character-pair counts inside words,
+    * weighted by corpus word frequency, top-`k` by count. The word table
+    * is vocabulary-sized (distinct words ≪ corpus tokens), so every
+    * downstream step after the first word count runs on a frame the
+    * corpus size never touches — the property that makes BPE training
+    * feasible at 100 TB (see [[BpeTrainer]] for the iterated form).
+    * Integer counts end-to-end: the oracle comparison is exact.
+    */
+  def bpePairs(docs: DataFrame, text: Column, k: Int = 32): DataFrame = {
+    val words = docs.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("_n"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("w"), col("_n"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("_i"))
+      .select(col("w").substr(col("_i"), lit(2)).as("pair"), col("_n"))
+      .groupBy(col("pair")).agg(sum(col("_n")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+  }
 }

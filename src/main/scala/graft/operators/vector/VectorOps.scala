@@ -344,6 +344,59 @@ object VectorOps {
       .select(col("a"), col("b"), col("sim"))
   }
 
+  /** SemDeDup — semantic deduplication by cluster-then-dedup (Abbas et
+    * al. 2023): partition the corpus into clusters, compare only within a
+    * cluster, and drop every document whose cosine to a LOWER-ID
+    * cluster-mate reaches `threshold`. Emits every input row with its
+    * cluster id and a `kept` verdict.
+    *
+    * Clustering is sign-bit LSH over `bits` md5-derived hyperplanes
+    * rather than trained k-means: deterministic, training-free, and
+    * exactly replayable by the DuckDB oracle (same planes, same fold
+    * order), so the correctness gate pins the whole algorithm. This is
+    * the parallel-greedy variant — a doc is dropped against ANY lower-id
+    * neighbour, kept or not, which needs no sequential chain through the
+    * cluster (the sequential keep-only-vs-retained form is
+    * order-dependent and serializes; at a fixed threshold the kept set
+    * differs only on transitive chains a~b~c where a≁c).
+    *
+    * 100 TB shape: one shuffle on the cluster key; the within-cluster
+    * self-join is bucket-local with the [[cosineDupPairs]] cap-BEFORE-
+    * join hard stop; `bits` must grow with log₂(n) to hold occupancy
+    * (docs/SCALE.md's rule — [[autoBits]] applies here unchanged).
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 8,
+      dim: Int = 64,
+      maxClusterSize: Int = 4096): DataFrame = {
+    val ps = planes(bits, dim)
+    val base0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_n", norm(col("_v")))
+      .withColumn("cluster", lshBucket(col("_v"), ps))
+    graft.core.CacheScope.withPersisted(base0) { base =>
+      val w = Window.partitionBy(col("cluster")).orderBy(col("_id"))
+      val capped = base.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxClusterSize).drop("_r")
+      val l = capped.select(col("cluster"), col("_id").as("a"),
+        col("_v").as("_va"), col("_n").as("_na"))
+      val r = capped.select(col("cluster").as("_cr"), col("_id").as("b"),
+        col("_v").as("_vb"), col("_n").as("_nb"))
+      val dropped = l.join(r,
+          col("cluster") === col("_cr") && col("a") < col("b"))
+        .filter(round(dot(col("_va"), col("_vb")) /
+          (col("_na") * col("_nb")), 6) >= threshold)
+        .select(col("b").as("_id")).distinct()
+        .withColumn("_dropped", lit(1))
+      base.join(dropped, Seq("_id"), "left")
+        .select(col("_id").as(idCol), col("cluster"),
+          col("_dropped").isNull.as("kept"))
+    }
+  }
+
   /** Exact-cosine verification of candidate (a, b) pairs against the
     * materialized (vector, norm) base; keeps pairs >= threshold.
     */

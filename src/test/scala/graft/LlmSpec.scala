@@ -499,4 +499,73 @@ class LlmSpec extends AnyFunSuite {
       .filter(col("mx") =!= col("expected_mx"))
     assert(r.count() == 0)
   }
+
+  test("dupGramStats: shared grams flagged, unique docs zero, sub-n excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),       // shares 'a b c d e' + 'b c d e f' with 2
+      (2L, "a b c d e f"),       // exact copy
+      (3L, "u v w x y z"),       // unique
+      (4L, "too few")            // < 5 tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupGramStats(df, col("text"), col("doc_id"), n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((2, 2, 1.0)))
+    assert(out(2L) == ((2, 2, 1.0)))
+    assert(out(3L) == ((2, 0, 0.0)))
+  }
+
+  test("bm25TopK: doc with more query-term mass ranks first; " +
+      "termless docs never appear") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark hash x y z"),
+      (2L, "spark q r s t u"),
+      (3L, "a b c d e f")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(df, col("text"), col("doc_id"),
+      Seq("spark", "hash"), k = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // 3 scores zero
+    assert(out(0).getDouble(1) > out(1).getDouble(1))
+    assert(out(0).getInt(2) == 2 && out(0).getInt(3) == 1) // tf0, tf1
+  }
+
+  test("semDedup: lower-id survivor keeps, near-dup cluster-mate drops, " +
+      "cross-cluster near-dups untouched") {
+    import spark.implicits._
+    val v = Array.fill(64)(0.0f); v(0) = 1.0f
+    val v2 = v.clone(); v2(1) = 0.01f          // cos ~1 with v
+    val w = Array.fill(64)(0.0f); w(1) = -1.0f // different cluster region
+    val df = Seq((10L, v.toSeq), (20L, v2.toSeq), (30L, w.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    val out = VectorOps.semDedup(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out(10L)._2) // lowest id in its cluster: kept
+    assert(out(10L)._1 == out(20L)._1) // sign bits agree -> same cluster
+    assert(!out(20L)._2) // dropped against 10
+    assert(out(30L)._2) // alone in its cluster
+  }
+
+  test("bpePairs counts weighted char pairs; trainer merges " +
+      "left-to-right and is deterministic") {
+    import spark.implicits._
+    val df = Seq("low low lower aaa").toDF("text")
+    val pairs = TextOps.bpePairs(df, col("text"), k = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'lo' and 'ow' appear in low(x2)+lower = 3; 'aa' twice within 'aaa'
+    assert(pairs("lo") == 3 && pairs("ow") == 3)
+    assert(pairs("aa") == 2)
+    val merges = graft.operators.text.BpeTrainer.train(df, col("text"), 3)
+    // ties at n=3 break lexicographically: (l,o) then merged (lo,w);
+    // 'aaa' merges non-overlapping left-to-right later
+    assert(merges.take(2) == Seq(("l", "o"), ("lo", "w")))
+    assert(merges.size == 3)
+    val again = graft.operators.text.BpeTrainer.train(df, col("text"), 3)
+    assert(merges == again)
+  }
 }

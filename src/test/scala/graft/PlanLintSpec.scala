@@ -74,6 +74,9 @@ class PlanLintSpec extends AnyFunSuite {
     val sanctioned = Set("emb_cosine_topk", "dedup_cosine_exact",
       "win_time_fill_period", "text_sample_weighted",
       "dfs_sample_mixture",
+      // bm25TopK broadcasts its 1-ROW corpus-stats aggregate (N, avgdl,
+      // per-term df) — the fillPeriod lazy-scalar pattern
+      "text_bm25",
       // pqTopK broadcasts its guarded query side like bruteTopK; the
       // corpus side past the join is CODES ONLY (m ints/row)
       "emb_pq_topk")
