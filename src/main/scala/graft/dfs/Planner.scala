@@ -2325,6 +2325,53 @@ object Planner {
       graft.operators.text.TextOps.sampleToMixture(ctx.df, Paths.ref(id),
         Paths.ref(st), w)
     },
+    // cross-doc duplicated-gram stats (graft extension, the
+    // TextOps.dupGramStats door): per-doc n_grams / n_dup / dup_frac
+    "dup_grams" -> bt(Set("text_field", "id_field", "n", "min_docs")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("dup_grams: .id_field"))
+      graft.operators.text.TextOps.dupGramStats(ctx.df, Paths.ref(text),
+        Paths.ref(id),
+        optNum(n, "n", env).map(_.toInt).getOrElse(5),
+        optNum(n, "min_docs", env).map(_.toInt).getOrElse(2))
+    },
+    // BM25 ranked retrieval (graft extension, the TextOps.bm25TopK
+    // door): `.terms` or positional args give the query terms
+    "bm25" -> bt(Set("text_field", "id_field", "terms", "k", "k1", "b")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("bm25: .id_field"))
+      val terms = argStrs(n, env) ++ optStrs(n, "terms", env)
+      if (terms.isEmpty) throw DfsError("bm25: .terms('t1', 't2', ...)")
+      graft.operators.text.TextOps.bm25TopK(ctx.df, Paths.ref(text),
+        Paths.ref(id), terms,
+        optNum(n, "k", env).map(_.toInt).getOrElse(10),
+        optNum(n, "k1", env).getOrElse(1.2),
+        optNum(n, "b", env).getOrElse(0.75))
+    },
+    // SemDeDup over an embedding field (graft extension, the
+    // VectorOps.semDedup door): cluster-then-dedup keep/drop verdicts
+    "sem_dedup" -> bt(Set("vec_field", "id_field", "threshold", "bits",
+      "dim", "max_cluster")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("sem_dedup: .id_field"))
+      graft.operators.vector.VectorOps.semDedup(ctx.df, id, vec,
+        optNum(n, "threshold", env).getOrElse(0.85),
+        optNum(n, "bits", env).map(_.toInt).getOrElse(8),
+        optNum(n, "dim", env).map(_.toInt).getOrElse(64),
+        optNum(n, "max_cluster", env).map(_.toInt).getOrElse(4096))
+    },
+    // BPE merge-candidate mining (graft extension, the TextOps.bpePairs
+    // door): top-k weighted adjacent char pairs
+    "bpe_pairs" -> bt(Set("text_field", "k")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      graft.operators.text.TextOps.bpePairs(ctx.df, Paths.ref(text),
+        optNum(n, "k", env).map(_.toInt).getOrElse(32))
+    },
 
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary

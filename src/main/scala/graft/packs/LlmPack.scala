@@ -1060,50 +1060,14 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         TextOps.dupGramStats(Tables.documents(s, dir), col("text"),
           col("doc_id"), n = 5),
-      Some {
-        val gram5 = (0 until 5).map(o => s"w[i+$o]").mkString(" || ' ' || ")
-        s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
-           |g AS (SELECT doc_id,
-           |        list_distinct([$gram5 for i in range(1, len(w) - 3)]) AS grams
-           |      FROM t WHERE len(w) >= 5),
-           |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-           |d AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2)
-           |SELECT e.doc_id, CAST(count(*) AS INTEGER) AS n_grams,
-           |  CAST(count(d.gram) AS INTEGER) AS n_dup,
-           |  round(count(d.gram) * 1.0 / count(*), 6) AS dup_frac
-           |FROM e LEFT JOIN d USING (gram)
-           |GROUP BY e.doc_id""".stripMargin
-      }),
+      Some(dupGramsSql)),
 
     // BM25 ranked retrieval: fixed-order score chain, rounded-score cut
     "text_bm25" -> QueryDef(
       (s, dir) =>
         TextOps.bm25TopK(Tables.documents(s, dir), col("text"),
           col("doc_id"), Bm25Terms, k = 10),
-      Some {
-        val (k1, b) = (1.2, 0.75)
-        val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-          s"len(list_filter(w, x -> x = '$t')) AS tf$i"
-        }.mkString(",\n        ")
-        val dfs = Bm25Terms.indices.map(i =>
-          s"count(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
-        val chain = Bm25Terms.indices.map(i =>
-          s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${k1 + 1.0} /
-             |      (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))""".stripMargin)
-          .mkString(" +\n      ")
-        s"""WITH f AS (SELECT doc_id, len(w) AS dl,
-           |        $tfs
-           |      FROM (SELECT doc_id, $toks AS w FROM documents)),
-           |s AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-           |        count(*) AS n, $dfs FROM f),
-           |sc AS (SELECT doc_id,
-           |    round($chain, 6) AS score,
-           |    ${Bm25Terms.indices.map(i => s"CAST(tf$i AS INTEGER) AS tf$i")
-                 .mkString(", ")}
-           |  FROM f, s)
-           |SELECT * FROM sc WHERE score > 0
-           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
-      }),
+      Some(bm25Sql)),
 
     // SemDeDup (cluster-then-dedup): sign-bit clusters, lower-id drop
     // rule — the oracle replays planes, cap, pairing and fold-order
@@ -1112,30 +1076,7 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         VectorOps.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.4, bits = 8),
-      Some {
-        val ps = VectorOps.planes(8, 64)
-        def planeLit(p: Array[Float]) =
-          p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
-        val bucket = ps.zipWithIndex.map { case (p, j) =>
-          s"""(CASE WHEN ${dotSql("embedding", planeLit(p))} > 0
-             | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
-        }.mkString(" +\n  ")
-        val cos = s"${dotSql("x.embedding", "y.embedding")} / " +
-          s"(sqrt(${dotSql("x.embedding", "x.embedding")}) * " +
-          s"sqrt(${dotSql("y.embedding", "y.embedding")}))"
-        s"""WITH b AS (SELECT vec_id, embedding, $bucket AS cluster
-           |           FROM embeddings),
-           |cap AS (SELECT vec_id, embedding, cluster FROM
-           |          (SELECT *, row_number() OVER
-           |             (PARTITION BY cluster ORDER BY vec_id) AS r FROM b)
-           |        WHERE r <= 4096),
-           |drp AS (SELECT DISTINCT y.vec_id
-           |        FROM cap x JOIN cap y
-           |          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-           |        WHERE round($cos, 6) >= 0.4)
-           |SELECT b.vec_id, b.cluster, d.vec_id IS NULL AS kept
-           |FROM b LEFT JOIN drp d ON b.vec_id = d.vec_id""".stripMargin
-      }),
+      Some(semDedupSql)),
 
     // BPE merge mining, iteration 1: char-pair counts weighted by word
     // frequency (integer-exact end to end); the iterated trainer is
@@ -1143,17 +1084,119 @@ object LlmPack extends QueryPack {
     "text_bpe_pairs" -> QueryDef(
       (s, dir) =>
         TextOps.bpePairs(Tables.documents(s, dir), col("text"), k = 32),
-      Some(s"""WITH wc AS (SELECT w, count(*) AS n
-              |  FROM (SELECT unnest($toks) AS w FROM documents)
-              |  GROUP BY w),
-              |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, n
-              |      FROM (SELECT w, n, unnest(range(1, len(w))) AS i
-              |            FROM wc WHERE len(w) >= 2))
-              |SELECT pair, CAST(sum(n) AS BIGINT) AS n
-              |FROM p GROUP BY pair
-              |ORDER BY n DESC, pair LIMIT 32""".stripMargin))
+      Some(bpePairsSql)),
+
+    // the same four pipelines through the DFS front-end — node plumbing
+    // (options, Paths.ref fields, plan assembly) pinned by the SAME
+    // oracles as the library forms
+    "dfs_dup_grams" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|dup_grams(.id_field('doc_id').n(5))
+          #""".stripMargin('#'), s, dir),
+      Some(dupGramsSql)),
+
+    "dfs_bm25" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        s"""|parquet_read(.table('documents'))
+           #|bm25(${Bm25Terms.map(t => s"'$t'").mkString(", ")},
+           #  .id_field('doc_id').k(10))
+           #""".stripMargin('#'), s, dir),
+      Some(bm25Sql)),
+
+    "dfs_sem_dedup" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|sem_dedup(.id_field('vec_id').threshold(0.4).bits(8))
+          #""".stripMargin('#'), s, dir),
+      Some(semDedupSql)),
+
+    "dfs_bpe_pairs" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|bpe_pairs(.k(32))
+          #""".stripMargin('#'), s, dir),
+      Some(bpePairsSql))
   )
 
   /** Fixed query-term set for [[text_bm25]] — corpus-present terms. */
   private val Bm25Terms = Seq("spark", "hash", "merge")
+
+  // ---- round-11 shared oracle SQL (library form + DFS node form) -------
+
+  private lazy val dupGramsSql: String = {
+    val gram5 = (0 until 5).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+       |g AS (SELECT doc_id,
+       |        list_distinct([$gram5 for i in range(1, len(w) - 3)]) AS grams
+       |      FROM t WHERE len(w) >= 5),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |d AS (SELECT gram FROM e GROUP BY gram HAVING count(*) >= 2)
+       |SELECT e.doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+       |  CAST(count(d.gram) AS INTEGER) AS n_dup,
+       |  round(count(d.gram) * 1.0 / count(*), 6) AS dup_frac
+       |FROM e LEFT JOIN d USING (gram)
+       |GROUP BY e.doc_id""".stripMargin
+  }
+
+  private lazy val bm25Sql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t')) AS tf$i"
+    }.mkString(",\n        ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"count(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+    val chain = Bm25Terms.indices.map(i =>
+      s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${k1 + 1.0} /
+         |      (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))""".stripMargin)
+      .mkString(" +\n      ")
+    s"""WITH f AS (SELECT doc_id, len(w) AS dl,
+       |        $tfs
+       |      FROM (SELECT doc_id, $toks AS w FROM documents)),
+       |s AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+       |        count(*) AS n, $dfs FROM f),
+       |sc AS (SELECT doc_id,
+       |    round($chain, 6) AS score,
+       |    ${Bm25Terms.indices.map(i => s"CAST(tf$i AS INTEGER) AS tf$i")
+             .mkString(", ")}
+       |  FROM f, s)
+       |SELECT * FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
+  private lazy val semDedupSql: String = {
+    val ps = VectorOps.planes(8, 64)
+    def planeLit(p: Array[Float]) =
+      p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+    val bucket = ps.zipWithIndex.map { case (p, j) =>
+      s"""(CASE WHEN ${dotSql("embedding", planeLit(p))} > 0
+         | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" +\n  ")
+    val cos = s"${dotSql("x.embedding", "y.embedding")} / " +
+      s"(sqrt(${dotSql("x.embedding", "x.embedding")}) * " +
+      s"sqrt(${dotSql("y.embedding", "y.embedding")}))"
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS cluster
+       |           FROM embeddings),
+       |cap AS (SELECT vec_id, embedding, cluster FROM
+       |          (SELECT *, row_number() OVER
+       |             (PARTITION BY cluster ORDER BY vec_id) AS r FROM b)
+       |        WHERE r <= 4096),
+       |drp AS (SELECT DISTINCT y.vec_id
+       |        FROM cap x JOIN cap y
+       |          ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |        WHERE round($cos, 6) >= 0.4)
+       |SELECT b.vec_id, b.cluster, d.vec_id IS NULL AS kept
+       |FROM b LEFT JOIN drp d ON b.vec_id = d.vec_id""".stripMargin
+  }
+
+  private lazy val bpePairsSql: String =
+    s"""WITH wc AS (SELECT w, count(*) AS n
+       |  FROM (SELECT unnest($toks) AS w FROM documents)
+       |  GROUP BY w),
+       |p AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, n
+       |      FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+       |            FROM wc WHERE len(w) >= 2))
+       |SELECT pair, CAST(sum(n) AS BIGINT) AS n
+       |FROM p GROUP BY pair
+       |ORDER BY n DESC, pair LIMIT 32""".stripMargin
 }

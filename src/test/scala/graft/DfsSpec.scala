@@ -1497,6 +1497,30 @@ class DfsSpec extends AnyFunSuite {
         "|email(.to('ops@example.com').body('b'))")
   }
 
+  test("round-11 pipeline nodes: required options rejected with clear errors") {
+    val e1 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('documents'))
+        #|dup_grams(.n(5))
+        #""".stripMargin('#'), spark, sf))
+    assert(e1.msg.contains("id_field"))
+    val e2 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('documents'))
+        #|bm25(.id_field('doc_id'))
+        #""".stripMargin('#'), spark, sf))
+    assert(e2.msg.contains("terms"))
+    val e3 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('embeddings'))
+        #|sem_dedup(.threshold(0.4))
+        #""".stripMargin('#'), spark, sf))
+    assert(e3.msg.contains("id_field"))
+    // defaults path: bpe_pairs needs nothing beyond the text field
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('documents'))
+        #|bpe_pairs(.k(4))
+        #""".stripMargin('#'), spark, sf)
+    assert(out.count() == 4)
+  }
+
   test("run-level coverage floor: 103+ reference scripts run with rows") {
     // the full seeded sweep (graft.tools.RunSweep): brokered scripts get
     // deterministic traffic on every topic they subscribe to. Declared

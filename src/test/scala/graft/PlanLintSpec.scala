@@ -76,7 +76,7 @@ class PlanLintSpec extends AnyFunSuite {
       "dfs_sample_mixture",
       // bm25TopK broadcasts its 1-ROW corpus-stats aggregate (N, avgdl,
       // per-term df) — the fillPeriod lazy-scalar pattern
-      "text_bm25",
+      "text_bm25", "dfs_bm25",
       // pqTopK broadcasts its guarded query side like bruteTopK; the
       // corpus side past the join is CODES ONLY (m ints/row)
       "emb_pq_topk")
