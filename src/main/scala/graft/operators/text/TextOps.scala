@@ -393,22 +393,29 @@ object TextOps {
     val toked = docs
       .select(id.as("doc_id"), tokens(text).as("_t"))
       .filter(size(col("_t")) >= n)
-    val grams = toked
+    val grams0 = toked
       .select(col("doc_id"), col("_t"),
         explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("gram"))
       .distinct()
-    val dup = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= minDocs)
-      .select(col("gram"), lit(1).as("_dup"))
-    grams.join(dup, Seq("gram"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("int").as("n_grams"),
-        count(col("_dup")).cast("int").as("n_dup"))
-      .select(col("doc_id"), col("n_grams"), col("n_dup"),
-        round(col("n_dup") * lit(1.0) / col("n_grams"), 6).as("dup_frac"))
+    // the distinct (doc_id, gram) set feeds BOTH the doc-frequency
+    // aggregate and the flag-back join — scope-cache it (the Dedup
+    // shingle-base precedent) or the corpus is scanned and re-exploded
+    // twice. The output is doc-count-sized, far below the base, which
+    // is CacheScope's contract.
+    graft.core.CacheScope.withPersisted(grams0) { grams =>
+      val dup = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= minDocs)
+        .select(col("gram"), lit(1).as("_dup"))
+      grams.join(dup, Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_grams"),
+          count(col("_dup")).cast("int").as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup") * lit(1.0) / col("n_grams"), 6).as("dup_frac"))
+    }
   }
 
   /** BM25 ranked retrieval over the corpus for a fixed term query
