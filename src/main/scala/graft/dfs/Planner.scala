@@ -2372,6 +2372,13 @@ object Planner {
       graft.operators.text.TextOps.bpePairs(ctx.df, Paths.ref(text),
         optNum(n, "k", env).map(_.toInt).getOrElse(32))
     },
+    // hashed linear quality-classifier scoring (graft extension, the
+    // TextOps.withQualityLr door): appends n_tok / lr_raw / lr_prob
+    // per row — zero shuffle, streams as-is
+    "quality_lr" -> bt(Set("text_field")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      graft.operators.text.TextOps.withQualityLr(ctx.df, Paths.ref(text))
+    },
 
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary

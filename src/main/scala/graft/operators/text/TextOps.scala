@@ -438,20 +438,55 @@ object TextOps {
     */
   def bm25TopK(docs: DataFrame, text: Column, id: Column,
       queryTerms: Seq[String], k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoreWith(docs, text, id, queryTerms,
+      bm25Stats(docs, text, queryTerms), k1, b)
+      .filter(col("score") > 0) // docs with no query term score exactly 0
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Per-doc token list + per-term frequency columns — the shared front
+    * half of the BM25 pipeline.
+    */
+  private def bm25Tf(docs: DataFrame, text: Column, id: Column,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val toked = docs.select(id.as("doc_id"), tokens(text).as("_t"))
       .withColumn("_dl", size(col("_t")))
-    val withTf = queryTerms.zipWithIndex.foldLeft(toked) {
+    queryTerms.zipWithIndex.foldLeft(toked) {
       case (d, (t, i)) =>
         d.withColumn(s"_tf$i", size(filter(col("_t"), x => x === lit(t))))
     }.drop("_t")
+  }
+
+  /** The corpus-level BM25 statistics (1 row: `_avgdl`, `_n`, per-term
+    * `_df$i`) as their own frame — a static-corpus fact a STREAM can be
+    * scored against (the [[mixtureRates]] pattern: index the corpus in
+    * batch, score arriving documents with a broadcast join).
+    */
+  def bm25Stats(docs: DataFrame, text: Column,
+      queryTerms: Seq[String]): DataFrame = {
+    val withTf = bm25Tf(docs, text, lit(0L), queryTerms)
     val aggs =
       (sum(col("_dl")).cast("double") / count(lit(1))).as("_avgdl") +:
         count(lit(1)).as("_n") +:
         queryTerms.indices.map(i =>
           count(when(col(s"_tf$i") > 0, 1)).as(s"_df$i"))
-    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    withTf.agg(aggs.head, aggs.tail: _*).withColumn("_k", lit(1))
+  }
+
+  /** Score rows against precomputed [[bm25Stats]] — per-row tf
+    * expressions plus a constant-key broadcast join, identical on batch
+    * and streaming frames (stream-static equi join). Emits every row
+    * with `score` and per-term `tf$i`. The global top-`k` CUT is
+    * deliberately batch-only ([[bm25TopK]]): a ranked cut over an
+    * unbounded stream is ill-defined — gate on `score` or feed a
+    * windowed aggregation downstream instead.
+    */
+  def bm25ScoreWith(df: DataFrame, text: Column, id: Column,
+      queryTerms: Seq[String], stats: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withTf = bm25Tf(df, text, id, queryTerms)
     val score = queryTerms.indices.map { i =>
       val tf = col(s"_tf$i").cast("double")
       val idf = log(lit(1.0) +
@@ -459,14 +494,51 @@ object TextOps {
       idf * tf * lit(k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
     }.reduce(_ + _)
-    withTf.crossJoin(broadcast(stats))
+    withTf.withColumn("_k", lit(1))
+      .join(broadcast(stats), Seq("_k"))
       .withColumn("score", round(score, 6))
-      .filter(col("score") > 0) // docs with no query term score exactly 0
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
       .select(col("doc_id") +: col("score") +:
         queryTerms.indices.map(i => col(s"_tf$i").cast("int").as(s"tf$i")): _*)
   }
+
+  /** Hashed-feature weight of one token for the linear quality
+    * classifier: md5-derived, uniform in [-1, 1] at 1/1000 resolution —
+    * exactly representable doubles, so the fold is bit-stable and the
+    * DuckDB oracle replays it. A TRAINED model (fastText-style) would
+    * replace this with a learned weight table; the hashing-trick
+    * pipeline shape (token → bounded feature id → weight) is the real,
+    * tested part.
+    */
+  def lrTokenWeight(t: Column): Column =
+    (hash60(t) % 2001 - 1000) / lit(1000.0)
+
+  /** Mean hashed-token weight — the linear classifier's raw logit.
+    * Sequential fold, double accumulator (the dotSql determinism
+    * contract); one interpreted pass per row, same class as
+    * [[langScoreFromTokens]].
+    */
+  def lrScoreFromTokens(toks: Column): Column =
+    aggregate(toks, lit(0.0), (acc, t) => acc + lrTokenWeight(t)) /
+      size(toks)
+
+  /** Linear quality-classifier scoring (fastText-style hashing trick):
+    * appends `n_tok`, the raw mean-weight logit `lr_raw`, and the
+    * sigmoid probability `lr_prob` to every row with at least one
+    * token. Pure per-row expressions — zero shuffle, streams as-is; the
+    * probability is computed from the ROUNDED logit so a sub-ULP `exp`
+    * divergence between engines cannot move it.
+    */
+  def withQualityLr(docs: DataFrame, text: Column): DataFrame =
+    docs
+      // blank text first: split(trim(""), \s+) is [""] — ONE empty
+      // token, not zero — so the no-token gate is on trimmed length
+      .filter(length(trim(text)) >= 1)
+      .withColumn("_t", tokens(text))
+      .withColumn("n_tok", size(col("_t")))
+      .withColumn("lr_raw", round(lrScoreFromTokens(col("_t")), 6))
+      .withColumn("lr_prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("lr_raw"))), 6))
+      .drop("_t")
 
   /** BPE merge-candidate mining — iteration 1 of byte-pair-encoding
     * tokenizer training: adjacent character-pair counts inside words,

@@ -1116,7 +1116,25 @@ object LlmPack extends QueryPack {
         """|parquet_read(.table('documents'))
           #|bpe_pairs(.k(32))
           #""".stripMargin('#'), s, dir),
-      Some(bpePairsSql))
+      Some(bpePairsSql)),
+
+    // hashed linear quality classifier (fastText-style hashing trick;
+    // md5-derived stand-in weights a trained model would replace — the
+    // token→feature→weight fold and sigmoid are the tested machinery)
+    "text_quality_lr" -> QueryDef(
+      (s, dir) =>
+        TextOps.withQualityLr(Tables.documents(s, dir), col("text"))
+          .select(col("doc_id"), col("n_tok"), col("lr_raw"),
+            col("lr_prob")),
+      Some(qualityLrSql)),
+
+    "dfs_quality_lr" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|quality_lr()
+          #|keep('doc_id', 'n_tok', 'lr_raw', 'lr_prob')
+          #""".stripMargin('#'), s, dir),
+      Some(qualityLrSql))
   )
 
   /** Fixed query-term set for [[text_bm25]] — corpus-present terms. */
@@ -1188,6 +1206,17 @@ object LlmPack extends QueryPack {
        |SELECT b.vec_id, b.cluster, d.vec_id IS NULL AS kept
        |FROM b LEFT JOIN drp d ON b.vec_id = d.vec_id""".stripMargin
   }
+
+  private lazy val qualityLrSql: String =
+    s"""SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tok,
+       |  round(sc, 6) AS lr_raw,
+       |  round(1.0 / (1.0 + exp(-round(sc, 6))), 6) AS lr_prob
+       |FROM (SELECT doc_id, w,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(w, t -> (${h60("t")} % 2001 - 1000) / 1000.0)),
+       |          (acc, v) -> acc + v) / len(w) AS sc
+       |      FROM (SELECT doc_id, $toks AS w FROM documents
+       |            WHERE len(trim(text)) >= 1))""".stripMargin
 
   private lazy val bpePairsSql: String =
     s"""WITH wc AS (SELECT w, count(*) AS n

@@ -551,6 +551,24 @@ class LlmSpec extends AnyFunSuite {
     assert(out(30L)._2) // alone in its cluster
   }
 
+  test("withQualityLr: single-token doc scores its exact hashed weight; " +
+      "logit bounded; empty docs excluded") {
+    import spark.implicits._
+    val df = Seq((1L, "spark"), (2L, "spark spark"), (3L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextOps.withQualityLr(df, col("text"))
+      .select("doc_id", "n_tok", "lr_raw", "lr_prob")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(!out.contains(3L)) // no tokens: excluded, not NaN
+    // mean of identical weights == the weight; uniform-hash bound
+    assert(out(1L)._2 == out(2L)._2)
+    assert(out(1L)._2 >= -1.0 && out(1L)._2 <= 1.0)
+    // sigmoid of the rounded logit, monotone sanity
+    assert(out(1L)._3 > 0.0 && out(1L)._3 < 1.0)
+    assert((out(1L)._2 > 0) == (out(1L)._3 > 0.5))
+  }
+
   test("bpePairs counts weighted char pairs; trainer merges " +
       "left-to-right and is deterministic") {
     import spark.implicits._

@@ -361,4 +361,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(got.toSet == batch)
   }
+
+  test("bm25: stream scored against static corpus stats matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val data = (1L to 40L).map(i => Ev(i % 4, i, i.toDouble, "x"))
+    def withText(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("text", concat_ws(" ",
+        when(col("seq") % 2 === 0, lit("spark")).otherwise(lit("flink")),
+        when(col("seq") % 3 === 0, lit("hash")).otherwise(lit("sort")),
+        lit("data")))
+    val static = withText(data.toDF())
+    val terms = Seq("spark", "hash")
+    // production shape: the index (corpus stats) is a batch fact; the
+    // arriving stream pays per-row tf expressions + a broadcast join.
+    // The top-k CUT stays batch-side by design (ill-defined unbounded).
+    val stats = T.bm25Stats(static, col("text"), terms)
+    val batch = T.bm25ScoreWith(static, col("text"), col("seq"), terms,
+      stats).select("doc_id", "score").as[(Long, Double)].collect().toSet
+    assert(batch.exists(_._2 > 0) && batch.exists(_._2 == 0.0))
+    val streamed = runStream("bm25s")(in =>
+      T.bm25ScoreWith(withText(in.toDS().toDF()), col("text"), col("seq"),
+        terms, stats))(data)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
 }
