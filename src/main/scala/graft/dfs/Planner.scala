@@ -2379,6 +2379,15 @@ object Planner {
       val text = optStr(n, "text_field", env).getOrElse("text")
       graft.operators.text.TextOps.withQualityLr(ctx.df, Paths.ref(text))
     },
+    // connected components over an (a, b) pair stream (graft extension,
+    // the Dedup.connectedComponents door): near-dup pairs → dedup groups
+    "components" -> bt(Set("max_iter")) { (ctx, n, env) =>
+      if (!ctx.df.columns.contains("a") || !ctx.df.columns.contains("b"))
+        throw DfsError("components: input needs 'a'/'b' pair columns " +
+          "(the near_dedup output shape)")
+      graft.operators.text.Dedup.connectedComponents(ctx.df,
+        optNum(n, "max_iter", env).map(_.toInt).getOrElse(20))
+    },
 
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary

@@ -175,6 +175,47 @@ object Dedup {
     }
   }
 
+  /** Connected components over an undirected pair list `(a, b)` —
+    * transitive closure of the near-dup relation, turning pair output
+    * ([[nearDupPairs]], [[nearDupClusterPairs]],
+    * VectorOps.cosineDupPairs) into dedup GROUPS: every node that
+    * appears in an edge, labeled with the minimum node id reachable
+    * from it. Downstream use: keep `id == component`, drop the rest —
+    * one survivor per duplicate cluster.
+    *
+    * Iterated min-label propagation: each round, a node's label drops
+    * to the minimum of its own and its neighbours' labels — one
+    * edge⨝label join + a min aggregate per round, converging in
+    * O(graph diameter) rounds (near-dup clusters are dense stars/
+    * cliques: diameter 2-3 in practice; `maxIter` is the hard stop).
+    * Per round: one node-sized localCheckpoint (flat lineage) and one
+    * bounded driver `count` for the early-stop test — the BpeTrainer
+    * iteration contract, never a data-sized collect. The edge list is
+    * checkpointed once and reused every round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val nbr = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("_nc"))
+      val next = labels.join(nbr, labels("id") === nbr("src"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("_nc"), col("comp"))).as("comp"),
+          (col("_nc") < col("comp")).as("_chg"))
+        .localCheckpoint()
+      changed = next.filter(col("_chg")).count() // bounded early-stop probe
+      labels = next.drop("_chg")
+      iter += 1
+    }
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
   /** 32-bit SimHash bit assembly over a precomputed token-hash array
     * column: bit b set iff the sum of ±1 contributions from token-hash
     * bit b is positive.

@@ -1134,8 +1134,39 @@ object LlmPack extends QueryPack {
           #|quality_lr()
           #|keep('doc_id', 'n_tok', 'lr_raw', 'lr_prob')
           #""".stripMargin('#'), s, dir),
-      Some(qualityLrSql))
+      Some(qualityLrSql)),
+
+    // transitive closure of the near-dup relation: pair output → dedup
+    // groups (keep id == component for one survivor per cluster). The
+    // oracle is a DuckDB recursive CTE over the SAME replayed pair
+    // pipeline — reachability pinned exactly, not approximated
+    "dedup_components" -> QueryDef(
+      (s, dir) =>
+        Dedup.connectedComponents(
+          Dedup.nearDupPairs(Tables.documents(s, dir), col("text"),
+            col("doc_id"), 0.3).select(col("a"), col("b"))),
+      Some(componentsSql)),
+
+    "dfs_components" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.id_field('doc_id').threshold(0.3)
+          #  .bands(4).rows_per_band(2))
+          #|components()
+          #""".stripMargin('#'), s, dir),
+      Some(componentsSql))
   )
+
+  private lazy val componentsSql: String =
+    s"""WITH RECURSIVE pr AS (${nearPairsSql(0.3)}),
+       |e AS (SELECT a AS src, b AS dst FROM pr
+       |      UNION SELECT b AS src, a AS dst FROM pr),
+       |walk AS (
+       |  SELECT src AS id, src AS reach FROM e
+       |  UNION
+       |  SELECT w.id, e.dst AS reach FROM walk w JOIN e ON w.reach = e.src
+       |)
+       |SELECT id, min(reach) AS component FROM walk GROUP BY id""".stripMargin
 
   /** Fixed query-term set for [[text_bm25]] — corpus-present terms. */
   private val Bm25Terms = Seq("spark", "hash", "merge")

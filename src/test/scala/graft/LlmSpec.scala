@@ -551,6 +551,23 @@ class LlmSpec extends AnyFunSuite {
     assert(out(30L)._2) // alone in its cluster
   }
 
+  test("connectedComponents: chains close transitively, " +
+      "components labeled by min id, maxIter caps propagation") {
+    import spark.implicits._
+    // a 4-chain (diameter 3 — needs >1 round), a pair, and edge order
+    // that forces labels to travel backwards (4-3, 3-2, 2-1)
+    val pairs = Seq((4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
+      .toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // hard stop: one round can only move a label one hop
+    val capped = Dedup.connectedComponents(pairs, maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped(4L) == 3L && capped(3L) == 2L) // one hop per round
+  }
+
   test("withQualityLr: single-token doc scores its exact hashed weight; " +
       "logit bounded; empty docs excluded") {
     import spark.implicits._
