@@ -54,6 +54,31 @@ object BpeTrainer {
         element_at(col("_syms"), col("_i") + 1).as("b"), col("_n"))
       .groupBy(col("a"), col("b")).agg(sum(col("_n")).as("n"))
 
+  /** Apply an ordered merge-rule list to a corpus — the tokenizer's
+    * APPLY side: emits one row per (doc, token position, piece index,
+    * piece). The merges run on the DISTINCT-WORD table only (each rule
+    * is one [[applyMerge]] fold pass, checkpointed every 8 rules to
+    * keep the expression tree and lineage bounded); the corpus pays a
+    * posexplode and one equi-join on the word — the same
+    * vocabulary-not-corpus cost split as [[train]].
+    */
+  def encode(docs: DataFrame, text: Column, id: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(id.as("doc_id"),
+        posexplode(TextOps.tokens(text)).as(Seq("pos", "_w")))
+    var vocab = words.select(col("_w")).distinct()
+      .withColumn("_syms", filter(split(col("_w"), ""), x => x =!= lit("")))
+    merges.grouped(8).foreach { batch =>
+      vocab = batch.foldLeft(vocab) { case (d, (a, b)) =>
+        d.withColumn("_syms", applyMerge(col("_syms"), a, b))
+      }.localCheckpoint()
+    }
+    words.join(vocab, "_w")
+      .select(col("doc_id"), col("pos"),
+        posexplode(col("_syms")).as(Seq("piece_idx", "piece")))
+  }
+
   /** Train `merges` BPE merge rules over `text`'s whitespace words.
     * Returns the ordered rule list; ties break lexicographically on
     * (a, b) so training is deterministic.

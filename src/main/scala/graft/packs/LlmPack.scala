@@ -1154,7 +1154,22 @@ object LlmPack extends QueryPack {
           #  .bands(4).rows_per_band(2))
           #|components()
           #""".stripMargin('#'), s, dir),
-      Some(componentsSql))
+      Some(componentsSql)),
+
+    // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
+    // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
+    // pinned as literals — training determinism and merge application
+    // are unit-pinned in LlmSpec). Iterated merge application is not
+    // SQL-expressible, so this is a declared rows-only entry (the one
+    // deliberate no-oracle query); the % 97 gate bounds the dump.
+    "text_bpe_encode" -> QueryDef(
+      (s, dir) =>
+        graft.operators.text.BpeTrainer.encode(
+          Tables.documents(s, dir).filter(col("doc_id") % 97 === 0),
+          col("text"), col("doc_id"),
+          Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+            "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")),
+      None)
   )
 
   private lazy val componentsSql: String =

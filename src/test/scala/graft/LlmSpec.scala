@@ -603,4 +603,16 @@ class LlmSpec extends AnyFunSuite {
     val again = graft.operators.text.BpeTrainer.train(df, col("text"), 3)
     assert(merges == again)
   }
+
+  test("BpeTrainer.encode applies trained merges: merged words collapse, " +
+      "unseen suffixes stay char pieces") {
+    import spark.implicits._
+    val df = Seq((1L, "low lower")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"))
+    val out = graft.operators.text.BpeTrainer
+      .encode(df, col("text"), col("doc_id"), merges)
+      .orderBy("pos", "piece_idx")
+      .select("pos", "piece").as[(Int, String)].collect().toSeq
+    assert(out == Seq((0, "low"), (1, "low"), (1, "e"), (1, "r")))
+  }
 }
