@@ -2379,6 +2379,16 @@ object Planner {
       val text = optStr(n, "text_field", env).getOrElse("text")
       graft.operators.text.TextOps.withQualityLr(ctx.df, Paths.ref(text))
     },
+    // bigram-LM perplexity scoring (graft extension, the
+    // TextOps.withPerplexity door): per-doc n_bigrams / nll / ppl —
+    // the CCNet-style quality-gate fact; filter with |where() downstream
+    "perplexity" -> bt(Set("text_field", "id_field")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("perplexity: .id_field"))
+      graft.operators.text.TextOps.withPerplexity(ctx.df, Paths.ref(text),
+        Paths.ref(id))
+    },
     // connected components over an (a, b) pair stream (graft extension,
     // the Dedup.connectedComponents door): near-dup pairs → dedup groups
     "components" -> bt(Set("max_iter")) { (ctx, n, env) =>

@@ -561,4 +561,100 @@ object TextOps {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
   }
+
+  // ---- n-gram LM perplexity (CCNet-style quality filtering) -------------
+
+  /** Per-doc adjacent token pairs: `(doc_id, w1, w2)` — the shared base
+    * of LM training and scoring. Docs under 2 tokens carry no bigram
+    * and are excluded (the decontaminate sub-n rule). Same
+    * explode-the-index build as [[decontaminate]] (the
+    * HOF-under-generator lesson).
+    */
+  def bigramPairs(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val toked = docs.select(id.as("doc_id"), tokens(text).as("_t"))
+      .filter(size(col("_t")) >= 2)
+    toked
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - 1)).as("_i"))
+      .select(col("doc_id"),
+        element_at(col("_t"), col("_i")).as("w1"),
+        element_at(col("_t"), col("_i") + 1).as("w2"))
+  }
+
+  /** Train an add-one-smoothed bigram language model from a pair base:
+    * one row per seen bigram carrying its count `c12`, the history
+    * count `c1`, and the vocabulary size `v` (distinct token types over
+    * the pair corpus — histories and finals alike).
+    *
+    * 100 TB shape: two map-side-partial hash aggregates over the pair
+    * base (the shuffle carries (gram, partial-count)) plus a 1-row
+    * vocabulary scalar broadcast onto the table. The result is
+    * vocabulary²-bounded — a corpus-independent STATIC FACT a stream is
+    * scored against (the bm25Stats pattern).
+    */
+  def bigramLmFromPairs(pairs: DataFrame): DataFrame = {
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val voc = pairs.select(explode(array(col("w1"), col("w2"))).as("_tok"))
+      .agg(count_distinct(col("_tok")).as("v")).withColumn("_k", lit(1))
+    big.join(uni, Seq("w1"))
+      .withColumn("_k", lit(1))
+      .join(broadcast(voc), Seq("_k")).drop("_k")
+  }
+
+  /** The trained LM for a corpus (train-and-return form). */
+  def bigramLm(docs: DataFrame, text: Column): DataFrame =
+    bigramLmFromPairs(bigramPairs(docs, text, lit(0L)))
+
+  /** Score a pair base against a trained LM — per doc: bigram count,
+    * mean negative log-likelihood under add-one smoothing
+    * `p(w2|w1) = (c12+1)/(c1+v)`, and perplexity `exp(nll)`. Unseen
+    * bigrams of a SEEN history fall back to `1/(c1+v)`; unseen
+    * histories to the uniform `1/v` — so held-out text (a stream scored
+    * against a static LM) is always defined.
+    *
+    * Determinism contract: each pair's log-likelihood is rounded to an
+    * integer number of 1e-9 units (a BIGINT) before the per-doc sum —
+    * integer addition is order-free, so the result is independent of
+    * partitioning and bit-identical to the oracle's replay; `ppl` is
+    * computed from the ROUNDED nll (the withQualityLr exp contract).
+    *
+    * 100 TB shape: one equi-join of the pair base against the
+    * vocabulary-bounded LM (broadcast at realistic vocabularies,
+    * sort-merge + AQE beyond) and one map-side-partial integer
+    * aggregate. This is the engine's stand-in for the classic KenLM
+    * perplexity gate: swap the trained table, keep the plumbing.
+    */
+  def perplexityFromPairs(pairs: DataFrame, lm: DataFrame): DataFrame = {
+    // the LM bundle is bigram-per-row; histories and the vocabulary
+    // scalar are derived (vocabulary-sized / 1 row — both tiny)
+    val uni = lm.select(col("w1"), col("c1")).distinct()
+    val voc = lm.agg(max(col("v")).as("v")).withColumn("_k", lit(1))
+    val ll = pairs
+      .join(uni, Seq("w1"), "left")
+      .join(lm.select(col("w1"), col("w2"), col("c12")),
+        Seq("w1", "w2"), "left")
+      .withColumn("_k", lit(1))
+      .join(broadcast(voc), Seq("_k"))
+      .withColumn("_num", coalesce(col("c12"), lit(0L)) + 1.0)
+      .withColumn("_den", coalesce(col("c1"), lit(0L)) + col("v"))
+      .withColumn("_ll",
+        round(log(col("_num") / col("_den")) * 1e9).cast("long"))
+    ll.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("_ll")).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("_s") / 1e9 / col("n_bigrams"), 6).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 6))
+  }
+
+  /** Self-scored corpus perplexity: train the bigram LM on `docs` and
+    * score every doc against it. The pair base feeds training AND
+    * scoring — scope-cached (the dupGramStats precedent).
+    */
+  def withPerplexity(docs: DataFrame, text: Column, id: Column): DataFrame =
+    graft.core.CacheScope.withPersisted(bigramPairs(docs, text, id)) {
+      pairs => perplexityFromPairs(pairs, bigramLmFromPairs(pairs))
+    }
 }

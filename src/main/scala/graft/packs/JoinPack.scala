@@ -174,6 +174,27 @@ object JoinPack extends QueryPack {
         graft.operators.join.Skew.saltedJoin(li, ord, Seq("l_orderkey"), 8)
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_custkey
-             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin))
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin)),
+
+    // bloom-gated semi join (SCALE.md bloom pruning): the fact side is
+    // filtered by a Bloom sketch of the dimension keys BEFORE its
+    // shuffle, then the exact join runs behind the gate — the hash pin
+    // proves the gate is a pure shuffle reducer, never a semantic
+    // change (no false negatives; false positives die in the join).
+    "join_bloom_semi" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val hot = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey"))
+        graft.operators.join.BloomPrune.prunedJoin(
+          li, col("l_orderkey"), hot, col("o_orderkey"),
+          "left_semi", expectedItems = 10000L, fpp = 0.01)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_totalprice > 400000)""".stripMargin))
   )
 }

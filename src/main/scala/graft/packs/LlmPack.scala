@@ -1156,6 +1156,24 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql)),
 
+    // bigram-LM perplexity (CCNet-style quality gate): train an
+    // add-one-smoothed bigram model on the corpus, score every doc.
+    // Per-pair log-likelihoods round to integer 1e-9 units BEFORE the
+    // per-doc sum, so the aggregate is order-free and the DuckDB
+    // replay is exact (the scaled-long determinism trick).
+    "text_ppl" -> QueryDef(
+      (s, dir) =>
+        TextOps.withPerplexity(Tables.documents(s, dir), col("text"),
+          col("doc_id")),
+      Some(pplSql)),
+
+    "dfs_ppl" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|perplexity(.id_field('doc_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(pplSql)),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application
@@ -1263,6 +1281,30 @@ object LlmPack extends QueryPack {
        |          (acc, v) -> acc + v) / len(w) AS sc
        |      FROM (SELECT doc_id, $toks AS w FROM documents
        |            WHERE len(trim(text)) >= 1))""".stripMargin
+
+  private lazy val pplSql: String =
+    s"""WITH t2 AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id, $toks AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |p AS (SELECT doc_id,
+       |        unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS g
+       |      FROM t2),
+       |h AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1 FROM t2),
+       |big AS (SELECT g, count(*) AS c12 FROM p GROUP BY g),
+       |uni AS (SELECT w1, count(*) AS c1 FROM h GROUP BY w1),
+       |voc AS (SELECT count(DISTINCT tok) AS v
+       |        FROM (SELECT unnest(w) AS tok FROM t2)),
+       |ll AS (SELECT doc_id,
+       |         CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000000.0)
+       |              AS BIGINT) AS l
+       |       FROM p
+       |       JOIN big USING (g)
+       |       JOIN uni ON uni.w1 = string_split(p.g, ' ')[1]
+       |       CROSS JOIN voc)
+       |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+       |  round(-sum(l) / 1000000000.0 / count(*), 6) AS nll,
+       |  round(exp(round(-sum(l) / 1000000000.0 / count(*), 6)), 6) AS ppl
+       |FROM ll GROUP BY doc_id""".stripMargin
 
   private lazy val bpePairsSql: String =
     s"""WITH wc AS (SELECT w, count(*) AS n

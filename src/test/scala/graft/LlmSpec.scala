@@ -43,6 +43,36 @@ class LlmSpec extends AnyFunSuite {
     assert(out(5L) == ((4, 1, 0.25)))
   }
 
+  test("perplexity: constructed LM values; unseen bigram/history fallbacks") {
+    import spark.implicits._
+    // training corpus: "a b" ×2 and "a c" ×1 → c(a,b)=2 c(a,c)=1 c1(a)=3
+    // vocabulary {a,b,c} → v=3
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("id", "text")
+    val lm = TextOps.bigramLm(train, col("text"))
+    val lmRows = lm.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(lmRows == Set(("a", "b", 2L, 3L, 3L), ("a", "c", 1L, 3L, 3L)))
+    // held-out scoring: seen bigram (2+1)/(3+3), unseen bigram of a SEEN
+    // history (0+1)/(3+3), unseen history (0+1)/(0+3)
+    val heldOut = Seq((10L, "a b"), (11L, "a z"), (12L, "q r"))
+      .toDF("id", "text")
+    val pairs = TextOps.bigramPairs(heldOut, col("text"), col("id"))
+    val got = TextOps.perplexityFromPairs(pairs, lm)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    def nll(p: Double) =
+      BigDecimal(-math.round(math.log(p) * 1e9) / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == nll(3.0 / 6.0))
+    assert(got(11L) == nll(1.0 / 6.0))
+    assert(got(12L) == nll(1.0 / 3.0))
+    // self-scored corpus form: sub-2-token docs are excluded
+    val out = TextOps.withPerplexity(
+      Seq((1L, "a b a b"), (2L, "x")).toDF("id", "text"),
+      col("text"), col("id"))
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("minhash signature is permutation-bounded and deterministic") {
     val docs = Tables.documents(spark, sf)
     val sig = Dedup.minhashSignature(docs, col("text"), 8)

@@ -109,6 +109,38 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("salt-safe"))
   }
 
+  test("BloomPrune: gate is a superset of matches; pruned join == plain join") {
+    import graft.operators.join.BloomPrune
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => (i, i % 7)).toDF("k", "payload")
+    val dim = (1L to 5000L by 50).map(i => (i, i * 2)).toDF("dk", "v")
+    // the gate alone: no false negatives (every true match passes), and
+    // at fpp=0.01 it actually prunes (pass-set ≪ full set)
+    val bytes = BloomPrune.sketch(dim, col("dk"), 1000L, 0.01)
+    val pass = big.filter(BloomPrune.mightContain(bytes, col("k")))
+      .select("k").as[Long].collect().toSet
+    val truth = (1L to 5000L by 50).toSet
+    assert(truth.subsetOf(pass), "bloom gate dropped a true match")
+    assert(pass.size < 1000, s"gate passed ${pass.size} of 5000 — not pruning")
+    // the full pruned join is row-identical to the plain semi join
+    val plain = big.join(dim, col("k") === col("dk"), "left_semi")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val pruned = BloomPrune.prunedJoin(big, col("k"), dim, col("dk"),
+      "left_semi", 1000L, 0.01)
+    assert(pruned.as[(Long, Long)].collect().sorted.toSeq == plain)
+    // the probe is a might_contain gate on the big side (the physical
+    // plan folds it into the LocalTableScan for local relations —
+    // ConvertToLocalRelation — so pin the analyzed plan; parquet-backed
+    // plans keep it physical, which PlanLint covers via join_bloom_semi)
+    val plan = pruned.queryExecution.analyzed.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // outer probes must be rejected — the gate drops unmatched rows
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.prunedJoin(big, col("k"), dim, col("dk"), "left_outer")
+    }
+    assert(e.getMessage.contains("inner/left_semi"))
+  }
+
   test("mergeValues: numbers add, strings concat, nulls coalesce") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, "a", "b"), (3.0, 4.0, "c", "d"))

@@ -61,6 +61,23 @@ class PlanLintSpec extends AnyFunSuite {
     assert(over.isEmpty, s"as-of joins grew extra shuffles: $over")
   }
 
+  test("bloom-pruned join keeps its might_contain gate on the fact scan") {
+    // the gate must survive optimization and sit on the FACT side —
+    // i.e. evaluate before the join (and before any exchange the join
+    // needs), which is the whole point: non-matching rows die at scan
+    val plan = SparkEntry.queries("join_bloom_semi")(spark, sf)
+      .queryExecution.executedPlan
+    val filters = flatten(plan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("might_contain") => f
+    }
+    assert(filters.nonEmpty, s"no might_contain filter in:\n$plan")
+    // the gated filter scans lineitem directly (no join below it)
+    assert(filters.forall(f =>
+      !flatten(f.child).exists(_.nodeName.contains("Join"))),
+      "bloom gate is not on the pre-join fact side")
+  }
+
   test("broadcast nested-loop joins only where sanctioned (guarded top-k)") {
     // Sanctioned shapes: bruteTopK's crossJoin(broadcast(q)) and
     // cosineDupPairsExact's a < b self-join — all-pairs by spec, both
