@@ -2379,6 +2379,25 @@ object Planner {
       val text = optStr(n, "text_field", env).getOrElse("text")
       graft.operators.text.TextOps.withQualityLr(ctx.df, Paths.ref(text))
     },
+    // DSIR importance resampling (graft extension, the TextOps.dsirSample
+    // door): keep docs whose hashed-feature importance weight — how
+    // target-like the doc's token distribution is — reaches the corpus
+    // (1−frac) quantile. `.target` is a per-row lambda marking the
+    // target subset; score-only form via `.frac(1)` (keeps everything,
+    // lands the weights).
+    "dsir_sample" -> bt(Set("text_field", "id_field", "target", "frac",
+      "buckets")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("dsir_sample: .id_field"))
+      val tgt = optLambdas(n, "target", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("dsir_sample: .target(lambda)"))
+      graft.operators.text.TextOps.dsirSample(ctx.df, Paths.ref(text),
+        Paths.ref(id), tgt,
+        optNum(n, "frac", env).getOrElse(0.5),
+        optNum(n, "buckets", env).map(_.toInt).getOrElse(4096))
+    },
     // bigram-LM perplexity scoring (graft extension, the
     // TextOps.withPerplexity door): per-doc n_bigrams / nll / ppl —
     // the CCNet-style quality-gate fact; filter with |where() downstream

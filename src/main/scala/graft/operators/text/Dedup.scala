@@ -147,6 +147,61 @@ object Dedup {
       .select(col("a"), col("b"), col("jac"))
   }
 
+  /** Static LSH near-dup index over a corpus: one row per (band,
+    * band-hash) per doc, carrying the doc's distinct shingle-hash set
+    * for the exact-verify step. This is the build-once artifact the
+    * incremental dedup path joins arriving documents against — the
+    * middle ground between per-micro-batch pairs (batch-local) and a
+    * full corpus-wide re-dedup (SCALE.md "streaming").
+    *
+    * 100 TB shape: index size = corpus rows × bands, partitioned by
+    * (band, bh) — exactly the bucket key the probe joins on, so a
+    * bucketed/pre-partitioned write makes every probe a co-located
+    * lookup.
+    */
+  def nearDupIndex(corpus: DataFrame, text: Column, id: Column,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val base = bandSigs(withShingleHashes(corpus, text, "_hs"),
+      bands, rowsPerBand)
+    val bandHashes = (0 until bands).map { b =>
+      val sigCols = (0 until rowsPerBand).map(r =>
+        col(s"sig${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", sigCols: _*)).as("bh"))
+    }
+    base.select(id.as("doc_id"), array_distinct(col("_hs")).as("sh"),
+        explode(array(bandHashes: _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bh"))
+  }
+
+  /** Probe arriving documents against a static [[nearDupIndex]]: banded
+    * bucket equi-join + exact-Jaccard verify. Returns
+    * `(a = arriving id, b = index id, jac)` for matches at or over the
+    * threshold. Every step is a stateless per-row transform, a
+    * stream-STATIC equi-join, or (the one stateful piece) the
+    * dropDuplicates collapsing multi-band collisions of the same pair —
+    * so the same code runs on a streaming frame (StreamingSpec pins
+    * stream ≡ batch), with per-(a,b) dedup state; bound it with a
+    * watermark on the arriving side when ids recur.
+    */
+  def nearDupVsIndex(df: DataFrame, text: Column, id: Column,
+      index: DataFrame, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val probe = nearDupIndex(df, text, id, bands, rowsPerBand)
+      .select(col("doc_id").as("a"), col("sh").as("sh_a"),
+        col("band"), col("bh"))
+    val idx = index.select(col("doc_id").as("b"), col("sh").as("sh_b"),
+      col("band"), col("bh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val jac = inter * lit(1.0) /
+      (size(col("sh_a")) + size(col("sh_b")) - inter)
+    probe.join(idx, Seq("band", "bh"))
+      .filter(col("a") =!= col("b"))
+      .dropDuplicates("a", "b")
+      .withColumn("jac", round(jac, 6))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("jac"))
+  }
+
   /** Linear-cost near-dup linking: inside each LSH bucket every doc pairs
     * with the bucket REPRESENTATIVE (min doc id) instead of every other
     * doc — O(n) candidates per bucket instead of O(n²), no truncation, no

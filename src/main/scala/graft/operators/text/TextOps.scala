@@ -371,6 +371,54 @@ object TextOps {
           .as("contamination"))
   }
 
+  /** [[decontaminate]] for a benchmark side too big to broadcast
+    * (~8 GB of distinct grams): the gram join becomes a shuffle join,
+    * and a Bloom sketch of the benchmark grams gates corpus grams
+    * BEFORE that shuffle — only might-contaminated grams (true hits +
+    * the fpp sliver) pay data movement, which on a clean corpus is
+    * almost nothing. Same result as [[decontaminate]] bit-for-bit (the
+    * oracle pins both against the same SQL): the sketch has no false
+    * negatives and false positives die in the exact join.
+    *
+    * `expectedItems` sizes the sketch for the benchmark's distinct gram
+    * count (overshooting only wastes sketch bytes; undershooting raises
+    * fpp, never correctness).
+    */
+  def decontaminateBloom(docs: DataFrame, text: Column, id: Column,
+      isBenchmark: Column, n: Int = 3,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import graft.operators.join.BloomPrune
+    val toked = docs
+      .select(id.as("doc_id"), isBenchmark.as("_bm"), tokens(text).as("_t"))
+      .filter(size(col("_t")) >= n)
+    val grams = toked
+      .select(col("doc_id"), col("_bm"), col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
+      .select(col("doc_id"), col("_bm"),
+        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("gram"))
+    val bench = grams.filter(col("_bm")).select(col("gram")).distinct()
+    val corpus0 = grams.filter(!col("_bm"))
+      .select(col("doc_id"), col("gram")).distinct()
+    val gate = BloomPrune.sketch(bench, col("gram"), expectedItems, fpp)
+    // the distinct (doc, gram) base feeds the totals AND the gated hit
+    // join — scope-cached (the dupGramStats precedent; at cluster scale
+    // dropping the cache and recomputing is the better trade)
+    graft.core.CacheScope.withPersisted(corpus0) { corpus =>
+      // per-doc totals come from the ungated side; only the hit count
+      // flows through the gate + exact semi join
+      val perDoc = corpus.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_grams"))
+      val hits = corpus.filter(BloomPrune.mightContain(gate, col("gram")))
+        .join(bench, Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("_nh"))
+      perDoc.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("_nh"), lit(0)).cast("int").as("n_hit"))
+        .withColumn("contamination",
+          round(col("n_hit") * lit(1.0) / col("n_grams"), 6))
+    }
+  }
+
   /** Cross-document duplicated-gram statistics — the gram-granular form
     * of exact-substring deduplication (a doc pair shares an exact run of
     * ≥ n tokens iff it shares an n-token gram): per document, its
@@ -657,4 +705,107 @@ object TextOps {
     graft.core.CacheScope.withPersisted(bigramPairs(docs, text, id)) {
       pairs => perplexityFromPairs(pairs, bigramLmFromPairs(pairs))
     }
+
+  // ---- DSIR importance resampling (hashed n-gram importance weights) ----
+
+  /** Hashed-feature bucket of one token — md5-derived, non-negative
+    * (hash60 yields [0, 2^60)), so `% buckets` needs no pmod and the
+    * DuckDB replay is a plain `%`.
+    */
+  def dsirBucket(t: Column, buckets: Int): Column = hash60(t) % buckets
+
+  /** The DSIR fact tables for a corpus split into target/source: per
+    * hashed bucket, the scaled-long log-ratio
+    * `ln(p_target(b)) − ln(p_source(b))` under add-one smoothing
+    * (`p(b) = (c_b+1)/(C+B)`), plus a 1-row totals frame carrying the
+    * unseen-bucket fallback `lt0` (both counts zero). Source = the WHOLE
+    * corpus (DSIR's raw distribution), target = rows where `isTarget`.
+    *
+    * Returns `(bucketTable, totals)` — both corpus-independent STATIC
+    * FACTS sized by `buckets` (the bm25Stats pattern): build once over
+    * the target + a raw sample, score any stream against them.
+    *
+    * 100 TB shape: one token explode → one map-side-partial hash
+    * aggregate on the bucket id (≤`buckets` groups — the shuffle carries
+    * at most `buckets × partitions` partial rows), a 1-row total, and
+    * arithmetic. Nothing here scales with document count.
+    */
+  def dsirTables(docs: DataFrame, text: Column, isTarget: Column,
+      buckets: Int = 4096): (DataFrame, DataFrame) = {
+    val toks = docs.select(isTarget.as("_tgt"), explode(tokens(text)).as("_w"))
+      .select(col("_tgt"), dsirBucket(col("_w"), buckets).as("bucket"))
+    // the bucket counts feed BOTH outputs; eagerly checkpoint the
+    // ≤`buckets`-row aggregate so the corpus is scanned exactly once
+    // (the CacheScope mechanics, minus the wrapper — two frames derive
+    // from the base, so the scope form doesn't fit)
+    val counts = toks.groupBy(col("bucket"))
+      .agg(count(when(col("_tgt"), 1)).as("_ct"), count(lit(1)).as("_cs"))
+      .localCheckpoint(true)
+    // totals fold over the bucket table, NOT a second corpus scan
+    val totals0 = counts
+      .agg(sum(col("_ct")).as("_tt"), sum(col("_cs")).as("_ts"))
+      .withColumn("_k", lit(1))
+    val scaledLogRatio = (ct: Column, cs: Column) =>
+      round((log((ct + 1.0) / (col("_tt") + buckets))
+        - log((cs + 1.0) / (col("_ts") + buckets))) * 1e9).cast("long")
+    val totals = totals0.withColumn("lt0",
+      scaledLogRatio(lit(0L), lit(0L)))
+    val table = counts.withColumn("_k", lit(1))
+      .join(broadcast(totals.select(col("_k"), col("_tt"), col("_ts"))),
+        Seq("_k"))
+      .select(col("bucket"),
+        scaledLogRatio(col("_ct"), col("_cs")).as("lt"))
+    (table, totals.select(col("_k"), col("lt0")))
+  }
+
+  /** Score rows against DSIR fact tables — per doc: token count and the
+    * mean hashed-bucket log-importance `logw` (positive = looks like
+    * the target distribution). Same determinism contract as
+    * [[perplexityFromPairs]]: per-token contributions are scaled longs,
+    * the per-doc sum is order-free integer addition, and the mean
+    * rounds once at the end. One explode + one broadcast join
+    * (`buckets` rows) + one integer aggregate — streams as a
+    * stream-static join feeding a grouped agg.
+    */
+  def dsirScoreWith(df: DataFrame, text: Column, id: Column,
+      table: DataFrame, totals: DataFrame, buckets: Int = 4096): DataFrame =
+    df.select(id.as("doc_id"), explode(tokens(text)).as("_w"))
+      .select(col("doc_id"), dsirBucket(col("_w"), buckets).as("bucket"))
+      .join(broadcast(table), Seq("bucket"), "left")
+      .withColumn("_k", lit(1))
+      .join(broadcast(totals), Seq("_k"))
+      .withColumn("_lt", coalesce(col("lt"), col("lt0")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tok"), sum(col("_lt")).as("_s"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("_s") / 1e9 / col("n_tok"), 6).as("logw"))
+
+  /** Self-contained DSIR weights: build the fact tables from `docs`
+    * (target = `isTarget` rows) and score every doc. Blank docs carry
+    * no tokens and are excluded (the bigramPairs sub-n rule; `tokens`
+    * of a blank string would otherwise yield one empty token).
+    */
+  def withDsirWeights(docs: DataFrame, text: Column, id: Column,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    val base = docs.filter(length(trim(text)) >= 1)
+    val (table, totals) = dsirTables(base, text, isTarget, buckets)
+    dsirScoreWith(base, text, id, table, totals, buckets)
+  }
+
+  /** DSIR selection: keep the docs whose importance weight reaches the
+    * corpus `1−frac` quantile (ties keep — deterministic, no RNG). The
+    * threshold is an exact-percentile 1-row broadcast (the fillPeriod
+    * lazy-scalar pattern); at 100 TB swap in `approx_percentile` — the
+    * gate itself is a pure per-row filter either way.
+    */
+  def dsirSample(docs: DataFrame, text: Column, id: Column,
+      isTarget: Column, frac: Double, buckets: Int = 4096): DataFrame = {
+    require(frac > 0 && frac <= 1, "frac must be in (0, 1]")
+    val w = withDsirWeights(docs, text, id, isTarget, buckets)
+    val thr = w.agg(percentile(col("logw"), lit(1.0 - frac)).as("_thr"))
+      .withColumn("_k", lit(1))
+    w.withColumn("_k", lit(1)).join(broadcast(thr), Seq("_k"))
+      .filter(col("logw") >= col("_thr"))
+      .select(col("doc_id"), col("n_tok"), col("logw"))
+  }
 }

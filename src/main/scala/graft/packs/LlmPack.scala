@@ -615,19 +615,20 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         TextOps.decontaminate(Tables.documents(s, dir), col("text"),
           col("doc_id"), col("doc_id") % 97 === 0),
-      Some(s"""WITH g AS (SELECT doc_id, doc_id % 97 = 0 AS bm,
-              |    $sh AS grams
-              |  FROM (SELECT doc_id, $toks AS w FROM documents)),
-              |bench AS (SELECT DISTINCT unnest(grams) AS gram
-              |          FROM g WHERE bm),
-              |ex AS (SELECT doc_id, len(grams) AS n_grams,
-              |         unnest(grams) AS gram
-              |       FROM g WHERE NOT bm AND len(grams) > 0)
-              |SELECT e.doc_id, CAST(e.n_grams AS INTEGER) AS n_grams,
-              |  CAST(count(b.gram) AS INTEGER) AS n_hit,
-              |  round(count(b.gram) * 1.0 / e.n_grams, 6) AS contamination
-              |FROM ex e LEFT JOIN bench b USING (gram)
-              |GROUP BY e.doc_id, e.n_grams""".stripMargin)),
+      Some(decontSql)),
+
+    // the same contamination fact computed through the scale-out plan:
+    // shuffle gram join with a Bloom gate on the corpus side instead of
+    // broadcasting the benchmark grams — for benchmark gram sets past
+    // broadcast size. SAME oracle SQL as text_decontaminate: the gate
+    // must be invisible in the result (no false negatives; false
+    // positives die in the exact join).
+    "text_decontaminate_bloom" -> QueryDef(
+      (s, dir) =>
+        TextOps.decontaminateBloom(Tables.documents(s, dir), col("text"),
+          col("doc_id"), col("doc_id") % 97 === 0,
+          expectedItems = 100000L),
+      Some(decontSql)),
 
     "text_fingerprint" -> QueryDef(
       (s, dir) =>
@@ -1174,6 +1175,46 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(pplSql)),
 
+    // incremental near-dup: arriving docs (doc_id % 7 = 0 stands in for
+    // the new batch) probe a STATIC LSH index of the established corpus
+    // — the stream-vs-static middle ground between per-micro-batch
+    // pairs and a full re-dedup. Full pipeline replay: same shingle
+    // hashes, signatures, band hashes, and Jaccard verify as
+    // dedup_near_pairs, with the probe/index split in the candidate join.
+    "dedup_vs_index" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val idx = Dedup.nearDupIndex(docs.filter(col("doc_id") % 7 =!= 0),
+          col("text"), col("doc_id"))
+        Dedup.nearDupVsIndex(docs.filter(col("doc_id") % 7 === 0),
+          col("text"), col("doc_id"), idx, 0.3)
+      },
+      Some(vsIndexSql(0.3))),
+
+    // DSIR importance resampling (data-selection-with-importance-
+    // resampling): hashed unigram buckets, add-one-smoothed
+    // target-vs-raw log-ratio per bucket, per-doc mean log-importance
+    // (scaled-long order-free sum, the text_ppl trick). Target stratum:
+    // lang='en' stands in for the downstream task distribution.
+    "text_dsir" -> QueryDef(
+      (s, dir) =>
+        TextOps.withDsirWeights(Tables.documents(s, dir), col("text"),
+          col("doc_id"), col("lang") === "en"),
+      Some(s"$dsirScoreSql\nSELECT doc_id, n_tok, logw FROM sc")),
+
+    // the selection gate: keep docs at or above the corpus 75th
+    // weight percentile (frac=0.25, ties keep — no RNG anywhere)
+    "dfs_dsir" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|dsir_sample(.id_field('doc_id').frac(0.25)
+          #  .target(lambda: "lang" == 'en'))
+          #""".stripMargin('#'), s, dir),
+      Some(s"""$dsirScoreSql
+              |SELECT doc_id, n_tok, logw FROM sc
+              |WHERE logw >= (SELECT quantile_cont(logw, 0.75)
+              |               FROM sc)""".stripMargin)),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application
@@ -1281,6 +1322,73 @@ object LlmPack extends QueryPack {
        |          (acc, v) -> acc + v) / len(w) AS sc
        |      FROM (SELECT doc_id, $toks AS w FROM documents
        |            WHERE len(trim(text)) >= 1))""".stripMargin
+
+  /** Shared contamination oracle — [[text_decontaminate]] and its
+    * bloom-gated shuffle twin must both match it exactly.
+    */
+  private lazy val decontSql: String =
+    s"""WITH g AS (SELECT doc_id, doc_id % 97 = 0 AS bm,
+       |    $sh AS grams
+       |  FROM (SELECT doc_id, $toks AS w FROM documents)),
+       |bench AS (SELECT DISTINCT unnest(grams) AS gram
+       |          FROM g WHERE bm),
+       |ex AS (SELECT doc_id, len(grams) AS n_grams,
+       |         unnest(grams) AS gram
+       |       FROM g WHERE NOT bm AND len(grams) > 0)
+       |SELECT e.doc_id, CAST(e.n_grams AS INTEGER) AS n_grams,
+       |  CAST(count(b.gram) AS INTEGER) AS n_hit,
+       |  round(count(b.gram) * 1.0 / e.n_grams, 6) AS contamination
+       |FROM ex e LEFT JOIN bench b USING (gram)
+       |GROUP BY e.doc_id, e.n_grams""".stripMargin
+
+  /** [[nearPairsSql]] with a probe/index split in the candidate join:
+    * probes (doc_id % 7 = 0) pair only with index docs (% 7 ≠ 0), no
+    * a &lt; b ordering (the split already breaks symmetry).
+    */
+  private def vsIndexSql(threshold: Double): String = {
+    val sigExprs = (0 until 8).map(i =>
+      s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
+      .mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
+       |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
+       |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hs),
+       |sig AS (SELECT doc_id, $sigExprs FROM hs),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.bh = r.bh
+       |         WHERE l.doc_id % 7 = 0 AND r.doc_id % 7 <> 0),
+       |jac AS (SELECT a, b,
+       |          round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jac
+       |        FROM cand JOIN shs x ON cand.a = x.doc_id
+       |                  JOIN shs y ON cand.b = y.doc_id)
+       |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
+  }
+
+  /** Shared DSIR scoring base (through the per-doc weight CTE `sc`) —
+    * the weights query selects from it directly; the selection query
+    * adds the quantile gate.
+    */
+  private lazy val dsirScoreSql: String =
+    s"""WITH tk AS (SELECT doc_id, tgt, ${h60("tok")} % 4096 AS bucket
+       |  FROM (SELECT doc_id, lang = 'en' AS tgt, unnest($toks) AS tok
+       |        FROM documents WHERE len(trim(text)) >= 1)),
+       |cnt AS (SELECT bucket, count(CASE WHEN tgt THEN 1 END) AS ct,
+       |          count(*) AS cs
+       |        FROM tk GROUP BY bucket),
+       |tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM cnt),
+       |tab AS (SELECT bucket,
+       |          CAST(round((ln((ct + 1.0) / (tt + 4096))
+       |            - ln((cs + 1.0) / (ts + 4096))) * 1000000000.0)
+       |            AS BIGINT) AS lt
+       |        FROM cnt CROSS JOIN tot),
+       |sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+       |         round(sum(lt) / 1000000000.0 / count(*), 6) AS logw
+       |       FROM tk JOIN tab USING (bucket) GROUP BY doc_id)""".stripMargin
 
   private lazy val pplSql: String =
     s"""WITH t2 AS (SELECT doc_id, w

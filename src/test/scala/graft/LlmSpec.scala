@@ -73,6 +73,35 @@ class LlmSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("dsir: target-like docs score above source-like; fallback defined") {
+    import spark.implicits._
+    // target docs speak {aa bb}, source-only docs speak {zz yy} — a
+    // held-out doc of target words must outscore one of source words
+    val docs = Seq(
+      (1L, "aa bb aa bb", true), (2L, "aa bb bb aa", true),
+      (3L, "zz yy zz yy", false), (4L, "yy zz yy zz", false))
+      .toDF("id", "text", "tgt")
+    val (table, totals) = TextOps.dsirTables(docs, col("text"), col("tgt"))
+    val heldOut = Seq((10L, "aa bb"), (11L, "zz yy"), (12L, "qq qq"))
+      .toDF("id", "text")
+    val got = TextOps.dsirScoreWith(heldOut, col("text"), col("id"),
+      table, totals)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10L) > 0, s"target-like doc not positive: ${got(10L)}")
+    assert(got(11L) < 0, s"source-like doc not negative: ${got(11L)}")
+    assert(got(10L) > got(11L))
+    // unseen bucket: falls back to the zero-count ratio (defined, and
+    // mildly positive because the smoothed target denom is smaller)
+    val lt0 = math.log(1.0 / (8 + 4096)) - math.log(1.0 / (16 + 4096))
+    val exp12 = BigDecimal(math.round(lt0 * 1e9) / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(12L) == exp12)
+    // the selection gate keeps the top fraction deterministically
+    val kept = TextOps.dsirSample(docs, col("text"), col("id"),
+      col("tgt"), 0.5).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"gate kept $kept")
+  }
+
   test("minhash signature is permutation-bounded and deterministic") {
     val docs = Tables.documents(spark, sf)
     val sig = Dedup.minhashSignature(docs, col("text"), 8)

@@ -96,7 +96,11 @@ class PlanLintSpec extends AnyFunSuite {
       "text_bm25", "dfs_bm25",
       // pqTopK broadcasts its guarded query side like bruteTopK; the
       // corpus side past the join is CODES ONLY (m ints/row)
-      "emb_pq_topk")
+      "emb_pq_topk",
+      // DSIR broadcasts its 1-ROW totals (unseen-bucket fallback) and,
+      // in the selection form, the 1-ROW percentile threshold — both
+      // the fillPeriod lazy-scalar pattern
+      "text_dsir", "dfs_dsir")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {

@@ -362,6 +362,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch)
   }
 
+  test("near-dup vs static index: stream probe matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val D = graft.operators.text.Dedup
+    // established corpus -> static index; docs 101/103 arrive later and
+    // probe it (101 near-dups corpus doc 1, 103 matches nothing)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about spark structured streaming"),
+      (3L, "a third unrelated document mentioning hash joins and sorts"))
+    val arriving = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (103L, "nothing like anything in the established corpus at all ok"))
+    val idx = D.nearDupIndex(corpus.toDF("doc_id", "body"),
+      col("body"), col("doc_id"))
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      D.nearDupVsIndex(df, col("body"), col("doc_id"), idx, 0.5)
+    val batch = probe(arriving.toDF("doc_id", "body"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.map(p => (p._1, p._2)) == Set((101L, 1L)))
+    // the probe is a stream-static join + stateful pair dedup — the SAME
+    // code runs on the stream, split across two micro-batches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = probe(in.toDS().toDF("doc_id", "body")).writeStream
+      .format("memory").queryName("vsidx").outputMode("append").start()
+    in.addData(arriving.take(1))
+    q.processAllAvailable()
+    in.addData(arriving.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vsidx")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("bm25: stream scored against static corpus stats matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
