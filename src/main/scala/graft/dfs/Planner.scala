@@ -2240,6 +2240,26 @@ object Planner {
         Paths.ref(id), bm,
         optNum(n, "n", env).map(_.toInt).getOrElse(3))
     },
+    // incremental near-dup probing (graft extension, the
+    // Dedup.nearDupVsIndex door): `.index` is a per-row lambda marking
+    // the established-corpus rows (the decontaminate .benchmark
+    // pattern); the rest probe the LSH index built from them
+    "vs_index" -> bt(Set("text_field", "id_field", "index", "threshold",
+      "bands", "rows_per_band")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("vs_index: .id_field"))
+      val isIdx = optLambdas(n, "index", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("vs_index: .index(lambda)"))
+      val bands = optNum(n, "bands", env).map(_.toInt).getOrElse(4)
+      val rpb = optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2)
+      val idx = graft.operators.text.Dedup.nearDupIndex(
+        ctx.df.filter(isIdx), Paths.ref(text), Paths.ref(id), bands, rpb)
+      graft.operators.text.Dedup.nearDupVsIndex(
+        ctx.df.filter(!isIdx), Paths.ref(text), Paths.ref(id), idx,
+        optNum(n, "threshold", env).getOrElse(0.3), bands, rpb)
+    },
     // Gopher-style repetition metrics as a flow node (graft extension,
     // the TextOps.runStats door): appends n_tok / ttr / top_frac /
     // dup_frac for `.n`-gram repetition — per-row sorted-run fold, no

@@ -1191,6 +1191,14 @@ object LlmPack extends QueryPack {
       },
       Some(vsIndexSql(0.3))),
 
+    "dfs_vs_index" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|vs_index(.id_field('doc_id').threshold(0.3)
+          #  .index(lambda: mod("doc_id", 7) != 0))
+          #""".stripMargin('#'), s, dir),
+      Some(vsIndexSql(0.3))),
+
     // DSIR importance resampling (data-selection-with-importance-
     // resampling): hashed unigram buckets, add-one-smoothed
     // target-vs-raw log-ratio per bucket, per-doc mean log-importance

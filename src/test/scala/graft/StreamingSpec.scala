@@ -398,6 +398,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("perplexity + dsir: stream scored against static facts matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    // static corpus trains the LM and the DSIR tables; the stream is
+    // held-out docs. Scoring = stateless explode + stream-static joins
+    // + a per-doc aggregate, so the streaming form runs in complete mode
+    val corpus = Seq(
+      (1L, "the quick brown fox", true), (2L, "the quick red fox", true),
+      (3L, "ein schneller brauner fuchs", false),
+      (4L, "ein roter fuchs springt", false)).toDF("doc_id", "body", "tgt")
+    val arriving = Seq((10L, "the quick fox"), (11L, "ein brauner fuchs"))
+    val lm = T.bigramLm(corpus, col("body"))
+    val (tab, tot) = T.dsirTables(corpus, col("body"), col("tgt"))
+    def ppl(df: org.apache.spark.sql.DataFrame) =
+      T.perplexityFromPairs(
+        T.bigramPairs(df, col("body"), col("doc_id")), lm)
+    def dsir(df: org.apache.spark.sql.DataFrame) =
+      T.dsirScoreWith(df, col("body"), col("doc_id"), tab, tot)
+    val static = arriving.toDF("doc_id", "body")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def streamed(name: String)(
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val in = MemoryStream[(Long, String)]
+      val q = f(in.toDS().toDF("doc_id", "body")).writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      in.addData(arriving)
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).collect().map(_.toSeq).toSet
+    }
+    val batchPpl = ppl(static).collect().map(_.toSeq).toSet
+    assert(batchPpl.size == 2)
+    assert(streamed("pplstream")(ppl) == batchPpl)
+    val batchDsir = dsir(static).collect().map(_.toSeq).toSet
+    assert(batchDsir.size == 2)
+    assert(streamed("dsirstream")(dsir) == batchDsir)
+  }
+
   test("bm25: stream scored against static corpus stats matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
