@@ -2399,6 +2399,13 @@ object Planner {
       val text = optStr(n, "text_field", env).getOrElse("text")
       graft.operators.text.TextOps.withQualityLr(ctx.df, Paths.ref(text))
     },
+    // token-distribution entropy (graft extension, the
+    // TextOps.withTokenEntropy door): appends n_tok / n_types / entropy
+    // — per-row sorted-run fold, no shuffle, streams as-is
+    "entropy" -> bt(Set("text_field")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      graft.operators.text.TextOps.withTokenEntropy(ctx.df, Paths.ref(text))
+    },
     // DSIR importance resampling (graft extension, the TextOps.dsirSample
     // door): keep docs whose hashed-feature importance weight — how
     // target-like the doc's token distribution is — reaches the corpus

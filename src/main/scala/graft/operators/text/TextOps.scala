@@ -286,6 +286,56 @@ object TextOps {
         acc.getField("top").as("top")))
   }
 
+  /** Token-distribution Shannon entropy of one document — the
+    * vocabulary-diversity quality signal (low entropy = repetitive or
+    * template-like text; complements [[runStats]]'s occupancy ratios).
+    * Same zero-shuffle shape as runStats: sort the token array, fold
+    * run lengths, and at each run boundary add the term
+    * `−(c/n)·ln(c/n)` for the completed run.
+    *
+    * Determinism: each term rounds to integer 1e-9 units (a LONG)
+    * inside the fold — integer addition is order-free, so the fold
+    * total equals the oracle's relational unnest+group twin exactly,
+    * term for term. Returns the scaled-long SUM; divide by 1e9 and
+    * round once for the final value.
+    */
+  def tokenEntropyScaled(toks: Column): Column = {
+    val g = array_sort(toks)
+    val n = size(toks)
+    def term(c: Column) = {
+      val p = c.cast("double") / n
+      round(-p * log(p) * lit(1e9)).cast("long")
+    }
+    def closeRun(acc: Column) =
+      when(acc.getField("run") > 0, term(acc.getField("run")))
+        .otherwise(lit(0L))
+    aggregate(g,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("acc")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        struct(
+          x.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(same, acc.getField("acc"))
+            .otherwise(acc.getField("acc") + closeRun(acc)).as("acc"))
+      },
+      acc => acc.getField("acc") + closeRun(acc))
+  }
+
+  /** Per-doc entropy metrics: token count, distinct-token count, and
+    * the token-distribution entropy in nats (6-dp). Pure per-row
+    * expressions — scan-only at any scale, streams as-is.
+    */
+  def withTokenEntropy(docs: DataFrame, text: Column): DataFrame =
+    docs
+      .filter(length(trim(text)) >= 1)
+      .withColumn("_t", tokens(text))
+      .withColumn("n_tok", size(col("_t")).cast("int"))
+      .withColumn("n_types", size(array_distinct(col("_t"))).cast("int"))
+      .withColumn("entropy",
+        round(tokenEntropyScaled(col("_t")) / 1e9, 6))
+      .drop("_t")
+
   /** Gopher-style document-quality gate (Rae et al. 2021 §A1.1 rules,
     * deterministic subset): word count in [minTok, maxTok], mean word
     * length in [3, 10], at least two stopword hits, and top-2-gram

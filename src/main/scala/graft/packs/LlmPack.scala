@@ -1157,6 +1157,24 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql)),
 
+    // token-distribution entropy (vocabulary-diversity quality signal):
+    // per-row sorted-run fold with integer-scaled terms — the relational
+    // unnest+group twin is the oracle, matched term for term
+    "text_entropy" -> QueryDef(
+      (s, dir) =>
+        TextOps.withTokenEntropy(Tables.documents(s, dir), col("text"))
+          .select(col("doc_id"), col("n_tok"), col("n_types"),
+            col("entropy")),
+      Some(entropySql)),
+
+    "dfs_entropy" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|entropy()
+          #|keep('doc_id', 'n_tok', 'n_types', 'entropy')
+          #""".stripMargin('#'), s, dir),
+      Some(entropySql)),
+
     // bigram-LM perplexity (CCNet-style quality gate): train an
     // add-one-smoothed bigram model on the corpus, score every doc.
     // Per-pair log-likelihoods round to integer 1e-9 units BEFORE the
@@ -1330,6 +1348,24 @@ object LlmPack extends QueryPack {
        |          (acc, v) -> acc + v) / len(w) AS sc
        |      FROM (SELECT doc_id, $toks AS w FROM documents
        |            WHERE len(trim(text)) >= 1))""".stripMargin
+
+  /** Token-entropy oracle: the relational unnest+group twin of the
+    * per-row sorted-run fold, matched term for term via the scaled-long
+    * rounding.
+    */
+  private lazy val entropySql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents
+       |          WHERE len(trim(text)) >= 1),
+       |c AS (SELECT doc_id, tok, count(*) AS c
+       |      FROM (SELECT doc_id, unnest(w) AS tok FROM t)
+       |      GROUP BY doc_id, tok),
+       |n AS (SELECT doc_id, len(w) AS n FROM t)
+       |SELECT c.doc_id, CAST(max(n.n) AS INTEGER) AS n_tok,
+       |  CAST(count(*) AS INTEGER) AS n_types,
+       |  round(sum(CAST(round(-(c * 1.0 / n.n) * ln(c * 1.0 / n.n)
+       |    * 1000000000.0) AS BIGINT)) / 1000000000.0, 6) AS entropy
+       |FROM c JOIN n ON c.doc_id = n.doc_id
+       |GROUP BY c.doc_id""".stripMargin
 
   /** Shared contamination oracle — [[text_decontaminate]] and its
     * bloom-gated shuffle twin must both match it exactly.

@@ -141,6 +141,57 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("inner/left_semi"))
   }
 
+  test("bucketed LSH index: vs-index probe shuffles only the arriving side") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import graft.operators.text.Dedup
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    spark.sql("DROP TABLE IF EXISTS bkt_lsh_idx")
+    new scala.reflect.io.Directory(
+      new java.io.File("/tmp/graft-warehouse/bkt_lsh_idx")).deleteRecursively()
+    val docs = Tables.documents(spark, sf)
+    // the 100 TB layout: the index is WRITTEN bucketed on its join key
+    // (band, bh), so an arrival batch pays its own (small) shuffle while
+    // the corpus-sized index is read in place — no corpus movement
+    Tables.writeBucketed(
+      Dedup.nearDupIndex(docs.filter(col("doc_id") % 7 =!= 0),
+        col("text"), col("doc_id")),
+      "bkt_lsh_idx", Seq("band", "bh"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probed = Dedup.nearDupVsIndex(
+        docs.filter(col("doc_id") % 7 === 0), col("text"), col("doc_id"),
+        spark.table("bkt_lsh_idx"), 0.3)
+      val plan = flatten(probed.queryExecution.executedPlan)
+      val bucketedScanSubtrees = plan.collect {
+        case s if s.nodeName.contains("Scan") &&
+          s.toString.contains("bkt_lsh_idx") => s
+      }
+      assert(bucketedScanSubtrees.nonEmpty, "bucketed index scan missing")
+      // no exchange may sit between the join and the bucketed scan —
+      // walk down from each join child containing the index scan
+      val joins = plan.filter(_.nodeName.contains("SortMergeJoin"))
+      assert(joins.nonEmpty, s"expected a sort-merge probe join:\n$plan")
+      val indexSideShuffles = joins.flatMap(_.children).filter(
+        c => c.toString.contains("bkt_lsh_idx")).flatMap(c =>
+        flatten(c).collect { case e: ShuffleExchangeLike => e })
+      assert(indexSideShuffles.isEmpty,
+        s"index side shuffles despite bucketing: $indexSideShuffles")
+      // semantics unchanged vs the computed index
+      val direct = Dedup.nearDupVsIndex(
+        docs.filter(col("doc_id") % 7 === 0), col("text"), col("doc_id"),
+        Dedup.nearDupIndex(docs.filter(col("doc_id") % 7 =!= 0),
+          col("text"), col("doc_id")), 0.3)
+        .collect().map(_.toSeq).toSet
+      assert(probed.collect().map(_.toSeq).toSet == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mergeValues: numbers add, strings concat, nulls coalesce") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, "a", "b"), (3.0, 4.0, "c", "d"))
