@@ -2357,6 +2357,43 @@ object Planner {
         optNum(n, "n", env).map(_.toInt).getOrElse(5),
         optNum(n, "min_docs", env).map(_.toInt).getOrElse(2))
     },
+    // time-series similarity search (graft extension, the
+    // Series.seriesTopK door): top-k keys by z-normalized Euclidean
+    // distance between each key's last-|pattern| values and `.pattern`.
+    // `.tiebreak` names a unique column (event id) — event-time ties
+    // would otherwise make the last-m cut nondeterministic.
+    "series_topk" -> bt(
+      Set("key_field", "value_field", "pattern", "k", "tiebreak")) {
+      (ctx, n, env) =>
+      val key = optStr(n, "key_field", env)
+        .getOrElse(throw DfsError("series_topk: .key_field"))
+      val vf = optStr(n, "value_field", env).getOrElse("value")
+      val tb = optStr(n, "tiebreak", env)
+        .getOrElse(throw DfsError("series_topk: .tiebreak(unique field)"))
+      val pat = optVals(n, "pattern", env).map {
+        case VNum(v, _) => v
+        case VLong(l) => l.toDouble
+        case v =>
+          throw DfsError(s"series_topk: .pattern expects numbers, got $v")
+      }
+      if (pat.isEmpty) throw DfsError("series_topk: .pattern(n1, n2, ...)")
+      graft.operators.series.Series.seriesTopK(ctx.df,
+        Paths.ref(key), Seq(col(ctx.tsMs), Paths.ref(tb)), Paths.ref(vf),
+        pat, optNum(n, "k", env).map(_.toInt).getOrElse(10))
+    },
+    // duplicated-span extraction (graft extension, the TextOps.dupSpans
+    // door): maximal token spans whose every n-gram is cross-document
+    // duplicated — the spans a trim pass would cut
+    "dup_spans" -> bt(Set("text_field", "id_field", "n", "min_docs")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("dup_spans: .id_field"))
+      graft.operators.text.TextOps.dupSpans(ctx.df, Paths.ref(text),
+        Paths.ref(id),
+        optNum(n, "n", env).map(_.toInt).getOrElse(5),
+        optNum(n, "min_docs", env).map(_.toInt).getOrElse(2))
+    },
     // BM25 ranked retrieval (graft extension, the TextOps.bm25TopK
     // door): `.terms` or positional args give the query terms
     "bm25" -> bt(Set("text_field", "id_field", "terms", "k", "k1", "b")) {

@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native subsequence scan for [[graft.operators.series.Series.bestMatch]].
+  *
+  * The HOF formulation (an `aggregate` over window starts, each start
+  * running three nested `aggregate` folds) is interpreted per element —
+  * measured 36 s at sf0.1 (~1500 keys × ~385 windows × ~48 fold steps).
+  * This expression runs the IDENTICAL arithmetic as one compiled loop
+  * per row: fresh left-to-right window sums (NOT sliding updates — a
+  * sliding s1/s2 would differ in the last ulp from the fresh folds the
+  * DuckDB oracle replays), the same `(z − q)²` accumulation order, the
+  * same strict-&lt; earliest-wins selection. One virtual call per KEY
+  * row; the inner loops are plain JIT'd double arithmetic.
+  * CodegenFallback is deliberate: rows here are key-cardinality (one
+  * per series), so per-row dispatch is noise — unlike FloatDot, which
+  * sits inside join loops and needs full codegen.
+  *
+  * Returns `[best_off, best_d2]` as a 2-element double array (null when
+  * the series is shorter than the query).
+  */
+case class ZNormBestMatch(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def prettyName: String = "znorm_best_match"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(s: Any, q: Any): Any = {
+    val x = s.asInstanceOf[ArrayData].toDoubleArray()
+    val qn = q.asInstanceOf[ArrayData].toDoubleArray()
+    val m = qn.length
+    val n = x.length
+    if (n < m) return null
+    var bestOff = 0
+    var bestD2 = Double.MaxValue
+    var i = 0 // 0-based window start; emitted offset is 1-based
+    while (i <= n - m) {
+      var s1 = 0.0
+      var j = 0
+      while (j < m) { s1 += x(i + j); j += 1 }
+      var s2 = 0.0
+      j = 0
+      while (j < m) { s2 += x(i + j) * x(i + j); j += 1 }
+      val mean = s1 / m
+      val m2 = s2 / m
+      val std = math.sqrt(m2 - mean * mean)
+      var d2 = 0.0
+      j = 0
+      while (j < m) {
+        val z = if (std == 0) 0.0 else (x(i + j) - mean) / std
+        val d = z - qn(j)
+        d2 += d * d
+        j += 1
+      }
+      if (d2 < bestD2) { bestD2 = d2; bestOff = i + 1 }
+      i += 1
+    }
+    new GenericArrayData(Array(bestOff.toDouble, bestD2))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZNormBestMatch =
+    copy(left = newLeft, right = newRight)
+}
+
+object SeriesExpressions {
+  def znormBestMatch(series: Column, qNorm: Column): Column =
+    ColumnBridge.column(ZNormBestMatch(
+      ColumnBridge.expression(series), ColumnBridge.expression(qNorm)))
+}

@@ -147,6 +147,35 @@ object Dedup {
       .select(col("a"), col("b"), col("jac"))
   }
 
+  /** Soft deduplication (the downweight-don't-drop policy): each doc
+    * survives with probability 1/|its near-dup cluster| via the
+    * deterministic md5 gate — in expectation one survivor per cluster,
+    * chosen without bias toward low ids (hard dedup's keep-min rule
+    * systematically favors early crawl order), and docs in no pair
+    * always survive (singleton ⇒ rate 1). Returns surviving docs as
+    * `(doc_id, component, cluster_n)`.
+    *
+    * 100 TB shape: [[connectedComponents]] over the pair output (edge-
+    * sized, not corpus-sized), a component-count aggregate, one
+    * broadcast-able join back onto the corpus (cluster table ≤ docs in
+    * any pair ≪ corpus), and the [[TextOps.hashSample]] scan gate.
+    */
+  def softDedup(docs: DataFrame, id: Column, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val comp = connectedComponents(pairs, maxIter)
+      .select(col("id").as("_cid"), col("component"))
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_n"))
+    docs.select(id.as("doc_id"))
+      .join(comp, col("doc_id") === col("_cid"), "left")
+      .join(sizes, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        coalesce(col("cluster_n"), lit(1L)).as("cluster_n"))
+      .filter(pmod(TextOps.hash60(col("doc_id").cast("string")),
+        lit(1000000L)) < lit(1.0) / col("cluster_n") * 1000000.0)
+  }
+
   /** Static LSH near-dup index over a corpus: one row per (band,
     * band-hash) per doc, carrying the doc's distinct shingle-hash set
     * for the exact-verify step. This is the build-once artifact the

@@ -516,6 +516,58 @@ object TextOps {
     }
   }
 
+  /** Duplicated-SPAN extraction — the actionable form of
+    * exact-substring deduplication (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better"): where
+    * [[dupGramStats]] scores documents, this returns the actual
+    * maximal token spans whose every n-gram occurs in ≥ `minDocs`
+    * documents — the spans a trim pass would cut. One row per span:
+    * `(doc_id, start_tok, end_tok, span_len, n_grams)`, token
+    * positions 1-based inclusive.
+    *
+    * Span construction is the islands trick: flag duplicated gram
+    * START positions, then `pos − row_number()` inside each doc is
+    * constant exactly on a run of consecutive duplicated positions;
+    * grouping on it yields maximal runs, and a run [a, b] covers
+    * tokens [a, b+n−1]. Pure integer logic — the oracle replays it
+    * exactly.
+    *
+    * 100 TB shape: identical to [[dupGramStats]] (doc-frequency
+    * aggregate + equi-join flag-back, both map-side-partial; NOT
+    * count-over-window-by-gram) plus one doc-keyed window for the
+    * numbering — partitioned by doc, so no global sort, and a doc's
+    * positions fit one task by construction (a document is one row
+    * upstream).
+    */
+  def dupSpans(docs: DataFrame, text: Column, id: Column,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toked = docs
+      .select(id.as("doc_id"), tokens(text).as("_t"))
+      .filter(size(col("_t")) >= n)
+    val grams0 = toked
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("_t"), col("pos"), lit(n))).as("gram"))
+    graft.core.CacheScope.withPersisted(grams0) { grams =>
+      val dup = grams.select(col("doc_id"), col("gram")).distinct()
+        .groupBy(col("gram")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") >= minDocs)
+        .select(col("gram"), lit(1).as("_dup"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      grams.join(dup, Seq("gram"))
+        .withColumn("_isl", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("_isl"))
+        .agg(min(col("pos")).cast("int").as("start_tok"),
+          (max(col("pos")) + (n - 1)).cast("int").as("end_tok"),
+          count(lit(1)).cast("int").as("n_grams"))
+        .select(col("doc_id"), col("start_tok"), col("end_tok"),
+          (col("end_tok") - col("start_tok") + 1).as("span_len"),
+          col("n_grams"))
+    }
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed term query
     * (Robertson/Spärck Jones; k1/b defaults are the standard Okapi
     * values). Returns the top-`k` documents by score with per-term

@@ -1167,6 +1167,22 @@ object LlmPack extends QueryPack {
             col("entropy")),
       Some(entropySql)),
 
+    // duplicated-span extraction (exact-substring dedup, span form):
+    // the maximal token runs a trim pass would cut — islands-trick
+    // grouping over duplicated gram positions, integer-exact replay
+    "text_dup_spans" -> QueryDef(
+      (s, dir) =>
+        TextOps.dupSpans(Tables.documents(s, dir), col("text"),
+          col("doc_id")),
+      Some(dupSpansSql)),
+
+    "dfs_dup_spans" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|dup_spans(.id_field('doc_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(dupSpansSql)),
+
     "dfs_entropy" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
         """|parquet_read(.table('documents'))
@@ -1241,6 +1257,68 @@ object LlmPack extends QueryPack {
               |WHERE logw >= (SELECT quantile_cont(logw, 0.75)
               |               FROM sc)""".stripMargin)),
 
+    // time-series similarity search (the distributed series-search
+    // family): rank users by z-normalized Euclidean distance between
+    // their last-16 value series and a ramp query pattern — shape
+    // match, offset/scale invariant; rounded-distance cut, key tiebreak
+    "series_topk" -> QueryDef(
+      (s, dir) =>
+        graft.operators.series.Series.seriesTopK(
+          Tables.events(s, dir), col("user_id"),
+          Seq(col("ts_ms"), col("event_id")), col("value"),
+          SeriesQ, 10),
+      Some(seriesTopkSql)),
+
+    // subsequence search: per user, the offset of the best-matching
+    // window of the query's length anywhere in their full value series
+    // (the UCR-suite problem). Selection compares RAW d² (bit-identical
+    // across engines), earliest offset on ties; only the emitted dist
+    // is rounded.
+    "series_best" -> QueryDef(
+      (s, dir) =>
+        graft.operators.series.Series.bestMatch(
+          graft.operators.series.Series.fullSeries(
+            Tables.events(s, dir), col("user_id"),
+            Seq(col("ts_ms"), col("event_id")), col("value")),
+          graft.operators.series.Series.zNormQuery(SeriesQ)),
+      Some(seriesBestSql)),
+
+    // SAX symbolization (iSAX-family indexing): each user's last-16
+    // series z-normalized, PAA-averaged into 4 segments, lettered by
+    // the Gaussian breakpoints — equal words = distance-bounded
+    // candidates (the LSH prefilter shape, for series)
+    "series_sax" -> QueryDef(
+      (s, dir) =>
+        graft.operators.series.Series.withSax(
+          graft.operators.series.Series.keySeries(
+            Tables.events(s, dir), col("user_id"),
+            Seq(col("ts_ms"), col("event_id")), col("value"), 16),
+          w = 4, alphabet = 4)
+          .select(col("key"), col("sax")),
+      Some(seriesSaxSql)),
+
+    "dfs_series_topk" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        s"""|parquet_read(.table('events'))
+           #|series_topk(.key_field('user_id').tiebreak('event_id')
+           #  .pattern(${(1 to 16).mkString(", ")}))
+           #""".stripMargin('#'), s, dir),
+      Some(seriesTopkSql)),
+
+    // soft deduplication: keep each doc with probability 1/|cluster|
+    // (md5 gate, no RNG) — in expectation one survivor per near-dup
+    // cluster without hard dedup's keep-min crawl-order bias;
+    // singletons always survive. Full replay: recursive-CTE components
+    // over the replayed pairs + the gate
+    "dedup_soft" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.softDedup(docs, col("doc_id"),
+          Dedup.nearDupPairs(docs, col("text"), col("doc_id"), 0.3)
+            .select(col("a"), col("b")))
+      },
+      Some(softDedupSql)),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application
@@ -1267,6 +1345,127 @@ object LlmPack extends QueryPack {
        |  SELECT w.id, e.dst AS reach FROM walk w JOIN e ON w.reach = e.src
        |)
        |SELECT id, min(reach) AS component FROM walk GROUP BY id""".stripMargin
+
+  /** Ramp query for [[series_topk]] — normalized driver-side; the SAME
+    * normalized literals embed in the Spark plan and the oracle SQL.
+    */
+  private val SeriesQ: Seq[Double] = (1 to 16).map(_.toDouble)
+
+  private lazy val seriesTopkSql: String = {
+    val qn = graft.operators.series.Series.zNormQuery(SeriesQ)
+    val qLit = qn.map(v => s"CAST($v AS DOUBLE)").mkString("[", ",", "]")
+    val zx = "(CASE WHEN std = 0 THEN 0.0 " +
+      "ELSE (struct_extract(p, 1) - mean) / std END - struct_extract(p, 2))"
+    s"""WITH r AS (SELECT user_id, value,
+       |        row_number() OVER (PARTITION BY user_id
+       |          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+       |      FROM events),
+       |s AS (SELECT user_id, list(value ORDER BY rn DESC) AS x
+       |      FROM r WHERE rn <= 16 GROUP BY user_id
+       |      HAVING count(*) = 16),
+       |st AS (SELECT user_id, x,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), x),
+       |          (a, b) -> a + b) / 16 AS mean,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(x, v -> v * v)), (a, b) -> a + b) / 16 AS m2
+       |       FROM s),
+       |z AS (SELECT user_id, x, mean, sqrt(m2 - mean * mean) AS std
+       |      FROM st),
+       |d AS (SELECT user_id AS key, round(sqrt(
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(list_zip(x, $qLit), p ->
+       |            $zx * $zx)),
+       |          (a, b) -> a + b)), 6) AS dist
+       |      FROM z)
+       |SELECT key, dist FROM d ORDER BY dist, key LIMIT 10""".stripMargin
+  }
+
+  private lazy val seriesSaxSql: String = {
+    val bps = graft.operators.series.Series.SaxBreakpoints(4)
+    s"""WITH r AS (SELECT user_id, value,
+       |        row_number() OVER (PARTITION BY user_id
+       |          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+       |      FROM events),
+       |s AS (SELECT user_id AS key, list(value ORDER BY rn DESC) AS x
+       |      FROM r WHERE rn <= 16 GROUP BY user_id
+       |      HAVING count(*) = 16),
+       |st AS (SELECT key, x,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), x),
+       |          (a, b) -> a + b) / 16 AS mean,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(x, v -> v * v)), (a, b) -> a + b) / 16 AS m2
+       |       FROM s),
+       |z AS (SELECT key, x, mean, sqrt(m2 - mean * mean) AS std FROM st),
+       |p AS (SELECT key, j,
+       |        CASE WHEN std = 0 THEN 0.0
+       |        ELSE (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_slice(x, (j - 1) * 4 + 1, (j - 1) * 4 + 4)),
+       |               (a, b) -> a + b) / 4 - mean) / std END AS v
+       |      FROM (SELECT key, x, mean, std, unnest(range(1, 5)) AS j
+       |            FROM z)),
+       |l AS (SELECT key, j,
+       |        CASE WHEN v < ${bps(0)} THEN 'a'
+       |             WHEN v < ${bps(1)} THEN 'b'
+       |             WHEN v < ${bps(2)} THEN 'c'
+       |             ELSE 'd' END AS ch
+       |      FROM p)
+       |SELECT key, string_agg(ch, '' ORDER BY j) AS sax
+       |FROM l GROUP BY key""".stripMargin
+  }
+
+  private lazy val seriesBestSql: String = {
+    val qn = graft.operators.series.Series.zNormQuery(SeriesQ)
+    val qLit = qn.map(v => s"CAST($v AS DOUBLE)").mkString("[", ",", "]")
+    val zx = "(CASE WHEN std = 0 THEN 0.0 " +
+      "ELSE (struct_extract(p, 1) - mean) / std END - struct_extract(p, 2))"
+    s"""WITH s AS (SELECT user_id AS key,
+       |        list(value ORDER BY epoch_ms(ts), event_id) AS x
+       |      FROM events GROUP BY user_id HAVING count(*) >= 16),
+       |w AS (SELECT key, list_slice(x, i, i + 15) AS win, i
+       |      FROM (SELECT key, x, unnest(range(1, len(x) - 14)) AS i
+       |            FROM s)),
+       |c AS (SELECT key, i, win,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), win),
+       |          (a, b) -> a + b) / 16 AS mean,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(win, v -> v * v)), (a, b) -> a + b) / 16
+       |          AS m2
+       |      FROM w),
+       |z AS (SELECT key, i, win, mean, sqrt(m2 - mean * mean) AS std
+       |      FROM c),
+       |d AS (SELECT key, i,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(list_zip(win, $qLit), p ->
+       |            $zx * $zx)),
+       |          (a, b) -> a + b) AS d2
+       |      FROM z)
+       |SELECT key, CAST(i AS INTEGER) AS best_off,
+       |  round(sqrt(d2), 6) AS dist
+       |FROM (SELECT *, row_number() OVER (PARTITION BY key
+       |        ORDER BY d2, i) AS rn FROM d)
+       |WHERE rn = 1""".stripMargin
+  }
+
+  private lazy val softDedupSql: String =
+    s"""WITH RECURSIVE pr AS (${nearPairsSql(0.3)}),
+       |e AS (SELECT a AS src, b AS dst FROM pr
+       |      UNION SELECT b AS src, a AS dst FROM pr),
+       |walk AS (
+       |  SELECT src AS id, src AS reach FROM e
+       |  UNION
+       |  SELECT w.id, e.dst AS reach FROM walk w JOIN e ON w.reach = e.src
+       |),
+       |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+       |sizes AS (SELECT component, count(*) AS cluster_n
+       |          FROM comp GROUP BY component)
+       |SELECT d.doc_id,
+       |  coalesce(c.component, d.doc_id) AS component,
+       |  coalesce(s.cluster_n, 1) AS cluster_n
+       |FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.id
+       |LEFT JOIN sizes s ON c.component = s.component
+       |WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000
+       |      < 1.0 / coalesce(s.cluster_n, 1) * 1000000.0""".stripMargin
 
   /** Fixed query-term set for [[text_bm25]] — corpus-present terms. */
   private val Bm25Terms = Seq("spark", "hash", "merge")
@@ -1348,6 +1547,30 @@ object LlmPack extends QueryPack {
        |          (acc, v) -> acc + v) / len(w) AS sc
        |      FROM (SELECT doc_id, $toks AS w FROM documents
        |            WHERE len(trim(text)) >= 1))""".stripMargin
+
+  /** Duplicated-span oracle: islands-trick replay of [[dupSpans]] —
+    * n=5, minDocs=2, positions 1-based.
+    */
+  private lazy val dupSpansSql: String = {
+    val gram5 = (0 until 5).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id, $toks AS w FROM documents)
+       |  WHERE len(w) >= 5),
+       |g AS (SELECT doc_id, i AS pos, $gram5 AS gram
+       |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+       |            FROM t)),
+       |d AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+       |      GROUP BY gram HAVING count(*) >= 2),
+       |f AS (SELECT doc_id, pos,
+       |        pos - row_number() OVER (PARTITION BY doc_id
+       |                                 ORDER BY pos) AS isl
+       |      FROM g JOIN d USING (gram))
+       |SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_tok,
+       |  CAST(max(pos) + 4 AS INTEGER) AS end_tok,
+       |  CAST(max(pos) + 4 - min(pos) + 1 AS INTEGER) AS span_len,
+       |  CAST(count(*) AS INTEGER) AS n_grams
+       |FROM f GROUP BY doc_id, isl""".stripMargin
+  }
 
   /** Token-entropy oracle: the relational unnest+group twin of the
     * per-row sorted-run fold, matched term for term via the scaled-long

@@ -73,6 +73,24 @@ class LlmSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("dupSpans: maximal shared runs come out with exact token bounds") {
+    import spark.implicits._
+    // docs 1/2 share the 7-token run "a b c d e f g" (tokens 3..9 in
+    // doc 1, 1..7 in doc 2); with n=3 that is gram starts 3..7 / 1..5.
+    // doc 3 shares nothing; doc 4 is sub-n.
+    val docs = Seq(
+      (1L, "x y a b c d e f g z"),
+      (2L, "a b c d e f g q r s"),
+      (3L, "totally different words entirely here now"),
+      (4L, "a b")).toDF("id", "text")
+    val got = TextOps.dupSpans(docs, col("text"), col("id"), n = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4))).toSet
+    assert(got == Set(
+      (1L, 3, 9, 7, 5), // gram starts 3..7 -> tokens 3..9, 5 grams
+      (2L, 1, 7, 7, 5)))
+  }
+
   test("dsir: target-like docs score above source-like; fallback defined") {
     import spark.implicits._
     // target docs speak {aa bb}, source-only docs speak {zz yy} — a

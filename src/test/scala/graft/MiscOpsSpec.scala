@@ -192,6 +192,92 @@ class MiscOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("seriesTopK: z-norm match ranks exact shape first; short keys drop") {
+    import graft.operators.series.Series
+    import spark.implicits._
+    // key 1: the query shape scaled+shifted (z-norm dist 0); key 2:
+    // reversed ramp (max dist); key 3: flat (zero vector); key 4: too
+    // few points (dropped)
+    val m = 8
+    val rows =
+      (1 to m).map(i => (1L, i.toLong, i.toLong, 100.0 + 5 * i)) ++
+      (1 to m).map(i => (2L, i.toLong, i.toLong, (m - i).toDouble)) ++
+      (1 to m).map(i => (3L, i.toLong, i.toLong, 7.0)) ++
+      (1 to 3).map(i => (4L, i.toLong, i.toLong, i.toDouble))
+    val df = rows.toDF("user_id", "ts_ms", "event_id", "value")
+    val q = (1 to m).map(_.toDouble)
+    val got = Series.seriesTopK(df, col("user_id"),
+      Seq(col("ts_ms"), col("event_id")), col("value"), q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 2L), s"order wrong: ${got.toSeq}")
+    assert(got.head._2 == 0.0)
+    // flat series z-normalizes to the zero vector: dist = ||q'|| = sqrt(m)
+    val qn = Series.zNormQuery(q)
+    val expFlat = BigDecimal(math.sqrt(qn.map(v => v * v).sum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1)._2 == expFlat)
+    // the last-m cut really takes the LAST m: key 1 with a leading
+    // outlier older than the window is unaffected
+    val df2 = (Seq((1L, 0L, 0L, 9999.0)) ++ rows)
+      .toDF("user_id", "ts_ms", "event_id", "value")
+    val got2 = Series.seriesTopK(df2, col("user_id"),
+      Seq(col("ts_ms"), col("event_id")), col("value"), q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got2.head == (1L -> 0.0))
+  }
+
+  test("bestMatch: finds the planted window offset; earliest wins ties") {
+    import graft.operators.series.Series
+    import spark.implicits._
+    val m = 8
+    val q = (1 to m).map(_.toDouble)
+    // key 1: noise, then the ramp (scaled ×3, shifted +50) at offset 11,
+    // then noise — the z-norm match must land exactly there with dist 0
+    val vals1 = Seq(5.0, 9.0, 2.0, 7.0, 1.0, 8.0, 3.0, 6.0, 4.0, 9.5) ++
+      q.map(v => 50.0 + 3 * v) ++ Seq(2.5, 7.5)
+    // key 2: the ramp appears TWICE (offsets 1 and 9) — earliest wins
+    val vals2 = q ++ q ++ Seq(0.0)
+    val rows = vals1.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, i.toLong, v) } ++
+      vals2.zipWithIndex.map { case (v, i) => (2L, i.toLong, i.toLong, v) }
+    val series = Series.fullSeries(rows.toDF("k", "ts_ms", "eid", "v"),
+      col("k"), Seq(col("ts_ms"), col("eid")), col("v"))
+    val got = Series.bestMatch(series, Series.zNormQuery(q))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((11, 0.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((1, 0.0)), s"got ${got(2L)}")
+    // the native scan matches the interpreted HOF twin exactly —
+    // selection runs on raw d², so any ulp divergence between the two
+    // implementations would flip an offset
+    val hof = Series.bestMatchHof(series, Series.zNormQuery(q))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val nat = Series.bestMatch(series, Series.zNormQuery(q))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(nat == hof)
+  }
+
+  test("withSax: ramp maps to 'abcd', flat to 'cccc', scale-invariant") {
+    import graft.operators.series.Series
+    import spark.implicits._
+    val rows =
+      (1 to 16).map(i => (1L, i.toLong, i.toLong, i.toDouble)) ++      // ramp
+      (1 to 16).map(i => (2L, i.toLong, i.toLong, 42.0)) ++            // flat
+      (1 to 16).map(i => (3L, i.toLong, i.toLong, 1000.0 + 50 * i)) ++ // ramp ×50
+      (1 to 16).map(i => (4L, i.toLong, i.toLong, (17 - i).toDouble))  // fall
+    val series = Series.keySeries(rows.toDF("k", "ts_ms", "eid", "v"),
+      col("k"), Seq(col("ts_ms"), col("eid")), col("v"), 16)
+    val got = Series.withSax(series, 4, 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) == "abcd", s"ramp: ${got(1L)}")
+    // flat z-normalizes to zeros; 0 sits in the ['b','c') band edge —
+    // 0 < 0 is false, 0 < 0.6745 true -> 'c'
+    assert(got(2L) == "cccc", s"flat: ${got(2L)}")
+    // z-normalization makes the word scale/offset invariant
+    assert(got(3L) == "abcd", s"scaled ramp: ${got(3L)}")
+    assert(got(4L) == "dcba", s"falling ramp: ${got(4L)}")
+  }
+
   test("mergeValues: numbers add, strings concat, nulls coalesce") {
     import spark.implicits._
     val df = Seq((1.0, 2.0, "a", "b"), (3.0, 4.0, "c", "d"))
