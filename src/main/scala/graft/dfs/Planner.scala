@@ -2381,6 +2381,48 @@ object Planner {
         Paths.ref(key), Seq(col(ctx.tsMs), Paths.ref(tb)), Paths.ref(vf),
         pat, optNum(n, "k", env).map(_.toInt).getOrElse(10))
     },
+    // subsequence search (graft extension, the Series.bestMatch door):
+    // per key, the best-matching window offset of `.pattern`'s length
+    // anywhere in the full series, with its z-norm distance
+    "series_best" -> bt(
+      Set("key_field", "value_field", "pattern", "tiebreak")) {
+      (ctx, n, env) =>
+      val key = optStr(n, "key_field", env)
+        .getOrElse(throw DfsError("series_best: .key_field"))
+      val vf = optStr(n, "value_field", env).getOrElse("value")
+      val tb = optStr(n, "tiebreak", env)
+        .getOrElse(throw DfsError("series_best: .tiebreak(unique field)"))
+      val pat = optVals(n, "pattern", env).map {
+        case VNum(v, _) => v
+        case VLong(l) => l.toDouble
+        case v =>
+          throw DfsError(s"series_best: .pattern expects numbers, got $v")
+      }
+      if (pat.isEmpty) throw DfsError("series_best: .pattern(n1, n2, ...)")
+      val S = graft.operators.series.Series
+      S.bestMatch(S.fullSeries(ctx.df, Paths.ref(key),
+        Seq(col(ctx.tsMs), Paths.ref(tb)), Paths.ref(vf)),
+        S.zNormQuery(pat))
+    },
+    // SAX symbolization (graft extension, the Series.withSax door):
+    // last-`.m` values per key -> `.w`-letter SAX word
+    "series_sax" -> bt(
+      Set("key_field", "value_field", "m", "w", "alphabet", "tiebreak")) {
+      (ctx, n, env) =>
+      val key = optStr(n, "key_field", env)
+        .getOrElse(throw DfsError("series_sax: .key_field"))
+      val vf = optStr(n, "value_field", env).getOrElse("value")
+      val tb = optStr(n, "tiebreak", env)
+        .getOrElse(throw DfsError("series_sax: .tiebreak(unique field)"))
+      val S = graft.operators.series.Series
+      S.withSax(
+        S.keySeries(ctx.df, Paths.ref(key),
+          Seq(col(ctx.tsMs), Paths.ref(tb)), Paths.ref(vf),
+          optNum(n, "m", env).map(_.toInt).getOrElse(16)),
+        optNum(n, "w", env).map(_.toInt).getOrElse(4),
+        optNum(n, "alphabet", env).map(_.toInt).getOrElse(4))
+        .select(col("key"), col("sax"))
+    },
     // duplicated-span extraction (graft extension, the TextOps.dupSpans
     // door): maximal token spans whose every n-gram is cross-document
     // duplicated — the spans a trim pass would cut

@@ -227,4 +227,50 @@ object Series {
         concat_ws("", transform(paa, v => letter(v))))
       .drop("_m", "_s1", "_s2", "_mean", "_std", "_seg")
   }
+
+  /** Series near-duplicate pairs — the LSH shape for series, composed
+    * from [[withSax]]: keys sharing a SAX word are candidates (bucket
+    * self-join, per-bucket cap — never all-pairs), verified by exact
+    * z-normalized distance ≤ `maxDist`. Returns `(a, b, dist)` with
+    * `a < b`. Same plan skeleton as `Dedup.nearDupPairs`: symbolize →
+    * bucket → cap → self-join → exact verify on candidates only.
+    */
+  def saxDupPairs(series: DataFrame, w: Int = 4, alphabet: Int = 4,
+      maxDist: Double = 1.0,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val sax = withSax(series, w, alphabet)
+      .select(col("key"), col("series"), col("sax"))
+    graft.core.CacheScope.withPersisted(sax) { base =>
+      val cap = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("sax")).orderBy(col("key"))
+      val capped = base.withColumn("_r", row_number().over(cap))
+        .filter(col("_r") <= maxBucketSize)
+      val l = capped.select(col("sax"), col("key").as("a"),
+        col("series").as("_xa"))
+      val r = capped.select(col("sax").as("_sx"), col("key").as("b"),
+        col("series").as("_xb"))
+      val cand = l.join(r, col("sax") === col("_sx") && col("a") < col("b"))
+      // exact z-norm distance between the two series (both normalized
+      // with the one fixed mean/std formula, folded left-to-right)
+      def stats(x: Column) = {
+        val m = size(x)
+        val s1 = aggregate(x, lit(0.0), (a, v) => a + v)
+        val s2 = aggregate(x, lit(0.0), (a, v) => a + v * v)
+        val mean = s1 / m
+        (mean, sqrt(s2 / m - mean * mean))
+      }
+      val (ma, sa) = stats(col("_xa"))
+      val (mb, sb) = stats(col("_xb"))
+      val d2 = aggregate(
+        zip_with(col("_xa"), col("_xb"), (x, y) => {
+          val za = when(sa === 0, lit(0.0)).otherwise((x - ma) / sa)
+          val zb = when(sb === 0, lit(0.0)).otherwise((y - mb) / sb)
+          (za - zb) * (za - zb)
+        }),
+        lit(0.0), (a, v) => a + v)
+      cand.withColumn("dist", round(sqrt(d2), 6))
+        .filter(col("dist") <= maxDist)
+        .select(col("a"), col("b"), col("dist"))
+    }
+  }
 }

@@ -1297,6 +1297,18 @@ object LlmPack extends QueryPack {
           .select(col("key"), col("sax")),
       Some(seriesSaxSql)),
 
+    // series near-dup pairs: SAX-word buckets as candidates (the LSH
+    // prefilter shape for series), exact z-norm distance verify on
+    // candidates only — never all-pairs
+    "series_dup" -> QueryDef(
+      (s, dir) =>
+        graft.operators.series.Series.saxDupPairs(
+          graft.operators.series.Series.keySeries(
+            Tables.events(s, dir), col("user_id"),
+            Seq(col("ts_ms"), col("event_id")), col("value"), 16),
+          w = 4, alphabet = 4, maxDist = 4.0),
+      Some(seriesDupSql)),
+
     "dfs_series_topk" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
         s"""|parquet_read(.table('events'))
@@ -1304,6 +1316,21 @@ object LlmPack extends QueryPack {
            #  .pattern(${(1 to 16).mkString(", ")}))
            #""".stripMargin('#'), s, dir),
       Some(seriesTopkSql)),
+
+    "dfs_series_best" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        s"""|parquet_read(.table('events'))
+           #|series_best(.key_field('user_id').tiebreak('event_id')
+           #  .pattern(${(1 to 16).mkString(", ")}))
+           #""".stripMargin('#'), s, dir),
+      Some(seriesBestSql)),
+
+    "dfs_series_sax" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|series_sax(.key_field('user_id').tiebreak('event_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(seriesSaxSql)),
 
     // soft deduplication: keep each doc with probability 1/|cluster|
     // (md5 gate, no RNG) — in expectation one survivor per near-dup
@@ -1411,6 +1438,62 @@ object LlmPack extends QueryPack {
        |      FROM p)
        |SELECT key, string_agg(ch, '' ORDER BY j) AS sax
        |FROM l GROUP BY key""".stripMargin
+  }
+
+  /** SAX-bucket candidate join + exact z-norm verify replay. The
+    * engine's per-bucket cap (4096) cannot bite at oracle scale (150
+    * keys) and is omitted here.
+    */
+  private lazy val seriesDupSql: String = {
+    val bps = graft.operators.series.Series.SaxBreakpoints(4)
+    val zab = (pre: String) =>
+      s"CASE WHEN ${pre}std = 0 THEN 0.0 " +
+        s"ELSE (struct_extract(p, ${if (pre == "a") 1 else 2}) - ${pre}mean) / ${pre}std END"
+    val zd = s"(${zab("a")} - ${zab("b")})"
+    s"""WITH r AS (SELECT user_id, value,
+       |        row_number() OVER (PARTITION BY user_id
+       |          ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+       |      FROM events),
+       |s AS (SELECT user_id AS key, list(value ORDER BY rn DESC) AS x
+       |      FROM r WHERE rn <= 16 GROUP BY user_id
+       |      HAVING count(*) = 16),
+       |st AS (SELECT key, x,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), x),
+       |          (a, b) -> a + b) / 16 AS mean,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |          list_transform(x, v -> v * v)), (a, b) -> a + b) / 16 AS m2
+       |       FROM s),
+       |z AS (SELECT key, x, mean, sqrt(m2 - mean * mean) AS std FROM st),
+       |p0 AS (SELECT key, j,
+       |        CASE WHEN std = 0 THEN 0.0
+       |        ELSE (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |               list_slice(x, (j - 1) * 4 + 1, (j - 1) * 4 + 4)),
+       |               (a, b) -> a + b) / 4 - mean) / std END AS v
+       |      FROM (SELECT key, x, mean, std, unnest(range(1, 5)) AS j
+       |            FROM z)),
+       |l AS (SELECT key, j,
+       |        CASE WHEN v < ${bps(0)} THEN 'a'
+       |             WHEN v < ${bps(1)} THEN 'b'
+       |             WHEN v < ${bps(2)} THEN 'c'
+       |             ELSE 'd' END AS ch
+       |      FROM p0),
+       |sx AS (SELECT key, string_agg(ch, '' ORDER BY j) AS sax
+       |       FROM l GROUP BY key),
+       |b AS (SELECT z.key, z.x, z.mean, z.std, sx.sax
+       |      FROM z JOIN sx ON z.key = sx.key),
+       |cand AS (SELECT xx.key AS a, yy.key AS b,
+       |           xx.x AS xa, yy.x AS xb,
+       |           xx.mean AS amean, xx.std AS astd,
+       |           yy.mean AS bmean, yy.std AS bstd
+       |         FROM b xx JOIN b yy
+       |           ON xx.sax = yy.sax AND xx.key < yy.key)
+       |SELECT a, b, dist FROM (
+       |  SELECT a, b, round(sqrt(
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_zip(xa, xb), p -> $zd * $zd)),
+       |      (a2, b2) -> a2 + b2)), 6) AS dist
+       |  FROM cand)
+       |WHERE dist <= 4.0""".stripMargin
   }
 
   private lazy val seriesBestSql: String = {

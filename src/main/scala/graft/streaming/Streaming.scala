@@ -85,6 +85,36 @@ object Streaming {
       }
   }
 
+  /** Sliding last-`m` ring per key, the streaming base of the series
+    * similarity family: after each arrival, once `m` values are
+    * present, emits `(key, last m values in arrival order)`. Per-key
+    * state is exactly m doubles — bounded regardless of stream length.
+    * Per-key ordered arrival stands in for event-time order (the
+    * packBins contract); the LAST emission per key equals the batch
+    * `Series.keySeries` array, which is what downstream scoring
+    * (zNormTopK's distance, withSax's word) consumes.
+    */
+  def slidingSeries[K, V](
+      ds: Dataset[V],
+      keyFn: V => K,
+      valFn: V => Double,
+      m: Int)(
+      implicit ek: Encoder[K], es: Encoder[Seq[Double]],
+      eo: Encoder[(K, Seq[Double])]): Dataset[(K, Seq[Double])] =
+    ds.groupByKey(keyFn)
+      .flatMapGroupsWithState[Seq[Double], (K, Seq[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: K, it: Iterator[V], state: GroupState[Seq[Double]]) =>
+          var buf = state.getOption.getOrElse(Seq.empty)
+          val out = ArrayBuffer.empty[(K, Seq[Double])]
+          it.foreach { v =>
+            buf = (buf :+ valFn(v)).takeRight(m)
+            if (buf.size == m) out += ((key, buf))
+          }
+          state.update(buf)
+          out.iterator
+      }
+
   /** `win_event` tumbling count window: alias of countBatch (period ==
     * every; ref: esp_win_event.erl:29-82).
     */

@@ -437,6 +437,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("dsirstream")(dsir) == batchDsir)
   }
 
+  test("slidingSeries: last emission per key equals batch keySeries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.series.Series
+    val m = 8
+    // per-key ordered arrival (seq doubles as ts and unique tiebreak)
+    val data = (1L to 30L).map(i => Ev(i % 3, i, (i * 7 % 11).toDouble, "x"))
+    val batch = S.keySeries(data.toDF(), col("user_id"),
+      Seq(col("seq")), col("value"), m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(batch.size == 3)
+    // stream split across two micro-batches; the ring emits after each
+    // full window — keep the LAST emission per key
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streaming.slidingSeries[Long, Ev](in.toDS(), _.user_id,
+        _.value, m)
+      .toDF("key", "series")
+      .writeStream.format("memory").queryName("ringseries")
+      .outputMode("append").start()
+    in.addData(data.take(17))
+    q.processAllAvailable()
+    in.addData(data.drop(17))
+    q.processAllAvailable()
+    q.stop()
+    // emissions arrive in order per key within the sink table; take the
+    // last per key via a monotone emission index
+    val emitted = spark.table("ringseries").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList)
+    val last = emitted.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, rs) => k -> rs.maxBy(_._2)._1._2 }
+    assert(last == batch)
+  }
+
   test("bm25: stream scored against static corpus stats matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
