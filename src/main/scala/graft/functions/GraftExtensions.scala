@@ -40,7 +40,9 @@ object GraftExtensions {
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     twoArg("float_dot", classOf[FloatDot], FloatDot(_, _)),
-    twoArg("float_sq_dist", classOf[FloatSqDist], FloatSqDist(_, _)))
+    twoArg("float_sq_dist", classOf[FloatSqDist], FloatSqDist(_, _)),
+    twoArg("znorm_best_match", classOf[ZNormBestMatch],
+      ZNormBestMatch(_, _)))
 
   /** Inject into a live session (idempotent — re-registration replaces). */
   def register(spark: SparkSession): Unit =

@@ -76,3 +76,50 @@ object SeriesExpressions {
     ColumnBridge.column(ZNormBestMatch(
       ColumnBridge.expression(series), ColumnBridge.expression(qNorm)))
 }
+
+/** Native mean hashed-token weight — the inner loop of
+  * `TextOps.withQualityLr`. The HOF fold interprets
+  * `md5 → conv → % → /` per token; this runs the identical arithmetic
+  * (md5 of the token's UTF-8 bytes, first 15 hex chars as a 60-bit
+  * long — i.e. the first 8 digest bytes big-endian `>>> 4` —
+  * `% 2001 − 1000`, `/ 1000.0`, left-to-right double fold, one final
+  * divide by the token count) in one compiled loop per row.
+  * CodegenFallback for the ZNormBestMatch reason: per-row dispatch is
+  * noise next to the per-token digest work.
+  */
+case class HashedMeanWeight(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_mean_weight"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h = h >>> 4 // first 15 hex chars = 60 bits
+      acc += (h % 2001L - 1000L) / 1000.0
+      i += 1
+    }
+    acc / n
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedMeanWeight = copy(child = newChild)
+}
+
+object TextExpressions {
+  def hashedMeanWeight(tokens: Column): Column =
+    ColumnBridge.column(HashedMeanWeight(ColumnBridge.expression(tokens)))
+}

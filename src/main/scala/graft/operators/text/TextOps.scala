@@ -685,7 +685,10 @@ object TextOps {
       .filter(length(trim(text)) >= 1)
       .withColumn("_t", tokens(text))
       .withColumn("n_tok", size(col("_t")))
-      .withColumn("lr_raw", round(lrScoreFromTokens(col("_t")), 6))
+      // native fold (graft.functions.HashedMeanWeight) — identical
+      // arithmetic to [[lrScoreFromTokens]], which stays as the A/B spec
+      .withColumn("lr_raw", round(
+        graft.functions.TextExpressions.hashedMeanWeight(col("_t")), 6))
       .withColumn("lr_prob",
         round(lit(1.0) / (lit(1.0) + exp(-col("lr_raw"))), 6))
       .drop("_t")

@@ -73,6 +73,23 @@ class LlmSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("HashedMeanWeight: native fold bit-identical to the HOF spec") {
+    // raw doubles over the real corpus — any digest/fold divergence in
+    // the native path shows up as a bit mismatch here
+    val docs = Tables.documents(spark, sf).filter(length(trim(col("text"))) >= 1)
+      .withColumn("_t", TextOps.tokens(col("text")))
+    val both = docs.select(
+      graft.functions.TextExpressions.hashedMeanWeight(col("_t")).as("nat"),
+      TextOps.lrScoreFromTokens(col("_t")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+    }
+  }
+
   test("dupSpans: maximal shared runs come out with exact token bounds") {
     import spark.implicits._
     // docs 1/2 share the 7-token run "a b c d e f g" (tokens 3..9 in
@@ -264,6 +281,15 @@ class LlmSpec extends AnyFunSuite {
       spark.sql("SELECT float_dot(array(CAST(1.0 AS FLOAT)))").head()
     }
     assert(bad.getMessage.contains("2 arguments"))
+    // the subsequence scan resolves from SQL too: a perfect ramp match
+    // at offset 1 -> [1.0, ~0.0]
+    val bm = spark.sql(
+      """SELECT znorm_best_match(
+        |  array(1.0D, 2.0D, 3.0D, 4.0D),
+        |  array(-1.3416407864998738D, -0.4472135954999579D,
+        |        0.4472135954999579D, 1.3416407864998738D)) AS r
+        |""".stripMargin).head().getSeq[Double](0)
+    assert(bm(0) == 1.0 && bm(1) < 1e-12, s"got $bm")
   }
 
   test("cosine near-dup: banded pairs are a subset of exact; recall monotone in bands") {
