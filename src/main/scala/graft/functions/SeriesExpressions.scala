@@ -119,7 +119,57 @@ case class HashedMeanWeight(child: Expression)
       newChild: Expression): HashedMeanWeight = copy(child = newChild)
 }
 
+/** Native scaled token-entropy sum — the inner loop of
+  * `TextOps.withTokenEntropy`. Mirrors the HOF spec exactly: sort the
+  * tokens by Spark's string ordering (UTF8String binary compare), fold
+  * run lengths, and per completed run add
+  * `round(−(c/n)·ln(c/n)·1e9)` as a long — the rounding goes through
+  * BigDecimal HALF_UP, the same path as Spark's `round(double)`, so a
+  * `Math.round` tie could never diverge. Returns the scaled long sum.
+  */
+case class TokenEntropyScaled(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_entropy_scaled"
+
+  private def term(c: Long, n: Int): Long = {
+    val p = c.toDouble / n
+    java.math.BigDecimal.valueOf(-p * math.log(p) * 1e9)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(toks,
+      (x: org.apache.spark.unsafe.types.UTF8String,
+       y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y))
+    var acc = 0L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (toks(i).equals(toks(i - 1))) run += 1
+      else { acc += term(run, n); run = 1L }
+      i += 1
+    }
+    acc + term(run, n)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenEntropyScaled = copy(child = newChild)
+}
+
 object TextExpressions {
   def hashedMeanWeight(tokens: Column): Column =
     ColumnBridge.column(HashedMeanWeight(ColumnBridge.expression(tokens)))
+
+  def tokenEntropyScaled(tokens: Column): Column =
+    ColumnBridge.column(TokenEntropyScaled(ColumnBridge.expression(tokens)))
 }

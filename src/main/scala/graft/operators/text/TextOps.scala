@@ -332,8 +332,11 @@ object TextOps {
       .withColumn("_t", tokens(text))
       .withColumn("n_tok", size(col("_t")).cast("int"))
       .withColumn("n_types", size(array_distinct(col("_t"))).cast("int"))
+      // native fold (graft.functions.TokenEntropyScaled) — identical
+      // terms to [[tokenEntropyScaled]], which stays as the A/B spec
       .withColumn("entropy",
-        round(tokenEntropyScaled(col("_t")) / 1e9, 6))
+        round(graft.functions.TextExpressions.tokenEntropyScaled(col("_t"))
+          / 1e9, 6))
       .drop("_t")
 
   /** Gopher-style document-quality gate (Rae et al. 2021 §A1.1 rules,

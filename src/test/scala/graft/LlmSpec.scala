@@ -90,6 +90,19 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenEntropyScaled: native fold equals the HOF spec exactly") {
+    val docs = Tables.documents(spark, sf)
+      .filter(length(trim(col("text"))) >= 1)
+      .withColumn("_t", TextOps.tokens(col("text")))
+    val both = docs.select(
+      graft.functions.TextExpressions.tokenEntropyScaled(col("_t")).as("nat"),
+      TextOps.tokenEntropyScaled(col("_t")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} != hof ${r.getLong(1)}"))
+  }
+
   test("dupSpans: maximal shared runs come out with exact token bounds") {
     import spark.implicits._
     // docs 1/2 share the 7-token run "a b c d e f g" (tokens 3..9 in
