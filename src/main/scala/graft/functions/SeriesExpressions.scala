@@ -166,10 +166,104 @@ case class TokenEntropyScaled(child: Expression)
       newChild: Expression): TokenEntropyScaled = copy(child = newChild)
 }
 
+/** Native sorted-run duplicate statistics — the inner loop of
+  * `TextOps.runStats` (Gopher repetition metrics). Mirrors the HOF
+  * spec: sort by UTF8String binary order, fold runs; `dup` = total
+  * occurrences of grams appearing more than once, `top` = the longest
+  * run. Integer logic end-to-end — no rounding subtleties.
+  */
+case class SortedRunStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("dup", LongType, nullable = false),
+    StructField("top", LongType, nullable = false)))
+  override def prettyName: String = "sorted_run_stats"
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](0L, 0L))
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(toks,
+      (x: org.apache.spark.unsafe.types.UTF8String,
+       y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y))
+    var dup = 0L
+    var top = 0L
+    var run = 1L
+    i = 1
+    while (i < n) {
+      if (toks(i).equals(toks(i - 1))) run += 1
+      else { if (run > 1) dup += run; if (run > top) top = run; run = 1L }
+      i += 1
+    }
+    if (run > 1) dup += run
+    if (run > top) top = run
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](dup, top))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedRunStats = copy(child = newChild)
+}
+
+/** Native n-gram builder — the inner loop of
+  * `TextOps.shinglesFromTokens`. The HOF form allocates an index
+  * sequence and runs interpreted `concat_ws(slice(...))` per gram;
+  * this builds the identical space-joined gram strings in one loop.
+  * Sub-`n` arrays yield an empty array (the HOF's `when` guard).
+  */
+case class TokenGrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "gram size must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "token_grams"
+
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](len - n + 1)
+    val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    i = 0
+    while (i <= len - n) {
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenGrams = copy(child = newChild)
+}
+
 object TextExpressions {
+  def tokenGrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(TokenGrams(ColumnBridge.expression(tokens), n))
+
   def hashedMeanWeight(tokens: Column): Column =
     ColumnBridge.column(HashedMeanWeight(ColumnBridge.expression(tokens)))
 
   def tokenEntropyScaled(tokens: Column): Column =
     ColumnBridge.column(TokenEntropyScaled(ColumnBridge.expression(tokens)))
+
+  def sortedRunStats(grams: Column): Column =
+    ColumnBridge.column(SortedRunStats(ColumnBridge.expression(grams)))
 }

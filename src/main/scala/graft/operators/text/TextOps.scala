@@ -132,6 +132,17 @@ object TextOps {
     */
   def shinglesFromTokens(t: Column, n: Int,
       distinct: Boolean = true): Column = {
+    // native gram build (graft.functions.TokenGrams); the HOF twin
+    // [[shinglesFromTokensHof]] is the bit-pinned spec
+    val raw = graft.functions.TextExpressions.tokenGrams(t, n)
+    if (distinct) array_distinct(raw) else raw
+  }
+
+  /** Interpreted-HOF twin of [[shinglesFromTokens]] — the spec the
+    * native gram builder is A/B-pinned against.
+    */
+  def shinglesFromTokensHof(t: Column, n: Int,
+      distinct: Boolean = true): Column = {
     val raw = transform(
       sequence(lit(1), size(t) - (n - 1)),
       i => concat_ws(" ", slice(t, i, lit(n))))
@@ -262,7 +273,15 @@ object TextOps {
     * 100 TB corpus pays a scan and zero shuffle for its repetition
     * scores (the relational formulation would shuffle every gram).
     */
-  def runStats(grams: Column): Column = {
+  def runStats(grams: Column): Column =
+    // native fold (graft.functions.SortedRunStats), same struct shape;
+    // [[runStatsHof]] is the bit-pinned expression-level spec
+    graft.functions.TextExpressions.sortedRunStats(grams)
+
+  /** Interpreted-HOF twin of [[runStats]] — the spec the native fold is
+    * A/B-pinned against.
+    */
+  def runStatsHof(grams: Column): Column = {
     val g = array_sort(grams)
     val z = lit(0L)
     aggregate(g,

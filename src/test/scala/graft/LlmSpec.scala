@@ -18,6 +18,17 @@ class LlmSpec extends AnyFunSuite {
     assert(out(0) == Seq("a b c", "b c d"))
     assert(out(1).isEmpty)
     assert(out(2) == Seq("x x x")) // distinct collapses repeats
+    // native gram builder ≡ HOF spec over the corpus (both variants)
+    val toks = Tables.documents(spark, sf)
+      .withColumn("_t", TextOps.tokens(col("text")))
+    Seq(true, false).foreach { d =>
+      val ab = toks.select(
+        TextOps.shinglesFromTokens(col("_t"), 3, d).as("nat"),
+        TextOps.shinglesFromTokensHof(col("_t"), 3, d).as("hof"))
+        .collect()
+      assert(ab.nonEmpty)
+      ab.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
   }
 
   test("decontaminate: hit counts exact, benchmark and sub-n docs " +
@@ -461,6 +472,16 @@ class LlmSpec extends AnyFunSuite {
     assert(out(0) == ((5L, 3L))) // dup = 3+2 occurrences, top = 3
     assert(out(1) == ((0L, 1L)))
     assert(out(2) == ((0L, 0L)))
+    // native ≡ HOF over real corpus grams (the A/B pin)
+    val grams = Tables.documents(spark, sf)
+      .select(TextOps.shingles(col("text"), 2, distinct = false).as("g"))
+    val ab = grams.select(
+      TextOps.runStats(col("g")).as("nat"),
+      TextOps.runStatsHof(col("g")).as("hof"))
+      .collect()
+    assert(ab.nonEmpty)
+    ab.foreach(r => assert(r.getStruct(0) == r.getStruct(1),
+      s"native ${r.getStruct(0)} != hof ${r.getStruct(1)}"))
   }
 
   test("gopherReason fires rules in fixed order, first failure wins") {
