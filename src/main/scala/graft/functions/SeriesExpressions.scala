@@ -75,6 +75,10 @@ object SeriesExpressions {
   def znormBestMatch(series: Column, qNorm: Column): Column =
     ColumnBridge.column(ZNormBestMatch(
       ColumnBridge.expression(series), ColumnBridge.expression(qNorm)))
+
+  def znormDistSq(a: Column, b: Column): Column =
+    ColumnBridge.column(ZNormDistSq(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 /** Native mean hashed-token weight — the inner loop of
@@ -254,7 +258,110 @@ case class TokenGrams(child: Expression, n: Int)
       newChild: Expression): TokenGrams = copy(child = newChild)
 }
 
+/** Native pairwise z-normalized Euclidean distance² — the verify step
+  * of `Series.saxDupPairs`. Identical arithmetic to the HOF form
+  * (fresh left-to-right sums per side, `sqrt(Σv²/m − mean²)` std, the
+  * flat-series zero rule, `(za − zb)²` accumulation order); runs once
+  * per CANDIDATE PAIR, which is why it must be compiled — skewed SAX
+  * buckets put the interpreted fold inside a join (measured 45.7 s at
+  * sf0.1; native: sub-second).
+  */
+case class ZNormDistSq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "znorm_dist_sq"
+
+  private def meanStd(x: Array[Double]): (Double, Double) = {
+    val m = x.length
+    var s1 = 0.0
+    var i = 0
+    while (i < m) { s1 += x(i); i += 1 }
+    var s2 = 0.0
+    i = 0
+    while (i < m) { s2 += x(i) * x(i); i += 1 }
+    val mean = s1 / m
+    (mean, math.sqrt(s2 / m - mean * mean))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    if (n == 0) return 0.0
+    // stats over the FULL arrays (zip_with truncates the ELEMENT walk
+    // to the shorter side, but each side's mean/std use its own length
+    // — the HOF computes them from the whole column value)
+    val (ma, sa) = meanStd(x)
+    val (mb, sb) = meanStd(y)
+    var d2 = 0.0
+    var i = 0
+    while (i < n) {
+      val za = if (sa == 0) 0.0 else (x(i) - ma) / sa
+      val zb = if (sb == 0) 0.0 else (y(i) - mb) / sb
+      val d = za - zb
+      d2 += d * d
+      i += 1
+    }
+    d2
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZNormDistSq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native multi-set membership counter — the inner loop of the
+  * stopword-based scores (langId, wordRatio, qualityScore). The HOF
+  * form runs `filter(toks, tok.isin(words))` per set — interpreted
+  * per token per set; this makes ONE pass over the tokens, testing
+  * each against precompiled UTF8String hash sets, returning one hit
+  * count per set (same value as `size(filter(...))`).
+  */
+case class MultiSetHits(child: Expression, sets: Seq[Seq[String]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  require(sets.nonEmpty, "at least one word set")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def prettyName: String = "multi_set_hits"
+
+  @transient private lazy val compiled
+      : Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
+    sets.map { ws =>
+      val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]
+      ws.foreach(w =>
+        s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](compiled.length)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var s = 0
+      while (s < compiled.length) {
+        if (compiled(s).contains(t)) counts(s) += 1
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(c => c: Any))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MultiSetHits = copy(child = newChild)
+}
+
 object TextExpressions {
+  def multiSetHits(tokens: Column, sets: Seq[Seq[String]]): Column =
+    ColumnBridge.column(MultiSetHits(ColumnBridge.expression(tokens), sets))
+
   def tokenGrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(TokenGrams(ColumnBridge.expression(tokens), n))
 

@@ -250,24 +250,14 @@ object Series {
       val r = capped.select(col("sax").as("_sx"), col("key").as("b"),
         col("series").as("_xb"))
       val cand = l.join(r, col("sax") === col("_sx") && col("a") < col("b"))
-      // exact z-norm distance between the two series (both normalized
-      // with the one fixed mean/std formula, folded left-to-right)
-      def stats(x: Column) = {
-        val m = size(x)
-        val s1 = aggregate(x, lit(0.0), (a, v) => a + v)
-        val s2 = aggregate(x, lit(0.0), (a, v) => a + v * v)
-        val mean = s1 / m
-        (mean, sqrt(s2 / m - mean * mean))
-      }
-      val (ma, sa) = stats(col("_xa"))
-      val (mb, sb) = stats(col("_xb"))
-      val d2 = aggregate(
-        zip_with(col("_xa"), col("_xb"), (x, y) => {
-          val za = when(sa === 0, lit(0.0)).otherwise((x - ma) / sa)
-          val zb = when(sb === 0, lit(0.0)).otherwise((y - mb) / sb)
-          (za - zb) * (za - zb)
-        }),
-        lit(0.0), (a, v) => a + v)
+      // exact z-norm distance between the two series — native
+      // (graft.functions.ZNormDistSq): this runs once per candidate
+      // PAIR, and skewed SAX buckets make pairs plentiful, so the
+      // interpreted fold would sit inside the join (measured 45.7 s at
+      // sf0.1; native sub-second). Arithmetic identical to the oracle's
+      // fold replay.
+      val d2 = graft.functions.SeriesExpressions
+        .znormDistSq(col("_xa"), col("_xb"))
       cand.withColumn("dist", round(sqrt(d2), 6))
         .filter(col("dist") <= maxDist)
         .select(col("a"), col("b"), col("dist"))

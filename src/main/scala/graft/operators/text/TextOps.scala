@@ -158,11 +158,21 @@ object TextOps {
   def wordRatio(text: Column, words: Seq[String]): Column =
     wordRatioFromTokens(tokens(text), words)
 
+  /** Native one-pass membership count of `toks` against `words` — same
+    * value as `size(filter(toks, _.isin(words)))`, which stays as
+    * [[setHitsHof]], the A/B-pinned spec.
+    */
+  def setHits(toks: Column, words: Seq[String]): Column =
+    element_at(
+      graft.functions.TextExpressions.multiSetHits(toks, Seq(words)), 1)
+
+  /** Interpreted-HOF twin of [[setHits]]. */
+  def setHitsHof(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, tok => tok.isin(words.map(lit(_)): _*)))
+
   /** Precomputed-token form (see [[langScoreFromTokens]] on HOF CSE). */
   def wordRatioFromTokens(toks: Column, words: Seq[String]): Column =
-    round(
-      size(filter(toks, tok => tok.isin(words.map(lit(_)): _*))) * lit(1.0) /
-        size(toks), 6)
+    round(setHits(toks, words) * lit(1.0) / size(toks), 6)
 
   val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "is", "in")
 
@@ -176,7 +186,7 @@ object TextOps {
   def qualityScoreFromTokens(t: Column): Column = {
     val lenScore = least(size(t) * lit(1.0) / 100.0, lit(1.0))
     val stopScore = least(
-      size(filter(t, tok => tok.isin(StopwordsEn.map(lit(_)): _*))) *
+      setHits(t, StopwordsEn) *
         lit(1.0) / greatest(size(t), lit(1)) * 10.0, lit(1.0))
     val shortPenalty = when(size(t) < 5, lit(0.5)).otherwise(lit(1.0))
     round((lenScore * 0.6 + stopScore * 0.4) * shortPenalty, 6)
@@ -200,10 +210,15 @@ object TextOps {
     * materialized column and feed it here — langId over 4 languages drops
     * from ~12 tokenizations per row to 1.
     */
-  def langScoreFromTokens(toks: Column, lang: String): Column = {
-    val words = LangStops.toMap.apply(lang)
-    size(filter(toks, tok => tok.isin(words.map(lit(_)): _*)))
-  }
+  def langScoreFromTokens(toks: Column, lang: String): Column =
+    setHits(toks, LangStops.toMap.apply(lang))
+
+  /** All four language scores in ONE token pass (array in [[LangStops]]
+    * order) — what a multi-language scorer should call instead of four
+    * [[langScoreFromTokens]] passes.
+    */
+  def langHitsFromTokens(toks: Column): Column =
+    graft.functions.TextExpressions.multiSetHits(toks, LangStops.map(_._2))
 
   /** langId over precomputed per-language scores (same tie-break order as
     * [[langId]]: zh by CJK presence, then de, fr, es, en fallback).

@@ -187,10 +187,12 @@ object LlmPack extends QueryPack {
         // the langId CASE) instead of ~12 interpreted re-tokenizations
         Tables.documents(s, dir)
           .withColumn("_toks", TextOps.tokens(col("text")))
-          .withColumn("s_de", TextOps.langScoreFromTokens(col("_toks"), "de"))
-          .withColumn("s_fr", TextOps.langScoreFromTokens(col("_toks"), "fr"))
-          .withColumn("s_es", TextOps.langScoreFromTokens(col("_toks"), "es"))
-          .withColumn("s_en", TextOps.langScoreFromTokens(col("_toks"), "en"))
+          // ONE native membership pass for all four languages
+          .withColumn("_h", TextOps.langHitsFromTokens(col("_toks")))
+          .withColumn("s_de", element_at(col("_h"), 1))
+          .withColumn("s_fr", element_at(col("_h"), 2))
+          .withColumn("s_es", element_at(col("_h"), 3))
+          .withColumn("s_en", element_at(col("_h"), 4))
           .select(
             col("doc_id"), col("s_de"), col("s_fr"), col("s_es"), col("s_en"),
             TextOps.langIdFromScores(col("text"), col("s_de"), col("s_fr"),

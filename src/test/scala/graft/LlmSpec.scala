@@ -101,6 +101,49 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("MultiSetHits / ZNormDistSq: native forms equal their HOF specs") {
+    import spark.implicits._
+    // membership counts over the corpus, every language table at once
+    val toks = Tables.documents(spark, sf)
+      .withColumn("_t", TextOps.tokens(col("text")))
+    TextOps.LangStops.foreach { case (_, words) =>
+      val ab = toks.select(TextOps.setHits(col("_t"), words).as("nat"),
+        TextOps.setHitsHof(col("_t"), words).as("hof")).collect()
+      assert(ab.nonEmpty)
+      ab.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    }
+    // pairwise z-norm distance², incl. the flat-series zero rule
+    val pairs = Seq(
+      (Seq(1.0, 2.0, 3.0, 4.0), Seq(8.0, 6.0, 4.0, 2.0)),
+      (Seq(5.0, 5.0, 5.0, 5.0), Seq(1.0, 2.0, 3.0, 4.0)),
+      (Seq(2.0, 4.0, 6.0, 8.0), Seq(1.0, 2.0, 3.0, 4.0))) // same shape
+      .toDF("a", "b")
+    def hofD2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def stats(x: org.apache.spark.sql.Column) = {
+        val m = size(x)
+        val mean = aggregate(x, lit(0.0), (acc, v) => acc + v) / m
+        (mean, sqrt(aggregate(x, lit(0.0), (acc, v) => acc + v * v) / m
+          - mean * mean))
+      }
+      val (ma, sa) = stats(a); val (mb, sb) = stats(b)
+      aggregate(zip_with(a, b, (x, y) => {
+        val za = when(sa === 0, lit(0.0)).otherwise((x - ma) / sa)
+        val zb = when(sb === 0, lit(0.0)).otherwise((y - mb) / sb)
+        (za - zb) * (za - zb)
+      }), lit(0.0), (acc, v) => acc + v)
+    }
+    val got = pairs.select(
+      graft.functions.SeriesExpressions.znormDistSq(col("a"), col("b"))
+        .as("nat"),
+      hofD2(col("a"), col("b")).as("hof")).collect()
+    got.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+    // identical shapes at different scales -> distance exactly 0
+    assert(got(2).getDouble(0) == 0.0)
+  }
+
   test("TokenEntropyScaled: native fold equals the HOF spec exactly") {
     val docs = Tables.documents(spark, sf)
       .filter(length(trim(col("text"))) >= 1)
