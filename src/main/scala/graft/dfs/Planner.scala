@@ -2524,6 +2524,62 @@ object Planner {
         optNum(n, "max_iter", env).map(_.toInt).getOrElse(20))
     },
 
+    // per-domain cap (graft extension, the Curation.capPerKey door): at
+    // most .n rows per .by key, chosen by the deterministic md5 rank —
+    // the "N pages per host" web-curation rule
+    "domain_cap" -> bt(Set("by", "id_field", "n")) { (ctx, n, env) =>
+      val by = optStrs(n, "by", env)
+      if (by.isEmpty) throw DfsError("domain_cap: .by")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("domain_cap: .id_field"))
+      graft.operators.text.Curation.capPerKey(ctx.df,
+        by.map(Paths.ref), Paths.ref(id),
+        optNum(n, "n", env).map(_.toInt).getOrElse(1000))
+    },
+    // deterministic global shuffle (graft extension, the
+    // Curation.shuffleOrder door): reproducible training order — a
+    // 0-based position keyed on md5(seed|id). Batch-only by nature.
+    "shuffle_order" -> bt(Set("id_field", "seed", "as")) { (ctx, n, env) =>
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("shuffle_order: .id_field"))
+      graft.operators.text.Curation.shuffleOrder(ctx.df, Paths.ref(id),
+        optStr(n, "seed", env).getOrElse("0"),
+        optStr(n, "as", env).getOrElse("pos"))
+    },
+    // embedding cluster cap (graft extension, the
+    // VectorCuration.clusterCap door): assign to md5-seeded centroids,
+    // keep at most .n rows per cluster — diversity pruning in
+    // embedding space
+    "cluster_cap" -> bt(Set("vec_field", "id_field", "clusters", "dim",
+      "n")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("cluster_cap: .id_field"))
+      val k = optNum(n, "clusters", env).map(_.toInt).getOrElse(8)
+      val dim = optNum(n, "dim", env).map(_.toInt)
+        .getOrElse(throw DfsError("cluster_cap: .dim"))
+      graft.operators.vector.VectorCuration.clusterCap(ctx.df, id, vec,
+        graft.operators.vector.VectorCuration.seedCentroids(k, dim),
+        optNum(n, "n", env).map(_.toInt).getOrElse(1000))
+    },
+    // kNN label propagation (graft extension, the
+    // VectorCuration.knnLabel door): `.labeled` is a per-row lambda
+    // marking the labeled subset (the vs_index `.index` pattern); the
+    // rest take the majority label of their k nearest labeled rows
+    "knn_label" -> bt(Set("vec_field", "id_field", "label_field",
+      "labeled", "k")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("knn_label: .id_field"))
+      val lab = optStr(n, "label_field", env).getOrElse("label")
+      val isLab = optLambdas(n, "labeled", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("knn_label: .labeled(lambda)"))
+      graft.operators.vector.VectorCuration.knnLabel(
+        ctx.df.filter(isLab), ctx.df.filter(!isLab), id, vec, lab,
+        optNum(n, "k", env).map(_.toInt).getOrElse(5))
+    },
+
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.

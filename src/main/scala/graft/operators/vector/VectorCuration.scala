@@ -1,0 +1,138 @@
+package graft.operators.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-space curation: cluster assignment + per-cluster caps
+  * (SemDeDup/DataComp-style diversity pruning), deterministic label
+  * centroids (class prototypes), and kNN label propagation (classify
+  * unlabeled rows from their nearest labeled neighbours — the cheap
+  * quality-classifier bootstrap).
+  */
+object VectorCuration {
+
+  /** Deterministic md5-seeded centroids in [-1, 1) — the fixed-quantizer
+    * twin of [[VectorOps.ivfCentroids]], same derivation family as
+    * [[VectorOps.pqSeedBooks]]. Used where a REPLAYABLE partition of the
+    * embedding space matters more than a data-adapted one (cross-engine
+    * pinning, stable cluster ids across corpus versions).
+    */
+  def seedCentroids(k: Int, dim: Int): Array[Array[Float]] = {
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { c =>
+      Array.tabulate(dim) { i =>
+        val h = mdig.digest(s"kmcent_${c}_$i".getBytes("UTF-8"))
+          .take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+        ((java.lang.Long.remainderUnsigned(h, 2001L) - 1000L) / 2000.0)
+          .toFloat
+      }
+    }
+  }
+
+  /** Nearest-centroid cluster id `as` for every row: argmin over the
+    * materialized per-centroid distance array (codegen'd FLOAT sq-dist
+    * folds, ties to the LOWER cluster id) — the assignment half of
+    * k-means, pure scan, zero shuffle at any corpus size.
+    */
+  def clusterAssign(df: DataFrame, vecCol: String,
+      cents: Array[Array[Float]], as: String = "cell"): DataFrame = {
+    val dists = array(cents.toIndexedSeq.map(cent =>
+      graft.functions.VectorExpressions.floatSqDist(
+        col(vecCol), array(cent.toIndexedSeq.map(lit(_)): _*))): _*)
+    df.withColumn("_cd", dists)
+      .withColumn(as,
+        (array_position(col("_cd"), array_min(col("_cd"))) - 1).cast("int"))
+      .drop("_cd")
+  }
+
+  /** Cluster-capped diversity pruning: assign every row to its nearest
+    * centroid, then keep at most `n` rows per cluster, chosen by the
+    * deterministic md5 rank of [[graft.operators.text.Curation
+    * .capPerKey]]. The embedding-space analogue of the per-domain cap —
+    * bounds how much near-identical content any one region of the space
+    * contributes to the training mix.
+    *
+    * 100 TB shape: assignment is a scan; the cap is one shuffle on the
+    * cluster id with a partitioned window. Cluster count bounds the
+    * parallelism of the cap stage — size k so the largest cluster fits a
+    * task (or pre-thin with [[graft.operators.text.TextOps.hashSample]]).
+    */
+  def clusterCap(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]], n: Int, as: String = "cell")
+      : DataFrame =
+    graft.operators.text.Curation.capPerKey(
+      clusterAssign(df, vecCol, cents, as), Seq(col(as)), col(idCol), n)
+
+  /** Per-label mean embedding (class prototypes), in long form
+    * (label, pos, mean) — array-free output, one row per component.
+    *
+    * Determinism: distributed float sums depend on partial-aggregation
+    * order, so the mean is accumulated in FIXED-POINT — each component
+    * quantizes to floor(x·10⁶) as a LONG, longs sum associatively (any
+    * partition order gives the same total), and the mean divides back
+    * out once at the end. The quantization error (≤ 10⁻⁶ per element,
+    * before an n-fold average) is far below any curation decision
+    * threshold; the reproducibility is exact. The final division is ONE
+    * IEEE operation over exact integer operands — correctly rounded,
+    * hence bit-identical on every engine — so the mean is emitted
+    * unrounded (a round(x, n) here would re-introduce the decimal
+    * half-way ambiguity the fixed-point sum just removed).
+    *
+    * 100 TB shape: posexplode fans dim×, then one map-side-combined
+    * aggregate down to |labels|·dim rows. No window, no collect.
+    */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String,
+      scale: Long = 1000000L): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      .groupBy(col(labelCol), (col("pos") + 1).as("pos"))
+      .agg(count(lit(1)).as("_n"),
+        sum(floor(col("_x").cast("double") * scale).cast("long")).as("_s"))
+      .withColumn("mean", col("_s") / (lit(scale.toDouble) * col("_n")))
+      .drop("_n", "_s")
+
+  /** kNN label propagation: each query row takes the majority label of
+    * its `k` nearest labeled neighbours by exact cosine (ties: higher
+    * vote count first, then the LOWER label — fully deterministic).
+    * The standard cheap classifier over an embedded corpus: label a
+    * seed set by hand, propagate to the rest by proximity.
+    *
+    * Scale shape inherits [[VectorOps.bruteTopK]]'s contract: the QUERY
+    * side broadcasts (guarded), the labeled corpus streams through a
+    * scan — per-batch cost is |corpus|·|queries| dot products, so batch
+    * queries accordingly; for corpus-sized query sets use the LSH/IVF
+    * candidate generation of [[VectorOps.annTopK]] upstream and this
+    * vote on the survivors.
+    */
+  def knnLabel(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      maxQueryRows: Long = 100000L): DataFrame = {
+    // bruteTopK's scan shape, with the neighbour's label carried through
+    // the ranking (re-joining the corpus afterwards would shuffle the
+    // big side a second time just to recover a column it already had)
+    val qCount = queries.count()
+    require(qCount <= maxQueryRows,
+      s"knnLabel query side has $qCount rows (max $maxQueryRows): too " +
+        "large to broadcast — generate candidates with annTopK upstream")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("_qn", VectorOps.norm(col("q_vec")))
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
+      .withColumn("_cn", VectorOps.norm(col(vecCol)))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("sim",
+        VectorOps.dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
+    val nnW = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    val nn = scored.withColumn("_r", row_number().over(nnW))
+      .filter(col("_r") <= k)
+    val votes = nn.groupBy(col("q_id"), col("_nl"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("_nl"))
+    votes.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("q_id"), col("_nl").as("label"),
+        col("votes").cast("int").as("votes"))
+  }
+}

@@ -3,8 +3,8 @@ package graft.packs
 import graft.{QueryDef, QueryPack}
 import graft.core.Tables
 import graft.operators.multimodal.Multimodal
-import graft.operators.text.{Dedup, TextOps}
-import graft.operators.vector.VectorOps
+import graft.operators.text.{Curation, Dedup, TextOps}
+import graft.operators.vector.{VectorCuration, VectorOps}
 import org.apache.spark.sql.functions._
 
 /** Driver-verifiable queries for the LLM training-data pipeline mandate:
@@ -1347,6 +1347,189 @@ object LlmPack extends QueryPack {
             .select(col("a"), col("b")))
       },
       Some(softDedupSql)),
+
+    // ---- corpus curation (round 10): composition, caps, ordering ------
+
+    // corpus composition report: per-source docs / token weight / share —
+    // one map-side-combined aggregate + a broadcast 1-row total
+    "text_domain_mix" -> QueryDef(
+      (s, dir) =>
+        Curation.domainStats(Tables.documents(s, dir), col("source"),
+          TextOps.tokenCount(col("text"))),
+      Some(s"""WITH per AS (SELECT source AS domain, count(*) AS n_docs,
+              |    CAST(sum(len($toks)) AS BIGINT) AS n_weight
+              |  FROM documents GROUP BY source),
+              |tot AS (SELECT CAST(sum(n_weight) AS BIGINT) AS t FROM per)
+              |SELECT domain, n_docs, n_weight,
+              |  round(CAST(n_weight AS DOUBLE) / t, 6) AS share
+              |FROM per, tot""".stripMargin)),
+
+    // per-domain cap: at most 40 docs per source, chosen by the
+    // deterministic md5 rank (partitioned window — never a global sort)
+    "text_domain_cap" -> QueryDef(
+      (s, dir) =>
+        Curation.capPerKey(Tables.documents(s, dir), Seq(col("source")),
+          col("doc_id"), 40)
+          .select(col("doc_id"), col("source")),
+      Some(s"""SELECT doc_id, source FROM (
+              |  SELECT doc_id, source, row_number() OVER (
+              |      PARTITION BY source
+              |      ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id)
+              |    AS rn
+              |  FROM documents)
+              |WHERE rn <= 40""".stripMargin)),
+
+    // deterministic global shuffle: reproducible 0-based training order
+    // keyed on md5(seed|id) — range partition + partition-offset
+    // numbering (GlobalOrder), no single-task sort
+    "text_shuffle" -> QueryDef(
+      (s, dir) =>
+        Curation.shuffleOrder(Tables.documents(s, dir), col("doc_id"),
+          "epoch0")
+          .select(col("pos"), col("doc_id")),
+      Some("""SELECT row_number() OVER (
+             |    ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+             |             doc_id) - 1 AS pos,
+             |  doc_id
+             |FROM documents""".stripMargin)),
+
+    // per-label mean embeddings (class prototypes), fixed-point
+    // accumulation so the distributed mean is partition-order-exact —
+    // the oracle replays floor(x·1e6) longs and the same final division
+    "emb_centroids" -> QueryDef(
+      (s, dir) =>
+        VectorCuration.labelCentroids(Tables.embeddings(s, dir),
+          "embedding", "label"),
+      Some("""WITH e AS (SELECT label, unnest(embedding) AS x,
+             |    unnest(range(1, len(embedding) + 1)) AS pos
+             |  FROM embeddings)
+             |SELECT label, CAST(pos AS INTEGER) AS pos,
+             |  CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000)
+             |                AS BIGINT)) AS DOUBLE)
+             |    / (CAST(1000000 AS DOUBLE) * count(*)) AS mean
+             |FROM e GROUP BY label, pos""".stripMargin)),
+
+    // kNN label propagation: queries (vec_id % 50 = 0) take the
+    // majority label of their 5 nearest labeled rows by exact cosine;
+    // ties → more votes first, then the lower label
+    "emb_knn_label" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorCuration.knnLabel(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", 5)
+      },
+      Some {
+        val dotQC = dotSql("c.embedding", "q.qe")
+        val nC = dotSql("c.embedding", "c.embedding")
+        val nQ = dotSql("q.qe", "q.qe")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+           |           FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id, embedding, label
+           |      FROM embeddings WHERE vec_id % 50 <> 0),
+           |s AS (SELECT q_id, c.vec_id, c.label,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM c, q),
+           |nn AS (SELECT * FROM (SELECT *, row_number() OVER
+           |         (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+           |       FROM s) WHERE r <= 5),
+           |v AS (SELECT q_id, label, count(*) AS votes
+           |      FROM nn GROUP BY q_id, label)
+           |SELECT q_id, label, CAST(votes AS INTEGER) AS votes
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY votes DESC, label) AS r
+           |      FROM v)
+           |WHERE r = 1""".stripMargin
+      }),
+
+    // cluster-capped diversity pruning: md5-seeded centroids (the
+    // replayable-quantizer twin of the trained IVF), argmin assignment,
+    // then at most 100 rows per cluster by md5 rank — the oracle
+    // replays the seeded centroids and the full argmin + cap
+    "emb_cluster_cap" -> QueryDef(
+      (s, dir) =>
+        VectorCuration.clusterCap(Tables.embeddings(s, dir), "vec_id",
+          "embedding", VectorCuration.seedCentroids(8, 64), 100)
+          .select(col("vec_id"), col("cell")),
+      Some {
+        val cents = VectorCuration.seedCentroids(8, 64)
+        def centLit(a: Array[Float]) =
+          a.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+        val dists = cents.map(c => sqDistSql("embedding", centLit(c)))
+          .mkString("[", ",\n  ", "]")
+        s"""WITH d AS (SELECT vec_id, $dists AS cd FROM embeddings),
+           |a AS (SELECT vec_id,
+           |        CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+           |          AS cell,
+           |        ${h60("CAST(vec_id AS VARCHAR)")} AS h
+           |      FROM d)
+           |SELECT vec_id, cell FROM (
+           |  SELECT vec_id, cell, row_number() OVER
+           |      (PARTITION BY cell ORDER BY h, vec_id) AS rn
+           |  FROM a)
+           |WHERE rn <= 100""".stripMargin
+      }),
+
+    // DFS twins: the curation ops through the script front-end
+    "dfs_domain_cap" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|domain_cap(.by('source').id_field('doc_id').n(40))
+          #|keep('doc_id', 'source')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""SELECT doc_id, source FROM (
+              |  SELECT doc_id, source, row_number() OVER (
+              |      PARTITION BY source
+              |      ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id)
+              |    AS rn
+              |  FROM documents)
+              |WHERE rn <= 40""".stripMargin)),
+
+    "dfs_shuffle_order" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|shuffle_order(.id_field('doc_id').seed('epoch0'))
+          #|keep('pos', 'doc_id')
+          #""".stripMargin('#'), s, dir),
+      Some("""SELECT row_number() OVER (
+             |    ORDER BY md5('epoch0|' || CAST(doc_id AS VARCHAR)),
+             |             doc_id) - 1 AS pos,
+             |  doc_id
+             |FROM documents""".stripMargin)),
+
+    "dfs_knn_label" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|knn_label(
+          #  .vec_field('embedding')
+          #  .id_field('vec_id')
+          #  .label_field('label')
+          #  .labeled(lambda: mod("vec_id", 50) != 0)
+          #  .k(5))
+          #""".stripMargin('#'), s, dir),
+      Some {
+        val dotQC = dotSql("c.embedding", "q.qe")
+        val nC = dotSql("c.embedding", "c.embedding")
+        val nQ = dotSql("q.qe", "q.qe")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+           |           FROM embeddings WHERE vec_id % 50 = 0),
+           |c AS (SELECT vec_id, embedding, label
+           |      FROM embeddings WHERE vec_id % 50 <> 0),
+           |s AS (SELECT q_id, c.vec_id, c.label,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM c, q),
+           |nn AS (SELECT * FROM (SELECT *, row_number() OVER
+           |         (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+           |       FROM s) WHERE r <= 5),
+           |v AS (SELECT q_id, label, count(*) AS votes
+           |      FROM nn GROUP BY q_id, label)
+           |SELECT q_id, label, CAST(votes AS INTEGER) AS votes
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY votes DESC, label) AS r
+           |      FROM v)
+           |WHERE r = 1""".stripMargin
+      }),
 
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,

@@ -1,0 +1,142 @@
+package graft
+
+import graft.core.{Sessions, Tables}
+import graft.operators.text.Curation
+import graft.operators.vector.VectorCuration
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 curation operators: composition report, per-key caps,
+  * deterministic shuffle, label centroids, kNN label propagation, and
+  * cluster-capped pruning.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "curation-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("domainStats: counts partition the corpus and shares sum to 1") {
+    val docs = Tables.documents(spark, sf)
+    val stats = Curation.domainStats(docs, col("source"),
+      graft.operators.text.TextOps.tokenCount(col("text"))).collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val shareSum = stats.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4)
+    // weight is the token sum: spot-check one domain against a direct agg
+    val d0 = stats.head.getAs[String]("domain")
+    val direct = docs.filter(col("source") === d0)
+      .agg(sum(graft.operators.text.TextOps.tokenCount(col("text"))
+        .cast("long"))).head.getLong(0)
+    assert(stats.find(_.getAs[String]("domain") == d0).get
+      .getAs[Long]("n_weight") == direct)
+  }
+
+  test("capPerKey: cap honored, survivors are a stable subset") {
+    val docs = Tables.documents(spark, sf)
+    val capped = Curation.capPerKey(docs, Seq(col("source")),
+      col("doc_id"), 5)
+    val byKey = capped.groupBy("source").count().collect()
+    assert(byKey.forall(_.getLong(1) <= 5))
+    // keys with <= 5 rows survive whole (the cap never drops below n)
+    val small = docs.groupBy("source").count()
+      .filter(col("count") <= 5).collect().map(_.getString(0)).toSet
+    val cappedCounts = byKey.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val origCounts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    small.foreach(k => assert(cappedCounts(k) == origCounts(k)))
+    // determinism: a re-run selects the identical id set
+    val ids1 = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.capPerKey(docs, Seq(col("source")),
+      col("doc_id"), 5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("shuffleOrder: a deterministic permutation; seed changes it") {
+    val docs = Tables.documents(spark, sf).select("doc_id")
+    val n = docs.count()
+    val p1 = Curation.shuffleOrder(docs, col("doc_id"), "s1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos"))
+    assert(p1.map(_._2).sorted.toSeq == (0L until n).toSeq) // 0..n-1, unique
+    val p1again = Curation.shuffleOrder(docs, col("doc_id"), "s1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos"))
+    assert(p1.toMap == p1again.toMap) // same seed → same permutation
+    val p2 = Curation.shuffleOrder(docs, col("doc_id"), "s2")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos"))
+    assert(p1.toMap != p2.toMap) // fresh seed → fresh permutation
+  }
+
+  test("labelCentroids: fixed-point mean matches a driver-side replay") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = VectorCuration.labelCentroids(emb, "embedding", "label")
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos")) ->
+        r.getAs[Double]("mean")).toMap
+    val rows = emb.select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val byLabel = rows.groupBy(_._1)
+    byLabel.foreach { case (lab, rs) =>
+      val dim = rs.head._2.size
+      (0 until dim).foreach { i =>
+        val s = rs.map(r => math.floor(r._2(i).toDouble * 1e6).toLong).sum
+        val expect = s / (1e6 * rs.size)
+        assert(got((lab, i + 1)) == expect) // bit-exact, not approx
+      }
+    }
+    // partition-order invariance: the fixed-point sum is associative
+    val reparted = VectorCuration.labelCentroids(
+      emb.repartition(7, col("vec_id")), "embedding", "label")
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("pos")) ->
+        r.getAs[Double]("mean")).toMap
+    assert(reparted == got)
+  }
+
+  test("knnLabel: majority vote with deterministic ties") {
+    import spark.implicits._
+    // 4 labeled corners + 1 query near the (1,0) pair cluster
+    val corpus = Seq(
+      (1L, Array(1f, 0f), 10), (2L, Array(0.9f, 0.1f), 10),
+      (3L, Array(0f, 1f), 20), (4L, Array(0.1f, 0.9f), 20),
+      (5L, Array(-1f, 0f), 30)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, Array(0.95f, 0.05f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = VectorCuration.knnLabel(corpus, q, "vec_id", "embedding",
+      "label", 3).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Int]("label") == 10) // 2 votes beat 1
+    assert(out.head.getAs[Int]("votes") == 2)
+    // k=4 → 2 votes for 10, 2 for 20: tie breaks to the LOWER label
+    val tied = VectorCuration.knnLabel(corpus, q, "vec_id", "embedding",
+      "label", 4).collect()
+    assert(tied.head.getAs[Int]("label") == 10)
+    // oversized query side fails fast (the broadcast guard)
+    val err = intercept[IllegalArgumentException] {
+      VectorCuration.knnLabel(corpus, q, "vec_id", "embedding", "label",
+        3, maxQueryRows = 0)
+    }
+    assert(err.getMessage.contains("too"))
+  }
+
+  test("clusterCap: assignment is argmin and the cap binds per cluster") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = VectorCuration.seedCentroids(4, 64)
+    val assigned = VectorCuration.clusterAssign(emb, "embedding", cents)
+    // assignment replay on the driver for a sample of rows
+    val sample = assigned.select("vec_id", "embedding", "cell")
+      .limit(50).collect()
+    sample.foreach { r =>
+      val v = r.getSeq[Float](1)
+      val dists = cents.map(c =>
+        v.zip(c).map { case (a, b) =>
+          val d = a - b; (d * d).toDouble
+        }.sum)
+      assert(r.getInt(2) == dists.indexOf(dists.min))
+    }
+    val capped = VectorCuration.clusterCap(emb, "vec_id", "embedding",
+      cents, 10)
+    val counts = capped.groupBy("cell").count().collect()
+    assert(counts.forall(_.getLong(1) <= 10))
+    // capped rows keep their assignment column
+    assert(capped.columns.contains("cell"))
+  }
+}

@@ -1521,6 +1521,29 @@ class DfsSpec extends AnyFunSuite {
     assert(out.count() == 4)
   }
 
+  test("round-10 curation nodes: required options rejected with clear errors") {
+    val e1 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('documents'))
+        #|domain_cap(.n(10))
+        #""".stripMargin('#'), spark, sf))
+    assert(e1.msg.contains("by"))
+    val e2 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('documents'))
+        #|shuffle_order()
+        #""".stripMargin('#'), spark, sf))
+    assert(e2.msg.contains("id_field"))
+    val e3 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('embeddings'))
+        #|cluster_cap(.id_field('vec_id'))
+        #""".stripMargin('#'), spark, sf))
+    assert(e3.msg.contains("dim"))
+    val e4 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('embeddings'))
+        #|knn_label(.id_field('vec_id'))
+        #""".stripMargin('#'), spark, sf))
+    assert(e4.msg.contains("labeled"))
+  }
+
   test("run-level coverage floor: 103+ reference scripts run with rows") {
     // the full seeded sweep (graft.tools.RunSweep): brokered scripts get
     // deterministic traffic on every topic they subscribe to. Declared

@@ -97,6 +97,10 @@ class PlanLintSpec extends AnyFunSuite {
       // pqTopK broadcasts its guarded query side like bruteTopK; the
       // corpus side past the join is CODES ONLY (m ints/row)
       "emb_pq_topk",
+      // knnLabel inherits bruteTopK's guarded crossJoin(broadcast(q));
+      // domainStats joins its 1-ROW grand-total aggregate back by
+      // broadcast (the fillPeriod lazy-scalar pattern)
+      "emb_knn_label", "dfs_knn_label", "text_domain_mix",
       // DSIR broadcasts its 1-ROW totals (unseen-bucket fallback) and,
       // in the selection form, the 1-ROW percentile threshold — both
       // the fillPeriod lazy-scalar pattern
