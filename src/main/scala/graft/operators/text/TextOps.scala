@@ -428,27 +428,25 @@ object TextOps {
     */
   def decontaminate(docs: DataFrame, text: Column, id: Column,
       isBenchmark: Column, n: Int = 3): DataFrame = {
-    // NO shingle HOF on this path: `explode(shingles(...))` re-evaluates
-    // the interpreted transform several times per row (the explicit
-    // size/null guards plus Spark's inferred generator filters each
-    // re-run it — measured 7.8 s at sf0.1). Instead explode the cheap
-    // index sequence and build each gram AFTER the explode, where
-    // slice+concat_ws run once per output row in whole-stage codegen
-    // (7.8 s → ~1 s). Distinctness is relational — the (doc_id, gram)
-    // dedupe is a codegen'd hash aggregate with map-side partials.
+    // Native gram build (TokenGrams — one compiled loop per row; the
+    // interpreted-HOF 7.8 s trap this path originally dodged with an
+    // explode-the-index form is gone) with array_distinct BEFORE the
+    // explode: per-document dedupe costs no shuffle, and (doc_id, gram)
+    // rows leave the generator already unique — the corpus-side
+    // relational `.distinct()` this replaces was a full shuffle of the
+    // gram base. Only the BENCHMARK gram set still dedupes
+    // relationally (distinctness there is cross-document by meaning).
     val toked = docs
       .select(id.as("doc_id"), isBenchmark.as("_bm"), tokens(text).as("_t"))
       .filter(size(col("_t")) >= n) // sub-n docs carry no grams
     val grams = toked
-      .select(col("doc_id"), col("_bm"), col("_t"),
-        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
       .select(col("doc_id"), col("_bm"),
-        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("gram"))
+        explode(shinglesFromTokens(col("_t"), n)).as("gram"))
     val bench = grams.filter(col("_bm"))
       .select(col("gram")).distinct()
       .withColumn("_hit", lit(1))
     grams.filter(!col("_bm"))
-      .select(col("doc_id"), col("gram")).distinct()
+      .select(col("doc_id"), col("gram"))
       .join(broadcast(bench), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_grams"),
@@ -478,14 +476,14 @@ object TextOps {
     val toked = docs
       .select(id.as("doc_id"), isBenchmark.as("_bm"), tokens(text).as("_t"))
       .filter(size(col("_t")) >= n)
+    // native gram build + pre-explode array_distinct (the decontaminate
+    // rework): corpus (doc_id, gram) rows are unique without a shuffle
     val grams = toked
-      .select(col("doc_id"), col("_bm"), col("_t"),
-        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
       .select(col("doc_id"), col("_bm"),
-        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("gram"))
+        explode(shinglesFromTokens(col("_t"), n)).as("gram"))
     val bench = grams.filter(col("_bm")).select(col("gram")).distinct()
     val corpus0 = grams.filter(!col("_bm"))
-      .select(col("doc_id"), col("gram")).distinct()
+      .select(col("doc_id"), col("gram"))
     val gate = BloomPrune.sketch(bench, col("gram"), expectedItems, fpp)
     // the distinct (doc, gram) base feeds the totals AND the gated hit
     // join — scope-cached (the dupGramStats precedent; at cluster scale
@@ -528,12 +526,15 @@ object TextOps {
     val toked = docs
       .select(id.as("doc_id"), tokens(text).as("_t"))
       .filter(size(col("_t")) >= n)
+    // per-doc distinct = array_distinct over the NATIVE gram array
+    // (TokenGrams — one compiled loop per row), exploded already-unique:
+    // the relational `.distinct()` this replaces was a full shuffle of
+    // the gram base just to dedupe WITHIN each document (cross-document
+    // (doc_id, gram) rows are unique by construction). Measured 1.74 →
+    // 0.95 s at sf0.1 (BENCH_NOTES_r13).
     val grams0 = toked
-      .select(col("doc_id"), col("_t"),
-        explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("_i"))
       .select(col("doc_id"),
-        concat_ws(" ", slice(col("_t"), col("_i"), lit(n))).as("gram"))
-      .distinct()
+        explode(shinglesFromTokens(col("_t"), n)).as("gram"))
     // the distinct (doc_id, gram) set feeds BOTH the doc-frequency
     // aggregate and the flag-back join — scope-cache it (the Dedup
     // shingle-base precedent) or the corpus is scanned and re-exploded
@@ -587,7 +588,19 @@ object TextOps {
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", slice(col("_t"), col("pos"), lit(n))).as("gram"))
     graft.core.CacheScope.withPersisted(grams0) { grams =>
-      val dup = grams.select(col("doc_id"), col("gram")).distinct()
+      // doc-frequency side: re-derive per-doc-distinct grams NATIVELY
+      // from a second scan branch (array_distinct before the explode —
+      // no dedupe shuffle) instead of `.distinct()` over the cached
+      // positional base; the rescan + compiled gram loop is cheaper
+      // than shuffling the full (doc_id, pos, gram) base to dedupe it.
+      // The scope-cache stays even though the positional base now has
+      // one consumer: an uncached base re-tokenizes INSIDE the
+      // join+window stage, measured 1.17 s vs 0.93 s cached at sf0.1
+      // (from 1.50 s for the relational-distinct form —
+      // BENCH_NOTES_r13).
+      val dup = toked
+        .select(col("doc_id"),
+          explode(shinglesFromTokens(col("_t"), n)).as("gram"))
         .groupBy(col("gram")).agg(count(lit(1)).as("_df"))
         .filter(col("_df") >= minDocs)
         .select(col("gram"), lit(1).as("_dup"))
