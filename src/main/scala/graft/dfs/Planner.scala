@@ -2580,6 +2580,27 @@ object Planner {
         optNum(n, "k", env).map(_.toInt).getOrElse(5))
     },
 
+    // RAG chunking (graft extension, the TextOps.chunkTokens door):
+    // fixed-size overlapping token windows with full tail coverage
+    "chunk" -> bt(Set("text_field", "id_field", "size", "stride")) {
+      (ctx, n, env) =>
+        val text = optStr(n, "text_field", env).getOrElse("text")
+        val id = optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("chunk: .id_field"))
+        val sz = optNum(n, "size", env).map(_.toInt).getOrElse(128)
+        graft.operators.text.TextOps.chunkTokens(ctx.df, Paths.ref(text),
+          Paths.ref(id), sz,
+          optNum(n, "stride", env).map(_.toInt).getOrElse(sz / 2 max 1))
+    },
+    // coverage-cutoff vocabulary (graft extension, the
+    // TextOps.vocabCoverage door) — batch by nature (the cutoff is a
+    // corpus-global property)
+    "vocab" -> bt(Set("text_field", "cutoff")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      graft.operators.text.TextOps.vocabCoverage(ctx.df, Paths.ref(text),
+        optNum(n, "cutoff", env).getOrElse(0.9))
+    },
+
     // win_clock — processing-time window (ref: esp_win_clock.erl:33-136);
     // .align() floors the emitted window timestamp to the unit boundary
     // (:121-127). Non-deterministic by nature — excluded from oracles.

@@ -963,4 +963,92 @@ object TextOps {
       .filter(col("logw") >= col("_thr"))
       .select(col("doc_id"), col("n_tok"), col("logw"))
   }
+
+  /** Fixed-size overlapping token chunks — the RAG / context-window
+    * splitting step: windows of `size` tokens starting every `stride`,
+    * plus one tail window ending exactly at the last token so every
+    * token is covered (the standard sliding-window convention). One
+    * row per chunk: `(doc_id, start_tok, n_tok, chunk)`, start 1-based.
+    *
+    * Per-row arithmetic only (start sequence + slice under the
+    * generator, whole-stage codegen) — zero shuffle at any corpus
+    * size; streams as-is.
+    */
+  def chunkTokens(docs: DataFrame, text: Column, id: Column,
+      size: Int = 128, stride: Int = 64): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"chunkTokens: need 0 < stride <= size, got size=$size stride=$stride")
+    val toked = docs.select(id.as("doc_id"), tokens(text).as("_t"))
+    val nTok = org.apache.spark.sql.functions.size(col("_t"))
+    val lastStart = greatest(nTok - (size - 1), lit(1))
+    val starts = array_union(
+      sequence(lit(1), lastStart, lit(stride)), array(lastStart))
+    toked
+      .select(col("doc_id"), col("_t"), explode(starts).as("start_tok"))
+      .select(col("doc_id"), col("start_tok").cast("int").as("start_tok"),
+        least(lit(size), nTok - col("start_tok") + 1).cast("int")
+          .as("n_tok"),
+        concat_ws(" ", slice(col("_t"), col("start_tok"), lit(size)))
+          .as("chunk"))
+  }
+
+  /** Coverage-cutoff vocabulary: the most frequent tokens that together
+    * cover `cutoff` of all token occurrences — the tokenizer-support
+    * step that sizes a vocabulary empirically ("the N types covering
+    * 95% of the corpus"). A token is kept iff the coverage BEFORE it
+    * (in (count desc, token asc) order) is still under the cutoff, so
+    * the boundary token crossing the line is included and the result
+    * is deterministic.
+    *
+    * Scale design — deliberately NOT `sum over an unpartitioned
+    * window` (the global-window anti-pattern PlanLint forbids): the
+    * running coverage is reconstructed from the COUNT-VALUE HISTOGRAM,
+    * which is tiny at any corpus size. Groups of equal count are fully
+    * in or fully out by histogram algebra alone; exactly ONE
+    * count-class straddles the cutoff, and only that class pays a rank
+    * — via [[graft.operators.stateless.GlobalOrder]] (range-partitioned,
+    * parallel), bounded by the class size. 100 TB cost: one token
+    * aggregate + a histogram fold + one boundary-class sort.
+    */
+  def vocabCoverage(docs: DataFrame, text: Column,
+      cutoff: Double = 0.9): DataFrame = {
+    require(cutoff > 0 && cutoff <= 1, "cutoff must be in (0, 1]")
+    val tc = docs.select(explode(tokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    graft.core.CacheScope.withPersisted(tc) { tcc =>
+      val hist = tcc.groupBy(col("n")).agg(count(lit(1)).as("types"))
+      val h2 = hist.select(col("n").as("n2"),
+        (col("n") * col("types")).as("mass2"))
+      // mass of all strictly-more-frequent classes, per class (the
+      // histogram is count-value-cardinality-sized: the self-join is
+      // broadcast and effectively free)
+      val above = hist.join(broadcast(h2), col("n2") > col("n"), "left")
+        .groupBy(col("n"), col("types"))
+        .agg(coalesce(sum(col("mass2")), lit(0L)).as("mass_above"))
+      val tot = tcc.agg(sum(col("n")).as("_tot"))
+      val classes = above.join(broadcast(tot))
+        .withColumn("_k", col("_tot") * cutoff)
+        // last token of the class has coverage-before
+        // mass_above + (types-1)·n — under the cutoff ⇒ whole class in
+        .withColumn("_all_in",
+          col("mass_above") + (col("types") - 1) * col("n") < col("_k"))
+        // first token's coverage-before is mass_above ⇒ none in if ≥ k
+        .withColumn("_none_in", col("mass_above") >= col("_k"))
+      val fullIn = tcc.join(
+        classes.filter(col("_all_in")).select(col("n")), Seq("n"))
+        .select(col("token"), col("n"))
+      // the (single) boundary class: kept ranks r satisfy
+      // mass_above + (r-1)·n < k — the SAME long/double comparison the
+      // all-in test and the oracle's running-sum predicate use (no
+      // ceil/division, whose double rounding could flip a boundary)
+      val boundary = classes.filter(!col("_all_in") && !col("_none_in"))
+        .select(col("n"), col("mass_above"), col("_k"))
+      val partial = graft.operators.stateless.GlobalOrder.rowNumber(
+        tcc.join(broadcast(boundary), Seq("n")),
+        Seq(col("token")), "_r")
+        .filter(col("mass_above") + (col("_r") - 1) * col("n") < col("_k"))
+        .select(col("token"), col("n"))
+      fullIn.unionByName(partial)
+    }
+  }
 }

@@ -1531,6 +1531,76 @@ object LlmPack extends QueryPack {
            |WHERE r = 1""".stripMargin
       }),
 
+    // RAG-style fixed-size overlapping chunking: windows of 32 tokens
+    // every 16, plus the tail window ending at the last token (full
+    // coverage) — per-row arithmetic under the generator, zero shuffle
+    "text_chunk" -> QueryDef(
+      (s, dir) =>
+        TextOps.chunkTokens(Tables.documents(s, dir), col("text"),
+          col("doc_id"), size = 32, stride = 16),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+              |s AS (SELECT doc_id, w,
+              |        unnest(list_distinct(list_append(
+              |          range(1, greatest(len(w) - 31, 1) + 1, 16),
+              |          greatest(len(w) - 31, 1)))) AS st
+              |      FROM t)
+              |SELECT doc_id, CAST(st AS INTEGER) AS start_tok,
+              |  CAST(least(32, len(w) - st + 1) AS INTEGER) AS n_tok,
+              |  array_to_string(w[st:st+31], ' ') AS chunk
+              |FROM s""".stripMargin)),
+
+    // coverage-cutoff vocabulary: most-frequent tokens covering 90% of
+    // occurrences. The oracle states the spec as one running-sum window;
+    // the Spark side reconstructs it scale-safely from the count-value
+    // histogram (whole classes in/out by algebra, one boundary-class
+    // rank via GlobalOrder — no unpartitioned window)
+    "text_vocab" -> QueryDef(
+      (s, dir) =>
+        TextOps.vocabCoverage(Tables.documents(s, dir), col("text"), 0.9),
+      Some(s"""WITH tc AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+              |  FROM (SELECT unnest($toks) AS w FROM documents)
+              |  GROUP BY w),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tc),
+              |r AS (SELECT token, n,
+              |        CAST(sum(n) OVER (ORDER BY n DESC, token
+              |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |      FROM tc)
+              |SELECT token, n FROM r, tot
+              |WHERE cum - n < CAST(0.9 AS DOUBLE) * t""".stripMargin)),
+
+    "dfs_chunk" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|chunk(.text_field('text').id_field('doc_id')
+          #  .size(32).stride(16))
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+              |s AS (SELECT doc_id, w,
+              |        unnest(list_distinct(list_append(
+              |          range(1, greatest(len(w) - 31, 1) + 1, 16),
+              |          greatest(len(w) - 31, 1)))) AS st
+              |      FROM t)
+              |SELECT doc_id, CAST(st AS INTEGER) AS start_tok,
+              |  CAST(least(32, len(w) - st + 1) AS INTEGER) AS n_tok,
+              |  array_to_string(w[st:st+31], ' ') AS chunk
+              |FROM s""".stripMargin)),
+
+    "dfs_vocab" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|vocab(.text_field('text').cutoff(0.9))
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH tc AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+              |  FROM (SELECT unnest($toks) AS w FROM documents)
+              |  GROUP BY w),
+              |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tc),
+              |r AS (SELECT token, n,
+              |        CAST(sum(n) OVER (ORDER BY n DESC, token
+              |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              |      FROM tc)
+              |SELECT token, n FROM r, tot
+              |WHERE cum - n < CAST(0.9 AS DOUBLE) * t""".stripMargin)),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application

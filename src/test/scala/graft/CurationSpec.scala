@@ -117,6 +117,63 @@ class CurationSpec extends AnyFunSuite {
     assert(err.getMessage.contains("too"))
   }
 
+  test("chunkTokens: full coverage, stride starts, exact tail window") {
+    import spark.implicits._
+    import graft.operators.text.TextOps
+    // 10 tokens, size 4, stride 3 → starts 1,4,7 + tail 7 (dedup) = 1,4,7
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkTokens(doc, col("text"), col("doc_id"), 4, 3)
+      .orderBy("start_tok").collect()
+    assert(chunks.map(_.getAs[Int]("start_tok")).toSeq == Seq(1, 4, 7))
+    assert(chunks.forall(_.getAs[Int]("n_tok") == 4))
+    assert(chunks.last.getAs[String]("chunk") == "t7 t8 t9 t10")
+    // 11 tokens: tail start 8 is NOT on the stride grid — appended
+    val doc2 = Seq((1L, (1 to 11).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val c2 = TextOps.chunkTokens(doc2, col("text"), col("doc_id"), 4, 3)
+      .orderBy("start_tok").collect()
+    assert(c2.map(_.getAs[Int]("start_tok")).toSeq == Seq(1, 4, 7, 8))
+    assert(c2.last.getAs[String]("chunk") == "t8 t9 t10 t11")
+    // short doc: one chunk, the whole doc
+    val c3 = TextOps.chunkTokens(
+      Seq((1L, "a b")).toDF("doc_id", "text"), col("text"), col("doc_id"),
+      4, 3).collect()
+    assert(c3.length == 1 && c3.head.getAs[Int]("n_tok") == 2)
+    // every token of the corpus is covered by some chunk
+    val covered = TextOps.chunkTokens(
+      Tables.documents(spark, sf), col("text"), col("doc_id"), 32, 16)
+      .groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_tok") - 1).as("last"))
+    val lens = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.operators.text.TextOps.tokenCount(col("text")).as("n"))
+    assert(covered.join(lens, "doc_id")
+      .filter(col("last") =!= col("n")).count() == 0)
+  }
+
+  test("vocabCoverage: matches the running-sum spec computed naively") {
+    import graft.operators.text.TextOps
+    val docs = Tables.documents(spark, sf)
+    val got = TextOps.vocabCoverage(docs, col("text"), 0.9)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // naive driver-side spec: sort by (count desc, token), running sum,
+    // keep while coverage-before < 0.9 * total
+    val counts = docs.select(explode(
+      graft.operators.text.TextOps.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val ordered = counts.sortBy { case (t, n) => (-n, t) }
+    var cum = 0L
+    val expect = ordered.takeWhile { case (_, n) =>
+      val before = cum; cum += n; before < 0.9 * total
+    }.toMap
+    assert(got == expect)
+    // cutoff 1.0 keeps the whole vocabulary
+    assert(TextOps.vocabCoverage(docs, col("text"), 1.0).count() ==
+      counts.length)
+  }
+
   test("clusterCap: assignment is argmin and the cap binds per cluster") {
     val emb = Tables.embeddings(spark, sf)
     val cents = VectorCuration.seedCentroids(4, 64)

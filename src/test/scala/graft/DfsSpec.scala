@@ -1542,6 +1542,11 @@ class DfsSpec extends AnyFunSuite {
         #|knn_label(.id_field('vec_id'))
         #""".stripMargin('#'), spark, sf))
     assert(e4.msg.contains("labeled"))
+    val e5 = intercept[Ir.DfsError](DfsEngine.runSingle(
+      """|parquet_read(.table('documents'))
+        #|chunk(.size(32))
+        #""".stripMargin('#'), spark, sf))
+    assert(e5.msg.contains("id_field"))
   }
 
   test("run-level coverage floor: 103+ reference scripts run with rows") {

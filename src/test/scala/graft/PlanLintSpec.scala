@@ -101,6 +101,9 @@ class PlanLintSpec extends AnyFunSuite {
       // domainStats joins its 1-ROW grand-total aggregate back by
       // broadcast (the fillPeriod lazy-scalar pattern)
       "emb_knn_label", "dfs_knn_label", "text_domain_mix",
+      // vocabCoverage: histogram-sized non-equi self-join + 1-ROW total
+      // — both sides count-value-cardinality-bounded
+      "text_vocab", "dfs_vocab",
       // DSIR broadcasts its 1-ROW totals (unseen-bucket fallback) and,
       // in the selection form, the 1-ROW percentile threshold — both
       // the fillPeriod lazy-scalar pattern
