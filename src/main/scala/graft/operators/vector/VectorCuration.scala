@@ -122,6 +122,42 @@ object VectorCuration {
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("sim",
         VectorOps.dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
+    voteMajority(scored, idCol, k)
+  }
+
+  /** The 100 TB form of [[knnLabel]]: LSH-bucketed candidate generation
+    * ([[VectorOps.lshBucket]] — the annTopK shape) instead of the
+    * all-pairs broadcast scan, then the same k-rank + majority vote on
+    * the bucket-join survivors. Neither side broadcasts and neither is
+    * row-count-guarded: the join is a partitionable equi-join on the
+    * bucket id, so corpus-sized query sets (label EVERYTHING unlabeled)
+    * are fine. Approximation is recall-shaped only, exactly as in
+    * annTopK: a query's voters are its nearest neighbours WITHIN its
+    * bucket; queries with no bucket-mates are absent from the output.
+    */
+  def knnLabelAnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val ps = VectorOps.planes(nPlanes, dim)
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
+      .withColumn("_bkt", VectorOps.lshBucket(col(vecCol), ps))
+      .withColumn("_cn", VectorOps.norm(col(vecCol)))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("_bkt", VectorOps.lshBucket(col("q_vec"), ps))
+      .withColumn("_qn", VectorOps.norm(col("q_vec")))
+    val scored = c.join(q, "_bkt")
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("sim",
+        VectorOps.dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
+    voteMajority(scored, idCol, k)
+  }
+
+  /** Shared tail of the kNN-label family: rank each query's scored
+    * candidates, keep `k`, majority-vote the neighbour labels (more
+    * votes first, then the LOWER label — fully deterministic).
+    */
+  private def voteMajority(scored: DataFrame, idCol: String, k: Int)
+      : DataFrame = {
     val nnW = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col(idCol))
     val nn = scored.withColumn("_r", row_number().over(nnW))

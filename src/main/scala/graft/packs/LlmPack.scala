@@ -1443,6 +1443,49 @@ object LlmPack extends QueryPack {
            |WHERE r = 1""".stripMargin
       }),
 
+    // the scale form: LSH-bucketed candidates instead of the all-pairs
+    // broadcast — partitionable equi-join on the bucket id, no guard
+    // needed; the oracle replays bucket assignment + join + rank + vote
+    "emb_knn_label_ann" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorCuration.knnLabelAnn(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "label", 5, nPlanes = 4)
+      },
+      Some {
+        val ps = VectorOps.planes(4, 64)
+        def planeLit(p: Array[Float]) =
+          p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+        def bkt(vec: String) = ps.zipWithIndex.map { case (p, j) =>
+          s"""(CASE WHEN ${dotSql(vec, planeLit(p))} > 0
+             | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+        }.mkString(" +\n  ")
+        val dotQC = dotSql("c.embedding", "q.qe")
+        val nC = dotSql("c.embedding", "c.embedding")
+        val nQ = dotSql("q.qe", "q.qe")
+        s"""WITH c AS (SELECT vec_id, embedding, label,
+           |             ${bkt("embedding")} AS bkt
+           |           FROM embeddings WHERE vec_id % 50 <> 0),
+           |q AS (SELECT vec_id AS q_id, embedding AS qe,
+           |        ${bkt("embedding")} AS bkt
+           |      FROM embeddings WHERE vec_id % 50 = 0),
+           |s AS (SELECT q_id, c.vec_id, c.label,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.q_id),
+           |nn AS (SELECT * FROM (SELECT *, row_number() OVER
+           |         (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS r
+           |       FROM s) WHERE r <= 5),
+           |v AS (SELECT q_id, label, count(*) AS votes
+           |      FROM nn GROUP BY q_id, label)
+           |SELECT q_id, label, CAST(votes AS INTEGER) AS votes
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY votes DESC, label) AS r
+           |      FROM v)
+           |WHERE r = 1""".stripMargin
+      }),
+
     // cluster-capped diversity pruning: md5-seeded centroids (the
     // replayable-quantizer twin of the trained IVF), argmin assignment,
     // then at most 100 rows per cluster by md5 rank — the oracle

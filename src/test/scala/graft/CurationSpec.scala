@@ -117,6 +117,47 @@ class CurationSpec extends AnyFunSuite {
     assert(err.getMessage.contains("too"))
   }
 
+  test("knnLabelAnn: full mechanism replay (bucket, rank, vote)") {
+    import graft.operators.vector.VectorOps
+    val emb = Tables.embeddings(spark, sf)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val ann = VectorCuration.knnLabelAnn(corpus, queries, "vec_id",
+      "embedding", "label", 5, nPlanes = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    // driver-side replay of the whole pipeline with the engine's float
+    // fold order (float products, double accumulate)
+    val ps = VectorOps.planes(2, 64)
+    def fdot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x * y }
+        .foldLeft(0.0)((acc, v) => acc + v)
+    def bucket(v: Seq[Float]): Long =
+      ps.zipWithIndex.map { case (p, j) =>
+        if (fdot(v, p.toSeq) > 0) 1L << j else 0L
+      }.sum
+    val cRows = corpus.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val qRows = queries.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val expect = qRows.flatMap { case (qid, qv) =>
+      val qb = bucket(qv)
+      val cand = cRows.filter { case (cid, cv, _) =>
+        cid != qid && bucket(cv) == qb }
+      if (cand.isEmpty) None else {
+        val top = cand.map { case (cid, cv, l) =>
+          (cid, l, fdot(cv, qv) / (math.sqrt(fdot(cv, cv)) *
+            math.sqrt(fdot(qv, qv))))
+        }.sortBy { case (cid, _, s) => (-s, cid) }.take(5)
+        val (lab, votes) = top.groupBy(_._2).view
+          .mapValues(_.size).toSeq
+          .minBy { case (l, v) => (-v, l) }
+        Some(qid -> (lab, votes))
+      }
+    }.toMap
+    assert(ann == expect)
+  }
+
   test("chunkTokens: full coverage, stride starts, exact tail window") {
     import spark.implicits._
     import graft.operators.text.TextOps
