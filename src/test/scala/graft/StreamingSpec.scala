@@ -437,6 +437,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed("dsirstream")(dsir) == batchDsir)
   }
 
+  test("chunk + centroids: per-row chunking streams as-is; the label-" +
+      "centroid aggregate streams in complete mode — both match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // chunking is a pure generator — append-mode streaming, row for row
+    val docs = Seq((1L, (1 to 10).map("t" + _).mkString(" ")),
+      (2L, "a b c"))
+    def chunks(df: org.apache.spark.sql.DataFrame) =
+      T.chunkTokens(df, col("body"), col("doc_id"), 4, 3)
+    val batchChunks = chunks(docs.toDF("doc_id", "body"))
+      .collect().map(_.toSeq).toSet
+    val inC = MemoryStream[(Long, String)]
+    val qc = chunks(inC.toDS().toDF("doc_id", "body")).writeStream
+      .format("memory").queryName("chunkstream")
+      .outputMode("append").start()
+    inC.addData(docs)
+    qc.processAllAvailable(); qc.stop()
+    assert(spark.table("chunkstream").collect().map(_.toSeq).toSet
+      == batchChunks)
+    assert(batchChunks.nonEmpty)
+    // label centroids: a grouped aggregate with ASSOCIATIVE fixed-point
+    // state — complete-mode streaming gives the batch answer exactly
+    // (the float-sum form could not promise this; the fixed-point
+    // design is what makes the streaming twin exact)
+    val vecs = Seq((1L, Array(0.5f, -0.25f), 1),
+      (2L, Array(0.25f, 0.75f), 1), (3L, Array(-1f, 0.125f), 2))
+    def cents(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.vector.VectorCuration.labelCentroids(
+        df, "embedding", "label")
+    val batchCents = cents(vecs.toDF("vec_id", "embedding", "label"))
+      .collect().map(_.toSeq).toSet
+    val inV = MemoryStream[(Long, Array[Float], Int)]
+    val qv = cents(inV.toDS().toDF("vec_id", "embedding", "label"))
+      .writeStream.format("memory").queryName("centstream")
+      .outputMode("complete").start()
+    inV.addData(vecs)
+    qv.processAllAvailable(); qv.stop()
+    assert(spark.table("centstream").collect().map(_.toSeq).toSet
+      == batchCents)
+    assert(batchCents.size == 4) // 2 labels × 2 dims
+  }
+
   test("slidingSeries: last emission per key equals batch keySeries") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
