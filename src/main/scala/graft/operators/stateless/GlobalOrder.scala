@@ -44,4 +44,27 @@ object GlobalOrder {
     org.apache.spark.sql.graftbridge.ColumnBridge
       .zipWithGlobalIndex(sorted, as)
   }
+
+  /** Inclusive running total of `weight` in global `order` — the
+    * distributed prefix-sum (scan) primitive, and the scale-safe
+    * replacement for `sum(w).over(Window.orderBy(...))` with no
+    * partition clause (which funnels the corpus through one task).
+    *
+    * Same range-partition + partition-offset scheme as [[rowNumber]]
+    * ([[org.apache.spark.sql.graftbridge.ColumnBridge
+    * .zipWithRunningSum]]): per-partition sums collect to the driver
+    * (numPartitions rows — bounded), become offsets, and a second pass
+    * over the SAME materialized shuffle adds them. `weight` is cast to
+    * long; the order columns must form a total order.
+    */
+  def runningSum(df: DataFrame, order: Seq[Column], weight: Column,
+      as: String): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("_rs_w", weight.cast("long"))
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .zipWithRunningSum(sorted, "_rs_w", as)
+      .drop("_rs_w")
+  }
 }

@@ -79,4 +79,61 @@ object Curation {
       .withColumn(as, col(as) - 1)
       .drop("_shuf")
   }
+
+  /** Greedy token-budget selection: rows are taken in `order` until the
+    * running `tokens` total would exceed `budget` — "fill one epoch's
+    * worth of tokens" (ordered by a [[shuffleOrder]]-style hash for a
+    * reproducible random epoch, or by a quality score descending for
+    * best-first selection). The inclusive running total lands as `as`,
+    * so downstream sees exactly where in the budget each survivor sits;
+    * the row that would cross the budget is dropped (strict fill — no
+    * overshoot).
+    *
+    * 100 TB shape: [[graft.operators.stateless.GlobalOrder.runningSum]]
+    * — a range partition on the order key plus the partition-offset
+    * prefix-sum, never an unpartitioned window; the final gate is a
+    * per-row filter. Inherently batch: a global prefix sum needs the
+    * whole corpus ordered by definition.
+    */
+  def tokenBudget(df: DataFrame, order: Seq[Column], tokens: Column,
+      budget: Long, as: String = "cum_tokens"): DataFrame = {
+    require(budget > 0, s"tokenBudget: budget must be positive, got $budget")
+    graft.operators.stateless.GlobalOrder
+      .runningSum(df, order, tokens, as)
+      .filter(col(as) <= budget)
+  }
+
+  /** Weighted sampling WITHOUT replacement, k rows per stratum —
+    * Efraimidis–Spirakis A-ES with the md5-derived uniform: each row
+    * draws u = (hash60(id)+0.5)/2^60 ∈ (0,1) and ranks by
+    * ln(u)/weight descending (the order statistic of u^(1/w)), so a
+    * row's selection probability is proportional to its weight and
+    * nothing is drawn twice. Deterministic — no RNG state, the same
+    * survivors on every run and engine — which is what distinguishes it
+    * from `df.sample`: a mixture built from it is reproducible
+    * end-to-end.
+    *
+    * 100 TB shape: one shuffle on the stratum key and a PARTITIONED
+    * row_number window (per-stratum top-k — the [[capPerKey]] shape);
+    * the key itself is a per-row expression. For a single global
+    * stratum pass `Nil` and the plan becomes orderBy+limit
+    * (TakeOrdered — per-partition top-k, then a k-sized driver merge).
+    */
+  def sampleWeightedK(df: DataFrame, id: Column, weight: Column, k: Int,
+      stratum: Seq[Column]): DataFrame = {
+    require(k > 0, s"sampleWeightedK: k must be positive, got $k")
+    val u = (TextOps.hash60(id.cast("string")) + lit(0.5)) /
+      lit(1152921504606846976.0) // 2^60, exact as a double
+    val key = log(u) / weight.cast("double")
+    if (stratum.isEmpty) {
+      df.withColumn("_aes", key).orderBy(col("_aes").desc, id)
+        .limit(k).drop("_aes")
+    } else {
+      val w = Window.partitionBy(stratum: _*).orderBy(col("_aes").desc, id)
+      df.withColumn("_aes", key)
+        .withColumn("_aes_rn", row_number().over(w))
+        .filter(col("_aes_rn") <= k)
+        .drop("_aes", "_aes_rn")
+    }
+  }
 }

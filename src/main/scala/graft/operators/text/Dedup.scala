@@ -328,4 +328,95 @@ object Dedup {
 
   /** Row-level convenience form (prefer [[withSimhash32]] in pipelines). */
   def simhash32(text: Column): Column = simhash32Bits(simhashTokenHashes(text))
+
+  /** Segment-level cross-document dedup — the CCNet/C4 paragraph-hash
+    * rule re-expressed over token windows (the corpus is space-joined
+    * words, so `segTokens`-token windows stand in for paragraphs): a
+    * document is cut into fixed segments, each segment is content-hashed
+    * (full md5 digest — no truncation, so the engine's hash key and the
+    * oracle's are the same equivalence relation), and every segment
+    * whose digest occurs `minDf`-or-more times ACROSS the corpus is
+    * dropped from every document holding it. Documents come back
+    * reassembled: `(doc_id, n_seg, n_drop, clean_text)` — boilerplate
+    * (headers, navigation, licence blocks) disappears corpus-wide while
+    * unique prose stays.
+    *
+    * 100 TB shape: per-row segmentation (no shuffle), ONE shuffle to
+    * count digests, a digest-keyed sort-merge join back (both sides
+    * partition on the digest), and one groupBy(doc) to reassemble —
+    * all keys are either the 32-hex digest or the doc id, nothing is
+    * all-pairs and no window is unpartitioned. The segment base is
+    * scope-cached: the count branch and the join-back branch would
+    * otherwise re-tokenize the corpus twice.
+    */
+  def segDedup(docs: DataFrame, text: Column, id: Column,
+      segTokens: Int, minDf: Int = 2): DataFrame = {
+    require(segTokens > 0, s"segDedup: segTokens must be positive")
+    require(minDf >= 2, s"segDedup: minDf must be >= 2")
+    val S = segTokens
+    val toks = TextOps.tokens(text)
+    // sequence(0, -1) counts DOWN — docs with no tokens get no segments
+    // (and drop out; the corpus guarantees text, and the oracle's
+    // unnest(range(0, 0)) agrees row-for-row)
+    val nSeg = ceil(size(col("_w")) / lit(S.toDouble)).cast("int")
+    val segs = docs
+      .select(id.as("doc_id"), toks.as("_w"))
+      .select(col("doc_id"),
+        posexplode(when(size(col("_w")) > 0,
+          transform(sequence(lit(0), nSeg - 1),
+            i => array_join(slice(col("_w"), i * S + 1, lit(S)), " ")))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos").as("_i"), col("col").as("_seg"),
+        md5(col("col")).as("_h"))
+    graft.core.CacheScope.withPersisted(segs) { base =>
+      val dfc = base.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+      val marked = base.join(dfc, Seq("_h"))
+        .withColumn("_dup", col("_df") >= minDf)
+      marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_seg"),
+          sum(when(col("_dup"), 1).otherwise(0)).cast("int").as("n_drop"),
+          // collect_list drops the nulls the `when` leaves on dup
+          // segments; array_sort on (idx, seg) structs restores document
+          // order deterministically regardless of task arrival order
+          array_join(
+            transform(
+              array_sort(collect_list(
+                when(!col("_dup"), struct(col("_i"), col("_seg"))))),
+              x => x("_seg")),
+            " ").as("clean_text"))
+    }
+  }
+
+  /** Fuzzy benchmark decontamination — MinHash/LSH where
+    * [[graft.operators.text.TextOps.decontaminate]] is exact-gram: flag
+    * corpus documents NEAR-duplicating any benchmark document at
+    * `threshold` Jaccard, catching paraphrased or lightly-edited eval
+    * leakage that exact n-gram overlap misses. `isBench` marks the
+    * benchmark rows inside the frame (the decontaminate `.benchmark`
+    * convention). Returns every non-benchmark doc as
+    * `(doc_id, n_hits, max_jac, contaminated)`.
+    *
+    * Composition, not new machinery: [[nearDupIndex]] over the benchmark
+    * rows (eval suites are small — the index is tiny), [[nearDupVsIndex]]
+    * to probe the corpus against it, then a per-doc aggregate + left
+    * join back so clean docs land with 0 / 0.0 / false. 100 TB shape:
+    * the probe is a banded bucket equi-join against an index of
+    * benchmark size — the corpus pays signatures (a scan) plus a join
+    * whose build side is the small one.
+    */
+  def decontaminateFuzzy(docs: DataFrame, text: Column, id: Column,
+      isBench: Column, threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val idx = nearDupIndex(docs.filter(isBench), text, id, bands, rowsPerBand)
+    val hits = nearDupVsIndex(docs.filter(!isBench), text, id, idx,
+        threshold, bands, rowsPerBand)
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("_n"), max(col("jac")).as("_mj"))
+    docs.filter(!isBench).select(id.as("doc_id"))
+      .join(hits, col("doc_id") === col("a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_n"), lit(0L)).as("n_hits"),
+        coalesce(col("_mj"), lit(0.0)).as("max_jac"),
+        col("_n").isNotNull.as("contaminated"))
+  }
 }

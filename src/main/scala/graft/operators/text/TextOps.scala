@@ -89,6 +89,39 @@ object TextOps {
         col("_rate") * 1000000.0)
       .drop("_s", "_rate")
 
+  /** Temperature-scaled mixture rates — the multilingual-sampling rule:
+    * stratum s's target share is n_s^alpha / Σ n^alpha, so alpha = 1
+    * keeps the natural mix, alpha → 0 flattens toward uniform, and
+    * 0 < alpha < 1 up-weights tail strata (the standard α≈0.3–0.7
+    * low-resource-language boost). No explicit weight column — the
+    * target is computed FROM the observed counts. Returns the same tiny
+    * `(_s, _rate)` frame as [[mixtureRates]]; gate with
+    * [[applyMixtureGate]] (batch or stream side).
+    *
+    * 100 TB shape: identical to [[mixtureRates]] — one map-side-combined
+    * count to stratum cardinality, a 1-row broadcast total, a pure-scan
+    * gate.
+    */
+  def mixtureRatesTemp(df: org.apache.spark.sql.DataFrame,
+      stratum: Column, alpha: Double): org.apache.spark.sql.DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val c = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n_s"))
+    val t = c.agg(sum(col("_n_s")).as("_n_tot"),
+      sum(pow(col("_n_s"), alpha)).as("_pw_tot"))
+    c.crossJoin(broadcast(t))
+      .select(col("_s"),
+        least(lit(1.0),
+          pow(col("_n_s"), alpha) / col("_pw_tot") * col("_n_tot") /
+            col("_n_s")).as("_rate"))
+  }
+
+  /** [[sampleToMixture]] with the temperature target: downsample toward
+    * the n^alpha-flattened mix.
+    */
+  def sampleToMixtureTemp(df: org.apache.spark.sql.DataFrame, id: Column,
+      stratum: Column, alpha: Double): org.apache.spark.sql.DataFrame =
+    applyMixtureGate(df, id, stratum, mixtureRatesTemp(df, stratum, alpha))
+
   /** Concat-and-chunk sequence packing (LLM pretraining prep): documents
     * lie head-to-tail per `shard` in `order` and are cut into fixed
     * `binTokens`-token context windows. Adds `bin_id` (the window the

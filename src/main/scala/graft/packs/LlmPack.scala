@@ -1644,6 +1644,112 @@ object LlmPack extends QueryPack {
               |SELECT token, n FROM r, tot
               |WHERE cum - n < CAST(0.9 AS DOUBLE) * t""".stripMargin)),
 
+    // greedy token-budget selection: fill one epoch's token budget in
+    // deterministic shuffled order (md5 epoch key). The running total is
+    // the new distributed prefix-sum primitive (GlobalOrder.runningSum —
+    // range partition + partition-offset scan, never an unpartitioned
+    // window); the oracle states the same fact as one running-sum window.
+    "text_token_budget" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("_hk", md5(concat_ws("|", lit("ep0"),
+            col("doc_id").cast("string"))))
+          .withColumn("n_tok", TextOps.tokenCount(col("text")).cast("long"))
+        Curation.tokenBudget(d, Seq(col("_hk"), col("doc_id")),
+            col("n_tok"), 12000L)
+          .select(col("doc_id"), col("lang"), col("n_tok"),
+            col("cum_tokens"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+              |    CAST(len($toks) AS BIGINT) AS n_tok,
+              |    md5('ep0|' || CAST(doc_id AS VARCHAR)) AS hk
+              |  FROM documents),
+              |r AS (SELECT doc_id, lang, n_tok,
+              |    CAST(sum(n_tok) OVER (ORDER BY hk, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              |  FROM t)
+              |SELECT doc_id, lang, n_tok, cum_tokens FROM r
+              |WHERE cum_tokens <= 12000""".stripMargin)),
+
+    // weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    // top-10 per source by ln(u)/w with the md5-derived uniform —
+    // deterministic, reproducible, selection probability ∝ weight. The
+    // oracle replays the identical key arithmetic.
+    "text_sample_wr" -> QueryDef(
+      (s, dir) =>
+        Curation.sampleWeightedK(Tables.documents(s, dir), col("doc_id"),
+            (col("doc_id") % 7 + 1).cast("double"), 10, Seq(col("source")))
+          .select(col("doc_id"), col("source")),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |    ln((${h60("CAST(doc_id AS VARCHAR)")} + 0.5)
+              |       / 1152921504606846976.0)
+              |      / CAST(doc_id % 7 + 1 AS DOUBLE) AS k
+              |  FROM documents),
+              |r AS (SELECT doc_id, source, row_number() OVER
+              |        (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+              |      FROM t)
+              |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin)),
+
+    // temperature-scaled mixture (multilingual sampling rule): target
+    // share n_s^0.5 / Σ n^0.5 — en (218 of 500) downsamples to ~0.70,
+    // tail languages cap at rate 1. Rates come FROM the data; the gate
+    // is the shared md5 row sample.
+    "text_mixture_temp" -> QueryDef(
+      (s, dir) =>
+        TextOps.sampleToMixtureTemp(Tables.documents(s, dir),
+            col("doc_id"), col("lang"), 0.5)
+          .select(col("doc_id"), col("lang")),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS n_s
+              |  FROM documents GROUP BY lang),
+              |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
+              |        sum(pow(n_s, 0.5)) AS pw_tot FROM c),
+              |r AS (SELECT lang,
+              |        least(1.0, pow(n_s, 0.5) / pw_tot * n_tot / n_s)
+              |          AS rate
+              |      FROM c, t)
+              |SELECT d.doc_id, d.lang
+              |FROM documents d JOIN r USING (lang)
+              |WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000
+              |  < rate * 1000000.0""".stripMargin)),
+
+    // segment-level cross-doc dedup (the CCNet paragraph-hash rule over
+    // 8-token windows): segments duplicated corpus-wide (md5 df >= 2)
+    // drop from every holder; docs come back reassembled with
+    // kept/dropped counts. Full SQL replay of the same digests.
+    "text_seg_dedup" -> QueryDef(
+      (s, dir) =>
+        Dedup.segDedup(Tables.documents(s, dir), col("text"),
+          col("doc_id"), 8, 2),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+              |s AS (SELECT doc_id, w,
+              |        unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)))
+              |          AS i
+              |      FROM t WHERE len(w) > 0),
+              |g AS (SELECT doc_id, i,
+              |        array_to_string(w[CAST(i * 8 + 1 AS INTEGER):
+              |          CAST(i * 8 + 8 AS INTEGER)], ' ') AS seg
+              |      FROM s),
+              |d AS (SELECT md5(seg) AS h, count(*) AS df
+              |      FROM g GROUP BY 1),
+              |j AS (SELECT g.doc_id, g.i, g.seg, d.df >= 2 AS dup
+              |      FROM g JOIN d ON md5(g.seg) = d.h)
+              |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_seg,
+              |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INTEGER)
+              |    AS n_drop,
+              |  coalesce(string_agg(CASE WHEN NOT dup THEN seg END, ' '
+              |    ORDER BY i), '') AS clean_text
+              |FROM j GROUP BY doc_id""".stripMargin)),
+
+    // fuzzy benchmark decontamination: MinHash/LSH near-dup of corpus
+    // docs against the benchmark subset (doc_id % 5 = 0) — catches
+    // paraphrased eval leakage exact-gram decontaminate misses. Every
+    // non-benchmark doc lands with n_hits / max_jac / contaminated.
+    "text_decon_fuzzy" -> QueryDef(
+      (s, dir) =>
+        Dedup.decontaminateFuzzy(Tables.documents(s, dir), col("text"),
+          col("doc_id"), col("doc_id") % 5 === 0, 0.3),
+      Some(deconFuzzySql(0.3))),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application
@@ -2015,6 +2121,42 @@ object LlmPack extends QueryPack {
        |        FROM cand JOIN shs x ON cand.a = x.doc_id
        |                  JOIN shs y ON cand.b = y.doc_id)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
+  }
+
+  /** [[vsIndexSql]] with the benchmark split (% 5 = 0 is the index
+    * side) and the per-probe-doc contamination rollup of
+    * [[graft.operators.text.Dedup.decontaminateFuzzy]]: every
+    * non-benchmark doc, hit count + max Jaccard + flag.
+    */
+  private def deconFuzzySql(threshold: Double): String = {
+    val sigExprs = (0 until 8).map(i =>
+      s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
+      .mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
+       |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
+       |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hs),
+       |sig AS (SELECT doc_id, $sigExprs FROM hs),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.bh = r.bh
+       |         WHERE l.doc_id % 5 <> 0 AND r.doc_id % 5 = 0),
+       |jac AS (SELECT a, b,
+       |          round(len(list_intersect(x.sh, y.sh)) * 1.0 /
+       |            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jac
+       |        FROM cand JOIN shs x ON cand.a = x.doc_id
+       |                  JOIN shs y ON cand.b = y.doc_id),
+       |hit AS (SELECT a, CAST(count(*) AS BIGINT) AS n_hits,
+       |          max(jac) AS max_jac
+       |        FROM jac WHERE jac >= $threshold GROUP BY a)
+       |SELECT d.doc_id, coalesce(n_hits, 0) AS n_hits,
+       |  coalesce(max_jac, 0.0) AS max_jac,
+       |  n_hits IS NOT NULL AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+       |LEFT JOIN hit ON d.doc_id = hit.a""".stripMargin
   }
 
   /** Shared DSIR scoring base (through the per-doc weight CTE `sc`) —

@@ -68,4 +68,56 @@ object ColumnBridge {
     }
     spark.internalCreateDataFrame(rdd, schema)
   }
+
+  /** Distributed inclusive prefix sum over a LongType column, in the
+    * frame's current (partition, row) order — [[zipWithGlobalIndex]]
+    * generalized from counting rows to summing a weight. Appends the
+    * running total as LongType column `as` (nulls in the weight column
+    * contribute 0 and carry the previous total).
+    *
+    * Same two-job / one-RDD-instance scheme as `RDD.zipWithIndex`: job 1
+    * sums the weight per partition (a numPartitions-sized collect — the
+    * sanctioned bounded kind), the driver scans those totals into
+    * per-partition offsets, job 2 streams each partition once adding its
+    * offset. The SINGLE backing RDD means the upstream shuffle (and its
+    * sampled range bounds when the caller range-partitioned) materializes
+    * once and both jobs see identical partitions — the determinism
+    * argument of [[zipWithGlobalIndex]] verbatim.
+    */
+  def zipWithRunningSum(df: org.apache.spark.sql.DataFrame,
+      weight: String, as: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+    val ord = df.schema.fieldIndex(weight)
+    require(df.schema(ord).dataType == LongType,
+      s"zipWithRunningSum: column $weight must be LongType")
+    val schema = StructType(
+      df.schema.fields :+ StructField(as, LongType, nullable = false))
+    val rdd0 = ds.queryExecution.toRdd
+    val perPart = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(ord)) s += r.getLong(ord))
+      Iterator((i, s))
+    }.collect().toMap
+    val offsets = new Array[Long](rdd0.getNumPartitions)
+    var acc = 0L
+    offsets.indices.foreach { i =>
+      offsets(i) = acc
+      acc += perPart.getOrElse(i, 0L)
+    }
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var s = offsets(i)
+      it.map { row =>
+        if (!row.isNullAt(ord)) s += row.getLong(ord)
+        extra.update(0, s)
+        joined(row, extra).copy()
+      }
+    }
+    spark.internalCreateDataFrame(rdd, schema)
+  }
 }

@@ -237,4 +237,107 @@ class CurationSpec extends AnyFunSuite {
     // capped rows keep their assignment column
     assert(capped.columns.contains("cell"))
   }
+
+  test("runningSum: distributed prefix sum equals a sequential scan") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("w", graft.operators.text.TextOps
+        .tokenCount(col("text")).cast("long"))
+    val rs = graft.operators.stateless.GlobalOrder
+      .runningSum(docs, Seq(col("doc_id")), col("w"), "cum")
+      .select("doc_id", "w", "cum").collect()
+      .sortBy(_.getAs[Long]("doc_id"))
+    var acc = 0L
+    rs.foreach { r =>
+      acc += r.getAs[Long]("w")
+      assert(r.getAs[Long]("cum") == acc,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Long]("cum")} != $acc")
+    }
+    // order key != storage order: descending id reverses the scan
+    val rsDesc = graft.operators.stateless.GlobalOrder
+      .runningSum(docs, Seq(col("doc_id").desc), col("w"), "cum")
+      .select("doc_id", "cum").collect()
+      .sortBy(-_.getAs[Long]("doc_id"))
+    var acc2 = 0L
+    val wById = rs.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("w")).toMap
+    rsDesc.foreach { r =>
+      acc2 += wById(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("cum") == acc2)
+    }
+  }
+
+  test("tokenBudget: strict fill — never overshoots, maximal prefix") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("w", graft.operators.text.TextOps
+        .tokenCount(col("text")).cast("long"))
+    val budget = 900L
+    val sel = Curation.tokenBudget(docs, Seq(col("doc_id")), col("w"),
+      budget).collect()
+    val total = sel.map(_.getAs[Long]("w")).sum
+    assert(total <= budget)
+    assert(sel.map(_.getAs[Long]("cum_tokens")).max == total)
+    // maximality: the next doc in order would overflow
+    val taken = sel.map(_.getAs[Long]("doc_id")).toSet
+    val next = docs.filter(!col("doc_id").isInCollection(taken))
+      .orderBy("doc_id").select("w").head.getLong(0)
+    assert(total + next > budget)
+  }
+
+  test("sampleWeightedK: per-stratum k, deterministic, weight-monotone") {
+    val docs = Tables.documents(spark, sf)
+    val k = 3
+    val s1 = Curation.sampleWeightedK(docs, col("doc_id"),
+      (col("doc_id") % 7 + 1).cast("double"), k, Seq(col("source")))
+    val perKey = s1.groupBy("source").count().collect()
+    assert(perKey.forall(_.getLong(1) <= k))
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.sampleWeightedK(docs, col("doc_id"),
+      (col("doc_id") % 7 + 1).cast("double"), k, Seq(col("source")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // global form: orderBy+limit path, same key rule
+    val g = Curation.sampleWeightedK(docs, col("doc_id"),
+      lit(1.0), 5, Nil)
+    assert(g.count() == 5)
+    // with equal weights the A-ES key is ln(u): top-k = largest u —
+    // replay directly
+    val expect = docs.select(col("doc_id"),
+        graft.operators.text.TextOps.hash60(col("doc_id").cast("string"))
+          .as("h"))
+      .collect().sortBy(-_.getAs[Long]("h")).take(5)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(g.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
+  }
+
+  test("segDedup: exact-dup docs lose all segments; unique docs keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), // exact dup pair
+      (3L, "u v w x y z")                        // unique
+    ).toDF("doc_id", "text")
+    val out = graft.operators.text.Dedup
+      .segDedup(docs, col("text"), col("doc_id"), 3, 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_seg"), r.getAs[Int]("n_drop"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) == ((2, 2, "")))
+    assert(out(2L) == ((2, 2, "")))
+    assert(out(3L) == ((2, 0, "u v w x y z")))
+  }
+
+  test("mixtureRatesTemp: alpha=1 is the natural mix (all rates 1)") {
+    val docs = Tables.documents(spark, sf)
+    val r1 = graft.operators.text.TextOps
+      .mixtureRatesTemp(docs, col("lang"), 1.0).collect()
+    assert(r1.forall(r => math.abs(r.getAs[Double]("_rate") - 1.0) < 1e-9))
+    // alpha=0.5 downsamples the majority stratum only
+    val r5 = graft.operators.text.TextOps
+      .mixtureRatesTemp(docs, col("lang"), 0.5).collect()
+      .map(r => r.getAs[String]("_s") -> r.getAs[Double]("_rate")).toMap
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxLang = counts.maxBy(_._2)._1
+    assert(r5(maxLang) < 1.0)
+    assert(r5.values.forall(_ <= 1.0))
+  }
 }
