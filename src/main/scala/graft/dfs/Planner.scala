@@ -2229,16 +2229,25 @@ object Planner {
     // TextOps.decontaminate door): .benchmark is a lambda predicate
     // marking the eval-suite rows INSIDE the stream
     "decontaminate" -> bt(
-      Set("text_field", "id_field", "benchmark", "n")) { (ctx, n, env) =>
+      Set("text_field", "id_field", "benchmark", "n", "fuzzy")) {
+      (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("decontaminate: .id_field"))
       val bm = optLambdas(n, "benchmark", env).headOption
         .map(lambdaColumn(_, env.defs))
         .getOrElse(throw DfsError("decontaminate: .benchmark(lambda)"))
-      graft.operators.text.TextOps.decontaminate(ctx.df, Paths.ref(text),
-        Paths.ref(id), bm,
-        optNum(n, "n", env).map(_.toInt).getOrElse(3))
+      // .fuzzy(threshold): MinHash/LSH near-dup against the benchmark
+      // instead of exact-gram overlap — catches paraphrased leakage
+      optNum(n, "fuzzy", env) match {
+        case Some(th) =>
+          graft.operators.text.Dedup.decontaminateFuzzy(ctx.df,
+            Paths.ref(text), Paths.ref(id), bm, th)
+        case None =>
+          graft.operators.text.TextOps.decontaminate(ctx.df,
+            Paths.ref(text), Paths.ref(id), bm,
+            optNum(n, "n", env).map(_.toInt).getOrElse(3))
+      }
     },
     // incremental near-dup probing (graft extension, the
     // Dedup.nearDupVsIndex door): `.index` is a per-row lambda marking
@@ -2333,17 +2342,80 @@ object Planner {
     // mixture resampling to target shares (TextOps.sampleToMixture):
     // `.weight` is a per-row lambda giving the stratum's relative
     // target weight (functionally dependent on `.stratum`).
-    "sample_mixture" -> bt(Set("id_field", "stratum", "weight")) {
-      (ctx, n, env) =>
+    "sample_mixture" -> bt(Set("id_field", "stratum", "weight",
+      "temperature")) { (ctx, n, env) =>
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("sample_mixture: .id_field"))
       val st = optStr(n, "stratum", env)
         .getOrElse(throw DfsError("sample_mixture: .stratum"))
+      (optLambdas(n, "weight", env).headOption
+          .map(lambdaColumn(_, env.defs)),
+        optNum(n, "temperature", env)) match {
+        case (Some(w), None) =>
+          graft.operators.text.TextOps.sampleToMixture(ctx.df,
+            Paths.ref(id), Paths.ref(st), w)
+        // n^alpha-flattened target computed FROM the counts — the
+        // multilingual temperature rule, no weight column needed
+        case (None, Some(a)) =>
+          graft.operators.text.TextOps.sampleToMixtureTemp(ctx.df,
+            Paths.ref(id), Paths.ref(st), a)
+        case _ => throw DfsError(
+          "sample_mixture: exactly one of .weight(lambda) / .temperature")
+      }
+    },
+    // greedy token-budget selection (Curation.tokenBudget door): fill
+    // `.budget` tokens in `.seed`-hashed shuffle order (reproducible
+    // random epoch) or explicit `.by` field order; lands cum_tokens.
+    "token_budget" -> bt(Set("tokens_field", "text_field", "budget",
+      "seed", "by", "id_field")) { (ctx, n, env) =>
+      val tokens = optStr(n, "tokens_field", env).map(Paths.ref)
+        .orElse(optStr(n, "text_field", env).map(f =>
+          graft.operators.text.TextOps.tokenCount(Paths.ref(f))
+            .cast("long")))
+        .getOrElse(throw DfsError(
+          "token_budget: .tokens_field or .text_field"))
+      val budget = optNum(n, "budget", env).map(_.toLong)
+        .getOrElse(throw DfsError("token_budget: .budget"))
+      val order = (optStr(n, "seed", env), optStrs(n, "by", env)) match {
+        case (Some(seed), Seq()) =>
+          val id = optStr(n, "id_field", env).getOrElse("doc_id")
+          Seq(md5(concat_ws("|", lit(seed),
+            Paths.ref(id).cast("string"))), Paths.ref(id))
+        case (None, by) if by.nonEmpty => by.map(Paths.ref)
+        case _ => throw DfsError(
+          "token_budget: exactly one of .seed / .by(fields)")
+      }
+      graft.operators.text.Curation.tokenBudget(ctx.df, order, tokens,
+        budget)
+    },
+    // weighted sampling without replacement (Curation.sampleWeightedK
+    // door): `.k` rows per `.stratum` (omit for a global draw), weight
+    // from a per-row lambda — Efraimidis–Spirakis keys on the md5
+    // uniform, deterministic on every run.
+    "sample_wr" -> bt(Set("id_field", "weight", "k", "stratum")) {
+      (ctx, n, env) =>
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("sample_wr: .id_field"))
       val w = optLambdas(n, "weight", env).headOption
         .map(lambdaColumn(_, env.defs))
-        .getOrElse(throw DfsError("sample_mixture: .weight(lambda)"))
-      graft.operators.text.TextOps.sampleToMixture(ctx.df, Paths.ref(id),
-        Paths.ref(st), w)
+        .getOrElse(throw DfsError("sample_wr: .weight(lambda)"))
+      val k = optNum(n, "k", env).map(_.toInt)
+        .getOrElse(throw DfsError("sample_wr: .k"))
+      graft.operators.text.Curation.sampleWeightedK(ctx.df,
+        Paths.ref(id), w, k, optStrs(n, "stratum", env).map(Paths.ref))
+    },
+    // segment-level cross-doc dedup (Dedup.segDedup door): the CCNet
+    // paragraph-hash rule over `.seg_tokens`-token windows; emits
+    // doc_id / n_seg / n_drop / clean_text.
+    "seg_dedup" -> bt(Set("text_field", "id_field", "seg_tokens",
+      "min_docs")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("seg_dedup: .id_field"))
+      graft.operators.text.Dedup.segDedup(ctx.df, Paths.ref(text),
+        Paths.ref(id),
+        optNum(n, "seg_tokens", env).map(_.toInt).getOrElse(8),
+        optNum(n, "min_docs", env).map(_.toInt).getOrElse(2))
     },
     // cross-doc duplicated-gram stats (graft extension, the
     // TextOps.dupGramStats door): per-doc n_grams / n_dup / dup_frac

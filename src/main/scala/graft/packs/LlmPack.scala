@@ -1660,16 +1660,7 @@ object LlmPack extends QueryPack {
           .select(col("doc_id"), col("lang"), col("n_tok"),
             col("cum_tokens"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, lang,
-              |    CAST(len($toks) AS BIGINT) AS n_tok,
-              |    md5('ep0|' || CAST(doc_id AS VARCHAR)) AS hk
-              |  FROM documents),
-              |r AS (SELECT doc_id, lang, n_tok,
-              |    CAST(sum(n_tok) OVER (ORDER BY hk, doc_id
-              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-              |  FROM t)
-              |SELECT doc_id, lang, n_tok, cum_tokens FROM r
-              |WHERE cum_tokens <= 12000""".stripMargin)),
+      Some(tokenBudgetSql("doc_id, lang, n_tok, cum_tokens"))),
 
     // weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
     // top-10 per source by ln(u)/w with the md5-derived uniform —
@@ -1680,15 +1671,7 @@ object LlmPack extends QueryPack {
         Curation.sampleWeightedK(Tables.documents(s, dir), col("doc_id"),
             (col("doc_id") % 7 + 1).cast("double"), 10, Seq(col("source")))
           .select(col("doc_id"), col("source")),
-      Some(s"""WITH t AS (SELECT doc_id, source,
-              |    ln((${h60("CAST(doc_id AS VARCHAR)")} + 0.5)
-              |       / 1152921504606846976.0)
-              |      / CAST(doc_id % 7 + 1 AS DOUBLE) AS k
-              |  FROM documents),
-              |r AS (SELECT doc_id, source, row_number() OVER
-              |        (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
-              |      FROM t)
-              |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin)),
+      Some(sampleWrSql)),
 
     // temperature-scaled mixture (multilingual sampling rule): target
     // share n_s^0.5 / Σ n^0.5 — en (218 of 500) downsamples to ~0.70,
@@ -1699,18 +1682,7 @@ object LlmPack extends QueryPack {
         TextOps.sampleToMixtureTemp(Tables.documents(s, dir),
             col("doc_id"), col("lang"), 0.5)
           .select(col("doc_id"), col("lang")),
-      Some(s"""WITH c AS (SELECT lang, count(*) AS n_s
-              |  FROM documents GROUP BY lang),
-              |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
-              |        sum(pow(n_s, 0.5)) AS pw_tot FROM c),
-              |r AS (SELECT lang,
-              |        least(1.0, pow(n_s, 0.5) / pw_tot * n_tot / n_s)
-              |          AS rate
-              |      FROM c, t)
-              |SELECT d.doc_id, d.lang
-              |FROM documents d JOIN r USING (lang)
-              |WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000
-              |  < rate * 1000000.0""".stripMargin)),
+      Some(mixtureTempSql)),
 
     // segment-level cross-doc dedup (the CCNet paragraph-hash rule over
     // 8-token windows): segments duplicated corpus-wide (md5 df >= 2)
@@ -1720,25 +1692,7 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         Dedup.segDedup(Tables.documents(s, dir), col("text"),
           col("doc_id"), 8, 2),
-      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
-              |s AS (SELECT doc_id, w,
-              |        unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)))
-              |          AS i
-              |      FROM t WHERE len(w) > 0),
-              |g AS (SELECT doc_id, i,
-              |        array_to_string(w[CAST(i * 8 + 1 AS INTEGER):
-              |          CAST(i * 8 + 8 AS INTEGER)], ' ') AS seg
-              |      FROM s),
-              |d AS (SELECT md5(seg) AS h, count(*) AS df
-              |      FROM g GROUP BY 1),
-              |j AS (SELECT g.doc_id, g.i, g.seg, d.df >= 2 AS dup
-              |      FROM g JOIN d ON md5(g.seg) = d.h)
-              |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_seg,
-              |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INTEGER)
-              |    AS n_drop,
-              |  coalesce(string_agg(CASE WHEN NOT dup THEN seg END, ' '
-              |    ORDER BY i), '') AS clean_text
-              |FROM j GROUP BY doc_id""".stripMargin)),
+      Some(segDedupSql)),
 
     // fuzzy benchmark decontamination: MinHash/LSH near-dup of corpus
     // docs against the benchmark subset (doc_id % 5 = 0) — catches
@@ -1748,6 +1702,52 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         Dedup.decontaminateFuzzy(Tables.documents(s, dir), col("text"),
           col("doc_id"), col("doc_id") % 5 === 0, 0.3),
+      Some(deconFuzzySql(0.3))),
+
+    // ---- DFS twins of the round's selection/dedup nodes: the same
+    // facts through the script front-end, hash-pinned against the SAME
+    // oracle strings as their API queries.
+    "dfs_token_budget" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|token_budget(.text_field('text').budget(12000).seed('ep0'))
+          #|keep('doc_id', 'lang', 'cum_tokens')
+          #""".stripMargin('#'), s, dir),
+      Some(tokenBudgetSql("doc_id, lang, cum_tokens"))),
+
+    "dfs_sample_wr" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|sample_wr(.id_field('doc_id')
+          #  .weight(lambda: mod("doc_id", 7) + 1)
+          #  .k(10).stratum('source'))
+          #|keep('doc_id', 'source')
+          #""".stripMargin('#'), s, dir),
+      Some(sampleWrSql)),
+
+    "dfs_mixture_temp" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|sample_mixture(.id_field('doc_id').stratum('lang')
+          #  .temperature(0.5))
+          #|keep('doc_id', 'lang')
+          #""".stripMargin('#'), s, dir),
+      Some(mixtureTempSql)),
+
+    "dfs_seg_dedup" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|seg_dedup(.id_field('doc_id').seg_tokens(8))
+          #""".stripMargin('#'), s, dir),
+      Some(segDedupSql)),
+
+    "dfs_decon_fuzzy" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|decontaminate(.id_field('doc_id')
+          #  .benchmark(lambda: mod("doc_id", 5) == 0)
+          #  .fuzzy(0.3))
+          #""".stripMargin('#'), s, dir),
       Some(deconFuzzySql(0.3))),
 
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
@@ -2122,6 +2122,81 @@ object LlmPack extends QueryPack {
        |                  JOIN shs y ON cand.b = y.doc_id)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
   }
+
+  /** Token-budget oracle: running-sum window in md5('ep0'|id) shuffle
+    * order, cut at 12000 tokens. Shared by the API query (which also
+    * lands n_tok) and the DFS twin (which keeps fewer columns) —
+    * `cols` is the outer select list.
+    */
+  private def tokenBudgetSql(cols: String): String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(len($toks) AS BIGINT) AS n_tok,
+       |    md5('ep0|' || CAST(doc_id AS VARCHAR)) AS hk
+       |  FROM documents),
+       |r AS (SELECT doc_id, lang, n_tok,
+       |    CAST(sum(n_tok) OVER (ORDER BY hk, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT $cols FROM r
+       |WHERE cum_tokens <= 12000""".stripMargin
+
+  /** A-ES weighted-sample-without-replacement oracle: identical key
+    * arithmetic (ln of the md5 uniform over the weight), top-10 per
+    * source. Shared by the API query and the DFS twin.
+    */
+  private lazy val sampleWrSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    ln((${h60("CAST(doc_id AS VARCHAR)")} + 0.5)
+       |       / 1152921504606846976.0)
+       |      / CAST(doc_id % 7 + 1 AS DOUBLE) AS k
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, row_number() OVER
+       |        (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+       |      FROM t)
+       |SELECT doc_id, source FROM r WHERE rn <= 10""".stripMargin
+
+  /** Temperature-mixture oracle (alpha = 0.5 over lang) — rate
+    * arithmetic and md5 gate replayed exactly. Shared by the API query
+    * and the DFS twin.
+    */
+  private lazy val mixtureTempSql: String =
+    s"""WITH c AS (SELECT lang, count(*) AS n_s
+       |  FROM documents GROUP BY lang),
+       |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot,
+       |        sum(pow(n_s, 0.5)) AS pw_tot FROM c),
+       |r AS (SELECT lang,
+       |        least(1.0, pow(n_s, 0.5) / pw_tot * n_tot / n_s)
+       |          AS rate
+       |      FROM c, t)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN r USING (lang)
+       |WHERE ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000
+       |  < rate * 1000000.0""".stripMargin
+
+  /** Segment-dedup oracle: 8-token windows, md5 digests, df >= 2 drop,
+    * ordered string_agg reassembly. Shared by the API query and the DFS
+    * twin.
+    */
+  private lazy val segDedupSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+       |s AS (SELECT doc_id, w,
+       |        unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)))
+       |          AS i
+       |      FROM t WHERE len(w) > 0),
+       |g AS (SELECT doc_id, i,
+       |        array_to_string(w[CAST(i * 8 + 1 AS INTEGER):
+       |          CAST(i * 8 + 8 AS INTEGER)], ' ') AS seg
+       |      FROM s),
+       |d AS (SELECT md5(seg) AS h, count(*) AS df
+       |      FROM g GROUP BY 1),
+       |j AS (SELECT g.doc_id, g.i, g.seg, d.df >= 2 AS dup
+       |      FROM g JOIN d ON md5(g.seg) = d.h)
+       |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_seg,
+       |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS INTEGER)
+       |    AS n_drop,
+       |  coalesce(string_agg(CASE WHEN NOT dup THEN seg END, ' '
+       |    ORDER BY i), '') AS clean_text
+       |FROM j GROUP BY doc_id""".stripMargin
 
   /** [[vsIndexSql]] with the benchmark split (% 5 = 0 is the index
     * side) and the per-probe-doc contamination rollup of

@@ -1569,4 +1569,39 @@ class DfsSpec extends AnyFunSuite {
     // Derby/catalog tables (RunSweep.seedDatabases)
     assert(r.failed <= 3, r.lines.filter(_.startsWith("FAIL")).mkString("\n"))
   }
+
+  test("selection-node option gates: mixture weight-xor-temperature, " +
+    "token_budget seed-xor-by") {
+    def plan(script: String): Unit = {
+      DfsEngine.runSingle(
+        s"|parquet_read(.table('documents'))\n$script", spark, sf)
+      ()
+    }
+    val e1 = intercept[Ir.DfsError] {
+      plan("""|sample_mixture(.id_field('doc_id').stratum('lang')
+              #  .weight(lambda: 1).temperature(0.5))""".stripMargin('#'))
+    }
+    assert(e1.msg.contains("exactly one of .weight"))
+    val e2 = intercept[Ir.DfsError] {
+      plan("|sample_mixture(.id_field('doc_id').stratum('lang'))")
+    }
+    assert(e2.msg.contains("exactly one of .weight"))
+    val e3 = intercept[Ir.DfsError] {
+      plan("|token_budget(.text_field('text').budget(100))")
+    }
+    assert(e3.msg.contains("exactly one of .seed"))
+    val e4 = intercept[Ir.DfsError] {
+      plan("""|token_budget(.text_field('text').budget(100)
+              #  .seed('s').by('doc_id'))""".stripMargin('#'))
+    }
+    assert(e4.msg.contains("exactly one of .seed"))
+    // .by order variant plans and binds the budget
+    val byOrder = DfsEngine.runSingle(
+      """|parquet_read(.table('documents'))
+        #|token_budget(.text_field('text').budget(400).by('doc_id'))
+        #""".stripMargin('#'), spark, sf)
+    val rows = byOrder.select("doc_id", "cum_tokens").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("cum_tokens")).max <= 400L)
+  }
 }

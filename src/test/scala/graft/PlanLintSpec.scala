@@ -91,6 +91,9 @@ class PlanLintSpec extends AnyFunSuite {
     val sanctioned = Set("emb_cosine_topk", "dedup_cosine_exact",
       "win_time_fill_period", "text_sample_weighted",
       "dfs_sample_mixture",
+      // mixtureRatesTemp broadcasts the same 1-ROW (N, Σn^α) totals
+      // aggregate as sampleToMixture
+      "text_mixture_temp", "dfs_mixture_temp",
       // bm25TopK broadcasts its 1-ROW corpus-stats aggregate (N, avgdl,
       // per-term df) — the fillPeriod lazy-scalar pattern
       "text_bm25", "dfs_bm25",
