@@ -540,4 +540,66 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "score").as[(Long, Double)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("temperature mixture: stream gated by static rates matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    // skewed strata so alpha = 0.5 actually downsamples the majority
+    val data = (1L to 80L).map(i =>
+      Ev(i % 3, i, i.toDouble, if (i % 4 == 0) "de" else "en"))
+    val static = data.toDF()
+    val batch = T.sampleToMixtureTemp(static, col("seq"),
+        col("event_type"), 0.5)
+      .select("seq").as[Long].collect().toSet
+    assert(batch.nonEmpty && batch.size < 80)
+    // production shape: the n^alpha rates are a batch fact over the
+    // static corpus; the stream pays the broadcast join + row gate
+    val rates = T.mixtureRatesTemp(static, col("event_type"), 0.5)
+    val streamed = runStream("mixtemp")(in =>
+      T.applyMixtureGate(in.toDS().toDF(), col("seq"), col("event_type"),
+        rates).as[Ev])(data)
+      .select("seq").as[Long].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("fuzzy decontamination: micro-batch form via foreachBatch " +
+    "matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val D = graft.operators.text.Dedup
+    // the benchmark is a static fact; arriving docs are checked per
+    // micro-batch against it (per-doc rollup is an aggregate, so the
+    // streaming form is foreachBatch over bench ∪ micro-batch — the
+    // near-dup-pairs convention; the underlying stream-static probe is
+    // pinned by "near-dup vs static index" above)
+    val bench = Seq(
+      (1L, true, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, true, "completely different text about spark structured streaming"))
+    val arriving = Seq(
+      (101L, false, "the quick brown fox jumps over the lazy dog again and again!"),
+      (103L, false, "nothing like anything in the established corpus at all ok"))
+    def decon(df: org.apache.spark.sql.DataFrame) =
+      D.decontaminateFuzzy(df, col("body"), col("doc_id"), col("bm"), 0.5)
+    val batch = decon((bench ++ arriving).toDF("doc_id", "bm", "body"))
+      .select("doc_id", "contaminated").as[(Long, Boolean)]
+      .collect().toSet
+    assert(batch == Set((101L, true), (103L, false)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Boolean, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Boolean)]
+    val benchDf = bench.toDF("doc_id", "bm", "body")
+    val q = in.toDS().toDF("doc_id", "bm", "body").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= decon(benchDf.unionByName(mb))
+          .select("doc_id", "contaminated").as[(Long, Boolean)].collect()
+        ()
+      }.start()
+    in.addData(arriving.take(1))
+    q.processAllAvailable()
+    in.addData(arriving.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batch)
+  }
 }
