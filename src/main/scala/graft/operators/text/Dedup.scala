@@ -341,13 +341,15 @@ object Dedup {
     * (headers, navigation, licence blocks) disappears corpus-wide while
     * unique prose stays.
     *
-    * 100 TB shape: per-row segmentation (no shuffle), ONE shuffle to
-    * count digests, a digest-keyed sort-merge join back (both sides
-    * partition on the digest), and one groupBy(doc) to reassemble —
-    * all keys are either the 32-hex digest or the doc id, nothing is
-    * all-pairs and no window is unpartitioned. The segment base is
-    * scope-cached: the count branch and the join-back branch would
-    * otherwise re-tokenize the corpus twice.
+    * 100 TB shape: per-row segmentation (no shuffle), ONE shuffle on
+    * the digest for a PARTITIONED count window (df lands beside every
+    * occurrence with no aggregate-plus-join-back second shuffle, and
+    * with a single consumer the base needs no cache), then one
+    * groupBy(doc) to reassemble — keys are the 32-hex digest and the
+    * doc id, nothing is all-pairs, no window is unpartitioned. A
+    * degenerate digest (boilerplate shared by millions of docs) is one
+    * window partition — a count-only window streams it, no
+    * row-buffering rank.
     */
   def segDedup(docs: DataFrame, text: Column, id: Column,
       segTokens: Int, minDf: Int = 2): DataFrame = {
@@ -368,23 +370,21 @@ object Dedup {
           .otherwise(array().cast("array<string>"))))
       .select(col("doc_id"), col("pos").as("_i"), col("col").as("_seg"),
         md5(col("col")).as("_h"))
-    graft.core.CacheScope.withPersisted(segs) { base =>
-      val dfc = base.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
-      val marked = base.join(dfc, Seq("_h"))
-        .withColumn("_dup", col("_df") >= minDf)
-      marked.groupBy(col("doc_id"))
-        .agg(count(lit(1)).cast("int").as("n_seg"),
-          sum(when(col("_dup"), 1).otherwise(0)).cast("int").as("n_drop"),
-          // collect_list drops the nulls the `when` leaves on dup
-          // segments; array_sort on (idx, seg) structs restores document
-          // order deterministically regardless of task arrival order
-          array_join(
-            transform(
-              array_sort(collect_list(
-                when(!col("_dup"), struct(col("_i"), col("_seg"))))),
-              x => x("_seg")),
-            " ").as("clean_text"))
-    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))
+    segs
+      .withColumn("_dup", count(lit(1)).over(w) >= minDf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_seg"),
+        sum(when(col("_dup"), 1).otherwise(0)).cast("int").as("n_drop"),
+        // collect_list drops the nulls the `when` leaves on dup
+        // segments; array_sort on (idx, seg) structs restores document
+        // order deterministically regardless of task arrival order
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("_dup"), struct(col("_i"), col("_seg"))))),
+            x => x("_seg")),
+          " ").as("clean_text"))
   }
 
   /** Fuzzy benchmark decontamination — MinHash/LSH where
