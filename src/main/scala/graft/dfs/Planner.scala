@@ -2404,6 +2404,25 @@ object Planner {
       graft.operators.text.Curation.sampleWeightedK(ctx.df,
         Paths.ref(id), w, k, optStrs(n, "stratum", env).map(Paths.ref))
     },
+    // deterministic train/val/test split (Curation.splitAssign door):
+    // md5-gated named buckets — a doc's split never changes across
+    // runs or corpus growth.
+    "split_assign" -> bt(Set("id_field", "names", "fractions", "as")) {
+      (ctx, n, env) =>
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("split_assign: .id_field"))
+      val names = optStrs(n, "names", env)
+      val fracs = optVals(n, "fractions", env).map {
+        case VNum(v, _) => v
+        case VLong(l) => l.toDouble
+        case v => throw DfsError(
+          s"split_assign: .fractions expects numbers, got $v")
+      }
+      if (names.isEmpty || names.size != fracs.size)
+        throw DfsError("split_assign: .names and .fractions must pair up")
+      graft.operators.text.Curation.splitAssign(ctx.df, Paths.ref(id),
+        names.zip(fracs), optStr(n, "as", env).getOrElse("split"))
+    },
     // segment-level cross-doc dedup (Dedup.segDedup door): the CCNet
     // paragraph-hash rule over `.seg_tokens`-token windows; emits
     // doc_id / n_seg / n_drop / clean_text.

@@ -119,6 +119,61 @@ object Curation {
     * stratum pass `Nil` and the plan becomes orderBy+limit
     * (TakeOrdered — per-partition top-k, then a k-sized driver merge).
     */
+  /** Corpus snapshot diff — the delta-curation primitive between two
+    * crawls/exports of the same corpus: every doc id labeled
+    * `added` (only in the new snapshot), `removed` (only in the old),
+    * `changed` (both, different content hash) or `same`. Downstream,
+    * an incremental pipeline re-processes added+changed only and
+    * retires removed — the difference between re-running 100 TB and
+    * re-running the day's delta.
+    *
+    * 100 TB shape: one md5 per row (a scan on each side) and a single
+    * id-keyed full outer sort-merge join — both sides partition on the
+    * id; snapshots bucketed by id make it co-located. Content equality
+    * is by full md5 digest, the [[Dedup.exactDupGroups]] convention.
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val o = old.select(id.as("doc_id"), md5(text).as("_oh"))
+    val c = cur.select(id.as("doc_id"), md5(text).as("_ch"))
+    o.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_oh").isNull, "added")
+          .when(col("_ch").isNull, "removed")
+          .when(col("_oh") === col("_ch"), "same")
+          .otherwise("changed").as("status"))
+  }
+
+  /** Deterministic train/validation/test split: each row lands in
+    * exactly one named bucket with the given fractions, keyed on the
+    * md5 row gate — the same document goes to the same split on every
+    * run, every engine, and every corpus size (membership depends only
+    * on the id, so growing the corpus never moves an existing doc
+    * across splits — the leakage-safety property a random split lacks).
+    * Fractions must sum to 1 (±1e-9); bucket edges are cumulative
+    * fractions over the md5-uniform in [0, 1e6).
+    *
+    * 100 TB shape: a pure per-row expression — no shuffle, streams
+    * as-is.
+    */
+  def splitAssign(df: DataFrame, id: Column,
+      splits: Seq[(String, Double)], as: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splitAssign: fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"splitAssign: fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = pmod(TextOps.hash60(id.cast("string")), lit(1000000L))
+    val edges = splits.scanLeft(0.0)(_ + _._2).tail
+    // double-vs-double compare, the applyMixtureGate boundary rule; the
+    // last bucket is the otherwise-arm so fraction rounding can never
+    // leave a row unassigned
+    val expr = splits.init.zip(edges).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), edge), rest) =>
+      when(h < edge * 1000000.0, name).otherwise(rest)
+    }
+    df.withColumn(as, expr)
+  }
+
   def sampleWeightedK(df: DataFrame, id: Column, weight: Column, k: Int,
       stratum: Seq[Column]): DataFrame = {
     require(k > 0, s"sampleWeightedK: k must be positive, got $k")

@@ -1704,6 +1704,43 @@ object LlmPack extends QueryPack {
           col("doc_id"), col("doc_id") % 5 === 0, 0.3),
       Some(deconFuzzySql(0.3))),
 
+    // corpus snapshot diff (delta curation): old = %11 survivors, new =
+    // %7 survivors with %13 docs edited — added/removed/changed/same per
+    // doc id by full md5 content hash, one id-keyed full outer join.
+    "text_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val old = d.filter(col("doc_id") % 11 =!= 0)
+        val cur = d.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text", when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        Curation.snapshotDiff(old, cur, col("doc_id"), col("text"))
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS oh
+             |  FROM documents WHERE doc_id % 11 <> 0),
+             |c AS (SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+             |         ELSE text END) AS ch
+             |  FROM documents WHERE doc_id % 7 <> 0)
+             |SELECT coalesce(o.doc_id, c.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN c.doc_id IS NULL THEN 'removed'
+             |       WHEN oh = ch THEN 'same'
+             |       ELSE 'changed' END AS status
+             |FROM o FULL JOIN c ON o.doc_id = c.doc_id""".stripMargin)),
+
+    // deterministic train/val/test split: md5-gated bucket edges so a
+    // doc's split never changes across runs or corpus growth. The
+    // oracle inlines the ENGINE-computed cumulative edges (0.9 + 0.05
+    // in binary is not 0.95 exactly — both engines must gate on the
+    // same double).
+    "text_split_assign" -> QueryDef(
+      (s, dir) =>
+        Curation.splitAssign(Tables.documents(s, dir), col("doc_id"),
+            SplitSpec)
+          .select(col("doc_id"), col("split")),
+      Some(splitAssignSql)),
+
     // ---- DFS twins of the round's selection/dedup nodes: the same
     // facts through the script front-end, hash-pinned against the SAME
     // oracle strings as their API queries.
@@ -1740,6 +1777,16 @@ object LlmPack extends QueryPack {
           #|seg_dedup(.id_field('doc_id').seg_tokens(8))
           #""".stripMargin('#'), s, dir),
       Some(segDedupSql)),
+
+    "dfs_split_assign" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|split_assign(.id_field('doc_id')
+          #  .names('train', 'val', 'test')
+          #  .fractions(0.9, 0.05, 0.05))
+          #|keep('doc_id', 'split')
+          #""".stripMargin('#'), s, dir),
+      Some(splitAssignSql)),
 
     "dfs_decon_fuzzy" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -2121,6 +2168,30 @@ object LlmPack extends QueryPack {
        |        FROM cand JOIN shs x ON cand.a = x.doc_id
        |                  JOIN shs y ON cand.b = y.doc_id)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
+  }
+
+  /** The split fractions of [[text_split_assign]] / its DFS twin. */
+  private val SplitSpec: Seq[(String, Double)] =
+    Seq(("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+  /** Split-assignment oracle with the engine's EXACT cumulative edges:
+    * `Double.toString` round-trips through DuckDB's literal parser to
+    * the identical binary64, so both engines gate h against the same
+    * boundary (0.9 + 0.05 ≠ 0.95 in binary).
+    */
+  private lazy val splitAssignSql: String = {
+    val edges = SplitSpec.scanLeft(0.0)(_ + _._2).tail
+    // CAST: DuckDB types a long decimal literal as DECIMAL(18), which
+    // overflows on *1e6 and rounds differently from binary64 anyway
+    val cases = SplitSpec.init.zip(edges).map { case ((nm, _), e) =>
+      s"WHEN h < CAST($e AS DOUBLE) * 1000000.0 THEN '$nm'"
+    }.mkString("\n       ")
+    s"""SELECT doc_id,
+       |  CASE $cases
+       |       ELSE '${SplitSpec.last._1}' END AS split
+       |FROM (SELECT doc_id,
+       |        ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+       |      FROM documents)""".stripMargin
   }
 
   /** Token-budget oracle: running-sum window in md5('ep0'|id) shuffle

@@ -325,6 +325,42 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((2, 0, "u v w x y z")))
   }
 
+  test("snapshotDiff: all four statuses, from one synthetic delta") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Curation.snapshotDiff(old, cur, c("doc_id"), c("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "removed", 2L -> "same", 3L -> "changed",
+      4L -> "added"))
+  }
+
+  test("splitAssign: total partition, growth-stable, validated") {
+    val docs = Tables.documents(spark, sf)
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val assigned = Curation.splitAssign(docs, col("doc_id"), splits)
+    val byName = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byName.values.sum == docs.count()) // every row exactly once
+    assert(byName("train") > byName.getOrElse("val", 0L))
+    // growth stability: membership depends only on the id — assigning
+    // a SUBSET of the corpus gives the same split per doc
+    val sub = Curation.splitAssign(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val full = assigned.select("doc_id", "split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(docs, col("doc_id"),
+        Seq(("a", 0.5), ("b", 0.4)))
+    }
+  }
+
   test("mixtureRatesTemp: alpha=1 is the natural mix (all rates 1)") {
     val docs = Tables.documents(spark, sf)
     val r1 = graft.operators.text.TextOps
