@@ -400,14 +400,17 @@ object Dedup {
     * rows (eval suites are small — the index is tiny), [[nearDupVsIndex]]
     * to probe the corpus against it, then a per-doc aggregate + left
     * join back so clean docs land with 0 / 0.0 / false. 100 TB shape:
-    * the probe is a banded bucket equi-join against an index of
-    * benchmark size — the corpus pays signatures (a scan) plus a join
-    * whose build side is the small one.
+    * the index side carries an explicit `broadcast` hint (its size is
+    * benchmark × bands — an eval suite, not a corpus; computed frames
+    * have no stats so the planner would otherwise shuffle BOTH sides),
+    * making the probe a map-side hash join: the corpus pays signatures
+    * plus one scan, zero shuffle on the data path.
     */
   def decontaminateFuzzy(docs: DataFrame, text: Column, id: Column,
       isBench: Column, threshold: Double,
       bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val idx = nearDupIndex(docs.filter(isBench), text, id, bands, rowsPerBand)
+    val idx = broadcast(
+      nearDupIndex(docs.filter(isBench), text, id, bands, rowsPerBand))
     val hits = nearDupVsIndex(docs.filter(!isBench), text, id, idx,
         threshold, bands, rowsPerBand)
       .groupBy(col("a"))

@@ -541,6 +541,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("split_assign: per-row gate streams as-is, emissions match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val C = graft.operators.text.Curation
+    val data = (1L to 50L).map(i => Ev(i % 3, i, i.toDouble, "x"))
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val batch = C.splitAssign(data.toDF(), col("seq"), splits)
+      .select("seq", "split").as[(Long, String)].collect().toSet
+    val got = runStream("splitassign")(in =>
+      C.splitAssign(in.toDS().toDF(), col("seq"), splits)
+        .selectExpr("seq", "split")
+        .as[(Long, String)])(data)
+      .as[(Long, String)].collect().toSet
+    assert(got == batch)
+  }
+
   test("temperature mixture: stream gated by static rates matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
