@@ -1797,6 +1797,48 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(deconFuzzySql(0.3))),
 
+    // unigram-LM tokenizer SEED statistic (Kudo 2018 step 1): every
+    // substring of length 1..6 of every distinct word, weighted by word
+    // frequency, top-64 by (count desc, piece) — the SQL-expressible
+    // half of unigram training (EM/Viterbi is pinned in UnigramSpec;
+    // the encode query below is the declared rows-only end-to-end).
+    "text_unigram_seed" -> QueryDef(
+      (s, dir) =>
+        graft.operators.text.UnigramTrainer.seedPieces(
+          Tables.documents(s, dir), col("text"), 64, 6),
+      Some(s"""WITH wc AS (SELECT w AS _w, CAST(count(*) AS BIGINT) AS _n
+              |  FROM (SELECT unnest($toks) AS w FROM documents)
+              |  WHERE len(w) > 0 GROUP BY w),
+              |c1 AS (SELECT _w, _n,
+              |         unnest(range(1, len(_w) + 1)) AS i FROM wc),
+              |c2 AS (SELECT _w, _n, i,
+              |         unnest(range(1, least(6, len(_w) - i + 1) + 1))
+              |           AS l
+              |       FROM c1),
+              |p AS (SELECT substr(_w, CAST(i AS INTEGER),
+              |               CAST(l AS INTEGER)) AS piece, _n
+              |      FROM c2)
+              |SELECT piece, CAST(sum(_n) AS BIGINT) AS n
+              |FROM p GROUP BY piece
+              |ORDER BY n DESC, piece LIMIT 64""".stripMargin)),
+
+    // unigram-LM tokenizer APPLY side: train a 48-piece model (4 hard-EM
+    // iterations over the 31-word vocabulary) and segment the %97 doc
+    // subset with it. Iterated EM + Viterbi DP are not SQL-expressible —
+    // declared rows-only (the text_bpe_encode convention); determinism,
+    // coverage and hand-case segmentation are UnigramSpec-pinned.
+    "text_unigram_encode" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val pieces = graft.operators.text.UnigramTrainer.train(
+          d, col("text"), vocabSize = 48, seedSize = 256,
+          maxPieceLen = 6, emIters = 4)
+        graft.operators.text.UnigramTrainer.encode(
+          d.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
+          pieces)
+      },
+      None),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application

@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.{Sessions, Tables}
+import graft.operators.text.UnigramTrainer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM tokenizer (Kudo 2018, hard-EM over the vocabulary
+  * table): Viterbi semantics, training determinism, coverage, and the
+  * encode join's corpus reconstruction.
+  */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "unigram-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("viterbi: picks the max-probability segmentation") {
+    val lp = Map("ab" -> -1.0, "c" -> -2.0, "a" -> -3.0, "b" -> -3.0,
+      "abc" -> -9.0)
+    // ab+c = -3 beats abc = -9 and a+b+c = -8
+    assert(UnigramTrainer.viterbi("abc", lp, 6) == Seq("ab", "c"))
+    // tie-break: equal-score paths prefer the LONGER last piece
+    val tie = Map("aa" -> -2.0, "a" -> -1.0)
+    assert(UnigramTrainer.viterbi("aa", tie, 6) == Seq("aa"))
+    // unreachable word trips the coverage invariant loudly
+    intercept[IllegalArgumentException] {
+      UnigramTrainer.viterbi("xy", Map("x" -> -1.0), 6)
+    }
+  }
+
+  test("train: deterministic, chars always covered, vocab bounded") {
+    val docs = Tables.documents(spark, sf)
+    val m1 = UnigramTrainer.train(docs, col("text"), vocabSize = 40,
+      seedSize = 128, emIters = 3)
+    val m2 = UnigramTrainer.train(docs, col("text"), vocabSize = 40,
+      seedSize = 128, emIters = 3)
+    assert(m1 == m2) // byte-identical across runs
+    val pieces = m1.map(_._1).toSet
+    // every character of every corpus word is a piece (coverage)
+    val chars = docs.select(explode(split(col("text"), "")).as("c"))
+      .filter(col("c") =!= " " && col("c") =!= "")
+      .distinct().collect().map(_.getString(0)).toSet
+    chars.foreach(c => assert(pieces(c), s"missing char piece '$c'"))
+    // log-probs are a (sub-)distribution: all negative
+    assert(m1.forall(_._2 < 0))
+  }
+
+  test("encode: pieces concatenate back to every word of the corpus") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val model = UnigramTrainer.train(docs, col("text"), vocabSize = 48,
+      seedSize = 128, emIters = 2)
+    val enc = UnigramTrainer.encode(docs, col("text"), col("doc_id"),
+      model)
+    // reassemble each (doc, pos) word from its pieces and compare with
+    // the direct tokenization
+    val rebuilt = enc.groupBy("doc_id", "pos")
+      .agg(concat_ws("", sort_array(collect_list(
+        struct(col("piece_idx"), col("piece"))))
+        .getField("piece")).as("w"))
+    val direct = docs.select(col("doc_id"),
+      posexplode(graft.operators.text.TextOps.tokens(col("text")))
+        .as(Seq("pos", "w")))
+    val mismatch = rebuilt.join(direct, Seq("doc_id", "pos"))
+      .filter(rebuilt("w") =!= direct("w")).count()
+    assert(mismatch == 0)
+    assert(rebuilt.count() == direct.count())
+  }
+}
