@@ -58,6 +58,71 @@ object VectorOps {
     */
   val MaxBroadcastQueries = 100000L
 
+  /** Matryoshka truncation (MRL serving): keep the first `dims`
+    * components and re-normalize to unit length — the cheap-retrieval
+    * trick for nested-representation embeddings (coarse search on the
+    * prefix, full-dim re-rank on survivors). Per-row expression, zero
+    * shuffle; the truncated array is materialized in its own projection
+    * (interpreted HOFs re-evaluate inline subtrees).
+    */
+  def matryoshka(df: DataFrame, vecCol: String, dims: Int,
+      as: String = "m_vec"): DataFrame = {
+    require(dims >= 1, s"matryoshka: dims must be positive, got $dims")
+    df.withColumn("_mt", slice(col(vecCol), 1, dims))
+      .withColumn("_mn", norm(col("_mt")))
+      .withColumn(as, transform(col("_mt"), x => x / col("_mn")))
+      .drop("_mt", "_mn")
+  }
+
+  /** Sign-bit binarization: bit i of the result long is set iff
+    * component i+1 is positive — a 1-long-per-row binary sketch
+    * (≈1/256 the footprint of a 64-float vector) whose Hamming
+    * distance tracks angular distance. `dims` ≤ 62 keeps the packed
+    * value in non-negative long range; 2^i is exact in binary64, so
+    * the oracle replays the identical packing.
+    */
+  def signBits(vec: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 62,
+      s"signBits: dims must be in [1, 62], got $dims")
+    aggregate(sequence(lit(0), lit(dims - 1)), lit(0L),
+      (acc, i) => acc + when(element_at(vec, i + 1) > lit(0f),
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
+  }
+
+  /** Hamming top-k over [[signBits]] sketches — the binary-sketch ANN
+    * yardstick: exact top-k by bit distance, [[bruteTopK]]'s guarded
+    * broadcast shape (queries must be small; the corpus side carries
+    * ONE long per row past the binarization scan, so even the
+    * all-pairs fallback moves 8 bytes/row). The 100 TB production
+    * path remains [[annTopK]]/[[ivfTopK]] candidates re-ranked on full
+    * vectors; this is the cheap first-pass filter.
+    */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dims: Int = 62,
+      maxQueryRows: Long = MaxBroadcastQueries): DataFrame = {
+    val qCount = queries.count()
+    require(qCount <= maxQueryRows,
+      s"hammingTopK query side has $qCount rows (max $maxQueryRows): " +
+        "too large to broadcast — use annTopK, or raise maxQueryRows")
+    val q = queries.select(col(idCol).as("q_id"),
+      signBits(col(vecCol), dims).as("_qb"))
+    val c = corpus.select(col(idCol), signBits(col(vecCol), dims).as("_cb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("ham",
+        bit_count(col("_qb").bitwiseXOR(col("_cb"))).cast("int"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ham"), col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"), col(idCol),
+        col("ham"))
+  }
+
   def bruteTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -800,6 +800,54 @@ object LlmPack extends QueryPack {
              |                   AS BIGINT) END), ',') AS q_vec
              |FROM q""".stripMargin)),
 
+    // Matryoshka truncation (MRL serving): first 16 dims re-normalized
+    // to unit length — coarse-search prefix vectors. The oracle replays
+    // the truncated-norm fold and per-component divide bit-for-bit.
+    "emb_matryoshka" -> QueryDef(
+      (s, dir) => {
+        val m = VectorOps.matryoshka(Tables.embeddings(s, dir),
+          "embedding", 16)
+        m.select(col("vec_id") +:
+          (0 until 16).map(j =>
+            round(element_at(col("m_vec"), j + 1), 6).as(f"m$j%02d")): _*)
+      },
+      Some {
+        val n = dotSql("embedding[1:16]", "embedding[1:16]")
+        val cols = (0 until 16).map(j =>
+          s"round(embedding[${j + 1}] / sqrt($n), 6) AS m${"%02d".format(j)}")
+          .mkString(",\n  ")
+        s"""SELECT vec_id,
+           |  $cols
+           |FROM embeddings""".stripMargin
+      }),
+
+    // binary-sketch ANN yardstick: 62 sign bits packed into one long
+    // (2^i exact in binary64 — identical packing both engines), exact
+    // Hamming top-3 for the %37 query set. The production first-pass
+    // filter for 100 TB retrieval: 8 bytes/row past the scan.
+    "emb_hamming_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.hammingTopK(emb, emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", 3)
+      },
+      Some("""WITH b AS (SELECT vec_id,
+             |    CAST(list_sum(list_transform(range(0, 62), i ->
+             |      CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+             |           THEN CAST(pow(2, i) AS BIGINT)
+             |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bits
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS q_id, bits AS qb FROM b
+             |      WHERE vec_id % 37 = 0),
+             |s AS (SELECT q_id, vec_id,
+             |        CAST(bit_count(xor(qb, bits)) AS INTEGER) AS ham
+             |      FROM b, q WHERE vec_id <> q_id)
+             |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, ham
+             |FROM (SELECT *, row_number() OVER
+             |        (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
+             |      FROM s)
+             |WHERE rnk <= 3""".stripMargin)),
+
     "emb_norms" -> QueryDef(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)

@@ -795,4 +795,41 @@ class LlmSpec extends AnyFunSuite {
       .select("pos", "piece").as[(Int, String)].collect().toSeq
     assert(out == Seq((0, "low"), (1, "low"), (1, "e"), (1, "r")))
   }
+
+  test("matryoshka: truncated vectors are unit-norm; prefix preserved") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val m = graft.operators.vector.VectorOps
+      .matryoshka(emb, "embedding", 16)
+    val rows = m.select(col("vec_id"), col("embedding"), col("m_vec"))
+      .limit(10).collect()
+    rows.foreach { r =>
+      val full = r.getSeq[Float](1)
+      val mv = r.getSeq[Double](2)
+      assert(mv.length == 16)
+      val n = math.sqrt(mv.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-6) // float components, double norm
+      // direction preserved: same sign pattern as the raw prefix
+      full.take(16).zip(mv).foreach { case (f, d) =>
+        assert(f.toDouble.sign == d.sign || f == 0f)
+      }
+    }
+  }
+
+  test("hammingTopK: self excluded, distances ordered, guard trips") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val out = graft.operators.vector.VectorOps
+      .hammingTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", 3)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.forall(_.getAs[Long]("vec_id") != q))
+      val byRank = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Int]("ham"))
+      assert(byRank.sorted.sameElements(byRank)) // rank follows distance
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.vector.VectorOps.hammingTopK(
+        emb, emb, "vec_id", "embedding", 3, maxQueryRows = 10)
+    }
+  }
 }
