@@ -123,6 +123,42 @@ object VectorOps {
         col("ham"))
   }
 
+  /** The composed binary-sketch retrieval pipeline: [[hammingTopK]]
+    * takes a wide top-`candidates` cut (8-bytes-per-row first pass),
+    * then the survivors re-rank by EXACT cosine — the two-stage shape a
+    * 100 TB serving path actually runs (cheap filter over everything,
+    * expensive metric over a bounded candidate set). The re-rank join
+    * touches `candidates` rows per query, never the corpus.
+    */
+  def hammingRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      candidates: Int,
+      dims: Int = 62): DataFrame = {
+    require(candidates >= k,
+      s"hammingRerank: candidates ($candidates) must be >= k ($k)")
+    val cand = hammingTopK(corpus, queries, idCol, vecCol, candidates, dims)
+      .select(col("q_id"), col(idCol))
+    val v = corpus.select(col(idCol), col(vecCol))
+      .withColumn("_n", norm(col(vecCol)))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
+      .withColumn("_qn", norm(col("_qv")))
+    val scored = cand
+      .join(v, idCol)
+      .join(broadcast(q), "q_id")
+      .withColumn("sim",
+        dot(col(vecCol), col("_qv")) / (col("_n") * col("_qn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc,
+      col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"), col(idCol),
+        round(col("sim"), 6).as("sim"))
+  }
+
   def bruteTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -848,6 +848,49 @@ object LlmPack extends QueryPack {
              |      FROM s)
              |WHERE rnk <= 3""".stripMargin)),
 
+    // the composed two-stage retrieval: Hamming top-20 candidates
+    // (8 bytes/row first pass), exact cosine re-rank to top-3 — the
+    // serving shape for 100 TB. Full two-stage SQL replay.
+    "emb_hamming_rerank" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.hammingRerank(emb,
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", k = 3, candidates = 20)
+      },
+      Some {
+        val dotVQ = dotSql("v.embedding", "qe.embedding")
+        val nV = dotSql("v.embedding", "v.embedding")
+        val nQ = dotSql("qe.embedding", "qe.embedding")
+        s"""WITH b AS (SELECT vec_id,
+           |    CAST(list_sum(list_transform(range(0, 62), i ->
+           |      CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+           |           THEN CAST(pow(2, i) AS BIGINT)
+           |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bits
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, bits AS qb FROM b
+           |      WHERE vec_id % 37 = 0),
+           |s AS (SELECT q_id, vec_id,
+           |        CAST(bit_count(xor(qb, bits)) AS INTEGER) AS ham
+           |      FROM b, q WHERE vec_id <> q_id),
+           |cand AS (SELECT q_id, vec_id
+           |         FROM (SELECT *, row_number() OVER
+           |                 (PARTITION BY q_id ORDER BY ham, vec_id)
+           |                 AS hrnk
+           |               FROM s)
+           |         WHERE hrnk <= 20),
+           |sims AS (SELECT c.q_id, c.vec_id,
+           |           round($dotVQ / (sqrt($nV) * sqrt($nQ)), 6) AS sim
+           |         FROM cand c
+           |         JOIN embeddings v ON v.vec_id = c.vec_id
+           |         JOIN embeddings qe ON qe.vec_id = c.q_id)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, sim
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+           |      FROM sims)
+           |WHERE rnk <= 3""".stripMargin
+      }),
+
     "emb_norms" -> QueryDef(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
