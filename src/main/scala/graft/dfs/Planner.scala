@@ -2339,6 +2339,23 @@ object Planner {
         d2.withColumn(f, T.piiScrub(c))
       }
     },
+    // text normalization in place (TextOps.normalize door): lowercase +
+    // whitespace collapse by default; `.strip_punct()` adds punctuation
+    // removal, `.lower(false)` / `.collapse_ws(false)` opt out.
+    "normalize" -> bt(Set("fields", "lower", "strip_punct",
+      "collapse_ws")) { (ctx, n, env) =>
+      def flagOr(name: String, default: Boolean) =
+        if (n.options.contains(name)) optFlag(n, name, env) else default
+      val fields = (argStrs(n, env) ++ optStrs(n, "fields", env)) match {
+        case Seq() => Seq("text")
+        case f => f
+      }
+      fields.foldLeft(ctx.df) { (d, f) =>
+        d.withColumn(f, graft.operators.text.TextOps.normalize(
+          Paths.ref(f), flagOr("lower", true),
+          flagOr("strip_punct", false), flagOr("collapse_ws", true)))
+      }
+    },
     // mixture resampling to target shares (TextOps.sampleToMixture):
     // `.weight` is a per-row lambda giving the stratum's relative
     // target weight (functionally dependent on `.stratum`).

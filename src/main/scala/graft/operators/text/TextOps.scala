@@ -122,6 +122,22 @@ object TextOps {
       stratum: Column, alpha: Double): org.apache.spark.sql.DataFrame =
     applyMixtureGate(df, id, stratum, mixtureRatesTemp(df, stratum, alpha))
 
+  /** Text normalization — step 0 of every corpus pipeline: lowercase,
+    * strip punctuation (everything outside letters/digits/whitespace;
+    * Java and RE2 agree on these ASCII-and-unicode classes), collapse
+    * whitespace runs to single spaces, trim. Flags gate each step so a
+    * pipeline can normalize case without touching punctuation. Pure
+    * per-row expression — zero shuffle, streams as-is.
+    */
+  def normalize(text: Column, lower: Boolean = true,
+      stripPunct: Boolean = false, collapseWs: Boolean = true): Column = {
+    var c = text
+    if (lower) c = org.apache.spark.sql.functions.lower(c)
+    if (stripPunct) c = regexp_replace(c, "[^\\p{L}\\p{N}\\s]", "")
+    if (collapseWs) c = trim(regexp_replace(c, "\\s+", " "))
+    c
+  }
+
   /** Concat-and-chunk sequence packing (LLM pretraining prep): documents
     * lie head-to-tail per `shard` in `order` and are cut into fixed
     * `binTokens`-token context windows. Adds `bin_id` (the window the

@@ -104,6 +104,44 @@ object VectorCuration {
     * candidate generation of [[VectorOps.annTopK]] upstream and this
     * vote on the survivors.
     */
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query row, the top-k most-similar corpus rows with a DIFFERENT
+    * label — the near-miss examples a contrastive loss learns most
+    * from (in-batch random negatives are too easy; same-label
+    * neighbours would be false negatives). [[VectorOps.bruteTopK]]'s
+    * guarded broadcast scan with the label-inequality predicate pushed
+    * into the pair filter, so excluded pairs never reach the ranking
+    * window. Returns `(q_id, rnk, id, neg_label, sim)`.
+    *
+    * 100 TB shape: the yardstick form (queries broadcast, guarded); a
+    * corpus-sized query set generates candidates with
+    * [[VectorOps.annTopK]]/[[knnLabelAnn]]'s bucket join first and
+    * applies the same label filter on the survivors.
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      maxQueryRows: Long = 100000L): DataFrame = {
+    val qCount = queries.count()
+    require(qCount <= maxQueryRows,
+      s"hardNegatives query side has $qCount rows (max $maxQueryRows): " +
+        "too large to broadcast — generate candidates with annTopK first")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col(labelCol).as("_ql"))
+      .withColumn("_qn", VectorOps.norm(col("q_vec")))
+    val c = corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
+      .withColumn("_cn", VectorOps.norm(col(vecCol)))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id") && col("_nl") =!= col("_ql"))
+      .withColumn("sim",
+        VectorOps.dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc,
+      col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk").cast("int").as("rnk"), col(idCol),
+        col("_nl").as("neg_label"), round(col("sim"), 6).as("sim"))
+  }
+
   def knnLabel(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int,
       maxQueryRows: Long = 100000L): DataFrame = {

@@ -775,6 +775,36 @@ object LlmPack extends QueryPack {
            |WHERE rnk <= 3""".stripMargin
       }),
 
+    // hard-negative mining (contrastive training prep): for each %37
+    // query, the top-3 most-similar rows with a DIFFERENT label — the
+    // near-miss negatives a contrastive loss learns from. bruteTopK's
+    // guarded scan with the label filter pushed into the pair predicate.
+    "emb_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorCuration.hardNegatives(emb,
+          emb.filter(col("vec_id") % 37 === 0),
+          "vec_id", "embedding", "label", 3)
+      },
+      Some {
+        val dotQC = dotSql("c.embedding", "q.qe")
+        val nC = dotSql("c.embedding", "c.embedding")
+        val nQ = dotSql("q.qe", "q.qe")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe,
+           |             label AS ql
+           |           FROM embeddings WHERE vec_id % 37 = 0),
+           |s AS (SELECT q_id, c.vec_id, c.label AS neg_label,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM embeddings c, q
+           |      WHERE c.vec_id <> q_id AND c.label <> ql)
+           |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, neg_label,
+           |  round(sim, 6) AS sim
+           |FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+           |      FROM s)
+           |WHERE rnk <= 3""".stripMargin
+      }),
+
     // vector norms + l2-normalized head components (embedding hygiene
     // pass every similarity pipeline needs).
     // symmetric int8 quantization (brief: similarity search at scale —
@@ -1795,6 +1825,24 @@ object LlmPack extends QueryPack {
           col("doc_id"), col("doc_id") % 5 === 0, 0.3),
       Some(deconFuzzySql(0.3))),
 
+    // text normalization (pipeline step 0): the corpus is pre-clean, so
+    // the query first DIRTIES it deterministically (case flip, punct,
+    // doubled spaces) and then normalizes — both engines replay the
+    // same dirty construction and the same regex semantics.
+    "text_normalize" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("_dirty", concat(
+            upper(substring(col("text"), 1, 12)),
+            substring(col("text"), 13, 1000000),
+            lit("  !! "), col("source"), lit(".")))
+        d.select(col("doc_id"),
+          TextOps.normalize(col("_dirty")).as("norm_basic"),
+          TextOps.normalize(col("_dirty"), lower = true,
+            stripPunct = true).as("norm_full"))
+      },
+      Some(normalizeSql)),
+
     // corpus snapshot diff (delta curation): old = %11 survivors, new =
     // %7 survivors with %13 docs edited — added/removed/changed/same per
     // doc id by full md5 content hash, one id-keyed full outer join.
@@ -1868,6 +1916,20 @@ object LlmPack extends QueryPack {
           #|seg_dedup(.id_field('doc_id').seg_tokens(8))
           #""".stripMargin('#'), s, dir),
       Some(segDedupSql)),
+
+    "dfs_normalize" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat(str_upcase(str_slice("text", 0, 12)),
+          #  str_slice("text", 12), '  !! ', "source", '.'))
+          #  .as('dirty')
+          #|eval(lambda: "dirty", lambda: "dirty")
+          #  .as('norm_basic', 'norm_full')
+          #|normalize('norm_basic')
+          #|normalize('norm_full', .strip_punct())
+          #|keep('doc_id', 'norm_basic', 'norm_full')
+          #""".stripMargin('#'), s, dir),
+      Some(normalizeSql)),
 
     "dfs_split_assign" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -2302,6 +2364,22 @@ object LlmPack extends QueryPack {
        |                  JOIN shs y ON cand.b = y.doc_id)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
   }
+
+  /** Normalization oracle over the deterministically-dirtied corpus —
+    * shared by the API query and the DFS twin.
+    */
+  private lazy val normalizeSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    upper(substr(text, 1, 12)) || substr(text, 13) ||
+      |    '  !! ' || source || '.' AS dirty
+      |  FROM documents)
+      |SELECT doc_id,
+      |  trim(regexp_replace(lower(dirty), '\s+', ' ', 'g'))
+      |    AS norm_basic,
+      |  trim(regexp_replace(regexp_replace(lower(dirty),
+      |    '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))
+      |    AS norm_full
+      |FROM d""".stripMargin
 
   /** The split fractions of [[text_split_assign]] / its DFS twin. */
   private val SplitSpec: Seq[(String, Double)] =

@@ -96,7 +96,7 @@ class PlanLintSpec extends AnyFunSuite {
       "text_mixture_temp", "dfs_mixture_temp",
       // hammingTopK inherits bruteTopK's guarded crossJoin(broadcast(q))
       // — and its corpus side is ONE long per row past the scan
-      "emb_hamming_topk", "emb_hamming_rerank",
+      "emb_hamming_topk", "emb_hamming_rerank", "emb_hard_negatives",
       // bm25TopK broadcasts its 1-ROW corpus-stats aggregate (N, avgdl,
       // per-term df) — the fillPeriod lazy-scalar pattern
       "text_bm25", "dfs_bm25",
