@@ -119,6 +119,38 @@ object Curation {
     * stratum pass `Nil` and the plan becomes orderBy+limit
     * (TakeOrdered — per-partition top-k, then a k-sized driver merge).
     */
+  /** One-call corpus composition report per stratum — the
+    * "what am I about to train on" summary: document count, token sum,
+    * mean and EXACT p50/p95 token counts (the reference percentile
+    * interpolation of [[graft.operators.agg.AggFunctions.percentiles]]),
+    * and each stratum's share of corpus tokens. Token counts are small
+    * integers, so the double sums are exact and partition-order-free.
+    *
+    * 100 TB shape: one groupBy(stratum) shuffle carrying a sorted
+    * per-stratum token list (stratum sizes bound the sort — the exact
+    * percentile floor any engine pays; `.approx` sketches are the
+    * documented switch when strata are corpus-sized), then the 1-row
+    * grand total joins back by broadcast (the [[domainStats]] pattern).
+    */
+  def corpusReport(df: DataFrame, stratum: Column, text: Column)
+      : DataFrame = {
+    val t = df.select(stratum.as("stratum"),
+      TextOps.tokenCount(text).cast("double").as("_tok"))
+    val per = t.groupBy(col("stratum")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("_tok")).cast("long").as("n_tokens"),
+      round(avg(col("_tok")), 6).as("mean_tok"),
+      graft.operators.agg.AggFunctions.percentiles(col("_tok"),
+        Seq(0.5, 0.95)).as("_ps"))
+    val tot = per.agg(sum(col("n_tokens")).as("_tot"))
+    per.join(broadcast(tot))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        col("mean_tok"),
+        round(element_at(col("_ps"), 1), 6).as("p50_tok"),
+        round(element_at(col("_ps"), 2), 6).as("p95_tok"),
+        round(col("n_tokens") / col("_tot"), 6).as("token_share"))
+  }
+
   /** Corpus snapshot diff — the delta-curation primitive between two
     * crawls/exports of the same corpus: every doc id labeled
     * `added` (only in the new snapshot), `removed` (only in the old),

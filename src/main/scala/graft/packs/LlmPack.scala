@@ -1825,6 +1825,36 @@ object LlmPack extends QueryPack {
           col("doc_id"), col("doc_id") % 5 === 0, 0.3),
       Some(deconFuzzySql(0.3))),
 
+    // one-call corpus composition report per lang: docs, tokens, mean +
+    // EXACT p50/p95 token counts (reference percentile interpolation,
+    // the agg_percentile oracle pattern), token share vs the broadcast
+    // grand total.
+    "text_corpus_report" -> QueryDef(
+      (s, dir) =>
+        Curation.corpusReport(Tables.documents(s, dir), col("lang"),
+          col("text")),
+      Some {
+        def pct(p0: String) = { val p = s"CAST($p0 AS DOUBLE)"
+          s"""(CASE WHEN CAST(floor($p * n) AS INT) < 1 THEN s[1]
+             | ELSE s[CAST(floor($p * n) AS INT)]
+             |   + (s[LEAST(CAST(floor($p * n) AS INT) + 1, n)]
+             |      - s[CAST(floor($p * n) AS INT)])
+             |     * ($p * n - floor($p * n)) END)""".stripMargin }
+        s"""WITH t AS (SELECT lang AS stratum,
+           |    CAST(len($toks) AS DOUBLE) AS tok FROM documents),
+           |per AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(tok) AS BIGINT) AS n_tokens,
+           |    round(avg(tok), 6) AS mean_tok,
+           |    list_sort(list(tok)) AS s, CAST(count(tok) AS INT) AS n
+           |  FROM t GROUP BY stratum),
+           |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+           |SELECT stratum, n_docs, n_tokens, mean_tok,
+           |  round(${pct("0.5")}, 6) AS p50_tok,
+           |  round(${pct("0.95")}, 6) AS p95_tok,
+           |  round(n_tokens * 1.0 / tt, 6) AS token_share
+           |FROM per, tot""".stripMargin
+      }),
+
     // text normalization (pipeline step 0): the corpus is pre-clean, so
     // the query first DIRTIES it deterministically (case flip, punct,
     // doubled spaces) and then normalizes — both engines replay the

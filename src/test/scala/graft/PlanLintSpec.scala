@@ -97,6 +97,9 @@ class PlanLintSpec extends AnyFunSuite {
       // hammingTopK inherits bruteTopK's guarded crossJoin(broadcast(q))
       // — and its corpus side is ONE long per row past the scan
       "emb_hamming_topk", "emb_hamming_rerank", "emb_hard_negatives",
+      // corpusReport joins its 1-ROW grand-total aggregate back by
+      // broadcast (the domainStats pattern)
+      "text_corpus_report",
       // bm25TopK broadcasts its 1-ROW corpus-stats aggregate (N, avgdl,
       // per-term df) — the fillPeriod lazy-scalar pattern
       "text_bm25", "dfs_bm25",

@@ -557,6 +557,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("normalize: per-row op streams as-is, emissions match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val data = (1L to 30L).map(i => Ev(i % 3, i, i.toDouble, s"A B!  c$i"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("seq"),
+        T.normalize(col("event_type"), lower = true, stripPunct = true)
+          .as("n"))
+    val batch = norm(data.toDF()).as[(Long, String)].collect().toSet
+    assert(batch.exists(_._2.startsWith("a b c")))
+    val streamed = runStream("normstream")(in =>
+      norm(in.toDS().toDF()).as[(Long, String)])(data)
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("temperature mixture: stream gated by static rates matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
