@@ -2559,6 +2559,36 @@ object Planner {
         optNum(n, "k1", env).getOrElse(1.2),
         optNum(n, "b", env).getOrElse(0.75))
     },
+    // per-stratum corpus composition report (Curation.corpusReport
+    // door): docs / tokens / mean / exact p50-p95 / token share
+    "corpus_report" -> bt(Set("stratum", "text_field")) { (ctx, n, env) =>
+      val st = optStr(n, "stratum", env)
+        .getOrElse(throw DfsError("corpus_report: .stratum"))
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      graft.operators.text.Curation.corpusReport(ctx.df, Paths.ref(st),
+        Paths.ref(text))
+    },
+    // binary-sketch Hamming ANN (VectorOps.hammingTopK door): `.queries`
+    // is a per-row lambda marking the query subset; with
+    // `.rerank_candidates(n)` the two-stage exact-cosine re-rank runs
+    "hamming_topk" -> bt(Set("vec_field", "id_field", "queries", "k",
+      "dims", "rerank_candidates")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("hamming_topk: .id_field"))
+      val isQ = optLambdas(n, "queries", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("hamming_topk: .queries(lambda)"))
+      val k = optNum(n, "k", env).map(_.toInt).getOrElse(3)
+      val dims = optNum(n, "dims", env).map(_.toInt).getOrElse(62)
+      optNum(n, "rerank_candidates", env).map(_.toInt) match {
+        case Some(cand) => graft.operators.vector.VectorOps
+          .hammingRerank(ctx.df, ctx.df.filter(isQ), id, vec, k, cand,
+            dims)
+        case None => graft.operators.vector.VectorOps
+          .hammingTopK(ctx.df, ctx.df.filter(isQ), id, vec, k, dims)
+      }
+    },
     // SemDeDup over an embedding field (graft extension, the
     // VectorOps.semDedup door): cluster-then-dedup keep/drop verdicts
     "sem_dedup" -> bt(Set("vec_field", "id_field", "threshold", "bits",

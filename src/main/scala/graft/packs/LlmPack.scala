@@ -861,22 +861,7 @@ object LlmPack extends QueryPack {
         VectorOps.hammingTopK(emb, emb.filter(col("vec_id") % 37 === 0),
           "vec_id", "embedding", 3)
       },
-      Some("""WITH b AS (SELECT vec_id,
-             |    CAST(list_sum(list_transform(range(0, 62), i ->
-             |      CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
-             |           THEN CAST(pow(2, i) AS BIGINT)
-             |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bits
-             |  FROM embeddings),
-             |q AS (SELECT vec_id AS q_id, bits AS qb FROM b
-             |      WHERE vec_id % 37 = 0),
-             |s AS (SELECT q_id, vec_id,
-             |        CAST(bit_count(xor(qb, bits)) AS INTEGER) AS ham
-             |      FROM b, q WHERE vec_id <> q_id)
-             |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, ham
-             |FROM (SELECT *, row_number() OVER
-             |        (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
-             |      FROM s)
-             |WHERE rnk <= 3""".stripMargin)),
+      Some(hammingTopkSql)),
 
     // the composed two-stage retrieval: Hamming top-20 candidates
     // (8 bytes/row first pass), exact cosine re-rank to top-3 — the
@@ -1833,27 +1818,7 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         Curation.corpusReport(Tables.documents(s, dir), col("lang"),
           col("text")),
-      Some {
-        def pct(p0: String) = { val p = s"CAST($p0 AS DOUBLE)"
-          s"""(CASE WHEN CAST(floor($p * n) AS INT) < 1 THEN s[1]
-             | ELSE s[CAST(floor($p * n) AS INT)]
-             |   + (s[LEAST(CAST(floor($p * n) AS INT) + 1, n)]
-             |      - s[CAST(floor($p * n) AS INT)])
-             |     * ($p * n - floor($p * n)) END)""".stripMargin }
-        s"""WITH t AS (SELECT lang AS stratum,
-           |    CAST(len($toks) AS DOUBLE) AS tok FROM documents),
-           |per AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(sum(tok) AS BIGINT) AS n_tokens,
-           |    round(avg(tok), 6) AS mean_tok,
-           |    list_sort(list(tok)) AS s, CAST(count(tok) AS INT) AS n
-           |  FROM t GROUP BY stratum),
-           |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
-           |SELECT stratum, n_docs, n_tokens, mean_tok,
-           |  round(${pct("0.5")}, 6) AS p50_tok,
-           |  round(${pct("0.95")}, 6) AS p95_tok,
-           |  round(n_tokens * 1.0 / tt, 6) AS token_share
-           |FROM per, tot""".stripMargin
-      }),
+      Some(corpusReportSql)),
 
     // text normalization (pipeline step 0): the corpus is pre-clean, so
     // the query first DIRTIES it deterministically (case flip, punct,
@@ -1946,6 +1911,21 @@ object LlmPack extends QueryPack {
           #|seg_dedup(.id_field('doc_id').seg_tokens(8))
           #""".stripMargin('#'), s, dir),
       Some(segDedupSql)),
+
+    "dfs_corpus_report" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|corpus_report(.stratum('lang'))
+          #""".stripMargin('#'), s, dir),
+      Some(corpusReportSql)),
+
+    "dfs_hamming_topk" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|hamming_topk(.id_field('vec_id')
+          #  .queries(lambda: mod("vec_id", 37) == 0))
+          #""".stripMargin('#'), s, dir),
+      Some(hammingTopkSql)),
 
     "dfs_normalize" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -2394,6 +2374,52 @@ object LlmPack extends QueryPack {
        |                  JOIN shs y ON cand.b = y.doc_id)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
   }
+
+  /** Corpus-report oracle (per-lang docs/tokens/mean/exact p50-p95/
+    * share) — shared by the API query and the DFS twin.
+    */
+  private lazy val corpusReportSql: String = {
+    def pct(p0: String) = { val p = s"CAST($p0 AS DOUBLE)"
+      s"""(CASE WHEN CAST(floor($p * n) AS INT) < 1 THEN s[1]
+         | ELSE s[CAST(floor($p * n) AS INT)]
+         |   + (s[LEAST(CAST(floor($p * n) AS INT) + 1, n)]
+         |      - s[CAST(floor($p * n) AS INT)])
+         |     * ($p * n - floor($p * n)) END)""".stripMargin }
+    s"""WITH t AS (SELECT lang AS stratum,
+       |    CAST(len($toks) AS DOUBLE) AS tok FROM documents),
+       |per AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(tok) AS BIGINT) AS n_tokens,
+       |    round(avg(tok), 6) AS mean_tok,
+       |    list_sort(list(tok)) AS s, CAST(count(tok) AS INT) AS n
+       |  FROM t GROUP BY stratum),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+       |SELECT stratum, n_docs, n_tokens, mean_tok,
+       |  round(${pct("0.5")}, 6) AS p50_tok,
+       |  round(${pct("0.95")}, 6) AS p95_tok,
+       |  round(n_tokens * 1.0 / tt, 6) AS token_share
+       |FROM per, tot""".stripMargin
+  }
+
+  /** Hamming top-k oracle (62 sign bits, %37 query set) — shared by
+    * the API query and the DFS twin.
+    */
+  private lazy val hammingTopkSql: String =
+    """WITH b AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(0, 62), i ->
+      |      CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+      |           THEN CAST(pow(2, i) AS BIGINT)
+      |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bits
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, bits AS qb FROM b
+      |      WHERE vec_id % 37 = 0),
+      |s AS (SELECT q_id, vec_id,
+      |        CAST(bit_count(xor(qb, bits)) AS INTEGER) AS ham
+      |      FROM b, q WHERE vec_id <> q_id)
+      |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, vec_id, ham
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
+      |      FROM s)
+      |WHERE rnk <= 3""".stripMargin
 
   /** Normalization oracle over the deterministically-dirtied corpus —
     * shared by the API query and the DFS twin.

@@ -99,7 +99,8 @@ class PlanLintSpec extends AnyFunSuite {
       "emb_hamming_topk", "emb_hamming_rerank", "emb_hard_negatives",
       // corpusReport joins its 1-ROW grand-total aggregate back by
       // broadcast (the domainStats pattern)
-      "text_corpus_report",
+      "text_corpus_report", "dfs_corpus_report",
+      "dfs_hamming_topk",
       // bm25TopK broadcasts its 1-ROW corpus-stats aggregate (N, avgdl,
       // per-term df) — the fillPeriod lazy-scalar pattern
       "text_bm25", "dfs_bm25",
