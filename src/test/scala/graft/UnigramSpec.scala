@@ -44,6 +44,39 @@ class UnigramSpec extends AnyFunSuite {
     assert(m1.forall(_._2 < 0))
   }
 
+  test("viterbi property: reassembly + optimality vs brute enumeration") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word: Gen[String] = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val vocabGen: Gen[Map[String, Double]] = for {
+      extra <- Gen.listOfN(6, for {
+        n <- Gen.choose(2, 4)
+        cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+        p <- Gen.choose(-5.0, -0.5)
+      } yield cs.mkString -> p)
+      cp <- Gen.choose(-6.0, -1.0)
+    } yield (Seq("a", "b", "c").map(_ -> cp) ++ extra).toMap
+    // brute force: enumerate every segmentation, max total log-prob
+    def bruteBest(w: String, lp: Map[String, Double]): Double = {
+      if (w.isEmpty) 0.0
+      else (1 to math.min(6, w.length)).flatMap { l =>
+        lp.get(w.substring(0, l))
+          .map(_ + bruteBest(w.substring(l), lp))
+      }.maxOption.getOrElse(Double.NegativeInfinity)
+    }
+    val p = Prop.forAll(word, vocabGen) { (w, lp) =>
+      val seg = UnigramTrainer.viterbi(w, lp, 6)
+      val score = seg.map(lp).sum
+      seg.mkString("") == w &&
+        math.abs(score - bruteBest(w, lp)) < 1e-9
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("encode: pieces concatenate back to every word of the corpus") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
     val model = UnigramTrainer.train(docs, col("text"), vocabSize = 48,
