@@ -1951,6 +1951,57 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(splitAssignSql)),
 
+    // the curation pipeline END-TO-END through the script front-end:
+    // normalize → Gopher gate → reproducible half-sample → train/val/
+    // test split — five nodes chained, the whole composition hash-pinned
+    // against one oracle (normalize is identity on the pre-clean corpus
+    // by construction, which the hash equality itself verifies).
+    "dfs_curation_e2e" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|normalize('text')
+          #|gopher_filter(.annotate())
+          #|where(lambda: "keep" == true)
+          #|hash_sample(.field('doc_id').fraction(0.5))
+          #|split_assign(.id_field('doc_id')
+          #  .names('train', 'val', 'test')
+          #  .fractions(0.9, 0.05, 0.05))
+          #|keep('doc_id', 'lang', 'split')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+              |g AS (SELECT doc_id,
+              |        [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+              |          AS grams
+              |      FROM t),
+              |c AS (SELECT doc_id, gram, count(*) AS cnt
+              |      FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+              |      GROUP BY 1, 2),
+              |a AS (SELECT doc_id, max(cnt) * 1.0 / sum(cnt) AS top2
+              |      FROM c GROUP BY 1),
+              |m AS (SELECT d.doc_id, len($toks) AS n_tok,
+              |        len(regexp_replace(text, '\\s+', '', 'g')) AS n_alpha,
+              |        ${stopFilter(TextOps.StopwordsEn)} AS stop_hits,
+              |        a.top2
+              |      FROM documents d JOIN a ON d.doc_id = a.doc_id),
+              |r AS (SELECT doc_id,
+              |        CASE WHEN n_tok < 50 OR n_tok > 100000
+              |               THEN 'word_count'
+              |             WHEN n_alpha * 1.0 / n_tok < 3.0
+              |                  OR n_alpha * 1.0 / n_tok > 10.0
+              |               THEN 'word_length'
+              |             WHEN stop_hits < 2 THEN 'stopwords'
+              |             WHEN top2 > 0.20 THEN 'repetition'
+              |             ELSE 'ok' END AS reason
+              |      FROM m),
+              |sel AS (SELECT d.doc_id, d.lang,
+              |          ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000 AS h
+              |        FROM documents d JOIN r USING (doc_id)
+              |        WHERE r.reason = 'ok'
+              |          AND ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000
+              |              < CAST(0.5 * 1000000 AS BIGINT))
+              |SELECT doc_id, lang, $splitCaseSql AS split
+              |FROM sel""".stripMargin)),
+
     "dfs_decon_fuzzy" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
         """|parquet_read(.table('documents'))
@@ -2446,20 +2497,25 @@ object LlmPack extends QueryPack {
     * the identical binary64, so both engines gate h against the same
     * boundary (0.9 + 0.05 ≠ 0.95 in binary).
     */
-  private lazy val splitAssignSql: String = {
+  /** The split CASE over a precomputed `h` column. CAST: DuckDB types
+    * a long decimal literal as DECIMAL(18), which overflows on *1e6 and
+    * rounds differently from binary64 anyway.
+    */
+  private lazy val splitCaseSql: String = {
     val edges = SplitSpec.scanLeft(0.0)(_ + _._2).tail
-    // CAST: DuckDB types a long decimal literal as DECIMAL(18), which
-    // overflows on *1e6 and rounds differently from binary64 anyway
     val cases = SplitSpec.init.zip(edges).map { case ((nm, _), e) =>
       s"WHEN h < CAST($e AS DOUBLE) * 1000000.0 THEN '$nm'"
     }.mkString("\n       ")
+    s"""CASE $cases
+       |       ELSE '${SplitSpec.last._1}' END""".stripMargin
+  }
+
+  private lazy val splitAssignSql: String =
     s"""SELECT doc_id,
-       |  CASE $cases
-       |       ELSE '${SplitSpec.last._1}' END AS split
+       |  $splitCaseSql AS split
        |FROM (SELECT doc_id,
        |        ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
        |      FROM documents)""".stripMargin
-  }
 
   /** Token-budget oracle: running-sum window in md5('ep0'|id) shuffle
     * order, cut at 12000 tokens. Shared by the API query (which also
