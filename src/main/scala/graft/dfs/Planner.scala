@@ -2559,6 +2559,17 @@ object Planner {
         optNum(n, "k1", env).getOrElse(1.2),
         optNum(n, "b", env).getOrElse(0.75))
     },
+    // link-graph PageRank (GraphOps.pageRank door): the stream is an
+    // edge list; fixed-point nano-unit iterations, bit-reproducible.
+    "pagerank" -> bt(Set("src_field", "dst_field", "iters",
+      "damping_pct")) { (ctx, n, env) =>
+      val src = optStr(n, "src_field", env).getOrElse("src")
+      val dst = optStr(n, "dst_field", env).getOrElse("dst")
+      graft.operators.graph.GraphOps.pageRank(
+        ctx.df.select(Paths.ref(src).as("src"), Paths.ref(dst).as("dst")),
+        optNum(n, "iters", env).map(_.toInt).getOrElse(3),
+        optNum(n, "damping_pct", env).map(_.toInt).getOrElse(85))
+    },
     // per-stratum corpus composition report (Curation.corpusReport
     // door): docs / tokens / mean / exact p50-p95 / token share
     "corpus_report" -> bt(Set("stratum", "text_field")) { (ctx, n, env) =>

@@ -2053,6 +2053,25 @@ object LlmPack extends QueryPack {
       },
       None),
 
+    // link-graph PageRank for curation (host/domain quality weighting,
+    // the Common Crawl centrality family): 3 fixed-point iterations
+    // over a deterministic synthetic link graph (3 out-links per doc,
+    // affine mod-N targets). All-integer nano-unit arithmetic — the
+    // oracle unrolls the SAME three iterations and matches bit-for-bit,
+    // which no float formulation could promise.
+    "graph_pagerank" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val e = docs.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 13) % n,
+            (col("doc_id") * 11 + 29) % n,
+            (col("doc_id") * 13 + 47) % n)).as("dst"))
+        graft.operators.graph.GraphOps.pageRank(e, 3)
+      },
+      Some(pageRankSql(3, 85))),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application
@@ -2424,6 +2443,45 @@ object LlmPack extends QueryPack {
        |        FROM cand JOIN shs x ON cand.a = x.doc_id
        |                  JOIN shs y ON cand.b = y.doc_id)
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
+  }
+
+  /** PageRank oracle: the synthetic 3-out-link graph and `iters`
+    * unrolled fixed-point iterations — identical integer arithmetic to
+    * [[graft.operators.graph.GraphOps.pageRank]] (nano-units, `div`/`//`
+    * truncation on positive values).
+    */
+  private def pageRankSql(iters: Int, dampingPct: Int): String = {
+    val base = (100 - dampingPct) * graft.operators.graph.GraphOps.Nano / 100
+    val iterCtes = (1 to iters).map { i =>
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      s"""c$i AS (SELECT e.dst AS id,
+         |    CAST(sum((r.r * $dampingPct) // 100 // od.deg) AS BIGINT)
+         |      AS cin
+         |  FROM e JOIN $prev r ON e.src = r.id
+         |         JOIN od ON e.src = od.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT nodes.id,
+         |    CAST($base + coalesce(cin, 0) AS BIGINT) AS r
+         |  FROM nodes LEFT JOIN c$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |e AS (SELECT doc_id AS src, (doc_id * 7 + 13) % n AS dst
+       |      FROM documents, nn
+       |      UNION ALL
+       |      SELECT doc_id, (doc_id * 11 + 29) % n FROM documents, nn
+       |      UNION ALL
+       |      SELECT doc_id, (doc_id * 13 + 47) % n FROM documents, nn),
+       |nodes AS (SELECT DISTINCT id
+       |          FROM (SELECT src AS id FROM e
+       |                UNION ALL SELECT dst FROM e)),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |       FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST(${graft.operators.graph.GraphOps.Nano}
+       |                       AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT id, r AS rank_nano,
+       |  round(r / ${graft.operators.graph.GraphOps.Nano}.0, 6) AS rank
+       |FROM r$iters""".stripMargin
   }
 
   /** Corpus-report oracle (per-lang docs/tokens/mean/exact p50-p95/

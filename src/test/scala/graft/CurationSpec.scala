@@ -361,6 +361,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: hand graph matches exact integer arithmetic") {
+    import spark.implicits._
+    // 1→2, 2→1, 3→1; damping 85, one iteration, base = 0.15e9:
+    //   r(2) = 0.15e9 + (1e9·85)÷100÷1        = 1.00e9
+    //   r(1) = 0.15e9 + 0.85e9 (from 2) + 0.85e9 (from 3) = 1.85e9
+    //   r(3) = 0.15e9 (no in-links)
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val r1 = graft.operators.graph.GraphOps.pageRank(e, 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("rank_nano")).toMap
+    assert(r1 == Map(1L -> 1850000000L, 2L -> 1000000000L,
+      3L -> 150000000L))
+    // determinism across partitionings: 1 vs 8 input partitions
+    val r3a = graft.operators.graph.GraphOps
+      .pageRank(e.repartition(1), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r3b = graft.operators.graph.GraphOps
+      .pageRank(e.repartition(8), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3a == r3b)
+  }
+
   test("mixtureRatesTemp: alpha=1 is the natural mix (all rates 1)") {
     val docs = Tables.documents(spark, sf)
     val r1 = graft.operators.text.TextOps
