@@ -2570,6 +2570,16 @@ object Planner {
         optNum(n, "iters", env).map(_.toInt).getOrElse(3),
         optNum(n, "damping_pct", env).map(_.toInt).getOrElse(85))
     },
+    // bounded-depth harmonic centrality (GraphOps door): edge-list
+    // stream in, per-node Σ Nano÷d out.
+    "harmonic" -> bt(Set("src_field", "dst_field", "max_depth")) {
+      (ctx, n, env) =>
+      val src = optStr(n, "src_field", env).getOrElse("src")
+      val dst = optStr(n, "dst_field", env).getOrElse("dst")
+      graft.operators.graph.GraphOps.harmonicCentrality(
+        ctx.df.select(Paths.ref(src).as("src"), Paths.ref(dst).as("dst")),
+        optNum(n, "max_depth", env).map(_.toInt).getOrElse(3))
+    },
     // per-stratum corpus composition report (Curation.corpusReport
     // door): docs / tokens / mean / exact p50-p95 / token share
     "corpus_report" -> bt(Set("stratum", "text_field")) { (ctx, n, env) =>

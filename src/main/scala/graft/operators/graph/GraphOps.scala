@@ -67,4 +67,48 @@ object GraphOps {
     ranks.select(col("id"), col("_r").as("rank_nano"),
       round(col("_r") / lit(Nano.toDouble), 6).as("rank"))
   }
+
+  /** Bounded-depth harmonic centrality — Common Crawl's other published
+    * host-ranking signal: centrality(v) = Σ over nodes u reaching v
+    * within `maxDepth` hops of 1/d(u, v), in fixed-point
+    * (`Nano div d` — exact truncating division, replayable). Distances
+    * come from `maxDepth − 1` rounds of frontier expansion with a
+    * per-round `(u, v) → min d` dedupe, so the working set is DISTINCT
+    * reachable pairs, not paths. Returns `(id, harm_nano, harm)` for
+    * every node with at least one in-path.
+    *
+    * 100 TB shape: per round one dst-keyed equi-join + one (u, v)
+    * min-aggregate; the pair set is bounded by Σ out-degree^depth —
+    * bounded-depth is the standard web-graph practice precisely because
+    * the full closure is quadratic. Keep `maxDepth` small (CC uses
+    * global harmonic via HyperBall sketches; a sketch variant is the
+    * documented scale extension, this is the exact bounded form).
+    */
+  def harmonicCentrality(edges: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"harmonicCentrality: maxDepth >= 1 required")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var frontier = e.select(col("src").as("u"), col("dst").as("v"),
+        lit(1L).as("d"))
+      .filter(col("u") =!= col("v"))
+      .groupBy(col("u"), col("v")).agg(min(col("d")).as("d"))
+      .localCheckpoint()
+    var all = frontier
+    var i = 2
+    while (i <= maxDepth) {
+      frontier = frontier
+        .join(e, frontier("v") === e("src"))
+        .select(frontier("u"), e("dst").as("v"),
+          (frontier("d") + 1).as("d"))
+        .filter(col("u") =!= col("v"))
+        .groupBy(col("u"), col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint()
+      all = all.unionByName(frontier)
+      i += 1
+    }
+    all.groupBy(col("u"), col("v")).agg(min(col("d")).as("d"))
+      .select(col("v"), expr(s"$Nano div d").as("_h"))
+      .groupBy(col("v").as("id")).agg(sum(col("_h")).as("harm_nano"))
+      .select(col("id"), col("harm_nano"),
+        round(col("harm_nano") / lit(Nano.toDouble), 6).as("harm"))
+  }
 }

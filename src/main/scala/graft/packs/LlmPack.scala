@@ -2072,6 +2072,22 @@ object LlmPack extends QueryPack {
       },
       Some(pageRankSql(3, 85))),
 
+    // bounded-depth harmonic centrality over the same synthetic graph
+    // (Common Crawl's other host-ranking signal): Σ Nano÷d over nodes
+    // within 3 hops — exact truncating fixed-point, unrolled oracle.
+    "graph_harmonic" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val e = docs.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 13) % n,
+            (col("doc_id") * 11 + 29) % n,
+            (col("doc_id") * 13 + 47) % n)).as("dst"))
+        graft.operators.graph.GraphOps.harmonicCentrality(e, 3)
+      },
+      Some(harmonicSql(3))),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application
@@ -2445,6 +2461,44 @@ object LlmPack extends QueryPack {
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
   }
 
+  /** The deterministic synthetic link graph shared by the graph
+    * queries: 3 out-links per doc, affine mod-N targets.
+    */
+  private lazy val synthEdgesSql: String =
+    """nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |e AS (SELECT doc_id AS src, (doc_id * 7 + 13) % n AS dst
+      |      FROM documents, nn
+      |      UNION ALL
+      |      SELECT doc_id, (doc_id * 11 + 29) % n FROM documents, nn
+      |      UNION ALL
+      |      SELECT doc_id, (doc_id * 13 + 47) % n FROM documents, nn)""".stripMargin
+
+  /** Harmonic-centrality oracle: the same synthetic graph, `maxDepth`
+    * unrolled frontier expansions with per-round min-dist dedupe, then
+    * the fixed-point Σ Nano÷d — identical truncating arithmetic to
+    * [[graft.operators.graph.GraphOps.harmonicCentrality]].
+    */
+  private def harmonicSql(maxDepth: Int): String = {
+    val Nano = graft.operators.graph.GraphOps.Nano
+    val rounds = (2 to maxDepth).map { i =>
+      s"""p$i AS (SELECT p.u, e.dst AS v, CAST(min(p.d + 1) AS BIGINT) AS d
+         |  FROM p${i - 1} p JOIN e ON p.v = e.src
+         |  WHERE p.u <> e.dst GROUP BY p.u, e.dst)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to maxDepth).map(i => s"SELECT * FROM p$i")
+      .mkString("\n        UNION ALL ")
+    s"""WITH $synthEdgesSql,
+       |p1 AS (SELECT src AS u, dst AS v, CAST(min(1) AS BIGINT) AS d
+       |       FROM e WHERE src <> dst GROUP BY src, dst),
+       |$rounds,
+       |allp AS (SELECT u, v, min(d) AS d
+       |         FROM ($unions)
+       |         GROUP BY u, v)
+       |SELECT v AS id, CAST(sum($Nano // d) AS BIGINT) AS harm_nano,
+       |  round(CAST(sum($Nano // d) AS BIGINT) / $Nano.0, 6) AS harm
+       |FROM allp GROUP BY v""".stripMargin
+  }
+
   /** PageRank oracle: the synthetic 3-out-link graph and `iters`
     * unrolled fixed-point iterations — identical integer arithmetic to
     * [[graft.operators.graph.GraphOps.pageRank]] (nano-units, `div`/`//`
@@ -2464,13 +2518,7 @@ object LlmPack extends QueryPack {
          |    CAST($base + coalesce(cin, 0) AS BIGINT) AS r
          |  FROM nodes LEFT JOIN c$i USING (id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-       |e AS (SELECT doc_id AS src, (doc_id * 7 + 13) % n AS dst
-       |      FROM documents, nn
-       |      UNION ALL
-       |      SELECT doc_id, (doc_id * 11 + 29) % n FROM documents, nn
-       |      UNION ALL
-       |      SELECT doc_id, (doc_id * 13 + 47) % n FROM documents, nn),
+    s"""WITH $synthEdgesSql,
        |nodes AS (SELECT DISTINCT id
        |          FROM (SELECT src AS id FROM e
        |                UNION ALL SELECT dst FROM e)),

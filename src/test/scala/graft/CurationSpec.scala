@@ -383,6 +383,21 @@ class CurationSpec extends AnyFunSuite {
     assert(r3a == r3b)
   }
 
+  test("harmonicCentrality: hand chain, min-dist dedupe, absence rule") {
+    import spark.implicits._
+    // 1→2→3 plus a redundant longer path 1→4→3: d(1,3) must stay 2
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val h = graft.operators.graph.GraphOps.harmonicCentrality(e, 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("harm_nano")).toMap
+    // harm(2) = 1/1; harm(4) = 1/1; harm(3) = 1/1 (from 2) + 1/1
+    // (from 4) + 1/2 (from 1, min dist 2) = 2.5e9; node 1: no in-paths
+    assert(h == Map(2L -> 1000000000L, 4L -> 1000000000L,
+      3L -> 2500000000L))
+    assert(!h.contains(1L))
+  }
+
   test("mixtureRatesTemp: alpha=1 is the natural mix (all rates 1)") {
     val docs = Tables.documents(spark, sf)
     val r1 = graft.operators.text.TextOps
