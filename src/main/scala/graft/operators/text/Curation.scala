@@ -132,16 +132,24 @@ object Curation {
     * documented switch when strata are corpus-sized), then the 1-row
     * grand total joins back by broadcast (the [[domainStats]] pattern).
     */
-  def corpusReport(df: DataFrame, stratum: Column, text: Column)
-      : DataFrame = {
+  def corpusReport(df: DataFrame, stratum: Column, text: Column,
+      approx: Boolean = false): DataFrame = {
     val t = df.select(stratum.as("stratum"),
       TextOps.tokenCount(text).cast("double").as("_tok"))
+    // approx = the corpus-sized-strata switch: percentile_approx's
+    // bounded sketch replaces the per-stratum sorted list (the exact
+    // form's memory floor) — the `.approx(true)` convention of the
+    // aggregate nodes; exact stays the oracle-pinned default
+    val pcts =
+      if (approx) percentile_approx(col("_tok"),
+        array(lit(0.5), lit(0.95)), lit(10000))
+      else graft.operators.agg.AggFunctions.percentiles(col("_tok"),
+        Seq(0.5, 0.95))
     val per = t.groupBy(col("stratum")).agg(
       count(lit(1)).as("n_docs"),
       sum(col("_tok")).cast("long").as("n_tokens"),
       round(avg(col("_tok")), 6).as("mean_tok"),
-      graft.operators.agg.AggFunctions.percentiles(col("_tok"),
-        Seq(0.5, 0.95)).as("_ps"))
+      pcts.as("_ps"))
     val tot = per.agg(sum(col("n_tokens")).as("_tot"))
     per.join(broadcast(tot))
       .select(col("stratum"), col("n_docs"), col("n_tokens"),

@@ -361,6 +361,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusReport: approx percentiles track exact within band") {
+    val docs = Tables.documents(spark, sf)
+    def byLang(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Double]("p50_tok"), r.getAs[Double]("p95_tok"))).toMap
+    val exact = byLang(Curation.corpusReport(docs, col("lang"),
+      col("text")))
+    val approx = byLang(Curation.corpusReport(docs, col("lang"),
+      col("text"), approx = true))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) <= math.max(2.0, p50 * 0.05))
+      assert(math.abs(a95 - p95) <= math.max(2.0, p95 * 0.05))
+    }
+  }
+
   test("pageRank: hand graph matches exact integer arithmetic") {
     import spark.implicits._
     // 1→2, 2→1, 3→1; damping 85, one iteration, base = 0.15e9:
