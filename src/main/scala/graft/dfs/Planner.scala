@@ -2675,12 +2675,20 @@ object Planner {
     },
     // connected components over an (a, b) pair stream (graft extension,
     // the Dedup.connectedComponents door): near-dup pairs → dedup groups
-    "components" -> bt(Set("max_iter")) { (ctx, n, env) =>
+    "components" -> bt(Set("max_iter", "algo")) { (ctx, n, env) =>
       if (!ctx.df.columns.contains("a") || !ctx.df.columns.contains("b"))
         throw DfsError("components: input needs 'a'/'b' pair columns " +
           "(the near_dedup output shape)")
-      graft.operators.text.Dedup.connectedComponents(ctx.df,
-        optNum(n, "max_iter", env).map(_.toInt).getOrElse(20))
+      val maxIter = optNum(n, "max_iter", env).map(_.toInt).getOrElse(20)
+      optStr(n, "algo", env).getOrElse("label") match {
+        case "label" =>
+          graft.operators.text.Dedup.connectedComponents(ctx.df, maxIter)
+        case "stars" => // large-star/small-star: O(log n) rounds, skew-proof
+          graft.operators.graph.GraphOps.connectedComponentsStars(ctx.df,
+            if (optNum(n, "max_iter", env).isDefined) maxIter else 30)
+        case other => throw DfsError(
+          s"components: .algo must be 'label' or 'stars', got '$other'")
+      }
     },
 
     // per-domain cap (graft extension, the Curation.capPerKey door): at

@@ -68,6 +68,82 @@ object GraphOps {
       round(col("_r") / lit(Nano.toDouble), 6).as("rank"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond") over an undirected pair list `(a, b)` — same output
+    * contract as [[graft.operators.text.Dedup.connectedComponents]]:
+    * every node that appears in an edge, labeled with its component's
+    * minimum node id.
+    *
+    * Why a second CC: min-label propagation converges in O(diameter)
+    * rounds — fine for near-dup clusters (dense stars, diameter 2-3),
+    * hopeless for web-graph-shaped inputs with long chains. The star
+    * operations contract paths by rewiring whole neighborhoods onto
+    * their local minimum each round, converging in O(log n) rounds on
+    * ANY topology, and the heaviest-degree node only ever costs a
+    * groupBy-min (no neighborhood materialization) — the skew-proof
+    * form. Per round: large-star (one groupBy-min over the symmetrized
+    * edges + one equi-join back) then small-star (same shape over the
+    * larger-endpoint orientation), each a node-keyed aggregate a
+    * map-side combine collapses; edge count never grows above the
+    * input's and contracts toward n−1. Early stop = canonical edge-set
+    * fixed point (count + anti-join emptiness — two bounded probe jobs
+    * per round, the [[pageRank]] loop contract; no data-sized collect).
+    *
+    * Both operations preserve connectivity and only ever connect nodes
+    * within a component, so the converged star forest is rooted at each
+    * component's minimum — all set-deterministic (min/distinct), hence
+    * partition-count-invariant and oracle-replayable.
+    */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30)
+      : DataFrame = {
+    val init = pairs.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val nodes = init.select(col("u").as("id"))
+      .union(init.select(col("v").as("id"))).distinct().localCheckpoint()
+
+    // large-star: ∀u, attach every neighbor v > u to m(u) = min(N(u)∪{u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mm = sym.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("_mn"), col("u")).as("_m"))
+      sym.join(mm, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("_m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // small-star: orient u > v; ∀u, attach N(u) ∪ {u} to m(u) = min(N(u))
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mm = or.groupBy(col("u")).agg(min(col("v")).as("_m"))
+      or.join(mm, "u")
+        .select(col("v").as("u"), col("_m").as("v"))
+        .union(mm.select(col("u"), col("_m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v")).distinct()
+
+    var e = init
+    var ce = canon(e).localCheckpoint()
+    var iter = 0
+    var stable = false
+    while (iter < maxIter && !stable) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val cn = canon(next).localCheckpoint()
+      stable = cn.count() == ce.count() &&
+        cn.join(ce, Seq("u", "v"), "left_anti").isEmpty
+      e = next; ce = cn
+      iter += 1
+    }
+    // converged: a star forest rooted at each component minimum
+    val stars = ce.select(col("v").as("id"), col("u").as("root"))
+      .groupBy(col("id")).agg(min(col("root")).as("root"))
+    nodes.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+  }
+
   /** Bounded-depth harmonic centrality — Common Crawl's other published
     * host-ranking signal: centrality(v) = Σ over nodes u reaching v
     * within `maxDepth` hops of 1/d(u, v), in fixed-point

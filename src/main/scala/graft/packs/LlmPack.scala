@@ -2101,8 +2101,65 @@ object LlmPack extends QueryPack {
           col("text"), col("doc_id"),
           Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
             "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")),
-      None)
+      None),
+
+    // connected components by alternating large-star/small-star rounds
+    // (the O(log n)-round, skew-proof CC) over a chain-heavy synthetic
+    // graph — blocks of 23 consecutive doc_ids chained plus sparse
+    // affine cross-links. Long chains are EXACTLY where the default
+    // min-label propagation's O(diameter) round count fails (a 23-link
+    // chain already needs 23 rounds); the star rounds contract any
+    // topology in O(log n). Oracle: recursive-CTE reachability minimum.
+    "graph_cc_stars" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val chain = docs
+          .filter(col("doc_id") % 23 =!= 22 && col("doc_id") + 1 < n)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        val cross = docs.filter(col("doc_id") % 53 === 0)
+          .select(col("doc_id").as("a"),
+            ((col("doc_id") * 17 + 3) % n).as("b"))
+          .filter(col("a") =!= col("b"))
+        graft.operators.graph.GraphOps.connectedComponentsStars(
+          chain.union(cross))
+      },
+      Some(ccStarsSql)),
+
+    // DFS twin: the same near-dup pair input as dfs_components, solved
+    // with .algo('stars') — converged components are identical to the
+    // label-propagation door, so the SAME oracle pins both algorithms
+    "dfs_cc_stars" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.id_field('doc_id').threshold(0.3)
+          #  .bands(4).rows_per_band(2))
+          #|components(.algo('stars'))
+          #""".stripMargin('#'), s, dir),
+      Some(componentsSql))
   )
+
+  /** Oracle for [[graph_cc_stars]]: the same chain+cross fixture, then
+    * component = minimum reachable node over the symmetrized edges.
+    */
+  private lazy val ccStarsSql: String =
+    """WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+      |base AS (
+      |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents, n
+      |  WHERE doc_id % 23 <> 22 AND doc_id + 1 < n.n
+      |  UNION ALL
+      |  SELECT doc_id AS a, (doc_id * 17 + 3) % n.n AS b
+      |  FROM documents, n
+      |  WHERE doc_id % 53 = 0 AND doc_id <> (doc_id * 17 + 3) % n.n
+      |),
+      |e AS (SELECT a AS src, b AS dst FROM base
+      |      UNION SELECT b AS src, a AS dst FROM base),
+      |walk AS (
+      |  SELECT src AS id, src AS reach FROM e
+      |  UNION
+      |  SELECT w.id, e.dst AS reach FROM walk w JOIN e ON w.reach = e.src
+      |)
+      |SELECT id, min(reach) AS component FROM walk GROUP BY id""".stripMargin
 
   private lazy val componentsSql: String =
     s"""WITH RECURSIVE pr AS (${nearPairsSql(0.3)}),
