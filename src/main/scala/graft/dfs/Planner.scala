@@ -2644,6 +2644,54 @@ object Planner {
       val text = optStr(n, "text_field", env).getOrElse("text")
       graft.operators.text.TextOps.withTokenEntropy(ctx.df, Paths.ref(text))
     },
+    // SFT conversation assembly (graft extension, the
+    // TextOps.renderChat door): turn rows -> one templated transcript
+    // per .by key, turns concatenated in .order (pass a unique order
+    // suffix — ties are order-ambiguous in any engine)
+    "chat_render" -> bt(Set("by", "role_field", "content_field",
+      "order")) { (ctx, n, env) =>
+      val by = optStr(n, "by", env)
+        .getOrElse(throw DfsError("chat_render: .by"))
+      val role = optStr(n, "role_field", env)
+        .getOrElse(throw DfsError("chat_render: .role_field"))
+      val content = optStr(n, "content_field", env)
+        .getOrElse(throw DfsError("chat_render: .content_field"))
+      val ord = { val o = optStrs(n, "order", env)
+        if (o.isEmpty) Seq("ts_ms") else o }
+      graft.operators.text.TextOps.renderChat(ctx.df, Paths.ref(by),
+        ord.map(Paths.ref), Paths.ref(role), Paths.ref(content))
+    },
+    // C4-style line filtering (graft extension, the TextOps.c4Filter
+    // door): line survives iff terminal punctuation + >= .min_words
+    // words + no .line_block phrase; doc survives iff no .doc_block
+    // phrase and >= .min_lines surviving lines
+    "c4_filter" -> bt(Set("text_field", "delimiter", "min_words",
+      "line_block", "doc_block", "min_lines")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      graft.operators.text.TextOps.c4Filter(ctx.df, Paths.ref(text),
+        optStr(n, "delimiter", env).getOrElse("\n"),
+        optNum(n, "min_words", env).map(_.toInt).getOrElse(3),
+        { val b = optStrs(n, "line_block", env)
+          if (b.isEmpty) Seq("javascript", "lorem ipsum") else b },
+        { val b = optStrs(n, "doc_block", env)
+          if (b.isEmpty) Seq("{") else b },
+        optNum(n, "min_lines", env).map(_.toInt).getOrElse(1))
+    },
+    // count-min heavy hitters (graft extension, the
+    // Sketches.heavyHitters door): tokens whose exact count reaches
+    // .threshold, nominated by a depth×width count-min sketch — the
+    // bounded-memory frequency pass (the full vocabulary never
+    // shuffles; the exact count only ever touches candidates)
+    "heavy_hitters" -> bt(Set("text_field", "threshold", "depth",
+      "width")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val thr = optNum(n, "threshold", env).map(_.toLong)
+        .getOrElse(throw DfsError("heavy_hitters: .threshold"))
+      graft.operators.text.Sketches.heavyHitters(ctx.df, Paths.ref(text),
+        thr,
+        optNum(n, "depth", env).map(_.toInt).getOrElse(4),
+        optNum(n, "width", env).map(_.toInt).getOrElse(512))
+    },
     // DSIR importance resampling (graft extension, the TextOps.dsirSample
     // door): keep docs whose hashed-feature importance weight — how
     // target-like the doc's token distribution is — reaches the corpus

@@ -1,0 +1,82 @@
+package graft.operators.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bounded-memory frequency sketching: count-min over token streams,
+  * and the heavy-hitter mining built on it.
+  *
+  * Why a sketch when `groupBy(token).count` exists: the exact
+  * frequency table is VOCABULARY-sized — fine for whitespace tokens,
+  * hopeless for n-grams at corpus scale (the gram table of a 100 TB
+  * corpus dwarfs the corpus). Count-min bounds the state to `depth ×
+  * width` cells regardless of input size, never underestimates, and
+  * overestimates by at most ~(total occurrences)/width with high
+  * probability — so "estimate ≥ threshold" yields a candidate superset
+  * of the true heavy hitters with NO false negatives, and the exact
+  * pass only ever touches candidate occurrences.
+  *
+  * All hashing derives from md5 ([[TextOps.hash60]]) so a DuckDB
+  * oracle replays every cell and every estimate bit-for-bit.
+  */
+object Sketches {
+
+  /** Sketch row `row`'s bucket for a token: md5-derived, in
+    * `[0, width)`.
+    */
+  def cmBucket(tok: Column, row: Int, width: Int): Column =
+    pmod(TextOps.hash60(concat(lit(s"cm$row|"), tok)),
+      lit(width.toLong)).cast("int")
+
+  /** Build the `depth × width` count-min sketch of whitespace-token
+    * occurrences: one corpus scan, one map-side-combined aggregate
+    * down to at most `depth · width` cells — the only state the
+    * frequency pass keeps, at ANY corpus size.
+    */
+  def countMin(df: DataFrame, text: Column, depth: Int, width: Int)
+      : DataFrame = {
+    require(depth >= 1 && depth <= 16,
+      s"countMin: depth must be in [1, 16], got $depth")
+    require(width >= 2, s"countMin: width must be >= 2, got $width")
+    df.select(explode(TextOps.tokens(text)).as("tok"))
+      .select(posexplode(array((0 until depth).map(j =>
+        cmBucket(col("tok"), j, width)): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters: every token whose EXACT occurrence count reaches
+    * `threshold`, with the count-min estimate that nominated it —
+    * `(token, est, exact)`, `est >= exact` always.
+    *
+    * Two corpus passes, neither vocabulary-sized: (1) build the
+    * sketch; (2) re-scan, look each occurrence up via `depth`
+    * broadcast hash joins against the (depth·width)-cell sketch —
+    * zero shuffle, the estimate is `least` over the joined counters —
+    * and keep occurrences with `est >= threshold`. Because count-min
+    * never underestimates, every occurrence of a true heavy hitter
+    * survives, so the exact `groupBy(token).count` that follows only
+    * shuffles CANDIDATE occurrences (bounded by total/threshold
+    * tokens plus the sketch's false positives, which die at the final
+    * exact filter). The full vocabulary never shuffles anywhere.
+    */
+  def heavyHitters(df: DataFrame, text: Column, threshold: Long,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val sk = countMin(df, text, depth, width)
+    var probe = df.select(explode(TextOps.tokens(text)).as("tok"))
+    (0 until depth).foreach { j =>
+      val skj = sk.filter(col("row") === j)
+        .select(col("bucket").as(s"_b$j"), col("cnt").as(s"_c$j"))
+      probe = probe
+        .withColumn(s"_b$j", cmBucket(col("tok"), j, width))
+        .join(broadcast(skj), Seq(s"_b$j"))
+    }
+    val est = least((0 until depth).map(j => col(s"_c$j")): _*)
+    probe.withColumn("est", est)
+      .filter(col("est") >= threshold)
+      .groupBy(col("tok").as("token"))
+      .agg(min(col("est")).as("est"), count(lit(1)).as("exact"))
+      .filter(col("exact") >= threshold)
+      .select(col("token"), col("est"), col("exact"))
+  }
+}

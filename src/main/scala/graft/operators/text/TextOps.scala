@@ -138,6 +138,84 @@ object TextOps {
     c
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020's web-corpus
+    * rules, re-expressed over a generic line delimiter): a LINE
+    * survives iff it (a) ends with terminal punctuation
+    * (`. ! ? "`), (b) has at least `minWords` whitespace words, and
+    * (c) contains none of `lineBlock` (lower-cased containment — the
+    * "javascript"/cookie-notice rule). A DOC survives iff its raw
+    * text contains none of `docBlock` (the "{" / "lorem ipsum" rule)
+    * and at least `minLines` lines survive. Survivors re-join on the
+    * delimiter into `clean_text`; `n_lines`/`n_kept` land for audit.
+    *
+    * Pure per-row array work under codegen'd HOFs — zero shuffle,
+    * streams as-is at any corpus size.
+    */
+  def c4Filter(df: org.apache.spark.sql.DataFrame, text: Column,
+      delimiter: String = "\n", minWords: Int = 3,
+      lineBlock: Seq[String] = Seq("javascript", "lorem ipsum"),
+      docBlock: Seq[String] = Seq("{"), minLines: Int = 1)
+      : org.apache.spark.sql.DataFrame = {
+    require(minWords >= 0 && minLines >= 0,
+      "c4Filter: minWords/minLines must be >= 0")
+    val lines = split(text, java.util.regex.Pattern.quote(delimiter))
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      val endOk = substring(t, -1, 1).isin(".", "!", "?", "\"")
+      val wcOk = size(split(t, "\\s+")) >= minWords
+      val blockOk = lineBlock
+        .map(p => !contains(org.apache.spark.sql.functions.lower(t),
+          lit(p.toLowerCase)))
+        .foldLeft(lit(true))(_ && _)
+      endOk && wcOk && blockOk
+    }
+    val docOk = docBlock
+      .map(p => !contains(org.apache.spark.sql.functions.lower(text),
+        lit(p.toLowerCase)))
+      .foldLeft(lit(true))(_ && _)
+    df.withColumn("_lines", lines)
+      .withColumn("_kept", filter(col("_lines"), keepLine))
+      .filter(docOk && size(col("_kept")) >= minLines)
+      .withColumn("n_lines", size(col("_lines")))
+      .withColumn("n_kept", size(col("_kept")))
+      .withColumn("clean_text", array_join(col("_kept"), delimiter))
+      .drop("_lines", "_kept")
+  }
+
+  /** SFT conversation assembly: turn ROWS become one rendered training
+    * transcript per conversation — `(conv_id, n_turns, transcript)`
+    * with each turn templated `roleOpen + role + roleClose + content +
+    * turnEnd` in `order`. The chat-template step of an instruction-
+    * tuning pipeline, as a single keyed aggregate: sort_array over the
+    * collected (order…, rendered) structs makes the concatenation
+    * order explicit and engine-exact (pass a UNIQUE order suffix —
+    * ties would be partition-order-dependent in ANY engine). Null
+    * role/content render as '' (coalesce) so a null never poisons the
+    * whole transcript.
+    *
+    * 100 TB shape: one shuffle on the conversation key with map-side
+    * partial collect; transcripts are conversation-sized, never
+    * corpus-sized. The same aggregate runs under a streaming
+    * watermark for late-arriving turns.
+    */
+  def renderChat(df: org.apache.spark.sql.DataFrame, key: Column,
+      order: Seq[Column], role: Column, content: Column,
+      roleOpen: String = "<|", roleClose: String = "|>",
+      turnEnd: String = "<|end|>"): org.apache.spark.sql.DataFrame = {
+    require(order.nonEmpty, "renderChat: need at least one order column")
+    val rendered = concat(lit(roleOpen),
+      coalesce(role.cast("string"), lit("")), lit(roleClose),
+      coalesce(content.cast("string"), lit("")), lit(turnEnd))
+    val packed = struct(
+      order.zipWithIndex.map { case (c, i) => c.as(s"_o$i") } :+
+        rendered.as("_r"): _*)
+    df.groupBy(key.as("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(sort_array(collect_list(packed)),
+          x => x.getField("_r")), "").as("transcript"))
+      .select(col("conv_id"), col("n_turns"), col("transcript"))
+  }
+
   /** Concat-and-chunk sequence packing (LLM pretraining prep): documents
     * lie head-to-tail per `shard` in `order` and are cut into fixed
     * `binTokens`-token context windows. Adds `bin_id` (the window the

@@ -64,6 +64,57 @@ object VectorCuration {
     graft.operators.text.Curation.capPerKey(
       clusterAssign(df, vecCol, cents, as), Seq(col(as)), col(idCol), n)
 
+  /** Distributed k-means training (Lloyd iterations) from a given
+    * centroid seed — the fully-distributed twin of
+    * [[VectorOps.ivfCentroids]]'s bounded-sample training: at corpus
+    * scale the training data CANNOT collect, so each iteration is (a)
+    * the [[clusterAssign]] argmin scan (codegen'd FLOAT sq-dist folds,
+    * zero shuffle) and (b) one per-(cluster, dim) fixed-point mean —
+    * the [[labelCentroids]] arithmetic: floor(x·10⁶) LONG sums are
+    * associative, so the update is partition-order-exact and a SQL
+    * oracle can replay every iteration bit-for-bit. Only the k·dim
+    * UPDATE rows ever reach the driver (the sanctioned bounded collect
+    * class — same as IVF's coarse quantizer, NOT data-sized). Empty
+    * clusters keep their previous centroid (the deterministic
+    * standard rule). New centroid components are
+    * `(Σ floor(x·10⁶)) / (10⁶ · n)` cast to FLOAT — one correctly-
+    * rounded double division + one correctly-rounded narrowing, hence
+    * bit-identical on every engine.
+    *
+    * 100 TB shape: iters × (scan + one map-side-combined aggregate to
+    * k·dim rows). No data-sized shuffle beyond the aggregate, no
+    * broadcast but the k·dim literal table inside the argmin
+    * expression. Seed with [[seedCentroids]] for replayability or
+    * k-means‖-style sampled seeds when adaptivity matters.
+    */
+  def kmeansTrain(df: DataFrame, vecCol: String,
+      init: Array[Array[Float]], iters: Int,
+      scale: Long = 1000000L): Array[Array[Float]] = {
+    require(iters >= 0, s"kmeansTrain: iters must be >= 0, got $iters")
+    val k = init.length
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val upd = clusterAssign(df, vecCol, cents, "_cell")
+        .select(col("_cell"), posexplode(col(vecCol)).as(Seq("pos", "_x")))
+        .groupBy(col("_cell"), col("pos"))
+        .agg(count(lit(1)).as("_n"),
+          sum(floor(col("_x").cast("double") * scale).cast("long"))
+            .as("_s"))
+        .collect() // bounded: ≤ k·dim rows, never data-sized
+      val next = Array.tabulate(k)(c => cents(c).clone())
+      upd.foreach { r =>
+        val c = r.getAs[Int]("_cell")
+        val p = r.getAs[Int]("pos")
+        next(c)(p) = (r.getAs[Long]("_s").toDouble /
+          (scale.toDouble * r.getAs[Long]("_n"))).toFloat
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
   /** Per-label mean embedding (class prototypes), in long form
     * (label, pos, mean) — array-free output, one row per component.
     *

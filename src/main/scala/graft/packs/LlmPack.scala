@@ -1620,6 +1620,89 @@ object LlmPack extends QueryPack {
            |WHERE rn <= 100""".stripMargin
       }),
 
+    // SFT conversation assembly: each user's event stream rendered as
+    // one chat-templated transcript, turns in (ts, event_id) order —
+    // sorted-struct concat vs string_agg ORDER BY, character-exact
+    "text_chat_render" -> QueryDef(
+      (s, dir) =>
+        TextOps.renderChat(Tables.events(s, dir), col("user_id"),
+          Seq(col("ts_ms"), col("event_id")), col("event_type"),
+          col("props")),
+      Some(chatRenderSql)),
+
+    "dfs_chat_render" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|chat_render(.by('user_id').role_field('event_type')
+          #  .content_field('props').order('ts_ms', 'event_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(chatRenderSql)),
+
+    // C4-style line filtering over a deterministically "lined" corpus
+    // (every ' table ' becomes '.' + newline, so terminal-punctuation,
+    // word-count and blocklist rules all fire): line rules + doc rules
+    // + reassembly, replayed list-for-list in DuckDB
+    "text_c4_filter" -> QueryDef(
+      (s, dir) =>
+        graft.operators.text.TextOps.c4Filter(
+          Tables.documents(s, dir).withColumn("text",
+            expr("replace(text, ' table ', concat('.', chr(10)))")),
+          col("text"), delimiter = "\n", minWords = 3,
+          lineBlock = Seq("stream"), docBlock = Seq("vector"),
+          minLines = 2)
+          .select(col("doc_id"), col("clean_text"), col("n_lines"),
+            col("n_kept")),
+      Some(c4FilterSql)),
+
+    // DFS twin: same rules over a '#' delimiter (str_replace marks the
+    // lines; the delimiter is a node option, not a baked-in newline)
+    "dfs_c4_filter" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_replace("text", ' table ', '.#'))
+          #  .as('text')
+          #|c4_filter(.delimiter('#').min_words(3).line_block('stream')
+          #  .doc_block('vector').min_lines(2))
+          #|keep('doc_id', 'clean_text', 'n_lines', 'n_kept')
+          #""".stripMargin('#'), s, dir),
+      Some(c4FilterSqlWith("'#'", "'.#'"))),
+
+    // count-min heavy hitters: tokens whose exact count reaches the
+    // threshold, nominated by a deliberately-tight 3×16 sketch so
+    // bucket collisions actually happen and the min-over-rows estimate
+    // is exercised (est > exact for colliding tokens). The oracle
+    // replays every cell and every estimate from the same md5 buckets.
+    "text_heavy_hitters" -> QueryDef(
+      (s, dir) =>
+        graft.operators.text.Sketches.heavyHitters(
+          Tables.documents(s, dir), col("text"), 500L,
+          depth = 3, width = 16),
+      Some(heavyHittersSql(500L, 3, 16))),
+
+    "dfs_heavy_hitters" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|heavy_hitters(.threshold(500).depth(3).width(16))
+          #""".stripMargin('#'), s, dir),
+      Some(heavyHittersSql(500L, 3, 16))),
+
+    // distributed k-means (one Lloyd iteration from the md5-seeded
+    // centroids, then the final assignment): the corpus-scale training
+    // path — assignment is a codegen'd argmin scan, the update is one
+    // fixed-point (cluster, dim) aggregate, and ONLY k·dim rows reach
+    // the driver. The oracle unrolls the identical iteration: seed
+    // argmin → floor(x·1e6) long sums → double divide → FLOAT cast →
+    // re-assign — bit-for-bit, empty clusters keeping their seed.
+    "emb_kmeans" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val c1 = VectorCuration.kmeansTrain(emb, "embedding",
+          VectorCuration.seedCentroids(8, 64), 1)
+        VectorCuration.clusterAssign(emb, "embedding", c1, "cell")
+          .select(col("vec_id"), col("cell"))
+      },
+      Some(kmeansSql)),
+
     // DFS twins: the curation ops through the script front-end
     "dfs_domain_cap" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -2138,6 +2221,120 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Oracle for the chat_render queries: string_agg with an explicit
+    * ORDER BY replays the sorted-struct concatenation turn for turn.
+    */
+  private lazy val chatRenderSql: String =
+    """SELECT user_id AS conv_id, count(*) AS n_turns,
+      |  string_agg('<|' || coalesce(event_type, '') || '|>'
+      |             || coalesce(props, '') || '<|end|>', ''
+      |             ORDER BY epoch_ms(ts), event_id) AS transcript
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Oracle for the c4_filter queries: the same deterministic lining
+    * (`' table '` → `'.' + delim`), then the line rules (terminal
+    * punctuation / ≥3 words / no 'stream'), doc rules (no 'vector',
+    * ≥2 kept) and reassembly — list_filter replaying the Spark HOF
+    * predicate clause for clause. `delim`/`repl` are SQL expressions.
+    */
+  private def c4FilterSqlWith(delim: String, repl: String): String =
+    s"""WITH d AS (SELECT doc_id,
+       |        replace(text, ' table ', $repl) AS t2
+       |      FROM documents),
+       |s AS (SELECT doc_id, t2, string_split(t2, $delim) AS lines FROM d),
+       |k AS (SELECT doc_id, t2, lines,
+       |        list_filter(lines, l ->
+       |          right(trim(l), 1) IN ('.', '!', '?', '"')
+       |          AND len(string_split_regex(trim(l), '\\s+')) >= 3
+       |          AND NOT contains(lower(trim(l)), 'stream')) AS kept
+       |      FROM s)
+       |SELECT doc_id, array_to_string(kept, $delim) AS clean_text,
+       |  CAST(len(lines) AS INTEGER) AS n_lines,
+       |  CAST(len(kept) AS INTEGER) AS n_kept
+       |FROM k
+       |WHERE NOT contains(lower(t2), 'vector') AND len(kept) >= 2""".stripMargin
+
+  private lazy val c4FilterSql: String =
+    c4FilterSqlWith("chr(10)", "'.' || chr(10)")
+
+  /** Oracle for [[text_heavy_hitters]]: the full count-min replay —
+    * per-row cells from the same md5 buckets, estimate = least over
+    * the rows, exact from the token table, both threshold filters.
+    */
+  private def heavyHittersSql(threshold: Long, depth: Int, width: Int)
+      : String = {
+    def bucket(tokExpr: String, j: Int) =
+      s"(${h60(s"'cm$j|' || $tokExpr")}) % $width"
+    val cells = (0 until depth).map(j =>
+      s"""c$j AS (SELECT ${bucket("tok", j)} AS bucket, count(*) AS cnt
+         |      FROM occ GROUP BY 1)""".stripMargin).mkString(",\n")
+    val joins = (0 until depth).map(j =>
+      s"JOIN c$j ON c$j.bucket = ${bucket("t.tok", j)}").mkString("\n      ")
+    val estExpr =
+      if (depth == 1) "c0.cnt"
+      else s"least(${(0 until depth).map(j => s"c$j.cnt").mkString(", ")})"
+    s"""WITH occ AS (SELECT unnest($toks) AS tok FROM documents),
+       |$cells,
+       |t AS (SELECT tok, count(*) AS exact FROM occ GROUP BY tok),
+       |e AS (SELECT t.tok, t.exact, $estExpr AS est
+       |      FROM t
+       |      $joins)
+       |SELECT tok AS token, est, exact FROM e
+       |WHERE est >= $threshold AND exact >= $threshold""".stripMargin
+  }
+
+  /** Oracle for [[emb_kmeans]]: one unrolled Lloyd iteration. Seed
+    * argmin via inline FLOAT literals (the emb_cluster_cap pattern),
+    * fixed-point update via the emb_centroids arithmetic, the updated
+    * centroid joined back as a derived FLOAT list (coalescing empty
+    * clusters to their seed row from a VALUES table), final assignment
+    * via row_number over (dist, cell) — identical doubles, identical
+    * order.
+    */
+  private lazy val kmeansSql: String = {
+    val cents = VectorCuration.seedCentroids(8, 64)
+    def centLit(a: Array[Float]) =
+      a.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+    val dists = cents.map(c => sqDistSql("embedding", centLit(c)))
+      .mkString("[", ",\n  ", "]")
+    val seedRows = cents.zipWithIndex.flatMap { case (arr, c) =>
+      arr.zipWithIndex.map { case (v, p) =>
+        s"($c, $p, CAST($v AS FLOAT))" }
+    }.mkString(",\n  ")
+    s"""WITH d0 AS (SELECT vec_id, embedding, $dists AS cd
+       |            FROM embeddings),
+       |a0 AS (SELECT vec_id, embedding,
+       |         CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+       |           AS cell
+       |       FROM d0),
+       |ex AS (SELECT cell, unnest(range(0, len(embedding))) AS pos,
+       |         unnest(embedding) AS x
+       |       FROM a0),
+       |upd AS (SELECT cell, pos, count(*) AS n,
+       |          sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+       |            AS s
+       |        FROM ex GROUP BY cell, pos),
+       |seed(c, p, v) AS (SELECT * FROM (VALUES
+       |  $seedRows)),
+       |c1 AS (SELECT seed.c AS cell, seed.p AS pos,
+       |         coalesce(
+       |           CAST(CAST(u.s AS DOUBLE) / (1000000.0 * u.n) AS FLOAT),
+       |           seed.v) AS v
+       |       FROM seed LEFT JOIN upd u
+       |         ON u.cell = seed.c AND u.pos = seed.p),
+       |cl AS (SELECT cell, list(v ORDER BY pos) AS cv FROM c1
+       |       GROUP BY cell),
+       |d1 AS (SELECT e.vec_id, c.cell,
+       |         ${sqDistSql("e.embedding", "c.cv")} AS dist
+       |       FROM embeddings e CROSS JOIN cl c)
+       |SELECT vec_id, cell FROM (
+       |  SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cell) AS rn
+       |  FROM d1)
+       |WHERE rn = 1""".stripMargin
+  }
 
   /** Oracle for [[graph_cc_stars]]: the same chain+cross fixture, then
     * component = minimum reachable node over the symmetrized edges.

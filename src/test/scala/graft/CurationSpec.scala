@@ -378,6 +378,41 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansTrain: Lloyd objective never increases; deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val seed = VectorCuration.seedCentroids(8, 64)
+    def obj(cents: Array[Array[Float]]): Double = {
+      val dists = array(cents.toIndexedSeq.map(c =>
+        graft.functions.VectorExpressions.floatSqDist(col("embedding"),
+          array(c.toIndexedSeq.map(lit(_)): _*))): _*)
+      emb.withColumn("_cd", dists)
+        .select(array_min(col("_cd")).as("_d"))
+        .agg(sum(col("_d"))).head.getDouble(0)
+    }
+    assert(VectorCuration.kmeansTrain(emb, "embedding", seed, 0)
+      .map(_.toSeq).toSeq == seed.map(_.toSeq).toSeq) // 0 iters = identity
+    val c1 = VectorCuration.kmeansTrain(emb, "embedding", seed, 1)
+    val c2 = VectorCuration.kmeansTrain(emb, "embedding", seed, 2)
+    // fixed-point quantization adds <= 1e-6 per component — allow slack
+    assert(obj(c1) <= obj(seed) + 1e-3 && obj(c2) <= obj(c1) + 1e-3)
+    // byte-identical re-run
+    val c1b = VectorCuration.kmeansTrain(emb, "embedding", seed, 1)
+    assert(c1.map(_.toSeq).toSeq == c1b.map(_.toSeq).toSeq)
+  }
+
+  test("kmeansTrain: empty clusters keep their previous centroid") {
+    import spark.implicits._
+    // two tight groups near (1,0) and (0,1); third seed far at (-9,-9)
+    val pts = Seq(Seq(1.0f, 0.0f), Seq(1.1f, 0.0f), Seq(0.0f, 1.0f),
+      Seq(0.0f, 1.1f)).toDF("embedding")
+    val seed = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f),
+      Array(-9.0f, -9.0f))
+    val c1 = VectorCuration.kmeansTrain(pts, "embedding", seed, 3)
+    assert(c1(2).toSeq == Seq(-9.0f, -9.0f)) // never assigned, unchanged
+    assert(math.abs(c1(0)(0) - 1.05f) < 1e-3 && math.abs(c1(0)(1)) < 1e-6)
+    assert(math.abs(c1(1)(1) - 1.05f) < 1e-3 && math.abs(c1(1)(0)) < 1e-6)
+  }
+
   test("pageRank: hand graph matches exact integer arithmetic") {
     import spark.implicits._
     // 1→2, 2→1, 3→1; damping 85, one iteration, base = 0.15e9:

@@ -832,4 +832,59 @@ class LlmSpec extends AnyFunSuite {
         emb, emb, "vec_id", "embedding", 3, maxQueryRows = 10)
     }
   }
+
+  test("heavyHitters: no false negatives; est >= exact; wide = exact") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val thr = 50L
+    val got = graft.operators.text.Sketches
+      .heavyHitters(docs, col("text"), thr, depth = 3, width = 8)
+      .collect()
+    // every row honors the sketch's one-sided error
+    got.foreach(r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact")))
+    // the exact heavy set, computed directly — candidate nomination via
+    // the tight 3x8 sketch must not have lost any of them
+    val direct = docs
+      .select(explode(graft.operators.text.TextOps.tokens(col("text")))
+        .as("tok"))
+      .groupBy("tok").count().filter(col("count") >= thr)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(_.getAs[String]("token")).toSet == direct.keySet)
+    got.foreach(r =>
+      assert(r.getAs[Long]("exact") == direct(r.getAs[String]("token"))))
+    // a collision-free width: estimates collapse to the exact counts
+    val wide = graft.operators.text.Sketches
+      .heavyHitters(docs, col("text"), thr, depth = 3, width = 4096)
+      .collect()
+    wide.foreach(r =>
+      assert(r.getAs[Long]("est") == r.getAs[Long]("exact")))
+  }
+
+  test("c4Filter: each rule fires on its constructed case") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: good two lines + one unterminated line (dropped)
+      (1L, "one two three.\nfour five six seven!\nno terminal punct"),
+      // 2: short line dropped by word count, one good line -> under
+      //    minLines(2), doc dropped
+      (2L, "too short.\nthis line is long enough to survive."),
+      // 3: line-blocklist drops the middle line
+      (3L, "keep me alive today.\nenable javascript to continue here.\nanother good line stays!"),
+      // 4: doc-blocklist ('{') kills the whole doc
+      (4L, "var x = { a\nperfectly fine line one.\nperfectly fine line two."),
+      // 5: quote-terminated counts as terminal punctuation
+      (5L, "he said \"hello there.\"\nshe replied with a wave.")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.text.TextOps.c4Filter(docs, col("text"),
+        minWords = 3, lineBlock = Seq("javascript"), docBlock = Seq("{"),
+        minLines = 2)
+      .select("doc_id", "clean_text", "n_lines", "n_kept")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out.keySet == Set(1L, 3L, 5L)) // 2 under minLines, 4 doc-blocked
+    assert(out(1L) == (("one two three.\nfour five six seven!", 3, 2)))
+    assert(out(3L) ==
+      (("keep me alive today.\nanother good line stays!", 3, 2)))
+    assert(out(5L)._3 == 2)
+  }
 }
