@@ -2360,20 +2360,29 @@ object Planner {
     // `.weight` is a per-row lambda giving the stratum's relative
     // target weight (functionally dependent on `.stratum`).
     "sample_mixture" -> bt(Set("id_field", "stratum", "weight",
-      "temperature")) { (ctx, n, env) =>
+      "temperature", "epochs")) { (ctx, n, env) =>
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("sample_mixture: .id_field"))
       val st = optStr(n, "stratum", env)
         .getOrElse(throw DfsError("sample_mixture: .stratum"))
+      val epochs = optNum(n, "epochs", env)
       (optLambdas(n, "weight", env).headOption
           .map(lambdaColumn(_, env.defs)),
         optNum(n, "temperature", env)) match {
+        // .epochs lifts the min(1,·) clamp: strata REPEAT to epochs ×
+        // their weighted share (a 0-based `copy` column lands)
+        case (Some(w), None) if epochs.isDefined =>
+          graft.operators.text.TextOps.upsampleToMixture(ctx.df,
+            Paths.ref(id), Paths.ref(st), w, epochs.get)
         case (Some(w), None) =>
           graft.operators.text.TextOps.sampleToMixture(ctx.df,
             Paths.ref(id), Paths.ref(st), w)
         // n^alpha-flattened target computed FROM the counts — the
         // multilingual temperature rule, no weight column needed
         case (None, Some(a)) =>
+          if (epochs.isDefined) throw DfsError(
+            "sample_mixture: .epochs needs .weight(lambda), " +
+              "not .temperature")
           graft.operators.text.TextOps.sampleToMixtureTemp(ctx.df,
             Paths.ref(id), Paths.ref(st), a)
         case _ => throw DfsError(
@@ -2644,12 +2653,29 @@ object Planner {
       val text = optStr(n, "text_field", env).getOrElse("text")
       graft.operators.text.TextOps.withTokenEntropy(ctx.df, Paths.ref(text))
     },
+    // token-distribution KL drift (graft extension, the
+    // Curation.tokenKlDrift door): .before/.after lambdas carve the
+    // two snapshots out of one stream (the decontaminate .benchmark
+    // pattern); per-token smoothed KL(after ‖ before) terms land
+    "kl_drift" -> bt(Set("text_field", "before", "after")) {
+      (ctx, n, env) =>
+        val text = optStr(n, "text_field", env).getOrElse("text")
+        val bef = optLambdas(n, "before", env).headOption
+          .map(lambdaColumn(_, env.defs))
+          .getOrElse(throw DfsError("kl_drift: .before(lambda)"))
+        val aft = optLambdas(n, "after", env).headOption
+          .map(lambdaColumn(_, env.defs))
+          .getOrElse(throw DfsError("kl_drift: .after(lambda)"))
+        graft.operators.text.Curation.tokenKlDrift(
+          ctx.df.filter(bef), ctx.df.filter(aft), Paths.ref(text))
+    },
     // SFT conversation assembly (graft extension, the
     // TextOps.renderChat door): turn rows -> one templated transcript
     // per .by key, turns concatenated in .order (pass a unique order
-    // suffix — ties are order-ambiguous in any engine)
+    // suffix — ties are order-ambiguous in any engine). `.spans()`
+    // emits the per-turn loss-mask offsets instead of the transcript.
     "chat_render" -> bt(Set("by", "role_field", "content_field",
-      "order")) { (ctx, n, env) =>
+      "order", "spans")) { (ctx, n, env) =>
       val by = optStr(n, "by", env)
         .getOrElse(throw DfsError("chat_render: .by"))
       val role = optStr(n, "role_field", env)
@@ -2658,8 +2684,12 @@ object Planner {
         .getOrElse(throw DfsError("chat_render: .content_field"))
       val ord = { val o = optStrs(n, "order", env)
         if (o.isEmpty) Seq("ts_ms") else o }
-      graft.operators.text.TextOps.renderChat(ctx.df, Paths.ref(by),
-        ord.map(Paths.ref), Paths.ref(role), Paths.ref(content))
+      if (optFlag(n, "spans", env))
+        graft.operators.text.TextOps.chatSpans(ctx.df, Paths.ref(by),
+          ord.map(Paths.ref), Paths.ref(role), Paths.ref(content))
+      else
+        graft.operators.text.TextOps.renderChat(ctx.df, Paths.ref(by),
+          ord.map(Paths.ref), Paths.ref(role), Paths.ref(content))
     },
     // C4-style line filtering (graft extension, the TextOps.c4Filter
     // door): line survives iff terminal punctuation + >= .min_words
@@ -2776,6 +2806,26 @@ object Planner {
       graft.operators.vector.VectorCuration.clusterCap(ctx.df, id, vec,
         graft.operators.vector.VectorCuration.seedCentroids(k, dim),
         optNum(n, "n", env).map(_.toInt).getOrElse(1000))
+    },
+    // embedding outlier pruning (graft extension, the
+    // VectorCuration.clusterOutlierPrune door): per seeded cluster,
+    // keep the .keep_frac closest rows by exact sq-dist — the distance
+    // tail is the off-manifold junk. `.annotate()` lands is_outlier
+    // instead of dropping.
+    "outlier_prune" -> bt(Set("vec_field", "id_field", "clusters",
+      "dim", "keep_frac", "annotate")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("outlier_prune: .id_field"))
+      val k = optNum(n, "clusters", env).map(_.toInt).getOrElse(8)
+      val dim = optNum(n, "dim", env).map(_.toInt)
+        .getOrElse(throw DfsError("outlier_prune: .dim"))
+      graft.operators.vector.VectorCuration.clusterOutlierPrune(ctx.df,
+        id, vec,
+        graft.operators.vector.VectorCuration.seedCentroids(k, dim),
+        optNum(n, "keep_frac", env)
+          .getOrElse(throw DfsError("outlier_prune: .keep_frac")),
+        annotate = optFlag(n, "annotate", env))
     },
     // kNN label propagation (graft extension, the
     // VectorCuration.knnLabel door): `.labeled` is a per-row lambda

@@ -184,6 +184,44 @@ object Curation {
           .otherwise("changed").as("status"))
   }
 
+  /** Token-distribution drift between two corpus snapshots: per-token
+    * contribution to the add-one-smoothed KL(after ‖ before) — the
+    * "did the crawl/filter change what the model will read"
+    * observability report. Over the UNION vocabulary V:
+    * `p = (cnt_after + 1) / (N_after + |V|)`, `q` likewise on before,
+    * and the row's term is `p · ln(p / q)`, nano-scaled to a LONG (the
+    * perplexity convention) so Σ kl_nano is order-free and the total
+    * divergence is an exact integer sum downstream. Positive terms =
+    * tokens the new snapshot over-represents; sorted by |term| they
+    * ARE the drift explanation.
+    *
+    * 100 TB shape: one token aggregate per side (map-side combined),
+    * one token-keyed outer join (both sides already hash-partitioned
+    * by token from their aggregates — no extra shuffle), one 1-row
+    * broadcast of the totals. Vocabulary-sized, never corpus-sized;
+    * for n-gram drift, gate the gram stream with
+    * [[graft.operators.text.Sketches.heavyHitters]] first.
+    */
+  def tokenKlDrift(before: DataFrame, after: DataFrame, text: Column)
+      : DataFrame = {
+    def cnts(df: DataFrame, as: String) =
+      df.select(explode(TextOps.tokens(text)).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as(as))
+    val joined = cnts(before, "cnt_before")
+      .join(cnts(after, "cnt_after"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("cnt_before"), lit(0L)).as("cnt_before"),
+        coalesce(col("cnt_after"), lit(0L)).as("cnt_after"))
+    val tot = joined.agg(sum(col("cnt_before")).as("_nb"),
+      sum(col("cnt_after")).as("_na"), count(lit(1)).as("_v"))
+    joined.join(broadcast(tot))
+      .select(col("token"), col("cnt_before"), col("cnt_after"),
+        round((col("cnt_after") + 1.0) / (col("_na") + col("_v")) *
+          log(((col("cnt_after") + 1.0) / (col("_na") + col("_v"))) /
+            ((col("cnt_before") + 1.0) / (col("_nb") + col("_v")))) *
+          lit(1e9)).cast("long").as("kl_nano"))
+  }
+
   /** Deterministic train/validation/test split: each row lands in
     * exactly one named bucket with the given fractions, keyed on the
     * md5 row gate — the same document goes to the same split on every

@@ -122,6 +122,60 @@ object TextOps {
       stratum: Column, alpha: Double): org.apache.spark.sql.DataFrame =
     applyMixtureGate(df, id, stratum, mixtureRatesTemp(df, stratum, alpha))
 
+  /** UP-sampling repeat rates: [[mixtureRates]] WITHOUT the `min(1, ·)`
+    * clamp, times `epochs` — rates above 1 mean a stratum REPEATS
+    * (training mixtures routinely upsample small high-quality sources
+    * 2–5 epochs while big crawls run fractional). Same tiny `(_s,
+    * _rate)` frame; apply with [[applyUpsampleRepeat]].
+    */
+  def upsampleRates(df: org.apache.spark.sql.DataFrame, stratum: Column,
+      weight: Column, epochs: Double): org.apache.spark.sql.DataFrame = {
+    require(epochs > 0, s"upsampleRates: epochs must be > 0, got $epochs")
+    val c = df.groupBy(stratum.as("_s")).agg(count(lit(1)).as("_n_s"),
+      max(weight.cast("double")).as("_w"))
+    val t = c.agg(sum(col("_n_s")).as("_n_tot"), sum(col("_w")).as("_w_tot"))
+    c.crossJoin(broadcast(t))
+      .select(col("_s"),
+        (col("_w") * lit(1.0) / col("_w_tot") * col("_n_tot") /
+          col("_n_s") * lit(epochs)).as("_rate"))
+  }
+
+  /** Materialize repeat rates as rows: each input row emits
+    * `floor(rate)` copies plus one more iff its md5 gate falls under
+    * the fractional part — E[copies] = rate EXACTLY, deterministic, no
+    * RNG (the [[applyMixtureGate]] gate reused for the fraction). A
+    * 0-based `copy` column distinguishes the repeats (downstream
+    * shuffles like [[graft.operators.text.Curation.shuffleOrder]] key
+    * on (id, copy) so epochs interleave instead of clumping). Rows
+    * whose rate rounds to zero copies drop — the downsampling case
+    * degenerates to exactly [[sampleToMixture]]'s behavior.
+    *
+    * 100 TB shape: the rates side is stratum-sized (broadcast); the
+    * repeat is a generator explode — output scales with Σ rate·n_s by
+    * construction, no shuffle anywhere.
+    */
+  def applyUpsampleRepeat(df: org.apache.spark.sql.DataFrame, id: Column,
+      stratum: Column, rates: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.join(broadcast(rates), stratum === col("_s"))
+      .withColumn("_copies",
+        floor(col("_rate")).cast("long") +
+          when(pmod(hash60(id.cast("string")), lit(1000000L)) <
+            (col("_rate") - floor(col("_rate"))) * 1000000.0, 1L)
+            .otherwise(0L))
+      .filter(col("_copies") >= 1)
+      .withColumn("copy", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_s", "_rate", "_copies")
+
+  /** [[sampleToMixture]]'s upsampling sibling in one call: repeat each
+    * stratum to `epochs ×` its weighted target share.
+    */
+  def upsampleToMixture(df: org.apache.spark.sql.DataFrame, id: Column,
+      stratum: Column, weight: Column, epochs: Double)
+      : org.apache.spark.sql.DataFrame =
+    applyUpsampleRepeat(df, id, stratum,
+      upsampleRates(df, stratum, weight, epochs))
+
   /** Text normalization — step 0 of every corpus pipeline: lowercase,
     * strip punctuation (everything outside letters/digits/whitespace;
     * Java and RE2 agree on these ASCII-and-unicode classes), collapse
@@ -214,6 +268,39 @@ object TextOps {
         array_join(transform(sort_array(collect_list(packed)),
           x => x.getField("_r")), "").as("transcript"))
       .select(col("conv_id"), col("n_turns"), col("transcript"))
+  }
+
+  /** Loss-mask spans for [[renderChat]] transcripts: one row per turn
+    * with the 0-based `[start_pos, end_pos)` character range its
+    * CONTENT occupies inside the rendered transcript — the offsets an
+    * SFT loss mask needs to train on assistant turns only. Computed
+    * WITHOUT materializing the transcript: a per-conversation window
+    * cumulative sum of rendered-turn lengths (same shuffle key as
+    * [[renderChat]]; run both off one cached scan). Template defaults
+    * must match renderChat's for the offsets to align — the unit pin
+    * substrings one against the other.
+    */
+  def chatSpans(df: org.apache.spark.sql.DataFrame, key: Column,
+      order: Seq[Column], role: Column, content: Column,
+      roleOpen: String = "<|", roleClose: String = "|>",
+      turnEnd: String = "<|end|>"): org.apache.spark.sql.DataFrame = {
+    require(order.nonEmpty, "chatSpans: need at least one order column")
+    val r = coalesce(role.cast("string"), lit(""))
+    val c = coalesce(content.cast("string"), lit(""))
+    val rlen = lit(roleOpen.length) + length(r) + lit(roleClose.length) +
+      length(c) + lit(turnEnd.length)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(order: _*)
+    val wPrev = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val before = coalesce(sum(rlen.cast("long")).over(wPrev), lit(0L))
+    val start = before + lit(roleOpen.length) + length(r) +
+      lit(roleClose.length)
+    df.select(key.as("conv_id"),
+      row_number().over(w).as("turn"),
+      r.as("role"),
+      start.as("start_pos"),
+      (start + length(c)).as("end_pos"))
   }
 
   /** Concat-and-chunk sequence packing (LLM pretraining prep): documents

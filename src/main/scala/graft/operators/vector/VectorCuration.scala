@@ -64,6 +64,46 @@ object VectorCuration {
     graft.operators.text.Curation.capPerKey(
       clusterAssign(df, vecCol, cents, as), Seq(col(as)), col(idCol), n)
 
+  /** Embedding-space outlier pruning: assign every row to its nearest
+    * centroid, then per cluster keep only the `keepFrac` CLOSEST rows
+    * (by exact sq-dist to the centroid, ties to the lower id) — rows in
+    * a cluster's distance tail are mislabeled/degenerate/off-manifold
+    * embeddings (truncated docs, wrong-language text, dead images) and
+    * this is the standard cheap filter for them. A rank rule, NOT a
+    * mean/std z-score: quantiles need no distributed float moments, so
+    * the decision is deterministic at any partitioning with no
+    * fixed-point machinery. `annotate = true` keeps everything and
+    * lands `is_outlier` instead of dropping.
+    *
+    * 100 TB shape: assignment is the [[clusterAssign]] scan; the rank
+    * is one shuffle on the cluster id with a partitioned window (the
+    * [[clusterCap]] cost model — size k so the largest cluster fits a
+    * task, or pre-thin with hashSample).
+    */
+  def clusterOutlierPrune(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]], keepFrac: Double,
+      as: String = "cell", annotate: Boolean = false): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1,
+      s"clusterOutlierPrune: keepFrac must be in (0, 1], got $keepFrac")
+    val dists = array(cents.toIndexedSeq.map(cent =>
+      graft.functions.VectorExpressions.floatSqDist(
+        col(vecCol), array(cent.toIndexedSeq.map(lit(_)): _*))): _*)
+    val base = df.withColumn("_cd", dists)
+      .withColumn(as,
+        (array_position(col("_cd"), array_min(col("_cd"))) - 1)
+          .cast("int"))
+      .withColumn("_dist", array_min(col("_cd")))
+      .drop("_cd")
+    val w = Window.partitionBy(col(as)).orderBy(col("_dist"), col(idCol))
+    val ranked = base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_nc", count(lit(1)).over(Window.partitionBy(col(as))))
+    val kept = col("_rn") <= ceil(lit(keepFrac) * col("_nc"))
+    (if (annotate) ranked.withColumn("is_outlier", !kept)
+     else ranked.filter(kept))
+      .drop("_rn", "_nc", "_dist")
+  }
+
   /** Distributed k-means training (Lloyd iterations) from a given
     * centroid seed — the fully-distributed twin of
     * [[VectorOps.ivfCentroids]]'s bounded-sample training: at corpus

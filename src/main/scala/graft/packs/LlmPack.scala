@@ -1620,6 +1620,70 @@ object LlmPack extends QueryPack {
            |WHERE rn <= 100""".stripMargin
       }),
 
+    // embedding outlier pruning: per seeded cluster, the keep_frac
+    // closest rows by exact sq-dist stay; annotate mode pins BOTH
+    // classes — rank, count and ceil-boundary replayed exactly
+    "emb_outliers" -> QueryDef(
+      (s, dir) =>
+        VectorCuration.clusterOutlierPrune(Tables.embeddings(s, dir),
+          "vec_id", "embedding", VectorCuration.seedCentroids(8, 64),
+          0.9, annotate = true)
+          .select(col("vec_id"), col("cell"), col("is_outlier")),
+      Some(outlierPruneSql)),
+
+    "dfs_outlier_prune" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|outlier_prune(.id_field('vec_id').dim(64).keep_frac(0.9)
+          #  .annotate())
+          #|keep('vec_id', 'cell', 'is_outlier')
+          #""".stripMargin('#'), s, dir),
+      Some(outlierPruneSql)),
+
+    // token-distribution KL drift between snapshots: the fixture drops
+    // a third of the en docs from "after", so en-heavy tokens carry
+    // negative drift terms and the tail positives — full smoothed-KL
+    // replay with the nano-scaled log convention
+    "text_kl_drift" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Curation.tokenKlDrift(d,
+          d.filter(!(col("lang") === "en" && col("doc_id") % 3 === 0)),
+          col("text"))
+      },
+      Some(klDriftSql("TRUE", "NOT (lang = 'en' AND doc_id % 3 = 0)"))),
+
+    "dfs_kl_drift" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|kl_drift(.before(lambda: mod("doc_id", 2) == 0)
+          #  .after(lambda: mod("doc_id", 2) == 1))
+          #""".stripMargin('#'), s, dir),
+      Some(klDriftSql("doc_id % 2 = 0", "doc_id % 2 = 1"))),
+
+    // epoch-repeat upsampling: mixtureRates without the min(1,·) clamp
+    // × epochs — strata with rate > 1 REPEAT (floor copies + one more
+    // under the md5 fractional gate, E[copies] = rate exactly). The
+    // fixture upweights non-en 4× at 2 epochs so both the repeat and
+    // the fractional-drop paths fire; unnest(range(copies)) replays
+    // the generator row for row.
+    "text_mixture_epochs" -> QueryDef(
+      (s, dir) =>
+        TextOps.upsampleToMixture(Tables.documents(s, dir), col("doc_id"),
+          col("lang"),
+          when(col("lang") === "en", 1.0).otherwise(4.0), 2.0)
+          .select(col("doc_id"), col("lang"), col("copy")),
+      Some(mixtureEpochsSql)),
+
+    "dfs_mixture_epochs" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|sample_mixture(.id_field('doc_id').stratum('lang')
+          #  .weight(lambda: if("lang" == 'en', 1.0, 4.0)).epochs(2))
+          #|keep('doc_id', 'lang', 'copy')
+          #""".stripMargin('#'), s, dir),
+      Some(mixtureEpochsSql)),
+
     // SFT conversation assembly: each user's event stream rendered as
     // one chat-templated transcript, turns in (ts, event_id) order —
     // sorted-struct concat vs string_agg ORDER BY, character-exact
@@ -1637,6 +1701,25 @@ object LlmPack extends QueryPack {
           #  .content_field('props').order('ts_ms', 'event_id'))
           #""".stripMargin('#'), s, dir),
       Some(chatRenderSql)),
+
+    // loss-mask spans: the 0-based [start, end) character range each
+    // turn's CONTENT occupies in the rendered transcript — computed
+    // from a window cumulative length sum, never materializing the
+    // transcript; the window replay is exact integer arithmetic
+    "text_chat_spans" -> QueryDef(
+      (s, dir) =>
+        TextOps.chatSpans(Tables.events(s, dir), col("user_id"),
+          Seq(col("ts_ms"), col("event_id")), col("event_type"),
+          col("props")),
+      Some(chatSpansSql)),
+
+    "dfs_chat_spans" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('events'))
+          #|chat_render(.by('user_id').role_field('event_type')
+          #  .content_field('props').order('ts_ms', 'event_id').spans())
+          #""".stripMargin('#'), s, dir),
+      Some(chatSpansSql)),
 
     // C4-style line filtering over a deterministically "lined" corpus
     // (every ' table ' becomes '.' + newline, so terminal-punctuation,
@@ -2221,6 +2304,100 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Oracle for the outlier queries: seed-literal distance array,
+    * nearest cell + its distance, partitioned rank and count, and the
+    * ceil(keep_frac · n) boundary — identical doubles, identical order.
+    */
+  private lazy val outlierPruneSql: String = {
+    val cents = VectorCuration.seedCentroids(8, 64)
+    def centLit(a: Array[Float]) =
+      a.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+    val dists = cents.map(c => sqDistSql("embedding", centLit(c)))
+      .mkString("[", ",\n  ", "]")
+    s"""WITH d AS (SELECT vec_id, $dists AS cd FROM embeddings),
+       |a AS (SELECT vec_id,
+       |        CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+       |          AS cell,
+       |        list_min(cd) AS dist
+       |      FROM d),
+       |r AS (SELECT vec_id, cell,
+       |        row_number() OVER (PARTITION BY cell
+       |          ORDER BY dist, vec_id) AS rn,
+       |        count(*) OVER (PARTITION BY cell) AS nc
+       |      FROM a)
+       |SELECT vec_id, cell,
+       |  NOT (rn <= ceil(0.9 * nc)) AS is_outlier
+       |FROM r""".stripMargin
+  }
+
+  /** Oracle for the kl_drift queries: smoothed per-token KL terms over
+    * the union vocabulary in the same operation order, nano-rounded.
+    * `whereB`/`whereA` carve the two snapshots out of `documents`.
+    */
+  private def klDriftSql(whereB: String, whereA: String): String =
+    s"""WITH b AS (SELECT unnest($toks) AS token FROM documents
+       |           WHERE $whereB),
+       |a AS (SELECT unnest($toks) AS token FROM documents
+       |      WHERE $whereA),
+       |cb AS (SELECT token, count(*) AS cnt_before FROM b GROUP BY token),
+       |ca AS (SELECT token, count(*) AS cnt_after FROM a GROUP BY token),
+       |j AS (SELECT coalesce(cb.token, ca.token) AS token,
+       |        coalesce(cnt_before, 0) AS cnt_before,
+       |        coalesce(cnt_after, 0) AS cnt_after
+       |      FROM cb FULL JOIN ca ON cb.token = ca.token),
+       |t AS (SELECT sum(cnt_before) AS nb, sum(cnt_after) AS na,
+       |        count(*) AS v
+       |      FROM j)
+       |SELECT token, cnt_before, cnt_after,
+       |  CAST(round((cnt_after + 1.0) / (t.na + t.v)
+       |    * ln(((cnt_after + 1.0) / (t.na + t.v))
+       |         / ((cnt_before + 1.0) / (t.nb + t.v)))
+       |    * 1000000000.0) AS BIGINT) AS kl_nano
+       |FROM j, t""".stripMargin
+
+  /** Oracle for the mixture_epochs queries: the unclamped rate chain in
+    * the same operation order, the md5 fractional gate, and
+    * unnest(range(copies)) replaying the repeat generator.
+    */
+  private lazy val mixtureEpochsSql: String =
+    s"""WITH c AS (SELECT lang AS s, count(*) AS n_s,
+       |        max(CASE WHEN lang = 'en' THEN 1.0 ELSE 4.0 END) AS w
+       |      FROM documents GROUP BY lang),
+       |t AS (SELECT sum(n_s) AS n_tot, sum(w) AS w_tot FROM c),
+       |r AS (SELECT s, w * 1.0 / t.w_tot * t.n_tot / n_s * 2.0 AS rate
+       |      FROM c, t),
+       |g AS (SELECT d.doc_id, d.lang,
+       |        CAST(floor(r.rate) AS BIGINT)
+       |        + CASE WHEN ${h60("CAST(d.doc_id AS VARCHAR)")} % 1000000
+       |                    < (r.rate - floor(r.rate)) * 1000000.0
+       |               THEN 1 ELSE 0 END AS copies
+       |      FROM documents d JOIN r ON d.lang = r.s)
+       |SELECT doc_id, lang, unnest(range(copies)) AS copy
+       |FROM g WHERE copies >= 1""".stripMargin
+
+  /** Oracle for the chat_spans queries: the cumulative rendered-length
+    * window in exact integer arithmetic (template literal lengths: 2 =
+    * the role delimiters, 7 = the turn terminator).
+    */
+  private lazy val chatSpansSql: String = {
+    val rlen = """2 + length(coalesce(event_type, '')) + 2
+                 |  + length(coalesce(props, '')) + 7""".stripMargin
+    s"""SELECT user_id AS conv_id,
+       |  CAST(row_number() OVER wo AS INTEGER) AS turn,
+       |  coalesce(event_type, '') AS role,
+       |  CAST(coalesce(sum($rlen) OVER wp, 0)
+       |    + 2 + length(coalesce(event_type, '')) + 2 AS BIGINT)
+       |    AS start_pos,
+       |  CAST(coalesce(sum($rlen) OVER wp, 0)
+       |    + 2 + length(coalesce(event_type, '')) + 2
+       |    + length(coalesce(props, '')) AS BIGINT) AS end_pos
+       |FROM events
+       |WINDOW wo AS (PARTITION BY user_id
+       |    ORDER BY epoch_ms(ts), event_id),
+       |  wp AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+  }
 
   /** Oracle for the chat_render queries: string_agg with an explicit
     * ORDER BY replays the sorted-struct concatenation turn for turn.

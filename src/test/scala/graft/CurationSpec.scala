@@ -378,6 +378,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenKlDrift: KL total non-negative; direction tracks the " +
+      "snapshot change; identical snapshots -> zero everywhere") {
+    val docs = Tables.documents(spark, sf)
+    val drift = Curation.tokenKlDrift(docs,
+      docs.filter(!(col("lang") === "en" && col("doc_id") % 3 === 0)),
+      col("text")).collect()
+    // Σ p·ln(p/q) >= 0 (Gibbs); nano-rounding error bounded by vocab/2
+    val total = drift.map(_.getAs[Long]("kl_nano")).sum
+    assert(total >= -(drift.length / 2))
+    // identical snapshots: p = q exactly, every term rounds to 0
+    val same = Curation.tokenKlDrift(docs, docs, col("text")).collect()
+    assert(same.nonEmpty && same.forall(_.getAs[Long]("kl_nano") == 0L))
+  }
+
+  test("clusterOutlierPrune: keeps ceil(frac·n) closest per cluster; " +
+      "annotate partitions the input") {
+    val emb = Tables.embeddings(spark, sf)
+    val cents = VectorCuration.seedCentroids(8, 64)
+    val ann = VectorCuration.clusterOutlierPrune(emb, "vec_id",
+      "embedding", cents, 0.8, annotate = true).collect()
+    assert(ann.length == emb.count())
+    val byCell = ann.groupBy(_.getAs[Int]("cell"))
+    byCell.foreach { case (_, rs) =>
+      val kept = rs.count(!_.getAs[Boolean]("is_outlier"))
+      assert(kept == math.ceil(0.8 * rs.length).toLong)
+    }
+    // drop mode = annotate mode's survivors exactly
+    val dropped = VectorCuration.clusterOutlierPrune(emb, "vec_id",
+      "embedding", cents, 0.8).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(dropped == ann.filter(!_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Long]("vec_id")).toSet)
+  }
+
   test("kmeansTrain: Lloyd objective never increases; deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val seed = VectorCuration.seedCentroids(8, 64)

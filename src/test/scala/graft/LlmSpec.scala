@@ -860,6 +860,69 @@ class LlmSpec extends AnyFunSuite {
       assert(r.getAs[Long]("est") == r.getAs[Long]("exact")))
   }
 
+  test("chatSpans: every span slices its exact content out of the " +
+      "renderChat transcript") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val t = graft.operators.text.TextOps.renderChat(ev, col("user_id"),
+      Seq(col("ts_ms"), col("event_id")), col("event_type"), col("props"))
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        r.getAs[String]("transcript")).toMap
+    val spans = graft.operators.text.TextOps.chatSpans(ev, col("user_id"),
+      Seq(col("ts_ms"), col("event_id")), col("event_type"), col("props"))
+      .collect()
+    assert(spans.nonEmpty)
+    // independent truth: content per (conv, order) from the raw rows
+    val raw = ev.select(col("user_id"), col("ts_ms"), col("event_id"),
+        coalesce(col("props").cast("string"), lit("")).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getString(3))
+      .toMap
+    val orderByConv = raw.keys.groupBy(_._1).map { case (u, ks) =>
+      u -> ks.toSeq.sortBy(k => (k._2, k._3)).map(raw)
+    }
+    spans.foreach { r =>
+      val conv = r.getAs[Long]("conv_id")
+      val (s, e) = (r.getAs[Long]("start_pos").toInt,
+        r.getAs[Long]("end_pos").toInt)
+      val got = t(conv).substring(s, e)
+      assert(got == orderByConv(conv)(r.getAs[Int]("turn") - 1))
+    }
+  }
+
+  test("upsampleToMixture: copy counts hit floor/ceil of the rate; " +
+      "deterministic; copies contiguous") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = graft.operators.text.TextOps.upsampleToMixture(docs,
+      col("doc_id"), col("lang"),
+      when(col("lang") === "en", 1.0).otherwise(4.0), 2.0)
+      .select("doc_id", "lang", "copy").collect()
+    // per doc: copies are 0..r-1 contiguous
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val cs = rs.map(_.getAs[Long]("copy")).sorted
+      assert(cs.sameElements(cs.indices.map(_.toLong)))
+    }
+    // per stratum: every doc's copy count is floor(rate) or ceil(rate)
+    val rates = graft.operators.text.TextOps.upsampleRates(docs,
+      col("lang"), when(col("lang") === "en", 1.0).otherwise(4.0), 2.0)
+      .collect().map(r => r.getAs[String]("_s") ->
+        r.getAs[Double]("_rate")).toMap
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.length }
+    byDoc.foreach { case (d, n) =>
+      val r = rates(langOf(d))
+      assert(n == math.floor(r).toLong || n == math.ceil(r).toLong)
+    }
+    // rerun is byte-identical
+    val again = graft.operators.text.TextOps.upsampleToMixture(docs,
+      col("doc_id"), col("lang"),
+      when(col("lang") === "en", 1.0).otherwise(4.0), 2.0)
+      .select("doc_id", "lang", "copy").collect()
+    assert(out.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
   test("c4Filter: each rule fires on its constructed case") {
     import spark.implicits._
     val docs = Seq(

@@ -117,7 +117,13 @@ class PlanLintSpec extends AnyFunSuite {
       // DSIR broadcasts its 1-ROW totals (unseen-bucket fallback) and,
       // in the selection form, the 1-ROW percentile threshold — both
       // the fillPeriod lazy-scalar pattern
-      "text_dsir", "dfs_dsir")
+      "text_dsir", "dfs_dsir",
+      // upsampleRates crossJoins the same 1-ROW (N, ΣW) totals
+      // aggregate as mixtureRates
+      "text_mixture_epochs", "dfs_mixture_epochs",
+      // tokenKlDrift broadcasts its 1-ROW (N_before, N_after, |V|)
+      // totals — the fillPeriod lazy-scalar pattern
+      "text_kl_drift", "dfs_kl_drift")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
