@@ -72,7 +72,9 @@ object Bench {
       "text_dup_grams", "text_bm25", "emb_semdedup", "text_bpe_pairs",
       "text_ppl", "text_dsir", "join_bloom_semi", "dedup_vs_index",
       "text_dup_spans", "series_topk",
-      "text_seg_dedup", "text_token_budget", "emb_hamming_rerank")
+      "text_seg_dedup", "text_token_budget", "emb_hamming_rerank",
+      "graph_cc_stars", "emb_kmeans", "text_heavy_hitters",
+      "text_kl_drift", "emb_outliers", "text_chat_render")
     Files.writeString(Paths.get("BENCH_LOCAL.json"), jsonOf(results, total))
     // Write straight to fd 1: sbt's non-forked `run` wraps System.out in
     // its logger and prefixes every line with "[info] ", which breaks a

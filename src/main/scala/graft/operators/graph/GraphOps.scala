@@ -121,17 +121,18 @@ object GraphOps {
         .union(mm.select(col("u"), col("_m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     }
-    def canon(e: DataFrame): DataFrame =
-      e.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v")).distinct()
-
     var e = init
-    var ce = canon(e).localCheckpoint()
+    // canonical (min, max) form for the fixed-point compare; the init
+    // set needs a real distinct, but every smallStar output is already
+    // DISTINCT with u > v, so its canonical form is just the swap —
+    // no extra shuffle per round
+    var ce = init.select(least(col("u"), col("v")).as("u"),
+      greatest(col("u"), col("v")).as("v")).distinct().localCheckpoint()
     var iter = 0
     var stable = false
     while (iter < maxIter && !stable) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val cn = canon(next).localCheckpoint()
+      val cn = next.select(col("v").as("u"), col("u").as("v"))
       stable = cn.count() == ce.count() &&
         cn.join(ce, Seq("u", "v"), "left_anti").isEmpty
       e = next; ce = cn

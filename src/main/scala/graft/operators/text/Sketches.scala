@@ -21,12 +21,35 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Sketch row `row`'s bucket for a token: md5-derived, in
-    * `[0, width)`.
+  /** The ONE md5 the whole sketch derives from: every row's bucket is
+    * a disjoint bit slice of this 60-bit hash — hashing per (token,
+    * row) instead was measured 3× the sketch-build cost at sf1 (md5 +
+    * hex-conv per occurrence per row dominates everything else).
     */
-  def cmBucket(tok: Column, row: Int, width: Int): Column =
-    pmod(TextOps.hash60(concat(lit(s"cm$row|"), tok)),
-      lit(width.toLong)).cast("int")
+  def cmHash(tok: Column): Column =
+    TextOps.hash60(concat(lit("cm|"), tok))
+
+  /** Sketch row `row`'s bucket from the precomputed [[cmHash]]: bits
+    * `[row·log₂width, (row+1)·log₂width)` — md5 bits are uniform and
+    * the slices are disjoint, the standard cheap row-family. `width`
+    * must be a power of two; `depth · log₂width ≤ 60` so every row
+    * gets its own bits.
+    */
+  def cmBucketFromHash(h: Column, row: Int, width: Int): Column = {
+    val bits = java.lang.Integer.numberOfTrailingZeros(width)
+    shiftright(h, row * bits).bitwiseAND(lit((width - 1).toLong))
+      .cast("int")
+  }
+
+  private def checkDims(depth: Int, width: Int): Unit = {
+    require(depth >= 1 && depth <= 16,
+      s"countMin: depth must be in [1, 16], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"countMin: width must be a power of two >= 2, got $width")
+    val bits = java.lang.Integer.numberOfTrailingZeros(width)
+    require(depth * bits <= 60,
+      s"countMin: depth * log2(width) must be <= 60, got ${depth * bits}")
+  }
 
   /** Build the `depth × width` count-min sketch of whitespace-token
     * occurrences: one corpus scan, one map-side-combined aggregate
@@ -35,12 +58,12 @@ object Sketches {
     */
   def countMin(df: DataFrame, text: Column, depth: Int, width: Int)
       : DataFrame = {
-    require(depth >= 1 && depth <= 16,
-      s"countMin: depth must be in [1, 16], got $depth")
-    require(width >= 2, s"countMin: width must be >= 2, got $width")
+    checkDims(depth, width)
     df.select(explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("_h", cmHash(col("tok")))
       .select(posexplode(array((0 until depth).map(j =>
-        cmBucket(col("tok"), j, width)): _*)).as(Seq("row", "bucket")))
+        cmBucketFromHash(col("_h"), j, width)): _*))
+        .as(Seq("row", "bucket")))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -62,13 +85,18 @@ object Sketches {
     */
   def heavyHitters(df: DataFrame, text: Column, threshold: Long,
       depth: Int = 4, width: Int = 512): DataFrame = {
-    val sk = countMin(df, text, depth, width)
+    checkDims(depth, width)
+    // materialize the (≤ depth·width)-row sketch ONCE: each broadcast
+    // join below re-evaluates its build side, so an unmaterialized
+    // sketch would re-scan the corpus `depth` times
+    val sk = countMin(df, text, depth, width).localCheckpoint()
     var probe = df.select(explode(TextOps.tokens(text)).as("tok"))
+      .withColumn("_h", cmHash(col("tok")))
     (0 until depth).foreach { j =>
       val skj = sk.filter(col("row") === j)
         .select(col("bucket").as(s"_b$j"), col("cnt").as(s"_c$j"))
       probe = probe
-        .withColumn(s"_b$j", cmBucket(col("tok"), j, width))
+        .withColumn(s"_b$j", cmBucketFromHash(col("_h"), j, width))
         .join(broadcast(skj), Seq(s"_b$j"))
     }
     val est = least((0 until depth).map(j => col(s"_c$j")): _*)

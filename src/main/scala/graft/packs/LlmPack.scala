@@ -2441,19 +2441,22 @@ object LlmPack extends QueryPack {
     */
   private def heavyHittersSql(threshold: Long, depth: Int, width: Int)
       : String = {
-    def bucket(tokExpr: String, j: Int) =
-      s"(${h60(s"'cm$j|' || $tokExpr")}) % $width"
+    val bits = java.lang.Integer.numberOfTrailingZeros(width)
+    def bucket(hExpr: String, j: Int) =
+      s"(($hExpr >> ${j * bits}) & ${width - 1})"
     val cells = (0 until depth).map(j =>
-      s"""c$j AS (SELECT ${bucket("tok", j)} AS bucket, count(*) AS cnt
+      s"""c$j AS (SELECT ${bucket("h", j)} AS bucket, count(*) AS cnt
          |      FROM occ GROUP BY 1)""".stripMargin).mkString(",\n")
     val joins = (0 until depth).map(j =>
-      s"JOIN c$j ON c$j.bucket = ${bucket("t.tok", j)}").mkString("\n      ")
+      s"JOIN c$j ON c$j.bucket = ${bucket("t.h", j)}").mkString("\n      ")
     val estExpr =
       if (depth == 1) "c0.cnt"
       else s"least(${(0 until depth).map(j => s"c$j.cnt").mkString(", ")})"
-    s"""WITH occ AS (SELECT unnest($toks) AS tok FROM documents),
+    s"""WITH occ AS (SELECT tok, ${h60("'cm|' || tok")} AS h
+       |      FROM (SELECT unnest($toks) AS tok FROM documents)),
        |$cells,
-       |t AS (SELECT tok, count(*) AS exact FROM occ GROUP BY tok),
+       |t AS (SELECT tok, count(*) AS exact, min(h) AS h FROM occ
+       |      GROUP BY tok),
        |e AS (SELECT t.tok, t.exact, $estExpr AS est
        |      FROM t
        |      $joins)
