@@ -2653,6 +2653,35 @@ object Planner {
       val text = optStr(n, "text_field", env).getOrElse("text")
       graft.operators.text.TextOps.withTokenEntropy(ctx.df, Paths.ref(text))
     },
+    // inverted index (graft extension, the TextOps.invertedIndex
+    // door): flat posting rows (term, doc, tf, positions) — partition
+    // the sink by term and this is the serving index
+    "inverted_index" -> bt(Set("text_field", "id_field")) {
+      (ctx, n, env) =>
+        val text = optStr(n, "text_field", env).getOrElse("text")
+        val id = optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("inverted_index: .id_field"))
+        graft.operators.text.TextOps.invertedIndex(ctx.df,
+          Paths.ref(text), Paths.ref(id))
+    },
+    // winnowing fingerprints (graft extension, the Dedup.winnow door):
+    // MOSS rightmost-min window selection over the rolling shingle
+    // hashes; `.matches(maxPerFp)` emits the shared-fingerprint pair
+    // report instead of the fingerprints
+    "winnow" -> bt(Set("text_field", "id_field", "window", "matches")) {
+      (ctx, n, env) =>
+        val text = optStr(n, "text_field", env).getOrElse("text")
+        val id = optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("winnow: .id_field"))
+        val fps = graft.operators.text.Dedup.winnow(ctx.df,
+          Paths.ref(text), Paths.ref(id),
+          optNum(n, "window", env).map(_.toInt).getOrElse(4))
+        optNum(n, "matches", env) match {
+          case Some(cap) =>
+            graft.operators.text.Dedup.winnowMatches(fps, cap.toInt)
+          case None => fps
+        }
+    },
     // token-distribution KL drift (graft extension, the
     // Curation.tokenKlDrift door): .before/.after lambdas carve the
     // two snapshots out of one stream (the decontaminate .benchmark

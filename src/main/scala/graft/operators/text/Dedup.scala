@@ -259,6 +259,85 @@ object Dedup {
     }
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * algorithm): over the rolling 3-gram shingle hashes, slide a
+    * window of `w` consecutive hashes and select each window's MINIMUM
+    * (ties to the RIGHTMOST minimum — the rule that makes adjacent
+    * windows reuse selections), dedup on position. Guarantee: any two
+    * docs sharing a token run of length ≥ w + 2 share a fingerprint —
+    * the LOCAL exact-overlap detector (minhash sketches global
+    * similarity; winnowing catches a single plagiarized paragraph
+    * inside an otherwise-different doc). Output: `(doc_id, pos, fp)` —
+    * one row per selected fingerprint, `pos` the 1-based gram index.
+    * Docs with fewer grams than `w` contribute their single best
+    * fingerprint (one whole-doc window). Density guarantee: ~2/(w+1)
+    * of grams selected, so the fingerprint table is a bounded fraction
+    * of the gram table.
+    *
+    * Pure per-row array work over the materialized hash column — zero
+    * shuffle, streams as-is. O(grams · w) per row: keep `w` modest
+    * (the standard 4–64 range).
+    */
+  def winnow(df: DataFrame, text: Column, id: Column, w: Int = 4)
+      : DataFrame = {
+    require(w >= 1, s"winnow: w must be >= 1, got $w")
+    // dedup on POSITION only (adjacent windows reselecting a gram
+    // always reselect the same hash), then map back to (pos, fp)
+    def sel(gh: Column): Column = when(size(gh) >= 1,
+      transform(
+        array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), size(gh) - (w - 1))),
+          i => {
+            val win = slice(gh, i, lit(w))
+            (i + size(win) -
+              array_position(reverse(win), array_min(win))).cast("int")
+          })),
+        p => struct(p.as("pos"), element_at(gh, p).as("fp"))))
+      .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))
+    // LET-BINDING via single-element transform: a generator input
+    // inlines its whole expression tree, and a withColumn-materialized
+    // hash array would re-evaluate its rolling-hash subtree on EVERY
+    // window reference once inlined (measured pathological: minutes at
+    // sf0.01). Binding tokh/gh as lambda variables forces one
+    // evaluation per row wherever the expression lands — the operator
+    // stays a pure scan with no materialization barrier.
+    val selExpr = element_at(
+      transform(array(TextOps.tokenHashes(text, P)), th =>
+        element_at(
+          transform(array(TextOps.shingleHashes(th, P)), gh => sel(gh)),
+          1)),
+      1)
+    df.select(id.as("doc_id"), explode(selExpr).as("_s"))
+      .select(col("doc_id"), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
+  }
+
+  /** Shared-fingerprint pair mining over [[winnow]] output: doc pairs
+    * ranked by how many selected fingerprints they share — the MOSS
+    * match report. The join is on the fingerprint VALUE (equi-join,
+    * partitionable); hot fingerprints (boilerplate shared by thousands
+    * of docs) are capped per value BEFORE the self-join, the
+    * [[nearDupPairs]] bucket rule — never all-pairs.
+    */
+  def winnowMatches(fps: DataFrame, maxPerFp: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+      .orderBy(TextOps.hash60(col("doc_id").cast("string")), col("doc_id"))
+    // localCheckpoint BEFORE the self-join: both join sides reuse the
+    // materialized fingerprint table instead of carrying two copies of
+    // the winnow HOF expression tree through the optimizer — the
+    // unmaterialized self-join was measured pathological at plan time
+    // (optimizer minutes, single-threaded), not just double-executed
+    val capped = fps.select(col("doc_id"), col("fp")).distinct()
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxPerFp)
+      .drop("_r")
+      .localCheckpoint()
+    capped.as("l").join(capped.as("r"), Seq("fp"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   /** Connected components over an undirected pair list `(a, b)` —
     * transitive closure of the near-dup relation, turning pair output
     * ([[nearDupPairs]], [[nearDupClusterPairs]],

@@ -83,17 +83,20 @@ object Sketches {
     * tokens plus the sketch's false positives, which die at the final
     * exact filter). The full vocabulary never shuffles anywhere.
     */
-  def heavyHitters(df: DataFrame, text: Column, threshold: Long,
-      depth: Int = 4, width: Int = 512): DataFrame = {
+  /** The candidate gate of [[heavyHitters]], separated so a STREAM can
+    * probe a static corpus's sketch (the vs_index/mixture-gate split):
+    * per token occurrence, look up the count-min estimate via `depth`
+    * broadcast joins against `sketch` and keep occurrences whose
+    * estimate reaches `threshold`. Stateless past the broadcasts —
+    * streams as-is. Emits `(tok, est)` per surviving occurrence.
+    */
+  def cmCandidates(df: DataFrame, sketch: DataFrame, text: Column,
+      threshold: Long, depth: Int, width: Int): DataFrame = {
     checkDims(depth, width)
-    // materialize the (≤ depth·width)-row sketch ONCE: each broadcast
-    // join below re-evaluates its build side, so an unmaterialized
-    // sketch would re-scan the corpus `depth` times
-    val sk = countMin(df, text, depth, width).localCheckpoint()
     var probe = df.select(explode(TextOps.tokens(text)).as("tok"))
       .withColumn("_h", cmHash(col("tok")))
     (0 until depth).foreach { j =>
-      val skj = sk.filter(col("row") === j)
+      val skj = sketch.filter(col("row") === j)
         .select(col("bucket").as(s"_b$j"), col("cnt").as(s"_c$j"))
       probe = probe
         .withColumn(s"_b$j", cmBucketFromHash(col("_h"), j, width))
@@ -102,6 +105,17 @@ object Sketches {
     val est = least((0 until depth).map(j => col(s"_c$j")): _*)
     probe.withColumn("est", est)
       .filter(col("est") >= threshold)
+      .select(col("tok"), col("est"))
+  }
+
+  def heavyHitters(df: DataFrame, text: Column, threshold: Long,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    checkDims(depth, width)
+    // materialize the (≤ depth·width)-row sketch ONCE: each broadcast
+    // join below re-evaluates its build side, so an unmaterialized
+    // sketch would re-scan the corpus `depth` times
+    val sk = countMin(df, text, depth, width).localCheckpoint()
+    cmCandidates(df, sk, text, threshold, depth, width)
       .groupBy(col("tok").as("token"))
       .agg(min(col("est")).as("est"), count(lit(1)).as("exact"))
       .filter(col("exact") >= threshold)

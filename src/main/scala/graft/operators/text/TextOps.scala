@@ -192,6 +192,24 @@ object TextOps {
     c
   }
 
+  /** Inverted-index construction in flat posting-row form: one row per
+    * (term, doc) with the term frequency and the 1-based token
+    * positions (comma-joined — the phrase-query/highlighting payload).
+    * This IS the index at scale: partition (or bucket) the output by
+    * `term` and a term lookup is a pruned scan; [[bm25Stats]] reads
+    * off it, chatSpans-style offsets slice from it. One posexplode +
+    * one (term, doc)-keyed aggregate — map-side combinable, no
+    * window, no collect.
+    */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"),
+        posexplode(tokens(text)).as(Seq("_p", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        array_join(sort_array(collect_list(col("_p") + 1)), ",")
+          .as("positions"))
+
   /** C4-style line-level cleaning (Raffel et al. 2020's web-corpus
     * rules, re-expressed over a generic line delimiter): a LINE
     * survives iff it (a) ends with terminal punctuation
@@ -249,8 +267,9 @@ object TextOps {
     *
     * 100 TB shape: one shuffle on the conversation key with map-side
     * partial collect; transcripts are conversation-sized, never
-    * corpus-sized. The same aggregate runs under a streaming
-    * watermark for late-arriving turns.
+    * corpus-sized. The same aggregate runs in streaming update/
+    * complete mode (StreamingSpec-pinned); bound the state with a
+    * watermark on the order column once conversations expire.
     */
   def renderChat(df: org.apache.spark.sql.DataFrame, key: Column,
       order: Seq[Column], role: Column, content: Column,

@@ -1620,6 +1620,58 @@ object LlmPack extends QueryPack {
            |WHERE rn <= 100""".stripMargin
       }),
 
+    // inverted index in flat posting-row form: (term, doc, tf,
+    // positions) — partition by term and this IS the serving index;
+    // parallel-unnest ordinality replay, position lists joined
+    // identically
+    "text_inverted_index" -> QueryDef(
+      (s, dir) =>
+        TextOps.invertedIndex(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id")),
+      Some(invertedIndexSql)),
+
+    "dfs_inverted_index" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|where(lambda: mod("doc_id", 5) == 0)
+          #|inverted_index(.id_field('doc_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(invertedIndexSql)),
+
+    // winnowing fingerprints (MOSS): per-window rightmost-min of the
+    // rolling shingle hashes, position-deduped — the LOCAL
+    // exact-overlap detector. Full list-comprehension replay: same
+    // windows, same tie rule, same dedup.
+    "text_winnow" -> QueryDef(
+      (s, dir) =>
+        Dedup.winnow(Tables.documents(s, dir), col("text"),
+          col("doc_id"), 4),
+      Some(winnowSql(4))),
+
+    // shared-fingerprint pair report over the winnow output (hot
+    // fingerprints capped BEFORE the self-join — the bucket rule)
+    "text_winnow_pairs" -> QueryDef(
+      (s, dir) =>
+        Dedup.winnowMatches(
+          Dedup.winnow(Tables.documents(s, dir), col("text"),
+            col("doc_id"), 4), 50),
+      Some(winnowPairsSql(4, 50))),
+
+    "dfs_winnow" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|winnow(.id_field('doc_id').window(4))
+          #""".stripMargin('#'), s, dir),
+      Some(winnowSql(4))),
+
+    "dfs_winnow_pairs" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|winnow(.id_field('doc_id').window(4).matches(50))
+          #""".stripMargin('#'), s, dir),
+      Some(winnowPairsSql(4, 50))),
+
     // embedding outlier pruning: per seeded cluster, the keep_frac
     // closest rows by exact sq-dist stay; annotate mode pins BOTH
     // classes — rank, count and ceil-boundary replayed exactly
@@ -2304,6 +2356,54 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Oracle for the inverted-index queries: parallel-unnest ordinality
+    * gives the 1-based positions, list(… ORDER BY …) joins them in the
+    * same order.
+    */
+  private lazy val invertedIndexSql: String =
+    s"""WITH occ AS (SELECT doc_id, unnest($toks) AS term,
+       |        unnest(range(1, len($toks) + 1)) AS pos
+       |      FROM documents WHERE doc_id % 5 = 0)
+       |SELECT term, doc_id, count(*) AS tf,
+       |  array_to_string(list(pos ORDER BY pos), ',') AS positions
+       |FROM occ GROUP BY term, doc_id""".stripMargin
+
+  /** Oracle for the winnow queries: the same windows over the same
+    * rolling shingle hashes, DuckDB's rightmost-min via
+    * list_position over the reversed window, position-deduped.
+    */
+  private def winnowSelSql(w: Int): String =
+    s"""hs AS (SELECT doc_id, $rollHs AS gh
+       |       FROM (SELECT doc_id, $tokHs AS th FROM documents)),
+       |g AS (SELECT doc_id, gh,
+       |        greatest(1, len(gh) - ${w - 1}) AS nw
+       |      FROM hs WHERE len(gh) >= 1),
+       |sel AS (SELECT doc_id, gh, list_distinct([
+       |          i + len(gh[i : i + ${w - 1}])
+       |            - list_position(list_reverse(gh[i : i + ${w - 1}]),
+       |                list_min(gh[i : i + ${w - 1}]))
+       |          for i in range(1, nw + 1)]) AS ps
+       |        FROM g),
+       |fp AS (SELECT doc_id, CAST(p AS INTEGER) AS pos, gh[p] AS fp
+       |       FROM (SELECT doc_id, gh, unnest(ps) AS p FROM sel))""".stripMargin
+
+  private def winnowSql(w: Int): String =
+    s"""WITH ${winnowSelSql(w)}
+       |SELECT doc_id, pos, fp FROM fp""".stripMargin
+
+  private def winnowPairsSql(w: Int, maxPerFp: Int): String =
+    s"""WITH ${winnowSelSql(w)},
+       |d AS (SELECT DISTINCT doc_id, fp FROM fp),
+       |capped AS (SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, row_number() OVER (PARTITION BY fp
+       |        ORDER BY ${h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS r
+       |    FROM d)
+       |  WHERE r <= $maxPerFp)
+       |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS shared_fps
+       |FROM capped l JOIN capped r
+       |  ON l.fp = r.fp AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   /** Oracle for the outlier queries: seed-literal distance array,
     * nearest cell + its distance, partitioned rank and count, and the

@@ -923,6 +923,41 @@ class LlmSpec extends AnyFunSuite {
       again.map(_.toString).sorted))
   }
 
+  test("winnow: shared-run guarantee, density bound, tie rule") {
+    import spark.implicits._
+    val w = 4
+    // doc 1 and 2 share a 10-token run (>= w + 2 = 6): they MUST share
+    // a selected fingerprint (the Schleimer guarantee)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two $shared three four five six"),
+      (2L, s"nine eight seven $shared"),
+      (3L, "completely different words everywhere nothing matches at all")
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.text.Dedup.winnow(docs, col("text"),
+      col("doc_id"), w).collect()
+    def fpsOf(d: Long) = fps.filter(_.getAs[Long]("doc_id") == d)
+      .map(_.getAs[Long]("fp")).toSet
+    assert((fpsOf(1L) intersect fpsOf(2L)).nonEmpty)
+    assert((fpsOf(1L) intersect fpsOf(3L)).isEmpty)
+    // density: selected positions are a strict subset of gram positions
+    val grams1 = 13 - 2 // doc 1 token count - 2
+    val sel1 = fps.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(sel1.length < grams1 && sel1.nonEmpty)
+    // every window of w grams contains a selected position (coverage)
+    val pos1 = sel1.map(_.getAs[Int]("pos")).sorted
+    (1 to (grams1 - w + 1)).foreach { i =>
+      assert(pos1.exists(p => p >= i && p < i + w),
+        s"window at $i has no selected fingerprint")
+    }
+    // matches report: (1, 2) is the only pair
+    val pairs = graft.operators.text.Dedup.winnowMatches(
+      graft.operators.text.Dedup.winnow(docs, col("text"),
+        col("doc_id"), w)).collect()
+    assert(pairs.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+      == Set((1L, 2L)))
+  }
+
   test("c4Filter: each rule fires on its constructed case") {
     import spark.implicits._
     val docs = Seq(

@@ -635,4 +635,91 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(got.toSet == batch)
   }
+
+  test("c4Filter: per-row line rules stream as-is, emissions match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val data = (1L to 20L).map { i =>
+      val txt = if (i % 3 == 0) "keep this longer line.\nshort.\nno punct here"
+      else "good first line stays here.\nsecond good line also stays!"
+      Ev(i % 3, i, i.toDouble, txt)
+    }
+    def c4(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.text.TextOps.c4Filter(df, col("event_type"),
+        minWords = 3, lineBlock = Seq("javascript"), docBlock = Seq("{"),
+        minLines = 1)
+        .select(col("seq"), col("clean_text"), col("n_kept"))
+    val batch = c4(data.toDF()).as[(Long, String, Int)].collect().toSet
+    assert(batch.nonEmpty)
+    val streamed = runStream("c4stream")(in =>
+      c4(in.toDS().toDF()).as[(Long, String, Int)])(data)
+      .as[(Long, String, Int)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("count-min candidate gate: stream probed against a static " +
+      "corpus's sketch matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.text.Sketches
+    val corpus = (1L to 40L).map(i =>
+      Ev(1, i, i.toDouble, if (i % 4 == 0) "rare word" else "hot hot hot"))
+    val static = corpus.toDF()
+    // the sketch is a batch fact of the established corpus
+    val sk = S.countMin(static, col("event_type"), 3, 8).localCheckpoint()
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      S.cmCandidates(df, sk, col("event_type"), 30L, 3, 8)
+    val batch = gate(static).as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(batch.keys.map(_._1).toSet == Set("hot")) // 90 occurrences
+    val streamed = runStream("cmstream")(in =>
+      gate(in.toDS().toDF()).as[(String, Long)])(corpus)
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed == batch)
+  }
+
+  test("upsample repeat: stream gated by static rates matches batch, " +
+      "copies included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val data = (1L to 60L).map(i =>
+      Ev(i % 3, i, i.toDouble, if (i % 5 == 0) "de" else "en"))
+    val static = data.toDF()
+    val rates = T.upsampleRates(static, col("event_type"),
+      when(col("event_type") === "de", 4.0).otherwise(1.0), 1.5)
+      .localCheckpoint()
+    def up(df: org.apache.spark.sql.DataFrame) =
+      T.applyUpsampleRepeat(df, col("seq"), col("event_type"), rates)
+        .select(col("seq"), col("copy"))
+    val batch = up(static).as[(Long, Long)].collect().toSet
+    assert(batch.exists(_._2 >= 1)) // some row actually repeats
+    val streamed = runStream("upstream")(in =>
+      up(in.toDS().toDF()).as[(Long, Long)])(data)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("renderChat: streaming complete-mode aggregate matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val data = (1L to 24L).map(i => Ev(i % 4, i, i.toDouble, s"m$i"))
+    def render(df: org.apache.spark.sql.DataFrame) =
+      T.renderChat(df, col("user_id"), Seq(col("seq")),
+        col("event_type"), col("value"))
+    val batch = render(data.toDF()).as[(Long, Long, String)]
+      .collect().toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = render(in.toDS().toDF()).writeStream.format("memory")
+      .queryName("chatstream").outputMode("complete").start()
+    in.addData(data.take(10)); q.processAllAvailable()
+    in.addData(data.drop(10)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("chatstream").as[(Long, Long, String)]
+      .collect().toSet
+    assert(streamed == batch)
+  }
 }
