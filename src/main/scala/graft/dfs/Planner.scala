@@ -2653,6 +2653,18 @@ object Planner {
       val text = optStr(n, "text_field", env).getOrElse("text")
       graft.operators.text.TextOps.withTokenEntropy(ctx.df, Paths.ref(text))
     },
+    // domain blocklist with suffix semantics (graft extension, the
+    // Curation.domainBlocklist door): an entry blocks every subdomain
+    // under it; drops by default, `.annotate()` lands `blocked`
+    "domain_block" -> bt(Set("field", "block", "annotate")) {
+      (ctx, n, env) =>
+        val field = optStr(n, "field", env).getOrElse("domain")
+        val blocked = optStrs(n, "block", env)
+        if (blocked.isEmpty) throw DfsError("domain_block: .block")
+        graft.operators.text.Curation.domainBlocklist(ctx.df,
+          Paths.ref(field), blocked,
+          annotate = optFlag(n, "annotate", env))
+    },
     // inverted index (graft extension, the TextOps.invertedIndex
     // door): flat posting rows (term, doc, tf, positions) — partition
     // the sink by term and this is the serving index

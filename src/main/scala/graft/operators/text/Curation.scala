@@ -184,6 +184,48 @@ object Curation {
           .otherwise("changed").as("status"))
   }
 
+  /** All dot-suffixes of a domain, most-specific first:
+    * `sub.spam.example` → `[sub.spam.example, spam.example, example]` —
+    * the expansion that gives a blocklist SUFFIX semantics (an entry
+    * blocks every subdomain under it, the standard URL-curation rule).
+    */
+  def domainSuffixes(domain: Column): Column = {
+    val parts = split(domain, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /** Domain blocklist with suffix semantics, literal-list form: a row
+    * is blocked iff ANY dot-suffix of its domain is listed. The list
+    * embeds in the plan (right for the usual 10²–10⁴-entry curated
+    * lists) — pure per-row scan, zero shuffle, streams as-is.
+    * `annotate = true` keeps everything and lands `blocked`.
+    */
+  def domainBlocklist(df: DataFrame, domain: Column,
+      blocked: Seq[String], annotate: Boolean = false): DataFrame = {
+    require(blocked.nonEmpty, "domainBlocklist: empty blocklist")
+    val isBlocked = arrays_overlap(domainSuffixes(domain),
+      array(blocked.map(lit(_)): _*))
+    if (annotate) df.withColumn("blocked", isBlocked)
+    else df.filter(!isBlocked)
+  }
+
+  /** [[domainBlocklist]]'s table form for blocklists too large to
+    * embed (threat feeds run millions of entries): explode the ≤
+    * label-count suffixes, anti-join the blocklist on the suffix — a
+    * partitionable equi-join, no broadcast requirement, no row limit
+    * on either side.
+    */
+  def domainBlocklistTable(df: DataFrame, domain: Column, id: Column,
+      blocklist: DataFrame): DataFrame = {
+    val hits = df
+      .select(id.as("_bid"), explode(domainSuffixes(domain)).as("_suf"))
+      .join(blocklist.select(col("domain").as("_suf")), Seq("_suf"),
+        "left_semi")
+      .select(col("_bid")).distinct()
+    df.join(hits, id === col("_bid"), "left_anti")
+  }
+
   /** Token-distribution drift between two corpus snapshots: per-token
     * contribution to the add-one-smoothed KL(after ‖ before) — the
     * "did the crawl/filter change what the model will read"

@@ -1620,6 +1620,31 @@ object LlmPack extends QueryPack {
            |WHERE rn <= 100""".stripMargin
       }),
 
+    // domain blocklist with suffix semantics over a synthesized
+    // domain (source.lang.example): 'en.example' blocks every en doc
+    // by suffix, one exact entry blocks a single source — both rules
+    // pinned via annotate; list_intersect replays arrays_overlap
+    "text_domain_block" -> QueryDef(
+      (s, dir) =>
+        Curation.domainBlocklist(
+          Tables.documents(s, dir).withColumn("domain",
+            concat_ws(".", col("source"), col("lang"), lit("example"))),
+          col("domain"), Seq("en.example", "src7.de.example"),
+          annotate = true)
+          .select(col("doc_id"), col("domain"), col("blocked")),
+      Some(domainBlockSql)),
+
+    "dfs_domain_block" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat("source", '.', "lang", '.example'))
+          #  .as('domain')
+          #|domain_block(.field('domain')
+          #  .block('en.example', 'src7.de.example').annotate())
+          #|keep('doc_id', 'domain', 'blocked')
+          #""".stripMargin('#'), s, dir),
+      Some(domainBlockSql)),
+
     // inverted index in flat posting-row form: (term, doc, tf,
     // positions) — partition by term and this IS the serving index;
     // parallel-unnest ordinality replay, position lists joined
@@ -2356,6 +2381,23 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Oracle for the domain_block queries: the same suffix expansion
+    * and list-overlap test over the synthesized domain.
+    */
+  private lazy val domainBlockSql: String =
+    """WITH d AS (SELECT doc_id,
+      |        source || '.' || lang || '.example' AS domain
+      |      FROM documents),
+      |s AS (SELECT doc_id, domain,
+      |        [array_to_string(string_split(domain, '.')[i:], '.')
+      |         for i in range(1, len(string_split(domain, '.')) + 1)]
+      |          AS sufs
+      |      FROM d)
+      |SELECT doc_id, domain,
+      |  len(list_intersect(sufs, ['en.example', 'src7.de.example'])) > 0
+      |    AS blocked
+      |FROM s""".stripMargin
 
   /** Oracle for the inverted-index queries: parallel-unnest ordinality
     * gives the 1-based positions, list(… ORDER BY …) joins them in the

@@ -378,6 +378,32 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("domainBlocklist: suffix semantics; table form equals literal") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "sub.spam.example"),   // blocked via suffix spam.example
+      (2L, "spam.example"),       // blocked exactly
+      (3L, "notspam.example"),    // NOT blocked (label boundary, not substring)
+      (4L, "spam.example.good"),  // NOT blocked (suffix, not infix)
+      (5L, "clean.org")
+    ).toDF("id", "domain")
+    val bl = Seq("spam.example")
+    val kept = Curation.domainBlocklist(rows, col("domain"), bl)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // annotate partitions the input
+    val ann = Curation.domainBlocklist(rows, col("domain"), bl,
+      annotate = true).collect()
+    assert(ann.length == 5 &&
+      ann.filter(_.getAs[Boolean]("blocked")).map(_.getAs[Long]("id"))
+        .toSet == Set(1L, 2L))
+    // the table (anti-join) form selects the identical survivor set
+    val blDf = bl.toDF("domain")
+    val keptT = Curation.domainBlocklistTable(rows, col("domain"),
+      col("id"), blDf).select("id").as[Long].collect().toSet
+    assert(keptT == kept)
+  }
+
   test("tokenKlDrift: KL total non-negative; direction tracks the " +
       "snapshot change; identical snapshots -> zero everywhere") {
     val docs = Tables.documents(spark, sf)

@@ -923,6 +923,20 @@ class LlmSpec extends AnyFunSuite {
       again.map(_.toString).sorted))
   }
 
+  test("invertedIndex: tf and positions from a constructed doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c a"), (2L, "b b")).toDF("doc_id", "text")
+    val idx = graft.operators.text.TextOps.invertedIndex(docs,
+      col("text"), col("doc_id")).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("tf"), r.getAs[String]("positions"))).toMap
+    assert(idx(("a", 1L)) == ((3L, "1,3,5")))
+    assert(idx(("b", 1L)) == ((1L, "2")))
+    assert(idx(("c", 1L)) == ((1L, "4")))
+    assert(idx(("b", 2L)) == ((2L, "1,2")))
+    assert(idx.size == 4)
+  }
+
   test("winnow: shared-run guarantee, density bound, tie rule") {
     import spark.implicits._
     val w = 4
