@@ -2665,6 +2665,23 @@ object Planner {
           Paths.ref(field), blocked,
           annotate = optFlag(n, "annotate", env))
     },
+    // multinomial Naive Bayes classifier (graft extension, the
+    // Curation.naiveBayesClassify door): `.train(lambda)` selects the
+    // labeled slice, everything else is scored against it
+    "nb_classify" -> bt(Set("text_field", "id_field", "label",
+      "train")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("nb_classify: .id_field"))
+      val label = optStr(n, "label", env)
+        .getOrElse(throw DfsError("nb_classify: .label"))
+      val isTrain = optLambdas(n, "train", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("nb_classify: .train(lambda)"))
+      graft.operators.text.Curation.naiveBayesClassify(
+        ctx.df.filter(isTrain), ctx.df.filter(!isTrain),
+        Paths.ref(text), Paths.ref(id), Paths.ref(label))
+    },
     // inverted index (graft extension, the TextOps.invertedIndex
     // door): flat posting rows (term, doc, tf, positions) — partition
     // the sink by term and this is the serving index

@@ -294,6 +294,78 @@ object Curation {
     df.withColumn(as, expr)
   }
 
+  /** Multinomial Naive Bayes classifier, trained and applied in one
+    * call — the fasttext/CCNet-style quality-and-language classifier
+    * family: learn per-class token log-likelihoods from a labeled
+    * slice, score every unlabeled doc, emit the argmax class.
+    *
+    * Add-one smoothing over the train vocabulary V. For a doc with
+    * tokens t₁…tₙ, score(c) = ln P(c) + Σᵢ ln((cnt(tᵢ,c)+1)/(totᶜ+V)).
+    * Tokens unseen in class c contribute ln 1 = 0 to the matched sum,
+    * so the per-class score decomposes as
+    *   prior + Σ_matched ln(cnt+1) − n·ln(totᶜ+V)
+    * — the matched sum needs only an INNER join on the token, never a
+    * dense doc×vocab expansion. Every log rounds to integer 1e-9 units
+    * BEFORE any sum (the text_ppl scaled-long trick) so aggregates are
+    * order-free and engine-exact. Tie-break: highest (score, class)
+    * pair, i.e. lexicographically largest class wins equal scores —
+    * deterministic under any partitioning.
+    *
+    * 100 TB shape: training is one (class, token)-keyed map-side-
+    * combinable aggregate down to vocabulary-cardinality rows; class
+    * totals and priors are class-cardinality aggregates joined back by
+    * broadcast (the fillPeriod 1-row lazy-scalar pattern); scoring is
+    * one explode + one vocabulary-keyed equi-join (partitionable, no
+    * broadcast requirement) + one doc-keyed aggregate. Nothing is
+    * corpus-quadratic and nothing collects to the driver.
+    */
+  def naiveBayesClassify(train: DataFrame, score: DataFrame,
+      text: Column, id: Column, label: Column): DataFrame = {
+    val trTok = train.select(label.as("_cls"),
+      explode(TextOps.tokens(text)).as("_tok"))
+    // vocabulary-sized: per-(class, token) occurrence counts
+    val w = trTok.groupBy(col("_cls"), col("_tok"))
+      .agg(round(log(count(lit(1)) + lit(1.0)) * lit(1e9))
+        .cast("long").as("_w_nano"))
+    // class-cardinality: token totals and doc priors per class
+    val tots = trTok.groupBy(col("_cls"))
+      .agg(count(lit(1)).as("_tot"))
+    val priors = train.groupBy(label.as("_cls"))
+      .agg(count(lit(1)).as("_ndoc"))
+    val grand = trTok.agg(countDistinct(col("_tok")).as("_v"))
+      .crossJoin(train.agg(count(lit(1)).as("_n")))
+    val classes = tots.join(priors, Seq("_cls"))
+      .join(broadcast(grand))
+      .select(col("_cls"),
+        round(log(col("_ndoc").cast("double") / col("_n")) * lit(1e9))
+          .cast("long").as("_prior_nano"),
+        round(log((col("_tot") + col("_v")).cast("double")) * lit(1e9))
+          .cast("long").as("_base_nano"))
+    val docs = score.select(id.as("doc_id"),
+      TextOps.tokens(text).as("_w"))
+      .select(col("doc_id"), col("_w"),
+        size(col("_w")).cast("long").as("n_tok"))
+    // matched log-likelihood mass per (doc, class): inner join — a
+    // token absent from a class's vocabulary contributes ln 1 = 0
+    val matched = docs
+      .select(col("doc_id"), explode(col("_w")).as("_tok"))
+      .join(w, Seq("_tok"))
+      .groupBy(col("doc_id"), col("_cls"))
+      .agg(sum(col("_w_nano")).as("_m_nano"))
+    docs.select(col("doc_id"), col("n_tok"))
+      .join(broadcast(classes))
+      .join(matched, Seq("doc_id", "_cls"), "left_outer")
+      .select(col("doc_id"), col("n_tok"), col("_cls"),
+        (col("_prior_nano") + coalesce(col("_m_nano"), lit(0L)) -
+          col("n_tok") * col("_base_nano")).as("_s_nano"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_tok")).as("n_tok"),
+        max(struct(col("_s_nano"), col("_cls"))).as("_best"))
+      .select(col("doc_id"), col("n_tok"),
+        col("_best._cls").as("pred"),
+        col("_best._s_nano").as("score_nano"))
+  }
+
   def sampleWeightedK(df: DataFrame, id: Column, weight: Column, k: Int,
       stratum: Seq[Column]): DataFrame = {
     require(k > 0, s"sampleWeightedK: k must be positive, got $k")

@@ -1645,6 +1645,29 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(domainBlockSql)),
 
+    // multinomial Naive Bayes classifier (the fasttext/CCNet quality-
+    // and-language classifier family): train on the doc_id%5!=0 slice
+    // with lang as the label, predict the held-out slice. Full replay:
+    // same add-one smoothing, same scaled-long rounding before every
+    // sum, same (score, class)-max tie-break.
+    "text_nb_classify" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Curation.naiveBayesClassify(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("text"), col("doc_id"), col("lang"))
+      },
+      Some(nbClassifySql)),
+
+    "dfs_nb_classify" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|nb_classify(.id_field('doc_id').label('lang')
+          #  .train(lambda: mod("doc_id", 5) != 0))
+          #""".stripMargin('#'), s, dir),
+      Some(nbClassifySql)),
+
     // inverted index in flat posting-row form: (term, doc, tf,
     // positions) — partition by term and this IS the serving index;
     // parallel-unnest ordinality replay, position lists joined
@@ -2381,6 +2404,44 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Oracle for the nb_classify queries: the full Naive Bayes replay —
+    * per-(class, token) add-one log-likelihoods, class priors and
+    * smoothing bases, matched-sum decomposition, all rounded to 1e-9
+    * units before summing, argmax by (score, class).
+    */
+  private lazy val nbClassifySql: String =
+    s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
+      |        WHERE doc_id % 5 <> 0),
+      |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+      |trtok AS (SELECT lang AS cls, unnest($toks) AS tok FROM tr),
+      |w AS (SELECT cls, tok,
+      |        CAST(round(ln(count(*) + 1.0) * 1e9) AS BIGINT) AS w_nano
+      |      FROM trtok GROUP BY 1, 2),
+      |tots AS (SELECT cls, count(*) AS tot FROM trtok GROUP BY 1),
+      |priors AS (SELECT lang AS cls, count(*) AS ndoc FROM tr GROUP BY 1),
+      |grand AS (SELECT (SELECT count(DISTINCT tok) FROM trtok) AS v,
+      |        (SELECT count(*) FROM tr) AS n),
+      |cls AS (SELECT t.cls,
+      |        CAST(round(ln(CAST(p.ndoc AS DOUBLE) / g.n) * 1e9)
+      |          AS BIGINT) AS prior_nano,
+      |        CAST(round(ln(CAST(t.tot + g.v AS DOUBLE)) * 1e9)
+      |          AS BIGINT) AS base_nano
+      |      FROM tots t JOIN priors p USING (cls) CROSS JOIN grand g),
+      |docs AS (SELECT doc_id, $toks AS tk FROM te),
+      |dn AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM docs),
+      |m AS (SELECT d.doc_id, w.cls, sum(w.w_nano) AS m_nano
+      |      FROM (SELECT doc_id, unnest(tk) AS tok FROM docs) d
+      |      JOIN w USING (tok) GROUP BY 1, 2),
+      |sc AS (SELECT dn.doc_id, dn.n_tok, c.cls,
+      |        c.prior_nano + coalesce(m.m_nano, 0) -
+      |          dn.n_tok * c.base_nano AS s_nano
+      |      FROM dn CROSS JOIN cls c
+      |      LEFT JOIN m ON m.doc_id = dn.doc_id AND m.cls = c.cls)
+      |SELECT doc_id, n_tok, cls AS pred, s_nano AS score_nano
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY s_nano DESC, cls DESC) AS rn FROM sc)
+      |WHERE rn = 1""".stripMargin
 
   /** Oracle for the domain_block queries: the same suffix expansion
     * and list-overlap test over the synthesized domain.

@@ -404,6 +404,42 @@ class CurationSpec extends AnyFunSuite {
     assert(keptT == kept)
   }
 
+  test("naiveBayesClassify: separable classes recovered; unseen-token " +
+      "doc falls back to the prior-vs-base trade deterministically") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "buy pills now cheap", "spam"),
+      (2L, "cheap pills buy pills", "spam"),
+      (3L, "meeting at noon today", "ham"),
+      (4L, "lunch meeting today plan", "ham"),
+      (5L, "plan the noon meeting", "ham")
+    ).toDF("id", "text", "cls")
+    val score = Seq(
+      (10L, "buy cheap pills"),
+      (11L, "team meeting today"),
+      (12L, "zzz qqq")
+    ).toDF("id", "text")
+    val out = Curation.naiveBayesClassify(train, score,
+      col("text"), col("id"), col("cls"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred"), r.getAs[Long]("score_nano"))).toMap
+    assert(out(10L)._1 == "spam" && out(11L)._1 == "ham")
+    // unseen-token doc: matched mass is zero for both classes, so the
+    // score is prior − n·ln(tot_c + V) exactly; ham has the larger
+    // prior (3/5 docs) AND the same-magnitude base order — assert the
+    // exact closed form rather than just the argmax
+    val V = 11 // distinct train tokens; ham token total is 12
+    def nano(x: Double) = math.round(x * 1e9)
+    val hamExp = nano(math.log(3.0 / 5)) - 2 * nano(math.log(12.0 + V))
+    assert(out(12L) == (("ham", hamExp)))
+    // determinism across re-runs (fresh plan, same result)
+    val again = Curation.naiveBayesClassify(train, score,
+      col("text"), col("id"), col("cls"))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[String]("pred"), r.getAs[Long]("score_nano"))).toSet
+    assert(again == out.map { case (d, (p, s)) => (d, p, s) }.toSet)
+  }
+
   test("tokenKlDrift: KL total non-negative; direction tracks the " +
       "snapshot change; identical snapshots -> zero everywhere") {
     val docs = Tables.documents(spark, sf)

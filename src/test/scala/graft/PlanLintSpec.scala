@@ -123,7 +123,11 @@ class PlanLintSpec extends AnyFunSuite {
       "text_mixture_epochs", "dfs_mixture_epochs",
       // tokenKlDrift broadcasts its 1-ROW (N_before, N_after, |V|)
       // totals — the fillPeriod lazy-scalar pattern
-      "text_kl_drift", "dfs_kl_drift")
+      "text_kl_drift", "dfs_kl_drift",
+      // naiveBayesClassify broadcasts its 1-ROW (V, N) grand totals and
+      // the class-cardinality (prior, base) table — both bounded by
+      // label cardinality, the fillPeriod lazy-scalar pattern
+      "text_nb_classify", "dfs_nb_classify")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
