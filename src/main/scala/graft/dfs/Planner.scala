@@ -2665,6 +2665,15 @@ object Planner {
           Paths.ref(field), blocked,
           annotate = optFlag(n, "annotate", env))
     },
+    // URL canonicalization (graft extension, the Curation.urlCanon
+    // door): fragment/www/default-port/tracking-param normalization —
+    // the crawl-frontier key every URL-level dedup groups on
+    "url_canon" -> bt(Set("field", "as")) { (ctx, n, env) =>
+      val field = optStr(n, "field", env).getOrElse("url")
+      val as = optStr(n, "as", env).getOrElse("url_canon")
+      ctx.df.withColumn(as,
+        graft.operators.text.Curation.urlCanon(Paths.ref(field)))
+    },
     // multinomial Naive Bayes classifier (graft extension, the
     // Curation.naiveBayesClassify door): `.train(lambda)` selects the
     // labeled slice, everything else is scored against it

@@ -294,6 +294,45 @@ object Curation {
     df.withColumn(as, expr)
   }
 
+  /** Canonical form of an absolute http(s) URL — the crawl-frontier
+    * normalization that makes URL-level dedup and [[domainBlocklist]]
+    * joins meaningful: two spellings of the same page must collapse to
+    * one key BEFORE any grouping.
+    *
+    * Rules (each deterministic, order fixed): strip the fragment;
+    * lowercase scheme and host (missing scheme → `http`); strip one
+    * leading `www.`; drop the default port (`:80` for http, `:443` for
+    * https); collapse the path's trailing slashes (empty path → `/`);
+    * drop tracking params (`utm_*`, `gclid`, `fbclid`, `ref`), sort the
+    * survivors byte-wise, drop an empty query entirely.
+    *
+    * 100 TB shape: a pure per-row expression — no shuffle, no UDF,
+    * streams as-is.
+    */
+  def urlCanon(url: Column): Column = {
+    val pat = "^(?:([a-zA-Z][a-zA-Z0-9+.-]*)://)?([^/?#]*)([^?#]*)(?:\\?([^#]*))?.*$"
+    val scheme0 = lower(regexp_extract(url, pat, 1))
+    val scheme = when(scheme0 === "", "http").otherwise(scheme0)
+    val auth = regexp_extract(url, pat, 2)
+    val host = regexp_replace(
+      lower(regexp_extract(auth, "^([^:]*)", 1)), "^www\\.", "")
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path0 = regexp_replace(regexp_extract(url, pat, 3), "/+$", "")
+    val path = when(path0 === "", "/").otherwise(path0)
+    val params = array_sort(filter(
+      split(regexp_extract(url, pat, 4), "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[^=&]*|gclid|fbclid|ref)(=|$)")))
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(""),
+      path,
+      when(size(params) > 0,
+        concat(lit("?"), array_join(params, "&"))).otherwise(""))
+  }
+
   /** Multinomial Naive Bayes classifier, trained and applied in one
     * call — the fasttext/CCNet-style quality-and-language classifier
     * family: learn per-class token log-likelihoods from a labeled

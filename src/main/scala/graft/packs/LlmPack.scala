@@ -1645,6 +1645,42 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(domainBlockSql)),
 
+    // URL canonicalization over a synthesized frontier: scheme/port/
+    // www/trailing-slash/tracking-param variety driven off doc_id
+    // residues. The oracle does NOT replay the regex pipeline — it
+    // constructs the expected canonical form in closed form from the
+    // same residues, independently pinning every normalization rule.
+    "text_url_canon" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id")
+        val url = concat(
+          lit("http"), when(id % 2 === 0, "s").otherwise(""),
+          lit("://"),
+          when(id % 3 === 0, "www.").otherwise(""),
+          col("source"), lit("."), col("lang"), lit(".example"),
+          when(id % 4 === 0, ":443").when(id % 4 === 1, ":8080")
+            .when(id % 4 === 2, ":80").otherwise(""),
+          lit("/p/"), id.cast("string"),
+          when(id % 5 === 0, "/").otherwise(""),
+          when(id % 2 === 0, "?utm_source=x&b=2&a=1").otherwise(""),
+          lit("#frag"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), url.as("url"))
+          .withColumn("canon", Curation.urlCanon(col("url")))
+      },
+      Some(urlCanonSql)),
+
+    "dfs_url_canon" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat('https://www.', "source", '.',
+          #  "lang", '.example:443/p/', string("doc_id"),
+          #  '/?utm_source=x&b=2&a=1#f')).as('url')
+          #|url_canon(.field('url').as('canon'))
+          #|keep('doc_id', 'url', 'canon')
+          #""".stripMargin('#'), s, dir),
+      Some(dfsUrlCanonSql)),
+
     // multinomial Naive Bayes classifier (the fasttext/CCNet quality-
     // and-language classifier family): train on the doc_id%5!=0 slice
     // with lang as the label, predict the held-out slice. Full replay:
@@ -2404,6 +2440,43 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Oracle for text_url_canon: replays the URL SYNTHESIS (pure
+    * concat) but derives the CANONICAL form in closed form from the
+    * doc_id residues — an independent derivation, so every
+    * normalization rule (fragment, www, default-port vs kept-port,
+    * trailing slash, tracking-param drop + byte-order sort) is pinned
+    * without sharing the operator's regex pipeline.
+    */
+  private lazy val urlCanonSql: String =
+    """SELECT doc_id,
+      |  'http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END ||
+      |  '://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+      |  source || '.' || lang || '.example' ||
+      |  CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':8080'
+      |    WHEN 2 THEN ':80' ELSE '' END ||
+      |  '/p/' || doc_id ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&b=2&a=1'
+      |    ELSE '' END || '#frag' AS url,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END ||
+      |  '://' || source || '.' || lang || '.example' ||
+      |  CASE doc_id % 4 WHEN 1 THEN ':8080' WHEN 2 THEN ':80'
+      |    ELSE '' END ||
+      |  '/p/' || doc_id ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '?a=1&b=2' ELSE '' END AS canon
+      |FROM documents""".stripMargin
+
+  /** Oracle for dfs_url_canon: same closed-form idea over the single
+    * synthesized shape the DFS script builds.
+    */
+  private lazy val dfsUrlCanonSql: String =
+    """SELECT doc_id,
+      |  'https://www.' || source || '.' || lang || '.example:443/p/' ||
+      |    doc_id || '/?utm_source=x&b=2&a=1#f' AS url,
+      |  'https://' || source || '.' || lang || '.example/p/' ||
+      |    doc_id || '?a=1&b=2' AS canon
+      |FROM documents""".stripMargin
 
   /** Oracle for the nb_classify queries: the full Naive Bayes replay —
     * per-(class, token) add-one log-likelihoods, class priors and

@@ -404,6 +404,25 @@ class CurationSpec extends AnyFunSuite {
     assert(keptT == kept)
   }
 
+  test("urlCanon: edge cases — missing scheme, casing, default ports, " +
+      "trailing slashes, bare tracking keys, query-only URLs") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTP://WWW.Example.COM:80/A/B//#frag" ->
+        "http://example.com/A/B",
+      "https://example.com:443" -> "https://example.com/",
+      "https://example.com:80/x" -> "https://example.com:80/x",
+      "example.com/path?b=2&utm_campaign&a=1&ref=x" ->
+        "http://example.com/path?a=1&b=2",
+      "http://example.com?utm_source=t" -> "http://example.com/",
+      "http://www.www.example.com/" -> "http://www.example.com/"
+    )
+    val out = cases.map(_._1).toDF("url")
+      .select(Curation.urlCanon(col("url")).as("c")).as[String]
+      .collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
   test("naiveBayesClassify: separable classes recovered; unseen-token " +
       "doc falls back to the prior-vs-base trade deterministically") {
     import spark.implicits._
