@@ -701,6 +701,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("urlCanon + domainBlocklist: per-row ops stream as-is, " +
+      "emissions match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val C = graft.operators.text.Curation
+    val data = (1L to 20L).map(i => Ev(i % 3, i,
+      i.toDouble, s"https://WWW.h$i.spam.example:443/p/$i/?utm_s=1&a=$i"))
+    def f(df: org.apache.spark.sql.DataFrame) =
+      C.domainBlocklist(
+        df.select(col("seq"), C.urlCanon(col("event_type")).as("canon")),
+        regexp_extract(col("canon"), "^https?://([^/:]*)", 1),
+        Seq("spam.example"), annotate = true)
+        .select(col("seq"), col("canon"), col("blocked"))
+    val batch = f(data.toDF()).as[(Long, String, Boolean)].collect().toSet
+    assert(batch.forall(_._3) && batch.exists(
+      _._2.startsWith("https://h1.spam.example/p/1?a=1")))
+    val streamed = runStream("urlcanonstream")(in =>
+      f(in.toDS().toDF()).as[(Long, String, Boolean)])(data)
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("naiveBayesClassify: micro-batch scoring against the static " +
+      "trained model matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val C = graft.operators.text.Curation
+    // the model is train-side static; scoring is per-doc pure given the
+    // model, so foreachBatch micro-batch scoring == batch exactly even
+    // with docs split across batches (docs/SCALE.md operator map)
+    val train = Seq(
+      (1L, "buy pills now cheap", "spam"),
+      (2L, "cheap pills buy pills", "spam"),
+      (3L, "meeting at noon today", "ham"),
+      (4L, "lunch meeting today plan", "ham")).toDF("id", "body", "cls")
+    val arriving = Seq((10L, "buy cheap pills"), (11L, "noon meeting"),
+      (12L, "pills at noon"))
+    def score(df: org.apache.spark.sql.DataFrame) =
+      C.naiveBayesClassify(train, df, col("body"), col("id"), col("cls"))
+        .select("doc_id", "pred", "score_nano")
+    val batch = score(arriving.toDF("id", "body"))
+      .as[(Long, String, Long)].collect().toSet
+    // doc 12 is a real-valued tie (spam matches ln4, ham ln2+ln2) that
+    // the PER-TOKEN nano rounding resolves: 2·round(ln2·1e9) =
+    // round(ln4·1e9)+1, so ham wins by one nano — engine and oracle
+    // round at the same grain, so they agree
+    assert(batch.map(t => t._1 -> t._2).toMap ==
+      Map(10L -> "spam", 11L -> "ham", 12L -> "ham"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    val q = in.toDS().toDF("id", "body").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= score(mb).as[(Long, String, Long)].collect()
+        ()
+      }.start()
+    in.addData(arriving.take(1))
+    in.addData(arriving.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batch)
+  }
+
   test("renderChat: streaming complete-mode aggregate matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
