@@ -2665,6 +2665,26 @@ object Planner {
           Paths.ref(field), blocked,
           annotate = optFlag(n, "annotate", env))
     },
+    // fixed-point covariance matrix (graft extension, the
+    // VectorCuration.covarianceFixed door): flat (i, j, cov) rows
+    "covariance" -> bt(Set("vec_field")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      graft.operators.vector.VectorCuration.covarianceFixed(ctx.df, vec)
+    },
+    // PCA curriculum coordinate (graft extension): covariance ->
+    // fixed-point power iteration -> projection, all exact integers
+    "pca_project" -> bt(Set("vec_field", "id_field", "iters", "dim")) {
+      (ctx, n, env) =>
+        val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+        val id = optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("pca_project: .id_field"))
+        val iters = optNum(n, "iters", env).map(_.toInt).getOrElse(3)
+        val dim = optNum(n, "dim", env).map(_.toInt)
+          .getOrElse(throw DfsError("pca_project: .dim"))
+        val V = graft.operators.vector.VectorCuration
+        val v = V.pcaPowerTop(V.covarianceFixed(ctx.df, vec), iters, dim)
+        V.pcaProject(ctx.df, id, vec, v)
+    },
     // URL canonicalization (graft extension, the Curation.urlCanon
     // door): fragment/www/default-port/tracking-param normalization —
     // the crawl-frontier key every URL-level dedup groups on

@@ -281,6 +281,120 @@ object VectorCuration {
     voteMajority(scored, idCol, k)
   }
 
+  /** Fixed-point covariance matrix of an embedding column, in flat
+    * (i, j, cov) rows — the input to [[pcaPowerTop]] and the
+    * observability report for "is this embedding space degenerate".
+    *
+    * Determinism: each component quantizes to round(x·10⁶) as a LONG
+    * (row-level, engine-exact); products and sums stay integral
+    * (DECIMAL(38,0) sums so no corpus size can overflow); the final
+    * cov = E[xy] − E[x]E[y] is a fixed chain of IEEE double ops over
+    * exact integer operands, rounded to 6 places — replayable bit-exact
+    * in any engine that follows the same chain.
+    *
+    * 100 TB shape: one d-keyed aggregate for the means + one d²-keyed
+    * aggregate for the products, both map-side-combined down to at most
+    * d² rows; the join of the two is broadcast (d-sized). The d² fan-out
+    * per row is the one-pass covariance cost model — no driver collect,
+    * no iteration.
+    */
+  def covarianceFixed(df: DataFrame, vecCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val xm = transform(col(vecCol),
+      e => round(e.cast("double") * scale).cast("long"))
+    val base = df.select(xm.as("_xm"))
+    val sx = base
+      .select(posexplode(col("_xm")).as(Seq("i", "_xi")))
+      .groupBy(col("i"))
+      .agg(sum(col("_xi").cast("decimal(38,0)")).as("_sx"),
+        count(lit(1)).as("_n"))
+    val sxy = base
+      .select(posexplode(col("_xm")).as(Seq("i", "_xi")), col("_xm"))
+      .select(col("i"), col("_xi"),
+        posexplode(col("_xm")).as(Seq("j", "_xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("_xi") * col("_xj")).cast("decimal(38,0)")).as("_sxy"))
+    val s2 = scale.toDouble * scale
+    sxy
+      .join(broadcast(sx), Seq("i"))
+      .join(broadcast(sx.select(col("i").as("j"),
+        col("_sx").as("_sxj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        round(col("_sxy").cast("double") / col("_n") / s2 -
+          (col("_sx").cast("double") / col("_n") / scale) *
+            (col("_sxj").cast("double") / col("_n") / scale),
+          6).as("cov"))
+  }
+
+  /** Principal direction of a [[covarianceFixed]] matrix by FIXED-POINT
+    * power iteration — `iters` rounds of matvec + L∞ normalization,
+    * entirely in exact integer arithmetic (trunc-toward-zero division,
+    * Spark `div` == DuckDB `//`), so the result is bit-replayable and
+    * partition-order-independent. Output (i, v_nano): the direction
+    * with L∞ norm = 10⁹ (sign fixed by the all-ones start).
+    *
+    * Overflow staging: cov quantizes to micro (≤ ~10⁸ for any
+    * normalized embedding space — require-guarded), v is nano-bounded,
+    * so each matvec term ≤ 10¹⁷ and a d ≤ 64 row-sum stays far from
+    * 2⁶³; the normalize first right-sizes by q = m div 10⁹ + 1 (exact,
+    * loses only sub-nano bits) before the ·10⁹ rescale.
+    *
+    * 100 TB shape: runs on the d²-row matrix, never the corpus — every
+    * iteration is a d-keyed join + aggregate with 1-row broadcast
+    * bounds; nothing touches the driver.
+    */
+  def pcaPowerTop(cov: DataFrame, iters: Int, dim: Int): DataFrame = {
+    require(iters >= 1, s"pcaPowerTop: iters must be >= 1, got $iters")
+    val covm = cov.select(col("i"), col("j"),
+      round(col("cov") * 1000000L).cast("long").as("_c"))
+      .localCheckpoint()
+    // bounded probe of the d²-row matrix (not the corpus): the matvec
+    // term bound 10¹⁷ needs |cov_micro| ≤ ~10⁸
+    val mx = covm.agg(coalesce(max(abs(col("_c"))), lit(0L)))
+      .head.getLong(0)
+    require(mx <= 200000000L,
+      s"pcaPowerTop: |cov| too large for the fixed-point staging ($mx)")
+    var v: DataFrame = cov.sparkSession.range(dim)
+      .select(col("id").cast("int").as("i"),
+        lit(1000000000L).as("v_nano"))
+    for (_ <- 1 to iters) {
+      val w = covm
+        .join(v.select(col("i").as("j"), col("v_nano")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(col("_c") * col("v_nano")).as("_w"))
+      val m = w.agg(greatest(max(abs(col("_w"))), lit(1L)).as("_m"))
+      val u = w.join(broadcast(m))
+        .select(col("i"),
+          expr("_w div (_m div 1000000000 + 1)").as("_u"))
+      val m2 = u.agg(greatest(max(abs(col("_u"))), lit(1L)).as("_m2"))
+      v = u.join(broadcast(m2))
+        .select(col("i"), expr("(_u * 1000000000) div _m2").as("v_nano"))
+    }
+    v
+  }
+
+  /** Project every embedding onto a [[pcaPowerTop]] direction:
+    * proj_micro = (Σᵢ vᵢ·round(xᵢ·10⁶)) div 10⁹ — exact integer
+    * arithmetic end-to-end, so the 1-D curation coordinate (for
+    * curriculum sort, stratified pruning, outlier cuts) is engine- and
+    * partition-exact.
+    *
+    * 100 TB shape: the direction is d rows joined in by broadcast as a
+    * posexploded component table; one explode + one doc-keyed
+    * map-side-combinable aggregate.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+      direction: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val xm = transform(col(vecCol),
+      e => round(e.cast("double") * scale).cast("long"))
+    df.select(col(idCol), xm.as("_xm"))
+      .select(col(idCol), posexplode(col("_xm")).as(Seq("i", "_xi")))
+      .join(broadcast(direction), Seq("i"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_xi") * col("v_nano")).as("_s"))
+      .select(col(idCol), expr("_s div 1000000000").as("proj_micro"))
+  }
+
   /** Shared tail of the kNN-label family: rank each query's scored
     * candidates, keep `k`, majority-vote the neighbour labels (more
     * votes first, then the LOWER label — fully deterministic).

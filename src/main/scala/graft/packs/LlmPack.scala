@@ -906,6 +906,42 @@ object LlmPack extends QueryPack {
            |WHERE rnk <= 3""".stripMargin
       }),
 
+    // fixed-point covariance of the embedding space (the degenerate-
+    // space observability report and the PCA input): micro-quantized
+    // components, decimal-exact sums, one fixed IEEE chain at the end
+    "emb_cov" -> QueryDef(
+      (s, dir) => VectorCuration.covarianceFixed(
+        Tables.embeddings(s, dir), "embedding"),
+      Some(embCovSql)),
+
+    "dfs_cov" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|covariance(.vec_field('embedding'))
+          #""".stripMargin('#'), s, dir),
+      Some(embCovSql)),
+
+    // PCA curriculum coordinate: covariance -> 3 fixed-point power
+    // iterations -> projection, every stage exact integer arithmetic
+    // (Spark div == DuckDB //), the WHOLE pipeline unrolled in the
+    // oracle bit-for-bit
+    "emb_pca_project" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val v = VectorCuration.pcaPowerTop(
+          VectorCuration.covarianceFixed(e, "embedding"), 3, 64)
+        VectorCuration.pcaProject(e, "vec_id", "embedding", v)
+      },
+      Some(pcaProjectSql)),
+
+    "dfs_pca_project" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|pca_project(.vec_field('embedding').id_field('vec_id')
+          #  .iters(3).dim(64))
+          #""".stripMargin('#'), s, dir),
+      Some(pcaProjectSql)),
+
     "emb_norms" -> QueryDef(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -2440,6 +2476,62 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Shared covariance CTE chain for the PCA oracles: micro-quantized
+    * components via parallel-unnest ordinality, exact integral sums
+    * (DuckDB sums to HUGEINT, Spark to DECIMAL(38,0) — both exact),
+    * then the same fixed IEEE chain as the engine.
+    */
+  private lazy val covCtes: String =
+    """b AS (SELECT vec_id, list_transform(embedding,
+      |        e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+      |          AS xm
+      |      FROM embeddings),
+      |e1 AS (SELECT vec_id, xm, unnest(xm) AS xi,
+      |        CAST(unnest(range(0, len(xm))) AS INTEGER) AS i FROM b),
+      |sx AS (SELECT i, sum(xi) AS sx, count(*) AS n FROM e1 GROUP BY 1),
+      |e2 AS (SELECT i, xi, unnest(xm) AS xj,
+      |        CAST(unnest(range(0, len(xm))) AS INTEGER) AS j FROM e1),
+      |sxy AS (SELECT i, j, sum(xi * xj) AS sxy FROM e2 GROUP BY 1, 2),
+      |cv AS (SELECT s.i, s.j,
+      |        round(CAST(s.sxy AS DOUBLE) / a.n / 1e12 -
+      |          (CAST(a.sx AS DOUBLE) / a.n / 1000000) *
+      |          (CAST(bb.sx AS DOUBLE) / bb.n / 1000000), 6) AS cov
+      |      FROM sxy s JOIN sx a ON s.i = a.i
+      |      JOIN sx bb ON s.j = bb.i)""".stripMargin
+
+  private lazy val embCovSql: String =
+    s"""WITH $covCtes
+       |SELECT i, j, cov FROM cv""".stripMargin
+
+  /** Oracle for the pca_project queries: the covariance chain, three
+    * power iterations in exact integer arithmetic (`//` == Spark
+    * `div`, both trunc-toward-zero — verified), and the projection —
+    * the engine's whole pipeline unrolled.
+    */
+  private lazy val pcaProjectSql: String = {
+    val iter = (p: Int, c: Int) =>
+      s"""w$c AS (SELECT cm.i, sum(cm.c * v$p.v) AS w
+         |      FROM cm JOIN v$p ON cm.j = v$p.i GROUP BY 1),
+         |m$c AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$c),
+         |u$c AS (SELECT i, w // (m // 1000000000 + 1) AS u
+         |      FROM w$c, m$c),
+         |n$c AS (SELECT greatest(max(abs(u)), 1) AS m2 FROM u$c),
+         |v$c AS (SELECT i, (u * 1000000000) // m2 AS v FROM u$c, n$c)"""
+        .stripMargin
+    s"""WITH $covCtes,
+       |cm AS (SELECT i, j,
+       |        CAST(round(cov * 1000000) AS BIGINT) AS c FROM cv),
+       |v0 AS (SELECT CAST(r.range AS INTEGER) AS i,
+       |        CAST(1000000000 AS BIGINT) AS v FROM range(0, 64) r),
+       |${iter(0, 1)},
+       |${iter(1, 2)},
+       |${iter(2, 3)},
+       |pr AS (SELECT e1.vec_id, sum(e1.xi * v3.v) AS s
+       |      FROM e1 JOIN v3 ON e1.i = v3.i GROUP BY 1)
+       |SELECT vec_id, CAST(s // 1000000000 AS BIGINT) AS proj_micro
+       |FROM pr""".stripMargin
+  }
 
   /** Oracle for text_url_canon: replays the URL SYNTHESIS (pure
     * concat) but derives the CANONICAL form in closed form from the

@@ -923,6 +923,36 @@ class LlmSpec extends AnyFunSuite {
       again.map(_.toString).sorted))
   }
 
+  test("pca: covarianceFixed + pcaPowerTop + pcaProject reach the " +
+      "hand-computed fixed point on a 3-dim line") {
+    import spark.implicits._
+    val V = graft.operators.vector.VectorCuration
+    // rows on the line (t, t/10, 0): principal direction is the
+    // axis-0-dominant (1, 0.1, 0); all three stages hand-computable
+    val rows = Seq(-2, -1, 0, 1, 2).map(t =>
+      (t.toLong, Seq(t.toFloat, t / 10.0f, 0.0f))).toDF("vec_id", "vec")
+    val cov = V.covarianceFixed(rows, "vec")
+    val cm = cov.collect().map(r => (r.getAs[Int]("i"),
+      r.getAs[Int]("j")) -> r.getAs[Double]("cov")).toMap
+    assert(cm((0, 0)) == 2.0 && cm((0, 1)) == 0.2 &&
+      cm((1, 0)) == 0.2 && cm((1, 1)) == 0.02 &&
+      cm((2, 2)) == 0.0 && cm((0, 2)) == 0.0)
+    val v = V.pcaPowerTop(cov, 3, 3).collect()
+      .map(r => r.getAs[Int]("i") -> r.getAs[Long]("v_nano")).toMap
+    // fixed point of the integer iteration: L∞-normalized (1, 0.1, 0)
+    // with component 1 one sub-nano trunc below 10⁸ — the exact
+    // trunc-toward-zero arithmetic the oracle replays
+    assert(v == Map(0 -> 1000000000L, 1 -> 99999999L, 2 -> 0L))
+    val proj = V.pcaProject(rows, "vec_id", "vec",
+        V.pcaPowerTop(cov, 3, 3)).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("proj_micro"))
+      .toMap
+    // proj_micro = (1e6·t·1e9 + 1e5·t·99999999) div 1e9
+    //            = trunc(1009999.9999·t)
+    assert(proj == Map(-2L -> -2019999L, -1L -> -1009999L, 0L -> 0L,
+      1L -> 1009999L, 2L -> 2019999L))
+  }
+
   test("invertedIndex: tf and positions from a constructed doc") {
     import spark.implicits._
     val docs = Seq((1L, "a b a c a"), (2L, "b b")).toDF("doc_id", "text")

@@ -127,7 +127,10 @@ class PlanLintSpec extends AnyFunSuite {
       // naiveBayesClassify broadcasts its 1-ROW (V, N) grand totals and
       // the class-cardinality (prior, base) table — both bounded by
       // label cardinality, the fillPeriod lazy-scalar pattern
-      "text_nb_classify", "dfs_nb_classify")
+      "text_nb_classify", "dfs_nb_classify",
+      // pcaPowerTop broadcasts its 1-ROW L∞ bounds (m, m2) each
+      // iteration — d-row operands, the fillPeriod lazy-scalar pattern
+      "emb_pca_project", "dfs_pca_project")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
