@@ -2665,6 +2665,23 @@ object Planner {
           Paths.ref(field), blocked,
           annotate = optFlag(n, "annotate", env))
     },
+    // edit-distance near-dup pairs (graft extension, the
+    // Dedup.editDupPairs door): LSH candidates + bounded-prefix
+    // levenshtein verify
+    "edit_pairs" -> bt(Set("text_field", "id_field", "max_dist",
+      "prefix_len", "bands", "rows_per_band")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("edit_pairs: .id_field"))
+      graft.operators.text.Dedup.editDupPairs(ctx.df,
+        Paths.ref(text), Paths.ref(id),
+        maxDist = optNum(n, "max_dist", env).map(_.toInt).getOrElse(60),
+        prefixLen = optNum(n, "prefix_len", env).map(_.toInt)
+          .getOrElse(256),
+        bands = optNum(n, "bands", env).map(_.toInt).getOrElse(4),
+        rowsPerBand = optNum(n, "rows_per_band", env).map(_.toInt)
+          .getOrElse(2))
+    },
     // fixed-point covariance matrix (graft extension, the
     // VectorCuration.covarianceFixed door): flat (i, j, cov) rows
     "covariance" -> bt(Set("vec_field")) { (ctx, n, env) =>

@@ -104,22 +104,64 @@ object Dedup {
     // join would otherwise re-tokenize and re-md5 the corpus three times.
     // Scoped ([[graft.core.CacheScope]]) — released before returning.
     graft.core.CacheScope.withPersisted(withShingleHashes(df, text, "_hs")) { base =>
-      val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
-        rowsPerBand)
-      // cap BEFORE the self-join: the explosion happens while the join
-      // enumerates matches, so post-join filtering would be too late
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
-      val capped = bandRows.withColumn("_r", row_number().over(w))
-        .filter(col("_r") <= maxBucketSize).drop("_r")
-      val l = capped.select(col("band"), col("bh"), col("doc_id").as("a"))
-      val r = capped.select(col("band").as("band_r"), col("bh").as("bh_r"),
-        col("doc_id").as("b"))
-      val cand = l.join(r,
-          col("band") === col("band_r") && col("bh") === col("bh_r") &&
-            col("a") < col("b"))
-        .select("a", "b").distinct()
-      verifyJaccard(cand, base, id, threshold)
+      verifyJaccard(cappedCandidatePairs(base, id, bands, rowsPerBand,
+        maxBucketSize), base, id, threshold)
+    }
+  }
+
+  /** Shared LSH candidate stage: band the minhash signatures, cap each
+    * (band, band-hash) bucket BEFORE the self-join (the explosion
+    * happens while the join enumerates matches, so post-join filtering
+    * would be too late), emit distinct `a < b` candidate pairs.
+    */
+  private def cappedCandidatePairs(base: DataFrame, id: Column,
+      bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
+    val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
+      rowsPerBand)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
+    val capped = bandRows.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxBucketSize).drop("_r")
+    val l = capped.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val r = capped.select(col("band").as("band_r"), col("bh").as("bh_r"),
+      col("doc_id").as("b"))
+    l.join(r,
+        col("band") === col("band_r") && col("bh") === col("bh_r") &&
+          col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Near-dup pairs verified by EDIT DISTANCE instead of Jaccard — the
+    * paraphrase/near-rewrite detector: same banded LSH candidate stage
+    * as [[nearDupPairs]], but the verify is `levenshtein` over a
+    * bounded prefix, keeping pairs with distance <= `maxDist`.
+    *
+    * The prefix bound is the cost model: Levenshtein is O(len²) PER
+    * PAIR, so an unbounded verify would hand a quadratic-in-length
+    * kernel to every candidate; `prefixLen` caps the kernel at a
+    * constant (256² char ops) while the LSH stage has already bounded
+    * the candidate COUNT (per-bucket cap before the self-join). Both
+    * bounds together keep the 100 TB shape: no all-pairs path, no
+    * unbounded per-pair work.
+    */
+  def editDupPairs(df: DataFrame, text: Column, id: Column,
+      maxDist: Int, prefixLen: Int = 256,
+      bands: Int = 4, rowsPerBand: Int = 2,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxDist >= 0 && prefixLen > 0,
+      s"editDupPairs: maxDist >= 0 and prefixLen > 0")
+    graft.core.CacheScope.withPersisted(
+      withShingleHashes(df, text, "_hs")
+        .withColumn("_pt", substring(text, 1, prefixLen))) { base =>
+      val cand = cappedCandidatePairs(base, id, bands, rowsPerBand,
+        maxBucketSize)
+      val pt = base.select(id.as("doc_id"), col("_pt"))
+      cand
+        .join(pt.select(col("doc_id").as("a"), col("_pt").as("_pa")), "a")
+        .join(pt.select(col("doc_id").as("b"), col("_pt").as("_pb")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("_pa"), col("_pb")).as("dist"))
+        .filter(col("dist") <= maxDist)
     }
   }
 

@@ -153,7 +153,50 @@ object LlmPack extends QueryPack {
        |SELECT a, b, jac FROM jac WHERE jac >= $threshold""".stripMargin
   }
 
+  /** Oracle for the edit_pairs queries: the nearPairsSql candidate
+    * chain (same minhash bands), with the verify swapped to
+    * `levenshtein` over the bounded prefix — DuckDB and Spark share
+    * the classic DP definition, so the distance is integer-identical.
+    */
+  private def editPairsSql(maxDist: Int, prefixLen: Int): String = {
+    val sigExprs = (0 until 8).map(i =>
+      s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
+      .mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
+       |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
+       |pt AS (SELECT doc_id, left(text, $prefixLen) AS pt FROM documents),
+       |sig AS (SELECT doc_id, $sigExprs FROM hs),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       |lev AS (SELECT a, b, levenshtein(x.pt, y.pt) AS dist
+       |        FROM cand JOIN pt x ON cand.a = x.doc_id
+       |                  JOIN pt y ON cand.b = y.doc_id)
+       |SELECT a, b, CAST(dist AS INTEGER) AS dist
+       |FROM lev WHERE dist <= $maxDist""".stripMargin
+  }
+
   def entries: Map[String, QueryDef] = Map(
+    // near-rewrite pairs: LSH candidates verified by edit distance over
+    // a bounded prefix (the paraphrase detector Jaccard-on-shingles
+    // misses scores differently) — prefix bound caps the O(len²)
+    // per-pair kernel, the bucket cap bounds the candidate count
+    "dedup_edit_pairs" -> QueryDef(
+      (s, dir) => Dedup.editDupPairs(Tables.documents(s, dir),
+        col("text"), col("doc_id"), maxDist = 60, prefixLen = 200),
+      Some(editPairsSql(60, 200))),
+
+    "dfs_edit_pairs" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|edit_pairs(.id_field('doc_id').max_dist(60).prefix_len(200))
+          #""".stripMargin('#'), s, dir),
+      Some(editPairsSql(60, 200))),
+
     // ---- text analysis --------------------------------------------------
     "text_stats" -> QueryDef(
       (s, dir) => {

@@ -953,6 +953,30 @@ class LlmSpec extends AnyFunSuite {
       1L -> 1009999L, 2L -> 2019999L))
   }
 
+  test("editDupPairs: near-rewrites pair with the exact edit distance; " +
+      "prefix bound caps the kernel") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the quiet woods tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")),   // 1 substitution
+      (3L, "completely different text about spark structured streaming " +
+        "with nothing shared at all in any shingle")).toDF("doc_id", "body")
+    val pairs = graft.operators.text.Dedup.editDupPairs(docs,
+      col("body"), col("doc_id"), maxDist = 10)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("dist")))
+    assert(pairs.toSeq == Seq((1L, 2L, 1)))
+    // the prefix bound truncates the compared text: with prefixLen
+    // before the edit site, the pair collapses to distance 0
+    val pre = graft.operators.text.Dedup.editDupPairs(docs,
+      col("body"), col("doc_id"), maxDist = 10, prefixLen = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("dist")))
+    assert(pre.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("invertedIndex: tf and positions from a constructed doc") {
     import spark.implicits._
     val docs = Seq((1L, "a b a c a"), (2L, "b b")).toDF("doc_id", "text")
