@@ -129,8 +129,9 @@ class PlanLintSpec extends AnyFunSuite {
       // label cardinality, the fillPeriod lazy-scalar pattern
       "text_nb_classify", "dfs_nb_classify",
       // pcaPowerTop broadcasts its 1-ROW L∞ bounds (m, m2) each
-      // iteration — d-row operands, the fillPeriod lazy-scalar pattern
-      "emb_pca_project", "dfs_pca_project")
+      // iteration, and covarianceFixed its 1-ROW n — d²-row operands,
+      // the fillPeriod lazy-scalar pattern
+      "emb_pca_project", "dfs_pca_project", "emb_cov", "dfs_cov")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
