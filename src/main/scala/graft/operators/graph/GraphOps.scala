@@ -110,6 +110,10 @@ object GraphOps {
       sym.join(mm, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("_m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
+      // the trailing distinct LOOKS droppable (smallStar dedups at its
+      // end) but measured 0.5 s WORSE without it at sf0.1: the dup
+      // multiplicity it removes inflates smallStar's join input more
+      // than the extra shuffle costs
     }
     // small-star: orient u > v; ∀u, attach N(u) ∪ {u} to m(u) = min(N(u))
     def smallStar(e: DataFrame): DataFrame = {
@@ -133,8 +137,16 @@ object GraphOps {
     while (iter < maxIter && !stable) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val cn = next.select(col("v").as("u"), col("u").as("v"))
-      stable = cn.count() == ce.count() &&
-        cn.join(ce, Seq("u", "v"), "left_anti").isEmpty
+      // one-job exact fixed-point probe: both sides are DISTINCT sets,
+      // so a signed-multiset sum is zero everywhere iff they are equal
+      // — replaces the former count() + left_anti pair of jobs (a
+      // count-gated variant measured WORSE here: on star graphs the
+      // edge COUNT stabilizes rounds before the content does, so the
+      // gate fires the full probe anyway and just adds its own job)
+      stable = cn.select(col("u"), col("v"), lit(1L).as("_w"))
+        .union(ce.select(col("u"), col("v"), lit(-1L).as("_w")))
+        .groupBy(col("u"), col("v")).agg(sum(col("_w")).as("_s"))
+        .filter(col("_s") =!= 0).isEmpty
       e = next; ce = cn
       iter += 1
     }
