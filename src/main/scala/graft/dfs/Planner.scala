@@ -2665,6 +2665,27 @@ object Planner {
           Paths.ref(field), blocked,
           annotate = optFlag(n, "annotate", env))
     },
+    // sentence segmentation rows (graft extension, the
+    // TextOps.sentenceSplit door)
+    "sentence_split" -> bt(Set("text_field", "id_field")) {
+      (ctx, n, env) =>
+        val text = optStr(n, "text_field", env).getOrElse("text")
+        val id = optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("sentence_split: .id_field"))
+        graft.operators.text.TextOps.sentenceSplit(ctx.df,
+          Paths.ref(text), Paths.ref(id))
+    },
+    // C4 three-sentence-span corpus dedup (graft extension, the
+    // TextOps.spanDedup door): duplicated spans keep one occurrence
+    "span_dedup" -> bt(Set("text_field", "id_field", "n")) {
+      (ctx, n, env) =>
+        val text = optStr(n, "text_field", env).getOrElse("text")
+        val id = optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("span_dedup: .id_field"))
+        graft.operators.text.TextOps.spanDedup(ctx.df,
+          Paths.ref(text), Paths.ref(id),
+          optNum(n, "n", env).map(_.toInt).getOrElse(3))
+    },
     // edit-distance near-dup pairs (graft extension, the
     // Dedup.editDupPairs door): LSH candidates + bounded-prefix
     // levenshtein verify

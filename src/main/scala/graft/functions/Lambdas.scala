@@ -50,8 +50,13 @@ object Lambdas {
   def strEndsWith(s: Column, suffix: Column): Column = s.endsWith(suffix)
   def strStartsWith(s: Column, prefix: Column): Column = s.startsWith(prefix)
   /** 1-based slice, matching Erlang string:slice+1 conventions. */
+  // Erlang string:slice is 0-BASED (the generic-table str_slice path
+  // already is) — this literal-arg fast path was substring(s, start,
+  // len), silently 1-based for any nonzero start (start 0 masked it:
+  // Spark treats substring pos 0 as 1). Caught by the sentence-fixture
+  // round trip, round 16.
   def strSlice(s: Column, start: Int, len: Int): Column =
-    substring(s, start, len)
+    substring(s, start + 1, len)
   def strReverse(s: Column): Column = reverse(s)
   def strLength(s: Column): Column = length(s)
   def strDowncase(s: Column): Column = lower(s)

@@ -210,6 +210,86 @@ object TextOps {
         array_join(sort_array(collect_list(col("_p") + 1)), ",")
           .as("positions"))
 
+  /** Sentence segmentation as a pure expression: greedy chunks of
+    * non-terminal characters plus their trailing terminal-punctuation
+    * run (`[^.!?]+[.!?]*`), trimmed, empties dropped. Leftmost-greedy
+    * findall over disjoint character classes scans identically in Java
+    * regex and RE2, so the oracle replays it verbatim; a punctuation-
+    * only run ("...") survives as its own sentence by construction —
+    * deterministic, documented, and harmless to the dedup uses.
+    */
+  def sentences(text: Column): Column =
+    filter(transform(regexp_extract_all(text, lit("[^.!?]+[.!?]*"),
+      lit(0)), s => trim(s)), s => s =!= "")
+
+  /** Sentence rows: (doc_id, sent_idx 0-based, sentence) — the
+    * sentence-granular restructure under sentence-level dedup,
+    * contamination checks, and per-sentence quality rules. Pure
+    * explode, no shuffle, streams as-is.
+    */
+  def sentenceSplit(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"),
+      posexplode(sentences(text)).as(Seq("sent_idx", "sentence")))
+
+  /** C4's OTHER dedup rule (Raffel et al. 2020 §2.2): any `n`-sentence
+    * span occurring more than once in the corpus is removed from all
+    * but ONE occurrence. The keeper of a duplicated span hash is the
+    * (min doc_id, then min start) occurrence — the keep-min rule of
+    * [[Dedup.exactDupGroups]] lifted to spans; a sentence is dropped
+    * iff SOME containing window is duplicated and this doc's
+    * occurrence of that window is not the keeper. Docs with fewer than
+    * `n` sentences have no windows and pass through whole. Returns
+    * (doc_id, n_sent, n_drop, clean_text).
+    *
+    * 100 TB shape: windows are sentence-count-sized (one explode), the
+    * span table aggregates to distinct-hash cardinality with a
+    * map-side-combinable (count, min-keeper) pass, the mark-back is
+    * one hash-keyed equi-join, and the rebuild is the segDedup
+    * sorted-struct aggregate — two shuffles end to end, no window
+    * function over the corpus, nothing quadratic.
+    */
+  def spanDedup(docs: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"spanDedup: n must be >= 1, got $n")
+    val sent = docs.select(id.as("doc_id"), sentences(text).as("_ss"))
+    // one row per n-sentence window: (doc, start, window hash)
+    val wins = sent
+      .select(col("doc_id"), col("_ss"),
+        explode(when(size(col("_ss")) >= n,
+          sequence(lit(0), size(col("_ss")) - n))
+          .otherwise(array().cast("array<int>"))).as("_w"))
+      .select(col("doc_id"), col("_w"),
+        // SOH (\\u0001) separator keeps the join injective across
+        // sentence boundaries ("ab","c" vs "a","bc")
+        md5(array_join(slice(col("_ss"), col("_w") + 1, lit(n)), "\u0001"))
+          .as("_h"))
+    // per span hash: occurrence count + the keep-min occurrence
+    val spans = wins.groupBy(col("_h"))
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col("doc_id"), col("_w"))).as("_keep"))
+    // a window is dropped iff its span is duplicated and it is not the
+    // keeper; a sentence is dropped iff some containing window is
+    val dropW = wins.join(spans, Seq("_h"))
+      .filter(col("_c") >= 2 &&
+        !(col("doc_id") === col("_keep.doc_id") &&
+          col("_w") === col("_keep._w")))
+      .select(col("doc_id"),
+        explode(sequence(col("_w"), col("_w") + (n - 1))).as("_i"))
+      .distinct()
+    sent
+      .select(col("doc_id"),
+        posexplode(col("_ss")).as(Seq("_i", "_sent")))
+      .join(dropW.withColumn("_drop", lit(true)),
+        Seq("doc_id", "_i"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_sent"),
+        sum(when(col("_drop"), 1).otherwise(0)).cast("int").as("n_drop"),
+        array_join(transform(array_sort(collect_list(
+            when(col("_drop").isNull, struct(col("_i"), col("_sent"))))),
+          x => x("_sent")), " ").as("clean_text"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020's web-corpus
     * rules, re-expressed over a generic line delimiter): a LINE
     * survives iff it (a) ends with terminal punctuation

@@ -181,6 +181,50 @@ object LlmPack extends QueryPack {
   }
 
   def entries: Map[String, QueryDef] = Map(
+    // sentence rows: the sentence-granular restructure (leftmost-greedy
+    // findall scans identically in Java regex and RE2)
+    "text_sentence_split" -> QueryDef(
+      (s, dir) => TextOps.sentenceSplit(
+        sentFixture(Tables.documents(s, dir)),
+        col("text"), col("doc_id")),
+      Some(sentenceSplitSql)),
+
+    "dfs_sentence_split" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat(
+          #  if(mod("doc_id", 7) == 0,
+          #    'Shared span one. Shared span two. Shared span three. ',
+          #    ''),
+          #  str_slice("text", 0, 40), '. ', str_slice("text", 40, 40),
+          #  '. ', str_slice("text", 80), '.')).as('text2')
+          #|sentence_split(.text_field('text2').id_field('doc_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(sentenceSplitSql)),
+
+    // C4's three-sentence-span dedup (Raffel et al. §2.2): duplicated
+    // spans removed from all but the keep-min occurrence — window
+    // hashes, (count, min-keeper) aggregate, hash-keyed mark-back,
+    // sorted-struct rebuild; full SQL replay incl. the keeper rule
+    "text_span_dedup" -> QueryDef(
+      (s, dir) => TextOps.spanDedup(
+        sentFixture(Tables.documents(s, dir)),
+        col("text"), col("doc_id"), 3),
+      Some(spanDedupSql)),
+
+    "dfs_span_dedup" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat(
+          #  if(mod("doc_id", 7) == 0,
+          #    'Shared span one. Shared span two. Shared span three. ',
+          #    ''),
+          #  str_slice("text", 0, 40), '. ', str_slice("text", 40, 40),
+          #  '. ', str_slice("text", 80), '.')).as('text2')
+          #|span_dedup(.text_field('text2').id_field('doc_id').n(3))
+          #""".stripMargin('#'), s, dir),
+      Some(spanDedupSql)),
+
     // near-rewrite pairs: LSH candidates verified by edit distance over
     // a bounded prefix (the paraphrase detector Jaccard-on-shingles
     // misses scores differently) — prefix bound caps the O(len²)
@@ -2519,6 +2563,84 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Sentence fixture: the corpus is one-sentence token soup, so (the
+    * text_normalize dirty-construction pattern) the queries first
+    * SYNTHESIZE sentence structure deterministically — three body
+    * sentences from fixed substring cuts, plus a SHARED three-sentence
+    * prefix on the doc_id%7 stratum so the span-dedup path is actually
+    * exercised (≈1/7 of docs carry an identical duplicated span).
+    */
+  private lazy val sentFixtureSql: String =
+    """fx AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 7 = 0 THEN
+      |          'Shared span one. Shared span two. Shared span three. '
+      |          ELSE '' END ||
+      |        substr(text, 1, 40) || '. ' || substr(text, 41, 40) ||
+      |        '. ' || substr(text, 81, 1000000) || '.' AS text
+      |      FROM documents)""".stripMargin
+
+  private def sentFixture(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), concat(
+      when(col("doc_id") % 7 === 0,
+        "Shared span one. Shared span two. Shared span three. ")
+        .otherwise(""),
+      substring(col("text"), 1, 40), lit(". "),
+      substring(col("text"), 41, 40), lit(". "),
+      substring(col("text"), 81, 1000000), lit(".")).as("text"))
+
+  /** Shared sentence-array CTE: same greedy findall + trim + drop-empty
+    * chain as [[TextOps.sentences]], over the fixture text.
+    */
+  private lazy val sentCte: String =
+    """ss AS (SELECT doc_id,
+      |        list_filter(list_transform(
+      |          regexp_extract_all(text, '[^.!?]+[.!?]*'),
+      |          x -> trim(x)), x -> x <> '') AS ss
+      |      FROM fx)""".stripMargin
+
+  private lazy val sentenceSplitSql: String =
+    s"""WITH $sentFixtureSql,
+       |$sentCte
+       |SELECT doc_id, CAST(i AS INTEGER) AS sent_idx, sent AS sentence
+       |FROM (SELECT doc_id, unnest(ss) AS sent,
+       |        unnest(range(0, len(ss))) AS i FROM ss)""".stripMargin
+
+  /** Oracle for the span_dedup queries: window hashes over the shared
+    * sentence CTE (1-based list slice == Spark's slice), keep-min
+    * keeper via a (doc_id, start) window rank, mark-back, ordered
+    * null-skipping string_agg rebuild.
+    */
+  private lazy val spanDedupSql: String =
+    s"""WITH $sentFixtureSql,
+       |$sentCte,
+       |w AS (SELECT doc_id, wi,
+       |        md5(array_to_string(
+       |          ss[CAST(wi + 1 AS INTEGER):CAST(wi + 3 AS INTEGER)],
+       |          chr(1))) AS h
+       |      FROM (SELECT doc_id, ss,
+       |              unnest(range(0, greatest(len(ss) - 2, 0))) AS wi
+       |            FROM ss)),
+       |wk AS (SELECT doc_id, wi, h,
+       |        count(*) OVER (PARTITION BY h) AS c,
+       |        row_number() OVER (PARTITION BY h
+       |          ORDER BY doc_id, wi) AS rn
+       |      FROM w),
+       |di AS (SELECT DISTINCT doc_id, CAST(i AS INTEGER) AS i
+       |      FROM (SELECT doc_id, unnest(range(wi, wi + 3)) AS i
+       |            FROM wk WHERE c >= 2 AND rn > 1)),
+       |se AS (SELECT doc_id, CAST(i AS INTEGER) AS i, sent
+       |      FROM (SELECT doc_id, unnest(ss) AS sent,
+       |              unnest(range(0, len(ss))) AS i FROM ss))
+       |SELECT se.doc_id, CAST(count(*) AS INTEGER) AS n_sent,
+       |  CAST(sum(CASE WHEN di.i IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS INTEGER) AS n_drop,
+       |  coalesce(string_agg(CASE WHEN di.i IS NULL THEN se.sent END,
+       |    ' ' ORDER BY se.i), '') AS clean_text
+       |FROM se LEFT JOIN di
+       |  ON se.doc_id = di.doc_id AND se.i = di.i
+       |GROUP BY se.doc_id""".stripMargin
 
   /** Shared covariance CTE chain for the PCA oracles: micro-quantized
     * components via parallel-unnest ordinality, exact integral sums

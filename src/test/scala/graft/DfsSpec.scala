@@ -14,6 +14,22 @@ class DfsSpec extends AnyFunSuite {
   lazy val spark = Sessions.local(4, "dfs-test")
   val sf = "/root/testdata/sf0.001"
 
+  test("str_slice is 0-based (Erlang string:slice) on BOTH the " +
+      "literal-arg fast path and the dynamic path") {
+    val out = DfsEngine.runSingle(
+      """|parquet_read(.table('documents'))
+        #|eval(lambda: str_slice('abcdef', 2, 3),
+        #  lambda: str_slice('abcdef', 2),
+        #  lambda: str_slice('abcdef', int(mod("doc_id", 1) + 2), 3))
+        #  .as('lit3', 'lit2', 'dyn3')
+        #|keep('doc_id', 'lit3', 'lit2', 'dyn3')
+        #""".stripMargin('#'), spark, sf)
+    val r = out.limit(1).collect()(0)
+    assert(r.getAs[String]("lit3") == "cde")   // NOT "bcd" (1-based bug)
+    assert(r.getAs[String]("lit2") == "cdef")
+    assert(r.getAs[String]("dyn3") == "cde")
+  }
+
   test("vector lambdas: vec_cosine/vec_sq_dist resolve through the front-end") {
     val out = DfsEngine.runSingle(
       """|parquet_read(.table('embeddings'))

@@ -953,6 +953,27 @@ class LlmSpec extends AnyFunSuite {
       1L -> 1009999L, 2L -> 2019999L))
   }
 
+  test("spanDedup: duplicated three-sentence span keeps the min-doc " +
+      "occurrence; short docs pass whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "S one here. S two here. S three here. Unique tail A."),
+      (2L, "S one here. S two here. S three here. Unique tail B."),
+      (3L, "Too short. Only two.")).toDF("doc_id", "body")
+    val out = graft.operators.text.TextOps.spanDedup(docs,
+      col("body"), col("doc_id"), 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_sent"), r.getAs[Int]("n_drop"),
+          r.getAs[String]("clean_text")))).toMap
+    // doc 1 is the keep-min occurrence of the shared span — untouched;
+    // doc 2 drops exactly the three shared sentences; doc 3 has no
+    // 3-window and passes whole
+    assert(out(1L) == ((4, 0,
+      "S one here. S two here. S three here. Unique tail A.")))
+    assert(out(2L) == ((4, 3, "Unique tail B.")))
+    assert(out(3L) == ((2, 0, "Too short. Only two.")))
+  }
+
   test("editDupPairs: near-rewrites pair with the exact edit distance; " +
       "prefix bound caps the kernel") {
     import spark.implicits._
