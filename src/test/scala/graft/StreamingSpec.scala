@@ -764,6 +764,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch)
   }
 
+  test("sentenceSplit streams as-is; spanDedup + editDupPairs run " +
+      "per micro-batch (corpus-relative, the near-dup scoping)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val data = (1L to 12L).map(i => Ev(i % 3, i, i.toDouble,
+      s"First bit $i. Second bit $i! Third ${i % 2}?"))
+    def split(df: org.apache.spark.sql.DataFrame) =
+      T.sentenceSplit(df, col("event_type"), col("seq"))
+    val batch = split(data.toDF())
+      .as[(Long, Int, String)].collect().toSet
+    assert(batch.size == 36)
+    val streamed = runStream("sentsplitstream")(in =>
+      split(in.toDS().toDF()).as[(Long, Int, String)])(data)
+      .as[(Long, Int, String)].collect().toSet
+    assert(streamed == batch)
+    // spanDedup is corpus-relative — the streaming form is per
+    // micro-batch (foreachBatch), same scoping as near-dup pairs;
+    // one-batch drain == batch exactly
+    val docs = Seq(
+      (1L, "A same. B same. C same. Tail one."),
+      (2L, "A same. B same. C same. Tail two."))
+    val sdBatch = T.spanDedup(docs.toDF("doc_id", "body"), col("body"),
+      col("doc_id"), 3).as[(Long, Int, Int, String)].collect().toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Int, String)]
+    val q = in.toDS().toDF("doc_id", "body").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= T.spanDedup(mb, col("body"), col("doc_id"), 3)
+          .as[(Long, Int, Int, String)].collect()
+        ()
+      }.start()
+    in.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == sdBatch &&
+      sdBatch.exists(t => t._1 == 2L && t._3 == 3))
+  }
+
   test("renderChat: streaming complete-mode aggregate matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
