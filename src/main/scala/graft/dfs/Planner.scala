@@ -2665,6 +2665,20 @@ object Planner {
           Paths.ref(field), blocked,
           annotate = optFlag(n, "annotate", env))
     },
+    // exact quantile-bucket assignment (graft extension, the
+    // Curation.quantileBuckets door): ntile over the scale-safe
+    // global-order primitive
+    "quantile_bucket" -> bt(Set("field", "id_field", "buckets", "as")) {
+      (ctx, n, env) =>
+        val field = optStr(n, "field", env)
+          .getOrElse(throw DfsError("quantile_bucket: .field"))
+        val id = optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("quantile_bucket: .id_field"))
+        graft.operators.text.Curation.quantileBuckets(ctx.df,
+          Paths.ref(field), Paths.ref(id),
+          optNum(n, "buckets", env).map(_.toInt).getOrElse(10),
+          optStr(n, "as", env).getOrElse("bucket"))
+    },
     // sentence segmentation rows (graft extension, the
     // TextOps.sentenceSplit door)
     "sentence_split" -> bt(Set("text_field", "id_field")) {

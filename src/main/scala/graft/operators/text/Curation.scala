@@ -294,6 +294,29 @@ object Curation {
     df.withColumn(as, expr)
   }
 
+  /** Exact corpus-wide quantile buckets (curriculum / stratification
+    * assignment): bucket = floor((rank−1)·k / n) over the global rank
+    * by (score, tieBreak) — ntile semantics with a TOTAL order, so
+    * every engine and every re-run lands each row in the same bucket.
+    *
+    * 100 TB shape: the rank comes from [[graft.operators.stateless
+    * .GlobalOrder.rowNumber]] (range-partition + partition-offset
+    * zipWithIndex — the scale-safe global-order primitive, never
+    * `Window.orderBy` without a partition), the count is a 1-row
+    * broadcast, the assignment a per-row integer expression.
+    */
+  def quantileBuckets(df: DataFrame, score: Column, tieBreak: Column,
+      k: Int, as: String = "bucket"): DataFrame = {
+    require(k >= 1, s"quantileBuckets: k must be >= 1, got $k")
+    val ranked = graft.operators.stateless.GlobalOrder
+      .rowNumber(df, Seq(score, tieBreak), "_qrank")
+    val n = ranked.agg(count(lit(1)).as("_qn"))
+    ranked.join(broadcast(n))
+      .withColumn(as,
+        expr(s"((_qrank - 1) * $k) div _qn").cast("int"))
+      .drop("_qrank", "_qn")
+  }
+
   /** Canonical form of an absolute http(s) URL — the crawl-frontier
     * normalization that makes URL-level dedup and [[domainBlocklist]]
     * joins meaningful: two spellings of the same page must collapse to

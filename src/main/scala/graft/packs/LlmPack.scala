@@ -181,6 +181,24 @@ object LlmPack extends QueryPack {
   }
 
   def entries: Map[String, QueryDef] = Map(
+    // exact corpus-wide quantile buckets (curriculum assignment):
+    // global rank via the partition-offset scheme, ntile arithmetic —
+    // the oracle's single-node row_number window replays it exactly
+    "text_quantile_bucket" -> QueryDef(
+      (s, dir) => Curation.quantileBuckets(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        col("n_chars"), col("doc_id"), 10),
+      Some(quantileBucketSql)),
+
+    "dfs_quantile_bucket" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|quantile_bucket(.field('n_chars').id_field('doc_id')
+          #  .buckets(10))
+          #|keep('doc_id', 'n_chars', 'bucket')
+          #""".stripMargin('#'), s, dir),
+      Some(quantileBucketSql)),
+
     // sentence rows: the sentence-granular restructure (leftmost-greedy
     // findall scans identically in Java regex and RE2)
     "text_sentence_split" -> QueryDef(
@@ -2563,6 +2581,14 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  private lazy val quantileBucketSql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(((rn - 1) * 10) // n AS INTEGER) AS bucket
+      |FROM (SELECT doc_id, n_chars,
+      |        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+      |        count(*) OVER () AS n
+      |      FROM documents)""".stripMargin
 
   /** Sentence fixture: the corpus is one-sentence token soup, so (the
     * text_normalize dirty-construction pattern) the queries first

@@ -404,6 +404,26 @@ class CurationSpec extends AnyFunSuite {
     assert(keptT == kept)
   }
 
+  test("quantileBuckets: ntile sizes within 1, monotone in score, " +
+      "partition-invariant") {
+    import spark.implicits._
+    val rows = (1L to 103L).map(i => (i, (i * 37) % 101)).toDF("id", "s")
+    val b = Curation.quantileBuckets(rows, col("s"), col("id"), 10)
+      .select("id", "s", "bucket")
+      .as[(Long, Long, Int)].collect()
+    val sizes = b.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 to 9).toSet &&
+      sizes.values.max - sizes.values.min <= 1)
+    // monotone: sort by (s, id) gives non-decreasing buckets
+    val sorted = b.sortBy(t => (t._2, t._1)).map(_._3)
+    assert(sorted.zip(sorted.tail).forall { case (a, c) => a <= c })
+    // same assignment at a different input partitioning
+    val again = Curation.quantileBuckets(rows.repartition(7),
+        col("s"), col("id"), 10)
+      .select("id", "bucket").as[(Long, Int)].collect().toMap
+    assert(again == b.map(t => t._1 -> t._3).toMap)
+  }
+
   test("urlCanon: edge cases — missing scheme, casing, default ports, " +
       "trailing slashes, bare tracking keys, query-only URLs") {
     import spark.implicits._

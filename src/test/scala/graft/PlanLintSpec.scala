@@ -131,7 +131,9 @@ class PlanLintSpec extends AnyFunSuite {
       // pcaPowerTop broadcasts its 1-ROW L∞ bounds (m, m2) each
       // iteration, and covarianceFixed its 1-ROW n — d²-row operands,
       // the fillPeriod lazy-scalar pattern
-      "emb_pca_project", "dfs_pca_project", "emb_cov", "dfs_cov")
+      "emb_pca_project", "dfs_pca_project", "emb_cov", "dfs_cov",
+      // quantileBuckets broadcasts its 1-ROW count (the ntile divisor)
+      "text_quantile_bucket", "dfs_quantile_bucket")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
