@@ -82,4 +82,44 @@ object Multimodal {
       .withColumn("frame",
         expr(s"substring($blob, frame_idx * $frameSize + 1, $frameSize)"))
       .withColumn("frame_md5", md5(col("frame")))
+
+  /** Multimodal near-dup pairs by shared frame FINGERPRINTS — the
+    * shot-level video/image dedup: two payloads pair when the Jaccard
+    * of their sampled-frame digest SETS clears `threshold`. The frame
+    * digest is the multimodal analogue of a shingle hash, so the shape
+    * is exactly the text near-dup one: per-payload distinct digest
+    * sets, a per-digest cap BEFORE the self-join (a degenerate frame —
+    * black frames, silence — would otherwise explode the candidate
+    * join), overlap counts, exact Jaccard on the counts.
+    *
+    * 100 TB shape: frame fan-out is a generator (no shuffle), the
+    * digest self-join is equi-keyed and capped, the pair aggregate is
+    * map-side-combinable; payload bytes never travel — only (id,
+    * digest) rows do.
+    */
+  def nearDupPairs(df: DataFrame, blob: String, id: Column,
+      frameSize: Int, every: Int, threshold: Double,
+      maxPerHash: Int = 4096): DataFrame = {
+    val fs = frameSample(df.select(id.as("doc_id"), col(blob)), blob,
+      frameSize, every)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    val n = fs.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("frame_md5")).orderBy(col("doc_id"))
+    val capped = fs.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxPerHash).drop("_r")
+    val inter = capped.select(col("frame_md5"), col("doc_id").as("a"))
+      .join(capped.select(col("frame_md5").as("_h2"),
+        col("doc_id").as("b")),
+        col("frame_md5") === col("_h2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.select(col("doc_id").as("a"), col("_nf").as("_na")), Seq("a"))
+      .join(n.select(col("doc_id").as("b"), col("_nf").as("_nb")), Seq("b"))
+      .withColumn("jac", round(col("inter") * lit(1.0) /
+        (col("_na") + col("_nb") - col("inter")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("a"), col("b"), col("inter").cast("int").as("inter"),
+        col("jac"))
+  }
 }

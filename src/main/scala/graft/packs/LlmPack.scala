@@ -1302,6 +1302,45 @@ object LlmPack extends QueryPack {
              |FROM documents,
              |  UNNEST(generate_series(0, (octet_length(encode(text)) - 1) // 256, 2)) t(i)""".stripMargin)),
 
+    // multimodal near-dup by shared frame fingerprints (shot-level
+    // video/image dedup): the doc_id%5 stratum carries a shared 1024-
+    // byte prefix (4 frames, 2 sampled — which collapse to ONE distinct
+    // digest, both engines agree) so the pair path is exercised; frame
+    // digests are the multimodal shingle, same cap-before-self-join
+    // shape as text near-dup. ASCII corpus: text substrings are byte
+    // substrings, so md5 agrees (the mm_frames note).
+    "mm_near_pairs" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("text2", concat(
+            when(col("doc_id") % 5 === 0, expr("repeat('#', 1024)"))
+              .otherwise(""),
+            col("text")))
+        Multimodal.nearDupPairs(
+          Multimodal.withBlob(d, col("text2")), "blob", col("doc_id"),
+          256, 2, 0.1)
+      },
+      Some("""WITH fx AS (SELECT doc_id,
+             |        CASE WHEN doc_id % 5 = 0 THEN repeat('#', 1024)
+             |          ELSE '' END || text AS t FROM documents),
+             |fr AS (SELECT doc_id,
+             |        md5(substring(t, CAST(i * 256 + 1 AS INTEGER), 256))
+             |          AS h
+             |      FROM fx, UNNEST(generate_series(0,
+             |        (octet_length(encode(t)) - 1) // 256, 2)) s(i)),
+             |fd AS (SELECT DISTINCT doc_id, h FROM fr),
+             |nn AS (SELECT doc_id, count(*) AS nf FROM fd GROUP BY 1),
+             |it AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             |        count(*) AS inter
+             |      FROM fd x JOIN fd y
+             |        ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
+             |SELECT a, b, CAST(inter AS INTEGER) AS inter,
+             |  round(inter * 1.0 / (na.nf + nb.nf - inter), 6) AS jac
+             |FROM it JOIN nn na ON it.a = na.doc_id
+             |         JOIN nn nb ON it.b = nb.doc_id
+             |WHERE round(inter * 1.0 / (na.nf + nb.nf - inter), 6)
+             |  >= 0.1""".stripMargin)),
+
     // ---- round 11: retrieval + substring/semantic dedup + BPE ----------
 
     // gram-granular exact-substring-dedup metric (Lee et al. 2022):

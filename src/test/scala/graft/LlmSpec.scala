@@ -953,6 +953,22 @@ class LlmSpec extends AnyFunSuite {
       1L -> 1009999L, 2L -> 2019999L))
   }
 
+  test("multimodal nearDupPairs: frame-set Jaccard from constructed " +
+      "blobs; disjoint payloads never pair") {
+    import spark.implicits._
+    val M = graft.operators.multimodal.Multimodal
+    val docs = Seq(
+      (1L, "X" * 256 + "Y" * 256),
+      (2L, "X" * 256 + "Z" * 256),
+      (3L, "Q" * 512)).toDF("doc_id", "body")
+    val out = M.nearDupPairs(M.withBlob(docs, col("body")), "blob",
+      col("doc_id"), 256, 1, 0.2)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Int]("inter"), r.getAs[Double]("jac")))
+    // A={X,Y}, B={X,Z}: inter 1, jac 1/(2+2-1); C={Q} pairs nothing
+    assert(out.toSeq == Seq((1L, 2L, 1, 0.333333)))
+  }
+
   test("spanDedup: duplicated three-sentence span keeps the min-doc " +
       "occurrence; short docs pass whole") {
     import spark.implicits._
