@@ -56,7 +56,10 @@ class LambdaSpec extends AnyFunSuite {
 
   test("string family") {
     assert(eval1(Lambdas.strReplace(lit("a.b.c"), ".", "-")) == "a-b-c")
-    assert(eval1(Lambdas.strSlice(lit("abcdef"), 2, 3)) == "bcd")
+    // Erlang string:slice is 0-based: slice("abcdef", 2, 3) = "cde".
+    // This pin previously asserted "bcd" — it had encoded the 1-based
+    // fast-path bug fixed in round 16 (DfsSpec pins both paths now).
+    assert(eval1(Lambdas.strSlice(lit("abcdef"), 2, 3)) == "cde")
     assert(eval1(Lambdas.strEndsWith(lit("click"), lit("ck"))) == true)
     assert(eval1(Lambdas.strConcat(lit("a"), lit("-"), lit("b"))) == "a-b")
   }
