@@ -2665,6 +2665,32 @@ object Planner {
           Paths.ref(field), blocked,
           annotate = optFlag(n, "annotate", env))
     },
+    // multimodal doors (graft extensions over Multimodal): blobify
+    // attaches the binary payload + typed metadata; frame_sample fans
+    // out sampled frames; mm_near_pairs is the frame-fingerprint
+    // Jaccard dedup
+    "blobify" -> bt(Set("field", "as")) { (ctx, n, env) =>
+      graft.operators.multimodal.Multimodal.withBlob(ctx.df,
+        Paths.ref(optStr(n, "field", env).getOrElse("text")),
+        optStr(n, "as", env).getOrElse("blob"))
+    },
+    "frame_sample" -> bt(Set("blob", "frame_size", "every")) {
+      (ctx, n, env) =>
+        graft.operators.multimodal.Multimodal.frameSample(ctx.df,
+          optStr(n, "blob", env).getOrElse("blob"),
+          optNum(n, "frame_size", env).map(_.toInt).getOrElse(256),
+          optNum(n, "every", env).map(_.toInt).getOrElse(1))
+    },
+    "mm_near_pairs" -> bt(Set("blob", "id_field", "frame_size", "every",
+      "threshold")) { (ctx, n, env) =>
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("mm_near_pairs: .id_field"))
+      graft.operators.multimodal.Multimodal.nearDupPairs(ctx.df,
+        optStr(n, "blob", env).getOrElse("blob"), Paths.ref(id),
+        optNum(n, "frame_size", env).map(_.toInt).getOrElse(256),
+        optNum(n, "every", env).map(_.toInt).getOrElse(1),
+        optNum(n, "threshold", env).getOrElse(0.3))
+    },
     // exact quantile-bucket assignment (graft extension, the
     // Curation.quantileBuckets door): ntile over the scale-safe
     // global-order primitive

@@ -1320,26 +1320,19 @@ object LlmPack extends QueryPack {
           Multimodal.withBlob(d, col("text2")), "blob", col("doc_id"),
           256, 2, 0.1)
       },
-      Some("""WITH fx AS (SELECT doc_id,
-             |        CASE WHEN doc_id % 5 = 0 THEN repeat('#', 1024)
-             |          ELSE '' END || text AS t FROM documents),
-             |fr AS (SELECT doc_id,
-             |        md5(substring(t, CAST(i * 256 + 1 AS INTEGER), 256))
-             |          AS h
-             |      FROM fx, UNNEST(generate_series(0,
-             |        (octet_length(encode(t)) - 1) // 256, 2)) s(i)),
-             |fd AS (SELECT DISTINCT doc_id, h FROM fr),
-             |nn AS (SELECT doc_id, count(*) AS nf FROM fd GROUP BY 1),
-             |it AS (SELECT x.doc_id AS a, y.doc_id AS b,
-             |        count(*) AS inter
-             |      FROM fd x JOIN fd y
-             |        ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
-             |SELECT a, b, CAST(inter AS INTEGER) AS inter,
-             |  round(inter * 1.0 / (na.nf + nb.nf - inter), 6) AS jac
-             |FROM it JOIN nn na ON it.a = na.doc_id
-             |         JOIN nn nb ON it.b = nb.doc_id
-             |WHERE round(inter * 1.0 / (na.nf + nb.nf - inter), 6)
-             |  >= 0.1""".stripMargin)),
+      Some(mmNearPairsSql)),
+
+    "dfs_mm_near_pairs" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        s"""|parquet_read(.table('documents'))
+           #|eval(lambda: str_concat(
+           #  if(mod("doc_id", 5) == 0, '${"#" * 1024}', ''),
+           #  "text")).as('text2')
+           #|blobify(.field('text2'))
+           #|mm_near_pairs(.id_field('doc_id').frame_size(256).every(2)
+           #  .threshold(0.1))
+           #""".stripMargin('#'), s, dir),
+      Some(mmNearPairsSql)),
 
     // ---- round 11: retrieval + substring/semantic dedup + BPE ----------
 
@@ -2620,6 +2613,32 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(componentsSql))
   )
+
+  /** Oracle for the mm_near_pairs queries: shared-prefix fixture,
+    * sampled-frame digests, DISTINCT sets, overlap Jaccard — the
+    * mm_frames byte/char-substring equivalence note applies.
+    */
+  private lazy val mmNearPairsSql: String =
+    """WITH fx AS (SELECT doc_id,
+      |        CASE WHEN doc_id % 5 = 0 THEN repeat('#', 1024)
+      |          ELSE '' END || text AS t FROM documents),
+      |fr AS (SELECT doc_id,
+      |        md5(substring(t, CAST(i * 256 + 1 AS INTEGER), 256))
+      |          AS h
+      |      FROM fx, UNNEST(generate_series(0,
+      |        (octet_length(encode(t)) - 1) // 256, 2)) s(i)),
+      |fd AS (SELECT DISTINCT doc_id, h FROM fr),
+      |nn AS (SELECT doc_id, count(*) AS nf FROM fd GROUP BY 1),
+      |it AS (SELECT x.doc_id AS a, y.doc_id AS b,
+      |        count(*) AS inter
+      |      FROM fd x JOIN fd y
+      |        ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
+      |SELECT a, b, CAST(inter AS INTEGER) AS inter,
+      |  round(inter * 1.0 / (na.nf + nb.nf - inter), 6) AS jac
+      |FROM it JOIN nn na ON it.a = na.doc_id
+      |         JOIN nn nb ON it.b = nb.doc_id
+      |WHERE round(inter * 1.0 / (na.nf + nb.nf - inter), 6)
+      |  >= 0.1""".stripMargin
 
   private lazy val quantileBucketSql: String =
     """SELECT doc_id, n_chars,
