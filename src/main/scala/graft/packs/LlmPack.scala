@@ -181,6 +181,37 @@ object LlmPack extends QueryPack {
   }
 
   def entries: Map[String, QueryDef] = Map(
+    // composition proof: four round-16 nodes chained in ONE script —
+    // blocklist annotation feeds the curriculum bucket feeds the URL
+    // canon; the oracle replays the whole chain in one SQL
+    "dfs_curation_chain" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat("source", '.', "lang", '.example'))
+          #  .as('domain')
+          #|domain_block(.field('domain').block('en.example')
+          #  .annotate())
+          #|quantile_bucket(.field('n_chars').id_field('doc_id')
+          #  .buckets(4))
+          #|eval(lambda: str_concat('https://www.', "domain", ':443/p/',
+          #  string("doc_id"), '?utm_a=1&b=2#x')).as('url')
+          #|url_canon(.field('url').as('canon'))
+          #|keep('doc_id', 'domain', 'blocked', 'bucket', 'canon')
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+             |        source || '.' || lang || '.example' AS domain,
+             |        lang = 'en' AS blocked
+             |      FROM documents),
+             |r AS (SELECT *,
+             |        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             |        count(*) OVER () AS n
+             |      FROM d)
+             |SELECT doc_id, domain, blocked,
+             |  CAST(((rn - 1) * 4) // n AS INTEGER) AS bucket,
+             |  'https://' || domain || '/p/' || doc_id || '?b=2'
+             |    AS canon
+             |FROM r""".stripMargin)),
+
     // exact corpus-wide quantile buckets (curriculum assignment):
     // global rank via the partition-offset scheme, ntile arithmetic —
     // the oracle's single-node row_number window replays it exactly
