@@ -132,8 +132,10 @@ class PlanLintSpec extends AnyFunSuite {
       // iteration, and covarianceFixed its 1-ROW n — d²-row operands,
       // the fillPeriod lazy-scalar pattern
       "emb_pca_project", "dfs_pca_project", "emb_cov", "dfs_cov",
-      // quantileBuckets broadcasts its 1-ROW count (the ntile divisor)
-      "text_quantile_bucket", "dfs_quantile_bucket")
+      // quantileBuckets broadcasts its 1-ROW count (the ntile divisor);
+      // the chain query inherits it
+      "text_quantile_bucket", "dfs_quantile_bucket",
+      "dfs_curation_chain")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
