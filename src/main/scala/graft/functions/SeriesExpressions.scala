@@ -358,7 +358,88 @@ case class MultiSetHits(child: Expression, sets: Seq[Seq[String]])
       newChild: Expression): MultiSetHits = copy(child = newChild)
 }
 
+/** Native winnowing selection (Schleimer et al. 2003) — the whole
+  * per-row winnow kernel in one pass: whitespace tokenize → md5-60-bit
+  * token hashes mod p → rolling 3-gram hashes → per-window
+  * rightmost-min, position-deduped in first-occurrence order. Output
+  * rows (pos 1-based, fp) exactly match the let-bound HOF formulation
+  * ([[graft.operators.text.Dedup.winnow]]'s former body): same md5
+  * prefix (first 15 hex chars = 60 bits), same ·31 + mod-p rolling
+  * chain, same `<=` rightmost tie rule, same dedup order — so the
+  * DuckDB oracle replay is unchanged. The HOF chain paid per-element
+  * interpreted lambda dispatch over O(grams·w) work (8.7 s at sf1);
+  * this is a plain JIT'd loop. CodegenFallback for the ZNormBestMatch
+  * reason: the loop body dwarfs the per-row dispatch, and the output
+  * is array-of-struct.
+  */
+case class WinnowSelect(child: Expression, w: Int, p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  require(w >= 1, s"WinnowSelect: w must be >= 1, got $w")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString
+    val toks = text.trim.split("\\s+", -1)
+    val n = toks.length
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = md.digest(toks(i).getBytes("UTF-8"))
+      // conv(substring(md5, 1, 15), 16, 10): first 15 hex chars =
+      // bytes 0..6 + the high nibble of byte 7 — 60 bits, non-negative
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((h(7) & 0xf0L) >>> 4)
+      th(i) = v % p
+      i += 1
+    }
+    val m = n - 2
+    val gh = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      // th < p = 2³¹−1, so ·31 stays far from overflow — plain %
+      gh(i) = ((th(i) * 31 + th(i + 1)) % p * 31 + th(i + 2)) % p
+      i += 1
+    }
+    val nw = math.max(1, m - (w - 1))
+    val seen = new java.util.LinkedHashSet[Integer]()
+    i = 0
+    while (i < nw) {
+      val end = math.min(i + w, m)
+      var best = i
+      var j = i + 1
+      // <= keeps the LAST index of equal minima — the rightmost-min
+      // tie rule (array_position over the REVERSED window)
+      while (j < end) { if (gh(j) <= gh(best)) best = j; j += 1 }
+      seen.add(best)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val pos0 = it.next().intValue()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(pos0 + 1, gh(pos0))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowSelect = copy(child = newChild)
+}
+
 object TextExpressions {
+  def winnowSelect(text: Column, w: Int, p: Long): Column =
+    ColumnBridge.column(WinnowSelect(ColumnBridge.expression(text), w, p))
+
   def multiSetHits(tokens: Column, sets: Seq[Seq[String]]): Column =
     ColumnBridge.column(MultiSetHits(ColumnBridge.expression(tokens), sets))
 

@@ -323,33 +323,16 @@ object Dedup {
   def winnow(df: DataFrame, text: Column, id: Column, w: Int = 4)
       : DataFrame = {
     require(w >= 1, s"winnow: w must be >= 1, got $w")
-    // dedup on POSITION only (adjacent windows reselecting a gram
-    // always reselect the same hash), then map back to (pos, fp)
-    def sel(gh: Column): Column = when(size(gh) >= 1,
-      transform(
-        array_distinct(transform(
-          sequence(lit(1), greatest(lit(1), size(gh) - (w - 1))),
-          i => {
-            val win = slice(gh, i, lit(w))
-            (i + size(win) -
-              array_position(reverse(win), array_min(win))).cast("int")
-          })),
-        p => struct(p.as("pos"), element_at(gh, p).as("fp"))))
-      .otherwise(array().cast("array<struct<pos:int,fp:bigint>>"))
-    // LET-BINDING via single-element transform: a generator input
-    // inlines its whole expression tree, and a withColumn-materialized
-    // hash array would re-evaluate its rolling-hash subtree on EVERY
-    // window reference once inlined (measured pathological: minutes at
-    // sf0.01). Binding tokh/gh as lambda variables forces one
-    // evaluation per row wherever the expression lands — the operator
-    // stays a pure scan with no materialization barrier.
-    val selExpr = element_at(
-      transform(array(TextOps.tokenHashes(text, P)), th =>
-        element_at(
-          transform(array(TextOps.shingleHashes(th, P)), gh => sel(gh)),
-          1)),
-      1)
-    df.select(id.as("doc_id"), explode(selExpr).as("_s"))
+    // Native one-pass kernel (graft.functions.WinnowSelect): the HOF
+    // formulation (let-bound hash arrays + per-window slice/reverse/
+    // min/position lambdas) was bit-equivalent but paid interpreted
+    // per-element dispatch over O(grams·w) work — 8.7 s at sf1. The
+    // expression runs the identical md5/·31-mod-p/rightmost-min
+    // arithmetic as one JIT'd loop per row; same output rows, same
+    // oracle.
+    df.select(id.as("doc_id"),
+        explode(graft.functions.TextExpressions
+          .winnowSelect(text, w, P)).as("_s"))
       .select(col("doc_id"), col("_s.pos").as("pos"), col("_s.fp").as("fp"))
   }
 
