@@ -358,6 +358,161 @@ case class MultiSetHits(child: Expression, sets: Seq[Seq[String]])
       newChild: Expression): MultiSetHits = copy(child = newChild)
 }
 
+/** Shared per-row text-hashing kernel for the native dedup
+  * expressions: exactly the HOF chain's arithmetic — whitespace
+  * tokenize (split(trim, \s+), empties preserved like Spark's split),
+  * md5 60-bit token hash (first 15 hex chars) mod p, rolling 3-gram
+  * `(((h₁·31 + h₂) mod p)·31 + h₃) mod p`.
+  */
+private[functions] object HashKernel {
+  def tokenHashes(text: String, p: Long): Array[Long] = {
+    val toks = text.trim.split("\\s+", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val h = md.digest(toks(i).getBytes("UTF-8"))
+      // conv(substring(md5, 1, 15), 16, 10): bytes 0..6 + high nibble
+      // of byte 7 — 60 bits, non-negative
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((h(7) & 0xf0L) >>> 4)
+      th(i) = v % p
+      i += 1
+    }
+    th
+  }
+
+  def rolling3(th: Array[Long], p: Long): Array[Long] = {
+    if (th.length < 3) return Array.emptyLongArray
+    val m = th.length - 2
+    val gh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      // th < p = 2³¹−1, so ·31 stays far from overflow — plain %
+      gh(i) = ((th(i) * 31 + th(i + 1)) % p * 31 + th(i + 2)) % p
+      i += 1
+    }
+    gh
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase hex md5 of a UTF-8 string — Spark's `md5` rendering. */
+  def md5Hex(s: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((h(i) & 0xf0) >> 4)
+      out(2 * i + 1) = HexDigits(h(i) & 0x0f)
+      i += 1
+    }
+    new String(out)
+  }
+}
+
+/** Native rolling 3-gram shingle hashes over the raw text — the
+  * one-pass replacement for the tokenHashes→shingleHashes HOF chain
+  * (per-token md5 through interpreted lambdas) that every near-dup
+  * operator's base materializes. Bit-identical output (HashKernel ==
+  * the Column arithmetic); < 3 tokens → empty array, matching the
+  * `when(size >= 3, …).otherwise(empty)` form.
+  */
+case class ShingleHashes3(child: Expression, p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val gh = HashKernel.rolling3(
+      HashKernel.tokenHashes(input.toString, p), p)
+    new GenericArrayData(gh.map(g => g: Any))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashes3 = copy(child = newChild)
+}
+
+/** Native LSH band rows from a materialized shingle-hash array: the
+  * k = bands·rowsPerBand minhash signatures (min over the array of
+  * `(aᵢ·h + bᵢ) mod p`) and the per-band md5 of the comma-joined
+  * signature decimals — one pass replacing k interpreted
+  * `array_min(transform(…))` lambdas plus the band-hash projection.
+  * Empty hash array → every signature null in the Column form, whose
+  * `concat_ws` skips nulls → md5("") per band; replicated here, so
+  * sub-3-token docs keep bucketing together exactly as before.
+  */
+case class MinhashBandRows(child: Expression, p: Long,
+    as: Seq[Long], bs: Seq[Long], bands: Int, rowsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  require(as.length >= bands * rowsPerBand &&
+    bs.length >= bands * rowsPerBand,
+    "MinhashBandRows: not enough hash coefficients")
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bh", StringType, nullable = false))),
+    containsNull = false)
+
+  private val aArr = as.toArray
+  private val bArr = bs.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = bands * rowsPerBand
+    val out = new Array[Any](bands)
+    if (n == 0) {
+      var b = 0
+      while (b < bands) {
+        out(b) = org.apache.spark.sql.catalyst.InternalRow(b,
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(HashKernel.md5Hex("")))
+        b += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val hs = arr.toLongArray()
+    val sigs = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = aArr(j); val bb = bArr(j)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = (a * hs(i) + bb) % p
+        if (v < best) best = v
+        i += 1
+      }
+      sigs(j) = best
+      j += 1
+    }
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(24)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(sigs(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(b,
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(HashKernel.md5Hex(sb.toString)))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinhashBandRows = copy(child = newChild)
+}
+
 /** Native winnowing selection (Schleimer et al. 2003) — the whole
   * per-row winnow kernel in one pass: whitespace tokenize → md5-60-bit
   * token hashes mod p → rolling 3-gram hashes → per-window
@@ -382,33 +537,12 @@ case class WinnowSelect(child: Expression, w: Int, p: Long)
     StructField("fp", LongType, nullable = false))), containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.toString
-    val toks = text.trim.split("\\s+", -1)
-    val n = toks.length
-    if (n < 3) return new GenericArrayData(Array.empty[Any])
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val h = md.digest(toks(i).getBytes("UTF-8"))
-      // conv(substring(md5, 1, 15), 16, 10): first 15 hex chars =
-      // bytes 0..6 + the high nibble of byte 7 — 60 bits, non-negative
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((h(7) & 0xf0L) >>> 4)
-      th(i) = v % p
-      i += 1
-    }
-    val m = n - 2
-    val gh = new Array[Long](m)
-    i = 0
-    while (i < m) {
-      // th < p = 2³¹−1, so ·31 stays far from overflow — plain %
-      gh(i) = ((th(i) * 31 + th(i + 1)) % p * 31 + th(i + 2)) % p
-      i += 1
-    }
+    val gh = HashKernel.rolling3(
+      HashKernel.tokenHashes(input.toString, p), p)
+    val m = gh.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
     val nw = math.max(1, m - (w - 1))
+    var i = 0
     val seen = new java.util.LinkedHashSet[Integer]()
     i = 0
     while (i < nw) {
@@ -439,6 +573,14 @@ case class WinnowSelect(child: Expression, w: Int, p: Long)
 object TextExpressions {
   def winnowSelect(text: Column, w: Int, p: Long): Column =
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(text), w, p))
+
+  def shingleHashes3(text: Column, p: Long): Column =
+    ColumnBridge.column(ShingleHashes3(ColumnBridge.expression(text), p))
+
+  def minhashBandRows(hs: Column, p: Long, as: Seq[Long], bs: Seq[Long],
+      bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(MinhashBandRows(ColumnBridge.expression(hs), p,
+      as, bs, bands, rowsPerBand))
 
   def multiSetHits(tokens: Column, sets: Seq[Seq[String]]): Column =
     ColumnBridge.column(MultiSetHits(ColumnBridge.expression(tokens), sets))

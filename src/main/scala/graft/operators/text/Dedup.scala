@@ -41,9 +41,11 @@ object Dedup {
     * inline subtrees).
     */
   def withShingleHashes(df: DataFrame, text: Column, as: String): DataFrame =
-    df.withColumn("_tokh", TextOps.tokenHashes(text, P))
-      .withColumn(as, TextOps.shingleHashes(col("_tokh"), P))
-      .drop("_tokh")
+    // native one-pass kernel (graft.functions.ShingleHashes3) — the
+    // tokenHashes→shingleHashes HOF chain is bit-identical but pays
+    // interpreted per-token lambda dispatch around each md5
+    df.withColumn(as, graft.functions.TextExpressions
+      .shingleHashes3(text, P))
 
   /** Rolling-hash document fingerprint (min shingle hash; the minhash-1
     * analog of TextOps.fingerprint at token-hashing cost).
@@ -63,18 +65,9 @@ object Dedup {
     }.drop("_hs")
   }
 
-  /** LSH banding: rows (id, band, band_hash), one row per band. With
-    * bands=4, rowsPerBand=2 a pair at Jaccard j collides with
-    * prob 1-(1-j²)⁴ (≈0.68 at j=0.5).
-    */
-  def lshBands(sigDf: DataFrame, id: Column, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandHashes = (0 until bands).map { b =>
-      val sigCols = (0 until rowsPerBand).map(r => col(s"sig${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", sigCols: _*)).as("bh"))
-    }
-    sigDf.select(id.as("doc_id"), explode(array(bandHashes: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
-  }
+  // (LSH banding lives in graft.functions.MinhashBandRows — see
+  // [[bandRowsOf]]; with bands=4, rowsPerBand=2 a pair at Jaccard j
+  // collides with prob 1-(1-j²)⁴, ≈0.68 at j=0.5.)
 
   /** Near-dup pairs: LSH candidates (bucket self-join, a < b) verified
     * with exact Jaccard over distinct shingle-HASH sets (same rolling
@@ -114,10 +107,22 @@ object Dedup {
     * happens while the join enumerates matches, so post-join filtering
     * would be too late), emit distinct `a < b` candidate pairs.
     */
+  /** Native band rows from the materialized `_hs` base: one
+    * [[graft.functions.MinhashBandRows]] pass per row (k minhash
+    * minima + per-band md5) replacing k interpreted
+    * `array_min(transform(…))` lambdas — same rows as
+    * `lshBands(bandSigs(…))`, which it supersedes on every path.
+    */
+  private def bandRowsOf(base: DataFrame, id: Column,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    base.select(id.as("doc_id"),
+        explode(graft.functions.TextExpressions.minhashBandRows(
+          col("_hs"), P, A, B, bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
   private def cappedCandidatePairs(base: DataFrame, id: Column,
       bands: Int, rowsPerBand: Int, maxBucketSize: Int): DataFrame = {
-    val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
-      rowsPerBand)
+    val bandRows = bandRowsOf(base, id, bands, rowsPerBand)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bh")).orderBy(col("doc_id"))
     val capped = bandRows.withColumn("_r", row_number().over(w))
@@ -164,13 +169,6 @@ object Dedup {
         .filter(col("dist") <= maxDist)
     }
   }
-
-  private def bandSigs(base: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
-    (0 until bands * rowsPerBand).foldLeft(base) { (d, i) =>
-      d.withColumn(s"sig$i",
-        array_min(transform(col("_hs"),
-          h => (lit(A(i)) * h + lit(B(i))) % lit(P))))
-    }
 
   /** Exact-Jaccard verification of candidate (a, b) pairs against the
     * persisted shingle-hash base; keeps pairs >= threshold.
@@ -232,16 +230,12 @@ object Dedup {
     */
   def nearDupIndex(corpus: DataFrame, text: Column, id: Column,
       bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val base = bandSigs(withShingleHashes(corpus, text, "_hs"),
-      bands, rowsPerBand)
-    val bandHashes = (0 until bands).map { b =>
-      val sigCols = (0 until rowsPerBand).map(r =>
-        col(s"sig${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", sigCols: _*)).as("bh"))
-    }
-    base.select(id.as("doc_id"), array_distinct(col("_hs")).as("sh"),
-        explode(array(bandHashes: _*)).as("b"))
-      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bh"))
+    withShingleHashes(corpus, text, "_hs")
+      .select(id.as("doc_id"), array_distinct(col("_hs")).as("sh"),
+        explode(graft.functions.TextExpressions.minhashBandRows(
+          col("_hs"), P, A, B, bands, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band").as("band"),
+        col("b.bh").as("bh"))
   }
 
   /** Probe arriving documents against a static [[nearDupIndex]]: banded
@@ -289,8 +283,7 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 2): DataFrame = {
     graft.core.CacheScope.withPersisted(withShingleHashes(df, text, "_hs")) { base =>
-      val bandRows = lshBands(bandSigs(base, bands, rowsPerBand), id, bands,
-        rowsPerBand)
+      val bandRows = bandRowsOf(base, id, bands, rowsPerBand)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bh"))
       val cand = bandRows.withColumn("_rep", min(col("doc_id")).over(w))
