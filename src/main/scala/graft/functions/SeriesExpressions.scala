@@ -513,6 +513,51 @@ case class MinhashBandRows(child: Expression, p: Long,
       newChild: Expression): MinhashBandRows = copy(child = newChild)
 }
 
+/** Native 32-bit SimHash over the raw text — one pass replacing the
+  * 32 interpreted `aggregate` bit-folds (each a full array pass) plus
+  * the per-token md5 lambda. Identical semantics: DISTINCT tokens
+  * (first-occurrence dedup — contribution sums are order-free so only
+  * the set matters), hash60 mod 2³², per-bit ±1 majority, bit set iff
+  * the contribution is strictly positive.
+  */
+case class SimHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.trim.split("\\s+", -1)
+    val seen = new java.util.HashSet[String]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cnt = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = md.digest(toks(i).getBytes("UTF-8"))
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+        v = (v << 4) | ((h(7) & 0xf0L) >>> 4)
+        val h32 = v & 0xffffffffL
+        b = 0
+        while (b < 32) {
+          if (((h32 >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 32) { if (cnt(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash32 = copy(child = newChild)
+}
+
 /** Native winnowing selection (Schleimer et al. 2003) — the whole
   * per-row winnow kernel in one pass: whitespace tokenize → md5-60-bit
   * token hashes mod p → rolling 3-gram hashes → per-window
@@ -573,6 +618,9 @@ case class WinnowSelect(child: Expression, w: Int, p: Long)
 object TextExpressions {
   def winnowSelect(text: Column, w: Int, p: Long): Column =
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(text), w, p))
+
+  def simHash32(text: Column): Column =
+    ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
 
   def shingleHashes3(text: Column, p: Long): Column =
     ColumnBridge.column(ShingleHashes3(ColumnBridge.expression(text), p))

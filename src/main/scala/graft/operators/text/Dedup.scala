@@ -397,34 +397,17 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component"))
   }
 
-  /** 32-bit SimHash bit assembly over a precomputed token-hash array
-    * column: bit b set iff the sum of ±1 contributions from token-hash
-    * bit b is positive.
-    */
-  def simhash32Bits(th: Column): Column =
-    (0 until 32).map { b =>
-      val contrib = aggregate(th, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1))
-      when(contrib > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-  /** Token-hash array for SimHash (distinct tokens, lower 32 hash bits). */
-  def simhashTokenHashes(text: Column): Column =
-    transform(array_distinct(TextOps.tokens(text)),
-      t => pmod(TextOps.hash60(t), lit(1L << 32)))
-
-  /** 32-bit SimHash as a DataFrame step: the token-hash array is
-    * materialized in its own projection first — higher-order functions are
-    * interpreted (no codegen CSE), so inlining it into all 32 bit
-    * aggregates would recompute every md5 32×.
+  /** 32-bit SimHash as a DataFrame step — the native one-pass kernel
+    * ([[graft.functions.SimHash32]]): the 32 interpreted `aggregate`
+    * bit-folds (each a full array pass) collapse into one loop, same
+    * distinct-token/md5/majority semantics, same fingerprints.
     */
   def withSimhash32(df: DataFrame, text: Column, as: String): DataFrame =
-    df.withColumn("_th", simhashTokenHashes(text))
-      .withColumn(as, simhash32Bits(col("_th")))
-      .drop("_th")
+    df.withColumn(as, graft.functions.TextExpressions.simHash32(text))
 
-  /** Row-level convenience form (prefer [[withSimhash32]] in pipelines). */
-  def simhash32(text: Column): Column = simhash32Bits(simhashTokenHashes(text))
+  /** Row-level convenience form. */
+  def simhash32(text: Column): Column =
+    graft.functions.TextExpressions.simHash32(text)
 
   /** Segment-level cross-document dedup — the CCNet/C4 paragraph-hash
     * rule re-expressed over token windows (the corpus is space-joined
