@@ -804,6 +804,30 @@ class StreamingSpec extends AnyFunSuite {
       sdBatch.exists(t => t._1 == 2L && t._3 == 3))
   }
 
+  test("invertedIndex: streaming complete-mode aggregate matches batch " +
+      "across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val docs = Seq((1L, "a b a c a"), (2L, "b b"), (3L, "c a b"))
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      T.invertedIndex(df, col("body"), col("doc_id"))
+    val batch = idx(docs.toDF("doc_id", "body"))
+      .as[(String, Long, Long, String)].collect().toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = idx(in.toDS().toDF("doc_id", "body")).writeStream
+      .format("memory").queryName("invidx").outputMode("complete").start()
+    in.addData(docs.take(2))
+    q.processAllAvailable()
+    in.addData(docs.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("invidx")
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(streamed == batch && batch.exists(_ == ("a", 1L, 3L, "1,3,5")))
+  }
+
   test("renderChat: streaming complete-mode aggregate matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
