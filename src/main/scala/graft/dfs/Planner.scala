@@ -2743,6 +2743,14 @@ object Planner {
         rowsPerBand = optNum(n, "rows_per_band", env).map(_.toInt)
           .getOrElse(2))
     },
+    // per-dim embedding whitening (graft extension, the
+    // VectorCuration.whiten door): bounded stats collect -> pure scan
+    "whiten" -> bt(Set("vec_field", "id_field")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("whiten: .id_field"))
+      graft.operators.vector.VectorCuration.whiten(ctx.df, id, vec)
+    },
     // fixed-point covariance matrix (graft extension, the
     // VectorCuration.covarianceFixed door): flat (i, j, cov) rows
     "covariance" -> bt(Set("vec_field")) { (ctx, n, env) =>

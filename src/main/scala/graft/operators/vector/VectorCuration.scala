@@ -281,6 +281,62 @@ object VectorCuration {
     voteMajority(scored, idCol, k)
   }
 
+  /** Per-dimension whitening (z-score) of an embedding column — the
+    * standardization step before distance-based curation (SemDeDup,
+    * outlier pruning) when dimensions carry wildly different scales.
+    * Emits `(id, z_nano)` with the z-vector as comma-joined NANO LONGS
+    * (integer rendering is engine-stable; double→string formatting is
+    * not — the emb_quantize serialization rule).
+    *
+    * Determinism: per-dim stats come from exact integral sums (micro-
+    * quantized components, DECIMAL accumulation), and every downstream
+    * value is one fixed IEEE chain over those exact integers — mean =
+    * double(sx)/n/10⁶, var = double(sxx)/n/10¹² − mean², z =
+    * round((xq − mean)/√var · 10⁹) — replayed verbatim by the oracle.
+    * A zero-variance dimension whitens to 0 by definition.
+    *
+    * 100 TB shape: one d-keyed map-side-combined aggregate; the d-row
+    * stats table is a BOUNDED driver collect (the kmeansTrain/IVF
+    * sanction — never data-sized) embedded as literals, so the apply
+    * pass is a pure scan with zero shuffle and no join at all.
+    */
+  def whiten(df: DataFrame, idCol: String, vecCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val xm = transform(col(vecCol),
+      e => round(e.cast("double") * scale).cast("long"))
+    val st = df.select(posexplode(xm).as(Seq("_i", "_x")))
+      .groupBy(col("_i"))
+      .agg(sum(col("_x").cast("decimal(38,0)")).as("_sx"),
+        sum((col("_x") * col("_x")).cast("decimal(38,0)")).as("_sxx"),
+        count(lit(1)).as("_n"))
+      .collect() // bounded: d rows, never data-sized
+    require(st.nonEmpty, "whiten: empty input")
+    val d = st.map(_.getAs[Int]("_i")).max + 1
+    val mean = new Array[Double](d)
+    val sd = new Array[Double](d)
+    val s2 = scale.toDouble * scale
+    st.foreach { r =>
+      val i = r.getAs[Int]("_i")
+      val sx = r.getAs[java.math.BigDecimal]("_sx").doubleValue
+      val sxx = r.getAs[java.math.BigDecimal]("_sxx").doubleValue
+      val n = r.getAs[Long]("_n")
+      val m = sx / n / scale
+      val v = sxx / n / s2 - m * m
+      mean(i) = m
+      sd(i) = if (v > 0) math.sqrt(v) else 0.0
+    }
+    val zs = (0 until d).map { i =>
+      if (sd(i) == 0.0) lit(0L).cast("string")
+      else {
+        val xq = round(element_at(col(vecCol), i + 1).cast("double") *
+          scale).cast("long").cast("double") / scale
+        round((xq - lit(mean(i))) / lit(sd(i)) * lit(1e9))
+          .cast("long").cast("string")
+      }
+    }
+    df.select(col(idCol), array_join(array(zs: _*), ",").as("z_nano"))
+  }
+
   /** Fixed-point covariance matrix of an embedding column, in flat
     * (i, j, cov) rows — the input to [[pcaPowerTop]] and the
     * observability report for "is this embedding space degenerate".

@@ -1078,6 +1078,21 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(pcaProjectSql)),
 
+    // per-dim whitening (z-score) with the stats embedded as literals
+    // (bounded d-row collect -> pure-scan apply): z-vector serialized
+    // as comma-joined nano longs, the emb_quantize rendering rule
+    "emb_whiten" -> QueryDef(
+      (s, dir) => VectorCuration.whiten(
+        Tables.embeddings(s, dir), "vec_id", "embedding"),
+      Some(whitenSql)),
+
+    "dfs_whiten" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|whiten(.vec_field('embedding').id_field('vec_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(whitenSql)),
+
     "emb_norms" -> QueryDef(
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
@@ -2756,6 +2771,34 @@ object LlmPack extends QueryPack {
        |FROM se LEFT JOIN di
        |  ON se.doc_id = di.doc_id AND se.i = di.i
        |GROUP BY se.doc_id""".stripMargin
+
+  /** Oracle for the whiten queries: same micro quantization, exact
+    * integral sums, and the verbatim IEEE chain (mean = dbl(sx)/n/1e6,
+    * var = dbl(sxx)/n/1e12 − mean², z = round((xq − mean)/√var·1e9);
+    * var ≤ 0 → 0).
+    */
+  private lazy val whitenSql: String =
+    """WITH b AS (SELECT vec_id, list_transform(embedding,
+      |        e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+      |          AS xm
+      |      FROM embeddings),
+      |e1 AS (SELECT vec_id, unnest(xm) AS xi,
+      |        CAST(unnest(range(0, len(xm))) AS INTEGER) AS i FROM b),
+      |st AS (SELECT i, sum(xi) AS sx, sum(xi * xi) AS sxx,
+      |        count(*) AS n FROM e1 GROUP BY 1),
+      |stats AS (SELECT i,
+      |        CAST(sx AS DOUBLE) / n / 1000000 AS mean,
+      |        CAST(sxx AS DOUBLE) / n / 1e12 -
+      |          (CAST(sx AS DOUBLE) / n / 1000000) *
+      |          (CAST(sx AS DOUBLE) / n / 1000000) AS var
+      |      FROM st),
+      |z AS (SELECT e1.vec_id, e1.i,
+      |        CASE WHEN s.var <= 0 THEN CAST(0 AS BIGINT)
+      |          ELSE CAST(round((CAST(e1.xi AS DOUBLE) / 1000000 -
+      |            s.mean) / sqrt(s.var) * 1e9) AS BIGINT) END AS zn
+      |      FROM e1 JOIN stats s ON e1.i = s.i)
+      |SELECT vec_id, array_to_string(list(zn ORDER BY i), ',') AS z_nano
+      |FROM z GROUP BY vec_id""".stripMargin
 
   /** Shared covariance CTE chain for the PCA oracles: micro-quantized
     * components via parallel-unnest ordinality, exact integral sums

@@ -923,6 +923,19 @@ class LlmSpec extends AnyFunSuite {
       again.map(_.toString).sorted))
   }
 
+  test("whiten: hand-computed z-scores; zero-variance dim whitens to 0") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(0.0f, 5.0f)),
+      (2L, Seq(2.0f, 5.0f))).toDF("vec_id", "vec")
+    val z = graft.operators.vector.VectorCuration
+      .whiten(rows, "vec_id", "vec")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[String]("z_nano")).toMap
+    // dim0: mean 1, sd 1 → z = ∓1e9; dim1 constant → 0
+    assert(z == Map(1L -> "-1000000000,0", 2L -> "1000000000,0"))
+  }
+
   test("pca: covarianceFixed + pcaPowerTop + pcaProject reach the " +
       "hand-computed fixed point on a 3-dim line") {
     import spark.implicits._
