@@ -2705,6 +2705,18 @@ object Planner {
           optNum(n, "buckets", env).map(_.toInt).getOrElse(10),
           optStr(n, "as", env).getOrElse("bucket"))
     },
+    // T5 span corruption (graft extension, the TextOps.spanCorrupt
+    // door): deterministic denoising (input, target) pairs
+    "span_corrupt" -> bt(Set("text_field", "id_field", "rate_ppm",
+      "span_len")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("span_corrupt: .id_field"))
+      graft.operators.text.TextOps.spanCorrupt(ctx.df,
+        Paths.ref(text), Paths.ref(id),
+        optNum(n, "rate_ppm", env).map(_.toInt).getOrElse(150000),
+        optNum(n, "span_len", env).map(_.toInt).getOrElse(3))
+    },
     // sentence segmentation rows (graft extension, the
     // TextOps.sentenceSplit door)
     "sentence_split" -> bt(Set("text_field", "id_field")) {

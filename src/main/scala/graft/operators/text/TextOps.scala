@@ -290,6 +290,64 @@ object TextOps {
           x => x("_sent")), " ").as("clean_text"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4's denoising
+    * objective, deterministic form): md5-gated span starts at rate
+    * `ratePpm`/10⁶ per token, each opening a `spanLen`-token mask
+    * (overlapping spans merge into one run); every masked RUN k is
+    * replaced by `<extra_id_k>` in the input and emitted as
+    * `<extra_id_k> …tokens…` in the target, with the closing
+    * `<extra_id_{n_spans}>` sentinel appended — the (input, target)
+    * pair a denoising pretrain consumes. The gate keys on (id, pos),
+    * so the same document corrupts identically on every run, engine,
+    * and corpus size.
+    *
+    * 100 TB shape: one explode + three windows PARTITIONED BY the doc
+    * (never global) + one doc-keyed sorted-struct reassembly — the
+    * renderChat aggregate. Returns (doc_id, n_tok, n_spans,
+    * input_text, target_text).
+    */
+  def spanCorrupt(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column, ratePpm: Int = 150000, spanLen: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    require(ratePpm >= 0 && ratePpm <= 1000000 && spanLen >= 1,
+      s"spanCorrupt: ratePpm in [0, 1e6] and spanLen >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val wMask = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+      .rowsBetween(-(spanLen - 1), 0)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    val gate = pmod(hash60(concat(col("doc_id").cast("string"),
+      lit("|"), col("_p").cast("string"))), lit(1000000L)) < ratePpm
+    val sentinel = (k: Column) =>
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    val marked = df
+      .select(id.as("doc_id"), posexplode(tokens(text)).as(Seq("_p0", "_tok")))
+      .select(col("doc_id"), (col("_p0") + 1).as("_p"), col("_tok"))
+      .withColumn("_g", gate)
+      .withColumn("_m", max(col("_g").cast("int")).over(wMask) === 1)
+      .withColumn("_rs",
+        col("_m") && !coalesce(lag(col("_m"), 1).over(wOrd), lit(false)))
+      .withColumn("_k", sum(col("_rs").cast("int")).over(wOrd))
+    val inPiece = when(!col("_m"), col("_tok"))
+      .when(col("_rs"), sentinel(col("_k") - 1))
+    val tgtPiece = when(col("_rs"),
+        concat(sentinel(col("_k") - 1), lit(" "), col("_tok")))
+      .when(col("_m"), col("_tok"))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_tok"),
+        max(col("_k")).cast("int").as("n_spans"),
+        array_join(transform(array_sort(collect_list(
+            when(inPiece.isNotNull, struct(col("_p"), inPiece.as("_x"))))),
+          s => s("_x")), " ").as("input_text"),
+        array_join(transform(array_sort(collect_list(
+            when(tgtPiece.isNotNull, struct(col("_p"), tgtPiece.as("_x"))))),
+          s => s("_x")), " ").as("_tgt"))
+      .select(col("doc_id"), col("n_tok"), col("n_spans"),
+        col("input_text"),
+        when(col("n_spans") > 0,
+          concat(col("_tgt"), lit(" "), sentinel(col("n_spans"))))
+          .otherwise("").as("target_text"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020's web-corpus
     * rules, re-expressed over a generic line delimiter): a LINE
     * survives iff it (a) ends with terminal punctuation

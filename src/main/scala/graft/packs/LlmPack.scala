@@ -230,6 +230,22 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(quantileBucketSql)),
 
+    // T5 span corruption (deterministic denoising-objective pairs):
+    // md5-gated span starts keyed on (doc, pos), overlap-merged runs,
+    // <extra_id_k> sentinels — full window replay in the oracle
+    "text_span_corrupt" -> QueryDef(
+      (s, dir) => TextOps.spanCorrupt(Tables.documents(s, dir),
+        col("text"), col("doc_id"), 150000, 3),
+      Some(spanCorruptSql)),
+
+    "dfs_span_corrupt" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|span_corrupt(.id_field('doc_id').rate_ppm(150000)
+          #  .span_len(3))
+          #""".stripMargin('#'), s, dir),
+      Some(spanCorruptSql)),
+
     // sentence rows: the sentence-granular restructure (leftmost-greedy
     // findall scans identically in Java regex and RE2)
     "text_sentence_split" -> QueryDef(
@@ -2693,6 +2709,42 @@ object LlmPack extends QueryPack {
       |        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
       |        count(*) OVER () AS n
       |      FROM documents)""".stripMargin
+
+  /** Oracle for the span_corrupt queries: the same (doc, pos)-keyed
+    * md5 gate, the sliding-window mask merge, run starts, running
+    * sentinel ids, and the ordered null-skipping reassembly.
+    */
+  private lazy val spanCorruptSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok,
+       |        CAST(unnest(range(1, len($toks) + 1)) AS INTEGER) AS p
+       |      FROM documents),
+       |g AS (SELECT doc_id, p, tok,
+       |        (${h60("doc_id || '|' || p")} % 1000000) < 150000 AS gt
+       |      FROM t),
+       |m AS (SELECT *, max(CASE WHEN gt THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY p
+       |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS mk
+       |      FROM g),
+       |r AS (SELECT *, mk AND NOT coalesce(
+       |        lag(mk) OVER (PARTITION BY doc_id ORDER BY p), false)
+       |          AS rs FROM m),
+       |k AS (SELECT *, sum(CASE WHEN rs THEN 1 ELSE 0 END)
+       |        OVER (PARTITION BY doc_id ORDER BY p) AS kk FROM r),
+       |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+       |        CAST(max(kk) AS INTEGER) AS n_spans,
+       |        string_agg(CASE WHEN NOT mk THEN tok
+       |          WHEN rs THEN '<extra_id_' || (kk - 1) || '>' END,
+       |          ' ' ORDER BY p) AS input_text,
+       |        string_agg(CASE
+       |          WHEN rs THEN '<extra_id_' || (kk - 1) || '> ' || tok
+       |          WHEN mk THEN tok END, ' ' ORDER BY p) AS tgt
+       |      FROM k GROUP BY doc_id)
+       |SELECT doc_id, n_tok, n_spans,
+       |  coalesce(input_text, '') AS input_text,
+       |  CASE WHEN n_spans > 0
+       |    THEN tgt || ' <extra_id_' || n_spans || '>'
+       |    ELSE '' END AS target_text
+       |FROM agg""".stripMargin
 
   /** Sentence fixture: the corpus is one-sentence token soup, so (the
     * text_normalize dirty-construction pattern) the queries first

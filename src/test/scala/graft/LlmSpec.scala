@@ -923,6 +923,44 @@ class LlmSpec extends AnyFunSuite {
       again.map(_.toString).sorted))
   }
 
+  test("spanCorrupt: splicing targets back into inputs reconstructs " +
+      "every document; rate 0 is the identity") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.text.TextOps.spanCorrupt(docs,
+      col("text"), col("doc_id"), 150000, 3)
+      .join(docs.select(col("doc_id"),
+        concat_ws(" ", split(trim(col("text")), "\\s+")).as("orig")),
+        Seq("doc_id"))
+      .collect()
+    assert(out.nonEmpty && out.exists(_.getAs[Int]("n_spans") > 0))
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { r =>
+      val n = r.getAs[Int]("n_spans")
+      val input = r.getAs[String]("input_text")
+      val target = r.getAs[String]("target_text")
+      if (n == 0) assert(target == "" && input == r.getAs[String]("orig"))
+      else {
+        // target = <id_0> span0 … <id_{n-1}> span_{n-1} <id_n>
+        assert(target.endsWith(s"<extra_id_$n>"))
+        val spans = sentinel.split(target.stripSuffix(s" <extra_id_$n>"))
+          .map(_.trim).drop(1) // leading empty before <extra_id_0>
+        assert(spans.length == n)
+        var rebuilt = input
+        for (k <- 0 until n)
+          rebuilt = rebuilt.replace(s"<extra_id_$k>", spans(k))
+        assert(rebuilt == r.getAs[String]("orig"),
+          s"doc ${r.getAs[Long]("doc_id")} failed to reconstruct")
+      }
+    }
+    // rate 0: identity input, empty target
+    val id0 = graft.operators.text.TextOps.spanCorrupt(docs,
+      col("text"), col("doc_id"), 0, 3)
+      .agg(sum(col("n_spans")), count(when(col("target_text") =!= "", 1)))
+      .collect()(0)
+    assert(id0.getLong(0) == 0L && id0.getLong(1) == 0L)
+  }
+
   test("whiten: hand-computed z-scores; zero-variance dim whitens to 0") {
     import spark.implicits._
     val rows = Seq(
