@@ -2705,6 +2705,15 @@ object Planner {
           optNum(n, "buckets", env).map(_.toInt).getOrElse(10),
           optStr(n, "as", env).getOrElse("bucket"))
     },
+    // fill-in-the-middle transform (graft extension, the
+    // TextOps.fimTransform door)
+    "fim" -> bt(Set("text_field", "id_field")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("fim: .id_field"))
+      graft.operators.text.TextOps.fimTransform(ctx.df,
+        Paths.ref(text), Paths.ref(id))
+    },
     // T5 span corruption (graft extension, the TextOps.spanCorrupt
     // door): deterministic denoising (input, target) pairs
     "span_corrupt" -> bt(Set("text_field", "id_field", "rate_ppm",

@@ -348,6 +348,45 @@ object TextOps {
           .otherwise("").as("target_text"))
   }
 
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, PSM
+    * form), deterministic: two md5-gated token cut points keyed on the
+    * doc id split the document into prefix/middle/suffix, re-emitted as
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the code-model
+    * pretraining transform, reproducible on every run/engine. Cut
+    * points: c1 = h(id|a) mod (n+1), c2 = c1 + h(id|b) mod (n−c1+1) —
+    * every split (including empty prefix/middle/suffix) is reachable
+    * and exact.
+    *
+    * 100 TB shape: pure per-row expression — no shuffle, streams
+    * as-is. Returns (doc_id, n_tok, c1, c2, fim_text).
+    */
+  def fimTransform(df: org.apache.spark.sql.DataFrame, text: Column,
+      id: Column): org.apache.spark.sql.DataFrame = {
+    df.select(id.as("doc_id"), tokens(text).as("_t"))
+      .select(col("doc_id"), size(col("_t")).as("n_tok"), col("_t"))
+      .withColumn("_c1", pmod(hash60(concat(col("doc_id").cast("string"),
+        lit("|a"))), (col("n_tok") + 1).cast("long")).cast("int"))
+      .withColumn("_c2", col("_c1") +
+        pmod(hash60(concat(col("doc_id").cast("string"), lit("|b"))),
+          (col("n_tok") - col("_c1") + 1).cast("long")).cast("int"))
+      .select(col("doc_id"), col("n_tok"),
+        col("_c1").as("c1"), col("_c2").as("c2"),
+        concat(lit("<fim_prefix> "),
+          array_join(when(col("_c1") > 0,
+            slice(col("_t"), lit(1), col("_c1")))
+            .otherwise(array().cast("array<string>")), " "),
+          lit(" <fim_suffix> "),
+          array_join(when(col("_c2") < col("n_tok"),
+            slice(col("_t"), col("_c2") + 1,
+              col("n_tok") - col("_c2"))).otherwise(array()
+                .cast("array<string>")), " "),
+          lit(" <fim_middle> "),
+          array_join(when(col("_c2") > col("_c1"),
+            slice(col("_t"), col("_c1") + 1, col("_c2") - col("_c1")))
+            .otherwise(array().cast("array<string>")), " "))
+          .as("fim_text"))
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020's web-corpus
     * rules, re-expressed over a generic line delimiter): a LINE
     * survives iff it (a) ends with terminal punctuation

@@ -230,6 +230,21 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(quantileBucketSql)),
 
+    // fill-in-the-middle (PSM form): two md5 cut points keyed on the
+    // doc id, prefix/suffix/middle re-ordered with fim sentinels —
+    // pure scan, list-slice replay
+    "text_fim" -> QueryDef(
+      (s, dir) => TextOps.fimTransform(Tables.documents(s, dir),
+        col("text"), col("doc_id")),
+      Some(fimSql)),
+
+    "dfs_fim" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|fim(.id_field('doc_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(fimSql)),
+
     // T5 span corruption (deterministic denoising-objective pairs):
     // md5-gated span starts keyed on (doc, pos), overlap-merged runs,
     // <extra_id_k> sentinels — full window replay in the oracle
@@ -2709,6 +2724,27 @@ object LlmPack extends QueryPack {
       |        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
       |        count(*) OVER () AS n
       |      FROM documents)""".stripMargin
+
+  /** Oracle for the fim queries: same md5 cut points, 1-based list
+    * slices (empty when the range is void, both engines agree), PSM
+    * sentinel order.
+    */
+  private lazy val fimSql: String =
+    s"""WITH t AS (SELECT doc_id, $toks AS w FROM documents),
+       |c AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS n,
+       |        CAST(${h60("doc_id || '|a'")} % (len(w) + 1)
+       |          AS INTEGER) AS c1
+       |      FROM t),
+       |cc AS (SELECT *, CAST(c1 + ${h60("doc_id || '|b'")} %
+       |          (n - c1 + 1) AS INTEGER) AS c2 FROM c)
+       |SELECT doc_id, n AS n_tok, c1, c2,
+       |  '<fim_prefix> ' ||
+       |    coalesce(array_to_string(w[1:c1], ' '), '') ||
+       |  ' <fim_suffix> ' ||
+       |    coalesce(array_to_string(w[c2+1:n], ' '), '') ||
+       |  ' <fim_middle> ' ||
+       |    coalesce(array_to_string(w[c1+1:c2], ' '), '') AS fim_text
+       |FROM cc""".stripMargin
 
   /** Oracle for the span_corrupt queries: the same (doc, pos)-keyed
     * md5 gate, the sliding-window mask merge, run starts, running

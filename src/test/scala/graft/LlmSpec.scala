@@ -961,6 +961,33 @@ class LlmSpec extends AnyFunSuite {
     assert(id0.getLong(0) == 0L && id0.getLong(1) == 0L)
   }
 
+  test("fimTransform: prefix+middle+suffix reassembles every doc; cut " +
+      "points bounded") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.text.TextOps.fimTransform(docs,
+      col("text"), col("doc_id"))
+      .join(docs.select(col("doc_id"),
+        concat_ws(" ", split(trim(col("text")), "\\s+")).as("orig")),
+        Seq("doc_id"))
+      .collect()
+    assert(out.nonEmpty)
+    val pat = ("(?s)^<fim_prefix> (.*) <fim_suffix> (.*) " +
+      "<fim_middle> (.*)$").r
+    out.foreach { r =>
+      val (n, c1, c2) = (r.getAs[Int]("n_tok"), r.getAs[Int]("c1"),
+        r.getAs[Int]("c2"))
+      assert(0 <= c1 && c1 <= c2 && c2 <= n)
+      r.getAs[String]("fim_text") match {
+        case pat(p, sfx, m) =>
+          val rebuilt = Seq(p, m, sfx).filter(_.nonEmpty).mkString(" ")
+          assert(rebuilt == r.getAs[String]("orig"),
+            s"doc ${r.getAs[Long]("doc_id")} failed to reassemble")
+        case other => fail(s"bad fim format: $other")
+      }
+    }
+  }
+
   test("whiten: hand-computed z-scores; zero-variance dim whitens to 0") {
     import spark.implicits._
     val rows = Seq(
