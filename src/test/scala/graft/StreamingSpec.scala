@@ -828,6 +828,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.exists(_ == ("a", 1L, 3L, "1,3,5")))
   }
 
+  test("fim streams as-is; spanCorrupt per micro-batch (doc-pure given " +
+      "the (id, pos) gates) matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val data = (1L to 10L).map(i => Ev(i % 3, i, i.toDouble,
+      s"alpha beta gamma delta epsilon zeta token$i"))
+    def fim(df: org.apache.spark.sql.DataFrame) =
+      T.fimTransform(df, col("event_type"), col("seq"))
+        .select("doc_id", "fim_text")
+    val fimBatch = fim(data.toDF()).as[(Long, String)].collect().toSet
+    val fimStream = runStream("fimstream")(in =>
+      fim(in.toDS().toDF()).as[(Long, String)])(data)
+      .as[(Long, String)].collect().toSet
+    assert(fimStream == fimBatch)
+    // spanCorrupt: the lag/sum windows bar direct streaming, but the
+    // result is per-doc pure given the (id, pos) gates — micro-batch
+    // scoping reproduces batch exactly even with docs split across
+    // batches
+    def sc(df: org.apache.spark.sql.DataFrame) =
+      T.spanCorrupt(df, col("body"), col("doc_id"), 300000, 2)
+        .select("doc_id", "input_text", "target_text")
+    val docs = (1L to 6L).map(i => (i, s"one two three four five six$i"))
+    val scBatch = sc(docs.toDF("doc_id", "body"))
+      .as[(Long, String, String)].collect().toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, String, String)]
+    val q = in.toDS().toDF("doc_id", "body").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= sc(mb).as[(Long, String, String)].collect()
+        ()
+      }.start()
+    in.addData(docs.take(2))
+    in.addData(docs.drop(2))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == scBatch)
+  }
+
   test("renderChat: streaming complete-mode aggregate matches batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
