@@ -181,6 +181,24 @@ object LlmPack extends QueryPack {
   }
 
   def entries: Map[String, QueryDef] = Map(
+    // composition proof #2 — the quality-curriculum chain: bigram-LM
+    // perplexity feeds exact quantile buckets (train easy-to-hard);
+    // the oracle nests the full ppl replay under the ntile window
+    "dfs_quality_chain" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|perplexity(.id_field('doc_id'))
+          #|quantile_bucket(.field('nll').id_field('doc_id').buckets(5))
+          #|keep('doc_id', 'nll', 'bucket')
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH r AS (SELECT doc_id, nll,
+              |        row_number() OVER (ORDER BY nll, doc_id) AS rn,
+              |        count(*) OVER () AS n
+              |      FROM ($pplSql) pp)
+              |SELECT doc_id, nll,
+              |  CAST(((rn - 1) * 5) // n AS INTEGER) AS bucket
+              |FROM r""".stripMargin)),
+
     // composition proof: four round-16 nodes chained in ONE script —
     // blocklist annotation feeds the curriculum bucket feeds the URL
     // canon; the oracle replays the whole chain in one SQL

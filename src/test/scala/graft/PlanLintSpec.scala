@@ -135,7 +135,7 @@ class PlanLintSpec extends AnyFunSuite {
       // quantileBuckets broadcasts its 1-ROW count (the ntile divisor);
       // the chain query inherits it
       "text_quantile_bucket", "dfs_quantile_bucket",
-      "dfs_curation_chain")
+      "dfs_curation_chain", "dfs_quality_chain")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
