@@ -382,51 +382,58 @@ object Curation {
     * corpus-quadratic and nothing collects to the driver.
     */
   def naiveBayesClassify(train: DataFrame, score: DataFrame,
-      text: Column, id: Column, label: Column): DataFrame = {
-    val trTok = train.select(label.as("_cls"),
-      explode(TextOps.tokens(text)).as("_tok"))
-    // vocabulary-sized: per-(class, token) occurrence counts
-    val w = trTok.groupBy(col("_cls"), col("_tok"))
-      .agg(round(log(count(lit(1)) + lit(1.0)) * lit(1e9))
-        .cast("long").as("_w_nano"))
-    // class-cardinality: token totals and doc priors per class
-    val tots = trTok.groupBy(col("_cls"))
-      .agg(count(lit(1)).as("_tot"))
-    val priors = train.groupBy(label.as("_cls"))
-      .agg(count(lit(1)).as("_ndoc"))
-    val grand = trTok.agg(countDistinct(col("_tok")).as("_v"))
-      .crossJoin(train.agg(count(lit(1)).as("_n")))
-    val classes = tots.join(priors, Seq("_cls"))
-      .join(broadcast(grand))
-      .select(col("_cls"),
-        round(log(col("_ndoc").cast("double") / col("_n")) * lit(1e9))
-          .cast("long").as("_prior_nano"),
-        round(log((col("_tot") + col("_v")).cast("double")) * lit(1e9))
-          .cast("long").as("_base_nano"))
-    val docs = score.select(id.as("doc_id"),
-      TextOps.tokens(text).as("_w"))
-      .select(col("doc_id"), col("_w"),
-        size(col("_w")).cast("long").as("n_tok"))
-    // matched log-likelihood mass per (doc, class): inner join — a
-    // token absent from a class's vocabulary contributes ln 1 = 0
-    val matched = docs
-      .select(col("doc_id"), explode(col("_w")).as("_tok"))
-      .join(w, Seq("_tok"))
-      .groupBy(col("doc_id"), col("_cls"))
-      .agg(sum(col("_w_nano")).as("_m_nano"))
-    docs.select(col("doc_id"), col("n_tok"))
-      .join(broadcast(classes))
-      .join(matched, Seq("doc_id", "_cls"), "left_outer")
-      .select(col("doc_id"), col("n_tok"), col("_cls"),
-        (col("_prior_nano") + coalesce(col("_m_nano"), lit(0L)) -
-          col("n_tok") * col("_base_nano")).as("_s_nano"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n_tok")).as("n_tok"),
-        max(struct(col("_s_nano"), col("_cls"))).as("_best"))
-      .select(col("doc_id"), col("n_tok"),
-        col("_best._cls").as("pred"),
-        col("_best._s_nano").as("score_nano"))
-  }
+      text: Column, id: Column, label: Column): DataFrame =
+    // scope-cache the TOKENIZED bases (the near-dup CacheScope rule):
+    // five aggregates derive from the train side and two frames from
+    // the score side — uncached, each was its own parquet scan of the
+    // corpus (a 7-scan plan, caught by PlanAudit round 16)
+    graft.core.CacheScope.withPersisted(
+      train.select(label.as("_cls"), TextOps.tokens(text).as("_t"))) { tb =>
+      graft.core.CacheScope.withPersisted(
+        score.select(id.as("doc_id"),
+          TextOps.tokens(text).as("_t"))) { sb =>
+        val trTok = tb.select(col("_cls"), explode(col("_t")).as("_tok"))
+        // vocabulary-sized: per-(class, token) occurrence counts
+        val w = trTok.groupBy(col("_cls"), col("_tok"))
+          .agg(round(log(count(lit(1)) + lit(1.0)) * lit(1e9))
+            .cast("long").as("_w_nano"))
+        // class-cardinality: token totals and doc priors per class
+        val tots = trTok.groupBy(col("_cls"))
+          .agg(count(lit(1)).as("_tot"))
+        val priors = tb.groupBy(col("_cls"))
+          .agg(count(lit(1)).as("_ndoc"))
+        val grand = trTok.agg(countDistinct(col("_tok")).as("_v"))
+          .crossJoin(tb.agg(count(lit(1)).as("_n")))
+        val classes = tots.join(priors, Seq("_cls"))
+          .join(broadcast(grand))
+          .select(col("_cls"),
+            round(log(col("_ndoc").cast("double") / col("_n")) * lit(1e9))
+              .cast("long").as("_prior_nano"),
+            round(log((col("_tot") + col("_v")).cast("double")) * lit(1e9))
+              .cast("long").as("_base_nano"))
+        val docs = sb.select(col("doc_id"), col("_t").as("_w"),
+          size(col("_t")).cast("long").as("n_tok"))
+        // matched log-likelihood mass per (doc, class): inner join — a
+        // token absent from a class's vocabulary contributes ln 1 = 0
+        val matched = docs
+          .select(col("doc_id"), explode(col("_w")).as("_tok"))
+          .join(w, Seq("_tok"))
+          .groupBy(col("doc_id"), col("_cls"))
+          .agg(sum(col("_w_nano")).as("_m_nano"))
+        docs.select(col("doc_id"), col("n_tok"))
+          .join(broadcast(classes))
+          .join(matched, Seq("doc_id", "_cls"), "left_outer")
+          .select(col("doc_id"), col("n_tok"), col("_cls"),
+            (col("_prior_nano") + coalesce(col("_m_nano"), lit(0L)) -
+              col("n_tok") * col("_base_nano")).as("_s_nano"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_tok")).as("n_tok"),
+            max(struct(col("_s_nano"), col("_cls"))).as("_best"))
+          .select(col("doc_id"), col("n_tok"),
+            col("_best._cls").as("pred"),
+            col("_best._s_nano").as("score_nano"))
+      }
+    }
 
   def sampleWeightedK(df: DataFrame, id: Column, weight: Column, k: Int,
       stratum: Seq[Column]): DataFrame = {
