@@ -100,9 +100,13 @@ object Multimodal {
   def nearDupPairs(df: DataFrame, blob: String, id: Column,
       frameSize: Int, every: Int, threshold: Double,
       maxPerHash: Int = 4096): DataFrame = {
-    val fs = frameSample(df.select(id.as("doc_id"), col(blob)), blob,
-      frameSize, every)
-      .select(col("doc_id"), col("frame_md5")).distinct()
+    // scope-cache the distinct digest sets: the size aggregate and both
+    // self-join sides derive from them — uncached, four parquet scans
+    // re-running the frame fan-out (PlanAudit, round 16)
+    graft.core.CacheScope.withPersisted(
+      frameSample(df.select(id.as("doc_id"), col(blob)), blob,
+        frameSize, every)
+        .select(col("doc_id"), col("frame_md5")).distinct()) { fs =>
     val n = fs.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("frame_md5")).orderBy(col("doc_id"))
@@ -121,5 +125,6 @@ object Multimodal {
       .filter(col("jac") >= threshold)
       .select(col("a"), col("b"), col("inter").cast("int").as("inter"),
         col("jac"))
+    }
   }
 }

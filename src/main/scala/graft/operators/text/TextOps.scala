@@ -252,7 +252,17 @@ object TextOps {
   def spanDedup(docs: org.apache.spark.sql.DataFrame, text: Column,
       id: Column, n: Int = 3): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"spanDedup: n must be >= 1, got $n")
-    val sent = docs.select(id.as("doc_id"), sentences(text).as("_ss"))
+    // scope-cache the segmented base: the window pass, the mark-back,
+    // and the rebuild each derive from it — uncached, three parquet
+    // scans re-running the sentence regex (PlanAudit, round 16)
+    graft.core.CacheScope.withPersisted(
+      docs.select(id.as("doc_id"), sentences(text).as("_ss"))) { sent =>
+    spanDedupFrom(sent, n)
+    }
+  }
+
+  private def spanDedupFrom(sent: org.apache.spark.sql.DataFrame,
+      n: Int): org.apache.spark.sql.DataFrame = {
     // one row per n-sentence window: (doc, start, window hash)
     val wins = sent
       .select(col("doc_id"), col("_ss"),
