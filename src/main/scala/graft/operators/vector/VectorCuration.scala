@@ -414,8 +414,12 @@ object VectorCuration {
         flush()
         out.iterator
       }.toDF("i", "j", "_v")
+    // eager checkpoint of the ≤ (d²+d+1)-row combine: three consumers
+    // (n, means, products) would otherwise each re-run the corpus
+    // kernel — PlanAudit counted 4 parquet scans before this
     val agg = partials.groupBy(col("i"), col("j"))
       .agg(sum(col("_v").cast("decimal(38,0)")).as("_s"))
+      .localCheckpoint()
     val nRow = agg.filter(col("i") === -1)
       .select(col("_s").cast("long").as("_n"))
     val sx = agg.filter(col("i") >= 0 && col("j") === -1)
