@@ -2212,6 +2212,20 @@ object Planner {
         graft.operators.text.TextOps.packBins(ctx.df, tokens, shard, order,
           bin)
     },
+    // exact content dedup (graft extension, the Dedup door): group
+    // table by default, `.annotate()` keeps rows with rep_id/n_copies/
+    // is_rep — the keep-min survivor flag downstream filters compose on
+    "exact_dedup" -> bt(Set("text_field", "id_field", "annotate")) {
+      (ctx, n, env) =>
+        val text = optStr(n, "text_field", env).getOrElse("text")
+        val id = optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("exact_dedup: .id_field"))
+        if (optFlag(n, "annotate", env))
+          graft.operators.text.Dedup.exactDedupAnnotate(ctx.df,
+            Paths.ref(text), Paths.ref(id))
+        else graft.operators.text.Dedup.exactDupGroups(ctx.df,
+          Paths.ref(text), Paths.ref(id))
+    },
     "near_dedup" -> bt(Set("text_field", "id_field", "threshold", "bands",
       "rows_per_band", "max_bucket")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")

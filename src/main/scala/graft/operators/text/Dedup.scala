@@ -30,6 +30,21 @@ object Dedup {
     df.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("rep_id"), count(lit(1)).as("n_copies"))
 
+  /** [[exactDupGroups]] joined back onto the rows: every row lands
+    * with its group's `rep_id`/`n_copies` and `is_rep` (the keep-min
+    * survivor flag) — the annotate form downstream filters compose on.
+    * One hash-keyed aggregate + one hash-keyed equi-join.
+    */
+  def exactDedupAnnotate(df: DataFrame, text: Column, id: Column)
+      : DataFrame = {
+    val marked = df.withColumn("content_hash", md5(text))
+    marked.join(
+        marked.groupBy(col("content_hash"))
+          .agg(min(id).as("rep_id"), count(lit(1)).as("n_copies")),
+        Seq("content_hash"))
+      .withColumn("is_rep", id === col("rep_id"))
+  }
+
   /** MinHash signature: k = A.size row-level min-hashes over the distinct
     * word-3-gram shingles. Adds sig0..sig{k-1}.
     */

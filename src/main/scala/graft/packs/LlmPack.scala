@@ -832,6 +832,29 @@ object LlmPack extends QueryPack {
              |  count(*) AS n_copies
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // annotate form through the DFS door over a deterministically
+    // DIRTIED corpus (every doc_id%3 doc collapses to one literal) —
+    // keep-min survivor flag + group sizes, whole-chain replay
+    "dfs_exact_dedup" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: if(mod("doc_id", 3) == 0,
+          #  'DUPLICATE BLOCK', "text")).as('text2')
+          #|exact_dedup(.text_field('text2').id_field('doc_id')
+          #  .annotate())
+          #|keep('doc_id', 'content_hash', 'rep_id', 'n_copies',
+          #  'is_rep')
+          #""".stripMargin('#'), s, dir),
+      Some("""WITH d AS (SELECT doc_id,
+             |        CASE WHEN doc_id % 3 = 0 THEN 'DUPLICATE BLOCK'
+             |          ELSE text END AS t FROM documents),
+             |g AS (SELECT md5(t) AS content_hash, min(doc_id) AS rep_id,
+             |        count(*) AS n_copies
+             |      FROM d GROUP BY 1)
+             |SELECT doc_id, g.content_hash, rep_id, n_copies,
+             |  doc_id = rep_id AS is_rep
+             |FROM d JOIN g ON md5(d.t) = g.content_hash""".stripMargin)),
+
     "dedup_minhash_sig" -> QueryDef(
       (s, dir) =>
         Dedup.minhashSignature(Tables.documents(s, dir), col("text"), 8)
