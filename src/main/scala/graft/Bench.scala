@@ -75,7 +75,8 @@ object Bench {
       "text_seg_dedup", "text_token_budget", "emb_hamming_rerank",
       "graph_cc_stars", "emb_kmeans", "text_heavy_hitters",
       "text_kl_drift", "emb_outliers", "text_chat_render",
-      "text_nb_classify", "emb_pca_project", "text_winnow")
+      "text_nb_classify", "emb_pca_project", "text_winnow",
+      "text_span_corrupt", "dedup_edit_pairs")
     Files.writeString(Paths.get("BENCH_LOCAL.json"), jsonOf(results, total))
     // Write straight to fd 1: sbt's non-forked `run` wraps System.out in
     // its logger and prefixes every line with "[info] ", which breaks a
