@@ -2719,6 +2719,18 @@ object Planner {
           optNum(n, "buckets", env).map(_.toInt).getOrElse(10),
           optStr(n, "as", env).getOrElse("bucket"))
     },
+    // per-group z-score outlier flag (graft extension, the
+    // Curation.groupZScore door)
+    "group_zscore" -> bt(Set("by", "field", "threshold")) {
+      (ctx, n, env) =>
+        val by = optStr(n, "by", env)
+          .getOrElse(throw DfsError("group_zscore: .by"))
+        val field = optStr(n, "field", env)
+          .getOrElse(throw DfsError("group_zscore: .field"))
+        graft.operators.text.Curation.groupZScore(ctx.df,
+          Paths.ref(by), Paths.ref(field),
+          optNum(n, "threshold", env).getOrElse(3.0))
+    },
     // fill-in-the-middle transform (graft extension, the
     // TextOps.fimTransform door)
     "fim" -> bt(Set("text_field", "id_field")) { (ctx, n, env) =>

@@ -294,6 +294,46 @@ object Curation {
     df.withColumn(as, expr)
   }
 
+  /** Per-GROUP z-score + outlier flag — the "is this document weird
+    * for its domain/language" gate (a 50-char doc is normal in chat
+    * data and an outlier in web text, so global thresholds misfire).
+    * Lands `z_nano` (round((x − mean)/sd · 10⁹), the [[VectorCuration
+    * .whiten]] rendering) and `is_outlier` (|z| > threshold);
+    * zero-variance groups z to 0.
+    *
+    * Determinism: group stats from exact integral sums (micro-
+    * quantized values, DECIMAL accumulation), then one fixed IEEE
+    * chain — the whiten contract, per group instead of per dimension.
+    *
+    * 100 TB shape: one group-keyed map-side-combined aggregate + one
+    * group-keyed equi-join back (group-cardinality build side —
+    * broadcastable for languages/sources, partitionable for hosts).
+    */
+  def groupZScore(df: DataFrame, by: Column, value: Column,
+      threshold: Double = 3.0): DataFrame = {
+    val xm = round(value.cast("double") * 1000000L).cast("long")
+    val stats = df.select(by.as("_grp"), xm.as("_xm"))
+      .groupBy(col("_grp"))
+      .agg(sum(col("_xm").cast("decimal(38,0)")).as("_sx"),
+        sum((col("_xm") * col("_xm")).cast("decimal(38,0)")).as("_sxx"),
+        count(lit(1)).as("_n"))
+      .select(col("_grp"),
+        (col("_sx").cast("double") / col("_n") / 1000000L).as("_mean"),
+        (col("_sxx").cast("double") / col("_n") / 1e12 -
+          (col("_sx").cast("double") / col("_n") / 1000000L) *
+          (col("_sx").cast("double") / col("_n") / 1000000L)).as("_var"))
+    val xq = xm.cast("double") / 1000000L
+    df.withColumn("_grp", by)
+      .join(stats, Seq("_grp"))
+      .withColumn("z_nano",
+        when(col("_var") <= 0, lit(0L))
+          .otherwise(round((xq - col("_mean")) / sqrt(col("_var")) *
+            lit(1e9)).cast("long")))
+      .withColumn("is_outlier",
+        abs(col("z_nano")) > (threshold * 1e9).toLong)
+      .drop("_grp", "_mean", "_var")
+  }
+
   /** Exact corpus-wide quantile buckets (curriculum / stratification
     * assignment): bucket = floor((rank−1)·k / n) over the global rank
     * by (score, tieBreak) — ntile semantics with a TOTAL order, so

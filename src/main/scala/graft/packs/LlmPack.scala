@@ -248,6 +248,24 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(quantileBucketSql)),
 
+    // per-language z-score outlier flag over doc length — the grouped
+    // "weird for its domain" gate; same micro/DECIMAL/IEEE chain as
+    // whiten, per group
+    "text_group_z" -> QueryDef(
+      (s, dir) => Curation.groupZScore(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        col("lang"), col("n_chars"), 2.0),
+      Some(groupZSql)),
+
+    "dfs_group_z" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|keep('doc_id', 'lang', 'n_chars')
+          #|group_zscore(.by('lang').field('n_chars').threshold(2.0))
+          #""".stripMargin('#'), s, dir),
+      Some(groupZSql)),
+
     // fill-in-the-middle (PSM form): two md5 cut points keyed on the
     // doc id, prefix/suffix/middle re-ordered with fim sentinels —
     // pure scan, list-slice replay
@@ -2765,6 +2783,30 @@ object LlmPack extends QueryPack {
       |        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
       |        count(*) OVER () AS n
       |      FROM documents)""".stripMargin
+
+  /** Oracle for the group_zscore queries: the whiten IEEE chain per
+    * group (micro quantization, exact sums, mean/var/√, nano z).
+    */
+  private lazy val groupZSql: String =
+    """WITH b AS (SELECT doc_id, lang, n_chars,
+      |        CAST(round(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+      |          AS xm
+      |      FROM documents),
+      |st AS (SELECT lang,
+      |        CAST(sum(xm) AS DOUBLE) / count(*) / 1000000 AS mean,
+      |        CAST(sum(xm * xm) AS DOUBLE) / count(*) / 1e12 -
+      |          (CAST(sum(xm) AS DOUBLE) / count(*) / 1000000) *
+      |          (CAST(sum(xm) AS DOUBLE) / count(*) / 1000000) AS var
+      |      FROM b GROUP BY lang)
+      |SELECT doc_id, b.lang, n_chars,
+      |  CASE WHEN st.var <= 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(round((CAST(xm AS DOUBLE) / 1000000 - st.mean) /
+      |      sqrt(st.var) * 1e9) AS BIGINT) END AS z_nano,
+      |  abs(CASE WHEN st.var <= 0 THEN CAST(0 AS BIGINT)
+      |    ELSE CAST(round((CAST(xm AS DOUBLE) / 1000000 - st.mean) /
+      |      sqrt(st.var) * 1e9) AS BIGINT) END) > 2000000000
+      |    AS is_outlier
+      |FROM b JOIN st ON b.lang = st.lang""".stripMargin
 
   /** Oracle for the fim queries: same md5 cut points, 1-based list
     * slices (empty when the range is void, both engines agree), PSM

@@ -404,6 +404,22 @@ class CurationSpec extends AnyFunSuite {
     assert(keptT == kept)
   }
 
+  test("groupZScore: hand-computed z per group; constant group " +
+      "never flags") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 0L), (2L, "a", 2L),      // mean 1, sd 1 → z = ∓1e9
+      (3L, "b", 7L), (4L, "b", 7L)       // constant → z 0
+    ).toDF("id", "grp", "v")
+    val out = Curation.groupZScore(rows, col("grp"), col("v"), 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("z_nano"), r.getAs[Boolean]("is_outlier"))))
+      .toMap
+    assert(out(1L) == ((-1000000000L, true)) &&
+      out(2L) == ((1000000000L, true)))
+    assert(out(3L) == ((0L, false)) && out(4L) == ((0L, false)))
+  }
+
   test("quantileBuckets: ntile sizes within 1, monotone in score, " +
       "partition-invariant") {
     import spark.implicits._
