@@ -2827,6 +2827,28 @@ object Planner {
       ctx.df.withColumn(as,
         graft.operators.text.Curation.urlCanon(Paths.ref(field)))
     },
+    // trained linear classifier (graft extension, the
+    // Curation.linearClassify door): fixed-point full-batch GD,
+    // `.train(lambda)` selects the labeled slice, `.positive(lambda)`
+    // the positive class
+    "linear_classify" -> bt(Set("text_field", "id_field", "train",
+      "positive", "buckets", "iters", "lr_num")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("linear_classify: .id_field"))
+      val isTrain = optLambdas(n, "train", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("linear_classify: .train(lambda)"))
+      val isPos = optLambdas(n, "positive", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("linear_classify: .positive(lambda)"))
+      graft.operators.text.Curation.linearClassify(
+        ctx.df.filter(isTrain), ctx.df.filter(!isTrain),
+        Paths.ref(text), Paths.ref(id), isPos,
+        optNum(n, "buckets", env).map(_.toInt).getOrElse(64),
+        optNum(n, "iters", env).map(_.toInt).getOrElse(3),
+        optNum(n, "lr_num", env).map(_.toLong).getOrElse(16L))
+    },
     // multinomial Naive Bayes classifier (graft extension, the
     // Curation.naiveBayesClassify door): `.train(lambda)` selects the
     // labeled slice, everything else is scored against it

@@ -294,6 +294,80 @@ object Curation {
     df.withColumn(as, expr)
   }
 
+  /** TRAINED linear classifier over hashed token buckets — fixed-point
+    * full-batch gradient descent with a HARD sigmoid, so the training
+    * itself is bit-replayable (the fasttext-style classifier
+    * [[naiveBayesClassify]] cannot learn feature interactions with;
+    * this one learns weights). Every quantity is integral: features
+    * are bucket counts, weights live in micro units, the sigmoid is
+    * the piecewise-linear clamp(0, 1000, 500 + m div 4000) in milli
+    * (σ̂(m) = 0.5 + 0.25·m clamped — exact, no libm exp whose last
+    * ulp differs across engines), gradients are exact long sums, and
+    * the step is a truncating division by the train count. Same
+    * weights on every run, engine, partitioning.
+    *
+    * Returns every SCORE-side doc as (doc_id, m_micro, pred) where
+    * m_micro is the final margin and pred = m_micro > 0.
+    *
+    * 100 TB shape: per iteration one bucket-keyed join (weights table
+    * is `buckets`+1 rows — broadcast), one doc-keyed margin aggregate,
+    * one bucket-keyed gradient aggregate, and a (buckets+1)-row
+    * checkpoint — the pageRank loop contract; features build once
+    * into a scope-cached (doc, bucket, cnt) table.
+    */
+  def linearClassify(train: DataFrame, score: DataFrame, text: Column,
+      id: Column, labelIsPos: Column, buckets: Int = 64,
+      iters: Int = 3, lrNum: Long = 16L): DataFrame = {
+    require(buckets >= 1 && iters >= 1 && lrNum >= 1,
+      "linearClassify: buckets, iters and lrNum must be >= 1")
+    def features(df: DataFrame, idc: Column) = {
+      val tok = df.select(idc.as("doc_id"),
+        explode(TextOps.tokens(text)).as("_tok"))
+      tok.select(col("doc_id"),
+          pmod(TextOps.hash60(col("_tok")), lit(buckets.toLong))
+            .as("_b"))
+        .groupBy(col("doc_id"), col("_b"))
+        .agg(count(lit(1)).as("_cnt"))
+        .union(df.select(idc.as("doc_id"), lit(-1L).as("_b"),
+          lit(1L).as("_cnt")))
+    }
+    val spark = train.sparkSession
+    import spark.implicits._
+    graft.core.CacheScope.withPersisted(
+      features(train, id)
+        .join(train.select(id.as("doc_id"),
+          when(labelIsPos, 1000L).otherwise(0L).as("_y")), Seq("doc_id"))
+    ) { tf =>
+      val n = train.count() // bounded driver scalar: the LR denominator
+      require(n > 0, "linearClassify: empty train side")
+      val allB = (-1L until buckets.toLong).toSeq.toDF("_b")
+      var w = allB.withColumn("_w", lit(0L)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val m = tf.join(broadcast(w), Seq("_b"))
+          .groupBy(col("doc_id"), col("_y"))
+          .agg(sum(col("_cnt") * col("_w")).as("_m"))
+        // hard sigmoid in milli: clamp(0, 1000, 500 + m div 4000)
+        val err = m.select(col("doc_id"),
+          (greatest(lit(0L), least(lit(1000L),
+            lit(500L) + expr("_m div 4000"))) - col("_y")).as("_e"))
+        val grad = tf.join(err, Seq("doc_id"))
+          .groupBy(col("_b"))
+          .agg(sum(col("_e") * col("_cnt")).as("_g"))
+        w = w.join(grad, Seq("_b"), "left_outer")
+          .select(col("_b"),
+            (col("_w") -
+              expr(s"(coalesce(_g, 0L) * ${lrNum}L) div ${n}L"))
+              .as("_w"))
+          .localCheckpoint()
+      }
+      features(score, id)
+        .join(broadcast(w), Seq("_b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("_cnt") * col("_w")).as("m_micro"))
+        .withColumn("pred", col("m_micro") > 0)
+    }
+  }
+
   /** Per-GROUP z-score + outlier flag — the "is this document weird
     * for its domain/language" gate (a 50-char doc is normal in chat
     * data and an outlier in web text, so global thresholds misfire).

@@ -1990,6 +1990,42 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(dfsUrlCanonSql)),
 
+    // TRAINED linear classifier: fixed-point full-batch GD with a hard
+    // sigmoid — distributed training that is itself bit-replayable;
+    // the oracle unrolls all three gradient steps
+    // the corpus shares ONE ~30-token vocabulary across all strata
+    // (measured: lang and even single-token labels are majority-class
+    // traps for BoW), so the fixture APPENDS deterministic class-marker
+    // tokens (the text_normalize dirty-construction pattern) — the GD
+    // must learn the marker buckets, and the oracle replays training
+    // AND the construction
+    "text_linear_classify" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("text2", concat(col("text"),
+            when(col("doc_id") % 3 === 0, " poscls poscls poscls")
+              .otherwise(" negcls")))
+        Curation.linearClassify(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("text2"), col("doc_id"), col("doc_id") % 3 === 0,
+          buckets = 64, iters = 20, lrNum = 256L)
+      },
+      Some(linearClassifySql)),
+
+    "dfs_linear_classify" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat("text",
+          #  if(mod("doc_id", 3) == 0, ' poscls poscls poscls',
+          #  ' negcls'))).as('text2')
+          #|linear_classify(.text_field('text2').id_field('doc_id')
+          #  .train(lambda: mod("doc_id", 5) != 0)
+          #  .positive(lambda: mod("doc_id", 3) == 0)
+          #  .iters(20).lr_num(256))
+          #""".stripMargin('#'), s, dir),
+      Some(linearClassifySql)),
+
     // multinomial Naive Bayes classifier (the fasttext/CCNet quality-
     // and-language classifier family): train on the doc_id%5!=0 slice
     // with lang as the label, predict the held-out slice. Full replay:
@@ -3063,6 +3099,58 @@ object LlmPack extends QueryPack {
       |  'https://' || source || '.' || lang || '.example/p/' ||
       |    doc_id || '?a=1&b=2' AS canon
       |FROM documents""".stripMargin
+
+  /** Oracle for the linear_classify queries: hashed-bucket features,
+    * then THREE full-batch gradient steps unrolled — margins, the
+    * hard-sigmoid clamp (// 4000 trunc == Spark div), exact gradient
+    * sums, the truncating step division — and the held-out scoring.
+    */
+  private lazy val linearClassifySql: String = {
+    // every per-level CTE is MATERIALIZED: the w-chain is referenced
+    // twice per level (margin + next update), and DuckDB's inlining of
+    // a 20-level doubly-referenced chain exploded to tens of GB before
+    // this (measured) — materialization forces one evaluation per level
+    val iter = (p: Int, c: Int) =>
+      s"""m$c AS MATERIALIZED (SELECT doc_id, y, sum(cnt * w) AS m
+         |      FROM tfy JOIN w$p USING (b) GROUP BY 1, 2),
+         |e$c AS MATERIALIZED (SELECT doc_id,
+         |        greatest(0, least(1000, 500 + m // 4000)) - y AS e
+         |      FROM m$c),
+         |g$c AS MATERIALIZED (SELECT b, sum(e * cnt) AS g
+         |      FROM tfy JOIN e$c USING (doc_id) GROUP BY 1),
+         |w$c AS MATERIALIZED (SELECT w$p.b,
+         |        w - (coalesce(g, 0) * 256) // (SELECT n FROM nn) AS w
+         |      FROM w$p LEFT JOIN g$c ON w$p.b = g$c.b)""".stripMargin
+    s"""WITH fx2 AS MATERIALIZED (SELECT doc_id,
+       |        text || CASE WHEN doc_id % 3 = 0
+       |          THEN ' poscls poscls poscls' ELSE ' negcls' END AS text
+       |      FROM documents),
+       |tr AS MATERIALIZED (SELECT doc_id, text,
+       |        CASE WHEN doc_id % 3 = 0 THEN 1000 ELSE 0 END AS y
+       |      FROM fx2 WHERE doc_id % 5 <> 0),
+       |tf AS (SELECT doc_id, b, count(*) AS cnt
+       |      FROM (SELECT doc_id, ${h60("tok")} % 64 AS b
+       |            FROM (SELECT doc_id, unnest($toks) AS tok FROM tr))
+       |      GROUP BY 1, 2
+       |      UNION ALL
+       |      SELECT doc_id, -1 AS b, 1 AS cnt FROM tr),
+       |tfy AS MATERIALIZED (SELECT tf.doc_id, b, cnt, tr.y
+       |      FROM tf JOIN tr USING (doc_id)),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM tr),
+       |w0 AS MATERIALIZED (SELECT CAST(b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+       |      FROM (SELECT unnest(range(-1, 64)) AS b)),
+       |${(0 until 20).map(i => iter(i, i + 1)).mkString(",\n")},
+       |te AS (SELECT doc_id, text FROM fx2 WHERE doc_id % 5 = 0),
+       |sf AS (SELECT doc_id, b, count(*) AS cnt
+       |      FROM (SELECT doc_id, ${h60("tok")} % 64 AS b
+       |            FROM (SELECT doc_id, unnest($toks) AS tok FROM te))
+       |      GROUP BY 1, 2
+       |      UNION ALL
+       |      SELECT doc_id, -1 AS b, 1 AS cnt FROM te)
+       |SELECT doc_id, CAST(sum(cnt * w) AS BIGINT) AS m_micro,
+       |  CAST(sum(cnt * w) AS BIGINT) > 0 AS pred
+       |FROM sf JOIN w20 USING (b) GROUP BY doc_id""".stripMargin
+  }
 
   /** Oracle for the nb_classify queries: the full Naive Bayes replay —
     * per-(class, token) add-one log-likelihoods, class priors and

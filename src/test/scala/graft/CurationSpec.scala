@@ -404,6 +404,30 @@ class CurationSpec extends AnyFunSuite {
     assert(keptT == kept)
   }
 
+  test("linearClassify: learns a separable set; training is " +
+      "partition-invariant (identical weights -> identical margins)") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "buy pills now cheap pills", true),
+      (2L, "cheap pills buy pills now", true),
+      (3L, "meeting at noon today plan", false),
+      (4L, "lunch meeting today plan noon", false),
+      (5L, "plan the noon meeting lunch", false)
+    ).toDF("id", "body", "spam")
+    val score = Seq((10L, "buy cheap pills now"),
+      (11L, "noon meeting lunch plan")).toDF("id", "body")
+    def run(t: org.apache.spark.sql.DataFrame) =
+      Curation.linearClassify(t, score, col("body"), col("id"),
+        col("spam"), buckets = 32, iters = 4)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("m_micro"), r.getAs[Boolean]("pred"))).toSet
+    val out = run(train)
+    assert(out.exists(t => t._1 == 10L && t._3) &&
+      out.exists(t => t._1 == 11L && !t._3), s"did not separate: $out")
+    val again = run(train.repartition(7))
+    assert(again == out)
+  }
+
   test("groupZScore: hand-computed z per group; constant group " +
       "never flags") {
     import spark.implicits._
