@@ -11,6 +11,43 @@ difference is a failure there too.
 """
 import sys, os, json, glob
 import duckdb
+import numpy as np
+import pandas as pd
+
+
+def float_bits(s):
+    """Float column -> canonical int64 bit patterns (NaN payloads unified).
+
+    pandas `!=` treats -0.0 == +0.0 as equal, which let emb_cov ship green
+    locally while the driver's value hash failed on 2/4096 cells rendered
+    -0.0 by DuckDB and +0.0 by Spark (round 10). Comparing the IEEE bit
+    pattern makes that class of divergence fail HERE, like the driver.
+    """
+    a = s.to_numpy(dtype="float64", na_value=np.nan)
+    a = np.where(np.isnan(a), np.float64("nan"), a)
+    return a.view("int64")
+
+
+def col_mismatch(gv, ev):
+    """Boolean mismatch mask for a pair of aligned columns."""
+    if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+        return pd.Series(float_bits(gv) != float_bits(ev))
+    try:
+        return (gv != ev) & ~(gv.isna() & ev.isna())
+    except Exception:
+        return gv.astype(str) != ev.astype(str)
+
+
+def selftest():
+    """-0.0 vs +0.0 must FAIL; NaN vs NaN (same payload class) must pass."""
+    g = pd.DataFrame({"x": [0.0, 1.5, np.nan]})
+    e = pd.DataFrame({"x": [-0.0, 1.5, np.nan]})
+    m = col_mismatch(g["x"], e["x"])
+    assert m.tolist() == [True, False, False], m.tolist()
+    # integer and string columns keep the old semantics
+    gi = pd.Series([1, 2]); ei = pd.Series([1, 3])
+    assert col_mismatch(gi, ei).tolist() == [False, True]
+    print("selftest OK: signed-zero divergence is caught, NaN==NaN holds")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -36,6 +73,9 @@ def norm(df, name):
 
 
 def main():
+    if sys.argv[1:] == ["--selftest"]:
+        selftest()
+        return
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -80,10 +120,7 @@ def main():
         bad = []
         for c in g.columns:
             gv, ev = g[c], e[c]
-            try:
-                mism = (gv != ev) & ~(gv.isna() & ev.isna())
-            except Exception:
-                mism = gv.astype(str) != ev.astype(str)
+            mism = col_mismatch(gv, ev)
             if mism.any():
                 i = mism.idxmax()
                 bad.append(f"{c}[{i}]: {gv[i]!r} vs {ev[i]!r} ({int(mism.sum())} cells)")

@@ -431,10 +431,15 @@ object VectorCuration {
         col("_sx").as("_sxj"))), Seq("j"))
       .join(broadcast(nRow))
       .select(col("i"), col("j"),
-        round(col("_s").cast("double") / col("_n") / s2 -
+        // `+ 0.0` normalizes IEEE signed zeros (−0.0 + 0.0 = +0.0):
+        // DuckDB's round(x, 6) can yield −0.0 where this chain yields
+        // +0.0 (driver r10: 2/4096 cells hash-diverged on rendering,
+        // invisible to pandas `!=`). Both the oracle's cv CTE and this
+        // select normalize, so the rendered texts agree bit-for-bit.
+        (round(col("_s").cast("double") / col("_n") / s2 -
           (col("_sx").cast("double") / col("_n") / scale) *
             (col("_sxj").cast("double") / col("_n") / scale),
-          6).as("cov"))
+          6) + lit(0.0)).as("cov"))
   }
 
   /** Principal direction of a [[covarianceFixed]] matrix by FIXED-POINT

@@ -3026,7 +3026,7 @@ object LlmPack extends QueryPack {
       |cv AS (SELECT s.i, s.j,
       |        round(CAST(s.sxy AS DOUBLE) / a.n / 1e12 -
       |          (CAST(a.sx AS DOUBLE) / a.n / 1000000) *
-      |          (CAST(bb.sx AS DOUBLE) / bb.n / 1000000), 6) AS cov
+      |          (CAST(bb.sx AS DOUBLE) / bb.n / 1000000), 6) + 0.0 AS cov
       |      FROM sxy s JOIN sx a ON s.i = a.i
       |      JOIN sx bb ON s.j = bb.i)""".stripMargin
 

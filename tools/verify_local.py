@@ -26,7 +26,11 @@ def cells_equal(a, b):
     if (a is None or a != a) and (b is None or b != b):  # NaN/None
         return True
     if isinstance(a, float) and isinstance(b, float):
-        return a == b or (a != a and b != b)
+        # bit-pattern equality: the driver hashes rendered values, so
+        # -0.0 vs +0.0 (r10 emb_cov) must FAIL here like it does there
+        if a != a and b != b:
+            return True
+        return np.float64(a).tobytes() == np.float64(b).tobytes()
     return a == b
 
 def main(outdir, sfdir):
