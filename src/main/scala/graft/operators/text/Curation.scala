@@ -481,9 +481,10 @@ object Curation {
     * so the per-class score decomposes as
     *   prior + Σ_matched ln(cnt+1) − n·ln(totᶜ+V)
     * — the matched sum needs only an INNER join on the token, never a
-    * dense doc×vocab expansion. Every log rounds to integer 1e-9 units
-    * BEFORE any sum (the text_ppl scaled-long trick) so aggregates are
-    * order-free and engine-exact. Tie-break: highest (score, class)
+    * dense doc×vocab expansion. Every log is [[graft.functions.FixedLog]]
+    * `lnNano` — integer 1e-9 units computed in pure 64-bit arithmetic —
+    * taken BEFORE any sum, so aggregates are order-free and bit-exact
+    * on any engine build (no libm in the loop). Tie-break: highest (score, class)
     * pair, i.e. lexicographically largest class wins equal scores —
     * deterministic under any partitioning.
     *
@@ -507,10 +508,15 @@ object Curation {
         score.select(id.as("doc_id"),
           TextOps.tokens(text).as("_t"))) { sb =>
         val trTok = tb.select(col("_cls"), explode(col("_t")).as("_tok"))
-        // vocabulary-sized: per-(class, token) occurrence counts
-        val w = trTok.groupBy(col("_cls"), col("_tok"))
-          .agg(round(log(count(lit(1)) + lit(1.0)) * lit(1e9))
-            .cast("long").as("_w_nano"))
+        // vocabulary-sized: per-(class, token) occurrence counts.
+        // All log-likelihoods use FixedLog.lnNano — integer-only
+        // fixed-point ln, so the DuckDB oracle replays the scores
+        // bit-for-bit on ANY build (round-10 driver hash-fail was a
+        // libm ln divergence invisible on local DuckDB 1.0.0).
+        val w = graft.functions.FixedLog.withLnNano(
+          trTok.groupBy(col("_cls"), col("_tok"))
+            .agg((count(lit(1)) + lit(1L)).as("_c1")),
+          col("_c1"), "_w_nano").drop("_c1")
         // class-cardinality: token totals and doc priors per class
         val tots = trTok.groupBy(col("_cls"))
           .agg(count(lit(1)).as("_tot"))
@@ -518,13 +524,19 @@ object Curation {
           .agg(count(lit(1)).as("_ndoc"))
         val grand = trTok.agg(countDistinct(col("_tok")).as("_v"))
           .crossJoin(tb.agg(count(lit(1)).as("_n")))
-        val classes = tots.join(priors, Seq("_cls"))
+        val clsBase = tots.join(priors, Seq("_cls"))
           .join(broadcast(grand))
-          .select(col("_cls"),
-            round(log(col("_ndoc").cast("double") / col("_n")) * lit(1e9))
-              .cast("long").as("_prior_nano"),
-            round(log((col("_tot") + col("_v")).cast("double")) * lit(1e9))
-              .cast("long").as("_base_nano"))
+        // prior = ln(ndoc/n) restated as lnNano(ndoc) − lnNano(n):
+        // both args integral, so the rational never touches a double
+        val clsLn = Seq(("_ndoc", "_ln_ndoc"), ("_n", "_ln_n"),
+          ("_bm", "_ln_bm")).foldLeft(
+          clsBase.withColumn("_bm", col("_tot") + col("_v"))) {
+          case (cur, (in, out)) =>
+            graft.functions.FixedLog.withLnNano(cur, col(in), out)
+        }
+        val classes = clsLn.select(col("_cls"),
+          (col("_ln_ndoc") - col("_ln_n")).as("_prior_nano"),
+          col("_ln_bm").as("_base_nano"))
         val docs = sb.select(col("doc_id"), col("_t").as("_w"),
           size(col("_t")).cast("long").as("n_tok"))
         // matched log-likelihood mass per (doc, class): inner join — a

@@ -3154,27 +3154,38 @@ object LlmPack extends QueryPack {
 
   /** Oracle for the nb_classify queries: the full Naive Bayes replay —
     * per-(class, token) add-one log-likelihoods, class priors and
-    * smoothing bases, matched-sum decomposition, all rounded to 1e-9
-    * units before summing, argmax by (score, class).
+    * smoothing bases, matched-sum decomposition, argmax by
+    * (score, class). Every log is [[graft.functions.FixedLog]] in its
+    * DuckDB dialect — the SAME step list the engine renders through
+    * `expr`, pure 64-bit integer arithmetic, so the oracle is
+    * bit-identical on ANY DuckDB/libm build (the round-10 driver
+    * hash-fail was an environment-sensitive IEEE `ln`). The prior's
+    * rational ln(ndoc/n) is restated as lnNano(ndoc) − lnNano(n).
     */
-  private lazy val nbClassifySql: String =
+  private lazy val nbClassifySql: String = {
+    import graft.functions.FixedLog.duckLnNano
     s"""WITH tr AS (SELECT doc_id, lang, text FROM documents
       |        WHERE doc_id % 5 <> 0),
       |te AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
       |trtok AS (SELECT lang AS cls, unnest($toks) AS tok FROM tr),
-      |w AS (SELECT cls, tok,
-      |        CAST(round(ln(count(*) + 1.0) * 1e9) AS BIGINT) AS w_nano
+      |wc AS (SELECT cls, tok, count(*) + 1 AS c1
       |      FROM trtok GROUP BY 1, 2),
+      |w AS (SELECT * FROM
+      |  ${duckLnNano("wc", Seq("cls", "tok"), "c1", "w_nano")}),
       |tots AS (SELECT cls, count(*) AS tot FROM trtok GROUP BY 1),
       |priors AS (SELECT lang AS cls, count(*) AS ndoc FROM tr GROUP BY 1),
       |grand AS (SELECT (SELECT count(DISTINCT tok) FROM trtok) AS v,
       |        (SELECT count(*) FROM tr) AS n),
-      |cls AS (SELECT t.cls,
-      |        CAST(round(ln(CAST(p.ndoc AS DOUBLE) / g.n) * 1e9)
-      |          AS BIGINT) AS prior_nano,
-      |        CAST(round(ln(CAST(t.tot + g.v AS DOUBLE)) * 1e9)
-      |          AS BIGINT) AS base_nano
+      |clsb AS (SELECT t.cls, p.ndoc, g.n, t.tot + g.v AS bm
       |      FROM tots t JOIN priors p USING (cls) CROSS JOIN grand g),
+      |clsl1 AS (SELECT * FROM
+      |  ${duckLnNano("clsb", Seq("cls", "n", "bm"), "ndoc", "ln_ndoc")}),
+      |clsl2 AS (SELECT * FROM
+      |  ${duckLnNano("clsl1", Seq("cls", "bm", "ln_ndoc"), "n", "ln_n")}),
+      |clsl3 AS (SELECT * FROM
+      |  ${duckLnNano("clsl2", Seq("cls", "ln_ndoc", "ln_n"), "bm", "ln_bm")}),
+      |cls AS (SELECT cls, ln_ndoc - ln_n AS prior_nano,
+      |        ln_bm AS base_nano FROM clsl3),
       |docs AS (SELECT doc_id, $toks AS tk FROM te),
       |dn AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok FROM docs),
       |m AS (SELECT d.doc_id, w.cls, sum(w.w_nano) AS m_nano
@@ -3189,6 +3200,7 @@ object LlmPack extends QueryPack {
       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       |        ORDER BY s_nano DESC, cls DESC) AS rn FROM sc)
       |WHERE rn = 1""".stripMargin
+  }
 
   /** Oracle for the domain_block queries: the same suffix expansion
     * and list-overlap test over the synthesized domain.

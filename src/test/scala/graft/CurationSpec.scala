@@ -508,8 +508,10 @@ class CurationSpec extends AnyFunSuite {
     // prior (3/5 docs) AND the same-magnitude base order — assert the
     // exact closed form rather than just the argmax
     val V = 11 // distinct train tokens; ham token total is 12
-    def nano(x: Double) = math.round(x * 1e9)
-    val hamExp = nano(math.log(3.0 / 5)) - 2 * nano(math.log(12.0 + V))
+    // logs are FixedLog.lnNano (environment-proof integer ln); the
+    // prior ln(3/5) decomposes as lnNano(3) − lnNano(5)
+    import graft.functions.FixedLog.lnNanoRef
+    val hamExp = (lnNanoRef(3L) - lnNanoRef(5L)) - 2 * lnNanoRef(12L + V)
     assert(out(12L) == (("ham", hamExp)))
     // determinism across re-runs (fresh plan, same result)
     val again = Curation.naiveBayesClassify(train, score,

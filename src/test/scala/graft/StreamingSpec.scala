@@ -743,12 +743,13 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id", "pred", "score_nano")
     val batch = score(arriving.toDF("id", "body"))
       .as[(Long, String, Long)].collect().toSet
-    // doc 12 is a real-valued tie (spam matches ln4, ham ln2+ln2) that
-    // the PER-TOKEN nano rounding resolves: 2·round(ln2·1e9) =
-    // round(ln4·1e9)+1, so ham wins by one nano — engine and oracle
-    // round at the same grain, so they agree
+    // doc 12 is a tie (spam matches ln4, ham ln2+ln2) that FixedLog
+    // makes EXACT: lnNano(4) = 2·lnNano(2) identically (both are
+    // p·Ln2Nano with t1 = 0), priors and bases are symmetric, so the
+    // deterministic (score, class) tie-break picks the
+    // lexicographically larger class — spam — on any engine
     assert(batch.map(t => t._1 -> t._2).toMap ==
-      Map(10L -> "spam", 11L -> "ham", 12L -> "ham"))
+      Map(10L -> "spam", 11L -> "ham", 12L -> "spam"))
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
     val got = scala.collection.mutable.Set.empty[(Long, String, Long)]
