@@ -2683,22 +2683,23 @@ object LlmPack extends QueryPack {
               |FROM p GROUP BY piece
               |ORDER BY n DESC, piece LIMIT 64""".stripMargin)),
 
-    // unigram-LM tokenizer APPLY side: train a 48-piece model (4 hard-EM
-    // iterations over the 31-word vocabulary) and segment the %97 doc
-    // subset with it. Iterated EM + Viterbi DP are not SQL-expressible —
-    // declared rows-only (the text_bpe_encode convention); determinism,
-    // coverage and hand-case segmentation are UnigramSpec-pinned.
+    // unigram-LM tokenizer APPLY side: segment the %97 doc subset with
+    // the 48-piece model train() produces on the sf0.01 corpus
+    // (vocabSize 48, seed 256, maxPieceLen 6, 4 hard-EM iters), pinned
+    // as (piece, score_nano) literals — the text_bpe_encode pinned-
+    // ruleset convention. Scores are integer nano log-probs, so the
+    // Viterbi DP sums are EXACT in any engine (integral doubles below
+    // 2^53 on the Spark side, BIGINTs in the oracle) and the oracle
+    // unrolls the same bounded DP (maxPieceLen 6, word length ≤ 12)
+    // into CTEs — no libm anywhere in the compared path. Training
+    // determinism + pin freshness are UnigramSpec-pinned.
     "text_unigram_encode" -> QueryDef(
-      (s, dir) => {
-        val d = Tables.documents(s, dir)
-        val pieces = graft.operators.text.UnigramTrainer.train(
-          d, col("text"), vocabSize = 48, seedSize = 256,
-          maxPieceLen = 6, emIters = 4)
+      (s, dir) =>
         graft.operators.text.UnigramTrainer.encode(
-          d.filter(col("doc_id") % 97 === 0), col("text"), col("doc_id"),
-          pieces)
-      },
-      None),
+          Tables.documents(s, dir).filter(col("doc_id") % 97 === 0),
+          col("text"), col("doc_id"),
+          unigramPinnedPieces.map { case (p, n) => p -> n.toDouble }),
+      Some(unigramEncodeSql)),
 
     // link-graph PageRank for curation (host/domain quality weighting,
     // the Common Crawl centrality family): 3 fixed-point iterations
@@ -2738,17 +2739,17 @@ object LlmPack extends QueryPack {
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application
-    // are unit-pinned in LlmSpec). Iterated merge application is not
-    // SQL-expressible, so this is a declared rows-only entry (the one
-    // deliberate no-oracle query); the % 97 gate bounds the dump.
+    // are unit-pinned in LlmSpec). The oracle unrolls the 8 merge
+    // passes: a left-to-right non-overlapping pair merge equals
+    // "within each maximal run of consecutive candidate positions,
+    // merge the odd-ranked ones" — window functions, one round per
+    // rule (see bpeEncodeSql); the % 97 gate bounds the dump.
     "text_bpe_encode" -> QueryDef(
       (s, dir) =>
         graft.operators.text.BpeTrainer.encode(
           Tables.documents(s, dir).filter(col("doc_id") % 97 === 0),
-          col("text"), col("doc_id"),
-          Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
-            "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")),
-      None),
+          col("text"), col("doc_id"), bpePinnedRules),
+      Some(bpeEncodeSql)),
 
     // connected components by alternating large-star/small-star rounds
     // (the O(log n)-round, skew-proof CC) over a chain-heavy synthetic
@@ -3200,6 +3201,172 @@ object LlmPack extends QueryPack {
       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       |        ORDER BY s_nano DESC, cls DESC) AS rn FROM sc)
       |WHERE rn = 1""".stripMargin
+  }
+
+  /** The 8 merges BpeTrainer.train produces on the sf0.01 corpus,
+    * pinned as literals (LlmSpec pins train() == this list, so pin
+    * drift is caught at unit level).
+    */
+  private[graft] val bpePinnedRules: Seq[(String, String)] =
+    Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+      "s" -> "t", "m" -> "er", "a" -> "t", "l" -> "u")
+
+  /** Oracle for text_bpe_encode: the 8 merge passes unrolled, one
+    * round of CTEs per rule. A left-to-right non-overlapping pair
+    * merge (the BpeTrainer.applyMerge fold) is equivalent to: flag
+    * candidate positions i where (sym[i], sym[i+1]) = (a, b), group
+    * maximal runs of CONSECUTIVE candidates (gaps-and-islands), and
+    * merge exactly the odd-ranked positions of each run — the even
+    * ones are consumed by the merge on their left. Pure window
+    * functions + list rebuild, no fold/lambda, version-stable SQL.
+    */
+  private lazy val bpeEncodeSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val rounds = bpePinnedRules.zipWithIndex.map { case ((a, b), r) =>
+      s"""u$r AS (SELECT w, unnest(syms) AS s,
+         |        CAST(unnest(range(0, len(syms))) AS INTEGER) AS i
+         |      FROM v$r),
+         |c$r AS (SELECT w, i, s,
+         |        coalesce(s = '${esc(a)}' AND lead(s)
+         |          OVER (PARTITION BY w ORDER BY i) = '${esc(b)}',
+         |          FALSE) AS cand FROM u$r),
+         |d$r AS (SELECT *, CASE WHEN cand THEN i - row_number()
+         |          OVER (PARTITION BY w, cand ORDER BY i) END AS grp
+         |      FROM c$r),
+         |e$r AS (SELECT *, CASE WHEN cand THEN row_number()
+         |          OVER (PARTITION BY w, grp ORDER BY i) % 2 = 1
+         |          ELSE FALSE END AS mg FROM d$r),
+         |f$r AS (SELECT *, coalesce(lag(mg)
+         |          OVER (PARTITION BY w ORDER BY i), FALSE) AS consumed
+         |      FROM e$r),
+         |v${r + 1} AS (SELECT w,
+         |        list(CASE WHEN mg THEN '${esc(a + b)}' ELSE s END
+         |          ORDER BY i) AS syms
+         |      FROM f$r WHERE NOT consumed GROUP BY w)""".stripMargin
+    }
+    s"""WITH wd AS (SELECT doc_id,
+       |        CAST(unnest(range(0, len(tk))) AS INTEGER) AS pos,
+       |        unnest(tk) AS w
+       |      FROM (SELECT doc_id, $toks AS tk FROM documents
+       |            WHERE doc_id % 97 = 0)),
+       |v0 AS (SELECT w, [substr(w, CAST(x AS INTEGER), 1)
+       |         for x in range(1, len(w) + 1)] AS syms
+       |      FROM (SELECT DISTINCT w FROM wd)),
+       |${rounds.mkString(",\n")}
+       |SELECT wd.doc_id, wd.pos, p.piece_idx, p.s AS piece
+       |FROM wd JOIN (SELECT w, unnest(syms) AS s,
+       |        CAST(unnest(range(0, len(syms))) AS INTEGER) AS piece_idx
+       |      FROM v${bpePinnedRules.size}) p ON p.w = wd.w""".stripMargin
+  }
+
+  /** The 48-piece unigram model train() produces on the sf0.01 corpus
+    * (vocabSize 48, seed 256, maxPieceLen 6, 4 hard-EM iters), pinned
+    * as (piece, score_nano) literals — score_nano = round(logp·1e9),
+    * so Viterbi sums are exact integers in both engines (UnigramSpec
+    * pins train() == this list).
+    */
+  private[graft] val unigramPinnedPieces: Seq[(String, Long)] = Seq(
+    "a" -> -3295206071L, "agg" -> -3272758439L, "b" -> -10076263696L,
+    "batch" -> -3233580414L, "c" -> -10076263696L,
+    "column" -> -3236787258L, "custom" -> -3236787258L,
+    "d" -> -6780426830L, "data" -> -3265019318L, "e" -> -3341672037L,
+    "er" -> -3236787258L, "f" -> -10076263696L,
+    "filter" -> -3237858496L, "g" -> -10076263696L,
+    "group" -> -3298617103L, "h" -> -10076263696L,
+    "hash" -> -3222964603L, "i" -> -10076263696L, "j" -> -10076263696L,
+    "join" -> -3205172402L, "k" -> -10076263696L, "key" -> -3278323284L,
+    "l" -> -10076263696L, "line" -> -3262819097L, "m" -> -10076263696L,
+    "merge" -> -3254066306L, "n" -> -10076263696L, "o" -> -10076263696L,
+    "order" -> -3260623706L, "p" -> -10076263696L, "q" -> -10076263696L,
+    "r" -> -10076263696L, "row" -> -3227197414L, "s" -> -10076263696L,
+    "scan" -> -3234648220L, "slow" -> -3254066306L,
+    "small" -> -3243231964L, "spark" -> -3296341789L,
+    "stream" -> -3287291953L, "t" -> -10076263696L,
+    "table" -> -3265019318L, "u" -> -10076263696L, "v" -> -10076263696L,
+    "value" -> -3277207834L, "vector" -> -3260623706L,
+    "w" -> -10076263696L, "window" -> -3289546746L,
+    "y" -> -10076263696L)
+
+  /** Max word length the unigram oracle's unrolled DP supports; corpus
+    * max is 8 (checked at sf0.01/0.1/1 — synthetic vocab), so 12 gives
+    * headroom AND fails loudly (missing pieces → row mismatch) rather
+    * than truncating if a longer word ever appears.
+    */
+  private val UnigramMaxLen = 12
+
+  /** Oracle for text_unigram_encode: the bounded Viterbi DP unrolled —
+    * the text_linear_classify convention (20 GD steps) applied to
+    * segmentation. One round of CTEs per end position i = 1..12:
+    * candidates are spans (j, i] with j ∈ [i−6, i) whose substring is
+    * in the pinned piece table; best_i = max(best_j + score),
+    * back_i = min argmax j (the engine's "equal score → earlier start
+    * = longer last piece" tie-break, since its ascending-j scan
+    * replaces only on strict improvement). Reconstruction unrolls 12
+    * back-pointer hops; piece_idx reverses the backward emission
+    * order. All-integer nano scores — no libm, no doubles.
+    */
+  private lazy val unigramEncodeSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val L = UnigramMaxLen
+    val vals = unigramPinnedPieces
+      .map { case (p, n) => s"('${esc(p)}', CAST($n AS BIGINT))" }
+      .mkString(",\n      |        ")
+    val dpSteps = (1 to L).map { i =>
+      val js = (math.max(0, i - 6) until i)
+      val caseB = js.map(j => s"WHEN $j THEN d.b$j").mkString(" ")
+      s"""c$i AS (SELECT d.w, s.j,
+         |        (CASE s.j $caseB END) + s.sc AS cand
+         |      FROM d${i - 1} d JOIN sp s ON s.w = d.w AND s.e = $i
+         |      WHERE (CASE s.j $caseB END) IS NOT NULL),
+         |m$i AS (SELECT w, max(cand) AS mb FROM c$i GROUP BY w),
+         |a$i AS (SELECT c.w, min(c.j) AS kk FROM c$i c
+         |      JOIN m$i m ON c.w = m.w AND c.cand = m.mb GROUP BY c.w),
+         |d$i AS MATERIALIZED (SELECT d.*, m.mb AS b$i, a.kk AS k$i
+         |      FROM d${i - 1} d
+         |      LEFT JOIN m$i m ON m.w = d.w
+         |      LEFT JOIN a$i a ON a.w = d.w)""".stripMargin
+    }
+    val reconSteps = (0 until L).map { t =>
+      val caseK = (1 to L).map(e => s"WHEN $e THEN k$e").mkString(" ")
+      s"""r${t + 1} AS MATERIALIZED (SELECT *,
+         |        CASE WHEN e$t > 0 THEN (CASE e$t $caseK END) END AS kk$t,
+         |        CASE WHEN e$t > 0 THEN substr(w,
+         |          (CASE e$t $caseK END) + 1,
+         |          e$t - (CASE e$t $caseK END)) END AS pc$t,
+         |        CASE WHEN e$t = 0 THEN 0
+         |          ELSE (CASE e$t $caseK END) END AS e${t + 1}
+         |      FROM r$t)""".stripMargin
+    }
+    val unpivot = (0 until L)
+      .map(t => s"SELECT w, $t AS t, pc$t AS pc FROM r$L WHERE pc$t IS NOT NULL")
+      .mkString("\n      |      UNION ALL ")
+    s"""WITH wd AS MATERIALIZED (SELECT doc_id,
+       |        CAST(unnest(range(0, len(tk))) AS INTEGER) AS pos,
+       |        unnest(tk) AS w
+       |      FROM (SELECT doc_id, $toks AS tk FROM documents
+       |            WHERE doc_id % 97 = 0)),
+       |uw AS MATERIALIZED (SELECT DISTINCT w FROM wd WHERE len(w) >= 1),
+       |pt(piece, sc) AS (VALUES $vals),
+       |sj AS (SELECT w, CAST(unnest(range(0, len(w))) AS INTEGER) AS j
+       |      FROM uw),
+       |sl AS (SELECT w, j,
+       |        CAST(unnest(range(1, least(6, len(w) - j) + 1))
+       |          AS INTEGER) AS l
+       |      FROM sj),
+       |sp AS MATERIALIZED (SELECT s.w, s.j, s.j + s.l AS e, p.sc
+       |      FROM sl s JOIN pt p ON substr(s.w, s.j + 1, s.l) = p.piece),
+       |d0 AS (SELECT w, CAST(len(w) AS INTEGER) AS n,
+       |        CAST(0 AS BIGINT) AS b0 FROM uw),
+       |${dpSteps.mkString(",\n")},
+       |r0 AS (SELECT *, n AS e0 FROM d$L),
+       |${reconSteps.mkString(",\n")},
+       |rc AS ($unpivot),
+       |rn AS (SELECT w, pc,
+       |        CAST(row_number() OVER (PARTITION BY w ORDER BY t DESC)
+       |          - 1 AS INTEGER) AS piece_idx
+       |      FROM rc)
+       |SELECT wd.doc_id, wd.pos, rn.piece_idx, rn.pc AS piece
+       |FROM wd JOIN rn ON rn.w = wd.w""".stripMargin
   }
 
   /** Oracle for the domain_block queries: the same suffix expansion

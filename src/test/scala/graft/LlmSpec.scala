@@ -784,6 +784,14 @@ class LlmSpec extends AnyFunSuite {
     assert(merges == again)
   }
 
+  test("pin freshness: BpeTrainer.train(8) on sf0.01 still produces " +
+      "the literal ruleset the text_bpe_encode query + oracle use") {
+    val d = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val merges = graft.operators.text.BpeTrainer.train(d, col("text"), 8)
+    assert(merges == graft.packs.LlmPack.bpePinnedRules,
+      "pinned BPE ruleset is stale — retrain and repin")
+  }
+
   test("BpeTrainer.encode applies trained merges: merged words collapse, " +
       "unseen suffixes stay char pieces") {
     import spark.implicits._

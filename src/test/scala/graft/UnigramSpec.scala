@@ -97,4 +97,18 @@ class UnigramSpec extends AnyFunSuite {
     assert(mismatch == 0)
     assert(rebuilt.count() == direct.count())
   }
+
+  test("pin freshness: train() on sf0.01 still produces the literal " +
+      "(piece, score_nano) table the text_unigram_encode oracle uses") {
+    // the query + DuckDB oracle replay PINNED literals (no libm in the
+    // compared path); this test is what keeps the pin honest — if
+    // training semantics change, it fails HERE, not as a silent model
+    // drift behind a still-green oracle row
+    val d = Tables.documents(spark, "/root/testdata/sf0.01")
+    val trained = UnigramTrainer.train(d, col("text"), vocabSize = 48,
+      seedSize = 256, maxPieceLen = 6, emIters = 4)
+      .map { case (p, lp) => p -> math.round(lp * 1e9) }
+    assert(trained == graft.packs.LlmPack.unigramPinnedPieces,
+      s"pinned unigram pieces are stale — retrain and repin")
+  }
 }
