@@ -566,7 +566,14 @@ object Curation {
     require(k > 0, s"sampleWeightedK: k must be positive, got $k")
     val u = (TextOps.hash60(id.cast("string")) + lit(0.5)) /
       lit(1152921504606846976.0) // 2^60, exact as a double
-    val key = log(u) / weight.cast("double")
+    // A-ES requires weight > 0: weight = 0 gives ln(u)/0 = ±Inf keys
+    // and weight < 0 inverts the ranking — both silently wrong, so
+    // fail the job instead (runtime guard; weights are data-dependent)
+    val wpos = when(weight.cast("double") > 0.0, weight.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("sampleWeightedK: weight must be > 0, got "),
+        weight.cast("string"))))
+    val key = log(u) / wpos
     if (stratum.isEmpty) {
       df.withColumn("_aes", key).orderBy(col("_aes").desc, id)
         .limit(k).drop("_aes")

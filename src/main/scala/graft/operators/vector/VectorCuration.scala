@@ -402,6 +402,14 @@ object VectorCuration {
           var i = 0
           while (i < d) {
             val xi = v(i)
+            // the flush-interval overflow proof assumes |xi| ≤ 8e6
+            // micro-units (|component| ≤ 8.0): 65536·(8e6)² ≈ 4.3e18
+            // stays under 2⁶³. Enforce it — a silent overflow would
+            // corrupt the covariance, not crash
+            if (xi > 8000000L || xi < -8000000L)
+              throw new IllegalArgumentException(
+                s"covarianceFixed: |component| must be <= 8.0 " +
+                  s"(quantized |xi| <= 8e6), got $xi micro-units")
             sx(i) += xi
             var j = 0
             val row = i * d

@@ -309,6 +309,31 @@ class CurationSpec extends AnyFunSuite {
     assert(g.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
   }
 
+  test("sampleWeightedK: non-positive weight fails the job instead of " +
+      "silently inverting the A-ES ranking") {
+    val docs = Tables.documents(spark, sf)
+    val ex = intercept[Exception] {
+      Curation.sampleWeightedK(docs, col("doc_id"),
+        (col("doc_id") % 2).cast("double"), 3, Nil).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("weight must be > 0")))
+  }
+
+  test("covarianceFixed: component above the overflow-proof bound " +
+      "(|x| > 8) fails loudly instead of silently corrupting sums") {
+    import spark.implicits._
+    val bad = Seq((1L, Array.fill(4)(0.5f)), (2L, Array(9.5f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      VectorCuration.covarianceFixed(bad, "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("covarianceFixed")))
+  }
+
   test("segDedup: exact-dup docs lose all segments; unique docs keep") {
     import spark.implicits._
     val docs = Seq(
