@@ -256,12 +256,28 @@ object Curation {
         coalesce(col("cnt_after"), lit(0L)).as("cnt_after"))
     val tot = joined.agg(sum(col("cnt_before")).as("_nb"),
       sum(col("cnt_after")).as("_na"), count(lit(1)).as("_v"))
-    joined.join(broadcast(tot))
+    // each KL term in pure fixed-point (the nb_classify hardening):
+    // ln(pa/pb) = lnNano(ca+1) − lnNano(na+v) − lnNano(cb+1) +
+    // lnNano(nb+v), then pa·Δ as an exact decimal product with a
+    // truncating integral divide (Spark `div` == DuckDB `//`, both
+    // toward zero) — no libm, no double rounding anywhere
+    val F = graft.functions.FixedLog
+    val base = joined.join(broadcast(tot))
+      .withColumn("_ca1", col("cnt_after") + lit(1L))
+      .withColumn("_cb1", col("cnt_before") + lit(1L))
+      .withColumn("_dna", col("_na") + col("_v"))
+      .withColumn("_dnb", col("_nb") + col("_v"))
+    Seq(("_ca1", "_ln_ca"), ("_dna", "_ln_na"), ("_cb1", "_ln_cb"),
+      ("_dnb", "_ln_nb"))
+      .foldLeft(base) { case (cur, (in, out)) =>
+        F.withLnNano(cur, col(in), out)
+      }
+      .withColumn("_dlt", col("_ln_ca") - col("_ln_na") -
+        col("_ln_cb") + col("_ln_nb"))
       .select(col("token"), col("cnt_before"), col("cnt_after"),
-        round((col("cnt_after") + 1.0) / (col("_na") + col("_v")) *
-          log(((col("cnt_after") + 1.0) / (col("_na") + col("_v"))) /
-            ((col("cnt_before") + 1.0) / (col("_nb") + col("_v")))) *
-          lit(1e9)).cast("long").as("kl_nano"))
+        expr("CAST((CAST(_ca1 AS DECIMAL(38,0)) * CAST(_dlt AS " +
+          "DECIMAL(38,0))) div CAST(_dna AS DECIMAL(38,0)) AS BIGINT)")
+          .as("kl_nano"))
   }
 
   /** Deterministic train/validation/test split: each row lands in

@@ -1254,17 +1254,35 @@ object TextOps {
     // scalar are derived (vocabulary-sized / 1 row — both tiny)
     val uni = lm.select(col("w1"), col("c1")).distinct()
     val voc = lm.agg(max(col("v")).as("v")).withColumn("_k", lit(1))
-    val ll = pairs
-      .join(uni, Seq("w1"), "left")
-      .join(lm.select(col("w1"), col("w2"), col("c12")),
-        Seq("w1", "w2"), "left")
+    // ln((c12+1)/(c1+v)) as lnNano(c12+1) − lnNano(c1+v): pure-integer
+    // fixed-point log (graft.functions.FixedLog), so the per-pair
+    // nano-longs are bit-identical on any engine/libm build — the
+    // nb_classify hardening applied to the LM score path. The chains
+    // run on the VOCABULARY-SIDED tables (bigram / history / 1-row) —
+    // the corpus-volume pair stream only joins the precomputed longs
+    // (a first per-pair formulation cost 3× at sf0.1):
+    //   seen bigram      → lnNano(c12+1)   (from the lm table)
+    //   unseen bigram    → lnNano(1) = 0   (the coalesce fallback)
+    //   seen history     → lnNano(c1+v)    (from the history table)
+    //   unseen history   → lnNano(v)       (the uniform fallback)
+    val F = graft.functions.FixedLog
+    val lmLn = F.withLnNano(lm.select(col("w1"), col("w2"), col("c12")),
+      col("c12") + lit(1L), "_ln_num")
+      .select(col("w1"), col("w2"), col("_ln_num"))
+    val uniLn = F.withLnNano(
+      uni.withColumn("_k", lit(1)).join(broadcast(voc), Seq("_k")),
+      col("c1") + col("v"), "_ln_den")
+      .select(col("w1"), col("_ln_den"))
+    val vocLn = F.withLnNano(voc, col("v"), "_ln_v")
+      .select(col("_k"), col("_ln_v"))
+    val llFix = pairs
+      .join(uniLn, Seq("w1"), "left")
+      .join(lmLn, Seq("w1", "w2"), "left")
       .withColumn("_k", lit(1))
-      .join(broadcast(voc), Seq("_k"))
-      .withColumn("_num", coalesce(col("c12"), lit(0L)) + 1.0)
-      .withColumn("_den", coalesce(col("c1"), lit(0L)) + col("v"))
-      .withColumn("_ll",
-        round(log(col("_num") / col("_den")) * 1e9).cast("long"))
-    ll.groupBy(col("doc_id"))
+      .join(broadcast(vocLn), Seq("_k"))
+      .withColumn("_ll", coalesce(col("_ln_num"), lit(0L)) -
+        coalesce(col("_ln_den"), col("_ln_v")))
+    llFix.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         sum(col("_ll")).as("_s"))
       .select(col("doc_id"), col("n_bigrams"),
@@ -1320,16 +1338,29 @@ object TextOps {
     val totals0 = counts
       .agg(sum(col("_ct")).as("_tt"), sum(col("_cs")).as("_ts"))
       .withColumn("_k", lit(1))
-    val scaledLogRatio = (ct: Column, cs: Column) =>
-      round((log((ct + 1.0) / (col("_tt") + buckets))
-        - log((cs + 1.0) / (col("_ts") + buckets))) * 1e9).cast("long")
-    val totals = totals0.withColumn("lt0",
-      scaledLogRatio(lit(0L), lit(0L)))
-    val table = counts.withColumn("_k", lit(1))
-      .join(broadcast(totals.select(col("_k"), col("_tt"), col("_ts"))),
-        Seq("_k"))
+    // ln((c+1)/(C+B)) ratios as FixedLog lnNano differences — all four
+    // args integral, so the scaled-long log-ratio is bit-identical on
+    // any engine/libm build (the nb_classify hardening)
+    val F = graft.functions.FixedLog
+    def lnChain(df: DataFrame, args: Seq[(Column, String)]): DataFrame =
+      args.foldLeft(df) { case (cur, (in, out)) =>
+        F.withLnNano(cur, in, out)
+      }
+    // lt0 (both counts zero): lnNano(1) = 0 cancels, leaving the
+    // denominators' difference
+    val totals = lnChain(totals0,
+      Seq(col("_tt") + buckets -> "_ln_tb", col("_ts") + buckets -> "_ln_sb"))
+      .withColumn("lt0", col("_ln_sb") - col("_ln_tb"))
+      .drop("_ln_tb", "_ln_sb")
+    val table = lnChain(
+      counts.withColumn("_k", lit(1))
+        .join(broadcast(totals.select(col("_k"), col("_tt"), col("_ts"))),
+          Seq("_k")),
+      Seq(col("_ct") + lit(1L) -> "_ln_ct", col("_tt") + buckets -> "_ln_tb",
+        col("_cs") + lit(1L) -> "_ln_cs", col("_ts") + buckets -> "_ln_sb"))
       .select(col("bucket"),
-        scaledLogRatio(col("_ct"), col("_cs")).as("lt"))
+        (col("_ln_ct") - col("_ln_tb") - col("_ln_cs") + col("_ln_sb"))
+          .as("lt"))
     (table, totals.select(col("_k"), col("lt0")))
   }
 

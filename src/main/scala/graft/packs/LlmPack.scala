@@ -3477,13 +3477,31 @@ object LlmPack extends QueryPack {
        |      FROM cb FULL JOIN ca ON cb.token = ca.token),
        |t AS (SELECT sum(cnt_before) AS nb, sum(cnt_after) AS na,
        |        count(*) AS v
-       |      FROM j)
+       |      FROM j),
+       |j2 AS (SELECT token, cnt_before, cnt_after,
+       |        cnt_after + 1 AS ca1, cnt_before + 1 AS cb1,
+       |        t.na + t.v AS dna, t.nb + t.v AS dnb
+       |      FROM j, t),
+       |k1 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("j2",
+            Seq("token", "cnt_before", "cnt_after", "ca1", "cb1",
+              "dna", "dnb"), "ca1", "ln_ca")}),
+       |k2 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("k1",
+            Seq("token", "cnt_before", "cnt_after", "ca1", "cb1",
+              "dna", "dnb", "ln_ca"), "dna", "ln_na")}),
+       |k3 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("k2",
+            Seq("token", "cnt_before", "cnt_after", "ca1", "dna",
+              "dnb", "ln_ca", "ln_na"), "cb1", "ln_cb")}),
+       |k4 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("k3",
+            Seq("token", "cnt_before", "cnt_after", "ca1", "dna",
+              "ln_ca", "ln_na", "ln_cb"), "dnb", "ln_nb")})
        |SELECT token, cnt_before, cnt_after,
-       |  CAST(round((cnt_after + 1.0) / (t.na + t.v)
-       |    * ln(((cnt_after + 1.0) / (t.na + t.v))
-       |         / ((cnt_before + 1.0) / (t.nb + t.v)))
-       |    * 1000000000.0) AS BIGINT) AS kl_nano
-       |FROM j, t""".stripMargin
+       |  CAST((CAST(ca1 AS HUGEINT)
+       |    * (ln_ca - ln_na - ln_cb + ln_nb)) // dna AS BIGINT) AS kl_nano
+       |FROM k4""".stripMargin
 
   /** Oracle for the mixture_epochs queries: the unclamped rate chain in
     * the same operation order, the md5 fractional gate, and
@@ -4309,11 +4327,23 @@ object LlmPack extends QueryPack {
        |          count(*) AS cs
        |        FROM tk GROUP BY bucket),
        |tot AS (SELECT sum(ct) AS tt, sum(cs) AS ts FROM cnt),
-       |tab AS (SELECT bucket,
-       |          CAST(round((ln((ct + 1.0) / (tt + 4096))
-       |            - ln((cs + 1.0) / (ts + 4096))) * 1000000000.0)
-       |            AS BIGINT) AS lt
+       |tb0 AS (SELECT bucket, ct + 1 AS a1, tt + 4096 AS b1,
+       |          cs + 1 AS cx, ts + 4096 AS d1
        |        FROM cnt CROSS JOIN tot),
+       |tb1 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("tb0",
+            Seq("bucket", "b1", "cx", "d1"), "a1", "ln_a")}),
+       |tb2 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("tb1",
+            Seq("bucket", "cx", "d1", "ln_a"), "b1", "ln_b")}),
+       |tb3 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("tb2",
+            Seq("bucket", "d1", "ln_a", "ln_b"), "cx", "ln_c")}),
+       |tb4 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("tb3",
+            Seq("bucket", "ln_a", "ln_b", "ln_c"), "d1", "ln_d")}),
+       |tab AS (SELECT bucket, ln_a - ln_b - ln_c + ln_d AS lt
+       |        FROM tb4),
        |sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
        |         round(sum(lt) / 1000000000.0 / count(*), 6) AS logw
        |       FROM tk JOIN tab USING (bucket) GROUP BY doc_id)""".stripMargin
@@ -4330,13 +4360,18 @@ object LlmPack extends QueryPack {
        |uni AS (SELECT w1, count(*) AS c1 FROM h GROUP BY w1),
        |voc AS (SELECT count(DISTINCT tok) AS v
        |        FROM (SELECT unnest(w) AS tok FROM t2)),
-       |ll AS (SELECT doc_id,
-       |         CAST(round(ln((c12 + 1.0) / (c1 + v)) * 1000000000.0)
-       |              AS BIGINT) AS l
+       |lx AS (SELECT doc_id, c12 + 1 AS nu, c1 + v AS de
        |       FROM p
        |       JOIN big USING (g)
        |       JOIN uni ON uni.w1 = string_split(p.g, ' ')[1]
-       |       CROSS JOIN voc)
+       |       CROSS JOIN voc),
+       |l1 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("lx",
+            Seq("doc_id", "de"), "nu", "ln_nu")}),
+       |l2 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("l1",
+            Seq("doc_id", "ln_nu"), "de", "ln_de")}),
+       |ll AS (SELECT doc_id, ln_nu - ln_de AS l FROM l2)
        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
        |  round(-sum(l) / 1000000000.0 / count(*), 6) AS nll,
        |  round(exp(round(-sum(l) / 1000000000.0 / count(*), 6)), 6) AS ppl

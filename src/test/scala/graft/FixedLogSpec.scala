@@ -17,15 +17,25 @@ class FixedLogSpec extends AnyFunSuite {
     (1L << 30) - 1, 1L << 30, (1L << 30) + 1, (1L << 31) + 12345,
     (1L << 45) + 987654321L, (1L << 62) - 1, 1L << 62, Long.MaxValue)
 
-  test("Spark rendering == plain-Scala reference, 1..4000 + edges") {
+  test("native expression == SQL step-list chain == plain-Scala " +
+      "reference, 1..4000 + edges (the DuckDB-oracle parity proof)") {
     import spark.implicits._
     val ms = ((1L to 4000L) ++ edgeMs).distinct
-    val df = FixedLog.withLnNano(ms.toDF("m"), col("m"), "ln_nano")
-    val got = df.select("m", "ln_nano").collect()
+    val base = ms.toDF("m")
+    val native = FixedLog.withLnNano(base, col("m"), "ln_nano")
+      .select("m", "ln_nano").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the chain renders the SAME step list the DuckDB oracle uses
+    // (modulo div/shift spelling), so native == chain == ref proves
+    // the oracle arithmetic without DuckDB in this JVM
+    val chain = FixedLog.withLnNanoChain(base, col("m"), "ln_nano")
+      .select("m", "ln_nano").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     ms.foreach { m =>
-      assert(got(m) == FixedLog.lnNanoRef(m),
-        s"m=$m spark=${got(m)} ref=${FixedLog.lnNanoRef(m)}")
+      assert(native(m) == FixedLog.lnNanoRef(m),
+        s"m=$m native=${native(m)} ref=${FixedLog.lnNanoRef(m)}")
+      assert(chain(m) == FixedLog.lnNanoRef(m),
+        s"m=$m chain=${chain(m)} ref=${FixedLog.lnNanoRef(m)}")
     }
   }
 
