@@ -3874,7 +3874,7 @@ object LlmPack extends QueryPack {
        |      < 1.0 / coalesce(s.cluster_n, 1) * 1000000.0""".stripMargin
 
   /** Fixed query-term set for [[text_bm25]] — corpus-present terms. */
-  private val Bm25Terms = Seq("spark", "hash", "merge")
+  private[graft] val Bm25Terms = Seq("spark", "hash", "merge")
 
   // ---- round-11 shared oracle SQL (library form + DFS node form) -------
 
