@@ -805,6 +805,70 @@ class StreamingSpec extends AnyFunSuite {
       sdBatch.exists(t => t._1 == 2L && t._3 == 3))
   }
 
+  test("groupZScore runs per micro-batch with BATCH-scoped group stats " +
+      "(corpus-relative, the span_dedup scoping); quantileBuckets is " +
+      "batch-only by nature (GlobalOrder needs the corpus)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val C = graft.operators.text.Curation
+    val rows = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 100.0),
+      ("b", 5L, 5.0), ("b", 6L, 5.0), ("b", 7L, 5.0))
+    def z(df: org.apache.spark.sql.DataFrame) =
+      C.groupZScore(df, col("g"), col("x"))
+        .select("id", "z_nano", "is_outlier")
+    val batch = z(rows.toDF("g", "id", "x"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    // constant group b → var 0 → z 0; group a's 100.0 dominates
+    assert(batch.count(_._2 == 0L) >= 3)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+    val q = in.toDS().toDF("g", "id", "x").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= z(mb).as[(Long, Long, Boolean)].collect()
+        ()
+      }.start()
+    // one-batch drain == batch exactly; a SPLIT drain would rescope
+    // the stats per batch (documented corpus-relative divergence, the
+    // same rule span_dedup carries)
+    in.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batch)
+    // and the split-scope claim itself, pinned: stats re-derive per
+    // batch, so each half equals its own batch-mode replay
+    val (h1, h2) = rows.splitAt(4)
+    val perBatch = z(h1.toDF("g", "id", "x"))
+      .as[(Long, Long, Boolean)].collect().toSet ++
+      z(h2.toDF("g", "id", "x"))
+        .as[(Long, Long, Boolean)].collect().toSet
+    val got2 = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+    val in2 = MemoryStream[(String, Long, Double)]
+    val q2 = in2.toDS().toDF("g", "id", "x").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= z(mb).as[(Long, Long, Boolean)].collect()
+        ()
+      }.start()
+    in2.addData(h1)
+    q2.processAllAvailable()
+    in2.addData(h2)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == perBatch)
+    // quantileBuckets: an exact corpus ntile needs the corpus — the
+    // unsupported-by-construction check (GlobalOrder's zipWithIndex
+    // cannot run on a streaming frame)
+    val ex = intercept[Exception] {
+      val in3 = MemoryStream[(String, Long, Double)]
+      C.quantileBuckets(in3.toDS().toDF("g", "id", "x"),
+        col("x"), col("id"), 3).writeStream
+        .format("memory").queryName("qbstream").start()
+        .processAllAvailable()
+    }
+    assert(ex != null)
+  }
+
   test("invertedIndex: streaming complete-mode aggregate matches batch " +
       "across micro-batches") {
     import spark.implicits._
