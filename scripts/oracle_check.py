@@ -29,8 +29,19 @@ def float_bits(s):
 
 
 def col_mismatch(gv, ev):
-    """Boolean mismatch mask for a pair of aligned columns."""
-    if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+    """Boolean mismatch mask for a pair of aligned columns.
+
+    An int-typed column on one side vs float-typed on the other is an
+    unconditional mismatch: the driver hashes RENDERED values, and 5
+    renders "5" as int64 but "5.0" as float64 (DuckDB SUM(BIGINT)
+    returns HUGEINT, which pandas widens to float64 — the likely true
+    root cause of the round-10 text_nb_classify driver hash-fail).
+    Coercing both sides to float here would hide exactly that.
+    """
+    gk, ek = gv.dtype.kind, ev.dtype.kind
+    if (gk in "iu") != (ek in "iu") and {gk, ek} & set("f"):
+        return pd.Series([True] * len(gv))
+    if gk == "f" or ek == "f":
         return pd.Series(float_bits(gv) != float_bits(ev))
     try:
         return (gv != ev) & ~(gv.isna() & ev.isna())
@@ -47,7 +58,12 @@ def selftest():
     # integer and string columns keep the old semantics
     gi = pd.Series([1, 2]); ei = pd.Series([1, 3])
     assert col_mismatch(gi, ei).tolist() == [False, True]
-    print("selftest OK: signed-zero divergence is caught, NaN==NaN holds")
+    # int64 vs float64 is an unconditional mismatch (renders "5" vs "5.0")
+    gm = pd.Series([5, 6], dtype="int64")
+    em = pd.Series([5.0, 6.0], dtype="float64")
+    assert col_mismatch(gm, em).tolist() == [True, True]
+    print("selftest OK: signed-zero + int-vs-float divergence caught, "
+          "NaN==NaN holds")
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]

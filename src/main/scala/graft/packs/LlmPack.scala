@@ -3197,7 +3197,7 @@ object LlmPack extends QueryPack {
       |          dn.n_tok * c.base_nano AS s_nano
       |      FROM dn CROSS JOIN cls c
       |      LEFT JOIN m ON m.doc_id = dn.doc_id AND m.cls = c.cls)
-      |SELECT doc_id, n_tok, cls AS pred, s_nano AS score_nano
+      |SELECT doc_id, n_tok, cls AS pred, CAST(s_nano AS BIGINT) AS score_nano
       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
       |        ORDER BY s_nano DESC, cls DESC) AS rn FROM sc)
       |WHERE rn = 1""".stripMargin

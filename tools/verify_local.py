@@ -60,10 +60,18 @@ def main(outdir, sfdir):
         a, b = canon(spark_df), canon(ora_df)
         # dtype check (int64 vs object etc.)
         mism = []
+        ok = True
         for c in a.columns:
             if str(a[c].dtype) != str(b[c].dtype):
                 mism.append((c, str(a[c].dtype), str(b[c].dtype)))
-        ok = True
+                ak, bk = a[c].dtype.kind, b[c].dtype.kind
+                # int on one side, float on the other renders "5" vs
+                # "5.0" at the driver's value hash — hard FAIL locally
+                if (ak in "iu") != (bk in "iu") and {ak, bk} & set("f"):
+                    print(f"FAIL  {name}: col {c} int-vs-float dtype "
+                          f"({a[c].dtype} vs {b[c].dtype}) — driver "
+                          "renders these differently")
+                    ok = False
         for c in a.columns:
             av, bv = a[c].values, b[c].values
             for i in range(len(av)):
