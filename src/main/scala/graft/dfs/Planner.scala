@@ -2964,6 +2964,56 @@ object Planner {
         optNum(n, "depth", env).map(_.toInt).getOrElse(4),
         optNum(n, "width", env).map(_.toInt).getOrElse(512))
     },
+    // HyperLogLog distinct-count (graft extension, the
+    // Sketches.hllDistinct door): distinct-token estimate per
+    // .group_by group from 2^p registers — the bounded-state distinct
+    // — with the exact count(DISTINCT) yardstick joined alongside.
+    "hll_distinct" -> bt(Set("text_field", "group_by", "p")) {
+      (ctx, n, env) =>
+      import org.apache.spark.sql.functions.{broadcast => bcast}
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val p = optNum(n, "p", env).map(_.toInt).getOrElse(6)
+      val groups = optStrs(n, "group_by", env)
+      val base = ctx.df.select(
+        groups.map(g => Paths.ref(g).as(g)) :+
+          explode(graft.operators.text.TextOps.tokens(Paths.ref(text)))
+            .as("tok"): _*)
+      graft.core.CacheScope.withPersisted(base) { b =>
+        val est = graft.operators.text.Sketches.hllDistinct(b, col("tok"),
+          groups.map(g => g -> col(g)), p)
+        if (groups.isEmpty)
+          est.crossJoin(bcast(
+            b.agg(count_distinct(col("tok")).as("exact"))))
+        else
+          est.join(b.groupBy(groups.map(col): _*)
+            .agg(count_distinct(col("tok")).as("exact")), groups)
+      }
+    },
+    // exact-substring dedup APPLY (graft extension, the
+    // TextOps.spanTrim door): rebuild each doc with duplicated n-gram
+    // spans cut, keeping the min-doc-id occurrence
+    "span_trim" -> bt(Set("text_field", "id_field", "n", "min_docs")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("span_trim: .id_field"))
+      graft.operators.text.TextOps.spanTrim(ctx.df, Paths.ref(text),
+        Paths.ref(id),
+        optNum(n, "n", env).map(_.toInt).getOrElse(5),
+        optNum(n, "min_docs", env).map(_.toInt).getOrElse(2))
+    },
+    // corpus-snapshot Jaccard (graft extension, the
+    // Dedup.corpusJaccardEst door): minhash overlap estimate between
+    // the .snapshot(lambda)=0 and =1 slices plus the exact value
+    "corpus_jaccard" -> bt(Set("text_field", "snapshot", "k")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val snap = optLambdas(n, "snapshot", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("corpus_jaccard: .snapshot(lambda)"))
+      graft.operators.text.Dedup.corpusJaccardEst(ctx.df, Paths.ref(text),
+        snap, optNum(n, "k", env).map(_.toInt).getOrElse(8))
+    },
     // DSIR importance resampling (graft extension, the TextOps.dsirSample
     // door): keep docs whose hashed-feature importance weight — how
     // target-like the doc's token distribution is — reaches the corpus

@@ -517,4 +517,54 @@ object Dedup {
         coalesce(col("_mj"), lit(0.0)).as("max_jac"),
         col("_n").isNotNull.as("contaminated"))
   }
+
+  /** Corpus-level Jaccard overlap between two snapshots (crawl
+    * versions, corpus A vs corpus B): the minhash estimate plus the
+    * exact value, one output row `(k, matches, jac_est_ppm,
+    * jac_exact_ppm)`. The snapshot SET's minhash signature is the
+    * component-wise min over every member doc's shingle hashes —
+    * min is order-free and associative, so each of the k components is
+    * one map-side-combined aggregate and the estimate's total state is
+    * 2·k longs at ANY corpus size; `matches/k` estimates
+    * J(shingles(A), shingles(B)). The exact twin aggregates the
+    * distinct-hash presence table — a distinct-shingle-sized shuffle
+    * that exists as the recall yardstick (the established
+    * exact-vs-approx pairing; at 100 TB you run the signature side
+    * only). All arithmetic is the shared rolling-md5 + integer
+    * permutation family — bit-replayable in any engine.
+    */
+  def corpusJaccardEst(df: DataFrame, text: Column, snapshot: Column,
+      k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= A.size, s"corpusJaccardEst: k in [1, ${A.size}]")
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val base = withShingleHashes(df, text, "_hs")
+      .select(snapshot.cast("int").as("snap"), explode(col("_hs")).as("h"))
+    graft.core.CacheScope.withPersisted(base) { b =>
+      val sigs = b.groupBy(col("snap")).agg(
+        min((lit(A(0)) * col("h") + lit(B(0))) % lit(P)).as("sig0"),
+        (1 until k).map(i =>
+          min((lit(A(i)) * col("h") + lit(B(i))) % lit(P)).as(s"sig$i")): _*)
+      val sa = sigs.filter(col("snap") === 0)
+        .select((0 until k).map(i => col(s"sig$i").as(s"a$i")): _*)
+      val sb = sigs.filter(col("snap") === 1)
+        .select((0 until k).map(i => col(s"sig$i").as(s"b$i")): _*)
+      val matches = (0 until k).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      // exact twin: distinct-hash presence flags, one aggregate
+      val ex = b.distinct()
+        .groupBy(col("h"))
+        .agg(max(when(col("snap") === 0, 1).otherwise(0)).as("_ina"),
+          max(when(col("snap") === 1, 1).otherwise(0)).as("_inb"))
+        .agg(sum(when(col("_ina") === 1 && col("_inb") === 1, 1L)
+            .otherwise(0L)).as("_inter"),
+          count(lit(1)).as("_union"))
+      bcast(sa).crossJoin(bcast(sb)).crossJoin(bcast(ex))
+        .withColumn("matches", matches.cast("int"))
+        .select(lit(k).as("k"), col("matches"),
+          expr(s"(CAST(matches AS BIGINT) * 1000000) div $k")
+            .as("jac_est_ppm"),
+          expr("(_inter * 1000000) div _union").as("jac_exact_ppm"))
+    }
+  }
 }

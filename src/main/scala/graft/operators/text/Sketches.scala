@@ -121,4 +121,112 @@ object Sketches {
       .filter(col("exact") >= threshold)
       .select(col("token"), col("est"), col("exact"))
   }
+
+  // ---- HyperLogLog distinct-count sketch ---------------------------------
+  //
+  // Why a sketch when `count(DISTINCT x)` exists: the exact form
+  // shuffles every distinct value — vocabulary-sized state, the same
+  // wall count-min exists to avoid. HLL keeps 2^p registers per group
+  // (Flajolet et al. 2007), each a max over a per-value rho, so the
+  // distinct pass is ONE map-side-combined aggregate whose state is m
+  // integers per group at ANY corpus size — the only shape that counts
+  // distinct URLs/tokens per domain over 100 TB.
+  //
+  // Determinism contract: the register is max(rho) — order-free — over
+  // the md5-derived [[TextOps.hash60]], and the estimator is restated
+  // in 64-bit integer arithmetic (alpha in milli-units, 1/2^M_j sums
+  // as 2^(RMax−M_j) longs, truncating division; the small-range
+  // linear-counting branch uses [[graft.functions.FixedLog]] instead
+  // of IEEE ln) — so a DuckDB oracle replays every register and the
+  // final estimate bit-for-bit on any libm.
+
+  /** rho word width: bits of the hash used for the leading-zero count.
+    * 25 keeps every estimator intermediate far inside Long: z_inv ≤
+    * m·2^26 ≤ 2^38, and alpha·m²·2^26 ≤ 721·2^24·2^26 ≈ 8.1e17 < 2^63
+    * at the p ≤ 12 cap.
+    */
+  val HllWBits = 25
+  /** Max register value: rho ∈ [1, 26]. */
+  val HllRMax: Int = HllWBits + 1
+
+  /** Bias-correction constant in milli-units (Flajolet et al. 2007:
+    * alpha_16=0.673, alpha_32=0.697, alpha_64=0.709, else
+    * 0.7213/(1+1.079/m)). Computed ONCE driver-side and embedded as a
+    * literal in both engines' plans — never a runtime float.
+    */
+  def hllAlphaMilli(m: Int): Long = m match {
+    case 16 => 673L
+    case 32 => 697L
+    case 64 => 709L
+    case _  => math.round(721.3 / (1.0 + 1.079 / m))
+  }
+
+  private def checkP(p: Int): Unit =
+    require(p >= 4 && p <= 12,
+      s"hll: p must be in [4, 12] (m = 2^p registers), got $p")
+
+  /** The register table: one row per (group, bucket) with
+    * `reg = max(rho)` — at most `groups × 2^p` rows regardless of
+    * input size, built by one map-side-combined aggregate (max is
+    * commutative — partial registers merge by max, the textbook HLL
+    * union, so partitioning never changes a register).
+    */
+  def hllRegisters(df: DataFrame, value: Column,
+      groups: Seq[(String, Column)], p: Int): DataFrame = {
+    checkP(p)
+    val m = 1 << p
+    val base = df.select(
+      groups.map { case (n, c) => c.as(n) } :+
+        TextOps.hash60(concat(lit("hll|"), value)).as("_h"): _*)
+      .withColumn("bucket",
+        col("_h").bitwiseAND(lit((m - 1).toLong)).cast("int"))
+      .withColumn("_w", shiftright(col("_h"), p)
+        .bitwiseAND(lit((1L << HllWBits) - 1)))
+      // rho = leading zeros of the 25-bit word + 1 = 26 − bitlen(w);
+      // bitlen via length(bin(w)) — the FixedLog-verified cross-engine
+      // floor-log2 (both engines render minimal binary digits)
+      .withColumn("rho", when(col("_w") === 0, lit(HllRMax))
+        .otherwise(lit(HllRMax) - length(bin(col("_w")))).cast("int"))
+    base.groupBy(groups.map(g => col(g._1)) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Estimate from a register table: raw HLL
+    * `alpha·m²/Σ2^(−M_j)` with the linear-counting small-range branch
+    * `m·ln(m/V)` when `est_raw ≤ 5m/2` and zero registers exist —
+    * both restated in integer arithmetic (see object note). Emits
+    * `(group…, n_used, v_zero, est_raw, est)`.
+    */
+  def hllEstimate(reg: DataFrame, groupCols: Seq[String], p: Int)
+      : DataFrame = {
+    checkP(p)
+    val m = 1 << p
+    val am = hllAlphaMilli(m)
+    val lnM = graft.functions.FixedLog.lnNanoRef(m.toLong)
+    val grouped =
+      if (groupCols.isEmpty) reg.groupBy()
+      else reg.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).cast("int").as("n_used"),
+        sum(expr(s"shiftleft(1L, $HllRMax - reg)")).as("_z_nz"))
+      .withColumn("v_zero", (lit(m) - col("n_used")).cast("int"))
+      .withColumn("_z_inv", col("_z_nz") +
+        col("v_zero").cast("long") * lit(1L << HllRMax))
+      .withColumn("est_raw",
+        expr(s"(${(am * m * m) << HllRMax}L div _z_inv) div 1000"))
+      .withColumn("_ln_v", graft.functions.FixedLog.lnNano(
+        greatest(col("v_zero").cast("long"), lit(1L))))
+      .withColumn("est",
+        when(col("est_raw") <= lit((5L * m) / 2) && col("v_zero") > 0,
+          expr(s"($m" + s"L * (${lnM}L - _ln_v)) div 1000000000"))
+          .otherwise(col("est_raw")))
+      .drop("_z_nz", "_z_inv", "_ln_v")
+  }
+
+  /** Distinct-count estimate of `value` per `groups` (empty = global):
+    * [[hllRegisters]] → [[hllEstimate]].
+    */
+  def hllDistinct(df: DataFrame, value: Column,
+      groups: Seq[(String, Column)] = Seq.empty, p: Int = 6): DataFrame =
+    hllEstimate(hllRegisters(df, value, groups, p), groups.map(_._1), p)
 }

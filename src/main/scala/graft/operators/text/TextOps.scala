@@ -1038,6 +1038,68 @@ object TextOps {
     }
   }
 
+  /** Exact-substring dedup APPLY: rebuild each document with its
+    * duplicated spans cut — the trim endpoint of the Lee et al. 2022
+    * pipeline whose detection half is [[dupSpans]]. A token position is
+    * cut when it is covered by an n-gram that occurs in ≥ `minDocs`
+    * documents AND this document is not the gram's canonical keeper
+    * (min doc id over the documents containing it) — the deterministic
+    * gram-level form of "remove all but one occurrence of each
+    * duplicate cluster". Emits `(doc_id, n_tok, n_removed, text_trim)`
+    * for EVERY input document (docs shorter than `n` pass through
+    * untouched).
+    *
+    * 100 TB shape: the detection side is [[dupSpans]]'s (doc-frequency
+    * aggregate + equi-join flag-back, both map-side-partial); the apply
+    * side never explodes covered positions — cut START positions
+    * aggregate to one bounded array per doc (≤ doc length), join back
+    * doc-keyed, and the cut itself is a per-row codegen'd
+    * filter/transform over the token array. No window, no global sort.
+    */
+  def spanTrim(docs: DataFrame, text: Column, id: Column,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toked = docs.select(id.as("doc_id"), tokens(text).as("_t"))
+    // Detection half under a cache scope: the positional grams and the
+    // keeper aggregate are two consumers of the tokenized base (the
+    // nb_classify 7→2-scans precedent), and its OUTPUT — cut-start int
+    // arrays per doc — is small relative to the gram base, which is
+    // CacheScope's contract. The rebuild half stays on LINEAGE (one
+    // more tokenize scan): spanTrim's final output is data-sized, and
+    // a data-sized eager checkpoint is the contract's named anti-case.
+    val starts = graft.core.CacheScope.withPersisted(
+      toked.filter(size(col("_t")) >= n)) { gramBase =>
+      val grams = gramBase
+        .select(col("doc_id"), col("_t"),
+          explode(sequence(lit(1), size(col("_t")) - (n - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", slice(col("_t"), col("pos"), lit(n))).as("gram"))
+      // keeper side: per-doc-distinct grams (array_distinct before the
+      // explode — no dedupe shuffle; the dupSpans precedent), then one
+      // map-side-partial aggregate to (df, keeper)
+      val dup = gramBase
+        .select(col("doc_id"),
+          explode(shinglesFromTokens(col("_t"), n)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("_df"), min(col("doc_id")).as("_keeper"))
+        .filter(col("_df") >= minDocs)
+      grams.join(dup, Seq("gram"))
+        .filter(col("doc_id") =!= col("_keeper"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    }
+    toked.join(starts, Seq("doc_id"), "left")
+      .withColumn("_s", coalesce(col("_starts"),
+        expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("_kept", expr(
+        s"""filter(sequence(1, size(_t)),
+           |  p -> NOT exists(_s, s -> p >= s AND p < s + $n))"""
+          .stripMargin))
+      .select(col("doc_id"), size(col("_t")).as("n_tok"),
+        (size(col("_t")) - size(col("_kept"))).as("n_removed"),
+        concat_ws(" ",
+          expr("transform(_kept, p -> element_at(_t, p))")).as("text_trim"))
+  }
+
   /** BM25 ranked retrieval over the corpus for a fixed term query
     * (Robertson/Spärck Jones; k1/b defaults are the standard Okapi
     * values). Returns the top-`k` documents by score with per-term

@@ -1650,6 +1650,39 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(vsIndexSql(0.3))),
 
+    // exact-substring dedup APPLY (text_dup_spans is the detection
+    // half): rebuild every doc with its duplicated spans cut, keeping
+    // the gram's min-doc-id occurrence — the trim endpoint of the
+    // Lee et al. 2022 pipeline. The oracle replays gram df + keeper +
+    // covered-position anti-join + ordered string_agg.
+    "text_span_trim" -> QueryDef(
+      (s, dir) => graft.operators.text.TextOps.spanTrim(
+        Tables.documents(s, dir), col("text"), col("doc_id")),
+      Some(spanTrimSql)),
+
+    "dfs_span_trim" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|span_trim(.id_field('doc_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(spanTrimSql)),
+
+    // corpus-level Jaccard between two snapshots (doc_id parity stands
+    // in for crawl A vs crawl B): component-wise-min minhash signature
+    // of each snapshot SET (2·k longs of state total) vs the exact
+    // distinct-shingle overlap — the crawl-drift estimator.
+    "dedup_corpus_jaccard" -> QueryDef(
+      (s, dir) => Dedup.corpusJaccardEst(Tables.documents(s, dir),
+        col("text"), col("doc_id") % 2),
+      Some(corpusJaccardSql)),
+
+    "dfs_corpus_jaccard" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|corpus_jaccard(.snapshot(lambda: mod("doc_id", 2)))
+          #""".stripMargin('#'), s, dir),
+      Some(corpusJaccardSql)),
+
     // DSIR importance resampling (data-selection-with-importance-
     // resampling): hashed unigram buckets, add-one-smoothed
     // target-vs-raw log-ratio per bucket, per-doc mean log-importance
@@ -2249,6 +2282,55 @@ object LlmPack extends QueryPack {
           #|heavy_hitters(.threshold(500).depth(3).width(16))
           #""".stripMargin('#'), s, dir),
       Some(heavyHittersSql(500L, 3, 16))),
+
+    // HyperLogLog distinct-count sketch: the bounded-state (2^p
+    // registers) distinct that replaces a vocabulary-sized
+    // count(DISTINCT) shuffle at corpus scale. Estimator fully in
+    // integer arithmetic (alpha in milli-units, 2^(RMax−reg) sums,
+    // FixedLog linear-counting branch) — the oracle replays every
+    // register and both estimator branches bit-for-bit. Global form
+    // (p=6) counts distinct word-3-gram shingles — high-cardinality,
+    // so the RAW estimator branch is the one exercised — with the
+    // exact count as the accuracy yardstick.
+    "text_hll_distinct" -> QueryDef(
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(graft.operators.text.TextOps.tokens(col("text")).as("_t"))
+          .filter(size(col("_t")) >= 3)
+          .select(explode(graft.operators.text.TextOps
+            .shinglesFromTokens(col("_t"), 3)).as("tok"))
+        graft.core.CacheScope.withPersisted(grams) { t =>
+          graft.operators.text.Sketches.hllDistinct(t, col("tok"), Seq.empty, 6)
+            .crossJoin(broadcast(
+              t.agg(count_distinct(col("tok")).as("exact"))))
+        }
+      },
+      Some(hllSql(6, grouped = false))),
+
+    // grouped form (p=5, by lang): registers aggregate per group —
+    // m integers of state per group, the 100 TB distinct-per-domain
+    // shape — exercising the small-range linear-counting branch on
+    // sparse languages.
+    "text_hll_group" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("lang"), explode(graft.operators.text.TextOps
+            .tokens(col("text"))).as("tok"))
+        graft.core.CacheScope.withPersisted(base) { b =>
+          graft.operators.text.Sketches
+            .hllDistinct(b, col("tok"), Seq("lang" -> col("lang")), 5)
+            .join(b.groupBy(col("lang"))
+              .agg(count_distinct(col("tok")).as("exact")), Seq("lang"))
+        }
+      },
+      Some(hllSql(5, grouped = true))),
+
+    "dfs_hll" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|hll_distinct(.text_field('text').group_by('lang').p(5))
+          #""".stripMargin('#'), s, dir),
+      Some(hllSql(5, grouped = true))),
 
     // distributed k-means (one Lloyd iteration from the md5-seeded
     // centroids, then the final assignment): the corpus-scale training
@@ -3609,6 +3691,134 @@ object LlmPack extends QueryPack {
        |      $joins)
        |SELECT tok AS token, est, exact FROM e
        |WHERE est >= $threshold AND exact >= $threshold""".stripMargin
+  }
+
+  /** Oracle for the HLL queries: full register replay (same md5
+    * bucket/rho slices, max per register) + the integer estimator —
+    * milli-alpha raw branch and the FixedLog linear-counting branch —
+    * plus the exact count(DISTINCT) yardstick. Every sum feeding an
+    * output column is cast back to BIGINT (DuckDB sum(BIGINT) returns
+    * HUGEINT, which pandas renders float — the nb_classify lesson).
+    */
+  private def hllSql(p: Int, grouped: Boolean): String = {
+    import graft.operators.text.Sketches.{HllRMax, HllWBits, hllAlphaMilli}
+    val m = 1 << p
+    val am = hllAlphaMilli(m)
+    val wMask = (1L << HllWBits) - 1
+    val lnM = graft.functions.FixedLog.lnNanoRef(m.toLong)
+    val numer = (am * m * m) << HllRMax
+    val gs = if (grouped) "lang, " else "" // leading select-list slot
+    val gb = if (grouped) " GROUP BY lang" else ""
+    val gkeep = if (grouped) Seq("lang") else Seq.empty[String]
+    val fin =
+      if (grouped) "FROM e3 JOIN ex USING (lang)"
+      else "FROM e3, ex"
+    // grouped form counts distinct TOKENS per lang (small cardinality —
+    // the linear-counting branch); global form counts distinct 3-gram
+    // SHINGLES (large — the raw branch). Same estimator replay.
+    val occSrc =
+      if (grouped) s"SELECT lang, unnest($toks) AS tok FROM documents"
+      else s"""SELECT unnest($sh) AS tok
+              |       FROM (SELECT $toks AS w FROM documents)
+              |       WHERE len(w) >= 3""".stripMargin
+    s"""WITH occ AS (SELECT ${gs}tok, ${h60("'hll|' || tok")} AS h
+       |      FROM ($occSrc)),
+       |br AS (SELECT ${gs}CAST(h & ${m - 1} AS INTEGER) AS bucket,
+       |        CASE WHEN ((h >> $p) & $wMask) = 0 THEN $HllRMax
+       |             ELSE $HllRMax - length(bin((h >> $p) & $wMask))
+       |        END AS rho
+       |      FROM occ),
+       |reg AS (SELECT ${gs}bucket, max(rho) AS reg FROM br
+       |        GROUP BY ${gs}bucket),
+       |ag AS (SELECT ${gs}CAST(count(*) AS INTEGER) AS n_used,
+       |        CAST(sum(CAST(1 AS BIGINT) << ($HllRMax - reg)) AS BIGINT)
+       |          AS znz
+       |      FROM reg$gb),
+       |e0 AS (SELECT ${gs}n_used, CAST($m - n_used AS INTEGER) AS v_zero,
+       |        znz + CAST($m - n_used AS BIGINT) * ${1L << HllRMax}
+       |          AS z_inv FROM ag),
+       |e1 AS (SELECT ${gs}n_used, v_zero,
+       |        (CAST($numer AS BIGINT) // z_inv) // 1000 AS est_raw,
+       |        greatest(CAST(v_zero AS BIGINT), CAST(1 AS BIGINT)) AS vz
+       |      FROM e0),
+       |e2 AS ${graft.functions.FixedLog.duckLnNano("e1",
+                gkeep ++ Seq("n_used", "v_zero", "est_raw"), "vz", "ln_v")},
+       |e3 AS (SELECT ${gs}n_used, v_zero, est_raw,
+       |        CASE WHEN est_raw <= ${5L * m / 2} AND v_zero > 0
+       |             THEN ($m * ($lnM - ln_v)) // 1000000000
+       |             ELSE est_raw END AS est
+       |      FROM e2),
+       |ex AS (SELECT ${gs}CAST(count(DISTINCT tok) AS BIGINT) AS exact
+       |      FROM occ$gb)
+       |SELECT ${gs}n_used, v_zero, est_raw, est, exact $fin""".stripMargin
+  }
+
+  /** Oracle for [[text_span_trim]]: gram df + min-doc keeper (the
+    * dupSpansSql machinery), covered token positions via the 0..n−1
+    * offset cross, anti-join against the per-position token table, and
+    * the ordered string_agg rebuild — pure integer/string logic.
+    */
+  private lazy val spanTrimSql: String = {
+    val gram5 = (0 until 5).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+    s"""WITH t0 AS (SELECT doc_id, $toks AS w FROM documents),
+       |t AS (SELECT doc_id, w FROM t0 WHERE len(w) >= 5),
+       |g AS (SELECT doc_id, i AS pos, $gram5 AS gram
+       |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+       |            FROM t)),
+       |d AS (SELECT gram, min(doc_id) AS keeper
+       |      FROM (SELECT DISTINCT doc_id, gram FROM g)
+       |      GROUP BY gram HAVING count(*) >= 2),
+       |st AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+       |       WHERE g.doc_id <> d.keeper),
+       |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+       |        FROM st CROSS JOIN (SELECT unnest(range(0, 5)) AS o)),
+       |tp AS (SELECT doc_id, unnest(w) AS tok,
+       |         unnest(range(1, len(w) + 1)) AS p FROM t0),
+       |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+       |         FROM tp LEFT JOIN cov
+       |           ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+       |         WHERE cov.p IS NULL)
+       |SELECT d0.doc_id, CAST(d0.n_tok AS INTEGER) AS n_tok,
+       |  CAST(d0.n_tok - count(k.p) AS INTEGER) AS n_removed,
+       |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS text_trim
+       |FROM (SELECT doc_id, len(w) AS n_tok FROM t0) d0
+       |LEFT JOIN kept k ON k.doc_id = d0.doc_id
+       |GROUP BY d0.doc_id, d0.n_tok""".stripMargin
+  }
+
+  /** Oracle for [[dedup_corpus_jaccard]]: per-snapshot component-wise
+    * minhash minima over the shared rolling shingle hashes, match
+    * count, and the exact distinct-hash intersection/union — integer
+    * permutations and ppm divisions, both truncating.
+    */
+  private lazy val corpusJaccardSql: String = {
+    val k = 8
+    val sigCols = (0 until k).map(i =>
+      s"min((${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P}) AS sig$i")
+      .mkString(",\n    ")
+    val matchSum = (0 until k).map(i =>
+      s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id % 2 AS snap, $tokHs AS th FROM documents),
+       |hsx AS (SELECT snap, unnest($rollHs) AS h FROM t),
+       |sig AS (SELECT snap,
+       |    $sigCols
+       |  FROM hsx GROUP BY snap),
+       |ma AS (SELECT ${(0 until k).map(i => s"sig$i AS a$i").mkString(", ")}
+       |       FROM sig WHERE snap = 0),
+       |mb AS (SELECT ${(0 until k).map(i => s"sig$i AS b$i").mkString(", ")}
+       |       FROM sig WHERE snap = 1),
+       |pres AS (SELECT h,
+       |           max(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS ina,
+       |           max(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS inb
+       |         FROM (SELECT DISTINCT snap, h FROM hsx) GROUP BY h),
+       |ex AS (SELECT CAST(sum(CASE WHEN ina = 1 AND inb = 1
+       |                 THEN 1 ELSE 0 END) AS BIGINT) AS inter,
+       |         CAST(count(*) AS BIGINT) AS uni FROM pres),
+       |mm AS (SELECT CAST($matchSum AS INTEGER) AS matches FROM ma, mb)
+       |SELECT $k AS k, matches,
+       |  (CAST(matches AS BIGINT) * 1000000) // $k AS jac_est_ppm,
+       |  (inter * 1000000) // uni AS jac_exact_ppm
+       |FROM mm, ex""".stripMargin
   }
 
   /** Oracle for [[emb_kmeans]]: one unrolled Lloyd iteration. Seed

@@ -1176,4 +1176,85 @@ class LlmSpec extends AnyFunSuite {
       (("keep me alive today.\nanother good line stays!", 3, 2)))
     assert(out(5L)._3 == 2)
   }
+
+  test("spanTrim: keeper kept, dupes cut, short and full-dup docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),   // keeper of both grams (min doc id)
+      (2L, "a b c d e x"),   // shares gram 'a b c d e' -> pos 1-5 cut
+      (3L, "p q"),           // below n: passes through untouched
+      (4L, "a b c d e f")    // byte-identical to 1: fully cut
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanTrim(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == ((6, 0, "a b c d e f"))) // keeper untouched
+    assert(out(2L) == ((6, 5, "x")))
+    assert(out(3L) == ((2, 0, "p q")))
+    assert(out(4L) == ((6, 6, "")))
+  }
+
+  test("hllEstimate: hand-pinned integer estimator, both branches; " +
+      "hllDistinct partition-invariant and within documented error") {
+    import spark.implicits._
+    import graft.operators.text.Sketches
+    // hand-constructed register table (p=4, m=16): buckets 0..3 hold
+    // regs 1..4, the other 12 empty. znz = Σ2^(26−reg) = 62914560,
+    // z_inv = znz + 12·2^26 = 868220928, est_raw =
+    // ((673·256)<<26) // z_inv // 1000 = 13 ≤ 5m/2 and v>0 → linear
+    // counting: (16·(lnNano(16)−lnNano(12))) // 1e9 = 4.
+    val regs = Seq((0, 1), (1, 2), (2, 3), (3, 4)).toDF("bucket", "reg")
+    val est = Sketches.hllEstimate(regs, Seq.empty, 4).collect()(0)
+    assert(est.getAs[Int]("n_used") == 4)
+    assert(est.getAs[Int]("v_zero") == 12)
+    assert(est.getAs[Long]("est_raw") == 13L)
+    assert(est.getAs[Long]("est") == 4L)
+    // raw branch: all registers at 1 (dense) -> est_raw kept as est
+    val dense = (0 until 16).map(b => (b, 1)).toDF("bucket", "reg")
+    val d = Sketches.hllEstimate(dense, Seq.empty, 4).collect()(0)
+    assert(d.getAs[Int]("v_zero") == 0)
+    assert(d.getAs[Long]("est") == d.getAs[Long]("est_raw"))
+    // end-to-end: 10k distinct ids, m=64 -> RSE ~1.04/8 = 13%; assert
+    // within 3 RSE, and bit-identical across partitionings (registers
+    // are max-merged, so the sketch is partitioning-free by algebra)
+    val ids = (1 to 10000).map(i => s"id_$i").toDF("v")
+    val e1 = Sketches.hllDistinct(ids.repartition(1), col("v"), Seq.empty, 6)
+      .collect()(0).getAs[Long]("est")
+    val e13 = Sketches.hllDistinct(ids.repartition(13), col("v"), Seq.empty, 6)
+      .collect()(0).getAs[Long]("est")
+    assert(e1 == e13)
+    assert(math.abs(e1 - 10000L) < 4000, s"est $e1 too far from 10000")
+    // sketch UNION is register max-merge: registers built on disjoint
+    // halves, max-merged, estimate identically to the whole — the
+    // per-day-sketches-answer-any-range algebra (and the streaming
+    // story: micro-batch registers max-merge into the running state)
+    val (ha, hb) = (ids.filter(col("v") < "id_5"), ids.filter(col("v") >= "id_5"))
+    val merged = Sketches.hllEstimate(
+      Sketches.hllRegisters(ha, col("v"), Seq.empty, 6)
+        .unionByName(Sketches.hllRegisters(hb, col("v"), Seq.empty, 6))
+        .groupBy(col("bucket")).agg(max(col("reg")).as("reg")),
+      Seq.empty, 6).collect()(0).getAs[Long]("est")
+    assert(merged == e1)
+  }
+
+  test("corpusJaccardEst: identical snapshots at 1.0; known overlap " +
+      "exact; estimate consistent with match count") {
+    import spark.implicits._
+    val same = Seq(
+      (0L, "w1 w2 w3 w4 w5"), (1L, "w1 w2 w3 w4 w5"),
+      (2L, "z1 z2 z3 z4"), (3L, "z1 z2 z3 z4")
+    ).toDF("doc_id", "text")
+    val r = Dedup.corpusJaccardEst(same, col("text"), col("doc_id") % 2)
+      .collect()(0)
+    assert(r.getAs[Int]("matches") == 8)
+    assert(r.getAs[Long]("jac_est_ppm") == 1000000L)
+    assert(r.getAs[Long]("jac_exact_ppm") == 1000000L)
+    // A: {a b c, b c d}; B: {a b c, b c e} -> inter 1, union 3
+    val mix = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    val m = Dedup.corpusJaccardEst(mix, col("text"), col("doc_id") % 2)
+      .collect()(0)
+    assert(m.getAs[Long]("jac_exact_ppm") == 333333L)
+    assert(m.getAs[Long]("jac_est_ppm") ==
+      m.getAs[Int]("matches") * 1000000L / 8)
+  }
 }

@@ -135,7 +135,12 @@ class PlanLintSpec extends AnyFunSuite {
       // quantileBuckets broadcasts its 1-ROW count (the ntile divisor);
       // the chain query inherits it
       "text_quantile_bucket", "dfs_quantile_bucket",
-      "dfs_curation_chain", "dfs_quality_chain")
+      "dfs_curation_chain", "dfs_quality_chain",
+      // hllDistinct's global form crossJoins its 1-ROW estimate with
+      // the 1-ROW exact-count yardstick; corpusJaccardEst crossJoins
+      // three 1-ROW aggregates (sig A, sig B, exact overlap) — all the
+      // fillPeriod lazy-scalar pattern
+      "text_hll_distinct", "dedup_corpus_jaccard", "dfs_corpus_jaccard")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {

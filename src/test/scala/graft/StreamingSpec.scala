@@ -869,6 +869,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex != null)
   }
 
+  test("hllRegisters streams as a complete-mode max-aggregate matching " +
+      "batch; spanTrim runs per micro-batch with BATCH-scoped keeper " +
+      "stats (corpus-relative, the span_dedup scoping)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.text.Sketches
+    val vals = (1 to 200).map(i => s"v_$i")
+    val batchReg = S.hllRegisters(vals.toDF("v"), col("v"), Seq.empty, 5)
+      .as[(Int, Int)].collect().toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = S.hllRegisters(in.toDS().toDF("v"), col("v"), Seq.empty, 5)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hllstream").start()
+    in.addData(vals.take(97)) // two uneven batches: registers max-merge
+    q.processAllAvailable()
+    in.addData(vals.drop(97))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hllstream")
+      .as[(Int, Int)].collect().toSet
+    assert(streamed == batchReg)
+    // spanTrim: keeper + df are corpus facts — per micro-batch the op
+    // rescopes to the batch (the span_dedup/groupZScore rule). One-batch
+    // drain == batch exactly.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e x"), (3L, "p q"))
+    def trim(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.text.TextOps.spanTrim(df, col("text"), col("doc_id"))
+    val batchTrim = trim(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Int, String)].collect().toSet
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Int, String)]
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = in2.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= trim(mb).as[(Long, Int, Int, String)].collect()
+        ()
+      }.start()
+    in2.addData(docs)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.toSet == batchTrim)
+    // corpusJaccardEst is batch-only as written (multi-aggregate
+    // crossJoin); the streaming path is the register algebra — each
+    // signature component is an associative min, so micro-batch minima
+    // fold into the running signature (SCALE.md round-17 note)
+  }
+
   test("invertedIndex: streaming complete-mode aggregate matches batch " +
       "across micro-batches") {
     import spark.implicits._
