@@ -2989,6 +2989,22 @@ object Planner {
             .agg(count_distinct(col("tok")).as("exact")), groups)
       }
     },
+    // deterministic histogram quantile sketch (graft extension, the
+    // Sketches.histQuantiles door): approximate percentiles from
+    // bounded (exponent, mantissa-bits) buckets — the replayable
+    // percentile at corpus scale
+    "quantile_sketch" -> bt(Set("field", "group_by", "ps",
+      "mantissa_bits")) { (ctx, n, env) =>
+      val f = optStr(n, "field", env)
+        .getOrElse(throw DfsError("quantile_sketch: .field"))
+      val groups = optStrs(n, "group_by", env)
+      if (groups.isEmpty) throw DfsError("quantile_sketch: .group_by")
+      val ps = optStrs(n, "ps", env).map(_.toDouble.toInt)
+      if (ps.isEmpty) throw DfsError("quantile_sketch: .ps")
+      graft.operators.text.Sketches.histQuantiles(ctx.df, Paths.ref(f),
+        groups.map(g => g -> Paths.ref(g)), ps,
+        optNum(n, "mantissa_bits", env).map(_.toInt).getOrElse(4))
+    },
     // exact-substring dedup APPLY (graft extension, the
     // TextOps.spanTrim door): rebuild each doc with duplicated n-gram
     // spans cut, keeping the min-doc-id occurrence

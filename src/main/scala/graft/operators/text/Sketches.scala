@@ -229,4 +229,71 @@ object Sketches {
   def hllDistinct(df: DataFrame, value: Column,
       groups: Seq[(String, Column)] = Seq.empty, p: Int = 6): DataFrame =
     hllEstimate(hllRegisters(df, value, groups, p), groups.map(_._1), p)
+
+  // ---- deterministic histogram quantile sketch ---------------------------
+  //
+  // The DETERMINISTIC approximate percentile: exact percentiles
+  // (`AggFunctions.percentile`, `quantileBuckets`) sort full per-group
+  // state, and `percentile_approx`'s t-digest is engine-internal — no
+  // oracle can replay it. This sketch buckets the micro-quantized value
+  // by (binary exponent, top `mantissaBits` mantissa bits) — pure
+  // integer arithmetic on length(bin(q)), the FixedLog-verified
+  // cross-engine floor-log2 — so per-group state is bounded by
+  // ~59·2^mb bucket rows at ANY corpus size, the aggregate is
+  // map-side-combined, and every estimate replays bit-for-bit in any
+  // engine. Relative error ≤ 2^−mb from the bucket width (uniform
+  // interpolation inside the bucket).
+
+  /** Quantile estimates from bucket counts: one row per (group,
+    * p_milli) with the sketch total `n` and `est_micro` — the estimated
+    * percentile in micro-units (value·1e6, the established
+    * micro-quantization). `value` must be ≥ 0 (quantized q ≥ 0 —
+    * bucket edges are non-negative powers-of-two slices). The rank rule
+    * is `max(1, ceil(n·p))`; inside the nominated bucket the estimate
+    * interpolates uniformly: `lo + (hi−lo)·(rank−cumBefore−1) div cnt`.
+    * `groups` must be non-empty (the window below partitions on it;
+    * for a global quantile pass a constant group) — per-group bucket
+    * cardinality is bounded, so the window never sees data-sized input.
+    */
+  def histQuantiles(df: DataFrame, value: Column,
+      groups: Seq[(String, Column)], psMilli: Seq[Int],
+      mantissaBits: Int = 4): DataFrame = {
+    require(groups.nonEmpty,
+      "histQuantiles: groups must be non-empty (use a constant group " +
+        "for a global quantile)")
+    require(psMilli.nonEmpty && psMilli.forall(p => p >= 0 && p <= 1000),
+      s"histQuantiles: p_milli values must be in [0, 1000], got $psMilli")
+    require(mantissaBits >= 1 && mantissaBits <= 8,
+      s"histQuantiles: mantissaBits in [1, 8], got $mantissaBits")
+    val mb = mantissaBits
+    val gcols = groups.map(g => col(g._1))
+    val base = df.select(groups.map { case (n, c) => c.as(n) } :+
+        floor(value.cast("double") * 1000000d).cast("long").as("_q"): _*)
+      .withColumn("_sh",
+        greatest(length(bin(col("_q"))) - (1 + mb), lit(0)).cast("int"))
+      .withColumn("_kh", expr("shiftright(_q, _sh)"))
+    val sk = base
+      .groupBy(gcols :+ col("_sh") :+ col("_kh"): _*)
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_lo", expr("shiftleft(_kh, _sh)"))
+      .withColumn("_hi", expr("shiftleft(_kh + 1, _sh)"))
+    // bucket lows are unique (sh ≥ 1 lows live in [2^(mb+sh),
+    // 2^(mb+sh+1)), disjoint across sh; sh = 0 covers q < 2^(mb+1)), so
+    // the order is total and the cumulative frame unambiguous
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(col("_lo"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*)
+    sk.withColumn("_cum", sum(col("_cnt")).over(w))
+      .withColumn("_n", sum(col("_cnt")).over(wAll))
+      .withColumn("p_milli", explode(array(psMilli.map(lit(_)): _*)))
+      .withColumn("_rank",
+        greatest(lit(1L), expr("((_n * p_milli) + 999) div 1000")))
+      .filter(col("_cum") >= col("_rank") &&
+        (col("_cum") - col("_cnt")) < col("_rank"))
+      .select(gcols :+ col("p_milli") :+ col("_n").as("n") :+
+        (col("_lo") + expr(
+          "((_hi - _lo) * (_rank - (_cum - _cnt) - 1)) div _cnt"))
+          .as("est_micro"): _*)
+  }
 }

@@ -2332,6 +2332,25 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(hllSql(5, grouped = true))),
 
+    // deterministic histogram quantile sketch: p50/p90/p99 of document
+    // char length per lang from (exponent, 4-mantissa-bit) buckets —
+    // bounded per-group state, map-side-combined, relative error
+    // ≤ 2^−4; the oracle replays every bucket edge, the integral rank
+    // rule, and the in-bucket interpolation bit-for-bit.
+    "text_quantile_sketch" -> QueryDef(
+      (s, dir) => graft.operators.text.Sketches.histQuantiles(
+        Tables.documents(s, dir), col("n_chars"),
+        Seq("lang" -> col("lang")), Seq(500, 900, 990)),
+      Some(histQuantileSql(Seq(500, 900, 990), 4))),
+
+    "dfs_quantile_sketch" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|quantile_sketch(.field('n_chars').group_by('lang')
+          #  .ps(500, 900, 990))
+          #""".stripMargin('#'), s, dir),
+      Some(histQuantileSql(Seq(500, 900, 990), 4))),
+
     // distributed k-means (one Lloyd iteration from the md5-seeded
     // centroids, then the final assignment): the corpus-scale training
     // path — assignment is a codegen'd argmin scan, the update is one
@@ -3751,6 +3770,40 @@ object LlmPack extends QueryPack {
        |ex AS (SELECT ${gs}CAST(count(DISTINCT tok) AS BIGINT) AS exact
        |      FROM occ$gb)
        |SELECT ${gs}n_used, v_zero, est_raw, est, exact $fin""".stripMargin
+  }
+
+  /** Oracle for the histogram quantile sketch: micro-quantize, bucket
+    * by (exponent via length(bin(q)), top mantissa bits), cumulative
+    * window over the unique bucket lows, integral rank + in-bucket
+    * interpolation — every operand a nonnegative integer, truncating
+    * division both sides. Window sums are HUGEINT in DuckDB — exact,
+    * cast back at the output columns.
+    */
+  private def histQuantileSql(psMilli: Seq[Int], mb: Int): String = {
+    val ps = psMilli.mkString(", ")
+    s"""WITH v AS (SELECT lang,
+       |        CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+       |          AS q
+       |      FROM documents),
+       |b AS (SELECT lang,
+       |        greatest(length(bin(q)) - ${1 + mb}, 0) AS sh, q FROM v),
+       |sk AS (SELECT lang, sh, q >> sh AS kh, count(*) AS cnt
+       |       FROM b GROUP BY lang, sh, q >> sh),
+       |e AS (SELECT lang, sh, kh, cnt,
+       |        CAST(kh AS BIGINT) << sh AS lo,
+       |        CAST(kh + 1 AS BIGINT) << sh AS hi
+       |      FROM sk),
+       |c AS (SELECT *,
+       |        sum(cnt) OVER (PARTITION BY lang ORDER BY lo) AS cum,
+       |        sum(cnt) OVER (PARTITION BY lang) AS n FROM e),
+       |r AS (SELECT c.*, p.p_milli,
+       |        greatest(1, ((n * p_milli) + 999) // 1000) AS rnk
+       |      FROM c CROSS JOIN (SELECT unnest([$ps]) AS p_milli) p)
+       |SELECT lang, CAST(p_milli AS INTEGER) AS p_milli,
+       |  CAST(n AS BIGINT) AS n,
+       |  CAST(lo + ((hi - lo) * (rnk - (cum - cnt) - 1)) // cnt
+       |       AS BIGINT) AS est_micro
+       |FROM r WHERE cum >= rnk AND (cum - cnt) < rnk""".stripMargin
   }
 
   /** Oracle for [[text_span_trim]]: gram df + min-doc keeper (the

@@ -1237,6 +1237,40 @@ class LlmSpec extends AnyFunSuite {
     assert(merged == e1)
   }
 
+  test("histQuantiles: hand-computed buckets and ranks; partition " +
+      "invariance; error inside the 2^-mb bound") {
+    import spark.implicits._
+    import graft.operators.text.Sketches
+    // values 1,2,4,8 -> q = v*1e6; each lands in its own (sh, kh=30)
+    // bucket: lo(1e6) = 30<<15 = 983040, lo(2e6) = 30<<16 = 1966080,
+    // lo(8e6) = 30<<18 = 7864320. n=4: p=1 -> rank 1 -> first lo;
+    // p=500 -> rank 2 -> second lo (offset 0 inside the bucket);
+    // p=1000 -> rank 4 -> fourth lo.
+    val df = Seq(1.0, 2.0, 4.0, 8.0).toDF("x").withColumn("g", lit("a"))
+    val out = Sketches.histQuantiles(df, col("x"), Seq("g" -> col("g")),
+        Seq(1, 500, 1000))
+      .collect().map(r => r.getAs[Int]("p_milli") ->
+        r.getAs[Long]("est_micro")).toMap
+    assert(out(1) == 983040L)
+    assert(out(500) == 1966080L)
+    assert(out(1000) == 7864320L)
+    // partition invariance + error bound on a spread-out set
+    val vals = (1 to 2000).map(i => (i * 37 % 997) + 1.0)
+    def est(parts: Int) = Sketches.histQuantiles(
+      vals.toDF("x").repartition(parts).withColumn("g", lit("a")),
+      col("x"), Seq("g" -> col("g")), Seq(500, 900, 990))
+      .collect().map(r => r.getAs[Int]("p_milli") ->
+        r.getAs[Long]("est_micro")).toMap
+    val (e1, e7) = (est(1), est(7))
+    assert(e1 == e7)
+    val sorted = vals.sorted
+    Seq(500, 900, 990).foreach { p =>
+      val exact = sorted(math.ceil(sorted.size * p / 1000.0).toInt - 1)
+      val rel = math.abs(e1(p) / 1e6 - exact) / exact
+      assert(rel <= 1.0 / 16 + 0.001, s"p=$p rel=$rel")
+    }
+  }
+
   test("corpusJaccardEst: identical snapshots at 1.0; known overlap " +
       "exact; estimate consistent with match count") {
     import spark.implicits._
