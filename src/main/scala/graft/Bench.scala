@@ -76,7 +76,9 @@ object Bench {
       "graph_cc_stars", "emb_kmeans", "text_heavy_hitters",
       "text_kl_drift", "emb_outliers", "text_chat_render",
       "text_nb_classify", "emb_pca_project", "text_winnow",
-      "text_span_corrupt", "dedup_edit_pairs")
+      "text_span_corrupt", "dedup_edit_pairs",
+      "text_hll_distinct", "text_span_trim", "dedup_corpus_jaccard",
+      "text_quantile_sketch")
     Files.writeString(Paths.get("BENCH_LOCAL.json"), jsonOf(results, total))
     // Write straight to fd 1: sbt's non-forked `run` wraps System.out in
     // its logger and prefixes every line with "[info] ", which breaks a

@@ -2989,6 +2989,17 @@ object Planner {
             .agg(count_distinct(col("tok")).as("exact")), groups)
       }
     },
+    // per-group top-k frequent tokens (graft extension, the
+    // TextOps.topTokens door): vocabulary-sized count aggregate + a
+    // group-partitioned deterministic rank cut
+    "top_tokens" -> bt(Set("text_field", "by", "k")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val by = optStr(n, "by", env)
+        .getOrElse(throw DfsError("top_tokens: .by"))
+      graft.operators.text.TextOps.topTokens(ctx.df, Paths.ref(text),
+        Paths.ref(by), by,
+        optNum(n, "k", env).map(_.toInt).getOrElse(10))
+    },
     // deterministic histogram quantile sketch (graft extension, the
     // Sketches.histQuantiles door): approximate percentiles from
     // bounded (exponent, mantissa-bits) buckets — the replayable

@@ -210,6 +210,29 @@ object TextOps {
         array_join(sort_array(collect_list(col("_p") + 1)), ",")
           .as("positions"))
 
+  /** Per-group top-k most frequent tokens — the "most common words per
+    * language/source" observability staple. One map-side-combined
+    * (group, token) count, then a rank window PARTITIONED BY GROUP over
+    * the pre-aggregated count rows (vocabulary-sized, never the
+    * corpus), ordered by (count desc, token) — a total order, so the
+    * cut is deterministic on every engine and partitioning. Emits
+    * `(group…, token, cnt, rank)` with rank ≤ k.
+    */
+  def topTokens(df: org.apache.spark.sql.DataFrame, text: Column,
+      by: Column, byName: String, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"topTokens: k must be >= 1, got $k")
+    val counts = df
+      .select(by.as(byName), explode(tokens(text)).as("token"))
+      .groupBy(col(byName), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byName))
+      .orderBy(col("cnt").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   /** Sentence segmentation as a pure expression: greedy chunks of
     * non-terminal characters plus their trailing terminal-punctuation
     * run (`[^.!?]+[.!?]*`), trimmed, empties dropped. Leftmost-greedy

@@ -2351,6 +2351,21 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(histQuantileSql(Seq(500, 900, 990), 4))),
 
+    // per-group top-k frequent tokens: one (group, token) aggregate +
+    // a group-partitioned rank window over the vocabulary-sized count
+    // rows, (cnt desc, token) total order so the cut is deterministic.
+    "text_top_tokens" -> QueryDef(
+      (s, dir) => graft.operators.text.TextOps.topTokens(
+        Tables.documents(s, dir), col("text"), col("lang"), "lang", 5),
+      Some(topTokensSql(5))),
+
+    "dfs_top_tokens" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|top_tokens(.by('lang').k(5))
+          #""".stripMargin('#'), s, dir),
+      Some(topTokensSql(5))),
+
     // distributed k-means (one Lloyd iteration from the md5-seeded
     // centroids, then the final assignment): the corpus-scale training
     // path — assignment is a codegen'd argmin scan, the update is one
@@ -3805,6 +3820,18 @@ object LlmPack extends QueryPack {
        |       AS BIGINT) AS est_micro
        |FROM r WHERE cum >= rnk AND (cum - cnt) < rnk""".stripMargin
   }
+
+  /** Oracle for [[text_top_tokens]]: token counts per group +
+    * row_number over the (cnt desc, token) total order.
+    */
+  private def topTokensSql(k: Int): String =
+    s"""WITH c AS (SELECT lang, tok AS token, count(*) AS cnt
+       |      FROM (SELECT lang, unnest($toks) AS tok FROM documents)
+       |      GROUP BY lang, tok)
+       |SELECT lang, token, cnt, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY lang
+       |      ORDER BY cnt DESC, token) AS rank FROM c)
+       |WHERE rank <= $k""".stripMargin
 
   /** Oracle for [[text_span_trim]]: gram df + min-doc keeper (the
     * dupSpansSql machinery), covered token positions via the 0..n−1

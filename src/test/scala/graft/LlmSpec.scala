@@ -1237,6 +1237,20 @@ class LlmSpec extends AnyFunSuite {
     assert(merged == e1)
   }
 
+  test("topTokens: counts, deterministic tie-break, k cut") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "b b b a a c"), ("en", "a c"),
+      ("de", "x y")).toDF("lang", "text")
+    // en: a=3, b=3, c=2 -> ties (3,3) break by token: a rank 1, b rank 2
+    val out = TextOps.topTokens(docs, col("text"), col("lang"), "lang", 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getInt(3))).toSet
+    assert(out == Set(
+      ("en", "a", 3L, 1), ("en", "b", 3L, 2),
+      ("de", "x", 1L, 1), ("de", "y", 1L, 2)))
+  }
+
   test("histQuantiles: hand-computed buckets and ranks; partition " +
       "invariance; error inside the 2^-mb bound") {
     import spark.implicits._
