@@ -2351,6 +2351,23 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(histQuantileSql(Seq(500, 900, 990), 4))),
 
+    // round-17 composition proof: the substring-dedup APPLY feeding
+    // the quantile sketch through the DFS front-end in one script —
+    // "how much did the trim cut, by doc stratum" as an observability
+    // chain; the oracle replays span-trim + bucketing + sketch in one
+    // SQL.
+    "dfs_sketch_chain" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|span_trim(.id_field('doc_id'))
+          #|eval(lambda: mod("doc_id", 4)).as('grp')
+          #|quantile_sketch(.field('n_removed').group_by('grp')
+          #  .ps(500, 900))
+          #""".stripMargin('#'), s, dir),
+      Some(histQuantileSql(Seq(500, 900), 4,
+        src = s"(SELECT doc_id % 4 AS grp, n_removed FROM ($spanTrimSql))",
+        group = "grp", field = "n_removed"))),
+
     // per-group top-k frequent tokens: one (group, token) aggregate +
     // a group-partitioned rank window over the vocabulary-sized count
     // rows, (cnt desc, token) total order so the cut is deterministic.
@@ -3794,27 +3811,29 @@ object LlmPack extends QueryPack {
     * division both sides. Window sums are HUGEINT in DuckDB — exact,
     * cast back at the output columns.
     */
-  private def histQuantileSql(psMilli: Seq[Int], mb: Int): String = {
+  private def histQuantileSql(psMilli: Seq[Int], mb: Int,
+      src: String = "documents", group: String = "lang",
+      field: String = "n_chars"): String = {
     val ps = psMilli.mkString(", ")
-    s"""WITH v AS (SELECT lang,
-       |        CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+    s"""WITH v AS (SELECT $group,
+       |        CAST(floor(CAST($field AS DOUBLE) * 1000000) AS BIGINT)
        |          AS q
-       |      FROM documents),
-       |b AS (SELECT lang,
+       |      FROM $src),
+       |b AS (SELECT $group,
        |        greatest(length(bin(q)) - ${1 + mb}, 0) AS sh, q FROM v),
-       |sk AS (SELECT lang, sh, q >> sh AS kh, count(*) AS cnt
-       |       FROM b GROUP BY lang, sh, q >> sh),
-       |e AS (SELECT lang, sh, kh, cnt,
+       |sk AS (SELECT $group, sh, q >> sh AS kh, count(*) AS cnt
+       |       FROM b GROUP BY $group, sh, q >> sh),
+       |e AS (SELECT $group, sh, kh, cnt,
        |        CAST(kh AS BIGINT) << sh AS lo,
        |        CAST(kh + 1 AS BIGINT) << sh AS hi
        |      FROM sk),
        |c AS (SELECT *,
-       |        sum(cnt) OVER (PARTITION BY lang ORDER BY lo) AS cum,
-       |        sum(cnt) OVER (PARTITION BY lang) AS n FROM e),
+       |        sum(cnt) OVER (PARTITION BY $group ORDER BY lo) AS cum,
+       |        sum(cnt) OVER (PARTITION BY $group) AS n FROM e),
        |r AS (SELECT c.*, p.p_milli,
        |        greatest(1, ((n * p_milli) + 999) // 1000) AS rnk
        |      FROM c CROSS JOIN (SELECT unnest([$ps]) AS p_milli) p)
-       |SELECT lang, CAST(p_milli AS INTEGER) AS p_milli,
+       |SELECT $group, CAST(p_milli AS INTEGER) AS p_milli,
        |  CAST(n AS BIGINT) AS n,
        |  CAST(lo + ((hi - lo) * (rnk - (cum - cnt) - 1)) // cnt
        |       AS BIGINT) AS est_micro
