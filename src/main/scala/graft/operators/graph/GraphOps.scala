@@ -200,4 +200,55 @@ object GraphOps {
       .select(col("id"), col("harm_nano"),
         round(col("harm_nano") / lit(Nano.toDouble), 6).as("harm"))
   }
+
+  /** HyperBall (Boldi & Vigna 2013) — harmonic centrality at WEB
+    * scale: [[harmonicCentrality]] materializes every (u, v, d) pair
+    * within maxDepth, which blows up on dense neighborhoods; HyperBall
+    * keeps ONE 2^p-register HLL sketch per node — the in-ball
+    * |{u : d(u→v) ≤ t}| — and grows it by one register max-merge per
+    * round (max is associative, so a round is one edge join + one
+    * node-keyed groupBy-max). State is nodes × 2^p rows at ANY depth
+    * and topology. Harmonic accumulates the clamped ball growth:
+    * `Σ_t max(0, |B_t|−|B_{t−1}|)·1000 div t` (milli-units; the clamp
+    * absorbs the estimator's rare non-monotone blip at the
+    * linear-counting/raw branch switch). The estimator is
+    * [[graft.operators.text.Sketches]]' fully fixed-point HLL, so
+    * every register, every ball estimate, and the final score replay
+    * bit-for-bit in the DuckDB oracle. B_0 = {v} (self), so the self
+    * distance never contributes — matching [[harmonicCentrality]]'s
+    * u ≠ v rule. Emits `(id, b0..b{maxDepth}, harm_milli)`.
+    */
+  def hyperBall(edges: DataFrame, maxDepth: Int, p: Int = 6): DataFrame = {
+    import graft.operators.text.Sketches
+    require(maxDepth >= 1 && maxDepth <= 8,
+      s"hyperBall: maxDepth in [1, 8], got $maxDepth")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    var regs = Sketches.hllRegisters(nodes, col("id").cast("string"),
+      Seq("v" -> col("id")), p).localCheckpoint()
+    def estOf(r: DataFrame, as: String) =
+      Sketches.hllEstimate(r, Seq("v"), p)
+        .select(col("v"), col("est").as(as))
+    var ests = Vector(estOf(regs, "b0"))
+    var t = 1
+    while (t <= maxDepth) {
+      // B_t(v) = B_{t−1}(v) ∪ ⋃_{(u,v)∈E} B_{t−1}(u): register
+      // max-merge; per-round checkpoint kills the exponential plan
+      // growth (the pcaPowerTop rule)
+      val fromNbr = regs.join(e, regs("v") === e("src"))
+        .select(e("dst").as("v"), col("bucket"), col("reg"))
+      regs = regs.unionByName(fromNbr)
+        .groupBy(col("v"), col("bucket")).agg(max(col("reg")).as("reg"))
+        .localCheckpoint()
+      ests :+= estOf(regs, s"b$t")
+      t += 1
+    }
+    val joined = ests.reduce((a, b) => a.join(b, Seq("v")))
+    val harm = (1 to maxDepth).map(i =>
+      expr(s"(greatest(0L, b$i - b${i - 1}) * 1000) div $i"))
+      .reduce(_ + _)
+    joined.select(col("v").as("id") +:
+      (0 to maxDepth).map(i => col(s"b$i")) :+ harm.as("harm_milli"): _*)
+  }
 }

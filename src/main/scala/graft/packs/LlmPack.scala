@@ -2869,6 +2869,25 @@ object LlmPack extends QueryPack {
       },
       Some(harmonicSql(3))),
 
+    // HyperBall harmonic centrality over the same graph: the WEB-scale
+    // form graph_harmonic is the exact yardstick for — one HLL sketch
+    // per node grown by register max-merge per round, never the
+    // (u, v, d) pair table. Fully fixed-point estimator, so the oracle
+    // unrolls all 3 rounds and replays every ball estimate and the
+    // milli-unit harmonic sum bit-for-bit.
+    "graph_hyperball" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val e = docs.select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 7 + 13) % n,
+            (col("doc_id") * 11 + 29) % n,
+            (col("doc_id") * 13 + 47) % n)).as("dst"))
+        graft.operators.graph.GraphOps.hyperBall(e, 3, 6)
+      },
+      Some(hyperBallSql(3, 6))),
+
     // tokenizer APPLY side: BpeTrainer.encode over a fixture ruleset
     // (the 8 merges BpeTrainer.train produces on the sf0.01 corpus,
     // pinned as literals — training determinism and merge application
@@ -4362,6 +4381,79 @@ object LlmPack extends QueryPack {
       |      SELECT doc_id, (doc_id * 11 + 29) % n FROM documents, nn
       |      UNION ALL
       |      SELECT doc_id, (doc_id * 13 + 47) % n FROM documents, nn)""".stripMargin
+
+  /** The reusable per-node HLL estimate replay (the hllSql estimator
+    * chain grouped by `v`): `(SELECT v, est FROM …)` over register rows
+    * `regSrc` = (v, bucket, reg) — shared by the HyperBall rounds.
+    */
+  private def hllEstFromSql(regSrc: String, p: Int): String = {
+    import graft.operators.text.Sketches.{HllRMax, hllAlphaMilli}
+    val m = 1 << p
+    val am = hllAlphaMilli(m)
+    val lnM = graft.functions.FixedLog.lnNanoRef(m.toLong)
+    val numer = (am * m * m) << HllRMax
+    val agg = s"""(SELECT v, CAST(count(*) AS INTEGER) AS n_used,
+                 | CAST(sum(CAST(1 AS BIGINT) << ($HllRMax - reg)) AS BIGINT)
+                 |   AS znz
+                 | FROM $regSrc GROUP BY v)""".stripMargin
+    val pre = s"""(SELECT v, CAST($m - n_used AS INTEGER) AS v_zero,
+                 | (CAST($numer AS BIGINT) //
+                 |  (znz + CAST($m - n_used AS BIGINT) * ${1L << HllRMax}))
+                 |   // 1000 AS est_raw,
+                 | greatest(CAST($m - n_used AS BIGINT), CAST(1 AS BIGINT))
+                 |   AS vz
+                 | FROM $agg)""".stripMargin
+    val withLn = graft.functions.FixedLog.duckLnNano(pre,
+      Seq("v", "v_zero", "est_raw"), "vz", "ln_v")
+    s"""(SELECT v, CASE WHEN est_raw <= ${5L * m / 2} AND v_zero > 0
+       |       THEN ($m * ($lnM - ln_v)) // 1000000000
+       |       ELSE est_raw END AS est
+       | FROM $withLn)""".stripMargin
+  }
+
+  /** HyperBall oracle: per-node single-value registers from the same
+    * md5 slices, `maxDepth` unrolled register max-merge rounds over the
+    * synthetic edges, a [[hllEstFromSql]] estimate per round, and the
+    * clamped milli-unit harmonic sum — every operand integral.
+    */
+  private def hyperBallSql(maxDepth: Int, p: Int): String = {
+    import graft.operators.text.Sketches.{HllRMax, HllWBits}
+    val m = 1 << p
+    val wMask = (1L << HllWBits) - 1
+    val rounds = (1 to maxDepth).map { i =>
+      s"""r$i AS (SELECT v, bucket, max(reg) AS reg FROM (
+         |  SELECT v, bucket, reg FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS v, r.bucket, r.reg
+         |  FROM r${i - 1} r JOIN e ON r.v = e.src)
+         |GROUP BY v, bucket)""".stripMargin
+    }.mkString(",\n")
+    val estCtes = (0 to maxDepth).map(i =>
+      s"e$i AS (SELECT v, est AS b$i FROM ${hllEstFromSql(s"r$i", p)})")
+      .mkString(",\n")
+    val estJoins = (1 to maxDepth).map(i => s"JOIN e$i USING (v)")
+      .mkString("\n  ")
+    val harm = (1 to maxDepth).map(i =>
+      s"(greatest(0, b$i - b${i - 1}) * 1000) // $i").mkString(" + ")
+    val bCols = (0 to maxDepth).map(i => s"CAST(b$i AS BIGINT) AS b$i")
+      .mkString(", ")
+    s"""WITH $synthEdgesSql,
+       |vn AS (SELECT DISTINCT id FROM
+       |        (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |h AS (SELECT id AS v,
+       |        ${h60("'hll|' || CAST(id AS VARCHAR)")} AS hh FROM vn),
+       |r0 AS (SELECT v, CAST(hh & ${m - 1} AS INTEGER) AS bucket,
+       |        CASE WHEN ((hh >> $p) & $wMask) = 0 THEN $HllRMax
+       |             ELSE $HllRMax - length(bin((hh >> $p) & $wMask))
+       |        END AS reg
+       |      FROM h),
+       |$rounds,
+       |$estCtes
+       |SELECT v AS id, $bCols,
+       |  CAST($harm AS BIGINT) AS harm_milli
+       |FROM e0
+       |  $estJoins""".stripMargin
+  }
 
   /** Harmonic-centrality oracle: the same synthetic graph, `maxDepth`
     * unrolled frontier expansions with per-round min-dist dedupe, then

@@ -1237,6 +1237,30 @@ class LlmSpec extends AnyFunSuite {
     assert(merged == e1)
   }
 
+  test("hyperBall: path-graph balls near-exact in the LC regime; " +
+      "source node stays at zero; partition-invariant") {
+    import spark.implicits._
+    import graft.operators.graph.GraphOps
+    // path 1 -> 2 -> 3 -> 4: exact in-balls |B_t(4)| = t, |B_*(1)| = 0
+    // (beyond self). At m=64 and <=3 elements the linear-counting
+    // branch is near-exact, so estimates sit within +/-1 of truth.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphOps.hyperBall(e, 3, 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val (b0, b1, b2, b3, harm) = out(4L)
+    assert(b0 == 1L)                       // B_0 = {self}
+    assert(math.abs(b1 - 1 - 1) <= 1 && math.abs(b2 - 1 - 2) <= 1 &&
+      math.abs(b3 - 1 - 3) <= 1)           // ball incl. self ~ t+1
+    assert(harm >= 1000L)                  // at least the depth-1 term
+    assert(out(1L)._5 == 0L)               // nothing reaches the source
+    assert(out(1L)._1 == 1L && out(1L)._4 == 1L)
+    // determinism across partitionings (register algebra)
+    val out7 = GraphOps.hyperBall(e.repartition(7), 3, 6).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(out.map { case (k, v) => k -> v._5 } == out7)
+  }
+
   test("topTokens: counts, deterministic tie-break, k cut") {
     import spark.implicits._
     val docs = Seq(
