@@ -3072,6 +3072,81 @@ object Planner {
     },
     // connected components over an (a, b) pair stream (graft extension,
     // the Dedup.connectedComponents door): near-dup pairs → dedup groups
+    // triangle counts + local clustering coefficient (graft extension,
+    // the Triangles door): degree-oriented wedge join — O(m^1.5)
+    // wedge bound on any skew — over the near_dedup 'a'/'b' pair shape
+    "triangles" -> bt(Set.empty) { (ctx, n, env) =>
+      if (!ctx.df.columns.contains("a") || !ctx.df.columns.contains("b"))
+        throw DfsError("triangles: input needs 'a'/'b' pair columns " +
+          "(the near_dedup output shape)")
+      graft.operators.graph.Triangles.triangleCounts(ctx.df)
+    },
+    // robust per-group outlier flag (graft extension, the
+    // Sketches.robustZOutliers door): modified z over two replayable
+    // quantile-sketch medians
+    "robust_z" -> bt(Set("field", "id_field", "group_by", "z_micro",
+      "mantissa_bits")) { (ctx, n, env) =>
+      val f = optStr(n, "field", env)
+        .getOrElse(throw DfsError("robust_z: .field"))
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("robust_z: .id_field"))
+      val groups = optStrs(n, "group_by", env)
+      if (groups.isEmpty) throw DfsError("robust_z: .group_by")
+      graft.operators.text.Sketches.robustZOutliers(ctx.df,
+        Paths.ref(f), Paths.ref(id),
+        groups.map(g => g -> Paths.ref(g)),
+        optNum(n, "z_micro", env).map(_.toLong).getOrElse(3500000L),
+        optNum(n, "mantissa_bits", env).map(_.toInt).getOrElse(4))
+    },
+    // quality-aware near-dup survivor selection (graft extension, the
+    // Dedup.nearDupSurvivors door): keep the (quality desc, id) max
+    // per near-dup cluster instead of keep-min
+    "dedup_survivors" -> bt(Set("text_field", "id_field",
+      "quality_field", "threshold", "bands", "rows_per_band")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("dedup_survivors: .id_field"))
+      val q = optStr(n, "quality_field", env)
+        .getOrElse(throw DfsError("dedup_survivors: .quality_field"))
+      graft.operators.text.Dedup.nearDupSurvivors(ctx.df,
+        Paths.ref(text), Paths.ref(id), Paths.ref(q),
+        optNum(n, "threshold", env).getOrElse(0.3),
+        optNum(n, "bands", env).map(_.toInt).getOrElse(4),
+        optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2))
+    },
+    // hybrid retrieval composite (graft extension, the Fusion door):
+    // dense exact-cosine and binary-Hamming top-k per query (queries =
+    // id % every == 0 of the stream), fused by reciprocal-rank fusion
+    // in exact nano integer arithmetic
+    "hybrid_topk" -> bt(Set("id_field", "vec_field", "every", "k",
+      "c")) { (ctx, n, env) =>
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("hybrid_topk: .id_field"))
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val every = optNum(n, "every", env).map(_.toLong)
+        .getOrElse(throw DfsError("hybrid_topk: .every"))
+      val k = optNum(n, "k", env).map(_.toInt).getOrElse(10)
+      val c = optNum(n, "c", env).map(_.toInt).getOrElse(60)
+      import org.apache.spark.sql.functions.col
+      val q = ctx.df.filter(col(id) % every === 0)
+      val dense = graft.operators.vector.VectorOps
+        .bruteTopK(ctx.df, q, id, vec, k)
+        .select(col("q_id"), col(id).as("id"), col("rnk"))
+      val ham = graft.operators.vector.VectorOps
+        .hammingTopK(ctx.df, q, id, vec, k)
+        .select(col("q_id"), col(id).as("id"), col("rnk"))
+      graft.operators.vector.Fusion.rrfFuse(Seq(dense, ham), c, k)
+    },
+    // PMI collocation mining (graft extension, the Collocations door):
+    // fixed-point lnNano adjacent-pair PMI, min-count-gated, top-k
+    "collocations" -> bt(Set("text_field", "min_count", "k")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      graft.operators.text.Collocations.pmiTopK(ctx.df, Paths.ref(text),
+        optNum(n, "min_count", env).map(_.toLong).getOrElse(3L),
+        optNum(n, "k", env).map(_.toInt).getOrElse(50))
+    },
     "components" -> bt(Set("max_iter", "algo")) { (ctx, n, env) =>
       if (!ctx.df.columns.contains("a") || !ctx.df.columns.contains("b"))
         throw DfsError("components: input needs 'a'/'b' pair columns " +

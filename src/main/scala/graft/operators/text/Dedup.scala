@@ -424,6 +424,44 @@ object Dedup {
   def simhash32(text: Column): Column =
     graft.functions.TextExpressions.simHash32(text)
 
+  /** Quality-aware near-dup survivor selection — the FineWeb-style
+    * refinement of keep-min dedup: within each near-duplicate cluster
+    * keep the HIGHEST-QUALITY member, not the lowest id (duplicates
+    * often differ — one copy is the clean original, the others carry
+    * boilerplate or truncation; keep-min throws the original away
+    * whenever a dirty copy got the smaller id).
+    *
+    * Pipeline: [[nearDupPairs]] → [[connectedComponents]] → every doc
+    * labeled (singletons = their own cluster) → `keep` flags the
+    * (quality DESC, id ASC) maximum per cluster — a total order, so
+    * the survivor is deterministic under any partitioning.
+    *
+    * 100 TB shape: the pair/CC halves carry their own scale stories
+    * (banded buckets + per-bucket caps; O(diameter) label rounds on
+    * the dense near-dup clusters); the selection itself is ONE window
+    * rank partitioned by cluster over the doc table — no self-join,
+    * no collect. Returns `(doc_id, component, quality, keep)`.
+    */
+  def nearDupSurvivors(df: DataFrame, text: Column, id: Column,
+      quality: Column, threshold: Double, bands: Int = 4,
+      rowsPerBand: Int = 2): DataFrame = {
+    val base = df.select(id.as("doc_id"), text.as("_text"),
+      quality.cast("long").as("quality"))
+    val pairs = nearDupPairs(base, col("_text"), col("doc_id"),
+      threshold, bands, rowsPerBand)
+    val comps = connectedComponents(
+      pairs.select(col("a"), col("b")))
+    val labeled = base.join(
+        comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        col("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    labeled.withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Segment-level cross-document dedup — the CCNet/C4 paragraph-hash
     * rule re-expressed over token windows (the corpus is space-joined
     * words, so `segTokens`-token windows stand in for paragraphs): a

@@ -296,4 +296,75 @@ object Sketches {
           "((_hi - _lo) * (_rank - (_cum - _cnt) - 1)) div _cnt"))
           .as("est_micro"): _*)
   }
+
+  /** Robust per-group outlier flag by the modified z-score
+    * (Iglewicz & Hoaglin 1993): `|z| = 0.674489·|x − med| / MAD` with
+    * med and MAD both medians — immune to the heavy tails that
+    * mean/std z-scores (the `groupZScore` IEEE chain) are themselves
+    * distorted by, which is exactly the regime length/quality outlier
+    * pruning runs in.
+    *
+    * Both medians come from [[histQuantiles]] — the REPLAYABLE sketch
+    * — so per-group state stays bucket-bounded at any corpus size and
+    * every estimate is bit-exact cross-engine. `|z|` is the exact
+    * truncating `(674489·dev) div MAD` in micro-units (all operands
+    * nonnegative, so Spark `div` == DuckDB `//`). MAD = 0 (over half
+    * the group identical) is the documented degenerate: `absz_micro`
+    * is null and any nonzero deviation flags.
+    *
+    * 100 TB shape: two sketch passes (each ONE map-side-combined
+    * bucket aggregate) + two group-cardinality broadcast joins back +
+    * a pure scan — the input is scope-cached so the corpus is read
+    * once. Returns
+    * `(groups…, doc_id, x_micro, med_micro, mad_micro, absz_micro,
+    * outlier)`.
+    */
+  def robustZOutliers(df: DataFrame, value: Column, id: Column,
+      groups: Seq[(String, Column)], zThresholdMicro: Long = 3500000L,
+      mantissaBits: Int = 4): DataFrame = {
+    require(groups.nonEmpty, "robustZOutliers: groups must be non-empty")
+    require(zThresholdMicro >= 0,
+      s"robustZOutliers: threshold must be >= 0, got $zThresholdMicro")
+    val gnames = groups.map(_._1)
+    val gcols = gnames.map(col)
+    // micro-quantization bound (the covarianceFixed convention): the
+    // split-identity z below is overflow-proof only while
+    // 674489·(dev mod MAD) fits a long, i.e. x_micro < 2^43 (~8.8e6
+    // units — generous for length/score signals). Data-dependent, so
+    // a runtime guard, not a require.
+    val xq = floor(value.cast("double") * 1000000d).cast("long")
+    val xg = when(abs(xq) < lit(1L << 43), xq)
+      .otherwise(raise_error(concat(
+        lit("robustZOutliers: |value| must be < 2^43 micro (~8.8e6 " +
+          "units), got "), value.cast("string"))))
+    val base = df.select(groups.map { case (n, c) => c.as(n) } :+
+      id.as("doc_id") :+ value.cast("double").as("_v") :+
+      xg.as("_x"): _*)
+    graft.core.CacheScope.withPersisted(base) { b =>
+      val med = histQuantiles(b, col("_v"),
+        gnames.map(n => n -> col(n)), Seq(500), mantissaBits)
+        .select(gcols :+ col("est_micro").as("med_micro"): _*)
+      val dev = b.join(broadcast(med), gnames)
+        .withColumn("_dev", abs(col("_x") - col("med_micro")))
+      val mad = histQuantiles(dev, col("_dev") / lit(1000000d),
+        gnames.map(n => n -> col(n)), Seq(500), mantissaBits)
+        .select(gcols :+ col("est_micro").as("mad_micro"): _*)
+      // exact split identity: (k·dev) div m == k·(dev div m) +
+      // (k·(dev mod m)) div m — same value, but the multiply only ever
+      // sees (dev mod m) < m, so it cannot overflow under the 2^43
+      // input bound (the naive k·dev form overflowed at |x| ~ 1e9)
+      dev.join(broadcast(mad), gnames)
+        .withColumn("absz_micro",
+          when(col("mad_micro") > 0,
+            expr("674489 * (_dev div mad_micro) + " +
+              "(674489 * (_dev % mad_micro)) div mad_micro")))
+        .withColumn("outlier",
+          (col("mad_micro") > 0 &&
+            col("absz_micro") > zThresholdMicro) ||
+          (col("mad_micro") === 0 && col("_dev") > 0))
+        .select(gcols ++ Seq(col("doc_id"), col("_x").as("x_micro"),
+          col("med_micro"), col("mad_micro"), col("absz_micro"),
+          col("outlier")): _*)
+    }
+  }
 }

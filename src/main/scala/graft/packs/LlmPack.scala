@@ -2936,7 +2936,130 @@ object LlmPack extends QueryPack {
           #  .bands(4).rows_per_band(2))
           #|components(.algo('stars'))
           #""".stripMargin('#'), s, dir),
-      Some(componentsSql))
+      Some(componentsSql)),
+
+    // triangle counts + local clustering coefficient over the same
+    // synthetic link graph, undirected — the third host-cohesion
+    // signal next to PageRank and harmonic centrality. Degree
+    // orientation caps the wedge join at O(m^1.5) on ANY skew (a
+    // celebrity node's edges orient INTO it); the nano lcc is exact
+    // truncating division, so the oracle replays it bit-for-bit.
+    "graph_triangles" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val e = docs.select(col("doc_id").as("a"),
+          explode(array(
+            (col("doc_id") * 7 + 13) % n,
+            (col("doc_id") * 11 + 29) % n,
+            (col("doc_id") * 13 + 47) % n)).as("b"))
+        graft.operators.graph.Triangles.triangleCounts(e)
+      },
+      Some(graphTrianglesSql)),
+
+    // DFS twin over the near-dup pair graph: "how clique-like are the
+    // duplicate clusters" — a dense mirror ring triangulates, a chain
+    // of borderline matches does not
+    "dfs_triangles" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.id_field('doc_id').threshold(0.3)
+          #  .bands(4).rows_per_band(2))
+          #|triangles()
+          #""".stripMargin('#'), s, dir),
+      Some(dfsTrianglesSql)),
+
+    // PMI collocation mining (word2phrase / tokenizer-merge seeding):
+    // adjacent-pair counts, pair-table marginals, fixed-point lnNano
+    // scores — min-count 3 gate, deterministic (pmi desc, x, y) top-50
+    "text_pmi" -> QueryDef(
+      (s, dir) => graft.operators.text.Collocations.pmiTopK(
+        Tables.documents(s, dir), col("text"), 3, 50),
+      Some(pmiSql(3, 50))),
+
+    "dfs_pmi" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|collocations(.min_count(3).k(50))
+          #""".stripMargin('#'), s, dir),
+      Some(pmiSql(3, 50))),
+
+    // reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-
+    // retrieval combiner: dense exact-cosine top-10 and binary Hamming
+    // top-10 fused by Σ Nano div (60 + rank), exact integer adds, so
+    // the fused scores replay bit-for-bit. The fusion never touches
+    // the corpus: inputs are queries×k rank rows.
+    "emb_rrf_fuse" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") % 100 === 0)
+        val dense = VectorOps.bruteTopK(emb, q, "vec_id", "embedding", 10)
+          .select(col("q_id"), col("vec_id").as("id"), col("rnk"))
+        val ham = VectorOps.hammingTopK(emb, q, "vec_id", "embedding", 10)
+          .select(col("q_id"), col("vec_id").as("id"), col("rnk"))
+        graft.operators.vector.Fusion.rrfFuse(Seq(dense, ham), 60, 10)
+      },
+      Some(rrfFuseSql)),
+
+    // the same composite through the DFS front-end (hybrid_topk node)
+    "dfs_rrf_fuse" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|hybrid_topk(.id_field('vec_id').vec_field('embedding')
+          #  .every(100).k(10).c(60))
+          #""".stripMargin('#'), s, dir),
+      Some(rrfFuseSql)),
+
+    // robust per-group outlier flag: modified z-score (Iglewicz &
+    // Hoaglin) over TWO replayable quantile-sketch medians (value,
+    // then |dev|) — the heavy-tail-immune twin of text_group_z, and
+    // the sketch's composition proof: med and MAD both come from
+    // histQuantiles, so state stays bucket-bounded at any scale
+    "text_robust_z" -> QueryDef(
+      (s, dir) => graft.operators.text.Sketches.robustZOutliers(
+        Tables.documents(s, dir), col("n_chars"), col("doc_id"),
+        Seq("lang" -> col("lang"))),
+      Some(robustZSql)),
+
+    "dfs_robust_z" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|robust_z(.field('n_chars').id_field('doc_id')
+          #  .group_by('lang'))
+          #""".stripMargin('#'), s, dir),
+      Some(robustZSql)),
+
+    // quality-aware near-dup survivor selection (the FineWeb-style
+    // refinement of keep-min): pairs → components → every doc labeled
+    // (singletons own their cluster) → keep the (quality desc, id)
+    // maximum per cluster. Quality here = n_chars (SQL-replayable);
+    // any long-typed score column plugs in.
+    "dedup_survivors" -> QueryDef(
+      (s, dir) => Dedup.nearDupSurvivors(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        col("n_chars"), 0.3),
+      Some(survivorsSql)),
+
+    "dfs_survivors" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|dedup_survivors(.id_field('doc_id')
+          #  .quality_field('n_chars').threshold(0.3))
+          #""".stripMargin('#'), s, dir),
+      Some(survivorsSql)),
+
+    // WordPiece (BERT) tokenizer APPLY: greedy longest-match-first
+    // against the pinned vocabulary (+ '##' continuation forms) — the
+    // third tokenizer-apply door next to BPE merges and unigram
+    // Viterbi, and the only one that is pure expression: 12 unrolled
+    // cursor steps inside whole-stage codegen, no UDF. The oracle
+    // unrolls the identical steps; the %97 gate bounds the dump.
+    "text_wordpiece_encode" -> QueryDef(
+      (s, dir) =>
+        graft.operators.text.WordPiece.encode(
+          Tables.documents(s, dir).filter(col("doc_id") % 97 === 0),
+          col("text"), col("doc_id"), wordpieceVocab),
+      Some(wordpieceEncodeSql))
   )
 
   /** Oracle for the mm_near_pairs queries: shared-prefix fixture,
@@ -4381,6 +4504,262 @@ object LlmPack extends QueryPack {
       |      SELECT doc_id, (doc_id * 11 + 29) % n FROM documents, nn
       |      UNION ALL
       |      SELECT doc_id, (doc_id * 13 + 47) % n FROM documents, nn)""".stripMargin
+
+  /** Oracle for the triangle queries: the identical degree-oriented
+    * wedge join over pair relation `src` (columns `a`, `b`) — canonical
+    * undirected edge set, (degree, id) orientation, ordered wedge
+    * self-join, closing-edge join, per-corner counts, and the
+    * truncating nano clustering coefficient. Pure integer arithmetic;
+    * `//` replays Spark's `div` exactly (both truncate toward zero on
+    * nonnegative operands).
+    */
+  private def trianglesSql(src: String): String = {
+    val fwd = "du.degree < dv.degree OR (du.degree = dv.degree AND u < v)"
+    s"""und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |        FROM $src WHERE a <> b),
+       |tdeg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+       |       FROM (SELECT u AS id FROM und
+       |             UNION ALL SELECT v FROM und) GROUP BY id),
+       |o AS (SELECT CASE WHEN $fwd THEN u ELSE v END AS s,
+       |             CASE WHEN $fwd THEN v ELSE u END AS t,
+       |             CASE WHEN $fwd THEN dv.degree ELSE du.degree END AS dt
+       |      FROM und JOIN tdeg du ON du.id = u JOIN tdeg dv ON dv.id = v),
+       |w AS (SELECT e1.s, e1.t AS x, e2.t AS y
+       |      FROM o e1 JOIN o e2 ON e1.s = e2.s
+       |        AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+       |tr AS (SELECT w.s, w.x, w.y
+       |       FROM w JOIN o ON o.s = w.x AND o.t = w.y),
+       |pn AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+       |       FROM (SELECT s AS id FROM tr
+       |             UNION ALL SELECT x FROM tr
+       |             UNION ALL SELECT y FROM tr) GROUP BY id),
+       |tri AS (SELECT d.id, d.degree,
+       |  coalesce(pn.triangles, 0) AS triangles,
+       |  CASE WHEN d.degree >= 2
+       |    THEN (coalesce(pn.triangles, 0) * 2 *
+       |          ${graft.operators.graph.GraphOps.Nano}) //
+       |         (d.degree * (d.degree - 1))
+       |    ELSE 0 END AS lcc_nano
+       |FROM tdeg d LEFT JOIN pn ON pn.id = d.id)""".stripMargin
+  }
+
+  private lazy val graphTrianglesSql: String =
+    s"""WITH $synthEdgesSql,
+       |pairs AS (SELECT src AS a, dst AS b FROM e),
+       |${trianglesSql("pairs")}
+       |SELECT id, degree, CAST(triangles AS BIGINT) AS triangles,
+       |  CAST(lcc_nano AS BIGINT) AS lcc_nano FROM tri""".stripMargin
+
+  private lazy val dfsTrianglesSql: String =
+    s"""WITH pr AS (${nearPairsSql(0.3)}),
+       |${trianglesSql("pr")}
+       |SELECT id, degree, CAST(triangles AS BIGINT) AS triangles,
+       |  CAST(lcc_nano AS BIGINT) AS lcc_nano FROM tri""".stripMargin
+
+  /** Oracle for the robust-z queries: both medians replayed through
+    * the histQuantileSql sketch (value, then deviation), the exact
+    * truncating `(674489·dev) // MAD` micro z, and the MAD-0
+    * degenerate. All nonnegative integer arithmetic past the shared
+    * micro quantization.
+    */
+  private lazy val robustZSql: String =
+    s"""WITH base AS (SELECT lang, doc_id,
+       |        CAST(floor(CAST(n_chars AS DOUBLE) * 1000000) AS BIGINT)
+       |          AS x_micro
+       |      FROM documents),
+       |m1 AS (SELECT lang, est_micro AS med_micro
+       |       FROM (${histQuantileSql(Seq(500), 4)})),
+       |d AS (SELECT b.lang, b.doc_id, b.x_micro, m1.med_micro,
+       |        abs(b.x_micro - m1.med_micro) AS dev
+       |      FROM base b JOIN m1 USING (lang)),
+       |m2 AS (SELECT lang, est_micro AS mad_micro
+       |       FROM (${histQuantileSql(Seq(500), 4,
+              src = "(SELECT lang, dev / 1000000.0 AS dv FROM d)",
+              field = "dv")}))
+       |SELECT d.lang, d.doc_id, d.x_micro, d.med_micro, m2.mad_micro,
+       |  CASE WHEN m2.mad_micro > 0
+       |    THEN CAST(674489 * (d.dev // m2.mad_micro) +
+       |      (674489 * (d.dev % m2.mad_micro)) // m2.mad_micro
+       |      AS BIGINT) END AS absz_micro,
+       |  (m2.mad_micro > 0 AND
+       |     674489 * (d.dev // m2.mad_micro) +
+       |       (674489 * (d.dev % m2.mad_micro)) // m2.mad_micro
+       |       > 3500000) OR
+       |  (m2.mad_micro = 0 AND d.dev > 0) AS outlier
+       |FROM d JOIN m2 USING (lang)""".stripMargin
+
+  /** Oracle for the survivor queries: the componentsSql reachability
+    * minimum over the same near-dup pairs, every doc labeled
+    * (coalesce to its own id), and the (quality desc, id) window
+    * maximum — pure integer/window logic.
+    */
+  private lazy val survivorsSql: String =
+    s"""WITH RECURSIVE pr AS (${nearPairsSql(0.3)}),
+       |e AS (SELECT a AS src, b AS dst FROM pr
+       |      UNION SELECT b AS src, a AS dst FROM pr),
+       |walk AS (
+       |  SELECT src AS id, src AS reach FROM e
+       |  UNION
+       |  SELECT w.id, e.dst AS reach FROM walk w JOIN e ON w.reach = e.src
+       |),
+       |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+       |lab AS (SELECT d.doc_id,
+       |          coalesce(c.component, d.doc_id) AS component,
+       |          CAST(d.n_chars AS BIGINT) AS quality
+       |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id, component, quality,
+       |  row_number() OVER (PARTITION BY component
+       |    ORDER BY quality DESC, doc_id) = 1 AS keep
+       |FROM lab""".stripMargin
+
+  /** WordPiece vocabulary for the encode query: the pinned unigram
+    * pieces plus their `##` continuation forms (both inventories
+    * independent in general; here symmetric by construction —
+    * WordPieceSpec pins the asymmetric behavior on hand vocabs).
+    */
+  private[graft] lazy val wordpieceVocab: Seq[String] = {
+    val base = unigramPinnedPieces.map(_._1)
+    base ++ base.map("##" + _)
+  }
+
+  /** Oracle for text_wordpiece_encode: greedy longest-match-first
+    * unrolled — 12 cursor steps (a step consumes ≥ 1 char, so 12 steps
+    * segment any ≤ 12-char word), with the per-(word, position)
+    * longest-match table precomputed once (the unigramEncodeSql `sp`
+    * trick) so each step is one (w, pos) left join. Words over 12
+    * chars or hitting a matchless cursor become ['[UNK]'], exactly
+    * like the engine. Pure string/integer logic, no libm.
+    */
+  private lazy val wordpieceEncodeSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val L = 12
+    val vals = wordpieceVocab.map(p => s"('${esc(p)}')")
+      .mkString(",\n      |        ")
+    val steps = (1 to L).map { s =>
+      s"""l$s AS (SELECT g.*, CASE WHEN g.fail OR g.pos >= g.n
+         |          THEN NULL ELSE m.ml END AS ml
+         |      FROM g${s - 1} g LEFT JOIN mt m
+         |        ON m.w = g.w AND m.j = g.pos),
+         |g$s AS (SELECT w, n,
+         |      CASE WHEN ml IS NULL THEN pos ELSE pos + ml END AS pos,
+         |      fail OR (pos < n AND ml IS NULL) AS fail,
+         |      CASE WHEN ml IS NULL THEN ps
+         |        ELSE list_append(ps,
+         |          CASE WHEN pos = 0 THEN substr(w, 1, ml)
+         |               ELSE '##' || substr(w, pos + 1, ml) END)
+         |      END AS ps
+         |    FROM l$s)""".stripMargin
+    }
+    s"""WITH wd AS MATERIALIZED (SELECT doc_id,
+       |        CAST(unnest(range(0, len(tk))) AS INTEGER) AS pos,
+       |        unnest(tk) AS w
+       |      FROM (SELECT doc_id, $toks AS tk FROM documents
+       |            WHERE doc_id % 97 = 0)),
+       |uw AS (SELECT DISTINCT w FROM wd),
+       |vt(piece) AS (VALUES $vals),
+       |sj AS (SELECT w, CAST(len(w) AS INTEGER) AS n,
+       |        CAST(unnest(range(0, len(w))) AS INTEGER) AS j FROM uw),
+       |sl AS (SELECT w, n, j,
+       |        CAST(unnest(range(1, least(6, n - j) + 1)) AS INTEGER)
+       |          AS l
+       |      FROM sj),
+       |mt AS MATERIALIZED (SELECT s.w, s.j, max(s.l) AS ml
+       |      FROM sl s JOIN vt p ON p.piece =
+       |        CASE WHEN s.j = 0 THEN substr(s.w, 1, s.l)
+       |             ELSE '##' || substr(s.w, s.j + 1, s.l) END
+       |      GROUP BY s.w, s.j),
+       |g0 AS (SELECT w, CAST(len(w) AS INTEGER) AS n,
+       |        CAST(0 AS INTEGER) AS pos, len(w) > $L AS fail,
+       |        []::VARCHAR[] AS ps FROM uw),
+       |${steps.mkString(",\n")},
+       |fin AS (SELECT w, CASE WHEN fail THEN ['[UNK]']
+       |          ELSE ps END AS pieces FROM g$L)
+       |SELECT wd.doc_id, wd.pos,
+       |  CAST(unnest(range(0, len(p.pieces))) AS INTEGER) AS piece_idx,
+       |  unnest(p.pieces) AS piece
+       |FROM wd JOIN fin p ON p.w = wd.w""".stripMargin
+  }
+
+  /** Oracle for the RRF fusion queries: both rankings replayed in full
+    * (the emb_cosine_topk sim chain and the hammingTopkSql bit/xor
+    * chain, both already hash-proven orderings), then the exact
+    * truncating `Nano // (c + rank)` sum and the (rrf desc, id) cut.
+    */
+  private lazy val rrfFuseSql: String = {
+    val dotQC = dotSql("embedding", "qe")
+    val nC = dotSql("embedding", "embedding")
+    val nQ = dotSql("qe", "qe")
+    s"""WITH q0 AS (SELECT vec_id AS q_id, embedding AS qe
+       |            FROM embeddings WHERE vec_id % 100 = 0),
+       |ds AS (SELECT q_id, vec_id,
+       |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+       |      FROM embeddings, q0 WHERE vec_id <> q_id),
+       |dr AS (SELECT q_id, vec_id, rnk FROM
+       |        (SELECT q_id, vec_id, row_number() OVER
+       |           (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+       |         FROM ds) WHERE rnk <= 10),
+       |b AS (SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, 62), i ->
+       |      CASE WHEN embedding[CAST(i + 1 AS INTEGER)] > 0
+       |           THEN CAST(pow(2, i) AS BIGINT)
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bits
+       |  FROM embeddings),
+       |qb AS (SELECT vec_id AS q_id, bits AS qbv FROM b
+       |       WHERE vec_id % 100 = 0),
+       |hs AS (SELECT q_id, vec_id,
+       |        CAST(bit_count(xor(qbv, bits)) AS INTEGER) AS ham
+       |      FROM b, qb WHERE vec_id <> q_id),
+       |hr AS (SELECT q_id, vec_id, rnk FROM
+       |        (SELECT q_id, vec_id, row_number() OVER
+       |           (PARTITION BY q_id ORDER BY ham, vec_id) AS rnk
+       |         FROM hs) WHERE rnk <= 10),
+       |u AS (SELECT q_id, vec_id AS id, rnk FROM dr
+       |      UNION ALL SELECT q_id, vec_id, rnk FROM hr),
+       |f AS (SELECT q_id, id,
+       |        CAST(sum(1000000000 // (60 + rnk)) AS BIGINT) AS rrf_nano,
+       |        CAST(count(*) AS BIGINT) AS n_lists
+       |      FROM u GROUP BY 1, 2)
+       |SELECT q_id, id, rrf_nano, n_lists, CAST(rnk AS INTEGER) AS rnk
+       |FROM (SELECT *, row_number() OVER
+       |        (PARTITION BY q_id ORDER BY rrf_nano DESC, id) AS rnk
+       |      FROM f)
+       |WHERE rnk <= 10""".stripMargin
+  }
+
+  /** Oracle for the PMI collocation queries: the identical adjacent-
+    * pair counts, pair-table marginals, min-count gate, four
+    * fixed-point lnNano columns (the shared [[graft.functions.FixedLog]]
+    * step list — no libm anywhere), and the (pmi desc, x, y) top-k cut.
+    */
+  private def pmiSql(minCount: Long, k: Int): String = {
+    import graft.functions.FixedLog.duckLnNano
+    s"""WITH t AS (SELECT $toks AS w FROM documents),
+       |p AS (SELECT w[i] AS x, w[i + 1] AS y
+       |      FROM (SELECT w, unnest(range(1, len(w))) AS i
+       |            FROM t WHERE len(w) >= 2)),
+       |pc AS (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+       |       FROM p GROUP BY 1, 2),
+       |lx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+       |       FROM pc GROUP BY 1),
+       |ry AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+       |       FROM pc GROUP BY 1),
+       |nn AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nb FROM pc),
+       |j AS (SELECT pc.x, pc.y, pc.n_xy, lx.n_x, ry.n_y, nn.nb
+       |      FROM pc JOIN lx USING (x) JOIN ry USING (y) CROSS JOIN nn
+       |      WHERE pc.n_xy >= $minCount),
+       |l1 AS (SELECT * FROM ${duckLnNano("j",
+            Seq("x", "y", "n_xy", "n_x", "n_y", "nb"), "n_xy", "ln_xy")}),
+       |l2 AS (SELECT * FROM ${duckLnNano("l1",
+            Seq("x", "y", "n_xy", "n_y", "nb", "ln_xy"), "n_x", "ln_x")}),
+       |l3 AS (SELECT * FROM ${duckLnNano("l2",
+            Seq("x", "y", "n_xy", "nb", "ln_xy", "ln_x"), "n_y", "ln_y")}),
+       |l4 AS (SELECT * FROM ${duckLnNano("l3",
+            Seq("x", "y", "n_xy", "ln_xy", "ln_x", "ln_y"), "nb", "ln_nb")})
+       |SELECT x, y, n_xy,
+       |  CAST(ln_xy + ln_nb - ln_x - ln_y AS BIGINT) AS pmi_nano
+       |FROM l4
+       |ORDER BY pmi_nano DESC, x, y LIMIT $k""".stripMargin
+  }
 
   /** The reusable per-node HLL estimate replay (the hllSql estimator
     * chain grouped by `v`): `(SELECT v, est FROM …)` over register rows

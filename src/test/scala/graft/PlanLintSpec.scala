@@ -97,6 +97,10 @@ class PlanLintSpec extends AnyFunSuite {
       // hammingTopK inherits bruteTopK's guarded crossJoin(broadcast(q))
       // — and its corpus side is ONE long per row past the scan
       "emb_hamming_topk", "emb_hamming_rerank", "emb_hard_negatives",
+      // rrfFuse's INPUT rankings inherit bruteTopK/hammingTopK's
+      // guarded crossJoin(broadcast(q)); the fusion itself is an
+      // equi-keyed aggregate over queries×k rank rows
+      "emb_rrf_fuse", "dfs_rrf_fuse",
       // corpusReport joins its 1-ROW grand-total aggregate back by
       // broadcast (the domainStats pattern)
       "text_corpus_report", "dfs_corpus_report",
