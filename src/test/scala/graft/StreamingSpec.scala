@@ -1056,4 +1056,63 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSet
     assert(streamed == batch)
   }
+
+  test("wordpiece encode streams as-is (word-local, vocab is a plan " +
+      "constant); robustZOutliers runs per micro-batch with " +
+      "BATCH-scoped medians (the groupZScore scoping)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // wordpiece: per-word, corpus-independent -> micro-batch == batch
+    // on any split (the distinct-word table is a per-batch cache, not
+    // state)
+    val vocab = Seq("un", "##able", "able", "b", "a", "##a")
+    val docs = Seq((0L, "unable able"), (1L, "aaa bun"), (2L, "able"))
+    def wp(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.text.WordPiece.encode(df, col("text"),
+        col("doc_id"), vocab)
+    val wpBatch = wp(docs.toDF("doc_id", "text"))
+      .as[(Long, Int, Int, String)].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Int, Int, String)]
+    val q = in.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= wp(mb).as[(Long, Int, Int, String)].collect()
+        ()
+      }.start()
+    in.addData(docs.take(1))
+    in.addData(docs.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == wpBatch)
+    // robustZOutliers: medians are corpus-relative, so the streaming
+    // scope is per micro-batch stats (groupZScore's documented
+    // scoping) — one full-batch foreachBatch replay equals batch
+    def rz(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.text.Sketches.robustZOutliers(df, col("v"),
+        col("id"), Seq("g" -> col("g")))
+        .select("doc_id", "mad_micro", "outlier")
+    val rows = (0L until 30L).map(i => (i, "a", 50.0 + (i % 5))) :+
+      ((99L, "a", 4000.0))
+    val rzBatch = rz(rows.toDF("id", "g", "v"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    val in2 = MemoryStream[(Long, String, Double)]
+    val got2 = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+    val q2 = in2.toDS().toDF("id", "g", "v").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= rz(mb).as[(Long, Long, Boolean)].collect()
+        ()
+      }.start()
+    in2.addData(rows)
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == rzBatch && rzBatch.exists(_._3))
+    // scope notes for the rest of the round's additions (the
+    // corpusJaccardEst convention): pmiTopK / Triangles /
+    // nearDupSurvivors are corpus-relative (global pair counts, a
+    // whole graph, cluster membership) — batch-only as written; the
+    // streaming form is foreachBatch over a bounded refresh window.
+    // Fusion.rrfFuse consumes ALREADY-materialized rankings, so its
+    // streaming scope is its inputs' (serve-time, not stream-time).
+  }
 }
