@@ -80,7 +80,7 @@ object Bench {
       "text_hll_distinct", "text_span_trim", "dedup_corpus_jaccard",
       "text_quantile_sketch", "graph_triangles", "text_pmi",
       "emb_rrf_fuse", "text_wordpiece_encode", "dedup_survivors",
-      "text_robust_z")
+      "text_robust_z", "dedup_containment")
     Files.writeString(Paths.get("BENCH_LOCAL.json"), jsonOf(results, total))
     // Write straight to fd 1: sbt's non-forked `run` wraps System.out in
     // its logger and prefixes every line with "[info] ", which breaks a

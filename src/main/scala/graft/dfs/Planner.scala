@@ -3081,6 +3081,20 @@ object Planner {
           "(the near_dedup output shape)")
       graft.operators.graph.Triangles.triangleCounts(ctx.df)
     },
+    // containment near-dup pairs (graft extension, the
+    // Dedup.containmentPairs door): asymmetric quote/wrapper detection
+    // over the same banded LSH candidates as near_dedup
+    "containment" -> bt(Set("text_field", "id_field", "threshold_ppm",
+      "bands", "rows_per_band")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("containment: .id_field"))
+      graft.operators.text.Dedup.containmentPairs(ctx.df,
+        Paths.ref(text), Paths.ref(id),
+        optNum(n, "threshold_ppm", env).map(_.toLong).getOrElse(500000L),
+        optNum(n, "bands", env).map(_.toInt).getOrElse(4),
+        optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2))
+    },
     // robust per-group outlier flag (graft extension, the
     // Sketches.robustZOutliers door): modified z over two replayable
     // quantile-sketch medians

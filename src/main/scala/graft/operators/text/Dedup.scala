@@ -185,6 +185,50 @@ object Dedup {
     }
   }
 
+  /** Near-dup pairs verified by CONTAINMENT instead of Jaccard — the
+    * asymmetric quote/wrapper detector: `cont(A→B) = |A∩B| / |A|` is
+    * ~1.0 when A is quoted or wrapped inside a larger B even though
+    * their Jaccard is tiny, which is exactly the shape boilerplate
+    * wrappers, quoting aggregators, and expanded re-posts take. Same
+    * banded LSH candidate stage as [[nearDupPairs]], verify swapped to
+    * both directed containments in exact ppm integer arithmetic
+    * (`(inter·1e6) div |side|` — truncating, oracle-identical); pairs
+    * keep when EITHER direction clears `thresholdPpm`.
+    *
+    * Recall caveat (documented, the vs_index convention): candidates
+    * come from Jaccard-tuned minhash bands, so an extreme size skew
+    * (tiny A inside huge B) can fall below the banding's Jaccard
+    * floor before the containment verify ever sees it; raise `bands` /
+    * lower `rowsPerBand` to push the floor down. The 100 TB shape is
+    * [[nearDupPairs]]' verbatim: per-bucket cap BEFORE the self-join,
+    * set verify on the scope-cached hash base, never all-pairs.
+    */
+  def containmentPairs(df: DataFrame, text: Column, id: Column,
+      thresholdPpm: Long, bands: Int = 4, rowsPerBand: Int = 2,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      s"containmentPairs: thresholdPpm in [0, 1e6], got $thresholdPpm")
+    graft.core.CacheScope.withPersisted(
+      withShingleHashes(df, text, "_hs")) { base =>
+      val cand = cappedCandidatePairs(base, id, bands, rowsPerBand,
+        maxBucketSize)
+      val sh = base.select(id.as("doc_id"),
+        array_distinct(col("_hs")).as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+        .select(col("a"), col("b"),
+          size(col("sh_a")).cast("long").as("n_a"),
+          size(col("sh_b")).cast("long").as("n_b"),
+          size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("long").as("inter"))
+        .withColumn("cont_ab_ppm", expr("(inter * 1000000) div n_a"))
+        .withColumn("cont_ba_ppm", expr("(inter * 1000000) div n_b"))
+        .filter(greatest(col("cont_ab_ppm"), col("cont_ba_ppm"))
+          >= thresholdPpm)
+    }
+  }
+
   /** Exact-Jaccard verification of candidate (a, b) pairs against the
     * persisted shingle-hash base; keeps pairs >= threshold.
     */

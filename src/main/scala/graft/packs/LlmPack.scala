@@ -180,6 +180,41 @@ object LlmPack extends QueryPack {
        |FROM lev WHERE dist <= $maxDist""".stripMargin
   }
 
+  /** Oracle for the containment queries: the nearPairsSql candidate
+    * chain (same minhash bands), with the verify swapped to both
+    * directed containments in exact truncating ppm — `//` == `div` on
+    * nonnegative operands.
+    */
+  private def containmentSql(thresholdPpm: Long): String = {
+    val sigExprs = (0 until 8).map(i =>
+      s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
+      .mkString(", ")
+    val bandRows = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
+       |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
+       |shs AS (SELECT doc_id, list_distinct(hs) AS sh FROM hs),
+       |sig AS (SELECT doc_id, $sigExprs FROM hs),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |         FROM bands l JOIN bands r
+       |           ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id),
+       |ct AS (SELECT a, b,
+       |          CAST(len(x.sh) AS BIGINT) AS n_a,
+       |          CAST(len(y.sh) AS BIGINT) AS n_b,
+       |          CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter
+       |        FROM cand JOIN shs x ON cand.a = x.doc_id
+       |                  JOIN shs y ON cand.b = y.doc_id)
+       |SELECT a, b, n_a, n_b, inter,
+       |  CAST((inter * 1000000) // n_a AS BIGINT) AS cont_ab_ppm,
+       |  CAST((inter * 1000000) // n_b AS BIGINT) AS cont_ba_ppm
+       |FROM ct
+       |WHERE greatest((inter * 1000000) // n_a,
+       |               (inter * 1000000) // n_b) >= $thresholdPpm"""
+      .stripMargin
+  }
+
   def entries: Map[String, QueryDef] = Map(
     // composition proof #2 — the quality-curriculum chain: bigram-LM
     // perplexity feeds exact quantile buckets (train easy-to-hard);
@@ -3009,6 +3044,22 @@ object LlmPack extends QueryPack {
           #  .every(100).k(10).c(60))
           #""".stripMargin('#'), s, dir),
       Some(rrfFuseSql)),
+
+    // containment near-dup pairs: the asymmetric quote/wrapper
+    // detector — cont(A→B) = |A∩B|/|A| is ~1.0 when A is quoted
+    // inside a larger B though their Jaccard is tiny. Same banded
+    // candidates as dedup_near_pairs, verify in exact ppm integers.
+    "dedup_containment" -> QueryDef(
+      (s, dir) => Dedup.containmentPairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"), 500000L),
+      Some(containmentSql(500000L))),
+
+    "dfs_containment" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|containment(.id_field('doc_id').threshold_ppm(500000))
+          #""".stripMargin('#'), s, dir),
+      Some(containmentSql(500000L))),
 
     // robust per-group outlier flag: modified z-score (Iglewicz &
     // Hoaglin) over TWO replayable quantile-sketch medians (value,
