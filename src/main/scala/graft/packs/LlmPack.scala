@@ -3061,6 +3061,29 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(containmentSql(500000L))),
 
+    // composition proof: asymmetric-dup CLUSTERS — containment pairs
+    // feeding the log-round star components in one DFS script (a
+    // quote chain A⊂B⊂C lands in one cluster); the oracle nests the
+    // full containment replay under the reachability minimum
+    "dfs_containment_chain" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|containment(.id_field('doc_id').threshold_ppm(500000))
+          #|components(.algo('stars'))
+          #""".stripMargin('#'), s, dir),
+      Some(s"""WITH RECURSIVE pr AS (
+              |  SELECT a, b FROM (${containmentSql(500000L)})),
+              |e AS (SELECT a AS src, b AS dst FROM pr
+              |      UNION SELECT b AS src, a AS dst FROM pr),
+              |walk AS (
+              |  SELECT src AS id, src AS reach FROM e
+              |  UNION
+              |  SELECT w.id, e.dst AS reach FROM walk w
+              |  JOIN e ON w.reach = e.src
+              |)
+              |SELECT id, min(reach) AS component
+              |FROM walk GROUP BY id""".stripMargin)),
+
     // robust per-group outlier flag: modified z-score (Iglewicz &
     // Hoaglin) over TWO replayable quantile-sketch medians (value,
     // then |dev|) — the heavy-tail-immune twin of text_group_z, and

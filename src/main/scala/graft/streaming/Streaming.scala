@@ -371,4 +371,37 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** Continuous-ingestion exact dedup: drop any document whose content
+    * hash has already been seen — in an EARLIER micro-batch or earlier
+    * in this one — keeping the first arrival. The streaming complement
+    * of [[graft.operators.text.Dedup.exactDupGroups]], whose keep-MIN
+    * rule needs the whole corpus: on a live crawl feed, arrival order
+    * IS the dedup rule.
+    *
+    * Spark-first: this is exactly `dropDuplicates` on a streaming
+    * Dataset — the hash-keyed seen-set lives in the state store
+    * (RocksDB at scale), partitioned by content hash, one tiny row per
+    * distinct document ever seen. No custom state code to maintain.
+    * For bounded state on unbounded feeds, pass `withinWatermark` +
+    * an event-time column already watermarked upstream —
+    * `dropDuplicatesWithinWatermark` then expires seen-hashes once
+    * they age out, the standard TTL trade (a dup arriving later than
+    * the watermark delay is re-admitted; crawls re-visiting a URL
+    * weeks later usually WANT re-admission on drift).
+    *
+    * Cross-BATCH semantics are the guarantee: a hash seen in an
+    * earlier micro-batch never re-emits. WITHIN one (micro-)batch the
+    * surviving representative among simultaneous duplicates is
+    * partition-dependent (SQL DISTINCT semantics) — use the batch
+    * keep-min [[graft.operators.text.Dedup.exactDupGroups]] when the
+    * representative identity matters. Pinned in StreamingSpec.
+    */
+  def exactDedupStream(df: DataFrame, text: Column,
+      withinWatermark: Boolean = false): DataFrame = {
+    val hashed = df.withColumn("content_hash", md5(text))
+    if (withinWatermark)
+      hashed.dropDuplicatesWithinWatermark(Seq("content_hash"))
+    else hashed.dropDuplicates(Seq("content_hash"))
+  }
 }

@@ -1115,4 +1115,28 @@ class StreamingSpec extends AnyFunSuite {
     // Fusion.rrfFuse consumes ALREADY-materialized rankings, so its
     // streaming scope is its inputs' (serve-time, not stream-time).
   }
+
+  test("exactDedupStream: a hash seen in an earlier micro-batch never " +
+      "re-emits; first arrival survives") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streaming.exactDedupStream(
+        in.toDS().toDF("doc_id", "text"), col("text"))
+      .writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    in.addData(Seq((0L, "alpha"), (1L, "beta")))
+    q.processAllAvailable()
+    // batch 2: a dup of "alpha" (different doc_id) and a new doc
+    in.addData(Seq((2L, "alpha"), (3L, "gamma")))
+    q.processAllAvailable()
+    // batch 3: dups of everything — nothing new emits
+    in.addData(Seq((4L, "alpha"), (5L, "beta"), (6L, "gamma")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("streamdedup")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(got == Set((0L, "alpha"), (1L, "beta"), (3L, "gamma")))
+  }
 }
