@@ -3081,6 +3081,20 @@ object Planner {
           "(the near_dedup output shape)")
       graft.operators.graph.Triangles.triangleCounts(ctx.df)
     },
+    // same-source common-prefix boilerplate strip (graft extension,
+    // the TextOps.commonPrefixStrip door)
+    "prefix_strip" -> bt(Set("text_field", "id_field", "source_field",
+      "min_docs", "max_prefix")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("prefix_strip: .id_field"))
+      val src = optStr(n, "source_field", env)
+        .getOrElse(throw DfsError("prefix_strip: .source_field"))
+      graft.operators.text.TextOps.commonPrefixStrip(ctx.df,
+        Paths.ref(text), Paths.ref(id), Paths.ref(src),
+        optNum(n, "min_docs", env).map(_.toInt).getOrElse(2),
+        optNum(n, "max_prefix", env).map(_.toInt).getOrElse(64))
+    },
     // containment near-dup pairs (graft extension, the
     // Dedup.containmentPairs door): asymmetric quote/wrapper detection
     // over the same banded LSH candidates as near_dedup

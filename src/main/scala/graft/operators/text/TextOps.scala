@@ -1587,4 +1587,68 @@ object TextOps {
       fullIn.unionByName(partial)
     }
   }
+
+  /** Same-source common-prefix boilerplate strip — the CCNet-era
+    * header removal: docs crawled from one site share a rendered
+    * banner/nav prefix that dedup can't touch (each doc is unique
+    * PAST the banner) and quality filters misprice (the banner words
+    * are fine words). The per-source common token prefix is computed
+    * exactly and stripped.
+    *
+    * Prefix rule: position p (1-based) is boilerplate iff EVERY doc of
+    * the source has a token at p and all those tokens are identical;
+    * the prefix is the maximal run of such positions from p = 1.
+    * Sources with fewer than `minDocs` docs are never stripped (a
+    * singleton "shares" its whole text with itself — stripping it
+    * would empty it). If a source's docs are exact dups end-to-end,
+    * the whole text IS the common prefix and strips to empty — those
+    * docs are exact-dedup fodder anyway, documented.
+    *
+    * 100 TB shape: one scan explodes (source, pos, token) for the
+    * PREFIX REGION ONLY (positions ≤ maxPrefix — boilerplate banners
+    * are dozens of tokens, so the explode is maxPrefix·docs rows, not
+    * corpus tokens); one (source, pos)-keyed map-side-combinable
+    * aggregate; a source-cardinality prefix table broadcast back; the
+    * strip is a codegen'd slice. Returns
+    * `(doc_id, source, prefix_len, n_tok, text_strip)`.
+    */
+  def commonPrefixStrip(docs: DataFrame, text: Column, id: Column,
+      source: Column, minDocs: Int = 2, maxPrefix: Int = 64)
+      : DataFrame = {
+    require(minDocs >= 2,
+      s"commonPrefixStrip: minDocs must be >= 2, got $minDocs")
+    require(maxPrefix >= 1,
+      s"commonPrefixStrip: maxPrefix must be >= 1, got $maxPrefix")
+    val toked = docs.select(id.as("doc_id"), source.as("source"),
+      tokens(text).as("_t"))
+    val nDocs = toked.groupBy(col("source"))
+      .agg(count(lit(1)).as("_nd"))
+    val tp = toked.select(col("source"),
+        posexplode(slice(col("_t"), 1, maxPrefix)).as(Seq("_p0", "_tok")))
+      .select(col("source"), (col("_p0") + 1).as("_p"), col("_tok"))
+    val qual = tp.groupBy(col("source"), col("_p"))
+      .agg(count_distinct(col("_tok")).as("_ntok"),
+        count(lit(1)).as("_nrows"))
+      .join(nDocs, "source")
+      .withColumn("_q",
+        col("_ntok") === 1 && col("_nrows") === col("_nd") &&
+          col("_nd") >= minDocs)
+    // maximal qualifying run from position 1: one position short of
+    // the first non-qualifying position (or the last qualifying one
+    // when every probed position qualifies)
+    val pfx = qual.groupBy(col("source"))
+      .agg(coalesce(
+        min(when(!col("_q"), col("_p"))) - 1,
+        max(when(col("_q"), col("_p"))),
+        lit(0L)).cast("int").as("prefix_len"))
+    toked.join(broadcast(pfx), Seq("source"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("prefix_len"), lit(0)).as("prefix_len"),
+        size(col("_t")).as("n_tok"),
+        array_join(slice(col("_t"),
+          coalesce(col("prefix_len"), lit(0)) + 1,
+          greatest(size(col("_t")) -
+            coalesce(col("prefix_len"), lit(0)), lit(0))), " ")
+          .as("text_strip"))
+  }
 }

@@ -180,6 +180,40 @@ object LlmPack extends QueryPack {
        |FROM lev WHERE dist <= $maxDist""".stripMargin
   }
 
+  /** Oracle for the prefix-strip queries: the bannered fixture, the
+    * (source, pos) identity vote over the probed prefix region, the
+    * maximal qualifying run from position 1, and the slice rebuild —
+    * pure integer/string logic.
+    */
+  private lazy val prefixStripSql: String = {
+    val bt = """string_split_regex(trim('site banner for ' || source ||
+               | ' navigation menu links ' || text), '\s+')""".stripMargin
+    s"""WITH t AS (SELECT doc_id, source, $bt AS w FROM documents),
+       |nd AS (SELECT source, count(*) AS nd FROM t GROUP BY source),
+       |tp AS (SELECT source, CAST(i AS INTEGER) AS p, w[i] AS tok
+       |       FROM (SELECT source, w,
+       |               unnest(range(1, least(len(w), 64) + 1)) AS i
+       |             FROM t)),
+       |qv AS (SELECT source, p, count(DISTINCT tok) AS ntok,
+       |         count(*) AS nrows
+       |       FROM tp GROUP BY 1, 2),
+       |q2 AS (SELECT qv.source, qv.p,
+       |         (qv.ntok = 1 AND qv.nrows = nd.nd AND nd.nd >= 2) AS q
+       |       FROM qv JOIN nd USING (source)),
+       |pfx AS (SELECT source, CAST(coalesce(
+       |          min(CASE WHEN NOT q THEN p END) - 1,
+       |          max(CASE WHEN q THEN p END), 0) AS INTEGER)
+       |          AS prefix_len
+       |        FROM q2 GROUP BY source)
+       |SELECT t.doc_id, t.source,
+       |  coalesce(pfx.prefix_len, 0) AS prefix_len,
+       |  CAST(len(t.w) AS INTEGER) AS n_tok,
+       |  coalesce(array_to_string(
+       |    t.w[coalesce(pfx.prefix_len, 0) + 1:len(t.w)], ' '), '')
+       |    AS text_strip
+       |FROM t LEFT JOIN pfx USING (source)""".stripMargin
+  }
+
   /** Oracle for the containment queries: the nearPairsSql candidate
     * chain (same minhash bands), with the verify swapped to both
     * directed containments in exact truncating ppm — `//` == `div` on
@@ -3044,6 +3078,31 @@ object LlmPack extends QueryPack {
           #  .every(100).k(10).c(60))
           #""".stripMargin('#'), s, dir),
       Some(rrfFuseSql)),
+
+    // same-source common-prefix boilerplate strip (the CCNet-era
+    // header removal): the corpus is one-doc-one-line, so (the
+    // text_normalize dirty-construction pattern) a per-source banner
+    // is SYNTHESIZED deterministically and the op must find and strip
+    // exactly it — prefix_len pins the whole (source, pos) vote
+    "text_prefix_strip" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("_bannered", concat(
+            lit("site banner for "), col("source"),
+            lit(" navigation menu links "), col("text")))
+        TextOps.commonPrefixStrip(d, col("_bannered"), col("doc_id"),
+          col("source"))
+      },
+      Some(prefixStripSql)),
+
+    "dfs_prefix_strip" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_concat('site banner for ', "source",
+          #  ' navigation menu links ', "text")).as('text')
+          #|prefix_strip(.id_field('doc_id').source_field('source'))
+          #""".stripMargin('#'), s, dir),
+      Some(prefixStripSql)),
 
     // containment near-dup pairs: the asymmetric quote/wrapper
     // detector — cont(A→B) = |A∩B|/|A| is ~1.0 when A is quoted
