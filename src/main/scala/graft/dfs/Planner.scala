@@ -3081,6 +3081,18 @@ object Planner {
           "(the near_dedup output shape)")
       graft.operators.graph.Triangles.triangleCounts(ctx.df)
     },
+    // SimHash block-blocking near-dup pairs (graft extension, the
+    // Dedup.simhashDupPairs door): exact-recall candidates via the
+    // 4-block pigeonhole, popcount verify
+    "simhash_pairs" -> bt(Set("text_field", "id_field",
+      "max_hamming")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("simhash_pairs: .id_field"))
+      graft.operators.text.Dedup.simhashDupPairs(ctx.df,
+        Paths.ref(text), Paths.ref(id),
+        optNum(n, "max_hamming", env).map(_.toInt).getOrElse(3))
+    },
     // same-source common-prefix boilerplate strip (graft extension,
     // the TextOps.commonPrefixStrip door)
     "prefix_strip" -> bt(Set("text_field", "id_field", "source_field",

@@ -468,6 +468,60 @@ object Dedup {
   def simhash32(text: Column): Column =
     graft.functions.TextExpressions.simHash32(text)
 
+  /** SimHash near-dup pairs by block blocking (Manku, Jain & Das
+    * Sarma 2007 — the Google web-crawl dedup): two docs are near-dups
+    * when their 32-bit SimHash fingerprints differ in ≤ `maxHamming`
+    * bits; candidates come from 4 byte-blocks of the fingerprint —
+    * the pigeonhole guarantee: ≤ 3 differing bits cannot touch all 4
+    * blocks, so every qualifying pair shares at least one EXACT block
+    * value and block-equality equi-joins find it (recall is exact up
+    * to the bucket cap, unlike minhash banding's probabilistic
+    * recall). Verify = one `bit_count(xor)` per candidate.
+    *
+    * vs [[nearDupPairs]]: 8 bytes of state per doc (the fingerprint)
+    * instead of a shingle-hash array, and a deterministic-recall
+    * candidate stage — the trade is a coarser similarity notion
+    * (fingerprint hamming tracks, not equals, token-set overlap).
+    * 100 TB shape: per-bucket cap BEFORE the self-join (a byte-block
+    * bucket holds ~n/256 docs of matching fingerprint byte — hot
+    * buckets mean boilerplate-heavy corpora, exactly where the cap's
+    * documented recall trade is acceptable); everything else is
+    * key equi-joins and a per-pair popcount.
+    */
+  def simhashDupPairs(df: DataFrame, text: Column, id: Column,
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize)
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhashDupPairs: maxHamming in [0, 3] (the 4-block pigeonhole " +
+        s"recall guarantee), got $maxHamming")
+    val base = df.select(id.as("doc_id"),
+      graft.functions.TextExpressions.simHash32(text).as("fp"))
+    graft.core.CacheScope.withPersisted(base) { b =>
+      val blocks = b.select(col("doc_id"), col("fp"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("blk"),
+              expr(s"shiftright(fp, ${8 * i}) & 255").as("key"))): _*))
+            .as("_e"))
+        .select(col("doc_id"), col("fp"),
+          col("_e.blk").as("blk"), col("_e.key").as("key"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk"), col("key")).orderBy(col("doc_id"))
+      val capped = blocks.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxBucketSize).drop("_r")
+      val l = capped.select(col("blk"), col("key"),
+        col("doc_id").as("a"), col("fp").as("fp_a"))
+      val r = capped.select(col("blk").as("blk_r"), col("key").as("key_r"),
+        col("doc_id").as("b"), col("fp").as("fp_b"))
+      l.join(r, col("blk") === col("blk_r") &&
+          col("key") === col("key_r") && col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+            .cast("int").as("hamming"))
+        .distinct() // a close pair shares SEVERAL blocks — one row
+        .filter(col("hamming") <= maxHamming)
+    }
+  }
+
   /** Quality-aware near-dup survivor selection — the FineWeb-style
     * refinement of keep-min dedup: within each near-duplicate cluster
     * keep the HIGHEST-QUALITY member, not the lowest id (duplicates

@@ -180,6 +180,39 @@ object LlmPack extends QueryPack {
        |FROM lev WHERE dist <= $maxDist""".stripMargin
   }
 
+  /** Shared SimHash-32 fingerprint replay: distinct-token md5 hashes,
+    * per-bit majority vote — `(doc_id, sh32)`.
+    */
+  private lazy val simhashFpSql: String = {
+    val terms = (0 until 32).map(b =>
+      s"""(CASE WHEN list_sum(list_transform(th,
+         |   h -> ((h >> $b) & 1) * 2 - 1)) > 0
+         | THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
+      .mkString(" +\n  ")
+    s"""SELECT doc_id, $terms AS sh32
+       |FROM (SELECT doc_id,
+       |        list_transform(list_distinct($toks),
+       |          t -> ${h60("t")} % 4294967296) AS th
+       |      FROM documents)""".stripMargin
+  }
+
+  /** Oracle for the simhash-pairs queries: the shared fingerprint
+    * replay, the 4 byte-block keys, block-equality candidates, and the
+    * popcount verify — pure integer logic.
+    */
+  private def simhashPairsSql(maxHamming: Int): String =
+    s"""WITH sh AS ($simhashFpSql),
+       |bl AS (SELECT doc_id, sh32, CAST(i AS INTEGER) AS blk,
+       |         (sh32 >> (8 * CAST(i AS INTEGER))) & 255 AS key
+       |       FROM sh, unnest(range(0, 4)) t(i)),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |           l.sh32 AS fa, r.sh32 AS fb
+       |         FROM bl l JOIN bl r
+       |           ON l.blk = r.blk AND l.key = r.key
+       |             AND l.doc_id < r.doc_id)
+       |SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
+
   /** Oracle for the prefix-strip queries: the bannered fixture, the
     * (source, pos) identity vote over the probed prefix region, the
     * maximal qualifying run from position 1, and the slice rebuild —
@@ -995,18 +1028,23 @@ object LlmPack extends QueryPack {
       (s, dir) =>
         Dedup.withSimhash32(Tables.documents(s, dir), col("text"), "sh32")
           .select(col("doc_id"), col("sh32")),
-      Some {
-        val terms = (0 until 32).map(b =>
-          s"""(CASE WHEN list_sum(list_transform(th,
-             |   h -> ((h >> $b) & 1) * 2 - 1)) > 0
-             | THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin)
-          .mkString(" +\n  ")
-        s"""SELECT doc_id, $terms AS sh32
-           |FROM (SELECT doc_id,
-           |        list_transform(list_distinct($toks),
-           |          t -> ${h60("t")} % 4294967296) AS th
-           |      FROM documents)""".stripMargin
-      }),
+      Some(s"SELECT doc_id, sh32 FROM ($simhashFpSql)")),
+
+    // SimHash near-dup pairs by byte-block blocking (Manku et al.
+    // 2007): hamming <= 3 cannot touch all 4 blocks, so block-equality
+    // equi-joins have EXACT recall (vs minhash banding's probabilistic
+    // floor). Verify is one popcount per candidate.
+    "dedup_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashDupPairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"), 3),
+      Some(simhashPairsSql(3))),
+
+    "dfs_simhash_pairs" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|simhash_pairs(.id_field('doc_id').max_hamming(3))
+          #""".stripMargin('#'), s, dir),
+      Some(simhashPairsSql(3))),
 
     // embedding-cosine near-dup, LSH-banded (the 100 TB form): banded
     // sign-bit buckets → candidate pairs → exact cosine verify. The
