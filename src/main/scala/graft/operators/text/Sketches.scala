@@ -340,7 +340,12 @@ object Sketches {
     val base = df.select(groups.map { case (n, c) => c.as(n) } :+
       id.as("doc_id") :+ value.cast("double").as("_v") :+
       xg.as("_x"): _*)
-    graft.core.CacheScope.withPersisted(base) { b =>
+    // cache scope covers ONLY the two-sketch stats derivation — its
+    // output is the group-cardinality (med, mad) table, which is what
+    // CacheScope's eager checkpoint is for; the per-doc rebuild stays
+    // on LINEAGE (one more source scan) because a data-sized
+    // checkpoint is the contract's named anti-case (the spanTrim rule)
+    val stats = graft.core.CacheScope.withPersisted(base) { b =>
       val med = histQuantiles(b, col("_v"),
         gnames.map(n => n -> col(n)), Seq(500), mantissaBits)
         .select(gcols :+ col("est_micro").as("med_micro"): _*)
@@ -349,22 +354,24 @@ object Sketches {
       val mad = histQuantiles(dev, col("_dev") / lit(1000000d),
         gnames.map(n => n -> col(n)), Seq(500), mantissaBits)
         .select(gcols :+ col("est_micro").as("mad_micro"): _*)
-      // exact split identity: (k·dev) div m == k·(dev div m) +
-      // (k·(dev mod m)) div m — same value, but the multiply only ever
-      // sees (dev mod m) < m, so it cannot overflow under the 2^43
-      // input bound (the naive k·dev form overflowed at |x| ~ 1e9)
-      dev.join(broadcast(mad), gnames)
-        .withColumn("absz_micro",
-          when(col("mad_micro") > 0,
-            expr("674489 * (_dev div mad_micro) + " +
-              "(674489 * (_dev % mad_micro)) div mad_micro")))
-        .withColumn("outlier",
-          (col("mad_micro") > 0 &&
-            col("absz_micro") > zThresholdMicro) ||
-          (col("mad_micro") === 0 && col("_dev") > 0))
-        .select(gcols ++ Seq(col("doc_id"), col("_x").as("x_micro"),
-          col("med_micro"), col("mad_micro"), col("absz_micro"),
-          col("outlier")): _*)
+      med.join(mad, gnames)
     }
+    // exact split identity: (k·dev) div m == k·(dev div m) +
+    // (k·(dev mod m)) div m — same value, but the multiply only ever
+    // sees (dev mod m) < m, so it cannot overflow under the 2^43
+    // input bound (the naive k·dev form overflowed at |x| ~ 1e9)
+    base.join(broadcast(stats), gnames)
+      .withColumn("_dev", abs(col("_x") - col("med_micro")))
+      .withColumn("absz_micro",
+        when(col("mad_micro") > 0,
+          expr("674489 * (_dev div mad_micro) + " +
+            "(674489 * (_dev % mad_micro)) div mad_micro")))
+      .withColumn("outlier",
+        (col("mad_micro") > 0 &&
+          col("absz_micro") > zThresholdMicro) ||
+        (col("mad_micro") === 0 && col("_dev") > 0))
+      .select(gcols ++ Seq(col("doc_id"), col("_x").as("x_micro"),
+        col("med_micro"), col("mad_micro"), col("absz_micro"),
+        col("outlier")): _*)
   }
 }
