@@ -3081,6 +3081,41 @@ object Planner {
           "(the near_dedup output shape)")
       graft.operators.graph.Triangles.triangleCounts(ctx.df)
     },
+    // per-doc tf-idf keywords (graft extension, the
+    // TextOps.tfidfTopTerms door)
+    "tfidf_terms" -> bt(Set("text_field", "id_field", "k")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("tfidf_terms: .id_field"))
+      graft.operators.text.TextOps.tfidfTopTerms(ctx.df,
+        Paths.ref(text), Paths.ref(id),
+        optNum(n, "k", env).map(_.toInt).getOrElse(5))
+    },
+    // train/test split-leakage report (graft extension, the
+    // Curation.splitLeakPairs door): near-dup pairs straddling the
+    // split_assign splits
+    "split_leak" -> bt(Set("text_field", "id_field", "names",
+      "fractions", "threshold", "bands", "rows_per_band")) {
+      (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("split_leak: .id_field"))
+      val names = optStrs(n, "names", env)
+      val fracs = optVals(n, "fractions", env).map {
+        case VNum(v, _) => v
+        case VLong(l) => l.toDouble
+        case v => throw DfsError(
+          s"split_leak: .fractions expects numbers, got $v")
+      }
+      if (names.isEmpty || names.size != fracs.size)
+        throw DfsError("split_leak: .names and .fractions must pair up")
+      graft.operators.text.Curation.splitLeakPairs(ctx.df,
+        Paths.ref(text), Paths.ref(id), names.zip(fracs),
+        optNum(n, "threshold", env).getOrElse(0.3),
+        optNum(n, "bands", env).map(_.toInt).getOrElse(4),
+        optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2))
+    },
     // SimHash block-blocking near-dup pairs (graft extension, the
     // Dedup.simhashDupPairs door): exact-recall candidates via the
     // 4-block pigeonhole, popcount verify

@@ -310,6 +310,37 @@ object Curation {
     df.withColumn(as, expr)
   }
 
+  /** Train/test split-leakage report — eval hygiene for the
+    * [[splitAssign]] splits: a near-duplicate pair straddling train
+    * and test silently inflates every benchmark number (the model
+    * "generalizes" to a paraphrase of its own training data).
+    * Composes [[Dedup.nearDupPairs]] with the split assignment and
+    * reports every cross-split near-dup pair:
+    * `(a, b, jac, split_a, split_b)` — empty output IS the hygiene
+    * certificate; non-empty output is the exact re-split worklist
+    * (move one side, or drop the pair from eval).
+    *
+    * 100 TB shape: the pair machinery carries its own documented
+    * shape; the split columns are pure per-row hash expressions joined
+    * back doc-keyed; the cross-split filter is a scan over PAIR rows.
+    */
+  def splitLeakPairs(df: DataFrame, text: Column, id: Column,
+      splits: Seq[(String, Double)], threshold: Double,
+      bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val pairs = graft.operators.text.Dedup.nearDupPairs(df, text, id,
+      threshold, bands, rowsPerBand)
+    val sp = splitAssign(df.select(id.as("doc_id")), col("doc_id"),
+      splits)
+    pairs
+      .join(sp.select(col("doc_id").as("a"),
+        col("split").as("split_a")), "a")
+      .join(sp.select(col("doc_id").as("b"),
+        col("split").as("split_b")), "b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("a"), col("b"), col("jac"),
+        col("split_a"), col("split_b"))
+  }
+
   /** TRAINED linear classifier over hashed token buckets — fixed-point
     * full-batch gradient descent with a HARD sigmoid, so the training
     * itself is bit-replayable (the fasttext-style classifier

@@ -1588,6 +1588,59 @@ object TextOps {
     }
   }
 
+  /** Per-document tf-idf keyword extraction: each doc's top-`k` terms
+    * by `tf · ln(N/df)` — the labeling/indexing staple (BM25 ranks
+    * DOCS for a query; this ranks TERMS for a doc; topTokens ranks
+    * terms for a GROUP by raw frequency, which surfaces stopwords —
+    * idf is exactly the stopword suppressor).
+    *
+    * idf is fixed-point: `lnNano(N) − lnNano(df)` — integer args,
+    * integer result — and the score is one exact long multiply
+    * (tf ≤ doc length, idf_nano ≤ ln(N)·1e9 ≈ 4e10 at a trillion
+    * docs: no overflow until tf ~ 2e8 in one doc). Ranks cut on the
+    * (score DESC, term) total order.
+    *
+    * 100 TB shape: ONE corpus scan builds (doc, term, tf) — a
+    * map-side-combinable aggregate; df and N derive from the
+    * scope-cached tf table (vocabulary- and 1-row-sized aggregates);
+    * the rank window partitions by doc over each doc's OWN vocabulary
+    * rows, never the corpus.
+    */
+  def tfidfTopTerms(docs: DataFrame, text: Column, id: Column,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"tfidfTopTerms: k must be >= 1, got $k")
+    val tc0 = docs.select(id.as("doc_id"), explode(tokens(text))
+        .as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // scope covers ONLY the idf derivation (df and N are two consumers
+    // of the tf table); the checkpoint is the VOCABULARY-sized
+    // (term, idf) table and the per-doc scoring rebuilds tf on lineage
+    // — the spanTrim rule: never eager-checkpoint data-sized output
+    val idf = graft.core.CacheScope.withPersisted(tc0) { tc =>
+      val dft = tc.groupBy(col("term")).agg(count(lit(1)).as("_df"))
+      val nn = tc.agg(count_distinct(col("doc_id")).as("_n"))
+        .withColumn("_k", lit(1))
+      val j = dft.withColumn("_k", lit(1))
+        .join(broadcast(nn), Seq("_k")).drop("_k")
+      val logged = Seq(("_n", "_ln_n"), ("_df", "_ln_df"))
+        .foldLeft(j) { case (cur, (in, out)) =>
+          graft.functions.FixedLog.withLnNano(cur, col(in), out)
+        }
+      logged.select(col("term"),
+        (col("_ln_n") - col("_ln_df")).as("_idf_nano"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_nano").desc, col("term"))
+    tc0.join(idf, Seq("term"))
+      .withColumn("score_nano", col("tf") * col("_idf_nano"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"),
+        col("score_nano"), col("rank"))
+  }
+
   /** Same-source common-prefix boilerplate strip — the CCNet-era
     * header removal: docs crawled from one site share a rendered
     * banner/nav prefix that dedup can't touch (each doc is unique

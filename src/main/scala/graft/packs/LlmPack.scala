@@ -180,6 +180,52 @@ object LlmPack extends QueryPack {
        |FROM lev WHERE dist <= $maxDist""".stripMargin
   }
 
+  /** Oracle for the tf-idf keyword queries: one (doc, term, tf)
+    * aggregate, vocabulary df + doc count N, two fixed-point lnNano
+    * chains, the exact long `tf · (ln_n − ln_df)` score, and the
+    * (score desc, term) per-doc cut.
+    */
+  private def tfidfSql(k: Int): String = {
+    import graft.functions.FixedLog.duckLnNano
+    s"""WITH t AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM t GROUP BY 1, 2),
+       |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS dfc
+       |        FROM tc GROUP BY 1),
+       |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+       |       FROM tc),
+       |j AS (SELECT dft.term, dft.dfc, nn.n FROM dft CROSS JOIN nn),
+       |l1 AS (SELECT * FROM ${duckLnNano("j",
+            Seq("term", "dfc"), "n", "ln_n")}),
+       |l2 AS (SELECT * FROM ${duckLnNano("l1",
+            Seq("term", "ln_n"), "dfc", "ln_df")}),
+       |sc AS (SELECT tc.doc_id, tc.term, tc.tf,
+       |         tc.tf * (l2.ln_n - l2.ln_df) AS score_nano
+       |       FROM tc JOIN l2 USING (term))
+       |SELECT doc_id, term, tf,
+       |  CAST(score_nano AS BIGINT) AS score_nano,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score_nano DESC, term) AS rank FROM sc)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Oracle for the split-leakage queries: the nearPairsSql pair
+    * replay joined with the splitCaseSql assignment on both
+    * endpoints, cross-split rows only.
+    */
+  private lazy val splitLeakSql: String =
+    s"""WITH pr AS (${nearPairsSql(0.3)}),
+       |sp AS (SELECT doc_id, $splitCaseSql AS split
+       |       FROM (SELECT doc_id,
+       |               ${h60("CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+       |             FROM documents))
+       |SELECT pr.a, pr.b, pr.jac,
+       |  x.split AS split_a, y.split AS split_b
+       |FROM pr JOIN sp x ON pr.a = x.doc_id
+       |        JOIN sp y ON pr.b = y.doc_id
+       |WHERE x.split <> y.split""".stripMargin
+
   /** Shared SimHash-32 fingerprint replay: distinct-token md5 hashes,
     * per-bit majority vote — `(doc_id, sh32)`.
     */
@@ -3116,6 +3162,40 @@ object LlmPack extends QueryPack {
           #  .every(100).k(10).c(60))
           #""".stripMargin('#'), s, dir),
       Some(rrfFuseSql)),
+
+    // per-doc tf-idf keywords: the labeling/indexing staple — BM25
+    // ranks docs for a query, top_tokens ranks terms for a group
+    // (stopword-dominated), this ranks terms for a DOC with idf as
+    // the stopword suppressor; idf in fixed-point lnNano
+    "text_tfidf_terms" -> QueryDef(
+      (s, dir) => TextOps.tfidfTopTerms(
+        Tables.documents(s, dir), col("text"), col("doc_id"), 5),
+      Some(tfidfSql(5))),
+
+    "dfs_tfidf_terms" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|tfidf_terms(.id_field('doc_id').k(5))
+          #""".stripMargin('#'), s, dir),
+      Some(tfidfSql(5))),
+
+    // train/test split-leakage report (eval hygiene): near-dup pairs
+    // straddling splitAssign's splits — empty output is the hygiene
+    // certificate, rows are the exact re-split worklist
+    "dedup_split_leak" -> QueryDef(
+      (s, dir) => Curation.splitLeakPairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"),
+        SplitSpec, 0.3),
+      Some(splitLeakSql)),
+
+    "dfs_split_leak" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|split_leak(.id_field('doc_id').threshold(0.3)
+          #  .names('train', 'val', 'test')
+          #  .fractions(0.9, 0.05, 0.05))
+          #""".stripMargin('#'), s, dir),
+      Some(splitLeakSql)),
 
     // same-source common-prefix boilerplate strip (the CCNet-era
     // header removal): the corpus is one-doc-one-line, so (the
