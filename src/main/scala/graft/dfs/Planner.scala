@@ -2731,6 +2731,74 @@ object Planner {
           Paths.ref(by), Paths.ref(field),
           optNum(n, "threshold", env).getOrElse(3.0))
     },
+    // exact tie-aware ROC-AUC (graft extension, the Curation.rocAuc
+    // door): .score/.label are per-row lambdas; one row out
+    "auc" -> bt(Set("score", "label")) { (ctx, n, env) =>
+      val score = optLambdas(n, "score", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("auc: .score(lambda)"))
+      val label = optLambdas(n, "label", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("auc: .label(lambda)"))
+      graft.operators.text.Curation.rocAuc(ctx.df, score,
+        label.cast("boolean"))
+    },
+    // precision/recall at fixed thresholds (graft extension, the
+    // Curation.prCurve door): predict positive iff score >= t
+    "pr_curve" -> bt(Set("score", "label", "thresholds")) {
+      (ctx, n, env) =>
+      val score = optLambdas(n, "score", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("pr_curve: .score(lambda)"))
+      val label = optLambdas(n, "label", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("pr_curve: .label(lambda)"))
+      val thrs = optVals(n, "thresholds", env).map {
+        case VNum(v, _) => v.toLong
+        case VLong(l) => l
+        case v => throw DfsError(
+          s"pr_curve: .thresholds expects numbers, got $v")
+      }
+      if (thrs.isEmpty) throw DfsError("pr_curve: .thresholds")
+      graft.operators.text.Curation.prCurve(ctx.df, score,
+        label.cast("boolean"), thrs)
+    },
+    // Platt calibration (graft extension, the Curation.plattCalibrate
+    // door): .train splits the table; calibrated probabilities on the
+    // non-train rows
+    "platt" -> bt(Set("score", "label", "train", "id_field", "iters",
+      "lr_a", "lr_b")) { (ctx, n, env) =>
+      def lam(name: String) = optLambdas(n, name, env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError(s"platt: .$name(lambda)"))
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("platt: .id_field"))
+      val isTrain = lam("train")
+      graft.operators.text.Curation.plattCalibrate(
+        ctx.df.filter(isTrain), ctx.df.filter(!isTrain),
+        lam("score"), lam("label").cast("boolean"), Paths.ref(id),
+        optNum(n, "iters", env).map(_.toInt).getOrElse(15),
+        optNum(n, "lr_a", env).map(_.toLong).getOrElse(1L),
+        optNum(n, "lr_b", env).map(_.toLong).getOrElse(16L))
+    },
+    // reliability diagram + ECE (graft extension, the
+    // Curation.calibrationBuckets door)
+    "calibration" -> bt(Set("prob", "label", "buckets")) {
+      (ctx, n, env) =>
+      def lam(name: String) = optLambdas(n, name, env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError(s"calibration: .$name(lambda)"))
+      graft.operators.text.Curation.calibrationBuckets(ctx.df,
+        lam("prob"), lam("label").cast("boolean"),
+        optNum(n, "buckets", env).map(_.toInt).getOrElse(10))
+    },
+    // Zipf power-law fit (graft extension, the TextOps.zipfFit door):
+    // fixed-point least squares over the top-N vocabulary — 1 row out
+    "zipf" -> bt(Set("text_field", "top_n")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      graft.operators.text.TextOps.zipfFit(ctx.df, Paths.ref(text),
+        optNum(n, "top_n", env).map(_.toInt).getOrElse(64))
+    },
     // fill-in-the-middle transform (graft extension, the
     // TextOps.fimTransform door)
     "fim" -> bt(Set("text_field", "id_field")) { (ctx, n, env) =>
@@ -3128,6 +3196,22 @@ object Planner {
         Paths.ref(text), Paths.ref(id),
         optNum(n, "max_hamming", env).map(_.toInt).getOrElse(3))
     },
+    // content-defined chunking (graft extension, the Dedup.cdcChunks /
+    // cdcDupReport doors): shift-resistant chunk rows, or with
+    // .report() the per-doc shared-chunk fraction rollup
+    "cdc_chunks" -> bt(Set("text_field", "id_field", "mask",
+      "report")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("cdc_chunks: .id_field"))
+      val mask = optNum(n, "mask", env).map(_.toInt).getOrElse(16)
+      if (optFlag(n, "report", env))
+        graft.operators.text.Dedup.cdcDupReport(ctx.df,
+          Paths.ref(text), Paths.ref(id), mask)
+      else
+        graft.operators.text.Dedup.cdcChunks(ctx.df,
+          Paths.ref(text), Paths.ref(id), mask)
+    },
     // same-source common-prefix boilerplate strip (graft extension,
     // the TextOps.commonPrefixStrip door)
     "prefix_strip" -> bt(Set("text_field", "id_field", "source_field",
@@ -3275,6 +3359,35 @@ object Planner {
       graft.operators.vector.VectorCuration.clusterCap(ctx.df, id, vec,
         graft.operators.vector.VectorCuration.seedCentroids(k, dim),
         optNum(n, "n", env).map(_.toInt).getOrElse(1000))
+    },
+    // margin-criterion pair mining (graft extension, the
+    // VectorCuration.marginPairs door): `.src` is a per-row lambda
+    // splitting the table into src/tgt sides; best-match pairs with
+    // neighborhood-relative margin in exact ppm
+    "margin_pairs" -> bt(Set("vec_field", "id_field", "src", "k",
+      "threshold_ppm")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("margin_pairs: .id_field"))
+      val isSrc = optLambdas(n, "src", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("margin_pairs: .src(lambda)"))
+      graft.operators.vector.VectorCuration.marginPairs(
+        ctx.df.filter(isSrc), ctx.df.filter(!isSrc), id, vec,
+        optNum(n, "k", env).map(_.toInt).getOrElse(4),
+        optNum(n, "threshold_ppm", env).map(_.toLong).getOrElse(0L))
+    },
+    // greedy k-center coreset selection (graft extension, the
+    // VectorCuration.kcenter door): Gonzalez farthest-point traversal —
+    // pick .k maximally-spread rows, assign everything to its nearest
+    // pick with the covering distance in micro-units
+    "kcenter" -> bt(Set("vec_field", "id_field", "k")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("kcenter: .id_field"))
+      graft.operators.vector.VectorCuration.kcenter(ctx.df, id, vec,
+        optNum(n, "k", env).map(_.toInt)
+          .getOrElse(throw DfsError("kcenter: .k")))
     },
     // embedding outlier pruning (graft extension, the
     // VectorCuration.clusterOutlierPrune door): per seeded cluster,

@@ -632,4 +632,173 @@ object Curation {
         .drop("_aes", "_aes_rn")
     }
   }
+
+  /** Platt calibration (Platt 1999): fit p = σ(a·(s − s̄) + b) turning a
+    * raw classifier score into a probability — the step between a
+    * trained gate (quality_lr / nb / linear) and any pipeline that
+    * THRESHOLDS BY EXPECTED PRECISION rather than raw margin. Training
+    * is bit-replayable fixed point, the [[linearClassify]] discipline:
+    * hard sigmoid p_milli = clamp(0, 1000, 500 + m div 4000), exact
+    * long gradients of the logistic loss ((p − y) count-weighted over
+    * the SCORE HISTOGRAM — never the corpus), truncating update steps.
+    * Scores center on the truncated train mean so the a/b gradients
+    * decouple. Returns per-row (doc_id, p_milli, pred) on the score
+    * side.
+    *
+    * 100 TB shape: ONE map-side-combined (score → np, nn) histogram,
+    * scope-cached; each of `iters` steps is one histogram aggregate +
+    * a 1-ROW parameter checkpoint (the w-chain pattern, k = 2 longs).
+    * Apply is a pure scan with (a, b, s̄) broadcast as a 1-row frame.
+    * Histogram cardinality (distinct scores) bounds every per-step
+    * operand; gradient sums bound by 1000·N·|sc|max — longs to any
+    * realistic labeled-set size.
+    */
+  def plattCalibrate(train: DataFrame, score: DataFrame, s: Column,
+      labelIsPos: Column, id: Column, iters: Int = 15,
+      lrNumA: Long = 1L, lrNumB: Long = 16L): DataFrame = {
+    require(iters >= 1 && lrNumA >= 1 && lrNumB >= 1,
+      "plattCalibrate: iters and learning rates must be >= 1")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val base = train.select(s.cast("long").as("_s"),
+      when(labelIsPos, 1000L).otherwise(0L).as("_y"))
+    // bounded driver scalars: N and the truncated mean (1-row aggregate)
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("_s")).as("ss"))
+      .collect()(0)
+    val n = stats.getAs[Long]("n")
+    require(n > 0, "plattCalibrate: empty train side")
+    val sbar = stats.getAs[Long]("ss") / n // trunc toward zero (n > 0)
+    graft.core.CacheScope.withPersisted(
+      base.withColumn("_sc", col("_s") - sbar)
+        .groupBy(col("_sc"))
+        .agg(sum(when(col("_y") === 1000L, 1L).otherwise(0L)).as("_np"),
+          sum(when(col("_y") === 1000L, 0L).otherwise(1L)).as("_nn"))
+    ) { h =>
+      var ab = Seq((0L, 0L)).toDF("_a", "_b").localCheckpoint()
+      for (_ <- 1 to iters) {
+        val g = h.crossJoin(broadcast(ab))
+          .withColumn("_p", greatest(lit(0L), least(lit(1000L),
+            lit(500L) + expr("(_a * _sc + _b) div 4000"))))
+          .withColumn("_e",
+            col("_p") * (col("_np") + col("_nn")) - lit(1000L) * col("_np"))
+          .agg(sum(col("_e") * col("_sc")).as("_ga"),
+            sum(col("_e")).as("_gb"))
+        ab = ab.crossJoin(broadcast(g))
+          .select(
+            (col("_a") - expr(s"(_ga * ${lrNumA}L) div ${n}L")).as("_a"),
+            (col("_b") - expr(s"(_gb * ${lrNumB}L) div ${n}L")).as("_b"))
+          .localCheckpoint()
+      }
+      score.select(id.as("doc_id"), s.cast("long").as("_s"))
+        .crossJoin(broadcast(ab))
+        .withColumn("p_milli", greatest(lit(0L), least(lit(1000L),
+          lit(500L) + expr(s"(_a * (_s - ${sbar}L) + _b) div 4000"))))
+        .select(col("doc_id"), col("p_milli"),
+          (col("p_milli") >= 500L).as("pred"))
+    }
+  }
+
+  /** Reliability diagram + expected calibration error over a
+    * probability column (milli units, 0..1000): `buckets` fixed-width
+    * confidence buckets, each with its count, mean predicted
+    * probability (conf_milli, trunc), empirical positive rate
+    * (acc_milli, trunc) and |gap|; `ece_milli` = Σ n_b·|gap_b| div N
+    * attached to every row (1-row broadcast, the fillPeriod
+    * lazy-scalar pattern). All-integer — bit-replayable anywhere.
+    *
+    * 100 TB shape: one map-side-combined aggregate to `buckets` rows +
+    * one 1-row total joined back by broadcast. Streams per micro-batch
+    * with batch-scoped buckets (corpus-relative ECE needs the corpus).
+    */
+  def calibrationBuckets(df: DataFrame, probMilli: Column,
+      label: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1 && buckets <= 1000,
+      s"calibrationBuckets: buckets in [1, 1000], got $buckets")
+    val p = df.select(probMilli.cast("long").as("_p"),
+      when(label, 1L).otherwise(0L).as("_y"))
+    require(buckets >= 1, "calibrationBuckets: buckets >= 1")
+    val b = p.withColumn("bucket",
+      least(lit(buckets - 1), expr(s"(_p * $buckets) div 1001"))
+        .cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_p")).as("_sp"),
+        sum(col("_y")).as("_ny"))
+      .withColumn("conf_milli", expr("_sp div n"))
+      .withColumn("acc_milli", expr("(_ny * 1000) div n"))
+      .withColumn("gap_milli", abs(col("conf_milli") - col("acc_milli")))
+    val tot = b.agg(sum(col("n") * col("gap_milli")).as("_gsum"),
+      sum(col("n")).as("_n"))
+    b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("conf_milli"),
+        col("acc_milli"), col("gap_milli"),
+        expr("_gsum div _n").as("ece_milli"))
+  }
+
+  /** Exact ROC-AUC (Mann–Whitney U, tie-exact) of a score against a
+    * binary label — the classifier-eval staple a curation pipeline runs
+    * after every quality/NB/linear-classifier training pass. Computed
+    * ENTIRELY in integer arithmetic from the score-distinct histogram:
+    * per distinct score (np, nn) counts, a global prefix sum of
+    * negatives below each score, and
+    * `2U = Σ np·(2·negBelow + nn)` — the midrank tie correction falls
+    * out exactly (each tied positive scores ties at nn/2, carried as
+    * the un-halved integer). `auc_ppm = 2U·10⁶ div (2·n⁺·n⁻)`; emitted
+    * with the exact numerator so callers can re-derive at any
+    * precision. Returns 1 row: (n_pos, n_neg, u2, auc_ppm) — auc_ppm
+    * null when either class is empty.
+    *
+    * 100 TB shape: one map-side-combined aggregate to score-distinct
+    * rows, one [[graft.operators.stateless.GlobalOrder.runningSum]]
+    * prefix pass over those rows (never `Window.orderBy` unpartitioned),
+    * one 1-row total. Bound: 2U < 2·n⁺·n⁻ must fit a long — any eval
+    * corpus under ~2·10⁹ rows per class, the realistic ceiling for a
+    * labeled set (sample upstream past it).
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val s = df.select(score.cast("long").as("sc"),
+      when(label, 1L).otherwise(0L).as("_p"))
+    val g = s.groupBy(col("sc"))
+      .agg(sum(col("_p")).as("np"),
+        (count(lit(1)) - sum(col("_p"))).as("nn"))
+    val c = graft.operators.stateless.GlobalOrder
+      .runningSum(g, Seq(col("sc")), col("nn"), "_cum")
+      .withColumn("_below", col("_cum") - col("nn"))
+    c.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("_below") * 2 + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("u2 * 1000000 div (2 * n_pos * n_neg)"))
+          .as("auc_ppm"))
+  }
+
+  /** Precision/recall curve at fixed score thresholds — the other half
+    * of the eval loop: pick the score cut that hits a target precision
+    * or retention. Per threshold t (predict positive iff score ≥ t):
+    * tp/fp/fn counts and exact ppm precision/recall (null when the
+    * denominator is 0). Integer-exact, deterministic.
+    *
+    * 100 TB shape: one explode(|T| literals) + one map-side-combined
+    * aggregate to |T| rows — the per-row fan-out collapses in the
+    * partial aggregate, nothing data-sized shuffles.
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "prCurve: thresholds must be non-empty")
+    val s = df.select(score.cast("long").as("sc"),
+      when(label, 1L).otherwise(0L).as("_p"))
+      .withColumn("thr", explode(array(thresholds.map(lit(_)): _*)))
+    s.groupBy(col("thr"))
+      .agg(
+        sum(when(col("sc") >= col("thr"), col("_p")).otherwise(0L))
+          .as("tp"),
+        sum(when(col("sc") >= col("thr"), lit(1L) - col("_p"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("sc") < col("thr"), col("_p")).otherwise(0L))
+          .as("fn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 1000000 div (tp + fp)")).as("prec_ppm"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 1000000 div (tp + fn)")).as("rec_ppm"))
+  }
 }

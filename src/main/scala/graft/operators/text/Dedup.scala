@@ -703,4 +703,84 @@ object Dedup {
           expr("(_inter * 1000000) div _union").as("jac_exact_ppm"))
     }
   }
+
+  /** Content-defined chunking (the LBFS/rsync idea over token streams):
+    * cut a document AFTER token p whenever the rolling 3-gram shingle
+    * hash ending at p is ≡ 0 (mod `mask`) — boundaries depend only on
+    * LOCAL content, so an insertion near the head shifts every
+    * byte offset but re-synchronizes the chunking within one chunk,
+    * and identical runs anywhere in the corpus produce identical
+    * chunks. Expected chunk length ≈ `mask` tokens (power of two).
+    * The dedup granularity BETWEEN exact-doc (whole-text hash) and
+    * dup_grams (every n-gram): shift-resistant shared-run detection at
+    * one digest per chunk, the storage/CAS-dedup shape.
+    *
+    * Output: one row per chunk — (doc_id, chunk_idx, n_tok, digest)
+    * where digest = md5 of the space-joined chunk tokens. Pure per-row
+    * HOF scan (the winnow let-binding discipline: the hash array is a
+    * bound column, never an inline subtree), zero shuffle, streams
+    * as-is. Docs shorter than 3 tokens have no shingles — one chunk.
+    *
+    * 100 TB shape: the scan emits ~n_tokens/mask rows per doc;
+    * chunk-level dedup is then ONE digest-keyed aggregate. Nothing
+    * quadratic, no self-join anywhere.
+    */
+  def cdcChunks(df: DataFrame, text: Column, id: Column,
+      mask: Int = 16): DataFrame = {
+    require(mask >= 2 && (mask & (mask - 1)) == 0,
+      s"cdcChunks: mask must be a power of two >= 2, got $mask")
+    val base = withShingleHashes(
+        df.select(id.as("doc_id"), text.as("_t")), col("_t"), "_hs")
+      .withColumn("_w", TextOps.tokens(col("_t")))
+      .withColumn("_n", size(col("_w")))
+    // boundary after token p = i + 2 for 1-based shingle index i with
+    // hs[i] % mask == 0; p = n would leave an empty tail chunk — drop
+    val withB = base.withColumn("_bp",
+      when(size(col("_hs")) >= 1,
+        filter(sequence(lit(1), size(col("_hs"))),
+          i => pmod(element_at(col("_hs"), i), lit(mask.toLong)) === 0
+            && i + 2 < col("_n")))
+        .otherwise(array().cast("array<int>")))
+    // extended cut list [0, b1.., n]: chunk k spans tokens
+    // (ext[k], ext[k+1]] — slice is start ext[k]+1, len ext[k+1]−ext[k]
+    val ext = concat(array(lit(0)),
+      transform(col("_bp"), i => i + 2), array(col("_n")))
+    withB.withColumn("_ext", ext)
+      .withColumn("_chunks",
+        transform(sequence(lit(1), size(col("_ext")) - 1),
+          k => slice(col("_w"), element_at(col("_ext"), k) + 1,
+            element_at(col("_ext"), k + 1)
+              - element_at(col("_ext"), k))))
+      .select(col("doc_id"),
+        posexplode(col("_chunks")).as(Seq("chunk_idx", "_ct")))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("_ct")).as("n_tok"),
+        md5(concat_ws(" ", col("_ct"))).as("digest"))
+  }
+
+  /** Chunk-level dedup report over [[cdcChunks]] output: per document,
+    * how many of its content-defined chunks also occur in OTHER
+    * documents (`n_dup`, by digest document-frequency ≥ 2) and the ppm
+    * fraction — the "how much of this doc is shared boilerplate/quote
+    * material" observability row, and the candidate list a chunk-store
+    * dedup would drop.
+    *
+    * 100 TB shape: chunk rows scope-cache once; df is one map-side-
+    * combined digest aggregate; flag-back is a digest-keyed equi-join
+    * (partitionable, no broadcast requirement); the rollup is one
+    * doc-keyed aggregate.
+    */
+  def cdcDupReport(df: DataFrame, text: Column, id: Column,
+      mask: Int = 16): DataFrame =
+    graft.core.CacheScope.withPersisted(
+        cdcChunks(df, text, id, mask)) { chunks =>
+      val dfreq = chunks.groupBy(col("digest"))
+        .agg(countDistinct(col("doc_id")).as("_df"))
+      chunks.join(dfreq, Seq("digest"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+          expr("(n_dup * 1000000) div n_chunks").as("dup_ppm"))
+    }
 }

@@ -1704,4 +1704,51 @@ object TextOps {
             coalesce(col("prefix_len"), lit(0)), lit(0))), " ")
           .as("text_strip"))
   }
+
+  /** Zipf power-law fit of the token frequency distribution — the
+    * corpus-health diagnostic: natural text sits near slope −1 on
+    * log-count vs log-rank; badly skewed slopes flag boilerplate
+    * floods (too steep) or tokenization damage / synthetic noise (too
+    * flat). Least-squares over the top-`topN` vocabulary rows in EXACT
+    * fixed-point arithmetic: x = lnNano(rank) and y = lnNano(count)
+    * truncated to milli-units, slope = (n·Σxy − Σx·Σy)·10⁶ div
+    * (n·Σx² − (Σx)²) — every operand a long, every division the shared
+    * trunc-toward-zero rule, so any engine replays the fit bit-for-bit
+    * (the emb_cov lesson: never ship an IEEE regression in an oracle).
+    * Milli logs bound |n·Σxy| ≤ topN²·ln(rank)·ln(cnt)·10⁶ ≈ 10¹²
+    * at topN = 64 — far inside long range with the 10⁶ slope scale.
+    * Returns 1 row: (n_terms, slope_micro, intercept_milli).
+    *
+    * 100 TB shape: ONE map-side-combined vocabulary aggregate, a
+    * TakeOrdered top-`topN` cut (never a global sort), ranks from the
+    * GlobalOrder partition-offset primitive over ≤ topN rows, one
+    * 1-row aggregate. Nothing data-sized past the vocab count.
+    */
+  def zipfFit(df: DataFrame, text: Column, topN: Int = 64): DataFrame = {
+    // topN ≤ 128 keeps the worst-case |n·Σxy|·10⁶ ≈ n²·ln(n)·ln(cnt)·10¹²
+    // under 2·10¹⁸ — a 4× margin inside long range (overflow-proof by
+    // bound, not by data)
+    require(topN >= 2 && topN <= 128,
+      s"zipfFit: topN in [2, 128], got $topN")
+    val counts = df.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok")).limit(topN)
+    val ranked = graft.operators.stateless.GlobalOrder
+      .rowNumber(top, Seq(col("cnt").desc, col("tok")), "r")
+    val pts = ranked
+      .withColumn("_xn", graft.functions.FixedLog.lnNano(col("r")))
+      .withColumn("_yn", graft.functions.FixedLog.lnNano(col("cnt")))
+      .withColumn("_x", expr("_xn div 1000000"))
+      .withColumn("_y", expr("_yn div 1000000"))
+    pts.agg(count(lit(1)).as("n_terms"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .withColumn("slope_micro",
+        expr("""(n_terms * _sxy - _sx * _sy) * 1000000
+               | div (n_terms * _sxx - _sx * _sx)""".stripMargin))
+      .withColumn("intercept_milli",
+        expr("(_sy - slope_micro * _sx div 1000000) div n_terms"))
+      .select(col("n_terms"), col("slope_micro"), col("intercept_milli"))
+  }
 }

@@ -524,6 +524,160 @@ object VectorCuration {
       .select(col(idCol), expr("_s div 1000000000").as("proj_micro"))
   }
 
+  /** Greedy k-center selection (Gonzalez 1985 farthest-point traversal,
+    * the 2-approximation): pick the minimum-id row as the first center,
+    * then `k−1` times pick the row FARTHEST from the already-selected
+    * set (max over rows of min sq-dist to the centers, ties to the
+    * LOWER id). The coreset/diversity-selection primitive: where
+    * [[clusterCap]] thins dense regions relative to fixed centroids,
+    * k-center picks the cover itself — the selected rows are maximally
+    * spread, and the max assignment distance is within 2× of the
+    * optimal k-center radius. Used for "pick k maximally-diverse
+    * examples" (seed sets for labeling, eval probes, prompt exemplars).
+    *
+    * Determinism: every distance is the codegen'd FLOAT-subtract /
+    * DOUBLE-accumulate fold of [[graft.functions.VectorExpressions
+    * .floatSqDist]] — bit-exact cross-engine (the sqDistSql pin) — and
+    * both argmax and the later argmin break ties on exact values, so
+    * the selection replays bit-for-bit in a SQL oracle.
+    *
+    * 100 TB shape: k iterations, each ONE codegen'd scan (distances to
+    * ≤ k literal centers) + a 1-row TakeOrdered argmax — the sanctioned
+    * bounded-collect class (BpeTrainer's per-merge argmax). No shuffle,
+    * no broadcast beyond the k·dim literals in the scan expression.
+    * Cost is k corpus scans: for large k pre-thin with hashSample or
+    * run over cluster representatives ([[seedCentroids]] +
+    * [[clusterAssign]] reps), the standard composed form.
+    *
+    * Degenerate note: if the corpus has fewer than k distinct vectors,
+    * all residual distances hit 0 and the argmax (ties to lower id)
+    * re-selects an existing center; callers wanting hard uniqueness
+    * should dedup vectors upstream (exact dedup on the vector bytes).
+    */
+  def kcenterTrain(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Long, Array[Float])] = {
+    require(k >= 1, s"kcenterTrain: k must be >= 1, got $k")
+    def take1(d: DataFrame): (Long, Array[Float]) = {
+      val r = d.limit(1).collect()(0) // bounded: 1 row per iteration
+      (r.getLong(0), r.getSeq[Float](1).toArray)
+    }
+    val first = take1(df.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)))
+    var centers = Vector(first)
+    while (centers.size < k) {
+      val far = take1(df
+        .withColumn("_d", minDistTo(col(vecCol), centers.map(_._2)))
+        .select(col(idCol).cast("long"), col(vecCol), col("_d"))
+        .orderBy(col("_d").desc, col(idCol)))
+      centers = centers :+ far
+    }
+    centers
+  }
+
+  /** Assignment half of [[kcenterTrain]]: every row → the rank (selection
+    * order) and id of its nearest selected center, plus the covering
+    * distance as floor(d·10⁶) micro-units (the fold is bit-exact, so the
+    * floor is too). Ties go to the EARLIER-selected center. Pure
+    * codegen'd scan — zero shuffle, streams as-is.
+    */
+  def kcenterAssign(df: DataFrame, idCol: String, vecCol: String,
+      centers: Seq[(Long, Array[Float])]): DataFrame = {
+    val dists = array(centers.map(c =>
+      graft.functions.VectorExpressions.floatSqDist(
+        col(vecCol), array(c._2.toIndexedSeq.map(lit(_)): _*))): _*)
+    val ids = array(centers.map(c => lit(c._1)): _*)
+    df.withColumn("_cd", dists)
+      .withColumn("center_rank",
+        (array_position(col("_cd"), array_min(col("_cd"))) - 1)
+          .cast("int"))
+      .withColumn("center_id",
+        element_at(ids, col("center_rank") + 1))
+      .withColumn("d_micro",
+        floor(array_min(col("_cd")) * 1000000d).cast("long"))
+      .drop("_cd")
+  }
+
+  /** One-call k-center: train on the input, assign the input. */
+  def kcenter(df: DataFrame, idCol: String, vecCol: String, k: Int)
+      : DataFrame =
+    kcenterAssign(df, idCol, vecCol, kcenterTrain(df, idCol, vecCol, k))
+
+  /** Margin-criterion pair mining (Artetxe & Schwenk 2019 — the LASER
+    * bitext-mining scorer): absolute cosine misfires under hubness, so
+    * each candidate pair (x, y) scores RELATIVE to its neighborhoods —
+    * margin = cos(x,y) / ((avgᵏfwd(x) + avgᵏbwd(y)) / 2). Mined pairs
+    * are each src row with its best tgt match, the margin in exact ppm,
+    * and a mutual-best flag — the parallel-corpus mining / cross-corpus
+    * alignment primitive.
+    *
+    * Determinism: every cosine is the bit-exact FLOAT fold, truncated
+    * ONCE to floor(cos·10⁹) nano longs; neighborhood sums are exact
+    * long adds over the rank-cut top-k (ties (sim desc, id)), and
+    * margin_ppm = c_nano·2k·10⁶ div (Σfwd + Σbwd) — trunc division, so
+    * the whole mining replays bit-for-bit in SQL. Pairs whose
+    * denominator is ≤ 0 (pathological all-negative neighborhoods) are
+    * dropped, documented.
+    *
+    * 100 TB shape: the yardstick form scores src×tgt once (src
+    * broadcast, guarded — the bruteTopK contract) and reuses the ONE
+    * scored pair table for both directions (scope-cached). Corpus-sized
+    * mining generates candidates with [[VectorOps.annTopK]]'s bucket
+    * join per direction and applies the same nano/margin arithmetic on
+    * the survivors.
+    */
+  def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int, thresholdPpm: Long,
+      maxSrcRows: Long = 100000L): DataFrame = {
+    require(k >= 1, s"marginPairs: k must be >= 1, got $k")
+    val nSrc = src.count()
+    require(nSrc <= maxSrcRows,
+      s"marginPairs src side has $nSrc rows (max $maxSrcRows): too " +
+        "large to broadcast — generate candidates with annTopK upstream")
+    val q = src.select(col(idCol).as("src_id"), col(vecCol).as("_sv"))
+      .withColumn("_sn", VectorOps.norm(col("_sv")))
+    val c = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
+      .withColumn("_tn", VectorOps.norm(col("_tv")))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("c_nano",
+        floor(VectorOps.dot(col("_sv"), col("_tv"))
+          / (col("_sn") * col("_tn")) * 1000000000d).cast("long"))
+      .select(col("src_id"), col("tgt_id"), col("c_nano"))
+    graft.core.CacheScope.withPersisted(scored) { sc =>
+      val fw = Window.partitionBy(col("src_id"))
+        .orderBy(col("c_nano").desc, col("tgt_id"))
+      val fwd = sc.withColumn("_r", row_number().over(fw))
+        .filter(col("_r") <= k)
+      val fwdAgg = fwd.groupBy(col("src_id"))
+        .agg(sum(col("c_nano")).as("_afn"),
+          min(when(col("_r") === 1, col("tgt_id"))).as("_best_tgt"))
+      val bw = Window.partitionBy(col("tgt_id"))
+        .orderBy(col("c_nano").desc, col("src_id"))
+      val bwd = sc.withColumn("_r", row_number().over(bw))
+        .filter(col("_r") <= k)
+      val bwdAgg = bwd.groupBy(col("tgt_id"))
+        .agg(sum(col("c_nano")).as("_abn"),
+          min(when(col("_r") === 1, col("src_id"))).as("_best_src"))
+      sc.join(fwdAgg, Seq("src_id"))
+        .filter(col("tgt_id") === col("_best_tgt"))
+        .join(bwdAgg, Seq("tgt_id"))
+        .filter(col("_afn") + col("_abn") > 0)
+        .withColumn("margin_ppm",
+          expr(s"(c_nano * ${2L * k} * 1000000) div (_afn + _abn)"))
+        .filter(col("margin_ppm") >= thresholdPpm)
+        .withColumn("mutual", col("_best_src") === col("src_id"))
+        .select(col("src_id"), col("tgt_id"), col("c_nano"),
+          col("margin_ppm"), col("mutual"))
+    }
+  }
+
+  /** min over `cents` of the exact FLOAT sq-dist fold — shared by the
+    * k-center train/assign scans.
+    */
+  private def minDistTo(vec: Column, cents: Seq[Array[Float]]): Column =
+    array_min(array(cents.map(c =>
+      graft.functions.VectorExpressions.floatSqDist(
+        vec, array(c.toIndexedSeq.map(lit(_)): _*))): _*))
+
   /** Shared tail of the kNN-label family: rank each query's scored
     * candidates, keep `k`, majority-vote the neighbour labels (more
     * votes first, then the LOWER label — fully deterministic).

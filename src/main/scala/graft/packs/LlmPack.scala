@@ -489,6 +489,37 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(spanDedupSql)),
 
+    // content-defined chunking (LBFS/rsync over token streams): cut
+    // after token p when the rolling shingle hash ending at p ≡ 0
+    // (mod 16) — boundaries are content-local, so identical runs chunk
+    // identically anywhere in the corpus (shift-resistant dedup, the
+    // granularity between exact-doc and dup_grams). A 45-token banner
+    // prepended to every fifth doc plants identical runs; the oracle
+    // replays hash, cuts, slices, and digests verbatim.
+    "dedup_cdc_chunks" -> QueryDef(
+      (s, dir) => Dedup.cdcChunks(cdcFixture(Tables.documents(s, dir)),
+        col("text"), col("doc_id"), 16),
+      Some(cdcChunksSql)),
+
+    // per-doc rollup of the above: how many of a doc's chunks occur in
+    // other docs too (digest df ≥ 2) — the "shared boilerplate
+    // fraction" report and the chunk-store drop list
+    "dedup_cdc_report" -> QueryDef(
+      (s, dir) => Dedup.cdcDupReport(cdcFixture(Tables.documents(s, dir)),
+        col("text"), col("doc_id"), 16),
+      Some(cdcReportSql)),
+
+    "dfs_cdc_report" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        s"""|parquet_read(.table('documents'))
+           #|eval(lambda: str_concat(
+           #  if(mod("doc_id", 5) == 0, '$cdcBanner ', ''), "text"))
+           #  .as('text2')
+           #|cdc_chunks(.text_field('text2').id_field('doc_id')
+           #  .mask(16).report())
+           #""".stripMargin('#'), s, dir),
+      Some(cdcReportSql)),
+
     // near-rewrite pairs: LSH candidates verified by edit distance over
     // a bounded prefix (the paraphrase detector Jaccard-on-shingles
     // misses scores differently) — prefix bound caps the O(len²)
@@ -2553,6 +2584,147 @@ object LlmPack extends QueryPack {
       },
       Some(kmeansSql)),
 
+    // margin-criterion pair mining (LASER bitext mining): each even
+    // vec_id (src side) pairs with its best odd-side match, scored
+    // RELATIVE to both neighborhoods — margin = cos/((avgFwd+avgBwd)/2)
+    // in exact nano/ppm fixed point, mutual-best flagged. The oracle
+    // replays the one scored pair table, both rank windows, the k-sums
+    // and the trunc division bit-for-bit.
+    "emb_margin_pairs" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorCuration.marginPairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 4, 0L)
+      },
+      Some(marginPairsSql(0L))),
+
+    "dfs_margin_pairs" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|margin_pairs(
+          #  .vec_field('embedding')
+          #  .id_field('vec_id')
+          #  .src(lambda: mod("vec_id", 2) == 0)
+          #  .k(4)
+          #  .threshold_ppm(1000000))
+          #""".stripMargin('#'), s, dir),
+      Some(marginPairsSql(1000000L))),
+
+    // greedy k-center coreset selection (Gonzalez farthest-point, the
+    // 2-approx): min-id seed, then 3 argmax-of-min-distance picks, then
+    // the nearest-center assignment with covering distance. Every
+    // distance is the bit-exact FLOAT sq-dist fold, every argmax/argmin
+    // tie-breaks on exact values, so the oracle unrolls the SAME three
+    // selection steps and replays the whole traversal bit-for-bit.
+    "emb_kcenter" -> QueryDef(
+      (s, dir) => VectorCuration.kcenter(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 4)
+        .select(col("vec_id"), col("center_rank"), col("center_id"),
+          col("d_micro")),
+      Some(kcenterSql)),
+
+    // Zipf power-law fit over the top-64 vocabulary: the corpus-health
+    // diagnostic (natural text ≈ slope −1; floods/noise bend it). The
+    // whole least-squares runs in fixed point — lnNano milli logs,
+    // exact long sums, trunc divisions — so the oracle replays rank,
+    // logs, and both fit coefficients bit-for-bit.
+    "text_zipf" -> QueryDef(
+      (s, dir) => TextOps.zipfFit(Tables.documents(s, dir),
+        col("text"), 64),
+      Some(zipfSql)),
+
+    // Platt calibration: fit p = σ(a·(s−s̄)+b) on a noisy monotone
+    // label over the train split, emit calibrated probabilities on the
+    // held-out split. Training is the linearClassify fixed-point GD
+    // discipline over the SCORE HISTOGRAM (never the corpus); the
+    // oracle unrolls all 15 steps in materialized CTEs.
+    "text_platt" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_tc",
+            graft.operators.text.TextOps.tokenCount(col("text"))
+              .cast("long"))
+        val isPos = (col("_tc") + col("doc_id") % 21) >= 66
+        Curation.plattCalibrate(
+          docs.filter(col("doc_id") % 5 =!= 0).withColumn("_y0", isPos),
+          docs.filter(col("doc_id") % 5 === 0),
+          col("_tc"), col("_y0"), col("doc_id"), 15, 1L, 16L)
+      },
+      Some(plattSql)),
+
+    "dfs_platt" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|platt(
+          #  .score(lambda: mod("n_chars", 97))
+          #  .label(lambda: mod("n_chars", 97) + mod("doc_id", 21) >= 66)
+          #  .train(lambda: mod("doc_id", 5) != 0)
+          #  .id_field('doc_id')
+          #  .iters(15).lr_a(1).lr_b(16))
+          #""".stripMargin('#'), s, dir),
+      Some(plattSqlFor("CAST(n_chars % 97 AS BIGINT)"))),
+
+    // reliability diagram + expected calibration error: 10 confidence
+    // buckets over a deterministic near-calibrated fixture (label fires
+    // below its own stated probability), per-bucket conf/acc/gap and
+    // the 1-row ECE broadcast back — all-integer
+    "text_ece" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_pr", (col("n_chars") % 1001).cast("long"))
+        Curation.calibrationBuckets(docs, col("_pr"),
+          (col("doc_id") * 7919) % 1000 < col("_pr"), 10)
+      },
+      Some(eceSql)),
+
+    "dfs_ece" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|calibration(
+          #  .prob(lambda: mod("n_chars", 1001))
+          #  .label(lambda: mod("doc_id" * 7919, 1000)
+          #         < mod("n_chars", 1001))
+          #  .buckets(10))
+          #""".stripMargin('#'), s, dir),
+      Some(eceSql)),
+
+    // exact tie-aware ROC-AUC of a score vs a binary label — the eval
+    // primitive every classifier pass (quality_lr / nb / linear) feeds.
+    // Bucketed token count (div 8 → 1..12, HEAVY ties) against a
+    // label independent of it, so the midrank tie term dominates and
+    // auc_ppm sits near 500000; all-integer arithmetic, prefix sum via
+    // the GlobalOrder partition-offset scan. Oracle replays the
+    // histogram + window + 2U formula exactly.
+    "text_auc" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_tc",
+            graft.operators.text.TextOps.tokenCount(col("text"))
+              .cast("long"))
+          .withColumn("_sc", expr("_tc div 8"))
+        Curation.rocAuc(docs, col("_sc"), col("doc_id") % 3 === 0)
+      },
+      Some(aucSql)),
+
+    // precision/recall curve at fixed score thresholds (predict
+    // positive iff score ≥ t): the threshold-picking half of the eval
+    // loop. Raw token count as score, thresholds spanning past both
+    // ends so the all-positive and zero-prediction (null precision)
+    // branches are both exercised. One explode + one map-side-combined
+    // aggregate to |T| rows.
+    "text_pr_curve" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("_tc",
+            graft.operators.text.TextOps.tokenCount(col("text"))
+              .cast("long"))
+        Curation.prCurve(docs, col("_tc"), col("doc_id") % 3 === 0,
+          Seq(0L, 20L, 40L, 60L, 80L, 100L))
+      },
+      Some(prCurveSql)),
+
     // DFS twins: the curation ops through the script front-end
     "dfs_domain_cap" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -2579,6 +2751,41 @@ object LlmPack extends QueryPack {
              |             doc_id) - 1 AS pos,
              |  doc_id
              |FROM documents""".stripMargin)),
+
+    "dfs_zipf" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|zipf(.text_field('text').top_n(64))
+          #""".stripMargin('#'), s, dir),
+      Some(zipfSql)),
+
+    "dfs_auc" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|auc(
+          #  .score(lambda: "n_chars")
+          #  .label(lambda: mod("doc_id", 3) == 0))
+          #""".stripMargin('#'), s, dir),
+      Some(aucSqlFor("CAST(n_chars AS BIGINT)"))),
+
+    "dfs_pr_curve" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|pr_curve(
+          #  .score(lambda: "n_chars")
+          #  .label(lambda: mod("doc_id", 3) == 0)
+          #  .thresholds(0, 200, 400, 600))
+          #""".stripMargin('#'), s, dir),
+      Some(prCurveSqlFor("CAST(n_chars AS BIGINT)",
+        Seq(0L, 200L, 400L, 600L)))),
+
+    "dfs_kcenter" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|kcenter(.vec_field('embedding').id_field('vec_id').k(4))
+          #|keep('vec_id', 'center_rank', 'center_id', 'd_micro')
+          #""".stripMargin('#'), s, dir),
+      Some(kcenterSql)),
 
     "dfs_knn_label" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -3443,6 +3650,65 @@ object LlmPack extends QueryPack {
       |        substr(text, 1, 40) || '. ' || substr(text, 41, 40) ||
       |        '. ' || substr(text, 81, 1000000) || '.' AS text
       |      FROM documents)""".stripMargin
+
+  /** 45 distinct banner tokens (cdc00..cdc44) prepended to every fifth
+    * doc — plants identical token runs so chunk-level dedup has real
+    * cross-doc duplicates to find.
+    */
+  private lazy val cdcBanner: String =
+    (0 until 45).map(i => f"cdc$i%02d").mkString(" ")
+
+  private def cdcFixture(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), concat(
+      when(col("doc_id") % 5 === 0, s"$cdcBanner ").otherwise(""),
+      col("text")).as("text"))
+
+  /** Shared CTE chain for the CDC oracles: fixture text → token hashes →
+    * rolling shingle hashes → cut positions → parallel-unnest chunk
+    * slices with their token counts. `ch` exposes
+    * (doc_id, chunk_idx, n_tok, digest).
+    */
+  private def cdcCtes(mask: Int): String =
+    s"""fx AS (SELECT doc_id,
+       |         CASE WHEN doc_id % 5 = 0 THEN '$cdcBanner '
+       |              ELSE '' END || text AS text
+       |       FROM documents),
+       |b0 AS (SELECT doc_id, $toks AS w FROM fx),
+       |b1 AS (SELECT doc_id, w, len(w) AS n,
+       |         list_transform(w, t -> ${h60("t")} % ${Dedup.P}) AS th
+       |       FROM b0),
+       |b2 AS (SELECT doc_id, w, n, $rollHs AS rh FROM b1),
+       |b3 AS (SELECT doc_id, w, n,
+       |         [0] || [i + 2 FOR i IN range(1, len(rh) + 1)
+       |                 IF rh[i] % $mask = 0 AND i + 2 < n] || [n] AS ext
+       |       FROM b2),
+       |ch AS (SELECT doc_id,
+       |         CAST(unnest(range(1, len(ext))) - 1 AS INTEGER)
+       |           AS chunk_idx,
+       |         CAST(unnest([ext[i + 1] - ext[i]
+       |                      FOR i IN range(1, len(ext))]) AS INTEGER)
+       |           AS n_tok,
+       |         md5(unnest([array_to_string(w[ext[i] + 1 : ext[i + 1]],
+       |                                     ' ')
+       |                     FOR i IN range(1, len(ext))])) AS digest
+       |       FROM b3)""".stripMargin
+
+  private lazy val cdcChunksSql: String =
+    s"""WITH ${cdcCtes(16)}
+       |SELECT doc_id, chunk_idx, n_tok, digest FROM ch""".stripMargin
+
+  private lazy val cdcReportSql: String =
+    s"""WITH ${cdcCtes(16)},
+       |df AS (SELECT digest, count(DISTINCT doc_id) AS ddf FROM ch
+       |       GROUP BY digest),
+       |j AS (SELECT ch.doc_id, df.ddf FROM ch JOIN df USING (digest))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup,
+       |  CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) * 1000000
+       |       // count(*) AS BIGINT) AS dup_ppm
+       |FROM j GROUP BY doc_id""".stripMargin
 
   private def sentFixture(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
@@ -4363,6 +4629,262 @@ object LlmPack extends QueryPack {
        |      ORDER BY dist, cell) AS rn
        |  FROM d1)
        |WHERE rn = 1""".stripMargin
+  }
+
+  /** Oracle for `text_platt`: the full fixed-point GD replay — score
+    * histogram over the centered train scores, 15 unrolled iterations
+    * (each a 1-row gradient aggregate + a 1-row parameter update, all
+    * MATERIALIZED — the linearClassify chain discipline), then the
+    * held-out apply. Gradient sums cast to BIGINT (HUGEINT lesson);
+    * every division `//` == Spark `div` (trunc, verified).
+    */
+  private lazy val plattSql: String =
+    plattSqlFor(s"CAST(len($toks) AS BIGINT)")
+
+  private def plattSqlFor(sExpr: String): String = {
+    val p = "greatest(0, least(1000, 500 + (a * sc + b) // 4000))"
+    val iter = (pv: Int, c: Int) =>
+      s"""g$c AS MATERIALIZED (SELECT
+         |        CAST(sum(($p * (np + nn2) - 1000 * np) * sc) AS BIGINT)
+         |          AS ga,
+         |        CAST(sum($p * (np + nn2) - 1000 * np) AS BIGINT) AS gb
+         |      FROM h CROSS JOIN ab$pv),
+         |ab$c AS MATERIALIZED (SELECT
+         |        CAST(a - (ga * 1) // (SELECT n FROM st) AS BIGINT) AS a,
+         |        CAST(b - (gb * 16) // (SELECT n FROM st) AS BIGINT) AS b
+         |      FROM ab$pv CROSS JOIN g$c)""".stripMargin
+    s"""WITH tr AS MATERIALIZED (
+       |        SELECT s, CASE WHEN s + doc_id % 21 >= 66
+       |                       THEN 1000 ELSE 0 END AS y
+       |        FROM (SELECT doc_id, $sExpr AS s
+       |              FROM documents)
+       |        WHERE doc_id % 5 <> 0),
+       |st AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(s) AS BIGINT) AS ss FROM tr),
+       |h AS MATERIALIZED (SELECT s - (SELECT ss // n FROM st) AS sc,
+       |        CAST(sum(CASE WHEN y = 1000 THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS np,
+       |        CAST(sum(CASE WHEN y = 1000 THEN 0 ELSE 1 END) AS BIGINT)
+       |          AS nn2
+       |      FROM tr GROUP BY 1),
+       |ab0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS a,
+       |        CAST(0 AS BIGINT) AS b),
+       |${(0 until 15).map(i => iter(i, i + 1)).mkString(",\n")},
+       |te AS (SELECT doc_id, $sExpr AS s
+       |       FROM documents WHERE doc_id % 5 = 0)
+       |SELECT doc_id,
+       |  CAST(greatest(0, least(1000,
+       |    500 + (a * (s - (SELECT ss // n FROM st)) + b) // 4000))
+       |    AS BIGINT) AS p_milli,
+       |  greatest(0, least(1000,
+       |    500 + (a * (s - (SELECT ss // n FROM st)) + b) // 4000)) >= 500
+       |    AS pred
+       |FROM te CROSS JOIN ab15""".stripMargin
+  }
+
+  /** Oracle for the calibration queries: fixed-width bucket aggregate,
+    * trunc conf/acc divisions, |gap|, and the 1-row ECE cross-joined
+    * back — all BIGINT.
+    */
+  private lazy val eceSql: String =
+    s"""WITH p AS (SELECT CAST(n_chars % 1001 AS BIGINT) AS pr,
+       |        CASE WHEN (doc_id * 7919) % 1000 < n_chars % 1001
+       |             THEN 1 ELSE 0 END AS y
+       |      FROM documents),
+       |b AS (SELECT CAST(least(9, (pr * 10) // 1001) AS INTEGER)
+       |          AS bucket,
+       |        CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(pr) AS BIGINT) AS sp,
+       |        CAST(sum(y) AS BIGINT) AS ny
+       |      FROM p GROUP BY 1),
+       |b2 AS (SELECT bucket, n,
+       |         CAST(sp // n AS BIGINT) AS conf_milli,
+       |         CAST((ny * 1000) // n AS BIGINT) AS acc_milli
+       |       FROM b),
+       |b3 AS (SELECT *, abs(conf_milli - acc_milli) AS gap_milli
+       |       FROM b2),
+       |t AS (SELECT CAST(sum(n * gap_milli) AS BIGINT) AS gsum,
+       |        CAST(sum(n) AS BIGINT) AS nt FROM b3)
+       |SELECT bucket, n, conf_milli, acc_milli, gap_milli,
+       |  CAST(gsum // nt AS BIGINT) AS ece_milli
+       |FROM b3 CROSS JOIN t""".stripMargin
+
+  /** Oracle for `text_zipf`: vocabulary count, deterministic top-64
+    * cut, two duckLnNano chains (rank, count), milli truncation, exact
+    * integer least squares — `//` == Spark `div` (trunc toward zero,
+    * verified by the pcaPowerTop pin), sums cast back from HUGEINT.
+    */
+  private lazy val zipfSql: String = {
+    val l1 = graft.functions.FixedLog.duckLnNano(
+      "t", Seq("cnt", "r"), "r", "lnr", "_za_")
+    val l2 = graft.functions.FixedLog.duckLnNano(
+      l1, Seq("cnt", "lnr"), "cnt", "lnc", "_zb_")
+    s"""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |           FROM (SELECT unnest($toks) AS tok FROM documents)
+       |           GROUP BY tok),
+       |t AS (SELECT cnt, r FROM (
+       |        SELECT cnt, tok,
+       |          row_number() OVER (ORDER BY cnt DESC, tok) AS r
+       |        FROM c)
+       |      WHERE r <= 64),
+       |p AS (SELECT lnr // 1000000 AS x, lnc // 1000000 AS y FROM $l2),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx,
+       |        CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * y) AS BIGINT) AS sxy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx
+       |      FROM p),
+       |f AS (SELECT n, sx, sy,
+       |        CAST((n * sxy - sx * sy) * 1000000
+       |             // (n * sxx - sx * sx) AS BIGINT) AS slope_micro
+       |      FROM s)
+       |SELECT n AS n_terms, slope_micro,
+       |  CAST((sy - slope_micro * sx // 1000000) // n AS BIGINT)
+       |    AS intercept_milli
+       |FROM f""".stripMargin
+  }
+
+  /** Oracle for `text_auc`: the same score-distinct histogram, a
+    * cumulative window for negatives-below (distinct scores, so RANGE ==
+    * ROWS), and 2U = Σ np·(2·below + nn). Every sum feeding an output is
+    * cast back to BIGINT (the HLL/nb HUGEINT-widening lesson), and the
+    * final division is integer `//` over positive operands — identical
+    * to Spark's `div`.
+    */
+  private lazy val aucSql: String =
+    aucSqlFor(s"CAST(len($toks) AS BIGINT) // 8")
+
+  private def aucSqlFor(scExpr: String): String =
+    s"""WITH s AS (SELECT $scExpr AS sc,
+       |             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS p
+       |           FROM documents),
+       |g AS (SELECT sc, CAST(sum(p) AS BIGINT) AS np,
+       |        CAST(count(*) - sum(p) AS BIGINT) AS nn
+       |      FROM s GROUP BY sc),
+       |c AS (SELECT sc, np, nn,
+       |        CAST(sum(nn) OVER (ORDER BY sc) - nn AS BIGINT) AS below
+       |      FROM g),
+       |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |        CAST(sum(nn) AS BIGINT) AS n_neg,
+       |        CAST(sum(np * (2 * below + nn)) AS BIGINT) AS u2
+       |      FROM c)
+       |SELECT n_pos, n_neg, u2,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0
+       |       THEN CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+       |  END AS auc_ppm
+       |FROM t""".stripMargin
+
+  /** Oracle for `text_pr_curve`: unnest the threshold literals, one
+    * conditional aggregate per class, ppm divisions guarded by CASE.
+    */
+  private lazy val prCurveSql: String =
+    prCurveSqlFor(s"CAST(len($toks) AS BIGINT)",
+      Seq(0L, 20L, 40L, 60L, 80L, 100L))
+
+  private def prCurveSqlFor(scExpr: String, thrs: Seq[Long]): String =
+    s"""WITH s AS (SELECT $scExpr AS sc,
+       |             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS p
+       |           FROM documents),
+       |x AS (SELECT sc, p,
+       |        unnest([CAST(${thrs.head} AS BIGINT),
+       |                ${thrs.tail.mkString(", ")}]) AS thr
+       |      FROM s),
+       |a AS (SELECT thr,
+       |        CAST(sum(CASE WHEN sc >= thr THEN p ELSE 0 END) AS BIGINT)
+       |          AS tp,
+       |        CAST(sum(CASE WHEN sc >= thr THEN 1 - p ELSE 0 END)
+       |          AS BIGINT) AS fp,
+       |        CAST(sum(CASE WHEN sc < thr THEN p ELSE 0 END) AS BIGINT)
+       |          AS fn
+       |      FROM x GROUP BY thr)
+       |SELECT thr, tp, fp, fn,
+       |  CASE WHEN tp + fp > 0
+       |       THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT)
+       |  END AS prec_ppm,
+       |  CASE WHEN tp + fn > 0
+       |       THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT)
+       |  END AS rec_ppm
+       |FROM a""".stripMargin
+
+  /** Oracle for the margin-pair queries: one scored pair table (exact
+    * FLOAT dot fold / norm product, floored to nano), both direction
+    * rank windows with their k-sums and best-match picks, the 2k·10⁶
+    * trunc division, and the mutual flag — parameterized by the ppm
+    * threshold gate.
+    */
+  private def marginPairsSql(thresholdPpm: Long): String = {
+    val dotST = dotSql("sv", "tv")
+    s"""WITH q AS (SELECT vec_id AS src_id, embedding AS sv,
+       |             sqrt(${dotSql("embedding", "embedding")}) AS sn
+       |           FROM embeddings WHERE vec_id % 2 = 0),
+       |c AS (SELECT vec_id AS tgt_id, embedding AS tv,
+       |        sqrt(${dotSql("embedding", "embedding")}) AS tn
+       |      FROM embeddings WHERE vec_id % 2 = 1),
+       |p AS (SELECT src_id, tgt_id,
+       |        CAST(floor($dotST / (sn * tn) * 1000000000) AS BIGINT)
+       |          AS c_nano
+       |      FROM c CROSS JOIN q),
+       |f AS (SELECT src_id, tgt_id, c_nano, row_number() OVER (
+       |        PARTITION BY src_id ORDER BY c_nano DESC, tgt_id) AS r
+       |      FROM p),
+       |fa AS (SELECT src_id, CAST(sum(c_nano) AS BIGINT) AS afn,
+       |         min(CASE WHEN r = 1 THEN tgt_id END) AS best_tgt
+       |       FROM f WHERE r <= 4 GROUP BY src_id),
+       |b AS (SELECT src_id, tgt_id, c_nano, row_number() OVER (
+       |        PARTITION BY tgt_id ORDER BY c_nano DESC, src_id) AS r
+       |      FROM p),
+       |ba AS (SELECT tgt_id, CAST(sum(c_nano) AS BIGINT) AS abn,
+       |         min(CASE WHEN r = 1 THEN src_id END) AS best_src
+       |       FROM b WHERE r <= 4 GROUP BY tgt_id)
+       |SELECT p.src_id, p.tgt_id, p.c_nano,
+       |  CAST((p.c_nano * 8 * 1000000) // (fa.afn + ba.abn) AS BIGINT)
+       |    AS margin_ppm,
+       |  (ba.best_src = p.src_id) AS mutual
+       |FROM p
+       |JOIN fa ON p.src_id = fa.src_id AND p.tgt_id = fa.best_tgt
+       |JOIN ba ON ba.tgt_id = p.tgt_id
+       |WHERE fa.afn + ba.abn > 0
+       |  AND (p.c_nano * 8 * 1000000) // (fa.afn + ba.abn)
+       |      >= $thresholdPpm""".stripMargin
+  }
+
+  /** Oracle for `emb_kcenter`: the full greedy traversal unrolled —
+    * c0 = min-id row, then three "farthest from the selected set" picks
+    * (max of min sq-dist, ties to the lower id), then the assignment
+    * argmin with ties to the earlier-selected center (list_position =
+    * Spark's array_position first-match rule). Every distance is the
+    * pinned-bit-exact sqDistSql fold, so selection and floor(d·10⁶)
+    * match Spark bit-for-bit.
+    */
+  private lazy val kcenterSql: String = {
+    def d(c: String) = sqDistSql("e.embedding", s"$c.embedding")
+    s"""WITH c0 AS (SELECT vec_id, embedding FROM embeddings
+       |            ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.embedding, ${d("c0")} AS d
+       |       FROM embeddings e CROSS JOIN c0),
+       |c1 AS (SELECT vec_id, embedding FROM d1
+       |       ORDER BY d DESC, vec_id LIMIT 1),
+       |d2 AS (SELECT e.vec_id, e.embedding,
+       |         least(${d("c0")}, ${d("c1")}) AS d
+       |       FROM embeddings e CROSS JOIN c0 CROSS JOIN c1),
+       |c2 AS (SELECT vec_id, embedding FROM d2
+       |       ORDER BY d DESC, vec_id LIMIT 1),
+       |d3 AS (SELECT e.vec_id, e.embedding,
+       |         least(${d("c0")}, ${d("c1")}, ${d("c2")}) AS d
+       |       FROM embeddings e CROSS JOIN c0 CROSS JOIN c1 CROSS JOIN c2),
+       |c3 AS (SELECT vec_id, embedding FROM d3
+       |       ORDER BY d DESC, vec_id LIMIT 1),
+       |fin AS (SELECT e.vec_id,
+       |          [${d("c0")}, ${d("c1")}, ${d("c2")}, ${d("c3")}] AS cd,
+       |          [c0.vec_id, c1.vec_id, c2.vec_id, c3.vec_id] AS cids
+       |        FROM embeddings e CROSS JOIN c0 CROSS JOIN c1
+       |          CROSS JOIN c2 CROSS JOIN c3)
+       |SELECT vec_id,
+       |  CAST(list_position(cd, list_min(cd)) - 1 AS INTEGER)
+       |    AS center_rank,
+       |  cids[list_position(cd, list_min(cd))] AS center_id,
+       |  CAST(floor(list_min(cd) * 1000000) AS BIGINT) AS d_micro
+       |FROM fin""".stripMargin
   }
 
   /** Oracle for [[graph_cc_stars]]: the same chain+cross fixture, then

@@ -144,7 +144,14 @@ class PlanLintSpec extends AnyFunSuite {
       // the 1-ROW exact-count yardstick; corpusJaccardEst crossJoins
       // three 1-ROW aggregates (sig A, sig B, exact overlap) — all the
       // fillPeriod lazy-scalar pattern
-      "text_hll_distinct", "dedup_corpus_jaccard", "dfs_corpus_jaccard")
+      "text_hll_distinct", "dedup_corpus_jaccard", "dfs_corpus_jaccard",
+      // marginPairs inherits bruteTopK's guarded crossJoin(broadcast)
+      // for its ONE scored pair table (both direction windows reuse it)
+      "emb_margin_pairs", "dfs_margin_pairs",
+      // plattCalibrate broadcasts its 1-ROW (a, b) parameter frame at
+      // apply; calibrationBuckets its 1-ROW ECE total — both the
+      // fillPeriod lazy-scalar pattern
+      "text_platt", "dfs_platt", "text_ece", "dfs_ece")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
