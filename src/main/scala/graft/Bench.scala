@@ -2,19 +2,39 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicReference
 
 /** Benchmark main — per BASELINE.md protocol: one warm-up pass (session/JIT
-  * warm-up must not land on the first timed query), then one timed pass with
+  * warm-up must not land on the first timed query), then timed passes with
   * full materialization via the `noop` sink (so projections are actually
   * evaluated — `.count()` would let Catalyst prune them away).
   *
   * Output: ONE JSON line on stdout (last line) + BENCH_LOCAL.json next to
   * the working dir for belt-and-braces parsing.
+  *
+  * DEADLINE DISCIPLINE (added after BENCH_r11 rc=124): the driver kills the
+  * bench process at a fixed wall-clock budget, and a killed bench yields NO
+  * datapoint at all — strictly worse than a one-pass datapoint. So the bench
+  * now (a) tracks a hard budget (`SPARK_GRAFT_BENCH_BUDGET`, sec, default
+  * 2100 = 35 min, chosen to clear a 60-min kill window even after sbt
+  * launch + compile + ambient 1.5× driver inflation), (b) runs warm-up +
+  * pass 1 unconditionally but each later pass only if the remaining budget
+  * exceeds the measured cost of the pass before it, (c) cancels any single
+  * query that exceeds a per-query cap via job-group cancellation so one
+  * pathological plan can't eat the window, and (d) arms a watchdog thread
+  * that, at the hard deadline, prints whatever results exist and halts the
+  * JVM with rc=0 — the driver always gets a parseable line.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val startNanos = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "2100").toDouble
+    val perQueryCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_QCAP", "180").toDouble
+    def elapsed: Double = (System.nanoTime() - startNanos) / 1e9
+    def remaining: Double = budgetSec - elapsed
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,16 +45,6 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-
     // dev-only subset filter (same convention as Verify): shortens the
     // local iteration loop and powers the bench-notes isolated runs;
     // unset for driver runs, which always time everything
@@ -42,24 +52,8 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-    queries.foreach { case (n, fn) => run(n, fn) } // warm-up
-    // three timed passes, per-query minimum: driver-window contention has
-    // three times produced multi-second phantom regressions on identical
-    // code (BENCH_NOTES r3/r4) — min-of-three matches the quiet protocol
-    val passes = (1 to 3).map(_ =>
-      queries.map { case (n, fn) => n -> run(n, fn) }.toMap)
-    val results = queries.map { case (n, _) =>
-      val ok = passes.map(_(n)).filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
-    }
 
-    def jsonOf(rs: Seq[(String, Double)], total: Double): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-        .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // Full per-query map to the file; stdout gets a headline subset only —
+    // Full per-query map goes to the file; stdout gets a headline subset —
     // the driver captures a bounded tail of the sbt log, and an
     // all-queries line (~2.5 KB) gets its head truncated past parseability
     // (BENCH_r02 "parsed": null). Keep the printed line well under 2 KB.
@@ -81,14 +75,117 @@ object Bench {
       "text_quantile_sketch", "graph_triangles", "text_pmi",
       "emb_rrf_fuse", "text_wordpiece_encode", "dedup_survivors",
       "text_robust_z", "dedup_containment")
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), jsonOf(results, total))
-    // Write straight to fd 1: sbt's non-forked `run` wraps System.out in
-    // its logger and prefixes every line with "[info] ", which breaks a
-    // line-wise JSON parse of the output. FileDescriptor.out bypasses the
-    // wrapper — the line lands on stdout bare.
-    val raw = new java.io.PrintStream(
-      new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
-    raw.println(jsonOf(results.filter(r => headline.contains(r._1)), total))
+
+    def jsonOf(rs: Seq[(String, Double)], total: Double): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // best-so-far snapshot the watchdog can emit at any moment
+    val snapshot = new AtomicReference[Seq[(String, Double)]](Seq.empty)
+    @volatile var emitted = false
+    def emit(): Unit = synchronized {
+      if (emitted) return
+      emitted = true
+      val rs = snapshot.get()
+      val total = rs.map(_._2).filter(_ >= 0).sum
+      try Files.writeString(Paths.get("BENCH_LOCAL.json"), jsonOf(rs, total))
+      catch { case _: Throwable => }
+      // Write straight to fd 1: sbt's non-forked `run` wraps System.out in
+      // its logger and prefixes every line with "[info] ", which breaks a
+      // line-wise JSON parse of the output. FileDescriptor.out bypasses the
+      // wrapper — the line lands on stdout bare.
+      val raw = new java.io.PrintStream(
+        new java.io.FileOutputStream(java.io.FileDescriptor.out), true, "UTF-8")
+      raw.println(jsonOf(rs.filter(r => headline.contains(r._1)), total))
+      raw.flush()
+    }
+    val watchdog = new Thread(() => {
+      // wake a little before the budget so the emit itself fits inside it
+      while (remaining > 5.0 && !emitted)
+        Thread.sleep(math.max(200L, math.min(5000L, ((remaining - 5.0) * 1000).toLong)))
+      if (!emitted) {
+        System.err.println(f"[bench] WATCHDOG: budget ${budgetSec}%.0f s reached at ${elapsed}%.0f s — emitting partial results and halting")
+        emit()
+        Runtime.getRuntime.halt(0)
+      }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val group = s"bench-$name"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+      // per-query cap: one runaway plan must not consume the whole window
+      val canceller = new Thread(() => {
+        val capMs = (math.min(perQueryCapSec, math.max(1.0, remaining)) * 1000).toLong
+        val deadline = System.currentTimeMillis() + capMs
+        var interrupted = false
+        while (!interrupted && System.currentTimeMillis() < deadline) {
+          try Thread.sleep(250) catch { case _: InterruptedException => interrupted = true }
+        }
+        if (!interrupted) {
+          System.err.println(s"[bench] $name exceeded per-query cap — cancelling job group")
+          try spark.sparkContext.cancelJobGroup(group) catch { case _: Throwable => }
+        }
+      })
+      canceller.setDaemon(true)
+      canceller.start()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      } finally {
+        canceller.interrupt()
+        spark.sparkContext.clearJobGroup()
+      }
+    }
+
+    val progress = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
+    def pass(label: String, softCap: Double = budgetSec): Map[String, Double] = {
+      val t0 = elapsed
+      val out = queries.map { case (n, fn) =>
+        val t = if (remaining > 10.0 && elapsed < softCap) run(n, fn) else -1.0
+        if (progress) System.err.println(f"[bench-trace] $label $n $t%.2f (elapsed ${elapsed}%.1f)")
+        n -> t
+      }.toMap
+      System.err.println(f"[bench] $label done in ${elapsed - t0}%.1f s (elapsed ${elapsed}%.1f, budget ${budgetSec}%.0f)")
+      out
+    }
+
+    // warm-up (session/JIT) — not recorded, but seeds the snapshot so even a
+    // watchdog fire mid-warm-up reports something. Soft-capped at 40% of the
+    // budget: if warm-up alone runs long (BENCH_r11's fate), pass 1 must
+    // still own the majority of the window — cold numbers beat no numbers.
+    val warm = pass("warm-up", softCap = budgetSec * 0.40)
+    snapshot.set(queries.map { case (n, _) => n -> warm(n) })
+
+    // timed passes, per-query minimum: driver-window contention has
+    // three times produced multi-second phantom regressions on identical
+    // code (BENCH_NOTES r3/r4) — min-of-three matches the quiet protocol.
+    // Each extra pass runs only if it plausibly fits the remaining budget.
+    var passes = List(pass("pass 1"))
+    def merge(): Seq[(String, Double)] = queries.map { case (n, _) =>
+      val ok = passes.flatMap(_.get(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    snapshot.set(merge())
+    var lastCost = passes.head.values.filter(_ >= 0).sum
+    var i = 2
+    while (i <= 3 && remaining > lastCost * 1.4 + 30.0) {
+      val p = pass(s"pass $i")
+      passes ::= p
+      snapshot.set(merge())
+      lastCost = p.values.filter(_ >= 0).sum
+      i += 1
+    }
+    if (i <= 3)
+      System.err.println(f"[bench] skipped passes $i..3: remaining ${remaining}%.0f s < last pass cost ${lastCost}%.0f s × 1.4 + 30")
+
+    emit()
     spark.stop()
   }
 }

@@ -2754,7 +2754,12 @@ object Planner {
         .map(lambdaColumn(_, env.defs))
         .getOrElse(throw DfsError("pr_curve: .label(lambda)"))
       val thrs = optVals(n, "thresholds", env).map {
-        case VNum(v, _) => v.toLong
+        // integer-exact contract: a fractional threshold (e.g. 0.5) would
+        // silently truncate and change which rows count as predicted
+        // positive — reject it instead
+        case VNum(v, _) if v.isWhole && math.abs(v) < 9.2e18 => v.toLong
+        case VNum(v, _) => throw DfsError(
+          s"pr_curve: .thresholds must be integers (scores are integer-exact), got $v")
         case VLong(l) => l
         case v => throw DfsError(
           s"pr_curve: .thresholds expects numbers, got $v")
@@ -3148,6 +3153,19 @@ object Planner {
         throw DfsError("triangles: input needs 'a'/'b' pair columns " +
           "(the near_dedup output shape)")
       graft.operators.graph.Triangles.triangleCounts(ctx.df)
+    },
+    // k-core peeling over the same 'a'/'b' pair shape (graft extension,
+    // the GraphOps.kCore door): "which duplicate clusters are dense
+    // cores vs borderline chains" — nodes keeping >= k neighbors after
+    // iterative peeling, with their within-core degree
+    "kcore" -> bt(Set("k", "rounds")) { (ctx, n, env) =>
+      if (!ctx.df.columns.contains("a") || !ctx.df.columns.contains("b"))
+        throw DfsError("kcore: input needs 'a'/'b' pair columns " +
+          "(the near_dedup output shape)")
+      graft.operators.graph.GraphOps.kCore(ctx.df,
+        optNum(n, "k", env).map(_.toInt)
+          .getOrElse(throw DfsError("kcore: .k")),
+        optNum(n, "rounds", env).map(_.toInt).getOrElse(8))
     },
     // per-doc tf-idf keywords (graft extension, the
     // TextOps.tfidfTopTerms door)

@@ -201,6 +201,65 @@ object GraphOps {
         round(col("harm_nano") / lit(Nano.toDouble), 6).as("harm"))
   }
 
+  /** k-core decomposition (fixed k) by iterative peeling — the
+    * link-spam / cohesion gate next to PageRank and triangles: the
+    * k-core is the maximal subgraph where every node keeps ≥ k
+    * neighbors, the standard "dense cluster vs straggly chain"
+    * separator for duplicate-cluster graphs and host link farms
+    * (a spam farm's core survives peeling; organic long-tail links
+    * do not). Input is an undirected pair list `(a, b)`; returns
+    * `(id, deg)` — every node still in the edge set after `rounds`
+    * peels, with its within-core degree.
+    *
+    * Semantics are "exactly `rounds` synchronous peel rounds": each
+    * round computes degrees over the surviving DISTINCT edge set,
+    * drops nodes with deg < k, and restricts edges to survivors. The
+    * survivor set only ever shrinks, so a round that removes nothing
+    * is a fixed point and the loop early-stops (a COUNT equality is an
+    * exact set-equality probe here — monotone shrinkage — one bounded
+    * job per round, the [[pageRank]] loop contract); extra declared
+    * rounds are identity, so the unrolled-CTE oracle replays exactly
+    * `rounds` levels and matches bit-for-bit either way.
+    *
+    * 100 TB shape: per round one node-keyed map-side-combinable degree
+    * aggregate + two semi-joins (edges partition by endpoint; nothing
+    * data-sized ever reaches the driver — the survivor probe is a
+    * count). Peeling converges in ≤ a few dozen rounds on real web
+    * graphs for practical k; full coreness (all k at once) is the
+    * documented extension, this is the production gate form.
+    */
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64,
+      s"kCore: rounds in [1, 64], got $rounds")
+    var e = pairs
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(col("u").as("id"))
+      .unionByName(ed.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    var i = 0
+    var prevN = -1L
+    var stable = false
+    while (i < rounds && !stable) {
+      val surv = degrees(e).filter(col("deg") >= k).localCheckpoint()
+      val n = surv.count() // node-sized bounded probe
+      if (n == prevN) stable = true
+      else {
+        e = e
+          .join(surv.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(surv.select(col("id").as("v")), Seq("v"), "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        prevN = n
+      }
+      i += 1
+    }
+    degrees(e)
+  }
+
   /** HyperBall (Boldi & Vigna 2013) — harmonic centrality at WEB
     * scale: [[harmonicCentrality]] materializes every (u, v, d) pair
     * within maxDepth, which blows up on dense neighborhoods; HyperBall

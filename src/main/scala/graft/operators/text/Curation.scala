@@ -716,9 +716,11 @@ object Curation {
       s"calibrationBuckets: buckets in [1, 1000], got $buckets")
     val p = df.select(probMilli.cast("long").as("_p"),
       when(label, 1L).otherwise(0L).as("_y"))
-    require(buckets >= 1, "calibrationBuckets: buckets >= 1")
+    // clamp both ends: a probability outside [0, 1000] (caller bug) must
+    // land in an edge bucket, not mint a phantom negative-index bucket row
     val b = p.withColumn("bucket",
-      least(lit(buckets - 1), expr(s"(_p * $buckets) div 1001"))
+      greatest(lit(0),
+        least(lit(buckets - 1), expr(s"(_p * $buckets) div 1001")))
         .cast("int"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_p")).as("_sp"),
@@ -750,9 +752,11 @@ object Curation {
     * 100 TB shape: one map-side-combined aggregate to score-distinct
     * rows, one [[graft.operators.stateless.GlobalOrder.runningSum]]
     * prefix pass over those rows (never `Window.orderBy` unpartitioned),
-    * one 1-row total. Bound: 2U < 2·n⁺·n⁻ must fit a long — any eval
-    * corpus under ~2·10⁹ rows per class, the realistic ceiling for a
-    * labeled set (sample upstream past it).
+    * one 1-row total. Bound: 2U ≤ 2·n⁺·n⁻ must fit a long, i.e.
+    * n⁺·n⁻ ≤ ~4.6·10¹⁸ — about 2·10⁹ rows per balanced class (sample
+    * upstream past it). The ×10⁶ ppm scaling is done in DECIMAL(38,0)
+    * (exact, no long wrap — DuckDB oracle mirrors it in HUGEINT), so
+    * the accumulator bound above is the only bound.
     */
   def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
     val s = df.select(score.cast("long").as("sc"),
@@ -766,8 +770,12 @@ object Curation {
     c.agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (col("_below") * 2 + col("nn"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
+        // ×1e6 in DECIMAL(38,0): u2·1e6 wraps a long once u2 > ~9.2e12
+        // (a few million rows per class at AUC≈0.5) — decimal keeps the
+        // ppm division exact all the way to the accumulator bound
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          expr("u2 * 1000000 div (2 * n_pos * n_neg)"))
+          expr("CAST((CAST(u2 AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg) AS BIGINT)"))
           .as("auc_ppm"))
   }
 

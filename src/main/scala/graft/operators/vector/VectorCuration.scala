@@ -558,7 +558,9 @@ object VectorCuration {
       k: Int): Seq[(Long, Array[Float])] = {
     require(k >= 1, s"kcenterTrain: k must be >= 1, got $k")
     def take1(d: DataFrame): (Long, Array[Float]) = {
-      val r = d.limit(1).collect()(0) // bounded: 1 row per iteration
+      val r = d.limit(1).collect().headOption // bounded: 1 row per iteration
+        .getOrElse(throw new IllegalArgumentException(
+          "kcenterTrain: empty input — need at least one vector row"))
       (r.getLong(0), r.getSeq[Float](1).toArray)
     }
     val first = take1(df.select(col(idCol).cast("long"), col(vecCol))

@@ -3317,6 +3317,52 @@ object LlmPack extends QueryPack {
       },
       Some(graphTrianglesSql)),
 
+    // k-core peeling over the same synthetic link graph — the fourth
+    // host-cohesion signal: nodes keeping >= k neighbors after
+    // iterative peeling (link farms and dense duplication cores
+    // survive; organic long-tail chains peel away). Exactly `rounds`
+    // synchronous peel rounds (converged rounds are identity, and the
+    // loop early-stops on the monotone survivor count), so the oracle
+    // unrolls the same `rounds` degree→filter→restrict levels and
+    // matches bit-for-bit whether or not the graph converged.
+    // Fixture: the shared affine link graph (whose 6-core is EMPTY —
+    // every node peels within ~4 cascade rounds, measured) plus a
+    // planted clique on the doc_id % 37 == 0 subset (the link-farm
+    // shape: ~n/37 nodes, each with ~n/37 clique neighbors). k=6
+    // peeling must tear down the whole organic graph and leave exactly
+    // the farm — both the cascade and the surviving-core paths run.
+    "graph_kcore" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val affine = docs.select(col("doc_id").as("a"),
+          explode(array(
+            (col("doc_id") * 7 + 13) % n,
+            (col("doc_id") * 11 + 29) % n,
+            (col("doc_id") * 13 + 47) % n)).as("b"))
+        val farm = docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("a"))
+        val clique = farm.crossJoin(
+            docs.filter(col("doc_id") % 37 === 0)
+              .select(col("doc_id").as("b")))
+          .filter(col("a") < col("b"))
+        graft.operators.graph.GraphOps.kCore(
+          affine.unionByName(clique), 6, 8)
+      },
+      Some(kCoreSql(6, 8))),
+
+    // DFS twin over the near-dup pair graph: "which duplicate clusters
+    // are dense cores" — k=2 keeps anything cyclic, drops pendant
+    // borderline matches
+    "dfs_kcore" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.id_field('doc_id').threshold(0.3)
+          #  .bands(4).rows_per_band(2))
+          #|kcore(.k(2).rounds(6))
+          #""".stripMargin('#'), s, dir),
+      Some(dfsKcoreSql)),
+
     // DFS twin over the near-dup pair graph: "how clique-like are the
     // duplicate clusters" — a dense mirror ring triangulates, a chain
     // of borderline matches does not
@@ -4691,8 +4737,8 @@ object LlmPack extends QueryPack {
        |        CASE WHEN (doc_id * 7919) % 1000 < n_chars % 1001
        |             THEN 1 ELSE 0 END AS y
        |      FROM documents),
-       |b AS (SELECT CAST(least(9, (pr * 10) // 1001) AS INTEGER)
-       |          AS bucket,
+       |b AS (SELECT CAST(greatest(0, least(9, (pr * 10) // 1001))
+       |          AS INTEGER) AS bucket,
        |        CAST(count(*) AS BIGINT) AS n,
        |        CAST(sum(pr) AS BIGINT) AS sp,
        |        CAST(sum(y) AS BIGINT) AS ny
@@ -4770,7 +4816,8 @@ object LlmPack extends QueryPack {
        |      FROM c)
        |SELECT n_pos, n_neg, u2,
        |  CASE WHEN n_pos > 0 AND n_neg > 0
-       |       THEN CAST(u2 * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+       |       THEN CAST(CAST(u2 AS HUGEINT) * 1000000
+       |                 // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT)
        |  END AS auc_ppm
        |FROM t""".stripMargin
 
@@ -5315,6 +5362,49 @@ object LlmPack extends QueryPack {
        |    ELSE 0 END AS lcc_nano
        |FROM tdeg d LEFT JOIN pn ON pn.id = d.id)""".stripMargin
   }
+
+  /** Oracle for the k-core queries: `rounds` unrolled peel levels —
+    * degrees over the surviving DISTINCT edge set, survivor filter at
+    * deg >= k, edge restriction — then final degrees. Edge levels are
+    * MATERIALIZED (each is referenced three times by the next level;
+    * inlining would grow the plan ~3^rounds, the linear_classify
+    * lesson). Pure integer counting, so any engine replays it exactly.
+    */
+  private def kCoreLevelsSql(k: Int, rounds: Int, pairSrc: String): String = {
+    val lvls = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+         |      FROM (SELECT u AS id FROM e${i - 1}
+         |            UNION ALL SELECT v FROM e${i - 1}) GROUP BY id),
+         |s$i AS (SELECT id FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+         |      WHERE u IN (SELECT id FROM s$i)
+         |        AND v IN (SELECT id FROM s$i))""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM $pairSrc WHERE a <> b),
+       |$lvls""".stripMargin
+  }
+
+  private def kCoreSql(k: Int, rounds: Int): String =
+    s"""WITH $synthEdgesSql,
+       |cl AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |       FROM documents x, documents y
+       |       WHERE x.doc_id % 37 = 0 AND y.doc_id % 37 = 0
+       |         AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT src AS a, dst AS b FROM e
+       |          UNION ALL SELECT a, b FROM cl),
+       |${kCoreLevelsSql(k, rounds, "pairs")}
+       |SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY id""".stripMargin
+
+  private lazy val dfsKcoreSql: String =
+    s"""WITH pr AS (${nearPairsSql(0.3)}),
+       |${kCoreLevelsSql(2, 6, "pr")}
+       |SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |FROM (SELECT u AS id FROM e6 UNION ALL SELECT v FROM e6)
+       |GROUP BY id""".stripMargin
 
   private lazy val graphTrianglesSql: String =
     s"""WITH $synthEdgesSql,

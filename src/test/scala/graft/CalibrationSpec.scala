@@ -79,6 +79,17 @@ class CalibrationSpec extends AnyFunSuite {
     // ece = (3*283 + 1*0) div 4 = 212 on every row
   }
 
+  test("out-of-range probabilities clamp to the edge buckets") {
+    import spark.implicits._
+    // a caller bug feeding p = -50 or p = 2000 must land in bucket 0 /
+    // bucket 9, not mint a phantom negative-index bucket row
+    val df = Seq((-50L, false), (2000L, true), (500L, true))
+      .toDF("p", "y")
+    val got = Curation.calibrationBuckets(df, col("p"), col("y"), 10)
+      .collect().map(r => r.getAs[Int]("bucket")).sorted.toSeq
+    assert(got == Seq(0, 4, 9))
+  }
+
   test("perfectly calibrated fixture has small ECE") {
     import spark.implicits._
     // label fires below its own stated probability -> near-calibrated

@@ -54,6 +54,36 @@ class EvalSpec extends AnyFunSuite {
     assert(a.toString == b.toString)
   }
 
+  test("ppm scaling survives the long-wrap regime (u2 * 1e6 > Long.Max)") {
+    // 8M rows, 4M per class: id % 1000 as score, parity as label.
+    // id = 1000k + e keeps id parity == e parity, so every even residue
+    // is all-positive (np = 8000) and every odd residue all-negative.
+    // 2U = 8000·8000·Σ_{e even} e = 1.5968e13, and 2U·1e6 ≈ 1.6e19
+    // overflows a long — the regime the pre-decimal code silently
+    // wrapped in. Exact expectation: floor(1.5968e13·1e6 / 3.2e13)
+    // = 499000 ppm.
+    val rows = spark.range(8000000L)
+      .select((col("id") % 1000).as("sc"), (col("id") % 2 === 0).as("lab"))
+    val r = Curation.rocAuc(rows, col("sc"), col("lab")).collect()(0)
+    assert(r.getAs[Long]("n_pos") == 4000000L)
+    assert(r.getAs[Long]("n_neg") == 4000000L)
+    assert(r.getAs[Long]("u2") == 15968000000000L)
+    assert(r.getAs[Long]("auc_ppm") == 499000L)
+  }
+
+  test("DFS pr_curve rejects fractional thresholds instead of truncating") {
+    val e = intercept[graft.dfs.Ir.DfsError] {
+      graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|pr_curve(
+          #  .score(lambda: "n_chars")
+          #  .label(lambda: mod("doc_id", 3) == 0)
+          #  .thresholds(0.5))
+          #""".stripMargin('#'), spark, "/root/testdata/sf0.001")
+    }
+    assert(e.getMessage.contains("must be integers"))
+  }
+
   test("pr curve: hand counts and both null-denominator branches") {
     import spark.implicits._
     val rows = Seq((10L, true), (8L, true), (6L, false), (2L, false))

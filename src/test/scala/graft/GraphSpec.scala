@@ -62,4 +62,57 @@ class GraphSpec extends AnyFunSuite {
     val b = comps(GraphOps.connectedComponentsStars(pairs.repartition(16)))
     assert(a == b)
   }
+
+  private def core(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[Long]("deg")).toMap
+
+  test("kCore: K4 plus pendant chain — 3-core keeps exactly the clique") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; chain 4-5-6-7 hangs off it. Peeling k=3 must
+    // CASCADE down the chain: 7 drops (deg 1), then 6, then 5 — three
+    // rounds, not one — leaving the clique at degree 3 each.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got = core(GraphOps.kCore((k4 ++ chain).toDF("a", "b"), 3, 8))
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: k=2 keeps cycles, drops pendants; duplicate and " +
+      "self edges ignored") {
+    import spark.implicits._
+    // triangle {1,2,3} + pendant 3-9 + dup/self noise
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 9L),
+      (5L, 5L)).toDF("a", "b")
+    val got = core(GraphOps.kCore(pairs, 2, 8))
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: whole graph peels away to empty") {
+    import spark.implicits._
+    val got = core(GraphOps.kCore(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), 3, 8))
+    assert(got.isEmpty)
+  }
+
+  test("kCore: declared rounds past convergence are identity") {
+    import spark.implicits._
+    val pairs = (0L until 120L)
+      .map(i => (i % 41, (i * 13 + 5) % 41)).toDF("a", "b")
+    val a = core(GraphOps.kCore(pairs, 3, 4))
+    val b = core(GraphOps.kCore(pairs, 3, 40))
+    // only valid if 4 rounds converge on this fixture; if they do,
+    // extra rounds must not change anything
+    if (a.values.forall(_ >= 3L)) assert(a == b)
+  }
+
+  test("kCore: partition-count-invariant") {
+    import spark.implicits._
+    val pairs = (0L until 200L)
+      .map(i => (i % 67, (i * 31 + 7) % 67)).toDF("a", "b")
+    val a = core(GraphOps.kCore(pairs.repartition(2), 3, 8))
+    val b = core(GraphOps.kCore(pairs.repartition(16), 3, 8))
+    assert(a == b)
+  }
 }

@@ -37,6 +37,15 @@ class KcenterSpec extends AnyFunSuite {
     assert(got(3L) == ((2, 3L, 0L)))
   }
 
+  test("empty input fails loudly, not with an index error") {
+    import spark.implicits._
+    val df = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VectorCuration.kcenterTrain(df, "vec_id", "embedding", 2)
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
   test("argmax tie goes to the lower id") {
     import spark.implicits._
     // ids 0 (origin), 1 and 2 both at distance 2: pick id1
