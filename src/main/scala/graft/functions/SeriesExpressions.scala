@@ -615,9 +615,80 @@ case class WinnowSelect(child: Expression, w: Int, p: Long)
       newChild: Expression): WinnowSelect = copy(child = newChild)
 }
 
+/** Native content-defined chunking (the LBFS/rsync cut rule over token
+  * streams) — the whole per-row CDC kernel in one pass: whitespace
+  * tokenize → rolling 3-gram shingle hashes (HashKernel == the HOF
+  * chain's arithmetic) → cut after token i+2 whenever the 1-based
+  * shingle hash i is ≡ 0 (mod mask) and the cut is interior → one
+  * (chunk_idx, n_tok, md5-of-space-joined-tokens) struct per chunk.
+  * Bit-identical to the former filter/transform/slice/posexplode HOF
+  * formulation in [[graft.operators.text.Dedup.cdcChunks]], which paid
+  * interpreted per-element dispatch with the shingle-hash subtree
+  * re-evaluated inside the lambdas — measured 146 s for the sf0.1
+  * corpus vs ~1 s here. CodegenFallback for the WinnowSelect reason:
+  * the loop body dwarfs the per-row dispatch, and the output is
+  * array-of-struct.
+  */
+case class CdcChunkRows(child: Expression, mask: Int, p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  require(mask >= 2 && (mask & (mask - 1)) == 0,
+    s"CdcChunkRows: mask must be a power of two >= 2, got $mask")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("digest", StringType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val toks = s.trim.split("\\s+", -1)
+    val n = toks.length
+    val gh = HashKernel.rolling3(HashKernel.tokenHashes(s, p), p)
+    // extended cut list [0, cuts.., n]: cut after token i+2 (1-based
+    // shingle i with hash ≡ 0 mod mask), interior cuts only
+    val cuts = new scala.collection.mutable.ArrayBuffer[Int]()
+    cuts += 0
+    var i = 0
+    while (i < gh.length) {
+      // gh values are mod-p nonnegative, so % == pmod
+      if (gh(i) % mask == 0 && (i + 1) + 2 < n) cuts += (i + 1) + 2
+      i += 1
+    }
+    cuts += n
+    val out = new Array[Any](cuts.length - 1)
+    var k = 1
+    while (k < cuts.length) {
+      val from = cuts(k - 1)
+      val until = cuts(k)
+      val sb = new java.lang.StringBuilder()
+      var t = from
+      while (t < until) {
+        if (t > from) sb.append(' ')
+        sb.append(toks(t))
+        t += 1
+      }
+      out(k - 1) = org.apache.spark.sql.catalyst.InternalRow(
+        k - 1, until - from,
+        org.apache.spark.unsafe.types.UTF8String
+          .fromString(HashKernel.md5Hex(sb.toString)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunkRows = copy(child = newChild)
+}
+
 object TextExpressions {
   def winnowSelect(text: Column, w: Int, p: Long): Column =
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(text), w, p))
+
+  def cdcChunkRows(text: Column, mask: Int, p: Long): Column =
+    ColumnBridge.column(
+      CdcChunkRows(ColumnBridge.expression(text), mask, p))
 
   def simHash32(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))

@@ -729,33 +729,18 @@ object Dedup {
       mask: Int = 16): DataFrame = {
     require(mask >= 2 && (mask & (mask - 1)) == 0,
       s"cdcChunks: mask must be a power of two >= 2, got $mask")
-    val base = withShingleHashes(
-        df.select(id.as("doc_id"), text.as("_t")), col("_t"), "_hs")
-      .withColumn("_w", TextOps.tokens(col("_t")))
-      .withColumn("_n", size(col("_w")))
-    // boundary after token p = i + 2 for 1-based shingle index i with
-    // hs[i] % mask == 0; p = n would leave an empty tail chunk — drop
-    val withB = base.withColumn("_bp",
-      when(size(col("_hs")) >= 1,
-        filter(sequence(lit(1), size(col("_hs"))),
-          i => pmod(element_at(col("_hs"), i), lit(mask.toLong)) === 0
-            && i + 2 < col("_n")))
-        .otherwise(array().cast("array<int>")))
-    // extended cut list [0, b1.., n]: chunk k spans tokens
-    // (ext[k], ext[k+1]] — slice is start ext[k]+1, len ext[k+1]−ext[k]
-    val ext = concat(array(lit(0)),
-      transform(col("_bp"), i => i + 2), array(col("_n")))
-    withB.withColumn("_ext", ext)
-      .withColumn("_chunks",
-        transform(sequence(lit(1), size(col("_ext")) - 1),
-          k => slice(col("_w"), element_at(col("_ext"), k) + 1,
-            element_at(col("_ext"), k + 1)
-              - element_at(col("_ext"), k))))
-      .select(col("doc_id"),
-        posexplode(col("_chunks")).as(Seq("chunk_idx", "_ct")))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("_ct")).as("n_tok"),
-        md5(concat_ws(" ", col("_ct"))).as("digest"))
+    // Native one-pass kernel (graft.functions.CdcChunkRows): the HOF
+    // formulation (shingle hashes + filter/transform/slice lambdas +
+    // posexplode + per-chunk md5) was bit-equivalent but CollapseProject
+    // inlined the hash/token subtrees into the per-element lambdas —
+    // re-evaluated per element, measured 146 s for the sf0.1 corpus vs
+    // ~1 s here. Same tokenize/rolling-hash/cut/digest arithmetic
+    // (HashKernel == the Column chain), same output rows, same oracle.
+    df.select(id.as("doc_id"),
+        posexplode(graft.functions.TextExpressions
+          .cdcChunkRows(text, mask, P)).as(Seq("_i", "_c")))
+      .select(col("doc_id"), col("_c.chunk_idx").as("chunk_idx"),
+        col("_c.n_tok").as("n_tok"), col("_c.digest").as("digest"))
   }
 
   /** Chunk-level dedup report over [[cdcChunks]] output: per document,
