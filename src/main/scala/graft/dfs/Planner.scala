@@ -2646,6 +2646,27 @@ object Planner {
         optNum(n, "dim", env).map(_.toInt).getOrElse(64),
         optNum(n, "max_cluster", env).map(_.toInt).getOrElse(4096))
     },
+    // semantic decontamination (graft extension, the
+    // VectorOps.semanticDecon door): flag corpus rows whose cosine to
+    // any .benchmark-marked row reaches .threshold — the embedding-space
+    // rung of the decontaminate ladder
+    "semantic_decon" -> bt(Set("vec_field", "id_field", "benchmark",
+      "threshold", "bands", "rows_per_band", "dim", "max_bucket")) {
+      (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("semantic_decon: .id_field"))
+      val bench = optLambdas(n, "benchmark", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("semantic_decon: .benchmark(lambda)"))
+      graft.operators.vector.VectorOps.semanticDecon(ctx.df, id, vec,
+        bench.cast("boolean"),
+        optNum(n, "threshold", env).getOrElse(0.85),
+        optNum(n, "bands", env).map(_.toInt).getOrElse(4),
+        optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(4),
+        optNum(n, "dim", env).map(_.toInt).getOrElse(64),
+        optNum(n, "max_bucket", env).map(_.toInt).getOrElse(4096))
+    },
     // BPE merge-candidate mining (graft extension, the TextOps.bpePairs
     // door): top-k weighted adjacent char pairs
     "bpe_pairs" -> bt(Set("text_field", "k")) { (ctx, n, env) =>

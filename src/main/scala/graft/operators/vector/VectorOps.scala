@@ -498,6 +498,76 @@ object VectorOps {
     }
   }
 
+  /** Semantic decontamination — the embedding-space completion of the
+    * decontamination ladder ([[graft.operators.text.Dedup]] catches
+    * exact and paraphrased n-gram leakage; this catches REWRITES that
+    * share no surface n-grams but embed next to an eval item): flag
+    * every corpus row whose cosine to ANY benchmark row (marked by
+    * `isBench`) reaches `threshold`. Same banded sign-bit LSH candidate
+    * machinery as [[cosineDupPairs]], with the self-join replaced by a
+    * corpus×benchmark cross-set join. Emits one row per NON-benchmark
+    * doc: `(vec id, n_hits, max_sim, contaminated)` — the
+    * [[graft.operators.text.Dedup.decontaminateFuzzy]] output contract.
+    *
+    * 100 TB shape: the benchmark side is eval-set-sized; both sides cap
+    * per (band, bucket, side) BEFORE the join (the benchmark rows get
+    * their own cap lane so a hot corpus bucket cannot squeeze them
+    * out), candidates are bucket-bounded, and the verify is one
+    * vector-keyed equi-join per side — no broadcast requirement, no
+    * all-pairs path anywhere.
+    */
+  def semanticDecon(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      isBench: Column,
+      threshold: Double,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      dim: Int = 64,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val ps = planes(bands * rowsPerBand, dim)
+    val base0 = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        isBench.as("_bench"))
+      .withColumn("_n", norm(col("_v")))
+    graft.core.CacheScope.withPersisted(base0) { base =>
+      val bandStructs = array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until rowsPerBand).map { j =>
+            when(element_at(col("_dots"), b * rowsPerBand + j + 1) > 0,
+              lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _).as("bh"))
+      }: _*)
+      val bandRows = base.withColumn("_dots", planeDots(col("_v"), ps))
+        .select(col("_id"), col("_bench"), explode(bandStructs).as("_bb"))
+        .select(col("_id"), col("_bench"),
+          col("_bb.band").as("band"), col("_bb.bh").as("bh"))
+      // cap per (band, bucket, SIDE) before the join — the bench side
+      // must survive hot buckets independently of corpus volume
+      val w = Window.partitionBy(col("band"), col("bh"), col("_bench"))
+        .orderBy(col("_id"))
+      val capped = bandRows.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxBucketSize).drop("_r")
+      val l = capped.filter(!col("_bench"))
+        .select(col("band"), col("bh"), col("_id").as("a"))
+      val r = capped.filter(col("_bench"))
+        .select(col("band").as("band_r"), col("bh").as("bh_r"),
+          col("_id").as("b"))
+      val cand = l.join(r,
+          col("band") === col("band_r") && col("bh") === col("bh_r"))
+        .select("a", "b").distinct()
+      val hits = verifyCosine(cand, base, threshold)
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("_nh"), max(col("sim")).as("_ms"))
+      base.filter(!col("_bench")).select(col("_id").as(idCol))
+        .join(hits, col(idCol) === col("a"), "left")
+        .select(col(idCol),
+          coalesce(col("_nh"), lit(0L)).as("n_hits"),
+          coalesce(col("_ms"), lit(0.0)).as("max_sim"),
+          col("_nh").isNotNull.as("contaminated"))
+    }
+  }
+
   /** Exact-cosine verification of candidate (a, b) pairs against the
     * materialized (vector, norm) base; keeps pairs >= threshold.
     */

@@ -128,6 +128,47 @@ object LlmPack extends QueryPack {
        |SELECT a, b, sim FROM sims WHERE sim >= 0.4""".stripMargin
   }
 
+  // the full semantic-decontamination replay: same planes/bands as
+  // cosinePairsOracle, corpus (vec_id % 13 <> 0) × benchmark (= 0)
+  // candidates, fold-order cosine, per-corpus-doc rollup with the
+  // decontaminateFuzzy output contract — shared by the Scala API query
+  // and its DFS-node twin
+  private lazy val semanticDeconSql: String = {
+    val bands = 4; val rpb = 4
+    val ps = VectorOps.planes(bands * rpb, 64)
+    def planeLit(p: Array[Float]) =
+      p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+    def bh(b: Int) = (0 until rpb).map { j =>
+      s"""(CASE WHEN ${dotSql("embedding", planeLit(ps(b * rpb + j)))} > 0
+         | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" +\n  ")
+    val bandSel = (0 until bands).map(b =>
+      s"SELECT vec_id, $b AS band, ${bh(b)} AS bh FROM embeddings")
+      .mkString("\nUNION ALL\n")
+    val dotAB = dotSql("va.embedding", "vb.embedding")
+    val nA = dotSql("va.embedding", "va.embedding")
+    val nB = dotSql("vb.embedding", "vb.embedding")
+    s"""WITH bnd AS ($bandSel),
+       |cand AS (SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+       |         FROM bnd la JOIN bnd lb
+       |           ON la.band = lb.band AND la.bh = lb.bh
+       |         WHERE la.vec_id % 13 <> 0 AND lb.vec_id % 13 = 0),
+       |sims AS (SELECT a, b,
+       |           round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
+       |         FROM cand
+       |         JOIN embeddings va ON va.vec_id = a
+       |         JOIN embeddings vb ON vb.vec_id = b),
+       |hits AS (SELECT a, CAST(count(*) AS BIGINT) AS nh,
+       |           max(sim) AS ms
+       |         FROM sims WHERE sim >= 0.4 GROUP BY a)
+       |SELECT e.vec_id,
+       |  coalesce(h.nh, 0) AS n_hits,
+       |  coalesce(h.ms, 0.0) AS max_sim,
+       |  h.nh IS NOT NULL AS contaminated
+       |FROM embeddings e LEFT JOIN hits h ON h.a = e.vec_id
+       |WHERE e.vec_id % 13 <> 0""".stripMargin
+  }
+
   // the full MinHash+LSH near-dup pipeline replay, shared by the Scala
   // API query and its DFS-node twin
   private def nearPairsSql(threshold: Double): String = {
@@ -1143,6 +1184,29 @@ object LlmPack extends QueryPack {
         VectorOps.cosineDupPairsAuto(Tables.embeddings(s, dir), "vec_id",
           "embedding", threshold = 0.4, bands = 4),
       Some(cosinePairsOracle)),
+
+    // semantic decontamination: the embedding-space rung of the
+    // decontaminate ladder — corpus rows whose cosine to any
+    // benchmark-marked row (vec_id % 13 == 0) reaches 0.4. Same banded
+    // sign-bit candidates as dedup_cosine_pairs with the self-join
+    // swapped for the corpus×benchmark cross-set join; the oracle
+    // replays planes, buckets, per-side candidates, fold-order cosine,
+    // and the per-doc rollup — recall pinned included.
+    "emb_semantic_decon" -> QueryDef(
+      (s, dir) =>
+        VectorOps.semanticDecon(Tables.embeddings(s, dir), "vec_id",
+          "embedding", col("vec_id") % 13 === 0, threshold = 0.4,
+          bands = 4, rowsPerBand = 4),
+      Some(semanticDeconSql)),
+
+    "dfs_semantic_decon" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|semantic_decon(.id_field('vec_id')
+          #  .benchmark(lambda: mod("vec_id", 13) == 0)
+          #  .threshold(0.4).bands(4).rows_per_band(4))
+          #""".stripMargin('#'), s, dir),
+      Some(semanticDeconSql)),
 
     // exact all-pairs twin (broadcast-guarded, quadratic by spec) — pins
     // the true answer the banded form's recall is measured against

@@ -238,6 +238,36 @@ class LlmSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("semanticDecon: a rewrite embedding next to a bench item flags; " +
+      "unrelated rows and the bench side itself do not") {
+    import spark.implicits._
+    val dim = 64
+    def v(seed: Int, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(dim)(i =>
+        (if (i % (seed + 2) == 0) 1f else -0.1f) + (if (i == 0) eps else 0f))
+    // 100 = bench item; 1 = near-copy of it; 2/3 = unrelated
+    val df = Seq(
+      (100L, v(3)), (1L, v(3, 0.01f)), (2L, v(11)), (3L, v(17))
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.semanticDecon(df, "vec_id", "embedding",
+        col("vec_id") >= 100L, threshold = 0.9,
+        bands = 4, rowsPerBand = 2, dim = dim)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // bench rows never emitted
+    assert(got(1L)._2 && got(1L)._1 == 1L)
+    assert(!got(2L)._2 && !got(3L)._2)
+  }
+
+  test("semanticDecon: partition-count-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      VectorOps.semanticDecon(d, "vec_id", "embedding",
+          col("vec_id") % 13 === 0, 0.4)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(emb.repartition(3)) == run(emb.repartition(16)))
+  }
+
   test("simhash of identical texts is identical") {
     import spark.implicits._
     val df = Seq(("x", "spark window agg join"), ("y", "spark window agg join"))
