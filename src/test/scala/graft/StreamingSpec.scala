@@ -1116,6 +1116,45 @@ class StreamingSpec extends AnyFunSuite {
     // streaming scope is its inputs' (serve-time, not stream-time).
   }
 
+  test("semanticDecon: micro-batch form via foreachBatch against the " +
+      "static benchmark matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def v(seed: Int, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(dim)(i =>
+        (if (i % (seed + 2) == 0) 1f else -0.1f) + (if (i == 0) eps else 0f))
+    // benchmark rows are a static fact; arriving corpus rows are scored
+    // per micro-batch against them — every output row depends only on
+    // (its own vector, the static bench side), so micro-batch == batch
+    // exactly (the fuzzy-decontamination convention above)
+    val bench = Seq((100L, v(3)), (101L, v(7)))
+    val arriving = Seq((1L, v(3, 0.01f)), (2L, v(11)), (3L, v(7, -0.02f)))
+    def decon(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.vector.VectorOps.semanticDecon(df, "vec_id",
+        "embedding", col("vec_id") >= 100L, threshold = 0.9,
+        bands = 4, rowsPerBand = 2, dim = dim)
+    val batch = decon((bench ++ arriving).toDF("vec_id", "embedding"))
+      .select("vec_id", "contaminated").as[(Long, Boolean)].collect().toSet
+    assert(batch == Set((1L, true), (2L, false), (3L, true)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.Set.empty[(Long, Boolean)]
+    val benchDf = bench.toDF("vec_id", "embedding")
+    val q = in.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= decon(benchDf.unionByName(mb))
+          .select("vec_id", "contaminated").as[(Long, Boolean)].collect()
+        ()
+      }.start()
+    in.addData(arriving.take(1))
+    q.processAllAvailable()
+    in.addData(arriving.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batch)
+  }
+
   test("exactDedupStream: a hash seen in an earlier micro-batch never " +
       "re-emits; first arrival survives") {
     import spark.implicits._
