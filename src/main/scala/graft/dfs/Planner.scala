@@ -3188,6 +3188,18 @@ object Planner {
           .getOrElse(throw DfsError("kcore: .k")),
         optNum(n, "rounds", env).map(_.toInt).getOrElse(8))
     },
+    // deterministic synchronous label-propagation communities over the
+    // same 'a'/'b' pair shape (graft extension, the
+    // GraphOps.lpaCommunities door): densely-linked duplicate cores
+    // stay separate communities where components() would merge them
+    // across one bridge link
+    "communities" -> bt(Set("rounds")) { (ctx, n, env) =>
+      if (!ctx.df.columns.contains("a") || !ctx.df.columns.contains("b"))
+        throw DfsError("communities: input needs 'a'/'b' pair columns " +
+          "(the near_dedup output shape)")
+      graft.operators.graph.GraphOps.lpaCommunities(ctx.df,
+        optNum(n, "rounds", env).map(_.toInt).getOrElse(4))
+    },
     // per-doc tf-idf keywords (graft extension, the
     // TextOps.tfidfTopTerms door)
     "tfidf_terms" -> bt(Set("text_field", "id_field", "k")) {

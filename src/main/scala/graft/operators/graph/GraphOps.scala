@@ -310,4 +310,59 @@ object GraphOps {
     joined.select(col("v").as("id") +:
       (0 to maxDepth).map(i => col(s"b$i")) :+ harm.as("harm_milli"): _*)
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * in the DETERMINISTIC form: `rounds` synchronous rounds from
+    * `label = id`; each round every node adopts the most frequent
+    * label among its distinct neighbors, ties broken by the SMALLEST
+    * label. The classic LPA randomizes visit order and tie coins; the
+    * synchronous min-tie variant is pure integer relational algebra,
+    * so the result is partition-order-exact and the DuckDB oracle
+    * unrolls the same rounds bit-for-bit. Where connected components
+    * merge anything touching (one bridge link glues two template
+    * families), LPA keeps densely-linked cores apart — the cluster
+    * shape duplicate-family capping actually wants.
+    *
+    * Input is an undirected pair relation `(a, b)`; self-loops drop
+    * and multi-edges dedup (counts are over distinct neighbors).
+    * Emits `(id, community)`.
+    *
+    * 100 TB shape: per round ONE edges⨝labels equi-join on the
+    * neighbor end + one map-side-combinable (node, label) count + one
+    * struct-max argmax per node — no windows, no collects; node-sized
+    * localCheckpoint per round keeps lineage flat (the pageRank loop
+    * contract). `rounds` is a fixed small parameter (4–10): total cost
+    * is rounds × (join + two aggregates) on edge-sized relations.
+    */
+  def lpaCommunities(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"lpaCommunities: rounds in [1, 32], got $rounds")
+    val e = pairs
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val adj = e.select(col("u").as("nid"), col("v").as("nbr"))
+      .unionByName(e.select(col("v").as("nid"), col("u").as("nbr")))
+    // every node has >= 1 neighbor after symmetrization, so the
+    // per-round inner join is total over the node set
+    var labels = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+      .select(col("id"), col("id").as("lab")).localCheckpoint()
+    var i = 0
+    while (i < rounds) {
+      val cnt = adj
+        .join(labels.select(col("id").as("nbr"), col("lab")), Seq("nbr"))
+        .groupBy(col("nid"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): labels are nonnegative ids,
+      // so max over struct(c, -lab) is exactly that ordering — one
+      // map-side-combinable aggregate, no window
+      labels = cnt.groupBy(col("nid"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("nid").as("id"), (-col("m.nl")).as("lab"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels.select(col("id"), col("lab").as("community"))
+  }
 }

@@ -3427,6 +3427,43 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(dfsKcoreSql)),
 
+    // deterministic synchronous label-propagation communities over a
+    // planted-block fixture (23-id blocks chained with skip links,
+    // sparse affine bridges): where CC glues every bridge-touched block
+    // into one component, LPA keeps densely-linked cores apart — the
+    // duplicate-"template family" cluster shape capping actually
+    // wants. Pure integer argmax (count desc, label asc), so the
+    // oracle unrolls the same 4 synchronous rounds bit-for-bit.
+    "graph_lpa" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val chain1 = docs
+          .filter(col("doc_id") % 23 =!= 22 && col("doc_id") + 1 < n)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        val chain2 = docs
+          .filter(col("doc_id") % 23 < 21 && col("doc_id") + 2 < n)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2).as("b"))
+        val cross = docs.filter(col("doc_id") % 53 === 0)
+          .select(col("doc_id").as("a"),
+            ((col("doc_id") * 17 + 3) % n).as("b"))
+          .filter(col("a") =!= col("b"))
+        graft.operators.graph.GraphOps.lpaCommunities(
+          chain1.unionByName(chain2).unionByName(cross), 4)
+      },
+      Some(lpaSql(4))),
+
+    // DFS twin over the near-dup pair graph: duplicate families as
+    // LPA communities instead of connected components
+    "dfs_communities" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.id_field('doc_id').threshold(0.3)
+          #  .bands(4).rows_per_band(2))
+          #|communities(.rounds(4))
+          #""".stripMargin('#'), s, dir),
+      Some(dfsLpaSql)),
+
     // DFS twin over the near-dup pair graph: "how clique-like are the
     // duplicate clusters" — a dense mirror ring triangulates, a chain
     // of borderline matches does not
@@ -5462,6 +5499,56 @@ object LlmPack extends QueryPack {
        |SELECT id, CAST(count(*) AS BIGINT) AS deg
        |FROM (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
        |GROUP BY id""".stripMargin
+
+  /** Oracle for the LPA community queries: `rounds` unrolled
+    * synchronous rounds — (node, neighbor-label) counts over the
+    * symmetrized DISTINCT edge set, then the deterministic argmax
+    * (count desc, label asc) via a fully-ordered row_number. Label
+    * levels are MATERIALIZED (each is referenced by the next round's
+    * join; inlining would grow the plan geometrically, the
+    * kCoreLevelsSql lesson). Pure integer counting and ordering, so
+    * any engine replays it exactly — it IS the Spark struct-max
+    * argmax, restated as a window.
+    */
+  private def lpaLevelsSql(rounds: Int, pairSrc: String): String = {
+    val lvls = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT a.nid, l.lab, CAST(count(*) AS BIGINT) AS c
+         |      FROM adj a JOIN lab${i - 1} l ON l.id = a.nbr
+         |      GROUP BY 1, 2),
+         |lab$i AS MATERIALIZED (SELECT nid AS id, lab FROM (
+         |      SELECT nid, lab, row_number() OVER (
+         |        PARTITION BY nid ORDER BY c DESC, lab ASC) AS rn
+         |      FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""ge0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM $pairSrc WHERE a <> b),
+       |adj AS MATERIALIZED (SELECT u AS nid, v AS nbr FROM ge0
+       |      UNION ALL SELECT v, u FROM ge0),
+       |lab0 AS (SELECT id, id AS lab FROM (
+       |      SELECT DISTINCT id FROM (SELECT u AS id FROM ge0
+       |        UNION ALL SELECT v AS id FROM ge0))),
+       |$lvls""".stripMargin
+  }
+
+  private def lpaSql(rounds: Int): String =
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |ch1 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents, nn
+       |        WHERE doc_id % 23 <> 22 AND doc_id + 1 < n),
+       |ch2 AS (SELECT doc_id AS a, doc_id + 2 AS b FROM documents, nn
+       |        WHERE doc_id % 23 < 21 AND doc_id + 2 < n),
+       |cr AS (SELECT doc_id AS a, (doc_id * 17 + 3) % n AS b
+       |       FROM documents, nn
+       |       WHERE doc_id % 53 = 0 AND doc_id <> (doc_id * 17 + 3) % n),
+       |pairs AS (SELECT a, b FROM ch1 UNION ALL SELECT a, b FROM ch2
+       |          UNION ALL SELECT a, b FROM cr),
+       |${lpaLevelsSql(rounds, "pairs")}
+       |SELECT id, lab AS community FROM lab$rounds""".stripMargin
+
+  private lazy val dfsLpaSql: String =
+    s"""WITH pr AS (${nearPairsSql(0.3)}),
+       |${lpaLevelsSql(4, "pr")}
+       |SELECT id, lab AS community FROM lab4""".stripMargin
 
   private lazy val dfsKcoreSql: String =
     s"""WITH pr AS (${nearPairsSql(0.3)}),

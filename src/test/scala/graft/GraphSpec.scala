@@ -115,4 +115,32 @@ class GraphSpec extends AnyFunSuite {
     val b = core(GraphOps.kCore(pairs.repartition(16), 3, 8))
     assert(a == b)
   }
+
+  private def lpa(df: org.apache.spark.sql.DataFrame,
+      rounds: Int): Map[Long, Long] =
+    GraphOps.lpaCommunities(df, rounds).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+
+  test("lpaCommunities: two triangles over one bridge stay TWO " +
+      "communities where CC merges them") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    // hand-traced 4 synchronous rounds (argmax: count desc, label asc)
+    assert(lpa(pairs, 4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // same graph through CC: ONE component — the contrast LPA exists for
+    assert(comps(GraphOps.connectedComponentsStars(pairs))
+      .values.toSet.size == 1)
+  }
+
+  test("lpaCommunities: self-loops drop, multi-edges dedup, " +
+      "partition-count-invariant") {
+    import spark.implicits._
+    val base = (0L until 300L).map(i => (i % 59, (i * 17 + 5) % 59))
+    val noisy = (base ++ base ++ (0L until 59L).map(i => (i, i)))
+      .toDF("a", "b")
+    val clean = base.toDF("a", "b")
+    assert(lpa(noisy.repartition(3), 5) == lpa(clean.repartition(13), 5))
+  }
 }
