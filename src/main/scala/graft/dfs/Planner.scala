@@ -2726,6 +2726,16 @@ object Planner {
         optNum(n, "every", env).map(_.toInt).getOrElse(1),
         optNum(n, "threshold", env).getOrElse(0.3))
     },
+    // 64-bit DCT perceptual hash over the decoded-luma stub (graft
+    // extension, the Multimodal.pHash door): content-space image/video
+    // dedup fingerprints — exact fixed-point DCT, one 8-byte hash per
+    // payload
+    "phash" -> bt(Set("text_field", "id_field")) { (ctx, n, env) =>
+      graft.operators.multimodal.Multimodal.pHash(ctx.df,
+        Paths.ref(optStr(n, "text_field", env).getOrElse("text")),
+        Paths.ref(optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("phash: .id_field"))))
+    },
     // exact quantile-bucket assignment (graft extension, the
     // Curation.quantileBuckets door): ntile over the scale-safe
     // global-order primitive
@@ -2766,6 +2776,18 @@ object Planner {
     },
     // precision/recall at fixed thresholds (graft extension, the
     // Curation.prCurve door): predict positive iff score >= t
+    // ROUGE-N overlap F1 between two text fields on each row (graft
+    // extension, the Curation.ngramOverlapF1 door): clipped-count
+    // n-gram precision/recall/F1 in exact integer milli-units
+    "rouge" -> bt(Set("id_field", "cand_field", "ref_field", "n")) {
+      (ctx, n, env) =>
+      def f(name: String) = optStr(n, name, env)
+        .getOrElse(throw DfsError(s"rouge: .$name"))
+      graft.operators.text.Curation.ngramOverlapF1(ctx.df,
+        Paths.ref(f("id_field")), Paths.ref(f("cand_field")),
+        Paths.ref(f("ref_field")),
+        optNum(n, "n", env).map(_.toInt).getOrElse(2))
+    },
     "pr_curve" -> bt(Set("score", "label", "thresholds")) {
       (ctx, n, env) =>
       val score = optLambdas(n, "score", env).headOption

@@ -127,4 +127,114 @@ object Multimodal {
         col("jac"))
     }
   }
+
+  /** Fixed-point DCT-II basis, `round(1024·cos((2x+1)uπ/16))` — the
+    * 8×8 table is hardcoded (not computed) so both engines replay the
+    * IDENTICAL integers: no libm in the data path, the LnNano rule.
+    */
+  private[graft] val DctT: Array[Array[Int]] = Array(
+    Array(1024, 1024, 1024, 1024, 1024, 1024, 1024, 1024),
+    Array(1004, 851, 569, 200, -200, -569, -851, -1004),
+    Array(946, 392, -392, -946, -946, -392, 392, 946),
+    Array(851, -200, -1004, -569, 569, 1004, 200, -851),
+    Array(724, -724, -724, 724, 724, -724, -724, 724),
+    Array(569, -1004, 200, 851, -851, -200, 1004, -569),
+    Array(392, -946, 946, -392, -392, 946, -946, 392),
+    Array(200, -569, 851, -1004, 1004, -851, 569, -200))
+
+  /** 64-bit perceptual hash (pHash, the DCT form image dedup uses —
+    * Zauner 2010): an 8×8 "luma" matrix per payload, 2-D integer DCT
+    * against [[DctT]], bit p = u·8+v set when coefficient (u,v)
+    * exceeds the median of the 63 AC coefficients. Unlike the frame-
+    * digest Jaccard ([[nearDupPairs]]), pHash survives small payload
+    * perturbations in DECODED space — the re-encoded/resized-image
+    * dedup notion. The decode is the container's deterministic stub
+    * (64 bytes from 4 chained md5s of the payload — [[featureStub]]'s
+    * convention); a deployment swaps in a real 8×8 downsampled luma
+    * with the same column contract, and everything downstream of the
+    * luma array is real.
+    *
+    * Everything is exact integer arithmetic (|l·t·t| ≤ 2.7e8, 64-term
+    * sums ≤ 1.7e10 — long-safe), so the hash is partition-order-exact
+    * and the DuckDB oracle replays every coefficient bit-for-bit.
+    *
+    * 100 TB shape: the 64-cell fan-out is a generator (no shuffle);
+    * the DCT is two BROADCAST joins against the 64-row basis table +
+    * one map-side-combinable (doc, u, v) sum; the median is a bounded
+    * 63-element per-doc sort, never a window over the corpus. Per-doc
+    * state downstream is 8 bytes. Emits `(doc_id, phash)`.
+    */
+  def pHash(df: DataFrame, content: Column, id: Column): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val lumaHex = concat(md5(content.cast("binary")),
+      md5(concat(content, lit("1")).cast("binary")),
+      md5(concat(content, lit("2")).cast("binary")),
+      md5(concat(content, lit("3")).cast("binary")))
+    val lumaArr = array((0 until 64).map(p =>
+      conv(substring(col("_hex"), 2 * p + 1, 2), 16, 10)
+        .cast("long")): _*)
+    val cells = df
+      .select(id.cast("long").as("doc_id"), lumaHex.as("_hex"))
+      .select(col("doc_id"), posexplode(lumaArr).as(Seq("p", "l")))
+      .select(col("doc_id"), expr("p div 8").as("x"),
+        (col("p") % 8).as("y"), col("l"))
+    val tU = broadcast((for {u <- 0 until 8; x <- 0 until 8}
+      yield (u, x, DctT(u)(x).toLong)).toDF("u", "x", "tux"))
+    val tV = broadcast((for {v <- 0 until 8; y <- 0 until 8}
+      yield (v, y, DctT(v)(y).toLong)).toDF("v", "y", "tvy"))
+    val coef = cells.join(tU, "x").join(tV, "y")
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(sum(col("l") * col("tux") * col("tvy")).as("c"))
+    val med = coef.filter(!(col("u") === 0 && col("v") === 0))
+      .groupBy(col("doc_id"))
+      // 32nd smallest of the 63 AC coefficients: a bounded 63-element
+      // per-doc sort, exact under any partitioning
+      .agg(element_at(array_sort(collect_list(col("c"))), 32).as("med"))
+    coef.join(med, Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") > col("med"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(u * 8 + v AS INT))"))
+        .otherwise(0L)).as("phash"))
+  }
+
+  /** pHash near-dup pairs by 16-bit band blocking — the
+    * [[graft.operators.text.Dedup.simhashDupPairs]] machinery on the
+    * 64-bit perceptual hash: 4 bands of 16 bits give the pigeonhole
+    * guarantee (≤ 3 differing bits cannot touch all 4 bands, so every
+    * qualifying pair shares one EXACT band — deterministic recall up
+    * to the bucket cap). Verify = one popcount per candidate.
+    * Emits `(a, b, hamming)`.
+    */
+  def pHashPairs(df: DataFrame, content: Column, id: Column,
+      maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pHashPairs: maxHamming in [0, 3] (the 4-band pigeonhole " +
+        s"recall guarantee), got $maxHamming")
+    graft.core.CacheScope.withPersisted(pHash(df, content, id)) { h =>
+      val banded = h.select(col("doc_id"), col("phash"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("band"),
+              expr(s"shiftright(phash, ${16 * i}) & 65535")
+                .as("key"))): _*)).as("_e"))
+        .select(col("doc_id"), col("phash"),
+          col("_e.band").as("band"), col("_e.key").as("key"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+      val capped = banded.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxBucketSize).drop("_r")
+      val l = capped.select(col("band"), col("key"),
+        col("doc_id").as("a"), col("phash").as("ph_a"))
+      val r = capped.select(col("band").as("band_r"),
+        col("key").as("key_r"), col("doc_id").as("b"),
+        col("phash").as("ph_b"))
+      l.join(r, col("band") === col("band_r") &&
+          col("key") === col("key_r") && col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
+            .cast("int").as("hamming"))
+        .distinct() // a close pair shares SEVERAL bands — one row
+        .filter(col("hamming") <= maxHamming)
+    }
+  }
 }

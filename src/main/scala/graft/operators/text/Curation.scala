@@ -809,4 +809,61 @@ object Curation {
         when(col("tp") + col("fn") > 0,
           expr("tp * 1000000 div (tp + fn)")).as("rec_ppm"))
   }
+
+  /** N-gram overlap F1 (the ROUGE-N shape, Lin 2004) between per-row
+    * candidate/reference text pairs — the generation-eval metric
+    * summarization and paraphrase pipelines gate on, and the
+    * train-vs-eval textual-overlap audit decontamination reports use.
+    * Counts are CLIPPED (per gram, min(candidate count, reference
+    * count) occurrences score — the standard ROUGE clipping, so a
+    * candidate repeating one reference gram cannot inflate recall).
+    * Exact integer milli-units: `p = overlap·1000 div n_cand`,
+    * `r = overlap·1000 div n_ref`, `f1 = overlap·2000 div
+    * (n_cand + n_ref)` (algebraically 2PR/(P+R)); all-zero rows when
+    * a side has no grams. Tokenization is the library convention
+    * (`split(trim, \s+)`), so the DuckDB oracle replays bit-for-bit.
+    *
+    * 100 TB shape: gram fan-out is a generator; both count tables are
+    * map-side-combinable (pair, gram) aggregates; the overlap is one
+    * equi-join on (pair, gram) + one (pair) sum — everything keyed,
+    * nothing quadratic per row (a HOF min-count over the gram arrays
+    * would re-scan per distinct gram). Pairing is the caller's join;
+    * this operator never self-joins the corpus.
+    */
+  def ngramOverlapF1(df: DataFrame, id: Column, cand: Column,
+      ref: Column, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"ngramOverlapF1: n in [1, 8], got $n")
+    val withG = df.select(id.cast("long").as("pair_id"),
+      TextOps.shinglesFromTokens(TextOps.tokens(cand), n,
+        distinct = false).as("gc"),
+      TextOps.shinglesFromTokens(TextOps.tokens(ref), n,
+        distinct = false).as("gr"))
+    // scope-cache: sizes + both explodes derive from the gram arrays —
+    // uncached, three scans re-running tokenization (the PlanAudit rule)
+    graft.core.CacheScope.withPersisted(withG) { g =>
+      val sizes = g.select(col("pair_id"),
+        size(col("gc")).cast("long").as("n_cand"),
+        size(col("gr")).cast("long").as("n_ref"))
+      val cc = g.select(col("pair_id"), explode(col("gc")).as("g"))
+        .groupBy(col("pair_id"), col("g"))
+        .agg(count(lit(1)).as("c1"))
+      val rc = g.select(col("pair_id"), explode(col("gr")).as("g"))
+        .groupBy(col("pair_id"), col("g"))
+        .agg(count(lit(1)).as("c2"))
+      val ov = cc.join(rc, Seq("pair_id", "g"))
+        .groupBy(col("pair_id"))
+        .agg(sum(least(col("c1"), col("c2"))).as("overlap"))
+      sizes.join(ov, Seq("pair_id"), "left")
+        .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+        .select(col("pair_id"), col("overlap"), col("n_cand"),
+          col("n_ref"),
+          when(col("n_cand") > 0, expr("(overlap * 1000) div n_cand"))
+            .otherwise(0L).as("p_milli"),
+          when(col("n_ref") > 0, expr("(overlap * 1000) div n_ref"))
+            .otherwise(0L).as("r_milli"),
+          when(col("n_cand") + col("n_ref") > 0,
+            expr("(overlap * 2000) div (n_cand + n_ref)"))
+            .otherwise(0L).as("f1_milli"))
+    }
+  }
 }

@@ -1718,6 +1718,38 @@ object LlmPack extends QueryPack {
            #""".stripMargin('#'), s, dir),
       Some(mmNearPairsSql)),
 
+    // 64-bit DCT perceptual hash over the decoded-luma stub — the
+    // re-encoded/resized-image dedup notion (hash tracks decoded
+    // content, not bytes). Hardcoded fixed-point DCT basis, exact
+    // integer coefficients, bounded 63-element median: the oracle
+    // replays every coefficient and bit bit-for-bit.
+    "mm_phash" -> QueryDef(
+      (s, dir) => Multimodal.pHash(
+        Tables.documents(s, dir), col("text"), col("doc_id")),
+      Some(phashSql("text"))),
+
+    // pHash near-dup pairs by 16-bit band blocking (pigeonhole recall
+    // for hamming <= 3). Fixture: the doc_id % 29 stratum collapses to
+    // 3 template texts — identical decoded luma => hamming-0 pairs,
+    // exercising the positive path; everything else is md5-random
+    // 64-bit hashes that never collide within 3 bits.
+    "mm_phash_pairs" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).withColumn("text2",
+          when(col("doc_id") % 29 === 0,
+            concat(lit("tpl-"), (col("doc_id") % 3).cast("string")))
+            .otherwise(col("text")))
+        Multimodal.pHashPairs(d, col("text2"), col("doc_id"))
+      },
+      Some(phashPairsSql)),
+
+    "dfs_phash" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|phash(.text_field('text').id_field('doc_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(phashSql("text"))),
+
     // ---- round 11: retrieval + substring/semantic dedup + BPE ----------
 
     // gram-granular exact-substring-dedup metric (Lee et al. 2022):
@@ -2789,6 +2821,36 @@ object LlmPack extends QueryPack {
       },
       Some(prCurveSql)),
 
+    // ROUGE-2 overlap F1 between candidate/reference pairs (clipped
+    // counts, exact integer milli-units). Fixture: candidate = each
+    // doc's first 150 chars; reference = the doc itself (truncation →
+    // high precision) except the doc_id % 5 stratum, which references
+    // its successor doc (unrelated text → near-zero) — both metric
+    // regimes exercised.
+    "text_rouge2" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val c = docs.select(col("doc_id").as("pid"),
+          substring(col("text"), 1, 150).as("cand"),
+          when(col("doc_id") % 5 === 0, (col("doc_id") + 1) % n)
+            .otherwise(col("doc_id")).as("rid"))
+        val r = docs.select(col("doc_id").as("rid"),
+          col("text").as("ref"))
+        Curation.ngramOverlapF1(c.join(r, "rid"), col("pid"),
+          col("cand"), col("ref"), 2)
+      },
+      Some(rouge2Sql)),
+
+    "dfs_rouge2" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|eval(lambda: str_slice("text", 0, 150)).as('cand')
+          #|rouge(.id_field('doc_id').cand_field('cand')
+          #  .ref_field('text').n(2))
+          #""".stripMargin('#'), s, dir),
+      Some(rouge2SelfSql)),
+
     // DFS twins: the curation ops through the script front-end
     "dfs_domain_cap" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -3692,6 +3754,126 @@ object LlmPack extends QueryPack {
       |         JOIN nn nb ON it.b = nb.doc_id
       |WHERE round(inter * 1.0 / (na.nf + nb.nf - inter), 6)
       |  >= 0.1""".stripMargin
+
+  /** Shared pHash replay for a text expression `t`: 4 chained md5s →
+    * 64 luma bytes, the hardcoded fixed-point DCT basis as a VALUES
+    * table, exact integer coefficient sums (CAST — DuckDB SUM(BIGINT)
+    * is HUGEINT), the 32nd-smallest-of-63 AC median via a fully-
+    * ordered-by-value row_number, and the bit sum with bit 63 as the
+    * Long.MinValue literal (1<<63 overflows DuckDB's checked shift;
+    * adding −2^63 to a sum of lower bits is the identical two's-
+    * complement pattern Spark's wrapping shiftleft produces).
+    */
+  private def phashCtes(tExpr: String): String = {
+    val M = graft.operators.multimodal.Multimodal
+    val tt = (for {u <- 0 until 8; x <- 0 until 8}
+      yield s"($u, $x, ${M.DctT(u)(x)})").mkString(", ")
+    s"""src AS (SELECT doc_id, $tExpr AS t FROM documents),
+       |hx AS (SELECT doc_id, concat(md5(t), md5(t || '1'),
+       |        md5(t || '2'), md5(t || '3')) AS hex FROM src),
+       |cells AS (SELECT doc_id, p // 8 AS x, p % 8 AS y,
+       |        ('0x' || substr(hex, CAST(2 * p + 1 AS INTEGER), 2))::BIGINT
+       |          AS l
+       |      FROM hx, UNNEST(generate_series(0, 63)) s(p)),
+       |tt(u, x, t) AS (SELECT * FROM (VALUES $tt)),
+       |coef AS (SELECT doc_id, tu.u AS u, tv.u AS v,
+       |        CAST(sum(l * tu.t * tv.t) AS BIGINT) AS c
+       |      FROM cells JOIN tt tu ON tu.x = cells.x
+       |        JOIN tt tv ON tv.x = cells.y
+       |      GROUP BY 1, 2, 3),
+       |med AS (SELECT doc_id, c AS med FROM (
+       |      SELECT doc_id, c, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY c) AS rn
+       |      FROM coef WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+       |ph AS (SELECT coef.doc_id,
+       |        CAST(sum(CASE WHEN c > med THEN
+       |          CASE WHEN u * 8 + v = 63 THEN -9223372036854775807 - 1
+       |            ELSE (CAST(1 AS BIGINT) << (u * 8 + v)) END
+       |          ELSE 0 END) AS BIGINT) AS phash
+       |      FROM coef JOIN med ON med.doc_id = coef.doc_id
+       |      GROUP BY 1)""".stripMargin
+  }
+
+  private def phashSql(tExpr: String): String =
+    s"""WITH ${phashCtes(tExpr)}
+       |SELECT doc_id, phash FROM ph""".stripMargin
+
+  private lazy val phashPairsSql: String = {
+    val fx = "CASE WHEN doc_id % 29 = 0 THEN 'tpl-' || " +
+      "CAST(doc_id % 3 AS VARCHAR) ELSE text END"
+    s"""WITH ${phashCtes(fx)},
+       |bb AS (SELECT doc_id, phash, bd,
+       |        (phash >> CAST(16 * bd AS INTEGER)) & 65535 AS key
+       |      FROM ph, UNNEST(generate_series(0, 3)) s(bd)),
+       |cp AS (SELECT bd, key, doc_id, phash FROM (
+       |      SELECT bd, key, doc_id, phash, row_number() OVER (
+       |        PARTITION BY bd, key ORDER BY doc_id) AS rn FROM bb)
+       |      WHERE rn <= 4096),
+       |pp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |        bit_count(xor(x.phash, y.phash)) AS hamming
+       |      FROM cp x JOIN cp y ON x.bd = y.bd AND x.key = y.key
+       |        AND x.doc_id < y.doc_id)
+       |SELECT a, b, CAST(hamming AS INTEGER) AS hamming
+       |FROM pp WHERE hamming <= 3""".stripMargin
+  }
+
+  /** Shared ROUGE-2 replay over a pair CTE `pr(pair_id, c, r)`:
+    * library-convention tokenization, bigram lists, per-(pair, gram)
+    * counts, clipped-min overlap, exact integer milli P/R/F1.
+    */
+  private def rougeCtes(prCte: String): String =
+    s"""$prCte,
+       |tg AS (SELECT pair_id,
+       |        string_split_regex(trim(c), '\\s+') AS wc,
+       |        string_split_regex(trim(r), '\\s+') AS wr FROM pr),
+       |ga AS (SELECT pair_id,
+       |        [wc[i] || ' ' || wc[i+1] for i in range(1, len(wc))]
+       |          AS gc,
+       |        [wr[i] || ' ' || wr[i+1] for i in range(1, len(wr))]
+       |          AS gr
+       |      FROM tg),
+       |sz AS (SELECT pair_id, CAST(len(gc) AS BIGINT) AS n_cand,
+       |        CAST(len(gr) AS BIGINT) AS n_ref FROM ga),
+       |cc AS (SELECT pair_id, g, count(*) AS c1 FROM (
+       |      SELECT pair_id, unnest(gc) AS g FROM ga) GROUP BY 1, 2),
+       |rc AS (SELECT pair_id, g, count(*) AS c2 FROM (
+       |      SELECT pair_id, unnest(gr) AS g FROM ga) GROUP BY 1, 2),
+       |ov AS (SELECT cc.pair_id,
+       |        CAST(sum(least(c1, c2)) AS BIGINT) AS overlap
+       |      FROM cc JOIN rc ON rc.pair_id = cc.pair_id AND rc.g = cc.g
+       |      GROUP BY 1)""".stripMargin
+
+  private val rougeSelect: String =
+    """SELECT sz.pair_id, coalesce(ov.overlap, 0) AS overlap,
+      |  n_cand, n_ref,
+      |  CASE WHEN n_cand > 0
+      |    THEN coalesce(ov.overlap, 0) * 1000 // n_cand
+      |    ELSE 0 END AS p_milli,
+      |  CASE WHEN n_ref > 0
+      |    THEN coalesce(ov.overlap, 0) * 1000 // n_ref
+      |    ELSE 0 END AS r_milli,
+      |  CASE WHEN n_cand + n_ref > 0
+      |    THEN coalesce(ov.overlap, 0) * 2000 // (n_cand + n_ref)
+      |    ELSE 0 END AS f1_milli
+      |FROM sz LEFT JOIN ov USING (pair_id)""".stripMargin
+
+  private lazy val rouge2Sql: String =
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |${rougeCtes(
+        """pr AS (SELECT d1.doc_id AS pair_id,
+          |        substring(d1.text, 1, 150) AS c, d2.text AS r
+          |      FROM documents d1 CROSS JOIN nn
+          |      JOIN documents d2 ON d2.doc_id =
+          |        CASE WHEN d1.doc_id % 5 = 0 THEN (d1.doc_id + 1) % n
+          |          ELSE d1.doc_id END)""".stripMargin)}
+       |$rougeSelect""".stripMargin
+
+  private lazy val rouge2SelfSql: String =
+    s"""WITH ${rougeCtes(
+        """pr AS (SELECT doc_id AS pair_id,
+          |        substring(text, 1, 150) AS c, text AS r
+          |      FROM documents)""".stripMargin)}
+       |$rougeSelect""".stripMargin
 
   private lazy val quantileBucketSql: String =
     """SELECT doc_id, n_chars,

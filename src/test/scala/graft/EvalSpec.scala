@@ -102,4 +102,21 @@ class EvalSpec extends AnyFunSuite {
     // thr=100: no predictions -> precision null, recall 0
     assert(got(100L) == ((0L, 0L, 2L, None, Some(0L))))
   }
+
+  test("ngramOverlapF1: clipped counts, zero-gram sides, disjoint " +
+      "pairs — hand-computed milli values") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c", "a b a d"), // clip: 'a b' counts min(2,1)=1
+      (2L, "x", "a b"),             // cand has 0 bigrams
+      (3L, "p q", "r s")            // disjoint: overlap 0, rates 0
+    ).toDF("pid", "cand", "ref")
+    val got = Curation.ngramOverlapF1(df, col("pid"), col("cand"),
+        col("ref"), 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(1L) == ((2L, 4L, 3L, 500L, 666L, 571L)))
+    assert(got(2L) == ((0L, 0L, 1L, 0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 1L, 1L, 0L, 0L, 0L)))
+  }
 }

@@ -532,6 +532,43 @@ class LlmSpec extends AnyFunSuite {
       custom.select(col("blob_meta.n_bytes")).head().getInt(0).toDouble)
   }
 
+  test("pHash: identical payloads hash equal (hamming-0 pairs); " +
+      "distinct payloads never pair within 3 bits; partition-invariant") {
+    import spark.implicits._
+    val M = graft.operators.multimodal.Multimodal
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"),
+      (3L, "a completely different payload"), (4L, "yet another payload"),
+      (5L, "the quick brown fox")).toDF("doc_id", "text")
+    val pairs = M.pHashPairs(df, col("text"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the dup family {1,2,5} gives exactly its 3 hamming-0 pairs; the
+    // md5-avalanche hashes of 3/4 sit far beyond 3 bits of anything
+    assert(pairs == Set((1L, 2L, 0), (1L, 5L, 0), (2L, 5L, 0)))
+    val h2 = M.pHash(df.repartition(7), col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val h1 = M.pHash(df.coalesce(1), col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h1 == h2 && h1(1L) == h1(2L) && h1(1L) != h1(3L))
+  }
+
+  test("pHash: DCT basis is the rounded-cosine table and bit 63 is " +
+      "reachable (sign bit exact)") {
+    import spark.implicits._
+    val M = graft.operators.multimodal.Multimodal
+    // the table IS round(1024*cos((2x+1)u*pi/16)) — guards typos in the
+    // hardcoded literals without putting libm in any data path
+    for (u <- 0 until 8; x <- 0 until 8)
+      assert(M.DctT(u)(x) ==
+        math.round(1024.0 * math.cos((2 * x + 1) * u * math.Pi / 16)))
+    // hashes land across the full 64-bit range: some corpus hash has the
+    // sign bit set (bit 63 = coefficient (7,7) > AC median), proving the
+    // MinValue-weight path both engines replay
+    val hs = M.pHash((0L until 40L).map(i => (i, s"payload-$i"))
+      .toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .collect().map(_.getLong(1))
+    assert(hs.exists(_ < 0L) && hs.exists(_ > 0L))
+  }
+
   test("runStats: sorted-run fold equals the relational counts") {
     import spark.implicits._
     val df = Seq(
