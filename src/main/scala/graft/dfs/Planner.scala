@@ -3222,6 +3222,18 @@ object Planner {
       graft.operators.graph.GraphOps.lpaCommunities(ctx.df,
         optNum(n, "rounds", env).map(_.toInt).getOrElse(4))
     },
+    // LPA + modularity fused over the same 'a'/'b' pair shape (graft
+    // extension): community assignment by lpaCommunities, then the
+    // division-free per-community modularity report — "are the
+    // duplicate families coherent clusters or chance"
+    "modularity" -> bt(Set("rounds")) { (ctx, n, env) =>
+      if (!ctx.df.columns.contains("a") || !ctx.df.columns.contains("b"))
+        throw DfsError("modularity: input needs 'a'/'b' pair columns " +
+          "(the near_dedup output shape)")
+      val rounds = optNum(n, "rounds", env).map(_.toInt).getOrElse(4)
+      graft.operators.graph.GraphOps.modularityReport(ctx.df,
+        graft.operators.graph.GraphOps.lpaCommunities(ctx.df, rounds))
+    },
     // per-doc tf-idf keywords (graft extension, the
     // TextOps.tfidfTopTerms door)
     "tfidf_terms" -> bt(Set("text_field", "id_field", "k")) {

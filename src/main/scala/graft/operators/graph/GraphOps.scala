@@ -365,4 +365,61 @@ object GraphOps {
     }
     labels.select(col("id"), col("lab").as("community"))
   }
+
+  /** Per-community modularity report (Newman & Girvan 2004) for an
+    * `(id, community)` assignment over an undirected pair relation —
+    * the quality gate on [[lpaCommunities]] output (is this clustering
+    * better than chance?). Modularity Q = Σ_c [in_c/m − (deg_c/2m)²];
+    * to keep every engine bit-exact there is NO division anywhere:
+    * each community row carries the exact integer NUMERATOR
+    * `q_num = 4·m·in_c − deg_c²` of its Q term over the common
+    * denominator 4m² — Σ q_num / 4m² is Q, and q_num comparisons
+    * rank communities identically to their Q terms. Emits
+    * `(community, n_nodes, in_edges, deg_sum, m, q_num)`.
+    *
+    * Overflow bound: |q_num| ≤ 4m² must fit a long ⇒ m ≤ 1.5e9
+    * edges, enforced loudly (the robustZOutliers guard convention) —
+    * past it, compute per-shard or switch the report to milli units
+    * upstream. deg/in counts are over the deduped undirected edge set
+    * (self-loops drop), matching [[lpaCommunities]].
+    *
+    * 100 TB shape: two edge⨝assignment equi-joins (one per endpoint),
+    * then everything is community-keyed map-side-combinable sums over
+    * community-cardinality rows; the edge count is one bounded probe
+    * action. No windows, no collects, nothing quadratic.
+    */
+  def modularityReport(pairs: DataFrame, assign: DataFrame): DataFrame = {
+    val e = pairs
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    val m = e.count() // bounded probe: one long
+    require(m <= 1500000000L,
+      s"modularityReport: exact integer form needs m <= 1.5e9 edges " +
+        s"(4m^2 must fit a long), got $m — shard or rescale upstream")
+    val lab = assign.select(col("id"), col("community"))
+    val lu = e.join(lab.withColumnRenamed("id", "u"), Seq("u"))
+      .withColumnRenamed("community", "cu")
+    val both = lu.join(lab.withColumnRenamed("id", "v")
+      .withColumnRenamed("community", "cv"), Seq("v"))
+    // within-community edge counts: both endpoints agree
+    val inC = both.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("community"))
+      .agg(count(lit(1)).as("in_edges"))
+    // degree mass per community: each edge endpoint contributes 1
+    val degC = both.select(col("cu").as("community"))
+      .unionByName(both.select(col("cv").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("deg_sum"))
+    val nC = lab.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nC.join(degC, Seq("community"), "left")
+      .join(inC, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        lit(m).as("m"))
+      .withColumn("q_num",
+        lit(4L) * lit(m) * col("in_edges") -
+          col("deg_sum") * col("deg_sum"))
+  }
 }

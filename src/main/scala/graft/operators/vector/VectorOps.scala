@@ -318,6 +318,49 @@ object VectorOps {
       .select(col("q_id"), col("rnk"), col(idCol), round(col("sim"), 6).as("sim"))
   }
 
+  /** ANN recall@k report — the measurement behind every recall-knob
+    * sentence in SCALE.md: per query, how many of the EXACT top-k the
+    * ANN ladder actually returned. This is the tuning loop's
+    * instrument (pick nPlanes/probes by measured recall on a sampled
+    * query set, then deploy those knobs corpus-wide), so it ships as
+    * an operator, not a notebook ritual. Recall compares MEMBERSHIP
+    * (id sets), never float scores, so the report is exact integer
+    * end-to-end: `recall_milli = hits·1000 div n_exact`.
+    *
+    * 100 TB shape: run over a SAMPLED query set (the bruteTopK guard
+    * enforces the broadcast bound) — the exact side is the quadratic
+    * yardstick priced per query, the ANN side is the production path;
+    * the comparison itself is one (q_id, id) equi-join over k-bounded
+    * rank rows. Emits `(q_id, k, n_exact, hits, recall_milli)`.
+    */
+  def annRecallReport(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      probes: Int = 1): DataFrame = {
+    val an = annTopK(corpus, queries, idCol, vecCol, k, nPlanes, dim,
+      probes).select(col("q_id").as("_q2"), col(idCol).as("_id2"))
+    // scope-cache the exact side: it feeds both the per-query
+    // denominator and the hit join (PlanAudit rule)
+    graft.core.CacheScope.withPersisted(
+      bruteTopK(corpus, queries, idCol, vecCol, k)
+        .select(col("q_id"), col(idCol))) { ex =>
+      val nx = ex.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      val ht = ex.join(an, col("q_id") === col("_q2") &&
+          col(idCol) === col("_id2"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      nx.join(ht, Seq("q_id"), "left")
+        .select(col("q_id"), lit(k).as("k"), col("n_exact"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_milli",
+          expr("(hits * 1000) div n_exact"))
+    }
+  }
+
   // ---- embedding-cosine near-duplicates ----------------------------------
 
   /** Banded sign-bit LSH near-duplicate pairs over an embedding column —

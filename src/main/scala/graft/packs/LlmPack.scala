@@ -3526,6 +3526,41 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(dfsLpaSql)),
 
+    // per-community modularity report over the LPA assignment on the
+    // same planted-block graph — "is this clustering better than
+    // chance": division-free exact integer Q numerators over the
+    // common 4m² denominator, so both engines replay every term
+    "graph_modularity" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val chain1 = docs
+          .filter(col("doc_id") % 23 =!= 22 && col("doc_id") + 1 < n)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        val chain2 = docs
+          .filter(col("doc_id") % 23 < 21 && col("doc_id") + 2 < n)
+          .select(col("doc_id").as("a"), (col("doc_id") + 2).as("b"))
+        val cross = docs.filter(col("doc_id") % 53 === 0)
+          .select(col("doc_id").as("a"),
+            ((col("doc_id") * 17 + 3) % n).as("b"))
+          .filter(col("a") =!= col("b"))
+        val pairs = chain1.unionByName(chain2).unionByName(cross)
+        graft.operators.graph.GraphOps.modularityReport(pairs,
+          graft.operators.graph.GraphOps.lpaCommunities(pairs, 4))
+      },
+      Some(modularitySql)),
+
+    // DFS twin: LPA + modularity fused as one pair-shape node over the
+    // near-dup graph — "are the duplicate families coherent clusters"
+    "dfs_modularity" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.id_field('doc_id').threshold(0.3)
+          #  .bands(4).rows_per_band(2))
+          #|modularity(.rounds(4))
+          #""".stripMargin('#'), s, dir),
+      Some(dfsModularitySql)),
+
     // DFS twin over the near-dup pair graph: "how clique-like are the
     // duplicate clusters" — a dense mirror ring triangulates, a chain
     // of borderline matches does not
@@ -5731,6 +5766,55 @@ object LlmPack extends QueryPack {
     s"""WITH pr AS (${nearPairsSql(0.3)}),
        |${lpaLevelsSql(4, "pr")}
        |SELECT id, lab AS community FROM lab4""".stripMargin
+
+  /** Modularity replay over the lpaLevelsSql CTEs (`ge0` = deduped
+    * undirected edges, `lab{rounds}` = assignment): within-community
+    * edge counts, per-community degree mass, and the division-free
+    * exact q_num = 4·m·in_c − deg_c² over the common 4m² denominator
+    * (no `//` anywhere — q_num is signed and floor-vs-trunc division
+    * differs on negatives across engines).
+    */
+  private def modularityTailSql(rounds: Int): String =
+    s"""mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ge0),
+       |asg AS (SELECT id, lab AS community FROM lab$rounds),
+       |lu AS (SELECT au.community AS cu, av.community AS cv
+       |      FROM ge0 JOIN asg au ON au.id = ge0.u
+       |        JOIN asg av ON av.id = ge0.v),
+       |ic AS (SELECT cu AS community, CAST(count(*) AS BIGINT)
+       |          AS in_edges
+       |      FROM lu WHERE cu = cv GROUP BY 1),
+       |dc AS (SELECT community, CAST(count(*) AS BIGINT) AS deg_sum
+       |      FROM (SELECT cu AS community FROM lu
+       |            UNION ALL SELECT cv FROM lu) GROUP BY 1),
+       |ncm AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+       |      FROM asg GROUP BY 1)
+       |SELECT ncm.community, n_nodes,
+       |  coalesce(in_edges, 0) AS in_edges,
+       |  coalesce(deg_sum, 0) AS deg_sum, mm.m AS m,
+       |  4 * mm.m * coalesce(in_edges, 0) -
+       |    coalesce(deg_sum, 0) * coalesce(deg_sum, 0) AS q_num
+       |FROM ncm CROSS JOIN mm
+       |LEFT JOIN dc USING (community)
+       |LEFT JOIN ic USING (community)""".stripMargin
+
+  private lazy val modularitySql: String =
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |ch1 AS (SELECT doc_id AS a, doc_id + 1 AS b FROM documents, nn
+       |        WHERE doc_id % 23 <> 22 AND doc_id + 1 < n),
+       |ch2 AS (SELECT doc_id AS a, doc_id + 2 AS b FROM documents, nn
+       |        WHERE doc_id % 23 < 21 AND doc_id + 2 < n),
+       |cr AS (SELECT doc_id AS a, (doc_id * 17 + 3) % n AS b
+       |       FROM documents, nn
+       |       WHERE doc_id % 53 = 0 AND doc_id <> (doc_id * 17 + 3) % n),
+       |pairs AS (SELECT a, b FROM ch1 UNION ALL SELECT a, b FROM ch2
+       |          UNION ALL SELECT a, b FROM cr),
+       |${lpaLevelsSql(4, "pairs")},
+       |${modularityTailSql(4)}""".stripMargin
+
+  private lazy val dfsModularitySql: String =
+    s"""WITH pr AS (${nearPairsSql(0.3)}),
+       |${lpaLevelsSql(4, "pr")},
+       |${modularityTailSql(4)}""".stripMargin
 
   private lazy val dfsKcoreSql: String =
     s"""WITH pr AS (${nearPairsSql(0.3)}),

@@ -134,6 +134,27 @@ class GraphSpec extends AnyFunSuite {
       .values.toSet.size == 1)
   }
 
+  test("modularityReport: hand-computed q_num on two triangles over " +
+      "a bridge; terms sum to the textbook Q") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    val asg = GraphOps.lpaCommunities(pairs, 4)
+    val got = GraphOps.modularityReport(pairs, asg).collect()
+      .map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("in_edges"),
+          r.getAs[Long]("deg_sum"), r.getAs[Long]("m"),
+          r.getAs[Long]("q_num")))).toMap
+    // m=7; each triangle: in=3, deg mass 3·2+1(bridge)=7,
+    // q_num = 4·7·3 − 7² = 35
+    assert(got == Map(
+      1L -> ((3L, 3L, 7L, 7L, 35L)),
+      3L -> ((3L, 3L, 7L, 7L, 35L))))
+    // Σ q_num / 4m² is Newman-Girvan Q: 70/196 ≈ 0.357 — positive,
+    // i.e. the LPA split beats chance (a single community scores 0)
+    assert(got.values.map(_._5).sum == 70L)
+  }
+
   test("lpaCommunities: self-loops drop, multi-edges dedup, " +
       "partition-count-invariant") {
     import spark.implicits._

@@ -1178,4 +1178,34 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id", "text").as[(Long, String)].collect().toSet
     assert(got == Set((0L, "alpha"), (1L, "beta"), (3L, "gamma")))
   }
+
+  test("pHash + ngramOverlapF1: row-local given the pair/payload, so " +
+      "micro-batch via foreachBatch equals batch exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq((1L, "a b a b c", "a b a d"), (2L, "x", "a b"),
+      (3L, "the quick fox", "the quick fox"))
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val f1 = graft.operators.text.Curation.ngramOverlapF1(df,
+        col("pid"), col("cand"), col("ref"), 2)
+        .select("pair_id", "f1_milli").as[(Long, Long)].collect().toSet
+      val ph = graft.operators.multimodal.Multimodal.pHash(df,
+        col("cand"), col("pid"))
+        .as[(Long, Long)].collect().toSet
+      (f1, ph)
+    }
+    val batch = run(rows.toDF("pid", "cand", "ref"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    var f1s = Set.empty[(Long, Long)]
+    var phs = Set.empty[(Long, Long)]
+    val q = in.toDS().toDF("pid", "cand", "ref").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (f, p) = run(mb); f1s ++= f; phs ++= p; ()
+      }.start()
+    in.addData(rows.take(1)); q.processAllAvailable()
+    in.addData(rows.drop(1)); q.processAllAvailable()
+    q.stop()
+    assert((f1s, phs) == batch)
+  }
 }
