@@ -2774,8 +2774,6 @@ object Planner {
       graft.operators.text.Curation.rocAuc(ctx.df, score,
         label.cast("boolean"))
     },
-    // precision/recall at fixed thresholds (graft extension, the
-    // Curation.prCurve door): predict positive iff score >= t
     // ROUGE-N overlap F1 between two text fields on each row (graft
     // extension, the Curation.ngramOverlapF1 door): clipped-count
     // n-gram precision/recall/F1 in exact integer milli-units
@@ -2788,6 +2786,8 @@ object Planner {
         Paths.ref(f("ref_field")),
         optNum(n, "n", env).map(_.toInt).getOrElse(2))
     },
+    // precision/recall at fixed thresholds (graft extension, the
+    // Curation.prCurve door): predict positive iff score >= t
     "pr_curve" -> bt(Set("score", "label", "thresholds")) {
       (ctx, n, env) =>
       val score = optLambdas(n, "score", env).headOption

@@ -129,8 +129,12 @@ object LlmPack extends QueryPack {
   }
 
   // the full semantic-decontamination replay: same planes/bands as
-  // cosinePairsOracle, corpus (vec_id % 13 <> 0) × benchmark (= 0)
-  // candidates, fold-order cosine, per-corpus-doc rollup with the
+  // cosinePairsOracle, the operator's per-(band, bucket, SIDE)
+  // maxBucketSize=4096 cap replayed as a row_number before the
+  // candidate join (so the oracle stays bit-equal at any fixture
+  // size, not just while buckets happen to stay under the cap),
+  // corpus (vec_id % 13 <> 0) × benchmark (= 0) candidates,
+  // fold-order cosine, per-corpus-doc rollup with the
   // decontaminateFuzzy output contract — shared by the Scala API query
   // and its DFS-node twin
   private lazy val semanticDeconSql: String = {
@@ -148,7 +152,13 @@ object LlmPack extends QueryPack {
     val dotAB = dotSql("va.embedding", "vb.embedding")
     val nA = dotSql("va.embedding", "va.embedding")
     val nB = dotSql("vb.embedding", "vb.embedding")
-    s"""WITH bnd AS ($bandSel),
+    s"""WITH bnd0 AS ($bandSel),
+       |bnd AS (SELECT vec_id, band, bh
+       |        FROM (SELECT *, row_number() OVER
+       |                (PARTITION BY band, bh, vec_id % 13 = 0
+       |                 ORDER BY vec_id) AS _r
+       |              FROM bnd0)
+       |        WHERE _r <= 4096),
        |cand AS (SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
        |         FROM bnd la JOIN bnd lb
        |           ON la.band = lb.band AND la.bh = lb.bh
@@ -1560,6 +1570,68 @@ object LlmPack extends QueryPack {
            |        (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
            |      FROM s)
            |WHERE rnk <= 3""".stripMargin
+      }),
+
+    // ANN recall@k report — the measured-recall instrument behind every
+    // SCALE.md recall-knob sentence: per query, |ANN top-k ∩ exact
+    // top-k| as an exact integer (`recall_milli = hits·1000 div
+    // n_exact`). The oracle replays BOTH sides — the bruteTopK chain
+    // (emb_cosine_topk's SQL) as the exact yardstick and the annTopK
+    // plane/bucket chain (emb_ann_topk's SQL) as the measured path —
+    // then the membership join, so the report itself (aliasing,
+    // left-join zero-fill, integer div) is verified, not just its
+    // ingredients. nPlanes=4 on this fixture leaves real misses
+    // (recall < 1000 for some queries — LlmSpec pins one), so the
+    // hits < n_exact path executes.
+    "emb_ann_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        VectorOps.annRecallReport(
+          emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          3, nPlanes = 4)
+      },
+      Some {
+        val ps = VectorOps.planes(4, 64)
+        def planeLit(p: Array[Float]) =
+          p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+        def bkt(vec: String) = ps.zipWithIndex.map { case (p, j) =>
+          s"""(CASE WHEN ${dotSql(vec, planeLit(p))} > 0
+             | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+        }.mkString(" +\n  ")
+        val dotQC = dotSql("embedding", "qe")
+        val nC = dotSql("embedding", "embedding")
+        val nQ = dotSql("qe", "qe")
+        s"""WITH c AS (SELECT vec_id, embedding, ${bkt("embedding")} AS bkt
+           |           FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, embedding AS qe, ${bkt("embedding")} AS bkt
+           |      FROM embeddings WHERE vec_id % 100 = 0),
+           |anns AS (SELECT q_id, vec_id,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM c JOIN q ON c.bkt = q.bkt AND c.vec_id <> q.q_id),
+           |ann AS (SELECT q_id, vec_id
+           |        FROM (SELECT *, row_number() OVER
+           |                (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+           |              FROM anns)
+           |        WHERE rnk <= 3),
+           |exs AS (SELECT q_id, vec_id,
+           |        $dotQC / (sqrt($nC) * sqrt($nQ)) AS sim
+           |      FROM embeddings, q WHERE vec_id <> q_id),
+           |ex AS (SELECT q_id, vec_id
+           |       FROM (SELECT *, row_number() OVER
+           |               (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+           |             FROM exs)
+           |       WHERE rnk <= 3),
+           |nx AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+           |       FROM ex GROUP BY q_id),
+           |ht AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS hits
+           |       FROM ex JOIN ann ON ex.q_id = ann.q_id
+           |                       AND ex.vec_id = ann.vec_id
+           |       GROUP BY ex.q_id)
+           |SELECT nx.q_id, CAST(3 AS INTEGER) AS k, nx.n_exact,
+           |  CAST(coalesce(ht.hits, 0) AS BIGINT) AS hits,
+           |  CAST((coalesce(ht.hits, 0) * 1000) // nx.n_exact AS BIGINT)
+           |    AS recall_milli
+           |FROM nx LEFT JOIN ht ON ht.q_id = nx.q_id""".stripMargin
       }),
 
     // IVF-Flat ANN: k-means coarse quantizer → inverted cell lists →

@@ -289,6 +289,70 @@ class LlmSpec extends AnyFunSuite {
     assert((ann intersect brute).nonEmpty)
   }
 
+  test("annRecallReport equals the brute/ann membership recomputation, " +
+      "with real misses") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val rep = VectorOps
+      .annRecallReport(emb, q, "vec_id", "embedding", 3, nPlanes = 4)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val brute = VectorOps.bruteTopK(emb, q, "vec_id", "embedding", 3)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ann = VectorOps.annTopK(emb, q, "vec_id", "embedding", 3, nPlanes = 4)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nExact = brute.groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    val hits = brute.filter(ann.contains)
+      .groupBy(_._1).map { case (k, v) => (k, v.size.toLong) }
+    assert(rep.keySet == nExact.keySet)
+    nExact.foreach { case (qid, n) =>
+      val h = hits.getOrElse(qid, 0L)
+      assert(rep(qid) == ((3, n, h, h * 1000 / n)),
+        s"q_id=$qid: got ${rep(qid)}, want (3, $n, $h, ${h * 1000 / n})")
+    }
+    // 4 planes on this fixture leave real misses — the hits < n_exact
+    // (recall < 1000) path actually executes
+    assert(rep.exists { case (_, (_, n, h, _)) => h < n })
+  }
+
+  test("annRecallReport zero-fills a query whose ANN side is empty") {
+    import spark.implicits._
+    // basis vectors make plane dots exact: dot(e_i, plane) = plane(i).
+    // Find a basis vector whose 4-plane sign bucket differs from e_0's —
+    // a corpus of {e_0} and a query of {e_i} then share no LSH bucket,
+    // so annTopK returns nothing and the report's left-join zero-fill
+    // (hits = 0, recall_milli = 0) is the path under test.
+    val ps = VectorOps.planes(4, 64)
+    def bucket(i: Int): Long = ps.zipWithIndex.map { case (p, j) =>
+      if (p(i) > 0) 1L << j else 0L
+    }.sum
+    val qi = (1 until 64).find(i => bucket(i) != bucket(0))
+      .getOrElse(fail("no basis vector in a different bucket"))
+    def e(i: Int) = Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)
+    val corpus = Seq((1L, e(0))).toDF("vec_id", "embedding")
+    val queries = Seq((2L, e(qi))).toDF("vec_id", "embedding")
+    val rep = VectorOps
+      .annRecallReport(corpus, queries, "vec_id", "embedding", 3, nPlanes = 4)
+      .collect()
+    assert(rep.length == 1)
+    val r = rep(0)
+    assert((r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 3, 1L, 0L, 0L)))
+  }
+
+  test("annRecallReport: partition-count-invariant") {
+    val emb = Tables.embeddings(spark, sf)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      VectorOps.annRecallReport(d, d.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 3, nPlanes = 4)
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(emb.repartition(3)) == run(emb.repartition(16)))
+  }
+
   test("codegen FloatDot/FloatSqDist are bit-identical to the HOF fold") {
     // the DuckDB oracle replays the HOF fold order (float multiply,
     // double accumulate, left-to-right); the codegen expression must
