@@ -682,6 +682,87 @@ case class CdcChunkRows(child: Expression, mask: Int, p: Long)
       newChild: Expression): CdcChunkRows = copy(child = newChild)
 }
 
+/** Native 64-bit DCT perceptual hash — the whole per-row pHash kernel
+  * (Zauner 2010) in one pass over the 128-hex-char luma string: 64 luma
+  * bytes → separable 2-D integer DCT against the hardcoded fixed-point
+  * cosine basis ([[graft.operators.multimodal.Multimodal.DctT]]) → bit
+  * u·8+v set when coefficient (u, v) exceeds the 32nd-smallest of the
+  * 63 AC coefficients. Bit-identical to the relational formulation
+  * ([[graft.operators.multimodal.Multimodal.pHashViaJoins]], kept as
+  * the spec twin and replayed by the DuckDB oracle): all products are
+  * exact longs (|l·t·t| ≤ 2.7e8, 64-term sums ≤ 1.7e10), so ANY
+  * summation order — including this separable row-then-column pass —
+  * gives the same integers, and the median is the same rank-32 element.
+  * The relational plan fanned every payload into 64 cell rows and paid
+  * three corpus-wide shuffles (cell aggregate, median aggregate, join
+  * back — 19.1 s for the family at sf0.1); this is a plain JIT'd loop
+  * with zero shuffles, the [[CdcChunkRows]] remedy. CodegenFallback for
+  * the same reason: the 64×8×8 loop body dwarfs per-row dispatch.
+  */
+case class PHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hex = input.toString
+    val t = graft.operators.multimodal.Multimodal.DctT
+    val l = new Array[Long](64)
+    var p = 0
+    while (p < 64) {
+      l(p) = java.lang.Integer.parseInt(
+        hex.substring(2 * p, 2 * p + 2), 16).toLong
+      p += 1
+    }
+    // separable DCT: tmp(u)(y) = Σ_x l(x·8+y)·T(u)(x), then
+    // coef(u·8+v) = Σ_y tmp(u)(y)·T(v)(y)
+    val tmp = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0L
+        var x = 0
+        while (x < 8) { s += l(x * 8 + y) * t(u)(x); x += 1 }
+        tmp(u * 8 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Long](64)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 8) { s += tmp(u * 8 + y) * t(v)(y); y += 1 }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    // median = 32nd smallest of the 63 AC coefficients (rank-32, the
+    // element_at(array_sort(...), 32) of the relational form)
+    val ac = new Array[Long](63)
+    System.arraycopy(coef, 1, ac, 0, 63)
+    java.util.Arrays.sort(ac)
+    val med = ac(31)
+    var hash = 0L
+    p = 0
+    while (p < 64) {
+      if (coef(p) > med) hash |= (1L << p)
+      p += 1
+    }
+    hash
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PHash64 = copy(child = newChild)
+}
+
 object TextExpressions {
   def winnowSelect(text: Column, w: Int, p: Long): Column =
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(text), w, p))
@@ -689,6 +770,9 @@ object TextExpressions {
   def cdcChunkRows(text: Column, mask: Int, p: Long): Column =
     ColumnBridge.column(
       CdcChunkRows(ColumnBridge.expression(text), mask, p))
+
+  def pHash64(lumaHex: Column): Column =
+    ColumnBridge.column(PHash64(ColumnBridge.expression(lumaHex)))
 
   def simHash32(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))

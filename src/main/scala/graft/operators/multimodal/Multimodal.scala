@@ -158,24 +158,46 @@ object Multimodal {
     * sums ≤ 1.7e10 — long-safe), so the hash is partition-order-exact
     * and the DuckDB oracle replays every coefficient bit-for-bit.
     *
-    * 100 TB shape: the 64-cell fan-out is a generator (no shuffle);
-    * the DCT is two BROADCAST joins against the 64-row basis table +
-    * one map-side-combinable (doc, u, v) sum; the median is a bounded
-    * 63-element per-doc sort, never a window over the corpus. Per-doc
-    * state downstream is 8 bytes. Emits `(doc_id, phash)`.
+    * 100 TB shape: the whole hash is ONE per-row native kernel
+    * ([[graft.functions.PHash64]] — the [[graft.functions.CdcChunkRows]] remedy
+    * applied to the former 64-cell fan-out + two basis joins + three
+    * corpus-wide shuffles, 19.1 s → sub-second for the family at
+    * sf0.1); zero shuffles, 8 bytes of per-doc state downstream. The
+    * relational formulation survives as [[pHashViaJoins]], the spec
+    * twin the DuckDB oracle replays and the unit suite pins equal.
+    * Emits `(doc_id, phash)`.
     */
-  def pHash(df: DataFrame, content: Column, id: Column): DataFrame = {
-    val sp = df.sparkSession
-    import sp.implicits._
-    val lumaHex = concat(md5(content.cast("binary")),
+  def pHash(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+      graft.functions.TextExpressions.pHash64(lumaHex(content)).as("phash"))
+
+  /** The deterministic decode stub's 64-byte "luma" as a 128-hex-char
+    * string: 4 chained md5s of the payload ([[featureStub]]'s
+    * convention; a deployment swaps in a real 8×8 downsampled luma
+    * with the same column contract).
+    */
+  private def lumaHex(content: Column): Column =
+    concat(md5(content.cast("binary")),
       md5(concat(content, lit("1")).cast("binary")),
       md5(concat(content, lit("2")).cast("binary")),
       md5(concat(content, lit("3")).cast("binary")))
+
+  /** The relational pHash formulation — [[pHash]]'s spec twin, the
+    * exact chain the DuckDB oracle replays (64-cell generator fan-out,
+    * two broadcast joins against the [[DctT]] basis, (doc, u, v) sum,
+    * rank-32 AC median, bit sum). Kept non-private for the LlmSpec
+    * native≡relational corpus pin (the shinglesFromTokensHof
+    * convention); production callers use the native kernel.
+    */
+  private[graft] def pHashViaJoins(
+      df: DataFrame, content: Column, id: Column): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
     val lumaArr = array((0 until 64).map(p =>
       conv(substring(col("_hex"), 2 * p + 1, 2), 16, 10)
         .cast("long")): _*)
     val cells = df
-      .select(id.cast("long").as("doc_id"), lumaHex.as("_hex"))
+      .select(id.cast("long").as("doc_id"), lumaHex(content).as("_hex"))
       .select(col("doc_id"), posexplode(lumaArr).as(Seq("p", "l")))
       .select(col("doc_id"), expr("p div 8").as("x"),
         (col("p") % 8).as("y"), col("l"))

@@ -615,6 +615,17 @@ class LlmSpec extends AnyFunSuite {
     assert(h1 == h2 && h1(1L) == h1(2L) && h1(1L) != h1(3L))
   }
 
+  test("pHash native kernel is bit-identical to the relational spec " +
+      "twin over the corpus") {
+    val M = graft.operators.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val native = toMap(M.pHash(docs, col("text"), col("doc_id")))
+    val twin = toMap(M.pHashViaJoins(docs, col("text"), col("doc_id")))
+    assert(native.nonEmpty && native == twin)
+  }
+
   test("pHash: DCT basis is the rounded-cosine table and bit 63 is " +
       "reachable (sign bit exact)") {
     import spark.implicits._
