@@ -3210,6 +3210,19 @@ object Planner {
           .getOrElse(throw DfsError("kcore: .k")),
         optNum(n, "rounds", env).map(_.toInt).getOrElse(8))
     },
+    // full coreness decomposition over the same 'a'/'b' pair shape
+    // (graft extension, the GraphOps.coreness door): each node's
+    // onion-peel depth, capped at .max_k — the cohesion RANK where
+    // kcore is the gate
+    "coreness" -> bt(Set("max_k", "rounds")) { (ctx, n, env) =>
+      if (!ctx.df.columns.contains("a") || !ctx.df.columns.contains("b"))
+        throw DfsError("coreness: input needs 'a'/'b' pair columns " +
+          "(the near_dedup output shape)")
+      graft.operators.graph.GraphOps.coreness(ctx.df,
+        optNum(n, "max_k", env).map(_.toInt)
+          .getOrElse(throw DfsError("coreness: .max_k")),
+        optNum(n, "rounds", env).map(_.toInt).getOrElse(8))
+    },
     // deterministic synchronous label-propagation communities over the
     // same 'a'/'b' pair shape (graft extension, the
     // GraphOps.lpaCommunities door): densely-linked duplicate cores

@@ -225,8 +225,8 @@ object GraphOps {
     * aggregate + two semi-joins (edges partition by endpoint; nothing
     * data-sized ever reaches the driver — the survivor probe is a
     * count). Peeling converges in ≤ a few dozen rounds on real web
-    * graphs for practical k; full coreness (all k at once) is the
-    * documented extension, this is the production gate form.
+    * graphs for practical k; [[coreness]] runs this loop per level for
+    * the full all-k decomposition, this is the production gate form.
     */
   def kCore(pairs: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
@@ -258,6 +258,88 @@ object GraphOps {
       i += 1
     }
     degrees(e)
+  }
+
+  /** Full coreness decomposition by onion peeling — the NUMBER behind
+    * [[kCore]]'s gate: each node's coreness (the largest k for which
+    * it sits in the k-core, capped at `maxK`), the cohesion rank a
+    * curation user sorting duplicate clusters or host link farms
+    * actually wants (the gate answers "is it dense"; this answers
+    * "HOW dense, relative to every other cluster"). Input is the
+    * undirected pair list `(a, b)`; emits `(id, coreness)` with
+    * coreness = min(true coreness, maxK) — every endpoint has
+    * coreness ≥ 1 by construction (it touches an edge).
+    *
+    * Onion structure: the k-core is contained in the (k−1)-core, so
+    * level k peels the LEVEL-(k−1) edge set, never the original graph
+    * — total work is Σ_k |(k−1)-core| edges, sharply decreasing in k.
+    * Each level runs [[kCore]]'s loop verbatim (≤ `roundsPerLevel`
+    * synchronous rounds, count-probe early-stop on the monotone fixed
+    * point; converged or emptied levels are identity), so the
+    * unrolled-CTE oracle replays exactly maxK × roundsPerLevel
+    * (degree → filter → restrict) levels and matches bit-for-bit
+    * whether or not any level converged. A node's reported coreness
+    * is the last level whose surviving edge set still touches it.
+    *
+    * 100 TB shape: identical per-round algebra to [[kCore]] (one
+    * map-side-combinable degree aggregate + two semi-joins, node-sized
+    * localCheckpoint, count-only probes); the accumulator holds one
+    * (id, level) row per node per survived level — node-sized, capped
+    * at maxK unions — and the final rollup is one map-side-combinable
+    * max. maxK is a small constant by spec (cores beyond ~32 don't
+    * discriminate: everything that deep is a farm); for unbounded
+    * decomposition run again with maxK doubled on the capped stratum.
+    */
+  def coreness(pairs: DataFrame, maxK: Int,
+      roundsPerLevel: Int = 8): DataFrame = {
+    require(maxK >= 1 && maxK <= 64,
+      s"coreness: maxK in [1, 64], got $maxK")
+    require(roundsPerLevel >= 1 && roundsPerLevel <= 64,
+      s"coreness: roundsPerLevel in [1, 64], got $roundsPerLevel")
+    var e = pairs
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(col("u").as("id"))
+      .unionByName(ed.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    def endpoints(ed: DataFrame): DataFrame = ed
+      .select(col("u").as("id"))
+      .unionByName(ed.select(col("v").as("id"))).distinct()
+    // level 1 is identity (every endpoint of a surviving edge has
+    // deg >= 1), so S_1 = all endpoints and peeling starts at k = 2
+    var acc = endpoints(e)
+      .select(col("id"), lit(1).as("coreness")).localCheckpoint()
+    var k = 2
+    var emptied = e.isEmpty
+    while (k <= maxK && !emptied) {
+      var i = 0
+      var prevN = -1L
+      var stable = false
+      while (i < roundsPerLevel && !stable) {
+        val surv = degrees(e).filter(col("deg") >= k).localCheckpoint()
+        val n = surv.count() // node-sized bounded probe
+        if (n == prevN) stable = true
+        else {
+          e = e
+            .join(surv.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(surv.select(col("id").as("v")), Seq("v"), "left_semi")
+            .select(col("u"), col("v"))
+            .localCheckpoint()
+          prevN = n
+        }
+        i += 1
+      }
+      val sk = endpoints(e).localCheckpoint()
+      emptied = sk.isEmpty
+      if (!emptied)
+        acc = acc.unionByName(
+          sk.select(col("id"), lit(k).as("coreness"))).localCheckpoint()
+      k += 1
+    }
+    // survivor sets nest, so max = the deepest level still touching id
+    acc.groupBy(col("id")).agg(max(col("coreness")).as("coreness"))
   }
 
   /** HyperBall (Boldi & Vigna 2013) — harmonic centrality at WEB

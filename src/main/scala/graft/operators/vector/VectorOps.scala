@@ -611,6 +611,56 @@ object VectorOps {
     }
   }
 
+  /** Exact-recall yardstick for [[semanticDecon]] — the same
+    * corpus-contamination report computed with NO LSH: every (corpus,
+    * benchmark) pair scored. [[semanticDecon]]'s sign-bit bands are
+    * probabilistic (no pigeonhole guarantee, unlike simhash/phash band
+    * blocking), so its recall must be MEASURED, not assumed — this twin
+    * is the instrument (the `cosineDupPairsExact` convention: run both
+    * on a sample, diff the contaminated sets, tune `bands` until the
+    * measured recall holds).
+    *
+    * 100 TB shape: the benchmark side is eval-set-sized by definition,
+    * so it broadcasts (guarded, the bruteTopK rule) and the "cross"
+    * join is one map-side pass over the corpus — linear, never
+    * corpus-quadratic. Still ~|bench|× the per-row work of the banded
+    * path: a yardstick you run on samples, not the production rung.
+    * Output contract identical to [[semanticDecon]]:
+    * `(id, n_hits, max_sim, contaminated)`.
+    */
+  def semanticDeconExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      isBench: Column,
+      threshold: Double,
+      maxBenchRows: Long = MaxBroadcastQueries): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+        isBench.as("_bench"))
+      .withColumn("_n", norm(col("_v")))
+    val bench = base.filter(col("_bench"))
+      .select(col("_id").as("b"), col("_v").as("_vb"), col("_n").as("_nb"))
+    val nb = bench.count()
+    require(nb <= maxBenchRows,
+      s"semanticDeconExact benchmark side has $nb rows (max $maxBenchRows):" +
+        " too large to broadcast — use semanticDecon (LSH-banded), or " +
+        "raise maxBenchRows explicitly")
+    val corpus = base.filter(!col("_bench"))
+      .select(col("_id"), col("_v").as("_va"), col("_n").as("_na"))
+    val hits = corpus.crossJoin(broadcast(bench))
+      .withColumn("sim",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("_nh"), max(col("sim")).as("_ms"))
+    corpus.select(col("_id").as(idCol))
+      .join(hits, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_nh"), lit(0L)).as("n_hits"),
+        coalesce(col("_ms"), lit(0.0)).as("max_sim"),
+        col("_nh").isNotNull.as("contaminated"))
+  }
+
   /** Exact-cosine verification of candidate (a, b) pairs against the
     * materialized (vector, norm) base; keeps pairs >= threshold.
     */

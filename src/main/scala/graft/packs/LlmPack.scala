@@ -1218,6 +1218,35 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(semanticDeconSql)),
 
+    // exact cross-set twin for semantic decontamination (benchmark side
+    // broadcast-guarded; every corpus×benchmark pair scored, no LSH) —
+    // semanticDecon's sign-bit bands are probabilistic (no pigeonhole
+    // guarantee, unlike simhash/phash band blocking), so this yardstick
+    // pins the TRUE contamination report its recall is measured against
+    // (measured table: docs/SCALE.md)
+    "emb_semantic_decon_exact" -> QueryDef(
+      (s, dir) =>
+        VectorOps.semanticDeconExact(Tables.embeddings(s, dir), "vec_id",
+          "embedding", col("vec_id") % 13 === 0, threshold = 0.4),
+      Some {
+        val dotAB = dotSql("va.embedding", "vb.embedding")
+        val nA = dotSql("va.embedding", "va.embedding")
+        val nB = dotSql("vb.embedding", "vb.embedding")
+        s"""WITH sims AS (SELECT va.vec_id AS a,
+           |        round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
+           |      FROM embeddings va JOIN embeddings vb
+           |        ON va.vec_id % 13 <> 0 AND vb.vec_id % 13 = 0),
+           |hits AS (SELECT a, CAST(count(*) AS BIGINT) AS nh,
+           |           max(sim) AS ms
+           |         FROM sims WHERE sim >= 0.4 GROUP BY a)
+           |SELECT e.vec_id,
+           |  coalesce(h.nh, 0) AS n_hits,
+           |  coalesce(h.ms, 0.0) AS max_sim,
+           |  h.nh IS NOT NULL AS contaminated
+           |FROM embeddings e LEFT JOIN hits h ON h.a = e.vec_id
+           |WHERE e.vec_id % 13 <> 0""".stripMargin
+      }),
+
     // exact all-pairs twin (broadcast-guarded, quadratic by spec) — pins
     // the true answer the banded form's recall is measured against
     "dedup_cosine_exact" -> QueryDef(
@@ -3561,6 +3590,44 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(dfsKcoreSql)),
 
+    // full coreness decomposition over the kcore fixture (affine graph
+    // + planted %37 clique): each node's onion-peel depth capped at 8 —
+    // the organic graph lands at small coreness and the farm clique
+    // pegs the cap, so both the cascade and the capped-stratum paths
+    // run. The oracle unrolls all maxK × rounds (degree → filter →
+    // restrict) levels and takes each node's deepest surviving level;
+    // converged levels are identity, so it matches bit-for-bit.
+    "graph_coreness" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.count()
+        val affine = docs.select(col("doc_id").as("a"),
+          explode(array(
+            (col("doc_id") * 7 + 13) % n,
+            (col("doc_id") * 11 + 29) % n,
+            (col("doc_id") * 13 + 47) % n)).as("b"))
+        val farm = docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id").as("a"))
+        val clique = farm.crossJoin(
+            docs.filter(col("doc_id") % 37 === 0)
+              .select(col("doc_id").as("b")))
+          .filter(col("a") < col("b"))
+        graft.operators.graph.GraphOps.coreness(
+          affine.unionByName(clique), 8, 6)
+      },
+      Some(corenessSql(8, 6))),
+
+    // DFS twin over the near-dup pair graph: duplicate clusters RANKED
+    // by cohesion depth, not just gated at one k
+    "dfs_coreness" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.id_field('doc_id').threshold(0.3)
+          #  .bands(4).rows_per_band(2))
+          #|coreness(.max_k(4).rounds(6))
+          #""".stripMargin('#'), s, dir),
+      Some(dfsCorenessSql)),
+
     // deterministic synchronous label-propagation communities over a
     // planted-block fixture (23-id blocks chained with skip links,
     // sparse affine bridges): where CC glues every bridge-touched block
@@ -5775,6 +5842,66 @@ object LlmPack extends QueryPack {
        |  FROM $pairSrc WHERE a <> b),
        |$lvls""".stripMargin
   }
+
+  /** Oracle for the coreness queries: the onion — for each level
+    * k = 2..maxK, `rounds` unrolled peel levels (the kCoreLevelsSql
+    * pattern, MATERIALIZED for the same 3^rounds reason) chained off
+    * the PREVIOUS level's final edge set, then each node's coreness as
+    * the deepest level whose surviving edge set still touches it
+    * (level 1 = all endpoints of e0: a k=1 peel is identity). Pure
+    * integer counting, so any engine replays it exactly, converged or
+    * not.
+    */
+  private def corenessLevelsSql(maxK: Int, rounds: Int,
+      pairSrc: String): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+         |  FROM $pairSrc WHERE a <> b)""".stripMargin)
+    var prev = "e0"
+    val finals = scala.collection.mutable.ArrayBuffer[(Int, String)](
+      (1, "e0"))
+    for (k <- 2 to maxK; i <- 1 to rounds) {
+      val cur = s"e${k}_$i"
+      sb.append(
+        s""",
+           |d${k}_$i AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+           |      FROM (SELECT u AS id FROM $prev
+           |            UNION ALL SELECT v FROM $prev) GROUP BY id),
+           |s${k}_$i AS (SELECT id FROM d${k}_$i WHERE deg >= $k),
+           |$cur AS MATERIALIZED (SELECT u, v FROM $prev
+           |      WHERE u IN (SELECT id FROM s${k}_$i)
+           |        AND v IN (SELECT id FROM s${k}_$i))""".stripMargin)
+      prev = cur
+      if (i == rounds) finals += ((k, cur))
+    }
+    val lvlUnion = finals.map { case (k, nm) =>
+      s"""SELECT u AS id, $k AS k FROM $nm
+         |UNION ALL SELECT v, $k FROM $nm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    sb.append(s""",
+         |lvls AS ($lvlUnion)""".stripMargin)
+    sb.toString
+  }
+
+  private def corenessSql(maxK: Int, rounds: Int): String =
+    s"""WITH $synthEdgesSql,
+       |cl AS (SELECT x.doc_id AS a, y.doc_id AS b
+       |       FROM documents x, documents y
+       |       WHERE x.doc_id % 37 = 0 AND y.doc_id % 37 = 0
+       |         AND x.doc_id < y.doc_id),
+       |pairs AS (SELECT src AS a, dst AS b FROM e
+       |          UNION ALL SELECT a, b FROM cl),
+       |${corenessLevelsSql(maxK, rounds, "pairs")}
+       |SELECT id, CAST(max(k) AS INTEGER) AS coreness
+       |FROM lvls GROUP BY id""".stripMargin
+
+  private lazy val dfsCorenessSql: String =
+    s"""WITH pr AS (${nearPairsSql(0.3)}),
+       |${corenessLevelsSql(4, 6, "pr")}
+       |SELECT id, CAST(max(k) AS INTEGER) AS coreness
+       |FROM lvls GROUP BY id""".stripMargin
 
   private def kCoreSql(k: Int, rounds: Int): String =
     s"""WITH $synthEdgesSql,

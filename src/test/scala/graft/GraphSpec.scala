@@ -116,6 +116,53 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  private def cness(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+    df.collect().map(r => r.getAs[Long]("id") ->
+      r.getAs[Int]("coreness")).toMap
+
+  test("coreness: hand graph — K4 coreness 3, triangle 2, chain 1") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}; chain 4-5-6 hangs off it; separate triangle
+    // {10,11,12} with pendant 12-13
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (12L, 13L)).toDF("a", "b")
+    val got = cness(GraphOps.coreness(pairs, 8, 8))
+    assert(got == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3,
+      5L -> 1, 6L -> 1, 10L -> 2, 11L -> 2, 12L -> 2, 13L -> 1))
+  }
+
+  test("coreness: maxK caps the deep core, matches kCore per level") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L))
+    val pairs = k4.toDF("a", "b")
+    val capped = cness(GraphOps.coreness(pairs, 2, 8))
+    assert(capped == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 2, 5L -> 1))
+    // node ∈ k-core(kCore) ⇔ coreness >= k, for every k up to maxK
+    val full = cness(GraphOps.coreness(pairs, 8, 8))
+    for (k <- 1 to 4) {
+      val gate = core(GraphOps.kCore(pairs, k, 8)).keySet
+      assert(full.filter(_._2 >= k).keySet == gate, s"k=$k")
+    }
+  }
+
+  test("coreness: whole graph at coreness 1 when nothing is cyclic") {
+    import spark.implicits._
+    val got = cness(GraphOps.coreness(
+      Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), 8, 8))
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1))
+  }
+
+  test("coreness: partition-count-invariant") {
+    import spark.implicits._
+    val pairs = (0L until 200L)
+      .map(i => (i % 67, (i * 31 + 7) % 67)).toDF("a", "b")
+    val a = cness(GraphOps.coreness(pairs.repartition(2), 6, 8))
+    val b = cness(GraphOps.coreness(pairs.repartition(16), 6, 8))
+    assert(a == b)
+  }
+
   private def lpa(df: org.apache.spark.sql.DataFrame,
       rounds: Int): Map[Long, Long] =
     GraphOps.lpaCommunities(df, rounds).collect()

@@ -268,6 +268,39 @@ class LlmSpec extends AnyFunSuite {
     assert(run(emb.repartition(3)) == run(emb.repartition(16)))
   }
 
+  test("semanticDeconExact dominates the banded form (hits ⊆ exact) " +
+      "and recall is monotone in bands") {
+    val emb = Tables.embeddings(spark, sf)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(3))))
+        .toMap
+    val exact = toMap(VectorOps.semanticDeconExact(emb, "vec_id",
+      "embedding", col("vec_id") % 13 === 0, 0.4))
+    val banded = toMap(VectorOps.semanticDecon(emb, "vec_id", "embedding",
+      col("vec_id") % 13 === 0, 0.4))
+    assert(exact.keySet == banded.keySet) // same corpus rows out
+    // banded candidates are a subset of all pairs, so per-doc hit counts
+    // and the contaminated verdict can only under-report, never invent
+    banded.foreach { case (id, (nh, cont)) =>
+      assert(nh <= exact(id)._1, s"vec_id=$id banded $nh > exact")
+      assert(!cont || exact(id)._2)
+    }
+    val truePos = exact.count(_._2._2)
+    val found = banded.count { case (id, (_, cont)) => cont && exact(id)._2 }
+    assert(truePos > 0 && found > 0)
+    // recall here is genuinely probabilistic — 1-(1-p^r)^b with
+    // p = 1 - θ/π ≈ 0.63 right at sim 0.4, so the 4×4 default measures
+    // ~444 milli on this fixture (the whole point of the yardstick;
+    // measured table + band guidance in docs/SCALE.md). Candidate sets
+    // NEST in bands (band b is the same planes at any band count), so
+    // more bands can only add hits:
+    val banded8 = toMap(VectorOps.semanticDecon(emb, "vec_id", "embedding",
+      col("vec_id") % 13 === 0, 0.4, bands = 8))
+    val found8 = banded8.count { case (id, (_, cont)) => cont && exact(id)._2 }
+    assert(found8 >= found,
+      s"bands=8 recall $found8 regressed below bands=4 $found")
+  }
+
   test("simhash of identical texts is identical") {
     import spark.implicits._
     val df = Seq(("x", "spark window agg join"), ("y", "spark window agg join"))

@@ -151,7 +151,11 @@ class PlanLintSpec extends AnyFunSuite {
       // plattCalibrate broadcasts its 1-ROW (a, b) parameter frame at
       // apply; calibrationBuckets its 1-ROW ECE total — both the
       // fillPeriod lazy-scalar pattern
-      "text_platt", "dfs_platt", "text_ece", "dfs_ece")
+      "text_platt", "dfs_platt", "text_ece", "dfs_ece",
+      // semanticDeconExact is the guarded all-pairs yardstick: the
+      // benchmark side is eval-set-sized and broadcast (fails fast past
+      // MaxBroadcastQueries), the cosineDupPairsExact convention
+      "emb_semantic_decon_exact")
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan
       flatten(plan).collect {
