@@ -2651,21 +2651,30 @@ object Planner {
     // any .benchmark-marked row reaches .threshold — the embedding-space
     // rung of the decontaminate ladder
     "semantic_decon" -> bt(Set("vec_field", "id_field", "benchmark",
-      "threshold", "bands", "rows_per_band", "dim", "max_bucket")) {
-      (ctx, n, env) =>
+      "threshold", "bands", "rows_per_band", "dim", "max_bucket",
+      "auto")) { (ctx, n, env) =>
       val vec = optStr(n, "vec_field", env).getOrElse("embedding")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("semantic_decon: .id_field"))
       val bench = optLambdas(n, "benchmark", env).headOption
         .map(lambdaColumn(_, env.defs))
         .getOrElse(throw DfsError("semantic_decon: .benchmark(lambda)"))
-      graft.operators.vector.VectorOps.semanticDecon(ctx.df, id, vec,
-        bench.cast("boolean"),
-        optNum(n, "threshold", env).getOrElse(0.85),
-        optNum(n, "bands", env).map(_.toInt).getOrElse(4),
-        optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(4),
-        optNum(n, "dim", env).map(_.toInt).getOrElse(64),
-        optNum(n, "max_bucket", env).map(_.toInt).getOrElse(4096))
+      val threshold = optNum(n, "threshold", env).getOrElse(0.85)
+      val bands = optNum(n, "bands", env).map(_.toInt).getOrElse(4)
+      val dim = optNum(n, "dim", env).map(_.toInt).getOrElse(64)
+      val maxB = optNum(n, "max_bucket", env).map(_.toInt).getOrElse(4096)
+      // .auto() sizes rowsPerBand by the occupancy law (the corpus-
+      // sized production form); explicit .rows_per_band wins
+      if (optFlag(n, "auto", env) &&
+          optNum(n, "rows_per_band", env).isEmpty)
+        graft.operators.vector.VectorOps.semanticDeconAuto(ctx.df, id,
+          vec, bench.cast("boolean"), threshold, bands, dim,
+          maxBucketSize = maxB)
+      else
+        graft.operators.vector.VectorOps.semanticDecon(ctx.df, id, vec,
+          bench.cast("boolean"), threshold, bands,
+          optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(4),
+          dim, maxB)
     },
     // BPE merge-candidate mining (graft extension, the TextOps.bpePairs
     // door): top-k weighted adjacent char pairs

@@ -611,6 +611,31 @@ object VectorOps {
     }
   }
 
+  /** Corpus-sized wrapper for [[semanticDecon]] — `rowsPerBand` follows
+    * the [[autoBits]] occupancy law (BENCH_NOTES_r9 §3 / r18 §3: fixed
+    * 4-bit bands go ~n²/16 in candidates per band; ceil(log2(n /
+    * target)) restores ~n·const). The `bands` recall knob stays manual
+    * and should RISE with rowsPerBand when the threshold sits low (the
+    * SCALE.md round-19 recall table) — band b of any width is the same
+    * deterministic planes prefix-free family, so recall remains
+    * monotone in bands at fixed width.
+    */
+  def semanticDeconAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      isBench: Column,
+      threshold: Double,
+      bands: Int = 4,
+      dim: Int = 64,
+      targetBucketRows: Int = 128,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val n = math.max(df.count(), 1L)
+    val r = autoBits(n, targetBucketRows)
+    semanticDecon(df, idCol, vecCol, isBench, threshold, bands, r, dim,
+      maxBucketSize)
+  }
+
   /** Exact-recall yardstick for [[semanticDecon]] — the same
     * corpus-contamination report computed with NO LSH: every (corpus,
     * benchmark) pair scored. [[semanticDecon]]'s sign-bit bands are

@@ -1218,6 +1218,26 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(semanticDeconSql)),
 
+    // the corpus-sized wrapper (the dedup_cosine_auto convention): at
+    // the verify corpus size autoBits resolves to the same 4-bit bands,
+    // so the SAME oracle replays the auto path hash-exact; the sizing
+    // law itself is unit-pinned in LlmSpec
+    "emb_semantic_decon_auto" -> QueryDef(
+      (s, dir) =>
+        VectorOps.semanticDeconAuto(Tables.embeddings(s, dir), "vec_id",
+          "embedding", col("vec_id") % 13 === 0, threshold = 0.4,
+          bands = 4),
+      Some(semanticDeconSql)),
+
+    "dfs_semantic_decon_auto" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|semantic_decon(.id_field('vec_id')
+          #  .benchmark(lambda: mod("vec_id", 13) == 0)
+          #  .threshold(0.4).bands(4).auto())
+          #""".stripMargin('#'), s, dir),
+      Some(semanticDeconSql)),
+
     // exact cross-set twin for semantic decontamination (benchmark side
     // broadcast-guarded; every corpus×benchmark pair scored, no LSH) —
     // semanticDecon's sign-bit bands are probabilistic (no pigeonhole

@@ -534,6 +534,23 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDeconAuto is exactly the fixed-width form at the " +
+      "occupancy-law width") {
+    val emb = Tables.embeddings(spark, sf)
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val n = emb.count()
+    val auto = rep(VectorOps.semanticDeconAuto(emb, "vec_id", "embedding",
+      col("vec_id") % 13 === 0, 0.4))
+    val fixed = rep(VectorOps.semanticDecon(emb, "vec_id", "embedding",
+      col("vec_id") % 13 === 0, 0.4,
+      rowsPerBand = VectorOps.autoBits(n, 128)))
+    assert(auto == fixed && auto.nonEmpty)
+    // emb_semantic_decon_auto shares semanticDeconSql (4-bit bands) —
+    // the <= 2048-embeddings precondition is pinned by the
+    // cosineDupPairsAuto test above for every oracle corpus
+  }
+
   test("cosineDupPairsExact fails fast on an oversized corpus") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
