@@ -1155,6 +1155,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == batch)
   }
 
+  test("coreness: foreachBatch snapshot over accumulated edges matches " +
+      "batch (the documented batch-only scoping)") {
+    import spark.implicits._
+    // a corpus fixed point (coreness depends on the WHOLE edge set), so
+    // the streaming form is the SCALE.md snapshot convention: per
+    // micro-batch, recompute over everything seen so far; the final
+    // snapshot must equal the one-shot batch answer
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    def cness(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.graph.GraphOps.coreness(df, 8, 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = cness(edges.toDF("a", "b"))
+    assert(batch == Set((1L, 3), (2L, 3), (3L, 3), (4L, 3), (5L, 1),
+      (6L, 1)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var last: Set[(Long, Int)] = Set.empty
+    val q = in.toDS().toDF("a", "b").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= mb.as[(Long, Long)].collect()
+        last = cness(seen.toSeq.toDF("a", "b"))
+        ()
+      }.start()
+    in.addData(edges.take(4))
+    q.processAllAvailable()
+    // mid-stream snapshot sees only the partial graph (no clique yet)
+    assert(last.forall(_._2 <= 2))
+    in.addData(edges.drop(4))
+    q.processAllAvailable()
+    q.stop()
+    assert(last == batch)
+  }
+
   test("exactDedupStream: a hash seen in an earlier micro-batch never " +
       "re-emits; first arrival survives") {
     import spark.implicits._
