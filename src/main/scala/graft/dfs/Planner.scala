@@ -2283,6 +2283,27 @@ object Planner {
         ctx.df.filter(!isIdx), Paths.ref(text), Paths.ref(id), idx,
         optNum(n, "threshold", env).getOrElse(0.3), bands, rpb)
     },
+    // similarity-search serve against the established rows' IVF index
+    // (graft extension, the VectorOps.annVsIndex door — vs_index
+    // carried to embeddings): .index(lambda) marks the corpus side,
+    // the rest probe .probes nearest of .cells; threshold form, so the
+    // node streams as-is behind a stream-static join
+    "vs_vector_index" -> bt(Set("vec_field", "id_field", "index",
+      "threshold", "cells", "probes")) { (ctx, n, env) =>
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("vs_vector_index: .id_field"))
+      val isIdx = optLambdas(n, "index", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("vs_vector_index: .index(lambda)"))
+      val cells = optNum(n, "cells", env).map(_.toInt).getOrElse(8)
+      val V = graft.operators.vector.VectorOps
+      val cents = V.ivfCentroids(ctx.df.filter(isIdx), id, vec, cells)
+      val idx = V.vectorIndex(ctx.df.filter(isIdx), id, vec, cents)
+      V.annVsIndex(ctx.df.filter(!isIdx), idx, id, vec, cents,
+        optNum(n, "threshold", env).getOrElse(0.85),
+        optNum(n, "probes", env).map(_.toInt).getOrElse(cells))
+    },
     // Gopher-style repetition metrics as a flow node (graft extension,
     // the TextOps.runStats door): appends n_tok / ttr / top_frac /
     // dup_frac for `.n`-gram repetition — per-row sorted-run fold, no

@@ -1108,4 +1108,74 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col(idCol), round(col("sim"), 6).as("sim"))
   }
+
+  // ---- streaming vector-index serve --------------------------------------
+
+  /** Static IVF index rows for [[annVsIndex]] — `(_idx_id, _idx_v,
+    * _cell, _idx_n)`, cell-assigned against `cents` and MATERIALIZED
+    * (the SCALE.md materialize-before-broadcast-join rule; also the
+    * stream-static contract: the index is the fixed corpus artifact a
+    * live feed probes, the [[graft.operators.text.Dedup.nearDupIndex]]
+    * convention carried to embeddings).
+    */
+  def vectorIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]]): DataFrame = {
+    val centSeq = cents.toIndexedSeq
+    corpus.select(col(idCol).as("_idx_id"), col(vecCol).as("_idx_v"))
+      .withColumn("_dists", cellDists(col("_idx_v"), centSeq))
+      .withColumn("_cell",
+        (array_position(col("_dists"), array_min(col("_dists"))) - 1)
+          .cast("int"))
+      .drop("_dists")
+      .withColumn("_idx_n", norm(col("_idx_v")))
+      .localCheckpoint()
+  }
+
+  /** Similarity-search SERVE against a static [[vectorIndex]] — the
+    * embedding analog of
+    * [[graft.operators.text.Dedup.nearDupVsIndex]]: arriving rows
+    * probe their `nProbe` nearest cells, exact cosine verifies, and
+    * every `(q_id, id, sim)` with sim ≥ `threshold` emits. THRESHOLD
+    * form, not top-k, deliberately: it is stateless past the
+    * stream-static equi-join (no rank window), so a live feed runs it
+    * AS A STREAM in append mode — the StreamingSpec pin runs a real
+    * `writeStream` through this plan. Top-k serving composes the same
+    * index via [[ivfTopK]] per query batch (foreachBatch).
+    *
+    * At `nProbe == nCells` the cells partition the index, every
+    * cross-set pair is scored exactly once, and the result is EXACTLY
+    * the all-pairs threshold answer — the oracle pins that; partial
+    * probe is the linear-cost recall knob (candidates nest, recall
+    * monotone — [[probeCells]]).
+    *
+    * 100 TB shape: the index is cell-partitioned (bucket by `_cell` on
+    * write and the probe join co-locates); an arriving micro-batch
+    * pays nProbe/nCells of the index per row, never the corpus.
+    */
+  def annVsIndex(
+      arrivals: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Float]],
+      threshold: Double,
+      nProbe: Int): DataFrame = {
+    val centSeq = cents.toIndexedSeq
+    val nCells = cents.length
+    val q = arrivals.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("_dists", cellDists(col("q_vec"), centSeq))
+      .withColumn("_cell",
+        explode(probeCells(col("_dists"), nCells, nProbe)))
+      .drop("_dists")
+      .withColumn("_qn", norm(col("q_vec")))
+    q.join(index, Seq("_cell"))
+      .filter(col("_idx_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        dot(col("q_vec"), col("_idx_v")) / (col("_qn") * col("_idx_n")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("q_id"), col("_idx_id").as("id"), col("sim"))
+  }
 }

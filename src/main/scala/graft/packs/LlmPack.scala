@@ -179,6 +179,21 @@ object LlmPack extends QueryPack {
        |WHERE e.vec_id % 13 <> 0""".stripMargin
   }
 
+  // full-probe vector-index serve replay: cells partition the index,
+  // so the full-probe answer is exactly the all-pairs cross-set
+  // threshold — shared by the Scala API query and its DFS-node twin
+  private lazy val vsVectorIndexSql: String = {
+    val dotAB = dotSql("a.embedding", "b.embedding")
+    val nA = dotSql("a.embedding", "a.embedding")
+    val nB = dotSql("b.embedding", "b.embedding")
+    s"""SELECT q_id, id, sim
+       |FROM (SELECT a.vec_id AS q_id, b.vec_id AS id,
+       |        round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
+       |      FROM embeddings a JOIN embeddings b
+       |        ON a.vec_id % 7 = 0 AND b.vec_id % 7 <> 0)
+       |WHERE sim >= 0.4""".stripMargin
+  }
+
   // the full MinHash+LSH near-dup pipeline replay, shared by the Scala
   // API query and its DFS-node twin
   private def nearPairsSql(threshold: Double): String = {
@@ -1682,6 +1697,33 @@ object LlmPack extends QueryPack {
            |    AS recall_milli
            |FROM nx LEFT JOIN ht ON ht.q_id = nx.q_id""".stripMargin
       }),
+
+    // similarity-search SERVE: arriving rows (vec_id % 7 == 0) probe
+    // the static IVF index built from the rest — the embedding
+    // vs_index. Registered at FULL probe, where cells partition the
+    // index and the result is EXACTLY the all-pairs threshold answer
+    // (k-means cell assignment cancels out), so the oracle pins the
+    // whole serve path; partial probe is the unit-pinned recall knob,
+    // and StreamingSpec runs this plan as a real writeStream.
+    "emb_vs_vector_index" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = emb.filter(col("vec_id") % 7 =!= 0)
+        val cents = VectorOps.ivfCentroids(idx, "vec_id", "embedding", 8)
+        VectorOps.annVsIndex(emb.filter(col("vec_id") % 7 === 0),
+          VectorOps.vectorIndex(idx, "vec_id", "embedding", cents),
+          "vec_id", "embedding", cents, 0.4, nProbe = 8)
+      },
+      Some(vsVectorIndexSql)),
+
+    "dfs_vs_vector_index" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|vs_vector_index(.id_field('vec_id')
+          #  .index(lambda: mod("vec_id", 7) != 0)
+          #  .threshold(0.4).cells(8).probes(8))
+          #""".stripMargin('#'), s, dir),
+      Some(vsVectorIndexSql)),
 
     // IVF-Flat ANN: k-means coarse quantizer → inverted cell lists →
     // probe-nearest-cells candidate join. Registered at FULL probe

@@ -551,6 +551,38 @@ class LlmSpec extends AnyFunSuite {
     // cosineDupPairsAuto test above for every oracle corpus
   }
 
+  test("annVsIndex: full probe equals the all-pairs threshold answer; " +
+      "partial probes nest") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = emb.filter(col("vec_id") % 7 =!= 0)
+    val arr = emb.filter(col("vec_id") % 7 === 0)
+    val cents = VectorOps.ivfCentroids(idx, "vec_id", "embedding", 4)
+    val index = VectorOps.vectorIndex(idx, "vec_id", "embedding", cents)
+    def run(p: Int) = VectorOps
+      .annVsIndex(arr, index, "vec_id", "embedding", cents, 0.2, p)
+      .select("q_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = run(4)
+    // independent all-pairs recompute (same dot/norm columns, no cells)
+    def dotC(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.floatDot(a, b)
+    val exact = arr.select(col("vec_id").as("q_id"),
+        col("embedding").as("qv"))
+      .crossJoin(idx.select(col("vec_id").as("id"),
+        col("embedding").as("iv")))
+      .withColumn("sim", round(dotC(col("qv"), col("iv")) /
+        (sqrt(dotC(col("qv"), col("qv"))) *
+          sqrt(dotC(col("iv"), col("iv")))), 6))
+      .filter(col("sim") >= 0.2)
+      .select("q_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact && full.nonEmpty)
+    // candidates nest in nProbe, so the emitted set is monotone
+    val p1 = run(1)
+    val p2 = run(2)
+    assert(p1.subsetOf(p2) && p2.subsetOf(full))
+  }
+
   test("cosineDupPairsExact fails fast on an oversized corpus") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {

@@ -1190,6 +1190,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("annVsIndex: runs as a REAL stream (stream-static IVF probe " +
+      "join, append mode) and matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def v(seed: Int, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(dim)(i =>
+        (if (i % (seed + 2) == 0) 1f else -0.1f) + (if (i == 0) eps else 0f))
+    val V = graft.operators.vector.VectorOps
+    val idxRows = Seq((100L, v(3)), (101L, v(7)), (102L, v(11)))
+    val arriving = Seq((1L, v(3, 0.01f)), (2L, v(5)), (3L, v(7, -0.02f)))
+    val idxDf = idxRows.toDF("vec_id", "embedding")
+    val cents = V.ivfCentroids(idxDf, "vec_id", "embedding", 2)
+    val index = V.vectorIndex(idxDf, "vec_id", "embedding", cents)
+    def serve(df: org.apache.spark.sql.DataFrame) =
+      V.annVsIndex(df, index, "vec_id", "embedding", cents, 0.9, 2)
+    val batch = serve(arriving.toDF("vec_id", "embedding"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 100L), (3L, 101L)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    // the SAME operator plan, but as an actual continuous query — no
+    // foreachBatch: the threshold form is stateless past the
+    // stream-static join, so append mode just works
+    val q = serve(in.toDS().toDF("vec_id", "embedding")).writeStream
+      .format("memory").queryName("vs_vec_serve").outputMode("append")
+      .start()
+    in.addData(arriving.take(1))
+    q.processAllAvailable()
+    in.addData(arriving.drop(1))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vs_vec_serve")
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(got == batch)
+  }
+
   test("exactDedupStream: a hash seen in an earlier micro-batch never " +
       "re-emits; first arrival survives") {
     import spark.implicits._
