@@ -219,8 +219,11 @@ object VectorCuration {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         col(labelCol).as("_ql"))
       .withColumn("_qn", VectorOps.norm(col("q_vec")))
+    // materialized corpus norms (the bruteTopK rule: un-checkpointed,
+    // the norm fold re-runs per pair under the broadcast join)
     val c = corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
       .withColumn("_cn", VectorOps.norm(col(vecCol)))
+      .localCheckpoint()
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id") && col("_nl") =!= col("_ql"))
       .withColumn("sim",
@@ -245,8 +248,10 @@ object VectorCuration {
         "large to broadcast — generate candidates with annTopK upstream")
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("_qn", VectorOps.norm(col("q_vec")))
+    // materialized corpus norms (the bruteTopK rule)
     val c = corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
       .withColumn("_cn", VectorOps.norm(col(vecCol)))
+      .localCheckpoint()
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("sim",
@@ -637,8 +642,10 @@ object VectorCuration {
         "large to broadcast — generate candidates with annTopK upstream")
     val q = src.select(col(idCol).as("src_id"), col(vecCol).as("_sv"))
       .withColumn("_sn", VectorOps.norm(col("_sv")))
+    // materialized target norms (the bruteTopK rule)
     val c = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
       .withColumn("_tn", VectorOps.norm(col("_tv")))
+      .localCheckpoint()
     val scored = c.crossJoin(broadcast(q))
       .withColumn("c_nano",
         floor(VectorOps.dot(col("_sv"), col("_tv"))

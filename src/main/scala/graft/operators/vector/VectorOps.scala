@@ -680,8 +680,11 @@ object VectorOps {
       s"semanticDeconExact benchmark side has $nb rows (max $maxBenchRows):" +
         " too large to broadcast — use semanticDecon (LSH-banded), or " +
         "raise maxBenchRows explicitly")
+    // materialized corpus norms (the bruteTopK rule) — also reused by
+    // the final left join, so the checkpoint pays for itself twice
     val corpus = base.filter(!col("_bench"))
       .select(col("_id"), col("_v").as("_va"), col("_n").as("_na"))
+      .localCheckpoint()
     val hits = corpus.crossJoin(broadcast(bench))
       .withColumn("sim",
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
