@@ -2227,17 +2227,27 @@ object Planner {
           Paths.ref(text), Paths.ref(id))
     },
     "near_dedup" -> bt(Set("text_field", "id_field", "threshold", "bands",
-      "rows_per_band", "max_bucket")) { (ctx, n, env) =>
+      "rows_per_band", "max_bucket", "auto", "k")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("near_dedup: .id_field"))
-      graft.operators.text.Dedup.nearDupPairs(ctx.df, Paths.ref(text),
-        Paths.ref(id),
-        optNum(n, "threshold", env).getOrElse(0.8),
-        optNum(n, "bands", env).map(_.toInt).getOrElse(4),
-        optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2),
-        optNum(n, "max_bucket", env).map(_.toInt)
-          .getOrElse(graft.operators.text.Dedup.DefaultMaxBucketSize))
+      val threshold = optNum(n, "threshold", env).getOrElse(0.8)
+      val maxB = optNum(n, "max_bucket", env).map(_.toInt)
+        .getOrElse(graft.operators.text.Dedup.DefaultMaxBucketSize)
+      // .auto() plans (bands, rows_per_band) from the threshold under
+      // the .k() signature budget (the MMDS optimal-band rule);
+      // explicit .bands/.rows_per_band win
+      if (optFlag(n, "auto", env) && optNum(n, "bands", env).isEmpty &&
+          optNum(n, "rows_per_band", env).isEmpty)
+        graft.operators.text.Dedup.nearDupPairsAuto(ctx.df,
+          Paths.ref(text), Paths.ref(id), threshold,
+          optNum(n, "k", env).map(_.toInt).getOrElse(16), maxB)
+      else
+        graft.operators.text.Dedup.nearDupPairs(ctx.df, Paths.ref(text),
+          Paths.ref(id), threshold,
+          optNum(n, "bands", env).map(_.toInt).getOrElse(4),
+          optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2),
+          maxB)
     },
     // benchmark decontamination as a flow node (graft extension, the
     // TextOps.decontaminate door): .benchmark is a lambda predicate
@@ -2765,6 +2775,16 @@ object Planner {
         Paths.ref(optStr(n, "text_field", env).getOrElse("text")),
         Paths.ref(optStr(n, "id_field", env)
           .getOrElse(throw DfsError("phash: .id_field"))))
+    },
+    // Haitsma–Kalker audio sub-fingerprint stream (graft extension,
+    // the Multimodal.audioFp door): content-space audio dedup — 16-bit
+    // band-energy-delta sub-fingerprints over 50%-overlapped frames of
+    // the decoded-sample stub, one (frame_idx, fp) row per frame
+    "audio_fp" -> bt(Set("text_field", "id_field")) { (ctx, n, env) =>
+      graft.operators.multimodal.Multimodal.audioFp(ctx.df,
+        Paths.ref(optStr(n, "text_field", env).getOrElse("text")),
+        Paths.ref(optStr(n, "id_field", env)
+          .getOrElse(throw DfsError("audio_fp: .id_field"))))
     },
     // exact quantile-bucket assignment (graft extension, the
     // Curation.quantileBuckets door): ntile over the scale-safe
@@ -3316,13 +3336,20 @@ object Planner {
     // Dedup.simhashDupPairs door): exact-recall candidates via the
     // 4-block pigeonhole, popcount verify
     "simhash_pairs" -> bt(Set("text_field", "id_field",
-      "max_hamming")) { (ctx, n, env) =>
+      "max_hamming", "bits")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("simhash_pairs: .id_field"))
-      graft.operators.text.Dedup.simhashDupPairs(ctx.df,
-        Paths.ref(text), Paths.ref(id),
-        optNum(n, "max_hamming", env).map(_.toInt).getOrElse(3))
+      val maxH = optNum(n, "max_hamming", env).map(_.toInt).getOrElse(3)
+      // .bits(64): the wide-key deploy form (4×16-bit bands); 32 is
+      // the fixture-pinned original (4×8-bit byte blocks)
+      optNum(n, "bits", env).map(_.toInt).getOrElse(32) match {
+        case 64 => graft.operators.text.Dedup.simhash64DupPairs(ctx.df,
+          Paths.ref(text), Paths.ref(id), maxH)
+        case 32 => graft.operators.text.Dedup.simhashDupPairs(ctx.df,
+          Paths.ref(text), Paths.ref(id), maxH)
+        case o => throw DfsError(s"simhash_pairs: .bits must be 32 or 64, got $o")
+      }
     },
     // content-defined chunking (graft extension, the Dedup.cdcChunks /
     // cdcDupReport doors): shift-resistant chunk rows, or with

@@ -558,6 +558,65 @@ case class SimHash32(child: Expression)
       newChild: Expression): SimHash32 = copy(child = newChild)
 }
 
+/** Native 64-bit SimHash — [[SimHash32]] WIDENED, not replaced: per
+  * distinct token the vote bits are lo32 = hash60 mod 2³² (bits 0–31 —
+  * IDENTICAL to SimHash32's, so `sh64 & 0xffffffff == sh32` by
+  * construction) and hi32 = md5 hex chars 16–23 (bits 32–63 — nibbles
+  * DISJOINT from hash60's chars 1–15). The point of the width is the
+  * BAND KEY SPACE: 32-bit fingerprints block into 4×8-bit keys (256
+  * buckets — every bucket holds ~n/256 docs, so candidate pairs grow
+  * ~n²/256 and the blocking saturates LONG before the corpus is
+  * interesting); 64 bits give 4×16-bit keys, the [[PHash64]] geometry,
+  * with the same ≤3-bit pigeonhole. Same distinct-token / ±1-majority /
+  * strictly-positive semantics per bit.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.trim.split("\\s+", -1)
+    val seen = new java.util.HashSet[String]()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = md.digest(toks(i).getBytes("UTF-8"))
+        // hash60 (hex chars 1-15): bytes 0..6 + high nibble of byte 7 —
+        // tokenHashes' arithmetic verbatim; lo32 = its low 32 bits
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (h(b) & 0xffL); b += 1 }
+        v = (v << 4) | ((h(7) & 0xf0L) >>> 4)
+        val lo = v & 0xffffffffL
+        // hi32 (hex chars 16-23): low nibble of byte 7, bytes 8..10,
+        // high nibble of byte 11
+        val hi = ((h(7) & 0x0fL) << 28) | ((h(8) & 0xffL) << 20) |
+          ((h(9) & 0xffL) << 12) | ((h(10) & 0xffL) << 4) |
+          ((h(11) & 0xf0L) >>> 4)
+        b = 0
+        while (b < 32) {
+          if (((lo >>> b) & 1L) == 1L) cnt(b) += 1 else cnt(b) -= 1
+          if (((hi >>> b) & 1L) == 1L) cnt(b + 32) += 1 else cnt(b + 32) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (cnt(b) > 0) fp |= 1L << b; b += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
 /** Native winnowing selection (Schleimer et al. 2003) — the whole
   * per-row winnow kernel in one pass: whitespace tokenize → md5-60-bit
   * token hashes mod p → rolling 3-gram hashes → per-window
@@ -763,6 +822,85 @@ case class PHash64(child: Expression)
       newChild: Expression): PHash64 = copy(child = newChild)
 }
 
+/** Native Haitsma–Kalker audio sub-fingerprint stream (the Philips
+  * robust hash, Haitsma & Kalker 2002) — the whole per-row kernel in
+  * one pass: whitespace tokenize → 16-bit "sample" per token (the
+  * deterministic decode stub: md5-60-bit token hash mod 2¹⁶ — a
+  * deployment swaps a real PCM decoder emitting the same sample
+  * contract) → 50%-overlapped frames of 34 samples (hop 17) → 17
+  * band energies per frame (sum of squares over 2 samples each) →
+  * per frame n ≥ 1, bit m set when
+  * `(E(n,m)−E(n,m+1)) − (E(n−1,m)−E(n−1,m+1)) > 0` — the HK
+  * energy-delta sign rule, scaled from 33 bands/32 bits to 17/16.
+  * Output: one (frame_idx ≥ 1, 16-bit fp) struct per overlapping
+  * frame, in frame order; docs shorter than 51 tokens (< 2 frames)
+  * emit nothing.
+  *
+  * Everything is exact integer arithmetic (s < 2¹⁶, E < 2³³,
+  * |diff| < 2³⁵ — long-safe), so the stream is partition-order-exact
+  * and the DuckDB oracle replays every band energy and bit.
+  * CodegenFallback for the [[CdcChunkRows]] reason: the frames×bands
+  * loop dwarfs per-row dispatch, and the output is array-of-struct.
+  */
+case class HkAudioFp(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes with CodegenFallback {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("fp", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "hk_audio_fp"
+
+  import HkAudioFp.{Frame, Hop, Bands}
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = HashKernel.tokenHashes(input.toString, 65536L)
+    val n = s.length
+    val nf = if (n >= Frame) (n - Frame) / Hop + 1 else 0
+    if (nf < 2) return new GenericArrayData(Array.empty[Any])
+    // band energies for every frame: e(f)(m) = Σ s² over band m's
+    // 2 samples (frame f covers samples [f·17, f·17+33])
+    val e = Array.ofDim[Long](nf, Bands)
+    var f = 0
+    while (f < nf) {
+      var m = 0
+      while (m < Bands) {
+        val i = f * Hop + 2 * m
+        e(f)(m) = s(i) * s(i) + s(i + 1) * s(i + 1)
+        m += 1
+      }
+      f += 1
+    }
+    val out = new Array[Any](nf - 1)
+    f = 1
+    while (f < nf) {
+      var fp = 0
+      var m = 0
+      while (m < Bands - 1) {
+        val d = (e(f)(m) - e(f)(m + 1)) - (e(f - 1)(m) - e(f - 1)(m + 1))
+        if (d > 0) fp |= (1 << m)
+        m += 1
+      }
+      out(f - 1) = org.apache.spark.sql.catalyst.InternalRow(f, fp)
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HkAudioFp = copy(child = newChild)
+}
+
+object HkAudioFp {
+  /** Samples per frame (2 per band over 17 bands). */
+  val Frame = 34
+  /** Frame hop — 50% overlap, the HK convention. */
+  val Hop = 17
+  /** Band count; bits per sub-fingerprint = Bands − 1 = 16. */
+  val Bands = 17
+}
+
 object TextExpressions {
   def winnowSelect(text: Column, w: Int, p: Long): Column =
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(text), w, p))
@@ -774,8 +912,14 @@ object TextExpressions {
   def pHash64(lumaHex: Column): Column =
     ColumnBridge.column(PHash64(ColumnBridge.expression(lumaHex)))
 
+  def hkAudioFp(text: Column): Column =
+    ColumnBridge.column(HkAudioFp(ColumnBridge.expression(text)))
+
   def simHash32(text: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(text)))
+
+  def simHash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
   def shingleHashes3(text: Column, p: Long): Column =
     ColumnBridge.column(ShingleHashes3(ColumnBridge.expression(text), p))

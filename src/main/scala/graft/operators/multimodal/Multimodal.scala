@@ -220,6 +220,116 @@ object Multimodal {
         .otherwise(0L)).as("phash"))
   }
 
+  /** Haitsma–Kalker audio sub-fingerprint stream (the Philips robust
+    * hash, Haitsma & Kalker 2002 — the canonical broadcast-monitoring
+    * audio dedup): the payload decodes to a 16-bit sample series (the
+    * deterministic stub: md5-60-bit token hash mod 2¹⁶ per whitespace
+    * token — a deployment swaps a real PCM decoder with the same
+    * `(doc_id, samples)` contract), samples frame into 50%-overlapped
+    * windows of 34 (hop 17), each frame yields 17 band energies
+    * (Σ s² over 2 samples per band — the stub's stand-in for the
+    * filterbank), and sub-fingerprint bit m is set when the
+    * band-energy delta `(E(n,m)−E(n,m+1)) − (E(n−1,m)−E(n−1,m+1))`
+    * is positive — HK's sign rule, scaled 33 bands/32 bits → 17/16.
+    * Unlike [[nearDupPairs]]'s frame-md5 digests (any byte flip
+    * avalanches), the sub-fingerprint tracks DECODED band energies —
+    * the re-encoded/resampled-audio dedup notion, [[pHash]]'s
+    * robustness story on the time axis.
+    *
+    * 100 TB shape: the whole stream is ONE per-row native kernel
+    * ([[graft.functions.HkAudioFp]] — the CdcChunkRows pattern), a
+    * generator fan-out, zero shuffles; ~2 int columns per frame
+    * downstream. All-integer math (E < 2³³), so the DuckDB oracle
+    * replays every band energy and bit. Emits
+    * `(doc_id, frame_idx ≥ 1, fp)`; docs under 51 tokens emit nothing.
+    */
+  def audioFp(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+        explode(graft.functions.TextExpressions.hkAudioFp(content)).as("_f"))
+      .select(col("doc_id"), col("_f.frame_idx").as("frame_idx"),
+        col("_f.fp").as("fp"))
+
+  /** The relational/HOF audio-fp formulation — [[audioFp]]'s spec twin,
+    * the exact chain the DuckDB oracle replays (token-hash samples,
+    * frame sequence, aggregate over the 16 band-delta sign bits). Kept
+    * non-private for the LlmSpec native≡relational corpus pin (the
+    * pHashViaJoins convention); production callers use the kernel.
+    */
+  private[graft] def audioFpViaHof(
+      df: DataFrame, content: Column, id: Column): DataFrame = {
+    // try_element_at: the floor-of-one-frame trick below evaluates the
+    // fp expression for fi = 1 even on docs too short to have it (the
+    // row is sliced away) — ANSI element_at would throw on the
+    // out-of-range probe; null here folds to bit 0 and is discarded
+    def eT(a: String, m: String): String =
+      s"(try_element_at(_s, ($a)*17 + 2*($m) + 1) * " +
+        s"try_element_at(_s, ($a)*17 + 2*($m) + 1) + " +
+        s"try_element_at(_s, ($a)*17 + 2*($m) + 2) * " +
+        s"try_element_at(_s, ($a)*17 + 2*($m) + 2))"
+    val diff = s"((${eT("fi", "m")} - ${eT("fi", "m + 1")}) - " +
+      s"(${eT("fi - 1", "m")} - ${eT("fi - 1", "m + 1")}))"
+    df.select(id.cast("long").as("doc_id"), content.as("_t"))
+      .withColumn("_s", expr(
+        "transform(split(trim(_t), '\\\\s+'), t -> " +
+          "CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT) % 65536)"))
+      .withColumn("_nf", expr(
+        "CAST(CASE WHEN size(_s) >= 34 THEN (size(_s) - 34) div 17 + 1 " +
+          "ELSE 0 END AS INT)"))
+      // sequence(1, 0) would DESCEND in Spark, so build over a floor of
+      // one frame and slice to the true count (empty when _nf < 2);
+      // out-of-range element_at is null inside the sliced-away frames
+      .withColumn("_fr", expr(
+        "slice(transform(sequence(1, greatest(_nf - 1, 1)), fi -> " +
+          "named_struct('frame_idx', CAST(fi AS INT), 'fp', " +
+          s"aggregate(sequence(0, 15), 0, (acc, m) -> " +
+          s"acc + IF($diff > 0, shiftleft(1, m), 0)))), " +
+          "1, greatest(_nf - 1, 0))"))
+      .select(col("doc_id"), explode(col("_fr")).as("_f"))
+      .select(col("doc_id"), col("_f.frame_idx").as("frame_idx"),
+        col("_f.fp").as("fp"))
+  }
+
+  /** Audio near-dup pairs by shared sub-fingerprint VALUES — the HK
+    * lookup-table search re-expressed relationally: two payloads pair
+    * when the Jaccard of their distinct sub-fingerprint sets clears
+    * `threshold`. Same machinery as [[nearDupPairs]] (per-payload
+    * distinct sets, per-value cap BEFORE the self-join, overlap
+    * counts, exact Jaccard) — the difference is WHAT matches: robust
+    * band-energy fingerprints instead of avalanche digests, so
+    * re-encoded copies still collide. 16-bit fp values mean singleton
+    * birthday collisions across unrelated docs are expected — the
+    * Jaccard threshold (not the raw match) is the dedup signal.
+    *
+    * 100 TB shape: kernel fan-out (no shuffle) → distinct → capped
+    * equi-join → map-side-combinable count; payload bytes never
+    * travel. Emits `(a, b, inter, jac)`.
+    */
+  def audioFpPairs(df: DataFrame, content: Column, id: Column,
+      threshold: Double = 0.2, maxPerFp: Int = 4096): DataFrame = {
+    graft.core.CacheScope.withPersisted(
+      audioFp(df.select(id.as("_id0"), content.as("_c")),
+        col("_c"), col("_id0"))
+        .select(col("doc_id"), col("fp")).distinct()) { fs =>
+      val n = fs.groupBy(col("doc_id")).agg(count(lit(1)).as("_nf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val capped = fs.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxPerFp).drop("_r")
+      val inter = capped.select(col("fp"), col("doc_id").as("a"))
+        .join(capped.select(col("fp").as("_h2"), col("doc_id").as("b")),
+          col("fp") === col("_h2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(n.select(col("doc_id").as("a"), col("_nf").as("_na")), Seq("a"))
+        .join(n.select(col("doc_id").as("b"), col("_nf").as("_nb")), Seq("b"))
+        .withColumn("jac", round(col("inter") * lit(1.0) /
+          (col("_na") + col("_nb") - col("inter")), 6))
+        .filter(col("jac") >= threshold)
+        .select(col("a"), col("b"), col("inter").cast("int").as("inter"),
+          col("jac"))
+    }
+  }
+
   /** pHash near-dup pairs by 16-bit band blocking — the
     * [[graft.operators.text.Dedup.simhashDupPairs]] machinery on the
     * 64-bit perceptual hash: 4 bands of 16 bits give the pigeonhole

@@ -20,8 +20,13 @@ object Dedup {
   /** Mod-prime for the minhash permutation family: products stay < 2^62. */
   val P = 2147483647L // 2^31 - 1
   /** Fixed permutation coefficients h_i(x) = (A(i)·x + B(i)) mod P. */
-  val A: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31)
-  val B: Seq[Long] = Seq(3, 5, 101, 107, 109, 113, 127, 131)
+  // first 8 pairs are the original fixed-form coefficients (appended
+  // entries extend the budget for wider band plans without touching
+  // any existing signature)
+  val A: Seq[Long] = Seq(7, 11, 13, 17, 19, 23, 29, 31,
+    37, 41, 43, 47, 53, 59, 61, 67)
+  val B: Seq[Long] = Seq(3, 5, 101, 107, 109, 113, 127, 131,
+    137, 139, 149, 151, 157, 163, 167, 173)
 
   /** Exact dedup: group by content hash, keep the min-id representative
     * (hash-groupBy — one shuffle on the 32-hex digest).
@@ -115,6 +120,59 @@ object Dedup {
       verifyJaccard(cappedCandidatePairs(base, id, bands, rowsPerBand,
         maxBucketSize), base, id, threshold)
     }
+  }
+
+  /** MMDS-style LSH band planning (Leskovec, Rajaraman & Ullman ch. 3;
+    * the datasketch `optimal_param` notion reduced to a fixed signature
+    * budget): among the factorizations `bands · rowsPerBand = k` with
+    * bands ≥ 2, pick the one whose S-curve midpoint
+    * `t* = (1/bands)^(1/rowsPerBand)` sits nearest the target
+    * `threshold` in LOG distance (symmetric in ratio — 2× above and 2×
+    * below the target are equally wrong). Ties break toward MORE bands
+    * (the recall-leaning side: extra bands only ADD candidate buckets).
+    * Pure function of the knobs — no data, no count job — so the same
+    * plan replays in the DuckDB oracle and at any corpus size;
+    * StrictMath keeps the comparison bit-deterministic across JVMs.
+    * Knob-planning only: no libm enters any DATA path (the LnNano rule
+    * governs per-row arithmetic, not driver-side sizing).
+    */
+  def planBands(threshold: Double, k: Int = 16): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"planBands: threshold in (0, 1), got $threshold")
+    require(k >= 2, s"planBands: signature budget k >= 2, got $k")
+    val opts = for (r <- 1 to k; if k % r == 0; b = k / r; if b >= 2)
+      yield (b, r)
+    require(opts.nonEmpty, s"planBands: no bands >= 2 factorization of $k")
+    val lt = StrictMath.log(threshold)
+    // r ascends => bands descend, so minBy's keep-first-strict-min rule
+    // IS the more-bands tie-break
+    opts.minBy { case (b, r) =>
+      StrictMath.abs(StrictMath.log(1.0 / b) / r - lt)
+    }
+  }
+
+  /** [[nearDupPairs]] with the band plan SIZED FROM THE THRESHOLD —
+    * the [[graft.operators.vector.VectorOps.cosineDupPairsAuto]]
+    * convention applied to minhash LSH: [[planBands]] picks the
+    * `(bands, rowsPerBand)` factorization of the `k`-signature budget
+    * whose S-curve midpoint lands nearest `threshold`, instead of
+    * leaving the fixed default's midpoint (4 bands × 2 rows → 0.5)
+    * wherever the user's threshold happens to fall. At threshold 0.3
+    * and k = 16 the plan is 8 bands × 2 rows — midpoint 0.354, twice
+    * as close — and candidate recall at the decision boundary rises
+    * with the extra bands while cost stays linear in bands. The
+    * fixed-parameter form remains the oracle surface (the planned
+    * `(b, r)` bake into the replayed SQL; the law itself is spec-pinned).
+    */
+  def nearDupPairsAuto(
+      df: DataFrame,
+      text: Column,
+      id: Column,
+      threshold: Double,
+      k: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val (b, r) = planBands(threshold, k)
+    nearDupPairs(df, text, id, threshold, b, r, maxBucketSize)
   }
 
   /** Shared LSH candidate stage: band the minhash signatures, cap each
@@ -468,6 +526,15 @@ object Dedup {
   def simhash32(text: Column): Column =
     graft.functions.TextExpressions.simHash32(text)
 
+  /** 64-bit SimHash as a DataFrame step — [[withSimhash32]] WIDENED
+    * (low 32 bits are bit-identical to the 32-bit fingerprint; the
+    * high 32 come from disjoint md5 nibbles —
+    * [[graft.functions.SimHash64]]). The width exists for the band
+    * KEY SPACE at scale: see [[simhash64DupPairs]].
+    */
+  def withSimhash64(df: DataFrame, text: Column, as: String): DataFrame =
+    df.withColumn(as, graft.functions.TextExpressions.simHash64(text))
+
   /** SimHash near-dup pairs by block blocking (Manku, Jain & Das
     * Sarma 2007 — the Google web-crawl dedup): two docs are near-dups
     * when their 32-bit SimHash fingerprints differ in ≤ `maxHamming`
@@ -518,6 +585,53 @@ object Dedup {
           bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
             .cast("int").as("hamming"))
         .distinct() // a close pair shares SEVERAL blocks — one row
+        .filter(col("hamming") <= maxHamming)
+    }
+  }
+
+  /** [[simhashDupPairs]] at the 64-bit width — the 100 TB deploy form.
+    * The 32-bit fingerprint's blocking keys are 8-bit byte blocks: 256
+    * buckets per block, so EVERY bucket holds ~n/256 docs and candidate
+    * enumeration grows ~n²/256 — at sf1 (~50 k docs) the measured
+    * blocking already saturates (BENCH_NOTES_r18 §5's
+    * `dedup_simhash_pairs` 28.5 s is candidate-bound, a key-space
+    * property, not corpus structure). 64-bit fingerprints block into
+    * 4×16-bit keys (the [[graft.operators.multimodal.Multimodal.pHashPairs]]
+    * geometry): 65 536 buckets per band, 256× fewer collisions per
+    * bucket, same ≤3-bit pigeonhole guarantee (hamming ≤ 3 cannot touch
+    * all 4 bands). Verify stays one `bit_count(xor)` per candidate.
+    * Emits `(a, b, hamming)`.
+    */
+  def simhash64DupPairs(df: DataFrame, text: Column, id: Column,
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize)
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simhash64DupPairs: maxHamming in [0, 3] (the 4-band pigeonhole " +
+        s"recall guarantee), got $maxHamming")
+    val base = df.select(id.as("doc_id"),
+      graft.functions.TextExpressions.simHash64(text).as("fp"))
+    graft.core.CacheScope.withPersisted(base) { b =>
+      val bands = b.select(col("doc_id"), col("fp"),
+          explode(array((0 until 4).map(i =>
+            struct(lit(i).as("band"),
+              expr(s"shiftright(fp, ${16 * i}) & 65535").as("key"))): _*))
+            .as("_e"))
+        .select(col("doc_id"), col("fp"),
+          col("_e.band").as("band"), col("_e.key").as("key"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+      val capped = bands.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxBucketSize).drop("_r")
+      val l = capped.select(col("band"), col("key"),
+        col("doc_id").as("a"), col("fp").as("fp_a"))
+      val r = capped.select(col("band").as("band_r"), col("key").as("key_r"),
+        col("doc_id").as("b"), col("fp").as("fp_b"))
+      l.join(r, col("band") === col("band_r") &&
+          col("key") === col("key_r") && col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
+            .cast("int").as("hamming"))
+        .distinct() // a close pair shares SEVERAL bands — one row
         .filter(col("hamming") <= maxHamming)
     }
   }

@@ -196,12 +196,15 @@ object LlmPack extends QueryPack {
 
   // the full MinHash+LSH near-dup pipeline replay, shared by the Scala
   // API query and its DFS-node twin
-  private def nearPairsSql(threshold: Double): String = {
-    val sigExprs = (0 until 8).map(i =>
+  private def nearPairsSql(threshold: Double, bands: Int = 4,
+      rowsPerBand: Int = 2): String = {
+    val sigExprs = (0 until bands * rowsPerBand).map(i =>
       s"list_min(list_transform(hs, h -> (${Dedup.A(i)} * h + ${Dedup.B(i)}) % ${Dedup.P})) AS sig$i")
       .mkString(", ")
-    val bandRows = (0 until 4).map(b =>
-      s"SELECT doc_id, $b AS band, md5(sig${2 * b}::VARCHAR || ',' || sig${2 * b + 1}::VARCHAR) AS bh FROM sig")
+    val bandRows = (0 until bands).map(b =>
+      s"SELECT doc_id, $b AS band, md5(" +
+        (0 until rowsPerBand).map(j => s"sig${rowsPerBand * b + j}::VARCHAR")
+          .mkString(" || ',' || ") + ") AS bh FROM sig")
       .mkString("\nUNION ALL\n")
     s"""WITH hs AS (SELECT doc_id, $rollHs AS hs
        |            FROM (SELECT doc_id, $tokHs AS th FROM documents)),
@@ -307,6 +310,47 @@ object LlmPack extends QueryPack {
        |          t -> ${h60("t")} % 4294967296) AS th
        |      FROM documents)""".stripMargin
   }
+
+  /** Shared SimHash-64 fingerprint replay — the 32-bit chain WIDENED:
+    * bits 0–31 vote on lo32 = hash60 mod 2³² (identical to sh32), bits
+    * 32–63 on hi32 = md5 hex chars 16–23 (disjoint nibbles); bit 63
+    * lands via the −2⁶³ literal (the phashCtes checked-shift
+    * workaround). `(doc_id, sh64)`.
+    */
+  private lazy val simhash64FpSql: String = {
+    val terms = (0 until 64).map { b =>
+      val (lst, sh) = if (b < 32) ("thl", b) else ("thh", b - 32)
+      val w = if (b == 63) "-9223372036854775807 - 1"
+        else s"CAST(${1L << b} AS BIGINT)"
+      s"""(CASE WHEN list_sum(list_transform($lst,
+         |   h -> ((h >> $sh) & 1) * 2 - 1)) > 0
+         | THEN $w ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" +\n  ")
+    s"""SELECT doc_id, $terms AS sh64
+       |FROM (SELECT doc_id,
+       |        list_transform(dt, t -> ${h60("t")} % 4294967296) AS thl,
+       |        list_transform(dt,
+       |          t -> ('0x' || substr(md5(t), 16, 8))::BIGINT) AS thh
+       |      FROM (SELECT doc_id, list_distinct($toks) AS dt
+       |            FROM documents))""".stripMargin
+  }
+
+  /** Oracle for the simhash64-pairs queries: the wide fingerprint
+    * replay, 4×16-bit band keys, band-equality candidates, popcount
+    * verify.
+    */
+  private def simhash64PairsSql(maxHamming: Int): String =
+    s"""WITH sh AS ($simhash64FpSql),
+       |bl AS (SELECT doc_id, sh64, CAST(i AS INTEGER) AS band,
+       |         (sh64 >> (16 * CAST(i AS INTEGER))) & 65535 AS key
+       |       FROM sh, unnest(range(0, 4)) t(i)),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |           l.sh64 AS fa, r.sh64 AS fb
+       |         FROM bl l JOIN bl r
+       |           ON l.band = r.band AND l.key = r.key
+       |             AND l.doc_id < r.doc_id)
+       |SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
 
   /** Oracle for the simhash-pairs queries: the shared fingerprint
     * replay, the 4 byte-block keys, block-equality candidates, and the
@@ -1136,6 +1180,32 @@ object LlmPack extends QueryPack {
         Dedup.nearDupPairs(Tables.documents(s, dir), col("text"), col("doc_id"), 0.3),
       Some(nearPairsSql(0.3))),
 
+    // minhash LSH with the band plan SIZED FROM THE THRESHOLD (the
+    // MMDS/datasketch optimal-band rule at a fixed 16-signature
+    // budget): planBands(0.3, 16) = 8 bands x 2 rows — S-curve
+    // midpoint 0.354 vs the fixed default's 0.5 — and the planned
+    // (b, r) bake into the replayed oracle (the cosineDupPairsAuto /
+    // semanticDeconAuto convention; the law itself is spec-pinned)
+    "dedup_near_pairs_auto" -> QueryDef(
+      (s, dir) =>
+        Dedup.nearDupPairsAuto(Tables.documents(s, dir), col("text"),
+          col("doc_id"), 0.3, k = 16),
+      Some {
+        val (b, r) = Dedup.planBands(0.3, 16)
+        nearPairsSql(0.3, b, r)
+      }),
+
+    "dfs_near_dedup_auto" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|near_dedup(.text_field('text').id_field('doc_id')
+          #  .threshold(0.3).k(16).auto())
+          #""".stripMargin('#'), s, dir),
+      Some {
+        val (b, r) = Dedup.planBands(0.3, 16)
+        nearPairsSql(0.3, b, r)
+      }),
+
     // linear-cost near-dup linking: each doc pairs with its bucket's
     // representative (min doc_id) — O(n) candidates per bucket, the shape
     // that survives degenerate buckets at 100 TB. Full SQL replay.
@@ -1188,6 +1258,29 @@ object LlmPack extends QueryPack {
           #|simhash_pairs(.id_field('doc_id').max_hamming(3))
           #""".stripMargin('#'), s, dir),
       Some(simhashPairsSql(3))),
+
+    // 64-bit SimHash — the wide-KEY-SPACE deploy form: the 32-bit
+    // fingerprint's 8-bit byte blocks give only 256 buckets (candidate
+    // pairs ~n²/256, saturating by ~50 k docs — BENCH_NOTES_r18 §5);
+    // 16-bit bands give 65 536, the pHashPairs geometry, same ≤3-bit
+    // pigeonhole. Low 32 bits stay bit-identical to sh32 (spec-pinned).
+    "dedup_simhash64" -> QueryDef(
+      (s, dir) =>
+        Dedup.withSimhash64(Tables.documents(s, dir), col("text"), "sh64")
+          .select(col("doc_id"), col("sh64")),
+      Some(s"SELECT doc_id, sh64 FROM ($simhash64FpSql)")),
+
+    "dedup_simhash64_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhash64DupPairs(
+        Tables.documents(s, dir), col("text"), col("doc_id"), 3),
+      Some(simhash64PairsSql(3))),
+
+    "dfs_simhash64_pairs" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|simhash_pairs(.id_field('doc_id').max_hamming(3).bits(64))
+          #""".stripMargin('#'), s, dir),
+      Some(simhash64PairsSql(3))),
 
     // embedding-cosine near-dup, LSH-banded (the 100 TB form): banded
     // sign-bit buckets → candidate pairs → exact cosine verify. The
@@ -1724,6 +1817,36 @@ object LlmPack extends QueryPack {
           #  .threshold(0.4).cells(8).probes(8))
           #""".stripMargin('#'), s, dir),
       Some(vsVectorIndexSql)),
+
+    // Haitsma–Kalker audio sub-fingerprint stream — content-space
+    // audio dedup over the decoded-sample stub (md5-token-hash
+    // samples stand in for PCM; a deployment swaps a real decoder
+    // with the same sample contract). All-integer band energies and
+    // delta-sign bits: the oracle replays every frame bit-for-bit.
+    "mm_audio_fp" -> QueryDef(
+      (s, dir) => Multimodal.audioFp(
+        Tables.documents(s, dir), col("text"), col("doc_id")),
+      Some(audioFpSql("text"))),
+
+    // audio near-dup pairs by shared sub-fingerprint values (the HK
+    // lookup-table search). Fixture: the doc_id % 29 stratum becomes
+    // an 80-token shared banner + a 40-token doc_id%2 variant tail —
+    // same-variant docs share every frame (jac 1.0), cross-variant
+    // docs share only the banner-interior frames (0 < jac < 1), both
+    // strata above the 0.2 threshold; 16-bit singleton birthday
+    // collisions across ordinary docs fall below it.
+    "mm_audio_fp_pairs" -> QueryDef(
+      (s, dir) => Multimodal.audioFpPairs(
+        audioFixture(Tables.documents(s, dir)), col("text"),
+        col("doc_id"), threshold = 0.2),
+      Some(audioFpPairsSql)),
+
+    "dfs_audio_fp" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|audio_fp(.text_field('text').id_field('doc_id'))
+          #""".stripMargin('#'), s, dir),
+      Some(audioFpSql("text"))),
 
     // IVF-Flat ANN: k-means coarse quantizer → inverted cell lists →
     // probe-nearest-cells candidate join. Registered at FULL probe
@@ -4051,6 +4174,73 @@ object LlmPack extends QueryPack {
        |        AND x.doc_id < y.doc_id)
        |SELECT a, b, CAST(hamming AS INTEGER) AS hamming
        |FROM pp WHERE hamming <= 3""".stripMargin
+  }
+
+  /** 80 distinct banner tokens (aud00..aud79) — the audio-pairs
+    * fixture's shared frame source; the doc_id%2 variant tail makes
+    * cross-variant docs share only banner-interior frames.
+    */
+  private lazy val audBanner: String =
+    (0 until 80).map(i => f"aud$i%02d").mkString(" ")
+
+  private def audioFixture(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), when(col("doc_id") % 29 === 0,
+        concat(lit(s"$audBanner "),
+          expr("repeat(concat('t', CAST(doc_id % 2 AS STRING), ' '), 40)")))
+      .otherwise(col("text")).as("text"))
+
+  /** Shared CTE chain for the audio-fp oracles: token-hash samples
+    * (md5-60-bit mod 2¹⁶ — the deterministic decode stub), frame count
+    * `nf = (n−34)//17 + 1`, and per overlapping frame the 16
+    * Haitsma–Kalker band-energy-delta sign bits. `af` exposes
+    * (doc_id, frame_idx ≥ 1, fp) — [[Multimodal.audioFp]]'s exact rows.
+    */
+  private def audioFpCtes(tExpr: String): String = {
+    def eT(a: String, m: String): String =
+      s"(s[($a)*17 + 2*($m) + 1] * s[($a)*17 + 2*($m) + 1] + " +
+        s"s[($a)*17 + 2*($m) + 2] * s[($a)*17 + 2*($m) + 2])"
+    val diff = s"((${eT("fi", "m")} - ${eT("fi", "m + 1")}) - " +
+      s"(${eT("fi - 1", "m")} - ${eT("fi - 1", "m + 1")}))"
+    val fp = s"list_sum([CASE WHEN $diff > 0 THEN (1 << m) ELSE 0 END " +
+      "FOR m IN range(0, 16)])"
+    s"""ab0 AS (SELECT doc_id, list_transform(
+       |         string_split_regex(trim($tExpr), '\\s+'),
+       |         t -> ${h60("t")} % 65536) AS s FROM documents),
+       |ab1 AS (SELECT doc_id, s,
+       |         CASE WHEN len(s) >= 34 THEN (len(s) - 34)//17 + 1
+       |              ELSE 0 END AS nf FROM ab0),
+       |af AS (SELECT doc_id,
+       |         CAST(unnest(range(1, nf)) AS INTEGER) AS frame_idx,
+       |         CAST(unnest([$fp FOR fi IN range(1, nf)])
+       |           AS INTEGER) AS fp
+       |       FROM ab1)""".stripMargin
+  }
+
+  private def audioFpSql(tExpr: String): String =
+    s"""WITH ${audioFpCtes(tExpr)}
+       |SELECT doc_id, frame_idx, fp FROM af""".stripMargin
+
+  private lazy val audioFpPairsSql: String = {
+    val fx = s"CASE WHEN doc_id % 29 = 0 THEN '$audBanner ' || " +
+      "repeat('t' || CAST(doc_id % 2 AS VARCHAR) || ' ', 40) " +
+      "ELSE text END"
+    s"""WITH ${audioFpCtes(fx)},
+       |fs AS (SELECT DISTINCT doc_id, fp FROM af),
+       |nn AS (SELECT doc_id, count(*) AS nf FROM fs GROUP BY doc_id),
+       |cp AS (SELECT fp, doc_id FROM (
+       |      SELECT fp, doc_id, row_number() OVER (
+       |        PARTITION BY fp ORDER BY doc_id) AS rn FROM fs)
+       |      WHERE rn <= 4096),
+       |iv AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |        CAST(count(*) AS BIGINT) AS inter
+       |      FROM cp x JOIN cp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT a, b, CAST(inter AS INTEGER) AS inter,
+       |  round(inter * 1.0 / (na.nf + nb.nf - inter), 6) AS jac
+       |FROM iv JOIN nn na ON na.doc_id = a JOIN nn nb ON nb.doc_id = b
+       |WHERE round(inter * 1.0 / (na.nf + nb.nf - inter), 6)
+       |  >= 0.2""".stripMargin
   }
 
   /** Shared ROUGE-2 replay over a pair CTE `pr(pair_id, c, r)`:

@@ -726,6 +726,137 @@ class LlmSpec extends AnyFunSuite {
     assert(hs.exists(_ < 0L) && hs.exists(_ > 0L))
   }
 
+  test("audioFp: HK frame law (nf = (n-34) div 17 + 1, frames 1..nf-1), " +
+      "short-doc cutoff, fp range, partition-invariant") {
+    import spark.implicits._
+    val M = graft.operators.multimodal.Multimodal
+    def mk(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, mk(120)), (2L, mk(50)), (3L, mk(51)), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = M.audioFp(df, col("text"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // 120 tokens: nf = 6 -> frames 1..5; 51: nf = 2 -> frame 1 only;
+    // 50: nf = 1 -> below the two-frame minimum; empty: nothing
+    assert(byDoc(1L).toSeq == Seq(1, 2, 3, 4, 5))
+    assert(byDoc(3L).toSeq == Seq(1))
+    assert(!byDoc.contains(2L) && !byDoc.contains(4L))
+    assert(out.forall { case (_, _, fp) => fp >= 0 && fp <= 65535 })
+    val s1 = M.audioFp(df.repartition(7), col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(s1 == out.toSet)
+  }
+
+  test("audioFp native kernel is bit-identical to the relational HOF " +
+      "twin over the corpus") {
+    val M = graft.operators.multimodal.Multimodal
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val native = toSet(M.audioFp(docs, col("text"), col("doc_id")))
+    val twin = toSet(M.audioFpViaHof(docs, col("text"), col("doc_id")))
+    assert(native.nonEmpty && native == twin)
+  }
+
+  test("audioFpPairs: identical streams pair at jac 1.0, a trailing " +
+      "perturbation outside frame coverage leaves the stream unchanged, " +
+      "cross-variant docs share only banner-interior frames") {
+    import spark.implicits._
+    val M = graft.operators.multimodal.Multimodal
+    val banner = (0 until 80).map(i => f"b$i%02d").mkString(" ")
+    def tpl(v: Int) = banner + " " + Seq.fill(40)(s"t$v").mkString(" ")
+    val df = Seq(
+      (1L, tpl(0)),
+      // 121st token: beyond the last frame's coverage (tokens <= 118),
+      // so the sub-fingerprint STREAM is identical — the HK
+      // granularity property an avalanche digest does not have
+      (2L, tpl(0) + " zzz"),
+      (3L, tpl(1)),
+      (4L, (0 until 120).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fps = M.audioFp(df, col("text"), col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+    val pairs = M.audioFpPairs(df, col("text"), col("doc_id"),
+      threshold = 0.2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(pairs((1L, 2L))._2 == 1.0)
+    // frames 1 and 2 only touch banner samples (tokens <= 67 < 80) on
+    // both the frame and its predecessor, so cross-variant pairs share
+    // at least those two fingerprints but not the whole stream
+    for (k <- Seq((1L, 3L), (2L, 3L))) {
+      assert(pairs(k)._1 >= 2 && pairs(k)._2 < 1.0 && pairs(k)._2 >= 0.2)
+    }
+    assert(!pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
+  test("planBands: the MMDS optimal-band rule — log-nearest S-curve " +
+      "midpoint, more-bands tie-break, domain guards") {
+    assert(Dedup.planBands(0.3, 16) == ((8, 2)))
+    assert(Dedup.planBands(0.5, 8) == ((4, 2))) // exact midpoint hit
+    assert(Dedup.planBands(0.9, 16) == ((2, 8)))
+    assert(Dedup.planBands(0.05, 16) == ((16, 1)))
+    // 0.5 sits log-equidistant between (8,2)=0.354 and (4,4)=0.707:
+    // the tie breaks toward MORE bands (recall-leaning)
+    assert(Dedup.planBands(0.5, 16) == ((8, 2)))
+    intercept[IllegalArgumentException](Dedup.planBands(0.0, 16))
+    intercept[IllegalArgumentException](Dedup.planBands(1.0, 16))
+    intercept[IllegalArgumentException](Dedup.planBands(0.3, 1))
+  }
+
+  test("nearDupPairsAuto: equals the fixed form at the planned knobs " +
+      "and never loses a fixed-default pair (shared-prefix bands)") {
+    val docs = Tables.documents(spark, sf)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = toSet(Dedup.nearDupPairsAuto(docs, col("text"),
+      col("doc_id"), 0.3, k = 16))
+    val (b, r) = Dedup.planBands(0.3, 16)
+    val fixed = toSet(Dedup.nearDupPairs(docs, col("text"), col("doc_id"),
+      0.3, b, r))
+    assert(auto == fixed)
+    // the plan's first 4 bands reuse the fixed default's signatures
+    // (sig0..sig7), so its candidate set is a superset: every verified
+    // default pair survives
+    val dflt = toSet(Dedup.nearDupPairs(docs, col("text"), col("doc_id"),
+      0.3))
+    assert(dflt.subsetOf(auto))
+  }
+
+  test("simhash64: low 32 bits bit-identical to simhash32 over the " +
+      "corpus (sh64 is a widening, not a rehash)") {
+    val both = Tables.documents(spark, sf).select(col("doc_id"),
+        graft.functions.TextExpressions.simHash32(col("text")).as("s32"),
+        graft.functions.TextExpressions.simHash64(col("text")).as("s64"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => (r.getLong(2) & 0xffffffffL) == r.getLong(1)))
+  }
+
+  test("simhash64DupPairs: exact dups pair at hamming 0, distinct " +
+      "payloads never pair within 3 bits, partition-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "a wholly different token soup entirely"),
+      (4L, "yet another unrelated payload of words"),
+      (5L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    def toSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pairs = toSet(Dedup.simhash64DupPairs(df, col("text"),
+      col("doc_id"), 3))
+    assert(pairs == Set((1L, 2L, 0), (1L, 5L, 0), (2L, 5L, 0)))
+    val p2 = toSet(Dedup.simhash64DupPairs(df.repartition(7), col("text"),
+      col("doc_id"), 3))
+    assert(p2 == pairs)
+    intercept[IllegalArgumentException](
+      Dedup.simhash64DupPairs(df, col("text"), col("doc_id"), 4))
+  }
+
   test("runStats: sorted-run fold equals the relational counts") {
     import spark.implicits._
     val df = Seq(
