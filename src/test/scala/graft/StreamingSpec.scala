@@ -1280,4 +1280,24 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert((f1s, phs) == batch)
   }
+
+  test("audioFp: per-row kernel + generator streams AS-IS in append " +
+      "mode, emissions match batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // >= 51 tokens so the HK two-frame minimum is met; vary per doc
+    val data = (1L to 6L).map { i =>
+      Ev(i % 2, i, i.toDouble,
+        (0 until (60 + i.toInt * 7)).map(t => s"tok${t % (20 + i)}")
+          .mkString(" "))
+    }
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.multimodal.Multimodal.audioFp(df, col("event_type"),
+        col("seq")).as[(Long, Int, Int)]
+    val batch = fp(data.toDF()).collect().toSet
+    assert(batch.nonEmpty)
+    val streamed = runStream("audiofp")(in => fp(in.toDS().toDF()))(data)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(streamed == batch)
+  }
 }
