@@ -330,6 +330,54 @@ object Multimodal {
     }
   }
 
+  /** Offset-aligned audio matching — the Haitsma–Kalker SEARCH step on
+    * top of [[audioFp]]: a clip embedded in another (or re-cut with a
+    * shifted start) shares sub-fingerprints at a CONSISTENT frame-index
+    * delta, so the best alignment is the mode of
+    * `frame_idx_a − frame_idx_b` over matching fp values, and the vote
+    * count at that offset is the match strength. A 17-token (one-hop)
+    * prefix shifts every subsequent frame by exactly one index and
+    * leaves the body fingerprints intact — set-Jaccard
+    * ([[audioFpPairs]]) dilutes under such cuts while the aligned count
+    * does not; this is the shift-robustness the HK scheme exists for.
+    *
+    * Ties on the vote count break to the SMALLEST signed offset
+    * (deterministic under any partitioning). Emits
+    * `(a, b, offset, n_aligned)` for pairs with
+    * `n_aligned ≥ minAligned`.
+    *
+    * 100 TB shape: kernel fan-out (no shuffle) → per-fp-value cap
+    * BEFORE the inverted-index equi-join (the audioFpPairs rule) →
+    * map-side-combinable (a, b, offset) count → ONE window rank
+    * partitioned by (a, b). Payload bytes never travel.
+    */
+  def audioFpAlignPairs(df: DataFrame, content: Column, id: Column,
+      minAligned: Int = 2, maxPerFp: Int = 4096): DataFrame = {
+    graft.core.CacheScope.withPersisted(
+      audioFp(df.select(id.as("_id0"), content.as("_c")),
+        col("_c"), col("_id0"))) { fs =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"), col("frame_idx"))
+      val capped = fs.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxPerFp).drop("_r")
+      val l = capped.select(col("fp"), col("doc_id").as("a"),
+        col("frame_idx").as("_fa"))
+      val r = capped.select(col("fp").as("_h2"), col("doc_id").as("b"),
+        col("frame_idx").as("_fb"))
+      val votes = l.join(r, col("fp") === col("_h2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"),
+          (col("_fa") - col("_fb")).as("offset"))
+        .agg(count(lit(1)).as("n_aligned"))
+      val rank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a"), col("b"))
+        .orderBy(col("n_aligned").desc, col("offset"))
+      votes.withColumn("_rn", row_number().over(rank))
+        .filter(col("_rn") === 1 && col("n_aligned") >= minAligned)
+        .select(col("a"), col("b"), col("offset").cast("int").as("offset"),
+          col("n_aligned"))
+    }
+  }
+
   /** pHash near-dup pairs by 16-bit band blocking — the
     * [[graft.operators.text.Dedup.simhashDupPairs]] machinery on the
     * 64-bit perceptual hash: 4 bands of 16 bits give the pigeonhole

@@ -1848,6 +1848,17 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(audioFpSql("text"))),
 
+    // offset-aligned audio matching — the HK search step: best frame
+    // delta by vote count over matching sub-fingerprints (ties to the
+    // smallest offset). Fixture: the doc_id % 31 stratum shares one
+    // body behind 0/1/2-hop pads, so best offsets are the pad deltas —
+    // the shift-robustness set-Jaccard dilutes under.
+    "mm_audio_align" -> QueryDef(
+      (s, dir) => Multimodal.audioFpAlignPairs(
+        audioAlignFixture(Tables.documents(s, dir)), col("text"),
+        col("doc_id"), minAligned = 2),
+      Some(audioAlignSql)),
+
     // IVF-Flat ANN: k-means coarse quantizer → inverted cell lists →
     // probe-nearest-cells candidate join. Registered at FULL probe
     // (nProbe == nCells), where cells partition the corpus and every
@@ -4241,6 +4252,38 @@ object LlmPack extends QueryPack {
        |FROM iv JOIN nn na ON na.doc_id = a JOIN nn nb ON nb.doc_id = b
        |WHERE round(inter * 1.0 / (na.nf + nb.nf - inter), 6)
        |  >= 0.2""".stripMargin
+  }
+
+  /** Alignment fixture: the doc_id % 31 stratum shares one 120-token
+    * body behind a (doc_id % 3)·17-token pad — each pad hop shifts the
+    * body frames by exactly one index, so best offsets are the pad
+    * deltas.
+    */
+  private def audioAlignFixture(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), when(col("doc_id") % 31 === 0,
+        concat(expr("repeat('px ', CAST(17 * (doc_id % 3) AS INT))"),
+          lit(s"$audBanner "), expr("repeat('tb ', 40)")))
+      .otherwise(col("text")).as("text"))
+
+  private lazy val audioAlignSql: String = {
+    val fx = s"CASE WHEN doc_id % 31 = 0 THEN " +
+      s"repeat('px ', CAST(17 * (doc_id % 3) AS INTEGER)) || " +
+      s"'$audBanner ' || repeat('tb ', 40) ELSE text END"
+    s"""WITH ${audioFpCtes(fx)},
+       |cp AS (SELECT fp, doc_id, frame_idx FROM (
+       |      SELECT fp, doc_id, frame_idx, row_number() OVER (
+       |        PARTITION BY fp ORDER BY doc_id, frame_idx) AS rn
+       |      FROM af) WHERE rn <= 4096),
+       |vo AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |        x.frame_idx - y.frame_idx AS "offset",
+       |        CAST(count(*) AS BIGINT) AS n_aligned
+       |      FROM cp x JOIN cp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |      GROUP BY 1, 2, 3),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY a, b
+       |        ORDER BY n_aligned DESC, "offset") AS rn FROM vo)
+       |SELECT a, b, CAST("offset" AS INTEGER) AS "offset", n_aligned
+       |FROM rk WHERE rn = 1 AND n_aligned >= 2""".stripMargin
   }
 
   /** Shared ROUGE-2 replay over a pair CTE `pr(pair_id, c, r)`:

@@ -826,6 +826,33 @@ class LlmSpec extends AnyFunSuite {
     assert(dflt.subsetOf(auto))
   }
 
+  test("audioFpAlignPairs: a one-hop (17-token) pad is recovered as " +
+      "offset -1 with the body frames aligned; unrelated docs never " +
+      "clear minAligned; partition-invariant") {
+    import spark.implicits._
+    val M = graft.operators.multimodal.Multimodal
+    val body = (0 until 120).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, body),
+      (2L, Seq.fill(17)("px").mkString(" ") + " " + body),
+      (3L, (0 until 120).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      M.audioFpAlignPairs(d, col("text"), col("doc_id"), minAligned = 2)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getInt(2), r.getLong(3)))).toMap
+    val out = run(df)
+    // doc 2's frames sit one hop later: body frame f of doc 1 matches
+    // frame f+1 of doc 2, so the winning offset is 1 - 2's = -1, with
+    // at least the body-interior frames voting for it
+    assert(out.contains((1L, 2L)))
+    val (off, n) = out((1L, 2L))
+    assert(off == -1 && n >= 2)
+    assert(!out.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+    assert(run(df.repartition(5)) == out)
+  }
+
   test("simhash64: low 32 bits bit-identical to simhash32 over the " +
       "corpus (sh64 is a widening, not a rehash)") {
     val both = Tables.documents(spark, sf).select(col("doc_id"),
