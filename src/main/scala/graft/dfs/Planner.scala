@@ -3229,12 +3229,21 @@ object Planner {
     // bigram-LM perplexity scoring (graft extension, the
     // TextOps.withPerplexity door): per-doc n_bigrams / nll / ppl —
     // the CCNet-style quality-gate fact; filter with |where() downstream
-    "perplexity" -> bt(Set("text_field", "id_field")) { (ctx, n, env) =>
+    "perplexity" -> bt(Set("text_field", "id_field", "smoothing")) {
+      (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("perplexity: .id_field"))
-      graft.operators.text.TextOps.withPerplexity(ctx.df, Paths.ref(text),
-        Paths.ref(id))
+      // .smoothing('kn'): interpolated Kneser-Ney (the KenLM/CCNet
+      // smoothing); default stays the add-one stand-in
+      optStr(n, "smoothing", env).getOrElse("add1") match {
+        case "kn" => graft.operators.text.TextOps.withKnPerplexity(
+          ctx.df, Paths.ref(text), Paths.ref(id))
+        case "add1" => graft.operators.text.TextOps.withPerplexity(
+          ctx.df, Paths.ref(text), Paths.ref(id))
+        case o => throw DfsError(
+          s"perplexity: .smoothing must be 'add1' or 'kn', got '$o'")
+      }
     },
     // connected components over an (a, b) pair stream (graft extension,
     // the Dedup.connectedComponents door): near-dup pairs → dedup groups

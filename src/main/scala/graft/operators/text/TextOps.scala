@@ -1,6 +1,6 @@
 package graft.operators.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the large-scale training-data pipeline:
@@ -1382,6 +1382,97 @@ object TextOps {
   def withPerplexity(docs: DataFrame, text: Column, id: Column): DataFrame =
     graft.core.CacheScope.withPersisted(bigramPairs(docs, text, id)) {
       pairs => perplexityFromPairs(pairs, bigramLmFromPairs(pairs))
+    }
+
+  /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
+    * Chen & Goodman 1999's interpolated form — the smoothing KenLM
+    * ships and CCNet's quality gate actually uses, where
+    * [[perplexityFromPairs]] is the add-one stand-in):
+    *
+    * `p(w2|w1) = max(c12 − d, 0)/c1 + d·N1+(w1·)/c1 · pcont(w2)`
+    *
+    * with discount d = 3/4 and the continuation distribution
+    * `pcont(w2) = (N1+(·w2) + 1)/(B + V)` — add-one-closed over the B
+    * distinct bigrams + V token types, so held-out text (unseen words,
+    * unseen histories) always scores: unseen history falls back to
+    * `pcont(w2)` alone. The d = 3/4 choice makes every probability an
+    * EXACT RATIONAL with denominator `4·c1·(B+V)`:
+    *
+    * `p = [(B+V)·max(4·c12 − 3, 0) + 3·N1+(w1·)·(N1+(·w2) + 1)]
+    *      / (4·c1·(B+V))`
+    *
+    * so per-pair log-likelihoods are two [[graft.functions.FixedLog]]
+    * lnNano calls on integers — order-free nano-long sums, bit-exact on
+    * any engine (the nb_classify hardening). Numerator magnitude is
+    * guarded loudly: `(B+V)·4·max(c12)` must fit a long (trips at
+    * ~10⁹·10⁹-scale corpora — shard the LM first).
+    *
+    * 100 TB shape: counts are map-side-partial hash aggregates
+    * (bigram-, history-, and type-sided — vocabulary-bounded STATIC
+    * FACTS a stream scores against, the bm25Stats pattern); seen-path
+    * lnNanos are precomputed on the bigram/history tables (the
+    * perplexityFromPairs vocabulary-sided rule), so the corpus-volume
+    * pair stream only joins longs — per-row lnNano runs ONLY on
+    * held-out fallback rows. Emits `(doc_id, n_bigrams, nll, ppl)`.
+    */
+  def knPerplexityFromPairs(pairs: DataFrame, lmPairs: DataFrame)
+      : DataFrame = {
+    val F = graft.functions.FixedLog
+    val big = lmPairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = lmPairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val n1r = big.groupBy(col("w1")).agg(count(lit(1)).as("n1r"))
+    val n1l = big.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
+    // 1-row scalar collects (the bm25Stats sanction): B + V and the
+    // overflow guard's max bigram count
+    val Row(bCount: Long, maxC12: Long) = big
+      .agg(count(lit(1)).as("b"), max(col("c12")).as("m")).head()
+    val vCount: Long = lmPairs
+      .select(explode(array(col("w1"), col("w2"))).as("_tok"))
+      .agg(count_distinct(col("_tok"))).head().getLong(0)
+    val bv = bCount + vCount
+    require(maxC12 <= 0L || bv <= Long.MaxValue / (4L * maxC12),
+      s"knPerplexity: (B+V)=$bv times 4*max(c12)=${4 * maxC12} overflows " +
+        "a long - shard the LM before scoring at this scale")
+    // seen-path lnNanos on the VOCABULARY-SIDED tables
+    val bigLn = F.withLnNano(
+      big.join(n1r, Seq("w1")).join(n1l, Seq("w2")),
+      lit(bv) * greatest(lit(4L) * col("c12") - 3L, lit(0L)) +
+        lit(3L) * col("n1r") * (col("n1l") + 1L), "_ln_num")
+      .select(col("w1"), col("w2"), col("_ln_num"))
+    val uniLn = F.withLnNano(uni, lit(4L) * col("c1") * lit(bv), "_ln_den")
+      .select(col("w1"), col("_ln_den"))
+    val lnBv = F.lnNanoRef(bv)
+    // held-out fallbacks (never hit on self-scored corpora): per-row
+    // lnNano on the rare unseen rows only — CASE branches are lazy
+    val llFix = pairs
+      .join(uniLn, Seq("w1"), "left")
+      .join(bigLn, Seq("w1", "w2"), "left")
+      .join(n1r.withColumnRenamed("n1r", "_n1r"), Seq("w1"), "left")
+      .join(n1l.withColumnRenamed("n1l", "_n1l"), Seq("w2"), "left")
+      .withColumn("_ll",
+        when(col("_ln_num").isNotNull,
+          col("_ln_num") - col("_ln_den"))
+        .when(col("_ln_den").isNotNull, // seen history, unseen bigram
+          F.lnNano(lit(3L) * col("_n1r") *
+            (coalesce(col("_n1l"), lit(0L)) + 1L)) - col("_ln_den"))
+        .otherwise( // unseen history: pcont alone
+          F.lnNano(coalesce(col("_n1l"), lit(0L)) + 1L) - lit(lnBv)))
+    llFix.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(col("_ll")).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("_s") / 1e9 / col("n_bigrams"), 6).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 6))
+  }
+
+  /** Self-scored Kneser–Ney corpus perplexity — [[withPerplexity]]'s
+    * contract with the KN-smoothed model.
+    */
+  def withKnPerplexity(docs: DataFrame, text: Column, id: Column)
+      : DataFrame =
+    graft.core.CacheScope.withPersisted(bigramPairs(docs, text, id)) {
+      pairs => knPerplexityFromPairs(pairs, pairs)
     }
 
   // ---- DSIR importance resampling (hashed n-gram importance weights) ----

@@ -2203,6 +2203,23 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(pplSql)),
 
+    // interpolated Kneser-Ney bigram perplexity (the KenLM/CCNet
+    // smoothing; withPerplexity's add-one is the stand-in): d = 3/4
+    // makes every probability an exact rational, scored through the
+    // same fixed-point lnNano ladder — counts, numerators, and both
+    // log chains replayed bit-for-bit.
+    "text_ppl_kn" -> QueryDef(
+      (s, dir) => TextOps.withKnPerplexity(
+        Tables.documents(s, dir), col("text"), col("doc_id")),
+      Some(pplKnSql)),
+
+    "dfs_ppl_kn" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|perplexity(.id_field('doc_id').smoothing('kn'))
+          #""".stripMargin('#'), s, dir),
+      Some(pplKnSql)),
+
     // incremental near-dup: arriving docs (doc_id % 7 = 0 stands in for
     // the new batch) probe a STATIC LSH index of the established corpus
     // — the stream-vs-static middle ground between per-micro-batch
@@ -6919,6 +6936,42 @@ object LlmPack extends QueryPack {
        |       JOIN big USING (g)
        |       JOIN uni ON uni.w1 = string_split(p.g, ' ')[1]
        |       CROSS JOIN voc),
+       |l1 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("lx",
+            Seq("doc_id", "de"), "nu", "ln_nu")}),
+       |l2 AS (SELECT * FROM
+       |  ${graft.functions.FixedLog.duckLnNano("l1",
+            Seq("doc_id", "ln_nu"), "de", "ln_de")}),
+       |ll AS (SELECT doc_id, ln_nu - ln_de AS l FROM l2)
+       |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+       |  round(-sum(l) / 1000000000.0 / count(*), 6) AS nll,
+       |  round(exp(round(-sum(l) / 1000000000.0 / count(*), 6)), 6) AS ppl
+       |FROM ll GROUP BY doc_id""".stripMargin
+
+  /** Oracle for the Kneser–Ney perplexity queries: pair/bigram/history/
+    * continuation counts, the exact-rational
+    * `nu = (B+V)·max(4·c12−3, 0) + 3·N1+(w1·)·(N1+(·w2)+1)` over
+    * `de = 4·c1·(B+V)`, two lnNano chains, and the pplSql rollup.
+    */
+  private lazy val pplKnSql: String =
+    s"""WITH t2 AS (SELECT doc_id, w
+       |  FROM (SELECT doc_id, $toks AS w FROM documents)
+       |  WHERE len(w) >= 2),
+       |p AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS w1,
+       |        unnest(w[2:len(w)]) AS w2 FROM t2),
+       |big AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+       |uni AS (SELECT w1, count(*) AS c1 FROM p GROUP BY w1),
+       |nr AS (SELECT w1, count(*) AS n1r FROM big GROUP BY w1),
+       |nl AS (SELECT w2, count(*) AS n1l FROM big GROUP BY w2),
+       |sc AS (SELECT (SELECT count(*) FROM big) +
+       |         (SELECT count(DISTINCT tok)
+       |          FROM (SELECT unnest(w) AS tok FROM t2)) AS bv),
+       |lx AS (SELECT doc_id,
+       |        bv * greatest(4 * c12 - 3, 0) + 3 * nr.n1r * (nl.n1l + 1)
+       |          AS nu,
+       |        4 * c1 * bv AS de
+       |      FROM p JOIN big USING (w1, w2) JOIN uni USING (w1)
+       |        JOIN nr USING (w1) JOIN nl USING (w2) CROSS JOIN sc),
        |l1 AS (SELECT * FROM
        |  ${graft.functions.FixedLog.duckLnNano("lx",
             Seq("doc_id", "de"), "nu", "ln_nu")}),

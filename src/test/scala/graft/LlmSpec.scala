@@ -884,6 +884,56 @@ class LlmSpec extends AnyFunSuite {
       Dedup.simhash64DupPairs(df, col("text"), col("doc_id"), 4))
   }
 
+  test("KN perplexity: the interpolated-KN distribution NORMALIZES — " +
+      "for every seen history the exact-rational numerators sum to " +
+      "exactly the denominator over the vocabulary") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c a a b"), (3L, "c c a b a"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.bigramPairs(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val big = pairs.groupBy(identity).view.mapValues(_.size).toMap
+    val c1 = pairs.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1r = big.keys.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1l = big.keys.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    val vocab = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val bv = big.size.toLong + vocab.size
+    // p(w2|w1) = nu / de with nu = (B+V)·max(4c12−3,0) + 3·n1r·(n1l+1),
+    // de = 4·c1·(B+V): sum nu over ALL w2 in V must equal de exactly
+    // (each seen bigram donates d = 3/4; the continuation mass returns
+    // exactly d·n1r; the add-one closure spreads (B+V) across B + V)
+    for (w1 <- c1.keys) {
+      val de = BigInt(4) * c1(w1) * bv
+      val nuSum = vocab.map { w2 =>
+        BigInt(bv) * math.max(4L * big.getOrElse((w1, w2), 0) - 3L, 0L) +
+          BigInt(3) * n1r(w1) * (n1l.getOrElse(w2, 0) + 1)
+      }.sum
+      assert(nuSum == de, s"history '$w1': sum $nuSum != $de")
+    }
+  }
+
+  test("KN perplexity: held-out text (unseen words, unseen histories) " +
+      "scores without error; self-scored output is partition-invariant") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b c"), (2L, "b c a a b")).toDF("doc_id", "text")
+    val trainPairs = TextOps.bigramPairs(train, col("text"), col("doc_id"))
+    // held-out: unseen bigram of seen history (c a...no, 'a c'), unseen
+    // word entirely ('zz'), unseen history ('zz a')
+    val held = Seq((9L, "a c zz a b")).toDF("doc_id", "text")
+    val heldPairs = TextOps.bigramPairs(held, col("text"), col("doc_id"))
+    val out = TextOps.knPerplexityFromPairs(heldPairs, trainPairs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getInt(1) == 4 && r.getDouble(2) > 0.0 && r.getDouble(3) > 1.0)
+    // self-scored partition invariance
+    val docs = Tables.documents(spark, sf).limit(50)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.withKnPerplexity(d, col("text"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+    assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
+  }
+
   test("runStats: sorted-run fold equals the relational counts") {
     import spark.implicits._
     val df = Seq(
