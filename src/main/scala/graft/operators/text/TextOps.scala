@@ -557,6 +557,35 @@ object TextOps {
           floor((cumEnd - 1) / lit(binTokens)).cast("long") - binId + 1))
   }
 
+  /** Semantic (in-context) packing — Shi et al. 2023's In-Context
+    * Pretraining reduced to the engine's primitives: RELATED documents
+    * should share a context window, so the pack shard is the doc's
+    * embedding CLUSTER instead of an administrative key, and
+    * [[packBins]]' keyed window arithmetic does the rest. `clusters`
+    * is any `(doc_id, cell)` assignment — k-means
+    * ([[graft.operators.vector.VectorCuration.clusterAssign]]) for the
+    * ICP notion, but a topic or dedup-component label plugs in
+    * unchanged. Docs without an embedding don't pack (inner join — the
+    * honest contract: ICP is defined by the embedding space).
+    *
+    * 100 TB shape: ONE equi-join of the doc token counts against the
+    * assignment (both id-keyed) + packBins' single shuffle on the
+    * cluster key; no global ordering — each cluster's window sorts its
+    * own rows. Emits `(doc_id, cell, n_tokens, bin_id, bin_offset,
+    * n_bins)`.
+    */
+  def packBinsSemantic(docs: DataFrame, docId: Column, tokenCount: Column,
+      clusters: DataFrame, binTokens: Int): DataFrame = {
+    require(binTokens > 0, s"packBinsSemantic: binTokens > 0, got $binTokens")
+    val base = docs
+      .select(docId.as("doc_id"), tokenCount.cast("long").as("n_tokens"))
+      .join(clusters, Seq("doc_id"))
+    packBins(base, col("n_tokens"), col("cell"), Seq(col("doc_id")),
+      binTokens)
+      .select(col("doc_id"), col("cell"), col("n_tokens"), col("bin_id"),
+        col("bin_offset"), col("n_bins"))
+  }
+
   /** Word n-gram shingles, space-joined. Guarded: Spark's sequence(1, 0)
     * counts *down*, so short docs get an explicit empty. `distinct` costs
     * O(n²) string compares — request it only where set semantics matter

@@ -2220,6 +2220,23 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(pplKnSql)),
 
+    // semantic (in-context) packing: pack_bins with the shard swapped
+    // for the doc's k-means embedding cluster — related docs share a
+    // context window (ICP). The oracle composes the full kmeans replay
+    // with the window pack arithmetic; docs without an embedding
+    // don't pack (inner join by contract).
+    "text_pack_semantic" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val c1 = VectorCuration.kmeansTrain(emb, "embedding",
+          VectorCuration.seedCentroids(8, 64), 1)
+        val clusters = VectorCuration.clusterAssign(emb, "embedding",
+          c1, "cell").select(col("vec_id").as("doc_id"), col("cell"))
+        TextOps.packBinsSemantic(Tables.documents(s, dir), col("doc_id"),
+          size(TextOps.tokens(col("text"))), clusters, 512)
+      },
+      Some(packSemanticSql)),
+
     // incremental near-dup: arriving docs (doc_id % 7 = 0 stands in for
     // the new batch) probe a STATIC LSH index of the established corpus
     // — the stream-vs-static middle ground between per-micro-batch
@@ -5445,6 +5462,27 @@ object LlmPack extends QueryPack {
        |  FROM d1)
        |WHERE rn = 1""".stripMargin
   }
+
+  /** Oracle for the semantic-packing query: the kmeans replay nested
+    * as a subquery, doc token counts, the id equi-join, and packBins'
+    * window pack arithmetic at binTokens = 512.
+    */
+  private lazy val packSemanticSql: String =
+    s"""WITH km AS (SELECT * FROM ($kmeansSql)),
+       |dt AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens
+       |       FROM documents),
+       |j AS (SELECT d.doc_id, km.cell, d.n_tokens
+       |      FROM dt d JOIN km ON km.vec_id = d.doc_id),
+       |w AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY cell
+       |        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |        CURRENT ROW) AS BIGINT) AS ce FROM j)
+       |SELECT doc_id, cell, n_tokens,
+       |  CAST((ce - n_tokens) // 512 AS BIGINT) AS bin_id,
+       |  CAST((ce - n_tokens) % 512 AS BIGINT) AS bin_offset,
+       |  CAST(CASE WHEN n_tokens <= 0 THEN 0
+       |    ELSE (ce - 1) // 512 - (ce - n_tokens) // 512 + 1
+       |  END AS BIGINT) AS n_bins
+       |FROM w""".stripMargin
 
   /** Oracle for `text_platt`: the full fixed-point GD replay — score
     * histogram over the centered train scores, 15 unrolled iterations

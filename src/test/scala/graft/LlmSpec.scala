@@ -934,6 +934,30 @@ class LlmSpec extends AnyFunSuite {
     assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
   }
 
+  test("packBinsSemantic: packs within the cluster shard — hand bins, " +
+      "straddling doc spans two, unembedded docs don't pack, " +
+      "partition-invariant") {
+    import spark.implicits._
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 100L), (4L, 50L))
+      .toDF("doc_id", "n_tok")
+    // doc 4 has no cluster assignment -> inner join drops it
+    val clusters = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("doc_id", "cell")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.packBinsSemantic(d, col("doc_id"), col("n_tok"), clusters,
+        512).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+    val out = run(docs)
+    assert(out == Set(
+      (1L, 0, 300L, 0L, 0L, 1L),   // [0, 300) in bin 0
+      (2L, 0, 300L, 0L, 300L, 2L), // [300, 600) straddles bins 0-1
+      (3L, 1, 100L, 0L, 0L, 1L)))  // own cluster restarts at bin 0
+    assert(run(docs.repartition(5)) == out)
+    intercept[IllegalArgumentException](
+      TextOps.packBinsSemantic(docs, col("doc_id"), col("n_tok"),
+        clusters, 0))
+  }
+
   test("runStats: sorted-run fold equals the relational counts") {
     import spark.implicits._
     val df = Seq(
