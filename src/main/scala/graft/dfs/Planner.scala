@@ -3245,6 +3245,27 @@ object Planner {
           s"perplexity: .smoothing must be 'add1' or 'kn', got '$o'")
       }
     },
+    // multi-query BM25 top-k through the inverted index (graft
+    // extension, the TextOps.bm25Retrieve door): .queries(lambda)
+    // marks the query stratum; .prefix(n) retrieves with the first n
+    // chars of the query doc's text (absent = the full text)
+    "bm25_retrieve" -> bt(Set("text_field", "id_field", "queries", "k",
+      "prefix", "max_postings")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("bm25_retrieve: .id_field"))
+      val qpred = optLambdas(n, "queries", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("bm25_retrieve: .queries(lambda)"))
+      val qText = optNum(n, "prefix", env).map(_.toInt)
+        .map(p => substring(Paths.ref(text), 1, p))
+        .getOrElse(Paths.ref(text))
+      graft.operators.text.TextOps.bm25Retrieve(ctx.df, Paths.ref(text),
+        Paths.ref(id), ctx.df.filter(qpred.cast("boolean")), qText,
+        Paths.ref(id),
+        optNum(n, "k", env).map(_.toInt).getOrElse(10),
+        optNum(n, "max_postings", env).map(_.toInt).getOrElse(65536))
+    },
     // connected components over an (a, b) pair stream (graft extension,
     // the Dedup.connectedComponents door): near-dup pairs → dedup groups
     // triangle counts + local clustering coefficient (graft extension,

@@ -1179,6 +1179,84 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Multi-query BM25 top-k THROUGH THE INVERTED INDEX — the retrieval
+    * serve door ([[bm25TopK]] is one fixed query sharing a corpus scan;
+    * this is N queries each touching only their terms' posting lists —
+    * the RAG / batch-retrieval shape, the text analogue of
+    * `VectorOps.annTopK`). Where [[bm25ScoreWith]] rounds a libm-ln
+    * double chain, the indexed form is EXACT FIXED-POINT end to end
+    * (the nb_classify hardening):
+    *
+    *  - `idf = ln((n+1)/(df+0.5)) = lnNano(2n+2) − lnNano(2df+1)` —
+    *    two integer logs on the token-sided df table;
+    *  - the Okapi tf term at the standard k1 = 1.2, b = 0.75 is the
+    *    exact rational `44·tf·S / (20·tf·S + 6·S + 18·dl·N)` (S = total
+    *    corpus tokens, N = docs — multiply through by 20·S), folded as
+    *    `ppm = num·10⁶ div den`;
+    *  - contribution = `idf_nano · ppm div 10⁶` — a long; per-(query,
+    *    doc) scores are order-free integer sums, so the ranking is
+    *    partition-order-exact with NO rounded-boundary lint exposure.
+    *
+    * Loud guard: `44·max(dl)·S·10⁶` must fit a long — at corpora past
+    * ~10¹¹ total tokens, shard the index and its (S, N) stats first.
+    *
+    * 100 TB shape: the posting table `(tok, doc, tf, dl)` is the
+    * MATERIALIZED index artifact (write it bucketed by `tok` in
+    * production; the probe equi-join then co-locates); per-token
+    * posting caps bound the hot-token (stopword) lists BEFORE the join
+    * — the documented recall trade, same as every bucket cap; the
+    * per-query cut is a window rank partitioned by `q_id`. Emits
+    * `(q_id, doc_id, rank, score_nano)`, rank ≤ `k` by
+    * (score desc, doc_id).
+    */
+  def bm25Retrieve(corpus: DataFrame, text: Column, id: Column,
+      queries: DataFrame, qText: Column, qId: Column, k: Int = 10,
+      maxPostings: Int = 65536): DataFrame = {
+    require(k >= 1 && maxPostings >= 1,
+      s"bm25Retrieve: k >= 1 and maxPostings >= 1")
+    val F = graft.functions.FixedLog
+    val docs = corpus.select(id.as("doc_id"), tokens(text).as("_t"))
+    val Row(s: Long, n: Long, maxDl: Int) = docs.agg(
+      sum(size(col("_t"))).cast("long"), count(lit(1)),
+      max(size(col("_t")))).head()
+    require(s <= 0L || maxDl <= 0 ||
+      44L * maxDl <= Long.MaxValue / 1000000L / s,
+      s"bm25Retrieve: 44*max(dl)=$maxDl*S=$s*1e6 overflows a long - " +
+        "shard the index and its (S, N) stats at this scale")
+    graft.core.CacheScope.withPersisted(
+      docs.select(col("doc_id"), size(col("_t")).as("dl"),
+          explode(col("_t")).as("tok"))
+        .groupBy(col("doc_id"), col("dl"), col("tok"))
+        .agg(count(lit(1)).as("tf"))) { post =>
+      val lnNn = F.lnNanoRef(2L * n + 2L)
+      val idf = F.withLnNano(
+        post.groupBy(col("tok")).agg(count(lit(1)).as("_df")),
+        col("_df") * 2L + 1L, "_ln_df")
+        .select(col("tok"), (lit(lnNn) - col("_ln_df")).as("idf_nano"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tok")).orderBy(col("doc_id"))
+      val capped = post.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxPostings).drop("_r")
+      val qt = queries.select(qId.as("q_id"),
+        explode(array_distinct(tokens(qText))).as("tok"))
+      val contrib = qt.join(capped, Seq("tok")).join(idf, Seq("tok"))
+        .withColumn("_num", lit(44L) * col("tf") * lit(s))
+        .withColumn("_den", lit(20L) * col("tf") * lit(s) + lit(6L * s) +
+          lit(18L) * col("dl") * lit(n))
+        .withColumn("_c", expr(
+          "idf_nano * ((_num * 1000000) div _den) div 1000000"))
+      val scores = contrib.groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("_c")).as("score_nano"))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("score_nano").desc, col("doc_id"))
+      scores.withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("doc_id"), col("rank").cast("int").as("rank"),
+          col("score_nano"))
+    }
+  }
+
   /** Per-doc token list + per-term frequency columns — the shared front
     * half of the BM25 pipeline.
     */

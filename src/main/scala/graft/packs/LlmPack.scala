@@ -2220,6 +2220,29 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(pplKnSql)),
 
+    // multi-query BM25 top-k through the inverted index — the
+    // retrieval serve door (text analogue of emb_ann_topk), exact
+    // fixed-point end to end: lnNano idf, rational Okapi tf term,
+    // integer contribution sums. Queries = the doc_id % 101 stratum
+    // retrieving with their own 80-char prefix.
+    "text_bm25_serve" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.bm25Retrieve(docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 101 === 0),
+          substring(col("text"), 1, 80), col("doc_id"), k = 5)
+      },
+      Some(bm25ServeSql)),
+
+    "dfs_bm25_serve" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|bm25_retrieve(.text_field('text').id_field('doc_id')
+          #  .queries(lambda: mod("doc_id", 101) == 0)
+          #  .prefix(80).k(5))
+          #""".stripMargin('#'), s, dir),
+      Some(bm25ServeSql)),
+
     // semantic (in-context) packing: pack_bins with the shard swapped
     // for the doc's k-means embedding cluster — related docs share a
     // context window (ICP). The oracle composes the full kmeans replay
@@ -5462,6 +5485,43 @@ object LlmPack extends QueryPack {
        |  FROM d1)
        |WHERE rn = 1""".stripMargin
   }
+
+  /** Oracle for the bm25-serve queries: posting/df/scalar counts, the
+    * lnNano idf chains, the exact-rational Okapi term, integer
+    * contribution sums, per-query rank cut at k = 5.
+    */
+  private lazy val bm25ServeSql: String =
+    s"""WITH dt AS (SELECT doc_id, $toks AS t FROM documents),
+       |post AS (SELECT doc_id, dl, tok, count(*) AS tf FROM (
+       |      SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM dt)
+       |      GROUP BY 1, 2, 3),
+       |sc AS (SELECT CAST(sum(len(t)) AS BIGINT) AS s,
+       |        CAST(count(*) AS BIGINT) AS n FROM dt),
+       |l0 AS (SELECT * FROM ${graft.functions.FixedLog.duckLnNano(
+              "(SELECT 2 * n + 2 AS m FROM sc)", Seq(), "m", "ln_nn")}),
+       |l1 AS (SELECT * FROM ${graft.functions.FixedLog.duckLnNano(
+              "(SELECT tok, 2 * count(*) + 1 AS m2 FROM post GROUP BY tok)",
+              Seq("tok"), "m2", "ln_df")}),
+       |idf AS (SELECT tok, ln_nn - ln_df AS idf_nano
+       |       FROM l1 CROSS JOIN l0),
+       |cap AS (SELECT doc_id, dl, tok, tf FROM (
+       |      SELECT *, row_number() OVER (PARTITION BY tok
+       |        ORDER BY doc_id) AS rn FROM post) WHERE rn <= 65536),
+       |qt AS (SELECT doc_id AS q_id, unnest(list_distinct(
+       |        string_split_regex(trim(substr(text, 1, 80)), '\\s+')))
+       |          AS tok
+       |      FROM documents WHERE doc_id % 101 = 0),
+       |co AS (SELECT q_id, cap.doc_id,
+       |        idf_nano * ((44 * tf * s * 1000000) //
+       |          (20 * tf * s + 6 * s + 18 * dl * n)) // 1000000 AS c
+       |      FROM qt JOIN cap USING (tok) JOIN idf USING (tok)
+       |        CROSS JOIN sc),
+       |sg AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_nano
+       |      FROM co GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score_nano DESC, doc_id) AS rn FROM sg)
+       |SELECT q_id, doc_id, CAST(rn AS INTEGER) AS "rank", score_nano
+       |FROM rk WHERE rn <= 5""".stripMargin
 
   /** Oracle for the semantic-packing query: the kmeans replay nested
     * as a subquery, doc token counts, the id equi-join, and packBins'

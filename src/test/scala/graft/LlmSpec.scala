@@ -958,6 +958,40 @@ class LlmSpec extends AnyFunSuite {
         clusters, 0))
   }
 
+  test("bm25Retrieve: both-terms doc outranks one-term doc, rarer term " +
+      "scores higher at equal tf/dl, no-term docs absent, " +
+      "partition-invariant") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple pear"),
+      (2L, "banana cherry plum grape"),
+      (3L, "durian durian durian durian"),
+      (4L, "apple kiwi melon fig"),
+      (5L, "kiwi melon fig grape")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana")).toDF("q_id", "qt")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      TextOps.bm25Retrieve(c, col("text"), col("doc_id"), queries,
+        col("qt"), col("q_id"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3)))
+    val out = run(corpus)
+    // doc 1 carries both terms (apple x2): rank 1; docs 2 and 4 carry
+    // one each; doc 3/5 carry neither and never appear
+    assert(out.map(_._2).toSet == Set(1L, 2L, 4L))
+    assert(out.find(_._2 == 1L).get._3 == 1)
+    assert(!out.exists(r => r._2 == 3L || r._2 == 5L))
+    assert(run(corpus.repartition(7)).toSet == out.toSet)
+    // idf monotonicity: 'apple' appears in 2 docs, 'banana' in 2...
+    // use 'cherry' (df 1) vs 'grape' (df 2) on equal-tf equal-dl docs:
+    // the rarer term's match must score strictly higher
+    val q2 = Seq((200L, "cherry"), (201L, "grape")).toDF("q_id", "qt")
+    val s2 = TextOps.bm25Retrieve(corpus, col("text"), col("doc_id"),
+      q2, col("qt"), col("q_id"), k = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3)))
+      .toMap
+    assert(s2((200L, 2L)) > s2((201L, 2L)))
+  }
+
   test("runStats: sorted-run fold equals the relational counts") {
     import spark.implicits._
     val df = Seq(
