@@ -26,6 +26,40 @@ import java.util.concurrent.atomic.AtomicReference
   * JVM with rc=0 — the driver always gets a parseable line.
   */
 object Bench {
+  /** The ONE JSON line the driver parses — a pure function so BenchSpec
+    * can pin parseability and the stdout size bound (a regression here
+    * costs a whole round's datapoint, as BENCH_r11's rc=124 proved).
+    */
+  private[graft] def jsonLine(rs: Seq[(String, Double)],
+      total: Double, sfDir: String): String = {
+    val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
+    f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  /** The stdout headline subset — the driver captures a bounded tail of
+    * the sbt log, so the printed line must stay well under 2 KB (the
+    * full map goes to BENCH_LOCAL.json).
+    */
+  private[graft] val Headline = Seq(
+    "q1_agg", "agg_percentile", "agg_elapsed_difference", "join_asof",
+    "join_tolerance", "win_time_tumbling", "win_session",
+    "state_change_detect", "state_sequence", "sample_nth",
+    "dedup_near_pairs", "dedup_simhash", "emb_cosine_topk", "emb_ann_topk",
+    "text_langid", "dfs_pipeline", "dedup_cosine_pairs", "dedup_cosine_exact",
+    "text_dup_grams", "text_bm25", "emb_semdedup", "text_bpe_pairs",
+    "text_ppl", "text_dsir", "join_bloom_semi", "dedup_vs_index",
+    "text_dup_spans", "series_topk",
+    "text_seg_dedup", "text_token_budget", "emb_hamming_rerank",
+    "graph_cc_stars", "emb_kmeans", "text_heavy_hitters",
+    "text_kl_drift", "emb_outliers", "text_chat_render",
+    "text_nb_classify", "emb_pca_project", "text_winnow",
+    "text_span_corrupt", "dedup_edit_pairs",
+    "text_hll_distinct", "text_span_trim", "dedup_corpus_jaccard",
+    "text_quantile_sketch", "graph_triangles", "text_pmi",
+    "emb_rrf_fuse", "text_wordpiece_encode", "dedup_survivors",
+    "text_robust_z", "dedup_containment")
+
   def main(args: Array[String]): Unit = {
     val startNanos = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,30 +91,9 @@ object Bench {
     // the driver captures a bounded tail of the sbt log, and an
     // all-queries line (~2.5 KB) gets its head truncated past parseability
     // (BENCH_r02 "parsed": null). Keep the printed line well under 2 KB.
-    val headline = Seq(
-      "q1_agg", "agg_percentile", "agg_elapsed_difference", "join_asof",
-      "join_tolerance", "win_time_tumbling", "win_session",
-      "state_change_detect", "state_sequence", "sample_nth",
-      "dedup_near_pairs", "dedup_simhash", "emb_cosine_topk", "emb_ann_topk",
-      "text_langid", "dfs_pipeline", "dedup_cosine_pairs", "dedup_cosine_exact",
-      "text_dup_grams", "text_bm25", "emb_semdedup", "text_bpe_pairs",
-      "text_ppl", "text_dsir", "join_bloom_semi", "dedup_vs_index",
-      "text_dup_spans", "series_topk",
-      "text_seg_dedup", "text_token_budget", "emb_hamming_rerank",
-      "graph_cc_stars", "emb_kmeans", "text_heavy_hitters",
-      "text_kl_drift", "emb_outliers", "text_chat_render",
-      "text_nb_classify", "emb_pca_project", "text_winnow",
-      "text_span_corrupt", "dedup_edit_pairs",
-      "text_hll_distinct", "text_span_trim", "dedup_corpus_jaccard",
-      "text_quantile_sketch", "graph_triangles", "text_pmi",
-      "emb_rrf_fuse", "text_wordpiece_encode", "dedup_survivors",
-      "text_robust_z", "dedup_containment")
-
-    def jsonOf(rs: Seq[(String, Double)], total: Double): String = {
-      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-        .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
+    val headline = Headline
+    def jsonOf(rs: Seq[(String, Double)], total: Double): String =
+      jsonLine(rs, total, sfDir)
     // best-so-far snapshot the watchdog can emit at any moment
     val snapshot = new AtomicReference[Seq[(String, Double)]](Seq.empty)
     @volatile var emitted = false
