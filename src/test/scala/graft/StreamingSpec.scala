@@ -1281,6 +1281,65 @@ class StreamingSpec extends AnyFunSuite {
     assert((f1s, phs) == batch)
   }
 
+  test("bm25Retrieve: arriving queries serve per micro-batch against " +
+      "the static posting index via foreachBatch, equals batch " +
+      "(per-query rank cuts are batch-local by construction)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = Seq((1L, "apple banana apple pear"),
+      (2L, "banana cherry plum grape"), (3L, "apple kiwi melon fig"),
+      (4L, "kiwi melon fig grape")).toDF("doc_id", "text")
+    val queries = Seq((100L, "apple banana"), (101L, "grape kiwi"),
+      (102L, "cherry"))
+    def serve(q: org.apache.spark.sql.DataFrame) =
+      graft.operators.text.TextOps.bm25Retrieve(corpus, col("text"),
+        col("doc_id"), q, col("qt"), col("q_id"), k = 3)
+        .as[(Long, Long, Int, Long)].collect().toSet
+    val batch = serve(queries.toDF("q_id", "qt"))
+    assert(batch.nonEmpty)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    var got = Set.empty[(Long, Long, Int, Long)]
+    val q = in.toDS().toDF("q_id", "qt").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= serve(mb); ()
+      }.start()
+    in.addData(queries.take(1)); q.processAllAvailable()
+    in.addData(queries.drop(1)); q.processAllAvailable()
+    q.stop()
+    // each query's top-k depends only on its own terms vs the static
+    // index, so micro-batch boundaries cannot change any row
+    assert(got == batch)
+  }
+
+  test("KN perplexity: arriving docs score per micro-batch against the " +
+      "STATIC trained pair base via foreachBatch, equals batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val T = graft.operators.text.TextOps
+    val train = Seq((1L, "a b a b c d"), (2L, "b c a a b d"))
+      .toDF("doc_id", "text")
+    val trainPairs = T.bigramPairs(train, col("text"), col("doc_id"))
+    val held = Seq((9L, "a b c zz a"), (10L, "d a b"), (11L, "c c b a"))
+    def score(d: org.apache.spark.sql.DataFrame) =
+      T.knPerplexityFromPairs(
+        T.bigramPairs(d, col("text"), col("doc_id")), trainPairs)
+        .as[(Long, Int, Double, Double)].collect().toSet
+    val batch = score(held.toDF("doc_id", "text"))
+    assert(batch.size == 3)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    var got = Set.empty[(Long, Int, Double, Double)]
+    val q = in.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= score(mb); ()
+      }.start()
+    in.addData(held.take(2)); q.processAllAvailable()
+    in.addData(held.drop(2)); q.processAllAvailable()
+    q.stop()
+    assert(got == batch)
+  }
+
   test("audioFp: per-row kernel + generator streams AS-IS in append " +
       "mode, emissions match batch") {
     import spark.implicits._
