@@ -1217,8 +1217,8 @@ object TextOps {
     val F = graft.functions.FixedLog
     val docs = corpus.select(id.as("doc_id"), tokens(text).as("_t"))
     val Row(s: Long, n: Long, maxDl: Int) = docs.agg(
-      sum(size(col("_t"))).cast("long"), count(lit(1)),
-      max(size(col("_t")))).head()
+      coalesce(sum(size(col("_t"))).cast("long"), lit(0L)), count(lit(1)),
+      coalesce(max(size(col("_t"))), lit(0))).head()
     require(s <= 0L || maxDl <= 0 ||
       44L * maxDl <= Long.MaxValue / 1000000L / s,
       s"bm25Retrieve: 44*max(dl)=$maxDl*S=$s*1e6 overflows a long - " +
@@ -1533,11 +1533,14 @@ object TextOps {
     // 1-row scalar collects (the bm25Stats sanction): B + V and the
     // overflow guard's max bigram count
     val Row(bCount: Long, maxC12: Long) = big
-      .agg(count(lit(1)).as("b"), max(col("c12")).as("m")).head()
+      .agg(count(lit(1)).as("b"),
+        coalesce(max(col("c12")), lit(0L)).as("m")).head()
     val vCount: Long = lmPairs
       .select(explode(array(col("w1"), col("w2"))).as("_tok"))
       .agg(count_distinct(col("_tok"))).head().getLong(0)
-    val bv = bCount + vCount
+    // floor at 1: an EMPTY model has no continuation mass to spread —
+    // every score is the uniform fallback and lnNano needs >= 1
+    val bv = math.max(bCount + vCount, 1L)
     require(maxC12 <= 0L || bv <= Long.MaxValue / (4L * maxC12),
       s"knPerplexity: (B+V)=$bv times 4*max(c12)=${4 * maxC12} overflows " +
         "a long - shard the LM before scoring at this scale")

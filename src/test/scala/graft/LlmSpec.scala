@@ -992,6 +992,17 @@ class LlmSpec extends AnyFunSuite {
     assert(s2((200L, 2L)) > s2((201L, 2L)))
   }
 
+  test("bm25Retrieve and knPerplexity: empty corpora produce empty " +
+      "output, never a null-scalar crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val q = Seq((1L, "apple")).toDF("q_id", "qt")
+    assert(TextOps.bm25Retrieve(empty, col("text"), col("doc_id"), q,
+      col("qt"), col("q_id")).isEmpty)
+    val ep = TextOps.bigramPairs(empty, col("text"), col("doc_id"))
+    assert(TextOps.knPerplexityFromPairs(ep, ep).isEmpty)
+  }
+
   test("runStats: sorted-run fold equals the relational counts") {
     import spark.implicits._
     val df = Seq(
