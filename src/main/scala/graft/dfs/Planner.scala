@@ -2238,10 +2238,15 @@ object Planner {
       // the .k() signature budget (the MMDS optimal-band rule);
       // explicit .bands/.rows_per_band win
       if (optFlag(n, "auto", env) && optNum(n, "bands", env).isEmpty &&
-          optNum(n, "rows_per_band", env).isEmpty)
+          optNum(n, "rows_per_band", env).isEmpty) {
+        val kBudget = optNum(n, "k", env).map(_.toInt).getOrElse(16)
+        if (kBudget < 2 || kBudget > graft.operators.text.Dedup.A.size)
+          throw DfsError(s"near_dedup: .k must be in [2, " +
+            s"${graft.operators.text.Dedup.A.size}] (the shipped hash " +
+            s"coefficient budget), got $kBudget")
         graft.operators.text.Dedup.nearDupPairsAuto(ctx.df,
-          Paths.ref(text), Paths.ref(id), threshold,
-          optNum(n, "k", env).map(_.toInt).getOrElse(16), maxB)
+          Paths.ref(text), Paths.ref(id), threshold, kBudget, maxB)
+      }
       else
         graft.operators.text.Dedup.nearDupPairs(ctx.df, Paths.ref(text),
           Paths.ref(id), threshold,

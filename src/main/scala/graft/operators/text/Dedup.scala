@@ -50,9 +50,6 @@ object Dedup {
       .withColumn("is_rep", id === col("rep_id"))
   }
 
-  /** MinHash signature: k = A.size row-level min-hashes over the distinct
-    * word-3-gram shingles. Adds sig0..sig{k-1}.
-    */
   /** MinHash signature over rolling shingle hashes: one md5 per TOKEN
     * (not per 3-word shingle string), then arithmetic-only rolling
     * combines and permutation min-folds — the hashing cost that dominates
@@ -171,6 +168,9 @@ object Dedup {
       threshold: Double,
       k: Int = 16,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(k <= A.size,
+      s"nearDupPairsAuto: signature budget k = $k exceeds the ${A.size} " +
+        "shipped hash coefficients (Dedup.A/B) - extend the tables first")
     val (b, r) = planBands(threshold, k)
     nearDupPairs(df, text, id, threshold, b, r, maxBucketSize)
   }

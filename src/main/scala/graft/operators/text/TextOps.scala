@@ -1216,18 +1216,22 @@ object TextOps {
       s"bm25Retrieve: k >= 1 and maxPostings >= 1")
     val F = graft.functions.FixedLog
     val docs = corpus.select(id.as("doc_id"), tokens(text).as("_t"))
-    val Row(s: Long, n: Long, maxDl: Int) = docs.agg(
-      coalesce(sum(size(col("_t"))).cast("long"), lit(0L)), count(lit(1)),
-      coalesce(max(size(col("_t"))), lit(0))).head()
-    require(s <= 0L || maxDl <= 0 ||
-      44L * maxDl <= Long.MaxValue / 1000000L / s,
-      s"bm25Retrieve: 44*max(dl)=$maxDl*S=$s*1e6 overflows a long - " +
-        "shard the index and its (S, N) stats at this scale")
     graft.core.CacheScope.withPersisted(
       docs.select(col("doc_id"), size(col("_t")).as("dl"),
           explode(col("_t")).as("tok"))
         .groupBy(col("doc_id"), col("dl"), col("tok"))
         .agg(count(lit(1)).as("tf"))) { post =>
+      // corpus stats from the persisted postings — ONE corpus
+      // tokenization total: S = Σ tf (= Σ dl over docs; every doc has
+      // ≥ 1 token, split of "" is [""]), N = distinct docs, max dl
+      val Row(s: Long, n: Long, maxDl: Int) = post.agg(
+        coalesce(sum(col("tf")), lit(0L)),
+        count_distinct(col("doc_id")),
+        coalesce(max(col("dl")), lit(0))).head()
+      require(s <= 0L || maxDl <= 0 ||
+        44L * maxDl <= Long.MaxValue / 1000000L / s,
+        s"bm25Retrieve: 44*max(dl)=$maxDl*S=$s*1e6 overflows a long - " +
+          "shard the index and its (S, N) stats at this scale")
       val lnNn = F.lnNanoRef(2L * n + 2L)
       val idf = F.withLnNano(
         post.groupBy(col("tok")).agg(count(lit(1)).as("_df")),
@@ -1525,25 +1529,43 @@ object TextOps {
   def knPerplexityFromPairs(pairs: DataFrame, lmPairs: DataFrame)
       : DataFrame = {
     val F = graft.functions.FixedLog
-    val big = lmPairs.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-    val uni = lmPairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // ONE pass over the (possibly corpus-volume) train pair stream —
+    // everything model-sided derives from the persisted distinct-bigram
+    // table: c1 = Σ c12 per history, vocab = distinct endpoint tokens
+    // (every token of a ≥2-token doc borders a bigram), and the guard
+    // scalars are vocabulary-sized aggregates over it
+    graft.core.CacheScope.withPersisted(
+      lmPairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))) { big =>
+    val uni = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val n1r = big.groupBy(col("w1")).agg(count(lit(1)).as("n1r"))
     val n1l = big.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
     // 1-row scalar collects (the bm25Stats sanction): B + V and the
-    // overflow guard's max bigram count
+    // overflow-guard maxima
     val Row(bCount: Long, maxC12: Long) = big
       .agg(count(lit(1)).as("b"),
         coalesce(max(col("c12")), lit(0L)).as("m")).head()
-    val vCount: Long = lmPairs
+    val vCount: Long = big
       .select(explode(array(col("w1"), col("w2"))).as("_tok"))
       .agg(count_distinct(col("_tok"))).head().getLong(0)
+    val Row(maxC1: Long, maxN1r: Long) = uni.join(n1r, Seq("w1"))
+      .agg(coalesce(max(col("c1")), lit(0L)),
+        coalesce(max(col("n1r")), lit(0L))).head()
+    val maxN1l: Long = n1l
+      .agg(coalesce(max(col("n1l")), lit(0L))).head().getLong(0)
     // floor at 1: an EMPTY model has no continuation mass to spread —
     // every score is the uniform fallback and lnNano needs >= 1
     val bv = math.max(bCount + vCount, 1L)
-    require(maxC12 <= 0L || bv <= Long.MaxValue / (4L * maxC12),
-      s"knPerplexity: (B+V)=$bv times 4*max(c12)=${4 * maxC12} overflows " +
-        "a long - shard the LM before scoring at this scale")
+    // guard the FULL numerator bv·max(4c12−3,0) + 3·n1r·(n1l+1) AND the
+    // denominator 4·c1·bv — either overflowing would wrap silently
+    val nuMax = BigInt(bv) * 4 * BigInt(maxC12) +
+      3 * BigInt(maxN1r) * (BigInt(maxN1l) + 1)
+    val deMax = 4 * BigInt(maxC1) * BigInt(bv)
+    require(nuMax.max(deMax) <= BigInt(Long.MaxValue),
+      s"knPerplexity: numerator/denominator bound ${nuMax.max(deMax)} " +
+        s"overflows a long at (B+V)=$bv, max(c12)=$maxC12, " +
+        s"max(c1)=$maxC1, max(N1r)=$maxN1r, max(N1l)=$maxN1l - shard " +
+        "the LM before scoring at this scale")
     // seen-path lnNanos on the VOCABULARY-SIDED tables
     val bigLn = F.withLnNano(
       big.join(n1r, Seq("w1")).join(n1l, Seq("w2")),
@@ -1574,6 +1596,7 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("_s") / 1e9 / col("n_bigrams"), 6).as("nll"))
       .withColumn("ppl", round(exp(col("nll")), 6))
+    }
   }
 
   /** Self-scored Kneser–Ney corpus perplexity — [[withPerplexity]]'s
