@@ -221,9 +221,9 @@ object VectorCuration {
       .withColumn("_qn", VectorOps.norm(col("q_vec")))
     // materialized corpus norms (the bruteTopK rule: un-checkpointed,
     // the norm fold re-runs per pair under the broadcast join)
-    val c = corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
-      .withColumn("_cn", VectorOps.norm(col(vecCol)))
-      .localCheckpoint()
+    val c = VectorOps.matStream(
+      corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
+        .withColumn("_cn", VectorOps.norm(col(vecCol))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id") && col("_nl") =!= col("_ql"))
       .withColumn("sim",
@@ -249,9 +249,9 @@ object VectorCuration {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("_qn", VectorOps.norm(col("q_vec")))
     // materialized corpus norms (the bruteTopK rule)
-    val c = corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
-      .withColumn("_cn", VectorOps.norm(col(vecCol)))
-      .localCheckpoint()
+    val c = VectorOps.matStream(
+      corpus.select(col(idCol), col(vecCol), col(labelCol).as("_nl"))
+        .withColumn("_cn", VectorOps.norm(col(vecCol))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("sim",
@@ -625,12 +625,22 @@ object VectorCuration {
     * denominator is ≤ 0 (pathological all-negative neighborhoods) are
     * dropped, documented.
     *
-    * 100 TB shape: the yardstick form scores src×tgt once (src
-    * broadcast, guarded — the bruteTopK contract) and reuses the ONE
-    * scored pair table for both directions (scope-cached). Corpus-sized
+    * 100 TB shape: the yardstick form scores src×tgt once per
+    * direction (src broadcast, guarded — the bruteTopK contract). The
+    * scored pair table is deliberately NOT persisted: it is
+    * |src|·|tgt| rows, so a MEMORY_AND_DISK materialization writes
+    * and re-reads gigabytes where recomputing the broadcast-scan dot
+    * is compute-cheap and embarrassingly parallel (measured at sf1:
+    * the persisted form blew the 150 s bench cap; unpersisted, the
+    * family runs with the other quadratic-by-spec yardsticks). Both
+    * rank cuts are `row_number ≤ k` windows — the WindowGroupLimit
+    * partial top-k keeps each shuffle at ~k rows per key per map
+    * partition, not the full pair table. The final pair rows REUSE
+    * the forward rank-1 rows (they ARE the best-match pairs) instead
+    * of re-scanning the scored table a third time. Corpus-sized
     * mining generates candidates with [[VectorOps.annTopK]]'s bucket
-    * join per direction and applies the same nano/margin arithmetic on
-    * the survivors.
+    * join per direction and applies the same nano/margin arithmetic
+    * on the survivors.
     */
   def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int, thresholdPpm: Long,
@@ -643,40 +653,40 @@ object VectorCuration {
     val q = src.select(col(idCol).as("src_id"), col(vecCol).as("_sv"))
       .withColumn("_sn", VectorOps.norm(col("_sv")))
     // materialized target norms (the bruteTopK rule)
-    val c = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
-      .withColumn("_tn", VectorOps.norm(col("_tv")))
-      .localCheckpoint()
-    val scored = c.crossJoin(broadcast(q))
+    val c = VectorOps.matStream(
+      tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
+        .withColumn("_tn", VectorOps.norm(col("_tv"))))
+    def scored = c.crossJoin(broadcast(q))
       .withColumn("c_nano",
         floor(VectorOps.dot(col("_sv"), col("_tv"))
           / (col("_sn") * col("_tn")) * 1000000000d).cast("long"))
       .select(col("src_id"), col("tgt_id"), col("c_nano"))
-    graft.core.CacheScope.withPersisted(scored) { sc =>
-      val fw = Window.partitionBy(col("src_id"))
-        .orderBy(col("c_nano").desc, col("tgt_id"))
-      val fwd = sc.withColumn("_r", row_number().over(fw))
-        .filter(col("_r") <= k)
-      val fwdAgg = fwd.groupBy(col("src_id"))
-        .agg(sum(col("c_nano")).as("_afn"),
-          min(when(col("_r") === 1, col("tgt_id"))).as("_best_tgt"))
-      val bw = Window.partitionBy(col("tgt_id"))
-        .orderBy(col("c_nano").desc, col("src_id"))
-      val bwd = sc.withColumn("_r", row_number().over(bw))
-        .filter(col("_r") <= k)
-      val bwdAgg = bwd.groupBy(col("tgt_id"))
-        .agg(sum(col("c_nano")).as("_abn"),
-          min(when(col("_r") === 1, col("src_id"))).as("_best_src"))
-      sc.join(fwdAgg, Seq("src_id"))
-        .filter(col("tgt_id") === col("_best_tgt"))
-        .join(bwdAgg, Seq("tgt_id"))
-        .filter(col("_afn") + col("_abn") > 0)
-        .withColumn("margin_ppm",
-          expr(s"(c_nano * ${2L * k} * 1000000) div (_afn + _abn)"))
-        .filter(col("margin_ppm") >= thresholdPpm)
-        .withColumn("mutual", col("_best_src") === col("src_id"))
-        .select(col("src_id"), col("tgt_id"), col("c_nano"),
-          col("margin_ppm"), col("mutual"))
-    }
+    val fw = Window.partitionBy(col("src_id"))
+      .orderBy(col("c_nano").desc, col("tgt_id"))
+    val fwd = scored.withColumn("_r", row_number().over(fw))
+      .filter(col("_r") <= k)
+    val fwdAgg = fwd.groupBy(col("src_id"))
+      .agg(sum(col("c_nano")).as("_afn"),
+        min(when(col("_r") === 1, col("tgt_id"))).as("_best_tgt"))
+    val bw = Window.partitionBy(col("tgt_id"))
+      .orderBy(col("c_nano").desc, col("src_id"))
+    val bwd = scored.withColumn("_r", row_number().over(bw))
+      .filter(col("_r") <= k)
+    val bwdAgg = bwd.groupBy(col("tgt_id"))
+      .agg(sum(col("c_nano")).as("_abn"),
+        min(when(col("_r") === 1, col("src_id"))).as("_best_src"))
+    // the (src, best tgt) pair rows ARE the forward rank-1 rows — no
+    // third scan of the scored table
+    fwd.filter(col("_r") === 1).drop("_r")
+      .join(fwdAgg, Seq("src_id"))
+      .join(bwdAgg, Seq("tgt_id"))
+      .filter(col("_afn") + col("_abn") > 0)
+      .withColumn("margin_ppm",
+        expr(s"(c_nano * ${2L * k} * 1000000) div (_afn + _abn)"))
+      .filter(col("margin_ppm") >= thresholdPpm)
+      .withColumn("mutual", col("_best_src") === col("src_id"))
+      .select(col("src_id"), col("tgt_id"), col("c_nano"),
+        col("margin_ppm"), col("mutual"))
   }
 
   /** min over `cents` of the exact FLOAT sq-dist fold — shared by the

@@ -89,6 +89,23 @@ object VectorOps {
         pow(lit(2.0), i).cast("long")).otherwise(lit(0L)))
   }
 
+  /** Materialize a broadcast-scan's STREAM side: spread a narrow input
+    * across the session's default parallelism first — a small side read
+    * from one parquet file otherwise runs the whole |stream|×|broadcast|
+    * per-pair loop on ONE core (measured: the sf1 all-pairs yardsticks
+    * blew the 150 s bench cap single-partitioned; spread, the same
+    * work rides every core) — then localCheckpoint (the
+    * defer-into-the-match-loop rule). The repartition is skipped when
+    * the input is already wider, so the 100 TB path pays no extra
+    * shuffle; per-pair math downstream is partition-order-exact by
+    * every caller's contract.
+    */
+  private[graft] def matStream(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    (if (df.rdd.getNumPartitions < want) df.repartition(want) else df)
+      .localCheckpoint()
+  }
+
   /** Hamming top-k over [[signBits]] sketches — the binary-sketch ANN
     * yardstick: exact top-k by bit distance, [[bruteTopK]]'s guarded
     * broadcast shape (queries must be small; the corpus side carries
@@ -114,8 +131,8 @@ object VectorOps {
     // materialized binary sketch (the pqTopKWithBooks rule: under the
     // broadcast join, un-checkpointed signBits re-ran per pair) — one
     // long per corpus row, the persisted first-pass index
-    val c = corpus.select(col(idCol), signBits(col(vecCol), dims).as("_cb"))
-      .localCheckpoint()
+    val c = matStream(
+      corpus.select(col(idCol), signBits(col(vecCol), dims).as("_cb")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("ham",
@@ -186,9 +203,8 @@ object VectorOps {
     // copy, acceptable by this operator's guarded/sampled contract.
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("_qn", norm(col("q_vec")))
-    val c = corpus.select(col(idCol), col(vecCol))
-      .withColumn("_cn", norm(col(vecCol)))
-      .localCheckpoint()
+    val c = matStream(corpus.select(col(idCol), col(vecCol))
+      .withColumn("_cn", norm(col(vecCol))))
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("sim", dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
@@ -485,8 +501,12 @@ object VectorOps {
     require(n <= maxRows,
       s"cosineDupPairsExact corpus has $n rows (max $maxRows): all-pairs " +
         "is quadratic — use cosineDupPairs (LSH-banded), or raise maxRows")
-    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .withColumn("_n", norm(col("_v")))
+    // materialized + spread norms (the matStream rule: un-checkpointed,
+    // the norm fold deferred into the per-pair loop AND the whole
+    // n²/2-pair scan ran on the narrow input's single partition)
+    val base = matStream(
+      df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+        .withColumn("_n", norm(col("_v"))))
     val l = base.select(col("_id").as("a"), col("_v").as("_va"),
       col("_n").as("_na"))
     val r = base.select(col("_id").as("b"), col("_v").as("_vb"),
@@ -682,9 +702,8 @@ object VectorOps {
         "raise maxBenchRows explicitly")
     // materialized corpus norms (the bruteTopK rule) — also reused by
     // the final left join, so the checkpoint pays for itself twice
-    val corpus = base.filter(!col("_bench"))
-      .select(col("_id"), col("_v").as("_va"), col("_n").as("_na"))
-      .localCheckpoint()
+    val corpus = matStream(base.filter(!col("_bench"))
+      .select(col("_id"), col("_v").as("_va"), col("_n").as("_na")))
     val hits = corpus.crossJoin(broadcast(bench))
       .withColumn("sim",
         round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
@@ -939,9 +958,9 @@ object VectorOps {
     // measured 82 s for 400×20k pairs at sf1 vs 2.3 s materialized.
     // This is also the real serving shape: the codes table IS the
     // persisted index artifact, written once, scanned per query batch.
-    val c = pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
-      books, "_code").drop(vecCol) // codes only past this point
-      .localCheckpoint()
+    val c = matStream(
+      pqEncode(corpus.select(col(idCol), col(vecCol)), vecCol,
+        books, "_code").drop(vecCol)) // codes only past this point
     val q = pqQueryTables(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
       "q_vec", books).drop("q_vec")
@@ -1043,7 +1062,7 @@ object VectorOps {
         (array_position(col("_dists"), array_min(col("_dists"))) - 1)
           .cast("int"))
       .drop("_dists", vecCol) // (id, cell, codes) — the whole index row
-      .localCheckpoint()
+      .transform(matStream)
     val q = pqQueryTables(
       queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
       "q_vec", books)
@@ -1097,7 +1116,7 @@ object VectorOps {
         (array_position(col("_dists"), array_min(col("_dists"))) - 1).cast("int"))
       .drop("_dists")
       .withColumn("_cn", norm(col(vecCol)))
-      .localCheckpoint()
+      .transform(matStream)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("_dists", cellDists(col("q_vec"), centSeq))
       .withColumn("_cell", explode(probeCells(col("_dists"), nCells, nProbe)))
@@ -1134,7 +1153,7 @@ object VectorOps {
           .cast("int"))
       .drop("_dists")
       .withColumn("_idx_n", norm(col("_idx_v")))
-      .localCheckpoint()
+      .transform(matStream)
   }
 
   /** Similarity-search SERVE against a static [[vectorIndex]] — the
