@@ -1003,6 +1003,17 @@ class LlmSpec extends AnyFunSuite {
     assert(TextOps.knPerplexityFromPairs(ep, ep).isEmpty)
   }
 
+  test("matStream: widens a single-partition stream side to the " +
+      "session's parallelism, leaves an already-wide input's " +
+      "partitioning untouched") {
+    import spark.implicits._
+    val want = spark.sparkContext.defaultParallelism
+    val narrow = (1L to 100L).toDF("x").coalesce(1)
+    assert(VectorOps.matStream(narrow).rdd.getNumPartitions == want)
+    val wide = (1L to 100L).toDF("x").repartition(want + 3)
+    assert(VectorOps.matStream(wide).rdd.getNumPartitions == want + 3)
+  }
+
   test("runStats: sorted-run fold equals the relational counts") {
     import spark.implicits._
     val df = Seq(
