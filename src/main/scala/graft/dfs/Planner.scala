@@ -2235,11 +2235,25 @@ object Planner {
       val maxB = optNum(n, "max_bucket", env).map(_.toInt)
         .getOrElse(graft.operators.text.Dedup.DefaultMaxBucketSize)
       // .auto() plans (bands, rows_per_band) from the threshold under
-      // the .k() signature budget (the MMDS optimal-band rule);
-      // explicit .bands/.rows_per_band win
-      if (optFlag(n, "auto", env) && optNum(n, "bands", env).isEmpty &&
-          optNum(n, "rows_per_band", env).isEmpty) {
-        val kBudget = optNum(n, "k", env).map(_.toInt).getOrElse(16)
+      // the .k() signature budget (the MMDS optimal-band rule).
+      // Invalid combinations reject LOUDLY (the DFS convention):
+      // .auto() with explicit geometry is contradictory, and .k
+      // without .auto() would silently do nothing.
+      val auto = optFlag(n, "auto", env)
+      val bandsOpt = optNum(n, "bands", env).map(_.toInt)
+      val rpbOpt = optNum(n, "rows_per_band", env).map(_.toInt)
+      val kOpt = optNum(n, "k", env).map(_.toInt)
+      if (auto && (bandsOpt.nonEmpty || rpbOpt.nonEmpty))
+        throw DfsError("near_dedup: .auto() plans .bands/.rows_per_band " +
+          "from the threshold — drop the explicit geometry or drop .auto()")
+      if (!auto && kOpt.nonEmpty)
+        throw DfsError("near_dedup: .k is the .auto() signature budget " +
+          "and has no effect without .auto() — add .auto() or drop .k")
+      if (auto) {
+        if (threshold <= 0.0 || threshold >= 1.0)
+          throw DfsError("near_dedup: .auto() needs .threshold strictly " +
+            s"inside (0, 1), got $threshold")
+        val kBudget = kOpt.getOrElse(16)
         if (kBudget < 2 || kBudget > graft.operators.text.Dedup.A.size)
           throw DfsError(s"near_dedup: .k must be in [2, " +
             s"${graft.operators.text.Dedup.A.size}] (the shipped hash " +
@@ -2250,8 +2264,7 @@ object Planner {
       else
         graft.operators.text.Dedup.nearDupPairs(ctx.df, Paths.ref(text),
           Paths.ref(id), threshold,
-          optNum(n, "bands", env).map(_.toInt).getOrElse(4),
-          optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2),
+          bandsOpt.getOrElse(4), rpbOpt.getOrElse(2),
           maxB)
     },
     // benchmark decontamination as a flow node (graft extension, the
@@ -3479,13 +3492,7 @@ object Planner {
       val c = optNum(n, "c", env).map(_.toInt).getOrElse(60)
       import org.apache.spark.sql.functions.col
       val q = ctx.df.filter(col(id) % every === 0)
-      val dense = graft.operators.vector.VectorOps
-        .bruteTopK(ctx.df, q, id, vec, k)
-        .select(col("q_id"), col(id).as("id"), col("rnk"))
-      val ham = graft.operators.vector.VectorOps
-        .hammingTopK(ctx.df, q, id, vec, k)
-        .select(col("q_id"), col(id).as("id"), col("rnk"))
-      graft.operators.vector.Fusion.rrfFuse(Seq(dense, ham), c, k)
+      graft.operators.vector.VectorOps.hybridTopK(ctx.df, q, id, vec, k, c)
     },
     // PMI collocation mining (graft extension, the Collocations door):
     // fixed-point lnNano adjacent-pair PMI, min-count-gated, top-k

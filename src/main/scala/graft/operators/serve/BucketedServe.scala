@@ -1,0 +1,177 @@
+package graft.operators.serve
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.text.TextOps
+import graft.operators.vector.VectorOps
+
+/** Bucketed serving indices — the "materialized view" half of the
+  * retrieval story made EXECUTABLE.
+  *
+  * `TextOps.bm25Retrieve` and `VectorOps.annVsIndex` both document the
+  * 100 TB serving shape as prose: "write the index bucketed by the
+  * probe key and the probe equi-join co-locates". This module is that
+  * claim as code: the index table is WRITTEN with `bucketBy(probeKey)`
+  * to a real parquet path (Spark records the bucket spec in the
+  * catalog; each bucket file holds exactly the rows whose
+  * `hash(key) % buckets` lands there), re-READ through the catalog,
+  * and the probe join then needs NO Exchange on the index side — the
+  * scan itself satisfies the join's distribution requirement.
+  * `BucketedServeSpec` asserts that plan property mechanically
+  * (SortMergeJoin with zero ShuffleExchange between the join and the
+  * bucketed scan, broadcast disabled so the assert can't be
+  * trivially satisfied), and the `text_bm25_serve_bucketed` /
+  * `emb_vs_bucketed_index` oracle rows pin that the round-tripped
+  * artifact serves bit-identical results.
+  *
+  * At 100 TB the index build is the offline batch job (one shuffle to
+  * bucket the postings / cells); every subsequent probe batch pays
+  * only ITS OWN side's shuffle into the bucket count. Reference
+  * analog: the materialized-view role of `esp_collect`
+  * (`esp_collect.erl:63` — a queryable held table that streams probe
+  * against), re-expressed as a bucketed parquet artifact + catalog
+  * entry instead of a held actor table.
+  *
+  * Scoring arithmetic is IDENTICAL to the non-bucketed serve paths
+  * (`bm25Retrieve`'s exact fixed-point Okapi; `annVsIndex`'s exact
+  * cosine threshold), so both queries share their existing oracles.
+  */
+object BucketedServe {
+
+  /** Build and WRITE the BM25 posting index, bucketed + sorted by
+    * `tok`. The stored row is DENORMALIZED — `(tok, doc_id, tf, dl,
+    * idf_nano)` — so a probe touches exactly one table (the idf join
+    * is paid once at build time, not per query batch). Corpus stats
+    * the Okapi term needs at probe time (`S` total tokens, `N` docs,
+    * `max_dl` for the overflow guard) land beside the table as a
+    * 1-row parquet at `<path>/stats`.
+    *
+    * Same build semantics as [[TextOps.bm25Retrieve]]: idf from the
+    * UNCAPPED df table (a capped df would misstate rarity), the
+    * per-token posting cap applied after — the documented hot-token
+    * recall trade.
+    */
+  def writeBm25Index(corpus: DataFrame, text: Column, id: Column,
+      tableName: String, path: String, buckets: Int = 8,
+      maxPostings: Int = 65536): Unit = {
+    require(buckets >= 1 && maxPostings >= 1,
+      "writeBm25Index: buckets >= 1 and maxPostings >= 1")
+    val F = graft.functions.FixedLog
+    val docs = corpus.select(id.as("doc_id"), TextOps.tokens(text).as("_t"))
+    // one corpus tokenization total (the bm25Retrieve discipline) —
+    // persisted by hand because the scope ends in a WRITE, not a frame
+    val post = docs.select(col("doc_id"), size(col("_t")).as("dl"),
+        explode(col("_t")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Row(s: Long, n: Long, maxDl: Int) = post.agg(
+        coalesce(sum(col("tf")), lit(0L)),
+        count_distinct(col("doc_id")),
+        coalesce(max(col("dl")), lit(0))).head()
+      val spark = post.sparkSession
+      import spark.implicits._
+      Seq((s, n, maxDl)).toDF("s", "n", "max_dl")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      val lnNn = F.lnNanoRef(2L * n + 2L)
+      val idf = F.withLnNano(
+        post.groupBy(col("tok")).agg(count(lit(1)).as("_df")),
+        col("_df") * 2L + 1L, "_ln_df")
+        .select(col("tok"), (lit(lnNn) - col("_ln_df")).as("idf_nano"))
+      val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+      val capped = post.withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= maxPostings).drop("_r")
+      capped.join(idf, Seq("tok"))
+        .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+          col("idf_nano"))
+        .write.format("parquet")
+        .bucketBy(buckets, "tok").sortBy("tok")
+        .option("path", s"$path/postings")
+        .mode("overwrite").saveAsTable(tableName)
+    } finally post.unpersist(blocking = false)
+  }
+
+  /** Probe the bucketed BM25 index: N queries, each touching only its
+    * terms' posting buckets. Exact fixed-point Okapi, bit-identical to
+    * [[TextOps.bm25Retrieve]] (same `44·tf·S / (20·tf·S + 6·S +
+    * 18·dl·N)` rational at k1 = 1.2, b = 0.75; same
+    * `idf_nano · ppm div 10⁶` long contribution; same
+    * (score desc, doc_id) rank cut). Emits
+    * `(q_id, doc_id, rank, score_nano)`.
+    */
+  def bm25ProbeIndex(spark: SparkSession, tableName: String, path: String,
+      queries: DataFrame, qText: Column, qId: Column,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"bm25ProbeIndex: k must be >= 1, got $k")
+    val post = spark.table(tableName)
+    val Row(s: Long, n: Long, maxDl: Int) =
+      spark.read.parquet(s"$path/stats").head()
+    require(s <= 0L || maxDl <= 0 ||
+      44L * maxDl <= Long.MaxValue / 1000000L / s,
+      s"bm25ProbeIndex: 44*max(dl)=$maxDl*S=$s*1e6 overflows a long - " +
+        "shard the index and its (S, N) stats at this scale")
+    val qt = queries.select(qId.as("q_id"),
+      explode(array_distinct(TextOps.tokens(qText))).as("tok"))
+    val contrib = qt.join(post, Seq("tok"))
+      .withColumn("_num", lit(44L) * col("tf") * lit(s))
+      .withColumn("_den", lit(20L) * col("tf") * lit(s) + lit(6L * s) +
+        lit(18L) * col("dl") * lit(n))
+      .withColumn("_c", expr(
+        "idf_nano * ((_num * 1000000) div _den) div 1000000"))
+    val scores = contrib.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("_c")).as("score_nano"))
+    val rk = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_nano").desc, col("doc_id"))
+    scores.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"),
+        col("rank").cast("int").as("rank"), col("score_nano"))
+  }
+
+  /** The round-trip composite for the oracle row: build + write the
+    * bucketed index, re-read it through the catalog, probe. One call =
+    * the whole materialize-then-serve lifecycle.
+    */
+  def bm25ServeBucketed(corpus: DataFrame, text: Column, id: Column,
+      queries: DataFrame, qText: Column, qId: Column, k: Int,
+      tableName: String, path: String, buckets: Int = 8,
+      maxPostings: Int = 65536): DataFrame = {
+    writeBm25Index(corpus, text, id, tableName, path, buckets, maxPostings)
+    bm25ProbeIndex(corpus.sparkSession, tableName, path,
+      queries, qText, qId, k)
+  }
+
+  /** WRITE the IVF cell index ([[VectorOps.vectorIndex]]'s frame:
+    * `_idx_id`, `_idx_v`, `_cell`, `_idx_n`) bucketed + sorted by
+    * `_cell` — each inverted list lands in a known bucket file, so an
+    * arriving probe batch joins against the index with no index-side
+    * Exchange, ever.
+    */
+  def writeVectorIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Float]], tableName: String, path: String,
+      buckets: Int = 8): Unit = {
+    require(buckets >= 1, "writeVectorIndex: buckets >= 1")
+    VectorOps.vectorIndexFrame(corpus, idCol, vecCol, cents)
+      .write.format("parquet")
+      .bucketBy(buckets, "_cell").sortBy("_cell")
+      .option("path", s"$path/cells")
+      .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** Round-trip vector serve: write the bucketed cell index, re-read,
+    * probe with [[VectorOps.annVsIndex]] — identical arithmetic, so
+    * the query shares `emb_vs_vector_index`'s oracle.
+    */
+  def annVsBucketedIndex(arrivals: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cents: Array[Array[Float]],
+      threshold: Double, nProbe: Int, tableName: String, path: String,
+      buckets: Int = 8): DataFrame = {
+    writeVectorIndex(corpus, idCol, vecCol, cents, tableName, path, buckets)
+    VectorOps.annVsIndex(arrivals,
+      arrivals.sparkSession.table(tableName),
+      idCol, vecCol, cents, threshold, nProbe)
+  }
+}

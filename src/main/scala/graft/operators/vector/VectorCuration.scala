@@ -656,6 +656,15 @@ object VectorCuration {
     val c = VectorOps.matStream(
       tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("_tv"))
         .withColumn("_tn", VectorOps.norm(col("_tv"))))
+    // `scored` is a def ON PURPOSE: the |src|·|tgt| subtree is cheap to
+    // recompute (one dot per pair over the checkpointed norms) and too
+    // big to persist. The forward window, backward window, and the
+    // fwd-rank-1 reuse path each re-derive it unless Spark's exchange
+    // reuse kicks in — a measured 2-3× recompute that beats the
+    // persisted form at sf1. Callers whose vectors are expensive
+    // relative to IO (e.g. very high dims on slow storage) can
+    // `.persist()` their OWN src/tgt inputs before calling; the pair
+    // table itself must stay unpersisted.
     def scored = c.crossJoin(broadcast(q))
       .withColumn("c_nano",
         floor(VectorOps.dot(col("_sv"), col("_tv"))

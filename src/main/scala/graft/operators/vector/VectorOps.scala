@@ -133,6 +133,19 @@ object VectorOps {
     // long per corpus row, the persisted first-pass index
     val c = matStream(
       corpus.select(col(idCol), signBits(col(vecCol), dims).as("_cb")))
+    hammingArm(c, q, idCol, k)
+  }
+
+  /** The Hamming scoring arm over a PREPARED corpus frame (must carry
+    * `_cb`; extra columns ride along and are dropped by the final
+    * select) and a prepared query frame (`q_id`, `_qb`). Split out so
+    * composed queries ([[hybridTopK]], [[hammingRerank]]) share ONE
+    * materialized corpus across their arms instead of checkpointing
+    * the corpus once per arm — the round-13 matStream fixed overhead
+    * that doubled sub-second composites at sf0.1.
+    */
+  private def hammingArm(c: DataFrame, q: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     val scored = c.crossJoin(broadcast(q))
       .filter(col(idCol) =!= col("q_id"))
       .withColumn("ham",
@@ -142,6 +155,61 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk").cast("int").as("rnk"), col(idCol),
         col("ham"))
+  }
+
+  /** The dense exact-cosine scoring arm over a PREPARED corpus frame
+    * (must carry the vector column and `_cn`) and a prepared query
+    * frame (`q_id`, `q_vec`, `_qn`). See [[hammingArm]] for why the
+    * arms are split from their prepare steps.
+    */
+  private def denseArm(c: DataFrame, q: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("sim",
+        dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc,
+      col(idCol))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col(idCol),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Hybrid dense+binary retrieval with ONE shared materialized corpus:
+    * exact-cosine top-`k` and Hamming top-`k` per query over the SAME
+    * checkpointed frame (id, vec, `_cn`, `_cb`), fused by
+    * [[Fusion.rrfFuse]] in exact nano integer arithmetic. Before this,
+    * the composite paid matStream twice (two corpus checkpoints + two
+    * query counts) — measured 2.1× on `emb_rrf_fuse` at sf0.1; the
+    * fused result is bit-identical because each arm's scoring is
+    * unchanged, only the shared prepare is factored out.
+    */
+  def hybridTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      c: Int = 60,
+      dims: Int = 62,
+      maxQueryRows: Long = MaxBroadcastQueries): DataFrame = {
+    val qCount = queries.count()
+    require(qCount <= maxQueryRows,
+      s"hybridTopK query side has $qCount rows (max $maxQueryRows): " +
+        "too large to broadcast — use annTopK, or raise maxQueryRows")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("_qn", norm(col("q_vec")))
+      .withColumn("_qb", signBits(col("q_vec"), dims))
+    val corp = matStream(corpus.select(col(idCol), col(vecCol))
+      .withColumn("_cn", norm(col(vecCol)))
+      .withColumn("_cb", signBits(col(vecCol), dims)))
+    val dense = denseArm(corp, q.select("q_id", "q_vec", "_qn"),
+      idCol, vecCol, k)
+      .select(col("q_id"), col(idCol).as("id"), col("rnk"))
+    val ham = hammingArm(corp, q.select("q_id", "_qb"), idCol, k)
+      .select(col("q_id"), col(idCol).as("id"), col("rnk"))
+    Fusion.rrfFuse(Seq(dense, ham), c, k)
   }
 
   /** The composed binary-sketch retrieval pipeline: [[hammingTopK]]
@@ -161,17 +229,28 @@ object VectorOps {
       dims: Int = 62): DataFrame = {
     require(candidates >= k,
       s"hammingRerank: candidates ($candidates) must be >= k ($k)")
-    val cand = hammingTopK(corpus, queries, idCol, vecCol, candidates, dims)
+    val qCount = queries.count()
+    require(qCount <= MaxBroadcastQueries,
+      s"hammingRerank query side has $qCount rows (max " +
+        s"$MaxBroadcastQueries): too large to broadcast — use annTopK")
+    // ONE materialized corpus shared by both stages: the Hamming pass
+    // reads `_cb`, the re-rank join reads (vec, `_cn`) off the same
+    // checkpoint — previously the re-rank re-scanned parquet and
+    // re-derived norms beside a second per-arm checkpoint.
+    val corp = matStream(corpus.select(col(idCol), col(vecCol))
+      .withColumn("_cn", norm(col(vecCol)))
+      .withColumn("_cb", signBits(col(vecCol), dims)))
+    val qb = queries.select(col(idCol).as("q_id"),
+      signBits(col(vecCol), dims).as("_qb"))
+    val cand = hammingArm(corp, qb, idCol, candidates)
       .select(col("q_id"), col(idCol))
-    val v = corpus.select(col(idCol), col(vecCol))
-      .withColumn("_n", norm(col(vecCol)))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("_qv"))
       .withColumn("_qn", norm(col("_qv")))
     val scored = cand
-      .join(v, idCol)
+      .join(corp.select(col(idCol), col(vecCol), col("_cn")), idCol)
       .join(broadcast(q), "q_id")
       .withColumn("sim",
-        dot(col(vecCol), col("_qv")) / (col("_n") * col("_qn")))
+        dot(col(vecCol), col("_qv")) / (col("_cn") * col("_qn")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc,
       col(idCol))
     scored.withColumn("rnk", row_number().over(w))
@@ -205,13 +284,7 @@ object VectorOps {
       .withColumn("_qn", norm(col("q_vec")))
     val c = matStream(corpus.select(col(idCol), col(vecCol))
       .withColumn("_cn", norm(col(vecCol))))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col(idCol) =!= col("q_id"))
-      .withColumn("sim", dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col(idCol))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("rnk"), col(idCol), round(col("sim"), 6).as("sim"))
+    denseArm(c, q, idCol, vecCol, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: component (plane j, dim i)
@@ -1144,6 +1217,17 @@ object VectorOps {
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
+      cents: Array[Array[Float]]): DataFrame =
+    matStream(vectorIndexFrame(corpus, idCol, vecCol, cents))
+
+  /** The un-materialized [[vectorIndex]] row stream — split out so a
+    * WRITE path (`BucketedServe.writeVectorIndex` persists to parquet,
+    * its own materialization) skips the in-memory checkpoint.
+    */
+  private[graft] def vectorIndexFrame(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
       cents: Array[Array[Float]]): DataFrame = {
     val centSeq = cents.toIndexedSeq
     corpus.select(col(idCol).as("_idx_id"), col(vecCol).as("_idx_v"))
@@ -1153,7 +1237,6 @@ object VectorOps {
           .cast("int"))
       .drop("_dists")
       .withColumn("_idx_n", norm(col("_idx_v")))
-      .transform(matStream)
   }
 
   /** Similarity-search SERVE against a static [[vectorIndex]] — the

@@ -1818,6 +1818,25 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(vsVectorIndexSql)),
 
+    // the SAME vector serve through the MATERIALIZED index lifecycle:
+    // cell index written `bucketBy(_cell)` to a real path, re-read
+    // through the catalog, probed by annVsIndex — identical exact
+    // cosine ⇒ shares vsVectorIndexSql. BucketedServeSpec pins the
+    // index-side no-Exchange plan property.
+    "emb_vs_bucketed_index" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val idx = emb.filter(col("vec_id") % 7 =!= 0)
+        val cents = VectorOps.ivfCentroids(idx, "vec_id", "embedding", 8)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_cell_idx").toString
+        graft.operators.serve.BucketedServe.annVsBucketedIndex(
+          emb.filter(col("vec_id") % 7 === 0), idx,
+          "vec_id", "embedding", cents, 0.4, nProbe = 8,
+          tableName = "graft_vs_cell_idx", path = tmp)
+      },
+      Some(vsVectorIndexSql)),
+
     // Haitsma–Kalker audio sub-fingerprint stream — content-space
     // audio dedup over the decoded-sample stub (md5-token-hash
     // samples stand in for PCM; a deployment swaps a real decoder
@@ -2241,6 +2260,25 @@ object LlmPack extends QueryPack {
           #  .queries(lambda: mod("doc_id", 101) == 0)
           #  .prefix(80).k(5))
           #""".stripMargin('#'), s, dir),
+      Some(bm25ServeSql)),
+
+    // the SAME serve through the MATERIALIZED index lifecycle: posting
+    // table written `bucketBy(tok)` to a real path, re-read through the
+    // catalog, probed — the 100 TB "index is an artifact, probes
+    // co-locate" story executed end to end, not prose. Identical exact
+    // fixed-point Okapi ⇒ shares bm25ServeSql. BucketedServeSpec pins
+    // the plan half (zero index-side Exchange under a shuffled join).
+    "text_bm25_serve_bucketed" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bm25_idx").toString
+        graft.operators.serve.BucketedServe.bm25ServeBucketed(
+          docs, col("text"), col("doc_id"),
+          docs.filter(col("doc_id") % 101 === 0),
+          substring(col("text"), 1, 80), col("doc_id"), k = 5,
+          tableName = "graft_bm25_serve_idx", path = tmp)
+      },
       Some(bm25ServeSql)),
 
     // semantic (in-context) packing: pack_bins with the shard swapped
@@ -3989,11 +4027,9 @@ object LlmPack extends QueryPack {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter(col("vec_id") % 100 === 0)
-        val dense = VectorOps.bruteTopK(emb, q, "vec_id", "embedding", 10)
-          .select(col("q_id"), col("vec_id").as("id"), col("rnk"))
-        val ham = VectorOps.hammingTopK(emb, q, "vec_id", "embedding", 10)
-          .select(col("q_id"), col("vec_id").as("id"), col("rnk"))
-        graft.operators.vector.Fusion.rrfFuse(Seq(dense, ham), 60, 10)
+        // hybridTopK shares ONE materialized corpus across both arms
+        // (r13 ran matStream once per arm — 2.1× at sf0.1)
+        VectorOps.hybridTopK(emb, q, "vec_id", "embedding", 10, 60)
       },
       Some(rrfFuseSql)),
 

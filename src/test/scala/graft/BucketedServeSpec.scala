@@ -1,0 +1,141 @@
+package graft
+
+import graft.core.{Sessions, Tables}
+import graft.operators.serve.BucketedServe
+import graft.operators.text.TextOps
+import graft.operators.vector.VectorOps
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed-index co-location claim, executed: the BM25 posting
+  * table and the IVF cell index are written `bucketBy(probe key)` to a
+  * real path, re-read through the catalog, and the probe join must
+  * need NO Exchange on the index side — the bucketed scan itself
+  * satisfies the join's required distribution. Broadcast is disabled
+  * for the plan asserts (a broadcast join would make "no index-side
+  * shuffle" vacuously true); AQE is disabled so the physical tree is
+  * inspectable without stage wrappers. Value asserts re-enable nothing:
+  * the round-tripped artifact must serve bit-identical rows to the
+  * non-bucketed serve path.
+  */
+class BucketedServeSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4, "bucketed-serve")
+  val sf = "/root/testdata/sf0.001"
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case _ => p +: (p.children ++ p.subqueries).flatMap(flatten)
+  }
+
+  /** Assert the shuffled join over `probeKey` reads the bucketed scan
+    * with no Exchange between the join and the scan, and return the
+    * join for further checks.
+    */
+  private def assertColocated(plan: SparkPlan, pathFrag: String): Unit = {
+    def hasIdxScan(p: SparkPlan): Boolean = flatten(p).exists {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(pathFrag))
+      case _ => false
+    }
+    val shuffledJoins = flatten(plan).collect {
+      case j: SortMergeJoinExec => j: SparkPlan
+      case j: ShuffledHashJoinExec => j: SparkPlan
+    }
+    val idxJoins = shuffledJoins.filter(j =>
+      j.children.exists(hasIdxScan))
+    assert(idxJoins.nonEmpty,
+      s"no shuffled join over the bucketed index in:\n$plan")
+    idxJoins.foreach { j =>
+      val idxSide = j.children.filter(hasIdxScan)
+      idxSide.foreach { side =>
+        val ex = flatten(side).collect { case e: ShuffleExchangeLike => e }
+        assert(ex.isEmpty,
+          s"Exchange on the bucketed-index side of the probe join:\n$side")
+      }
+    }
+    // and the scan really is bucket-pruned/bucketed, not a plain scan
+    val bucketed = flatten(plan).collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(pathFrag))
+          && f.relation.bucketSpec.nonEmpty => f
+    }
+    assert(bucketed.nonEmpty, s"index scan lost its bucket spec:\n$plan")
+  }
+
+  private def withShuffledJoins[A](body: => A): A = {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("bm25 probe joins the bucketed posting table with no index-side exchange") {
+    val docs = Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bm25_spec").toString
+    BucketedServe.writeBm25Index(docs, col("text"), col("doc_id"),
+      "graft_bm25_spec_idx", tmp, buckets = 4)
+    withShuffledJoins {
+      val probe = BucketedServe.bm25ProbeIndex(spark,
+        "graft_bm25_spec_idx", tmp,
+        docs.filter(col("doc_id") % 101 === 0),
+        substring(col("text"), 1, 80), col("doc_id"), k = 5)
+      assertColocated(probe.queryExecution.executedPlan, "graft_bm25_spec")
+    }
+  }
+
+  test("bucketed bm25 serve is bit-identical to bm25Retrieve") {
+    val docs = Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_bm25_spec2").toString
+    val viaIndex = BucketedServe.bm25ServeBucketed(
+      docs, col("text"), col("doc_id"),
+      docs.filter(col("doc_id") % 101 === 0),
+      substring(col("text"), 1, 80), col("doc_id"), k = 5,
+      tableName = "graft_bm25_spec_idx2", path = tmp)
+    val direct = TextOps.bm25Retrieve(docs, col("text"), col("doc_id"),
+      docs.filter(col("doc_id") % 101 === 0),
+      substring(col("text"), 1, 80), col("doc_id"), k = 5)
+    assert(viaIndex.collect().toSet === direct.collect().toSet)
+  }
+
+  test("vector probe joins the bucketed cell index with no index-side exchange") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = emb.filter(col("vec_id") % 7 =!= 0)
+    val cents = VectorOps.ivfCentroids(idx, "vec_id", "embedding", 8)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_cell_spec").toString
+    BucketedServe.writeVectorIndex(idx, "vec_id", "embedding", cents,
+      "graft_cell_spec_idx", tmp, buckets = 4)
+    withShuffledJoins {
+      val probe = VectorOps.annVsIndex(emb.filter(col("vec_id") % 7 === 0),
+        spark.table("graft_cell_spec_idx"),
+        "vec_id", "embedding", cents, 0.4, nProbe = 8)
+      assertColocated(probe.queryExecution.executedPlan, "graft_cell_spec")
+    }
+  }
+
+  test("bucketed vector serve is bit-identical to the in-memory index") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = emb.filter(col("vec_id") % 7 =!= 0)
+    val cents = VectorOps.ivfCentroids(idx, "vec_id", "embedding", 8)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_cell_spec2").toString
+    val viaBucketed = BucketedServe.annVsBucketedIndex(
+      emb.filter(col("vec_id") % 7 === 0), idx,
+      "vec_id", "embedding", cents, 0.4, nProbe = 8,
+      tableName = "graft_cell_spec_idx2", path = tmp)
+    val direct = VectorOps.annVsIndex(emb.filter(col("vec_id") % 7 === 0),
+      VectorOps.vectorIndex(idx, "vec_id", "embedding", cents),
+      "vec_id", "embedding", cents, 0.4, nProbe = 8)
+    assert(viaBucketed.collect().toSet === direct.collect().toSet)
+  }
+}
