@@ -55,10 +55,24 @@ object Bench {
     "text_kl_drift", "emb_outliers", "text_chat_render",
     "text_nb_classify", "emb_pca_project", "text_winnow",
     "text_span_corrupt", "dedup_edit_pairs",
-    "text_hll_distinct", "text_span_trim", "dedup_corpus_jaccard",
-    "text_quantile_sketch", "graph_triangles", "text_pmi",
-    "emb_rrf_fuse", "text_wordpiece_encode", "dedup_survivors",
-    "text_robust_z", "dedup_containment")
+    "dedup_corpus_jaccard",
+    "graph_triangles", "text_pmi",
+    "emb_rrf_fuse", "dedup_survivors",
+    "text_robust_z", "dedup_containment",
+    // the serve/index family (judge r13 item 7 rotation): the
+    // materialized-artifact paths and the round-14 operators
+    "graph_coreness", "text_bm25_serve", "text_ppl_kn", "text_ppl_kn3",
+    "text_bm25_serve_bucketed", "emb_vs_bucketed_index",
+    "dedup_simhash64_auto")
+
+  /** Warm-up soft cap: the warm-up pass is COST-GATED like the timed
+    * passes (it stops launching queries past this elapsed point) so a
+    * growing suite can never starve pass 1 — warm-up reached 23% of
+    * the budget by round 13 and grows with every added query; 25% is
+    * the ceiling (cold pass-1 numbers beat a watchdog kill, BENCH_r11).
+    */
+  private[graft] def warmupSoftCap(budgetSec: Double): Double =
+    budgetSec * 0.25
 
   def main(args: Array[String]): Unit = {
     val startNanos = System.nanoTime()
@@ -170,10 +184,11 @@ object Bench {
     }
 
     // warm-up (session/JIT) — not recorded, but seeds the snapshot so even a
-    // watchdog fire mid-warm-up reports something. Soft-capped at 40% of the
-    // budget: if warm-up alone runs long (BENCH_r11's fate), pass 1 must
-    // still own the majority of the window — cold numbers beat no numbers.
-    val warm = pass("warm-up", softCap = budgetSec * 0.40)
+    // watchdog fire mid-warm-up reports something. Cost-gated at
+    // warmupSoftCap (25% of budget, BenchSpec-pinned): if warm-up alone
+    // runs long (BENCH_r11's fate), pass 1 must still own the majority
+    // of the window — cold numbers beat no numbers.
+    val warm = pass("warm-up", softCap = warmupSoftCap(budgetSec))
     snapshot.set(queries.map { case (n, _) => n -> warm(n) })
 
     // timed passes, per-query minimum: driver-window contention has

@@ -3247,19 +3247,30 @@ object Planner {
     // bigram-LM perplexity scoring (graft extension, the
     // TextOps.withPerplexity door): per-doc n_bigrams / nll / ppl —
     // the CCNet-style quality-gate fact; filter with |where() downstream
-    "perplexity" -> bt(Set("text_field", "id_field", "smoothing")) {
-      (ctx, n, env) =>
+    "perplexity" -> bt(Set("text_field", "id_field", "smoothing",
+      "order")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("perplexity: .id_field"))
       // .smoothing('kn'): interpolated Kneser-Ney (the KenLM/CCNet
-      // smoothing); default stays the add-one stand-in
-      optStr(n, "smoothing", env).getOrElse("add1") match {
-        case "kn" => graft.operators.text.TextOps.withKnPerplexity(
+      // smoothing); default stays the add-one stand-in.
+      // .order(3): trigram KN — only the KN form has a trigram model
+      // (add-one has no continuation structure to back off through),
+      // so .order(3) without .smoothing('kn') rejects loudly.
+      val smoothing = optStr(n, "smoothing", env).getOrElse("add1")
+      val order = optNum(n, "order", env).map(_.toInt).getOrElse(2)
+      if (order != 2 && order != 3)
+        throw DfsError(s"perplexity: .order must be 2 or 3, got $order")
+      (smoothing, order) match {
+        case ("kn", 3) => graft.operators.text.TextOps
+          .withKnTrigramPerplexity(ctx.df, Paths.ref(text), Paths.ref(id))
+        case ("kn", 2) => graft.operators.text.TextOps.withKnPerplexity(
           ctx.df, Paths.ref(text), Paths.ref(id))
-        case "add1" => graft.operators.text.TextOps.withPerplexity(
+        case ("add1", 3) => throw DfsError(
+          "perplexity: .order(3) needs .smoothing('kn')")
+        case ("add1", 2) => graft.operators.text.TextOps.withPerplexity(
           ctx.df, Paths.ref(text), Paths.ref(id))
-        case o => throw DfsError(
+        case (o, _) => throw DfsError(
           s"perplexity: .smoothing must be 'add1' or 'kn', got '$o'")
       }
     },
@@ -3384,16 +3395,28 @@ object Planner {
     // Dedup.simhashDupPairs door): exact-recall candidates via the
     // 4-block pigeonhole, popcount verify
     "simhash_pairs" -> bt(Set("text_field", "id_field",
-      "max_hamming", "bits")) { (ctx, n, env) =>
+      "max_hamming", "bits", "auto", "target_bucket")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("simhash_pairs: .id_field"))
       val maxH = optNum(n, "max_hamming", env).map(_.toInt).getOrElse(3)
-      // .bits(64): the wide-key deploy form (4×16-bit bands); 32 is
+      val auto = optFlag(n, "auto", env)
+      val target = optNum(n, "target_bucket", env).map(_.toInt)
+      if (!auto && target.nonEmpty)
+        throw DfsError("simhash_pairs: .target_bucket is the .auto() " +
+          "occupancy knob and has no effect without .auto()")
+      // .bits(64): the wide-key deploy form (16-bit bands, or .auto()
+      // band width from the BENCH_NOTES_r19 §2 key-space law); 32 is
       // the fixture-pinned original (4×8-bit byte blocks)
       optNum(n, "bits", env).map(_.toInt).getOrElse(32) match {
+        case 64 if auto =>
+          graft.operators.text.Dedup.simhash64DupPairsAuto(ctx.df,
+            Paths.ref(text), Paths.ref(id), maxH,
+            target.getOrElse(128))
         case 64 => graft.operators.text.Dedup.simhash64DupPairs(ctx.df,
           Paths.ref(text), Paths.ref(id), maxH)
+        case 32 if auto => throw DfsError("simhash_pairs: .auto() needs " +
+          ".bits(64) — the 32-bit fixture form has fixed byte blocks")
         case 32 => graft.operators.text.Dedup.simhashDupPairs(ctx.df,
           Paths.ref(text), Paths.ref(id), maxH)
         case o => throw DfsError(s"simhash_pairs: .bits must be 32 or 64, got $o")

@@ -603,18 +603,24 @@ object Dedup {
     * Emits `(a, b, hamming)`.
     */
   def simhash64DupPairs(df: DataFrame, text: Column, id: Column,
-      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize)
-      : DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"simhash64DupPairs: maxHamming in [0, 3] (the 4-band pigeonhole " +
-        s"recall guarantee), got $maxHamming")
+      maxHamming: Int = 3, maxBucketSize: Int = DefaultMaxBucketSize,
+      bandBits: Int = 16): DataFrame = {
+    require(bandBits == 8 || bandBits == 16 || bandBits == 32,
+      s"simhash64DupPairs: bandBits must be 8, 16 or 32, got $bandBits")
+    val nBands = 64 / bandBits
+    require(maxHamming >= 0 && maxHamming <= nBands - 1,
+      s"simhash64DupPairs: maxHamming in [0, ${nBands - 1}] (the " +
+        s"$nBands-band pigeonhole recall guarantee at $bandBits-bit " +
+        s"keys), got $maxHamming")
+    val mask = (1L << bandBits) - 1L
     val base = df.select(id.as("doc_id"),
       graft.functions.TextExpressions.simHash64(text).as("fp"))
     graft.core.CacheScope.withPersisted(base) { b =>
       val bands = b.select(col("doc_id"), col("fp"),
-          explode(array((0 until 4).map(i =>
+          explode(array((0 until nBands).map(i =>
             struct(lit(i).as("band"),
-              expr(s"shiftright(fp, ${16 * i}) & 65535").as("key"))): _*))
+              expr(s"shiftright(fp, ${bandBits * i}) & $mask")
+                .as("key"))): _*))
             .as("_e"))
         .select(col("doc_id"), col("fp"),
           col("_e.band").as("band"), col("_e.key").as("key"))
@@ -633,6 +639,122 @@ object Dedup {
             .cast("int").as("hamming"))
         .distinct() // a close pair shares SEVERAL bands — one row
         .filter(col("hamming") <= maxHamming)
+    }
+  }
+
+  /** [[simhash64DupPairs]] with the band KEY WIDTH sized from the
+    * corpus — the measured key-space law (BENCH_NOTES_r19 §2: same
+    * algorithm, same pigeonhole, only the key width differed — 16-bit
+    * vs 8-bit keys was 3.4× wall-clock at 50 k docs and a different
+    * scaling exponent, because candidates per band grow ~n²/2^w)
+    * applied through the same occupancy rule as
+    * [[graft.operators.vector.VectorOps.autoBits]]: the smallest
+    * width w ∈ {8, 16, 32} with 2^w ≥ n / targetBucketRows, subject
+    * to the pigeonhole floor (64/w bands must exceed `maxHamming`).
+    * A corpus too large for the widest admissible key rejects LOUDLY
+    * — past that point the guarantee-preserving fix is sharding, not
+    * a silently saturated bucket space. ONE count job, the
+    * [[nearDupPairsAuto]] sanction.
+    */
+  def simhash64DupPairsAuto(df: DataFrame, text: Column, id: Column,
+      maxHamming: Int = 3, targetBucketRows: Int = 128,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val n = math.max(df.count(), 1L)
+    val w = simhash64AutoBandBits(n, maxHamming, targetBucketRows)
+    simhash64DupPairs(df, text, id, maxHamming, maxBucketSize, w)
+  }
+
+  /** The sizing rule, exposed for the spec's pins: smallest
+    * w ∈ {8, 16, 32} with 2^w ≥ n/target and 64/w − 1 ≥ maxHamming.
+    */
+  def simhash64AutoBandBits(n: Long, maxHamming: Int,
+      targetBucketRows: Int): Int = {
+    val widths = Seq(8, 16, 32).filter(w => 64 / w - 1 >= maxHamming)
+    require(widths.nonEmpty,
+      s"simhash64AutoBandBits: no 64-bit band geometry guarantees " +
+        s"hamming <= $maxHamming (needs ${maxHamming + 1} bands)")
+    val buckets = math.max(1.0,
+      n.toDouble / math.max(targetBucketRows, 1))
+    val needed = math.ceil(math.log(buckets) / math.log(2)).toInt
+    widths.find(_ >= needed).getOrElse(throw new IllegalArgumentException(
+      s"simhash64AutoBandBits: corpus n=$n wants $needed-bit band keys " +
+        s"for bounded occupancy, but the hamming<=$maxHamming pigeonhole " +
+        s"caps keys at ${widths.max} bits - lower maxHamming, raise " +
+        "targetBucketRows, or shard the corpus"))
+  }
+
+  /** Hamming-space band-lookup RECALL report — the measurement behind
+    * every pigeonhole sentence in the binary-fingerprint family
+    * ([[simhash64DupPairs]], `Multimodal.pHashPairs`, the
+    * Haitsma–Kalker sub-fingerprint lookup): per Hamming distance h
+    * (≤ `hCap`), how many of the EXACT all-pairs at distance h the
+    * banded candidate join actually surfaces. The ≤(bands−1)-bit rows
+    * must read 1000 (the pigeonhole proof, now measured); beyond the
+    * guarantee the table shows the decay the recall knob trades
+    * against. Embedding-space twin:
+    * [[graft.operators.vector.VectorOps.annRecallReport]].
+    *
+    * Exact integer end-to-end: membership counts and
+    * `recall_milli = hits·1000 div n_exact` — no floats, bit-exact
+    * replay in any engine. The exact side is the guarded quadratic
+    * yardstick (≤ `maxRows` fingerprints, 8 bytes/row under the
+    * broadcast loop, stream side spread via matStream); at corpus
+    * scale run it over a sampled fingerprint set — the ANN-recall
+    * sampling sanction. Emits `(hamming, n_exact, hits,
+    * recall_milli)`, one row per occurring distance ≤ `hCap`.
+    */
+  def hammingRecallReport(fps: DataFrame, idCol: String, fpCol: String,
+      fpBits: Int, bandBits: Int, hCap: Int,
+      maxRows: Long = 20000L): DataFrame = {
+    require(fpBits == 16 || fpBits == 32 || fpBits == 64,
+      s"hammingRecallReport: fpBits must be 16, 32 or 64, got $fpBits")
+    require((bandBits == 8 || bandBits == 16 || bandBits == 32) &&
+      fpBits % bandBits == 0 && fpBits / bandBits >= 2,
+      s"hammingRecallReport: bandBits must divide fpBits into >= 2 " +
+        s"bands, got $bandBits over $fpBits")
+    require(hCap >= 0 && hCap <= fpBits,
+      s"hammingRecallReport: hCap in [0, $fpBits], got $hCap")
+    val nBands = fpBits / bandBits
+    val mask = (1L << bandBits) - 1L
+    val base = fps.select(col(idCol).as("_id"),
+      col(fpCol).cast("long").as("_fp"))
+    graft.core.CacheScope.withPersisted(base) { b =>
+      val n = b.count()
+      require(n <= maxRows,
+        s"hammingRecallReport has $n fingerprints (max $maxRows): the " +
+          "exact yardstick is quadratic by spec — sample the set first")
+      // exact side: all-pairs popcount, 8 bytes/row, spread stream
+      val l = graft.operators.vector.VectorOps.matStream(b)
+      val r = b.select(col("_id").as("_id2"), col("_fp").as("_fp2"))
+      val ex = l.crossJoin(broadcast(r))
+        .filter(col("_id") < col("_id2"))
+        .withColumn("hamming",
+          bit_count(col("_fp").bitwiseXOR(col("_fp2"))).cast("int"))
+        .filter(col("hamming") <= hCap)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_exact"))
+      // banded side: the lookup path under measurement (positional
+      // explode — the band INDEX is part of the key)
+      val keyed = b.select(col("_id"), col("_fp"),
+          posexplode(array((0 until nBands).map(i =>
+            expr(s"shiftright(_fp, ${bandBits * i}) & $mask")
+              .cast("long")): _*)).as(Seq("_band", "_key")))
+      val kl = keyed.select(col("_band"), col("_key"),
+        col("_id").as("a"), col("_fp").as("fa"))
+      val kr = keyed.select(col("_band").as("_band_r"),
+        col("_key").as("_key_r"), col("_id").as("b2"),
+        col("_fp").as("fb"))
+      val ht = kl.join(kr, col("_band") === col("_band_r") &&
+          col("_key") === col("_key_r") && col("a") < col("b2"))
+        .select(col("a"), col("b2"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).cast("int")
+            .as("hamming"))
+        .distinct() // a close pair shares SEVERAL bands — one row
+        .filter(col("hamming") <= hCap)
+        .groupBy(col("hamming")).agg(count(lit(1)).as("hits"))
+      ex.join(ht, Seq("hamming"), "left")
+        .select(col("hamming"), col("n_exact"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .withColumn("recall_milli", expr("(hits * 1000) div n_exact"))
     }
   }
 

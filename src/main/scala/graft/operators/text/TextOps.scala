@@ -1608,6 +1608,160 @@ object TextOps {
       pairs => knPerplexityFromPairs(pairs, pairs)
     }
 
+  /** One row per in-doc trigram — [[bigramPairs]] one order up; docs
+    * under 3 tokens contribute nothing (they have no trigram).
+    */
+  def trigramTuples(docs: DataFrame, text: Column, id: Column): DataFrame = {
+    val toked = docs.select(id.as("doc_id"), tokens(text).as("_t"))
+      .filter(size(col("_t")) >= 3)
+    toked
+      .select(col("doc_id"), col("_t"),
+        explode(sequence(lit(1), size(col("_t")) - 2)).as("_i"))
+      .select(col("doc_id"),
+        element_at(col("_t"), col("_i")).as("w1"),
+        element_at(col("_t"), col("_i") + 1).as("w2"),
+        element_at(col("_t"), col("_i") + 2).as("w3"))
+  }
+
+  /** Interpolated Kneser–Ney TRIGRAM perplexity — [[knPerplexityFromPairs]]
+    * one order up, the order the KenLM/CCNet reference models actually
+    * ship (they are 5-gram; trigram is the first order where the KN
+    * continuation-count structure — lower orders counting CONTEXTS,
+    * not occurrences — differs from the bigram form):
+    *
+    * `p(w3|w1w2) = max(c123−d,0)/c12 + d·N1+(w1w2·)/c12 · p(w3|w2)`
+    * `p(w3|w2)  = max(N1+(·w2w3)−d,0)/N1+(·w2·)
+    *              + d·N1+(w2·)/N1+(·w2·) · pcont(w3)`
+    * `pcont(w3) = (N1+(·w3)+1)/(B+V)` — add-one-closed over the B
+    * distinct continuation bigrams + V token types, so held-out text
+    * always scores through the same fallback ladder as the bigram
+    * form (unseen trigram → backoff mass × p(w3|w2); unseen trigram
+    * history → p(w3|w2) alone; w2 never a trigram middle → pcont).
+    *
+    * d = 3/4 at BOTH orders keeps every probability an EXACT
+    * RATIONAL: with n12' = N1+(·w2·), A2 = (B+V)·max(4·N1+(·w2w3)−3,0)
+    * + 3·N1+(w2·)·(N1+(·w3)+1) the trigram probability is
+    *
+    * `p = [4·n12'·(B+V)·max(4·c123−3,0) + 3·N1+(w1w2·)·A2]
+    *      / (16·c12·n12'·(B+V))`
+    *
+    * — two lnNano integer logs per scored trigram, order-free nano
+    * sums, bit-exact on any engine. The FULL numerator AND the
+    * denominator are guarded loudly via BigInt maxima (the
+    * knPerplexity discipline): past the bound, shard the LM first.
+    *
+    * 100 TB shape: one pass over the train tuple stream builds the
+    * persisted distinct-trigram table; every model table (histories,
+    * continuations, middles, finals) is a vocabulary-sided aggregate
+    * OF that table; seen-path lnNanos are precomputed model-side so
+    * the corpus-volume scoring stream only joins longs. Emits
+    * `(doc_id, n_trigrams, nll, ppl)`.
+    */
+  def knTrigramPerplexityFromTuples(tuples: DataFrame, lmTuples: DataFrame)
+      : DataFrame = {
+    val F = graft.functions.FixedLog
+    graft.core.CacheScope.withPersisted(
+      lmTuples.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c123"))) { tri =>
+    // model tables — all vocabulary-sided aggregates of the persisted
+    // distinct-trigram table (tri is distinct by construction, so
+    // count(*) grouped by (w2,w3) IS the distinct-w1 context count)
+    val hist = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n12r"))
+    val cont = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ncont"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("ncont")).as("n12p"), count(lit(1)).as("nc"))
+    val n1l = cont.groupBy(col("w3")).agg(count(lit(1)).as("n1l"))
+    // 1-row scalar collects (the bm25Stats sanction) + loud guards.
+    // B counts distinct CONTINUATION bigrams (w2, w3) — the closure
+    // universe of pcont — not distinct trigrams.
+    val maxC123: Long = tri
+      .agg(coalesce(max(col("c123")), lit(0L))).head().getLong(0)
+    val vCount: Long = tri
+      .select(explode(array(col("w1"), col("w2"), col("w3"))).as("_tok"))
+      .agg(count_distinct(col("_tok"))).head().getLong(0)
+    val Row(maxC12: Long, maxN12r: Long) = hist
+      .agg(coalesce(max(col("c12")), lit(0L)),
+        coalesce(max(col("n12r")), lit(0L))).head()
+    val Row(maxN12p: Long, maxNc: Long) = mid
+      .agg(coalesce(max(col("n12p")), lit(0L)),
+        coalesce(max(col("nc")), lit(0L))).head()
+    val Row(bCount: Long, maxNcont: Long) = cont
+      .agg(count(lit(1)),
+        coalesce(max(col("ncont")), lit(0L))).head()
+    val maxN1l: Long = n1l
+      .agg(coalesce(max(col("n1l")), lit(0L))).head().getLong(0)
+    val bv = math.max(bCount + vCount, 1L)
+    val a2Max = BigInt(bv) * 4 * BigInt(maxNcont) +
+      3 * BigInt(maxNc) * (BigInt(maxN1l) + 1)
+    val nuMax = 4 * BigInt(maxN12p) * BigInt(bv) * 4 * BigInt(maxC123) +
+      3 * BigInt(maxN12r) * a2Max
+    val deMax = 16 * BigInt(maxC12) * BigInt(maxN12p) * BigInt(bv)
+    require(nuMax.max(deMax) <= BigInt(Long.MaxValue),
+      s"knTrigramPerplexity: numerator/denominator bound " +
+        s"${nuMax.max(deMax)} overflows a long at (B+V)=$bv, " +
+        s"max(c123)=$maxC123, max(c12)=$maxC12, max(n12p)=$maxN12p - " +
+        "shard the LM before scoring at this scale")
+    // A2 as a column over a (w2, w3)-sided join frame
+    def a2(ncontC: Column, ncC: Column, n1lC: Column): Column =
+      lit(bv) * greatest(lit(4L) * ncontC - 3L, lit(0L)) +
+        lit(3L) * ncC * (n1lC + 1L)
+    // seen-path lnNanos on the VOCABULARY-SIDED tables
+    val triLn = F.withLnNano(
+      tri.join(hist, Seq("w1", "w2")).join(cont, Seq("w2", "w3"))
+        .join(mid, Seq("w2")).join(n1l, Seq("w3")),
+      lit(4L) * col("n12p") * lit(bv) *
+        greatest(lit(4L) * col("c123") - 3L, lit(0L)) +
+        lit(3L) * col("n12r") *
+        a2(col("ncont"), col("nc"), col("n1l")), "_ln_num")
+      .select(col("w1"), col("w2"), col("w3"), col("_ln_num"))
+    val histLn = F.withLnNano(hist.join(mid, Seq("w2")),
+      lit(16L) * col("c12") * col("n12p") * lit(bv), "_ln_den")
+      .select(col("w1"), col("w2"), col("_ln_den"), col("n12r").as("_n12r"))
+    val midLn = F.withLnNano(mid,
+      lit(4L) * col("n12p") * lit(bv), "_ln_den2")
+      .select(col("w2"), col("_ln_den2"), col("nc").as("_nc"))
+    val lnBv = F.lnNanoRef(bv)
+    // held-out fallbacks (never hit on self-scored corpora): per-row
+    // lnNano only on the rare unseen rows — CASE branches are lazy
+    val llFix = tuples
+      .join(histLn, Seq("w1", "w2"), "left")
+      .join(triLn, Seq("w1", "w2", "w3"), "left")
+      .join(cont.withColumnRenamed("ncont", "_ncont"),
+        Seq("w2", "w3"), "left")
+      .join(midLn, Seq("w2"), "left")
+      .join(n1l.withColumnRenamed("n1l", "_n1l"), Seq("w3"), "left")
+      .withColumn("_ll",
+        when(col("_ln_num").isNotNull,
+          col("_ln_num") - col("_ln_den"))
+        .when(col("_ln_den").isNotNull, // seen history, unseen trigram
+          F.lnNano(lit(3L) * col("_n12r") *
+            a2(coalesce(col("_ncont"), lit(0L)), col("_nc"),
+              coalesce(col("_n1l"), lit(0L)))) - col("_ln_den"))
+        .when(col("_ln_den2").isNotNull, // unseen history, seen middle
+          F.lnNano(a2(coalesce(col("_ncont"), lit(0L)), col("_nc"),
+            coalesce(col("_n1l"), lit(0L)))) - col("_ln_den2"))
+        .otherwise( // w2 never a trigram middle: pcont alone
+          F.lnNano(coalesce(col("_n1l"), lit(0L)) + 1L) - lit(lnBv)))
+    llFix.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_trigrams"),
+        sum(col("_ll")).as("_s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(-col("_s") / 1e9 / col("n_trigrams"), 6).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 6))
+    }
+  }
+
+  /** Self-scored Kneser–Ney TRIGRAM corpus perplexity —
+    * [[withKnPerplexity]] one order up.
+    */
+  def withKnTrigramPerplexity(docs: DataFrame, text: Column, id: Column)
+      : DataFrame =
+    graft.core.CacheScope.withPersisted(trigramTuples(docs, text, id)) {
+      t => knTrigramPerplexityFromTuples(t, t)
+    }
+
   // ---- DSIR importance resampling (hashed n-gram importance weights) ----
 
   /** Hashed-feature bucket of one token — md5-derived, non-negative

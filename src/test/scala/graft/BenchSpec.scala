@@ -47,5 +47,23 @@ class BenchSpec extends AnyFunSuite {
     assert(line.length < 2048,
       s"headline line is ${line.length} chars - the driver's tail capture" +
         " truncates past ~2 KB (BENCH_r02)")
+    // the serve/index family is headline-visible (judge r13 item 7)
+    for (q <- Seq("graph_coreness", "text_bm25_serve", "text_ppl_kn",
+        "text_bm25_serve_bucketed"))
+      assert(Bench.Headline.contains(q), s"headline lost $q")
+    // every headline name is a registered query — a typo here silently
+    // drops the row from the driver's printed line
+    val known = SparkEntry.queries.keySet
+    val ghosts = Bench.Headline.filterNot(known.contains)
+    assert(ghosts.isEmpty, s"headline names not in queries: $ghosts")
+  }
+
+  test("warm-up is cost-gated at 25% of the budget so a growing suite " +
+      "cannot starve the timed passes") {
+    assert(Bench.warmupSoftCap(2100.0) == 525.0)
+    // the gate scales with the budget and always leaves pass 1 the
+    // strict majority of the window
+    for (b <- Seq(600.0, 2100.0, 3600.0))
+      assert(Bench.warmupSoftCap(b) < b / 2)
   }
 }

@@ -314,6 +314,43 @@ class DfsSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("invalid option combinations reject loudly: near_dedup " +
+      ".auto()+geometry / orphan .k, simhash_pairs .auto() at 32 bits / " +
+      "orphan .target_bucket, perplexity .order(3) without kn") {
+    def planErr(script: String): String =
+      intercept[Ir.DfsError] {
+        DfsEngine.runSingle(script, spark, sf)
+      }.msg
+    assert(planErr(
+      """||parquet_read(.table('documents'))
+         ||near_dedup(.id_field('doc_id').auto().bands(4))
+         |""".stripMargin).contains("drop the explicit geometry"))
+    assert(planErr(
+      """||parquet_read(.table('documents'))
+         ||near_dedup(.id_field('doc_id').k(8))
+         |""".stripMargin).contains("no effect without .auto()"))
+    assert(planErr(
+      """||parquet_read(.table('documents'))
+         ||near_dedup(.id_field('doc_id').auto().threshold(1.5))
+         |""".stripMargin).contains("inside (0, 1)"))
+    assert(planErr(
+      """||parquet_read(.table('documents'))
+         ||simhash_pairs(.id_field('doc_id').auto())
+         |""".stripMargin).contains(".auto() needs .bits(64)"))
+    assert(planErr(
+      """||parquet_read(.table('documents'))
+         ||simhash_pairs(.id_field('doc_id').bits(64).target_bucket(64))
+         |""".stripMargin).contains("no effect without .auto()"))
+    assert(planErr(
+      """||parquet_read(.table('documents'))
+         ||perplexity(.id_field('doc_id').order(3))
+         |""".stripMargin).contains(".order(3) needs .smoothing('kn')"))
+    assert(planErr(
+      """||parquet_read(.table('documents'))
+         ||perplexity(.id_field('doc_id').order(5).smoothing('kn'))
+         |""".stripMargin).contains(".order must be 2 or 3"))
+  }
+
   test("custom node registration (the @python extension analog)") {
     import graft.dfs.Planner
     Planner.registerNode("double_value", Planner.NodeDef(

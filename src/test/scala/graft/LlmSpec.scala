@@ -884,6 +884,28 @@ class LlmSpec extends AnyFunSuite {
       Dedup.simhash64DupPairs(df, col("text"), col("doc_id"), 4))
   }
 
+  test("simhash64AutoBandBits: the occupancy law picks 8/16 bits by " +
+      "corpus size, respects the pigeonhole floor, rejects loudly past " +
+      "the widest admissible key") {
+    import graft.operators.text.Dedup
+    // BENCH_NOTES_r19 §2 anchors: 500 docs → 8-bit; 50 k docs → 16-bit
+    assert(Dedup.simhash64AutoBandBits(500L, 3, 128) == 8)
+    assert(Dedup.simhash64AutoBandBits(50000L, 3, 128) == 16)
+    // pigeonhole floor: hamming<=1 admits 32-bit keys, hamming<=3 not
+    assert(Dedup.simhash64AutoBandBits(100000000L, 1, 128) == 32)
+    intercept[IllegalArgumentException](
+      Dedup.simhash64AutoBandBits(100000000L, 3, 128))
+    // auto result equals the explicitly-widthed call
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(400)
+    def toSet(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(toSet(Dedup.simhash64DupPairsAuto(docs, col("text"),
+        col("doc_id"), 3)) ==
+      toSet(Dedup.simhash64DupPairs(docs, col("text"), col("doc_id"), 3,
+        bandBits = 8)))
+  }
+
   test("KN perplexity: the interpolated-KN distribution NORMALIZES — " +
       "for every seen history the exact-rational numerators sum to " +
       "exactly the denominator over the vocabulary") {
@@ -932,6 +954,74 @@ class LlmSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
           r.getDouble(3))).toSet
     assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
+  }
+
+  test("KN trigram perplexity: the interpolated distribution NORMALIZES " +
+      "per seen history — the full-ladder numerators over the " +
+      "vocabulary sum to exactly the denominator") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c a"), (2L, "b c a a b c"),
+      (3L, "c c a b a b")).toDF("doc_id", "text")
+    val ts = TextOps.trigramTuples(docs, col("text"), col("doc_id"))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    val tri = ts.groupBy(identity).view.mapValues(_.size).toMap
+    val hist = ts.groupBy(t => (t._1, t._2)).view.mapValues(_.size).toMap
+    val n12r = tri.keys.toSeq.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.size).toMap
+    val cont = tri.keys.toSeq.map(t => (t._2, t._3)).distinct
+    val ncont = tri.keys.toSeq.groupBy(t => (t._2, t._3)).view
+      .mapValues(_.size).toMap
+    val n12p = cont.groupBy(_._1).view
+      .mapValues(ks => ks.map(k => ncont(k)).sum).toMap
+    val nc = cont.groupBy(_._1).view.mapValues(_.size).toMap
+    val n1l = cont.groupBy(_._2).view.mapValues(_.size).toMap
+    val vocab = ts.flatMap(t => Seq(t._1, t._2, t._3)).distinct
+    val bv = cont.size.toLong + vocab.size
+    // nu = 4·n12p·bv·max(4c123−3,0) + 3·n12r·A2 with
+    // A2 = bv·max(4·ncont−3,0) + 3·nc·(n1l+1); summed over w3 ∈ V the
+    // seen mass returns 4·n12p·bv·(4c12−3·n12r), the backoff mass
+    // returns 3·n12r·4·n12p·bv, total = 16·c12·n12p·bv = de
+    for ((w1, w2) <- hist.keys) {
+      val de = BigInt(16) * hist((w1, w2)) * n12p(w2) * bv
+      val nuSum = vocab.map { w3 =>
+        val a2 = BigInt(bv) *
+          math.max(4L * ncont.getOrElse((w2, w3), 0) - 3L, 0L) +
+          BigInt(3) * nc(w2) * (n1l.getOrElse(w3, 0) + 1)
+        BigInt(4) * n12p(w2) * bv *
+          math.max(4L * tri.getOrElse((w1, w2, w3), 0) - 3L, 0L) +
+          BigInt(3) * n12r((w1, w2)) * a2
+      }.sum
+      assert(nuSum == de, s"history '($w1, $w2)': sum $nuSum != $de")
+    }
+  }
+
+  test("KN trigram perplexity: held-out text walks the whole fallback " +
+      "ladder without error; self-scored output is partition-invariant") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b c a"), (2L, "b c a a b c"))
+      .toDF("doc_id", "text")
+    val trainT = TextOps.trigramTuples(train, col("text"), col("doc_id"))
+    // held-out ladder: seen trigram ('a b c'), unseen trigram of seen
+    // history ('a b a' vs train... pick 'b c b'), unseen history with
+    // seen middle ('c b x'), unseen middle entirely ('zz')
+    val held = Seq((9L, "a b c b zz a b")).toDF("doc_id", "text")
+    val heldT = TextOps.trigramTuples(held, col("text"), col("doc_id"))
+    val out = TextOps.knTrigramPerplexityFromTuples(heldT, trainT).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getInt(1) == 5 && r.getDouble(2) > 0.0 && r.getDouble(3) > 1.0)
+    // self-scored partition invariance
+    val docs = Tables.documents(spark, sf).limit(50)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextOps.withKnTrigramPerplexity(d, col("text"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+          r.getDouble(3))).toSet
+    assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
+    // empty model/corpus: no null-scalar crash, empty output
+    val et = TextOps.trigramTuples(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    assert(TextOps.knTrigramPerplexityFromTuples(et, et).isEmpty)
   }
 
   test("packBinsSemantic: packs within the cluster shard — hand bins, " +

@@ -1190,6 +1190,110 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == batch)
   }
 
+  test("kCore: foreachBatch snapshot over accumulated edges matches " +
+      "batch (the documented batch-only scoping)") {
+    import spark.implicits._
+    // same corpus-fixed-point scoping as coreness: the k-core depends
+    // on the WHOLE edge set (an edge arriving later can revive a
+    // previously peeled node), so the streaming form is the SCALE.md
+    // snapshot convention — per micro-batch, recompute over everything
+    // seen so far; the final snapshot must equal the one-shot batch
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (6L, 7L))
+    def core(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.graph.GraphOps.kCore(df, 2, 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = core(edges.toDF("a", "b"))
+    // both triangles survive at k=2; the pendant 7 peels away
+    assert(batch.map(_._1) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var last: Set[(Long, Long)] = Set.empty
+    val q = in.toDS().toDF("a", "b").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= mb.as[(Long, Long)].collect()
+        last = core(seen.toSeq.toDF("a", "b"))
+        ()
+      }.start()
+    in.addData(edges.take(3))
+    q.processAllAvailable()
+    // first triangle alone: only its 3 nodes in the 2-core
+    assert(last.map(_._1) == Set(1L, 2L, 3L))
+    in.addData(edges.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    assert(last == batch)
+  }
+
+  test("lpaCommunities: foreachBatch snapshot over accumulated edges " +
+      "matches batch (the documented batch-only scoping)") {
+    import spark.implicits._
+    // LPA labels are a synchronous fixed point over the whole graph —
+    // an arriving edge can flip labels arbitrarily far away, so the
+    // streaming form is the snapshot convention, not incremental state
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))
+    def lpa(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.graph.GraphOps.lpaCommunities(df, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = lpa(edges.toDF("a", "b"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var last: Set[(Long, Long)] = Set.empty
+    val q = in.toDS().toDF("a", "b").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= mb.as[(Long, Long)].collect()
+        last = lpa(seen.toSeq.toDF("a", "b"))
+        ()
+      }.start()
+    in.addData(edges.take(3))
+    q.processAllAvailable()
+    // only the first triangle exists yet
+    assert(last.map(_._1) == Set(1L, 2L, 3L))
+    in.addData(edges.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    assert(last == batch)
+  }
+
+  test("modularityReport: foreachBatch snapshot over accumulated edges " +
+      "matches batch (the documented batch-only scoping)") {
+    import spark.implicits._
+    // Q's normalization is the GLOBAL edge count m — every arriving
+    // edge re-weights every community's q_num, so the report is a
+    // whole-corpus fact recomputed per snapshot, never incremental
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L))
+    def report(df: org.apache.spark.sql.DataFrame) = {
+      val asg = graft.operators.graph.GraphOps.lpaCommunities(df, 4)
+      graft.operators.graph.GraphOps.modularityReport(df, asg)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    }
+    val batch = report(edges.toDF("a", "b"))
+    assert(batch.forall(_._5 == 7L)) // m = all 7 edges
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var last: Set[(Long, Long, Long, Long, Long, Long)] = Set.empty
+    val q = in.toDS().toDF("a", "b").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen ++= mb.as[(Long, Long)].collect()
+        last = report(seen.toSeq.toDF("a", "b"))
+        ()
+      }.start()
+    in.addData(edges.take(3))
+    q.processAllAvailable()
+    // the mid-stream snapshot normalizes by ITS OWN m (3 edges)
+    assert(last.forall(_._5 == 3L))
+    in.addData(edges.drop(3))
+    q.processAllAvailable()
+    q.stop()
+    assert(last == batch)
+  }
+
   test("annVsIndex: runs as a REAL stream (stream-static IVF probe " +
       "join, append mode) and matches batch") {
     import spark.implicits._
