@@ -161,6 +161,40 @@ object BucketedServe {
       .mode("overwrite").saveAsTable(tableName)
   }
 
+  /** WRITE the minhash LSH band index
+    * ([[graft.operators.text.Dedup.nearDupIndex]]'s frame: `doc_id`,
+    * `sh`, `band`, `bh`) bucketed + sorted by the probe key
+    * `(band, bh)` — the third of the three claimed co-located serving
+    * artifacts (BM25 postings, IVF cells, LSH bands).
+    */
+  def writeNearDupIndex(corpus: DataFrame, text: Column, id: Column,
+      tableName: String, path: String, bands: Int = 4,
+      rowsPerBand: Int = 2, buckets: Int = 8): Unit = {
+    require(buckets >= 1, "writeNearDupIndex: buckets >= 1")
+    graft.operators.text.Dedup
+      .nearDupIndex(corpus, text, id, bands, rowsPerBand)
+      .write.format("parquet")
+      .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
+      .option("path", s"$path/bands")
+      .mode("overwrite").saveAsTable(tableName)
+  }
+
+  /** Round-trip LSH near-dup serve: write the bucketed band index,
+    * re-read, probe with [[graft.operators.text.Dedup.nearDupVsIndex]]
+    * — identical banding and exact-Jaccard verify, so the query shares
+    * `dedup_vs_index`'s oracle.
+    */
+  def nearDupVsBucketedIndex(arrivals: DataFrame, corpus: DataFrame,
+      text: Column, id: Column, threshold: Double,
+      tableName: String, path: String, bands: Int = 4,
+      rowsPerBand: Int = 2, buckets: Int = 8): DataFrame = {
+    writeNearDupIndex(corpus, text, id, tableName, path, bands,
+      rowsPerBand, buckets)
+    graft.operators.text.Dedup.nearDupVsIndex(arrivals, text, id,
+      arrivals.sparkSession.table(tableName), threshold, bands,
+      rowsPerBand)
+  }
+
   /** Round-trip vector serve: write the bucketed cell index, re-read,
     * probe with [[VectorOps.annVsIndex]] — identical arithmetic, so
     * the query shares `emb_vs_vector_index`'s oracle.

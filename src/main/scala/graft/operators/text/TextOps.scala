@@ -1541,18 +1541,28 @@ object TextOps {
     val n1r = big.groupBy(col("w1")).agg(count(lit(1)).as("n1r"))
     val n1l = big.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
     // 1-row scalar collects (the bm25Stats sanction): B + V and the
-    // overflow-guard maxima
-    val Row(bCount: Long, maxC12: Long) = big
-      .agg(count(lit(1)).as("b"),
-        coalesce(max(col("c12")), lit(0L)).as("m")).head()
-    val vCount: Long = big
-      .select(explode(array(col("w1"), col("w2"))).as("_tok"))
-      .agg(count_distinct(col("_tok"))).head().getLong(0)
-    val Row(maxC1: Long, maxN1r: Long) = uni.join(n1r, Seq("w1"))
-      .agg(coalesce(max(col("c1")), lit(0L)),
-        coalesce(max(col("n1r")), lit(0L))).head()
-    val maxN1l: Long = n1l
-      .agg(coalesce(max(col("n1l")), lit(0L))).head().getLong(0)
+    // overflow-guard maxima — ALL SIX in ONE job (cross-joined 1-row
+    // aggregates over the shared persisted bigram table; four
+    // sequential head() jobs were pure job-latency, the trigram
+    // lesson applied back)
+    val statsRow = big
+      .agg(count(lit(1)).as("bCount"),
+        coalesce(max(col("c12")), lit(0L)).as("maxC12"))
+      .crossJoin(big
+        .select(explode(array(col("w1"), col("w2"))).as("_tok"))
+        .agg(count_distinct(col("_tok")).as("vCount")))
+      .crossJoin(uni.agg(coalesce(max(col("c1")), lit(0L)).as("maxC1")))
+      .crossJoin(n1r.agg(
+        coalesce(max(col("n1r")), lit(0L)).as("maxN1r")))
+      .crossJoin(n1l.agg(
+        coalesce(max(col("n1l")), lit(0L)).as("maxN1l")))
+      .head()
+    val bCount = statsRow.getAs[Long]("bCount")
+    val maxC12 = statsRow.getAs[Long]("maxC12")
+    val vCount = statsRow.getAs[Long]("vCount")
+    val maxC1 = statsRow.getAs[Long]("maxC1")
+    val maxN1r = statsRow.getAs[Long]("maxN1r")
+    val maxN1l = statsRow.getAs[Long]("maxN1l")
     // floor at 1: an EMPTY model has no continuation mass to spread —
     // every score is the uniform fallback and lnNano needs >= 1
     val bv = math.max(bCount + vCount, 1L)
@@ -1673,25 +1683,39 @@ object TextOps {
     val mid = cont.groupBy(col("w2"))
       .agg(sum(col("ncont")).as("n12p"), count(lit(1)).as("nc"))
     val n1l = cont.groupBy(col("w3")).agg(count(lit(1)).as("n1l"))
-    // 1-row scalar collects (the bm25Stats sanction) + loud guards.
-    // B counts distinct CONTINUATION bigrams (w2, w3) — the closure
-    // universe of pcont — not distinct trigrams.
-    val maxC123: Long = tri
-      .agg(coalesce(max(col("c123")), lit(0L))).head().getLong(0)
-    val vCount: Long = tri
-      .select(explode(array(col("w1"), col("w2"), col("w3"))).as("_tok"))
-      .agg(count_distinct(col("_tok"))).head().getLong(0)
-    val Row(maxC12: Long, maxN12r: Long) = hist
-      .agg(coalesce(max(col("c12")), lit(0L)),
-        coalesce(max(col("n12r")), lit(0L))).head()
-    val Row(maxN12p: Long, maxNc: Long) = mid
-      .agg(coalesce(max(col("n12p")), lit(0L)),
-        coalesce(max(col("nc")), lit(0L))).head()
-    val Row(bCount: Long, maxNcont: Long) = cont
-      .agg(count(lit(1)),
-        coalesce(max(col("ncont")), lit(0L))).head()
-    val maxN1l: Long = n1l
-      .agg(coalesce(max(col("n1l")), lit(0L))).head().getLong(0)
+    // 1-row scalar collects (the bm25Stats sanction) + loud guards —
+    // ALL NINE scalars in ONE job (cross-joined 1-row aggregates over
+    // the shared persisted trigram table; six sequential head() jobs
+    // were pure job-latency at sub-second data sizes). B counts
+    // distinct CONTINUATION bigrams (w2, w3) — the closure universe
+    // of pcont — not distinct trigrams.
+    val statsRow = tri
+      .agg(coalesce(max(col("c123")), lit(0L)).as("maxC123"))
+      .crossJoin(tri
+        .select(explode(array(col("w1"), col("w2"), col("w3")))
+          .as("_tok"))
+        .agg(count_distinct(col("_tok")).as("vCount")))
+      .crossJoin(hist.agg(
+        coalesce(max(col("c12")), lit(0L)).as("maxC12"),
+        coalesce(max(col("n12r")), lit(0L)).as("maxN12r")))
+      .crossJoin(mid.agg(
+        coalesce(max(col("n12p")), lit(0L)).as("maxN12p"),
+        coalesce(max(col("nc")), lit(0L)).as("maxNc")))
+      .crossJoin(cont.agg(
+        count(lit(1)).as("bCount"),
+        coalesce(max(col("ncont")), lit(0L)).as("maxNcont")))
+      .crossJoin(n1l.agg(
+        coalesce(max(col("n1l")), lit(0L)).as("maxN1l")))
+      .head()
+    val maxC123 = statsRow.getAs[Long]("maxC123")
+    val vCount = statsRow.getAs[Long]("vCount")
+    val maxC12 = statsRow.getAs[Long]("maxC12")
+    val maxN12r = statsRow.getAs[Long]("maxN12r")
+    val maxN12p = statsRow.getAs[Long]("maxN12p")
+    val maxNc = statsRow.getAs[Long]("maxNc")
+    val bCount = statsRow.getAs[Long]("bCount")
+    val maxNcont = statsRow.getAs[Long]("maxNcont")
+    val maxN1l = statsRow.getAs[Long]("maxN1l")
     val bv = math.max(bCount + vCount, 1L)
     val a2Max = BigInt(bv) * 4 * BigInt(maxNcont) +
       3 * BigInt(maxNc) * (BigInt(maxN1l) + 1)
@@ -1707,7 +1731,13 @@ object TextOps {
     def a2(ncontC: Column, ncC: Column, n1lC: Column): Column =
       lit(bv) * greatest(lit(4L) * ncontC - 3L, lit(0L)) +
         lit(3L) * ncC * (n1lC + 1L)
-    // seen-path lnNanos on the VOCABULARY-SIDED tables
+    // seen-path lnNanos on the VOCABULARY-SIDED tables; ONE stream
+    // traversal (a hit/miss split traverses the scored stream twice —
+    // measured net-slower at every checkpoint placement), model logs
+    // precomputed model-side so the stream only joins longs
+    val histLn = F.withLnNano(hist.join(mid, Seq("w2")),
+      lit(16L) * col("c12") * col("n12p") * lit(bv), "_ln_den")
+      .select(col("w1"), col("w2"), col("_ln_den"), col("n12r").as("_n12r"))
     val triLn = F.withLnNano(
       tri.join(hist, Seq("w1", "w2")).join(cont, Seq("w2", "w3"))
         .join(mid, Seq("w2")).join(n1l, Seq("w3")),
@@ -1716,9 +1746,6 @@ object TextOps {
         lit(3L) * col("n12r") *
         a2(col("ncont"), col("nc"), col("n1l")), "_ln_num")
       .select(col("w1"), col("w2"), col("w3"), col("_ln_num"))
-    val histLn = F.withLnNano(hist.join(mid, Seq("w2")),
-      lit(16L) * col("c12") * col("n12p") * lit(bv), "_ln_den")
-      .select(col("w1"), col("w2"), col("_ln_den"), col("n12r").as("_n12r"))
     val midLn = F.withLnNano(mid,
       lit(4L) * col("n12p") * lit(bv), "_ln_den2")
       .select(col("w2"), col("_ln_den2"), col("nc").as("_nc"))

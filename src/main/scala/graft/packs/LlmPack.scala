@@ -1338,11 +1338,14 @@ object LlmPack extends QueryPack {
     // band-width knob trades against
     "dedup_simhash64_recall" -> QueryDef(
       (s, dir) => Dedup.hammingRecallReport(
-        Dedup.withSimhash64(Tables.documents(s, dir), col("text"), "sh64")
+        Dedup.withSimhash64(
+          Tables.documents(s, dir).filter(col("doc_id") % 3 === 0),
+          col("text"), "sh64")
           .select(col("doc_id"), col("sh64")),
         "doc_id", "sh64", 64, 16, 6),
       Some(hammingRecallSql(
-        s"sh AS ($simhash64FpSql), f AS (SELECT doc_id AS id, sh64 AS fp FROM sh)",
+        s"sh AS ($simhash64FpSql), f AS (SELECT doc_id AS id, " +
+          "sh64 AS fp FROM sh WHERE doc_id % 3 = 0)",
         16, 4, 6))),
 
     // embedding-cosine near-dup, LSH-banded (the 100 TB form): banded
@@ -1925,7 +1928,8 @@ object LlmPack extends QueryPack {
     // widened to half-key bands. Frame id = doc·10⁶ + idx.
     "mm_audio_fp_recall" -> QueryDef(
       (s, dir) => Dedup.hammingRecallReport(
-        Multimodal.audioFp(audioFixture(Tables.documents(s, dir)),
+        Multimodal.audioFp(audioFixture(
+            Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)),
           col("text"), col("doc_id"))
           .select((col("doc_id") * 1000000L + col("frame_idx"))
             .as("fid"), col("fp")),
@@ -1936,7 +1940,7 @@ object LlmPack extends QueryPack {
           "ELSE text END"
         hammingRecallSql(
           s"${audioFpCtes(fx)}, f AS (SELECT doc_id * 1000000 + " +
-            "frame_idx AS id, fp FROM af)",
+            "frame_idx AS id, fp FROM af WHERE doc_id % 7 = 0)",
           8, 2, 3)
       }),
 
@@ -2151,7 +2155,8 @@ object LlmPack extends QueryPack {
     // within 6 bits of each other)
     "mm_phash_recall" -> QueryDef(
       (s, dir) => {
-        val d = Tables.documents(s, dir).withColumn("text2",
+        val d = Tables.documents(s, dir)
+          .filter(col("doc_id") % 3 === 0).withColumn("text2",
           when(col("doc_id") % 29 === 0,
             concat(lit("tpl-"), (col("doc_id") % 3).cast("string")))
             .otherwise(col("text")))
@@ -2163,7 +2168,8 @@ object LlmPack extends QueryPack {
         val fx = "CASE WHEN doc_id % 29 = 0 THEN 'tpl-' || " +
           "CAST(doc_id % 3 AS VARCHAR) ELSE text END"
         hammingRecallSql(
-          s"${phashCtes(fx)}, f AS (SELECT doc_id AS id, phash AS fp FROM ph)",
+          s"${phashCtes(fx)}, f AS (SELECT doc_id AS id, phash AS fp " +
+            "FROM ph WHERE doc_id % 3 = 0)",
           16, 4, 6)
       }),
 
@@ -2437,6 +2443,24 @@ object LlmPack extends QueryPack {
           col("text"), col("doc_id"))
         Dedup.nearDupVsIndex(docs.filter(col("doc_id") % 7 === 0),
           col("text"), col("doc_id"), idx, 0.3)
+      },
+      Some(vsIndexSql(0.3))),
+
+    // the LSH band index through the MATERIALIZED lifecycle (the third
+    // bucketed serving artifact beside BM25 postings and IVF cells):
+    // written bucketBy(band, bh), re-read through the catalog, probed
+    // by nearDupVsIndex — identical banding + exact Jaccard ⇒ shares
+    // vsIndexSql. BucketedServeSpec pins the no-Exchange plan half.
+    "dedup_vs_bucketed_index" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_band_idx").toString
+        graft.operators.serve.BucketedServe.nearDupVsBucketedIndex(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          col("text"), col("doc_id"), 0.3,
+          tableName = "graft_vs_band_idx", path = tmp)
       },
       Some(vsIndexSql(0.3))),
 

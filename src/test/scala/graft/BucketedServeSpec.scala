@@ -123,6 +123,33 @@ class BucketedServeSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH probe joins the bucketed band index with no index-side " +
+      "exchange, and serves bit-identical to the in-memory index") {
+    import graft.operators.text.Dedup
+    val docs = Tables.documents(spark, sf)
+    val idxDocs = docs.filter(col("doc_id") % 7 =!= 0)
+    val arrivals = docs.filter(col("doc_id") % 7 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_band_spec").toString
+    BucketedServe.writeNearDupIndex(idxDocs, col("text"), col("doc_id"),
+      "graft_band_spec_idx", tmp, buckets = 4)
+    withShuffledJoins {
+      val probe = Dedup.nearDupVsIndex(arrivals, col("text"),
+        col("doc_id"), spark.table("graft_band_spec_idx"), 0.3)
+      assertColocated(probe.queryExecution.executedPlan, "graft_band_spec")
+    }
+    val viaBucketed = Dedup.nearDupVsIndex(arrivals, col("text"),
+      col("doc_id"), spark.table("graft_band_spec_idx"), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = Dedup.nearDupVsIndex(arrivals, col("text"),
+      col("doc_id"),
+      Dedup.nearDupIndex(idxDocs, col("text"), col("doc_id")), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(viaBucketed === direct)
+  }
+
   test("bucketed vector serve is bit-identical to the in-memory index") {
     val emb = Tables.embeddings(spark, sf)
     val idx = emb.filter(col("vec_id") % 7 =!= 0)
