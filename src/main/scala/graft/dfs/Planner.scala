@@ -2296,7 +2296,7 @@ object Planner {
     // the established-corpus rows (the decontaminate .benchmark
     // pattern); the rest probe the LSH index built from them
     "vs_index" -> bt(Set("text_field", "id_field", "index", "threshold",
-      "bands", "rows_per_band")) { (ctx, n, env) =>
+      "bands", "rows_per_band", "bucketed")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("vs_index: .id_field"))
@@ -2305,11 +2305,23 @@ object Planner {
         .getOrElse(throw DfsError("vs_index: .index(lambda)"))
       val bands = optNum(n, "bands", env).map(_.toInt).getOrElse(4)
       val rpb = optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2)
-      val idx = graft.operators.text.Dedup.nearDupIndex(
-        ctx.df.filter(isIdx), Paths.ref(text), Paths.ref(id), bands, rpb)
-      graft.operators.text.Dedup.nearDupVsIndex(
-        ctx.df.filter(!isIdx), Paths.ref(text), Paths.ref(id), idx,
-        optNum(n, "threshold", env).getOrElse(0.3), bands, rpb)
+      val thr = optNum(n, "threshold", env).getOrElse(0.3)
+      // .bucketed(): the MATERIALIZED lifecycle — band index written
+      // bucketBy(band, bh) to a real path, re-read, probed co-located
+      if (optFlag(n, "bucketed", env)) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dfs_band_idx").toString
+        graft.operators.serve.BucketedServe.nearDupVsBucketedIndex(
+          ctx.df.filter(!isIdx), ctx.df.filter(isIdx),
+          Paths.ref(text), Paths.ref(id), thr,
+          "graft_dfs_band_idx", tmp, bands, rpb)
+      } else {
+        val idx = graft.operators.text.Dedup.nearDupIndex(
+          ctx.df.filter(isIdx), Paths.ref(text), Paths.ref(id), bands, rpb)
+        graft.operators.text.Dedup.nearDupVsIndex(
+          ctx.df.filter(!isIdx), Paths.ref(text), Paths.ref(id), idx,
+          thr, bands, rpb)
+      }
     },
     // similarity-search serve against the established rows' IVF index
     // (graft extension, the VectorOps.annVsIndex door — vs_index
@@ -2317,7 +2329,7 @@ object Planner {
     // the rest probe .probes nearest of .cells; threshold form, so the
     // node streams as-is behind a stream-static join
     "vs_vector_index" -> bt(Set("vec_field", "id_field", "index",
-      "threshold", "cells", "probes")) { (ctx, n, env) =>
+      "threshold", "cells", "probes", "bucketed")) { (ctx, n, env) =>
       val vec = optStr(n, "vec_field", env).getOrElse("embedding")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("vs_vector_index: .id_field"))
@@ -2327,10 +2339,20 @@ object Planner {
       val cells = optNum(n, "cells", env).map(_.toInt).getOrElse(8)
       val V = graft.operators.vector.VectorOps
       val cents = V.ivfCentroids(ctx.df.filter(isIdx), id, vec, cells)
-      val idx = V.vectorIndex(ctx.df.filter(isIdx), id, vec, cents)
-      V.annVsIndex(ctx.df.filter(!isIdx), idx, id, vec, cents,
-        optNum(n, "threshold", env).getOrElse(0.85),
-        optNum(n, "probes", env).map(_.toInt).getOrElse(cells))
+      val thr = optNum(n, "threshold", env).getOrElse(0.85)
+      val probes = optNum(n, "probes", env).map(_.toInt).getOrElse(cells)
+      // .bucketed(): cell index written bucketBy(_cell), re-read, probed
+      if (optFlag(n, "bucketed", env)) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dfs_cell_idx").toString
+        graft.operators.serve.BucketedServe.annVsBucketedIndex(
+          ctx.df.filter(!isIdx), ctx.df.filter(isIdx), id, vec, cents,
+          thr, probes, "graft_dfs_cell_idx", tmp)
+      } else {
+        val idx = V.vectorIndex(ctx.df.filter(isIdx), id, vec, cents)
+        V.annVsIndex(ctx.df.filter(!isIdx), idx, id, vec, cents, thr,
+          probes)
+      }
     },
     // Gopher-style repetition metrics as a flow node (graft extension,
     // the TextOps.runStats door): appends n_tok / ttr / top_frac /
@@ -3279,7 +3301,7 @@ object Planner {
     // marks the query stratum; .prefix(n) retrieves with the first n
     // chars of the query doc's text (absent = the full text)
     "bm25_retrieve" -> bt(Set("text_field", "id_field", "queries", "k",
-      "prefix", "max_postings")) { (ctx, n, env) =>
+      "prefix", "max_postings", "bucketed")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("bm25_retrieve: .id_field"))
@@ -3289,11 +3311,22 @@ object Planner {
       val qText = optNum(n, "prefix", env).map(_.toInt)
         .map(p => substring(Paths.ref(text), 1, p))
         .getOrElse(Paths.ref(text))
-      graft.operators.text.TextOps.bm25Retrieve(ctx.df, Paths.ref(text),
-        Paths.ref(id), ctx.df.filter(qpred.cast("boolean")), qText,
-        Paths.ref(id),
-        optNum(n, "k", env).map(_.toInt).getOrElse(10),
-        optNum(n, "max_postings", env).map(_.toInt).getOrElse(65536))
+      val k = optNum(n, "k", env).map(_.toInt).getOrElse(10)
+      val maxP = optNum(n, "max_postings", env).map(_.toInt).getOrElse(65536)
+      // .bucketed(): posting table written bucketBy(tok) to a real
+      // path, re-read through the catalog, probed — same exact
+      // fixed-point Okapi either way
+      if (optFlag(n, "bucketed", env)) {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dfs_bm25_idx").toString
+        graft.operators.serve.BucketedServe.bm25ServeBucketed(ctx.df,
+          Paths.ref(text), Paths.ref(id),
+          ctx.df.filter(qpred.cast("boolean")), qText, Paths.ref(id), k,
+          "graft_dfs_bm25_idx", tmp, maxPostings = maxP)
+      } else
+        graft.operators.text.TextOps.bm25Retrieve(ctx.df, Paths.ref(text),
+          Paths.ref(id), ctx.df.filter(qpred.cast("boolean")), qText,
+          Paths.ref(id), k, maxP)
     },
     // connected components over an (a, b) pair stream (graft extension,
     // the Dedup.connectedComponents door): near-dup pairs → dedup groups

@@ -162,16 +162,88 @@ object UnigramTrainer {
       p.length == 1 || keepMulti(p) }.toSeq.sortBy(_._1)
   }
 
+  /** The `<unk>` piece — what an APPLY-side character outside the
+    * trained vocabulary segments to (SentencePiece's rule: training
+    * guarantees coverage of ITS corpus; held-out text can always
+    * carry new characters and must tokenize, not throw — the r20 sf1
+    * sweep caught exactly this, replica-suffix words like 'key1'
+    * crashing the strict-coverage DP against a pinned vocabulary).
+    */
+  val UnkPiece = "<unk>"
+
+  /** [[viterbi]] with the SentencePiece `<unk>` fallback: a 1-char
+    * span whose character has no vocabulary entry is admissible at
+    * score `unkLp`. Pick `unkLp` below `32 × min(lp)` (what
+    * [[unkLpFor]] returns) and one `<unk>` costs more than ANY real
+    * segmentation of a ≤32-char word — the fallback can never
+    * displace feasible coverage, only extend it.
+    */
+  def viterbiUnk(word: String, lp: Map[String, Double],
+      maxPieceLen: Int, unkLp: Double): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(Int.MaxValue)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          val sub = word.substring(j, i)
+          val sc = lp.get(sub)
+            .orElse(if (i - j == 1) Some(unkLp) else None)
+          sc match {
+            case Some(p) =>
+              val cand = best(j) + p
+              if (cand > best(i) || (cand == best(i) && j < back(i))) {
+                best(i) = cand
+                back(i) = j
+              }
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // every position has at least the 1-char unk candidate, so the
+    // DP always completes — no coverage invariant needed here
+    val rev = scala.collection.mutable.ListBuffer.empty[String]
+    var k = n
+    while (k > 0) {
+      val j = back(k)
+      val sub = word.substring(j, k)
+      rev.prepend(
+        if (k - j == 1 && !lp.contains(sub)) UnkPiece else sub)
+      k = j
+    }
+    rev.toList
+  }
+
+  /** The `<unk>` score for a piece table: one unk is strictly worse
+    * than any 32-piece real segmentation, so unk is last-resort only
+    * (for words ≤ 32 chars — longer words would need a lower floor).
+    */
+  def unkLpFor(pieces: Seq[(String, Double)]): Double = {
+    require(pieces.nonEmpty, "unkLpFor: empty piece table")
+    pieces.map(_._2).min * 32 - 1.0
+  }
+
   /** Segment a corpus with a trained piece table — the tokenizer APPLY
     * side: one row per (doc, word position, piece index, piece). The
     * Viterbi DP runs on the DISTINCT-WORD table; the corpus pays a
     * posexplode and one equi-join on the word ([[BpeTrainer.encode]]'s
-    * cost split).
+    * cost split). Held-out characters emit [[UnkPiece]] (the
+    * [[viterbiUnk]] rule) — the strict coverage invariant belongs to
+    * [[train]], whose corpus defines the charset; an apply corpus
+    * doesn't.
     */
   def encode(docs: DataFrame, text: Column, id: Column,
       pieces: Seq[(String, Double)], maxPieceLen: Int = 6): DataFrame = {
     val lp = pieces.toMap
-    val seg = udf((w: String) => viterbi(w, lp, maxPieceLen))
+    val unkLp = unkLpFor(pieces)
+    val seg = udf((w: String) => viterbiUnk(w, lp, maxPieceLen, unkLp))
     val words = docs.select(id.as("doc_id"),
       posexplode(TextOps.tokens(text)).as(Seq("pos", "_w")))
     val vocab = words.select(col("_w")).distinct()

@@ -1903,6 +1903,15 @@ object LlmPack extends QueryPack {
       },
       Some(vsVectorIndexSql)),
 
+    "dfs_vs_bucketed_index" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('embeddings'))
+          #|vs_vector_index(.id_field('vec_id')
+          #  .index(lambda: mod("vec_id", 7) != 0)
+          #  .threshold(0.4).cells(8).probes(8).bucketed())
+          #""".stripMargin('#'), s, dir),
+      Some(vsVectorIndexSql)),
+
     // Haitsma–Kalker audio sub-fingerprint stream — content-space
     // audio dedup over the decoded-sample stub (md5-token-hash
     // samples stand in for PCM; a deployment swaps a real decoder
@@ -2413,6 +2422,15 @@ object LlmPack extends QueryPack {
       },
       Some(bm25ServeSql)),
 
+    "dfs_bm25_serve_bucketed" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|bm25_retrieve(.text_field('text').id_field('doc_id')
+          #  .queries(lambda: mod("doc_id", 101) == 0)
+          #  .prefix(80).k(5).bucketed())
+          #""".stripMargin('#'), s, dir),
+      Some(bm25ServeSql)),
+
     // semantic (in-context) packing: pack_bins with the shard swapped
     // for the doc's k-means embedding cluster — related docs share a
     // context window (ICP). The oracle composes the full kmeans replay
@@ -2462,6 +2480,14 @@ object LlmPack extends QueryPack {
           col("text"), col("doc_id"), 0.3,
           tableName = "graft_vs_band_idx", path = tmp)
       },
+      Some(vsIndexSql(0.3))),
+
+    "dfs_vs_index_bucketed" -> QueryDef(
+      (s, dir) => graft.dfs.DfsEngine.runSingle(
+        """|parquet_read(.table('documents'))
+          #|vs_index(.id_field('doc_id').threshold(0.3)
+          #  .index(lambda: mod("doc_id", 7) != 0).bucketed())
+          #""".stripMargin('#'), s, dir),
       Some(vsIndexSql(0.3))),
 
     "dfs_vs_index" -> QueryDef(
@@ -5186,8 +5212,16 @@ object LlmPack extends QueryPack {
        |        CAST(unnest(range(1, least(6, len(w) - j) + 1))
        |          AS INTEGER) AS l
        |      FROM sj),
-       |sp AS MATERIALIZED (SELECT s.w, s.j, s.j + s.l AS e, p.sc
-       |      FROM sl s JOIN pt p ON substr(s.w, s.j + 1, s.l) = p.piece),
+       |sp AS MATERIALIZED (
+       |      SELECT s.w, s.j, s.j + s.l AS e, p.sc
+       |      FROM sl s JOIN pt p ON substr(s.w, s.j + 1, s.l) = p.piece
+       |      UNION ALL
+       |      SELECT s.w, s.j, s.j + 1 AS e,
+       |        CAST(${unigramPinnedPieces.map(_._2).min * 32 - 1}
+       |          AS BIGINT) AS sc
+       |      FROM sl s WHERE s.l = 1
+       |        AND substr(s.w, s.j + 1, 1) NOT IN
+       |          (SELECT piece FROM pt)),
        |d0 AS (SELECT w, CAST(len(w) AS INTEGER) AS n,
        |        CAST(0 AS BIGINT) AS b0 FROM uw),
        |${dpSteps.mkString(",\n")},
@@ -5198,7 +5232,10 @@ object LlmPack extends QueryPack {
        |        CAST(row_number() OVER (PARTITION BY w ORDER BY t DESC)
        |          - 1 AS INTEGER) AS piece_idx
        |      FROM rc)
-       |SELECT wd.doc_id, wd.pos, rn.piece_idx, rn.pc AS piece
+       |SELECT wd.doc_id, wd.pos, rn.piece_idx,
+       |  CASE WHEN len(rn.pc) = 1
+       |         AND rn.pc NOT IN (SELECT piece FROM pt)
+       |       THEN '<unk>' ELSE rn.pc END AS piece
        |FROM wd JOIN rn ON rn.w = wd.w""".stripMargin
   }
 

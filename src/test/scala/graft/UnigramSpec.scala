@@ -27,6 +27,24 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("viterbiUnk: held-out characters emit <unk> and never displace " +
+      "a feasible real segmentation (the sf1 'key1' regression)") {
+    val lp = Map("ab" -> -1.0, "c" -> -2.0, "a" -> -3.0, "b" -> -3.0,
+      "key" -> -1.5, "k" -> -4.0, "e" -> -4.0, "y" -> -4.0)
+    val unk = UnigramTrainer.unkLpFor(lp.toSeq)
+    // a digit outside the vocab tokenizes instead of throwing
+    assert(UnigramTrainer.viterbiUnk("key1", lp, 6, unk) ==
+      Seq("key", UnigramTrainer.UnkPiece))
+    // fully covered words segment EXACTLY as the strict DP does
+    assert(UnigramTrainer.viterbiUnk("abc", lp, 6, unk) ==
+      UnigramTrainer.viterbi("abc", lp, 6))
+    // unk is last-resort: a feasible 1-char real piece always wins
+    assert(UnigramTrainer.viterbiUnk("c", lp, 6, unk) == Seq("c"))
+    // an entirely unknown word becomes one <unk> per character
+    assert(UnigramTrainer.viterbiUnk("zq", lp, 6, unk) ==
+      Seq(UnigramTrainer.UnkPiece, UnigramTrainer.UnkPiece))
+  }
+
   test("train: deterministic, chars always covered, vocab bounded") {
     val docs = Tables.documents(spark, sf)
     val m1 = UnigramTrainer.train(docs, col("text"), vocabSize = 40,
