@@ -2249,10 +2249,16 @@ object Planner {
       if (!auto && kOpt.nonEmpty)
         throw DfsError("near_dedup: .k is the .auto() signature budget " +
           "and has no effect without .auto() — add .auto() or drop .k")
+      // the Jaccard domain holds on EVERY path (threshold 1.0 = exact
+      // duplicates is meaningful; > 1 is an always-empty silent no-op,
+      // <= 0 an all-pairs degenerate)
+      if (threshold <= 0.0 || threshold > 1.0)
+        throw DfsError("near_dedup: .threshold must be in (0, 1], " +
+          s"got $threshold")
       if (auto) {
-        if (threshold <= 0.0 || threshold >= 1.0)
+        if (threshold >= 1.0)
           throw DfsError("near_dedup: .auto() needs .threshold strictly " +
-            s"inside (0, 1), got $threshold")
+            s"inside (0, 1) (the band-planning log domain), got $threshold")
         val kBudget = kOpt.getOrElse(16)
         if (kBudget < 2 || kBudget > graft.operators.text.Dedup.A.size)
           throw DfsError(s"near_dedup: .k must be in [2, " +
@@ -2309,8 +2315,8 @@ object Planner {
       // .bucketed(): the MATERIALIZED lifecycle — band index written
       // bucketBy(band, bh) to a real path, re-read, probed co-located
       if (optFlag(n, "bucketed", env)) {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_dfs_band_idx").toString
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_dfs_band_idx")
         graft.operators.serve.BucketedServe.nearDupVsBucketedIndex(
           ctx.df.filter(!isIdx), ctx.df.filter(isIdx),
           Paths.ref(text), Paths.ref(id), thr,
@@ -2343,8 +2349,8 @@ object Planner {
       val probes = optNum(n, "probes", env).map(_.toInt).getOrElse(cells)
       // .bucketed(): cell index written bucketBy(_cell), re-read, probed
       if (optFlag(n, "bucketed", env)) {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_dfs_cell_idx").toString
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_dfs_cell_idx")
         graft.operators.serve.BucketedServe.annVsBucketedIndex(
           ctx.df.filter(!isIdx), ctx.df.filter(isIdx), id, vec, cents,
           thr, probes, "graft_dfs_cell_idx", tmp)
@@ -3317,8 +3323,8 @@ object Planner {
       // path, re-read through the catalog, probed — same exact
       // fixed-point Okapi either way
       if (optFlag(n, "bucketed", env)) {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_dfs_bm25_idx").toString
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_dfs_bm25_idx")
         graft.operators.serve.BucketedServe.bm25ServeBucketed(ctx.df,
           Paths.ref(text), Paths.ref(id),
           ctx.df.filter(qpred.cast("boolean")), qText, Paths.ref(id), k,

@@ -1214,51 +1214,94 @@ object TextOps {
       maxPostings: Int = 65536): DataFrame = {
     require(k >= 1 && maxPostings >= 1,
       s"bm25Retrieve: k >= 1 and maxPostings >= 1")
-    val F = graft.functions.FixedLog
-    val docs = corpus.select(id.as("doc_id"), tokens(text).as("_t"))
     graft.core.CacheScope.withPersisted(
-      docs.select(col("doc_id"), size(col("_t")).as("dl"),
-          explode(col("_t")).as("tok"))
-        .groupBy(col("doc_id"), col("dl"), col("tok"))
-        .agg(count(lit(1)).as("tf"))) { post =>
-      // corpus stats from the persisted postings — ONE corpus
-      // tokenization total: S = Σ tf (= Σ dl over docs; every doc has
-      // ≥ 1 token, split of "" is [""]), N = distinct docs, max dl
-      val Row(s: Long, n: Long, maxDl: Int) = post.agg(
-        coalesce(sum(col("tf")), lit(0L)),
-        count_distinct(col("doc_id")),
-        coalesce(max(col("dl")), lit(0))).head()
-      require(s <= 0L || maxDl <= 0 ||
-        44L * maxDl <= Long.MaxValue / 1000000L / s,
-        s"bm25Retrieve: 44*max(dl)=$maxDl*S=$s*1e6 overflows a long - " +
-          "shard the index and its (S, N) stats at this scale")
-      val lnNn = F.lnNanoRef(2L * n + 2L)
-      val idf = F.withLnNano(
-        post.groupBy(col("tok")).agg(count(lit(1)).as("_df")),
-        col("_df") * 2L + 1L, "_ln_df")
-        .select(col("tok"), (lit(lnNn) - col("_ln_df")).as("idf_nano"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("tok")).orderBy(col("doc_id"))
-      val capped = post.withColumn("_r", row_number().over(w))
-        .filter(col("_r") <= maxPostings).drop("_r")
-      val qt = queries.select(qId.as("q_id"),
-        explode(array_distinct(tokens(qText))).as("tok"))
-      val contrib = qt.join(capped, Seq("tok")).join(idf, Seq("tok"))
-        .withColumn("_num", lit(44L) * col("tf") * lit(s))
-        .withColumn("_den", lit(20L) * col("tf") * lit(s) + lit(6L * s) +
-          lit(18L) * col("dl") * lit(n))
-        .withColumn("_c", expr(
-          "idf_nano * ((_num * 1000000) div _den) div 1000000"))
-      val scores = contrib.groupBy(col("q_id"), col("doc_id"))
-        .agg(sum(col("_c")).as("score_nano"))
-      val rk = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("q_id"))
-        .orderBy(col("score_nano").desc, col("doc_id"))
-      scores.withColumn("rank", row_number().over(rk))
-        .filter(col("rank") <= k)
-        .select(col("q_id"), col("doc_id"), col("rank").cast("int").as("rank"),
-          col("score_nano"))
+      bm25Postings(corpus, text, id)) { post =>
+      val (s, n, _) = bm25CorpusStats(post, "bm25Retrieve")
+      bm25Probe(bm25IndexRows(post, n, maxPostings),
+        queries, qText, qId, k, s, n)
     }
+  }
+
+  /** The raw posting table `(doc_id, dl, tok, tf)` — ONE corpus
+    * tokenization, the single source every BM25 constant derives from
+    * (shared by [[bm25Retrieve]] and `BucketedServe.writeBm25Index` so
+    * the arithmetic cannot drift between the in-memory and the
+    * materialized serve paths).
+    */
+  private[graft] def bm25Postings(corpus: DataFrame, text: Column,
+      id: Column): DataFrame =
+    corpus.select(id.as("doc_id"), tokens(text).as("_t"))
+      .select(col("doc_id"), size(col("_t")).as("dl"),
+        explode(col("_t")).as("tok"))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus stats off a posting table — S = Σ tf (= Σ dl over docs;
+    * every doc has ≥ 1 token, split of "" is [""]), N = distinct docs,
+    * max dl — with the loud `44·max(dl)·S·10⁶` long-overflow guard.
+    */
+  private[graft] def bm25CorpusStats(post: DataFrame,
+      who: String): (Long, Long, Int) = {
+    val Row(s: Long, n: Long, maxDl: Int) = post.agg(
+      coalesce(sum(col("tf")), lit(0L)),
+      count_distinct(col("doc_id")),
+      coalesce(max(col("dl")), lit(0))).head()
+    bm25Guard(s, maxDl, who)
+    (s, n, maxDl)
+  }
+
+  private[graft] def bm25Guard(s: Long, maxDl: Int, who: String): Unit =
+    require(s <= 0L || maxDl <= 0 ||
+      44L * maxDl <= Long.MaxValue / 1000000L / s,
+      s"$who: 44*max(dl)=$maxDl*S=$s*1e6 overflows a long - " +
+        "shard the index and its (S, N) stats at this scale")
+
+  /** The DENORMALIZED index rows `(tok, doc_id, tf, dl, idf_nano)`:
+    * idf from the UNCAPPED df table (a capped df would misstate
+    * rarity), the per-token posting cap applied after — the documented
+    * hot-token recall trade.
+    */
+  private[graft] def bm25IndexRows(post: DataFrame, n: Long,
+      maxPostings: Int): DataFrame = {
+    val F = graft.functions.FixedLog
+    val lnNn = F.lnNanoRef(2L * n + 2L)
+    val idf = F.withLnNano(
+      post.groupBy(col("tok")).agg(count(lit(1)).as("_df")),
+      col("_df") * 2L + 1L, "_ln_df")
+      .select(col("tok"), (lit(lnNn) - col("_ln_df")).as("idf_nano"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("doc_id"))
+    post.withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= maxPostings).drop("_r")
+      .join(idf, Seq("tok"))
+      .select(col("tok"), col("doc_id"), col("tf"), col("dl"),
+        col("idf_nano"))
+  }
+
+  /** The probe: N queries against an index frame, exact fixed-point
+    * Okapi at k1 = 1.2, b = 0.75 (`44·tf·S / (20·tf·S + 6·S +
+    * 18·dl·N)` as ppm, `idf_nano · ppm div 10⁶` long contributions,
+    * (score desc, doc_id) rank cut). Both serve paths call THIS.
+    */
+  private[graft] def bm25Probe(index: DataFrame, queries: DataFrame,
+      qText: Column, qId: Column, k: Int, s: Long, n: Long): DataFrame = {
+    val qt = queries.select(qId.as("q_id"),
+      explode(array_distinct(tokens(qText))).as("tok"))
+    val contrib = qt.join(index, Seq("tok"))
+      .withColumn("_num", lit(44L) * col("tf") * lit(s))
+      .withColumn("_den", lit(20L) * col("tf") * lit(s) + lit(6L * s) +
+        lit(18L) * col("dl") * lit(n))
+      .withColumn("_c", expr(
+        "idf_nano * ((_num * 1000000) div _den) div 1000000"))
+    val scores = contrib.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("_c")).as("score_nano"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score_nano").desc, col("doc_id"))
+    scores.withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank").cast("int").as("rank"),
+        col("score_nano"))
   }
 
   /** Per-doc token list + per-term frequency columns — the shared front

@@ -1894,8 +1894,8 @@ object LlmPack extends QueryPack {
         val emb = Tables.embeddings(s, dir)
         val idx = emb.filter(col("vec_id") % 7 =!= 0)
         val cents = VectorOps.ivfCentroids(idx, "vec_id", "embedding", 8)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_cell_idx").toString
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_cell_idx")
         graft.operators.serve.BucketedServe.annVsBucketedIndex(
           emb.filter(col("vec_id") % 7 === 0), idx,
           "vec_id", "embedding", cents, 0.4, nProbe = 8,
@@ -2412,8 +2412,8 @@ object LlmPack extends QueryPack {
     "text_bm25_serve_bucketed" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_bm25_idx").toString
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_bm25_idx")
         graft.operators.serve.BucketedServe.bm25ServeBucketed(
           docs, col("text"), col("doc_id"),
           docs.filter(col("doc_id") % 101 === 0),
@@ -2472,8 +2472,8 @@ object LlmPack extends QueryPack {
     "dedup_vs_bucketed_index" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_band_idx").toString
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_band_idx")
         graft.operators.serve.BucketedServe.nearDupVsBucketedIndex(
           docs.filter(col("doc_id") % 7 === 0),
           docs.filter(col("doc_id") % 7 =!= 0),

@@ -329,9 +329,16 @@ class DfsSpec extends AnyFunSuite {
       """||parquet_read(.table('documents'))
          ||near_dedup(.id_field('doc_id').k(8))
          |""".stripMargin).contains("no effect without .auto()"))
+    // out-of-domain threshold rejects on EVERY path (a >1 Jaccard
+    // threshold is an always-empty silent no-op), and .auto()
+    // additionally rejects the 1.0 boundary (band-planning log domain)
     assert(planErr(
       """||parquet_read(.table('documents'))
-         ||near_dedup(.id_field('doc_id').auto().threshold(1.5))
+         ||near_dedup(.id_field('doc_id').threshold(1.5))
+         |""".stripMargin).contains("in (0, 1]"))
+    assert(planErr(
+      """||parquet_read(.table('documents'))
+         ||near_dedup(.id_field('doc_id').auto().threshold(1.0))
          |""".stripMargin).contains("inside (0, 1)"))
     assert(planErr(
       """||parquet_read(.table('documents'))

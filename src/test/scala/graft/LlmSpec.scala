@@ -895,6 +895,14 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.simhash64AutoBandBits(100000000L, 1, 128) == 32)
     intercept[IllegalArgumentException](
       Dedup.simhash64AutoBandBits(100000000L, 3, 128))
+    // the dedup_simhash64_auto ORACLE hard-pins 8-bit band keys (the
+    // dedup_cosine_auto convention): assert the driver's verify corpus
+    // actually keeps the auto rule on that branch, so the pin can't go
+    // silently stale if the corpus grows
+    val n01 = Tables.documents(spark, "/root/testdata/sf0.01").count()
+    assert(Dedup.simhash64AutoBandBits(n01, 3, 128) == 8,
+      s"verify corpus n=$n01 left the oracle's 8-bit branch — " +
+        "re-pin simhash64PairsSql's width in dedup_simhash64_auto")
     // auto result equals the explicitly-widthed call
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(400)
