@@ -74,6 +74,14 @@ object Bench {
   private[graft] def warmupSoftCap(budgetSec: Double): Double =
     budgetSec * 0.25
 
+  /** Warm-up scope: HEADLINE ONLY. A full-suite warm-up reached 513 s
+    * by round 14 (the suite grows every round) and left the window
+    * only two timed passes — min-over-passes needs ≥ 3 to reject
+    * ambient driver-window noise. Non-headline queries warm during
+    * pass 1; their min-of-N converges from passes 2..3.
+    */
+  private[graft] val WarmupSubset: Set[String] = Headline.toSet
+
   def main(args: Array[String]): Unit = {
     val startNanos = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -172,11 +180,13 @@ object Bench {
     }
 
     val progress = sys.env.get("SPARK_GRAFT_BENCH_TRACE").contains("1")
-    def pass(label: String, softCap: Double = budgetSec): Map[String, Double] = {
+    def pass(label: String, softCap: Double = budgetSec,
+        subset: Option[Set[String]] = None): Map[String, Double] = {
       val t0 = elapsed
       val out = queries.map { case (n, fn) =>
-        val t = if (remaining > 10.0 && elapsed < softCap) run(n, fn) else -1.0
-        if (progress) System.err.println(f"[bench-trace] $label $n $t%.2f (elapsed ${elapsed}%.1f)")
+        val in = subset.forall(_.contains(n))
+        val t = if (in && remaining > 10.0 && elapsed < softCap) run(n, fn) else -1.0
+        if (progress && in) System.err.println(f"[bench-trace] $label $n $t%.2f (elapsed ${elapsed}%.1f)")
         n -> t
       }.toMap
       System.err.println(f"[bench] $label done in ${elapsed - t0}%.1f s (elapsed ${elapsed}%.1f, budget ${budgetSec}%.0f)")
@@ -184,11 +194,15 @@ object Bench {
     }
 
     // warm-up (session/JIT) — not recorded, but seeds the snapshot so even a
-    // watchdog fire mid-warm-up reports something. Cost-gated at
-    // warmupSoftCap (25% of budget, BenchSpec-pinned): if warm-up alone
-    // runs long (BENCH_r11's fate), pass 1 must still own the majority
-    // of the window — cold numbers beat no numbers.
-    val warm = pass("warm-up", softCap = warmupSoftCap(budgetSec))
+    // watchdog fire mid-warm-up reports something. HEADLINE-ONLY (judge
+    // r14 item 2): a full-suite warm-up grew to 513 s by round 14 and
+    // squeezed the window down to TWO timed passes with a 45% swing —
+    // the comparison signal is worth more than warm non-headline
+    // queries, whose min-of-N still converges from passes 2..3. The
+    // warmupSoftCap cost gate stays as the backstop (BenchSpec-pinned):
+    // even headline-only warm-up must never starve pass 1.
+    val warm = pass("warm-up", softCap = warmupSoftCap(budgetSec),
+      subset = Some(WarmupSubset))
     snapshot.set(queries.map { case (n, _) => n -> warm(n) })
 
     // timed passes, per-query minimum: driver-window contention has
@@ -212,6 +226,30 @@ object Bench {
     }
     if (i <= 3)
       System.err.println(f"[bench] skipped passes $i..3: remaining ${remaining}%.0f s < last pass cost ${lastCost}%.0f s × 1.4 + 30")
+
+    // spread repair (judge r14 item 2): driver-window contention can
+    // leave even a min-of-3 inflated — re-sample headline queries whose
+    // pass spread exceeds 1.5× (and 0.3 s absolute, so sub-second
+    // jitter doesn't burn budget), worst spread first, while budget
+    // remains. Each re-run folds into the per-query minimum.
+    if (passes.size >= 2) {
+      val qmap = queries.toMap
+      val unstable = headline.flatMap { n =>
+        val vs = passes.flatMap(_.get(n)).filter(_ >= 0)
+        if (vs.size >= 2 && vs.max > vs.min * 1.5 && vs.max - vs.min > 0.3)
+          Some(n -> vs.max / math.max(vs.min, 1e-9)) else None
+      }.sortBy(-_._2)
+      val rerun = unstable.flatMap { case (n, sp) =>
+        // `remaining` moves as re-runs execute, so the guard is
+        // re-evaluated per query, not precomputed over the list
+        if (remaining <= 60.0) None else {
+          val t = run(n, qmap(n))
+          System.err.println(f"[bench] spread-rerun $n (spread ${sp}%.2f×): $t%.2f s")
+          if (t >= 0) Some(n -> t) else None
+        }
+      }.toMap
+      if (rerun.nonEmpty) { passes ::= rerun; snapshot.set(merge()) }
+    }
 
     emit()
     spark.stop()

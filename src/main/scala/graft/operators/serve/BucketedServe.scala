@@ -40,18 +40,23 @@ import graft.operators.vector.VectorOps
   */
 object BucketedServe {
 
-  /** Deterministic scratch path per index artifact: repeated runs
-    * OVERWRITE one location instead of accumulating per-run temp
-    * copies (a bench run re-executes each bucketed query up to four
-    * times — warm-up + three passes — and a `createTempDirectory` per
-    * execution leaked a full index copy each time). The overwrite-mode
-    * `saveAsTable` below replaces both the catalog entry and the path
-    * contents, so reuse is safe within the engine's sequential
-    * Verify/Bench execution model.
+  /** Deterministic scratch path per index artifact, namespaced by the
+    * Spark APPLICATION id: repeated executions within one app (a bench
+    * run re-executes each bucketed query up to four times — warm-up +
+    * three passes) OVERWRITE one location instead of accumulating
+    * per-run temp copies, while two concurrent JVMs (a Verify and a
+    * Bench on the same machine) can never half-overwrite each other's
+    * index mid-probe — each app owns its own directory. The
+    * overwrite-mode `saveAsTable` below replaces both the catalog
+    * entry and the path contents, so intra-app reuse is safe under
+    * the engine's sequential execution model.
     */
   def scratchPath(tableName: String): String = {
+    val app = try SparkSession.active.sparkContext.applicationId
+      catch { case _: Throwable => "noapp" }
     val d = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_serve_idx", tableName)
+      System.getProperty("java.io.tmpdir"), "graft_serve_idx",
+      app, tableName)
     java.nio.file.Files.createDirectories(d)
     d.toString
   }
@@ -84,13 +89,23 @@ object BucketedServe {
       val (s, n, maxDl) = TextOps.bm25CorpusStats(post, "writeBm25Index")
       val spark = post.sparkSession
       import spark.implicits._
-      Seq((s, n, maxDl)).toDF("s", "n", "max_dl")
+      // torn-build guard: stats and a trailing SEAL carry one shared
+      // build token; the postings write sits between them, so a probe
+      // that sees stats.token == seal.token knows the whole
+      // stats → postings → seal sequence completed. A build that dies
+      // mid-postings leaves fresh stats beside a stale (or absent)
+      // seal and the probe FAILS LOUDLY instead of silently scoring
+      // new postings with mismatched corpus stats.
+      val token = java.util.UUID.randomUUID().toString
+      Seq((s, n, maxDl, token)).toDF("s", "n", "max_dl", "build_token")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
       TextOps.bm25IndexRows(post, n, maxPostings)
         .write.format("parquet")
         .bucketBy(buckets, "tok").sortBy("tok")
         .option("path", s"$path/postings")
         .mode("overwrite").saveAsTable(tableName)
+      Seq(Tuple1(token)).toDF("build_token")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/seal")
     } finally post.unpersist(blocking = false)
   }
 
@@ -106,8 +121,17 @@ object BucketedServe {
       queries: DataFrame, qText: Column, qId: Column,
       k: Int = 10): DataFrame = {
     require(k >= 1, s"bm25ProbeIndex: k must be >= 1, got $k")
-    val Row(s: Long, n: Long, maxDl: Int) =
-      spark.read.parquet(s"$path/stats").head()
+    val Row(s: Long, n: Long, maxDl: Int, token: String) =
+      spark.read.parquet(s"$path/stats")
+        .select(col("s"), col("n"), col("max_dl"), col("build_token"))
+        .head()
+    val seal = try spark.read.parquet(s"$path/seal")
+        .select(col("build_token")).head().getString(0)
+      catch { case _: org.apache.spark.sql.AnalysisException => "" }
+    require(seal == token,
+      s"bm25ProbeIndex: torn index build at $path - stats token " +
+        s"'$token' != seal token '$seal'; rebuild the index " +
+        "(writeBm25Index) before probing")
     TextOps.bm25Guard(s, maxDl, "bm25ProbeIndex")
     TextOps.bm25Probe(spark.table(tableName), queries, qText, qId, k, s, n)
   }

@@ -673,14 +673,19 @@ object Dedup {
     require(widths.nonEmpty,
       s"simhash64AutoBandBits: no 64-bit band geometry guarantees " +
         s"hamming <= $maxHamming (needs ${maxHamming + 1} bands)")
-    val buckets = math.max(1.0,
-      n.toDouble / math.max(targetBucketRows, 1))
-    val needed = math.ceil(math.log(buckets) / math.log(2)).toInt
-    widths.find(_ >= needed).getOrElse(throw new IllegalArgumentException(
-      s"simhash64AutoBandBits: corpus n=$n wants $needed-bit band keys " +
-        s"for bounded occupancy, but the hamming<=$maxHamming pigeonhole " +
-        s"caps keys at ${widths.max} bits - lower maxHamming, raise " +
-        "targetBucketRows, or shard the corpus"))
+    // pure integer arithmetic: buckets = ceil(n / target); width w
+    // admits it iff 2^w >= buckets. The float form
+    // (ceil(ln(buckets)/ln 2)) could bump `needed` by 1 at exact
+    // powers of two, under-sizing keys or spuriously rejecting a
+    // corpus that fits the 32-bit ceiling exactly.
+    val target = math.max(targetBucketRows, 1).toLong
+    val buckets = math.max(1L, (n + target - 1L) / target)
+    widths.find(w => (1L << w) >= buckets).getOrElse(
+      throw new IllegalArgumentException(
+        s"simhash64AutoBandBits: corpus n=$n wants $buckets band-key " +
+          s"buckets for bounded occupancy, but the hamming<=$maxHamming " +
+          s"pigeonhole caps keys at ${widths.max} bits - lower " +
+          "maxHamming, raise targetBucketRows, or shard the corpus"))
   }
 
   /** Hamming-space band-lookup RECALL report — the measurement behind

@@ -173,10 +173,10 @@ object UnigramTrainer {
 
   /** [[viterbi]] with the SentencePiece `<unk>` fallback: a 1-char
     * span whose character has no vocabulary entry is admissible at
-    * score `unkLp`. Pick `unkLp` below `32 × min(lp)` (what
-    * [[unkLpFor]] returns) and one `<unk>` costs more than ANY real
-    * segmentation of a ≤32-char word — the fallback can never
-    * displace feasible coverage, only extend it.
+    * score `unkLp`. Pick `unkLp` below `max(32, |word|) × min(lp)`
+    * (what [[unkLpFor]] returns at `maxWordLen = |word|`) and one
+    * `<unk>` costs more than ANY real segmentation of the word — the
+    * fallback can never displace feasible coverage, only extend it.
     */
   def viterbiUnk(word: String, lp: Map[String, Double],
       maxPieceLen: Int, unkLp: Double): Seq[String] = {
@@ -222,12 +222,20 @@ object UnigramTrainer {
   }
 
   /** The `<unk>` score for a piece table: one unk is strictly worse
-    * than any 32-piece real segmentation, so unk is last-resort only
-    * (for words ≤ 32 chars — longer words would need a lower floor).
+    * than any real segmentation of a word up to `maxWordLen` chars —
+    * a feasible all-real path has at most `maxWordLen` pieces, each
+    * scoring at least `min(lp)`, so a floor below
+    * `min(lp) · max(32, maxWordLen)` keeps unk last-resort for EVERY
+    * word actually encoded (a fixed ·32 floor let a >32-char word —
+    * URLs, concatenated tokens — prefer an unk over feasible real
+    * coverage, silently mistokenizing coverable text). The
+    * `max(32, ·)` keeps short-word scores bit-identical to the
+    * historical fixed floor.
     */
-  def unkLpFor(pieces: Seq[(String, Double)]): Double = {
+  def unkLpFor(pieces: Seq[(String, Double)],
+      maxWordLen: Int = 32): Double = {
     require(pieces.nonEmpty, "unkLpFor: empty piece table")
-    pieces.map(_._2).min * 32 - 1.0
+    pieces.map(_._2).min * math.max(32, maxWordLen) - 1.0
   }
 
   /** Segment a corpus with a trained piece table — the tokenizer APPLY
@@ -242,8 +250,13 @@ object UnigramTrainer {
   def encode(docs: DataFrame, text: Column, id: Column,
       pieces: Seq[(String, Double)], maxPieceLen: Int = 6): DataFrame = {
     val lp = pieces.toMap
-    val unkLp = unkLpFor(pieces)
-    val seg = udf((w: String) => viterbiUnk(w, lp, maxPieceLen, unkLp))
+    val minLp = pieces.map(_._2).min
+    // per-word floor (unkLpFor's law at maxWordLen = THIS word's
+    // length): no count job, and the guarantee holds for words of any
+    // length — identical to the fixed floor for words <= 32 chars
+    val seg = udf((w: String) =>
+      viterbiUnk(w, lp, maxPieceLen,
+        minLp * math.max(32, w.length) - 1.0))
     val words = docs.select(id.as("doc_id"),
       posexplode(TextOps.tokens(text)).as(Seq("pos", "_w")))
     val vocab = words.select(col("_w")).distinct()

@@ -354,6 +354,41 @@ object LlmPack extends QueryPack {
        |SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
        |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
 
+  /** [[simhash64PairsSql]] with the band KEY WIDTH computed inside the
+    * SQL from the corpus count — the exact integer replay of
+    * [[graft.operators.text.Dedup.simhash64AutoBandBits]] (buckets =
+    * ceil(n/target); smallest admissible w with 2^w ≥ buckets), so the
+    * auto queries' oracle CO-MOVES with the engine at every SF instead
+    * of hard-pinning the sf0.01 branch (a >32 k-doc corpus flips the
+    * engine to 16-bit keys; a pinned-8 oracle would fail with a
+    * confusing value diff).
+    */
+  private def simhash64PairsAutoSql(maxHamming: Int,
+      target: Int = 128): String = {
+    val widths = Seq(8, 16, 32).filter(w => 64 / w - 1 >= maxHamming)
+    val wCase = widths.map(w =>
+      s"WHEN ((n + ${target - 1}) // $target) <= ${1L << w} THEN $w")
+      .mkString(" ")
+    s"""WITH sh AS ($simhash64FpSql),
+       |ww AS (SELECT CAST(CASE $wCase END AS INTEGER) AS w
+       |       FROM (SELECT greatest(CAST(count(*) AS BIGINT), 1) AS n
+       |             FROM documents)),
+       |bl0 AS (SELECT doc_id, sh64, w,
+       |          CAST(unnest(range(0, 64 // w)) AS INTEGER) AS band
+       |        FROM sh, ww),
+       |bl AS (SELECT doc_id, sh64, band,
+       |         (sh64 >> (w * band))
+       |           & ((CAST(1 AS BIGINT) << w) - 1) AS key
+       |       FROM bl0),
+       |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+       |           l.sh64 AS fa, r.sh64 AS fb
+       |         FROM bl l JOIN bl r
+       |           ON l.band = r.band AND l.key = r.key
+       |             AND l.doc_id < r.doc_id)
+       |SELECT a, b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
+  }
+
   /** Oracle for the Hamming recall reports: `fpsCte` must yield
     * `f(id, fp)`; exact all-pairs popcount vs banded candidates,
     * integer recall_milli — the Dedup.hammingRecallReport replay.
@@ -1313,15 +1348,15 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(simhash64PairsSql(3))),
 
-    // the corpus-sized wrapper (BENCH_NOTES_r19 §2 key-space law): at
-    // the verify/bench corpus sizes simhash64AutoBandBits resolves to
-    // the same 8-bit bands (needed = ceil(log2(n/128)) <= 8 up to
-    // ~32 k docs), so ONE oracle replays the auto path hash-exact; the
-    // sizing law itself is unit-pinned in LlmSpec.
+    // the corpus-sized wrapper (BENCH_NOTES_r19 §2 key-space law):
+    // the oracle computes the band width from the SAME corpus count
+    // the engine sizes from (simhash64PairsAutoSql), so oracle and
+    // engine co-move at every SF — a >32 k-doc corpus flips BOTH to
+    // 16-bit keys; the sizing law itself is unit-pinned in LlmSpec.
     "dedup_simhash64_auto" -> QueryDef(
       (s, dir) => Dedup.simhash64DupPairsAuto(
         Tables.documents(s, dir), col("text"), col("doc_id"), 3),
-      Some(simhash64PairsSql(3, 8))),
+      Some(simhash64PairsAutoSql(3))),
 
     "dfs_simhash64_auto" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -1329,7 +1364,7 @@ object LlmPack extends QueryPack {
           #|simhash_pairs(.id_field('doc_id').max_hamming(3).bits(64)
           #  .auto())
           #""".stripMargin('#'), s, dir),
-      Some(simhash64PairsSql(3, 8))),
+      Some(simhash64PairsAutoSql(3))),
 
     // the measured recall table for the simhash64 band lookup (judge
     // r13 item 8): per Hamming distance, exact all-pairs vs banded
@@ -5217,8 +5252,8 @@ object LlmPack extends QueryPack {
        |      FROM sl s JOIN pt p ON substr(s.w, s.j + 1, s.l) = p.piece
        |      UNION ALL
        |      SELECT s.w, s.j, s.j + 1 AS e,
-       |        CAST(${unigramPinnedPieces.map(_._2).min * 32 - 1}
-       |          AS BIGINT) AS sc
+       |        CAST(${unigramPinnedPieces.map(_._2).min}
+       |            AS BIGINT) * greatest(32, len(s.w)) - 1 AS sc
        |      FROM sl s WHERE s.l = 1
        |        AND substr(s.w, s.j + 1, 1) NOT IN
        |          (SELECT piece FROM pt)),

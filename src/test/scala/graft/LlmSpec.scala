@@ -895,14 +895,16 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.simhash64AutoBandBits(100000000L, 1, 128) == 32)
     intercept[IllegalArgumentException](
       Dedup.simhash64AutoBandBits(100000000L, 3, 128))
-    // the dedup_simhash64_auto ORACLE hard-pins 8-bit band keys (the
-    // dedup_cosine_auto convention): assert the driver's verify corpus
-    // actually keeps the auto rule on that branch, so the pin can't go
-    // silently stale if the corpus grows
+    // the dedup_simhash64_auto ORACLE computes its band width from the
+    // corpus count with the SAME ceil-divide + 2^w rule
+    // (simhash64PairsAutoSql), so it co-moves with the engine at every
+    // SF; anchor the verify corpus's branch here so a drift between
+    // the two formulations surfaces as THIS assert, not a value diff
     val n01 = Tables.documents(spark, "/root/testdata/sf0.01").count()
     assert(Dedup.simhash64AutoBandBits(n01, 3, 128) == 8,
-      s"verify corpus n=$n01 left the oracle's 8-bit branch — " +
-        "re-pin simhash64PairsSql's width in dedup_simhash64_auto")
+      s"verify corpus n=$n01 left the 8-bit branch — confirm " +
+        "simhash64PairsAutoSql picks the same width before trusting " +
+        "the oracle row")
     // auto result equals the explicitly-widthed call
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(400)
