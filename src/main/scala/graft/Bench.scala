@@ -63,7 +63,9 @@ object Bench {
     // materialized-artifact paths and the round-14 operators
     "graph_coreness", "text_bm25_serve", "text_ppl_kn", "text_ppl_kn3",
     "text_bm25_serve_bucketed", "emb_vs_bucketed_index",
-    "dedup_simhash64_auto")
+    "dedup_simhash64_auto",
+    // the incremental-refresh lifecycle (judge r14 item 1)
+    "text_bm25_serve_incr", "emb_vs_incr_index")
 
   /** Warm-up soft cap: the warm-up pass is COST-GATED like the timed
     * passes (it stops launching queries past this elapsed point) so a

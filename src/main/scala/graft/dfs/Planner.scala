@@ -2302,7 +2302,8 @@ object Planner {
     // the established-corpus rows (the decontaminate .benchmark
     // pattern); the rest probe the LSH index built from them
     "vs_index" -> bt(Set("text_field", "id_field", "index", "threshold",
-      "bands", "rows_per_band", "bucketed")) { (ctx, n, env) =>
+      "bands", "rows_per_band", "bucketed", "incremental",
+      "buckets")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("vs_index: .id_field"))
@@ -2312,15 +2313,29 @@ object Planner {
       val bands = optNum(n, "bands", env).map(_.toInt).getOrElse(4)
       val rpb = optNum(n, "rows_per_band", env).map(_.toInt).getOrElse(2)
       val thr = optNum(n, "threshold", env).getOrElse(0.3)
+      // .buckets(n): explicit bucket count for the materialized
+      // lifecycles; absent/0 = the autoBuckets occupancy law
+      val bk = optNum(n, "buckets", env).map(_.toInt).getOrElse(0)
+      // .incremental(): the REFRESH lifecycle — two append batches,
+      // the id % 5 == 3 stratum deleted via broadcast tombstones
+      if (optFlag(n, "incremental", env)) {
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_dfs_band_incr")
+        graft.operators.serve.IncrementalServe
+          .nearDupVsIncrementalLifecycle(
+            ctx.df.filter(!isIdx), ctx.df.filter(isIdx),
+            Paths.ref(text), Paths.ref(id), thr,
+            "graft_dfs_band_incr", tmp, bands, rpb, bk)
+      }
       // .bucketed(): the MATERIALIZED lifecycle — band index written
       // bucketBy(band, bh) to a real path, re-read, probed co-located
-      if (optFlag(n, "bucketed", env)) {
+      else if (optFlag(n, "bucketed", env)) {
         val tmp = graft.operators.serve.BucketedServe
           .scratchPath("graft_dfs_band_idx")
         graft.operators.serve.BucketedServe.nearDupVsBucketedIndex(
           ctx.df.filter(!isIdx), ctx.df.filter(isIdx),
           Paths.ref(text), Paths.ref(id), thr,
-          "graft_dfs_band_idx", tmp, bands, rpb)
+          "graft_dfs_band_idx", tmp, bands, rpb, bk)
       } else {
         val idx = graft.operators.text.Dedup.nearDupIndex(
           ctx.df.filter(isIdx), Paths.ref(text), Paths.ref(id), bands, rpb)
@@ -2335,7 +2350,8 @@ object Planner {
     // the rest probe .probes nearest of .cells; threshold form, so the
     // node streams as-is behind a stream-static join
     "vs_vector_index" -> bt(Set("vec_field", "id_field", "index",
-      "threshold", "cells", "probes", "bucketed")) { (ctx, n, env) =>
+      "threshold", "cells", "probes", "bucketed", "incremental",
+      "buckets")) { (ctx, n, env) =>
       val vec = optStr(n, "vec_field", env).getOrElse("embedding")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("vs_vector_index: .id_field"))
@@ -2347,13 +2363,23 @@ object Planner {
       val cents = V.ivfCentroids(ctx.df.filter(isIdx), id, vec, cells)
       val thr = optNum(n, "threshold", env).getOrElse(0.85)
       val probes = optNum(n, "probes", env).map(_.toInt).getOrElse(cells)
+      val bk = optNum(n, "buckets", env).map(_.toInt).getOrElse(0)
+      // .incremental(): the REFRESH lifecycle — two append batches, a
+      // stratum upserted, the id % 5 == 3 stratum tombstone-deleted
+      if (optFlag(n, "incremental", env)) {
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_dfs_cell_incr")
+        graft.operators.serve.IncrementalServe.annVsIncrementalLifecycle(
+          ctx.df.filter(!isIdx), ctx.df.filter(isIdx), id, vec, cents,
+          thr, probes, "graft_dfs_cell_incr", tmp, bk)
+      }
       // .bucketed(): cell index written bucketBy(_cell), re-read, probed
-      if (optFlag(n, "bucketed", env)) {
+      else if (optFlag(n, "bucketed", env)) {
         val tmp = graft.operators.serve.BucketedServe
           .scratchPath("graft_dfs_cell_idx")
         graft.operators.serve.BucketedServe.annVsBucketedIndex(
           ctx.df.filter(!isIdx), ctx.df.filter(isIdx), id, vec, cents,
-          thr, probes, "graft_dfs_cell_idx", tmp)
+          thr, probes, "graft_dfs_cell_idx", tmp, bk)
       } else {
         val idx = V.vectorIndex(ctx.df.filter(isIdx), id, vec, cents)
         V.annVsIndex(ctx.df.filter(!isIdx), idx, id, vec, cents, thr,
@@ -3307,7 +3333,8 @@ object Planner {
     // marks the query stratum; .prefix(n) retrieves with the first n
     // chars of the query doc's text (absent = the full text)
     "bm25_retrieve" -> bt(Set("text_field", "id_field", "queries", "k",
-      "prefix", "max_postings", "bucketed")) { (ctx, n, env) =>
+      "prefix", "max_postings", "bucketed", "incremental",
+      "buckets")) { (ctx, n, env) =>
       val text = optStr(n, "text_field", env).getOrElse("text")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("bm25_retrieve: .id_field"))
@@ -3319,16 +3346,27 @@ object Planner {
         .getOrElse(Paths.ref(text))
       val k = optNum(n, "k", env).map(_.toInt).getOrElse(10)
       val maxP = optNum(n, "max_postings", env).map(_.toInt).getOrElse(65536)
+      val bk = optNum(n, "buckets", env).map(_.toInt).getOrElse(0)
+      // .incremental(): the REFRESH lifecycle — stale half + odd half
+      // appended, even half upsert-corrected, probed off the live rows
+      if (optFlag(n, "incremental", env)) {
+        val tmp = graft.operators.serve.BucketedServe
+          .scratchPath("graft_dfs_bm25_incr")
+        graft.operators.serve.IncrementalServe.bm25ServeIncremental(
+          ctx.df, Paths.ref(text), Paths.ref(id),
+          ctx.df.filter(qpred.cast("boolean")), qText, Paths.ref(id), k,
+          "graft_dfs_bm25_incr", tmp, bk, maxP)
+      }
       // .bucketed(): posting table written bucketBy(tok) to a real
       // path, re-read through the catalog, probed — same exact
       // fixed-point Okapi either way
-      if (optFlag(n, "bucketed", env)) {
+      else if (optFlag(n, "bucketed", env)) {
         val tmp = graft.operators.serve.BucketedServe
           .scratchPath("graft_dfs_bm25_idx")
         graft.operators.serve.BucketedServe.bm25ServeBucketed(ctx.df,
           Paths.ref(text), Paths.ref(id),
           ctx.df.filter(qpred.cast("boolean")), qText, Paths.ref(id), k,
-          "graft_dfs_bm25_idx", tmp, maxPostings = maxP)
+          "graft_dfs_bm25_idx", tmp, bk, maxP)
       } else
         graft.operators.text.TextOps.bm25Retrieve(ctx.df, Paths.ref(text),
           Paths.ref(id), ctx.df.filter(qpred.cast("boolean")), qText,

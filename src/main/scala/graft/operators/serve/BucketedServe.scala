@@ -61,6 +61,36 @@ object BucketedServe {
     d.toString
   }
 
+  /** Bucket-count law for the serving artifacts — the occupancy
+    * discipline of `simhash64AutoBandBits` applied to the co-location
+    * story's load-bearing knob: too few buckets = giant bucket files
+    * (a bucket is ONE task's read unit on the index side — it bounds
+    * probe parallelism and memory), too many = a small-file storm and
+    * per-bucket overhead. The law: smallest power of two with at most
+    * `targetRowsPerBucket` rows per bucket, clamped to [8, 65536].
+    * The 4 Mi-row default targets ~100–200 MB bucket files at the
+    * posting/cell row widths (the HDFS-block sweet spot); the floor
+    * keeps small corpora at the historical 8; the ceiling caps
+    * file-count blowup — past it, grow `targetRowsPerBucket` or shard
+    * the artifact. Pure integer arithmetic (the ADVICE r14 rule: no
+    * float log at exact powers of two). `buckets = 0` on every write
+    * path routes here from ONE count job.
+    */
+  def autoBuckets(rows: Long,
+      targetRowsPerBucket: Long = 4L << 20): Int = {
+    require(targetRowsPerBucket >= 1,
+      s"autoBuckets: targetRowsPerBucket >= 1, got $targetRowsPerBucket")
+    val want = math.max(1L,
+      (math.max(rows, 0L) + targetRowsPerBucket - 1L) / targetRowsPerBucket)
+    val p2 = if (want <= 1L) 1L
+      else java.lang.Long.highestOneBit(want - 1L) << 1
+    math.min(65536L, math.max(8L, p2)).toInt
+  }
+
+  /** `buckets = 0` means "apply the [[autoBuckets]] law to `rows`". */
+  private[serve] def resolveBuckets(buckets: Int, rows: => Long): Int =
+    if (buckets == 0) autoBuckets(rows) else buckets
+
   /** Build and WRITE the BM25 posting index, bucketed + sorted by
     * `tok`. The stored row is DENORMALIZED — `(tok, doc_id, tf, dl,
     * idf_nano)` — so a probe touches exactly one table (the idf join
@@ -75,10 +105,10 @@ object BucketedServe {
     * recall trade.
     */
   def writeBm25Index(corpus: DataFrame, text: Column, id: Column,
-      tableName: String, path: String, buckets: Int = 8,
+      tableName: String, path: String, buckets: Int = 0,
       maxPostings: Int = 65536): Unit = {
-    require(buckets >= 1 && maxPostings >= 1,
-      "writeBm25Index: buckets >= 1 and maxPostings >= 1")
+    require(buckets >= 0 && maxPostings >= 1,
+      "writeBm25Index: buckets >= 0 (0 = auto) and maxPostings >= 1")
     // one corpus tokenization total (the bm25Retrieve discipline) —
     // persisted by hand because the scope ends in a WRITE, not a
     // frame; build + stats + index rows are THE SAME helpers
@@ -99,9 +129,12 @@ object BucketedServe {
       val token = java.util.UUID.randomUUID().toString
       Seq((s, n, maxDl, token)).toDF("s", "n", "max_dl", "build_token")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      // the autoBuckets count job reads the PERSISTED postings — the
+      // one frame already materialized for the stats job
+      val nb = resolveBuckets(buckets, post.count())
       TextOps.bm25IndexRows(post, n, maxPostings)
         .write.format("parquet")
-        .bucketBy(buckets, "tok").sortBy("tok")
+        .bucketBy(nb, "tok").sortBy("tok")
         .option("path", s"$path/postings")
         .mode("overwrite").saveAsTable(tableName)
       Seq(Tuple1(token)).toDF("build_token")
@@ -142,7 +175,7 @@ object BucketedServe {
     */
   def bm25ServeBucketed(corpus: DataFrame, text: Column, id: Column,
       queries: DataFrame, qText: Column, qId: Column, k: Int,
-      tableName: String, path: String, buckets: Int = 8,
+      tableName: String, path: String, buckets: Int = 0,
       maxPostings: Int = 65536): DataFrame = {
     writeBm25Index(corpus, text, id, tableName, path, buckets, maxPostings)
     bm25ProbeIndex(corpus.sparkSession, tableName, path,
@@ -157,11 +190,14 @@ object BucketedServe {
     */
   def writeVectorIndex(corpus: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Float]], tableName: String, path: String,
-      buckets: Int = 8): Unit = {
-    require(buckets >= 1, "writeVectorIndex: buckets >= 1")
+      buckets: Int = 0): Unit = {
+    require(buckets >= 0, "writeVectorIndex: buckets >= 0 (0 = auto)")
+    // index rows = corpus rows exactly (one per vector): the auto law's
+    // count job is a parquet metadata count, no scan
+    val nb = resolveBuckets(buckets, corpus.count())
     VectorOps.vectorIndexFrame(corpus, idCol, vecCol, cents)
       .write.format("parquet")
-      .bucketBy(buckets, "_cell").sortBy("_cell")
+      .bucketBy(nb, "_cell").sortBy("_cell")
       .option("path", s"$path/cells")
       .mode("overwrite").saveAsTable(tableName)
   }
@@ -174,12 +210,14 @@ object BucketedServe {
     */
   def writeNearDupIndex(corpus: DataFrame, text: Column, id: Column,
       tableName: String, path: String, bands: Int = 4,
-      rowsPerBand: Int = 2, buckets: Int = 8): Unit = {
-    require(buckets >= 1, "writeNearDupIndex: buckets >= 1")
+      rowsPerBand: Int = 2, buckets: Int = 0): Unit = {
+    require(buckets >= 0, "writeNearDupIndex: buckets >= 0 (0 = auto)")
+    // index rows = corpus rows × bands exactly: metadata count, no scan
+    val nb = resolveBuckets(buckets, corpus.count() * bands)
     graft.operators.text.Dedup
       .nearDupIndex(corpus, text, id, bands, rowsPerBand)
       .write.format("parquet")
-      .bucketBy(buckets, "band", "bh").sortBy("band", "bh")
+      .bucketBy(nb, "band", "bh").sortBy("band", "bh")
       .option("path", s"$path/bands")
       .mode("overwrite").saveAsTable(tableName)
   }
@@ -192,7 +230,7 @@ object BucketedServe {
   def nearDupVsBucketedIndex(arrivals: DataFrame, corpus: DataFrame,
       text: Column, id: Column, threshold: Double,
       tableName: String, path: String, bands: Int = 4,
-      rowsPerBand: Int = 2, buckets: Int = 8): DataFrame = {
+      rowsPerBand: Int = 2, buckets: Int = 0): DataFrame = {
     writeNearDupIndex(corpus, text, id, tableName, path, bands,
       rowsPerBand, buckets)
     graft.operators.text.Dedup.nearDupVsIndex(arrivals, text, id,
@@ -207,7 +245,7 @@ object BucketedServe {
   def annVsBucketedIndex(arrivals: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, cents: Array[Array[Float]],
       threshold: Double, nProbe: Int, tableName: String, path: String,
-      buckets: Int = 8): DataFrame = {
+      buckets: Int = 0): DataFrame = {
     writeVectorIndex(corpus, idCol, vecCol, cents, tableName, path, buckets)
     VectorOps.annVsIndex(arrivals,
       arrivals.sparkSession.table(tableName),

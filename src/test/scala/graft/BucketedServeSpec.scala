@@ -150,6 +150,33 @@ class BucketedServeSpec extends AnyFunSuite {
     assert(viaBucketed === direct)
   }
 
+  test("autoBuckets: the occupancy law — smallest power of two at or " +
+      "under the row target, clamped to [8, 65536], pure integer " +
+      "arithmetic at exact powers of two") {
+    val T = 4L << 20
+    // floor: small corpora stay at the historical 8
+    assert(BucketedServe.autoBuckets(0L) == 8)
+    assert(BucketedServe.autoBuckets(1L) == 8)
+    assert(BucketedServe.autoBuckets(T) == 8)
+    assert(BucketedServe.autoBuckets(8L * T) == 8)
+    // growth: want = ceil(rows/target) rounded up to a power of two
+    assert(BucketedServe.autoBuckets(8L * T + 1L) == 16)
+    assert(BucketedServe.autoBuckets(9L * T) == 16)
+    assert(BucketedServe.autoBuckets(16L * T) == 16)
+    assert(BucketedServe.autoBuckets(17L * T) == 32)
+    // exact power of two stays exact (the integer-arithmetic rule —
+    // a float log here could bump 1024 to 2048)
+    assert(BucketedServe.autoBuckets(1024L * T) == 1024)
+    // ceiling: file-count blowup is capped
+    assert(BucketedServe.autoBuckets(Long.MaxValue / 4) == 65536)
+    // the 100 TB worked example from SCALE.md: ~2.5e12 posting rows
+    assert(BucketedServe.autoBuckets(2500000000000L) == 65536)
+    // driver corpora resolve to the floor — auto default changes no
+    // registered plan (measured posting rows: BenchBucketKnob)
+    assert(BucketedServe.autoBuckets(116231L) == 8)   // sf0.1 postings
+    assert(BucketedServe.autoBuckets(1162310L) == 8)  // sf1 postings
+  }
+
   test("bucketed vector serve is bit-identical to the in-memory index") {
     val emb = Tables.embeddings(spark, sf)
     val idx = emb.filter(col("vec_id") % 7 =!= 0)

@@ -1463,4 +1463,113 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Int, Int)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("incremental BM25: foreachBatch appends each arriving " +
+      "micro-batch into the bucketed artifact; the final probe equals " +
+      "the one-shot build over everything that arrived") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.serve.IncrementalServe
+    val docs = (1L to 24L).map(i =>
+      (i, (0 until 12).map(t => s"w${(i + t) % 9}").mkString(" ")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_bm25").toString
+    S.reset(spark, "graft_stream_bm25_t", dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // the REFRESH loop as a stream: every micro-batch lands in the
+    // SAME bucketed table at its own generation — the index is never
+    // rebuilt, exactly the 100 TB maintenance shape
+    val q = in.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        S.appendBm25Batch(mb, col("text"), col("doc_id"),
+          "graft_stream_bm25_t", dir, buckets = 4)
+        ()
+      }.start()
+    in.addData(docs.take(8)); q.processAllAvailable()
+    in.addData(docs.slice(8, 16)); q.processAllAvailable()
+    in.addData(docs.drop(16)); q.processAllAvailable()
+    q.stop()
+    val all = docs.toDF("doc_id", "text")
+    val queries = all.filter(col("doc_id") % 5 === 0)
+    val got = S.bm25ProbeIncremental(spark, "graft_stream_bm25_t", dir,
+      queries, col("text"), col("doc_id"), k = 3)
+      .collect().map(_.toString).toSet
+    val oneShot = graft.operators.text.TextOps.bm25Retrieve(all,
+      col("text"), col("doc_id"), queries, col("text"), col("doc_id"),
+      k = 3).collect().map(_.toString).toSet
+    assert(got.nonEmpty && got == oneShot)
+  }
+
+  test("bucketed BM25 artifact: a STREAM of queries probes the catalog " +
+      "table per micro-batch (foreachBatch — the rank cut needs a " +
+      "bounded batch); union of emissions equals the batch probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val B = graft.operators.serve.BucketedServe
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 15).map(t => s"w${(i * 3 + t) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_bm25_probe").toString
+    B.writeBm25Index(docs, col("text"), col("doc_id"),
+      "graft_stream_bm25_probe_t", dir, buckets = 4)
+    val qrows = (1L to 6L).map(i =>
+      (100L + i, s"w${i % 11} w${(i + 1) % 11}"))
+    val batch = B.bm25ProbeIndex(spark, "graft_stream_bm25_probe_t", dir,
+      qrows.toDF("q", "t"), col("t"), col("q"), k = 3)
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[String]
+    val q = in.toDS().toDF("q", "t").writeStream
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= B.bm25ProbeIndex(spark, "graft_stream_bm25_probe_t", dir,
+          mb, col("t"), col("q"), k = 3).collect().map(_.toString)
+        ()
+      }.start()
+    in.addData(qrows.take(3)); q.processAllAvailable()
+    in.addData(qrows.drop(3)); q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == batch)
+  }
+
+  test("bucketed vector artifact: annVsIndex probes the CATALOG table " +
+      "as a real append-mode stream (stream-static join over the " +
+      "bucketed scan) and matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def v(seed: Int, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(dim)(i =>
+        (if (i % (seed + 2) == 0) 1f else -0.1f) + (if (i == 0) eps else 0f))
+    val V = graft.operators.vector.VectorOps
+    val B = graft.operators.serve.BucketedServe
+    val idxDf = Seq((100L, v(3)), (101L, v(7)), (102L, v(11)))
+      .toDF("vec_id", "embedding")
+    val arriving = Seq((1L, v(3, 0.01f)), (2L, v(5)), (3L, v(7, -0.02f)))
+    val cents = V.ivfCentroids(idxDf, "vec_id", "embedding", 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_cell").toString
+    B.writeVectorIndex(idxDf, "vec_id", "embedding", cents,
+      "graft_stream_cell_t", dir, buckets = 4)
+    def serve(df: org.apache.spark.sql.DataFrame) =
+      V.annVsIndex(df, spark.table("graft_stream_cell_t"),
+        "vec_id", "embedding", cents, 0.9, 2)
+    val batch = serve(arriving.toDF("vec_id", "embedding"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(batch == Set((1L, 100L), (3L, 101L)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = serve(in.toDS().toDF("vec_id", "embedding")).writeStream
+      .format("memory").queryName("vs_cell_catalog")
+      .outputMode("append").start()
+    in.addData(arriving.take(1)); q.processAllAvailable()
+    in.addData(arriving.drop(1)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vs_cell_catalog")
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(got == batch)
+  }
 }
