@@ -1846,8 +1846,20 @@ object Planner {
         val as = optStrs(n, "as", env)
         val outs = if (as.size == mods.size) as else mods
         val aggs = mods.zip(outs).map { case (m, o) =>
-          graft.operators.agg.AggFunctions
-            .column(m, Paths.ref(f), col(ctx.tsMs)).as(o)
+          val c = graft.operators.agg.AggFunctions
+            .column(m, Paths.ref(f), col(ctx.tsMs))
+          // float-SUM aggregates are partial-aggregation-order-
+          // dependent in the last ULPs (the sf1 sweep measured avg
+          // diverging from a sequential engine at the 13th digit once
+          // groups reached ~17k rows); the monitoring bundle rounds
+          // them at the repo's 6-decimal contract so the emitted stat
+          // is partition-count-invariant. Order-exact modules
+          // (count/min/max/median/first/last/...) pass through.
+          (m match {
+            case "avg" | "mean" | "geometric_mean" | "variance" |
+                 "stddev" | "skew" | "kurtosis" => round(c, 6)
+            case _ => c
+          }).as(o)
         }
         ctx.copy(df = groupedAgg(ctx, aggs), win = None, io = Point,
           ts = "", tsMs = aggEventTime(ctx))

@@ -184,6 +184,41 @@ object FixedLog {
     }
     p * Ln2Nano + 2L * (t1 + acc)
   }
+
+  /** `e^x` in nano fixed point over `0 ≤ xNano ≤ 10⁹` (x ∈ [0, 1]):
+    * a 13-term Horner evaluation with TRUNCATING integer division at
+    * every step — the [[lnNanoRef]] doctrine for the exp direction.
+    * Why it exists: libm `exp` differs across engines by an ULP on
+    * some inputs, AND `round()` CONVENTIONS differ near decimal
+    * boundaries (Spark rounds the double's exact binary expansion via
+    * BigDecimal; DuckDB multiplies by 10^d first), so a sigmoid in an
+    * oracle-checked data path must be the same exact integer algorithm
+    * everywhere — this function IS the contract, not an approximation
+    * of libm (agreement ~10⁻⁸ over the domain). Scala `/`, Spark
+    * `div` and DuckDB `//` all truncate toward zero, so the chain
+    * replays identically in all three ([[expNanoExpr]] renders it).
+    */
+  def expNanoRef(xNano: Long): Long = {
+    require(xNano >= 0 && xNano <= 1000000000L,
+      s"expNano: xNano in [0, 1e9], got $xNano")
+    var acc = 1000000000L
+    var k = 13
+    while (k >= 1) {
+      acc = 1000000000L + xNano * acc / (k * 1000000000L)
+      k -= 1
+    }
+    acc
+  }
+
+  /** Render the [[expNanoRef]] Horner chain over an integer SQL
+    * expression; `idiv` is the dialect's truncating integer division
+    * (`div` in Spark SQL, `//` in DuckDB). Overflow headroom: the
+    * largest intermediate is `xNano · acc ≤ 10⁹ · e·10⁹ < 2.8·10¹⁸`.
+    */
+  def expNanoExpr(x: String, idiv: String): String =
+    (1 to 13).foldRight("1000000000") { (k, acc) =>
+      s"(1000000000 + (($x) * $acc) $idiv ${k}000000000)"
+    }
 }
 
 /** `lnNano(m)`: the [[FixedLog]] fixed-point integer natural log as a

@@ -81,30 +81,36 @@ object SeriesExpressions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
-/** Native mean hashed-token weight — the inner loop of
+/** Native hashed-token weight SUM — the inner loop of
   * `TextOps.withQualityLr`. The HOF fold interprets
-  * `md5 → conv → % → /` per token; this runs the identical arithmetic
+  * `md5 → conv → %` per token; this runs the identical arithmetic
   * (md5 of the token's UTF-8 bytes, first 15 hex chars as a 60-bit
   * long — i.e. the first 8 digest bytes big-endian `>>> 4` —
-  * `% 2001 − 1000`, `/ 1000.0`, left-to-right double fold, one final
-  * divide by the token count) in one compiled loop per row.
-  * CodegenFallback for the ZNormBestMatch reason: per-row dispatch is
-  * noise next to the per-token digest work.
+  * `% 2001 − 1000`) in one compiled loop per row and returns the
+  * EXACT LONG sum of the integer numerators. Returning the integer —
+  * not a mean double — is the determinism load-bearer: the weights
+  * are exact 1/1000 lattice points, and every downstream rounding
+  * (the 6-decimal logit, the fixed-point sigmoid) happens in integer
+  * arithmetic that replays identically in any engine. A double fold
+  * was an ULP off a sequential engine on some sf1 rows, flipping
+  * 1e-6-boundary means. CodegenFallback for the ZNormBestMatch
+  * reason: per-row dispatch is noise next to the per-token digest
+  * work.
   */
-case class HashedMeanWeight(child: Expression)
+case class HashedWeightSum(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with ExpectsInputTypes with CodegenFallback {
 
   override def inputTypes = Seq(ArrayType(StringType))
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "hashed_mean_weight"
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hashed_weight_sum"
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
     val md = java.security.MessageDigest.getInstance("MD5")
-    var acc = 0.0
+    var acc = 0L
     var i = 0
     while (i < n) {
       md.reset()
@@ -113,14 +119,14 @@ case class HashedMeanWeight(child: Expression)
       var j = 0
       while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
       h = h >>> 4 // first 15 hex chars = 60 bits
-      acc += (h % 2001L - 1000L) / 1000.0
+      acc += h % 2001L - 1000L
       i += 1
     }
-    acc / n
+    acc
   }
 
   override protected def withNewChildInternal(
-      newChild: Expression): HashedMeanWeight = copy(child = newChild)
+      newChild: Expression): HashedWeightSum = copy(child = newChild)
 }
 
 /** Native scaled token-entropy sum — the inner loop of
@@ -935,8 +941,8 @@ object TextExpressions {
   def tokenGrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(TokenGrams(ColumnBridge.expression(tokens), n))
 
-  def hashedMeanWeight(tokens: Column): Column =
-    ColumnBridge.column(HashedMeanWeight(ColumnBridge.expression(tokens)))
+  def hashedWeightSum(tokens: Column): Column =
+    ColumnBridge.column(HashedWeightSum(ColumnBridge.expression(tokens)))
 
   def tokenEntropyScaled(tokens: Column): Column =
     ColumnBridge.column(TokenEntropyScaled(ColumnBridge.expression(tokens)))

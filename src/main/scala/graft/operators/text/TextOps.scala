@@ -1372,35 +1372,63 @@ object TextOps {
     (hash60(t) % 2001 - 1000) / lit(1000.0)
 
   /** Mean hashed-token weight — the linear classifier's raw logit.
-    * Sequential fold, double accumulator (the dotSql determinism
-    * contract); one interpreted pass per row, same class as
-    * [[langScoreFromTokens]].
+    * The per-token weights are EXACT 1/1000 lattice points, so the sum
+    * runs over the integer numerators (order-free exact adds) and
+    * divides by `1000 · n` ONCE — a single correctly-rounded IEEE op
+    * over exact operands, bit-identical in any engine. A double fold
+    * of the k/1000 quotients was an ULP off a sequential engine's fold
+    * on some rows, and 1e-6-boundary means flipped their 6th digit
+    * (the sf1 sweep measured 10 such cells at 50 k docs).
     */
-  def lrScoreFromTokens(toks: Column): Column =
-    aggregate(toks, lit(0.0), (acc, t) => acc + lrTokenWeight(t)) /
-      size(toks)
+  def lrWeightSumFromTokens(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => acc + (hash60(t) % 2001 - 1000))
 
   /** Linear quality-classifier scoring (fastText-style hashing trick):
     * appends `n_tok`, the raw mean-weight logit `lr_raw`, and the
     * sigmoid probability `lr_prob` to every row with at least one
-    * token. Pure per-row expressions — zero shuffle, streams as-is; the
-    * probability is computed from the ROUNDED logit so a sub-ULP `exp`
-    * divergence between engines cannot move it.
+    * token. Pure per-row expressions — zero shuffle, streams as-is —
+    * and INTEGER-EXACT end to end (the LnNano doctrine, forced by the
+    * sf1 sweep): the per-token weights are exact 1/1000 lattice
+    * points, so the logit is the half-away-rounded micro integer of
+    * `1000·S/n` (a float fold was an ULP off a sequential engine on
+    * some rows, and `round()` CONVENTIONS differ across engines near
+    * boundaries — Spark rounds the double's exact binary expansion,
+    * DuckDB multiplies by 10^d first, so even identical doubles can
+    * round apart); the sigmoid is [[graft.functions.FixedLog
+    * .expNanoRef]]'s 13-term integer Horner (libm exp differs across
+    * engines by an ULP), with the 6-decimal cut done in integer
+    * arithmetic. Scala `/`, Spark `div` and DuckDB `//` all truncate
+    * toward zero, so every step replays identically in all three.
     */
-  def withQualityLr(docs: DataFrame, text: Column): DataFrame =
+  def withQualityLr(docs: DataFrame, text: Column): DataFrame = {
+    val F = graft.functions.FixedLog
     docs
       // blank text first: split(trim(""), \s+) is [""] — ONE empty
       // token, not zero — so the no-token gate is on trimmed length
       .filter(length(trim(text)) >= 1)
       .withColumn("_t", tokens(text))
       .withColumn("n_tok", size(col("_t")))
-      // native fold (graft.functions.HashedMeanWeight) — identical
-      // arithmetic to [[lrScoreFromTokens]], which stays as the A/B spec
-      .withColumn("lr_raw", round(
-        graft.functions.TextExpressions.hashedMeanWeight(col("_t")), 6))
-      .withColumn("lr_prob",
-        round(lit(1.0) / (lit(1.0) + exp(-col("lr_raw"))), 6))
-      .drop("_t")
+      // native integer fold (graft.functions.HashedWeightSum) —
+      // identical arithmetic to [[lrWeightSumFromTokens]], the A/B spec
+      .withColumn("_s",
+        graft.functions.TextExpressions.hashedWeightSum(col("_t")))
+      // micro logit = half-away round of 1000·S/n, all integers
+      .withColumn("_m", expr(
+        "(2000 * _s + (CASE WHEN _s < 0 THEN -n_tok ELSE n_tok END)) " +
+          "div (2 * n_tok)"))
+      .withColumn("lr_raw", col("_m") / lit(1000000.0))
+      // fixed-point sigmoid: E = e^{|x|}·1e9 (|x| ≤ 1 by construction:
+      // every weight is in [-1, 1], so the mean is), e^{-x} by exact
+      // integer inversion, probability + 6-decimal cut in integers
+      .withColumn("_e", expr(F.expNanoExpr("abs(_m) * 1000", "div")))
+      .withColumn("_em", expr(
+        "CASE WHEN _m >= 0 THEN 1000000000000000000 div _e ELSE _e END"))
+      .withColumn("lr_prob", expr(
+        "((1000000000000000000 div (1000000000 + _em)) + 500) div 1000")
+        / lit(1000000.0))
+      .drop("_t", "_s", "_m", "_e", "_em")
+  }
 
   /** BPE merge-candidate mining — iteration 1 of byte-pair-encoding
     * tokenizer training: adjacent character-pair counts inside words,

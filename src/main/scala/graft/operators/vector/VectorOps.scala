@@ -580,12 +580,17 @@ object VectorOps {
     cosineDupPairs(df, idCol, vecCol, threshold, bands, r, dim, maxBucketSize)
   }
 
-  /** ceil(log2(n / targetBucketRows)) clamped to [4, 24] — exposed for
-    * the spec's sizing pins.
+  /** Smallest r with 2^r ≥ ceil(n / targetBucketRows), clamped to
+    * [4, 24] — exposed for the spec's sizing pins. Pure integer
+    * arithmetic (the simhash64AutoBandBits rule: a float ceil(log2)
+    * can bump the width by 1 at exact powers of two).
     */
   def autoBits(n: Long, targetBucketRows: Int): Int = {
-    val buckets = math.max(1.0, n.toDouble / math.max(targetBucketRows, 1))
-    math.min(24, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+    val target = math.max(targetBucketRows, 1).toLong
+    val buckets = math.max(1L, (n + target - 1L) / target)
+    val needed = if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
+    math.min(24, math.max(4, needed))
   }
 
   /** Exact all-pairs cosine near-duplicates — [[cosineDupPairs]]'s exact

@@ -546,8 +546,8 @@ object DfsPack extends QueryPack {
       Some("""SELECT event_type,
              |  (epoch_ms(ts) // 2592000000) * 2592000000 AS window_start_ms,
              |  (epoch_ms(ts) // 2592000000) * 2592000000 + 2592000000 AS window_end_ms,
-             |  avg(value) AS avg, min(value) AS min, max(value) AS max,
-             |  count(value) AS count
+             |  round(avg(value), 6) AS avg, min(value) AS min,
+             |  max(value) AS max, count(value) AS count
              |FROM events GROUP BY 1, 2, 3""".stripMargin)),
 
     // stateless lambda pipeline through the front-end: eval chain with

@@ -128,6 +128,107 @@ object LlmPack extends QueryPack {
        |SELECT a, b, sim FROM sims WHERE sim >= 0.4""".stripMargin
   }
 
+  /** Width-DYNAMIC plane banding for the cosine AUTO oracles (the
+    * simhash64PairsAutoSql discipline carried to sign-bit LSH, where
+    * the output genuinely depends on the width — no pigeonhole): one
+    * band-row UNION branch per admissible rowsPerBand width r ∈ [4, 8],
+    * each gated on the SQL-computed autoBits width (integer threshold
+    * replay of `VectorOps.autoBits` at target 128 — smallest r with
+    * 2^r ≥ ceil(n/128), min-clamped to 4). Each branch carries ITS
+    * width's plane set, so the geometry replays exactly: sf0.01/sf0.1
+    * resolve 4 bits, the sf1 sweep corpus (20 k embeddings) 8. A
+    * corpus past 32 768 embeddings selects NO branch and the oracle
+    * returns zero rows — a loud rows mismatch naming the next width to
+    * add, never a silently wrong geometry. The sf1 sweep caught
+    * exactly this class: the pinned-4-bit oracle read 52 297 pairs
+    * against the engine's 8-bit 10 954.
+    */
+  private def autoBandSel(bands: Int): String = {
+    val widths = 4 to 8
+    val wCase = widths.map(k => s"WHEN _b <= ${1L << k} THEN $k")
+      .mkString(" ")
+    val ww =
+      s"""(SELECT CASE $wCase END
+         | FROM (SELECT greatest((count(*) + 127) // 128,
+         |                       CAST(1 AS BIGINT)) AS _b
+         |       FROM embeddings))""".stripMargin
+    def planeLit(p: Array[Float]) =
+      p.map(v => s"CAST($v AS FLOAT)").mkString("[", ",", "]")
+    widths.flatMap { w =>
+      val ps = VectorOps.planes(bands * w, 64)
+      def bh(b: Int) = (0 until w).map { j =>
+        s"""(CASE WHEN ${dotSql("embedding", planeLit(ps(b * w + j)))} > 0
+           | THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+      }.mkString(" +\n  ")
+      (0 until bands).map(b =>
+        s"SELECT vec_id, $b AS band, ${bh(b)} AS bh FROM embeddings " +
+          s"WHERE $ww = $w")
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** [[cosinePairsOracle]] with the width computed from the corpus
+    * count ([[autoBandSel]]) and the engine's per-(band, bucket)
+    * maxBucketSize = 4096 cap replayed — the dedup_cosine_auto oracle
+    * that co-moves with `cosineDupPairsAuto` at every SF.
+    */
+  private lazy val cosinePairsAutoSql: String = {
+    val dotAB = dotSql("va.embedding", "vb.embedding")
+    val nA = dotSql("va.embedding", "va.embedding")
+    val nB = dotSql("vb.embedding", "vb.embedding")
+    s"""WITH bnd0 AS (${autoBandSel(4)}),
+       |bnd AS (SELECT vec_id, band, bh
+       |        FROM (SELECT *, row_number() OVER
+       |                (PARTITION BY band, bh ORDER BY vec_id) AS _r
+       |              FROM bnd0)
+       |        WHERE _r <= 4096),
+       |cand AS (SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+       |         FROM bnd la JOIN bnd lb
+       |           ON la.band = lb.band AND la.bh = lb.bh
+       |              AND la.vec_id < lb.vec_id),
+       |sims AS (SELECT a, b,
+       |           round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
+       |         FROM cand
+       |         JOIN embeddings va ON va.vec_id = a
+       |         JOIN embeddings vb ON vb.vec_id = b)
+       |SELECT a, b, sim FROM sims WHERE sim >= 0.4""".stripMargin
+  }
+
+  /** [[semanticDeconSql]] with the width computed from the corpus
+    * count — the emb_semantic_decon_auto oracle that co-moves with
+    * `semanticDeconAuto` at every SF (same per-(band, bucket, SIDE)
+    * cap replay).
+    */
+  private lazy val semanticDeconAutoSql: String = {
+    val dotAB = dotSql("va.embedding", "vb.embedding")
+    val nA = dotSql("va.embedding", "va.embedding")
+    val nB = dotSql("vb.embedding", "vb.embedding")
+    s"""WITH bnd0 AS (${autoBandSel(4)}),
+       |bnd AS (SELECT vec_id, band, bh
+       |        FROM (SELECT *, row_number() OVER
+       |                (PARTITION BY band, bh, vec_id % 13 = 0
+       |                 ORDER BY vec_id) AS _r
+       |              FROM bnd0)
+       |        WHERE _r <= 4096),
+       |cand AS (SELECT DISTINCT la.vec_id AS a, lb.vec_id AS b
+       |         FROM bnd la JOIN bnd lb
+       |           ON la.band = lb.band AND la.bh = lb.bh
+       |         WHERE la.vec_id % 13 <> 0 AND lb.vec_id % 13 = 0),
+       |sims AS (SELECT a, b,
+       |           round($dotAB / (sqrt($nA) * sqrt($nB)), 6) AS sim
+       |         FROM cand
+       |         JOIN embeddings va ON va.vec_id = a
+       |         JOIN embeddings vb ON vb.vec_id = b),
+       |hits AS (SELECT a, CAST(count(*) AS BIGINT) AS nh,
+       |           max(sim) AS ms
+       |         FROM sims WHERE sim >= 0.4 GROUP BY a)
+       |SELECT e.vec_id,
+       |  coalesce(h.nh, 0) AS n_hits,
+       |  coalesce(h.ms, 0.0) AS max_sim,
+       |  h.nh IS NOT NULL AS contaminated
+       |FROM embeddings e LEFT JOIN hits h ON h.a = e.vec_id
+       |WHERE e.vec_id % 13 <> 0""".stripMargin
+  }
+
   // the full semantic-decontamination replay: same planes/bands as
   // cosinePairsOracle, the operator's per-(band, bucket, SIDE)
   // maxBucketSize=4096 cap replayed as a row_number before the
@@ -413,10 +514,14 @@ object LlmPack extends QueryPack {
   private def simhash64PairsSql(maxHamming: Int,
       bandBits: Int = 16): String =
     s"""WITH sh AS ($simhash64FpSql),
-       |bl AS (SELECT doc_id, sh64, CAST(i AS INTEGER) AS band,
-       |         (sh64 >> ($bandBits * CAST(i AS INTEGER)))
-       |           & ${(1L << bandBits) - 1L} AS key
-       |       FROM sh, unnest(range(0, ${64 / bandBits})) t(i)),
+       |bl AS (SELECT doc_id, sh64, band, key FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY band, key
+       |            ORDER BY doc_id) AS _r
+       |        FROM (SELECT doc_id, sh64, CAST(i AS INTEGER) AS band,
+       |                (sh64 >> ($bandBits * CAST(i AS INTEGER)))
+       |                  & ${(1L << bandBits) - 1L} AS key
+       |              FROM sh, unnest(range(0, ${64 / bandBits})) t(i)))
+       |       WHERE _r <= 4096),
        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
        |           l.sh64 AS fa, r.sh64 AS fb
        |         FROM bl l JOIN bl r
@@ -447,10 +552,14 @@ object LlmPack extends QueryPack {
        |bl0 AS (SELECT doc_id, sh64, w,
        |          CAST(unnest(range(0, 64 // w)) AS INTEGER) AS band
        |        FROM sh, ww),
-       |bl AS (SELECT doc_id, sh64, band,
-       |         (sh64 >> (w * band))
-       |           & ((CAST(1 AS BIGINT) << w) - 1) AS key
-       |       FROM bl0),
+       |bl AS (SELECT doc_id, sh64, band, key FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY band, key
+       |            ORDER BY doc_id) AS _r
+       |        FROM (SELECT doc_id, sh64, band,
+       |                (sh64 >> (w * band))
+       |                  & ((CAST(1 AS BIGINT) << w) - 1) AS key
+       |              FROM bl0))
+       |       WHERE _r <= 4096),
        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
        |           l.sh64 AS fa, r.sh64 AS fb
        |         FROM bl l JOIN bl r
@@ -490,14 +599,22 @@ object LlmPack extends QueryPack {
        |FROM ex LEFT JOIN ht USING (hamming)""".stripMargin
 
   /** Oracle for the simhash-pairs queries: the shared fingerprint
-    * replay, the 4 byte-block keys, block-equality candidates, and the
-    * popcount verify — pure integer logic.
+    * replay, the 4 byte-block keys, the engine's per-(block, key)
+    * maxBucketSize = 4096 cap (row_number by doc_id — REQUIRED at
+    * corpus sizes where 8-bit buckets saturate: the sf1 sweep caught
+    * the uncapped oracle over-counting by 3,318 pairs at 50 k docs),
+    * block-equality candidates, and the popcount verify — pure
+    * integer logic.
     */
   private def simhashPairsSql(maxHamming: Int): String =
     s"""WITH sh AS ($simhashFpSql),
-       |bl AS (SELECT doc_id, sh32, CAST(i AS INTEGER) AS blk,
-       |         (sh32 >> (8 * CAST(i AS INTEGER))) & 255 AS key
-       |       FROM sh, unnest(range(0, 4)) t(i)),
+       |bl AS (SELECT doc_id, sh32, blk, key FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY blk, key
+       |            ORDER BY doc_id) AS _r
+       |        FROM (SELECT doc_id, sh32, CAST(i AS INTEGER) AS blk,
+       |                (sh32 >> (8 * CAST(i AS INTEGER))) & 255 AS key
+       |              FROM sh, unnest(range(0, 4)) t(i)))
+       |       WHERE _r <= 4096),
        |cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
        |           l.sh32 AS fa, r.sh32 AS fb
        |         FROM bl l JOIN bl r
@@ -1465,15 +1582,17 @@ object LlmPack extends QueryPack {
           "embedding", threshold = 0.4, bands = 4, rowsPerBand = 4),
       Some(cosinePairsOracle)),
 
-    // the corpus-sized wrapper (BENCH_NOTES_r9 §3 occupancy law): at the
-    // verify/bench corpus sizes autoBits resolves to the same 4-bit
-    // bands, so the SAME oracle replays the auto path hash-exact; the
-    // sizing law itself is unit-pinned in LlmSpec.
+    // the corpus-sized wrapper (BENCH_NOTES_r9 §3 occupancy law): the
+    // oracle computes the band width from the SAME corpus count the
+    // engine sizes from and replays THAT width's plane set
+    // (cosinePairsAutoSql — sign-bit LSH output is width-dependent, so
+    // a pinned-width oracle diverges the moment autoBits moves; the
+    // sf1 sweep measured exactly that, 52 297 vs 10 954 pairs).
     "dedup_cosine_auto" -> QueryDef(
       (s, dir) =>
         VectorOps.cosineDupPairsAuto(Tables.embeddings(s, dir), "vec_id",
           "embedding", threshold = 0.4, bands = 4),
-      Some(cosinePairsOracle)),
+      Some(cosinePairsAutoSql)),
 
     // semantic decontamination: the embedding-space rung of the
     // decontaminate ladder — corpus rows whose cosine to any
@@ -1498,16 +1617,16 @@ object LlmPack extends QueryPack {
           #""".stripMargin('#'), s, dir),
       Some(semanticDeconSql)),
 
-    // the corpus-sized wrapper (the dedup_cosine_auto convention): at
-    // the verify corpus size autoBits resolves to the same 4-bit bands,
-    // so the SAME oracle replays the auto path hash-exact; the sizing
-    // law itself is unit-pinned in LlmSpec
+    // the corpus-sized wrapper (the dedup_cosine_auto convention): the
+    // oracle computes the band width from the corpus count and replays
+    // that width's plane set (semanticDeconAutoSql), co-moving with
+    // the engine at every SF
     "emb_semantic_decon_auto" -> QueryDef(
       (s, dir) =>
         VectorOps.semanticDeconAuto(Tables.embeddings(s, dir), "vec_id",
           "embedding", col("vec_id") % 13 === 0, threshold = 0.4,
           bands = 4),
-      Some(semanticDeconSql)),
+      Some(semanticDeconAutoSql)),
 
     "dfs_semantic_decon_auto" -> QueryDef(
       (s, dir) => graft.dfs.DfsEngine.runSingle(
@@ -1516,7 +1635,7 @@ object LlmPack extends QueryPack {
           #  .benchmark(lambda: mod("vec_id", 13) == 0)
           #  .threshold(0.4).bands(4).auto())
           #""".stripMargin('#'), s, dir),
-      Some(semanticDeconSql)),
+      Some(semanticDeconAutoSql)),
 
     // exact cross-set twin for semantic decontamination (benchmark side
     // broadcast-guarded; every corpus×benchmark pair scored, no LSH) —
@@ -4649,7 +4768,13 @@ object LlmPack extends QueryPack {
   )
 
   /** Oracle for the mm_near_pairs queries: shared-prefix fixture,
-    * sampled-frame digests, DISTINCT sets, overlap Jaccard — the
+    * sampled-frame digests, DISTINCT sets, the engine's per-digest
+    * maxPerHash = 4096 cap replayed BEFORE the self-join (ORDER BY
+    * doc_id, exactly the engine's window — required at corpus sizes
+    * where a shared digest's bucket saturates: the sf1 sweep caught
+    * the uncapped oracle emitting C(10000,2) pairs for the banner
+    * digest against the engine's C(4096,2)), overlap Jaccard over the
+    * UNCAPPED per-doc frame counts (the engine's `n` side) — the
     * mm_frames byte/char-substring equivalence note applies.
     */
   private lazy val mmNearPairsSql: String =
@@ -4663,9 +4788,13 @@ object LlmPack extends QueryPack {
       |        (octet_length(encode(t)) - 1) // 256, 2)) s(i)),
       |fd AS (SELECT DISTINCT doc_id, h FROM fr),
       |nn AS (SELECT doc_id, count(*) AS nf FROM fd GROUP BY 1),
+      |fc AS (SELECT doc_id, h FROM (
+      |        SELECT *, row_number() OVER (PARTITION BY h
+      |            ORDER BY doc_id) AS _r FROM fd)
+      |       WHERE _r <= 4096),
       |it AS (SELECT x.doc_id AS a, y.doc_id AS b,
       |        count(*) AS inter
-      |      FROM fd x JOIN fd y
+      |      FROM fc x JOIN fc y
       |        ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2)
       |SELECT a, b, CAST(inter AS INTEGER) AS inter,
       |  round(inter * 1.0 / (na.nf + nb.nf - inter), 6) AS jac
@@ -6589,16 +6718,34 @@ object LlmPack extends QueryPack {
        |FROM b LEFT JOIN drp d ON b.vec_id = d.vec_id""".stripMargin
   }
 
+  // INTEGER-EXACT replay of withQualityLr (the sf1-forced LnNano
+  // doctrine): exact weight-numerator sum, half-away micro logit,
+  // expNano's 13-term integer Horner sigmoid, 6-decimal cut in
+  // integers — DuckDB `//` and Spark `div` both truncate toward zero,
+  // so every step is bit-identical by construction (a float fold +
+  // libm exp + round() diverged at sf1: engines round IDENTICAL
+  // doubles apart near decimal boundaries).
   private lazy val qualityLrSql: String =
     s"""SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tok,
-       |  round(sc, 6) AS lr_raw,
-       |  round(1.0 / (1.0 + exp(-round(sc, 6))), 6) AS lr_prob
-       |FROM (SELECT doc_id, w,
-       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |          list_transform(w, t -> (${h60("t")} % 2001 - 1000) / 1000.0)),
-       |          (acc, v) -> acc + v) / len(w) AS sc
-       |      FROM (SELECT doc_id, $toks AS w FROM documents
-       |            WHERE len(trim(text)) >= 1))""".stripMargin
+       |  m / 1000000.0 AS lr_raw,
+       |  (((1000000000000000000 // (1000000000 + em)) + 500) // 1000)
+       |    / 1000000.0 AS lr_prob
+       |FROM (SELECT doc_id, w, m,
+       |        CASE WHEN m >= 0 THEN 1000000000000000000 // e
+       |             ELSE e END AS em
+       |      FROM (SELECT doc_id, w, m,
+       |              ${graft.functions.FixedLog
+                         .expNanoExpr("abs(m) * 1000", "//")} AS e
+       |            FROM (SELECT doc_id, w,
+       |                    (2000 * s + (CASE WHEN s < 0 THEN -len(w)
+       |                       ELSE len(w) END)) // (2 * len(w)) AS m
+       |                  FROM (SELECT doc_id, w,
+       |                          CAST(list_sum(list_transform(w,
+       |                              t -> ${h60("t")} % 2001 - 1000))
+       |                            AS BIGINT) AS s
+       |                        FROM (SELECT doc_id, $toks AS w
+       |                              FROM documents
+       |                              WHERE len(trim(text)) >= 1)))))""".stripMargin
 
   /** Duplicated-span oracle: islands-trick replay of [[dupSpans]] —
     * n=5, minDocs=2, positions 1-based.
@@ -7549,8 +7696,12 @@ object LlmPack extends QueryPack {
        |tab AS (SELECT bucket, ln_a - ln_b - ln_c + ln_d AS lt
        |        FROM tb4),
        |sc AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
-       |         round(sum(lt) / 1000000000.0 / count(*), 6) AS logw
+       |         round(sum(lt) / 1000000000.0 / count(*), 6) + 0.0 AS logw
        |       FROM tk JOIN tab USING (bucket) GROUP BY doc_id)""".stripMargin
+  // ^ + 0.0 normalizes IEEE -0.0 (a tiny-negative sum rounding to
+  // zero — DuckDB's round keeps the sign, Spark's BigDecimal round
+  // never emits -0.0; the sf1 sweep caught 2 such cells) to +0.0
+  // without touching any other value.
 
   private lazy val pplSql: String =
     s"""WITH t2 AS (SELECT doc_id, w

@@ -84,21 +84,37 @@ class LlmSpec extends AnyFunSuite {
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
-  test("HashedMeanWeight: native fold bit-identical to the HOF spec") {
-    // raw doubles over the real corpus — any digest/fold divergence in
-    // the native path shows up as a bit mismatch here
+  test("HashedWeightSum: native integer fold equals the HOF spec, and " +
+      "expNano's Spark-rendered Horner chain equals the Scala ref") {
+    // exact longs over the real corpus — any digest divergence in the
+    // native path shows up as an integer mismatch here
     val docs = Tables.documents(spark, sf).filter(length(trim(col("text"))) >= 1)
       .withColumn("_t", TextOps.tokens(col("text")))
     val both = docs.select(
-      graft.functions.TextExpressions.hashedMeanWeight(col("_t")).as("nat"),
-      TextOps.lrScoreFromTokens(col("_t")).as("hof"))
+      graft.functions.TextExpressions.hashedWeightSum(col("_t")).as("nat"),
+      TextOps.lrWeightSumFromTokens(col("_t")).as("hof"))
       .collect()
     assert(both.nonEmpty)
     both.foreach { r =>
-      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
-        java.lang.Double.doubleToLongBits(r.getDouble(1)),
-        s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}")
+      assert(r.getLong(0) == r.getLong(1),
+        s"native ${r.getLong(0)} != hof ${r.getLong(1)}")
     }
+    // the fixed-point sigmoid's exp: Spark `div` rendering == Scala ref
+    // across the whole admissible domain's edges and a lattice sweep
+    import spark.implicits._
+    val xs = (0L to 1000000000L by 1234567L) ++ Seq(0L, 1L, 999999999L,
+      1000000000L)
+    val got = xs.toDF("x")
+      .selectExpr(graft.functions.FixedLog.expNanoExpr("x", "div") + " AS e")
+      .collect().map(_.getLong(0))
+    xs.zip(got).foreach { case (x, g) =>
+      assert(g == graft.functions.FixedLog.expNanoRef(x),
+        s"expNano chain diverged from ref at x=$x")
+    }
+    // contract sanity: e^0 = 1e9 exactly; e^1 within 20 nano of e
+    assert(graft.functions.FixedLog.expNanoRef(0L) == 1000000000L)
+    assert(math.abs(graft.functions.FixedLog.expNanoRef(1000000000L) -
+      2718281828L) <= 20L)
   }
 
   test("MultiSetHits / ZNormDistSq: native forms equal their HOF specs") {

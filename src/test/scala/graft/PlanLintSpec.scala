@@ -101,6 +101,10 @@ class PlanLintSpec extends AnyFunSuite {
       // guarded crossJoin(broadcast(q)); the fusion itself is an
       // equi-keyed aggregate over queries×k rank rows
       "emb_rrf_fuse", "dfs_rrf_fuse",
+      // the cross-path hybrid's dense arm is bruteTopK's guarded
+      // crossJoin(broadcast(q)); the sparse arm is the equi-keyed
+      // BM25 chain, the fuse an equi-keyed aggregate
+      "text_hybrid_retrieval", "dfs_hybrid_retrieval",
       // corpusReport joins its 1-ROW grand-total aggregate back by
       // broadcast (the domainStats pattern)
       "text_corpus_report", "dfs_corpus_report",
