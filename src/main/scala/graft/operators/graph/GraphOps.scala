@@ -88,16 +88,33 @@ object GraphOps {
     * larger-endpoint orientation), each a node-keyed aggregate a
     * map-side combine collapses; edge count never grows above the
     * input's and contracts toward n−1. Early stop = canonical edge-set
-    * fixed point (count + anti-join emptiness — two bounded probe jobs
-    * per round, the [[pageRank]] loop contract; no data-sized collect).
+    * fixed point (a ONE-job signed-multiset probe per round, the
+    * [[pageRank]] loop contract; no data-sized collect).
+    *
+    * Local finisher: each star round costs ~4 tiny shuffle stages, so
+    * once the edge set is executor-sized the remaining O(log n) rounds
+    * are pure stage overhead — the measured floor on small fixtures
+    * (BENCH_NOTES_r21 §1: 8 rounds × 4 stages ≈ 5 s at 4,876 edges
+    * with the data cost invisible). When the canonical edge count is
+    * ≤ `localFinishEdges` (read for free off the round probe, or one
+    * count on the checkpointed init), the loop hands off to a single
+    * union-find pass in one task — path-compressed, union-by-min, so
+    * the root IS the component minimum. At 100 TB the star rounds
+    * still do the contraction (each round shrinks edges toward n−1);
+    * the finisher only replaces the tail of tiny rounds once the
+    * survivor set fits one task (default 4 Mi edges ≈ 64 MB — the
+    * same executor-sized-threshold discipline as the broadcast
+    * guards). Set `localFinishEdges = 0` to force pure star rounds
+    * (non-integral node ids fall back automatically).
     *
     * Both operations preserve connectivity and only ever connect nodes
     * within a component, so the converged star forest is rooted at each
-    * component's minimum — all set-deterministic (min/distinct), hence
-    * partition-count-invariant and oracle-replayable.
+    * component's minimum; the union-find root is the same minimum — all
+    * set-deterministic (min/distinct), hence partition-count-invariant,
+    * algorithm-path-invariant, and oracle-replayable.
     */
-  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30)
-      : DataFrame = {
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 30,
+      localFinishEdges: Long = 4L * 1024 * 1024): DataFrame = {
     val init = pairs.select(col("a").as("u"), col("b").as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     val nodes = init.select(col("u").as("id"))
@@ -126,6 +143,14 @@ object GraphOps {
         .union(mm.select(col("u"), col("_m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
     }
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(init.schema("u").dataType, init.schema("v").dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val canLocal = integralIds && localFinishEdges > 0
     var e = init
     // canonical (min, max) form for the fixed-point compare; the init
     // set needs a real distinct, but every smallStar output is already
@@ -135,7 +160,10 @@ object GraphOps {
       greatest(col("u"), col("v")).as("v")).distinct().localCheckpoint()
     var iter = 0
     var stable = false
-    while (iter < maxIter && !stable) {
+    // one cheap count on the eager checkpoint: below the threshold the
+    // loop never starts and the whole query is UF + the label join
+    var finishLocal = canLocal && init.count() <= localFinishEdges
+    while (iter < maxIter && !stable && !finishLocal) {
       val next = smallStar(largeStar(e)).localCheckpoint()
       val cn = next.select(col("v").as("u"), col("u").as("v"))
       // one-job exact fixed-point probe: both sides are DISTINCT sets,
@@ -143,19 +171,73 @@ object GraphOps {
       // — replaces the former count() + left_anti pair of jobs (a
       // count-gated variant measured WORSE here: on star graphs the
       // edge COUNT stabilizes rounds before the content does, so the
-      // gate fires the full probe anyway and just adds its own job)
-      stable = cn.select(col("u"), col("v"), lit(1L).as("_w"))
+      // gate fires the full probe anyway and just adds its own job).
+      // The same job also yields |ce ∪ cn| — a free (conservative ≥
+      // |cn|) edge-count signal for the local-finisher handoff.
+      val probe = cn.select(col("u"), col("v"), lit(1L).as("_w"))
         .union(ce.select(col("u"), col("v"), lit(-1L).as("_w")))
         .groupBy(col("u"), col("v")).agg(sum(col("_w")).as("_s"))
-        .filter(col("_s") =!= 0).isEmpty
+        .agg(coalesce(sum(when(col("_s") =!= 0, 1L)), lit(0L)).as("_d"),
+          count(lit(1)).as("_n")).head()
+      stable = probe.getLong(0) == 0L
       e = next; ce = cn
+      finishLocal = !stable && canLocal && probe.getLong(1) <= localFinishEdges
       iter += 1
     }
-    // converged: a star forest rooted at each component minimum
-    val stars = ce.select(col("v").as("id"), col("u").as("root"))
-      .groupBy(col("id")).agg(min(col("root")).as("root"))
+    // converged star forest (root = component minimum), or the local
+    // union-find finisher over the executor-sized survivor edge set —
+    // same (id, root) contract, same minimum, by the union-by-min
+    // invariant
+    val stars =
+      if (finishLocal) unionFindLocal(e)
+      else ce.select(col("v").as("id"), col("u").as("root"))
+        .groupBy(col("id")).agg(min(col("root")).as("root"))
     nodes.join(stars, Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+  }
+
+  /** Single-task union-find over an integral `(u, v)` edge list —
+    * the [[connectedComponentsStars]] finisher. Union-by-min keeps
+    * each tree's root at its component minimum, so `find(x)` after all
+    * unions IS the output label; path compression bounds the pass at
+    * ~O(m α) map operations. Emits `(id, root)` for every node in the
+    * edge set, in the input's id type. Only ever called on an edge set
+    * the caller has bounded (`localFinishEdges`), so the one task holds
+    * ≤ threshold × 16 B — the deliberate inverse of the distributed
+    * rounds, not a scale path on its own.
+    */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val idType = edges.schema("u").dataType
+    val labeled = edges
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var r = x0
+          var pr = parent.get(r).longValue
+          while (pr != r) { r = pr; pr = parent.get(r).longValue }
+          var x = x0
+          while (x != r) {
+            val nx = parent.get(x).longValue; parent.put(x, r); x = nx
+          }
+          r
+        }
+        it.foreach { case (u, v) =>
+          parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+          val ru = find(u); val rv = find(v)
+          if (ru < rv) parent.put(rv, ru)
+          else if (rv < ru) parent.put(ru, rv)
+        }
+        val ids = parent.keySet().toArray(new Array[java.lang.Long](0))
+        ids.iterator.map(k => (k.longValue, find(k.longValue)))
+      }
+    labeled.toDF("id", "root")
+      .select(col("id").cast(idType).as("id"),
+        col("root").cast(idType).as("root"))
   }
 
   /** Bounded-depth harmonic centrality — Common Crawl's other published

@@ -63,6 +63,41 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ccStars: union-find finisher == pure star rounds") {
+    import spark.implicits._
+    val pairs = (0L until 200L)
+      .map(i => (i % 67, (i * 31 + 7) % 67)).toDF("a", "b")
+    val viaLocal = comps(GraphOps.connectedComponentsStars(pairs))
+    val viaStars = comps(GraphOps.connectedComponentsStars(pairs,
+      localFinishEdges = 0))
+    assert(viaLocal == viaStars && viaLocal.nonEmpty)
+  }
+
+  test("ccStars: mid-loop handoff to the finisher (threshold between " +
+      "contracted and init edge count)") {
+    import spark.implicits._
+    // 300-edge path: init is over the 64-edge threshold, so star rounds
+    // run until contraction fits, then the finisher labels — must equal
+    // the pure star-round fixed point bit-for-bit
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val handoff = comps(GraphOps.connectedComponentsStars(pairs,
+      localFinishEdges = 64))
+    val pure = comps(GraphOps.connectedComponentsStars(pairs,
+      localFinishEdges = 0))
+    assert(handoff == pure && handoff.size == 301 &&
+      handoff.values.forall(_ == 0L))
+  }
+
+  test("ccStars: non-integral ids fall back to star rounds") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("a", "b")
+    val got = GraphOps.connectedComponentsStars(pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   private def core(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     df.collect().map(r => r.getAs[Long]("id") ->
       r.getAs[Long]("deg")).toMap
