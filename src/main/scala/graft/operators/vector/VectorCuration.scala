@@ -513,19 +513,29 @@ object VectorCuration {
     * curriculum sort, stratified pruning, outlier cuts) is engine- and
     * partition-exact.
     *
-    * 100 TB shape: the direction is d rows joined in by broadcast as a
-    * posexploded component table; one explode + one doc-keyed
-    * map-side-combinable aggregate.
+    * 100 TB shape: the direction collapses to d literal longs in the
+    * scan expression (the k-center literal-centers class — a d-row
+    * bounded collect, never the corpus), so the projection is ONE
+    * shuffle-free corpus scan: a zip_with product + aggregate fold per
+    * row. The former posexplode + doc-keyed aggregate form paid a
+    * corpus×d-row shuffle for the same exact integer sum (long adds
+    * are order-free, so the fold and the shuffle agree bit-for-bit).
     */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String,
       direction: DataFrame, scale: Long = 1000000L): DataFrame = {
+    val dir = direction
+      .select(col("i").cast("int"), col("v_nano").cast("long"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1).map(_._2)
+    val dLit = array(dir.map(lit(_)): _*)
     val xm = transform(col(vecCol),
       e => round(e.cast("double") * scale).cast("long"))
-    df.select(col(idCol), xm.as("_xm"))
-      .select(col(idCol), posexplode(col("_xm")).as(Seq("i", "_xi")))
-      .join(broadcast(direction), Seq("i"))
-      .groupBy(col(idCol))
-      .agg(sum(col("_xi") * col("v_nano")).as("_s"))
+    // coalesce keeps the old inner-join semantics at a length
+    // mismatch: components without a direction entry (and vice versa)
+    // contribute nothing
+    val prods = zip_with(xm, dLit, (x, v) => coalesce(x * v, lit(0L)))
+    df.select(col(idCol),
+        aggregate(prods, lit(0L), (acc, p) => acc + p).as("_s"))
       .select(col(idCol), expr("_s div 1000000000").as("proj_micro"))
   }
 
