@@ -100,6 +100,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE may re-partition INSIDE persisted plans: a CacheScope base
+      // otherwise pins shuffle.partitions-many cache blocks however
+      // small the frame is, and every downstream scan pays one task per
+      // block (measured: 33-task stages over ~1000-row caches dominated
+      // the small-aggregate operators; text_ppl_kn3 executor-run 91 s →
+      // 7.7 s at identical results). Scale-adaptive, not a local[32]
+      // constant: AQE sizes cached partitions by bytes at every scale.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing inside persisted plans (see Bench/Sessions) —
+      // results are partitioning-independent by the determinism
+      // contract; this only cuts per-cache-block task overhead
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // corpus events.parquet stores TIMESTAMP(NANOS): read as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -17,6 +17,16 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let AQE coalesce INSIDE persisted plans too: a CacheScope base
+      // otherwise pins spark.sql.shuffle.partitions-many cache blocks
+      // regardless of size, and every downstream scan of the cache pays
+      // one task per block (measured: 33-task stages over ~1000-row
+      // caches dominate the small-aggregate operators at sf0.1). With
+      // this on, the cached partitioning follows AQE's byte-sized law —
+      // few blocks for small frames, the usual advisory-sized spread at
+      // scale — instead of a constant tuned to the core count.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The driver corpus stores event timestamps as parquet TIMESTAMP(NANOS)

@@ -311,7 +311,8 @@ object GraphOps {
     * graphs for practical k; [[coreness]] runs this loop per level for
     * the full all-k decomposition, this is the production gate form.
     */
-  def kCore(pairs: DataFrame, k: Int, rounds: Int = 8): DataFrame = {
+  def kCore(pairs: DataFrame, k: Int, rounds: Int = 8,
+      localFinishEdges: Long = 4L * 1024 * 1024): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     require(rounds >= 1 && rounds <= 64,
       s"kCore: rounds in [1, 64], got $rounds")
@@ -319,6 +320,26 @@ object GraphOps {
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // single-task peel finisher (the connectedComponentsStars
+    // localFinishEdges discipline): the synchronous peel rounds are
+    // job-latency-bound once the canonical edge set fits one executor
+    // task (each distributed round = 2 checkpoints + a count probe +
+    // 3 shuffles over data the stage overhead dwarfs — 60 jobs/query
+    // measured at sf0.1). The local pass replays the IDENTICAL round
+    // semantics (synchronous degree/drop/restrict, early stop at the
+    // fixed point, `rounds` cap), so the output is the same set. At
+    // 100 TB the distributed loop does the peeling; the finisher only
+    // ever replaces it below the bounded-task threshold.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(e.schema("u").dataType, e.schema("v").dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (integralIds && localFinishEdges > 0 &&
+        e.count() <= localFinishEdges)
+      return kCoreLocal(e, k, rounds)
     def degrees(ed: DataFrame): DataFrame = ed
       .select(col("u").as("id"))
       .unionByName(ed.select(col("v").as("id")))
@@ -341,6 +362,58 @@ object GraphOps {
       i += 1
     }
     degrees(e)
+  }
+
+  /** Single-task synchronous peel over an integral canonical edge list
+    * — [[kCore]]'s finisher, the [[unionFindLocal]] pattern. Replays
+    * the distributed loop's exact semantics: per round, degrees over
+    * the surviving DISTINCT edge set, drop nodes with deg < k,
+    * restrict edges to survivors; early-stop when a round removes
+    * nothing; at most `rounds` rounds. Emits `(id, deg)` over the
+    * final edge set. Only called on an edge set the caller has bounded
+    * (`localFinishEdges`), so the one task holds ≤ threshold × 16 B.
+    */
+  private def kCoreLocal(edges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val idType = edges.schema("u").dataType
+    val out = edges
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        var es = it.toArray
+        var i = 0
+        var stable = false
+        var prevN = -1L
+        while (i < rounds && !stable) {
+          val deg = new java.util.HashMap[Long, Long]()
+          es.foreach { case (u, v) =>
+            deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+          }
+          val it2 = deg.entrySet().iterator()
+          var n = 0L
+          while (it2.hasNext) {
+            if (it2.next().getValue >= k) n += 1 else it2.remove()
+          }
+          if (n == prevN) stable = true
+          else {
+            es = es.filter { case (u, v) =>
+              deg.containsKey(u) && deg.containsKey(v) }
+            prevN = n
+          }
+          i += 1
+        }
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (u, v) =>
+          deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _)
+        }
+        val ids = deg.keySet().toArray(new Array[java.lang.Long](0))
+        ids.iterator.map(id => (id.longValue, deg.get(id).longValue))
+      }
+    out.toDF("id", "deg")
+      .select(col("id").cast(idType).as("id"), col("deg"))
   }
 
   /** Full coreness decomposition by synchronous H-INDEX iteration
@@ -493,13 +566,32 @@ object GraphOps {
     * contract). `rounds` is a fixed small parameter (4–10): total cost
     * is rounds × (join + two aggregates) on edge-sized relations.
     */
-  def lpaCommunities(pairs: DataFrame, rounds: Int): DataFrame = {
+  def lpaCommunities(pairs: DataFrame, rounds: Int,
+      localFinishEdges: Long = 4L * 1024 * 1024): DataFrame = {
     require(rounds >= 1 && rounds <= 32,
       s"lpaCommunities: rounds in [1, 32], got $rounds")
     val e = pairs
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // single-task finisher (the kCore/connectedComponentsStars
+    // localFinishEdges discipline): `rounds` synchronous LPA rounds
+    // are join+aggregate+checkpoint chains whose per-round stage
+    // overhead dwarfs executor-sized edge sets; the local pass replays
+    // the IDENTICAL semantics (distinct-neighbor counts, argmax by
+    // count desc then smallest label, exactly `rounds` rounds), so the
+    // assignment is the same. The distributed loop remains the scale
+    // path above the threshold.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(e.schema("u").dataType, e.schema("v").dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (integralIds && localFinishEdges > 0 &&
+        e.count() <= localFinishEdges)
+      return lpaLocal(e, rounds)
     val adj = e.select(col("u").as("nid"), col("v").as("nbr"))
       .unionByName(e.select(col("v").as("nid"), col("u").as("nbr")))
     // every node has >= 1 neighbor after symmetrization, so the
@@ -523,6 +615,65 @@ object GraphOps {
       i += 1
     }
     labels.select(col("id"), col("lab").as("community"))
+  }
+
+  /** Single-task synchronous LPA over an integral canonical edge list
+    * — [[lpaCommunities]]'s finisher, the [[kCoreLocal]] pattern.
+    * Replays the distributed loop's exact semantics: distinct-neighbor
+    * label counts, argmax by (count desc, smallest label), exactly
+    * `rounds` synchronous rounds from label = id. Emits
+    * `(id, community)` for every edge endpoint.
+    */
+  private def lpaLocal(edges: DataFrame, rounds: Int): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val idType = edges.schema("u").dataType
+    val out = edges
+      .select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        def add(a: Long, b: Long): Unit = {
+          var l = adj.get(a)
+          if (l == null) { l = new java.util.ArrayList[Long](); adj.put(a, l) }
+          l.add(b)
+        }
+        // edges arrive distinct + canonical, so the symmetrized lists
+        // are distinct-neighbor lists by construction
+        it.foreach { case (u, v) => add(u, v); add(v, u) }
+        var labels = new java.util.HashMap[Long, Long]()
+        adj.keySet().forEach(id => labels.put(id, id))
+        var i = 0
+        while (i < rounds) {
+          val next = new java.util.HashMap[Long, Long]()
+          val nodeIt = adj.entrySet().iterator()
+          while (nodeIt.hasNext) {
+            val en = nodeIt.next()
+            val cnt = new java.util.HashMap[Long, Long]()
+            en.getValue.forEach(nbr =>
+              cnt.merge(labels.get(nbr).longValue, 1L, _ + _))
+            var bestLab = Long.MaxValue
+            var bestC = 0L
+            val cIt = cnt.entrySet().iterator()
+            while (cIt.hasNext) {
+              val c = cIt.next()
+              if (c.getValue > bestC ||
+                  (c.getValue == bestC && c.getKey < bestLab)) {
+                bestC = c.getValue; bestLab = c.getKey
+              }
+            }
+            next.put(en.getKey, bestLab)
+          }
+          labels = next
+          i += 1
+        }
+        val ids = labels.keySet().toArray(new Array[java.lang.Long](0))
+        ids.iterator.map(id => (id.longValue, labels.get(id).longValue))
+      }
+    out.toDF("id", "community")
+      .select(col("id").cast(idType).as("id"),
+        col("community").cast(idType).as("community"))
   }
 
   /** Per-community modularity report (Newman & Girvan 2004) for an

@@ -380,35 +380,49 @@ object Curation {
     }
     val spark = train.sparkSession
     import spark.implicits._
+    // per-doc COMPACT feature rows (doc, label, [(bucket, cnt)]) built
+    // once: each GD step is then ONE map-side-combined aggregate job —
+    // margin and error are per-ROW expressions over the array (no
+    // doc-keyed shuffle), and only the (buckets+1)-row gradient crosses
+    // the wire. The former shape joined the (doc, bucket, cnt) table
+    // twice per step (margin agg + gradient agg + weight checkpoint =
+    // 7 jobs/step, 153 jobs/query measured at iters = 20).
     graft.core.CacheScope.withPersisted(
       features(train, id)
         .join(train.select(id.as("doc_id"),
           when(labelIsPos, 1000L).otherwise(0L).as("_y")), Seq("doc_id"))
-    ) { tf =>
+        .groupBy(col("doc_id"), col("_y"))
+        .agg(collect_list(struct(col("_b"), col("_cnt"))).as("_f"))
+    ) { docVec =>
       val n = train.count() // bounded driver scalar: the LR denominator
       require(n > 0, "linearClassify: empty train side")
-      val allB = (-1L until buckets.toLong).toSeq.toDF("_b")
-      var w = allB.withColumn("_w", lit(0L)).localCheckpoint()
+      // weights live on the driver between steps: buckets+1 longs (the
+      // sanctioned k-scalars class — same as k·dim centroid tables);
+      // index 0 is the bias bucket (_b = -1). Arithmetic is unchanged:
+      // order-free long sums, the same `div` truncation points, so the
+      // trained weights are bit-identical to the chained form.
+      var w = Array.fill(buckets + 1)(0L)
       for (_ <- 1 to iters) {
-        val m = tf.join(broadcast(w), Seq("_b"))
-          .groupBy(col("doc_id"), col("_y"))
-          .agg(sum(col("_cnt") * col("_w")).as("_m"))
-        // hard sigmoid in milli: clamp(0, 1000, 500 + m div 4000)
-        val err = m.select(col("doc_id"),
-          (greatest(lit(0L), least(lit(1000L),
-            lit(500L) + expr("_m div 4000"))) - col("_y")).as("_e"))
-        val grad = tf.join(err, Seq("doc_id"))
-          .groupBy(col("_b"))
-          .agg(sum(col("_e") * col("_cnt")).as("_g"))
-        w = w.join(grad, Seq("_b"), "left_outer")
-          .select(col("_b"),
-            (col("_w") -
-              expr(s"(coalesce(_g, 0L) * ${lrNum}L) div ${n}L"))
-              .as("_w"))
-          .localCheckpoint()
+        val wLit = array(w.toSeq.map(lit): _*)
+        val grads = docVec
+          .withColumn("_m", aggregate(col("_f"), lit(0L), (acc, x) =>
+            acc + x.getField("_cnt") *
+              element_at(wLit, (x.getField("_b") + lit(2L)).cast("int"))))
+          // hard sigmoid in milli: clamp(0, 1000, 500 + m div 4000)
+          .withColumn("_e", greatest(lit(0L), least(lit(1000L),
+            lit(500L) + expr("_m div 4000"))) - col("_y"))
+          .select(explode(col("_f")).as("_x"), col("_e"))
+          .select(col("_x._b").as("_b"), (col("_e") * col("_x._cnt")).as("_ec"))
+          .groupBy(col("_b")).agg(sum(col("_ec")).as("_g"))
+          .collect()
+        val g = grads.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = Array.tabulate(buckets + 1)(i =>
+          w(i) - g.getOrElse((i - 1).toLong, 0L) * lrNum / n)
       }
+      val wDf = (-1L until buckets.toLong).map(b => (b, w((b + 1).toInt)))
+        .toDF("_b", "_w")
       features(score, id)
-        .join(broadcast(w), Seq("_b"))
+        .join(broadcast(wDf), Seq("_b"))
         .groupBy(col("doc_id"))
         .agg(sum(col("_cnt") * col("_w")).as("m_micro"))
         .withColumn("pred", col("m_micro") > 0)
@@ -674,25 +688,29 @@ object Curation {
         .agg(sum(when(col("_y") === 1000L, 1L).otherwise(0L)).as("_np"),
           sum(when(col("_y") === 1000L, 0L).otherwise(1L)).as("_nn"))
     ) { h =>
-      var ab = Seq((0L, 0L)).toDF("_a", "_b").localCheckpoint()
+      // (a, b) live on the driver between steps (2 bounded longs — the
+      // linearClassify discipline): each step is ONE 1-row aggregate
+      // collect over the cached histogram instead of two broadcast
+      // exchanges + a 1-row checkpoint (69 jobs/query measured at
+      // iters = 15). Same expressions, same `div` truncation points —
+      // the fitted (a, b) are bit-identical to the chained form.
+      var a = 0L
+      var b = 0L
       for (_ <- 1 to iters) {
-        val g = h.crossJoin(broadcast(ab))
+        val g = h
           .withColumn("_p", greatest(lit(0L), least(lit(1000L),
-            lit(500L) + expr("(_a * _sc + _b) div 4000"))))
+            lit(500L) + expr(s"(${a}L * _sc + ${b}L) div 4000"))))
           .withColumn("_e",
             col("_p") * (col("_np") + col("_nn")) - lit(1000L) * col("_np"))
           .agg(sum(col("_e") * col("_sc")).as("_ga"),
             sum(col("_e")).as("_gb"))
-        ab = ab.crossJoin(broadcast(g))
-          .select(
-            (col("_a") - expr(s"(_ga * ${lrNumA}L) div ${n}L")).as("_a"),
-            (col("_b") - expr(s"(_gb * ${lrNumB}L) div ${n}L")).as("_b"))
-          .localCheckpoint()
+          .head()
+        a -= g.getAs[Long]("_ga") * lrNumA / n
+        b -= g.getAs[Long]("_gb") * lrNumB / n
       }
       score.select(id.as("doc_id"), s.cast("long").as("_s"))
-        .crossJoin(broadcast(ab))
         .withColumn("p_milli", greatest(lit(0L), least(lit(1000L),
-          lit(500L) + expr(s"(_a * (_s - ${sbar}L) + _b) div 4000"))))
+          lit(500L) + expr(s"(${a}L * (_s - ${sbar}L) + ${b}L) div 4000"))))
         .select(col("doc_id"), col("p_milli"),
           (col("p_milli") >= 500L).as("pred"))
     }

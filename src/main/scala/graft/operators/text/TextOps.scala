@@ -1516,7 +1516,30 @@ object TextOps {
     * aggregate. This is the engine's stand-in for the classic KenLM
     * perplexity gate: swap the trained table, keep the plumbing.
     */
-  def perplexityFromPairs(pairs: DataFrame, lm: DataFrame): DataFrame = {
+  def perplexityFromPairs(pairs: DataFrame, lm: DataFrame): DataFrame =
+    perplexityImpl(pairs, lm, selfScored = false)
+
+  private def perplexityImpl(pairs: DataFrame, lm: DataFrame,
+      selfScored: Boolean): DataFrame = {
+    if (selfScored) {
+      // SELF-SCORED fast path ([[withPerplexity]]): the lm table IS the
+      // distinct-bigram key table of `pairs` (built from them), so the
+      // seen branch is the only reachable one — one _ll per lm row
+      // (identical lnNano arguments ⇒ identical longs), one stream join.
+      val F = graft.functions.FixedLog
+      val llKey = F.withLnNano(F.withLnNano(lm,
+        col("c12") + lit(1L), "_ln_num"),
+        col("c1") + col("v"), "_ln_den")
+        .select(col("w1"), col("w2"),
+          (col("_ln_num") - col("_ln_den")).as("_ll"))
+      return pairs.join(llKey, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          sum(col("_ll")).as("_s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(-col("_s") / 1e9 / col("n_bigrams"), 6).as("nll"))
+        .withColumn("ppl", round(exp(col("nll")), 6))
+    }
     // the LM bundle is bigram-per-row; histories and the vocabulary
     // scalar are derived (vocabulary-sized / 1 row — both tiny)
     val uni = lm.select(col("w1"), col("c1")).distinct()
@@ -1563,7 +1586,8 @@ object TextOps {
     */
   def withPerplexity(docs: DataFrame, text: Column, id: Column): DataFrame =
     graft.core.CacheScope.withPersisted(bigramPairs(docs, text, id)) {
-      pairs => perplexityFromPairs(pairs, bigramLmFromPairs(pairs))
+      pairs => perplexityImpl(pairs, bigramLmFromPairs(pairs),
+        selfScored = true)
     }
 
   /** Interpolated Kneser–Ney bigram perplexity (Kneser & Ney 1995;
@@ -1648,29 +1672,47 @@ object TextOps {
         s"max(c1)=$maxC1, max(N1r)=$maxN1r, max(N1l)=$maxN1l - shard " +
         "the LM before scoring at this scale")
     // seen-path lnNanos on the VOCABULARY-SIDED tables
-    val bigLn = F.withLnNano(
-      big.join(n1r, Seq("w1")).join(n1l, Seq("w2")),
-      lit(bv) * greatest(lit(4L) * col("c12") - 3L, lit(0L)) +
-        lit(3L) * col("n1r") * (col("n1l") + 1L), "_ln_num")
-      .select(col("w1"), col("w2"), col("_ln_num"))
-    val uniLn = F.withLnNano(uni, lit(4L) * col("c1") * lit(bv), "_ln_den")
-      .select(col("w1"), col("_ln_den"))
     val lnBv = F.lnNanoRef(bv)
-    // held-out fallbacks (never hit on self-scored corpora): per-row
-    // lnNano on the rare unseen rows only — CASE branches are lazy
-    val llFix = pairs
-      .join(uniLn, Seq("w1"), "left")
-      .join(bigLn, Seq("w1", "w2"), "left")
-      .join(n1r.withColumnRenamed("n1r", "_n1r"), Seq("w1"), "left")
-      .join(n1l.withColumnRenamed("n1l", "_n1l"), Seq("w2"), "left")
-      .withColumn("_ll",
-        when(col("_ln_num").isNotNull,
-          col("_ln_num") - col("_ln_den"))
-        .when(col("_ln_den").isNotNull, // seen history, unseen bigram
-          F.lnNano(lit(3L) * col("_n1r") *
-            (coalesce(col("_n1l"), lit(0L)) + 1L)) - col("_ln_den"))
-        .otherwise( // unseen history: pcont alone
-          F.lnNano(coalesce(col("_n1l"), lit(0L)) + 1L) - lit(lnBv)))
+    val llFix = if (pairs eq lmPairs) {
+      // SELF-SCORED fast path (the registered queries): every scored
+      // bigram is in `big` by construction, so the seen branch is the
+      // only reachable one — compute _ll once per DISTINCT bigram on
+      // the persisted model table (identical lnNano arguments ⇒
+      // identical longs) and join the corpus-volume stream ONCE,
+      // instead of four stream-sided left joins (guide §2.3/§2.4:
+      // the stream shuffles once, against a vocabulary-sided table).
+      val llKey = F.withLnNano(F.withLnNano(
+        big.join(n1r, Seq("w1")).join(n1l, Seq("w2")).join(uni, Seq("w1")),
+        lit(bv) * greatest(lit(4L) * col("c12") - 3L, lit(0L)) +
+          lit(3L) * col("n1r") * (col("n1l") + 1L), "_ln_num"),
+        lit(4L) * col("c1") * lit(bv), "_ln_den")
+        .select(col("w1"), col("w2"),
+          (col("_ln_num") - col("_ln_den")).as("_ll"))
+      pairs.join(llKey, Seq("w1", "w2"))
+    } else {
+      val bigLn = F.withLnNano(
+        big.join(n1r, Seq("w1")).join(n1l, Seq("w2")),
+        lit(bv) * greatest(lit(4L) * col("c12") - 3L, lit(0L)) +
+          lit(3L) * col("n1r") * (col("n1l") + 1L), "_ln_num")
+        .select(col("w1"), col("w2"), col("_ln_num"))
+      val uniLn = F.withLnNano(uni, lit(4L) * col("c1") * lit(bv), "_ln_den")
+        .select(col("w1"), col("_ln_den"))
+      // held-out fallbacks: per-row lnNano on the rare unseen rows only
+      // — CASE branches are lazy
+      pairs
+        .join(uniLn, Seq("w1"), "left")
+        .join(bigLn, Seq("w1", "w2"), "left")
+        .join(n1r.withColumnRenamed("n1r", "_n1r"), Seq("w1"), "left")
+        .join(n1l.withColumnRenamed("n1l", "_n1l"), Seq("w2"), "left")
+        .withColumn("_ll",
+          when(col("_ln_num").isNotNull,
+            col("_ln_num") - col("_ln_den"))
+          .when(col("_ln_den").isNotNull, // seen history, unseen bigram
+            F.lnNano(lit(3L) * col("_n1r") *
+              (coalesce(col("_n1l"), lit(0L)) + 1L)) - col("_ln_den"))
+          .otherwise( // unseen history: pcont alone
+            F.lnNano(coalesce(col("_n1l"), lit(0L)) + 1L) - lit(lnBv)))
+    }
     llFix.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_bigrams"),
         sum(col("_ll")).as("_s"))
@@ -1802,6 +1844,28 @@ object TextOps {
     def a2(ncontC: Column, ncC: Column, n1lC: Column): Column =
       lit(bv) * greatest(lit(4L) * ncontC - 3L, lit(0L)) +
         lit(3L) * ncC * (n1lC + 1L)
+    val llFix = if (tuples eq lmTuples) {
+      // SELF-SCORED fast path (the registered queries): every scored
+      // trigram is in `tri` by construction and all four model joins
+      // hit, so the seen branch is the only reachable one — compute
+      // _ll once per DISTINCT trigram on the persisted model table
+      // (identical lnNano arguments ⇒ identical longs) and join the
+      // corpus-volume stream ONCE, instead of five stream-sided left
+      // joins (guide §2.3/§2.4: the stream shuffles once, against a
+      // vocabulary-sided table).
+      val keyed = tri
+        .join(hist, Seq("w1", "w2")).join(cont, Seq("w2", "w3"))
+        .join(mid, Seq("w2")).join(n1l, Seq("w3"))
+      val llKey = F.withLnNano(F.withLnNano(keyed,
+        lit(4L) * col("n12p") * lit(bv) *
+          greatest(lit(4L) * col("c123") - 3L, lit(0L)) +
+          lit(3L) * col("n12r") *
+          a2(col("ncont"), col("nc"), col("n1l")), "_ln_num"),
+        lit(16L) * col("c12") * col("n12p") * lit(bv), "_ln_den")
+        .select(col("w1"), col("w2"), col("w3"),
+          (col("_ln_num") - col("_ln_den")).as("_ll"))
+      tuples.join(llKey, Seq("w1", "w2", "w3"))
+    } else {
     // seen-path lnNanos on the VOCABULARY-SIDED tables; ONE stream
     // traversal (a hit/miss split traverses the scored stream twice —
     // measured net-slower at every checkpoint placement), model logs
@@ -1823,7 +1887,7 @@ object TextOps {
     val lnBv = F.lnNanoRef(bv)
     // held-out fallbacks (never hit on self-scored corpora): per-row
     // lnNano only on the rare unseen rows — CASE branches are lazy
-    val llFix = tuples
+    tuples
       .join(histLn, Seq("w1", "w2"), "left")
       .join(triLn, Seq("w1", "w2", "w3"), "left")
       .join(cont.withColumnRenamed("ncont", "_ncont"),
@@ -1842,6 +1906,7 @@ object TextOps {
             coalesce(col("_n1l"), lit(0L)))) - col("_ln_den2"))
         .otherwise( // w2 never a trigram middle: pcont alone
           F.lnNano(coalesce(col("_n1l"), lit(0L)) + 1L) - lit(lnBv)))
+    }
     llFix.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_trigrams"),
         sum(col("_ll")).as("_s"))

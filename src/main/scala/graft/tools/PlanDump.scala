@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.Sessions
+import java.nio.file.{Files, Paths}
+
+/** Dev harness: write formatted physical plans for selected queries to
+  * files, one per query — the optimization-round evidence trail
+  * (plans/rNN/<query>_{before,after}.txt).
+  *
+  * Usage: runMain graft.tools.PlanDump <outDir> <suffix> [query ...]
+  * e.g.   runMain graft.tools.PlanDump plans/r15 before text_ppl_kn3
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: PlanDump <outDir> <suffix> <query> [query ...]")
+    val outDir = Paths.get(args(0))
+    val suffix = args(1)
+    val names = args.drop(2).toSeq
+    Files.createDirectories(outDir)
+    val spark = Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "plan-dump")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      // queryExecution.explainString is what .explain("formatted") prints
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(outDir.resolve(s"${n}_$suffix.txt"), txt)
+      System.err.println(s"[plan-dump] wrote ${n}_$suffix.txt " +
+        s"(${txt.count(_ == '\n')} lines)")
+    }
+    spark.stop()
+  }
+}

@@ -151,6 +151,28 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("kCore: local peel finisher == distributed peel rounds") {
+    import spark.implicits._
+    // K4 + cascading pendant chain exercises multi-round peeling in
+    // BOTH paths; localFinishEdges = 0 forces the distributed loop
+    val pairs = ((0L until 200L).map(i => (i % 67, (i * 31 + 7) % 67)) ++
+      Seq((100L, 101L), (101L, 102L), (102L, 103L))).toDF("a", "b")
+    val viaLocal = core(GraphOps.kCore(pairs, 2, 8))
+    val viaLoop = core(GraphOps.kCore(pairs, 2, 8, localFinishEdges = 0))
+    assert(viaLocal == viaLoop && viaLocal.nonEmpty)
+  }
+
+  test("kCore: round cap binds identically on both paths") {
+    import spark.implicits._
+    // chain cascade needs 3 rounds for k=2? use rounds=1 so the cap
+    // bites mid-cascade: both paths must stop at the SAME partial state
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val viaLocal = core(GraphOps.kCore(pairs, 3, 1))
+    val viaLoop = core(GraphOps.kCore(pairs, 3, 1, localFinishEdges = 0))
+    assert(viaLocal == viaLoop)
+  }
+
   private def cness(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
     df.collect().map(r => r.getAs[Long]("id") ->
       r.getAs[Int]("coreness")).toMap
@@ -214,6 +236,19 @@ class GraphSpec extends AnyFunSuite {
     // same graph through CC: ONE component — the contrast LPA exists for
     assert(comps(GraphOps.connectedComponentsStars(pairs))
       .values.toSet.size == 1)
+  }
+
+  test("lpaCommunities: local finisher == distributed rounds") {
+    import spark.implicits._
+    // dense pseudo-random graph exercises real label competition;
+    // localFinishEdges = 0 forces the distributed loop
+    val pairs = (0L until 300L)
+      .map(i => (i % 53, (i * 29 + 11) % 53)).toDF("a", "b")
+    val viaLocal = lpa(pairs, 4)
+    val viaLoop = GraphOps.lpaCommunities(pairs, 4, localFinishEdges = 0)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("community")).toMap
+    assert(viaLocal == viaLoop && viaLocal.nonEmpty)
   }
 
   test("modularityReport: hand-computed q_num on two triangles over " +
