@@ -206,7 +206,7 @@ object GraphOps {
     * ≤ threshold × 16 B — the deliberate inverse of the distributed
     * rounds, not a scale path on its own.
     */
-  private def unionFindLocal(edges: DataFrame): DataFrame = {
+  private[graft] def unionFindLocal(edges: DataFrame): DataFrame = {
     val sp = edges.sparkSession
     import sp.implicits._
     val idType = edges.schema("u").dataType

@@ -413,8 +413,12 @@ object Multimodal {
         .select(col("a"), col("b"),
           bit_count(col("ph_a").bitwiseXOR(col("ph_b")))
             .cast("int").as("hamming"))
-        .distinct() // a close pair shares SEVERAL bands — one row
+        // filter BEFORE the dedup: hamming > maxHamming candidates are
+        // dropped either way, so the distinct's shuffle carries only
+        // survivors (filter-then-distinct == distinct-then-filter on a
+        // value predicate; guide §2.3 shuffle-fewer-bytes)
         .filter(col("hamming") <= maxHamming)
+        .distinct() // a close pair shares SEVERAL bands — one row
     }
   }
 }

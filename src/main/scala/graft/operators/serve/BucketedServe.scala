@@ -118,17 +118,19 @@ object BucketedServe {
     try {
       val (s, n, maxDl) = TextOps.bm25CorpusStats(post, "writeBm25Index")
       val spark = post.sparkSession
-      import spark.implicits._
       // torn-build guard: stats and a trailing SEAL carry one shared
       // build token; the postings write sits between them, so a probe
       // that sees stats.token == seal.token knows the whole
       // stats → postings → seal sequence completed. A build that dies
       // mid-postings leaves fresh stats beside a stale (or absent)
       // seal and the probe FAILS LOUDLY instead of silently scoring
-      // new postings with mismatched corpus stats.
+      // new postings with mismatched corpus stats. Both files carry
+      // DRIVER SCALARS (4 values / 1 token) — written as plain FS
+      // files, not 1-row parquet datasets whose write+read cost four
+      // Spark jobs of pure overhead per serve execution.
       val token = java.util.UUID.randomUUID().toString
-      Seq((s, n, maxDl, token)).toDF("s", "n", "max_dl", "build_token")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      writeScalarFile(spark, s"$path/stats/stats.txt",
+        s"$s\n$n\n$maxDl\n$token")
       // the autoBuckets count job reads the PERSISTED postings — the
       // one frame already materialized for the stats job
       val nb = resolveBuckets(buckets, post.count())
@@ -137,9 +139,31 @@ object BucketedServe {
         .bucketBy(nb, "tok").sortBy("tok")
         .option("path", s"$path/postings")
         .mode("overwrite").saveAsTable(tableName)
-      Seq(Tuple1(token)).toDF("build_token")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/seal")
+      writeScalarFile(spark, s"$path/seal/seal.txt", token)
     } finally post.unpersist(blocking = false)
+  }
+
+  private def writeScalarFile(spark: SparkSession, file: String,
+      body: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readScalarFile(spark: SparkSession,
+      file: String): Option[String] = {
+    val hp = new org.apache.hadoop.fs.Path(file)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   /** Probe the bucketed BM25 index: N queries, each touching only its
@@ -154,13 +178,15 @@ object BucketedServe {
       queries: DataFrame, qText: Column, qId: Column,
       k: Int = 10): DataFrame = {
     require(k >= 1, s"bm25ProbeIndex: k must be >= 1, got $k")
-    val Row(s: Long, n: Long, maxDl: Int, token: String) =
-      spark.read.parquet(s"$path/stats")
-        .select(col("s"), col("n"), col("max_dl"), col("build_token"))
-        .head()
-    val seal = try spark.read.parquet(s"$path/seal")
-        .select(col("build_token")).head().getString(0)
-      catch { case _: org.apache.spark.sql.AnalysisException => "" }
+    val stats = readScalarFile(spark, s"$path/stats/stats.txt")
+      .getOrElse(throw new IllegalStateException(
+        s"bm25ProbeIndex: no stats at $path - build the index " +
+          "(writeBm25Index) before probing"))
+      .split("\n").map(_.trim)
+    val (s, n, maxDl, token) =
+      (stats(0).toLong, stats(1).toLong, stats(2).toInt, stats(3))
+    val seal = readScalarFile(spark, s"$path/seal/seal.txt")
+      .map(_.trim).getOrElse("")
     require(seal == token,
       s"bm25ProbeIndex: torn index build at $path - stats token " +
         s"'$token' != seal token '$seal'; rebuild the index " +

@@ -70,15 +70,32 @@ object IncrementalServe {
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
   }
 
-  private def readMetaGen(spark: SparkSession, path: String): Long =
-    if (!exists(spark, s"$path/meta")) 0L
-    else spark.read.parquet(s"$path/meta").head().getLong(0)
+  // the generation counter is ONE long of engine bookkeeping — a plain
+  // FS file read/written driver-side (Hadoop FS, any scheme), not a
+  // 1-row parquet dataset: the parquet form cost two Spark jobs per
+  // append/delete (a write job + a scan-to-head job) for 8 bytes of
+  // state, ~6 pure-overhead jobs per registered lifecycle query
+  private def readMetaGen(spark: SparkSession, path: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/meta/gen.txt")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) 0L
+    else {
+      val in = fs.open(hp)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
 
   private def writeMetaGen(spark: SparkSession, path: String,
       gen: Long): Unit = {
-    import spark.implicits._
-    Seq(Tuple1(gen)).toDF("next_gen")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val hp = new org.apache.hadoop.fs.Path(s"$path/meta/gen.txt")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(hp, true)
+    try out.write(gen.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   private def readDels(spark: SparkSession, path: String): DataFrame =

@@ -364,7 +364,8 @@ object Curation {
     */
   def linearClassify(train: DataFrame, score: DataFrame, text: Column,
       id: Column, labelIsPos: Column, buckets: Int = 64,
-      iters: Int = 3, lrNum: Long = 16L): DataFrame = {
+      iters: Int = 3, lrNum: Long = 16L,
+      localTrainDocs: Long = 1L << 18): DataFrame = {
     require(buckets >= 1 && iters >= 1 && lrNum >= 1,
       "linearClassify: buckets, iters and lrNum must be >= 1")
     def features(df: DataFrame, idc: Column) = {
@@ -398,27 +399,72 @@ object Curation {
       require(n > 0, "linearClassify: empty train side")
       // weights live on the driver between steps: buckets+1 longs (the
       // sanctioned k-scalars class — same as k·dim centroid tables);
-      // index 0 is the bias bucket (_b = -1). Arithmetic is unchanged:
-      // order-free long sums, the same `div` truncation points, so the
-      // trained weights are bit-identical to the chained form.
-      var w = Array.fill(buckets + 1)(0L)
-      for (_ <- 1 to iters) {
-        val wLit = array(w.toSeq.map(lit): _*)
-        val grads = docVec
-          .withColumn("_m", aggregate(col("_f"), lit(0L), (acc, x) =>
-            acc + x.getField("_cnt") *
-              element_at(wLit, (x.getField("_b") + lit(2L)).cast("int"))))
-          // hard sigmoid in milli: clamp(0, 1000, 500 + m div 4000)
-          .withColumn("_e", greatest(lit(0L), least(lit(1000L),
-            lit(500L) + expr("_m div 4000"))) - col("_y"))
-          .select(explode(col("_f")).as("_x"), col("_e"))
-          .select(col("_x._b").as("_b"), (col("_e") * col("_x._cnt")).as("_ec"))
-          .groupBy(col("_b")).agg(sum(col("_ec")).as("_g"))
-          .collect()
-        val g = grads.map(r => r.getLong(0) -> r.getLong(1)).toMap
-        w = Array.tabulate(buckets + 1)(i =>
-          w(i) - g.getOrElse((i - 1).toLong, 0L) * lrNum / n)
-      }
+      // index 0 is the bias bucket (_b = -1). Arithmetic is unchanged
+      // on every path: order-free long sums, the same `div` truncation
+      // points, so the trained weights are bit-identical to the
+      // original chained form.
+      val nL = n
+      val w: Array[Long] =
+        if (n <= localTrainDocs) {
+          // single-task GD finisher (the graph localFinishEdges
+          // discipline for training loops): the whole `iters`-step
+          // fixed point runs as ONE bounded task over the compact
+          // feature rows (≤ localTrainDocs × ~1 KB) — per-step Spark
+          // jobs are pure scheduling overhead at this size. The
+          // returned value is buckets+1 longs. Above the threshold
+          // the per-step aggregate loop below is the scale path.
+          val itersL = iters; val bucketsL = buckets; val lrNumL = lrNum
+          docVec.select(col("_y"), col("_f._b"), col("_f._cnt"))
+            .repartition(1).rdd.mapPartitions { it =>
+              val rows = it.map { r =>
+                (r.getLong(0), r.getSeq[Long](1).toArray,
+                  r.getSeq[Long](2).toArray)
+              }.toArray
+              var wl = Array.fill(bucketsL + 1)(0L)
+              var t = 0
+              while (t < itersL) {
+                val g = Array.fill(bucketsL + 1)(0L)
+                rows.foreach { case (y, bs, cs) =>
+                  var m = 0L
+                  var i = 0
+                  while (i < bs.length) {
+                    m += cs(i) * wl((bs(i) + 1L).toInt); i += 1
+                  }
+                  val e = math.max(0L, math.min(1000L, 500L + m / 4000L)) - y
+                  i = 0
+                  while (i < bs.length) {
+                    g((bs(i) + 1L).toInt) += e * cs(i); i += 1
+                  }
+                }
+                wl = Array.tabulate(bucketsL + 1)(i =>
+                  wl(i) - g(i) * lrNumL / nL)
+                t += 1
+              }
+              Iterator.single(wl)
+            }.collect()(0)
+        } else {
+          var wl = Array.fill(buckets + 1)(0L)
+          for (_ <- 1 to iters) {
+            val wLit = array(wl.toSeq.map(lit): _*)
+            val grads = docVec
+              .withColumn("_m", aggregate(col("_f"), lit(0L), (acc, x) =>
+                acc + x.getField("_cnt") *
+                  element_at(wLit, (x.getField("_b") + lit(2L)).cast("int"))))
+              // hard sigmoid in milli: clamp(0, 1000, 500 + m div 4000)
+              .withColumn("_e", greatest(lit(0L), least(lit(1000L),
+                lit(500L) + expr("_m div 4000"))) - col("_y"))
+              .select(explode(col("_f")).as("_x"),
+                col("_e"))
+              .select(col("_x._b").as("_b"),
+                (col("_e") * col("_x._cnt")).as("_ec"))
+              .groupBy(col("_b")).agg(sum(col("_ec")).as("_g"))
+              .collect()
+            val g = grads.map(r => r.getLong(0) -> r.getLong(1)).toMap
+            wl = Array.tabulate(buckets + 1)(i =>
+              wl(i) - g.getOrElse((i - 1).toLong, 0L) * lrNum / nL)
+          }
+          wl
+        }
       val wDf = (-1L until buckets.toLong).map(b => (b, w((b + 1).toInt)))
         .toDF("_b", "_w")
       features(score, id)
@@ -696,7 +742,26 @@ object Curation {
       // the fitted (a, b) are bit-identical to the chained form.
       var a = 0L
       var b = 0L
-      for (_ <- 1 to iters) {
+      val hn = h.count() // histogram cardinality (also warms the cache)
+      if (hn <= (1L << 20)) {
+        // bounded-histogram fast path: the whole (sc, np, nn) table is
+        // ≤ 2^20 rows of 3 longs (≤ 24 MB — the k-scalars collect
+        // class), so all `iters` steps run driver-side with ZERO jobs
+        // per step. Same expressions, same truncation points.
+        val rows = h.collect().map(r =>
+          (r.getAs[Long]("_sc"), r.getAs[Long]("_np"), r.getAs[Long]("_nn")))
+        for (_ <- 1 to iters) {
+          var ga = 0L
+          var gb = 0L
+          rows.foreach { case (sc, np, nn) =>
+            val p = math.max(0L, math.min(1000L, 500L + (a * sc + b) / 4000L))
+            val e = p * (np + nn) - 1000L * np
+            ga += e * sc; gb += e
+          }
+          a -= ga * lrNumA / n
+          b -= gb * lrNumB / n
+        }
+      } else for (_ <- 1 to iters) {
         val g = h
           .withColumn("_p", greatest(lit(0L), least(lit(1000L),
             lit(500L) + expr(s"(${a}L * _sc + ${b}L) div 4000"))))

@@ -491,10 +491,35 @@ object Dedup {
     * iteration contract, never a data-sized collect. The edge list is
     * checkpointed once and reused every round.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      localFinishEdges: Long = 4L * 1024 * 1024): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
+    // single-task union-find finisher (the GraphOps
+    // connectedComponentsStars / kCore localFinishEdges discipline):
+    // min-propagation rounds are join+checkpoint+probe chains whose
+    // per-round stage overhead dwarfs executor-sized near-dup edge
+    // sets (38 jobs/query measured on dedup_soft at sf0.1). Union-by-
+    // min + path compression IS this function's documented contract —
+    // "every node in an edge, labeled with the minimum node id
+    // reachable from it" — computed at its fixed point, where the
+    // converged min-propagation rounds land. The distributed loop
+    // remains the scale path above the threshold.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(edges.schema("src").dataType, edges.schema("dst").dataType)
+        .forall {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+    }
+    if (integralIds && localFinishEdges > 0 &&
+        edges.count() <= localFinishEdges)
+      return graft.operators.graph.GraphOps
+        .unionFindLocal(edges.select(col("src").as("u"),
+          col("dst").as("v")))
+        .select(col("id"), col("root").as("component"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
@@ -584,8 +609,10 @@ object Dedup {
         .select(col("a"), col("b"),
           bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
             .cast("int").as("hamming"))
-        .distinct() // a close pair shares SEVERAL blocks — one row
+        // filter BEFORE the dedup: see simhash64DupPairs — the distinct's
+        // shuffle carries only surviving near-dup pairs
         .filter(col("hamming") <= maxHamming)
+        .distinct() // a close pair shares SEVERAL blocks — one row
     }
   }
 
@@ -637,8 +664,12 @@ object Dedup {
         .select(col("a"), col("b"),
           bit_count(col("fp_a").bitwiseXOR(col("fp_b")))
             .cast("int").as("hamming"))
-        .distinct() // a close pair shares SEVERAL bands — one row
+        // filter BEFORE the dedup: hamming > maxHamming candidates are
+        // dropped either way, so the distinct's shuffle carries only
+        // survivors (filter-then-distinct == distinct-then-filter on a
+        // value predicate; guide §2.3 shuffle-fewer-bytes)
         .filter(col("hamming") <= maxHamming)
+        .distinct() // a close pair shares SEVERAL bands — one row
     }
   }
 
