@@ -39,12 +39,30 @@ object GraphOps {
     * aggregate).
     */
   def pageRank(edges: DataFrame, iters: Int,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85,
+      localFinishEdges: Long = 4L * 1024 * 1024): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank: dampingPct must be in [0, 100], got $dampingPct")
     val base = (100 - dampingPct) * Nano / 100
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // single-task finisher (the kCore/lpa/coreness localFinishEdges
+    // discipline): `iters` rounds of join+agg+checkpoint are stage
+    // overhead on executor-sized edge sets; the local pass replays the
+    // IDENTICAL integer algebra (contribution `((r·damping) div 100)
+    // div outdeg`, order-free long sums, base + in, exactly `iters`
+    // rounds), so rank_nano is bit-identical. The loop below remains
+    // the scale path.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(e.schema("src").dataType, e.schema("dst").dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (integralIds && localFinishEdges > 0 &&
+        e.count() <= localFinishEdges)
+      return pageRankLocal(e, iters, dampingPct)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint()
@@ -67,6 +85,56 @@ object GraphOps {
     }
     ranks.select(col("id"), col("_r").as("rank_nano"),
       round(col("_r") / lit(Nano.toDouble), 6).as("rank"))
+  }
+
+  /** Single-task pageRank over an integral directed edge list —
+    * [[pageRank]]'s finisher, the [[kCoreLocal]] pattern. Replays the
+    * distributed loop's exact integer algebra for exactly `iters`
+    * rounds; the final milli-rank projection runs through the SAME
+    * Spark round expression, so both columns are bit-identical.
+    */
+  private def pageRankLocal(e: DataFrame, iters: Int,
+      dampingPct: Int): DataFrame = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    val idType = e.schema("src").dataType
+    val base = (100 - dampingPct) * Nano / 100
+    val out = e
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val outdeg = new java.util.HashMap[Long, Long]()
+        val nodes = new java.util.HashSet[Long]()
+        es.foreach { case (s, d) =>
+          outdeg.merge(s, 1L, _ + _); nodes.add(s); nodes.add(d)
+        }
+        var ranks = new java.util.HashMap[Long, Long]()
+        nodes.forEach(id => ranks.put(id, Nano))
+        var i = 0
+        while (i < iters) {
+          val in = new java.util.HashMap[Long, Long]()
+          es.foreach { case (s, d) =>
+            val c = ranks.get(s).longValue * dampingPct / 100 /
+              outdeg.get(s).longValue
+            in.merge(d, c, _ + _)
+          }
+          val next = new java.util.HashMap[Long, Long]()
+          nodes.forEach { id =>
+            val add = in.get(id)
+            next.put(id, base + (if (add == null) 0L else add.longValue))
+          }
+          ranks = next
+          i += 1
+        }
+        val fin = ranks
+        val ids = fin.keySet().toArray(new Array[java.lang.Long](0))
+        ids.iterator.map(id => (id.longValue, fin.get(id).longValue))
+      }
+    out.toDF("id", "rank_nano")
+      .select(col("id").cast(idType).as("id"), col("rank_nano"),
+        round(col("rank_nano") / lit(Nano.toDouble), 6).as("rank"))
   }
 
   /** Connected components by alternating large-star / small-star
@@ -454,7 +522,8 @@ object GraphOps {
     * partition-order-exact.
     */
   def coreness(pairs: DataFrame, maxK: Int,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 8,
+      localFinishEdges: Long = 4L * 1024 * 1024): DataFrame = {
     require(maxK >= 1 && maxK <= 64,
       s"coreness: maxK in [1, 64], got $maxK")
     require(rounds >= 1 && rounds <= 64,
@@ -466,6 +535,23 @@ object GraphOps {
     val nbr = e.select(col("u").as("id"), col("v").as("nb"))
       .unionByName(e.select(col("v").as("id"), col("u").as("nb")))
       .localCheckpoint()
+    // single-task finisher (the kCore/lpa localFinishEdges discipline):
+    // per h-index round the distributed loop pays an edge join + rank
+    // window + max + checkpoint + sum probe — stage overhead dwarfs
+    // executor-sized edge sets. The local pass replays the IDENTICAL
+    // algebra (est₀ = min(deg, maxK); H-index over desc-sorted
+    // neighbor estimates; monotone sum-probe early stop AFTER each
+    // round; `rounds` cap), so the result is the same set.
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      Seq(nbr.schema("id").dataType, nbr.schema("nb").dataType).forall {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    if (integralIds && localFinishEdges > 0 &&
+        nbr.count() <= 2L * localFinishEdges)
+      return corenessLocal(nbr, maxK, rounds)
     var est = nbr.groupBy(col("id")).agg(count(lit(1)).as("deg"))
       .select(col("id"),
         least(col("deg"), lit(maxK.toLong)).cast("int").as("est"))
@@ -490,6 +576,73 @@ object GraphOps {
       i += 1
     }
     est.select(col("id"), col("est").as("coreness"))
+  }
+
+  /** Single-task h-index iteration over a symmetric integral neighbor
+    * list — [[coreness]]'s finisher, the [[kCoreLocal]] pattern.
+    * Replays the distributed loop's exact algebra: est₀ = min(deg,
+    * maxK); per round each node's estimate becomes the H-index of its
+    * neighbors' estimates (max over the desc-sorted list of
+    * min(estᵣ, r)); monotone sum probe stops the loop AFTER the round
+    * that reached the fixed point; at most `rounds` rounds. Emits
+    * `(id, coreness)` as int, ids in the input type.
+    */
+  private def corenessLocal(nbr: DataFrame, maxK: Int,
+      rounds: Int): DataFrame = {
+    val sp = nbr.sparkSession
+    import sp.implicits._
+    val idType = nbr.schema("id").dataType
+    val out = nbr
+      .select(col("id").cast("long"), col("nb").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        it.foreach { case (id, nb) =>
+          var l = adj.get(id)
+          if (l == null) { l = new java.util.ArrayList[Long](); adj.put(id, l) }
+          l.add(nb)
+        }
+        var est = new java.util.HashMap[Long, Int]()
+        adj.forEach((id, l) => est.put(id, math.min(l.size, maxK)))
+        var prevSum = 0L
+        est.forEach((_, v) => prevSum += v)
+        var i = 0
+        var stable = false
+        while (i < rounds && !stable) {
+          val next = new java.util.HashMap[Long, Int]()
+          var s = 0L
+          val nodeIt = adj.entrySet().iterator()
+          while (nodeIt.hasNext) {
+            val en = nodeIt.next()
+            val l = en.getValue
+            val ne = new Array[Int](l.size())
+            var j = 0
+            while (j < ne.length) { ne(j) = est.get(l.get(j)); j += 1 }
+            java.util.Arrays.sort(ne)
+            // desc rank r over the asc-sorted array: r = len − idx
+            var h = 0
+            j = ne.length - 1
+            while (j >= 0) {
+              val r = ne.length - j
+              val m = math.min(ne(j), r)
+              if (m > h) h = m
+              j -= 1
+            }
+            next.put(en.getKey, h)
+            s += h
+          }
+          est = next
+          if (s == prevSum) stable = true
+          prevSum = s
+          i += 1
+        }
+        val fin = est
+        val ids = fin.keySet().toArray(new Array[java.lang.Long](0))
+        ids.iterator.map(id => (id.longValue, fin.get(id).intValue))
+      }
+    out.toDF("id", "coreness")
+      .select(col("id").cast(idType).as("id"), col("coreness"))
   }
 
   /** HyperBall (Boldi & Vigna 2013) — harmonic centrality at WEB

@@ -496,16 +496,16 @@ object Dedup {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
-    // single-task union-find finisher (the GraphOps
-    // connectedComponentsStars / kCore localFinishEdges discipline):
-    // min-propagation rounds are join+checkpoint+probe chains whose
-    // per-round stage overhead dwarfs executor-sized near-dup edge
-    // sets (38 jobs/query measured on dedup_soft at sf0.1). Union-by-
-    // min + path compression IS this function's documented contract —
-    // "every node in an edge, labeled with the minimum node id
-    // reachable from it" — computed at its fixed point, where the
-    // converged min-propagation rounds land. The distributed loop
-    // remains the scale path above the threshold.
+    // single-task finisher (the GraphOps connectedComponentsStars /
+    // kCore localFinishEdges discipline): min-propagation rounds are
+    // join+checkpoint+probe chains whose per-round stage overhead
+    // dwarfs executor-sized near-dup edge sets (38 jobs/query measured
+    // on dedup_soft at sf0.1). The local pass replays the IDENTICAL
+    // synchronous min-propagation — per round c'(x) = min(c(x),
+    // min over neighbors), early stop when nothing changed, `maxIter`
+    // hard cap — so even a capped partial propagation is bit-equal
+    // (LlmSpec pins the one-hop-per-round cap behavior). The
+    // distributed loop remains the scale path above the threshold.
     val integralIds = {
       import org.apache.spark.sql.types._
       Seq(edges.schema("src").dataType, edges.schema("dst").dataType)
@@ -516,10 +516,7 @@ object Dedup {
     }
     if (integralIds && localFinishEdges > 0 &&
         edges.count() <= localFinishEdges)
-      return graft.operators.graph.GraphOps
-        .unionFindLocal(edges.select(col("src").as("u"),
-          col("dst").as("v")))
-        .select(col("id"), col("root").as("component"))
+      return ccMinPropLocal(edges, maxIter)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
@@ -537,6 +534,61 @@ object Dedup {
       iter += 1
     }
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Single-task synchronous min-propagation over an integral
+    * SYMMETRIZED edge list — [[connectedComponents]]'s finisher.
+    * Replays the distributed loop's exact semantics including the
+    * `maxIter` hard stop (one hop per round), so capped partial
+    * propagation is bit-equal too. Emits `(id, component)`.
+    */
+  private def ccMinPropLocal(edges: DataFrame,
+      maxIter: Int): DataFrame = {
+    val sp = edges.sparkSession
+    import sp.implicits._
+    val idType = edges.schema("src").dataType
+    val out = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        // edges arrive symmetric + distinct; adjacency follows directly
+        val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+        it.foreach { case (s, d) =>
+          var l = adj.get(s)
+          if (l == null) { l = new java.util.ArrayList[Long](); adj.put(s, l) }
+          l.add(d)
+        }
+        var labels = new java.util.HashMap[Long, Long]()
+        adj.keySet().forEach(id => labels.put(id, id))
+        var iter = 0
+        var changed = true
+        while (iter < maxIter && changed) {
+          changed = false
+          val next = new java.util.HashMap[Long, Long]()
+          val nodeIt = adj.entrySet().iterator()
+          while (nodeIt.hasNext) {
+            val en = nodeIt.next()
+            var c = labels.get(en.getKey).longValue
+            val l = en.getValue
+            var j = 0
+            while (j < l.size()) {
+              val nc = labels.get(l.get(j)).longValue
+              if (nc < c) { c = nc; changed = true }
+              j += 1
+            }
+            next.put(en.getKey, c)
+          }
+          labels = next
+          iter += 1
+        }
+        val fin = labels
+        val ids = fin.keySet().toArray(new Array[java.lang.Long](0))
+        ids.iterator.map(id => (id.longValue, fin.get(id).longValue))
+      }
+    out.toDF("id", "component")
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
   }
 
   /** 32-bit SimHash as a DataFrame step — the native one-pass kernel

@@ -1217,7 +1217,20 @@ object TextOps {
     graft.core.CacheScope.withPersisted(
       bm25Postings(corpus, text, id)) { post =>
       val (s, n, _) = bm25CorpusStats(post, "bm25Retrieve")
-      bm25Probe(bm25IndexRows(post, n, maxPostings),
+      // prune the posting table to the PROBE'S tokens before the cap
+      // window + idf join (guide §2.3: shuffle fewer bytes): df, the
+      // per-token posting cap and idf are all PER-TOKEN quantities, so
+      // restricting to the query batch's tokens leaves every surviving
+      // value bit-identical, and non-query tokens never survive the
+      // probe's inner join anyway. The semi join keys on `tok` — the
+      // same partitioning the cap window needs, so it adds no exchange.
+      // (The materialized serve paths keep building the FULL index:
+      // their artifact must answer arbitrary future probes.)
+      val qToks = queries
+        .select(explode(array_distinct(tokens(qText))).as("tok"))
+        .distinct()
+      val sliced = post.join(qToks, Seq("tok"), "left_semi")
+      bm25Probe(bm25IndexRows(sliced, n, maxPostings),
         queries, qText, qId, k, s, n)
     }
   }

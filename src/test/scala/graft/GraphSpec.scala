@@ -220,6 +220,32 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("coreness: local h-index finisher == distributed rounds, " +
+      "round cap included") {
+    import spark.implicits._
+    val pairs = ((0L until 200L).map(i => (i % 67, (i * 31 + 7) % 67)) ++
+      Seq((100L, 101L), (101L, 102L))).toDF("a", "b")
+    for (rounds <- Seq(1, 2, 8)) {
+      val viaLocal = cness(GraphOps.coreness(pairs, 6, rounds))
+      val viaLoop = cness(GraphOps.coreness(pairs, 6, rounds,
+        localFinishEdges = 0))
+      assert(viaLocal == viaLoop && viaLocal.nonEmpty, s"rounds=$rounds")
+    }
+  }
+
+  test("pageRank: local finisher == distributed rounds (rank_nano " +
+      "bit-equal)") {
+    import spark.implicits._
+    val e = (0L until 300L)
+      .map(i => (i % 67, (i * 31 + 7) % 67)).toDF("src", "dst")
+    def ranks(lfe: Long): Map[Long, Long] =
+      GraphOps.pageRank(e, 3, localFinishEdges = lfe).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_nano")).toMap
+    val viaLocal = ranks(4L * 1024 * 1024)
+    val viaLoop = ranks(0)
+    assert(viaLocal == viaLoop && viaLocal.nonEmpty)
+  }
+
   private def lpa(df: org.apache.spark.sql.DataFrame,
       rounds: Int): Map[Long, Long] =
     GraphOps.lpaCommunities(df, rounds).collect()
