@@ -67,7 +67,11 @@ object Bench {
     // the incremental-refresh lifecycle (judge r14 item 1)
     "text_bm25_serve_incr", "emb_vs_incr_index",
     // partial-probe serve (item 3) + cross-path hybrid retrieval
-    "emb_vs_vector_index_partial", "text_hybrid_retrieval")
+    "emb_vs_vector_index_partial", "text_hybrid_retrieval",
+    // round-15 optimization targets (driver-visible so the wins and
+    // any regression show in BENCH_rNN without the full JSON file)
+    "text_linear_classify", "text_platt", "graph_kcore", "graph_lpa",
+    "graph_pagerank", "dedup_simhash_pairs")
 
   /** Warm-up soft cap: the warm-up pass is COST-GATED like the timed
     * passes (it stops launching queries past this elapsed point) so a

@@ -27,6 +27,11 @@ object Sessions {
       // scale — instead of a constant tuned to the core count.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // (spark.sql.files.minPartitionNum was measured and REJECTED: the
+      // sf fixtures are single-row-group parquet, so a higher split
+      // floor only minted empty tasks — a scan cannot split below a
+      // row group. Kernel-heavy single-task scans are an input-layout
+      // property here, not a config defect.)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The driver corpus stores event timestamps as parquet TIMESTAMP(NANOS)
