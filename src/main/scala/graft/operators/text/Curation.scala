@@ -715,7 +715,8 @@ object Curation {
     */
   def plattCalibrate(train: DataFrame, score: DataFrame, s: Column,
       labelIsPos: Column, id: Column, iters: Int = 15,
-      lrNumA: Long = 1L, lrNumB: Long = 16L): DataFrame = {
+      lrNumA: Long = 1L, lrNumB: Long = 16L,
+      localHistRows: Long = 1L << 20): DataFrame = {
     require(iters >= 1 && lrNumA >= 1 && lrNumB >= 1,
       "plattCalibrate: iters and learning rates must be >= 1")
     val spark = train.sparkSession
@@ -743,7 +744,7 @@ object Curation {
       var a = 0L
       var b = 0L
       val hn = h.count() // histogram cardinality (also warms the cache)
-      if (hn <= (1L << 20)) {
+      if (hn <= localHistRows) {
         // bounded-histogram fast path: the whole (sc, np, nn) table is
         // ≤ 2^20 rows of 3 longs (≤ 24 MB — the k-scalars collect
         // class), so all `iters` steps run driver-side with ZERO jobs

@@ -22,6 +22,21 @@ class CalibrationSpec extends AnyFunSuite {
         ((r.getAs[Long]("p_milli"), r.getAs[Boolean]("pred")))).toMap
   }
 
+  test("plattCalibrate: driver-histogram fast path == per-step " +
+      "aggregate scale path (bit-equal p_milli)") {
+    import spark.implicits._
+    val rows = (0L until 80L).map(i => (i, 20L + i, i >= 40L))
+    val df = rows.toDF("doc_id", "s", "y")
+    def run(localHistRows: Long) =
+      Curation.plattCalibrate(df, df, col("s"), col("y"), col("doc_id"),
+          15, localHistRows = localHistRows)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("p_milli"), r.getAs[Boolean]("pred")))).toMap
+    // localHistRows = 0 forces the per-step aggregate loop
+    assert(run(1L << 20) == run(0L))
+  }
+
   test("separable scores calibrate: high-score rows end above 1/2, " +
       "low below, monotone in s") {
     // positives at s >= 60, negatives below — clearly learnable

@@ -453,6 +453,28 @@ class CurationSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("linearClassify: single-task GD finisher == per-step " +
+      "aggregate loop (identical weights -> identical margins)") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "buy pills now cheap pills", true),
+      (2L, "cheap pills buy pills now", true),
+      (3L, "meeting at noon today plan", false),
+      (4L, "lunch meeting today plan noon", false),
+      (5L, "plan the noon meeting lunch", false)
+    ).toDF("id", "body", "spam")
+    val score = Seq((10L, "buy cheap pills now"),
+      (11L, "noon meeting lunch plan")).toDF("id", "body")
+    def run(localTrainDocs: Long) =
+      Curation.linearClassify(train, score, col("body"), col("id"),
+        col("spam"), buckets = 32, iters = 4,
+        localTrainDocs = localTrainDocs)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("m_micro"), r.getAs[Boolean]("pred"))).toSet
+    // localTrainDocs = 0 forces the scale path (per-step aggregates)
+    assert(run(1L << 18) == run(0L))
+  }
+
   test("groupZScore: hand-computed z per group; constant group " +
       "never flags") {
     import spark.implicits._
