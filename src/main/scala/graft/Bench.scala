@@ -31,10 +31,30 @@ object Bench {
     * costs a whole round's datapoint, as BENCH_r11's rc=124 proved).
     */
   private[graft] def jsonLine(rs: Seq[(String, Double)],
-      total: Double, sfDir: String): String = {
+      total: Double, sfDir: String,
+      reruns: Map[String, Int] = Map.empty): String = {
     val qs = rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // spread-rerun counts (judge r15 audit item 4): headline minima can
+    // come from up to 5 samples vs 2-3 elsewhere — emitting how many
+    // extra samples each min got keeps the driver's min-of-N comparison
+    // honest. Omitted entirely when no re-runs happened, and self-capped
+    // so the stdout line NEVER outgrows the driver's ~2 KB tail capture
+    // (BENCH_r02's truncated-head lesson): entries drop from the end of
+    // the name-sorted list until the line fits.
+    def assemble(rr: Seq[(String, Int)]): String = {
+      val rrs = if (rr.isEmpty) ""
+        else rr.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","reruns":{""", ",", "}")
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs$rrs,"sf":"$sfDir"}"""
+    }
+    var rr = reruns.toSeq.sortBy(_._1)
+    var line = assemble(rr)
+    while (line.length >= 2000 && rr.nonEmpty) {
+      rr = rr.dropRight(1)
+      line = assemble(rr)
+    }
+    line
   }
 
   /** The stdout headline subset — the driver captures a bounded tail of
@@ -131,8 +151,12 @@ object Bench {
     // all-queries line (~2.5 KB) gets its head truncated past parseability
     // (BENCH_r02 "parsed": null). Keep the printed line well under 2 KB.
     val headline = Headline
-    def jsonOf(rs: Seq[(String, Double)], total: Double): String =
-      jsonLine(rs, total, sfDir)
+    val rerunCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    def jsonOf(rs: Seq[(String, Double)], total: Double): String = {
+      import scala.jdk.CollectionConverters._
+      jsonLine(rs, total, sfDir,
+        rerunCounts.asScala.map { case (k, v) => k -> v.intValue }.toMap)
+    }
     // best-so-far snapshot the watchdog can emit at any moment
     val snapshot = new AtomicReference[Seq[(String, Double)]](Seq.empty)
     @volatile var emitted = false
@@ -262,6 +286,8 @@ object Bench {
         if (remaining <= 60.0) None else {
           val t = run(n, qmap(n))
           System.err.println(f"[bench] spread-rerun $n (spread ${sp}%.2f×): $t%.2f s")
+          rerunCounts.merge(n, Integer.valueOf(1), (a, b) =>
+            Integer.valueOf(a.intValue + b.intValue))
           if (t >= 0) Some(n -> t) else None
         }
       }.toMap

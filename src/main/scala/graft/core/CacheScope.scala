@@ -22,13 +22,31 @@ import org.apache.spark.storage.StorageLevel
   */
 object CacheScope {
 
+  /** Dev-tool hook (`tools.PlanDump`): when on, the formatted physical
+    * plan of every `withPersisted` body is buffered BEFORE the terminal
+    * `localCheckpoint` replaces it with a bare `Scan ExistingRDD` —
+    * otherwise a CacheScope-terminated query's plan dump is vacuous
+    * (the r15 audit's evidence-file defect). One volatile read when
+    * off; never set on production paths.
+    */
+  @volatile private[graft] var capturePlans: Boolean = false
+  private[graft] val capturedPlans =
+    new scala.collection.mutable.ArrayBuffer[String]
+
   /** Persist `base`, build the result with `body`, materialize it, and
     * release the base before returning. The returned frame is backed by
     * its own (small) checkpoint blocks — no cached plan outlives the call.
     */
   def withPersisted(base: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val b = base.persist(StorageLevel.MEMORY_AND_DISK)
-    try body(b).localCheckpoint(eager = true)
-    finally b.unpersist(blocking = false)
+    try {
+      val res = body(b)
+      if (capturePlans) {
+        val txt = res.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        capturedPlans.synchronized { capturedPlans += txt }
+      }
+      res.localCheckpoint(eager = true)
+    } finally b.unpersist(blocking = false)
   }
 }

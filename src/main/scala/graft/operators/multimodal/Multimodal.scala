@@ -168,8 +168,14 @@ object Multimodal {
     * Emits `(doc_id, phash)`.
     */
   def pHash(df: DataFrame, content: Column, id: Column): DataFrame =
-    df.select(id.cast("long").as("doc_id"),
-      graft.functions.TextExpressions.pHash64(lumaHex(content)).as("phash"))
+    // spread the scan before the 4×md5 + pHash kernel (core.Scans —
+    // the simhashDupPairs single-task-scan measurement)
+    graft.core.Scans.spread(
+        df.select(id.cast("long").as("doc_id"), content.as("_c")),
+        col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.TextExpressions.pHash64(lumaHex(col("_c")))
+          .as("phash"))
 
   /** The deterministic decode stub's 64-byte "luma" as a 128-hex-char
     * string: 4 chained md5s of the payload ([[featureStub]]'s
@@ -401,7 +407,12 @@ object Multimodal {
           col("_e.band").as("band"), col("_e.key").as("key"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
-      val capped = banded.withColumn("_r", row_number().over(w))
+      // N-pinned repartition before the quadratic pair stage — the
+      // Dedup.simhashDupPairs AQE-coalescing rule
+      val spreadB = banded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("key"))
+      val capped = spreadB.withColumn("_r", row_number().over(w))
         .filter(col("_r") <= maxBucketSize).drop("_r")
       val l = capped.select(col("band"), col("key"),
         col("doc_id").as("a"), col("phash").as("ph_a"))

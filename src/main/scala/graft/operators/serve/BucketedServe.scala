@@ -91,6 +91,23 @@ object BucketedServe {
   private[serve] def resolveBuckets(buckets: Int, rows: => Long): Int =
     if (buckets == 0) autoBuckets(rows) else buckets
 
+  /** Align rows to ONE partition per bucket before a bucketed write
+    * (guide §6 output sizing): Spark's bucket-file assignment is
+    * `pmod(murmur3(bucketCols), n)` — the SAME law as a hash
+    * repartition on the bucket columns — so this yields exactly `n`
+    * write tasks, each writing its single bucket file. Without it a
+    * P-partition input writes up to P×n files: every write task opens
+    * a parquet writer per bucket it sees (measured 6.7 s of write CPU
+    * + a 256-file probe scan on text_bm25_serve from a 32-partition
+    * posting frame), and at 100 TB the same fan-out is the classic
+    * small-file storm. The repartition replaces the input's
+    * partitioning with the write's own, so it adds no net exchange
+    * where the input was about to shuffle anyway.
+    */
+  private[serve] def bucketAligned(rows: DataFrame, n: Int,
+      bucketCols: Seq[String]): DataFrame =
+    rows.repartition(n, bucketCols.map(col): _*)
+
   /** Build and WRITE the BM25 posting index, bucketed + sorted by
     * `tok`. The stored row is DENORMALIZED — `(tok, doc_id, tf, dl,
     * idf_nano)` — so a probe touches exactly one table (the idf join
@@ -129,12 +146,22 @@ object BucketedServe {
       // files, not 1-row parquet datasets whose write+read cost four
       // Spark jobs of pure overhead per serve execution.
       val token = java.util.UUID.randomUUID().toString
+      // clear any legacy 1-row-parquet stats/seal datasets first
+      // (ADVICE r15): rebuilding over an old-format dir must not leave
+      // stale parquet files beside the new scalar text files
+      val fsRoot = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(s"$path/stats", s"$path/seal").foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(d)
+        if (fsRoot.exists(dp)) fsRoot.delete(dp, true)
+      }
       writeScalarFile(spark, s"$path/stats/stats.txt",
         s"$s\n$n\n$maxDl\n$token")
       // the autoBuckets count job reads the PERSISTED postings — the
       // one frame already materialized for the stats job
       val nb = resolveBuckets(buckets, post.count())
-      TextOps.bm25IndexRows(post, n, maxPostings)
+      bucketAligned(TextOps.bm25IndexRows(post, n, maxPostings), nb,
+          Seq("tok"))
         .write.format("parquet")
         .bucketBy(nb, "tok").sortBy("tok")
         .option("path", s"$path/postings")
@@ -179,9 +206,21 @@ object BucketedServe {
       k: Int = 10): DataFrame = {
     require(k >= 1, s"bm25ProbeIndex: k must be >= 1, got $k")
     val stats = readScalarFile(spark, s"$path/stats/stats.txt")
-      .getOrElse(throw new IllegalStateException(
-        s"bm25ProbeIndex: no stats at $path - build the index " +
-          "(writeBm25Index) before probing"))
+      .getOrElse {
+        // distinguish "never built" from "built before the stats moved
+        // from a 1-row parquet dataset to stats.txt" (ADVICE r15): a
+        // legacy stats dir without the text file means the index needs
+        // a REBUILD, not a first build
+        val sp2 = new org.apache.hadoop.fs.Path(s"$path/stats")
+        val fs2 = sp2.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs2.exists(sp2)) throw new IllegalStateException(
+          s"bm25ProbeIndex: stats at $path use a legacy format " +
+            "(parquet dataset, no stats.txt) - the index format " +
+            "changed; rebuild the index (writeBm25Index) before probing")
+        throw new IllegalStateException(
+          s"bm25ProbeIndex: no stats at $path - build the index " +
+            "(writeBm25Index) before probing")
+      }
       .split("\n").map(_.trim)
     val (s, n, maxDl, token) =
       (stats(0).toLong, stats(1).toLong, stats(2).toInt, stats(3))
@@ -221,7 +260,8 @@ object BucketedServe {
     // index rows = corpus rows exactly (one per vector): the auto law's
     // count job is a parquet metadata count, no scan
     val nb = resolveBuckets(buckets, corpus.count())
-    VectorOps.vectorIndexFrame(corpus, idCol, vecCol, cents)
+    bucketAligned(VectorOps.vectorIndexFrame(corpus, idCol, vecCol, cents),
+        nb, Seq("_cell"))
       .write.format("parquet")
       .bucketBy(nb, "_cell").sortBy("_cell")
       .option("path", s"$path/cells")
@@ -240,8 +280,9 @@ object BucketedServe {
     require(buckets >= 0, "writeNearDupIndex: buckets >= 0 (0 = auto)")
     // index rows = corpus rows × bands exactly: metadata count, no scan
     val nb = resolveBuckets(buckets, corpus.count() * bands)
-    graft.operators.text.Dedup
-      .nearDupIndex(corpus, text, id, bands, rowsPerBand)
+    bucketAligned(graft.operators.text.Dedup
+        .nearDupIndex(corpus, text, id, bands, rowsPerBand),
+        nb, Seq("band", "bh"))
       .write.format("parquet")
       .bucketBy(nb, "band", "bh").sortBy("band", "bh")
       .option("path", s"$path/bands")

@@ -58,6 +58,26 @@ class BenchSpec extends AnyFunSuite {
     assert(ghosts.isEmpty, s"headline names not in queries: $ghosts")
   }
 
+  test("spread-rerun counts land in the line as a reruns object, stay " +
+      "parseable, and the worst case keeps the 2 KB bound") {
+    import org.json4s._
+    val rs = Seq("q1_agg" -> 0.7883, "text_ppl" -> 1.5)
+    // no re-runs: the field is omitted entirely (r15 lines stay stable)
+    assert(!Bench.jsonLine(rs, 2.29, "x").contains("reruns"))
+    val line = Bench.jsonLine(rs, 2.29, "x", Map("q1_agg" -> 2))
+    val j = parse(line)
+    assert((j \ "reruns" \ "q1_agg") == JInt(2))
+    assert((j \ "queries" \ "q1_agg") == JDouble(0.7883))
+    // worst case: every headline query re-run twice at worst-case
+    // magnitudes must still fit the driver's tail-capture bound
+    val worst = Bench.jsonLine(Bench.Headline.map(_ -> 9999.9999),
+      999999.9999, "/root/testdata/sf0.1",
+      Bench.Headline.map(_ -> 2).toMap)
+    assert(parse(worst) != JNothing)
+    assert(worst.length < 2048,
+      s"headline line with reruns is ${worst.length} chars")
+  }
+
   test("warm-up is cost-gated at 25% of the budget so a growing suite " +
       "cannot starve the timed passes") {
     assert(Bench.warmupSoftCap(2100.0) == 525.0)

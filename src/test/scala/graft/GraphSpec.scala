@@ -307,4 +307,36 @@ class GraphSpec extends AnyFunSuite {
     val clean = base.toDF("a", "b")
     assert(lpa(noisy.repartition(3), 5) == lpa(clean.repartition(13), 5))
   }
+
+  test("harmonicCentrality: local bitset finisher == distributed pair " +
+      "rounds (harm_nano bit-equal), incl. depth caps mid-expansion") {
+    import spark.implicits._
+    // directed pseudo-random graph with chains, cycles and a self-loop —
+    // exercises min-distance dedup across rounds and the u != v rule
+    val e = ((0L until 300L).map(i => (i % 67, (i * 31 + 7) % 67)) :+
+      ((5L, 5L))).toDF("src", "dst")
+    def harms(depth: Int, localNodes: Long): Map[Long, Long] =
+      GraphOps.harmonicCentrality(e, depth, localFinishNodes = localNodes)
+        .collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("harm_nano")).toMap
+    for (depth <- Seq(1, 2, 4)) {
+      val viaLocal = harms(depth, 1L << 13)
+      val viaLoop = harms(depth, 0) // forces the pair-frontier loop
+      assert(viaLocal == viaLoop && viaLocal.nonEmpty, s"depth=$depth")
+    }
+  }
+
+  test("hyperBall: local register-evolution finisher == distributed " +
+      "rounds (every ball estimate AND harm_milli bit-equal)") {
+    import spark.implicits._
+    val e = (0L until 300L)
+      .map(i => (i % 67, (i * 31 + 7) % 67)).toDF("src", "dst")
+    def balls(lfe: Long): Map[Long, Seq[Long]] =
+      GraphOps.hyperBall(e, 3, 6, localFinishEdges = lfe).collect()
+        .map(r => r.getAs[Long]("id") ->
+          (1 until r.length).map(r.getLong)).toMap
+    val viaLocal = balls(4L * 1024 * 1024)
+    val viaLoop = balls(0) // forces the distributed register rounds
+    assert(viaLocal == viaLoop && viaLocal.nonEmpty)
+  }
 }

@@ -163,6 +163,74 @@ class IncrementalServeSpec extends AnyFunSuite {
     assert(rowsOf(probeIncr) === expect)
   }
 
+  test("fused bm25 lifecycle composite == the sequential " +
+      "append/append/upsert door sequence: artifact row sets (postings " +
+      "with _gen, docs, dels) and probe rows all bit-identical") {
+    val docs = Tables.documents(spark, sf)
+    val queries = docs.filter(col("doc_id") % 101 === 0)
+    // A: the sequential per-batch doors, exactly the batches the
+    // composite declares
+    val dirA = tmpDir("graft_fuse_bm25_a")
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    IncrementalServe.appendBm25Batch(
+      even.withColumn("__stale", substring(col("text"), 1, 40)),
+      col("__stale"), col("doc_id"), "graft_fuse_bm25_a_t", dirA,
+      buckets = 4)
+    IncrementalServe.appendBm25Batch(docs.filter(col("doc_id") % 2 =!= 0),
+      col("text"), col("doc_id"), "graft_fuse_bm25_a_t", dirA, buckets = 4)
+    IncrementalServe.appendBm25Batch(even, col("text"), col("doc_id"),
+      "graft_fuse_bm25_a_t", dirA, buckets = 4, upsert = true)
+    val seqProbe = IncrementalServe.bm25ProbeIncremental(spark,
+      "graft_fuse_bm25_a_t", dirA, queries,
+      substring(col("text"), 1, 80), col("doc_id"), k = 5)
+    // B: the fused composite
+    val dirB = tmpDir("graft_fuse_bm25_b")
+    val fusedProbe = IncrementalServe.bm25ServeIncremental(docs,
+      col("text"), col("doc_id"), queries,
+      substring(col("text"), 1, 80), col("doc_id"), 5,
+      "graft_fuse_bm25_b_t", dirB, buckets = 4)
+    assert(rowsOf(fusedProbe) === rowsOf(seqProbe))
+    assert(rowsOf(spark.table("graft_fuse_bm25_b_t")) ===
+      rowsOf(spark.table("graft_fuse_bm25_a_t")))
+    assert(rowsOf(spark.read.parquet(s"$dirB/docs")) ===
+      rowsOf(spark.read.parquet(s"$dirA/docs")))
+    assert(rowsOf(spark.read.parquet(s"$dirB/dels")) ===
+      rowsOf(spark.read.parquet(s"$dirA/dels")))
+  }
+
+  test("fused vector lifecycle composite == the sequential " +
+      "append/append/upsert/delete door sequence: artifact, dels and " +
+      "served rows bit-identical") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx = emb.filter(col("vec_id") % 7 =!= 0)
+    val arrivals = emb.filter(col("vec_id") % 7 === 0)
+    val cents = VectorOps.ivfCentroids(idx, "vec_id", "embedding", 4)
+    val dirA = tmpDir("graft_fuse_cell_a")
+    IncrementalServe.appendVectorBatch(idx.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cents, "graft_fuse_cell_a_t", dirA,
+      buckets = 4)
+    IncrementalServe.appendVectorBatch(idx.filter(col("vec_id") % 2 =!= 0),
+      "vec_id", "embedding", cents, "graft_fuse_cell_a_t", dirA,
+      buckets = 4)
+    IncrementalServe.appendVectorBatch(idx.filter(col("vec_id") % 4 === 1),
+      "vec_id", "embedding", cents, "graft_fuse_cell_a_t", dirA,
+      buckets = 4, upsert = true)
+    IncrementalServe.deleteKeys(spark, dirA,
+      idx.filter(col("vec_id") % 5 === 3).select(col("vec_id")))
+    val seqProbe = IncrementalServe.annVsIncrementalIndex(arrivals,
+      "graft_fuse_cell_a_t", dirA, "vec_id", "embedding", cents, 0.4,
+      nProbe = 4)
+    val dirB = tmpDir("graft_fuse_cell_b")
+    val fusedProbe = IncrementalServe.annVsIncrementalLifecycle(arrivals,
+      idx, "vec_id", "embedding", cents, 0.4, 4, "graft_fuse_cell_b_t",
+      dirB, buckets = 4)
+    assert(rowsOf(fusedProbe) === rowsOf(seqProbe))
+    assert(rowsOf(spark.table("graft_fuse_cell_b_t")) ===
+      rowsOf(spark.table("graft_fuse_cell_a_t")))
+    assert(rowsOf(spark.read.parquet(s"$dirB/dels")) ===
+      rowsOf(spark.read.parquet(s"$dirA/dels")))
+  }
+
   test("incremental band index: aging (minGen) drops old generations — " +
       "a probe at minGen = 1 equals a one-shot index over batch 1 only") {
     val docs = Tables.documents(spark, sf)
