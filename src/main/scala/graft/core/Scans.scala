@@ -37,6 +37,11 @@ object Scans {
     * pre-kernel rows, and the kernel runs spread).
     */
   def spread(df: DataFrame, key: Column): DataFrame = {
+    // streaming frames can't answer a partition probe (.rdd throws on
+    // unstarted streaming plans) and arrive micro-batch-partitioned by
+    // their source anyway — identity there keeps the stream ≡ batch
+    // operator pins intact
+    if (df.isStreaming) return df
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want, key) else df
   }

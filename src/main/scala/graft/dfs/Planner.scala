@@ -3428,16 +3428,19 @@ object Planner {
       val vqpred = optLambdas(n, "vec_queries", env).headOption
         .map(lambdaColumn(_, env.defs))
         .getOrElse(throw DfsError("hybrid_retrieval: .vec_queries(lambda)"))
-      val sparse = graft.operators.text.TextOps.bm25Retrieve(ctx.df,
-        Paths.ref(text), Paths.ref(id),
-        ctx.df.filter(qpred.cast("boolean")), qText, Paths.ref(id),
-        k, maxP)
-        .select(col("q_id"), col("doc_id").as("id"),
-          col("rank").as("rnk"))
-      val dense = graft.operators.vector.VectorOps.bruteTopK(emb,
-        emb.filter(vqpred.cast("boolean")), vid, vec, k)
-        .select(col("q_id"), col(vid).as("id"), col("rnk"))
-      graft.operators.vector.Fusion.rrfFuse(Seq(sparse, dense), c, k)
+      // arms build CONCURRENTLY (Fusion.buildArms, guide §2.6) — the
+      // engine twin's rule: overlapping each arm's eager tail
+      val arms = graft.operators.vector.Fusion.buildArms(Seq(
+        () => graft.operators.text.TextOps.bm25Retrieve(ctx.df,
+          Paths.ref(text), Paths.ref(id),
+          ctx.df.filter(qpred.cast("boolean")), qText, Paths.ref(id),
+          k, maxP)
+          .select(col("q_id"), col("doc_id").as("id"),
+            col("rank").as("rnk")),
+        () => graft.operators.vector.VectorOps.bruteTopK(emb,
+          emb.filter(vqpred.cast("boolean")), vid, vec, k)
+          .select(col("q_id"), col(vid).as("id"), col("rnk"))))
+      graft.operators.vector.Fusion.rrfFuse(arms, c, k)
     },
     // connected components over an (a, b) pair stream (graft extension,
     // the Dedup.connectedComponents door): near-dup pairs → dedup groups

@@ -347,8 +347,15 @@ object Dedup {
     */
   def nearDupIndex(corpus: DataFrame, text: Column, id: Column,
       bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    withShingleHashes(corpus, text, "_hs")
-      .select(id.as("doc_id"), array_distinct(col("_hs")).as("sh"),
+    // spread the scan before the shingle-hash kernel (core.Scans — an
+    // md5 per 3-gram is the expensive-kernel class): covers the index
+    // build, the append batches AND the vs-index probe side, whose
+    // Jaccard verify otherwise runs at a 1-partition stream scan's
+    // parallelism under a broadcast index join
+    withShingleHashes(graft.core.Scans.spread(
+        corpus.select(id.as("_sid"), text.as("_stx")), col("_sid")),
+        col("_stx"), "_hs")
+      .select(col("_sid").as("doc_id"), array_distinct(col("_hs")).as("sh"),
         explode(graft.functions.TextExpressions.minhashBandRows(
           col("_hs"), P, A, B, bands, rowsPerBand)).as("b"))
       .select(col("doc_id"), col("sh"), col("b.band").as("band"),

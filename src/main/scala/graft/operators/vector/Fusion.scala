@@ -31,6 +31,37 @@ object Fusion {
 
   val Nano = 1000000000L
 
+  /** Build fusion arms CONCURRENTLY (guide §2.6 "overlap independent
+    * jobs"): a retrieval arm's construction runs eager driver-side
+    * work — CacheScope checkpoints, matStream spreads, 1-row stats
+    * collects — and building arms sequentially leaves the cluster
+    * idle through every arm's tail. Spark's scheduler happily runs
+    * jobs submitted from several threads; the pool threads are
+    * created from the CALLING thread, so inheritable job
+    * group/description properties (the bench's per-query cancellation
+    * group) carry over. Results are the same frames the sequential
+    * construction yields — only the wall-clock overlap changes.
+    */
+  def buildArms(builders: Seq[() => DataFrame]): Seq[DataFrame] = {
+    if (builders.lengthCompare(1) <= 0) return builders.map(_())
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(builders.size)
+    try {
+      val futs = builders.map { b =>
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = b()
+        })
+      }
+      futs.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause // the arm's own error, not the wrapper
+        }
+      }
+    } finally pool.shutdown()
+  }
+
   /** Fuse per-query rankings. Each input must carry `(q_id, id, rnk)`
     * with `rnk` 1-based within its own (list, q_id). Returns the
     * top-`k` fused rows per query:

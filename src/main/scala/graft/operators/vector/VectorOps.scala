@@ -1304,7 +1304,17 @@ object VectorOps {
       nProbe: Int): DataFrame = {
     val centSeq = cents.toIndexedSeq
     val nCells = cents.length
-    val q = arrivals.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // spread the arrivals scan BEFORE the heavy probe work
+    // (core.Scans, guide §2.5): under a broadcast index join the whole
+    // cellDists + explode + per-pair cosine pipeline runs at the
+    // stream side's partitioning — a single-row-group arrivals file
+    // meant ONE task computing every candidate cosine (measured 18 s
+    // of a 20 s wall on emb_vs_incr_index at sf1). No-op when the
+    // stream arrives pre-spread; the index side is untouched, so the
+    // bucketed no-Exchange property holds as pinned.
+    val q = graft.core.Scans.spread(
+        arrivals.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")),
+        col("q_id"))
       .withColumn("_dists", cellDists(col("q_vec"), centSeq))
       .withColumn("_cell",
         explode(probeCells(col("_dists"), nCells, nProbe)))

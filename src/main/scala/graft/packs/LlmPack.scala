@@ -4592,16 +4592,20 @@ object LlmPack extends QueryPack {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val emb = Tables.embeddings(s, dir)
-        val sparse = TextOps.bm25Retrieve(docs, col("text"), col("doc_id"),
-          docs.filter(col("doc_id") % 101 === 0),
-          substring(col("text"), 1, 80), col("doc_id"), k = 10)
-          .select(col("q_id"), col("doc_id").as("id"),
-            col("rank").as("rnk"))
-        val dense = VectorOps.bruteTopK(emb,
-          emb.filter(col("vec_id") % 101 === 0),
-          "vec_id", "embedding", 10)
-          .select(col("q_id"), col("vec_id").as("id"), col("rnk"))
-        graft.operators.vector.Fusion.rrfFuse(Seq(sparse, dense), 60, 10)
+        // arms build CONCURRENTLY (Fusion.buildArms, guide §2.6): each
+        // arm materializes eager intermediates over a DIFFERENT table,
+        // so their driver-side tails overlap instead of serializing
+        val arms = graft.operators.vector.Fusion.buildArms(Seq(
+          () => TextOps.bm25Retrieve(docs, col("text"), col("doc_id"),
+            docs.filter(col("doc_id") % 101 === 0),
+            substring(col("text"), 1, 80), col("doc_id"), k = 10)
+            .select(col("q_id"), col("doc_id").as("id"),
+              col("rank").as("rnk")),
+          () => VectorOps.bruteTopK(emb,
+            emb.filter(col("vec_id") % 101 === 0),
+            "vec_id", "embedding", 10)
+            .select(col("q_id"), col("vec_id").as("id"), col("rnk"))))
+        graft.operators.vector.Fusion.rrfFuse(arms, 60, 10)
       },
       Some(hybridRetrievalSql)),
 
