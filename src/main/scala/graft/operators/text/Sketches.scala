@@ -59,7 +59,12 @@ object Sketches {
   def countMin(df: DataFrame, text: Column, depth: Int, width: Int)
       : DataFrame = {
     checkDims(depth, width)
-    df.select(explode(TextOps.tokens(text)).as("tok"))
+    // spread the scan before the md5-per-occurrence kernel
+    // (core.Scans): safe here because the sketch aggregate has at most
+    // depth·width groups, so extra map partitions cannot inflate the
+    // partial-aggregate rows the way vocabulary-keyed aggregates do
+    graft.core.Scans.spread(df.select(text.as("_cmtx")), col("_cmtx"))
+      .select(explode(TextOps.tokens(col("_cmtx"))).as("tok"))
       .withColumn("_h", cmHash(col("tok")))
       .select(posexplode(array((0 until depth).map(j =>
         cmBucketFromHash(col("_h"), j, width)): _*))
@@ -93,7 +98,12 @@ object Sketches {
   def cmCandidates(df: DataFrame, sketch: DataFrame, text: Column,
       threshold: Long, depth: Int, width: Int): DataFrame = {
     checkDims(depth, width)
-    var probe = df.select(explode(TextOps.tokens(text)).as("tok"))
+    // spread before the per-occurrence md5 + broadcast-lookup kernel
+    // (the countMin rule): the surviving-candidate exact aggregate is
+    // bounded by the heavy-hitter count, so partials cannot inflate
+    var probe = graft.core.Scans
+      .spread(df.select(text.as("_cmtx")), col("_cmtx"))
+      .select(explode(TextOps.tokens(col("_cmtx"))).as("tok"))
       .withColumn("_h", cmHash(col("tok")))
     (0 until depth).foreach { j =>
       val skj = sketch.filter(col("row") === j)
